@@ -1,0 +1,202 @@
+package graft
+
+/** DuckDB oracle SQL for each query in [[SparkEntry.queries]].
+  *
+  * Mirrors the Spark plans stage-for-stage, including the canonical
+  * floor-based rounding (see [[graft.operators.TimeSeries]]), so
+  * results hash-match bit-for-bit. Composed from shared CTE fragments
+  * to keep both sides in sync.
+  */
+object OracleSql {
+
+  /** Canonical rounding — same IEEE ops as the Spark side, with the
+    * same ε guard against parallel-sum FP noise at half-boundaries.
+    */
+  private def R(e: String, p: Int = 3): String = {
+    val f = math.pow(10, p).toLong
+    s"FLOOR(($e) * $f + 0.5001) / $f"
+  }
+
+  /** Daily resample of events — the shared base of the series chain. */
+  val daily: String =
+    s"""daily AS (
+       |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+       |         ${R("SUM(value)")} AS v
+       |  FROM events GROUP BY 1, 2)""".stripMargin
+
+  /** Centered moving-average trend over `daily`. */
+  def trendCte(half: Int): String =
+    s"""trend_t AS (
+       |  SELECT user_id, day, v,
+       |         ${R(s"AVG(v) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN $half PRECEDING AND $half FOLLOWING)")} AS trend
+       |  FROM daily)""".stripMargin
+
+  val detrendCte: String =
+    s"""det AS (
+       |  SELECT user_id, day, v, trend, ${R("v - trend")} AS detrended
+       |  FROM trend_t)""".stripMargin
+
+  val scaleCte: String =
+    s"""sc1 AS (
+       |  SELECT *, ${R("AVG(detrended) OVER (PARTITION BY user_id)")} AS mean,
+       |         ${R("STDDEV_POP(detrended) OVER (PARTITION BY user_id)")} AS std
+       |  FROM det),
+       |sc AS (
+       |  SELECT user_id, day, v, trend, detrended, mean, std,
+       |         ${R("(detrended - mean) / NULLIF(std, 0)")} AS scaled
+       |  FROM sc1)""".stripMargin
+
+  /** np.gradient-style centered difference of column `c` in CTE `src`,
+    * emitting CTE `out` with all of `keep` plus gradient column `gcol`.
+    */
+  def gradCte(src: String, c: String, gcol: String, out: String, keep: String): String =
+    s"""${out}_pre AS (
+       |  SELECT $keep, $c,
+       |         LAG($c) OVER (PARTITION BY user_id ORDER BY day) AS _p,
+       |         LEAD($c) OVER (PARTITION BY user_id ORDER BY day) AS _n
+       |  FROM $src),
+       |$out AS (
+       |  SELECT $keep, $c,
+       |         ${R(s"CASE WHEN _p IS NULL AND _n IS NULL THEN 0.0 WHEN _p IS NULL THEN _n - $c WHEN _n IS NULL THEN $c - _p ELSE (_n - _p) / 2 END")} AS $gcol
+       |  FROM ${out}_pre)""".stripMargin
+
+  val resample: String =
+    s"WITH $daily SELECT user_id, day, v FROM daily ORDER BY user_id, day"
+
+  def trend(half: Int): String =
+    s"WITH $daily, ${trendCte(half)} SELECT user_id, day, v, trend FROM trend_t ORDER BY user_id, day"
+
+  def detrend(half: Int): String =
+    s"WITH $daily, ${trendCte(half)}, $detrendCte " +
+      "SELECT user_id, day, v, trend, detrended FROM det ORDER BY user_id, day"
+
+  def scale(half: Int): String =
+    s"WITH $daily, ${trendCte(half)}, $detrendCte, $scaleCte " +
+      "SELECT user_id, day, v, trend, detrended, mean, std, scaled FROM sc ORDER BY user_id, day"
+
+  val gradient: String =
+    s"WITH $daily, ${gradCte("daily", "v", "grad", "g", "user_id, day")} " +
+      "SELECT user_id, day, v, grad FROM g ORDER BY user_id, day"
+
+  def windowXY(nX: Int, nY: Int): String =
+    s"""WITH $daily,
+       |numbered AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn_end
+       |  FROM daily)
+       |SELECT user_id, day, v,
+       |       CASE WHEN rn_end <= $nY THEN 'y' ELSE 'X' END AS part
+       |FROM numbered WHERE rn_end <= ${nX + nY}
+       |ORDER BY user_id, day""".stripMargin
+
+  /** Tail-window slope + per-key extrapolation shared by
+    * extrapolate/forecast oracles. Expects `trend_t` to exist.
+    */
+  private def extrapolateCtes(window: Int): String =
+    s"""${gradCte("trend_t", "trend", "g", "gr", "user_id, day")},
+       |tail AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn_end
+       |  FROM gr),
+       |perkey AS (
+       |  SELECT user_id, ${R("MEDIAN(g)")} AS slope,
+       |         ARG_MAX(trend, day) AS last_trend, MAX(day) AS last_day
+       |  FROM tail WHERE rn_end <= $window GROUP BY user_id)""".stripMargin
+
+  def extrapolateTrend(half: Int, window: Int, horizon: Int): String =
+    s"""WITH $daily, ${trendCte(half)}, ${extrapolateCtes(window)}
+       |SELECT user_id, (last_day + CAST(h AS INTEGER)) AS day,
+       |       ${R("last_trend + slope * h")} AS v_hat
+       |FROM perkey CROSS JOIN generate_series(1, $horizon) AS t(h)
+       |ORDER BY user_id, day""".stripMargin
+
+  def trajectory(half: Int, windowDays: Int): String =
+    s"""WITH $daily, ${trendCte(half)},
+       |${gradCte("trend_t", "trend", "g", "gr", "user_id, day")},
+       |tail AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn_end
+       |  FROM gr)
+       |SELECT user_id, ${R("MEDIAN(g) * 30.5")} AS trajectory
+       |FROM tail WHERE rn_end <= $windowDays GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+
+  def cleaning(threshold: Int): String =
+    s"""WITH $daily,
+       |d AS (
+       |  SELECT user_id, v - LAG(v) OVER (PARTITION BY user_id ORDER BY day) AS diff
+       |  FROM daily)
+       |SELECT user_id,
+       |       CASE WHEN SUM(CASE WHEN diff IS NOT NULL AND diff <> 0 THEN 1 ELSE 0 END) >= $threshold
+       |            THEN 1 ELSE 0 END AS keep
+       |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  val split: String =
+    s"""WITH $daily,
+       |b AS (
+       |  SELECT *, CAST(CONCAT('0x', SUBSTR(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS INTEGER) % 10 AS bucket
+       |  FROM daily)
+       |SELECT CASE WHEN bucket <= 5 THEN 'train' WHEN bucket <= 7 THEN 'val' ELSE 'test' END AS subset,
+       |       COUNT(*) AS n_rows, COUNT(DISTINCT user_id) AS n_users
+       |FROM b GROUP BY 1 ORDER BY subset""".stripMargin
+
+  /** Forecast baseline: history = all but last `horizon` days; forecast
+    * = series mean (stub model) + extrapolated trend; joined to actuals.
+    */
+  def forecastCtes(half: Int, window: Int, horizon: Int): String =
+    s"""$daily,
+       |numbered AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn_end
+       |  FROM daily),
+       |history AS (SELECT user_id, day, v FROM numbered WHERE rn_end > $horizon),
+       |trend_t AS (
+       |  SELECT user_id, day, v,
+       |         ${R(s"AVG(v) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN $half PRECEDING AND $half FOLLOWING)")} AS trend
+       |  FROM history),
+       |$detrendCte, $scaleCte,
+       |meankey AS (SELECT user_id, MAX(mean) AS mean FROM sc GROUP BY user_id),
+       |${extrapolateCtes(window)},
+       |fc AS (
+       |  SELECT p.user_id, (last_day + CAST(h AS INTEGER)) AS day,
+       |         ${R(R("last_trend + slope * h") + " + m.mean")} AS v_hat
+       |  FROM perkey p JOIN meankey m ON p.user_id = m.user_id
+       |  CROSS JOIN generate_series(1, $horizon) AS t(h)),
+       |joined AS (
+       |  SELECT f.user_id, f.day, f.v_hat, a.v AS v_actual
+       |  FROM fc f JOIN numbered a ON f.user_id = a.user_id AND f.day = a.day
+       |  WHERE a.rn_end <= $horizon)""".stripMargin
+
+  def forecastBaseline(half: Int, window: Int, horizon: Int): String =
+    s"""WITH ${forecastCtes(half, window, horizon)}
+       |SELECT user_id, day, v_hat, v_actual FROM joined ORDER BY user_id, day""".stripMargin
+
+  def metrics(half: Int, window: Int, horizon: Int): String =
+    s"""WITH ${forecastCtes(half, window, horizon)},
+       |m AS (SELECT *, AVG(v_actual) OVER (PARTITION BY user_id) AS mu FROM joined)
+       |SELECT user_id,
+       |       ${R("AVG((v_hat - v_actual) * (v_hat - v_actual))")} AS mse,
+       |       ${R("AVG(ABS(v_hat - v_actual))")} AS mae,
+       |       ${R("1.0 - SUM((v_hat - v_actual) * (v_hat - v_actual)) / NULLIF(SUM((v_actual - mu) * (v_actual - mu)), 0)")} AS r2
+       |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** TPC-H Q1-style pricing summary. Decimal-exact sums cast to DOUBLE
+    * (identical IEEE conversion both engines) then floor-rounded.
+    */
+  val q1Pricing: String = {
+    def sumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)"
+    def sumPrice = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)"
+    def sumDisc = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)"
+    def sumCharge = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)"
+    def sumDiscount = "CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)"
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${R(sumQty, 2)} AS sum_qty,
+       |  ${R(sumPrice, 2)} AS sum_base_price,
+       |  ${R(sumDisc, 2)} AS sum_disc_price,
+       |  ${R(sumCharge, 2)} AS sum_charge,
+       |  ${R(s"$sumQty / COUNT(*)")} AS avg_qty,
+       |  ${R(s"$sumPrice / COUNT(*)")} AS avg_price,
+       |  ${R(s"$sumDiscount / COUNT(*)")} AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  }
+}

@@ -1,13 +1,118 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeSeries
+
+/** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
+  * operator in SURVEY.md §2.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // Fixed parameters for the correctness-gate queries. The events test
+  // table spans ~30 days/key, so windows are scaled down from the
+  // reference's 365/92-day regime (semantics identical, see SURVEY §2).
+  private val HALF = 3        // trend MA half-window (reference: 15 for 30d)
+  private val NX = 14         // model input days   (reference: 365)
+  private val NY = 5          // forecast days      (reference: 92)
+  private val SLOPE_W = 10    // slope window       (reference: 183+92)
+  private val TRAJ_W = 15     // trajectory window  (reference: 183)
+  private val CLEAN_T = 5     // min changes        (reference: 20)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_pricing")(spark, "/root/testdata/sf0.001")
+
+  private def dec2(c: String) = col(c).cast("decimal(12,2)")
+  private def pct2(c: String) = col(c).cast("decimal(4,2)")
+  // canonical rounding — see TimeSeries.r3
+  private def r2c(c: org.apache.spark.sql.Column) = floor(c * 100.0 + 0.5001) / 100.0
+  private def r3c(c: org.apache.spark.sql.Column) = floor(c * 1000.0 + 0.5001) / 1000.0
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          r2c(sum(dec2("l_quantity")).cast("double")).as("sum_qty"),
+          r2c(sum(dec2("l_extendedprice")).cast("double")).as("sum_base_price"),
+          r2c(sum(dec2("l_extendedprice") * (lit(1) - pct2("l_discount"))).cast("double")).as("sum_disc_price"),
+          r2c(sum(dec2("l_extendedprice") * (lit(1) - pct2("l_discount")) * (lit(1) + pct2("l_tax"))).cast("double")).as("sum_charge"),
+          r3c(sum(dec2("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+          r3c(sum(dec2("l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
+          r3c(sum(pct2("l_discount")).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "ts_resample" -> ((s, dir) =>
+      TimeSeries.resampleDaily(Tables.events(s, dir))
+        .orderBy(col("user_id"), col("day"))),
+
+    "ts_trend_ma" -> ((s, dir) =>
+      TimeSeries.trend(TimeSeries.resampleDaily(Tables.events(s, dir)), HALF)
+        .orderBy(col("user_id"), col("day"))),
+
+    "ts_detrend" -> ((s, dir) =>
+      TimeSeries.detrend(TimeSeries.trend(TimeSeries.resampleDaily(Tables.events(s, dir)), HALF))
+        .orderBy(col("user_id"), col("day"))),
+
+    "ts_scale" -> ((s, dir) =>
+      TimeSeries.scale(TimeSeries.detrend(TimeSeries.trend(TimeSeries.resampleDaily(Tables.events(s, dir)), HALF)))
+        .orderBy(col("user_id"), col("day"))),
+
+    "ts_gradient" -> ((s, dir) =>
+      TimeSeries.gradient(TimeSeries.resampleDaily(Tables.events(s, dir)), "v", "grad")
+        .orderBy(col("user_id"), col("day"))),
+
+    "ts_window_xy" -> ((s, dir) =>
+      TimeSeries.windowXY(TimeSeries.resampleDaily(Tables.events(s, dir)), NX, NY)
+        .orderBy(col("user_id"), col("day"))),
+
+    "ts_extrapolate_trend" -> ((s, dir) =>
+      TimeSeries.extrapolateTrend(
+        TimeSeries.trend(TimeSeries.resampleDaily(Tables.events(s, dir)), HALF), SLOPE_W, NY)
+        .orderBy(col("user_id"), col("day"))),
+
+    "ts_trajectory" -> ((s, dir) =>
+      TimeSeries.trajectory(
+        TimeSeries.trend(TimeSeries.resampleDaily(Tables.events(s, dir)), HALF), TRAJ_W)
+        .orderBy(col("user_id"))),
+
+    "ts_cleaning" -> ((s, dir) =>
+      TimeSeries.cleaning(TimeSeries.resampleDaily(Tables.events(s, dir)), CLEAN_T)
+        .orderBy(col("user_id"))),
+
+    "ts_split" -> ((s, dir) =>
+      TimeSeries.split(TimeSeries.resampleDaily(Tables.events(s, dir)))
+        .groupBy(col("subset"))
+        .agg(count(lit(1)).as("n_rows"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("subset"))),
+
+    "ts_forecast_baseline" -> ((s, dir) =>
+      TimeSeries.forecastBaseline(Tables.events(s, dir), HALF, SLOPE_W, NY)
+        .orderBy(col("user_id"), col("day"))),
+
+    "ts_metrics" -> ((s, dir) =>
+      TimeSeries.metrics(TimeSeries.forecastBaseline(Tables.events(s, dir), HALF, SLOPE_W, NY))
+        .orderBy(col("user_id"))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing" -> OracleSql.q1Pricing,
+    "ts_resample" -> OracleSql.resample,
+    "ts_trend_ma" -> OracleSql.trend(HALF),
+    "ts_detrend" -> OracleSql.detrend(HALF),
+    "ts_scale" -> OracleSql.scale(HALF),
+    "ts_gradient" -> OracleSql.gradient,
+    "ts_window_xy" -> OracleSql.windowXY(NX, NY),
+    "ts_extrapolate_trend" -> OracleSql.extrapolateTrend(HALF, SLOPE_W, NY),
+    "ts_trajectory" -> OracleSql.trajectory(HALF, TRAJ_W),
+    "ts_cleaning" -> OracleSql.cleaning(CLEAN_T),
+    "ts_split" -> OracleSql.split,
+    "ts_forecast_baseline" -> OracleSql.forecastBaseline(HALF, SLOPE_W, NY),
+    "ts_metrics" -> OracleSql.metrics(HALF, SLOPE_W, NY),
+  )
 }

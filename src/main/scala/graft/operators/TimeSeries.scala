@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Spark-native time-series operator chain.
+  *
+  * Re-expresses the per-series Python-UDF pipeline of the reference
+  * (reference: src/demo/utils.py:200-521, "pre_processing" and friends)
+  * as window/groupBy operators over the LONG format `(key, day, v)`.
+  *
+  * Scale rationale (100 TB): the reference keeps each series as one
+  * `array<float>` row and runs row-at-a-time Python UDFs — no partial
+  * aggregation, no pushdown, no codegen. Here:
+  *
+  *   - `resampleDaily` is a groupBy with map-side combine: the only
+  *     shuffle that sees raw-event volume, and it reduces to
+  *     |keys|×|days| rows before anything else runs.
+  *   - every subsequent op is a window over `PARTITION BY key` — after
+  *     the first exchange on `key`, Catalyst reuses the partitioning
+  *     for the whole trend → detrend → scale → gradient chain (one
+  *     shuffle, bounded per-key state, no skew amplification).
+  *   - all math is `org.apache.spark.sql.functions` — fully inside
+  *     WholeStageCodegen, no UDF serialization.
+  *
+  * Determinism: outputs are rounded to 3 decimals per stage, mirroring
+  * the reference's `np.around(..., decimals=3)` at each step
+  * (reference: src/demo/utils.py:363,418,446,459,497,521) and making
+  * results bit-identical across engines and cluster sizes.
+  */
+object TimeSeries {
+
+  private val KEY = "user_id"
+  private val DAY = "day"
+
+  private def wOrdered = Window.partitionBy(KEY).orderBy(DAY)
+  private def wKey = Window.partitionBy(KEY)
+
+  /** Canonical 3-decimal rounding: floor(x·1000 + 0.5 + ε)/1000 — only
+    * IEEE mul/add/floor/div, so Spark and any oracle engine produce
+    * bit-identical results (library ROUNDs disagree at half-boundaries).
+    * The ε=1e-4 guard absorbs FP-noise from parallel-sum ordering —
+    * exact half-boundary values (common when averaging 3-decimal data)
+    * would otherwise flip run-to-run in BOTH engines.
+    */
+  private def r3(c: Column): Column = floor(c * 1000.0 + 0.5001) / 1000.0
+
+  /** Daily resample of the raw event stream: `(user_id, day, v)` with
+    * `v = round(sum(value), 3)`. One shuffle, partial-agg combined.
+    * (reference data model: create_time_series.py:193-196 daily spine)
+    */
+  def resampleDaily(events: DataFrame): DataFrame =
+    events
+      .groupBy(col(KEY), to_date(col("ts")).as(DAY))
+      .agg(r3(sum(col("value"))).as("v"))
+
+  /** Centered moving-average trend, window = ±`half` rows, edges use
+    * the available window (reference trend: src/demo/utils.py:355-364,
+    * seasonal_decompose's centered MA with extrapolated edges).
+    */
+  def trend(daily: DataFrame, half: Int): DataFrame =
+    daily.withColumn("trend",
+      r3(avg(col("v")).over(wOrdered.rowsBetween(-half, half))))
+
+  /** Detrended series: v − trend (reference: src/demo/utils.py:367). */
+  def detrend(withTrend: DataFrame): DataFrame =
+    withTrend.withColumn("detrended", r3(col("v") - col("trend")))
+
+  /** Re-trend: add a trend back (reference: src/demo/utils.py:379). */
+  def retrend(df: DataFrame, valueCol: String, trendCol: String, out: String): DataFrame =
+    df.withColumn(out, r3(col(valueCol) + col(trendCol)))
+
+  /** Per-series standardization of `detrended`: mean / population std /
+    * scaled value (reference: src/demo/utils.py:390-419). Constant
+    * series (std = 0) scale to NULL rather than ±inf.
+    */
+  def scale(withDetrend: DataFrame): DataFrame =
+    withDetrend
+      .withColumn("mean", r3(avg(col("detrended")).over(wKey)))
+      .withColumn("std", r3(stddev_pop(col("detrended")).over(wKey)))
+      .withColumn("scaled",
+        r3((col("detrended") - col("mean")) / nullif(col("std"), lit(0.0))))
+
+  /** Inverse of [[scale]] (reference rescaling: src/demo/utils.py:422). */
+  def rescale(df: DataFrame, c: String, out: String): DataFrame =
+    df.withColumn(out, r3(col(c) * col("std") + col("mean")))
+
+  /** np.gradient-equivalent centered difference of `c`:
+    * interior `(next − prev) / 2`, one-sided at the edges
+    * (reference: np.gradient in src/demo/utils.py:474).
+    */
+  def gradient(df: DataFrame, c: String, out: String = "grad"): DataFrame = {
+    val prev = lag(col(c), 1).over(wOrdered)
+    val next = lead(col(c), 1).over(wOrdered)
+    df.withColumn(out,
+      r3(when(prev.isNull && next.isNull, lit(0.0))
+        .when(prev.isNull, next - col(c))
+        .when(next.isNull, col(c) - prev)
+        .otherwise((next - prev) / 2.0)))
+  }
+
+  /** Tag each row as model input X (the `nX` days preceding the final
+    * `nY`) or target y (the final `nY` days); drops older rows
+    * (reference get_X/get_y: src/demo/utils.py:436-460).
+    */
+  def windowXY(daily: DataFrame, nX: Int, nY: Int): DataFrame =
+    daily
+      .withColumn("rn_end", row_number().over(Window.partitionBy(KEY).orderBy(col(DAY).desc)))
+      .withColumn("part",
+        when(col("rn_end") <= nY, lit("y"))
+          .when(col("rn_end") <= nX + nY, lit("X")))
+      .where(col("part").isNotNull)
+      .drop("rn_end")
+
+  /** Linear trend extrapolation `horizon` days past each series' end:
+    * slope = median of the trend gradient over the trailing `window`
+    * rows, forecast(h) = last_trend + slope·h
+    * (reference extrapolate_trend, serve mode: src/demo/utils.py:463-498).
+    */
+  def extrapolateTrend(withTrend: DataFrame, window: Int, horizon: Int): DataFrame = {
+    val g = gradient(withTrend, "trend", "g")
+      .withColumn("rn_end", row_number().over(Window.partitionBy(KEY).orderBy(col(DAY).desc)))
+    val perKey = g
+      .where(col("rn_end") <= window)
+      .groupBy(col(KEY))
+      .agg(
+        r3(expr("percentile(g, 0.5)")).as("slope"),
+        max_by(col("trend"), col(DAY)).as("last_trend"),
+        max(col(DAY)).as("last_day"))
+    perKey
+      .select(col(KEY), col("slope"), col("last_trend"), col("last_day"),
+        explode(sequence(lit(1), lit(horizon))).as("h"))
+      .select(
+        col(KEY),
+        date_add(col("last_day"), col("h")).as(DAY),
+        r3(col("last_trend") + col("slope") * col("h")).as("v_hat"))
+  }
+
+  /** Monthly-slope "trajectory" metric: median daily gradient of the
+    * trend over the trailing `windowDays`, scaled ×30.5
+    * (reference trajectory: src/demo/utils.py:501-521).
+    */
+  def trajectory(withTrend: DataFrame, windowDays: Int): DataFrame = {
+    val g = gradient(withTrend, "trend", "g")
+      .withColumn("rn_end", row_number().over(Window.partitionBy(KEY).orderBy(col(DAY).desc)))
+    g.where(col("rn_end") <= windowDays)
+      .groupBy(col(KEY))
+      .agg(r3(expr("percentile(g, 0.5)") * 30.5).as("trajectory"))
+  }
+
+  /** Low-information-series filter: keep series with ≥ `threshold`
+    * non-zero day-over-day changes (constant series have none)
+    * (reference time_series_cleaning: src/demo/utils.py:938-956).
+    */
+  def cleaning(daily: DataFrame, threshold: Int): DataFrame = {
+    val d = daily.withColumn("diff", col("v") - lag(col("v"), 1).over(wOrdered))
+    d.groupBy(col(KEY))
+      .agg(sum(when(col("diff").isNotNull && col("diff") =!= 0.0, 1).otherwise(0)).as("changes"))
+      .select(col(KEY), (col("changes") >= threshold).cast("int").as("keep"))
+  }
+
+  /** Deterministic train/val/test split: md5-hash bucket of the key —
+    * reproducible across cluster sizes, unlike `randomSplit`
+    * (reference: training.py:207 randomSplit(0.6/0.2/0.2)).
+    * Buckets 0-5 train, 6-7 val, 8-9 test.
+    */
+  def split(daily: DataFrame): DataFrame =
+    daily.withColumn("bucket",
+        (conv(substring(md5(col(KEY).cast("string")), 1, 4), 16, 10).cast("int") % 10))
+      .withColumn("subset",
+        when(col("bucket") <= 5, lit("train"))
+          .when(col("bucket") <= 7, lit("val"))
+          .otherwise(lit("test")))
+      .drop("bucket")
+
+  /** Full preprocessing chain (reference pre_processing:
+    * src/demo/utils.py:200-351): trend → detrend → standardize →
+    * gradient. Single shuffle on `user_id` after the resample.
+    */
+  def preprocess(events: DataFrame, half: Int): DataFrame =
+    gradient(scale(detrend(trend(resampleDaily(events), half))), "trend", "trend_grad")
+
+  /** Deterministic forecast baseline = the reference scoring pipeline
+    * with the CNN stubbed to its neutral output (reference
+    * post_processing: src/demo/utils.py:524-548 — model emits the
+    * scaled-detrended series' mean, i.e. 0 scaled → rescaled = mean;
+    * final forecast = mean + extrapolated trend). History = all days
+    * except the final `horizon`; forecast covers those `horizon` days.
+    * Output: (user_id, day, v_hat, v_actual).
+    */
+  def forecastBaseline(events: DataFrame, half: Int, window: Int, horizon: Int): DataFrame = {
+    val daily = resampleDaily(events)
+      .withColumn("rn_end", row_number().over(Window.partitionBy(KEY).orderBy(col(DAY).desc)))
+    val history = daily.where(col("rn_end") > horizon).drop("rn_end")
+    val actual = daily.where(col("rn_end") <= horizon).drop("rn_end")
+    val hist2 = scale(detrend(trend(history, half)))
+    val ext = extrapolateTrend(hist2.select(KEY, DAY, "v", "trend"), window, horizon)
+    val meanPerKey = hist2.groupBy(col(KEY)).agg(max(col("mean")).as("mean"))
+    ext
+      .join(meanPerKey, KEY)
+      .select(col(KEY), col(DAY), r3(col("v_hat") + col("mean")).as("v_hat"))
+      .join(actual.withColumnRenamed("v", "v_actual"), Seq(KEY, DAY))
+  }
+
+  /** Forecast-quality metrics per series: R2 / MSE / MAE between
+    * `v_hat` and `v_actual` (reference metric_extraction:
+    * notebooks/scoring.py "R2_all"/"R2_array" + sklearn metrics).
+    */
+  def metrics(scored: DataFrame): DataFrame = {
+    val err = col("v_hat") - col("v_actual")
+    scored
+      .withColumn("mu", avg(col("v_actual")).over(wKey))
+      .groupBy(col(KEY))
+      .agg(
+        r3(avg(err * err)).as("mse"),
+        r3(avg(abs(err))).as("mae"),
+        r3(lit(1.0) - sum(err * err) /
+          nullif(sum((col("v_actual") - col("mu")) * (col("v_actual") - col("mu"))), lit(0.0))).as("r2"))
+  }
+}

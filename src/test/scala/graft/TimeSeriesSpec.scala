@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TimeSeries
+
+/** Semantic unit tests for the series operators on hand-built data. */
+class TimeSeriesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Session.local(4)
+
+  /** user 1: strictly linear v = 10·t  →  known trend/gradient/extrapolation.
+    * user 2: constant 5.0              →  degenerate (std 0, cleaned away).
+    */
+  lazy val daily = {
+    import spark.implicits._
+    val rows =
+      (0 until 20).map(i => (1L, java.sql.Date.valueOf(s"2024-01-${"%02d".format(i + 1)}"), i * 10.0)) ++
+      (0 until 20).map(i => (2L, java.sql.Date.valueOf(s"2024-01-${"%02d".format(i + 1)}"), 5.0))
+    rows.toDF("user_id", "day", "v")
+  }
+
+  test("trend of a linear series is the series itself (interior)") {
+    val t = TimeSeries.trend(daily, 3).where(col("user_id") === 1).orderBy("day")
+      .select("v", "trend").collect()
+    // centered MA of a linear function equals the function away from edges
+    t.slice(3, 17).foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+  }
+
+  test("gradient of linear series is the slope, halved at edges") {
+    val g = TimeSeries.gradient(daily.where(col("user_id") === 1), "v").orderBy("day")
+      .select("grad").collect().map(_.getDouble(0))
+    assert(g.head === 10.0) // one-sided at start
+    assert(g.last === 10.0)
+    g.tail.init.foreach(x => assert(x === 10.0))
+  }
+
+  test("scale: constant series yields null scaled values (std = 0)") {
+    val sc = TimeSeries.scale(TimeSeries.detrend(TimeSeries.trend(daily, 3)))
+      .where(col("user_id") === 2)
+    assert(sc.where(col("scaled").isNotNull).count() === 0)
+  }
+
+  test("extrapolateTrend continues a linear trend") {
+    val withTrend = TimeSeries.trend(daily.where(col("user_id") === 1), 3)
+    val ext = TimeSeries.extrapolateTrend(withTrend, 10, 5).orderBy("day").collect()
+    assert(ext.length === 5)
+    // last trend value is 10·19 = 190 (MA at right edge < 190), slope ≈ 10
+    val vs = ext.map(_.getAs[Double]("v_hat"))
+    val diffs = vs.sliding(2).map(p => p(1) - p(0)).toSeq
+    diffs.foreach(d => assert(math.abs(d - 10.0) < 1.0)) // slope ≈ 10 per day
+  }
+
+  test("cleaning drops constant series, keeps changing ones") {
+    val keep = TimeSeries.cleaning(daily, 5).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(keep(1L) === 1)
+    assert(keep(2L) === 0)
+  }
+
+  test("windowXY tags the last nY days y and the nX before as X") {
+    val parts = TimeSeries.windowXY(daily.where(col("user_id") === 1), 10, 5)
+      .groupBy("part").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(parts("y") === 5)
+    assert(parts("X") === 10)
+  }
+
+  test("split is deterministic and disjoint") {
+    val s1 = TimeSeries.split(daily).select("user_id", "subset").distinct().collect()
+    val s2 = TimeSeries.split(daily).select("user_id", "subset").distinct().collect()
+    assert(s1.toSet === s2.toSet)
+    assert(s1.map(_.getLong(0)).distinct.length === s1.length) // one subset per key
+  }
+
+  test("metrics: perfect forecast has r2 = 1, mse = mae = 0") {
+    import spark.implicits._
+    val scored = Seq(
+      (1L, java.sql.Date.valueOf("2024-02-01"), 1.0, 1.0),
+      (1L, java.sql.Date.valueOf("2024-02-02"), 2.0, 2.0),
+      (1L, java.sql.Date.valueOf("2024-02-03"), 4.0, 4.0))
+      .toDF("user_id", "day", "v_hat", "v_actual")
+    val m = TimeSeries.metrics(scored).collect().head
+    assert(m.getAs[Double]("mse") === 0.0)
+    assert(m.getAs[Double]("mae") === 0.0)
+    assert(m.getAs[Double]("r2") === 1.0)
+  }
+}
