@@ -176,6 +176,92 @@ object OracleSql {
        |       ${R("1.0 - SUM((v_hat - v_actual) * (v_hat - v_actual)) / NULLIF(SUM((v_actual - mu) * (v_actual - mu)), 0)")} AS r2
        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** TPC-H Q3-style shipping-priority join-agg. */
+  val q3JoinAgg: String =
+    s"""SELECT l.l_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
+       |  ${R("CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)", 2)} AS revenue
+       |FROM customer c
+       |JOIN orders o ON c.c_custkey = o.o_custkey
+       |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |WHERE c.c_mktsegment = 'BUILDING'
+       |  AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+       |  AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+       |GROUP BY l.l_orderkey, o.o_orderdate
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 10""".stripMargin
+
+  /** Grouped top-k with deterministic tie-break. */
+  val topkPerGroup: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |           ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      |  FROM orders)
+      |WHERE rank <= 3
+      |ORDER BY o_orderpriority, rank""".stripMargin
+
+  /** As-of join oracle — DuckDB's native ASOF LEFT JOIN (inclusive). */
+  val asofJoin: String =
+    s"""WITH $daily,
+       |err AS (
+       |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+       |         ${R("MAX(value)")} AS err_v
+       |  FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+       |SELECT d.user_id, d.day, d.v, e.err_v AS asof_err_v, e.day AS asof_err_day
+       |FROM daily d ASOF LEFT JOIN err e
+       |  ON d.user_id = e.user_id AND d.day >= e.day
+       |ORDER BY d.user_id, d.day""".stripMargin
+
+  /** Gap-based sessionization (30-minute gap). */
+  def sessionize(gapMicros: Long): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+       |f AS (
+       |  SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER w > $gapMicros THEN 1
+       |                 WHEN LAG(ts_us) OVER w IS NULL THEN 1
+       |                 ELSE 0 END AS new_session
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       |s AS (
+       |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+       |  FROM f)
+       |SELECT user_id, session_no, MIN(ts_us) AS session_start_us,
+       |       MAX(ts_us) AS session_end_us, COUNT(*) AS n_events,
+       |       ${R("SUM(value)")} AS sum_value
+       |FROM s GROUP BY user_id, session_no
+       |ORDER BY user_id, session_no""".stripMargin
+
+  /** Deterministic synthetic generator — mirrors operators.Generate. */
+  def generate(nKeys: Int, nDays: Int, p: Int): String = {
+    def u(keyExpr: String, tag: String) =
+      s"(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT($keyExpr, ':$tag')), 1, 8)) AS BIGINT) % 100000) / 100000.0"
+    val spikeWindow = nDays * 0.6
+    s"""WITH g AS (
+       |  SELECT k.key, d.t FROM range(0, $nKeys) k(key) CROSS JOIN range(0, $nDays) d(t)),
+       |c AS (
+       |  SELECT key, t,
+       |    100.0 + CAST(key % 50 AS DOUBLE) * 10.0 AS salary,
+       |    CAST(t AS DOUBLE) / $p.0 + ${u("key", "phase")} AS x,
+       |    CASE WHEN ${u("key", "sign")} < 0.5 THEN -1.0 ELSE 1.0 END
+       |      * (${u("key", "trend")} + 0.5) * (CAST(t AS DOUBLE) / $nDays.0) AS trend,
+       |    (${u("CONCAT(key, '@', t)", "noise")} - 0.5) * 0.2 AS noise,
+       |    CASE WHEN CAST(t AS DOUBLE) >= FLOOR(${u("key", "spikeday")} * $spikeWindow)
+       |         THEN (${u("key", "spikeamp")} - 0.5) * 6.0 ELSE 0.0 END AS spike
+       |  FROM g),
+       |w AS (
+       |  SELECT key, t, salary, trend, noise, spike, x - FLOOR(x) AS tt FROM c),
+       |v AS (
+       |  SELECT key, t, salary, trend, noise, spike,
+       |    CASE WHEN key % 3 = 0 THEN tt * 2.0 - 1.0
+       |         WHEN key % 3 = 1 THEN ABS(tt * 2.0 - 1.0) * 2.0 - 1.0
+       |         ELSE CASE WHEN tt < 0.5 THEN 1.0 ELSE -1.0 END END AS wave
+       |  FROM w)
+       |SELECT key, t,
+       |       ${R("salary * (wave * 0.5 + trend + noise + spike)")} AS v,
+       |       CAST(key % 3 AS INTEGER) AS signal_type
+       |FROM v ORDER BY key, t""".stripMargin
+  }
+
   /** TPC-H Q1-style pricing summary. Decimal-exact sums cast to DOUBLE
     * (identical IEEE conversion both engines) then floor-rounded.
     */

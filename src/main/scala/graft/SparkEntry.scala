@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.TimeSeries
+import graft.operators.{Generate, Relational, TimeSeries}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
   * operator in SURVEY.md §2.
@@ -98,6 +98,47 @@ object SparkEntry {
     "ts_metrics" -> ((s, dir) =>
       TimeSeries.metrics(TimeSeries.forecastBaseline(Tables.events(s, dir), HALF, SLOPE_W, NY))
         .orderBy(col("user_id"))),
+
+    "q3_join_agg" -> ((s, dir) => {
+      val cut = lit("1998-06-01 00:00:00").cast("timestamp")
+      val c = Tables.customer(s, dir)
+        .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = Tables.orders(s, dir).where(col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val l = Tables.lineitem(s, dir).where(col("l_shipdate") > cut)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
+        .agg(r2c(sum(dec2("l_extendedprice") * (lit(1) - pct2("l_discount"))).cast("double")).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "topk_per_group" -> ((s, dir) =>
+      Relational.topKPerGroup(Tables.orders(s, dir), "o_orderpriority", "o_totalprice", "o_orderkey", 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+        .orderBy(col("o_orderpriority"), col("rank"))),
+
+    "ts_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val daily = TimeSeries.resampleDaily(ev)
+      val err = ev.where(col("event_type") === "error")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(r3c(max(col("value"))).as("err_v"))
+        .withColumn("err_day", col("day"))
+      Relational.asofJoin(daily, err, "user_id", "day", Seq("err_v", "err_day"))
+        .select(col("user_id"), col("day"), col("v"),
+          col("asof_err_v"), col("asof_err_day"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
+    "ts_sessionize" -> ((s, dir) =>
+      Relational.sessionize(Tables.events(s, dir), 1800000000L)
+        .orderBy(col("user_id"), col("session_no"))),
+
+    "ts_generate" -> ((s, _) =>
+      Generate.series(s, 100, 200, 30).orderBy(col("key"), col("t"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -114,5 +155,10 @@ object SparkEntry {
     "ts_split" -> OracleSql.split,
     "ts_forecast_baseline" -> OracleSql.forecastBaseline(HALF, SLOPE_W, NY),
     "ts_metrics" -> OracleSql.metrics(HALF, SLOPE_W, NY),
+    "q3_join_agg" -> OracleSql.q3JoinAgg,
+    "topk_per_group" -> OracleSql.topkPerGroup,
+    "ts_asof_join" -> OracleSql.asofJoin,
+    "ts_sessionize" -> OracleSql.sessionize(1800000000L),
+    "ts_generate" -> OracleSql.generate(100, 200, 30),
   )
 }

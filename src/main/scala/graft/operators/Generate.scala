@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic time-series generator — the Spark-native
+  * re-expression of the reference's mock-series factory
+  * (reference: src/demo/create_time_series.py:94-196: per-customer
+  * series = seasonal wave + trend + noise + level-shift spikes).
+  *
+  * Differences by design, for 100-TB reproducibility:
+  *   - randomness is a hash-PRNG (md5 of key/t/tag) instead of
+  *     numpy's global RNG — values are identical no matter how the
+  *     job is partitioned or re-run, and expressible in any engine;
+  *   - waves are piecewise-linear (sawtooth/triangle/square — the
+  *     reference's signal types minus sine) because transcendental
+  *     libm results are not bit-portable across engines;
+  *   - rows are generated distributed: `spark.range(nKeys)` ×
+  *     `explode(sequence(0, nDays-1))` — no driver-side loop, scales
+  *     linearly with cluster size.
+  */
+object Generate {
+
+  /** Uniform [0,1) from md5(key ":" tag), 5 decimal digits. */
+  private def u(key: Column, tag: String): Column =
+    (conv(substring(md5(concat(key.cast("string"), lit(":" + tag))), 1, 8), 16, 10)
+      .cast("bigint") % 100000L).cast("double") / 100000.0
+
+  private def r3(c: Column): Column = floor(c * 1000.0 + 0.5001) / 1000.0
+
+  /** Generate `nKeys` daily series of length `nDays` with period-`p`
+    * seasonality. Output: (key, t, v, signal_type).
+    */
+  def series(spark: SparkSession, nKeys: Int, nDays: Int, p: Int): DataFrame = {
+    val k = col("key")
+    val t = col("t").cast("double")
+    val salary = (lit(100.0) + (k % 50).cast("double") * 10.0)
+    val phase = u(k, "phase")
+    // tt = fractional position in the cycle, phase-shifted
+    val tt = {
+      val x = t / p.toDouble + phase
+      x - floor(x)
+    }
+    val saw = tt * 2.0 - 1.0
+    val tri = abs(tt * 2.0 - 1.0) * 2.0 - 1.0
+    val sq = when(tt < 0.5, 1.0).otherwise(-1.0)
+    val signalType = (k % 3).cast("int")
+    val wave = when(signalType === 0, saw).when(signalType === 1, tri).otherwise(sq)
+    val trendSign = when(u(k, "sign") < 0.5, -1.0).otherwise(1.0)
+    val trend = trendSign * (u(k, "trend") + 0.5) * (t / nDays.toDouble)
+    val noise = (u(concat(k, lit("@"), col("t")), "noise") - 0.5) * 0.2
+    val spikeDay = floor(u(k, "spikeday") * (nDays * 0.6))
+    val spike = when(t >= spikeDay, (u(k, "spikeamp") - 0.5) * 6.0).otherwise(0.0)
+    spark.range(nKeys).toDF("key")
+      .select(k, explode(sequence(lit(0), lit(nDays - 1))).as("t"))
+      .select(k, col("t"),
+        r3(salary * (wave * 0.5 + trend + noise + spike)).as("v"),
+        signalType.as("signal_type"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators beyond plain groupBy/join: as-of join,
+  * sessionization, grouped top-k. All single-shuffle designs that
+  * survive 100-TB inputs (no cross products, no global sorts).
+  */
+object Relational {
+
+  /** As-of join: for each left row `(key, day, …)` attach the most
+    * recent right row with `r.day <= l.day` (inclusive), per key.
+    *
+    * Spark-first plan: UNION the two sides, tag right rows so equal-day
+    * right rows sort before left rows, then a single
+    * `last(value, ignoreNulls)` running window per key carries the
+    * latest right value forward. One shuffle on `key`, bounded state,
+    * no range-explosion — the classic distributed as-of merge. (A
+    * sort-merge ASOF of two 100-TB tables co-partitions on key the
+    * same way; DuckDB's native ASOF JOIN is the oracle.)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+               payload: Seq[String]): DataFrame = {
+    val lTagged = left.withColumn("_side", lit(1))
+      .select(Seq(col(key), col(time), col("_side")) ++
+        left.columns.filterNot(c => c == key || c == time).map(col) ++
+        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+    val rTagged = right.withColumn("_side", lit(0))
+      .select(Seq(col(key), col(time), col("_side")) ++
+        left.columns.filterNot(c => c == key || c == time).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(c => col(c).as(s"_r_$c")): _*)
+    val w = Window.partitionBy(key).orderBy(col(time), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = lTagged.unionByName(rTagged)
+      .select(col("*") +: payload.map(c =>
+        last(col(s"_r_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
+    carried.where(col("_side") === 1)
+      .drop("_side")
+      .drop(payload.map(c => s"_r_$c"): _*)
+  }
+
+  /** Gap-based sessionization of an event stream: a new session starts
+    * when the gap to the previous event of the same key exceeds
+    * `gapMicros`. Emits one row per session with start/end (epoch µs),
+    * event count and value sum. Single shuffle on key; the running
+    * sum of session-starts is bounded per-key state, streaming-friendly.
+    */
+  def sessionize(events: DataFrame, gapMicros: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val flagged = events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("new_session",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapMicros, 1)
+          .when(lag(col("ts_us"), 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_no", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy(col("user_id"), col("session_no"))
+      .agg(
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        (floor(sum(col("value")) * 1000.0 + 0.5001) / 1000.0).as("sum_value"))
+  }
+
+  /** Top-k rows per group by `order` descending (deterministic
+    * tie-break on `tieBreak`). Window `row_number` — partial per
+    * partition, never a global sort.
+    */
+  def topKPerGroup(df: DataFrame, group: String, order: String, tieBreak: String, k: Int): DataFrame =
+    df.withColumn("rank", row_number().over(
+        Window.partitionBy(group).orderBy(col(order).desc, col(tieBreak))))
+      .where(col("rank") <= k)
+}

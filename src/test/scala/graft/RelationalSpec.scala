@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Generate, Relational}
+
+class RelationalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Session.local(4)
+
+  test("asofJoin picks latest right row <= left time, inclusive, left-outer") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-01"), 10.0),
+      (1L, java.sql.Date.valueOf("2024-01-05"), 20.0),
+      (1L, java.sql.Date.valueOf("2024-01-09"), 30.0),
+      (2L, java.sql.Date.valueOf("2024-01-02"), 40.0))
+      .toDF("user_id", "day", "v")
+    val right = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-03"), 1.0),
+      (1L, java.sql.Date.valueOf("2024-01-05"), 2.0),
+      (1L, java.sql.Date.valueOf("2024-01-08"), 3.0))
+      .toDF("user_id", "day", "err_v")
+    val out = Relational.asofJoin(left, right, "user_id", "day", Seq("err_v"))
+      .orderBy("user_id", "day")
+      .select("user_id", "day", "v", "asof_err_v")
+      .collect()
+    assert(out.length === 4) // left preserved
+    assert(out(0).isNullAt(3))                      // 01-01: no prior error
+    assert(out(1).getDouble(3) === 2.0)             // 01-05: same-day inclusive
+    assert(out(2).getDouble(3) === 3.0)             // 01-09: latest prior
+    assert(out(3).isNullAt(3))                      // user 2: none
+  }
+
+  test("sessionize splits on gaps > threshold") {
+    import spark.implicits._
+    val base = 1700000000000000L // µs
+    val m = 60L * 1000000L
+    val ev = Seq(
+      (1L, 1L, base, 1.0), (2L, 1L, base + 5 * m, 2.0),     // session 1
+      (3L, 1L, base + 60 * m, 3.0),                         // session 2 (55min gap)
+      (4L, 2L, base, 4.0))                                  // user 2 session 1
+      .toDF("event_id", "user_id", "ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    val s = Relational.sessionize(ev, 30L * 60L * 1000000L)
+      .orderBy("user_id", "session_no").collect()
+    assert(s.length === 3)
+    assert(s(0).getAs[Long]("n_events") === 2)
+    assert(s(1).getAs[Long]("n_events") === 1)
+    assert(s(2).getAs[Long]("n_events") === 1)
+  }
+
+  test("topKPerGroup returns k rows per group, ranked") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 5.0), ("a", 2L, 9.0), ("a", 3L, 7.0), ("b", 4L, 1.0))
+      .toDF("g", "id", "x")
+    val t = Relational.topKPerGroup(df, "g", "x", "id", 2)
+      .orderBy("g", "rank").collect()
+    assert(t.map(_.getLong(1)).toSeq === Seq(2L, 3L, 4L))
+  }
+
+  test("generate is deterministic and correctly shaped") {
+    val a = Generate.series(spark, 5, 50, 30).collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val b = Generate.series(spark, 5, 50, 30).collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(a.toSet === b.toSet)
+    assert(a.length === 250)
+    // signal types cycle by key % 3
+    val st = Generate.series(spark, 5, 1, 30).orderBy("key").collect().map(_.getAs[Int]("signal_type"))
+    assert(st.toSeq === Seq(0, 1, 2, 0, 1))
+  }
+}
