@@ -262,6 +262,128 @@ object OracleSql {
        |FROM v ORDER BY key, t""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // LLM-data-pipeline oracles (documents / embeddings tables)
+  // ---------------------------------------------------------------
+
+  /** Distinct word-3-gram shingles per doc — shared CTE. */
+  private val shinglesCte: String =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id, UNNEST(list_transform(generate_series(1, len(t) - 2),
+      |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS sh
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |    WHERE len(t) >= 3))""".stripMargin
+
+  val dedupExact: String =
+    """SELECT doc_id, md5(text) AS content_hash,
+      |       COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies,
+      |       CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END AS keep
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def dedupMinhashLsh(perms: Int, rowsPerBand: Int): String =
+    s"""WITH $shinglesCte,
+       |mh AS (
+       |  SELECT doc_id, p,
+       |         MIN(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(p, ':', sh)), 1, 8)) AS BIGINT)) AS mh
+       |  FROM sh CROSS JOIN range(0, $perms) r(p) GROUP BY doc_id, p),
+       |bands AS (
+       |  SELECT doc_id, CAST(p // $rowsPerBand AS INTEGER) AS band,
+       |         STRING_AGG(CAST(mh AS VARCHAR), ',' ORDER BY p) AS sig
+       |  FROM mh GROUP BY doc_id, band),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, COUNT(*) AS shared_bands
+       |FROM cand GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin
+
+  val dedupSimhash: String =
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+      |h AS (
+      |  SELECT doc_id, CAST(CONCAT('0x', SUBSTR(MD5(tok), 1, 8)) AS BIGINT) AS h FROM tok),
+      |bits AS (
+      |  SELECT doc_id, i,
+      |         SUM(CASE WHEN CAST(FLOOR(h / POW(2.0, i)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM h CROSS JOIN range(0, 32) r(i) GROUP BY doc_id, i)
+      |SELECT doc_id,
+      |       CAST(SUM(CASE WHEN s > 0 THEN CAST(POW(2.0, i) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val dedupNgramJaccard: String =
+    s"""WITH $shinglesCte,
+       |inter AS (
+       |  SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM sh s1 JOIN sh s2 ON s2.doc_id = s1.doc_id + 1 AND s1.sh = s2.sh
+       |  GROUP BY 1, 2),
+       |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+       |SELECT i.doc_a, i.doc_b, ${R("i.inter / (ca.n + cb.n - i.inter)")} AS jaccard
+       |FROM inter i
+       |JOIN counts ca ON ca.doc_id = i.doc_a
+       |JOIN counts cb ON cb.doc_id = i.doc_b
+       |ORDER BY i.doc_a""".stripMargin
+
+  def annTopK(nQueries: Int, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
+       |s AS (
+       |  SELECT qid, vec_id AS vid, ${R("list_cosine_similarity(qv, v)")} AS cos
+       |  FROM e CROSS JOIN q WHERE vec_id != qid),
+       |r AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS rank
+       |  FROM s)
+       |SELECT qid, vid, cos, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
+  def embedCosineDup(threshold: Double): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       ${R("list_cosine_similarity(a.v, b.v)")} AS cos
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE ${R("list_cosine_similarity(a.v, b.v)")} >= $threshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  val langId: String =
+    """SELECT doc_id,
+      |  CASE WHEN en_c >= de_c AND en_c >= fr_c AND en_c >= es_c THEN 'en'
+      |       WHEN de_c >= fr_c AND de_c >= es_c THEN 'de'
+      |       WHEN fr_c >= es_c THEN 'fr' ELSE 'es' END AS lang_pred
+      |FROM (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','is'))) AS en_c,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('der','die','das','und','ist','nicht'))) AS de_c,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('le','la','et','est','un','une'))) AS fr_c,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('el','la','y','es','un','una'))) AS es_c
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  val textQuality: String =
+    s"""SELECT doc_id, chars, alpha_ratio, digit_ratio, space_ratio, uniq_ratio, stop_ratio,
+       |  ${R("alpha_ratio * 0.4 + uniq_ratio * 0.2 + (1.0 - stop_ratio) * 0.2 + CASE WHEN chars BETWEEN 100 AND 400 THEN 0.2 ELSE 0.1 END")} AS score
+       |FROM (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
+       |    ${R("(length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))) / length(text)")} AS alpha_ratio,
+       |    ${R("(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text)")} AS digit_ratio,
+       |    ${R("(length(text) - length(replace(text, ' ', ''))) / length(text)")} AS space_ratio,
+       |    ${R("len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))")} AS uniq_ratio,
+       |    ${R("len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is','on','for'))) / len(string_split(text, ' '))")} AS stop_ratio
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  val tokenCount: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+      |  CAST(length(text) AS BIGINT) AS chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val docFingerprint: String =
+    """SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(generate_series(1, length(text)),
+      |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** TPC-H Q1-style pricing summary. Decimal-exact sums cast to DOUBLE
     * (identical IEEE conversion both engines) then floor-rounded.
     */

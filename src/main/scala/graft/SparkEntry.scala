@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Generate, Relational, TimeSeries}
+import graft.operators.{Dedup, Generate, Relational, Similarity, TextOps, TimeSeries}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
   * operator in SURVEY.md §2.
@@ -117,7 +117,8 @@ object SparkEntry {
 
     "topk_per_group" -> ((s, dir) =>
       Relational.topKPerGroup(Tables.orders(s, dir), "o_orderpriority", "o_totalprice", "o_orderkey", 3)
-        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          col("rank").cast("long").as("rank"))
         .orderBy(col("o_orderpriority"), col("rank"))),
 
     "ts_asof_join" -> ((s, dir) => {
@@ -138,7 +139,46 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_no"))),
 
     "ts_generate" -> ((s, _) =>
-      Generate.series(s, 100, 200, 30).orderBy(col("key"), col("t"))),
+      Generate.series(s, 100, 200, 30)
+        .select(col("key"), col("t").cast("long").as("t"), col("v"), col("signal_type"))
+        .orderBy(col("key"), col("t"))),
+
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.lshCandidates(Dedup.minhash(Dedup.shingles(Tables.documents(s, dir)), 16), 2)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = docs.select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+      Dedup.jaccard(Dedup.shingles(docs), pairs).orderBy(col("doc_a"))
+    }),
+
+    "ann_topk" -> ((s, dir) =>
+      Similarity.cosineTopK(Tables.embeddings(s, dir), 5, 5)
+        .select(col("qid"), col("vid"), col("cos"), col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))),
+
+    "embed_cosine_dup" -> ((s, dir) =>
+      Similarity.cosineDupPairs(Tables.embeddings(s, dir), 0.3)
+        .orderBy(col("vec_a"), col("vec_b"))),
+
+    "lang_id" -> ((s, dir) =>
+      TextOps.langId(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+
+    "text_quality" -> ((s, dir) =>
+      TextOps.quality(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+
+    "token_count" -> ((s, dir) =>
+      TextOps.tokenCount(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+
+    "doc_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprint(Tables.documents(s, dir)).orderBy(col("doc_id"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -160,5 +200,15 @@ object SparkEntry {
     "ts_asof_join" -> OracleSql.asofJoin,
     "ts_sessionize" -> OracleSql.sessionize(1800000000L),
     "ts_generate" -> OracleSql.generate(100, 200, 30),
+    "dedup_exact" -> OracleSql.dedupExact,
+    "dedup_minhash_lsh" -> OracleSql.dedupMinhashLsh(16, 2),
+    "dedup_simhash" -> OracleSql.dedupSimhash,
+    "dedup_ngram_jaccard" -> OracleSql.dedupNgramJaccard,
+    "ann_topk" -> OracleSql.annTopK(5, 5),
+    "embed_cosine_dup" -> OracleSql.embedCosineDup(0.3),
+    "lang_id" -> OracleSql.langId,
+    "text_quality" -> OracleSql.textQuality,
+    "token_count" -> OracleSql.tokenCount,
+    "doc_fingerprint" -> OracleSql.docFingerprint,
   )
 }

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines.
+  *
+  * Scale design:
+  *   - exact dedup is a hash-groupBy — one shuffle on the 16-byte
+  *     digest, never on the document body;
+  *   - MinHash/LSH goes shingle-explode → per-(doc,perm) MIN (map-side
+  *     combined, so the shuffle carries |docs|×|perms| rows, not
+  *     |docs|×|shingles|) → band-bucket self-join — candidates only,
+  *     never all-pairs;
+  *   - SimHash is a per-doc signature; near-dup lookup becomes a
+  *     bucket join on the signature.
+  *   - n-gram Jaccard is exact verification, run on candidate pairs
+  *     (here: adjacent doc ids, as a deterministic stand-in for the
+  *     LSH candidate stream).
+  *
+  * All hashing is md5-derived → identical in any engine, any
+  * partitioning, any run.
+  */
+object Dedup {
+
+  private def r3(c: Column): Column = floor(c * 1000.0 + 0.5001) / 1000.0
+
+  /** Exact-dedup decision table: content hash, copy count, and
+    * keep = "is the smallest doc_id of its hash group".
+    */
+  def exact(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("content_hash"))
+    docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("keep", (col("doc_id") === min(col("doc_id")).over(w)).cast("int"))
+  }
+
+  /** Distinct word 3-gram shingles per document: (doc_id, sh). */
+  def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))")).as("sh"))
+      .distinct()
+
+  /** MinHash signatures: `perms` md5-seeded hash functions, MIN per
+    * (doc, perm). Partial aggregation collapses the shingle explosion
+    * before the shuffle.
+    */
+  def minhash(sh: DataFrame, perms: Int): DataFrame =
+    sh.select(col("doc_id"), explode(sequence(lit(0), lit(perms - 1))).as("p"), col("sh"))
+      .select(col("doc_id"), col("p"),
+        conv(substring(md5(concat(col("p").cast("string"), lit(":"), col("sh"))), 1, 8), 16, 10)
+          .cast("bigint").as("h"))
+      .groupBy(col("doc_id"), col("p"))
+      .agg(min(col("h")).as("mh"))
+
+  /** LSH candidate pairs: band the signature (`rowsPerBand` minhashes
+    * per band), bucket-join docs sharing any band signature.
+    * Output: (doc_a, doc_b, shared_bands), doc_a < doc_b.
+    */
+  def lshCandidates(mh: DataFrame, rowsPerBand: Int): DataFrame = {
+    val bands = mh
+      .withColumn("band", (col("p") / rowsPerBand).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(array_join(expr("transform(array_sort(collect_list(struct(p, mh))), x -> cast(x.mh as string))"), ",").as("sig"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+    a.join(b, Seq("band", "sig"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_bands"))
+  }
+
+  /** 32-bit SimHash over the distinct-token set (md5 token hashes,
+    * per-bit majority vote). Explode formulation — exact parity with
+    * the SQL oracle; the 100-TB path packs the same math into one
+    * higher-order expression per row (no explode, no shuffle).
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("bigint").as("h"))
+    toks
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("i"))
+      .select(col("doc_id"), col("i"),
+        when(expr("CAST(FLOOR(h / POW(2.0D, i)) AS BIGINT) % 2") === 1, 1).otherwise(-1).as("contrib"))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("CAST(POW(2.0D, i) AS BIGINT)")).otherwise(0L)).as("simhash"))
+  }
+
+  /** Exact word-3-gram Jaccard on candidate pairs. `pairs` must have
+    * (doc_a, doc_b); joins each side's shingle set, intersection via
+    * shingle equi-join — no array materialization per pair.
+    */
+  def jaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(pairs, "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        r3(col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: token
+  * counting, quality scoring, language ID, fingerprinting.
+  *
+  * All single-pass, per-row, codegen-friendly column expressions —
+  * no shuffle at all, so they scale embarrassingly: 100 TB of text
+  * maps straight through the scan.
+  */
+object TextOps {
+
+  private def r3(c: Column): Column = floor(c * 1000.0 + 0.5001) / 1000.0
+
+  val STOPWORDS: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for")
+
+  /** Whitespace tokens (exact split on single space, mirroring the
+    * documents table's generator) and a BPE-ish regex token count
+    * (letter runs / digit runs / single punctuation).
+    */
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("long").as("re_tokens"),
+      length(col("text")).cast("long").as("chars"))
+
+  /** Quality signals: character-class ratios, lexical diversity,
+    * stopword density, composite score (reference analogue: the
+    * series-cleaning information filter, utils.py:938, applied to text).
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val text = col("text")
+    val chars = length(text)
+    val alpha = chars - length(regexp_replace(text, "[a-z]", ""))
+    val digit = chars - length(regexp_replace(text, "[0-9]", ""))
+    val space = chars - length(expr("replace(text, ' ', '')"))
+    val toks = split(text, " ")
+    val nt = size(toks)
+    val uniq = size(array_distinct(toks))
+    val stop = size(filter(toks, t => t.isInCollection(STOPWORDS)))
+    docs.select(
+      col("doc_id"), chars.cast("long").as("chars"),
+      r3(alpha / chars).as("alpha_ratio"),
+      r3(digit / chars).as("digit_ratio"),
+      r3(space / chars).as("space_ratio"),
+      r3(uniq / nt).as("uniq_ratio"),
+      r3(stop / nt).as("stop_ratio"))
+      .withColumn("score", r3(
+        col("alpha_ratio") * 0.4 + col("uniq_ratio") * 0.2 +
+          (lit(1.0) - col("stop_ratio")) * 0.2 +
+          when(col("chars").between(100, 400), 0.2).otherwise(0.1)))
+  }
+
+  private val LANG_WORDS: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "et", "est", "un", "une"),
+    "es" -> Seq("el", "la", "y", "es", "un", "una"))
+
+  /** Stopword-vote language ID with deterministic tie precedence
+    * en > de > fr > es. (A real corpus adds char-n-gram votes; the
+    * plumbing — per-row lambda over the token array — is identical.)
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    def c(l: String) = size(filter(toks, t => t.isInCollection(LANG_WORDS(l))))
+    docs.select(col("doc_id"), c("en").as("en_c"), c("de").as("de_c"),
+        c("fr").as("fr_c"), c("es").as("es_c"))
+      .withColumn("lang_pred",
+        when(col("en_c") >= col("de_c") && col("en_c") >= col("fr_c") && col("en_c") >= col("es_c"), "en")
+          .when(col("de_c") >= col("fr_c") && col("de_c") >= col("es_c"), "de")
+          .when(col("fr_c") >= col("es_c"), "fr")
+          .otherwise("es"))
+      .select("doc_id", "lang_pred")
+  }
+
+  /** Polynomial rolling-hash fingerprint (base 31, mod 1e9+7) over the
+    * raw characters — order-sensitive, exact integer arithmetic, so
+    * bit-identical in any engine.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      expr("aggregate(sequence(1, length(text)), cast(0 as bigint), " +
+        "(acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007)").as("fp"))
+}

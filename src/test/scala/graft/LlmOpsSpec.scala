@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity, TextOps}
+
+class LlmOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Session.local(4)
+
+  def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup flags copies, keeps smallest id") {
+    val d = docs((1L, "the quick brown fox"), (2L, "the quick brown fox"), (3L, "something else here"))
+    val out = Dedup.exact(d).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("n_copies")).toSeq === Seq(2L, 2L, 1L))
+    assert(out.map(_.getAs[Int]("keep")).toSeq === Seq(1, 0, 1))
+  }
+
+  test("jaccard of identical docs is 1, disjoint docs absent") {
+    val d = docs((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q"))
+    val pairs = docs((1L, ""), (2L, ""), (3L, "")).select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+    val j = Dedup.jaccard(Dedup.shingles(d), pairs).collect()
+    assert(j.length === 1) // only (1,2) share shingles
+    assert(j.head.getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("minhash-LSH candidates include identical docs") {
+    val d = docs((1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "p q r s t u v w"))
+    val cand = Dedup.lshCandidates(Dedup.minhash(Dedup.shingles(d), 16), 2).collect()
+    assert(cand.exists(r => r.getLong(0) === 1L && r.getLong(1) === 2L))
+    assert(cand.find(r => r.getLong(0) === 1L && r.getLong(1) === 2L).get.getAs[Long]("shared_bands") === 8L)
+  }
+
+  test("simhash: identical docs equal, different docs differ") {
+    val d = docs((1L, "a b c d"), (2L, "a b c d"), (3L, "totally different words here now"))
+    val s = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
+    assert(s(1L) === s(2L))
+    assert(s(1L) !== s(3L))
+  }
+
+  test("fingerprint is order-sensitive") {
+    val d = docs((1L, "ab"), (2L, "ba"))
+    val f = TextOps.fingerprint(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f(1L) !== f(2L))
+    assert(f(1L) === (97L * 31 + 98) % 1000000007)
+  }
+
+  test("token count and quality ratios are sane") {
+    val d = docs((1L, "the cat and the hat 42"))
+    val t = TextOps.tokenCount(d).collect().head
+    assert(t.getAs[Long]("ws_tokens") === 6L)
+    val q = TextOps.quality(d).collect().head
+    assert(q.getAs[Double]("stop_ratio") > 0.3) // 'the' x2 + 'and' of 6
+    assert(q.getAs[Double]("digit_ratio") > 0.0)
+    assert(q.getAs[Double]("score") > 0.0 && q.getAs[Double]("score") <= 1.0)
+  }
+
+  test("ann cosineTopK ranks an identical vector first") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (10L, Array(1.0f, 0.0f, 0.0f)),   // identical direction to query 0
+      (11L, Array(0.0f, 1.0f, 0.0f)),
+      (12L, Array(0.9f, 0.1f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(e, 1, 2).orderBy("rank").collect()
+    assert(top.head.getAs[Long]("vid") === 10L)
+    assert(top.head.getAs[Double]("cos") === 1.0)
+  }
+
+  test("lsh buckets put identical vectors together; annLsh finds them") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(1.0f, 2.0f, -1.0f, 0.5f)),
+      (10L, Array(1.0f, 2.0f, -1.0f, 0.5f)),
+      (11L, Array(-1.0f, -2.0f, 1.0f, -0.5f)))
+      .toDF("vec_id", "embedding")
+    val b = Similarity.lshBuckets(e, 8).collect().map(r => r.getLong(0) -> r.getAs[Long]("bucket")).toMap
+    assert(b(0L) === b(10L))
+    assert(b(0L) !== b(11L)) // opposite vector flips every plane
+    val ann = Similarity.annLshTopK(e, 8, 1, 3).collect()
+    assert(ann.exists(r => r.getAs[Long]("vid") === 10L && r.getAs[Double]("cos") === 1.0))
+  }
+}
