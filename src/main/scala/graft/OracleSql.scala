@@ -217,7 +217,7 @@ object OracleSql {
     s"""WITH e AS (
        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
        |f AS (
-       |  SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER w > $gapMicros THEN 1
+       |  SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER w >= $gapMicros THEN 1
        |                 WHEN LAG(ts_us) OVER w IS NULL THEN 1
        |                 ELSE 0 END AS new_session
        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
@@ -383,6 +383,39 @@ object OracleSql {
       |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
       |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** ml_feed summary oracle: per-key X/y sample shapes + checksums,
+    * float-cast exactly like the feed's arrays.
+    */
+  def mlFeed(nX: Int, nY: Int): String =
+    s"""WITH $daily,
+       |numbered AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn_end
+       |  FROM daily)
+       |SELECT user_id,
+       |  COUNT(*) FILTER (WHERE rn_end > $nY) AS x_n,
+       |  COUNT(*) FILTER (WHERE rn_end <= $nY) AS y_n,
+       |  ${R("SUM(CAST(CAST(v AS FLOAT) AS DOUBLE)) FILTER (WHERE rn_end > " + nY + ")")} AS x_sum,
+       |  ${R("SUM(CAST(CAST(v AS FLOAT) AS DOUBLE)) FILTER (WHERE rn_end <= " + nY + ")")} AS y_sum
+       |FROM numbered WHERE rn_end <= ${nX + nY}
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Multimodal feature oracle: byte-bucket histogram == ascii%16
+    * histogram for the ascii corpus.
+    */
+  val multimodalFeatures: String =
+    """SELECT media_id, CAST(ascii(substr(text, i, 1)) % 16 AS INTEGER) AS bucket,
+      |       COUNT(*) AS cnt
+      |FROM (SELECT doc_id AS media_id, text,
+      |        UNNEST(generate_series(1, length(text))) AS i
+      |      FROM documents)
+      |GROUP BY 1, 2 ORDER BY media_id, bucket""".stripMargin
+
+  /** Batch twin of the streaming tumbling-window aggregate. */
+  val streamWindowAgg: String =
+    s"""SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+       |       COUNT(*) AS n, ${R("SUM(value)")} AS v_sum
+       |FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin
 
   /** TPC-H Q1-style pricing summary. Decimal-exact sums cast to DOUBLE
     * (identical IEEE conversion both engines) then floor-rounded.

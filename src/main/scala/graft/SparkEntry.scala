@@ -179,6 +179,27 @@ object SparkEntry {
 
     "doc_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+
+    "ml_feed" -> ((s, dir) => {
+      val samples = graft.sources.MlFeed.samples(
+        TimeSeries.resampleDaily(Tables.events(s, dir)), NX, NY)
+      def fsum(c: String) = expr(s"aggregate($c, cast(0 as double), (acc, e) -> acc + cast(e as double))")
+      samples.select(col("user_id"),
+          size(col("x")).cast("long").as("x_n"),
+          size(col("y")).cast("long").as("y_n"),
+          when(size(col("x")) > 0, r3c(fsum("x"))).as("x_sum"),
+          when(size(col("y")) > 0, r3c(fsum("y"))).as("y_sum"))
+        .orderBy(col("user_id"))
+    }),
+
+    "multimodal_features" -> ((s, dir) =>
+      graft.sources.Multimodal.features(
+        graft.sources.Multimodal.ingest(Tables.documents(s, dir)))
+        .orderBy(col("media_id"), col("bucket"))),
+
+    "stream_window_agg" -> ((s, dir) =>
+      graft.streaming.StreamOps.windowAggBatch(Tables.events(s, dir), "1 hour")
+        .orderBy(col("window_start_us"), col("event_type"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -210,5 +231,8 @@ object SparkEntry {
     "text_quality" -> OracleSql.textQuality,
     "token_count" -> OracleSql.tokenCount,
     "doc_fingerprint" -> OracleSql.docFingerprint,
+    "ml_feed" -> OracleSql.mlFeed(NX, NY),
+    "multimodal_features" -> OracleSql.multimodalFeatures,
+    "stream_window_agg" -> OracleSql.streamWindowAgg,
   )
 }

@@ -42,8 +42,9 @@ object Relational {
   }
 
   /** Gap-based sessionization of an event stream: a new session starts
-    * when the gap to the previous event of the same key exceeds
-    * `gapMicros`. Emits one row per session with start/end (epoch µs),
+    * when the gap to the previous event of the same key reaches
+    * `gapMicros` (same boundary rule as Spark's `session_window`,
+    * whose streaming twin is [[graft.streaming.StreamOps.sessionWindows]]). Emits one row per session with start/end (epoch µs),
     * event count and value sum. Single shuffle on key; the running
     * sum of session-starts is bounded per-key state, streaming-friendly.
     */
@@ -52,7 +53,7 @@ object Relational {
     val flagged = events
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
       .withColumn("new_session",
-        when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapMicros, 1)
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) >= gapMicros, 1)
           .when(lag(col("ts_us"), 1).over(w).isNull, 1)
           .otherwise(0))
       .withColumn("session_no", sum(col("new_session")).over(

@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: opaque `binary` payload + typed
+  * metadata, with a partition-batched feature extractor.
+  *
+  * The decode step is a STUB by design — image/audio codecs are not
+  * in this environment — but everything Spark-side is real: schema,
+  * binary column handling, mapPartitions batching (the shape a
+  * Pandas-UDF / Arrow decoder plugs into), and deterministic output
+  * that an engine-independent oracle can verify.
+  */
+object Multimodal {
+
+  /** Wrap documents as a media table: payload = utf-8 bytes of the
+    * text (stand-in for an image blob), metadata struct typed the way
+    * a real pipeline would carry (modality, byte length, fake dims).
+    */
+  def ingest(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        lit("image").as("modality"),
+        length(col("text")).cast("long").as("n_bytes"),
+        (col("doc_id") % 64 + 32).cast("int").as("width"),
+        (col("doc_id") % 48 + 24).cast("int").as("height")).as("meta"))
+
+  private val featSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("bucket", IntegerType),
+    StructField("cnt", LongType)))
+
+  /** "Decode + featurize" per partition: a deterministic byte-bucket
+    * histogram (16 buckets) standing in for pixel statistics. A real
+    * codec replaces the inner loop only — the iterator/batch shape,
+    * schema and partitioning stay exactly as tested. Emits long
+    * format (media_id, bucket, cnt), non-zero buckets only.
+    */
+  def features(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(featSchema)
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val hist = new Array[Long](16)
+        var i = 0
+        while (i < bytes.length) { hist((bytes(i) & 0x7f) % 16) += 1; i += 1 }
+        (0 until 16).filter(hist(_) > 0).map(b => Row(id, b, hist(b)))
+      }
+    }(enc)
+  }
+}

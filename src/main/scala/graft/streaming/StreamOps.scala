@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming variants of the batch operators. The same
+  * logical aggregations run incrementally with watermarked state —
+  * at 100 TB/day this is the ingest path, with the batch operators
+  * as the backfill path (lambda-free: identical expressions).
+  */
+object StreamOps {
+
+  private def r3(c: org.apache.spark.sql.Column) = floor(c * 1000.0 + 0.5001) / 1000.0
+
+  /** Watermarked tumbling-window aggregate over an event stream:
+    * (window, event_type) → count + value sum. Append mode emits each
+    * window once the watermark passes — bounded state.
+    */
+  def windowAgg(events: DataFrame, watermark: String, windowLen: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), r3(sum(col("value"))).as("v_sum"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("v_sum"))
+
+  /** Batch-equivalent of [[windowAgg]] — the backfill/oracle twin. */
+  def windowAggBatch(events: DataFrame, windowLen: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), r3(sum(col("value"))).as("v_sum"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("v_sum"))
+
+  /** Streaming sessionization with Spark's native `session_window`
+    * (gap-merged state, watermark-bounded) — the incremental twin of
+    * [[graft.operators.Relational.sessionize]]; both treat a gap
+    * ≥ `gap` as a session boundary. Append mode emits a session once
+    * the watermark passes its close.
+    */
+  def sessionWindows(events: DataFrame, watermark: String, gap: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), r3(sum(col("value"))).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"), col("sum_value"))
+
+  /** Batch twin of [[sessionWindows]]. */
+  def sessionWindowsBatch(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), r3(sum(col("value"))).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"), col("sum_value"))
+}

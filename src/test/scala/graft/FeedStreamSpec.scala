@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{MlFeed, Multimodal}
+import graft.streaming.StreamOps
+
+class FeedStreamSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Session.local(4)
+
+  lazy val daily = {
+    import spark.implicits._
+    (1 to 20).map(i => (1L, java.sql.Date.valueOf(f"2024-01-$i%02d"), i * 1.0))
+      .toDF("user_id", "day", "v")
+  }
+
+  test("ml_feed samples have the right window shapes, in day order") {
+    val s = MlFeed.samples(daily, 10, 5).collect().head
+    val x = s.getSeq[Float](1)
+    val y = s.getSeq[Float](2)
+    assert(x.length === 10 && y.length === 5)
+    assert(x.head === 6.0f && x.last === 15.0f) // days 6..15
+    assert(y.head === 16.0f && y.last === 20.0f) // days 16..20
+  }
+
+  test("writeShards + batches: sharded roundtrip, bounded batch size") {
+    val dir = Files.createTempDirectory("mlfeed").toString
+    val many = daily.unionByName(daily.withColumn("user_id", col("user_id") + 1))
+      .unionByName(daily.withColumn("user_id", col("user_id") + 2))
+    MlFeed.writeShards(MlFeed.samples(many, 10, 5), dir, 2)
+    val b = MlFeed.batches(spark, dir, 2).collect()
+    assert(b.map(_.getAs[Int]("n")).sum === 3)
+    assert(b.forall(_.getAs[Int]("n") <= 2))
+    val xs = b.head.getSeq[Seq[Float]](2)
+    assert(xs.head.length === 10)
+  }
+
+  test("multimodal features = byte histogram of the payload") {
+    import spark.implicits._
+    val docs = Seq((7L, "aab")).toDF("doc_id", "text") // 'a'=97 -> bucket 1, 'b'=98 -> bucket 2
+    val f = Multimodal.features(Multimodal.ingest(docs))
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(f === Map(1 -> 2L, 2 -> 1L))
+  }
+
+  test("streaming windowAgg over a file source matches the batch twin") {
+    val dir = Files.createTempDirectory("stream-in").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("ts", "event_type", "value")
+    ev.write.mode("overwrite").parquet(dir)
+    val batch = StreamOps.windowAggBatch(
+        spark.read.parquet(dir).withColumn("user_id", lit(0L)), "1 hour")
+      .drop("v_sum") // float-order differences don't matter for the count check
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val agg = stream.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("w"), col("event_type"), col("n"))
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName("winagg").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("select * from winagg").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got === batch)
+    } finally q.stop()
+  }
+
+  test("batch session_window matches the lag-based sessionize operator") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val native = StreamOps.sessionWindowsBatch(ev, "30 minutes")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ours = graft.operators.Relational.sessionize(ev, 1800000000L)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("session_start_us")) -> r.getAs[Long]("n_events")).toMap
+    assert(native === ours)
+  }
+
+  test("streaming session_window emits closed sessions after watermark advances") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sess-in").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(offsetMin: Long) = new java.sql.Timestamp(base.getTime + offsetMin * 60000L)
+    val schema = Seq((1L, ts(0), 1.0)).toDF("user_id", "ts", "value").schema
+    Seq((1L, ts(0), 1.0), (1L, ts(5), 2.0), (2L, ts(1), 5.0))
+      .toDF("user_id", "ts", "value").write.mode("overwrite").parquet(dir)
+    val src = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamOps.sessionWindows(src, "10 minutes", "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("sess").start()
+    try {
+      q.processAllAvailable()
+      // second batch far in the future pushes the watermark past batch 1's sessions
+      Seq((3L, ts(10000), 9.0)).toDF("user_id", "ts", "value")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val got = spark.sql("select user_id, n_events, sum_value from sess").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === Set((1L, 2L, 3.0), (2L, 1L, 5.0)))
+    } finally q.stop()
+  }
+}
