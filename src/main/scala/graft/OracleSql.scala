@@ -283,10 +283,11 @@ object OracleSql {
 
   def dedupMinhashLsh(perms: Int, rowsPerBand: Int): String =
     s"""WITH $shinglesCte,
+       |hashed AS (
+       |  SELECT doc_id, CAST(CONCAT('0x', SUBSTR(MD5(sh), 1, 8)) AS BIGINT) AS h FROM sh),
        |mh AS (
-       |  SELECT doc_id, p,
-       |         MIN(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(p, ':', sh)), 1, 8)) AS BIGINT)) AS mh
-       |  FROM sh CROSS JOIN range(0, $perms) r(p) GROUP BY doc_id, p),
+       |  SELECT doc_id, p, MIN(((2 * p + 1) * h + p) % 4294967291) AS mh
+       |  FROM hashed CROSS JOIN range(0, $perms) r(p) GROUP BY doc_id, p),
        |bands AS (
        |  SELECT doc_id, CAST(p // $rowsPerBand AS INTEGER) AS band,
        |         STRING_AGG(CAST(mh AS VARCHAR), ',' ORDER BY p) AS sig

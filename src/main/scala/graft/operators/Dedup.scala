@@ -45,15 +45,18 @@ object Dedup {
           "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))")).as("sh"))
       .distinct()
 
-  /** MinHash signatures: `perms` md5-seeded hash functions, MIN per
-    * (doc, perm). Partial aggregation collapses the shingle explosion
-    * before the shuffle.
+  /** MinHash signatures: one md5 per shingle, then `perms` universal
+    * hashes `((2p+1)·h + p) mod 4294967291` — 16× fewer digest
+    * computations than per-perm md5, exact-integer so engine-portable.
+    * MIN per (doc, perm) is map-side combined, so the shuffle carries
+    * |docs|×|perms| rows, not the shingle explosion.
     */
   def minhash(sh: DataFrame, perms: Int): DataFrame =
-    sh.select(col("doc_id"), explode(sequence(lit(0), lit(perms - 1))).as("p"), col("sh"))
+    sh.select(col("doc_id"),
+        conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("bigint").as("h"))
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(perms - 1))).as("p"))
       .select(col("doc_id"), col("p"),
-        conv(substring(md5(concat(col("p").cast("string"), lit(":"), col("sh"))), 1, 8), 16, 10)
-          .cast("bigint").as("h"))
+        ((lit(2L) * col("p") + 1L) * col("h") + col("p")) % 4294967291L as "h")
       .groupBy(col("doc_id"), col("p"))
       .agg(min(col("h")).as("mh"))
 

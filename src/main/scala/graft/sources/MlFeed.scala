@@ -30,7 +30,9 @@ object MlFeed {
       .where(col("rn_end") <= nX + nY)
     tagged.groupBy(col("user_id"))
       .agg(
-        expr(s"transform(array_sort(collect_list(struct(day, v)), (l, r) -> CASE WHEN l.day < r.day THEN -1 WHEN l.day > r.day THEN 1 ELSE 0 END), s -> cast(s.v as float))").as("series"),
+        // sort_array on struct(day, v) orders by day (first field) —
+        // native expression, no interpreted comparator lambda
+        expr("transform(sort_array(collect_list(struct(day, v))), s -> cast(s.v as float))").as("series"),
         count(when(col("rn_end") <= nY, 1)).as("y_n"),
         count(when(col("rn_end") > nY, 1)).as("x_n"))
       .select(col("user_id"),

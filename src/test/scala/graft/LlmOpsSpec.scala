@@ -69,7 +69,7 @@ class LlmOpsSpec extends AnyFunSuite {
       (11L, Array(0.0f, 1.0f, 0.0f)),
       (12L, Array(0.9f, 0.1f, 0.0f)))
       .toDF("vec_id", "embedding")
-    val top = Similarity.cosineTopK(e, 1, 2).orderBy("rank").collect()
+    val top = Similarity.cosineTopK(e, 1, 2, dim = 3).orderBy("rank").collect()
     assert(top.head.getAs[Long]("vid") === 10L)
     assert(top.head.getAs[Double]("cos") === 1.0)
   }
@@ -81,10 +81,10 @@ class LlmOpsSpec extends AnyFunSuite {
       (10L, Array(1.0f, 2.0f, -1.0f, 0.5f)),
       (11L, Array(-1.0f, -2.0f, 1.0f, -0.5f)))
       .toDF("vec_id", "embedding")
-    val b = Similarity.lshBuckets(e, 8).collect().map(r => r.getLong(0) -> r.getAs[Long]("bucket")).toMap
+    val b = Similarity.lshBuckets(e, 8, dim = 4).collect().map(r => r.getLong(0) -> r.getAs[Long]("bucket")).toMap
     assert(b(0L) === b(10L))
     assert(b(0L) !== b(11L)) // opposite vector flips every plane
-    val ann = Similarity.annLshTopK(e, 8, 1, 3).collect()
+    val ann = Similarity.annLshTopK(e, 8, 1, 3, dim = 4).collect()
     assert(ann.exists(r => r.getAs[Long]("vid") === 10L && r.getAs[Double]("cos") === 1.0))
   }
 }
