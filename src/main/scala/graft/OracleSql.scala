@@ -262,6 +262,45 @@ object OracleSql {
        |FROM v ORDER BY key, t""".stripMargin
   }
 
+  val gapfill: String =
+    s"""WITH $daily,
+       |spine AS (
+       |  SELECT user_id, UNNEST(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY)) AS day
+       |  FROM daily GROUP BY user_id),
+       |j AS (
+       |  SELECT s.user_id, CAST(s.day AS DATE) AS day, d.v,
+       |         CASE WHEN d.v IS NULL THEN 1 ELSE 0 END AS was_gap
+       |  FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day)
+       |SELECT user_id, day,
+       |       last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+       |       was_gap
+       |FROM j ORDER BY user_id, day""".stripMargin
+
+  def rolling(n: Int): String = {
+    def w = s"OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW)"
+    s"""WITH $daily
+       |SELECT user_id, day, v,
+       |       ${R(s"AVG(v) $w")} AS roll_avg,
+       |       ${R(s"MIN(v) $w")} AS roll_min,
+       |       ${R(s"MAX(v) $w")} AS roll_max,
+       |       ${R(s"STDDEV_POP(v) $w")} AS roll_std
+       |FROM daily ORDER BY user_id, day""".stripMargin
+  }
+
+  def ewma(alpha: Double): String =
+    s"""WITH $daily,
+       |vals AS (
+       |  SELECT user_id, LIST(v ORDER BY day) AS vs FROM daily GROUP BY user_id)
+       |SELECT user_id,
+       |       ${R(s"list_reduce(vs, (acc, x) -> acc * ${1 - alpha} + x * $alpha)")} AS ewma
+       |FROM vals ORDER BY user_id""".stripMargin
+
+  def anomalies(half: Int, z: Double): String =
+    s"""WITH $daily, ${trendCte(half)}, $detrendCte, $scaleCte
+       |SELECT user_id, day, v, scaled FROM sc
+       |WHERE ABS(scaled) >= $z ORDER BY user_id, day""".stripMargin
+
   // ---------------------------------------------------------------
   // LLM-data-pipeline oracles (documents / embeddings tables)
   // ---------------------------------------------------------------

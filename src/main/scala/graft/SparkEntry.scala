@@ -200,6 +200,22 @@ object SparkEntry {
     "stream_window_agg" -> ((s, dir) =>
       graft.streaming.StreamOps.windowAggBatch(Tables.events(s, dir), "1 hour")
         .orderBy(col("window_start_us"), col("event_type"))),
+
+    "ts_gapfill" -> ((s, dir) =>
+      TimeSeries.gapfill(TimeSeries.resampleDaily(Tables.events(s, dir)))
+        .orderBy(col("user_id"), col("day"))),
+
+    "ts_rolling" -> ((s, dir) =>
+      TimeSeries.rolling(TimeSeries.resampleDaily(Tables.events(s, dir)), 7)
+        .orderBy(col("user_id"), col("day"))),
+
+    "ts_ewma" -> ((s, dir) =>
+      TimeSeries.ewma(TimeSeries.resampleDaily(Tables.events(s, dir)), 0.3)
+        .orderBy(col("user_id"))),
+
+    "ts_anomalies" -> ((s, dir) =>
+      TimeSeries.anomalies(Tables.events(s, dir), HALF, 2.0)
+        .orderBy(col("user_id"), col("day"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -234,5 +250,9 @@ object SparkEntry {
     "ml_feed" -> OracleSql.mlFeed(NX, NY),
     "multimodal_features" -> OracleSql.multimodalFeatures,
     "stream_window_agg" -> OracleSql.streamWindowAgg,
+    "ts_gapfill" -> OracleSql.gapfill,
+    "ts_rolling" -> OracleSql.rolling(7),
+    "ts_ewma" -> OracleSql.ewma(0.3),
+    "ts_anomalies" -> OracleSql.anomalies(HALF, 2.0),
   )
 }

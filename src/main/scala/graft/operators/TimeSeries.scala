@@ -174,6 +174,53 @@ object TimeSeries {
           .otherwise(lit("test")))
       .drop("bucket")
 
+  /** Gap-fill: complete each key's day spine (min..max day) and carry
+    * the last observed value forward. Spine generation is distributed
+    * (per-key sequence explode); the fill is one running window —
+    * no driver involvement, single shuffle.
+    */
+  def gapfill(daily: DataFrame): DataFrame = {
+    val spine = daily.groupBy(col(KEY))
+      .agg(min(col(DAY)).as("d0"), max(col(DAY)).as("d1"))
+      .select(col(KEY), explode(expr("sequence(d0, d1, interval 1 day)")).as(DAY))
+    spine.join(daily, Seq(KEY, DAY), "left")
+      .withColumn("was_gap", col("v").isNull.cast("int"))
+      .withColumn("v_filled",
+        last(col("v"), ignoreNulls = true).over(wOrdered.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col(KEY), col(DAY), col("v_filled"), col("was_gap"))
+  }
+
+  /** Trailing rolling statistics over the last `n` rows per key. */
+  def rolling(daily: DataFrame, n: Int): DataFrame = {
+    val w = wOrdered.rowsBetween(-(n - 1), 0)
+    daily
+      .withColumn("roll_avg", r3(avg(col("v")).over(w)))
+      .withColumn("roll_min", r3(min(col("v")).over(w)))
+      .withColumn("roll_max", r3(max(col("v")).over(w)))
+      .withColumn("roll_std", r3(stddev_pop(col("v")).over(w)))
+  }
+
+  /** Final exponentially-weighted moving average per key
+    * (`ewma₀ = v₀; ewmaₜ = (1−α)·ewmaₜ₋₁ + α·vₜ`) — folded over the
+    * day-ordered series with a higher-order aggregate, seeded by the
+    * first value (list_reduce semantics, engine-portable).
+    */
+  def ewma(daily: DataFrame, alpha: Double): DataFrame =
+    daily.groupBy(col(KEY))
+      .agg(expr("transform(sort_array(collect_list(struct(day, v))), s -> s.v)").as("vals"))
+      .select(col(KEY),
+        r3(expr(s"aggregate(vals, cast(null as double), (acc, x) -> " +
+          s"CASE WHEN acc IS NULL THEN x ELSE acc * ${1 - alpha} + x * $alpha END)")).as("ewma"))
+
+  /** Z-score anomaly days: |scaled| ≥ `z` on the detrended,
+    * standardized series — the reference's spike events
+    * (create_time_series.py:147-153) surfaced as a filter.
+    */
+  def anomalies(events: DataFrame, half: Int, z: Double): DataFrame =
+    scale(detrend(trend(resampleDaily(events), half)))
+      .where(abs(col("scaled")) >= z)
+      .select(col(KEY), col(DAY), col("v"), col("scaled"))
+
   /** Full preprocessing chain (reference pre_processing:
     * src/demo/utils.py:200-351): trend → detrend → standardize →
     * gradient. Single shuffle on `user_id` after the resample.

@@ -74,6 +74,16 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(top.head.getAs[Double]("cos") === 1.0)
   }
 
+  test("native SimHash64 expression matches the explode formulation") {
+    graft.functions.SimHash64.register(spark)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val native = docs.selectExpr("doc_id", "graft_simhash(split(text, ' ')) AS simhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exploded = graft.operators.Dedup.simhash(docs)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
+    assert(native === exploded)
+  }
+
   test("lsh buckets put identical vectors together; annLsh finds them") {
     import spark.implicits._
     val e = Seq(

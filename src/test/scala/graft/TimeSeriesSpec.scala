@@ -74,6 +74,32 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(s1.map(_.getLong(0)).distinct.length === s1.length) // one subset per key
   }
 
+  test("gapfill completes the spine and carries values forward") {
+    import spark.implicits._
+    val sparse = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-01"), 5.0),
+      (1L, java.sql.Date.valueOf("2024-01-04"), 9.0))
+      .toDF("user_id", "day", "v")
+    val f = TimeSeries.gapfill(sparse).orderBy("day").collect()
+    assert(f.length === 4)
+    assert(f.map(_.getAs[Double]("v_filled")).toSeq === Seq(5.0, 5.0, 5.0, 9.0))
+    assert(f.map(_.getAs[Int]("was_gap")).toSeq === Seq(0, 1, 1, 0))
+  }
+
+  test("rolling stats over trailing window") {
+    val r = TimeSeries.rolling(daily.where(col("user_id") === 1), 3)
+      .orderBy("day").collect()
+    assert(r(0).getAs[Double]("roll_avg") === 0.0)
+    assert(r(2).getAs[Double]("roll_avg") === 10.0) // avg(0,10,20)
+    assert(r(5).getAs[Double]("roll_min") === 30.0)
+    assert(r(5).getAs[Double]("roll_max") === 50.0)
+  }
+
+  test("ewma of a constant series is the constant; seeded by first value") {
+    val e = TimeSeries.ewma(daily.where(col("user_id") === 2), 0.3).collect().head
+    assert(e.getAs[Double]("ewma") === 5.0)
+  }
+
   test("metrics: perfect forecast has r2 = 1, mse = mae = 0") {
     import spark.implicits._
     val scored = Seq(
