@@ -262,6 +262,14 @@ object OracleSql {
        |FROM v ORDER BY key, t""".stripMargin
   }
 
+  val assemble: String =
+    s"""WITH $daily
+       |SELECT user_id, COUNT(*) AS n_days,
+       |       MIN(day) AS first_day, MAX(day) AS last_day,
+       |       ARG_MIN(v, day) AS first_v, ARG_MAX(v, day) AS last_v,
+       |       ${R("SUM(v)")} AS v_sum
+       |FROM daily GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val gapfill: String =
     s"""WITH $daily,
        |spine AS (

@@ -201,6 +201,10 @@ object SparkEntry {
       graft.streaming.StreamOps.windowAggBatch(Tables.events(s, dir), "1 hour")
         .orderBy(col("window_start_us"), col("event_type"))),
 
+    "ts_assemble" -> ((s, dir) =>
+      TimeSeries.assemble(TimeSeries.resampleDaily(Tables.events(s, dir)))
+        .orderBy(col("user_id"))),
+
     "ts_gapfill" -> ((s, dir) =>
       TimeSeries.gapfill(TimeSeries.resampleDaily(Tables.events(s, dir)))
         .orderBy(col("user_id"), col("day"))),
@@ -250,6 +254,7 @@ object SparkEntry {
     "ml_feed" -> OracleSql.mlFeed(NX, NY),
     "multimodal_features" -> OracleSql.multimodalFeatures,
     "stream_window_agg" -> OracleSql.streamWindowAgg,
+    "ts_assemble" -> OracleSql.assemble,
     "ts_gapfill" -> OracleSql.gapfill,
     "ts_rolling" -> OracleSql.rolling(7),
     "ts_ewma" -> OracleSql.ewma(0.3),

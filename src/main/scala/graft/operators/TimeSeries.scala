@@ -174,6 +174,23 @@ object TimeSeries {
           .otherwise(lit("test")))
       .drop("bucket")
 
+  /** Long→wide assembly: one row per key with the day-ordered series
+    * as an array — the reference's data model
+    * (`balance: array<float>`, create_time_series.py:185-196), used
+    * at the ML-feed edge only (see SURVEY §3: long format is the
+    * scale representation).
+    */
+  def assemble(daily: DataFrame): DataFrame =
+    daily.groupBy(col(KEY))
+      .agg(expr("sort_array(collect_list(struct(day, v)))").as("series"))
+      .select(col(KEY),
+        size(col("series")).cast("long").as("n_days"),
+        expr("element_at(series, 1).day").as("first_day"),
+        expr("element_at(series, -1).day").as("last_day"),
+        expr("element_at(series, 1).v").as("first_v"),
+        expr("element_at(series, -1).v").as("last_v"),
+        r3(expr("aggregate(series, cast(0 as double), (acc, s) -> acc + s.v)")).as("v_sum"))
+
   /** Gap-fill: complete each key's day spine (min..max day) and carry
     * the last observed value forward. Spine generation is distributed
     * (per-key sequence explode); the fill is one running window —
