@@ -390,6 +390,44 @@ object OracleSql {
        |WHERE ${R("list_cosine_similarity(a.v, b.v)")} >= $threshold
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** LSH-bucketed ANN. Plane weights are the same Scala-computed md5
+    * literals the Spark side uses (Double.toString round-trips), and
+    * both sides fold projections left-to-right — bucket signs are
+    * bit-exact, not merely ε-close.
+    */
+  def annLsh(nPlanes: Int, nQueries: Int, k: Int, dim: Int): String = {
+    def proj(p: Int) = (0 until dim)
+      .map(d => s"v[${d + 1}] * ${graft.operators.Similarity.planeWeight(p, d)}")
+      .mkString(" + ")
+    val bucket = (0 until nPlanes)
+      .map(p => s"CASE WHEN ${proj(p)} > 0 THEN ${1L << p} ELSE 0 END")
+      .mkString(" + ")
+    val dot = (0 until dim).map(d => s"e.v[${d + 1}] * q.v[${d + 1}]").mkString(" + ")
+    val norm = (0 until dim).map(d => s"v[${d + 1}] * v[${d + 1}]").mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         SQRT($norm) AS norm, $bucket AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v, norm AS qnorm, bucket FROM e WHERE vec_id < $nQueries),
+       |s AS (
+       |  SELECT q.qid, e.vec_id AS vid, ${R(s"($dot) / (e.norm * q.qnorm)")} AS cos
+       |  FROM e JOIN q ON e.bucket = q.bucket AND e.vec_id != q.qid),
+       |r AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS rank
+       |  FROM s)
+       |SELECT qid, vid, cos, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
+  val retrend: String =
+    s"""WITH $daily, ${trendCte(3)}, $detrendCte
+       |SELECT user_id, day, v, ${R("detrended + trend")} AS retrended
+       |FROM det ORDER BY user_id, day""".stripMargin
+
+  val rescale: String =
+    s"""WITH $daily, ${trendCte(3)}, $detrendCte, $scaleCte
+       |SELECT user_id, day, detrended, ${R("scaled * std + mean")} AS rescaled
+       |FROM sc ORDER BY user_id, day""".stripMargin
+
   val langId: String =
     """SELECT doc_id,
       |  CASE WHEN en_c >= de_c AND en_c >= fr_c AND en_c >= es_c THEN 'en'

@@ -220,6 +220,25 @@ object SparkEntry {
     "ts_anomalies" -> ((s, dir) =>
       TimeSeries.anomalies(Tables.events(s, dir), HALF, 2.0)
         .orderBy(col("user_id"), col("day"))),
+
+    "ts_retrend" -> ((s, dir) =>
+      TimeSeries.retrend(
+        TimeSeries.detrend(TimeSeries.trend(TimeSeries.resampleDaily(Tables.events(s, dir)), HALF)),
+        "detrended", "trend", "retrended")
+        .select("user_id", "day", "v", "retrended")
+        .orderBy(col("user_id"), col("day"))),
+
+    "ts_rescale" -> ((s, dir) =>
+      TimeSeries.rescale(
+        TimeSeries.scale(TimeSeries.detrend(TimeSeries.trend(TimeSeries.resampleDaily(Tables.events(s, dir)), HALF))),
+        "scaled", "rescaled")
+        .select("user_id", "day", "detrended", "rescaled")
+        .orderBy(col("user_id"), col("day"))),
+
+    "ann_lsh" -> ((s, dir) =>
+      Similarity.annLshTopK(Tables.embeddings(s, dir), 8, 5, 5)
+        .select(col("qid"), col("vid"), col("cos"), col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -259,5 +278,8 @@ object SparkEntry {
     "ts_rolling" -> OracleSql.rolling(7),
     "ts_ewma" -> OracleSql.ewma(0.3),
     "ts_anomalies" -> OracleSql.anomalies(HALF, 2.0),
+    "ts_retrend" -> OracleSql.retrend,
+    "ts_rescale" -> OracleSql.rescale,
+    "ann_lsh" -> OracleSql.annLsh(8, 5, 5, 64),
   )
 }

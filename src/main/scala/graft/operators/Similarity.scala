@@ -80,14 +80,18 @@ object Similarity {
     * bucket = sign-bit signature. Near neighbours collide; search
     * cost drops from O(corpus) to O(bucket).
     */
+  /** Hyperplane weight: u(p:d) − 0.5 via md5 — partition-invariant
+    * and embeddable as an identical literal in any engine's SQL.
+    */
+  def planeWeight(p: Int, d: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$d".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex, 16) % 100000L) / 100000.0 - 0.5
+  }
+
   def lshBuckets(embeddings: DataFrame, nPlanes: Int, dim: Int = DIM): DataFrame = {
     val e = prepared(embeddings, dim, "e")
-    // plane p, dim d weight = u(p:d) - 0.5 via md5 (partition-invariant)
-    def w(p: Int, d: Int): Double = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$p:$d".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-      (java.lang.Long.parseLong(hex, 16) % 100000L) / 100000.0 - 0.5
-    }
+    def w(p: Int, d: Int): Double = planeWeight(p, d)
     val bucket = (0 until nPlanes).map { p =>
       val proj = (0 until dim).map(d => col(s"e$d") * lit(w(p, d))).reduce(_ + _)
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
