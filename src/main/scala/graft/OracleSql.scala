@@ -108,6 +108,35 @@ object OracleSql {
        |FROM perkey CROSS JOIN generate_series(1, $horizon) AS t(h)
        |ORDER BY user_id, day""".stripMargin
 
+  def extrapolateTrendTrain(half: Int, window: Int, horizon: Int): String =
+    s"""WITH $daily, ${trendCte(half)},
+       |${gradCte("trend_t", "trend", "g", "gr", "user_id, day")},
+       |tail AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn_end
+       |  FROM gr),
+       |perkey AS (
+       |  SELECT user_id, ${R("MEDIAN(g)")} AS slope,
+       |         MAX(CASE WHEN rn_end = ${horizon + 1} THEN trend END) AS anchor_trend,
+       |         MAX(CASE WHEN rn_end = ${horizon + 1} THEN day END) AS anchor_day
+       |  FROM tail WHERE rn_end <= ${window + horizon} GROUP BY user_id)
+       |SELECT user_id, (anchor_day + CAST(h AS INTEGER)) AS day,
+       |       ${R("anchor_trend + slope * h")} AS v_hat
+       |FROM perkey CROSS JOIN generate_series(1, $horizon) AS t(h)
+       |ORDER BY user_id, day""".stripMargin
+
+  val quantiles: String =
+    s"""WITH $daily
+       |SELECT user_id,
+       |       ${R("quantile_cont(v, 0.25)")} AS p25,
+       |       ${R("quantile_cont(v, 0.5)")} AS p50,
+       |       ${R("quantile_cont(v, 0.75)")} AS p75,
+       |       ${R("quantile_cont(v, 0.95)")} AS p95
+       |FROM daily GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  val skewSafeAgg: String =
+    s"""SELECT event_type, COUNT(*) AS n_events, ${R("SUM(value)")} AS total_value
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def trajectory(half: Int, windowDays: Int): String =
     s"""WITH $daily, ${trendCte(half)},
        |${gradCte("trend_t", "trend", "g", "gr", "user_id, day")},

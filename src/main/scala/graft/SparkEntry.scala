@@ -239,6 +239,19 @@ object SparkEntry {
       Similarity.annLshTopK(Tables.embeddings(s, dir), 8, 5, 5)
         .select(col("qid"), col("vid"), col("cos"), col("rank").cast("long").as("rank"))
         .orderBy(col("qid"), col("rank"))),
+
+    "ts_extrapolate_train" -> ((s, dir) =>
+      TimeSeries.extrapolateTrendTrain(
+        TimeSeries.trend(TimeSeries.resampleDaily(Tables.events(s, dir)), HALF), SLOPE_W, NY)
+        .orderBy(col("user_id"), col("day"))),
+
+    "ts_quantiles" -> ((s, dir) =>
+      TimeSeries.quantiles(TimeSeries.resampleDaily(Tables.events(s, dir)))
+        .orderBy(col("user_id"))),
+
+    "skew_safe_agg" -> ((s, dir) =>
+      Relational.skewSafeAgg(Tables.events(s, dir), "event_type", "value", 16)
+        .orderBy(col("event_type"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -281,5 +294,8 @@ object SparkEntry {
     "ts_retrend" -> OracleSql.retrend,
     "ts_rescale" -> OracleSql.rescale,
     "ann_lsh" -> OracleSql.annLsh(8, 5, 5, 64),
+    "ts_extrapolate_train" -> OracleSql.extrapolateTrendTrain(HALF, SLOPE_W, NY),
+    "ts_quantiles" -> OracleSql.quantiles,
+    "skew_safe_agg" -> OracleSql.skewSafeAgg,
   )
 }

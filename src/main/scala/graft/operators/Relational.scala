@@ -66,6 +66,22 @@ object Relational {
         (floor(sum(col("value")) * 1000.0 + 0.5001) / 1000.0).as("sum_value"))
   }
 
+  /** Skew-safe aggregation: pre-aggregate under a salt so one hot key
+    * never lands on one reducer, then merge per key. Results are
+    * identical to a plain groupBy (counts exact; float sums within
+    * the canonical-rounding ε); at 100 TB this is how a
+    * few-distinct-values groupBy (e.g. 5 event types over 10^12 rows)
+    * stays balanced.
+    */
+  def skewSafeAgg(events: DataFrame, key: String, valueCol: String, salts: Int): DataFrame =
+    events
+      .withColumn("_salt", pmod(col("event_id"), lit(salts)))
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_n"), sum(col(valueCol)).as("_s"))
+      .groupBy(col(key))
+      .agg(sum(col("_n")).as("n_events"),
+        (floor(sum(col("_s")) * 1000.0 + 0.5001) / 1000.0).as("total_value"))
+
   /** Top-k rows per group by `order` descending (deterministic
     * tie-break on `tieBreak`). Window `row_number` — partial per
     * partition, never a global sort.

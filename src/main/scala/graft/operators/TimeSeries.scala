@@ -137,6 +137,41 @@ object TimeSeries {
         r3(col("last_trend") + col("slope") * col("h")).as("v_hat"))
   }
 
+  /** Train-mode trend extrapolation (reference extrapolate_trend with
+    * serving_mode=False, src/demo/utils.py:476-490): slope = median
+    * gradient over the trailing `window + horizon` rows, anchored at
+    * the trend value `horizon+1` rows before the end — so the
+    * extrapolation overlays the held-out actuals.
+    */
+  def extrapolateTrendTrain(withTrend: DataFrame, window: Int, horizon: Int): DataFrame = {
+    val g = gradient(withTrend, "trend", "g")
+      .withColumn("rn_end", row_number().over(Window.partitionBy(KEY).orderBy(col(DAY).desc)))
+    val perKey = g
+      .where(col("rn_end") <= window + horizon)
+      .groupBy(col(KEY))
+      .agg(
+        r3(expr("percentile(g, 0.5)")).as("slope"),
+        max(when(col("rn_end") === horizon + 1, col("trend"))).as("anchor_trend"),
+        max(when(col("rn_end") === horizon + 1, col(DAY))).as("anchor_day"))
+    perKey
+      .select(col(KEY), col("slope"), col("anchor_trend"), col("anchor_day"),
+        explode(sequence(lit(1), lit(horizon))).as("h"))
+      .select(
+        col(KEY),
+        date_add(col("anchor_day"), col("h")).as(DAY),
+        r3(col("anchor_trend") + col("slope") * col("h")).as("v_hat"))
+  }
+
+  /** Per-key value quantiles (exact, interpolating — matches
+    * quantile_cont semantics).
+    */
+  def quantiles(daily: DataFrame): DataFrame =
+    daily.groupBy(col(KEY)).agg(
+      r3(expr("percentile(v, 0.25)")).as("p25"),
+      r3(expr("percentile(v, 0.5)")).as("p50"),
+      r3(expr("percentile(v, 0.75)")).as("p75"),
+      r3(expr("percentile(v, 0.95)")).as("p95"))
+
   /** Monthly-slope "trajectory" metric: median daily gradient of the
     * trend over the trailing `windowDays`, scaled ×30.5
     * (reference trajectory: src/demo/utils.py:501-521).

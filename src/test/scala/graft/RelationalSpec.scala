@@ -61,6 +61,15 @@ class RelationalSpec extends AnyFunSuite {
     assert(t.map(_.getLong(1)).toSeq === Seq(2L, 3L, 4L))
   }
 
+  test("skewSafeAgg equals the plain aggregation") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val safe = Relational.skewSafeAgg(ev, "event_type", "value", 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = ev.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(safe === plain)
+  }
+
   test("generate is deterministic and correctly shaped") {
     val a = Generate.series(spark, 5, 50, 30).collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
     val b = Generate.series(spark, 5, 50, 30).collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
