@@ -532,6 +532,15 @@ object OracleSql {
        |       COUNT(*) AS n, ${R("SUM(value)")} AS v_sum
        |FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin
 
+  def metricsOverall(half: Int, window: Int, horizon: Int): String =
+    s"""WITH ${forecastCtes(half, window, horizon)},
+       |m AS (SELECT *, AVG(v_actual) OVER () AS mu FROM joined)
+       |SELECT COUNT(*) AS n,
+       |       ${R("AVG((v_hat - v_actual) * (v_hat - v_actual))")} AS mse,
+       |       ${R("AVG(ABS(v_hat - v_actual))")} AS mae,
+       |       ${R("1.0 - SUM((v_hat - v_actual) * (v_hat - v_actual)) / NULLIF(SUM((v_actual - mu) * (v_actual - mu)), 0)")} AS r2
+       |FROM m""".stripMargin
+
   /** TPC-H Q1-style pricing summary. Decimal-exact sums cast to DOUBLE
     * (identical IEEE conversion both engines) then floor-rounded.
     */

@@ -252,6 +252,10 @@ object SparkEntry {
     "skew_safe_agg" -> ((s, dir) =>
       Relational.skewSafeAgg(Tables.events(s, dir), "event_type", "value", 16)
         .orderBy(col("event_type"))),
+
+    "ts_metrics_overall" -> ((s, dir) =>
+      TimeSeries.metricsOverall(
+        TimeSeries.forecastBaseline(Tables.events(s, dir), HALF, SLOPE_W, NY))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -297,5 +301,6 @@ object SparkEntry {
     "ts_extrapolate_train" -> OracleSql.extrapolateTrendTrain(HALF, SLOPE_W, NY),
     "ts_quantiles" -> OracleSql.quantiles,
     "skew_safe_agg" -> OracleSql.skewSafeAgg,
+    "ts_metrics_overall" -> OracleSql.metricsOverall(HALF, SLOPE_W, NY),
   )
 }

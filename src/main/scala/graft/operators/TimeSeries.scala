@@ -302,6 +302,26 @@ object TimeSeries {
       .join(actual.withColumnRenamed("v", "v_actual"), Seq(KEY, DAY))
   }
 
+  /** Corpus-level forecast metrics — the reference's `R2_all`
+    * (notebooks/scoring.py metric_extraction: uniform_average over all
+    * series), alongside the per-series [[metrics]].
+    */
+  def metricsOverall(scored: DataFrame): DataFrame = {
+    val err = col("v_hat") - col("v_actual")
+    // mu as a broadcast scalar, not an unpartitioned window (which
+    // would drag the whole scored table onto one reducer); the final
+    // global agg is map-side partial, so one reducer sees only
+    // per-partition partials.
+    val mu = scored.agg(avg(col("v_actual")).as("mu"))
+    scored.crossJoin(broadcast(mu))
+      .agg(
+        count(lit(1)).as("n"),
+        r3(avg(err * err)).as("mse"),
+        r3(avg(abs(err))).as("mae"),
+        r3(lit(1.0) - sum(err * err) /
+          nullif(sum((col("v_actual") - col("mu")) * (col("v_actual") - col("mu"))), lit(0.0))).as("r2"))
+  }
+
   /** Forecast-quality metrics per series: R2 / MSE / MAE between
     * `v_hat` and `v_actual` (reference metric_extraction:
     * notebooks/scoring.py "R2_all"/"R2_array" + sklearn metrics).
