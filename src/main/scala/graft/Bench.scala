@@ -13,15 +13,20 @@ object Bench {
     // doesn't absorb ~5s of one-time initialization
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable => errors += name; System.err.println(s"BENCH FAIL $name: $e"); false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // failed queries report negative elapsed so they can't read as a fast success
+      name -> (if (ok) dt else -dt)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum + errors.size * 1e6 // failures poison the total
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

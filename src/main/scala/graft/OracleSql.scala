@@ -251,8 +251,8 @@ object OracleSql {
        |                 ELSE 0 END AS new_session
        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
        |s AS (
-       |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+       |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
        |  FROM f)
        |SELECT user_id, session_no, MIN(ts_us) AS session_start_us,
        |       MAX(ts_us) AS session_end_us, COUNT(*) AS n_events,

@@ -32,9 +32,11 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     val md = MessageDigest.getInstance("MD5")
     var i = 0
     while (i < arr.numElements()) {
-      val tok = arr.get(i, org.apache.spark.sql.types.StringType)
-        .asInstanceOf[UTF8String].toString
-      if (seen.add(tok)) {
+      // null tokens are dropped, matching the explode formulation
+      val tok = if (arr.isNullAt(i)) null
+        else arr.get(i, org.apache.spark.sql.types.StringType)
+          .asInstanceOf[UTF8String].toString
+      if (tok != null && seen.add(tok)) {
         md.reset()
         val d = md.digest(tok.getBytes("UTF-8"))
         // first 4 digest bytes == first 8 hex chars, as unsigned 32-bit

@@ -48,8 +48,14 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}"); fail += 1; continue
     if len(g) != len(e):
         print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); fail += 1; continue
+    # the real driver gate hashes type-sensitively: dtype skew (e.g. a
+    # DuckDB HUGEINT window sum vs Spark BIGINT) must fail locally too
+    gd, ed = [str(t) for t in g.dtypes], [str(t) for t in e.dtypes]
+    if gd != ed:
+        bad = [f"{c}: {a} vs {b}" for c, a, b in zip(g.columns, gd, ed) if a != b]
+        print(f"FAIL {name}: dtypes {'; '.join(bad)}"); fail += 1; continue
     try:
-        pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+        pd.testing.assert_frame_equal(g, e, check_dtype=True, check_exact=True)
         print(f"OK   {name} ({len(g)} rows)")
     except AssertionError as ex:
         print(f"FAIL {name}: {str(ex)[:400]}"); fail += 1
