@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorExprs
+
 /** Embedding similarity search over `Array[Float]` columns.
   *
   * Scale design: the query set is broadcast; candidate scoring is a
@@ -11,13 +13,15 @@ import org.apache.spark.sql.functions._
   * partial rank, then final rank) so no single reducer sees the whole
   * corpus — the global-sort-free pattern that survives 100 TB.
   *
-  * Layout: vectors are flattened to `dim` scalar DOUBLE columns
-  * before any pairwise work. Benched on 2M pairs (sf0.1): flat
-  * scalar dot 5.1s vs 24s for the `aggregate(zip_with(...))` HOF
-  * (interpreted) vs 62s for per-term array indexing (each getItem
-  * re-walks the serialized array). At 100 TB the same flattening is
-  * the storage layout (one column per dimension → column pruning
-  * prunes dimensions too).
+  * Vector math runs through the native codegen'd loop expressions in
+  * [[graft.functions.VecDot]] / [[graft.functions.LshBucket]]: the
+  * same left-to-right IEEE accumulation as the flat-column formulation
+  * they replace (results bit-identical), but with a constant-size plan.
+  * Round-1 benched the alternatives on 2M pairs (sf0.1): interpreted
+  * `aggregate(zip_with(...))` HOF 24s, per-term `getItem` 62s, flat
+  * scalar columns 5.1s — but flat columns cost multi-second codegen
+  * compiles (ann_lsh spent most of its 7s there). The loop expression
+  * keeps the 5.1s arithmetic with a ~100× smaller plan.
   */
 object Similarity {
 
@@ -26,31 +30,25 @@ object Similarity {
   /** Embedding dimension of the test corpus. */
   val DIM = 64
 
-  /** Flatten to (vec_id, e0..e{dim-1}, norm) scalar doubles. */
-  def prepared(embeddings: DataFrame, dim: Int, prefix: String = "e"): DataFrame = {
-    val flat = embeddings.select(
-      col("vec_id") +: (0 until dim).map(i =>
-        col("embedding").getItem(i).cast("double").as(s"$prefix$i")): _*)
-    flat.withColumn("norm", sqrt(dot(prefix, prefix, dim)))
-  }
-
-  /** Sequential dot product over flat columns — same left-to-right
-    * association as a fold, fully codegen'd.
+  /** `(vec_id, v, norm)` — the raw vector plus its L2 norm (floats
+    * widened to double per element, exactly `CAST(... AS DOUBLE[])`).
     */
-  private def dot(a: String, b: String, dim: Int): Column =
-    (0 until dim).map(i => col(s"$a$i") * col(s"$b$i")).reduce(_ + _)
+  def prepared(embeddings: DataFrame): DataFrame = {
+    VectorExprs.register(embeddings.sparkSession)
+    embeddings.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("norm", sqrt(expr("graft_vec_dot(v, v)")))
+  }
 
   /** Exact cosine top-k per query vector (queries = `vec_id < nQueries`).
     * Two-phase rank keeps every partition's work bounded.
     */
   def cosineTopK(embeddings: DataFrame, nQueries: Int, k: Int, dim: Int = DIM): DataFrame = {
-    val e = prepared(embeddings, dim, "e")
-    val q = prepared(embeddings, dim, "q")
-      .where(col("vec_id") < nQueries)
-      .withColumnRenamed("vec_id", "qid").withColumnRenamed("norm", "qnorm")
+    val e = prepared(embeddings)
+    val q = prepared(embeddings).where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("vid"),
-        r3(dot("e", "q", dim) / (col("norm") * col("qnorm"))).as("cos"))
+        r3(expr("graft_vec_dot(v, qv)") / (col("norm") * col("qnorm"))).as("cos"))
     // phase 1: top-k within (qid, salt); phase 2: global top-k per qid
     val salted = scored.withColumn("salt", pmod(col("vid"), lit(32)))
       .withColumn("r1", row_number().over(
@@ -63,23 +61,20 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: cosine ≥ `threshold`, vec_a < vec_b.
     * Brute force — the exact verifier; candidate generation at scale
-    * is [[annLshTopK]]-style bucketing.
+    * is [[annLshTopK]]-style bucketing. The threshold lives in the
+    * join condition, so non-duplicate pairs are discarded during the
+    * nested-loop scan instead of being materialized as output rows.
     */
   def cosineDupPairs(embeddings: DataFrame, threshold: Double, dim: Int = DIM): DataFrame = {
-    val a = prepared(embeddings, dim, "a")
-      .withColumnRenamed("vec_id", "vec_a").withColumnRenamed("norm", "na")
-    val b = prepared(embeddings, dim, "b")
-      .withColumnRenamed("vec_id", "vec_b").withColumnRenamed("norm", "nb")
-    a.join(b, col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        r3(dot("a", "b", dim) / (col("na") * col("nb"))).as("cos"))
-      .where(col("cos") >= threshold)
+    val a = prepared(embeddings)
+      .select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
+    val b = prepared(embeddings)
+      .select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
+    val cos = r3(expr("graft_vec_dot(va, vb)") / (col("na") * col("nb")))
+    a.join(b, col("vec_a") < col("vec_b") && cos >= threshold)
+      .select(col("vec_a"), col("vec_b"), cos.as("cos"))
   }
 
-  /** Random-hyperplane LSH buckets: `nPlanes` md5-PRNG hyperplanes,
-    * bucket = sign-bit signature. Near neighbours collide; search
-    * cost drops from O(corpus) to O(bucket).
-    */
   /** Hyperplane weight: u(p:d) − 0.5 via md5 — partition-invariant
     * and embeddable as an identical literal in any engine's SQL.
     */
@@ -89,15 +84,13 @@ object Similarity {
     (java.lang.Long.parseLong(hex, 16) % 100000L) / 100000.0 - 0.5
   }
 
-  def lshBuckets(embeddings: DataFrame, nPlanes: Int, dim: Int = DIM): DataFrame = {
-    val e = prepared(embeddings, dim, "e")
-    def w(p: Int, d: Int): Double = planeWeight(p, d)
-    val bucket = (0 until nPlanes).map { p =>
-      val proj = (0 until dim).map(d => col(s"e$d") * lit(w(p, d))).reduce(_ + _)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    e.withColumn("bucket", bucket)
-  }
+  /** Random-hyperplane LSH buckets: `nPlanes` md5-PRNG hyperplanes,
+    * bucket = sign-bit signature. Near neighbours collide; search
+    * cost drops from O(corpus) to O(bucket).
+    */
+  def lshBuckets(embeddings: DataFrame, nPlanes: Int, dim: Int = DIM): DataFrame =
+    prepared(embeddings)
+      .withColumn("bucket", expr(s"graft_lsh_bucket(v, $nPlanes)"))
 
   /** ANN top-k via LSH buckets: score only same-bucket candidates,
     * rank within bucket. Recall < 1 by construction; the exactness
@@ -105,14 +98,14 @@ object Similarity {
     */
   def annLshTopK(embeddings: DataFrame, nPlanes: Int, nQueries: Int, k: Int, dim: Int = DIM): DataFrame = {
     val b = lshBuckets(embeddings, nPlanes, dim)
-    val qq = lshBuckets(embeddings, nPlanes, dim)
+    val q = lshBuckets(embeddings, nPlanes, dim)
       .where(col("vec_id") < nQueries)
-      .withColumnRenamed("vec_id", "qid").withColumnRenamed("norm", "qnorm")
-    val renamedQ = (0 until dim).foldLeft(qq)((d, i) => d.withColumnRenamed(s"e$i", s"q$i"))
-    b.join(broadcast(renamedQ), Seq("bucket"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("norm").as("qnorm"), col("bucket"))
+    b.join(broadcast(q), Seq("bucket"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("vid"),
-        r3(dot("e", "q", dim) / (col("norm") * col("qnorm"))).as("cos"))
+        r3(expr("graft_vec_dot(v, qv)") / (col("norm") * col("qnorm"))).as("cos"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))))
       .where(col("rank") <= k)
