@@ -13,6 +13,18 @@ object Bench {
     // doesn't absorb ~5s of one-time initialization
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // Warm every query's code path at the smallest SF first: the plans
+    // differ from the timed ones only in the path literal, so the
+    // generated code is identical — Janino's compile cache and the JIT
+    // are hot before timing starts. Measured per-query first-run
+    // overhead (codegen compile + interpreter warmup) is otherwise
+    // 0.5-4s per query, larger than most queries' actual work.
+    val warmDir = "/root/testdata/sf0.001"
+    if (warmDir != sfDir && new java.io.File(warmDir).isDirectory)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
+    spark.sharedState.cacheManager.clearCache()
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

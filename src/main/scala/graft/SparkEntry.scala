@@ -147,11 +147,11 @@ object SparkEntry {
       Dedup.exact(Tables.documents(s, dir)).orderBy(col("doc_id"))),
 
     "dedup_minhash_lsh" -> ((s, dir) =>
-      Dedup.lshCandidates(Dedup.minhash(Dedup.shingles(Tables.documents(s, dir)), 16), 2)
+      Dedup.lshCandidatesFast(Dedup.minhashSigs(Tables.documents(s, dir), 16), 2, 16)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhash(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+      Dedup.simhashFast(Tables.documents(s, dir)).orderBy(col("doc_id"))),
 
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)

@@ -44,6 +44,9 @@ object VectorExprs {
     reg.createOrReplaceTempFunction(
       "graft_lsh_bucket", exprs => LshBucket(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash", exprs => MinHashSig(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 }
 

@@ -97,6 +97,53 @@ object Dedup {
       .agg(sum(when(col("s") > 0, expr("CAST(POW(2.0D, i) AS BIGINT)")).otherwise(0L)).as("simhash"))
   }
 
+  /** MinHash signatures as one `array<long>[perms]` per document,
+    * computed map-side by [[graft.functions.MinHashSig]]: the shingle
+    * set never leaves the map task — only |perms| longs per doc are
+    * ever shuffled (vs the explode formulation's |docs|×|shingles|×
+    * |perms| partial-agg rows). Values are integer-exact equal to
+    * [[minhash]]'s.
+    */
+  def minhashSigs(docs: DataFrame, perms: Int): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr(
+        "transform(sequence(1, size(toks) - 2), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))").as("shingles"))
+      .select(col("doc_id"), expr(s"graft_minhash(shingles, $perms)").as("sig"))
+  }
+
+  /** LSH candidate pairs from [[minhashSigs]] signatures: band
+    * signatures are sliced out of the array map-side (no banding
+    * shuffle at all — the only shuffle in the whole dedup is the
+    * bucket self-join on the band signature). Output identical to
+    * [[lshCandidates]].
+    */
+  def lshCandidatesFast(sigs: DataFrame, rowsPerBand: Int, perms: Int): DataFrame = {
+    val nBands = perms / rowsPerBand
+    val bands = sigs.select(col("doc_id"), posexplode(expr(
+      s"transform(sequence(0, ${nBands - 1}), b -> " +
+        s"array_join(transform(sequence(0, ${rowsPerBand - 1}), " +
+        s"r -> cast(element_at(sig, b * $rowsPerBand + r + 1) as string)), ','))")))
+      .toDF("doc_id", "band", "sig")
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+    a.join(b, Seq("band", "sig"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_bands"))
+  }
+
+  /** One-pass SimHash via the native [[graft.functions.SimHash64]]
+    * expression — the scale path (no token explode, no shuffle);
+    * bit-identical to [[simhash]] (parity spec in LlmOpsSpec).
+    */
+  def simhashFast(docs: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    docs.selectExpr("doc_id", "graft_simhash(split(text, ' ')) AS simhash")
+  }
+
   /** Exact word-3-gram Jaccard on candidate pairs. `pairs` must have
     * (doc_a, doc_b); joins each side's shingle set, intersection via
     * shingle equi-join — no array materialization per pair.

@@ -289,8 +289,14 @@ object TimeSeries {
     * Output: (user_id, day, v_hat, v_actual).
     */
   def forecastBaseline(events: DataFrame, half: Int, window: Int, horizon: Int): DataFrame = {
+    // The numbered daily table feeds three branches (history chain,
+    // per-key mean, actuals); persisting it keeps the raw-event
+    // resample — the only stage that sees event volume — computed
+    // once. Size is |keys|×|days|, the engine's canonical
+    // materialization point (SURVEY §5).
     val daily = resampleDaily(events)
       .withColumn("rn_end", row_number().over(Window.partitionBy(KEY).orderBy(col(DAY).desc)))
+      .persist()
     val history = daily.where(col("rn_end") > horizon).drop("rn_end")
     val actual = daily.where(col("rn_end") <= horizon).drop("rn_end")
     val hist2 = scale(detrend(trend(history, half)))
@@ -311,9 +317,12 @@ object TimeSeries {
     // mu as a broadcast scalar, not an unpartitioned window (which
     // would drag the whole scored table onto one reducer); the final
     // global agg is map-side partial, so one reducer sees only
-    // per-partition partials.
-    val mu = scored.agg(avg(col("v_actual")).as("mu"))
-    scored.crossJoin(broadcast(mu))
+    // per-partition partials. scored (|keys|×horizon rows) feeds both
+    // the mu subquery and the final agg — persist it so the upstream
+    // forecast chain runs once, not twice.
+    val s = scored.persist()
+    val mu = s.agg(avg(col("v_actual")).as("mu"))
+    s.crossJoin(broadcast(mu))
       .agg(
         count(lit(1)).as("n"),
         r3(avg(err * err)).as("mse"),

@@ -37,6 +37,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(cand.find(r => r.getLong(0) === 1L && r.getLong(1) === 2L).get.getAs[Long]("shared_bands") === 8L)
   }
 
+  test("one-pass minhash sigs and band candidates match the explode formulation") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val fast = Dedup.lshCandidatesFast(Dedup.minhashSigs(d, 16), 2, 16)
+      .orderBy("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val slow = Dedup.lshCandidates(Dedup.minhash(Dedup.shingles(d), 16), 2)
+      .orderBy("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fast.toSeq === slow.toSeq)
+    assert(fast.nonEmpty)
+  }
+
+  test("simhashFast matches the explode simhash") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val fast = Dedup.simhashFast(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val slow = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
+    assert(fast === slow)
+  }
+
   test("simhash: identical docs equal, different docs differ") {
     val d = docs((1L, "a b c d"), (2L, "a b c d"), (3L, "totally different words here now"))
     val s = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
