@@ -357,8 +357,11 @@ object OracleSql {
       |       CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END AS keep
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  def dedupMinhashLsh(perms: Int, rowsPerBand: Int): String =
-    s"""WITH $shinglesCte,
+  /** Shared minhash/banding CTE chain (shingles → md5 → universal
+    * hashes → per-(doc,perm) MIN → band signatures → candidate pairs).
+    */
+  private def minhashCtes(perms: Int, rowsPerBand: Int): String =
+    s"""$shinglesCte,
        |hashed AS (
        |  SELECT doc_id, CAST(CONCAT('0x', SUBSTR(MD5(sh), 1, 8)) AS BIGINT) AS h FROM sh),
        |mh AS (
@@ -370,9 +373,43 @@ object OracleSql {
        |  FROM mh GROUP BY doc_id, band),
        |cand AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+
+  def dedupMinhashLsh(perms: Int, rowsPerBand: Int): String =
+    s"""WITH ${minhashCtes(perms, rowsPerBand)}
        |SELECT doc_a, doc_b, COUNT(*) AS shared_bands
        |FROM cand GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin
+
+  /** MinHash Jaccard estimate on the LSH candidate pairs. */
+  def dedupJaccardEst(perms: Int, rowsPerBand: Int): String =
+    s"""WITH ${minhashCtes(perms, rowsPerBand)},
+       |pairs AS (SELECT DISTINCT doc_a, doc_b FROM cand)
+       |SELECT p.doc_a, p.doc_b,
+       |       ${R(s"SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / CAST($perms AS DOUBLE)")} AS jaccard_est
+       |FROM pairs p
+       |JOIN mh ma ON ma.doc_id = p.doc_a
+       |JOIN mh mb ON mb.doc_id = p.doc_b AND mb.p = ma.p
+       |GROUP BY p.doc_a, p.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Duplicate clusters: connected components of the candidate graph,
+    * labelled by each component's smallest doc_id (min-reachability
+    * via a recursive CTE — the fixpoint the Spark side's min-label
+    * propagation converges to).
+    */
+  def dedupCc(perms: Int, rowsPerBand: Int): String =
+    s"""WITH RECURSIVE ${minhashCtes(perms, rowsPerBand)},
+       |cpairs AS (SELECT DISTINCT doc_a, doc_b FROM cand),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM cpairs
+       |  UNION ALL SELECT doc_b, doc_a FROM cpairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT dst AS doc_id, MIN(src) AS cluster
+       |FROM reach GROUP BY dst ORDER BY doc_id""".stripMargin
 
   val dedupSimhash: String =
     """WITH tok AS (
@@ -399,6 +436,29 @@ object OracleSql {
        |JOIN counts ca ON ca.doc_id = i.doc_a
        |JOIN counts cb ON cb.doc_id = i.doc_b
        |ORDER BY i.doc_a""".stripMargin
+
+  /** IVF ANN: deterministic coarse quantizer (centroids = vec_id <
+    * nCentroids), nprobe = 1, rounded assignment score with cid
+    * tie-break so the argmax is bit-stable across engines.
+    */
+  def annIvf(nCentroids: Int, nQueries: Int, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $nCentroids),
+       |a0 AS (
+       |  SELECT e.vec_id, e.v, c.cid, ${R("list_cosine_similarity(e.v, c.cv)")} AS ccos
+       |  FROM e CROSS JOIN c),
+       |a1 AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+       |  FROM a0),
+       |asg AS (SELECT vec_id, v, cid AS cell FROM a1 WHERE crank = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv, cell FROM asg WHERE vec_id < $nQueries),
+       |s AS (
+       |  SELECT q.qid, a.vec_id AS vid, ${R("list_cosine_similarity(a.v, q.qv)")} AS cos
+       |  FROM asg a JOIN q ON a.cell = q.cell AND a.vec_id != q.qid),
+       |r AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS rank
+       |  FROM s)
+       |SELECT qid, vid, cos, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
   def annTopK(nQueries: Int, k: Int): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -446,6 +506,71 @@ object OracleSql {
        |  FROM s)
        |SELECT qid, vid, cos, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
+
+  /** Autocorrelation at fixed lags per key — explicit
+    * covar/std·std Pearson with a zero-variance NULL guard, the same
+    * formulation as the Spark side (library CORRs differ in their
+    * zero-variance and accumulation behavior).
+    */
+  def acf(lags: Seq[Int]): String = {
+    val lagCols = lags.map(l => s"LAG(v, $l) OVER w AS v_l$l").mkString(", ")
+    val corrs = lags.map { l =>
+      val vp = s"CASE WHEN v_l$l IS NOT NULL THEN v END"
+      s"${R(s"COVAR_POP($vp, v_l$l) / NULLIF(STDDEV_POP($vp) * STDDEV_POP(v_l$l), 0)")} AS acf_$l"
+    }.mkString(",\n       ")
+    s"""WITH $daily,
+       |l AS (
+       |  SELECT user_id, v, $lagCols
+       |  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day))
+       |SELECT user_id, $corrs
+       |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  /** Largest day-over-day level shift per key (ties broken by day). */
+  val changepoint: String =
+    s"""WITH $daily,
+       |d AS (
+       |  SELECT user_id, day, v - LAG(v) OVER (PARTITION BY user_id ORDER BY day) AS diff
+       |  FROM daily),
+       |r AS (
+       |  SELECT user_id, day, diff,
+       |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ABS(diff) DESC, day) AS rn
+       |  FROM d WHERE diff IS NOT NULL)
+       |SELECT user_id, day AS cp_day, ${R("diff")} AS cp_shift
+       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** Day-of-week profile of the detrended series (0 = Monday, anchored
+    * arithmetic — engine dayofweek conventions differ).
+    */
+  def seasonalProfile(half: Int): String =
+    s"""WITH $daily, ${trendCte(half)}, $detrendCte
+       |SELECT user_id, CAST((day - DATE '1970-01-05') % 7 AS BIGINT) AS dow,
+       |       ${R("AVG(detrended)")} AS seasonal
+       |FROM det GROUP BY user_id, dow ORDER BY user_id, dow""".stripMargin
+
+  /** Linear interpolation gap-fill over the dense per-key spine. */
+  val interpolate: String =
+    s"""WITH $daily,
+       |spine AS (
+       |  SELECT user_id, UNNEST(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY)) AS day
+       |  FROM daily GROUP BY user_id),
+       |j AS (
+       |  SELECT s.user_id, CAST(s.day AS DATE) AS day, d.v,
+       |         CASE WHEN d.v IS NULL THEN 1 ELSE 0 END AS was_gap
+       |  FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day),
+       |c AS (
+       |  SELECT user_id, day, v, was_gap,
+       |    last_value(v IGNORE NULLS) OVER wp AS pv,
+       |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wp AS pd,
+       |    first_value(v IGNORE NULLS) OVER wn AS nv,
+       |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wn AS nd
+       |  FROM j WINDOW
+       |    wp AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |    wn AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       |SELECT user_id, day,
+       |       ${R("CASE WHEN v IS NOT NULL THEN v WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv ELSE pv + (nv - pv) * (day - pd) / (nd - pd) END")} AS v_interp,
+       |       was_gap
+       |FROM c ORDER BY user_id, day""".stripMargin
 
   val retrend: String =
     s"""WITH $daily, ${trendCte(3)}, $detrendCte

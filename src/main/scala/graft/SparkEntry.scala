@@ -19,6 +19,7 @@ object SparkEntry {
   private val SLOPE_W = 10    // slope window       (reference: 183+92)
   private val TRAJ_W = 15     // trajectory window  (reference: 183)
   private val CLEAN_T = 5     // min changes        (reference: 20)
+  private val ACF_LAGS = Seq(1, 2, 7)  // autocorrelation lags
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
@@ -256,6 +257,39 @@ object SparkEntry {
     "ts_metrics_overall" -> ((s, dir) =>
       TimeSeries.metricsOverall(
         TimeSeries.forecastBaseline(Tables.events(s, dir), HALF, SLOPE_W, NY))),
+
+    "ts_acf" -> ((s, dir) =>
+      TimeSeries.acf(TimeSeries.resampleDaily(Tables.events(s, dir)), ACF_LAGS)
+        .orderBy(col("user_id"))),
+
+    "ts_changepoint" -> ((s, dir) =>
+      TimeSeries.changepoint(TimeSeries.resampleDaily(Tables.events(s, dir)))
+        .orderBy(col("user_id"))),
+
+    "ts_seasonal_profile" -> ((s, dir) =>
+      TimeSeries.seasonalProfile(
+        TimeSeries.detrend(TimeSeries.trend(TimeSeries.resampleDaily(Tables.events(s, dir)), HALF)))
+        .orderBy(col("user_id"), col("dow"))),
+
+    "ts_interp_linear" -> ((s, dir) =>
+      TimeSeries.interpolate(TimeSeries.resampleDaily(Tables.events(s, dir)))
+        .orderBy(col("user_id"), col("day"))),
+
+    "ann_ivf" -> ((s, dir) =>
+      Similarity.annIvfTopK(Tables.embeddings(s, dir), 16, 5, 5)
+        .select(col("qid"), col("vid"), col("cos"), col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))),
+
+    "dedup_jaccard_est" -> ((s, dir) => {
+      val sigs = Dedup.minhashSigs(Tables.documents(s, dir), 16)
+      Dedup.jaccardEstimate(sigs, Dedup.lshCandidatesFast(sigs, 2, 16), 16)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "dedup_cc" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.lshCandidatesFast(Dedup.minhashSigs(Tables.documents(s, dir), 16), 2, 16))
+        .orderBy(col("doc_id"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -302,5 +336,12 @@ object SparkEntry {
     "ts_quantiles" -> OracleSql.quantiles,
     "skew_safe_agg" -> OracleSql.skewSafeAgg,
     "ts_metrics_overall" -> OracleSql.metricsOverall(HALF, SLOPE_W, NY),
+    "ts_acf" -> OracleSql.acf(ACF_LAGS),
+    "ts_changepoint" -> OracleSql.changepoint,
+    "ts_seasonal_profile" -> OracleSql.seasonalProfile(HALF),
+    "ts_interp_linear" -> OracleSql.interpolate,
+    "ann_ivf" -> OracleSql.annIvf(16, 5, 5),
+    "dedup_jaccard_est" -> OracleSql.dedupJaccardEst(16, 2),
+    "dedup_cc" -> OracleSql.dedupCc(16, 2),
   )
 }

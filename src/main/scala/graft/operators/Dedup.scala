@@ -144,6 +144,61 @@ object Dedup {
     docs.selectExpr("doc_id", "graft_simhash(split(text, ' ')) AS simhash")
   }
 
+  /** Estimated Jaccard similarity from MinHash signatures on candidate
+    * pairs: fraction of equal signature slots. The cheap verifier that
+    * runs before (or instead of) the exact [[jaccard]] at scale —
+    * O(perms) per pair, no shingle access.
+    */
+  def jaccardEstimate(sigs: DataFrame, pairs: DataFrame, perms: Int): DataFrame =
+    pairs.select(col("doc_a"), col("doc_b"))
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        r3(expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))" +
+          s" / cast($perms as double)")).as("jaccard_est"))
+
+  /** Duplicate-cluster resolution: connected components over the
+    * candidate-pair graph by iterative min-label propagation (labels
+    * converge to each component's smallest doc_id — the canonical
+    * representative to keep). Converges in O(component diameter)
+    * rounds; near-dup components are shallow in practice, and each
+    * round is one shuffle join + partial-agg MIN, so the pattern holds
+    * at cluster scale (this is the Spark-native equivalent of the
+    * GraphX/union-find step of a production dedup pipeline).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // localCheckpoint (not persist): each round's plan must start from
+    // a LEAF, or the logical lineage doubles every iteration and
+    // Catalyst analysis time goes exponential (measured: 1.3s ->
+    // 33s/round by iteration 5 with persist-only). Standard iterative-
+    // Spark practice; at cluster scale use reliable checkpoint() to
+    // survive executor loss.
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neigh = edges
+        .join(labels.select(col("doc_id").as("src"), col("cluster").as("ncluster")), "src")
+        .groupBy(col("dst")).agg(min(col("ncluster")).as("ncluster"))
+      val next = labels
+        .join(neigh.select(col("dst").as("doc_id"), col("ncluster")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.select(col("doc_id"), col("cluster").as("old")), "doc_id")
+        .where(col("cluster") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** Exact word-3-gram Jaccard on candidate pairs. `pairs` must have
     * (doc_a, doc_b); joins each side's shingle set, intersection via
     * shingle equi-join — no array materialization per pair.

@@ -92,6 +92,39 @@ object Similarity {
     prepared(embeddings)
       .withColumn("bucket", expr(s"graft_lsh_bucket(v, $nPlanes)"))
 
+  /** IVF-style ANN: a deterministic coarse quantizer (centroids = the
+    * first `nCentroids` vectors) partitions the corpus into cells;
+    * each query searches only its own cell (nprobe = 1). The
+    * complement of [[annLshTopK]] on the scale path: cell assignment
+    * is a map-only pass against the broadcast centroid set, so search
+    * cost is O(corpus / nCentroids) with no all-pairs stage anywhere.
+    * Recall < 1 by construction; the exactness baseline is
+    * [[cosineTopK]].
+    */
+  def annIvfTopK(embeddings: DataFrame, nCentroids: Int, nQueries: Int, k: Int): DataFrame = {
+    val e = prepared(embeddings)
+    val c = prepared(embeddings).where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))
+    // nearest centroid per vector; rounded score + cid tie-break keeps
+    // the argmax bit-stable across engines
+    val assigned = e.join(broadcast(c))
+      .withColumn("ccos", r3(expr("graft_vec_dot(v, cv)") / (col("norm") * col("cnorm"))))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))))
+      .where(col("crank") === 1)
+      .select(col("vec_id"), col("v"), col("norm"), col("cid").as("cell"))
+    val q = assigned.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("norm").as("qnorm"), col("cell"))
+    assigned.join(broadcast(q), Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("vid"),
+        r3(expr("graft_vec_dot(v, qv)") / (col("norm") * col("qnorm"))).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))))
+      .where(col("rank") <= k)
+  }
+
   /** ANN top-k via LSH buckets: score only same-bucket candidates,
     * rank within bucket. Recall < 1 by construction; the exactness
     * baseline is [[cosineTopK]].

@@ -273,6 +273,80 @@ object TimeSeries {
       .where(abs(col("scaled")) >= z)
       .select(col(KEY), col(DAY), col("v"), col("scaled"))
 
+  /** Autocorrelation of the daily series at the given lags (Pearson
+    * corr of v against lag-k v per key) — the classic periodicity
+    * check for the reference's period-30.5d seasonal signals
+    * (create_time_series.py:110-139). NULL for constant series.
+    */
+  def acf(daily: DataFrame, lags: Seq[Int]): DataFrame = {
+    val withLags = lags.foldLeft(daily)((d, l) =>
+      d.withColumn(s"v_l$l", lag(col("v"), l).over(wOrdered)))
+    // Pearson r with an explicit zero-variance guard (ANSI-mode corr
+    // raises DIVIDE_BY_ZERO on constant series; DuckDB's CORR yields
+    // NULL). Stats restricted to pair-complete rows like CORR's.
+    def acfCol(l: Int): Column = {
+      val vl = col(s"v_l$l")
+      val vp = when(vl.isNotNull, col("v"))
+      r3(covar_pop(vp, vl) /
+        nullif(stddev_pop(vp) * stddev_pop(vl), lit(0.0)))
+    }
+    withLags.groupBy(col(KEY))
+      .agg(acfCol(lags.head).as(s"acf_${lags.head}"),
+        lags.tail.map(l => acfCol(l).as(s"acf_$l")): _*)
+  }
+
+  /** Largest level shift per key: the day with the biggest absolute
+    * day-over-day change and its signed magnitude — surfaces the
+    * reference's injected level-shift spikes
+    * (create_time_series.py:147-153). Deterministic tie-break on day.
+    */
+  def changepoint(daily: DataFrame): DataFrame =
+    daily
+      .withColumn("diff", col("v") - lag(col("v"), 1).over(wOrdered))
+      .where(col("diff").isNotNull)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(KEY).orderBy(abs(col("diff")).desc, col(DAY))))
+      .where(col("rn") === 1)
+      .select(col(KEY), col(DAY).as("cp_day"), r3(col("diff")).as("cp_shift"))
+
+  /** Day-of-week seasonal profile of the detrended series (0 = Monday,
+    * anchored at 1970-01-05 so both engines share the arithmetic —
+    * engine `dayofweek` conventions differ). The long-format analogue
+    * of the reference's fixed-period seasonality component.
+    */
+  def seasonalProfile(withDetrend: DataFrame): DataFrame =
+    withDetrend
+      .groupBy(col(KEY),
+        pmod(datediff(col(DAY), to_date(lit("1970-01-05"))), lit(7)).cast("long").as("dow"))
+      .agg(r3(avg(col("detrended"))).as("seasonal"))
+
+  /** Gap-fill by linear interpolation between the nearest observed
+    * neighbours (vs [[gapfill]]'s forward carry): dense per-key spine,
+    * then one backward and one forward ignore-nulls window carry —
+    * no self-join, single shuffle.
+    */
+  def interpolate(daily: DataFrame): DataFrame = {
+    val spine = daily.groupBy(col(KEY))
+      .agg(min(col(DAY)).as("d0"), max(col(DAY)).as("d1"))
+      .select(col(KEY), explode(expr("sequence(d0, d1, interval 1 day)")).as(DAY))
+    val wPrev = wOrdered.rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = wOrdered.rowsBetween(0, Window.unboundedFollowing)
+    val obsDay = when(col("v").isNotNull, col(DAY))
+    spine.join(daily, Seq(KEY, DAY), "left")
+      .withColumn("was_gap", col("v").isNull.cast("int"))
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("pd", last(obsDay, ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nd", first(obsDay, ignoreNulls = true).over(wNext))
+      .withColumn("v_interp", r3(
+        when(col("v").isNotNull, col("v"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            datediff(col(DAY), col("pd")) / datediff(col("nd"), col("pd")))))
+      .select(col(KEY), col(DAY), col("v_interp"), col("was_gap"))
+  }
+
   /** Full preprocessing chain (reference pre_processing:
     * src/demo/utils.py:200-351): trend → detrend → standardize →
     * gradient. Single shuffle on `user_id` after the resample.

@@ -54,6 +54,38 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fast === slow)
   }
 
+  test("connected components label each dup cluster by its smallest doc id") {
+    import spark.implicits._
+    // components {1,2,3} (chain) and {7,8}; 9 isolated (absent from pairs)
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("jaccard estimate is 1 for identical docs, rough for near-dups") {
+    val d = docs((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
+    val sigs = Dedup.minhashSigs(d, 16)
+    val pairs = Dedup.lshCandidatesFast(sigs, 2, 16)
+    val est = Dedup.jaccardEstimate(sigs, pairs, 16).collect()
+    assert(est.length === 1)
+    assert(est.head.getAs[Double]("jaccard_est") === 1.0)
+  }
+
+  test("ann IVF finds the identical vector through its cell") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)),  // same cell as query 0
+      (11L, Array(0.0f, 0.9f, 0.1f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val ann = Similarity.annIvfTopK(e, 2, 1, 3).collect()
+    assert(ann.exists(r => r.getAs[Long]("vid") === 10L && r.getAs[Double]("cos") === 1.0))
+    // vec 11 lives in centroid 1's cell, not the query's
+    assert(!ann.exists(r => r.getAs[Long]("vid") === 11L))
+  }
+
   test("simhash: identical docs equal, different docs differ") {
     val d = docs((1L, "a b c d"), (2L, "a b c d"), (3L, "totally different words here now"))
     val s = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap

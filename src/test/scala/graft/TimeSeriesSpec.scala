@@ -100,6 +100,44 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(e.getAs[Double]("ewma") === 5.0)
   }
 
+  test("acf of a linear series is 1 at every lag; null for constant") {
+    val a = TimeSeries.acf(daily, Seq(1, 2)).orderBy("user_id").collect()
+    assert(a(0).getAs[Double]("acf_1") === 1.0)
+    assert(a(0).getAs[Double]("acf_2") === 1.0)
+    assert(a(1).isNullAt(a(1).fieldIndex("acf_1"))) // constant: zero variance
+  }
+
+  test("changepoint finds the biggest jump, earliest day on ties") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-01"), 0.0),
+      (1L, java.sql.Date.valueOf("2024-01-02"), 1.0),
+      (1L, java.sql.Date.valueOf("2024-01-03"), 50.0),  // +49
+      (1L, java.sql.Date.valueOf("2024-01-04"), 1.0))   // -49: tie, later
+      .toDF("user_id", "day", "v")
+    val cp = TimeSeries.changepoint(d).collect().head
+    assert(cp.getAs[java.sql.Date]("cp_day").toString === "2024-01-03")
+    assert(cp.getAs[Double]("cp_shift") === 49.0)
+  }
+
+  test("seasonal profile of linear series: per-dow means of detrended") {
+    val det = TimeSeries.detrend(TimeSeries.trend(daily.where(col("user_id") === 1), 3))
+    val p = TimeSeries.seasonalProfile(det).collect()
+    assert(p.length === 7)
+    assert(p.map(_.getAs[Long]("dow")).sorted.toSeq === (0L to 6L))
+  }
+
+  test("linear interpolation fills interior gaps proportionally") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-01"), 0.0),
+      (1L, java.sql.Date.valueOf("2024-01-04"), 30.0))  // 2-day gap
+      .toDF("user_id", "day", "v")
+    val f = TimeSeries.interpolate(d).orderBy("day").collect()
+    assert(f.map(_.getAs[Double]("v_interp")).toSeq === Seq(0.0, 10.0, 20.0, 30.0))
+    assert(f.map(_.getAs[Int]("was_gap")).toSeq === Seq(0, 1, 1, 0))
+  }
+
   test("metrics: perfect forecast has r2 = 1, mse = mae = 0") {
     import spark.implicits._
     val scored = Seq(
