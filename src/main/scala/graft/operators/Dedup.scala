@@ -184,15 +184,16 @@ object Dedup {
       val neigh = edges
         .join(labels.select(col("doc_id").as("src"), col("cluster").as("ncluster")), "src")
         .groupBy(col("dst")).agg(min(col("ncluster")).as("ncluster"))
+      // carry the old label through the checkpoint so convergence is a
+      // scan of checkpointed rows, not another join job
       val next = labels
         .join(neigh.select(col("dst").as("doc_id"), col("ncluster")), Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster"))
+          least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster"),
+          col("cluster").as("prev"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.select(col("doc_id"), col("cluster").as("old")), "doc_id")
-        .where(col("cluster") =!= col("old")).count()
-      labels = next
+      val changed = next.where(col("cluster") =!= col("prev")).count()
+      labels = next.select(col("doc_id"), col("cluster"))
       converged = changed == 0
       iter += 1
     }
