@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Ingest/egress surface beyond parquet: schema-explicit CSV and JSON
+  * readers (never schema inference on a 100 TB directory — one pass of
+  * inference doubles the read), and the canonical partitioned-parquet
+  * lake layout.
+  *
+  * The reference's I/O is parquet tables behind a notebook platform
+  * (reference: src/demo/create_time_series.py:193-196 writes a daily
+  * table); graft's lake layout partitions by day so per-day ingest is
+  * append-only and date-ranged queries prune partitions at planning
+  * time (visible as `PartitionFilters` in the scan).
+  */
+object Formats {
+
+  /** Read CSV with a REQUIRED schema (header expected, no inference). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Read JSON-lines with a REQUIRED schema. */
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Write the lake layout: parquet partitioned by a day column —
+    * append-friendly, partition-pruned on date predicates.
+    */
+  def writeDayPartitioned(df: DataFrame, path: String, dayCol: String = "day"): Unit =
+    df.withColumn(dayCol, col(dayCol).cast("string"))
+      .write.mode("overwrite").partitionBy(dayCol).parquet(path)
+
+  def readDayPartitioned(spark: SparkSession, path: String, dayCol: String = "day"): DataFrame =
+    spark.read.parquet(path).withColumn(dayCol, col(dayCol).cast("date"))
+}

@@ -47,6 +47,16 @@ object StreamOps {
         unix_micros(col("session_window.start")).as("session_start_us"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact-dedup: first event per content key within the
+    * watermark horizon (state pruned beyond it). The incremental twin
+    * of [[graft.operators.Dedup.exact]] — at ingest this drops exact
+    * repeats before they ever land in the lake.
+    */
+  def dedupStream(events: DataFrame, watermark: String, keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Batch twin of [[sessionWindows]]. */
   def sessionWindowsBatch(events: DataFrame, gap: String): DataFrame =
     events

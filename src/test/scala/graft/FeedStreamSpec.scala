@@ -70,6 +70,50 @@ class FeedStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops exact repeats within the watermark") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dedup-in").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(offsetMin: Long) = new java.sql.Timestamp(base.getTime + offsetMin * 60000L)
+    val rows = Seq(
+      (1L, ts(0), "the quick fox"), (2L, ts(1), "the quick fox"), // dup content
+      (3L, ts(2), "something else"))
+    rows.toDF("doc_id", "ts", "text").write.mode("overwrite").parquet(dir)
+    val src = spark.readStream
+      .schema(rows.toDF("doc_id", "ts", "text").schema).parquet(dir)
+    val q = StreamOps.dedupStream(src.withColumn("h", md5(col("text"))), "1 hour", Seq("h"))
+      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    try {
+      q.processAllAvailable()
+      val texts = spark.sql("select text from dedup").collect().map(_.getString(0)).sorted
+      assert(texts.toSeq === Seq("something else", "the quick fox"))
+    } finally q.stop()
+  }
+
+  test("csv and json roundtrip with explicit schema; day-partitioned lake prunes") {
+    import graft.sources.Formats
+    val df = daily
+    val csvDir = Files.createTempDirectory("fmt-csv").toString
+    Formats.writeCsv(df, csvDir)
+    val backCsv = Formats.readCsv(spark, csvDir, df.schema)
+    assert(backCsv.count() === 20)
+    // file sources surface every column nullable; compare names+types
+    assert(backCsv.schema.map(f => (f.name, f.dataType)) ===
+      df.schema.map(f => (f.name, f.dataType)))
+    val jsonDir = Files.createTempDirectory("fmt-json").toString
+    Formats.writeJson(df, jsonDir)
+    assert(Formats.readJson(spark, jsonDir, df.schema).agg(sum("v")).collect()
+      .head.getDouble(0) === (1 to 20).sum.toDouble)
+    val lakeDir = Files.createTempDirectory("fmt-lake").toString
+    Formats.writeDayPartitioned(df, lakeDir)
+    val lake = Formats.readDayPartitioned(spark, lakeDir)
+    val oneDay = lake.where(col("day") === lit("2024-01-03").cast("date"))
+    assert(oneDay.count() === 1)
+    // partition pruning: only the matching day directory is read
+    assert(oneDay.select(input_file_name()).distinct().count() === 1)
+    assert(lake.count() === 20)
+  }
+
   test("batch session_window matches the lag-based sessionize operator") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val native = StreamOps.sessionWindowsBatch(ev, "30 minutes")
