@@ -666,6 +666,66 @@ object OracleSql {
        |       ${R("1.0 - SUM((v_hat - v_actual) * (v_hat - v_actual)) / NULLIF(SUM((v_actual - mu) * (v_actual - mu)), 0)")} AS r2
        |FROM m""".stripMargin
 
+  /** TPC-H Q5-style revenue by nation within a region. */
+  val q5RegionRevenue: String =
+    s"""SELECT n.n_name,
+       |  ${R("CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)", 2)} AS revenue
+       |FROM lineitem l
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+       |JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |JOIN region r ON n.n_regionkey = r.r_regionkey
+       |WHERE r.r_name = 'ASIA'
+       |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
+
+  /** TPC-H Q14-style promotion revenue share. */
+  val q14PromoShare: String = {
+    val disc = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+    s"""SELECT
+       |  ${R(s"CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $disc ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) * 100.0 / CAST(SUM($disc) AS DOUBLE)")} AS promo_share,
+       |  COUNT(*) AS n_items
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1997-03-01 00:00:00'""".stripMargin
+  }
+
+  /** Every stride-th byte offset of each payload as a "frame". */
+  def multimodalFrameSample(stride: Int): String =
+    s"""SELECT doc_id AS media_id, CAST(o AS BIGINT) AS frame_off,
+       |       CAST(ascii(substr(text, CAST(o + 1 AS INTEGER), 1)) AS BIGINT) AS frame_val
+       |FROM (SELECT doc_id, text, UNNEST(generate_series(0, length(text) - 1, $stride)) AS o
+       |      FROM documents)
+       |ORDER BY media_id, frame_off""".stripMargin
+
+  /** Aspect-preserving resize planning on the typed metadata. */
+  def multimodalResize(maxDim: Int): String =
+    s"""SELECT media_id, w, h,
+       |  CAST(CASE WHEN m <= $maxDim THEN w ELSE FLOOR(w * $maxDim / m) END AS BIGINT) AS out_w,
+       |  CAST(CASE WHEN m <= $maxDim THEN h ELSE FLOOR(h * $maxDim / m) END AS BIGINT) AS out_h
+       |FROM (
+       |  SELECT doc_id AS media_id,
+       |         CAST(doc_id % 64 + 32 AS BIGINT) AS w,
+       |         CAST(doc_id % 48 + 24 AS BIGINT) AS h,
+       |         GREATEST(CAST(doc_id % 64 + 32 AS BIGINT), CAST(doc_id % 48 + 24 AS BIGINT)) AS m
+       |  FROM documents)
+       |ORDER BY media_id""".stripMargin
+
+  /** Detrended series minus its per-(key, dow) mean. */
+  def deseasonalize(half: Int): String =
+    s"""WITH $daily, ${trendCte(half)}, $detrendCte,
+       |d AS (
+       |  SELECT *, CAST((day - DATE '1970-01-05') % 7 AS BIGINT) AS dow FROM det),
+       |w AS (
+       |  SELECT user_id, day, dow, detrended,
+       |         ${R("AVG(detrended) OVER (PARTITION BY user_id, dow)")} AS seasonal
+       |  FROM d)
+       |SELECT user_id, day, dow, detrended, seasonal,
+       |       ${R("detrended - seasonal")} AS deseasonal
+       |FROM w ORDER BY user_id, day""".stripMargin
+
   /** TPC-H Q1-style pricing summary. Decimal-exact sums cast to DOUBLE
     * (identical IEEE conversion both engines) then floor-rounded.
     */

@@ -290,6 +290,59 @@ object SparkEntry {
       Dedup.connectedComponents(
         Dedup.lshCandidatesFast(Dedup.minhashSigs(Tables.documents(s, dir), 16), 2, 16))
         .orderBy(col("doc_id"))),
+
+    "q5_region_revenue" -> ((s, dir) => {
+      val from = lit("1996-01-01 00:00:00").cast("timestamp")
+      val to = lit("1998-01-01 00:00:00").cast("timestamp")
+      val r = Tables(s, dir, "region").where(col("r_name") === "ASIA")
+      val n = Tables(s, dir, "nation")
+      val sup = Tables(s, dir, "supplier")
+      val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= from && col("o_orderdate") < to)
+        .select("o_orderkey", "o_custkey")
+      val l = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(r2c(sum(dec2("l_extendedprice") * (lit(1) - pct2("l_discount"))).cast("double")).as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
+    "q14_promo_share" -> ((s, dir) => {
+      val from = lit("1997-01-01 00:00:00").cast("timestamp")
+      val to = lit("1997-03-01 00:00:00").cast("timestamp")
+      val p = Tables(s, dir, "part").select("p_partkey", "p_type")
+      val l = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= from && col("l_shipdate") < to)
+        .select("l_partkey", "l_extendedprice", "l_discount")
+      val disc = dec2("l_extendedprice") * (lit(1) - pct2("l_discount"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          r3c(sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0).cast("decimal(12,2)"))).cast("double")
+            * 100.0 / sum(disc).cast("double")).as("promo_share"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    "multimodal_framesample" -> ((s, dir) =>
+      graft.sources.Multimodal.frameSample(
+        graft.sources.Multimodal.ingest(Tables.documents(s, dir)), 7)
+        .orderBy(col("media_id"), col("frame_off"))),
+
+    "multimodal_resize" -> ((s, dir) =>
+      graft.sources.Multimodal.resizeDims(
+        graft.sources.Multimodal.ingest(Tables.documents(s, dir)), 64)
+        .orderBy(col("media_id"))),
+
+    "ts_deseasonalize" -> ((s, dir) =>
+      TimeSeries.deseasonalize(
+        TimeSeries.detrend(TimeSeries.trend(TimeSeries.resampleDaily(Tables.events(s, dir)), HALF)))
+        .orderBy(col("user_id"), col("day"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -343,5 +396,10 @@ object SparkEntry {
     "ann_ivf" -> OracleSql.annIvf(16, 5, 5),
     "dedup_jaccard_est" -> OracleSql.dedupJaccardEst(16, 2),
     "dedup_cc" -> OracleSql.dedupCc(16, 2),
+    "q5_region_revenue" -> OracleSql.q5RegionRevenue,
+    "q14_promo_share" -> OracleSql.q14PromoShare,
+    "multimodal_framesample" -> OracleSql.multimodalFrameSample(7),
+    "multimodal_resize" -> OracleSql.multimodalResize(64),
+    "ts_deseasonalize" -> OracleSql.deseasonalize(HALF),
   )
 }

@@ -320,6 +320,21 @@ object TimeSeries {
         pmod(datediff(col(DAY), to_date(lit("1970-01-05"))), lit(7)).cast("long").as("dow"))
       .agg(r3(avg(col("detrended"))).as("seasonal"))
 
+  /** Remove the day-of-week seasonal component: detrended minus the
+    * per-(key, dow) mean — computed as a window aggregate over the
+    * existing detrended frame, so no second aggregation + join pass.
+    */
+  def deseasonalize(withDetrend: DataFrame): DataFrame = {
+    val dow = pmod(datediff(col(DAY), to_date(lit("1970-01-05"))), lit(7)).cast("long")
+    withDetrend
+      .withColumn("dow", dow)
+      .withColumn("seasonal",
+        r3(avg(col("detrended")).over(Window.partitionBy(col(KEY), col("dow")))))
+      .withColumn("deseasonal", r3(col("detrended") - col("seasonal")))
+      .select(col(KEY), col(DAY), col("dow"), col("detrended"),
+        col("seasonal"), col("deseasonal"))
+  }
+
   /** Gap-fill by linear interpolation between the nearest observed
     * neighbours (vs [[gapfill]]'s forward carry): dense per-key spine,
     * then one backward and one forward ignore-nulls window carry —

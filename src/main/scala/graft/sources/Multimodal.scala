@@ -34,6 +34,38 @@ object Multimodal {
     StructField("bucket", IntegerType),
     StructField("cnt", LongType)))
 
+  /** Frame sampling for (fake) video payloads: every `stride`-th byte
+    * offset is a "frame", emitted with its byte value — the offset
+    * arithmetic, explode shape and schema are exactly what a real
+    * video pipeline samples; only the per-frame decode is the stub.
+    * Native sequence explode, no UDF.
+    */
+  def frameSample(media: DataFrame, stride: Int): DataFrame =
+    media.select(col("media_id"),
+        decode(col("payload"), "UTF-8").as("txt"),
+        col("meta.n_bytes").as("n"))
+      .select(col("media_id"), col("txt"),
+        explode(expr(s"sequence(0, cast(n - 1 as int), $stride)")).as("off"))
+      .select(col("media_id"), col("off").cast("long").as("frame_off"),
+        expr("cast(ascii(substr(txt, off + 1, 1)) as bigint)").as("frame_val"))
+
+  /** Resize metadata: target dimensions bounded to `maxDim` with
+    * aspect ratio preserved — the planning half of a resize (the pixel
+    * resample itself is the stubbed decode). Pure arithmetic on the
+    * typed metadata, no payload access at all: at 100 TB this runs as
+    * a column-pruned scan that never touches the blobs.
+    */
+  def resizeDims(media: DataFrame, maxDim: Int): DataFrame =
+    media.select(col("media_id"),
+        col("meta.width").cast("long").as("w"),
+        col("meta.height").cast("long").as("h"))
+      .withColumn("m", greatest(col("w"), col("h")))
+      .select(col("media_id"), col("w"), col("h"),
+        when(col("m") <= maxDim, col("w"))
+          .otherwise(floor(col("w") * maxDim / col("m")).cast("long")).as("out_w"),
+        when(col("m") <= maxDim, col("h"))
+          .otherwise(floor(col("h") * maxDim / col("m")).cast("long")).as("out_h"))
+
   /** "Decode + featurize" per partition: a deterministic byte-bucket
     * histogram (16 buckets) standing in for pixel statistics. A real
     * codec replaces the inner loop only — the iterator/batch shape,
