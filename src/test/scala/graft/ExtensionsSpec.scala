@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extensions route must make every graft function SQL-resolvable
+  * in a session that never calls the programmatic register().
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("GraftExtensions binds all functions at session build time") {
+    // build a FRESH session with the extensions — the shared one (if
+    // any) must be torn down or getOrCreate would return it unchanged
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = Session.tune(SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .withExtensions(new GraftExtensions()))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    assert(spark.sql(
+      "SELECT graft_vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d")
+      .head().getDouble(0) === 11.0)
+    assert(spark.sql("SELECT graft_simhash(array('a', 'b')) AS s").head().getLong(0) >= 0L)
+    assert(spark.sql("SELECT graft_lsh_bucket(array(1.0F, -1.0F), 4) AS b").head().getLong(0) >= 0L)
+    assert(spark.sql("SELECT graft_minhash(array('a b c'), 4) AS m")
+      .head().getSeq[Long](0).length === 4)
+    // matches the programmatic registration bit-for-bit
+    val viaRegister = {
+      graft.functions.VectorExprs.register(spark)
+      spark.sql("SELECT graft_simhash(array('x', 'y', 'z')) AS s").head().getLong(0)
+    }
+    assert(spark.sql("SELECT graft_simhash(array('x', 'y', 'z')) AS s").head().getLong(0)
+      === viaRegister)
+  }
+}
