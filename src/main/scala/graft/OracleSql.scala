@@ -713,6 +713,35 @@ object OracleSql {
        |  FROM documents)
        |ORDER BY media_id""".stripMargin
 
+  /** Per-series OLS fit (guarded covar/var formulation). */
+  val fitLinear: String = {
+    val slope = "COVAR_POP(v, t) / NULLIF(VAR_POP(t), 0)"
+    s"""WITH $daily,
+       |d AS (SELECT user_id, v, CAST(day - DATE '1970-01-01' AS DOUBLE) AS t FROM daily)
+       |SELECT user_id,
+       |  ${R(slope)} AS slope,
+       |  ${R(s"AVG(v) - ($slope) * AVG(t)")} AS intercept,
+       |  ${R("COVAR_POP(v, t) * COVAR_POP(v, t) / NULLIF(VAR_POP(t) * VAR_POP(v), 0)")} AS r2,
+       |  COUNT(*) AS n_days
+       |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  /** OLS forecast `horizon` days past each series' end. */
+  def predictLinear(horizon: Int): String = {
+    val slope = "COVAR_POP(v, t) / NULLIF(VAR_POP(t), 0)"
+    s"""WITH $daily,
+       |d AS (SELECT user_id, day, v, CAST(day - DATE '1970-01-01' AS DOUBLE) AS t FROM daily),
+       |fit AS (
+       |  SELECT user_id, $slope AS slope,
+       |         AVG(v) - ($slope) * AVG(t) AS intercept,
+       |         MAX(day) AS last_day
+       |  FROM d GROUP BY user_id)
+       |SELECT user_id, (last_day + CAST(h AS INTEGER)) AS day,
+       |       ${R("intercept + slope * CAST((last_day + CAST(h AS INTEGER)) - DATE '1970-01-01' AS DOUBLE)")} AS v_hat
+       |FROM fit CROSS JOIN generate_series(1, $horizon) AS t(h)
+       |ORDER BY user_id, day""".stripMargin
+  }
+
   /** Detrended series minus its per-(key, dow) mean. */
   def deseasonalize(half: Int): String =
     s"""WITH $daily, ${trendCte(half)}, $detrendCte,

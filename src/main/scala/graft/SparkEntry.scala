@@ -343,6 +343,14 @@ object SparkEntry {
       TimeSeries.deseasonalize(
         TimeSeries.detrend(TimeSeries.trend(TimeSeries.resampleDaily(Tables.events(s, dir)), HALF)))
         .orderBy(col("user_id"), col("day"))),
+
+    "ts_fit_linear" -> ((s, dir) =>
+      TimeSeries.fitLinear(TimeSeries.resampleDaily(Tables.events(s, dir)))
+        .orderBy(col("user_id"))),
+
+    "ts_predict_linear" -> ((s, dir) =>
+      TimeSeries.predictLinear(TimeSeries.resampleDaily(Tables.events(s, dir)), NY)
+        .orderBy(col("user_id"), col("day"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -401,5 +409,7 @@ object SparkEntry {
     "multimodal_framesample" -> OracleSql.multimodalFrameSample(7),
     "multimodal_resize" -> OracleSql.multimodalResize(64),
     "ts_deseasonalize" -> OracleSql.deseasonalize(HALF),
+    "ts_fit_linear" -> OracleSql.fitLinear,
+    "ts_predict_linear" -> OracleSql.predictLinear(NY),
   )
 }

@@ -320,6 +320,47 @@ object TimeSeries {
         pmod(datediff(col(DAY), to_date(lit("1970-01-05"))), lit(7)).cast("long").as("dow"))
       .agg(r3(avg(col("detrended"))).as("seasonal"))
 
+  /** Per-series ordinary-least-squares fit of v against the day index
+    * — the distributed analogue of the reference's per-series model
+    * fit (training.py trains one forecaster over all series; fitting
+    * per key is the classic map-side baseline). Explicit guarded
+    * covar/var formulation: engine `regr_*` functions disagree on
+    * zero-variance series, covar_pop/var_pop do not.
+    */
+  def fitLinear(daily: DataFrame): DataFrame = {
+    val t = datediff(col(DAY), to_date(lit("1970-01-01"))).cast("double")
+    val slope = covar_pop(col("v"), col("t")) / nullif(var_pop(col("t")), lit(0.0))
+    daily.withColumn("t", t)
+      .groupBy(col(KEY))
+      .agg(
+        r3(slope).as("slope"),
+        r3(avg(col("v")) - slope * avg(col("t"))).as("intercept"),
+        r3(covar_pop(col("v"), col("t")) * covar_pop(col("v"), col("t")) /
+          nullif(var_pop(col("t")) * var_pop(col("v")), lit(0.0))).as("r2"),
+        count(lit(1)).as("n_days"))
+  }
+
+  /** Score the [[fitLinear]] model `horizon` days past each series'
+    * end: v_hat = intercept + slope·t. Fit and spine generation are
+    * both per-key aggregates — one shuffle, then a map-only explode.
+    */
+  def predictLinear(daily: DataFrame, horizon: Int): DataFrame = {
+    val t = datediff(col(DAY), to_date(lit("1970-01-01"))).cast("double")
+    val slope = covar_pop(col("v"), col("t")) / nullif(var_pop(col("t")), lit(0.0))
+    daily.withColumn("t", t)
+      .groupBy(col(KEY))
+      .agg(
+        slope.as("slope"),
+        (avg(col("v")) - slope * avg(col("t"))).as("intercept"),
+        max(col(DAY)).as("last_day"))
+      .select(col(KEY), col("slope"), col("intercept"), col("last_day"),
+        explode(sequence(lit(1), lit(horizon))).as("h"))
+      .select(col(KEY),
+        date_add(col("last_day"), col("h")).as(DAY),
+        r3(col("intercept") + col("slope") *
+          datediff(date_add(col("last_day"), col("h")), to_date(lit("1970-01-01"))).cast("double")).as("v_hat"))
+  }
+
   /** Remove the day-of-week seasonal component: detrended minus the
     * per-(key, dow) mean — computed as a window aggregate over the
     * existing detrended frame, so no second aggregation + join pass.

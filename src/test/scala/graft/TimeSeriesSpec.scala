@@ -138,6 +138,16 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(f.map(_.getAs[Int]("was_gap")).toSeq === Seq(0, 1, 1, 0))
   }
 
+  test("OLS fit recovers a linear series exactly; predict continues it") {
+    val fit = TimeSeries.fitLinear(daily).orderBy("user_id").collect()
+    assert(fit(0).getAs[Double]("slope") === 10.0)
+    assert(fit(0).getAs[Double]("r2") === 1.0)
+    assert(fit(1).getAs[Double]("slope") === 0.0) // constant series
+    val pred = TimeSeries.predictLinear(daily.where(col("user_id") === 1), 3)
+      .orderBy("day").collect()
+    assert(pred.map(_.getAs[Double]("v_hat")).toSeq === Seq(200.0, 210.0, 220.0))
+  }
+
   test("metrics: perfect forecast has r2 = 1, mse = mae = 0") {
     import spark.implicits._
     val scored = Seq(
