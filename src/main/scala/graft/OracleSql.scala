@@ -572,6 +572,59 @@ object OracleSql {
        |       was_gap
        |FROM c ORDER BY user_id, day""".stripMargin
 
+  /** Full seasonal decomposition v = trend + seasonal + resid. */
+  def decompose(half: Int): String =
+    s"""WITH $daily, ${trendCte(half)}, $detrendCte,
+       |d AS (
+       |  SELECT *, CAST((day - DATE '1970-01-05') % 7 AS BIGINT) AS dow FROM det),
+       |w AS (
+       |  SELECT user_id, day, v, trend, detrended,
+       |         ${R("AVG(detrended) OVER (PARTITION BY user_id, dow)")} AS seasonal
+       |  FROM d)
+       |SELECT user_id, day, v, trend, seasonal,
+       |       ${R("detrended - seasonal")} AS resid
+       |FROM w ORDER BY user_id, day""".stripMargin
+
+  /** Fixed-width value histogram per event type. */
+  def valueHistogram(width: Double, nBins: Int): String =
+    s"""SELECT event_type,
+       |       CAST(LEAST(FLOOR(value / $width), ${nBins - 1}) AS BIGINT) AS bin,
+       |       COUNT(*) AS n, ${R("SUM(value)")} AS v_sum
+       |FROM events GROUP BY event_type, bin
+       |ORDER BY event_type, bin""".stripMargin
+
+  /** Recall@k of the LSH ANN vs the exact top-k per query. */
+  def annRecall(nPlanes: Int, nQueries: Int, k: Int, dim: Int): String = {
+    def proj(p: Int) = (0 until dim)
+      .map(d => s"v[${d + 1}] * ${graft.operators.Similarity.planeWeight(p, d)}")
+      .mkString(" + ")
+    val bucket = (0 until nPlanes)
+      .map(p => s"CASE WHEN ${proj(p)} > 0 THEN ${1L << p} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |e AS (SELECT vec_id, v, $bucket AS bucket FROM v0),
+       |q AS (SELECT vec_id AS qid, v AS qv, bucket AS qbucket FROM e WHERE vec_id < $nQueries),
+       |xs AS (
+       |  SELECT qid, vec_id AS vid, ${R("list_cosine_similarity(qv, v)")} AS cos
+       |  FROM e CROSS JOIN q WHERE vec_id != qid),
+       |xr AS (
+       |  SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+       |  FROM xs),
+       |exact AS (SELECT qid, vid FROM xr WHERE rank <= $k),
+       |ls AS (
+       |  SELECT q.qid, e.vec_id AS vid, ${R("list_cosine_similarity(q.qv, e.v)")} AS cos
+       |  FROM e JOIN q ON e.bucket = q.qbucket AND e.vec_id != q.qid),
+       |lr AS (
+       |  SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+       |  FROM ls),
+       |approx AS (SELECT qid, vid, 1 AS hit FROM lr WHERE rank <= $k)
+       |SELECT x.qid, COUNT(*) AS n_exact,
+       |       CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS n_hit,
+       |       ${R("SUM(COALESCE(a.hit, 0)) / COUNT(*)")} AS recall
+       |FROM exact x LEFT JOIN approx a ON x.qid = a.qid AND x.vid = a.vid
+       |GROUP BY x.qid ORDER BY x.qid""".stripMargin
+  }
+
   val retrend: String =
     s"""WITH $daily, ${trendCte(3)}, $detrendCte
        |SELECT user_id, day, v, ${R("detrended + trend")} AS retrended

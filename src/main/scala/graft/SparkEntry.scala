@@ -351,6 +351,18 @@ object SparkEntry {
     "ts_predict_linear" -> ((s, dir) =>
       TimeSeries.predictLinear(TimeSeries.resampleDaily(Tables.events(s, dir)), NY)
         .orderBy(col("user_id"), col("day"))),
+
+    "ts_decompose" -> ((s, dir) =>
+      TimeSeries.decompose(Tables.events(s, dir), HALF)
+        .orderBy(col("user_id"), col("day"))),
+
+    "value_histogram" -> ((s, dir) =>
+      TimeSeries.valueHistogram(Tables.events(s, dir), 50.0, 10)
+        .orderBy(col("event_type"), col("bin"))),
+
+    "ann_recall" -> ((s, dir) =>
+      Similarity.annRecall(Tables.embeddings(s, dir), 8, 5, 5)
+        .orderBy(col("qid"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -411,5 +423,8 @@ object SparkEntry {
     "ts_deseasonalize" -> OracleSql.deseasonalize(HALF),
     "ts_fit_linear" -> OracleSql.fitLinear,
     "ts_predict_linear" -> OracleSql.predictLinear(NY),
+    "ts_decompose" -> OracleSql.decompose(HALF),
+    "value_histogram" -> OracleSql.valueHistogram(50.0, 10),
+    "ann_recall" -> OracleSql.annRecall(8, 5, 5, 64),
   )
 }

@@ -125,6 +125,23 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Recall@k of the LSH ANN against the exact top-k, per query —
+    * the self-evaluation loop a production ANN deployment runs when
+    * tuning nPlanes (left join so queries with zero bucket-mates
+    * still report recall 0).
+    */
+  def annRecall(embeddings: DataFrame, nPlanes: Int, nQueries: Int, k: Int): DataFrame = {
+    val exact = cosineTopK(embeddings, nQueries, k).select(col("qid"), col("vid"))
+    val approx = annLshTopK(embeddings, nPlanes, nQueries, k)
+      .select(col("qid"), col("vid"), lit(1).as("hit"))
+    exact.join(approx, Seq("qid", "vid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        r3(col("n_hit") / col("n_exact")).as("recall"))
+  }
+
   /** ANN top-k via LSH buckets: score only same-bucket candidates,
     * rank within bucket. Recall < 1 by construction; the exactness
     * baseline is [[cosineTopK]].

@@ -376,6 +376,32 @@ object TimeSeries {
         col("seasonal"), col("deseasonal"))
   }
 
+  /** Full seasonal decomposition: v = trend + seasonal + resid, with
+    * trend the centered MA and seasonal the per-(key, dow) mean of
+    * the detrended series — the long-format equivalent of the
+    * reference's seasonal_decompose usage (utils.py:355-364), one
+    * shuffle on key for the whole thing.
+    */
+  def decompose(events: DataFrame, half: Int): DataFrame = {
+    val dow = pmod(datediff(col(DAY), to_date(lit("1970-01-05"))), lit(7)).cast("long")
+    detrend(trend(resampleDaily(events), half))
+      .withColumn("dow", dow)
+      .withColumn("seasonal",
+        r3(avg(col("detrended")).over(Window.partitionBy(col(KEY), col("dow")))))
+      .withColumn("resid", r3(col("detrended") - col("seasonal")))
+      .select(col(KEY), col(DAY), col("v"), col("trend"), col("seasonal"), col("resid"))
+  }
+
+  /** Fixed-width value histogram per event type: bin = value/width
+    * clamped to nBins — one partial-agg groupBy, the workhorse
+    * profiling query at any scale.
+    */
+  def valueHistogram(events: DataFrame, width: Double, nBins: Int): DataFrame =
+    events
+      .groupBy(col("event_type"),
+        least(floor(col("value") / width), lit(nBins - 1)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), r3(sum(col("value"))).as("v_sum"))
+
   /** Gap-fill by linear interpolation between the nearest observed
     * neighbours (vs [[gapfill]]'s forward carry): dense per-key spine,
     * then one backward and one forward ignore-nulls window carry —
