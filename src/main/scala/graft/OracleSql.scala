@@ -625,6 +625,28 @@ object OracleSql {
        |GROUP BY x.qid ORDER BY x.qid""".stripMargin
   }
 
+  /** Corpus-wide top-k tokens by frequency. */
+  def tokenTopK(k: Int): String =
+    s"""WITH t AS (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents),
+       |c AS (SELECT token, COUNT(*) AS n FROM t GROUP BY token),
+       |r AS (SELECT token, n,
+       |        CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+       |      FROM c)
+       |SELECT token, n, rank FROM r WHERE rank <= $k ORDER BY rank""".stripMargin
+
+  /** MAD-based robust outlier days. */
+  def outliersMad(nMads: Double): String =
+    s"""WITH $daily,
+       |m1 AS (SELECT user_id, MEDIAN(v) AS med FROM daily GROUP BY user_id),
+       |m2 AS (
+       |  SELECT d.user_id, MEDIAN(ABS(d.v - m.med)) AS mad
+       |  FROM daily d JOIN m1 m USING (user_id) GROUP BY d.user_id)
+       |SELECT d.user_id, d.day, d.v, ${R("m.med")} AS med,
+       |       ${R("ABS(d.v - m.med) / NULLIF(x.mad, 0)")} AS n_mads
+       |FROM daily d JOIN m1 m USING (user_id) JOIN m2 x USING (user_id)
+       |WHERE ABS(d.v - m.med) > $nMads * x.mad
+       |ORDER BY d.user_id, d.day""".stripMargin
+
   val retrend: String =
     s"""WITH $daily, ${trendCte(3)}, $detrendCte
        |SELECT user_id, day, v, ${R("detrended + trend")} AS retrended

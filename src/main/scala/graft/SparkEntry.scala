@@ -363,6 +363,13 @@ object SparkEntry {
     "ann_recall" -> ((s, dir) =>
       Similarity.annRecall(Tables.embeddings(s, dir), 8, 5, 5)
         .orderBy(col("qid"))),
+
+    "token_topk" -> ((s, dir) =>
+      TextOps.topTokens(Tables.documents(s, dir), 20).orderBy(col("rank"))),
+
+    "ts_outliers_mad" -> ((s, dir) =>
+      TimeSeries.outliersMad(TimeSeries.resampleDaily(Tables.events(s, dir)), 3.0)
+        .orderBy(col("user_id"), col("day"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -426,5 +433,7 @@ object SparkEntry {
     "ts_decompose" -> OracleSql.decompose(HALF),
     "value_histogram" -> OracleSql.valueHistogram(50.0, 10),
     "ann_recall" -> OracleSql.annRecall(8, 5, 5, 64),
+    "token_topk" -> OracleSql.tokenTopK(20),
+    "ts_outliers_mad" -> OracleSql.outliersMad(3.0),
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines: token
@@ -85,4 +86,24 @@ object TextOps {
     docs.select(col("doc_id"),
       expr("aggregate(sequence(1, length(text)), cast(0 as bigint), " +
         "(acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007)").as("fp"))
+
+  /** Corpus-wide top-k tokens by frequency — vocabulary building. The
+    * token explosion is reduced by a map-side-combined count, then
+    * top-k is TWO-phase: per-salt top-k first, so the single-partition
+    * final rank sees at most salt·k rows, never |vocab|.
+    */
+  def topTokens(docs: DataFrame, k: Int): DataFrame = {
+    val counts = docs.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("salt", pmod(xxhash64(col("token")), lit(32)))
+      .withColumn("r1", row_number().over(
+        Window.partitionBy(col("salt")).orderBy(col("n").desc, col("token"))))
+      .where(col("r1") <= k).drop("salt", "r1")
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("token"))))
+      .where(col("rank") <= k)
+      .select(col("token"), col("n"), col("rank").cast("long").as("rank"))
+  }
 }

@@ -429,6 +429,22 @@ object TimeSeries {
       .select(col(KEY), col(DAY), col("v_interp"), col("was_gap"))
   }
 
+  /** Robust outlier days via median absolute deviation: |v − median|
+    * > `nMads`·MAD — insensitive to the very outliers it flags,
+    * unlike the z-score [[anomalies]]. Two grouped medians (exact,
+    * interpolating) + broadcast-joined back; constant series
+    * (MAD = 0) flag nothing.
+    */
+  def outliersMad(daily: DataFrame, nMads: Double): DataFrame = {
+    val med = daily.groupBy(col(KEY)).agg(expr("percentile(v, 0.5)").as("med"))
+    val mad = daily.join(med, KEY)
+      .groupBy(col(KEY)).agg(expr("percentile(abs(v - med), 0.5)").as("mad"))
+    daily.join(med, KEY).join(mad, KEY)
+      .where(abs(col("v") - col("med")) > lit(nMads) * col("mad"))
+      .select(col(KEY), col(DAY), col("v"),
+        r3(col("med")).as("med"), r3(abs(col("v") - col("med")) / nullif(col("mad"), lit(0.0))).as("n_mads"))
+  }
+
   /** Full preprocessing chain (reference pre_processing:
     * src/demo/utils.py:200-351): trend → detrend → standardize →
     * gradient. Single shuffle on `user_id` after the resample.
