@@ -27,12 +27,22 @@ object Bench {
     spark.sharedState.cacheManager.clearCache()
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable => errors += name; System.err.println(s"BENCH FAIL $name: $e"); false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // failed queries report negative elapsed so they can't read as a fast success
-      name -> (if (ok) dt else -dt)
+      // min of two runs: a single sample in a shared 32-thread JVM
+      // carries GC/scheduler noise larger than most queries' work
+      def once(): Double = {
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      try { name -> math.min(once(), once()) }
+      catch { case e: Throwable =>
+        errors += name
+        System.err.println(s"BENCH FAIL $name: $e")
+        // failed queries report negative elapsed so they can't read as
+        // a fast success
+        name -> -1.0
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
