@@ -90,4 +90,25 @@ object Relational {
     df.withColumn("rank", row_number().over(
         Window.partitionBy(group).orderBy(col(order).desc, col(tieBreak))))
       .where(col("rank") <= k)
+
+  /** Bucketed range join: match each point row `(t, …)` to every
+    * interval row with `start <= t <= end`. Intervals are exploded
+    * into fixed-width buckets and the join is an EQUI-join on the
+    * bucket id with an exact containment filter — Spark would
+    * otherwise plan a pure range condition as a broadcast nested
+    * loop (O(points × intervals)). Cost is O(points + intervals ×
+    * avg_span/width); pick `width` near the typical interval length.
+    * Both sides shuffle-partition on the bucket id, so the pattern
+    * holds at 100 TB (skewy long intervals → raise width or split).
+    */
+  def rangeJoin(points: DataFrame, tCol: String,
+                intervals: DataFrame, startCol: String, endCol: String,
+                width: Long): DataFrame = {
+    val p = points.withColumn("_bucket", (col(tCol) / width).cast("long"))
+    val i = intervals.withColumn("_bucket",
+      explode(sequence((col(startCol) / width).cast("long"), (col(endCol) / width).cast("long"))))
+    p.join(i, Seq("_bucket"))
+      .where(col(tCol) >= col(startCol) && col(tCol) <= col(endCol))
+      .drop("_bucket")
+  }
 }

@@ -79,4 +79,21 @@ class RelationalSpec extends AnyFunSuite {
     val st = Generate.series(spark, 5, 1, 30).orderBy("key").collect().map(_.getAs[Int]("signal_type"))
     assert(st.toSeq === Seq(0, 1, 2, 0, 1))
   }
+
+  test("bucketed rangeJoin equals the naive cross-join filter") {
+    import spark.implicits._
+    val points = (0L to 100L by 3).map(t => (t, s"p$t")).toDF("t", "pname")
+    val intervals = Seq((0L, 5L, 10L), (1L, 8L, 30L), (2L, 90L, 95L), (3L, 40L, 41L))
+      .toDF("iid", "start", "end")
+    val fast = Relational.rangeJoin(points, "t", intervals, "start", "end", 7L)
+      .select("t", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.crossJoin(intervals)
+      .where(col("t") >= col("start") && col("t") <= col("end"))
+      .select("t", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast === naive)
+    assert(fast.nonEmpty)
+    // no duplicate matches despite intervals spanning several buckets
+    val cnt = Relational.rangeJoin(points, "t", intervals, "start", "end", 7L).count()
+    assert(cnt === fast.size)
+  }
 }
