@@ -34,19 +34,20 @@ object VectorExprs {
       case _         => arr.getDouble(i)
     }
 
-  /** Register all graft SQL functions on a session. */
+  /** Register all graft SQL functions on a session (idempotent — a
+    * re-register would WARN on every operator construction).
+    */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "graft_simhash", exprs => SimHash64(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_lsh_bucket", exprs => LshBucket(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_minhash", exprs => MinHashSig(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    def put(name: String, builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    put("graft_simhash", exprs => SimHash64(exprs.head))
+    put("graft_vec_dot", exprs => VecDot(exprs(0), exprs(1)))
+    put("graft_lsh_bucket", exprs => LshBucket(exprs(0),
+      exprs(1).eval().asInstanceOf[Number].intValue()))
+    put("graft_minhash", exprs => MinHashSig(exprs(0),
+      exprs(1).eval().asInstanceOf[Number].intValue()))
   }
 }
 
