@@ -19,10 +19,17 @@ object Bench {
     // are hot before timing starts. Measured per-query first-run
     // overhead (codegen compile + interpreter warmup) is otherwise
     // 0.5-4s per query, larger than most queries' actual work.
+    // Sink every benched query through a noop-format write: count()
+    // lets Catalyst prune unreferenced projections and drop top-level
+    // sorts, so projection-only queries (text ops, resize) were benched
+    // as little more than a parquet row-count scan. The noop sink
+    // evaluates every output column with zero driver collect.
+    def sink(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     val warmDir = "/root/testdata/sf0.001"
     if (warmDir != sfDir && new java.io.File(warmDir).isDirectory)
       SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        try sink(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
     spark.sharedState.cacheManager.clearCache()
     val errors = scala.collection.mutable.ListBuffer.empty[String]
@@ -31,8 +38,11 @@ object Bench {
       // carries GC/scheduler noise larger than most queries' work
       def once(): Double = {
         spark.sharedState.cacheManager.clearCache()
+        // park the JVM between queries so a neighbor's garbage doesn't
+        // bill its GC pause to this query (see SURVEY §6 regression note)
+        System.gc()
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        sink(fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
       }
       try { name -> math.min(once(), once()) }

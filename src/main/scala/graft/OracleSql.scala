@@ -90,19 +90,23 @@ object OracleSql {
 
   /** Tail-window slope + per-key extrapolation shared by
     * extrapolate/forecast oracles. Expects `trend_t` to exist.
+    * `median = false` is the reference's mean-slope path.
     */
-  private def extrapolateCtes(window: Int): String =
+  private def extrapolateCtes(window: Int, median: Boolean = true): String = {
+    val slope = if (median) "MEDIAN(g)" else "AVG(g)"
     s"""${gradCte("trend_t", "trend", "g", "gr", "user_id, day")},
        |tail AS (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn_end
        |  FROM gr),
        |perkey AS (
-       |  SELECT user_id, ${R("MEDIAN(g)")} AS slope,
+       |  SELECT user_id, ${R(slope)} AS slope,
        |         ARG_MAX(trend, day) AS last_trend, MAX(day) AS last_day
        |  FROM tail WHERE rn_end <= $window GROUP BY user_id)""".stripMargin
+  }
 
-  def extrapolateTrend(half: Int, window: Int, horizon: Int): String =
-    s"""WITH $daily, ${trendCte(half)}, ${extrapolateCtes(window)}
+  def extrapolateTrend(half: Int, window: Int, horizon: Int,
+                       median: Boolean = true): String =
+    s"""WITH $daily, ${trendCte(half)}, ${extrapolateCtes(window, median)}
        |SELECT user_id, (last_day + CAST(h AS INTEGER)) AS day,
        |       ${R("last_trend + slope * h")} AS v_hat
        |FROM perkey CROSS JOIN generate_series(1, $horizon) AS t(h)
@@ -137,13 +141,13 @@ object OracleSql {
     s"""SELECT event_type, COUNT(*) AS n_events, ${R("SUM(value)")} AS total_value
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
-  def trajectory(half: Int, windowDays: Int): String =
+  def trajectory(half: Int, windowDays: Int, median: Boolean = true): String =
     s"""WITH $daily, ${trendCte(half)},
        |${gradCte("trend_t", "trend", "g", "gr", "user_id, day")},
        |tail AS (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn_end
        |  FROM gr)
-       |SELECT user_id, ${R("MEDIAN(g) * 30.5")} AS trajectory
+       |SELECT user_id, ${R(s"${if (median) "MEDIAN(g)" else "AVG(g)"} * 30.5")} AS trajectory
        |FROM tail WHERE rn_end <= $windowDays GROUP BY user_id
        |ORDER BY user_id""".stripMargin
 
@@ -195,6 +199,45 @@ object OracleSql {
   def forecastBaseline(half: Int, window: Int, horizon: Int): String =
     s"""WITH ${forecastCtes(half, window, horizon)}
        |SELECT user_id, day, v_hat, v_actual FROM joined ORDER BY user_id, day""".stripMargin
+
+  /** Per-series metrics at multiple horizons — the reference's
+    * 1-month/3-month split (notebooks/scoring.py:384-470).
+    */
+  def metricsHorizon(half: Int, window: Int, horizon: Int,
+                     horizons: Seq[Int]): String = {
+    val hvals = horizons.map(h => s"($h)").mkString(", ")
+    s"""WITH ${forecastCtes(half, window, horizon)},
+       |st AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS step
+       |  FROM joined),
+       |hz AS (
+       |  SELECT st.*, hs.horizon FROM st
+       |  CROSS JOIN (VALUES $hvals) hs(horizon)
+       |  WHERE st.step <= hs.horizon),
+       |m AS (SELECT *, AVG(v_actual) OVER (PARTITION BY user_id, horizon) AS mu FROM hz)
+       |SELECT user_id, CAST(horizon AS BIGINT) AS horizon,
+       |       ${R("AVG((v_hat - v_actual) * (v_hat - v_actual))")} AS mse,
+       |       ${R("AVG(ABS(v_hat - v_actual))")} AS mae,
+       |       ${R("1.0 - SUM((v_hat - v_actual) * (v_hat - v_actual)) / NULLIF(SUM((v_actual - mu) * (v_actual - mu)), 0)")} AS r2
+       |FROM m GROUP BY user_id, horizon ORDER BY user_id, horizon""".stripMargin
+  }
+
+  /** Bucketed range join gate: error events matched into their
+    * (user, day) event-span interval — DuckDB checks the plain
+    * key + BETWEEN containment join.
+    */
+  val rangeJoin: String =
+    s"""WITH iv AS (
+       |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+       |         MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1
+       |  FROM events GROUP BY 1, 2),
+       |pt AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+       |  FROM events WHERE event_type = 'error')
+       |SELECT p.user_id, p.event_id, i.day, ${R("p.value")} AS value
+       |FROM pt p JOIN iv i
+       |  ON p.user_id = i.user_id AND p.ts_us >= i.t0 AND p.ts_us <= i.t1
+       |ORDER BY p.user_id, p.event_id, i.day""".stripMargin
 
   def metrics(half: Int, window: Int, horizon: Int): String =
     s"""WITH ${forecastCtes(half, window, horizon)},
@@ -279,15 +322,23 @@ object OracleSql {
        |  FROM g),
        |w AS (
        |  SELECT key, t, salary, trend, noise, spike, x - FLOOR(x) AS tt FROM c),
+       |-- sine = folded parabola + cubic refinement, parenthesized
+       |-- exactly like operators.Generate (pure IEEE mul/add → bit-exact)
+       |s0 AS (
+       |  SELECT *, CASE WHEN tt < 0.5 THEN tt ELSE tt - 0.5 END AS u0 FROM w),
+       |s1 AS (
+       |  SELECT *, (CASE WHEN tt < 0.5 THEN 1.0 ELSE -1.0 END)
+       |            * ((u0 * (0.5 - u0)) * 16.0) AS q FROM s0),
        |v AS (
        |  SELECT key, t, salary, trend, noise, spike,
-       |    CASE WHEN key % 3 = 0 THEN tt * 2.0 - 1.0
-       |         WHEN key % 3 = 1 THEN ABS(tt * 2.0 - 1.0) * 2.0 - 1.0
+       |    CASE WHEN key % 4 = 0 THEN (q * 0.775) + ((q * ABS(q)) * 0.225)
+       |         WHEN key % 4 = 1 THEN tt * 2.0 - 1.0
+       |         WHEN key % 4 = 2 THEN ABS(tt * 2.0 - 1.0) * 2.0 - 1.0
        |         ELSE CASE WHEN tt < 0.5 THEN 1.0 ELSE -1.0 END END AS wave
-       |  FROM w)
+       |  FROM s1)
        |SELECT key, t,
        |       ${R("salary * (wave * 0.5 + trend + noise + spike)")} AS v,
-       |       CAST(key % 3 AS INTEGER) AS signal_type
+       |       CAST(key % 4 AS INTEGER) AS signal_type
        |FROM v ORDER BY key, t""".stripMargin
   }
 

@@ -20,6 +20,7 @@ object SparkEntry {
   private val TRAJ_W = 15     // trajectory window  (reference: 183)
   private val CLEAN_T = 5     // min changes        (reference: 20)
   private val ACF_LAGS = Seq(1, 2, 7)  // autocorrelation lags
+  private val HORIZONS = Seq(2, 5)     // metric horizons (reference: 1mo/3mo)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
@@ -292,23 +293,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     "q5_region_revenue" -> ((s, dir) => {
+      // Filter-first join tree: region→nation→supplier collapses to an
+      // ASIA-supplier dim (1/5 of suppliers) broadcast into lineitem, so
+      // the fact scan is pruned map-side BEFORE the one shuffle join
+      // (lineitem⋈orders on orderkey). Customer is a 2-column projection
+      // — broadcast here; on a 1000-executor cluster drop that hint and
+      // let AQE pick shuffle-vs-broadcast from runtime stats.
       val from = lit("1996-01-01 00:00:00").cast("timestamp")
       val to = lit("1998-01-01 00:00:00").cast("timestamp")
       val r = Tables(s, dir, "region").where(col("r_name") === "ASIA")
+        .select("r_regionkey")
       val n = Tables(s, dir, "nation")
-      val sup = Tables(s, dir, "supplier")
+        .select("n_nationkey", "n_regionkey", "n_name")
+      val asiaSup = Tables(s, dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(broadcast(n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
       val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
       val o = Tables.orders(s, dir)
         .where(col("o_orderdate") >= from && col("o_orderdate") < to)
         .select("o_orderkey", "o_custkey")
       val l = Tables.lineitem(s, dir)
         .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(sup),
-          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      l.join(broadcast(asiaSup), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c),
+          col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))
         .agg(r2c(sum(dec2("l_extendedprice") * (lit(1) - pct2("l_discount"))).cast("double")).as("revenue"))
         .orderBy(col("n_name"))
@@ -370,6 +381,35 @@ object SparkEntry {
     "ts_outliers_mad" -> ((s, dir) =>
       TimeSeries.outliersMad(TimeSeries.resampleDaily(Tables.events(s, dir)), 3.0)
         .orderBy(col("user_id"), col("day"))),
+
+    "ts_metrics_horizon" -> ((s, dir) =>
+      TimeSeries.metricsHorizon(
+        TimeSeries.forecastBaseline(Tables.events(s, dir), HALF, SLOPE_W, NY), HORIZONS)
+        .orderBy(col("user_id"), col("horizon"))),
+
+    "ts_trajectory_mean" -> ((s, dir) =>
+      TimeSeries.trajectory(
+        TimeSeries.trend(TimeSeries.resampleDaily(Tables.events(s, dir)), HALF),
+        TRAJ_W, median = false)
+        .orderBy(col("user_id"))),
+
+    "ts_extrapolate_mean" -> ((s, dir) =>
+      TimeSeries.extrapolateTrend(
+        TimeSeries.trend(TimeSeries.resampleDaily(Tables.events(s, dir)), HALF),
+        SLOPE_W, NY, median = false)
+        .orderBy(col("user_id"), col("day"))),
+
+    "range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val iv = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(min(unix_micros(col("ts"))).as("t0"), max(unix_micros(col("ts"))).as("t1"))
+      val pt = ev.where(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      Relational.rangeJoin(pt, "ts_us", iv, "t0", "t1",
+          width = 3600000000L, keys = Seq("user_id"))
+        .select(col("user_id"), col("event_id"), col("day"), r3c(col("value")).as("value"))
+        .orderBy(col("user_id"), col("event_id"), col("day"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -435,5 +475,9 @@ object SparkEntry {
     "ann_recall" -> OracleSql.annRecall(8, 5, 5, 64),
     "token_topk" -> OracleSql.tokenTopK(20),
     "ts_outliers_mad" -> OracleSql.outliersMad(3.0),
+    "ts_metrics_horizon" -> OracleSql.metricsHorizon(HALF, SLOPE_W, NY, HORIZONS),
+    "ts_trajectory_mean" -> OracleSql.trajectory(HALF, TRAJ_W, median = false),
+    "ts_extrapolate_mean" -> OracleSql.extrapolateTrend(HALF, SLOPE_W, NY, median = false),
+    "range_join" -> OracleSql.rangeJoin,
   )
 }

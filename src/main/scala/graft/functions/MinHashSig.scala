@@ -23,8 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Cost is dominated by the md5 digests themselves, so interpreted
   * eval (CodegenFallback) is within noise of codegen here.
-  * Empty/too-short docs yield an all-MAX signature slot-wise (no
-  * shingles to take the min over) — callers filter those upstream.
+  * Empty/too-short docs (no shingles to take the min over) yield NULL
+  * — an all-MaxValue sentinel would make any two shingle-less docs
+  * LSH-collide as "duplicates"; NULL lets the operator filter them.
   */
 case class MinHashSig(child: Expression, perms: Int)
     extends UnaryExpression with CodegenFallback {
@@ -32,6 +33,8 @@ case class MinHashSig(child: Expression, perms: Int)
   private val PRIME = 4294967291L
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -56,7 +59,7 @@ case class MinHashSig(child: Expression, perms: Int)
       }
       i += 1
     }
-    new GenericArrayData(mins)
+    if (seen.isEmpty) null else new GenericArrayData(mins)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =

@@ -34,20 +34,65 @@ object VectorExprs {
       case _         => arr.getDouble(i)
     }
 
+  /** Arity check with a message that names the function — an
+    * IndexOutOfBounds from the builder would not.
+    */
+  private[graft] def requireArity(fn: String, usage: String,
+                                  exprs: Seq[Expression], n: Int): Unit =
+    if (exprs.length != n)
+      throw new IllegalArgumentException(
+        s"$fn expects $n argument(s), got ${exprs.length}; usage: $usage")
+
+  /** Extract a literal (foldable) integer argument, failing with the
+    * function name and signature — eval() on a non-foldable column
+    * reference would throw an opaque unresolved-expression error, and
+    * a string literal an unexplained ClassCastException.
+    */
+  private[graft] def litIntArg(fn: String, usage: String,
+                               exprs: Seq[Expression], i: Int): Int = {
+    val e = exprs(i)
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a literal integer (got a non-constant " +
+          s"expression); usage: $usage")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a literal integer, got '$other'; usage: $usage")
+    }
+  }
+
+  private[graft] val USAGE: Map[String, String] = Map(
+    "graft_simhash" -> "graft_simhash(tokens: array<string>)",
+    "graft_vec_dot" -> "graft_vec_dot(a: array<float|double>, b: array<float|double>)",
+    "graft_lsh_bucket" -> "graft_lsh_bucket(v: array<float|double>, nPlanes: int literal)",
+    "graft_minhash" -> "graft_minhash(shingles: array<string>, perms: int literal)")
+
+  private[graft] def build(name: String, exprs: Seq[Expression]): Expression = {
+    val usage = USAGE(name)
+    name match {
+      case "graft_simhash" =>
+        requireArity(name, usage, exprs, 1); SimHash64(exprs.head)
+      case "graft_vec_dot" =>
+        requireArity(name, usage, exprs, 2); VecDot(exprs(0), exprs(1))
+      case "graft_lsh_bucket" =>
+        requireArity(name, usage, exprs, 2)
+        LshBucket(exprs(0), litIntArg(name, usage, exprs, 1))
+      case "graft_minhash" =>
+        requireArity(name, usage, exprs, 2)
+        MinHashSig(exprs(0), litIntArg(name, usage, exprs, 1))
+    }
+  }
+
   /** Register all graft SQL functions on a session (idempotent — a
     * re-register would WARN on every operator construction).
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    def put(name: String, builder: Seq[Expression] => Expression): Unit =
+    def put(name: String): Unit =
       if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
-        reg.createOrReplaceTempFunction(name, builder, "built-in")
-    put("graft_simhash", exprs => SimHash64(exprs.head))
-    put("graft_vec_dot", exprs => VecDot(exprs(0), exprs(1)))
-    put("graft_lsh_bucket", exprs => LshBucket(exprs(0),
-      exprs(1).eval().asInstanceOf[Number].intValue()))
-    put("graft_minhash", exprs => MinHashSig(exprs(0),
-      exprs(1).eval().asInstanceOf[Number].intValue()))
+        reg.createOrReplaceTempFunction(name, build(name, _), "built-in")
+    USAGE.keys.foreach(put)
   }
 }
 
@@ -106,14 +151,17 @@ case class LshBucket(child: Expression, nPlanes: Int) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
-  // weights indexed [plane][dim]; sized to the corpus dim at first use
+  // weights indexed [plane][dim]; materialized to MAX_DIM — inputs
+  // wider than that FAIL (see checkDim) rather than silently hashing
+  // a truncated prefix, which would quietly degrade LSH recall and
+  // diverge from an oracle computed at the real dimension.
   @transient private lazy val weights: Array[Array[Double]] =
     Array.tabulate(nPlanes, LshBucket.MAX_DIM)((p, d) =>
       graft.operators.Similarity.planeWeight(p, d))
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val n = math.min(arr.numElements(), LshBucket.MAX_DIM)
+    val n = LshBucket.checkDim(arr.numElements())
     var bucket = 0L
     var p = 0
     while (p < nPlanes) {
@@ -140,7 +188,7 @@ case class LshBucket(child: Expression, nPlanes: Int) extends UnaryExpression {
       val bucket = ctx.freshName("bucket")
       val w = ctx.freshName("w")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), ${LshBucket.MAX_DIM});
+         |int $n = graft.functions.LshBucket.checkDim($a.numElements());
          |long $bucket = 0L;
          |for (int $p = 0; $p < $nPlanes; $p++) {
          |  double[] $w = $wRef[$p];
@@ -163,4 +211,17 @@ case class LshBucket(child: Expression, nPlanes: Int) extends UnaryExpression {
 object LshBucket {
   /** Plane weights are materialized up to this many dimensions. */
   val MAX_DIM = 64
+
+  /** Fail fast on vectors wider than the materialized weight table —
+    * silently bucketing a 64-dim prefix of a wider embedding would
+    * degrade recall with no error. Called from both interpreted eval
+    * and generated code.
+    */
+  def checkDim(numElements: Int): Int = {
+    if (numElements > MAX_DIM)
+      throw new IllegalArgumentException(
+        s"graft_lsh_bucket: embedding dim $numElements exceeds MAX_DIM=$MAX_DIM; " +
+          "raise LshBucket.MAX_DIM to cover the corpus dimension")
+    numElements
+  }
 }

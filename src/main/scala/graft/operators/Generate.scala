@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
   *   - randomness is a hash-PRNG (md5 of key/t/tag) instead of
   *     numpy's global RNG — values are identical no matter how the
   *     job is partitioned or re-run, and expressible in any engine;
-  *   - waves are piecewise-linear (sawtooth/triangle/square — the
-  *     reference's signal types minus sine) because transcendental
-  *     libm results are not bit-portable across engines;
+  *   - all four reference signal types (sine/sawtooth/triangle/
+  *     square, create_time_series.py:110-139) are generated; the sine
+  *     is a folded-parabola approximation with a cubic refinement
+  *     (max error ≈ 0.1% of amplitude) because transcendental libm
+  *     results are not bit-portable across engines — the
+  *     approximation uses only IEEE mul/add, evaluated in the same
+  *     order on both sides, so it is;
   *   - rows are generated distributed: `spark.range(nKeys)` ×
   *     `explode(sequence(0, nDays-1))` — no driver-side loop, scales
   *     linearly with cluster size.
@@ -44,8 +48,15 @@ object Generate {
     val saw = tt * 2.0 - 1.0
     val tri = abs(tt * 2.0 - 1.0) * 2.0 - 1.0
     val sq = when(tt < 0.5, 1.0).otherwise(-1.0)
-    val signalType = (k % 3).cast("int")
-    val wave = when(signalType === 0, saw).when(signalType === 1, tri).otherwise(sq)
+    // sin(2π·tt) ≈ folded parabola q = ±16·u·(0.5−u) refined by
+    // 0.775·q + 0.225·q·|q| — pure IEEE mul/add, identical
+    // parenthesization in OracleSql.generate, so bit-exact both sides
+    val u0 = when(tt < 0.5, tt).otherwise(tt - 0.5)
+    val q = when(tt < 0.5, lit(1.0)).otherwise(lit(-1.0)) * (u0 * (lit(0.5) - u0) * 16.0)
+    val sine = q * 0.775 + q * abs(q) * 0.225
+    val signalType = (k % 4).cast("int")
+    val wave = when(signalType === 0, sine).when(signalType === 1, saw)
+      .when(signalType === 2, tri).otherwise(sq)
     val trendSign = when(u(k, "sign") < 0.5, -1.0).otherwise(1.0)
     val trend = trendSign * (u(k, "trend") + 0.5) * (t / nDays.toDouble)
     val noise = (u(concat(k, lit("@"), col("t")), "noise") - 0.5) * 0.2

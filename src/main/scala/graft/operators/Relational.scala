@@ -92,22 +92,31 @@ object Relational {
       .where(col("rank") <= k)
 
   /** Bucketed range join: match each point row `(t, …)` to every
-    * interval row with `start <= t <= end`. Intervals are exploded
-    * into fixed-width buckets and the join is an EQUI-join on the
-    * bucket id with an exact containment filter — Spark would
-    * otherwise plan a pure range condition as a broadcast nested
-    * loop (O(points × intervals)). Cost is O(points + intervals ×
-    * avg_span/width); pick `width` near the typical interval length.
-    * Both sides shuffle-partition on the bucket id, so the pattern
-    * holds at 100 TB (skewy long intervals → raise width or split).
+    * interval row with `start <= t <= end` (optionally also equal on
+    * `keys`). Intervals are exploded into fixed-width buckets and the
+    * join is an EQUI-join on the bucket id (+ keys) with an exact
+    * containment filter — Spark would otherwise plan a pure range
+    * condition as a broadcast nested loop (O(points × intervals)).
+    * Cost is O(points + intervals × avg_span/width); pick `width`
+    * near the typical interval length. Both sides shuffle-partition
+    * on the bucket id, so the pattern holds at 100 TB (skewy long
+    * intervals → raise width or split).
     */
   def rangeJoin(points: DataFrame, tCol: String,
                 intervals: DataFrame, startCol: String, endCol: String,
-                width: Long): DataFrame = {
-    val p = points.withColumn("_bucket", (col(tCol) / width).cast("long"))
+                width: Long, keys: Seq[String] = Nil): DataFrame = {
+    // Exact integer floor-division for bucket ids: (x − pmod(x, w)) div
+    // w. A double intermediate (x / width) loses precision above 2^53
+    // — nanosecond epoch timestamps (~1.7e18) would land in off-by-one
+    // buckets and genuinely-contained matches would be silently
+    // dropped. pmod keeps it true floor (not truncate-toward-zero)
+    // for negative domains.
+    require(width > 0, s"rangeJoin: width must be positive, got $width")
+    def bucketOf(c: String) = expr(s"(`$c` - pmod(`$c`, ${width}L)) div ${width}L")
+    val p = points.withColumn("_bucket", bucketOf(tCol))
     val i = intervals.withColumn("_bucket",
-      explode(sequence((col(startCol) / width).cast("long"), (col(endCol) / width).cast("long"))))
-    p.join(i, Seq("_bucket"))
+      explode(sequence(bucketOf(startCol), bucketOf(endCol))))
+    p.join(i, "_bucket" +: keys)
       .where(col(tCol) >= col(startCol) && col(tCol) <= col(endCol))
       .drop("_bucket")
   }

@@ -101,9 +101,17 @@ object TextOps {
       .withColumn("r1", row_number().over(
         Window.partitionBy(col("salt")).orderBy(col("n").desc, col("token"))))
       .where(col("r1") <= k).drop("salt", "r1")
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("n").desc, col("token"))))
-      .where(col("rank") <= k)
-      .select(col("token"), col("n"), col("rank").cast("long").as("rank"))
+      // final rank over the ≤ salt·k survivors as ONE aggregate (sorted
+      // collect + slice + posexplode) instead of a global-window
+      // row_number: same result, but no empty-partitionSpec WindowExec
+      // — which both WARNs "moving all data to a single partition" on
+      // every run and would genuinely be a scale bug if the input were
+      // ever unbounded. The struct sorts by (-n, token) = count desc,
+      // token asc, matching the per-salt phase.
+      .agg(expr(s"slice(array_sort(collect_list(struct(-n AS n_neg, token AS token, n AS n))), 1, $k)")
+        .as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("t.token").as("token"), col("t.n").as("n"),
+        (col("pos") + 1).cast("long").as("rank"))
   }
 }

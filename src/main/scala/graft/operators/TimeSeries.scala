@@ -114,18 +114,20 @@ object TimeSeries {
       .drop("rn_end")
 
   /** Linear trend extrapolation `horizon` days past each series' end:
-    * slope = median of the trend gradient over the trailing `window`
-    * rows, forecast(h) = last_trend + slope·h
+    * slope = median (or mean, with `median = false` — the reference's
+    * `median=False` path, src/demo/utils.py:463) of the trend gradient
+    * over the trailing `window` rows, forecast(h) = last_trend + slope·h
     * (reference extrapolate_trend, serve mode: src/demo/utils.py:463-498).
     */
-  def extrapolateTrend(withTrend: DataFrame, window: Int, horizon: Int): DataFrame = {
+  def extrapolateTrend(withTrend: DataFrame, window: Int, horizon: Int,
+                       median: Boolean = true): DataFrame = {
     val g = gradient(withTrend, "trend", "g")
       .withColumn("rn_end", row_number().over(Window.partitionBy(KEY).orderBy(col(DAY).desc)))
     val perKey = g
       .where(col("rn_end") <= window)
       .groupBy(col(KEY))
       .agg(
-        r3(expr("percentile(g, 0.5)")).as("slope"),
+        r3(if (median) expr("percentile(g, 0.5)") else avg(col("g"))).as("slope"),
         max_by(col("trend"), col(DAY)).as("last_trend"),
         max(col(DAY)).as("last_day"))
     perKey
@@ -172,16 +174,19 @@ object TimeSeries {
       r3(expr("percentile(v, 0.75)")).as("p75"),
       r3(expr("percentile(v, 0.95)")).as("p95"))
 
-  /** Monthly-slope "trajectory" metric: median daily gradient of the
-    * trend over the trailing `windowDays`, scaled ×30.5
+  /** Monthly-slope "trajectory" metric: median (or mean, with
+    * `median = false` — reference's `median=False` path,
+    * src/demo/utils.py:501) daily gradient of the trend over the
+    * trailing `windowDays`, scaled ×30.5
     * (reference trajectory: src/demo/utils.py:501-521).
     */
-  def trajectory(withTrend: DataFrame, windowDays: Int): DataFrame = {
+  def trajectory(withTrend: DataFrame, windowDays: Int,
+                 median: Boolean = true): DataFrame = {
     val g = gradient(withTrend, "trend", "g")
       .withColumn("rn_end", row_number().over(Window.partitionBy(KEY).orderBy(col(DAY).desc)))
     g.where(col("rn_end") <= windowDays)
       .groupBy(col(KEY))
-      .agg(r3(expr("percentile(g, 0.5)") * 30.5).as("trajectory"))
+      .agg(r3((if (median) expr("percentile(g, 0.5)") else avg(col("g"))) * 30.5).as("trajectory"))
   }
 
   /** Low-information-series filter: keep series with ≥ `threshold`
@@ -431,19 +436,18 @@ object TimeSeries {
 
   /** Robust outlier days via median absolute deviation: |v − median|
     * > `nMads`·MAD — insensitive to the very outliers it flags,
-    * unlike the z-score [[anomalies]]. Two grouped medians (exact,
-    * interpolating) + broadcast-joined back; constant series
+    * unlike the z-score [[anomalies]]. Both medians (exact,
+    * interpolating) are window aggregates over the shared key
+    * partition — one exchange, no agg+join passes; constant series
     * (MAD = 0) flag nothing.
     */
-  def outliersMad(daily: DataFrame, nMads: Double): DataFrame = {
-    val med = daily.groupBy(col(KEY)).agg(expr("percentile(v, 0.5)").as("med"))
-    val mad = daily.join(med, KEY)
-      .groupBy(col(KEY)).agg(expr("percentile(abs(v - med), 0.5)").as("mad"))
-    daily.join(med, KEY).join(mad, KEY)
+  def outliersMad(daily: DataFrame, nMads: Double): DataFrame =
+    daily
+      .withColumn("med", expr("percentile(v, 0.5)").over(wKey))
+      .withColumn("mad", expr("percentile(abs(v - med), 0.5)").over(wKey))
       .where(abs(col("v") - col("med")) > lit(nMads) * col("mad"))
       .select(col(KEY), col(DAY), col("v"),
         r3(col("med")).as("med"), r3(abs(col("v") - col("med")) / nullif(col("mad"), lit(0.0))).as("n_mads"))
-  }
 
   /** Full preprocessing chain (reference pre_processing:
     * src/demo/utils.py:200-351): trend → detrend → standardize →
@@ -462,13 +466,17 @@ object TimeSeries {
     */
   def forecastBaseline(events: DataFrame, half: Int, window: Int, horizon: Int): DataFrame = {
     // The numbered daily table feeds three branches (history chain,
-    // per-key mean, actuals); persisting it keeps the raw-event
+    // per-key mean, actuals); materializing it keeps the raw-event
     // resample — the only stage that sees event volume — computed
     // once. Size is |keys|×|days|, the engine's canonical
-    // materialization point (SURVEY §5).
+    // materialization point (SURVEY §5). localCheckpoint (lazy), not
+    // persist(): cacheManager entries live for the whole session
+    // unless every caller remembers to unpersist, while checkpoint
+    // blocks are freed by the ContextCleaner once the returned frame
+    // is dropped — repeated library calls don't accumulate storage.
     val daily = resampleDaily(events)
       .withColumn("rn_end", row_number().over(Window.partitionBy(KEY).orderBy(col(DAY).desc)))
-      .persist()
+      .localCheckpoint(false)
     val history = daily.where(col("rn_end") > horizon).drop("rn_end")
     val actual = daily.where(col("rn_end") <= horizon).drop("rn_end")
     val hist2 = scale(detrend(trend(history, half)))
@@ -490,13 +498,38 @@ object TimeSeries {
     // would drag the whole scored table onto one reducer); the final
     // global agg is map-side partial, so one reducer sees only
     // per-partition partials. scored (|keys|×horizon rows) feeds both
-    // the mu subquery and the final agg — persist it so the upstream
-    // forecast chain runs once, not twice.
-    val s = scored.persist()
+    // the mu subquery and the final agg — lazy localCheckpoint so the
+    // upstream forecast chain runs once, not twice (and the blocks are
+    // ContextCleaner-freed, unlike session-lifetime cacheManager
+    // entries — see forecastBaseline).
+    val s = scored.localCheckpoint(false)
     val mu = s.agg(avg(col("v_actual")).as("mu"))
     s.crossJoin(broadcast(mu))
       .agg(
         count(lit(1)).as("n"),
+        r3(avg(err * err)).as("mse"),
+        r3(avg(abs(err))).as("mae"),
+        r3(lit(1.0) - sum(err * err) /
+          nullif(sum((col("v_actual") - col("mu")) * (col("v_actual") - col("mu"))), lit(0.0))).as("r2"))
+  }
+
+  /** Per-series forecast metrics at multiple horizons — the
+    * reference's 1-month / 3-month split (notebooks/scoring.py:384-470,
+    * "R2_all_1month"/"R2_all_3month"): for each horizon h, R2/MSE/MAE
+    * over only the first h forecast steps. One row_number window on
+    * the existing key partitioning + a small static explode — no
+    * extra shuffle beyond [[metrics]]'.
+    */
+  def metricsHorizon(scored: DataFrame, horizons: Seq[Int]): DataFrame = {
+    val err = col("v_hat") - col("v_actual")
+    scored
+      .withColumn("step", row_number().over(wOrdered))
+      .select(col("*"), explode(array(horizons.map(lit): _*)).as("horizon"))
+      .where(col("step") <= col("horizon"))
+      .withColumn("mu", avg(col("v_actual")).over(
+        Window.partitionBy(col(KEY), col("horizon"))))
+      .groupBy(col(KEY), col("horizon").cast("long").as("horizon"))
+      .agg(
         r3(avg(err * err)).as("mse"),
         r3(avg(abs(err))).as("mae"),
         r3(lit(1.0) - sum(err * err) /

@@ -35,5 +35,21 @@ class ExtensionsSpec extends AnyFunSuite {
     }
     assert(spark.sql("SELECT graft_simhash(array('x', 'y', 'z')) AS s").head().getLong(0)
       === viaRegister)
+
+    // builder misuse fails with the function name + signature, not an
+    // opaque IndexOutOfBounds/ClassCast/unresolved-expression error
+    def failureMessage(sql: String): String = {
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      msgs(e).mkString("\n")
+    }
+    assert(failureMessage("SELECT graft_minhash(array('a'))")
+      .contains("graft_minhash"))                       // missing arg
+    assert(failureMessage("SELECT graft_lsh_bucket(array(1.0F), array(1.0F))")
+      .contains("graft_lsh_bucket"))                    // non-integer arg
+    val nonLiteral = failureMessage(
+      "SELECT graft_minhash(array('a'), CAST(id AS INT)) FROM range(1)")
+    assert(nonLiteral.contains("graft_minhash") && nonLiteral.contains("literal"))
   }
 }

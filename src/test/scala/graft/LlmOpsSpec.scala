@@ -63,6 +63,38 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("connected components converge on a long chain (pointer jumping)") {
+    import spark.implicits._
+    // a 40-node path: plain min-propagation needs ~40 rounds (> maxIter
+    // default), pointer jumping needs ~log2(40)
+    val pairs = (0L until 39L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size === 40)
+    assert(cc.values.toSet === Set(0L))
+  }
+
+  test("minhash signature is NULL for shingle-less input, not all-MAX") {
+    graft.functions.VectorExprs.register(spark)
+    import spark.implicits._
+    val out = Seq((1L, Array.empty[String]), (2L, Array("a b c")))
+      .toDF("doc_id", "shingles")
+      .selectExpr("doc_id", "graft_minhash(shingles, 4) AS sig")
+      .orderBy("doc_id").collect()
+    assert(out(0).isNullAt(1), "empty shingle set must yield NULL signature")
+    assert(out(1).getSeq[Long](1).length === 4)
+  }
+
+  test("lsh bucket fails fast above MAX_DIM instead of truncating") {
+    graft.functions.VectorExprs.register(spark)
+    val wide = spark.range(1).selectExpr(
+      s"graft_lsh_bucket(array_repeat(CAST(1.0 AS DOUBLE), ${graft.functions.LshBucket.MAX_DIM + 1}), 4) AS b")
+    val e = intercept[Exception] { wide.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("MAX_DIM")))
+  }
+
   test("jaccard estimate is 1 for identical docs, rough for near-dups") {
     val d = docs((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
     val sigs = Dedup.minhashSigs(d, 16)

@@ -75,9 +75,46 @@ class RelationalSpec extends AnyFunSuite {
     val b = Generate.series(spark, 5, 50, 30).collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
     assert(a.toSet === b.toSet)
     assert(a.length === 250)
-    // signal types cycle by key % 3
+    // signal types cycle by key % 4 (sine, saw, tri, square)
     val st = Generate.series(spark, 5, 1, 30).orderBy("key").collect().map(_.getAs[Int]("signal_type"))
-    assert(st.toSeq === Seq(0, 1, 2, 0, 1))
+    assert(st.toSeq === Seq(0, 1, 2, 3, 0))
+  }
+
+  test("fast-sine approximation stays within 0.2% of libm sine") {
+    // the exact expression Generate/OracleSql share, evaluated over a
+    // full cycle — folded parabola + cubic refinement
+    val rows = spark.range(0, 1000).selectExpr("CAST(id AS DOUBLE) / 1000.0 AS tt")
+      .selectExpr("tt", "CASE WHEN tt < 0.5 THEN tt ELSE tt - 0.5 END AS u0")
+      .selectExpr("tt", "(CASE WHEN tt < 0.5 THEN 1.0 ELSE -1.0 END) * ((u0 * (0.5 - u0)) * 16.0) AS q")
+      .selectExpr("tt", "(q * 0.775) + ((q * ABS(q)) * 0.225) AS s")
+      .collect()
+    rows.foreach { r =>
+      val tt = r.getDouble(0)
+      val s = r.getDouble(1)
+      assert(math.abs(s - math.sin(2 * math.Pi * tt)) < 0.002,
+        s"fast sine off at tt=$tt")
+    }
+  }
+
+  test("rangeJoin keeps exact buckets for values above 2^53 (ns epochs)") {
+    import spark.implicits._
+    // nanosecond-scale epochs: double division would corrupt bucket ids
+    val base = 1700000000000000000L // ~1.7e18, not representable ± 1 in double
+    val points = Seq((base + 1L, "a"), (base + 999L, "b"), (base + 2000L, "c"))
+      .toDF("t", "pname")
+    val intervals = Seq((1L, base, base + 1000L)).toDF("iid", "start", "end")
+    val got = Relational.rangeJoin(points, "t", intervals, "start", "end", 128L)
+      .select("pname").collect().map(_.getString(0)).toSet
+    assert(got === Set("a", "b"))
+  }
+
+  test("rangeJoin with equi-keys only matches same-key rows") {
+    import spark.implicits._
+    val points = Seq((1L, 5L), (2L, 5L)).toDF("k", "t")
+    val intervals = Seq((1L, 0L, 10L)).toDF("k", "start", "end")
+    val got = Relational.rangeJoin(points, "t", intervals, "start", "end", 4L, Seq("k"))
+      .select("k").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L))
   }
 
   test("bucketed rangeJoin equals the naive cross-join filter") {

@@ -160,4 +160,52 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(m.getAs[Double]("mae") === 0.0)
     assert(m.getAs[Double]("r2") === 1.0)
   }
+
+  test("metricsHorizon restricts each horizon to its first h steps") {
+    import spark.implicits._
+    // forecast perfect for steps 1-2, off by 3 at step 3 — so the
+    // 2-step horizon is error-free while the 3-step horizon is not
+    val scored = Seq(
+      (1L, java.sql.Date.valueOf("2024-02-01"), 1.0, 1.0),
+      (1L, java.sql.Date.valueOf("2024-02-02"), 2.0, 2.0),
+      (1L, java.sql.Date.valueOf("2024-02-03"), 7.0, 4.0))
+      .toDF("user_id", "day", "v_hat", "v_actual")
+    val m = TimeSeries.metricsHorizon(scored, Seq(2, 3)).orderBy("horizon").collect()
+    assert(m.map(_.getAs[Long]("horizon")).toSeq === Seq(2L, 3L))
+    assert(m(0).getAs[Double]("mse") === 0.0)
+    assert(m(0).getAs[Double]("r2") === 1.0)
+    assert(m(1).getAs[Double]("mse") === 3.0) // 9/3
+    assert(m(1).getAs[Double]("mae") === 1.0) // 3/3
+  }
+
+  test("mean-slope variants differ from median on skewed gradients") {
+    import spark.implicits._
+    // v: mostly flat with one large jump → median gradient 0, mean > 0
+    val vs = Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 100.0, 100.0)
+    val d = vs.zipWithIndex.map { case (v, i) =>
+      (1L, java.sql.Date.valueOf(s"2024-01-${"%02d".format(i + 1)}"), v)
+    }.toDF("user_id", "day", "v")
+    // half=0 trend == v, so gradients are the raw jumps
+    val withTrend = TimeSeries.trend(d, 0)
+    val med = TimeSeries.trajectory(withTrend, 10).collect().head.getAs[Double]("trajectory")
+    val mean = TimeSeries.trajectory(withTrend, 10, median = false).collect().head.getAs[Double]("trajectory")
+    assert(med === 0.0)
+    assert(mean > 0.0)
+    val extMed = TimeSeries.extrapolateTrend(withTrend, 10, 2).orderBy("day")
+      .collect().map(_.getAs[Double]("v_hat"))
+    val extMean = TimeSeries.extrapolateTrend(withTrend, 10, 2, median = false).orderBy("day")
+      .collect().map(_.getAs[Double]("v_hat"))
+    assert(extMed.toSeq !== extMean.toSeq)
+  }
+
+  test("outliersMad flags the spike day and nothing else") {
+    import spark.implicits._
+    val vs = Seq(1.0, 1.1, 0.9, 1.0, 1.05, 50.0, 1.0, 0.95, 1.0, 1.1)
+    val d = vs.zipWithIndex.map { case (v, i) =>
+      (1L, java.sql.Date.valueOf(s"2024-01-${"%02d".format(i + 1)}"), v)
+    }.toDF("user_id", "day", "v")
+    val out = TimeSeries.outliersMad(d, 3.0).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Double]("v") === 50.0)
+  }
 }
