@@ -38,9 +38,6 @@ object Bench {
       // carries GC/scheduler noise larger than most queries' work
       def once(): Double = {
         spark.sharedState.cacheManager.clearCache()
-        // park the JVM between queries so a neighbor's garbage doesn't
-        // bill its GC pause to this query (see SURVEY §6 regression note)
-        System.gc()
         val t0 = System.nanoTime()
         sink(fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9

@@ -66,7 +66,8 @@ object VectorExprs {
     "graft_simhash" -> "graft_simhash(tokens: array<string>)",
     "graft_vec_dot" -> "graft_vec_dot(a: array<float|double>, b: array<float|double>)",
     "graft_lsh_bucket" -> "graft_lsh_bucket(v: array<float|double>, nPlanes: int literal)",
-    "graft_minhash" -> "graft_minhash(shingles: array<string>, perms: int literal)")
+    "graft_minhash" -> "graft_minhash(shingles: array<string>, perms: int literal)",
+    "graft_rolling_hash" -> "graft_rolling_hash(text: string)")
 
   private[graft] def build(name: String, exprs: Seq[Expression]): Expression = {
     val usage = USAGE(name)
@@ -81,6 +82,8 @@ object VectorExprs {
       case "graft_minhash" =>
         requireArity(name, usage, exprs, 2)
         MinHashSig(exprs(0), litIntArg(name, usage, exprs, 1))
+      case "graft_rolling_hash" =>
+        requireArity(name, usage, exprs, 1); RollingHash31(exprs.head)
     }
   }
 

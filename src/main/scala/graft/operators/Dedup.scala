@@ -182,26 +182,27 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // 1) min-label propagation from neighbours
-      val prop = labels
-        .join(edges
-          .join(labels.select(col("doc_id").as("src"), col("cluster").as("ncluster")), "src")
-          .groupBy(col("dst")).agg(min(col("ncluster")).as("ncluster"))
-          .select(col("dst").as("doc_id"), col("ncluster")), Seq("doc_id"), "left")
+      // 1) min-label propagation from neighbours, then 2) pointer-jump
+      // (path halving): the propagated min is re-resolved through the
+      // PREVIOUS round's label table (cluster ← label(cluster)), so
+      // labels hop two levels per round and convergence is
+      // O(log diameter) instead of O(diameter). Both joins live in ONE
+      // plan over the checkpointed `labels` leaf — one materialization
+      // job per round. Carrying `prev` through the checkpoint keeps
+      // the convergence check a scan, not another join job.
+      val neigh = edges
+        .join(labels.select(col("doc_id").as("src"), col("cluster").as("ncluster")), "src")
+        .groupBy(col("dst")).agg(min(col("ncluster")).as("ncluster"))
+        .select(col("dst").as("doc_id"), col("ncluster"))
+      val byId = labels.select(col("doc_id").as("_lid"), col("cluster").as("_lcl"))
+      val next = labels
+        .join(neigh, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster"),
+          least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("c1"),
           col("cluster").as("prev"))
-      // 2) pointer-jump (path halving): cluster ← label(cluster). Plain
-      // propagation needs O(component diameter) rounds; the jump makes
-      // labels hop two levels per round, so convergence is
-      // O(log diameter) — measured 7 rounds → 4 on the gate graph.
-      // Carrying `prev` through the checkpoint keeps the convergence
-      // check a scan of checkpointed rows, not another join job.
-      val next = prop
-        .join(prop.select(col("doc_id").as("cluster"), col("cluster").as("c2")),
-          Seq("cluster"), "left")
+        .join(byId, col("c1") === col("_lid"), "left")
         .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("c2"), col("cluster"))).as("cluster"),
+          least(col("c1"), coalesce(col("_lcl"), col("c1"))).as("cluster"),
           col("prev"))
         .localCheckpoint()
       val changed = next.where(col("cluster") =!= col("prev")).count()

@@ -80,9 +80,21 @@ object TextOps {
 
   /** Polynomial rolling-hash fingerprint (base 31, mod 1e9+7) over the
     * raw characters — order-sensitive, exact integer arithmetic, so
-    * bit-identical in any engine.
+    * bit-identical in any engine. One pass per row via the native
+    * [[graft.functions.RollingHash31]] codegen expression; the
+    * equivalent `aggregate(sequence(...))` higher-order lambda is
+    * interpreted per character (~25× slower; [[fingerprintHof]] keeps
+    * it for the parity spec).
     */
-  def fingerprint(docs: DataFrame): DataFrame =
+  def fingerprint(docs: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    docs.selectExpr("doc_id", "graft_rolling_hash(text) AS fp")
+  }
+
+  /** Explode-free HOF formulation of [[fingerprint]] — oracle-parity
+    * reference only, not the production path.
+    */
+  def fingerprintHof(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       expr("aggregate(sequence(1, length(text)), cast(0 as bigint), " +
         "(acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007)").as("fp"))

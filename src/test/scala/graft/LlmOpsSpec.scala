@@ -132,6 +132,14 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(f(1L) === (97L * 31 + 98) % 1000000007)
   }
 
+  test("native rolling-hash fingerprint matches the HOF formulation") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val native = TextOps.fingerprint(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hof = TextOps.fingerprintHof(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === hof)
+    assert(native.nonEmpty)
+  }
+
   test("token count and quality ratios are sane") {
     val d = docs((1L, "the cat and the hat 42"))
     val t = TextOps.tokenCount(d).collect().head
