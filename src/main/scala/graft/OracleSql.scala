@@ -462,6 +462,42 @@ object OracleSql {
        |SELECT dst AS doc_id, MIN(src) AS cluster
        |FROM reach GROUP BY dst ORDER BY doc_id""".stripMargin
 
+  /** End-to-end near-dup pipeline: LSH candidates → MinHash-Jaccard
+    * filter → connected components → keep decision for every doc.
+    */
+  def dedupPipeline(perms: Int, rowsPerBand: Int, minJaccard: Double): String =
+    s"""WITH RECURSIVE ${minhashCtes(perms, rowsPerBand)},
+       |cpairs AS (SELECT DISTINCT doc_a, doc_b FROM cand),
+       |strong AS (
+       |  SELECT p.doc_a, p.doc_b
+       |  FROM cpairs p
+       |  JOIN mh ma ON ma.doc_id = p.doc_a
+       |  JOIN mh mb ON mb.doc_id = p.doc_b AND mb.p = ma.p
+       |  GROUP BY p.doc_a, p.doc_b
+       |  HAVING ${R(s"SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / CAST($perms AS DOUBLE)")} >= $minJaccard),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM strong
+       |  UNION ALL SELECT doc_b, doc_a FROM strong),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |cc AS (SELECT dst AS doc_id, MIN(src) AS cluster FROM reach GROUP BY dst)
+       |SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster,
+       |       CAST(CASE WHEN COALESCE(c.cluster, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS INTEGER) AS keep
+       |FROM documents d LEFT JOIN cc c ON c.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Canonical text normalization: lowercase, non-alnum → space,
+    * whitespace collapse, trim.
+    */
+  val textNormalize: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+      |  CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS norm_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val dedupSimhash: String =
     """WITH tok AS (
       |  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),

@@ -282,7 +282,8 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))),
 
     "dedup_jaccard_est" -> ((s, dir) => {
-      val sigs = Dedup.minhashSigs(Tables.documents(s, dir), 16)
+      // checkpoint: sigs feed banding + both estimate-join sides
+      val sigs = Dedup.minhashSigs(Tables.documents(s, dir), 16).localCheckpoint(false)
       Dedup.jaccardEstimate(sigs, Dedup.lshCandidatesFast(sigs, 2, 16), 16)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
@@ -399,6 +400,13 @@ object SparkEntry {
         SLOPE_W, NY, median = false)
         .orderBy(col("user_id"), col("day"))),
 
+    "dedup_pipeline" -> ((s, dir) =>
+      Dedup.pipeline(Tables.documents(s, dir), 16, 2, 0.5)
+        .orderBy(col("doc_id"))),
+
+    "text_normalize" -> ((s, dir) =>
+      TextOps.normalize(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+
     "range_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val iv = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
@@ -479,5 +487,7 @@ object SparkEntry {
     "ts_trajectory_mean" -> OracleSql.trajectory(HALF, TRAJ_W, median = false),
     "ts_extrapolate_mean" -> OracleSql.extrapolateTrend(HALF, SLOPE_W, NY, median = false),
     "range_join" -> OracleSql.rangeJoin,
+    "dedup_pipeline" -> OracleSql.dedupPipeline(16, 2, 0.5),
+    "text_normalize" -> OracleSql.textNormalize,
   )
 }

@@ -220,6 +220,35 @@ object Dedup {
     labels
   }
 
+  /** The full near-dup removal pipeline a training-data run executes,
+    * as ONE composition: MinHash signatures → banded-LSH candidates →
+    * MinHash-Jaccard verification at `minJaccard` → connected
+    * components over the verified pairs → per-document keep decision
+    * (keep = the cluster's smallest doc_id; singletons keep
+    * themselves). Output: (doc_id, cluster, keep) for EVERY input doc.
+    *
+    * Scale shape is the sum of its parts (each documented on its
+    * operator): signatures map-side, candidates via bucket self-join,
+    * verification O(perms)/pair, clustering O(log diameter) rounds —
+    * no stage ever materializes all-pairs or reshuffles document
+    * bodies.
+    */
+  def pipeline(docs: DataFrame, perms: Int, rowsPerBand: Int,
+               minJaccard: Double): DataFrame = {
+    // sigs feed three consumers (banding + both sides of the estimate
+    // join); checkpoint so the md5 shingling runs once, not thrice
+    val sigs = minhashSigs(docs, perms).localCheckpoint(false)
+    val cand = lshCandidatesFast(sigs, rowsPerBand, perms)
+    val strong = jaccardEstimate(sigs, cand, perms)
+      .where(col("jaccard_est") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+    val cc = connectedComponents(strong)
+    docs.select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .withColumn("keep", (col("doc_id") === col("cluster")).cast("int"))
+  }
+
   /** Exact word-3-gram Jaccard on candidate pairs. `pairs` must have
     * (doc_a, doc_b); joins each side's shingle set, intersection via
     * shingle equi-join — no array materialization per pair.

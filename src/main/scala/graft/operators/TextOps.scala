@@ -99,6 +99,16 @@ object TextOps {
       expr("aggregate(sequence(1, length(text)), cast(0 as bigint), " +
         "(acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007)").as("fp"))
 
+  /** Canonical text normalization for dedup/dedup-adjacent pipelines:
+    * lowercase, non-alphanumerics → space, whitespace collapsed,
+    * trimmed. Pure codegen string expressions, single pass, no shuffle.
+    */
+  def normalize(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")).as("norm_text"))
+      .withColumn("norm_tokens", size(split(col("norm_text"), " ")).cast("long"))
+
   /** Corpus-wide top-k tokens by frequency — vocabulary building. The
     * token explosion is reduced by a map-side-combined count, then
     * top-k is TWO-phase: per-salt top-k first, so the single-partition

@@ -95,6 +95,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(msgs(e).exists(m => m != null && m.contains("MAX_DIM")))
   }
 
+  test("dedup pipeline keeps one doc per near-dup cluster, all singletons") {
+    val d = docs(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"),   // dup cluster
+      (3L, "p q r s t u v w"),                            // singleton
+      (7L, "x y z x y z x y"), (9L, "x y z x y z x y"))   // dup cluster
+    val out = Dedup.pipeline(d, 16, 2, 0.5).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq === Seq((1L, 1L, 1), (2L, 1L, 0), (3L, 3L, 1), (7L, 7L, 1), (9L, 7L, 0)))
+  }
+
+  test("normalize lowercases, strips punctuation, collapses whitespace") {
+    val d = docs((1L, "Hello,  WORLD!  42"))
+    val out = TextOps.normalize(d).collect().head
+    assert(out.getString(1) === "hello world 42")
+    assert(out.getLong(2) === 3L)
+  }
+
   test("jaccard estimate is 1 for identical docs, rough for near-dups") {
     val d = docs((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
     val sigs = Dedup.minhashSigs(d, 16)
