@@ -60,6 +60,21 @@ object OracleSql {
        |         ${R(s"CASE WHEN _p IS NULL AND _n IS NULL THEN 0.0 WHEN _p IS NULL THEN _n - $c WHEN _n IS NULL THEN $c - _p ELSE (_n - _p) / 2 END")} AS $gcol
        |  FROM ${out}_pre)""".stripMargin
 
+  /** Lag/rolling feature matrix: complete training rows only. */
+  def lagFeatures(lags: Seq[Int], maWindow: Int): String = {
+    val lagCols = lags.map(l => s"LAG(v, $l) OVER w AS lag_$l").mkString(", ")
+    val notNull = lags.map(l => s"lag_$l IS NOT NULL").mkString(" AND ")
+    s"""WITH $daily,
+       |f AS (
+       |  SELECT user_id, day, v, $lagCols,
+       |         ${R(s"AVG(v) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN ${maWindow - 1} PRECEDING AND CURRENT ROW)")} AS ma_$maWindow,
+       |         ROW_NUMBER() OVER w AS rn
+       |  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day))
+       |SELECT user_id, day, v, ${lags.map(l => s"lag_$l").mkString(", ")}, ma_$maWindow
+       |FROM f WHERE $notNull AND rn >= $maWindow
+       |ORDER BY user_id, day""".stripMargin
+  }
+
   val resample: String =
     s"WITH $daily SELECT user_id, day, v FROM daily ORDER BY user_id, day"
 

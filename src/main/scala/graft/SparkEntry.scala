@@ -282,8 +282,8 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))),
 
     "dedup_jaccard_est" -> ((s, dir) => {
-      // checkpoint: sigs feed banding + both estimate-join sides
-      val sigs = Dedup.minhashSigs(Tables.documents(s, dir), 16).localCheckpoint(false)
+      // persist: sigs feed banding + both estimate-join sides
+      val sigs = Dedup.minhashSigs(Tables.documents(s, dir), 16).persist()
       Dedup.jaccardEstimate(sigs, Dedup.lshCandidatesFast(sigs, 2, 16), 16)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
@@ -400,6 +400,11 @@ object SparkEntry {
         SLOPE_W, NY, median = false)
         .orderBy(col("user_id"), col("day"))),
 
+    "ts_lag_features" -> ((s, dir) =>
+      TimeSeries.lagFeatures(
+        TimeSeries.resampleDaily(Tables.events(s, dir)), Seq(1, 7), 7)
+        .orderBy(col("user_id"), col("day"))),
+
     "dedup_pipeline" -> ((s, dir) =>
       Dedup.pipeline(Tables.documents(s, dir), 16, 2, 0.5)
         .orderBy(col("doc_id"))),
@@ -487,6 +492,7 @@ object SparkEntry {
     "ts_trajectory_mean" -> OracleSql.trajectory(HALF, TRAJ_W, median = false),
     "ts_extrapolate_mean" -> OracleSql.extrapolateTrend(HALF, SLOPE_W, NY, median = false),
     "range_join" -> OracleSql.rangeJoin,
+    "ts_lag_features" -> OracleSql.lagFeatures(Seq(1, 7), 7),
     "dedup_pipeline" -> OracleSql.dedupPipeline(16, 2, 0.5),
     "text_normalize" -> OracleSql.textNormalize,
   )

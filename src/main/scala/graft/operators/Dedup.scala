@@ -236,8 +236,9 @@ object Dedup {
   def pipeline(docs: DataFrame, perms: Int, rowsPerBand: Int,
                minJaccard: Double): DataFrame = {
     // sigs feed three consumers (banding + both sides of the estimate
-    // join); checkpoint so the md5 shingling runs once, not thrice
-    val sigs = minhashSigs(docs, perms).localCheckpoint(false)
+    // join); persist so the md5 shingling runs once, not thrice
+    // (cache contract: see TimeSeries.forecastBaseline)
+    val sigs = minhashSigs(docs, perms).persist()
     val cand = lshCandidatesFast(sigs, rowsPerBand, perms)
     val strong = jaccardEstimate(sigs, cand, perms)
       .where(col("jaccard_est") >= minJaccard)

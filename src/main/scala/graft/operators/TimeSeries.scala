@@ -449,6 +449,26 @@ object TimeSeries {
       .select(col(KEY), col(DAY), col("v"),
         r3(col("med")).as("med"), r3(abs(col("v") - col("med")) / nullif(col("mad"), lit(0.0))).as("n_mads"))
 
+  /** Supervised-learning feature matrix per (key, day): value, lagged
+    * values and a trailing moving average as flat columns — the
+    * long-format feature assembly that feeds a tabular forecaster
+    * (the reference's X windows, utils.py:436-460, unrolled as
+    * columns instead of arrays). All windows share the single key
+    * exchange; rows without a full lag history are dropped so every
+    * emitted row is a complete training example.
+    */
+  def lagFeatures(daily: DataFrame, lags: Seq[Int], maWindow: Int): DataFrame = {
+    val withLags = lags.foldLeft(daily)((d, l) =>
+      d.withColumn(s"lag_$l", lag(col("v"), l).over(wOrdered)))
+    withLags
+      .withColumn(s"ma_$maWindow",
+        r3(avg(col("v")).over(wOrdered.rowsBetween(-(maWindow - 1), 0))))
+      .withColumn("_rn", row_number().over(wOrdered))
+      .where(lags.map(l => col(s"lag_$l").isNotNull).reduce(_ && _) &&
+        col("_rn") >= maWindow)
+      .drop("_rn")
+  }
+
   /** Full preprocessing chain (reference pre_processing:
     * src/demo/utils.py:200-351): trend → detrend → standardize →
     * gradient. Single shuffle on `user_id` after the resample.
@@ -466,17 +486,19 @@ object TimeSeries {
     */
   def forecastBaseline(events: DataFrame, half: Int, window: Int, horizon: Int): DataFrame = {
     // The numbered daily table feeds three branches (history chain,
-    // per-key mean, actuals); materializing it keeps the raw-event
+    // per-key mean, actuals); persisting it keeps the raw-event
     // resample — the only stage that sees event volume — computed
     // once. Size is |keys|×|days|, the engine's canonical
-    // materialization point (SURVEY §5). localCheckpoint (lazy), not
-    // persist(): cacheManager entries live for the whole session
-    // unless every caller remembers to unpersist, while checkpoint
-    // blocks are freed by the ContextCleaner once the returned frame
-    // is dropped — repeated library calls don't accumulate storage.
+    // materialization point (SURVEY §5). CACHE CONTRACT: entries live
+    // in the session cacheManager until `spark.catalog.clearCache()`
+    // (or unpersist) — callers invoking this repeatedly should clear
+    // between runs, as graft.Bench does. (A lazy localCheckpoint would
+    // self-free via the ContextCleaner, but its cleanup races task
+    // completion and floods driver logs with spurious
+    // "non-existent accumulator" errors.)
     val daily = resampleDaily(events)
       .withColumn("rn_end", row_number().over(Window.partitionBy(KEY).orderBy(col(DAY).desc)))
-      .localCheckpoint(false)
+      .persist()
     val history = daily.where(col("rn_end") > horizon).drop("rn_end")
     val actual = daily.where(col("rn_end") <= horizon).drop("rn_end")
     val hist2 = scale(detrend(trend(history, half)))
@@ -498,11 +520,10 @@ object TimeSeries {
     // would drag the whole scored table onto one reducer); the final
     // global agg is map-side partial, so one reducer sees only
     // per-partition partials. scored (|keys|×horizon rows) feeds both
-    // the mu subquery and the final agg — lazy localCheckpoint so the
-    // upstream forecast chain runs once, not twice (and the blocks are
-    // ContextCleaner-freed, unlike session-lifetime cacheManager
-    // entries — see forecastBaseline).
-    val s = scored.localCheckpoint(false)
+    // the mu subquery and the final agg — persist so the upstream
+    // forecast chain runs once, not twice (cache contract: see
+    // forecastBaseline).
+    val s = scored.persist()
     val mu = s.agg(avg(col("v_actual")).as("mu"))
     s.crossJoin(broadcast(mu))
       .agg(

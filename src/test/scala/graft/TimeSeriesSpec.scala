@@ -198,6 +198,19 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(extMed.toSeq !== extMean.toSeq)
   }
 
+  test("lagFeatures emits only complete training rows with correct lags") {
+    val f = TimeSeries.lagFeatures(daily.where(col("user_id") === 1), Seq(1, 7), 7)
+      .orderBy("day").collect()
+    // 20 days, lag_7 defined from day 8, rn >= 7 from day 7 → 13 rows
+    assert(f.length === 13)
+    val first = f.head
+    assert(first.getAs[Double]("v") === 70.0)        // day 8: v = 10·7
+    assert(first.getAs[Double]("lag_1") === 60.0)
+    assert(first.getAs[Double]("lag_7") === 0.0)
+    // trailing 7-day MA of linear series = v - 30 (mean of v-60..v)
+    assert(first.getAs[Double]("ma_7") === 40.0)
+  }
+
   test("outliersMad flags the spike day and nothing else") {
     import spark.implicits._
     val vs = Seq(1.0, 1.1, 0.9, 1.0, 1.05, 50.0, 1.0, 0.95, 1.0, 1.1)
