@@ -30,6 +30,9 @@ object Bench {
     if (warmDir != sfDir && new java.io.File(warmDir).isDirectory)
       SparkEntry.queries.foreach { case (_, fn) =>
         try sink(fn(spark, warmDir)) catch { case _: Throwable => () }
+        // operators persist their fan-out intermediates (cache
+        // contract) — clear per query or re-persists WARN
+        spark.sharedState.cacheManager.clearCache()
       }
     spark.sharedState.cacheManager.clearCache()
     val errors = scala.collection.mutable.ListBuffer.empty[String]
