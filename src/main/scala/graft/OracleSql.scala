@@ -318,6 +318,28 @@ object OracleSql {
        |FROM s GROUP BY user_id, session_no
        |ORDER BY user_id, session_no""".stripMargin
 
+  /** Batch twin of the streaming native session_window: same boundary
+    * rule as [[sessionize]] (gap ≥ threshold starts a session), so the
+    * oracle is the lag-based sessionization projected to the
+    * session_window output shape.
+    */
+  def sessionWindowBatch(gapMicros: Long): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+       |f AS (
+       |  SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER w >= $gapMicros THEN 1
+       |                 WHEN LAG(ts_us) OVER w IS NULL THEN 1
+       |                 ELSE 0 END AS new_session
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       |s AS (
+       |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+       |  FROM f)
+       |SELECT user_id, MIN(ts_us) AS session_start_us,
+       |       COUNT(*) AS n_events, ${R("SUM(value)")} AS sum_value
+       |FROM s GROUP BY user_id, session_no
+       |ORDER BY user_id, session_start_us""".stripMargin
+
   /** Deterministic synthetic generator — mirrors operators.Generate. */
   def generate(nKeys: Int, nDays: Int, p: Int): String = {
     def u(keyExpr: String, tag: String) =

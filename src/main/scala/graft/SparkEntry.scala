@@ -400,6 +400,10 @@ object SparkEntry {
         SLOPE_W, NY, median = false)
         .orderBy(col("user_id"), col("day"))),
 
+    "session_window_batch" -> ((s, dir) =>
+      graft.streaming.StreamOps.sessionWindowsBatch(Tables.events(s, dir), "30 minutes")
+        .orderBy(col("user_id"), col("session_start_us"))),
+
     "ts_lag_features" -> ((s, dir) =>
       TimeSeries.lagFeatures(
         TimeSeries.resampleDaily(Tables.events(s, dir)), Seq(1, 7), 7)
@@ -492,6 +496,7 @@ object SparkEntry {
     "ts_trajectory_mean" -> OracleSql.trajectory(HALF, TRAJ_W, median = false),
     "ts_extrapolate_mean" -> OracleSql.extrapolateTrend(HALF, SLOPE_W, NY, median = false),
     "range_join" -> OracleSql.rangeJoin,
+    "session_window_batch" -> OracleSql.sessionWindowBatch(1800000000L),
     "ts_lag_features" -> OracleSql.lagFeatures(Seq(1, 7), 7),
     "dedup_pipeline" -> OracleSql.dedupPipeline(16, 2, 0.5),
     "text_normalize" -> OracleSql.textNormalize,
