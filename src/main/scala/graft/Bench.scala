@@ -35,30 +35,47 @@ object Bench {
         spark.sharedState.cacheManager.clearCache()
       }
     spark.sharedState.cacheManager.clearCache()
-    val errors = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      // min of two runs: a single sample in a shared 32-thread JVM
-      // carries GC/scheduler noise larger than most queries' work
-      def once(): Double = {
-        spark.sharedState.cacheManager.clearCache()
-        val t0 = System.nanoTime()
-        sink(fn(spark, sfDir))
-        (System.nanoTime() - t0) / 1e9
-      }
-      try { name -> math.min(once(), once()) }
+    // Two samples per query, INTERLEAVED: pass 1 over every query,
+    // then pass 2 — so one query's samples are minutes apart and a
+    // transient load spike on the host machine can contaminate at most
+    // one of them. (BENCH_r03 ran its two samples back-to-back: a
+    // multi-second contention window on the driver machine poisoned
+    // BOTH samples of ts_changepoint — 16.6s captured vs 0.58s
+    // reproducible. min-of-2 only protects when the samples are
+    // temporally independent.) Both samples are emitted alongside the
+    // min so contamination is visible, not silently absorbed.
+    val names = SparkEntry.queries.toSeq
+    val errors = scala.collection.mutable.LinkedHashSet.empty[String]
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+             name: String): Double = {
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      try { sink(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
         errors += name
         System.err.println(s"BENCH FAIL $name: $e")
-        // failed queries report negative elapsed so they can't read as
-        // a fast success
-        name -> -1.0
+        // failed samples report negative elapsed so they can't read
+        // as a fast success
+        -1.0
       }
+    }
+    val pass1 = names.map { case (name, fn) => name -> once(fn, name) }
+    val pass2 = names.map { case (name, fn) =>
+      name -> (if (errors.contains(name)) -1.0 else once(fn, name))
+    }
+    val s2 = pass2.toMap
+    val results = pass1.map { case (name, a) =>
+      val b = s2(name)
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val samples = pass1.map { case (k, a) => s"\"" + k + "\":[" + a + "," + s2(k) + "]" }
+      .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.values.filter(_ >= 0).sum + errors.size * 1e6 // failures poison the total
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum +
+      errors.size * 1e6 // failures poison the total
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samples,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -62,6 +62,7 @@ object OracleSql {
 
   /** Lag/rolling feature matrix: complete training rows only. */
   def lagFeatures(lags: Seq[Int], maWindow: Int): String = {
+    require(lags.nonEmpty, "lagFeatures: lags must be non-empty")
     val lagCols = lags.map(l => s"LAG(v, $l) OVER w AS lag_$l").mkString(", ")
     val notNull = lags.map(l => s"lag_$l IS NOT NULL").mkString(" AND ")
     s"""WITH $daily,
@@ -340,6 +341,19 @@ object OracleSql {
        |FROM s GROUP BY user_id, session_no
        |ORDER BY user_id, session_start_us""".stripMargin
 
+  /** First event per (user_id, event_type), min event-time tie-broken
+    * by event_id — the batch twin of StreamOps.dedupStream.
+    */
+  val dedupStreamBatch: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us FROM events),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY user_id, event_type ORDER BY ts_us, event_id) AS rn
+      |  FROM e)
+      |SELECT user_id, event_type, event_id, ts_us
+      |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
   /** Deterministic synthetic generator — mirrors operators.Generate. */
   def generate(nKeys: Int, nDays: Int, p: Int): String = {
     def u(keyExpr: String, tag: String) =
@@ -366,15 +380,19 @@ object OracleSql {
        |s1 AS (
        |  SELECT *, (CASE WHEN tt < 0.5 THEN 1.0 ELSE -1.0 END)
        |            * ((u0 * (0.5 - u0)) * 16.0) AS q FROM s0),
+       |-- reference-exact per-type amplitude/sign conventions
+       |-- (create_time_series.py:136-139), parenthesized exactly like
+       |-- operators.Generate: sine/square 0.5·salary, sawtooth negated,
+       |-- triangle full-amplitude with constant −1 offset
        |v AS (
        |  SELECT key, t, salary, trend, noise, spike,
-       |    CASE WHEN key % 4 = 0 THEN (q * 0.775) + ((q * ABS(q)) * 0.225)
-       |         WHEN key % 4 = 1 THEN tt * 2.0 - 1.0
-       |         WHEN key % 4 = 2 THEN ABS(tt * 2.0 - 1.0) * 2.0 - 1.0
-       |         ELSE CASE WHEN tt < 0.5 THEN 1.0 ELSE -1.0 END END AS wave
+       |    CASE WHEN key % 4 = 0 THEN ((q * 0.775) + ((q * ABS(q)) * 0.225)) * 0.5 * salary
+       |         WHEN key % 4 = 1 THEN (tt * 2.0 - 1.0) * -0.5 * salary
+       |         WHEN key % 4 = 2 THEN ABS(tt * 2.0 - 1.0) * salary - 1.0
+       |         ELSE (CASE WHEN tt < 0.5 THEN 1.0 ELSE -1.0 END) * 0.5 * salary END AS seasonal
        |  FROM s1)
        |SELECT key, t,
-       |       ${R("salary * (wave * 0.5 + trend + noise + spike)")} AS v,
+       |       ${R("seasonal + salary * (trend + noise + spike)")} AS v,
        |       CAST(key % 4 AS INTEGER) AS signal_type
        |FROM v ORDER BY key, t""".stripMargin
   }

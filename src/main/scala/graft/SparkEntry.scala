@@ -282,10 +282,14 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))),
 
     "dedup_jaccard_est" -> ((s, dir) => {
-      // persist: sigs feed banding + both estimate-join sides
+      // persist: sigs feed banding + both estimate-join sides; the
+      // (small, candidate-filtered) estimate table is checkpointed
+      // eagerly so the cache entry drops before return
       val sigs = Dedup.minhashSigs(Tables.documents(s, dir), 16).persist()
-      Dedup.jaccardEstimate(sigs, Dedup.lshCandidatesFast(sigs, 2, 16), 16)
+      try Dedup.jaccardEstimate(sigs, Dedup.lshCandidatesFast(sigs, 2, 16), 16)
+        .localCheckpoint()
         .orderBy(col("doc_a"), col("doc_b"))
+      finally sigs.unpersist(blocking = false)
     }),
 
     "dedup_cc" -> ((s, dir) =>
@@ -404,6 +408,11 @@ object SparkEntry {
       graft.streaming.StreamOps.sessionWindowsBatch(Tables.events(s, dir), "30 minutes")
         .orderBy(col("user_id"), col("session_start_us"))),
 
+    "dedup_stream_batch" -> ((s, dir) =>
+      graft.streaming.StreamOps.dedupStreamBatch(
+        Tables.events(s, dir), Seq("user_id", "event_type"))
+        .orderBy(col("user_id"), col("event_type"))),
+
     "ts_lag_features" -> ((s, dir) =>
       TimeSeries.lagFeatures(
         TimeSeries.resampleDaily(Tables.events(s, dir)), Seq(1, 7), 7)
@@ -497,6 +506,7 @@ object SparkEntry {
     "ts_extrapolate_mean" -> OracleSql.extrapolateTrend(HALF, SLOPE_W, NY, median = false),
     "range_join" -> OracleSql.rangeJoin,
     "session_window_batch" -> OracleSql.sessionWindowBatch(1800000000L),
+    "dedup_stream_batch" -> OracleSql.dedupStreamBatch,
     "ts_lag_features" -> OracleSql.lagFeatures(Seq(1, 7), 7),
     "dedup_pipeline" -> OracleSql.dedupPipeline(16, 2, 0.5),
     "text_normalize" -> OracleSql.textNormalize,

@@ -62,12 +62,47 @@ object VectorExprs {
     }
   }
 
+  /** Extract a literal (foldable) double argument — accepts integer,
+    * double, and decimal literals (a bare SQL `0.3` parses as DECIMAL).
+    */
+  private[graft] def litDoubleArg(fn: String, usage: String,
+                                  exprs: Seq[Expression], i: Int): Double = {
+    val e = exprs(i)
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a literal number (got a non-constant " +
+          s"expression); usage: $usage")
+    e.eval() match {
+      case n: Number => n.doubleValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a literal number, got '$other'; usage: $usage")
+    }
+  }
+
+  /** Extract a literal (foldable) string argument. */
+  private[graft] def litStrArg(fn: String, usage: String,
+                               exprs: Seq[Expression], i: Int): String = {
+    val e = exprs(i)
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a literal string (got a non-constant " +
+          s"expression); usage: $usage")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a literal string, got '$other'; usage: $usage")
+    }
+  }
+
   private[graft] val USAGE: Map[String, String] = Map(
     "graft_simhash" -> "graft_simhash(tokens: array<string>)",
     "graft_vec_dot" -> "graft_vec_dot(a: array<float|double>, b: array<float|double>)",
     "graft_lsh_bucket" -> "graft_lsh_bucket(v: array<float|double>, nPlanes: int literal)",
     "graft_minhash" -> "graft_minhash(shingles: array<string>, perms: int literal)",
-    "graft_rolling_hash" -> "graft_rolling_hash(text: string)")
+    "graft_rolling_hash" -> "graft_rolling_hash(text: string)",
+    "graft_ewma" -> "graft_ewma(vals: array<float|double>, alpha: double literal)",
+    "graft_ivf_cell" -> "graft_ivf_cell(v: array<float|double>, centroids: string literal from IvfCell.encode)")
 
   private[graft] def build(name: String, exprs: Seq[Expression]): Expression = {
     val usage = USAGE(name)
@@ -84,6 +119,12 @@ object VectorExprs {
         MinHashSig(exprs(0), litIntArg(name, usage, exprs, 1))
       case "graft_rolling_hash" =>
         requireArity(name, usage, exprs, 1); RollingHash31(exprs.head)
+      case "graft_ewma" =>
+        requireArity(name, usage, exprs, 2)
+        EwmaFold(exprs(0), litDoubleArg(name, usage, exprs, 1))
+      case "graft_ivf_cell" =>
+        requireArity(name, usage, exprs, 2)
+        IvfCell(exprs(0), litStrArg(name, usage, exprs, 1))
     }
   }
 

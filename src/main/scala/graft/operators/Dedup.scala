@@ -122,7 +122,13 @@ object Dedup {
     */
   def lshCandidatesFast(sigs: DataFrame, rowsPerBand: Int, perms: Int): DataFrame = {
     val nBands = perms / rowsPerBand
-    val bands = sigs.select(col("doc_id"), posexplode(expr(
+    // NULL signatures (shingle-less docs — see MinHashSig) are dropped
+    // HERE, enforcing the documented contract in the operator: without
+    // this, element_at over a NULL sig yields all-NULL band arrays,
+    // array_join skips NULLs, and every shingle-less doc would collide
+    // on the "" band signature.
+    val bands = sigs.where(col("sig").isNotNull)
+      .select(col("doc_id"), posexplode(expr(
       s"transform(sequence(0, ${nBands - 1}), b -> " +
         s"array_join(transform(sequence(0, ${rowsPerBand - 1}), " +
         s"r -> cast(element_at(sig, b * $rowsPerBand + r + 1) as string)), ','))")))
@@ -151,8 +157,12 @@ object Dedup {
     */
   def jaccardEstimate(sigs: DataFrame, pairs: DataFrame, perms: Int): DataFrame =
     pairs.select(col("doc_a"), col("doc_b"))
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      // shingle-less docs carry NULL sigs — no estimate is possible,
+      // so their pairs are dropped rather than emitted with NULL
+      .join(sigs.where(col("sig").isNotNull)
+        .select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.where(col("sig").isNotNull)
+        .select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         r3(expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))" +
           s" / cast($perms as double)")).as("jaccard_est"))
@@ -237,13 +247,21 @@ object Dedup {
                minJaccard: Double): DataFrame = {
     // sigs feed three consumers (banding + both sides of the estimate
     // join); persist so the md5 shingling runs once, not thrice
-    // (cache contract: see TimeSeries.forecastBaseline)
     val sigs = minhashSigs(docs, perms).persist()
-    val cand = lshCandidatesFast(sigs, rowsPerBand, perms)
-    val strong = jaccardEstimate(sigs, cand, perms)
-      .where(col("jaccard_est") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"))
-    val cc = connectedComponents(strong)
+    val cc = try {
+      val cand = lshCandidatesFast(sigs, rowsPerBand, perms)
+      val strong = jaccardEstimate(sigs, cand, perms)
+        .where(col("jaccard_est") >= minJaccard)
+        .select(col("doc_a"), col("doc_b"))
+      connectedComponents(strong)
+    } finally {
+      // connectedComponents materializes eagerly (checkpointed rounds),
+      // so all three sig consumers have run by here — the cache entry
+      // drops before return and the returned plan references only
+      // docs + the checkpointed cc leaf. No cacheManager entry
+      // outlives the call (CacheHygieneSpec).
+      sigs.unpersist(blocking = false)
+    }
     docs.select(col("doc_id"))
       .join(cc, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))

@@ -46,7 +46,6 @@ object Generate {
       x - floor(x)
     }
     val saw = tt * 2.0 - 1.0
-    val tri = abs(tt * 2.0 - 1.0) * 2.0 - 1.0
     val sq = when(tt < 0.5, 1.0).otherwise(-1.0)
     // sin(2π·tt) ≈ folded parabola q = ±16·u·(0.5−u) refined by
     // 0.775·q + 0.225·q·|q| — pure IEEE mul/add, identical
@@ -55,8 +54,14 @@ object Generate {
     val q = when(tt < 0.5, lit(1.0)).otherwise(lit(-1.0)) * (u0 * (lit(0.5) - u0) * 16.0)
     val sine = q * 0.775 + q * abs(q) * 0.225
     val signalType = (k % 4).cast("int")
-    val wave = when(signalType === 0, sine).when(signalType === 1, saw)
-      .when(signalType === 2, tri).otherwise(sq)
+    // Reference-exact amplitude/sign conventions per signal type
+    // (create_time_series.py:136-139): sine/square scale 0.5·salary,
+    // sawtooth is NEGATED (−0.5·salary·saw), triangle is full-amplitude
+    // |saw|·salary with a constant −1 offset (not salary-scaled).
+    val seasonal = when(signalType === 0, sine * 0.5 * salary)
+      .when(signalType === 1, saw * -0.5 * salary)
+      .when(signalType === 2, abs(saw) * salary - 1.0)
+      .otherwise(sq * 0.5 * salary)
     val trendSign = when(u(k, "sign") < 0.5, -1.0).otherwise(1.0)
     val trend = trendSign * (u(k, "trend") + 0.5) * (t / nDays.toDouble)
     val noise = (u(concat(k, lit("@"), col("t")), "noise") - 0.5) * 0.2
@@ -65,7 +70,7 @@ object Generate {
     spark.range(nKeys).toDF("key")
       .select(k, explode(sequence(lit(0), lit(nDays - 1))).as("t"))
       .select(k, col("t"),
-        r3(salary * (wave * 0.5 + trend + noise + spike)).as("v"),
+        r3(seasonal + salary * (trend + noise + spike)).as("v"),
         signalType.as("signal_type"))
   }
 }

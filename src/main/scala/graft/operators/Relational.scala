@@ -110,9 +110,15 @@ object Relational {
     // — nanosecond epoch timestamps (~1.7e18) would land in off-by-one
     // buckets and genuinely-contained matches would be silently
     // dropped. pmod keeps it true floor (not truncate-toward-zero)
-    // for negative domains.
+    // for negative domains. Non-integral columns are CAST to BIGINT
+    // first (`div` accepts only integral/decimal operands): truncation
+    // toward zero is monotone, so a contained point's bucket always
+    // lies within its interval's bucket span — no match is ever
+    // missed — and the exact containment filter below compares the
+    // ORIGINAL (uncast) values.
     require(width > 0, s"rangeJoin: width must be positive, got $width")
-    def bucketOf(c: String) = expr(s"(`$c` - pmod(`$c`, ${width}L)) div ${width}L")
+    def bucketOf(c: String) = expr(
+      s"(CAST(`$c` AS BIGINT) - pmod(CAST(`$c` AS BIGINT), ${width}L)) div ${width}L")
     val p = points.withColumn("_bucket", bucketOf(tCol))
     val i = intervals.withColumn("_bucket",
       explode(sequence(bucketOf(startCol), bucketOf(endCol))))

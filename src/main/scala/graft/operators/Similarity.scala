@@ -95,32 +95,47 @@ object Similarity {
   /** IVF-style ANN: a deterministic coarse quantizer (centroids = the
     * first `nCentroids` vectors) partitions the corpus into cells;
     * each query searches only its own cell (nprobe = 1). The
-    * complement of [[annLshTopK]] on the scale path: cell assignment
-    * is a map-only pass against the broadcast centroid set, so search
-    * cost is O(corpus / nCentroids) with no all-pairs stage anywhere.
-    * Recall < 1 by construction; the exactness baseline is
-    * [[cosineTopK]].
+    * complement of [[annLshTopK]] on the scale path.
+    *
+    * Cell assignment is genuinely map-only: the centroid set is
+    * materialized on the driver — O(nCentroids·dim) doubles, the
+    * standard IVF shape (k-means centroids always live driver-side)
+    * and the same footprint a `broadcast()` would ship — and scored
+    * per row by the native [[graft.functions.IvfCell]] argmax
+    * expression, a pure projection on the scan. ZERO exchanges
+    * between scan and assignment (the round-3 formulation BNLJ'd
+    * corpus × nCentroids rows through a `row_number` window — a
+    * 16×-amplified exchange, twice). Rounded score + ascending-cid
+    * tie-break inside the expression keeps the argmax bit-stable
+    * across engines.
+    *
+    * Search = one broadcast bucket join on the cell id; ranking =
+    * the same two-phase salted top-k as [[cosineTopK]], since a cell
+    * holds corpus/nCentroids candidates at scale.
     */
   def annIvfTopK(embeddings: DataFrame, nCentroids: Int, nQueries: Int, k: Int): DataFrame = {
-    val e = prepared(embeddings)
-    val c = prepared(embeddings).where(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))
-    // nearest centroid per vector; rounded score + cid tie-break keeps
-    // the argmax bit-stable across engines
-    val assigned = e.join(broadcast(c))
-      .withColumn("ccos", r3(expr("graft_vec_dot(v, cv)") / (col("norm") * col("cnorm"))))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))))
-      .where(col("crank") === 1)
-      .select(col("vec_id"), col("v"), col("norm"), col("cid").as("cell"))
+    VectorExprs.register(embeddings.sparkSession)
+    val cents = embeddings.where(col("vec_id") < nCentroids)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue(),
+        r.getSeq[Number](1).map(_.doubleValue()).toArray))
+      .sortBy(_._1)
+    val enc = graft.functions.IvfCell.encode(cents.map(_._1), cents.map(_._2))
+    val assigned = prepared(embeddings)
+      .withColumn("cell", expr(s"graft_ivf_cell(v, '$enc')"))
     val q = assigned.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("norm").as("qnorm"), col("cell"))
-    assigned.join(broadcast(q), Seq("cell"))
+    val scored = assigned.join(broadcast(q), Seq("cell"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("vid"),
         r3(expr("graft_vec_dot(v, qv)") / (col("norm") * col("qnorm"))).as("cos"))
-      .withColumn("rank", row_number().over(
+    val salted = scored.withColumn("salt", pmod(col("vid"), lit(32)))
+      .withColumn("r1", row_number().over(
+        Window.partitionBy(col("qid"), col("salt")).orderBy(col("cos").desc, col("vid"))))
+      .where(col("r1") <= k).drop("salt", "r1")
+    salted.withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))))
       .where(col("rank") <= k)
   }

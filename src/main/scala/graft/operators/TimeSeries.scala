@@ -259,10 +259,25 @@ object TimeSeries {
 
   /** Final exponentially-weighted moving average per key
     * (`ewma₀ = v₀; ewmaₜ = (1−α)·ewmaₜ₋₁ + α·vₜ`) — folded over the
-    * day-ordered series with a higher-order aggregate, seeded by the
-    * first value (list_reduce semantics, engine-portable).
+    * day-ordered series by the native codegen'd
+    * [[graft.functions.EwmaFold]] loop (an interpreted `aggregate`
+    * HOF evaluates its lambda per element — the doc_fingerprint
+    * lesson; at 635-day reference series × 10⁸ keys that interpreter
+    * tax dominates). [[ewmaHof]] keeps the HOF formulation as the
+    * parity oracle.
     */
-  def ewma(daily: DataFrame, alpha: Double): DataFrame =
+  def ewma(daily: DataFrame, alpha: Double): DataFrame = {
+    graft.functions.VectorExprs.register(daily.sparkSession)
+    daily.groupBy(col(KEY))
+      .agg(expr("transform(sort_array(collect_list(struct(day, v))), s -> s.v)").as("vals"))
+      .select(col(KEY),
+        r3(expr(s"graft_ewma(vals, cast($alpha as double))")).as("ewma"))
+  }
+
+  /** Interpreted-HOF twin of [[ewma]] (list_reduce semantics, engine-
+    * portable SQL) — retained as the parity spec's reference.
+    */
+  def ewmaHof(daily: DataFrame, alpha: Double): DataFrame =
     daily.groupBy(col(KEY))
       .agg(expr("transform(sort_array(collect_list(struct(day, v))), s -> s.v)").as("vals"))
       .select(col(KEY),
@@ -309,10 +324,17 @@ object TimeSeries {
     daily
       .withColumn("diff", col("v") - lag(col("v"), 1).over(wOrdered))
       .where(col("diff").isNotNull)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(KEY).orderBy(abs(col("diff")).desc, col(DAY))))
-      .where(col("rn") === 1)
-      .select(col(KEY), col(DAY).as("cp_day"), r3(col("diff")).as("cp_shift"))
+      // max_by over the lag window's existing key exchange — a second
+      // per-key sort (row_number ordered by |diff| desc) would re-sort
+      // the partition for a single-row answer. Tie-break = earliest
+      // day, encoded as the NEGATED day ordinal inside the max_by
+      // comparator (lexicographic struct ordering).
+      .groupBy(col(KEY))
+      .agg(max_by(
+        struct(col(DAY).as("cp_day"), col("diff").as("diff")),
+        struct(abs(col("diff")).as("mag"),
+          (-datediff(col(DAY), to_date(lit("1970-01-01")))).as("neg_day"))).as("m"))
+      .select(col(KEY), col("m.cp_day").as("cp_day"), r3(col("m.diff")).as("cp_shift"))
 
   /** Day-of-week seasonal profile of the detrended series (0 = Monday,
     * anchored at 1970-01-05 so both engines share the arithmetic —
@@ -458,6 +480,7 @@ object TimeSeries {
     * emitted row is a complete training example.
     */
   def lagFeatures(daily: DataFrame, lags: Seq[Int], maWindow: Int): DataFrame = {
+    require(lags.nonEmpty, "lagFeatures: lags must be non-empty")
     val withLags = lags.foldLeft(daily)((d, l) =>
       d.withColumn(s"lag_$l", lag(col("v"), l).over(wOrdered)))
     withLags
@@ -489,25 +512,31 @@ object TimeSeries {
     // per-key mean, actuals); persisting it keeps the raw-event
     // resample — the only stage that sees event volume — computed
     // once. Size is |keys|×|days|, the engine's canonical
-    // materialization point (SURVEY §5). CACHE CONTRACT: entries live
-    // in the session cacheManager until `spark.catalog.clearCache()`
-    // (or unpersist) — callers invoking this repeatedly should clear
-    // between runs, as graft.Bench does. (A lazy localCheckpoint would
-    // self-free via the ContextCleaner, but its cleanup races task
-    // completion and floods driver logs with spurious
-    // "non-existent accumulator" errors.)
+    // materialization point (SURVEY §5). The result (|keys|×horizon
+    // rows, MEMORY_AND_DISK) is eagerly materialized as a
+    // localCheckpoint leaf INSIDE the call so the shared cache entry
+    // can be released in the finally — no cacheManager entry outlives
+    // the call (CacheHygieneSpec), and library callers need no
+    // clearCache contract. (An EAGER checkpoint is safe — the lazy
+    // variant's deferred materialization races the ContextCleaner and
+    // floods driver logs with spurious "non-existent accumulator"
+    // errors; at cluster scale swap for reliable checkpoint() to
+    // survive executor loss.)
     val daily = resampleDaily(events)
       .withColumn("rn_end", row_number().over(Window.partitionBy(KEY).orderBy(col(DAY).desc)))
       .persist()
-    val history = daily.where(col("rn_end") > horizon).drop("rn_end")
-    val actual = daily.where(col("rn_end") <= horizon).drop("rn_end")
-    val hist2 = scale(detrend(trend(history, half)))
-    val ext = extrapolateTrend(hist2.select(KEY, DAY, "v", "trend"), window, horizon)
-    val meanPerKey = hist2.groupBy(col(KEY)).agg(max(col("mean")).as("mean"))
-    ext
-      .join(meanPerKey, KEY)
-      .select(col(KEY), col(DAY), r3(col("v_hat") + col("mean")).as("v_hat"))
-      .join(actual.withColumnRenamed("v", "v_actual"), Seq(KEY, DAY))
+    try {
+      val history = daily.where(col("rn_end") > horizon).drop("rn_end")
+      val actual = daily.where(col("rn_end") <= horizon).drop("rn_end")
+      val hist2 = scale(detrend(trend(history, half)))
+      val ext = extrapolateTrend(hist2.select(KEY, DAY, "v", "trend"), window, horizon)
+      val meanPerKey = hist2.groupBy(col(KEY)).agg(max(col("mean")).as("mean"))
+      ext
+        .join(meanPerKey, KEY)
+        .select(col(KEY), col(DAY), r3(col("v_hat") + col("mean")).as("v_hat"))
+        .join(actual.withColumnRenamed("v", "v_actual"), Seq(KEY, DAY))
+        .localCheckpoint()
+    } finally daily.unpersist(blocking = false)
   }
 
   /** Corpus-level forecast metrics — the reference's `R2_all`
@@ -521,17 +550,21 @@ object TimeSeries {
     // global agg is map-side partial, so one reducer sees only
     // per-partition partials. scored (|keys|×horizon rows) feeds both
     // the mu subquery and the final agg — persist so the upstream
-    // forecast chain runs once, not twice (cache contract: see
-    // forecastBaseline).
+    // forecast chain runs once, not twice; the ONE-ROW result is
+    // checkpointed eagerly so the entry can drop in the finally
+    // (CacheHygieneSpec — no clearCache contract for callers).
     val s = scored.persist()
-    val mu = s.agg(avg(col("v_actual")).as("mu"))
-    s.crossJoin(broadcast(mu))
-      .agg(
-        count(lit(1)).as("n"),
-        r3(avg(err * err)).as("mse"),
-        r3(avg(abs(err))).as("mae"),
-        r3(lit(1.0) - sum(err * err) /
-          nullif(sum((col("v_actual") - col("mu")) * (col("v_actual") - col("mu"))), lit(0.0))).as("r2"))
+    try {
+      val mu = s.agg(avg(col("v_actual")).as("mu"))
+      s.crossJoin(broadcast(mu))
+        .agg(
+          count(lit(1)).as("n"),
+          r3(avg(err * err)).as("mse"),
+          r3(avg(abs(err))).as("mae"),
+          r3(lit(1.0) - sum(err * err) /
+            nullif(sum((col("v_actual") - col("mu")) * (col("v_actual") - col("mu"))), lit(0.0))).as("r2"))
+        .localCheckpoint()
+    } finally s.unpersist(blocking = false)
   }
 
   /** Per-series forecast metrics at multiple horizons — the

@@ -57,6 +57,25 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Batch twin of [[dedupStream]] with canonical deterministic
+    * semantics: the first event per content key = min event-time,
+    * tie-broken by event_id. (`dropDuplicatesWithinWatermark` keeps
+    * the first ARRIVAL, which coincides with this exactly when the
+    * stream is event-time ordered — the batch twin pins down the
+    * deterministic answer the oracle can check.) One shuffle on the
+    * content key; per-key state is a single row.
+    */
+  def dedupStreamBatch(events: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("ts_us"), col("event_id"))
+    events
+      .select(keyCols.map(col) ++ Seq(col("event_id"), unix_micros(col("ts")).as("ts_us")): _*)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+  }
+
   /** Batch twin of [[sessionWindows]]. */
   def sessionWindowsBatch(events: DataFrame, gap: String): DataFrame =
     events

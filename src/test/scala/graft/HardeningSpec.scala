@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorExprs
+import graft.operators.{Dedup, Relational, Similarity, TimeSeries}
+
+/** Round-4 hardening: native-expression parity twins, skew/typing
+  * contracts, and cache hygiene.
+  */
+class HardeningSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Session.local(4)
+  val dir = "/root/testdata/sf0.001"
+
+  private def r3c(c: org.apache.spark.sql.Column) = floor(c * 1000.0 + 0.5001) / 1000.0
+
+  // ---------------- EWMA ----------------
+
+  test("native graft_ewma matches the interpreted HOF fold on real series") {
+    val daily = TimeSeries.resampleDaily(Tables.events(spark, dir))
+    val native = TimeSeries.ewma(daily, 0.3).orderBy("user_id").collect()
+    val hof = TimeSeries.ewmaHof(daily, 0.3).orderBy("user_id").collect()
+    assert(native.length === hof.length)
+    native.zip(hof).foreach { case (a, b) =>
+      assert(a.getAs[Long]("user_id") === b.getAs[Long]("user_id"))
+      // bit-exact, not ε-close: same fold arithmetic in the same order
+      assert(a.getAs[Double]("ewma") === b.getAs[Double]("ewma"))
+    }
+  }
+
+  test("graft_ewma null semantics replicate the aggregate fold exactly") {
+    VectorExprs.register(spark)
+    val cases = Seq(
+      "array(1.0D, 2.0D, 3.0D)",
+      "array(cast(null as double), 1.0D, 2.0D)", // leading null: reseed on first non-null
+      "array(1.0D, cast(null as double), 2.0D)", // mid null: nullify then reseed
+      "array(1.0D, 2.0D, cast(null as double))", // trailing null: NULL result
+      "array(cast(null as double))",             // all-null: NULL
+      "array_remove(array(1.0D), 1.0D)")         // empty: NULL
+    cases.foreach { arr =>
+      val row = spark.sql(
+        s"""SELECT graft_ewma($arr, cast(0.3 as double)) AS native,
+           |aggregate($arr, cast(null as double), (acc, x) ->
+           |  CASE WHEN acc IS NULL THEN x ELSE acc * ${1 - 0.3} + x * 0.3 END) AS hof
+           |""".stripMargin).collect().head
+      assert(row.isNullAt(0) === row.isNullAt(1), s"null disagreement on $arr")
+      if (!row.isNullAt(0))
+        assert(row.getDouble(0) === row.getDouble(1), s"value disagreement on $arr")
+    }
+  }
+
+  // ---------------- IVF cell assignment ----------------
+
+  test("map-only annIvfTopK matches the join+window formulation bit-for-bit") {
+    val emb = Tables.embeddings(spark, dir)
+    // the round-3 reference formulation: BNLJ against the centroid set
+    // + row_number argmax, then single-phase ranking
+    val e = Similarity.prepared(emb)
+    val c = Similarity.prepared(emb).where(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))
+    val assigned = e.join(broadcast(c))
+      .withColumn("ccos", r3c(expr("graft_vec_dot(v, cv)") / (col("norm") * col("cnorm"))))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))))
+      .where(col("crank") === 1)
+      .select(col("vec_id"), col("v"), col("norm"), col("cid").as("cell"))
+    val q = assigned.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("norm").as("qnorm"), col("cell"))
+    val ref = assigned.join(broadcast(q), Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("vid"),
+        r3c(expr("graft_vec_dot(v, qv)") / (col("norm") * col("qnorm"))).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))))
+      .where(col("rank") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val got = Similarity.annIvfTopK(emb, 16, 5, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.toSet === ref.toSet)
+  }
+
+  test("IvfCell encode/decode round-trips and ties break to the smallest cid") {
+    import graft.functions.IvfCell
+    val enc = IvfCell.encode(Array(3L, 7L), Array(Array(1.0, 0.0), Array(1.0, 0.0)))
+    val (cids, cents, norms) = IvfCell.decode(enc)
+    assert(cids.toSeq === Seq(3L, 7L))
+    assert(cents.map(_.toSeq).toSeq === Seq(Seq(1.0, 0.0), Seq(1.0, 0.0)))
+    assert(norms.toSeq === Seq(1.0, 1.0))
+    VectorExprs.register(spark)
+    // identical centroids → identical rounded cosine → smallest cid
+    val cell = spark.sql(
+      s"SELECT graft_ivf_cell(array(cast(2.0 as float), cast(0.5 as float)), '$enc') AS cell")
+      .collect().head.getLong(0)
+    assert(cell === 3L)
+  }
+
+  // ---------------- rangeJoin skew + typing ----------------
+
+  test("rangeJoin is exact under pathological long intervals (span >> width)") {
+    import spark.implicits._
+    val width = 100L
+    val points = (0L until 2000L by 7).map(t => (t, s"p$t")).toDF("t", "pname")
+    // interval 1 spans 1000 buckets (100000/width), interval 2 spans 1
+    val intervals = Seq((1L, 0L, 100000L), (2L, 500L, 520L), (3L, 1800L, 1900L))
+      .toDF("iid", "start", "end")
+    val got = Relational.rangeJoin(points, "t", intervals, "start", "end", width)
+      .select("pname", "iid").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val naive = points.crossJoin(intervals)
+      .where(col("t") >= col("start") && col("t") <= col("end"))
+      .select("pname", "iid").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === naive)
+    // the documented cost contract: the interval side explodes into
+    // exactly span/width + 1 bucket rows — the "raise width or split"
+    // guidance in the docstring is about THIS factor
+    def nBuckets(s: Long, e: Long) = e / width - s / width + 1
+    assert(nBuckets(0L, 100000L) === 1001L)
+    assert(nBuckets(500L, 520L) === 1L)
+    val totalExplode = Seq((0L, 100000L), (500L, 520L), (1800L, 1900L))
+      .map { case (s, e) => nBuckets(s, e) }.sum
+    assert(totalExplode <= 100000L / width + intervals.count() + 2)
+  }
+
+  test("rangeJoin accepts double-typed point/interval columns (cast, not fail)") {
+    import spark.implicits._
+    val points = Seq((10.5, "a"), (250.0, "b"), (999.9, "c")).toDF("t", "pname")
+    val intervals = Seq((1L, 10.0, 260.0)).toDF("iid", "start", "end")
+    val got = Relational.rangeJoin(points, "t", intervals, "start", "end", 64L)
+      .select("pname").collect().map(_.getString(0)).toSet
+    assert(got === Set("a", "b"))
+  }
+
+  // ---------------- streaming dedup batch twin ----------------
+
+  test("dedupStreamBatch keeps min-ts row per key, tie-broken by event_id") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, "click", 11L, "2020-01-01 00:00:05"),
+      (1L, "click", 10L, "2020-01-01 00:00:05"), // ts tie → keep event_id 10
+      (1L, "click", 9L, "2020-01-01 00:00:09"),
+      (1L, "error", 20L, "2020-01-01 00:00:01"),
+      (2L, "click", 30L, "2020-01-01 00:00:02"))
+      .toDF("user_id", "event_type", "event_id", "ts")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val out = graft.streaming.StreamOps
+      .dedupStreamBatch(events, Seq("user_id", "event_type"))
+      .orderBy("user_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, "click", 10L), (1L, "error", 20L), (2L, "click", 30L)))
+  }
+
+  // ---------------- NULL-sig LSH contract ----------------
+
+  test("lshCandidatesFast drops NULL signatures instead of colliding them") {
+    VectorExprs.register(spark)
+    // docs 1 & 2: empty shingle sets → NULL sigs; docs 3 & 4 identical
+    val sigs = spark.sql(
+      """SELECT 1L AS doc_id, graft_minhash(array_remove(array('x'), 'x'), 16) AS sig
+        |UNION ALL SELECT 2L, graft_minhash(array_remove(array('x'), 'x'), 16)
+        |UNION ALL SELECT 3L, graft_minhash(array('a b c', 'b c d'), 16)
+        |UNION ALL SELECT 4L, graft_minhash(array('a b c', 'b c d'), 16)""".stripMargin)
+    val cand = Dedup.lshCandidatesFast(sigs, 2, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cand.toSet === Set((3L, 4L))) // no (1,2) ""-signature collision
+    // jaccardEstimate also drops NULL-sig pairs rather than emitting NULL
+    val pairs = spark.sql("SELECT 1L AS doc_a, 2L AS doc_b UNION ALL SELECT 3L, 4L")
+    val est = Dedup.jaccardEstimate(sigs, pairs, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(est.toSet === Set((3L, 4L)))
+  }
+
+  // ---------------- cache hygiene ----------------
+
+  test("operators leave no cacheManager entries behind") {
+    val cm = spark.sharedState.cacheManager
+    cm.clearCache()
+    val ev = Tables.events(spark, dir)
+
+    TimeSeries.forecastBaseline(ev, 3, 10, 5).count()
+    assert(cm.isEmpty, "forecastBaseline leaked a cache entry")
+
+    TimeSeries.metricsOverall(TimeSeries.forecastBaseline(ev, 3, 10, 5)).count()
+    assert(cm.isEmpty, "metricsOverall leaked a cache entry")
+
+    Dedup.pipeline(Tables.documents(spark, dir), 16, 2, 0.5).count()
+    assert(cm.isEmpty, "Dedup.pipeline leaked a cache entry")
+
+    SparkEntry.queries("dedup_jaccard_est")(spark, dir).count()
+    assert(cm.isEmpty, "dedup_jaccard_est entry leaked a cache entry")
+  }
+}
