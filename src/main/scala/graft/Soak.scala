@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Relational, Similarity}
+
+/** Scale soak: runs the shuffle-heavy operators on inputs scaled
+  * `SPARK_GRAFT_SOAK_FACTOR`× (default 10×) IN MEMORY — an
+  * sf1-equivalent drive from the read-only sf0.1 testdata, sized so a
+  * wrong plan (all-pairs stage, unbounded per-key state, quadratic
+  * candidate explosion) actually hurts instead of hiding inside noise.
+  *
+  * Scaling shape (watch what each replica does to the JOIN structure,
+  * not just the row count):
+  *   - events: `factor` disjoint replicas of every user (user_id/
+  *     event_id offset per replica) — more KEYS, same per-key series
+  *     length, the way a bigger corpus actually grows;
+  *   - documents: replicas get their tokens prefixed with a replica
+  *     tag, so shingle/minhash structure WITHIN a replica is identical
+  *     to the base corpus but DISJOINT across replicas — near-dup
+  *     candidate pairs grow linearly (factor×), not quadratically
+  *     (plain copies would put every doc in a `factor`-sized exact-dup
+  *     cluster and grow pairs `factor²`×, measuring the data not the
+  *     plan);
+  *   - embeddings: plain replicas (vec_id offset); queries/centroids
+  *     stay the base ids, so bucket/cell populations grow factor× and
+  *     search cost must grow linearly if the plan is right.
+  *
+  * Emits one JSON line: {"metric":"soak","factor":N,"queries":{...}}.
+  * Pass = each query's time grows ~linearly vs its graft.Bench sf0.1
+  * value (judged manually; recorded in SURVEY §6).
+  */
+object Soak {
+
+  private def rep(spark: SparkSession, factor: Int): DataFrame = {
+    import spark.implicits._
+    (0 until factor).toDF("_rep")
+  }
+
+  /** Disjoint-id replication: ids offset by rep · 10⁹. */
+  private def scaleEvents(spark: SparkSession, dir: String, factor: Int): DataFrame =
+    Tables.events(spark, dir).crossJoin(rep(spark, factor))
+      .withColumn("user_id", col("user_id") + col("_rep") * 1000000000L)
+      .withColumn("event_id", col("event_id") + col("_rep") * 1000000000L)
+      .drop("_rep")
+
+  /** Token-prefixed replication: replica r ≠ 0 rewrites every token
+    * separator to ` sr_`, making shingles disjoint across replicas
+    * while preserving the base corpus's within-replica dup structure.
+    */
+  private def scaleDocs(spark: SparkSession, dir: String, factor: Int): DataFrame =
+    Tables.documents(spark, dir).crossJoin(rep(spark, factor))
+      .withColumn("doc_id", col("doc_id") + col("_rep") * 1000000000L)
+      .withColumn("text",
+        when(col("_rep") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit(" "),
+            concat(lit(" s"), col("_rep").cast("string"), lit("_")))))
+      .drop("_rep")
+
+  private def scaleEmbeddings(spark: SparkSession, dir: String, factor: Int): DataFrame =
+    Tables.embeddings(spark, dir).crossJoin(rep(spark, factor))
+      .withColumn("vec_id", col("vec_id") + col("_rep") * 1000000000L)
+      .drop("_rep")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "10").toInt
+    val spark = Session.tune(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    def sink(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val ev = scaleEvents(spark, sfDir, factor)
+    val docs = scaleDocs(spark, sfDir, factor)
+    val emb = scaleEmbeddings(spark, sfDir, factor)
+
+    val queries: Seq[(String, () => DataFrame)] = Seq(
+      "dedup_minhash_lsh" -> (() =>
+        Dedup.lshCandidatesFast(Dedup.minhashSigs(docs, 16), 2, 16)),
+      "dedup_cc" -> (() =>
+        Dedup.connectedComponents(
+          Dedup.lshCandidatesFast(Dedup.minhashSigs(docs, 16), 2, 16))),
+      "dedup_pipeline" -> (() => Dedup.pipeline(docs, 16, 2, 0.5)),
+      "range_join" -> (() => {
+        val iv = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(min(unix_micros(col("ts"))).as("t0"), max(unix_micros(col("ts"))).as("t1"))
+        val pt = ev.where(col("event_type") === "error")
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+        Relational.rangeJoin(pt, "ts_us", iv, "t0", "t1",
+          width = 3600000000L, keys = Seq("user_id"))
+      }),
+      "sessionize" -> (() => Relational.sessionize(ev, 1800000000L)),
+      "ann_lsh" -> (() => Similarity.annLshTopK(emb, 8, 5, 5)),
+      "ann_ivf" -> (() => Similarity.annIvfTopK(emb, 16, 5, 5)))
+
+    val results = queries.map { case (name, mk) =>
+      def once(): Double = {
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        sink(mk())
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm the code path
+      name -> math.min(once(), once())
+    }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"soak","factor":$factor,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

