@@ -89,8 +89,14 @@ object Similarity {
     * cost drops from O(corpus) to O(bucket).
     */
   def lshBuckets(embeddings: DataFrame, nPlanes: Int, dim: Int = DIM): DataFrame =
+    // same non-nullable-join-key pattern as annIvfTopK's `cell`: the
+    // coalesce sentinel stops the bucket equi-join from inferring
+    // isnotnull(graft_lsh_bucket(...)) and projecting the nPlanes×dim
+    // loop twice per row; null vectors (the only null source) are
+    // dropped by the cheap guard, so the sentinel is unreachable.
     prepared(embeddings)
-      .withColumn("bucket", expr(s"graft_lsh_bucket(v, $nPlanes)"))
+      .where(col("v").isNotNull)
+      .withColumn("bucket", expr(s"coalesce(graft_lsh_bucket(v, $nPlanes), -1L)"))
 
   /** IVF-style ANN: a deterministic coarse quantizer (centroids = the
     * first `nCentroids` vectors) partitions the corpus into cells;
@@ -122,8 +128,15 @@ object Similarity {
         r.getSeq[Number](1).map(_.doubleValue()).toArray))
       .sortBy(_._1)
     val enc = graft.functions.IvfCell.encode(cents.map(_._1), cents.map(_._2))
+    // coalesce to a sentinel makes `cell` statically NON-nullable:
+    // without it the equi-join infers isnotnull(ivfcell(...)) and the
+    // O(nCentroids·dim) argmax runs TWICE per row (Filter and Project
+    // are separate codegen operators — no cross-operator subexpression
+    // elimination). Null embeddings (the only way ivfcell is null) are
+    // dropped by the cheap explicit guard, so -1 is unreachable.
     val assigned = prepared(embeddings)
-      .withColumn("cell", expr(s"graft_ivf_cell(v, '$enc')"))
+      .where(col("v").isNotNull)
+      .withColumn("cell", expr(s"coalesce(graft_ivf_cell(v, '$enc'), -1L)"))
     val q = assigned.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("norm").as("qnorm"), col("cell"))
