@@ -602,6 +602,29 @@ object OracleSql {
        |  FROM s)
        |SELECT qid, vid, cos, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
+  /** Multi-probe IVF: corpus keeps its top-1 cell; queries search
+    * their `nprobe` nearest cells (crank <= nprobe).
+    */
+  def annIvfProbe(nCentroids: Int, nQueries: Int, k: Int, nprobe: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $nCentroids),
+       |a0 AS (
+       |  SELECT e.vec_id, e.v, c.cid, ${R("list_cosine_similarity(e.v, c.cv)")} AS ccos
+       |  FROM e CROSS JOIN c),
+       |a1 AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+       |  FROM a0),
+       |asg AS (SELECT vec_id, v, cid AS cell FROM a1 WHERE crank = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv, cid AS cell FROM a1
+       |      WHERE vec_id < $nQueries AND crank <= $nprobe),
+       |s AS (
+       |  SELECT q.qid, a.vec_id AS vid, ${R("list_cosine_similarity(a.v, q.qv)")} AS cos
+       |  FROM asg a JOIN q ON a.cell = q.cell AND a.vec_id != q.qid),
+       |r AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS rank
+       |  FROM s)
+       |SELECT qid, vid, cos, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
   def annTopK(nQueries: Int, k: Int): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),

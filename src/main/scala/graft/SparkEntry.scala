@@ -281,6 +281,11 @@ object SparkEntry {
         .select(col("qid"), col("vid"), col("cos"), col("rank").cast("long").as("rank"))
         .orderBy(col("qid"), col("rank"))),
 
+    "ann_ivf_probe" -> ((s, dir) =>
+      Similarity.annIvfTopKProbe(Tables.embeddings(s, dir), 16, 5, 5, 2)
+        .select(col("qid"), col("vid"), col("cos"), col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))),
+
     "dedup_jaccard_est" -> ((s, dir) => {
       // persist: sigs feed banding + both estimate-join sides; the
       // (small, candidate-filtered) estimate table is checkpointed
@@ -487,6 +492,7 @@ object SparkEntry {
     "ts_seasonal_profile" -> OracleSql.seasonalProfile(HALF),
     "ts_interp_linear" -> OracleSql.interpolate,
     "ann_ivf" -> OracleSql.annIvf(16, 5, 5),
+    "ann_ivf_probe" -> OracleSql.annIvfProbe(16, 5, 5, 2),
     "dedup_jaccard_est" -> OracleSql.dedupJaccardEst(16, 2),
     "dedup_cc" -> OracleSql.dedupCc(16, 2),
     "q5_region_revenue" -> OracleSql.q5RegionRevenue,

@@ -122,9 +122,105 @@ case class IvfCell(child: Expression, encoded: String) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): IvfCell =
     copy(child = newChild)
+
+  // the default Product toString would dump the multi-KB base64
+  // payload into every plan/explain line; summarize instead
+  override def toString: String =
+    s"ivfcell($child, ${IvfCell.describe(encoded)})"
+  override def sql: String =
+    s"graft_ivf_cell(${child.sql}, ${IvfCell.describe(encoded)})"
+}
+
+/** Multi-probe variant of [[IvfCell]]: the top-`nprobe` centroid ids
+  * by the same rounded-cosine / ascending-cid ordering, as
+  * `array<long>` (element 0 always equals [[IvfCell]]'s answer —
+  * parity spec in HardeningSpec). Used on the QUERY side of
+  * `annIvfTopKProbe`, where probing the `nprobe` nearest cells trades
+  * a linear search-cost factor for recall — the standard IVF knob.
+  *
+  * Interpreted-only (CodegenFallback): it evaluates once per QUERY
+  * vector — a broadcast-sized side — so codegen would buy nothing;
+  * the corpus-side hot path stays on the codegen'd [[IvfCell]].
+  */
+case class IvfCells(child: Expression, encoded: String, nprobe: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(nprobe >= 1, s"graft_ivf_cells: nprobe must be >= 1, got $nprobe")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val decoded: (Array[Long], Array[Array[Double]], Array[Double]) =
+    IvfCell.decode(encoded)
+
+  override def nullSafeEval(input: Any): Any = {
+    val (cids, cents, cnorms) = decoded
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val x = VectorExprs.elemAt(child, arr, i)
+        ss += x * x
+      }
+      i += 1
+    }
+    val vnorm = math.sqrt(ss)
+    val scores = new Array[Double](cids.length)
+    var c = 0
+    while (c < cids.length) {
+      val cv = cents(c)
+      val m = math.min(n, cv.length)
+      var dot = 0.0
+      var d = 0
+      while (d < m) {
+        if (!arr.isNullAt(d)) dot += VectorExprs.elemAt(child, arr, d) * cv(d)
+        d += 1
+      }
+      scores(c) = math.floor(dot / (vnorm * cnorms(c)) * 1000.0 + 0.5001) / 1000.0
+      c += 1
+    }
+    // selection of the top nprobe by (score desc, cid asc): strict >
+    // over ascending cids reproduces IvfCell's tie-break at each pick
+    val k = math.min(nprobe, cids.length)
+    val out = new Array[Long](k)
+    val used = new Array[Boolean](cids.length)
+    var p = 0
+    while (p < k) {
+      var best = Double.NegativeInfinity
+      var bi = -1
+      var j = 0
+      while (j < cids.length) {
+        if (!used(j) && scores(j) > best) { best = scores(j); bi = j }
+        j += 1
+      }
+      used(bi) = true
+      out(p) = cids(bi)
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfCells =
+    copy(child = newChild)
+
+  override def toString: String =
+    s"ivfcells($child, ${IvfCell.describe(encoded)}, $nprobe)"
+  override def sql: String =
+    s"graft_ivf_cells(${child.sql}, ${IvfCell.describe(encoded)}, $nprobe)"
 }
 
 object IvfCell {
+
+  /** Short human-readable summary of an encoded quantizer for plan
+    * output: "<quantizer: 16 centroids x 64 dims>".
+    */
+  def describe(encoded: String): String = {
+    val (cids, cents, _) = decode(encoded)
+    val dim = if (cents.nonEmpty) cents.head.length else 0
+    s"<quantizer: ${cids.length} centroids x $dim dims>"
+  }
 
   /** Serialize the quantizer: cids MUST be sorted ascending (the
     * argmax tie-break relies on iteration order).

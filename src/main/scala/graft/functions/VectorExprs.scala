@@ -102,7 +102,8 @@ object VectorExprs {
     "graft_minhash" -> "graft_minhash(shingles: array<string>, perms: int literal)",
     "graft_rolling_hash" -> "graft_rolling_hash(text: string)",
     "graft_ewma" -> "graft_ewma(vals: array<float|double>, alpha: double literal)",
-    "graft_ivf_cell" -> "graft_ivf_cell(v: array<float|double>, centroids: string literal from IvfCell.encode)")
+    "graft_ivf_cell" -> "graft_ivf_cell(v: array<float|double>, centroids: string literal from IvfCell.encode)",
+    "graft_ivf_cells" -> "graft_ivf_cells(v: array<float|double>, centroids: string literal from IvfCell.encode, nprobe: int literal)")
 
   private[graft] def build(name: String, exprs: Seq[Expression]): Expression = {
     val usage = USAGE(name)
@@ -125,6 +126,10 @@ object VectorExprs {
       case "graft_ivf_cell" =>
         requireArity(name, usage, exprs, 2)
         IvfCell(exprs(0), litStrArg(name, usage, exprs, 1))
+      case "graft_ivf_cells" =>
+        requireArity(name, usage, exprs, 3)
+        IvfCells(exprs(0), litStrArg(name, usage, exprs, 1),
+          litIntArg(name, usage, exprs, 2))
     }
   }
 

@@ -119,15 +119,24 @@ object Similarity {
     * the same two-phase salted top-k as [[cosineTopK]], since a cell
     * holds corpus/nCentroids candidates at scale.
     */
-  def annIvfTopK(embeddings: DataFrame, nCentroids: Int, nQueries: Int, k: Int): DataFrame = {
-    VectorExprs.register(embeddings.sparkSession)
+  /** Driver-side materialization of the coarse quantizer (the first
+    * `nCentroids` vectors), serialized for [[graft.functions.IvfCell]]
+    * — O(nCentroids·dim) doubles, the footprint `broadcast()` would
+    * ship.
+    */
+  private def quantizer(embeddings: DataFrame, nCentroids: Int): String = {
     val cents = embeddings.where(col("vec_id") < nCentroids)
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => (r.getAs[Number](0).longValue(),
         r.getSeq[Number](1).map(_.doubleValue()).toArray))
       .sortBy(_._1)
-    val enc = graft.functions.IvfCell.encode(cents.map(_._1), cents.map(_._2))
+    graft.functions.IvfCell.encode(cents.map(_._1), cents.map(_._2))
+  }
+
+  def annIvfTopK(embeddings: DataFrame, nCentroids: Int, nQueries: Int, k: Int): DataFrame = {
+    VectorExprs.register(embeddings.sparkSession)
+    val enc = quantizer(embeddings, nCentroids)
     // coalesce to a sentinel makes `cell` statically NON-nullable:
     // without it the equi-join infers isnotnull(ivfcell(...)) and the
     // O(nCentroids·dim) argmax runs TWICE per row (Filter and Project
@@ -140,6 +149,39 @@ object Similarity {
     val q = assigned.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("norm").as("qnorm"), col("cell"))
+    val scored = assigned.join(broadcast(q), Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("vid"),
+        r3(expr("graft_vec_dot(v, qv)") / (col("norm") * col("qnorm"))).as("cos"))
+    val salted = scored.withColumn("salt", pmod(col("vid"), lit(32)))
+      .withColumn("r1", row_number().over(
+        Window.partitionBy(col("qid"), col("salt")).orderBy(col("cos").desc, col("vid"))))
+      .where(col("r1") <= k).drop("salt", "r1")
+    salted.withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))))
+      .where(col("rank") <= k)
+  }
+
+  /** Multi-probe IVF ANN: like [[annIvfTopK]] but each query searches
+    * its `nprobe` nearest cells ([[graft.functions.IvfCells]] on the
+    * broadcast-sized query side) — the standard IVF recall knob,
+    * trading a linear `nprobe`× search-cost factor for recall. Corpus
+    * rows keep their single top-1 cell, and a query's probed cells are
+    * distinct, so no (qid, vid) pair is generated twice. Same scale
+    * shape as [[annIvfTopK]]: map-only assignment, broadcast bucket
+    * join, two-phase salted top-k.
+    */
+  def annIvfTopKProbe(embeddings: DataFrame, nCentroids: Int, nQueries: Int,
+                      k: Int, nprobe: Int): DataFrame = {
+    VectorExprs.register(embeddings.sparkSession)
+    val enc = quantizer(embeddings, nCentroids)
+    val assigned = prepared(embeddings)
+      .where(col("v").isNotNull)
+      .withColumn("cell", expr(s"coalesce(graft_ivf_cell(v, '$enc'), -1L)"))
+    val q = prepared(embeddings)
+      .where(col("v").isNotNull && col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"),
+        explode(expr(s"graft_ivf_cells(v, '$enc', $nprobe)")).as("cell"))
     val scored = assigned.join(broadcast(q), Seq("cell"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("vid"),

@@ -99,6 +99,38 @@ class HardeningSpec extends AnyFunSuite {
     assert(cell === 3L)
   }
 
+  test("graft_ivf_cells head equals graft_ivf_cell; nprobe=2 never worsens best cos") {
+    import graft.functions.IvfCell
+    VectorExprs.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val cents = emb.where(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getAs[Number](0).longValue(),
+        r.getSeq[Number](1).map(_.doubleValue()).toArray))
+      .sortBy(_._1)
+    val enc = IvfCell.encode(cents.map(_._1), cents.map(_._2))
+    val rows = emb
+      .selectExpr("vec_id", s"graft_ivf_cell(embedding, '$enc') AS c1",
+        s"graft_ivf_cells(embedding, '$enc', 2) AS c2")
+      .collect()
+    rows.foreach { r =>
+      val c2 = r.getSeq[Long](2)
+      assert(c2.length === 2)
+      assert(c2.head === r.getLong(1), s"vec ${r.getLong(0)}: probe head != top-1 cell")
+      assert(c2.head !== c2(1))
+    }
+    // superset candidates → per-query best cos can only improve
+    val best1 = Similarity.annIvfTopK(emb, 16, 5, 5)
+      .where(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val best2 = Similarity.annIvfTopKProbe(emb, 16, 5, 5, 2)
+      .where(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    best1.foreach { case (qid, cos1) =>
+      assert(best2(qid) >= cos1, s"qid $qid: nprobe=2 best cos regressed")
+    }
+  }
+
   // ---------------- rangeJoin skew + typing ----------------
 
   test("rangeJoin is exact under pathological long intervals (span >> width)") {
