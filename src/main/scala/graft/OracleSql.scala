@@ -439,6 +439,28 @@ object OracleSql {
        |       ${R(s"list_reduce(vs, (acc, x) -> acc * ${1 - alpha} + x * $alpha)")} AS ewma
        |FROM vals ORDER BY user_id""".stripMargin
 
+  /** Holt double smoothing via a recursive CTE — the per-step
+    * arithmetic is parenthesized exactly like HoltFold's Java (lNew
+    * inlined into the b update recomputes the identical IEEE value).
+    */
+  def holt(alpha: Double, beta: Double, horizon: Int): String =
+    s"""WITH RECURSIVE $daily,
+       |n AS (
+       |  SELECT user_id, v, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+       |  FROM daily),
+       |h AS (
+       |  SELECT user_id, rn, v AS l, CAST(0.0 AS DOUBLE) AS b FROM n WHERE rn = 1
+       |  UNION ALL
+       |  SELECT n.user_id, n.rn,
+       |         n.v * $alpha + (h.l + h.b) * ${1 - alpha} AS l,
+       |         ((n.v * $alpha + (h.l + h.b) * ${1 - alpha}) - h.l) * $beta + h.b * ${1 - beta} AS b
+       |  FROM h JOIN n ON n.user_id = h.user_id AND n.rn = h.rn + 1),
+       |lastr AS (SELECT user_id, MAX(rn) AS mx FROM n GROUP BY user_id)
+       |SELECT h.user_id, ${R("h.l")} AS level, ${R("h.b")} AS trend,
+       |       ${R(s"h.l + h.b * $horizon.0")} AS forecast
+       |FROM h JOIN lastr ON h.user_id = lastr.user_id AND h.rn = lastr.mx
+       |ORDER BY h.user_id""".stripMargin
+
   def anomalies(half: Int, z: Double): String =
     s"""WITH $daily, ${trendCte(half)}, $detrendCte, $scaleCte
        |SELECT user_id, day, v, scaled FROM sc

@@ -219,6 +219,10 @@ object SparkEntry {
       TimeSeries.ewma(TimeSeries.resampleDaily(Tables.events(s, dir)), 0.3)
         .orderBy(col("user_id"))),
 
+    "ts_holt" -> ((s, dir) =>
+      TimeSeries.holt(TimeSeries.resampleDaily(Tables.events(s, dir)), 0.5, 0.3, NY)
+        .orderBy(col("user_id"))),
+
     "ts_anomalies" -> ((s, dir) =>
       TimeSeries.anomalies(Tables.events(s, dir), HALF, 2.0)
         .orderBy(col("user_id"), col("day"))),
@@ -479,6 +483,7 @@ object SparkEntry {
     "ts_gapfill" -> OracleSql.gapfill,
     "ts_rolling" -> OracleSql.rolling(7),
     "ts_ewma" -> OracleSql.ewma(0.3),
+    "ts_holt" -> OracleSql.holt(0.5, 0.3, NY),
     "ts_anomalies" -> OracleSql.anomalies(HALF, 2.0),
     "ts_retrend" -> OracleSql.retrend,
     "ts_rescale" -> OracleSql.rescale,

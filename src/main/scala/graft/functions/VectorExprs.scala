@@ -102,6 +102,7 @@ object VectorExprs {
     "graft_minhash" -> "graft_minhash(shingles: array<string>, perms: int literal)",
     "graft_rolling_hash" -> "graft_rolling_hash(text: string)",
     "graft_ewma" -> "graft_ewma(vals: array<float|double>, alpha: double literal)",
+    "graft_holt" -> "graft_holt(vals: array<float|double>, alpha: double literal, beta: double literal)",
     "graft_ivf_cell" -> "graft_ivf_cell(v: array<float|double>, centroids: string literal from IvfCell.encode)",
     "graft_ivf_cells" -> "graft_ivf_cells(v: array<float|double>, centroids: string literal from IvfCell.encode, nprobe: int literal)")
 
@@ -123,6 +124,10 @@ object VectorExprs {
       case "graft_ewma" =>
         requireArity(name, usage, exprs, 2)
         EwmaFold(exprs(0), litDoubleArg(name, usage, exprs, 1))
+      case "graft_holt" =>
+        requireArity(name, usage, exprs, 3)
+        HoltFold(exprs(0), litDoubleArg(name, usage, exprs, 1),
+          litDoubleArg(name, usage, exprs, 2))
       case "graft_ivf_cell" =>
         requireArity(name, usage, exprs, 2)
         IvfCell(exprs(0), litStrArg(name, usage, exprs, 1))

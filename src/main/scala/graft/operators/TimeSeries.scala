@@ -284,6 +284,26 @@ object TimeSeries {
         r3(expr(s"aggregate(vals, cast(null as double), (acc, x) -> " +
           s"CASE WHEN acc IS NULL THEN x ELSE acc * ${1 - alpha} + x * $alpha END)")).as("ewma"))
 
+  /** Holt double-exponential smoothing per key: final (level, trend)
+    * of the `l = α·v + (1−α)(l+b); b = β·Δl + (1−β)b` recursion over
+    * the day-ordered series, plus the h-step-ahead linear forecast
+    * `level + h·trend` — the classic trend-aware sequel to [[ewma]],
+    * folded by the native codegen [[graft.functions.HoltFold]] in one
+    * pass (oracle: DuckDB recursive CTE with identical
+    * parenthesization).
+    */
+  def holt(daily: DataFrame, alpha: Double, beta: Double, horizon: Int): DataFrame = {
+    graft.functions.VectorExprs.register(daily.sparkSession)
+    daily.groupBy(col(KEY))
+      .agg(expr("transform(sort_array(collect_list(struct(day, v))), s -> s.v)").as("vals"))
+      .select(col(KEY), expr(
+        s"graft_holt(vals, cast($alpha as double), cast($beta as double))").as("hb"))
+      .select(col(KEY),
+        r3(expr("element_at(hb, 1)")).as("level"),
+        r3(expr("element_at(hb, 2)")).as("trend"),
+        r3(expr(s"element_at(hb, 1) + element_at(hb, 2) * $horizon.0")).as("forecast"))
+  }
+
   /** Z-score anomaly days: |scaled| ≥ `z` on the detrended,
     * standardized series — the reference's spike events
     * (create_time_series.py:147-153) surfaced as a filter.

@@ -53,6 +53,25 @@ class HardeningSpec extends AnyFunSuite {
     }
   }
 
+  test("holt: constant series gives (const, 0); linear series trend approaches slope") {
+    import spark.implicits._
+    def daily(vs: Seq[Double]) = vs.zipWithIndex
+      .map { case (v, i) => (1L, f"2020-01-${i + 1}%02d", v) }
+      .toDF("user_id", "day", "v").withColumn("day", to_date(col("day")))
+    val const = TimeSeries.holt(daily(Seq.fill(20)(42.0)), 0.5, 0.3, 5).collect().head
+    assert(const.getAs[Double]("level") === 42.0)
+    assert(const.getAs[Double]("trend") === 0.0)
+    assert(const.getAs[Double]("forecast") === 42.0)
+    // v_t = 10 + 3t: after 25 steps trend ~ 3, forecast tracks the line
+    val lin = TimeSeries.holt(daily((0 until 25).map(t => 10.0 + 3.0 * t)), 0.5, 0.3, 5)
+      .collect().head
+    assert(math.abs(lin.getAs[Double]("trend") - 3.0) < 0.1)
+    assert(math.abs(lin.getAs[Double]("forecast") - (10.0 + 3.0 * 29)) < 1.0)
+    // single-element series seeds (v, 0)
+    val one = TimeSeries.holt(daily(Seq(7.0)), 0.5, 0.3, 5).collect().head
+    assert(one.getAs[Double]("level") === 7.0 && one.getAs[Double]("trend") === 0.0)
+  }
+
   // ---------------- IVF cell assignment ----------------
 
   test("map-only annIvfTopK matches the join+window formulation bit-for-bit") {
