@@ -461,6 +461,29 @@ object OracleSql {
        |FROM h JOIN lastr ON h.user_id = lastr.user_id AND h.rn = lastr.mx
        |ORDER BY h.user_id""".stripMargin
 
+  def winsorize(lo: Double, hi: Double): String =
+    s"""WITH $daily,
+       |q AS (
+       |  SELECT user_id, quantile_cont(v, $lo) AS p_lo, quantile_cont(v, $hi) AS p_hi
+       |  FROM daily GROUP BY user_id)
+       |SELECT d.user_id, d.day, d.v,
+       |       ${R("LEAST(GREATEST(d.v, q.p_lo), q.p_hi)")} AS v_wins
+       |FROM daily d JOIN q USING (user_id)
+       |ORDER BY d.user_id, d.day""".stripMargin
+
+  /** Deterministic length-stratified sample — integer-threshold
+    * comparison on the md5 bucket, mirroring
+    * Relational.sampleStratified exactly.
+    */
+  val sampleStratified: String =
+    """WITH s AS (
+      |  SELECT doc_id, LEAST(CAST(length(text) AS BIGINT) // 500, 3) AS stratum
+      |  FROM documents)
+      |SELECT doc_id, stratum FROM s
+      |WHERE (CAST(CONCAT('0x', SUBSTR(MD5(CONCAT('sample:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100000)
+      |      < (stratum + 1) * 20000
+      |ORDER BY doc_id""".stripMargin
+
   def anomalies(half: Int, z: Double): String =
     s"""WITH $daily, ${trendCte(half)}, $detrendCte, $scaleCte
        |SELECT user_id, day, v, scaled FROM sc

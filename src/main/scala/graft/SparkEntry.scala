@@ -219,6 +219,20 @@ object SparkEntry {
       TimeSeries.ewma(TimeSeries.resampleDaily(Tables.events(s, dir)), 0.3)
         .orderBy(col("user_id"))),
 
+    "ts_winsorize" -> ((s, dir) =>
+      TimeSeries.winsorize(TimeSeries.resampleDaily(Tables.events(s, dir)), 0.05, 0.95)
+        .orderBy(col("user_id"), col("day"))),
+
+    "sample_stratified" -> ((s, dir) => {
+      // strata = document length buckets; longer docs sampled at a
+      // higher rate (20/40/60/80% by bucket)
+      val docs = Tables.documents(s, dir)
+        .withColumn("stratum", least(expr("CAST(length(text) AS BIGINT) div 500"), lit(3L)))
+      Relational.sampleStratified(docs, "doc_id", (col("stratum") + 1L) * 20000L)
+        .select(col("doc_id"), col("stratum"))
+        .orderBy(col("doc_id"))
+    }),
+
     "ts_holt" -> ((s, dir) =>
       TimeSeries.holt(TimeSeries.resampleDaily(Tables.events(s, dir)), 0.5, 0.3, NY)
         .orderBy(col("user_id"))),
@@ -484,6 +498,8 @@ object SparkEntry {
     "ts_rolling" -> OracleSql.rolling(7),
     "ts_ewma" -> OracleSql.ewma(0.3),
     "ts_holt" -> OracleSql.holt(0.5, 0.3, NY),
+    "ts_winsorize" -> OracleSql.winsorize(0.05, 0.95),
+    "sample_stratified" -> OracleSql.sampleStratified,
     "ts_anomalies" -> OracleSql.anomalies(HALF, 2.0),
     "ts_retrend" -> OracleSql.retrend,
     "ts_rescale" -> OracleSql.rescale,

@@ -91,6 +91,23 @@ object Relational {
         Window.partitionBy(group).orderBy(col(order).desc, col(tieBreak))))
       .where(col("rank") <= k)
 
+  /** Deterministic stratified sampling: keep a row iff its md5-derived
+    * uniform bucket (0..99999, from the row id) falls below the
+    * per-row integer `threshold` (out of 100 000) — e.g. `(stratum +
+    * 1) * 20000` keeps 20%/40%/60%/80% by stratum. All-integer
+    * comparison and hash-PRNG per id: any engine, any partitioning,
+    * any rerun draws the SAME sample (a `rand()` sample is neither
+    * reproducible nor shippable to an oracle). At scale this is a
+    * pure map-side filter — zero shuffle, prunes before anything
+    * downstream — the balance/downsample step of a training-data
+    * pipeline.
+    */
+  def sampleStratified(df: DataFrame, idCol: String, threshold: Column): DataFrame = {
+    val u = conv(substring(md5(concat(lit("sample:"), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("bigint") % 100000L
+    df.where(u < threshold)
+  }
+
   /** Bucketed range join: match each point row `(t, …)` to every
     * interval row with `start <= t <= end` (optionally also equal on
     * `keys`). Intervals are exploded into fixed-width buckets and the

@@ -491,6 +491,20 @@ object TimeSeries {
       .select(col(KEY), col(DAY), col("v"),
         r3(col("med")).as("med"), r3(abs(col("v") - col("med")) / nullif(col("mad"), lit(0.0))).as("n_mads"))
 
+  /** Winsorization: clamp each day's value into the per-key exact
+    * interpolated [lo, hi] quantile band — the standard heavy-tail
+    * cap before model training (the robust cousin of [[outliersMad]]:
+    * cap instead of flag). Both quantiles are window aggregates over
+    * ONE key exchange; `percentile` interpolates exactly like
+    * DuckDB's `quantile_cont` (proven by the ts_quantiles gate).
+    */
+  def winsorize(daily: DataFrame, lo: Double, hi: Double): DataFrame =
+    daily
+      .withColumn("p_lo", expr(s"percentile(v, $lo)").over(wKey))
+      .withColumn("p_hi", expr(s"percentile(v, $hi)").over(wKey))
+      .select(col(KEY), col(DAY), col("v"),
+        r3(least(greatest(col("v"), col("p_lo")), col("p_hi"))).as("v_wins"))
+
   /** Supervised-learning feature matrix per (key, day): value, lagged
     * values and a trailing moving average as flat columns — the
     * long-format feature assembly that feeds a tabular forecaster

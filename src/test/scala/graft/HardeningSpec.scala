@@ -72,6 +72,40 @@ class HardeningSpec extends AnyFunSuite {
     assert(one.getAs[Double]("level") === 7.0 && one.getAs[Double]("trend") === 0.0)
   }
 
+  test("winsorize clamps to the per-key quantile band, interior untouched") {
+    import spark.implicits._
+    val daily = ((1 to 99).map(i => (1L, f"2020-01-01", i.toDouble)) :+ (1L, "2020-01-01", 1000.0))
+      .zipWithIndex.map { case ((u, _, v), i) => (u, 1 + i, v) }
+      .map { case (u, d, v) => (u, java.sql.Date.valueOf(java.time.LocalDate.of(2020, 1, 1).plusDays(d)), v) }
+      .toDF("user_id", "day", "v")
+    val out = TimeSeries.winsorize(daily, 0.05, 0.95).collect()
+    val wins = out.map(_.getAs[Double]("v_wins"))
+    // the 1000.0 outlier is capped at p95; interior values unchanged
+    assert(wins.max < 1000.0)
+    val mid = out.find(_.getAs[Double]("v") === 50.0).get
+    assert(mid.getAs[Double]("v_wins") === 50.0)
+    assert(wins.min >= out.map(_.getAs[Double]("v")).sorted.apply(4))
+  }
+
+  test("sampleStratified is deterministic and honors per-stratum rates") {
+    import spark.implicits._
+    val rows = (0L until 4000L).map(i => (i, i % 4)).toDF("id", "stratum")
+    val keep = graft.operators.Relational
+      .sampleStratified(rows, "id", (col("stratum") + 1L) * lit(20000L))
+    val a = keep.collect().map(_.getLong(0)).toSet
+    val b = graft.operators.Relational
+      .sampleStratified(rows, "id", (col("stratum") + 1L) * lit(20000L))
+      .collect().map(_.getLong(0)).toSet
+    assert(a === b) // same sample every run, any partitioning
+    val byStratum = keep.groupBy("stratum").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 3L).foreach { s =>
+      val rate = (s + 1) * 0.2
+      val got = byStratum.getOrElse(s, 0L) / 1000.0
+      assert(math.abs(got - rate) < 0.06, s"stratum $s: got $got want ~$rate")
+    }
+  }
+
   // ---------------- IVF cell assignment ----------------
 
   test("map-only annIvfTopK matches the join+window formulation bit-for-bit") {
