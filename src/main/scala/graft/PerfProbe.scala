@@ -20,7 +20,11 @@ object PerfProbe {
       val times = (1 to reps).map { _ =>
         spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
-        SparkEntry.queries(n)(spark, sfDir).count()
+        // noop-write sink, same as Bench: a count() lets Catalyst
+        // prune unreferenced projections and top-level sorts, so
+        // projection-only queries probe as row-count scans
+        SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }.sorted
       println(f"PROBE $n%-24s min=${times.head}%6.2f med=${times(times.size / 2)}%6.2f reps=$reps")

@@ -158,6 +158,11 @@ object Dedup {
     * pairs: fraction of equal signature slots. The cheap verifier that
     * runs before (or instead of) the exact [[jaccard]] at scale —
     * O(perms) per pair, no shingle access.
+    *
+    * Pass PERSISTED (or checkpointed) `sigs`, as [[pipeline]] does:
+    * on a raw [[minhashSigs]] plan the NULL-sig guards below re-derive
+    * the signature expression for the filter probe (the same
+    * double-evaluation class documented on [[lshCandidatesFast]]).
     */
   def jaccardEstimate(sigs: DataFrame, pairs: DataFrame, perms: Int): DataFrame =
     pairs.select(col("doc_a"), col("doc_b"))
