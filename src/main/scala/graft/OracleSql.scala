@@ -894,6 +894,25 @@ object OracleSql {
        |  FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  /** Top-k tf·idf terms per doc — df derived from tf, ln-ulp
+    * differences absorbed by R() BEFORE the rank (same convention as
+    * the ANN cosine rankings).
+    */
+  def textTfidf(k: Int): String =
+    s"""WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+       |dfx AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |s AS (
+       |  SELECT tf.doc_id, tf.tok,
+       |         ${R("tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfx.df)")} AS tfidf
+       |  FROM tf JOIN dfx ON tf.tok = dfx.tok CROSS JOIN n),
+       |r AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS BIGINT) AS rank
+       |  FROM s)
+       |SELECT doc_id, tok, tfidf, rank FROM r WHERE rank <= $k
+       |ORDER BY doc_id, rank""".stripMargin
+
   val tokenCount: String =
     """SELECT doc_id,
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,

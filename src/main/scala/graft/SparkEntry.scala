@@ -448,6 +448,11 @@ object SparkEntry {
     "text_normalize" -> ((s, dir) =>
       TextOps.normalize(Tables.documents(s, dir)).orderBy(col("doc_id"))),
 
+    "text_tfidf" -> ((s, dir) =>
+      TextOps.tfidf(Tables.documents(s, dir), 3)
+        .select(col("doc_id"), col("tok"), col("tfidf"), col("rank").cast("long").as("rank"))
+        .orderBy(col("doc_id"), col("rank"))),
+
     "range_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val iv = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
@@ -537,5 +542,6 @@ object SparkEntry {
     "ts_lag_features" -> OracleSql.lagFeatures(Seq(1, 7), 7),
     "dedup_pipeline" -> OracleSql.dedupPipeline(16, 2, 0.5),
     "text_normalize" -> OracleSql.textNormalize,
+    "text_tfidf" -> OracleSql.textTfidf(3),
   )
 }

@@ -28,6 +28,33 @@ object TextOps {
       size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("long").as("re_tokens"),
       length(col("text")).cast("long").as("chars"))
 
+  /** Per-document top-k salient terms by tf·idf (raw term frequency ×
+    * ln(nDocs / docFrequency)) — the classic keyword/topic extraction
+    * over a corpus, and the relevance signal a training-data run uses
+    * for topical filtering. Scale shape: tf = ONE map-side-combined
+    * groupBy over the token explode; df derives from tf's output (no
+    * second pass over raw tokens); nDocs rides as a broadcast 1-row
+    * scalar; tf⋈df shuffles on token (vocabulary ≪ corpus but not
+    * broadcast-sized at 100 TB — AQE downgrades to broadcast when it
+    * is). The score is ROUNDED before ranking so the (tfidf desc, tok)
+    * order is identical in any engine.
+    */
+  def tfidf(docs: DataFrame, k: Int): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfx, "tok")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"),
+        r3(col("tf") * log(col("n_docs").cast("double") / col("df"))).as("tfidf"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))))
+      .where(col("rank") <= k)
+  }
+
   /** Quality signals: character-class ratios, lexical diversity,
     * stopword density, composite score (reference analogue: the
     * series-cleaning information filter, utils.py:938, applied to text).

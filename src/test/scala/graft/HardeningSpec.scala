@@ -238,6 +238,22 @@ class HardeningSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, "click", 10L), (1L, "error", 20L), (2L, "click", 30L)))
   }
 
+  test("tfidf ranks the rare term above corpus-wide terms") {
+    import spark.implicits._
+    // "rare" appears only in doc 1; "common" everywhere (idf = ln(1) = 0)
+    val d = Seq(
+      (1L, "common common rare"),
+      (2L, "common common common"),
+      (3L, "common other other")).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.tfidf(d, 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._4)
+    assert(doc1.head._2 === "rare")
+    assert(doc1.head._3 > 0.0)
+    // a term present in every doc scores exactly 0
+    assert(out.filter(_._2 == "common").forall(_._3 === 0.0))
+  }
+
   // ---------------- NULL-sig LSH contract ----------------
 
   test("lshCandidatesFast drops NULL signatures instead of colliding them") {
