@@ -17,6 +17,12 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("every query is oracle-checked (no silent rows-only fallbacks)") {
+    val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unchecked.isEmpty,
+      s"queries without a DuckDB oracle (driver downgrades them to a rows-only check): $unchecked")
+  }
+
   for ((name, fn) <- SparkEntry.queries) {
     test(s"$name runs and returns rows") {
       assert(fn(spark, dir).count() > 0)
