@@ -274,6 +274,28 @@ class HardeningSpec extends AnyFunSuite {
     assert(est.toSet === Set((3L, 4L)))
   }
 
+  test("native expressions: interpreted eval matches codegen bit-for-bit") {
+    // every gate that routes through a graft native Expression
+    // (VecDot/LshBucket/MinHashSig/SimHash64/RollingHash31/EwmaFold/
+    // HoltFold/IvfCell): run once under whole-stage codegen (doGenCode
+    // path) and once with codegen disabled (nullSafeEval path) — a
+    // divergence here is the classic hand-rolled-expression bug class
+    val names = Seq("ts_ewma", "ts_holt", "dedup_simhash", "doc_fingerprint",
+      "ann_ivf", "ann_ivf_probe", "ann_lsh", "dedup_minhash_lsh")
+    names.foreach { name =>
+      val codegen = SparkEntry.queries(name)(spark, dir).collect().map(_.toString).sorted
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      try {
+        val interpreted = SparkEntry.queries(name)(spark, dir).collect().map(_.toString).sorted
+        assert(codegen.sameElements(interpreted), s"$name: codegen vs interpreted divergence")
+      } finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
   // ---------------- cache hygiene ----------------
 
   test("operators leave no cacheManager entries behind") {
