@@ -215,6 +215,14 @@ object Similarity {
   /** ANN top-k via LSH buckets: score only same-bucket candidates,
     * rank within bucket. Recall < 1 by construction; the exactness
     * baseline is [[cosineTopK]].
+    *
+    * Ranking is the same two-phase salted top-k as [[cosineTopK]] /
+    * [[annIvfTopK]]: with nPlanes hyperplanes a bucket holds
+    * ~corpus/2^nPlanes candidates — unbounded in corpus size — so a
+    * single per-qid rank would funnel a whole bucket through one
+    * partition at 100 TB. Phase 1 ranks within (qid, salt) so the
+    * final per-qid rank sees at most 32·k rows per query. Rank order
+    * (cos desc, vid) is unchanged, so results are identical.
     */
   def annLshTopK(embeddings: DataFrame, nPlanes: Int, nQueries: Int, k: Int, dim: Int = DIM): DataFrame = {
     val b = lshBuckets(embeddings, nPlanes, dim)
@@ -222,11 +230,15 @@ object Similarity {
       .where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("norm").as("qnorm"), col("bucket"))
-    b.join(broadcast(q), Seq("bucket"))
+    val scored = b.join(broadcast(q), Seq("bucket"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("vid"),
         r3(expr("graft_vec_dot(v, qv)") / (col("norm") * col("qnorm"))).as("cos"))
-      .withColumn("rank", row_number().over(
+    val salted = scored.withColumn("salt", pmod(col("vid"), lit(32)))
+      .withColumn("r1", row_number().over(
+        Window.partitionBy(col("qid"), col("salt")).orderBy(col("cos").desc, col("vid"))))
+      .where(col("r1") <= k).drop("salt", "r1")
+    salted.withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))))
       .where(col("rank") <= k)
   }

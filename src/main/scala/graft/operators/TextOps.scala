@@ -31,12 +31,31 @@ object TextOps {
   /** Per-document top-k salient terms by tf·idf (raw term frequency ×
     * ln(nDocs / docFrequency)) — the classic keyword/topic extraction
     * over a corpus, and the relevance signal a training-data run uses
-    * for topical filtering. Scale shape: tf = ONE map-side-combined
-    * groupBy over the token explode; df derives from tf's output (no
-    * second pass over raw tokens); nDocs rides as a broadcast 1-row
-    * scalar; tf⋈df shuffles on token (vocabulary ≪ corpus but not
-    * broadcast-sized at 100 TB — AQE downgrades to broadcast when it
-    * is). The score is ROUNDED before ranking so the (tfidf desc, tok)
+    * for topical filtering.
+    *
+    * Scale shape: tf = ONE map-side-combined groupBy over the token
+    * explode, materialized ONCE via eager `localCheckpoint` — it is
+    * |docs|×|uniq tokens/doc|, the natural materialization point —
+    * so the df derivation and the join's tf side read the same blocks
+    * instead of each re-scanning and re-token-aggregating the corpus
+    * (two full passes over the token explosion at 100 TB; lazy
+    * branch-sharing can't be trusted here because column pruning makes
+    * the two subplans non-identical, defeating ReuseExchange).
+    * `localCheckpoint` is a leaf, not a cacheManager entry — blocks
+    * are ContextCleaner-freed when the frame drops, so the cache-
+    * hygiene contract holds with no explicit release.
+    *
+    * Skew contract: df is |vocab|-sized (≪ corpus — a natural-language
+    * lexicon, not a row count) and rides as a BROADCAST, so the tf⋈df
+    * join is map-side and never shuffles (doc_id, tok) rows on raw
+    * token — which skews catastrophically on stopwords ("the"-class
+    * tokens all hash to one reducer). If a corpus's vocabulary ever
+    * outgrew broadcast range, drop the hint and rely on AQE skew-join
+    * splitting; TextOpsSpec's skewed-corpus spec pins the semantics
+    * either way. The final per-doc rank partitions by doc_id — bounded
+    * by tokens-per-document, never corpus-sized.
+    *
+    * The score is ROUNDED before ranking so the (tfidf desc, tok)
     * order is identical in any engine.
     */
   def tfidf(docs: DataFrame, k: Int): DataFrame = {
@@ -44,9 +63,10 @@ object TextOps {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfx = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    tf.join(dfx, "tok")
+    tf.join(broadcast(dfx), "tok")
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("tok"),
         r3(col("tf") * log(col("n_docs").cast("double") / col("df"))).as("tfidf"))
