@@ -354,25 +354,62 @@ object OracleSql {
       |SELECT user_id, event_type, event_id, ts_us
       |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
 
-  /** Deterministic synthetic generator — mirrors operators.Generate. */
+  /** Deterministic synthetic generator — mirrors operators.Generate.
+    * Every arithmetic expression is parenthesized EXACTLY like the
+    * Column expressions in Generate.series (pure IEEE mul/add →
+    * bit-exact across engines): the folded-parabola sine, the
+    * (e^{x/16})^16 exponential trend, and the Irwin-Hall spike
+    * amplitudes.
+    */
   def generate(nKeys: Int, nDays: Int, p: Int): String = {
     def u(keyExpr: String, tag: String) =
       s"(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT($keyExpr, ':$tag')), 1, 8)) AS BIGINT) % 100000) / 100000.0"
-    val spikeWindow = nDays * 0.6
-    s"""WITH g AS (
-       |  SELECT k.key, d.t FROM range(0, $nKeys) k(key) CROSS JOIN range(0, $nDays) d(t)),
-       |c AS (
-       |  SELECT key, t,
+    // Reference spike window (create_time_series.py:146-148), same
+    // clamping as Generate.series.
+    val lastSpike = nDays - 92
+    val firstSpike = math.max(0, nDays - 92 - 365)
+    val nSpikes = if (lastSpike > firstSpike) 3 else 0
+    // Irwin-Hall N(0,1): (Σ_{i=1..12} U_i) − 6, left-to-right tag order
+    def ihz(j: Int) =
+      s"(${(1 to 12).map(i => u("key", s"spikez${j}_$i")).mkString(" + ")}) - 6.0"
+    val spikeCols =
+      (1 to nSpikes).flatMap(j => Seq(
+        s"$firstSpike.0 + FLOOR(${u("key", s"spikeday$j")} * ${lastSpike - firstSpike}.0) AS st$j",
+        s"CASE WHEN ${u("key", s"spikesign$j")} < 0.5 THEN -1.0 ELSE 1.0 END AS ss$j",
+        s"3.0 + (${ihz(j)}) AS sa$j")).map(c => s",\n    $c").mkString
+    val spikeSum =
+      if (nSpikes == 0) "0.0"
+      else (1 to nSpikes)
+        .map(j => s"CASE WHEN CAST(t AS DOUBLE) >= st$j THEN ss$j * sa$j ELSE 0.0 END")
+        .mkString(" + ")
+    s"""WITH kk AS (
+       |  SELECT key,
        |    100.0 + CAST(key % 50 AS DOUBLE) * 10.0 AS salary,
-       |    CAST(t AS DOUBLE) / $p.0 + ${u("key", "phase")} AS x,
-       |    CASE WHEN ${u("key", "sign")} < 0.5 THEN -1.0 ELSE 1.0 END
-       |      * (${u("key", "trend")} + 0.5) * (CAST(t AS DOUBLE) / $nDays.0) AS trend,
+       |    ${u("key", "phase")} AS phase,
+       |    CASE WHEN ${u("key", "sign")} < 0.5 THEN -1.0 ELSE 1.0 END AS tsign,
+       |    ${u("key", "trend")} + 1.0 AS ta$spikeCols
+       |  FROM range(0, $nKeys) k(key)),
+       |g AS (
+       |  SELECT kk.*, d.t FROM kk CROSS JOIN range(0, $nDays) d(t)),
+       |c AS (
+       |  SELECT *,
+       |    CAST(t AS DOUBLE) / $p.0 + phase AS x,
+       |    (ta * (CAST(t AS DOUBLE) / ${math.max(nDays - 1, 1)}.0)) / 16.0 AS y,
        |    (${u("CONCAT(key, '@', t)", "noise")} - 0.5) * 0.2 AS noise,
-       |    CASE WHEN CAST(t AS DOUBLE) >= FLOOR(${u("key", "spikeday")} * $spikeWindow)
-       |         THEN (${u("key", "spikeamp")} - 0.5) * 6.0 ELSE 0.0 END AS spike
+       |    $spikeSum AS spike
        |  FROM g),
+       |-- exponential trend: e^x = (e^{x/16})^16, degree-4 Taylor core,
+       |-- squared 4 times in the same order as operators.Generate
+       |x2 AS (SELECT *, y * y AS y2 FROM c),
+       |x3 AS (SELECT *, y2 * y AS y3 FROM x2),
+       |x4 AS (SELECT *, y3 * y AS y4 FROM x3),
+       |x5 AS (SELECT *, (((1.0 + y) + (y2 / 2.0)) + (y3 / 6.0)) + (y4 / 24.0) AS e0 FROM x4),
+       |x6 AS (SELECT *, e0 * e0 AS e1 FROM x5),
+       |x7 AS (SELECT *, e1 * e1 AS p2 FROM x6),
+       |x8 AS (SELECT *, p2 * p2 AS p3 FROM x7),
+       |x9 AS (SELECT *, tsign * (p3 * p3) AS trend FROM x8),
        |w AS (
-       |  SELECT key, t, salary, trend, noise, spike, x - FLOOR(x) AS tt FROM c),
+       |  SELECT key, t, salary, trend, noise, spike, x - FLOOR(x) AS tt FROM x9),
        |-- sine = folded parabola + cubic refinement, parenthesized
        |-- exactly like operators.Generate (pure IEEE mul/add → bit-exact)
        |s0 AS (

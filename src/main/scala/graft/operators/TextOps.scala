@@ -43,30 +43,41 @@ object TextOps {
     * the two subplans non-identical, defeating ReuseExchange).
     * `localCheckpoint` is a leaf, not a cacheManager entry — blocks
     * are ContextCleaner-freed when the frame drops, so the cache-
-    * hygiene contract holds with no explicit release.
+    * hygiene contract holds with no explicit release. Durability
+    * caveat (same as connectedComponents'): localCheckpoint lives on
+    * executor-local storage, so on a real cluster an executor loss
+    * forces recomputation of the lost tf blocks from the parquet
+    * lineage root; at cluster scale use a reliable `checkpoint()`
+    * directory to survive executor loss.
     *
-    * Skew contract: df is |vocab|-sized (≪ corpus — a natural-language
-    * lexicon, not a row count) and rides as a BROADCAST, so the tf⋈df
-    * join is map-side and never shuffles (doc_id, tok) rows on raw
-    * token — which skews catastrophically on stopwords ("the"-class
-    * tokens all hash to one reducer). If a corpus's vocabulary ever
-    * outgrew broadcast range, drop the hint and rely on AQE skew-join
-    * splitting; TextOpsSpec's skewed-corpus spec pins the semantics
-    * either way. The final per-doc rank partitions by doc_id — bounded
-    * by tokens-per-document, never corpus-sized.
+    * Skew contract: df is |vocab|-sized and rides as a BROADCAST, so
+    * the tf⋈df join is map-side and never shuffles (doc_id, tok) rows
+    * on raw token — which skews catastrophically on stopwords
+    * ("the"-class tokens all hash to one reducer). The broadcast
+    * ASSUMES the vocabulary is lexicon-bounded (≈ millions of rows at
+    * most); a web-scale corpus's vocabulary (typos, numbers, code
+    * fragments) is NOT lexicon-bounded and can exceed broadcast range
+    * — pass `broadcastDf = false` there and rely on AQE skew-join
+    * splitting of the un-hinted sort-merge join instead of shipping a
+    * multi-GB vocab table to every executor (or OOMing the driver).
+    * TextOpsSpec's skewed-corpus spec pins output equality of the two
+    * paths on a stopword-dominated corpus. The final per-doc rank
+    * partitions by doc_id — bounded by tokens-per-document, never
+    * corpus-sized.
     *
     * The score is ROUNDED before ranking so the (tfidf desc, tok)
     * order is identical in any engine.
     */
-  def tfidf(docs: DataFrame, k: Int): DataFrame = {
+  def tfidf(docs: DataFrame, k: Int, broadcastDf: Boolean = true): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
-    val dfx = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val dfx0 = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val dfx = if (broadcastDf) broadcast(dfx0) else dfx0
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    tf.join(broadcast(dfx), "tok")
+    tf.join(dfx, "tok")
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("tok"),
         r3(col("tf") * log(col("n_docs").cast("double") / col("df"))).as("tfidf"))
