@@ -46,36 +46,52 @@ object Bench {
     // min so contamination is visible, not silently absorbed.
     val names = SparkEntry.queries.toSeq
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
+    // System 1-min load average captured at the END of each sample
+    // (its EMA window covers the sample) — a sample whose load is well
+    // above this JVM's own thread count was contended by OTHER
+    // processes on the host, and its elapsed time measures the host,
+    // not the plan. BENCH_r06 pass-1 carried up to 6× contamination
+    // that was only diagnosable by cross-round forensics; with the
+    // per-sample load field it reads directly off the artifact (see
+    // SURVEY §6 for how to read it).
+    def loadAvg(): Double = {
+      val la = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      math.floor(la * 100.0 + 0.5) / 100.0
+    }
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-             name: String): Double = {
+             name: String): (Double, Double) = {
       spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
-      try { sink(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+      try { sink(fn(spark, sfDir)); ((System.nanoTime() - t0) / 1e9, loadAvg()) }
       catch { case e: Throwable =>
         errors += name
         System.err.println(s"BENCH FAIL $name: $e")
         // failed samples report negative elapsed so they can't read
         // as a fast success
-        -1.0
+        (-1.0, loadAvg())
       }
     }
     val pass1 = names.map { case (name, fn) => name -> once(fn, name) }
     val pass2 = names.map { case (name, fn) =>
-      name -> (if (errors.contains(name)) -1.0 else once(fn, name))
+      name -> (if (errors.contains(name)) (-1.0, loadAvg()) else once(fn, name))
     }
     val s2 = pass2.toMap
-    val results = pass1.map { case (name, a) =>
-      val b = s2(name)
+    val results = pass1.map { case (name, (a, _)) =>
+      val b = s2(name)._1
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val samples = pass1.map { case (k, a) => s"\"" + k + "\":[" + a + "," + s2(k) + "]" }
+    val samples = pass1.map { case (k, (a, _)) => s"\"" + k + "\":[" + a + "," + s2(k)._1 + "]" }
+      .mkString("{", ",", "}")
+    val loads = pass1.map { case (k, (_, l1)) => s"\"" + k + "\":[" + l1 + "," + s2(k)._2 + "]" }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum +
       errors.size * 1e6 // failures poison the total
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samples,"errors":$errs,"sf":"$sfDir"}""")
+    val nproc = Runtime.getRuntime.availableProcessors
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samples,"load":$loads,"nproc":$nproc,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -364,11 +364,9 @@ object OracleSql {
   def generate(nKeys: Int, nDays: Int, p: Int): String = {
     def u(keyExpr: String, tag: String) =
       s"(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT($keyExpr, ':$tag')), 1, 8)) AS BIGINT) % 100000) / 100000.0"
-    // Reference spike window (create_time_series.py:146-148), same
-    // clamping as Generate.series.
-    val lastSpike = nDays - 92
-    val firstSpike = math.max(0, nDays - 92 - 365)
-    val nSpikes = if (lastSpike > firstSpike) 3 else 0
+    // Reference spike window — the SAME definition Generate.series
+    // uses (Generate.spikeWindow), so the mirrors can't drift.
+    val (firstSpike, lastSpike, nSpikes) = graft.operators.Generate.spikeWindow(nDays)
     // Irwin-Hall N(0,1): (Σ_{i=1..12} U_i) − 6, left-to-right tag order
     def ihz(j: Int) =
       s"(${(1 to 12).map(i => u("key", s"spikez${j}_$i")).mkString(" + ")}) - 6.0"
@@ -980,6 +978,33 @@ object OracleSql {
        |  ${R("SUM(CAST(CAST(v AS FLOAT) AS DOUBLE)) FILTER (WHERE rn_end <= " + nY + ")")} AS y_sum
        |FROM numbered WHERE rn_end <= ${nX + nY}
        |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** writeShards→batches roundtrip oracle: with ONE key-sorted shard
+    * (how the gate writes it), MlFeed.batches assembles batch
+    * `rank(user_id) div batchSize` — reproduced here as a window rank
+    * over per-user X/y subtotals. Per-user sums are float-cast exactly
+    * like the feed's arrays; batch checksums sum the per-user
+    * subtotals, the same association order as the gate's nested
+    * `aggregate` fold.
+    */
+  def mlFeedBatches(nX: Int, nY: Int, batchSize: Int): String =
+    s"""WITH $daily,
+       |numbered AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn_end
+       |  FROM daily),
+       |per_user AS (
+       |  SELECT user_id,
+       |    COALESCE(SUM(CAST(CAST(v AS FLOAT) AS DOUBLE)) FILTER (WHERE rn_end > $nY), 0.0) AS x_sum,
+       |    COALESCE(SUM(CAST(CAST(v AS FLOAT) AS DOUBLE)) FILTER (WHERE rn_end <= $nY), 0.0) AS y_sum
+       |  FROM numbered WHERE rn_end <= ${nX + nY}
+       |  GROUP BY user_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY user_id) - 1 AS rk FROM per_user)
+       |SELECT CAST(rk // $batchSize AS BIGINT) AS batch,
+       |       COUNT(*) AS n,
+       |       ${R("SUM(x_sum)")} AS xs_sum,
+       |       ${R("SUM(y_sum)")} AS ys_sum
+       |FROM ranked GROUP BY 1 ORDER BY batch""".stripMargin
 
   /** Multimodal feature oracle: byte-bucket histogram == ascii%16
     * histogram for the ascii corpus.

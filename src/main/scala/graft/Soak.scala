@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Relational, Similarity}
+import graft.operators.{Dedup, Generate, Relational, Similarity, TextOps}
 
 /** Scale soak: runs the shuffle-heavy operators on inputs scaled
   * `SPARK_GRAFT_SOAK_FACTOR`× (default 10×) IN MEMORY — an
@@ -98,9 +98,20 @@ object Soak {
       }),
       "sessionize" -> (() => Relational.sessionize(ev, 1800000000L)),
       "ann_lsh" -> (() => Similarity.annLshTopK(emb, 8, 5, 5)),
-      "ann_ivf" -> (() => Similarity.annIvfTopK(emb, 16, 5, 5)))
+      "ann_ivf" -> (() => Similarity.annIvfTopK(emb, 16, 5, 5)),
+      "ann_ivf_probe" -> (() => Similarity.annIvfTopKProbe(emb, 16, 5, 5, 2)),
+      "text_tfidf" -> (() => TextOps.tfidf(docs, 3)),
+      "token_topk" -> (() => TextOps.topTokens(docs, 20)),
+      // generator at factor×10K keys (100K at the default factor 10):
+      // validates that the 45 per-KEY md5 draws — not per-row — keep
+      // generation linear at realistic key cardinality
+      "ts_generate" -> (() => Generate.series(spark, factor * 10000, 200, 30)))
 
-    val results = queries.map { case (name, mk) =>
+    // optional args name a subset — e.g. the dedup family at a higher
+    // SPARK_GRAFT_SOAK_FACTOR without paying for the whole suite
+    val only = args.toSet
+    val results = queries.filter { case (n, _) => only.isEmpty || only(n) }
+      .map { case (name, mk) =>
       def once(): Double = {
         spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()

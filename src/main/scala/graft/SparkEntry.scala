@@ -145,6 +145,14 @@ object SparkEntry {
         .select(col("key"), col("t").cast("long").as("t"), col("v"), col("signal_type"))
         .orderBy(col("key"), col("t"))),
 
+    // nDays=90 ≤ 92-day forecast tail → the generator's no-spike
+    // branch: externally verifies the spike-window clamp (the oracle's
+    // nSpikes = 0 SQL), not just GenerateSpec's driver-side check
+    "ts_generate_short" -> ((s, _) =>
+      Generate.series(s, 100, 90, 30)
+        .select(col("key"), col("t").cast("long").as("t"), col("v"), col("signal_type"))
+        .orderBy(col("key"), col("t"))),
+
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir)).orderBy(col("doc_id"))),
 
@@ -192,6 +200,30 @@ object SparkEntry {
           when(size(col("x")) > 0, r3c(fsum("x"))).as("x_sum"),
           when(size(col("y")) > 0, r3c(fsum("y"))).as("y_sum"))
         .orderBy(col("user_id"))
+    }),
+
+    "ml_feed_batches" -> ((s, dir) => {
+      // writeShards→batches roundtrip (the reference's Petastorm
+      // converter → batched-tensors boundary, training.py:244-257),
+      // externally verified: ONE key-sorted shard makes batch
+      // membership rank(user_id) div batchSize, which the DuckDB
+      // oracle reproduces exactly. Multi-shard batching is partition-
+      // dependent by design (batch = position within a shard) and is
+      // covered by FeedStreamSpec's sharded roundtrip.
+      val samples = graft.sources.MlFeed.samples(
+        TimeSeries.resampleDaily(Tables.events(s, dir)), NX, NY)
+      val shardDir = java.nio.file.Files.createTempDirectory("graft_feed_gate_").toString
+      graft.sources.MlFeed.writeShards(samples, shardDir, 1)
+      // per-user inner sums folded in user_id order — the same
+      // association order as the oracle's SUM over per-user subtotals
+      def csum(c: String) = expr(
+        s"aggregate($c, cast(0 as double), (acc, a) -> acc + aggregate(a, cast(0 as double), (ai, e) -> ai + cast(e as double)))")
+      graft.sources.MlFeed.batches(s, shardDir, 32)
+        .select(col("batch").cast("long").as("batch"),
+          col("n").cast("long").as("n"),
+          r3c(csum("xs")).as("xs_sum"),
+          r3c(csum("ys")).as("ys_sum"))
+        .orderBy(col("batch"))
     }),
 
     "multimodal_features" -> ((s, dir) =>
@@ -485,6 +517,7 @@ object SparkEntry {
     "ts_asof_join" -> OracleSql.asofJoin,
     "ts_sessionize" -> OracleSql.sessionize(1800000000L),
     "ts_generate" -> OracleSql.generate(100, 200, 30),
+    "ts_generate_short" -> OracleSql.generate(100, 90, 30),
     "dedup_exact" -> OracleSql.dedupExact,
     "dedup_minhash_lsh" -> OracleSql.dedupMinhashLsh(16, 2),
     "dedup_simhash" -> OracleSql.dedupSimhash,
@@ -496,6 +529,7 @@ object SparkEntry {
     "token_count" -> OracleSql.tokenCount,
     "doc_fingerprint" -> OracleSql.docFingerprint,
     "ml_feed" -> OracleSql.mlFeed(NX, NY),
+    "ml_feed_batches" -> OracleSql.mlFeedBatches(NX, NY, 32),
     "multimodal_features" -> OracleSql.multimodalFeatures,
     "stream_window_agg" -> OracleSql.streamWindowAgg,
     "ts_assemble" -> OracleSql.assemble,

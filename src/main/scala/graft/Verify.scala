@@ -15,6 +15,20 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Subset mode wipes a pre-existing outDir first: writing a
+    // filtered oracle_sql.json into a dir holding a previous full run
+    // would silently truncate the shared json while stale parquet dirs
+    // from other queries remain — a later driver compare could mix
+    // partial and stale artifacts. Wiping keeps any outDir
+    // self-consistent: it holds exactly the queries this run produced.
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    if (only.nonEmpty) {
+      val d = new java.io.File(outDir)
+      if (d.exists()) rm(d)
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

@@ -34,7 +34,16 @@ import org.apache.spark.sql.functions._
   *     when nDays ≤ 92), amplitude N(3·salary, salary) with random
   *     sign. The Gaussian draw is an Irwin-Hall sum of 12 hash-PRNG
   *     uniforms (pure adds — bit-portable; |error| vs a true normal
-  *     is immaterial for a synthetic generator);
+  *     is immaterial for a synthetic generator). Short-series
+  *     divergence, accepted by design: for nDays < 457 the reference's
+  *     `np.random.randint(first, last)` draws NEGATIVE day indices,
+  *     and its Python slice `ts[t:] += a` then wraps them — a negative
+  *     t shifts the whole (or tail of the) series, a level offset
+  *     rather than a mid-series changepoint. Graft instead clamps the
+  *     window at 0, redistributing that probability mass into
+  *     [0, nDays−92), so every spike stays a detectable changepoint;
+  *     for nDays ≤ 92 the window is empty and graft emits no spikes
+  *     where the reference would emit wrapped whole-series shifts;
   *   - per-row noise stays uniform ±0.1·salary (reference: Gaussian
   *     N(0, noise·salary)) — a documented difference-by-design: a
   *     per-row Irwin-Hall would cost 12 hash evaluations per ROW
@@ -48,6 +57,25 @@ import org.apache.spark.sql.functions._
   */
 object Generate {
 
+  /** Reference spike-window constants (create_time_series.py:146-148):
+    * spikes land within `SPIKE_LOOKBACK_DAYS` of the forecast boundary
+    * and never inside the `SPIKE_TAIL_DAYS` forecast tail. Single
+    * definition shared by Generate.series, OracleSql.generate and
+    * GenerateSpec so the hand-mirrored implementations can't drift.
+    */
+  val SPIKE_TAIL_DAYS = 92
+  val SPIKE_LOOKBACK_DAYS = 365
+  val N_SPIKES = 3
+
+  /** (firstSpikeDay, lastSpikeDay, nSpikes) for an `nDays` series —
+    * window clamped at 0 for short series; no spikes when empty.
+    */
+  def spikeWindow(nDays: Int): (Int, Int, Int) = {
+    val last = nDays - SPIKE_TAIL_DAYS
+    val first = math.max(0, last - SPIKE_LOOKBACK_DAYS)
+    (first, last, if (last > first) N_SPIKES else 0)
+  }
+
   /** Uniform [0,1) from md5(key ":" tag), 5 decimal digits. */
   private def u(key: Column, tag: String): Column =
     (conv(substring(md5(concat(key.cast("string"), lit(":" + tag))), 1, 8), 16, 10)
@@ -60,11 +88,7 @@ object Generate {
     */
   def series(spark: SparkSession, nKeys: Int, nDays: Int, p: Int): DataFrame = {
     val k = col("key")
-    // Reference spike window (create_time_series.py:146-148): within
-    // one year of the forecast boundary, never in the last 92 days.
-    val lastSpike = nDays - 92
-    val firstSpike = math.max(0, nDays - 92 - 365)
-    val nSpikes = if (lastSpike > firstSpike) 3 else 0
+    val (firstSpike, lastSpike, nSpikes) = spikeWindow(nDays)
 
     // ---- per-key draws (computed once per key, below the explode) --
     // N(0,1) ≈ Irwin-Hall: (Σ_{i=1..12} U_i) − 6, summed left-to-right

@@ -41,10 +41,16 @@ object MlFeed {
   }
 
   /** Hash-sharded parquet write: `nShards` files keyed on user_id so a
-    * training worker reads whole keys; no tiny-file explosion.
+    * training worker reads whole keys; no tiny-file explosion. Shards
+    * are key-sorted (`sortWithinPartitions`): deterministic file
+    * contents across reruns, better parquet encoding, and — with a
+    * single shard — a batch composition expressible as
+    * `rank(user_id) div batchSize` (which is how the external
+    * `ml_feed_batches` oracle verifies the roundtrip).
     */
   def writeShards(samples: DataFrame, path: String, nShards: Int): Unit =
     samples.repartition(nShards, col("user_id"))
+      .sortWithinPartitions(col("user_id"))
       .write.mode("overwrite").parquet(path)
 
   /** Fixed-size training batches, assembled per partition — zero

@@ -31,9 +31,7 @@ class GenerateSpec extends AnyFunSuite {
   private def expected(key: Long, t: Int, nKeys: Int, nDays: Int, p: Int): Double = {
     val k = key.toString
     val salary = 100.0 + (key % 50).toDouble * 10.0
-    val lastSpike = nDays - 92
-    val firstSpike = math.max(0, nDays - 92 - 365)
-    val nSpikes = if (lastSpike > firstSpike) 3 else 0
+    val (firstSpike, lastSpike, nSpikes) = Generate.spikeWindow(nDays)
     val x = t.toDouble / p + u(k, "phase")
     val tt = x - math.floor(x)
     val u0 = if (tt < 0.5) tt else tt - 0.5
@@ -60,10 +58,8 @@ class GenerateSpec extends AnyFunSuite {
   }
 
   private def spikeDays(key: Long, nDays: Int): Seq[Int] = {
-    val lastSpike = nDays - 92
-    val firstSpike = math.max(0, nDays - 92 - 365)
-    if (lastSpike <= firstSpike) Seq.empty
-    else (1 to 3).map(j =>
+    val (firstSpike, lastSpike, nSpikes) = Generate.spikeWindow(nDays)
+    (1 to nSpikes).map(j =>
       firstSpike + math.floor(u(key.toString, s"spikeday$j") * (lastSpike - firstSpike)).toInt)
   }
 

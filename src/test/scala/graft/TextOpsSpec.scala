@@ -71,11 +71,23 @@ class TextOpsSpec extends AnyFunSuite {
     (0 until 60).foreach(i => assert(top1(i.toLong) === s"term$i"))
   }
 
-  test("tfidf broadcast path plans a broadcast of the df side") {
-    val df = TextOps.tfidf(skewedCorpus(), 3)
-    df.collect() // finalize AQE
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
-      s"expected a broadcast tf⋈df join in:\n$plan")
+  test("tfidf hint broadcasts the tok-keyed df join — and is the ONLY thing that does") {
+    // Differential assertion under withoutBroadcast: with automatic
+    // broadcasts disabled, the only broadcast that can reach the tf⋈df
+    // join is the explicit hint, so the hinted and un-hinted plans must
+    // differ exactly there. (A bare "plan contains a broadcast" check
+    // is vacuous here: the scalar n_docs crossJoin plans a
+    // BroadcastNestedLoopJoin in BOTH paths.)
+    val tokJoin = """BroadcastHashJoin \[tok#\d+""".r
+    def plansTokBroadcast(df: org.apache.spark.sql.DataFrame): Boolean = {
+      df.collect() // finalize AQE
+      tokJoin.findFirstIn(df.queryExecution.executedPlan.toString).isDefined
+    }
+    withoutBroadcast {
+      assert(plansTokBroadcast(TextOps.tfidf(skewedCorpus(), 3)),
+        "hinted path must plan a tok-keyed BroadcastHashJoin")
+      assert(!plansTokBroadcast(TextOps.tfidf(skewedCorpus(), 3, broadcastDf = false)),
+        "un-hinted path must not broadcast the df side when broadcasts are disabled")
+    }
   }
 }
