@@ -963,6 +963,69 @@ object OracleSql {
       |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Distinct word n-grams per doc, as a CTE named `dg`. DuckDB array
+    * slicing `t[i:i+k]` is INCLUSIVE on both ends, so an n-gram is
+    * `t[i : i+n-1]`.
+    */
+  private def ngramsCte(n: Int): String =
+    s"""dg AS (
+       |  SELECT DISTINCT doc_id, g FROM (
+       |    SELECT doc_id, UNNEST(list_transform(generate_series(1, len(t) - ${n - 1}),
+       |      i -> array_to_string(t[i:i+${n - 1}], ' '))) AS g
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       |    WHERE len(t) >= $n))""".stripMargin
+
+  /** Benchmark decontamination: benchmark = docs with doc_id % `m` = 0
+    * (mirrors the gate's deterministic eval-set selection).
+    */
+  def decontaminate(n: Int, m: Int): String =
+    s"""WITH ${ngramsCte(n)},
+       |bench AS (SELECT DISTINCT g FROM dg WHERE doc_id % $m = 0),
+       |hits AS (
+       |  SELECT dg.doc_id, COUNT(*) AS hits FROM dg JOIN bench USING (g) GROUP BY 1)
+       |SELECT d.doc_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       |       CAST(CASE WHEN COALESCE(h.hits, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
+       |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Repetition signals: duplicate-n-gram fraction + top-token
+    * dominance. Grams here are NOT deduped (the fraction needs the raw
+    * count), so this builds its own list instead of ngramsCte.
+    */
+  def textRepetition(n: Int): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |tc AS (
+       |  SELECT doc_id, tok, COUNT(*) AS c
+       |  FROM (SELECT doc_id, UNNEST(t) AS tok FROM toks) GROUP BY 1, 2),
+       |top AS (SELECT doc_id, MAX(c) AS m FROM tc GROUP BY 1),
+       |g AS (
+       |  SELECT doc_id, len(t) AS nt,
+       |    list_transform(generate_series(1, len(t) - ${n - 1}),
+       |      i -> array_to_string(t[i:i+${n - 1}], ' ')) AS grams
+       |  FROM toks WHERE len(t) >= $n)
+       |SELECT g.doc_id, CAST(len(g.grams) AS BIGINT) AS ngrams,
+       |  ${R("1.0 - len(list_distinct(g.grams)) / len(g.grams)")} AS dup_frac,
+       |  ${R("top.m / g.nt")} AS top_tok_frac
+       |FROM g JOIN top ON top.doc_id = g.doc_id
+       |ORDER BY g.doc_id""".stripMargin
+
+  /** Composite keep/drop filter — thresholds compare the ROUNDED
+    * ratios, matching the Spark side exactly.
+    */
+  def textFilter(minTokens: Int, maxTokens: Int,
+                 maxStop: Double, maxDup: Double): String =
+    s"""WITH s AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks,
+       |    ${R("len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','on','for'))) / len(t)")} AS stop_ratio,
+       |    ${R("1.0 - len(list_distinct(list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]))) / (len(t) - 1)")} AS dup_frac
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       |  WHERE len(t) >= 2)
+       |SELECT doc_id, n_toks, stop_ratio, dup_frac,
+       |  CAST(CASE WHEN n_toks BETWEEN $minTokens AND $maxTokens
+       |            AND stop_ratio <= $maxStop AND dup_frac <= $maxDup
+       |       THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
+
   /** ml_feed summary oracle: per-key X/y sample shapes + checksums,
     * float-cast exactly like the feed's arrays.
     */

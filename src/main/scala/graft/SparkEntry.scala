@@ -485,6 +485,20 @@ object SparkEntry {
         .select(col("doc_id"), col("tok"), col("tfidf"), col("rank").cast("long").as("rank"))
         .orderBy(col("doc_id"), col("rank"))),
 
+    // benchmark set = every 50th doc — a deterministic, scale-
+    // proportional stand-in for an eval corpus
+    "decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.decontaminate(docs, docs.where(col("doc_id") % 50 === 0), 4)
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_repetition" -> ((s, dir) =>
+      TextOps.repetition(Tables.documents(s, dir), 2).orderBy(col("doc_id"))),
+
+    "text_filter" -> ((s, dir) =>
+      TextOps.compositeFilter(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+
     "range_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val iv = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
@@ -577,5 +591,8 @@ object SparkEntry {
     "dedup_pipeline" -> OracleSql.dedupPipeline(16, 2, 0.5),
     "text_normalize" -> OracleSql.textNormalize,
     "text_tfidf" -> OracleSql.textTfidf(3),
+    "decontaminate" -> OracleSql.decontaminate(4, 50),
+    "text_repetition" -> OracleSql.textRepetition(2),
+    "text_filter" -> OracleSql.textFilter(30, 90, 0.15, 0.10),
   )
 }

@@ -167,6 +167,94 @@ object TextOps {
         regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")).as("norm_text"))
       .withColumn("norm_tokens", size(split(col("norm_text"), " ")).cast("long"))
 
+  /** Word n-gram array per row, DISTINCT within the doc, empty for
+    * docs shorter than n tokens (guards Spark's `sequence(1, 0)`,
+    * which would DESCEND and slice garbage).
+    */
+  private def distinctNgrams(toks: String, n: Int): Column =
+    when(expr(s"size($toks)") >= n,
+      array_distinct(expr(
+        s"transform(sequence(1, size($toks) - ${n - 1}), i -> concat_ws(' ', slice($toks, i, $n)))")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Benchmark n-gram decontamination: flag every training document
+    * sharing at least one word n-gram with an evaluation/benchmark
+    * corpus — the standard eval-overlap removal step of an LLM
+    * training-data run (the GPT-3/C4 papers' 8-13-gram rule; n is the
+    * caller's knob).
+    *
+    * Output: (doc_id, hits = distinct contaminated n-grams in the doc,
+    * contaminated ∈ {0,1}) for EVERY input doc — the caller filters
+    * `contaminated = 0` to keep, or audits `hits` first.
+    *
+    * Scale shape: the benchmark side is eval-set-sized (MBs, not TBs)
+    * — its distinct n-gram set rides as a BROADCAST, so the corpus'
+    * n-gram explosion is probed map-side and never shuffles; the only
+    * exchange is the per-doc hit count (map-side combined, ≤ one row
+    * per contaminated doc) plus the final left join back to doc_ids.
+    * At 100 TB the corpus stays a single scan → project → broadcast-
+    * probe pipeline. If the benchmark set ever outgrows broadcast
+    * range, drop the `broadcast` hint and let AQE pick the join — the
+    * semantics don't change.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
+    def grams(d: DataFrame) = d
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(distinctNgrams("toks", n)).as("gram"))
+    val bench = broadcast(grams(benchmark).select("gram").distinct())
+    val hits = grams(docs).join(bench, "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+    docs.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)) > 0).cast("int").as("contaminated"))
+  }
+
+  /** Within-document repetition signals (the Gopher paper's repetition
+    * filters): fraction of duplicate word n-grams and the dominance of
+    * the single most frequent token. High values mark boilerplate /
+    * degenerate text a training run drops.
+    *
+    * Pure per-row HOF math — zero shuffle, maps straight through the
+    * scan at any scale. The top-token count is O(uniq·tokens) per row,
+    * bounded by document length (not corpus size).
+    */
+  def repetition(docs: DataFrame, n: Int = 2): DataFrame = {
+    val grams = expr(
+      s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))")
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"), col("toks"), grams.as("grams"))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("ngrams"),
+        r3(lit(1.0) -
+          size(array_distinct(col("grams"))).cast("double") / size(col("grams"))).as("dup_frac"),
+        r3(expr("array_max(transform(array_distinct(toks), t -> size(filter(toks, x -> x = t))))")
+          .cast("double") / size(col("toks"))).as("top_tok_frac"))
+  }
+
+  /** Composite C4/Gopher-style keep/drop verdict: token-count bounds,
+    * stopword-density cap, duplicate-2-gram cap — each signal emitted
+    * alongside the verdict so a pipeline can audit WHY a doc dropped.
+    * Thresholds compare the ROUNDED ratios (r3 both engines), so the
+    * verdict is bit-stable. Per-row, zero shuffle.
+    */
+  def compositeFilter(docs: DataFrame, minTokens: Int = 30, maxTokens: Int = 90,
+                      maxStopRatio: Double = 0.15, maxDupRatio: Double = 0.10): DataFrame = {
+    val toks = col("toks")
+    val grams = expr(
+      "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', slice(toks, i, 2)))")
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(toks) >= 2)
+      .select(col("doc_id"), size(toks).cast("long").as("n_toks"),
+        r3(size(filter(toks, t => t.isInCollection(STOPWORDS))).cast("double") / size(toks))
+          .as("stop_ratio"),
+        r3(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams)).as("dup_frac"))
+      .withColumn("keep",
+        (col("n_toks").between(minTokens, maxTokens) &&
+          col("stop_ratio") <= maxStopRatio && col("dup_frac") <= maxDupRatio).cast("int"))
+  }
+
   /** Corpus-wide top-k tokens by frequency — vocabulary building. The
     * token explosion is reduced by a map-side-combined count, then
     * top-k is TWO-phase: per-salt top-k first, so the single-partition

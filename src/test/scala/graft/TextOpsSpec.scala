@@ -71,6 +71,68 @@ class TextOpsSpec extends AnyFunSuite {
     (0 until 60).foreach(i => assert(top1(i.toLong) === s"term$i"))
   }
 
+  test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),     // benchmark member
+      (1L, "zeta beta gamma delta eta theta"),    // shares "beta gamma delta" 3-gram
+      (2L, "iota kappa lambda mu nu"),            // disjoint
+      (3L, "alpha beta gamma delta zeta"),        // shares the same 3-gram AND "alpha beta gamma"
+      (4L, "xi om")                               // shorter than n — zero grams, never flagged
+    ).toDF("doc_id", "text")
+    val bench = docs.where($"doc_id" === 0L)
+    val out = TextOps.decontaminate(docs, bench, 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out(0L) === ((3L, 1)))  // all 3 of its own 3-grams
+    assert(out(1L) === ((1L, 1)))  // "beta gamma delta"
+    assert(out(2L) === ((0L, 0)))
+    assert(out(3L) === ((2L, 1)))  // "alpha beta gamma" + "beta gamma delta"
+    assert(out(4L) === ((0L, 0)))
+  }
+
+  test("decontaminate broadcasts the benchmark n-gram side") {
+    import spark.implicits._
+    val docs = (0L until 20L).map(i => (i, s"tok$i a b c d e f")).toDF("doc_id", "text")
+    val df = TextOps.decontaminate(docs, docs.where($"doc_id" < 2), 3)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "benchmark gram set must ride as a broadcast")
+  }
+
+  test("repetition: degenerate and diverse docs get the right fractions") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "x x x x"),          // 3 bigrams, 1 distinct → dup 2/3; top tok 4/4
+      (1L, "a b c d"),          // all distinct → dup 0; top 1/4
+      (2L, "a b a b a")         // bigrams: ab ba ab ba → 4 grams 2 distinct → dup 0.5; top 3/5
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetition(docs, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(0L) === ((3L, 0.667, 1.0)))
+    assert(out(1L) === ((3L, 0.0, 0.25)))
+    assert(out(2L) === ((4L, 0.5, 0.6)))
+  }
+
+  test("compositeFilter rejects for each reason independently") {
+    import spark.implicits._
+    val long = (1 to 95).map(i => s"w$i").mkString(" ")          // too long
+    val good = (1 to 40).map(i => s"w$i").mkString(" ")
+    // "the" interleaved among distinct words: all bigrams distinct
+    // (dup 0) so the stopword cap is the ONLY reject reason
+    val stopy = (1 to 30).flatMap(i =>
+      if (i % 3 == 0) Seq("the", s"w$i") else Seq(s"w$i")).mkString(" ")  // stop 10/40 = 0.25
+    val repy = (Seq.fill(20)("x x") ++ (1 to 20).map(i => s"w$i")).mkString(" ")   // heavy dup
+    val docs = Seq((0L, good), (1L, long), (2L, stopy), (3L, repy), (4L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val out = TextOps.compositeFilter(docs).collect()
+      .map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(out(0L) === 1)
+    assert(out(1L) === 0)   // n_toks 95 > 90
+    assert(out(2L) === 0)   // stop_ratio 0.25 > 0.15
+    assert(out(3L) === 0)   // dup_frac >> 0.10
+    assert(out(4L) === 0)   // 2 tokens < 30
+  }
+
   test("tfidf hint broadcasts the tok-keyed df join — and is the ONLY thing that does") {
     // Differential assertion under withoutBroadcast: with automatic
     // broadcasts disabled, the only broadcast that can reach the tf⋈df
