@@ -101,6 +101,13 @@ object Soak {
       "ann_ivf" -> (() => Similarity.annIvfTopK(emb, 16, 5, 5)),
       "ann_ivf_probe" -> (() => Similarity.annIvfTopKProbe(emb, 16, 5, 5, 2)),
       "text_tfidf" -> (() => TextOps.tfidf(docs, 3)),
+      // fixed benchmark (the BASE corpus' every-50th doc) against the
+      // factor×-grown corpus — the real decontamination shape: the
+      // broadcast side stays eval-set-sized while probe work grows
+      // linearly (replica tokens are disjoint, so hit count stays ≈
+      // the base corpus')
+      "decontaminate" -> (() => TextOps.decontaminate(docs,
+        Tables.documents(spark, sfDir).where(col("doc_id") % 50 === 0), 4)),
       "token_topk" -> (() => TextOps.topTokens(docs, 20)),
       // generator at factor×10K keys (100K at the default factor 10):
       // validates that the 45 per-KEY md5 draws — not per-row — keep
