@@ -23,7 +23,12 @@ object PerfProbe {
     "ann_topk", "ann_ivf", "text_tfidf")
 
   def main(args: Array[String]): Unit = {
-    val spark = Session.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    // default CPUS matches graft.Bench's default, NOT the machine —
+    // PROBE exists to cross-check BENCH mins, so it must measure the
+    // same configuration (local[32] runs many-stage queries SLOWER on
+    // sf0.1: 32 shuffle partitions × many stages = scheduling overhead
+    // that reads as a phantom regression)
+    val spark = Session.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = args.headOption.map(_.toInt).getOrElse(3)
     val names = if (args.length > 1) args.drop(1).toSeq else Headliners
@@ -33,6 +38,18 @@ object PerfProbe {
       math.floor(la * 100.0 + 0.5) / 100.0
     }
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    // Same warm pass as Bench: run each probed query at the smallest
+    // SF first so Janino's compile cache and the JIT are hot — without
+    // it the first rep absorbs 2-4s of codegen, turning min-of-3 into
+    // an effective min-of-2
+    val warmDir = "/root/testdata/sf0.001"
+    if (warmDir != sfDir && new java.io.File(warmDir).isDirectory)
+      names.foreach { n =>
+        try SparkEntry.queries(n)(spark, warmDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        spark.sharedState.cacheManager.clearCache()
+      }
     val results = names.map { n =>
       val samples = (1 to reps).map { _ =>
         spark.sharedState.cacheManager.clearCache()

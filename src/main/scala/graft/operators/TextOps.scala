@@ -216,12 +216,25 @@ object TextOps {
     * degenerate text a training run drops.
     *
     * Pure per-row HOF math — zero shuffle, maps straight through the
-    * scan at any scale. The top-token count is O(uniq·tokens) per row,
-    * bounded by document length (not corpus size).
+    * scan at any scale. The top-token count is the longest run in the
+    * SORTED token array (one `aggregate` fold) — O(len·log len) per
+    * row; the naive `for each distinct token, count its occurrences`
+    * double loop is O(uniq·len), which at real document lengths
+    * (10K+ tokens, half unique) is tens of millions of interpreted
+    * lambda steps per ROW.
     */
   def repetition(docs: DataFrame, n: Int = 2): DataFrame = {
     val grams = expr(
       s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))")
+    // longest run in the sorted array: state = (prev token, current
+    // run, best run); '' as the initial prev is safe — a real ''
+    // first token still starts its run at 0 + 1
+    val topRun = expr(
+      "aggregate(array_sort(toks), named_struct('p', '', 'r', 0, 'b', 0), " +
+        "(a, t) -> named_struct('p', t, " +
+        "'r', if(t = a.p, a.r + 1, 1), " +
+        "'b', greatest(a.b, if(t = a.p, a.r + 1, 1))), " +
+        "a -> a.b)")
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= n)
       .select(col("doc_id"), col("toks"), grams.as("grams"))
@@ -229,8 +242,7 @@ object TextOps {
         size(col("grams")).cast("long").as("ngrams"),
         r3(lit(1.0) -
           size(array_distinct(col("grams"))).cast("double") / size(col("grams"))).as("dup_frac"),
-        r3(expr("array_max(transform(array_distinct(toks), t -> size(filter(toks, x -> x = t))))")
-          .cast("double") / size(col("toks"))).as("top_tok_frac"))
+        r3(topRun.cast("double") / size(col("toks"))).as("top_tok_frac"))
   }
 
   /** Composite C4/Gopher-style keep/drop verdict: token-count bounds,
