@@ -1026,6 +1026,26 @@ object OracleSql {
        |       THEN 1 ELSE 0 END AS INT) AS keep
        |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Sequence packing: per-shard running token sum (CAST to BIGINT —
+    * DuckDB window SUM yields HUGEINT) → integer-division chunk ids.
+    */
+  def packSequences(budget: Int): String =
+    s"""WITH s AS (
+       |  SELECT doc_id, source AS shard,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |p AS (
+       |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+       |      PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS stream_pos
+       |  FROM s)
+       |SELECT doc_id, shard, n_tokens,
+       |  stream_pos // $budget AS start_seq,
+       |  stream_pos % $budget AS start_offset,
+       |  (stream_pos + n_tokens - 1) // $budget AS end_seq
+       |FROM p ORDER BY doc_id""".stripMargin
+
   /** ml_feed summary oracle: per-key X/y sample shapes + checksums,
     * float-cast exactly like the feed's arrays.
     */

@@ -499,6 +499,9 @@ object SparkEntry {
     "text_filter" -> ((s, dir) =>
       TextOps.compositeFilter(Tables.documents(s, dir)).orderBy(col("doc_id"))),
 
+    "pack_sequences" -> ((s, dir) =>
+      TextOps.packSequences(Tables.documents(s, dir), 512).orderBy(col("doc_id"))),
+
     "range_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val iv = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
@@ -594,5 +597,6 @@ object SparkEntry {
     "decontaminate" -> OracleSql.decontaminate(4, 50),
     "text_repetition" -> OracleSql.textRepetition(2),
     "text_filter" -> OracleSql.textFilter(30, 90, 0.15, 0.10),
+    "pack_sequences" -> OracleSql.packSequences(512),
   )
 }

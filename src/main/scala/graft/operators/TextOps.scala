@@ -267,6 +267,37 @@ object TextOps {
           col("stop_ratio") <= maxStopRatio && col("dup_frac") <= maxDupRatio).cast("int"))
   }
 
+  /** Sequence packing for pretraining: concatenate each shard's
+    * documents into one token stream (doc_id order) and cut it into
+    * fixed-`budget` training sequences — each doc's placement is
+    * (start_seq, start_offset, end_seq), with end_seq > start_seq
+    * marking docs that straddle a sequence boundary. This is the
+    * standard "concat then chunk" packing of GPT-style pretraining
+    * (the alternative, first-fit bin packing, is order-dependent and
+    * not deterministic under distribution).
+    *
+    * Scale shape: ONE shuffle on the shard column, then a per-shard
+    * running sum — state is one counter per shard, never the corpus.
+    * The shard column bounds partition size: at 100 TB pass a real
+    * sharding key (file/bucket id), not a 5-value source tag — the
+    * operator packs WITHIN shards precisely so no global stream
+    * order (= single partition) is ever required.
+    */
+  def packSequences(docs: DataFrame, budget: Int,
+                    shardCol: String = "source"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), col(shardCol).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("stream_pos", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // integer `div`, not `/`: Spark's `/` on longs is DOUBLE division
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"stream_pos div $budget").as("start_seq"),
+        (col("stream_pos") % budget).as("start_offset"),
+        expr(s"(stream_pos + n_tokens - 1) div $budget").as("end_seq"))
+  }
+
   /** Corpus-wide top-k tokens by frequency — vocabulary building. The
     * token explosion is reduced by a map-side-combined count, then
     * top-k is TWO-phase: per-salt top-k first, so the single-partition

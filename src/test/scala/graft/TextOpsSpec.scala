@@ -133,6 +133,21 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(4L) === 0)   // 2 tokens < 30
   }
 
+  test("packSequences: straddling docs and per-shard stream reset") {
+    import spark.implicits._
+    def words(k: Int) = Seq.fill(k)("w").mkString(" ")
+    val docs = Seq(
+      (0L, words(300), "A"), (1L, words(300), "A"), (2L, words(100), "A"),
+      (3L, words(600), "B")
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.packSequences(docs, 512).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(0L) === ((0L, 0L, 0L)))
+    assert(out(1L) === ((0L, 300L, 1L)))   // 300..599 straddles the 512 cut
+    assert(out(2L) === ((1L, 88L, 1L)))    // stream pos 600
+    assert(out(3L) === ((0L, 0L, 1L)))     // shard B's stream starts at 0
+  }
+
   test("tfidf hint broadcasts the tok-keyed df join — and is the ONLY thing that does") {
     // Differential assertion under withoutBroadcast: with automatic
     // broadcasts disabled, the only broadcast that can reach the tf⋈df
