@@ -108,6 +108,12 @@ object Soak {
       // the base corpus')
       "decontaminate" -> (() => TextOps.decontaminate(docs,
         Tables.documents(spark, sfDir).where(col("doc_id") % 50 === 0), 4)),
+      // a real (fine-grained) shard key, the documented 100-TB usage —
+      // shard count grows with the corpus, partition size stays bounded
+      "pack_sequences" -> (() => TextOps.packSequences(
+        docs.withColumn("shard_key",
+          concat_ws("_", col("source"), (col("doc_id") / 1000).cast("long"))),
+        512, "shard_key")),
       "token_topk" -> (() => TextOps.topTokens(docs, 20)),
       // generator at factor×10K keys (100K at the default factor 10):
       // validates that the 45 per-KEY md5 draws — not per-row — keep
