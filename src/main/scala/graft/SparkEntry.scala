@@ -214,6 +214,12 @@ object SparkEntry {
         TimeSeries.resampleDaily(Tables.events(s, dir)), NX, NY)
       val shardDir = java.nio.file.Files.createTempDirectory("graft_feed_gate_").toString
       graft.sources.MlFeed.writeShards(samples, shardDir, 1)
+      // shard files exist now (writeShards is eager); reap them at JVM
+      // exit so repeated Bench/Verify/spec runs don't accumulate tmp
+      // dirs. deleteOnExit runs in reverse registration order, so
+      // register parents first.
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(shardDir))
+      try walk.forEach(p => p.toFile.deleteOnExit()) finally walk.close()
       // per-user inner sums folded in user_id order — the same
       // association order as the oracle's SUM over per-user subtotals
       def csum(c: String) = expr(

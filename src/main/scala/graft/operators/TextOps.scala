@@ -189,9 +189,11 @@ object TextOps {
     *
     * Scale shape: the benchmark side is eval-set-sized (MBs, not TBs)
     * — its distinct n-gram set rides as a BROADCAST, so the corpus'
-    * n-gram explosion is probed map-side and never shuffles; the only
-    * exchange is the per-doc hit count (map-side combined, ≤ one row
-    * per contaminated doc) plus the final left join back to doc_ids.
+    * n-gram explosion is probed map-side and never shuffles. The plan's
+    * exchanges: the benchmark side's distinct (eval-set-sized), the
+    * per-doc hit count (map-side combined, ≤ one row per contaminated
+    * doc), and the hit table's broadcast for the left join back to
+    * doc_ids — none of them corpus-gram-sized.
     * At 100 TB the corpus stays a single scan → project → broadcast-
     * probe pipeline. If the benchmark set ever outgrows broadcast
     * range, drop the `broadcast` hint and let AQE pick the join — the
