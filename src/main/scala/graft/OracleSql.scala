@@ -624,6 +624,60 @@ object OracleSql {
        |FROM documents d LEFT JOIN cc c ON c.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** End-to-end corpus preparation: quality filter → benchmark
+    * decontamination → near-dup removal → sequence packing. The dedup
+    * CTEs run over the FULL corpus and restrict candidate pairs to
+    * clean∩clean afterwards — equivalent to the Spark side's
+    * dedup-on-the-clean-subset because signatures and band buckets
+    * are per-document (corpus-independent).
+    */
+  def corpusPipeline(decontN: Int, benchMod: Int, perms: Int,
+                     rowsPerBand: Int, minJaccard: Double,
+                     budget: Int): String =
+    s"""WITH RECURSIVE
+       |fkeep AS (SELECT doc_id FROM (${textFilter(30, 90, 0.15, 0.10)}) WHERE keep = 1),
+       |dkeep AS (SELECT doc_id FROM (${decontaminate(decontN, benchMod)}) WHERE contaminated = 0),
+       |clean AS (SELECT f.doc_id FROM fkeep f JOIN dkeep k ON k.doc_id = f.doc_id),
+       |${minhashCtes(perms, rowsPerBand)},
+       |cpairs AS (
+       |  SELECT DISTINCT doc_a, doc_b FROM cand
+       |  WHERE doc_a IN (SELECT doc_id FROM clean)
+       |    AND doc_b IN (SELECT doc_id FROM clean)),
+       |strong AS (
+       |  SELECT p.doc_a, p.doc_b
+       |  FROM cpairs p
+       |  JOIN mh ma ON ma.doc_id = p.doc_a
+       |  JOIN mh mb ON mb.doc_id = p.doc_b AND mb.p = ma.p
+       |  GROUP BY p.doc_a, p.doc_b
+       |  HAVING ${R(s"SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / CAST($perms AS DOUBLE)")} >= $minJaccard),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM strong
+       |  UNION ALL SELECT doc_b, doc_a FROM strong),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |cc AS (SELECT dst AS doc_id, MIN(src) AS cluster FROM reach GROUP BY dst),
+       |surv AS (
+       |  SELECT c.doc_id FROM clean c LEFT JOIN cc ON cc.doc_id = c.doc_id
+       |  WHERE COALESCE(cc.cluster, c.doc_id) = c.doc_id),
+       |s AS (
+       |  SELECT d.doc_id, d.source AS shard,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents d JOIN surv ON surv.doc_id = d.doc_id),
+       |p AS (
+       |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+       |      PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS stream_pos
+       |  FROM s)
+       |SELECT doc_id, shard, n_tokens,
+       |  stream_pos // $budget AS start_seq,
+       |  stream_pos % $budget AS start_offset,
+       |  (stream_pos + n_tokens - 1) // $budget AS end_seq
+       |FROM p ORDER BY doc_id""".stripMargin
+
   /** Canonical text normalization: lowercase, non-alnum → space,
     * whitespace collapse, trim.
     */

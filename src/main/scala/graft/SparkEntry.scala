@@ -508,6 +508,12 @@ object SparkEntry {
     "pack_sequences" -> ((s, dir) =>
       TextOps.packSequences(Tables.documents(s, dir), 512).orderBy(col("doc_id"))),
 
+    "corpus_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Corpus.pipeline(docs, docs.where(col("doc_id") % 50 === 0))
+        .orderBy(col("doc_id"))
+    }),
+
     "range_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val iv = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
@@ -604,5 +610,6 @@ object SparkEntry {
     "text_repetition" -> OracleSql.textRepetition(2),
     "text_filter" -> OracleSql.textFilter(30, 90, 0.15, 0.10),
     "pack_sequences" -> OracleSql.packSequences(512),
+    "corpus_pipeline" -> OracleSql.corpusPipeline(4, 50, 16, 2, 0.5, 512),
   )
 }

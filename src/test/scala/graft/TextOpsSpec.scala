@@ -148,6 +148,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(3L) === ((0L, 0L, 1L)))     // shard B's stream starts at 0
   }
 
+  test("corpus pipeline composes: filter, decontaminate, dedup, pack") {
+    import spark.implicits._
+    def words(pfx: String, k: Int) = (1 to k).map(i => s"$pfx$i").mkString(" ")
+    val docs = Seq(
+      (0L, words("z", 40), "A"),   // benchmark member → contaminated → out
+      (1L, words("w", 40), "A"),   // survives; cluster min of {1, 2}
+      (2L, words("w", 40), "A"),   // exact dup of 1 → clustered out
+      (3L, "tiny doc", "A"),       // fails the token-count filter
+      (4L, words("v", 40), "A")    // survives
+    ).toDF("doc_id", "text", "source")
+    val out = graft.operators.Corpus
+      .pipeline(docs, docs.where($"doc_id" === 0L))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(out.keySet === Set(1L, 4L))
+    assert(out(1L) === ((40L, 0L, 0L, 0L)))
+    assert(out(4L) === ((40L, 0L, 40L, 0L)))  // stream resumes after doc 1
+  }
+
   test("tfidf hint broadcasts the tok-keyed df join — and is the ONLY thing that does") {
     // Differential assertion under withoutBroadcast: with automatic
     // broadcasts disabled, the only broadcast that can reach the tf⋈df
