@@ -114,6 +114,8 @@ object Soak {
         docs.withColumn("shard_key",
           concat_ws("_", col("source"), (col("doc_id") / 1000).cast("long"))),
         512, "shard_key")),
+      "corpus_pipeline" -> (() => graft.operators.Corpus.pipeline(
+        docs, Tables.documents(spark, sfDir).where(col("doc_id") % 50 === 0))),
       "token_topk" -> (() => TextOps.topTokens(docs, 20)),
       // generator at factor×10K keys (100K at the default factor 10):
       // validates that the 45 per-KEY md5 draws — not per-row — keep

@@ -15,19 +15,35 @@ import org.apache.spark.sql.functions._
   * feed chain around training.py:244, generalized to a document
   * corpus).
   *
-  * Scale shape is the sum of its verified parts: the filter and the
-  * decontamination probe are map-side over the scan (the benchmark
-  * n-gram set broadcasts), near-dup is the banded-LSH pipeline (never
-  * all-pairs), packing is one shuffle on the shard key. The stage
-  * joins are all on bare doc_id keep-lists — no stage re-shuffles
-  * document bodies except the final pack's (doc_id, shard, n_tokens)
-  * projection.
+  * Composition discipline — each rule below exists because its naive
+  * alternative measurably broke at soak scale (62s at 10×, vs ~15s
+  * for this shape; sum of the standalone stages ≈ 13s):
   *
-  * Composition note: dedup runs ON THE CLEAN SUBSET. Because MinHash
-  * signatures and LSH band buckets are per-document (corpus-
-  * independent), this equals computing candidates on the full corpus
-  * and keeping pairs with both endpoints clean — the property the
-  * external oracle exploits.
+  *   - **Never `.where()` over computed HOF columns on a live plan.**
+  *     Predicate pushdown substitutes the filter condition through the
+  *     projection aliases, duplicating the `split(regexp/text)` subtree
+  *     into EVERY signal expression — including INSIDE lambda bodies,
+  *     where the interpreted HOF re-evaluates it per element (the
+  *     measured 30s/pass plan recomputed split+regexp once per bigram
+  *     per signal). The per-doc verdict frame (doc_id, shard,
+  *     n_tokens, keep — four scalars) is `localCheckpoint`ed instead:
+  *     a leaf no predicate can be pushed through, materialized in ONE
+  *     body pass. (Durability caveat as tfidf's: executor loss
+  *     recomputes from lineage; use reliable `checkpoint()` at
+  *     cluster scale.)
+  *   - **Contamination is removed by a broadcast LEFT ANTI join**
+  *     against the CONTAMINATED id list — eval-overlap is rare by
+  *     nature (eval sets are MBs), so the anti side stays small even
+  *     when the corpus is not.
+  *   - **Signatures are computed on the full corpus and restricted by
+  *     an id join.** MinHash sigs and band buckets are per-document
+  *     (corpus-independent), so restriction ≡ dedup-on-the-subset —
+  *     the property the external oracle exploits too. The join moves
+  *     only compact sig rows; document bodies are read in exactly
+  *     THREE passes total (verdict counts, decontamination grams,
+  *     signatures) and are NEVER shuffled.
+  *   - Packing reuses the checkpointed counts — `packCounts`, not a
+  *     re-tokenization.
   */
 object Corpus {
 
@@ -35,13 +51,33 @@ object Corpus {
                decontaminateN: Int = 4,
                perms: Int = 16, rowsPerBand: Int = 2, minJaccard: Double = 0.5,
                budget: Int = 512, shardCol: String = "source"): DataFrame = {
-    val keptFilter = TextOps.compositeFilter(docs)
-      .where(col("keep") === 1).select(col("doc_id"))
-    val keptDecon = TextOps.decontaminate(docs, benchmark, decontaminateN)
-      .where(col("contaminated") === 0).select(col("doc_id"))
-    val clean = docs.join(keptFilter, "doc_id").join(keptDecon, "doc_id")
-    val survivors = Dedup.pipeline(clean, perms, rowsPerBand, minJaccard)
-      .where(col("keep") === 1).select(col("doc_id"))
-    TextOps.packSequences(docs.join(survivors, "doc_id"), budget, shardCol)
+    // ONE body pass → compact materialized frame; `keep` is filtered
+    // on the MATERIALIZED column, never pushed into the text exprs
+    val meta = TextOps.compositeFilter(docs, retainAll = true)
+      .select(col("doc_id"), col(shardCol).as("shard"),
+        col("n_toks").as("n_tokens"), col("keep"))
+      .localCheckpoint()
+    val contaminatedIds = TextOps.decontaminate(docs, benchmark, decontaminateN)
+      .where(col("contaminated") === 1).select(col("doc_id"))
+    val cleanMeta = meta.where(col("keep") === 1).drop("keep")
+      .join(broadcast(contaminatedIds), Seq("doc_id"), "left_anti")
+    val sigs = Dedup.minhashSigs(docs, perms)
+      .join(cleanMeta.select(col("doc_id")), "doc_id")
+      .persist()
+    val clusters = try {
+      val cand = Dedup.lshCandidatesFast(sigs, rowsPerBand, perms)
+      val strong = Dedup.jaccardEstimate(sigs, cand, perms)
+        .where(col("jaccard_est") >= minJaccard)
+        .select(col("doc_a"), col("doc_b"))
+      Dedup.connectedComponents(strong) // eager (checkpointed rounds)
+    } finally sigs.unpersist(blocking = false)
+    // non-cluster-min docs drop. The cluster table holds only docs in
+    // dup clusters — usually small, but a heavily-duplicated corpus
+    // can make it corpus-sized, so no broadcast hint: both sides are
+    // compact scalar rows and AQE picks the strategy
+    val survivors = cleanMeta.join(clusters, Seq("doc_id"), "left")
+      .where(coalesce(col("cluster"), col("doc_id")) === col("doc_id"))
+      .drop("cluster")
+    TextOps.packCounts(survivors, budget)
   }
 }

@@ -254,16 +254,22 @@ object TextOps {
     * verdict is bit-stable. Per-row, zero shuffle.
     */
   def compositeFilter(docs: DataFrame, minTokens: Int = 30, maxTokens: Int = 90,
-                      maxStopRatio: Double = 0.15, maxDupRatio: Double = 0.10): DataFrame = {
+                      maxStopRatio: Double = 0.15, maxDupRatio: Double = 0.10,
+                      retainAll: Boolean = false): DataFrame = {
     val toks = col("toks")
     val grams = expr(
       "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', slice(toks, i, 2)))")
-    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // retainAll: keep every input column alongside the verdict — the
+    // verdict stays a pure PROJECTION, so a composition can filter
+    // `WHERE keep = 1` inline instead of joining a doc_id keep-list
+    // back to the corpus (which would reshuffle document bodies)
+    val base = if (retainAll) docs.columns.toSeq.map(col) else Seq(col("doc_id"))
+    docs.withColumn("toks", split(col("text"), " "))
       .where(size(toks) >= 2)
-      .select(col("doc_id"), size(toks).cast("long").as("n_toks"),
+      .select(base ++ Seq(size(toks).cast("long").as("n_toks"),
         r3(size(filter(toks, t => t.isInCollection(STOPWORDS))).cast("double") / size(toks))
           .as("stop_ratio"),
-        r3(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams)).as("dup_frac"))
+        r3(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams)).as("dup_frac")): _*)
       .withColumn("keep",
         (col("n_toks").between(minTokens, maxTokens) &&
           col("stop_ratio") <= maxStopRatio && col("dup_frac") <= maxDupRatio).cast("int"))
@@ -286,12 +292,20 @@ object TextOps {
     * order (= single partition) is ever required.
     */
   def packSequences(docs: DataFrame, budget: Int,
-                    shardCol: String = "source"): DataFrame = {
+                    shardCol: String = "source"): DataFrame =
+    packCounts(docs.select(col("doc_id"), col(shardCol).as("shard"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens")), budget)
+
+  /** [[packSequences]] over precomputed (doc_id, shard, n_tokens) —
+    * the composition entry point: token counts are computed where the
+    * text already is, so the packing shuffle moves 3 scalar columns,
+    * never document bodies.
+    */
+  def packCounts(counts: DataFrame, budget: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    docs.select(col("doc_id"), col(shardCol).as("shard"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    counts
       .withColumn("stream_pos", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       // integer `div`, not `/`: Spark's `/` on longs is DOUBLE division
       .select(col("doc_id"), col("shard"), col("n_tokens"),
