@@ -168,6 +168,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(4L) === ((40L, 0L, 40L, 0L)))  // stream resumes after doc 1
   }
 
+  test("new ops tolerate degenerate inputs") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "", "A"),        // split("") = [""] — 1 token
+      (1L, "x", "A"),       // 1 token
+      (2L, "a b", "A")      // minimal 2-token doc
+    ).toDF("doc_id", "text", "source")
+    // repetition & filter silently drop sub-n docs (contract: the
+    // WHERE is part of the operator), keep the minimal one
+    assert(TextOps.repetition(docs, 2).collect().map(_.getLong(0)).toSeq === Seq(2L))
+    assert(TextOps.compositeFilter(docs).collect().map(r => (r.getLong(0), r.getInt(4))).toMap
+      === Map(2L -> 0)) // 2 tokens < 30 → reject, not crash
+    // empty benchmark: nothing can be contaminated
+    val d = TextOps.decontaminate(docs, docs.where($"doc_id" < 0), 3).collect()
+      .map(r => (r.getLong(1), r.getInt(2))).toSet
+    assert(d === Set((0L, 0)))
+    // pack over 1-token docs: every doc placed, stream positions add up
+    val p = TextOps.packSequences(docs, 512).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(p === Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+    // fully-filtered corpus → empty pipeline output, no crash
+    assert(graft.operators.Corpus.pipeline(docs, docs.where($"doc_id" < 0)).count() === 0L)
+  }
+
   test("tfidf hint broadcasts the tok-keyed df join — and is the ONLY thing that does") {
     // Differential assertion under withoutBroadcast: with automatic
     // broadcasts disabled, the only broadcast that can reach the tf⋈df
