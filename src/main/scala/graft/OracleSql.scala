@@ -1080,6 +1080,16 @@ object OracleSql {
        |       THEN 1 ELSE 0 END AS INT) AS keep
        |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Unigram LM score: mean ln(corpus unigram probability) per doc. */
+  val textLmScore: String =
+    s"""WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+       |c AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY tok),
+       |tot AS (SELECT SUM(n) AS total FROM c)
+       |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  ${R("AVG(ln(CAST(c.n AS DOUBLE) / tot.total))")} AS lm_score
+       |FROM t JOIN c ON c.tok = t.tok CROSS JOIN tot
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   /** Sequence packing: per-shard running token sum (CAST to BIGINT —
     * DuckDB window SUM yields HUGEINT) → integer-division chunk ids.
     */

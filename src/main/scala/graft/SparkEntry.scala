@@ -502,6 +502,9 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) =>
       TextOps.repetition(Tables.documents(s, dir), 2).orderBy(col("doc_id"))),
 
+    "text_lm_score" -> ((s, dir) =>
+      TextOps.lmScore(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+
     "text_filter" -> ((s, dir) =>
       TextOps.compositeFilter(Tables.documents(s, dir)).orderBy(col("doc_id"))),
 
@@ -608,6 +611,7 @@ object SparkEntry {
     "text_tfidf" -> OracleSql.textTfidf(3),
     "decontaminate" -> OracleSql.decontaminate(4, 50),
     "text_repetition" -> OracleSql.textRepetition(2),
+    "text_lm_score" -> OracleSql.textLmScore,
     "text_filter" -> OracleSql.textFilter(30, 90, 0.15, 0.10),
     "pack_sequences" -> OracleSql.packSequences(512),
     "corpus_pipeline" -> OracleSql.corpusPipeline(4, 50, 16, 2, 0.5, 512),

@@ -275,6 +275,30 @@ object TextOps {
           col("stop_ratio") <= maxStopRatio && col("dup_frac") <= maxDupRatio).cast("int"))
   }
 
+  /** Unigram language-model score (the CCNet-style quality signal):
+    * mean log-probability of the document's tokens under the corpus'
+    * own unigram distribution. Low scores mark out-of-distribution /
+    * garbled text; high scores mark stopword soup — both ends are
+    * filter fodder.
+    *
+    * Scale shape mirrors [[tfidf]]'s: ONE map-side-combined token
+    * count pass; the |vocab|-sized count table and the 1-row total
+    * ride as BROADCASTs, so per-doc scoring is a map-side probe +
+    * one (doc_id)-keyed aggregate. Same lexicon-bounded-vocabulary
+    * assumption as tfidf's broadcast (millions of rows at most) —
+    * web-scale vocabularies should drop the hint and rely on AQE.
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    tok.join(broadcast(counts), "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        r3(avg(log(col("n").cast("double") / col("total")))).as("lm_score"))
+  }
+
   /** Sequence packing for pretraining: concatenate each shard's
     * documents into one token stream (doc_id order) and cut it into
     * fixed-`budget` training sequences — each doc's placement is

@@ -168,6 +168,16 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(4L) === ((40L, 0L, 40L, 0L)))  // stream resumes after doc 1
   }
 
+  test("lmScore: exact unigram log-probs on a tiny corpus") {
+    import spark.implicits._
+    // counts: a=3, b=1, c=1, total=5 → P(a)=0.6, P(b)=P(c)=0.2
+    val docs = Seq((0L, "a a a b"), (1L, "c")).toDF("doc_id", "text")
+    val out = TextOps.lmScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(0L) === ((4L, -0.785)))  // (3·ln .6 + ln .2)/4
+    assert(out(1L) === ((1L, -1.609)))  // ln .2
+  }
+
   test("new ops tolerate degenerate inputs") {
     import spark.implicits._
     val docs = Seq(
