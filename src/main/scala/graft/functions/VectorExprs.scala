@@ -101,6 +101,7 @@ object VectorExprs {
     "graft_lsh_bucket" -> "graft_lsh_bucket(v: array<float|double>, nPlanes: int literal)",
     "graft_minhash" -> "graft_minhash(shingles: array<string>, perms: int literal)",
     "graft_rolling_hash" -> "graft_rolling_hash(text: string)",
+    "graft_ngram_stats" -> "graft_ngram_stats(tokens: array<string>, n: int literal)",
     "graft_ewma" -> "graft_ewma(vals: array<float|double>, alpha: double literal)",
     "graft_holt" -> "graft_holt(vals: array<float|double>, alpha: double literal, beta: double literal)",
     "graft_ivf_cell" -> "graft_ivf_cell(v: array<float|double>, centroids: string literal from IvfCell.encode)",
@@ -121,6 +122,9 @@ object VectorExprs {
         MinHashSig(exprs(0), litIntArg(name, usage, exprs, 1))
       case "graft_rolling_hash" =>
         requireArity(name, usage, exprs, 1); RollingHash31(exprs.head)
+      case "graft_ngram_stats" =>
+        requireArity(name, usage, exprs, 2)
+        NgramStats(exprs(0), litIntArg(name, usage, exprs, 1))
       case "graft_ewma" =>
         requireArity(name, usage, exprs, 2)
         EwmaFold(exprs(0), litDoubleArg(name, usage, exprs, 1))

@@ -217,34 +217,25 @@ object TextOps {
     * the single most frequent token. High values mark boilerplate /
     * degenerate text a training run drops.
     *
-    * Pure per-row HOF math — zero shuffle, maps straight through the
-    * scan at any scale. The top-token count is the longest run in the
-    * SORTED token array (one `aggregate` fold) — O(len·log len) per
-    * row; the naive `for each distinct token, count its occurrences`
-    * double loop is O(uniq·len), which at real document lengths
-    * (10K+ tokens, half unique) is tens of millions of interpreted
-    * lambda steps per ROW.
+    * Pure per-row math — zero shuffle, maps straight through the scan
+    * at any scale. All three signals come from ONE pass of the native
+    * [[graft.functions.NgramStats]] expression (O(len·log len) per row
+    * for the sorted-run top-token count); the HOF formulation it
+    * replaced evaluated three interpreted lambda trees per row, and
+    * the naive per-distinct-token count scan is O(uniq·len) — tens of
+    * millions of steps per row at real 10K-token document lengths.
     */
   def repetition(docs: DataFrame, n: Int = 2): DataFrame = {
-    val grams = expr(
-      s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))")
-    // longest run in the sorted array: state = (prev token, current
-    // run, best run); '' as the initial prev is safe — a real ''
-    // first token still starts its run at 0 + 1
-    val topRun = expr(
-      "aggregate(array_sort(toks), named_struct('p', '', 'r', 0, 'b', 0), " +
-        "(a, t) -> named_struct('p', t, " +
-        "'r', if(t = a.p, a.r + 1, 1), " +
-        "'b', greatest(a.b, if(t = a.p, a.r + 1, 1))), " +
-        "a -> a.b)")
+    graft.functions.VectorExprs.register(docs.sparkSession)
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= n)
-      .select(col("doc_id"), col("toks"), grams.as("grams"))
+      .select(col("doc_id"), col("toks"),
+        expr(s"graft_ngram_stats(toks, $n)").as("st"))
       .select(col("doc_id"),
-        size(col("grams")).cast("long").as("ngrams"),
+        col("st.ngrams").cast("long").as("ngrams"),
         r3(lit(1.0) -
-          size(array_distinct(col("grams"))).cast("double") / size(col("grams"))).as("dup_frac"),
-        r3(topRun.cast("double") / size(col("toks"))).as("top_tok_frac"))
+          col("st.n_distinct").cast("double") / col("st.ngrams")).as("dup_frac"),
+        r3(col("st.top_run").cast("double") / size(col("toks"))).as("top_tok_frac"))
   }
 
   /** Composite C4/Gopher-style keep/drop verdict: token-count bounds,
@@ -256,9 +247,8 @@ object TextOps {
   def compositeFilter(docs: DataFrame, minTokens: Int = 30, maxTokens: Int = 90,
                       maxStopRatio: Double = 0.15, maxDupRatio: Double = 0.10,
                       retainAll: Boolean = false): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
     val toks = col("toks")
-    val grams = expr(
-      "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', slice(toks, i, 2)))")
     // retainAll: keep every input column alongside the verdict — the
     // verdict stays a pure PROJECTION, so a composition can filter
     // `WHERE keep = 1` inline instead of joining a doc_id keep-list
@@ -266,10 +256,12 @@ object TextOps {
     val base = if (retainAll) docs.columns.toSeq.map(col) else Seq(col("doc_id"))
     docs.withColumn("toks", split(col("text"), " "))
       .where(size(toks) >= 2)
+      .withColumn("st", expr("graft_ngram_stats(toks, 2)"))
       .select(base ++ Seq(size(toks).cast("long").as("n_toks"),
         r3(size(filter(toks, t => t.isInCollection(STOPWORDS))).cast("double") / size(toks))
           .as("stop_ratio"),
-        r3(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams)).as("dup_frac")): _*)
+        r3(lit(1.0) -
+          col("st.n_distinct").cast("double") / col("st.ngrams")).as("dup_frac")): _*)
       .withColumn("keep",
         (col("n_toks").between(minTokens, maxTokens) &&
           col("stop_ratio") <= maxStopRatio && col("dup_frac") <= maxDupRatio).cast("int"))

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.TextOps
@@ -176,6 +177,32 @@ class TextOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(out(0L) === ((4L, -0.785)))  // (3·ln .6 + ln .2)/4
     assert(out(1L) === ((1L, -1.609)))  // ln .2
+  }
+
+  test("graft_ngram_stats matches the HOF formulation") {
+    import spark.implicits._
+    graft.functions.VectorExprs.register(spark)
+    val docs = (skewedCorpus().collect().map(r => (r.getLong(0), r.getString(1))) ++
+      Seq((100L, "x x x x"), (101L, "a b a b a"), (102L, "solo"), (103L, "p q")))
+      .toSeq.toDF("doc_id", "text")
+    val both = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        expr("graft_ngram_stats(toks, 2)").as("st"),
+        expr("transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', slice(toks, i, 2)))").as("grams"),
+        col("toks"))
+      .select(col("doc_id"),
+        col("st.ngrams").as("a1"), size(col("grams")).as("b1"),
+        col("st.n_distinct").as("a2"), size(array_distinct(col("grams"))).as("b2"),
+        col("st.top_run").as("a3"),
+        expr("array_max(transform(array_distinct(toks), t -> size(filter(toks, x -> x = t))))").as("b3"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getInt(1) === r.getInt(2), s"ngrams mismatch doc ${r.getLong(0)}")
+      assert(r.getInt(3) === r.getInt(4), s"distinct mismatch doc ${r.getLong(0)}")
+      assert(r.getInt(5) === r.getInt(6), s"top_run mismatch doc ${r.getLong(0)}")
+    }
+    assert(both.length > 60)
   }
 
   test("new ops tolerate degenerate inputs") {
