@@ -29,7 +29,11 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     if (warmDir != sfDir && new java.io.File(warmDir).isDirectory)
       SparkEntry.queries.foreach { case (_, fn) =>
-        try sink(fn(spark, warmDir)) catch { case _: Throwable => () }
+        // NonFatal only: a warm-pass OutOfMemoryError/InterruptedException
+        // means the JVM is dying — timing a broken JVM produces numbers
+        // that measure nothing; let it propagate (ADVICE r7)
+        try sink(fn(spark, warmDir))
+        catch { case scala.util.control.NonFatal(_) => () }
         // operators persist their fan-out intermediates (cache
         // contract) — clear per query or re-persists WARN
         spark.sharedState.cacheManager.clearCache()
@@ -91,7 +95,18 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum +
       errors.size * 1e6 // failures poison the total
     val nproc = Runtime.getRuntime.availableProcessors
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samples,"load":$loads,"nproc":$nproc,"errors":$errs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samples,"load":$loads,"nproc":$nproc,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    // Durable artifact (VERDICT r7 #1): the single stdout JSON line grew
+    // past the driver's tail-capture window once per-sample load was
+    // added, and BENCH_r07's per-query payload was lost ("parsed": null).
+    // Mirror PerfProbe's SPARK_GRAFT_PROBE_OUT file-write, with an
+    // in-repo default so the artifact survives even when the driver
+    // doesn't set the env var.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"BENCH artifact write to $outPath failed: $e") }
     spark.stop()
   }
 }

@@ -633,9 +633,11 @@ object OracleSql {
     */
   def corpusPipeline(decontN: Int, benchMod: Int, perms: Int,
                      rowsPerBand: Int, minJaccard: Double,
-                     budget: Int): String =
+                     budget: Int,
+                     minTokens: Int = 30, maxTokens: Int = 90,
+                     maxStop: Double = 0.15, maxDup: Double = 0.10): String =
     s"""WITH RECURSIVE
-       |fkeep AS (SELECT doc_id FROM (${textFilter(30, 90, 0.15, 0.10)}) WHERE keep = 1),
+       |fkeep AS (SELECT doc_id FROM (${textFilter(minTokens, maxTokens, maxStop, maxDup)}) WHERE keep = 1),
        |dkeep AS (SELECT doc_id FROM (${decontaminate(decontN, benchMod)}) WHERE contaminated = 0),
        |clean AS (SELECT f.doc_id FROM fkeep f JOIN dkeep k ON k.doc_id = f.doc_id),
        |${minhashCtes(perms, rowsPerBand)},
@@ -1080,15 +1082,22 @@ object OracleSql {
        |       THEN 1 ELSE 0 END AS INT) AS keep
        |FROM s ORDER BY doc_id""".stripMargin
 
-  /** Unigram LM score: mean ln(corpus unigram probability) per doc. */
+  /** Unigram LM score: mean ln(corpus unigram probability) per doc.
+    * Mirrors the Spark side's single-pass shape: per-(doc, tok) term
+    * frequency first, vocab counts derived from tf, score = the
+    * tf-weighted mean Σ tf·ln(n/total) / Σ tf (≡ the per-token mean).
+    */
   val textLmScore: String =
-    s"""WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
-       |c AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY tok),
+    s"""WITH tf AS (
+       |  SELECT doc_id, tok, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY 1, 2),
+       |c AS (SELECT tok, SUM(tf) AS n FROM tf GROUP BY tok),
        |tot AS (SELECT SUM(n) AS total FROM c)
-       |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       |  ${R("AVG(ln(CAST(c.n AS DOUBLE) / tot.total))")} AS lm_score
-       |FROM t JOIN c ON c.tok = t.tok CROSS JOIN tot
-       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+       |SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       |  ${R("SUM(tf.tf * ln(CAST(c.n AS DOUBLE) / tot.total)) / SUM(tf.tf)")} AS lm_score
+       |FROM tf JOIN c ON c.tok = tf.tok CROSS JOIN tot
+       |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin
 
   /** Sequence packing: per-shard running token sum (CAST to BIGINT —
     * DuckDB window SUM yields HUGEINT) → integer-division chunk ids.
@@ -1152,6 +1161,38 @@ object OracleSql {
        |       ${R("SUM(x_sum)")} AS xs_sum,
        |       ${R("SUM(y_sum)")} AS ys_sum
        |FROM ranked GROUP BY 1 ORDER BY batch""".stripMargin
+
+  /** Multi-shard roundtrip oracle: shard = the explicit md5 bucket
+    * (the exact MlFeed.shardOf arithmetic — first 8 md5 hex chars of
+    * "shard:" + key as a BIGINT, mod nShards), batch = rank within
+    * shard div batchSize. Per-user sums float-cast like the feed's
+    * arrays; batch checksums sum per-user subtotals in user order,
+    * matching the gate's nested `aggregate` fold.
+    */
+  def mlFeedBatchesSharded(nX: Int, nY: Int, nShards: Int, batchSize: Int): String =
+    s"""WITH $daily,
+       |numbered AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn_end
+       |  FROM daily),
+       |per_user AS (
+       |  SELECT user_id,
+       |    COALESCE(SUM(CAST(CAST(v AS FLOAT) AS DOUBLE)) FILTER (WHERE rn_end > $nY), 0.0) AS x_sum,
+       |    COALESCE(SUM(CAST(CAST(v AS FLOAT) AS DOUBLE)) FILTER (WHERE rn_end <= $nY), 0.0) AS y_sum
+       |  FROM numbered WHERE rn_end <= ${nX + nY}
+       |  GROUP BY user_id),
+       |sharded AS (
+       |  SELECT *,
+       |    CAST(CONCAT('0x', SUBSTR(MD5(CONCAT('shard:', CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % $nShards AS shard
+       |  FROM per_user),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY user_id) - 1 AS rk
+       |  FROM sharded)
+       |SELECT CAST(shard AS BIGINT) AS shard,
+       |       CAST(rk // $batchSize AS BIGINT) AS batch,
+       |       COUNT(*) AS n,
+       |       ${R("SUM(x_sum)")} AS xs_sum,
+       |       ${R("SUM(y_sum)")} AS ys_sum
+       |FROM ranked GROUP BY 1, 2 ORDER BY shard, batch""".stripMargin
 
   /** Multimodal feature oracle: byte-bucket histogram == ascii%16
     * histogram for the ascii corpus.

@@ -45,9 +45,12 @@ object PerfProbe {
     val warmDir = "/root/testdata/sf0.001"
     if (warmDir != sfDir && new java.io.File(warmDir).isDirectory)
       names.foreach { n =>
+        // NonFatal only: a dying warm JVM (OOM, interrupt) must abort the
+        // probe, not silently proceed to time a broken environment
+        // (ADVICE r7)
         try SparkEntry.queries(n)(spark, warmDir)
           .write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(_) => () }
         spark.sharedState.cacheManager.clearCache()
       }
     val results = names.map { n =>

@@ -101,6 +101,11 @@ object Soak {
       "ann_ivf" -> (() => Similarity.annIvfTopK(emb, 16, 5, 5)),
       "ann_ivf_probe" -> (() => Similarity.annIvfTopKProbe(emb, 16, 5, 5, 2)),
       "text_tfidf" -> (() => TextOps.tfidf(docs, 3)),
+      // the vocab-count exchange + doc-keyed agg (the only r7-added
+      // operator without a recorded soak ratio — VERDICT r7 #3);
+      // replica-prefixed tokens grow the vocab ~factor×, the honest
+      // worst case for the broadcast-counts path
+      "text_lm_score" -> (() => TextOps.lmScore(docs)),
       // fixed benchmark (the BASE corpus' every-50th doc) against the
       // factor×-grown corpus — the real decontamination shape: the
       // broadcast side stays eval-set-sized while probe work grows

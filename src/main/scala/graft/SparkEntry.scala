@@ -207,9 +207,9 @@ object SparkEntry {
       // converter → batched-tensors boundary, training.py:244-257),
       // externally verified: ONE key-sorted shard makes batch
       // membership rank(user_id) div batchSize, which the DuckDB
-      // oracle reproduces exactly. Multi-shard batching is partition-
-      // dependent by design (batch = position within a shard) and is
-      // covered by FeedStreamSpec's sharded roundtrip.
+      // oracle reproduces exactly. Multi-shard composition is gated
+      // separately (ml_feed_batches_sharded) now that the shard id is
+      // the explicit engine-reproducible MlFeed.shardOf column.
       val samples = graft.sources.MlFeed.samples(
         TimeSeries.resampleDaily(Tables.events(s, dir)), NX, NY)
       val shardDir = java.nio.file.Files.createTempDirectory("graft_feed_gate_").toString
@@ -230,6 +230,30 @@ object SparkEntry {
           r3c(csum("xs")).as("xs_sum"),
           r3c(csum("ys")).as("ys_sum"))
         .orderBy(col("batch"))
+    }),
+
+    "ml_feed_batches_sharded" -> ((s, dir) => {
+      // MULTI-shard writeShards→batchesByShard roundtrip (VERDICT r7
+      // #5): shard assignment is the explicit md5 bucket
+      // (MlFeed.shardOf) — not Spark's internal hash partitioning,
+      // which no external engine can reproduce and which kept the r7
+      // gate single-shard — so batch membership is exactly
+      // rank-within-shard div batchSize in any engine.
+      val samples = graft.sources.MlFeed.samples(
+        TimeSeries.resampleDaily(Tables.events(s, dir)), NX, NY)
+      val shardDir = java.nio.file.Files.createTempDirectory("graft_feed_shgate_").toString
+      graft.sources.MlFeed.writeShards(samples, shardDir, 4)
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(shardDir))
+      try walk.forEach(p => p.toFile.deleteOnExit()) finally walk.close()
+      def csum(c: String) = expr(
+        s"aggregate($c, cast(0 as double), (acc, a) -> acc + aggregate(a, cast(0 as double), (ai, e) -> ai + cast(e as double)))")
+      graft.sources.MlFeed.batchesByShard(s, shardDir, 8)
+        .select(col("shard").cast("long").as("shard"),
+          col("batch").cast("long").as("batch"),
+          col("n").cast("long").as("n"),
+          r3c(csum("xs")).as("xs_sum"),
+          r3c(csum("ys")).as("ys_sum"))
+        .orderBy(col("shard"), col("batch"))
     }),
 
     "multimodal_features" -> ((s, dir) =>
@@ -562,6 +586,7 @@ object SparkEntry {
     "doc_fingerprint" -> OracleSql.docFingerprint,
     "ml_feed" -> OracleSql.mlFeed(NX, NY),
     "ml_feed_batches" -> OracleSql.mlFeedBatches(NX, NY, 32),
+    "ml_feed_batches_sharded" -> OracleSql.mlFeedBatchesSharded(NX, NY, 4, 8),
     "multimodal_features" -> OracleSql.multimodalFeatures,
     "stream_window_agg" -> OracleSql.streamWindowAgg,
     "ts_assemble" -> OracleSql.assemble,

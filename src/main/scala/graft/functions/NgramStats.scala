@@ -25,8 +25,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * awkward, and the win is the single primitive-loop pass, not
   * codegen fusion.
   *
-  * Tokens are assumed non-null (they come from `split`, which never
-  * yields null elements); a null element is treated as "".
+  * Tokens must be non-null (they come from `split`, which never
+  * yields null elements). A null element is REJECTED with a named
+  * error rather than coerced: the registered SQL function is callable
+  * on arbitrary arrays, and for null elements the documented
+  * HOF equivalence breaks silently — this join always inserts the
+  * separator, while `concat_ws` SKIPS nulls (ADVICE r7).
   */
 case class NgramStats(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
@@ -44,9 +48,13 @@ case class NgramStats(child: Expression, n: Int)
     val toks = new Array[String](m)
     var i = 0
     while (i < m) {
-      toks(i) =
-        if (arr.isNullAt(i)) ""
-        else arr.get(i, StringType).asInstanceOf[UTF8String].toString
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_ngram_stats: null array element at position $i — tokens must be " +
+            "non-null (split() output is; for arbitrary arrays filter nulls first). " +
+            "The HOF formulation's concat_ws silently SKIPS nulls, so the documented " +
+            "equivalence cannot hold on null-bearing input.")
+      toks(i) = arr.get(i, StringType).asInstanceOf[UTF8String].toString
       i += 1
     }
     val ngrams = math.max(0, m - n + 1)

@@ -101,7 +101,7 @@ object VectorExprs {
     "graft_lsh_bucket" -> "graft_lsh_bucket(v: array<float|double>, nPlanes: int literal)",
     "graft_minhash" -> "graft_minhash(shingles: array<string>, perms: int literal)",
     "graft_rolling_hash" -> "graft_rolling_hash(text: string)",
-    "graft_ngram_stats" -> "graft_ngram_stats(tokens: array<string>, n: int literal)",
+    "graft_ngram_stats" -> "graft_ngram_stats(tokens: array<string> with NON-NULL elements, n: int literal)",
     "graft_ewma" -> "graft_ewma(vals: array<float|double>, alpha: double literal)",
     "graft_holt" -> "graft_holt(vals: array<float|double>, alpha: double literal, beta: double literal)",
     "graft_ivf_cell" -> "graft_ivf_cell(v: array<float|double>, centroids: string literal from IvfCell.encode)",

@@ -243,11 +243,25 @@ object TextOps {
     * alongside the verdict so a pipeline can audit WHY a doc dropped.
     * Thresholds compare the ROUNDED ratios (r3 both engines), so the
     * verdict is bit-stable. Per-row, zero shuffle.
+    *
+    * `retainAll = true` appends the computed columns AFTER the input
+    * columns; the names `toks`, `st`, `n_toks`, `stop_ratio`,
+    * `dup_frac`, `keep` are RESERVED in that mode (an input column by
+    * one of those names would make the output ambiguous and break
+    * downstream `col("keep")` at analysis time — rejected eagerly with
+    * a named error instead, ADVICE r7).
     */
   def compositeFilter(docs: DataFrame, minTokens: Int = 30, maxTokens: Int = 90,
                       maxStopRatio: Double = 0.15, maxDupRatio: Double = 0.10,
                       retainAll: Boolean = false): DataFrame = {
     graft.functions.VectorExprs.register(docs.sparkSession)
+    if (retainAll) {
+      val reserved = Seq("toks", "st", "n_toks", "stop_ratio", "dup_frac", "keep")
+      val clash = docs.columns.filter(reserved.contains)
+      require(clash.isEmpty,
+        s"compositeFilter(retainAll = true): input column(s) ${clash.mkString(", ")} " +
+          s"collide with reserved output names (${reserved.mkString(", ")}); rename them first")
+    }
     val toks = col("toks")
     // retainAll: keep every input column alongside the verdict — the
     // verdict stays a pure PROJECTION, so a composition can filter
@@ -273,22 +287,37 @@ object TextOps {
     * garbled text; high scores mark stopword soup — both ends are
     * filter fodder.
     *
-    * Scale shape mirrors [[tfidf]]'s: ONE map-side-combined token
-    * count pass; the |vocab|-sized count table and the 1-row total
-    * ride as BROADCASTs, so per-doc scoring is a map-side probe +
-    * one (doc_id)-keyed aggregate. Same lexicon-bounded-vocabulary
+    * Scale shape mirrors [[tfidf]]'s exactly: the per-(doc_id, tok)
+    * term-frequency table is materialized ONCE via eager
+    * `localCheckpoint` — the SINGLE pass over the token explosion
+    * (the r7 shape tokenized the corpus twice: once for vocab counts,
+    * once for scoring — two full 100-TB text passes where one
+    * suffices). Vocab counts are DERIVED from tf (n = Σ tf per token)
+    * and the per-doc score is the tf-weighted mean
+    * Σ tf·ln(n/total) / Σ tf — algebraically identical to the
+    * per-token mean. The |vocab|-sized count table and the 1-row
+    * total ride as BROADCASTs, so scoring is a map-side probe + one
+    * (doc_id)-keyed aggregate. Same lexicon-bounded-vocabulary
     * assumption as tfidf's broadcast (millions of rows at most) —
-    * web-scale vocabularies should drop the hint and rely on AQE.
+    * web-scale vocabularies pass `broadcastCounts = false` and rely
+    * on AQE skew-join splitting instead (differential spec pins path
+    * equality, like tfidf's). Same localCheckpoint durability caveat
+    * as tfidf: use reliable `checkpoint()` at cluster scale.
     */
-  def lmScore(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("n"))
-    val total = counts.agg(sum(col("n")).as("total"))
-    tok.join(broadcast(counts), "tok")
+  def lmScore(docs: DataFrame, broadcastCounts: Boolean = true): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val counts0 = tf.groupBy(col("tok")).agg(sum(col("tf")).as("n"))
+    val counts = if (broadcastCounts) broadcast(counts0) else counts0
+    val total = counts0.agg(sum(col("n")).as("total"))
+    tf.join(counts, "tok")
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("long").as("n_tokens"),
-        r3(avg(log(col("n").cast("double") / col("total")))).as("lm_score"))
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        r3(sum(col("tf") * log(col("n").cast("double") / col("total"))) /
+          sum(col("tf"))).as("lm_score"))
   }
 
   /** Sequence packing for pretraining: concatenate each shard's

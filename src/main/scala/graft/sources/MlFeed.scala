@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -40,18 +40,34 @@ object MlFeed {
         expr("slice(series, cast(x_n as int) + 1, cast(y_n as int))").as("y"))
   }
 
-  /** Hash-sharded parquet write: `nShards` files keyed on user_id so a
-    * training worker reads whole keys; no tiny-file explosion. Shards
-    * are key-sorted (`sortWithinPartitions`): deterministic file
-    * contents across reruns, better parquet encoding, and — with a
-    * single shard — a batch composition expressible as
-    * `rank(user_id) div batchSize` (which is how the external
-    * `ml_feed_batches` oracle verifies the roundtrip).
+  /** Deterministic shard id for a key: md5-derived uniform bucket in
+    * [0, nShards) — the same engine-portable hash-PRNG family as
+    * [[graft.operators.Relational.sampleStratified]]. Spark's internal
+    * `repartition(n, key)` hash (murmur3 of the unsafe row) is NOT
+    * reproducible by any external engine, which is why the r7 batches
+    * gate was single-shard-only; this assignment is one line of SQL in
+    * DuckDB too, so multi-shard batch composition is oracle-checkable.
+    */
+  def shardOf(key: Column, nShards: Int): Column =
+    conv(substring(md5(concat(lit("shard:"), key.cast("string"))), 1, 8), 16, 10)
+      .cast("bigint").mod(nShards).cast("int")
+
+  /** Hash-sharded parquet write: `nShards` key-group files so a
+    * training worker reads whole keys; no tiny-file explosion. The
+    * shard id is the EXPLICIT [[shardOf]] column (engine-reproducible,
+    * not Spark's internal hash partitioning) and the layout is
+    * `partitionBy("shard")`: one directory per shard, exactly one file
+    * per directory (each shard value is repartitioned into one task),
+    * rows key-sorted within it — deterministic file contents across
+    * reruns, better parquet encoding, and a batch composition
+    * expressible as `rank(user_id) within shard div batchSize` (how
+    * the external `ml_feed_batches*` oracles verify the roundtrip).
     */
   def writeShards(samples: DataFrame, path: String, nShards: Int): Unit =
-    samples.repartition(nShards, col("user_id"))
-      .sortWithinPartitions(col("user_id"))
-      .write.mode("overwrite").parquet(path)
+    samples.withColumn("shard", shardOf(col("user_id"), nShards))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("user_id"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 
   /** Fixed-size training batches, assembled per partition — zero
     * driver involvement. Each row: (batch_in_partition, n, xs, ys).
@@ -73,5 +89,53 @@ object MlFeed {
           rows.map(_.getSeq[Float](1)).toSeq)
       }
     }(enc)
+  }
+
+  /** Shard-aware batcher: batches never cross shard boundaries and are
+    * numbered PER SHARD, so batch membership is exactly
+    * `rank(user_id) within shard div batchSize` — deterministic and
+    * engine-reproducible at any shard count (the multi-shard
+    * `ml_feed_batches_sharded` gate), regardless of how the reader
+    * packs files into partitions: Spark may coalesce several small
+    * shard files into one read partition, but each file's rows stay
+    * contiguous and key-sorted within it, and the batcher cuts on
+    * shard change. Still mapPartitions — zero shuffle, zero driver
+    * collect. Assumes one file per shard ≤ `maxPartitionBytes` (how
+    * [[writeShards]] sizes them: a shard ≈ one training-worker
+    * partition); a shard file large enough to be SPLIT across read
+    * partitions would restart its batch numbering mid-shard.
+    */
+  def batchesByShard(spark: SparkSession, path: String, batchSize: Int): DataFrame = {
+    val df = spark.read.parquet(path)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("shard", IntegerType),
+      StructField("batch", IntegerType),
+      StructField("n", IntegerType),
+      StructField("xs", ArrayType(ArrayType(FloatType))),
+      StructField("ys", ArrayType(ArrayType(FloatType)))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col("shard").cast("int").as("shard"), col("x"), col("y"))
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[Row] {
+          // per-shard batch counter; a shard's rows are one contiguous
+          // run within the partition, so the map stays O(#shards seen)
+          private val nextBatch = scala.collection.mutable.Map.empty[Int, Int]
+          def hasNext: Boolean = buf.hasNext
+          def next(): Row = {
+            val shard = buf.head.getInt(0)
+            val rows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+            while (buf.hasNext && buf.head.getInt(0) == shard && rows.length < batchSize)
+              rows += buf.next()
+            val b = nextBatch.getOrElse(shard, 0)
+            nextBatch(shard) = b + 1
+            Row(shard, b, rows.length,
+              rows.map(_.getSeq[Float](1)).toSeq,
+              rows.map(_.getSeq[Float](2)).toSeq)
+          }
+        }
+      }(enc)
   }
 }

@@ -40,6 +40,37 @@ class FeedStreamSpec extends AnyFunSuite {
     assert(xs.head.length === 10)
   }
 
+  test("batchesByShard: deterministic per-shard numbering that matches shardOf") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mlfeed-sh").toString
+    val many = (0 until 10).map(u => daily.withColumn("user_id", col("user_id") + u))
+      .reduce(_ unionByName _)
+    val samples = MlFeed.samples(many, 10, 5)
+    MlFeed.writeShards(samples, dir, 3)
+    // expected shard per user from the SAME public arithmetic
+    val expected = samples.select(col("user_id"),
+        MlFeed.shardOf(col("user_id"), 3).as("shard")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val perShard = expected.groupBy(_._2).view.mapValues(_.size).toMap
+    val b = MlFeed.batchesByShard(spark, dir, 2).collect()
+    // every user lands in its shardOf shard, batches never cross shards
+    assert(b.map(_.getAs[Int]("n")).sum === 10)
+    assert(b.forall(_.getAs[Int]("n") <= 2))
+    val byShard = b.groupBy(_.getAs[Int]("shard"))
+    assert(byShard.keySet === expected.values.toSet)
+    byShard.foreach { case (shard, rows) =>
+      assert(rows.map(_.getAs[Int]("n")).sum === perShard(shard))
+      // per-shard batch ids are 0..k-1 and only the LAST batch is short
+      val sorted = rows.sortBy(_.getAs[Int]("batch"))
+      assert(sorted.map(_.getAs[Int]("batch")).toSeq === sorted.indices.toSeq)
+      assert(sorted.dropRight(1).forall(_.getAs[Int]("n") == 2))
+    }
+    // rerun → identical composition (deterministic files + assignment)
+    val again = MlFeed.batchesByShard(spark, dir, 2).collect()
+      .map(r => (r.getAs[Int]("shard"), r.getAs[Int]("batch"), r.getAs[Int]("n"))).toSet
+    assert(again === b.map(r => (r.getAs[Int]("shard"), r.getAs[Int]("batch"), r.getAs[Int]("n"))).toSet)
+  }
+
   test("multimodal features = byte histogram of the payload") {
     import spark.implicits._
     val docs = Seq((7L, "aab")).toDF("doc_id", "text") // 'a'=97 -> bucket 1, 'b'=98 -> bucket 2

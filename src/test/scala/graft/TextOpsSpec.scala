@@ -229,6 +229,75 @@ class TextOpsSpec extends AnyFunSuite {
     assert(graft.operators.Corpus.pipeline(docs, docs.where($"doc_id" < 0)).count() === 0L)
   }
 
+  test("lmScore: broadcast-counts and un-hinted paths agree on a stopword-dominated corpus") {
+    val docs = skewedCorpus()
+    val hinted = TextOps.lmScore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val unhinted = withoutBroadcast {
+      TextOps.lmScore(docs, broadcastCounts = false).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    assert(hinted === unhinted)
+    assert(hinted.size === 60)
+  }
+
+  test("lmScore reads the document bodies exactly once (checkpointed tf, no second scan)") {
+    // The single-pass contract (VERDICT r7 #2): tf is materialized by
+    // an eager localCheckpoint, vocab counts and the total are DERIVED
+    // from it — so the returned plan must contain no parquet scan of
+    // documents at all (only checkpoint-RDD scans).
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextOps.lmScore(docs)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("parquet"),
+      s"lmScore plan re-scans the corpus:\n$plan")
+  }
+
+  test("graft_ngram_stats rejects null array elements with a named error") {
+    graft.functions.VectorExprs.register(spark)
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_ngram_stats(array('a', CAST(NULL AS STRING), 'b'), 2)").collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain(err).exists(c =>
+      Option(c.getMessage).exists(_.contains("graft_ngram_stats: null array element"))),
+      s"expected the named null-element error, got: $err")
+  }
+
+  test("compositeFilter(retainAll) rejects reserved-name collisions eagerly") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b c", 1)).toDF("doc_id", "text", "keep")
+    val err = intercept[IllegalArgumentException] {
+      TextOps.compositeFilter(docs, retainAll = true)
+    }
+    assert(err.getMessage.contains("keep"))
+    // without retainAll the input column is simply not carried through
+    assert(TextOps.compositeFilter(docs).columns.count(_ == "keep") === 1)
+  }
+
+  test("corpus pipeline filter thresholds are real knobs") {
+    import spark.implicits._
+    def words(pfx: String, k: Int) = (1 to k).map(i => s"$pfx$i").mkString(" ")
+    val docs = Seq(
+      (0L, words("z", 40), "A"),   // benchmark member → contaminated → out
+      (1L, words("w", 40), "A"),   // survives; cluster min of {1, 2}
+      (2L, words("w", 40), "A"),   // exact dup of 1 → clustered out
+      (3L, "tiny doc", "A"),       // 2 tokens: dropped at minTokens=30, kept at 2
+      (4L, words("v", 40), "A")
+    ).toDF("doc_id", "text", "source")
+    val bench = docs.where($"doc_id" === 0L)
+    val loose = graft.operators.Corpus.pipeline(docs, bench, minTokens = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(loose.keySet === Set(1L, 3L, 4L))
+    // placements re-pack around the now-surviving doc 3 (40 + 2 + 40
+    // tokens in doc_id order within shard A)
+    assert(loose(1L) === 0L && loose(3L) === 40L && loose(4L) === 42L)
+    // and tightening maxTokens drops the 40-token docs entirely
+    assert(graft.operators.Corpus.pipeline(docs, bench, maxTokens = 10).count() === 0L)
+  }
+
   test("tfidf hint broadcasts the tok-keyed df join — and is the ONLY thing that does") {
     // Differential assertion under withoutBroadcast: with automatic
     // broadcasts disabled, the only broadcast that can reach the tf⋈df
