@@ -1099,6 +1099,77 @@ object OracleSql {
        |FROM tf JOIN c ON c.tok = tf.tok CROSS JOIN tot
        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin
 
+  /** BM25 retrieval: identical Robertson/Lucene arithmetic, score
+    * rounded before the rank. dl/tf/df/N are integer-valued doubles
+    * (exact sums), so both engines feed ln the same rationals.
+    */
+  def textBm25(terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): String = {
+    val tfCols = terms.indices.map { i =>
+      s"CAST(len(list_filter(t, x -> x = '${terms(i)}')) AS DOUBLE) AS tf_$i"
+    }.mkString(",\n       |    ")
+    val dfCols = terms.indices.map { i =>
+      s"CAST(SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i"
+    }.mkString(",\n       |    ")
+    val score = terms.indices.map { i =>
+      s"ln(1.0 + (n_docs - df_$i + 0.5) / (df_$i + 0.5)) * (tf_$i * ${k1 + 1.0}) / " +
+        s"(tf_$i + $k1 * (${1.0 - b} + $b * dl / avgdl))"
+    }.mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+       |    $tfCols
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+       |stats AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl,
+       |    $dfCols
+       |  FROM base),
+       |scored AS (
+       |  SELECT doc_id, ${R(score)} AS score FROM base CROSS JOIN stats),
+       |r AS (
+       |  SELECT doc_id, score,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |  FROM scored WHERE score > 0.0)
+       |SELECT doc_id, score, rank FROM r WHERE rank <= $k ORDER BY rank""".stripMargin
+  }
+
+  /** Unigram Shannon entropy per doc: H = ln(n) − Σ tf·ln(tf) / n. */
+  val textEntropy: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, tok, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY 1, 2)
+       |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(*) AS BIGINT) AS uniq_tokens,
+       |  ${R("ln(CAST(SUM(tf) AS DOUBLE)) - SUM(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE))) / SUM(tf)")} AS entropy
+       |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Cross-corpus near-dup: corpus = odd doc_ids, reference = even
+    * (the gate's split of the documents table). Same minhash/band CTEs
+    * over the full table; candidates restricted to corpus×reference.
+    */
+  def dedupCross(perms: Int, rowsPerBand: Int, minJaccard: Double): String =
+    s"""WITH ${minhashCtes(perms, rowsPerBand)},
+       |xcand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+       |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+       |est AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |         ${R(s"SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / CAST($perms AS DOUBLE)")} AS je
+       |  FROM xcand p
+       |  JOIN mh ma ON ma.doc_id = p.doc_a
+       |  JOIN mh mb ON mb.doc_id = p.doc_b AND mb.p = ma.p
+       |  GROUP BY p.doc_a, p.doc_b),
+       |hits AS (
+       |  SELECT doc_a AS doc_id, COUNT(*) AS ref_dups, MIN(doc_b) AS dup_of
+       |  FROM est WHERE je >= $minJaccard GROUP BY doc_a)
+       |SELECT d.doc_id, CAST(COALESCE(h.ref_dups, 0) AS BIGINT) AS ref_dups,
+       |       CAST(COALESCE(h.dup_of, -1) AS BIGINT) AS dup_of,
+       |       CAST(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS flagged
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+       |LEFT JOIN hits h ON h.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Sequence packing: per-shard running token sum (CAST to BIGINT —
     * DuckDB window SUM yields HUGEINT) → integer-division chunk ids.
     */

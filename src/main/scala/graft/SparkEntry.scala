@@ -535,6 +535,22 @@ object SparkEntry {
     "pack_sequences" -> ((s, dir) =>
       TextOps.packSequences(Tables.documents(s, dir), 512).orderBy(col("doc_id"))),
 
+    "text_bm25" -> ((s, dir) =>
+      TextOps.bm25(Tables.documents(s, dir), Seq("hash", "join", "vector"), 10)
+        .orderBy(col("rank"))),
+
+    "text_entropy" -> ((s, dir) =>
+      TextOps.entropy(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+
+    // corpus = odd doc_ids deduped AGAINST reference = even doc_ids
+    // (the cross-dataset "new crawl vs existing training set" shape)
+    "dedup_cross" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.crossDup(docs.where(col("doc_id") % 2 === 1),
+          docs.where(col("doc_id") % 2 === 0), 16, 2, 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     "corpus_pipeline" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       graft.operators.Corpus.pipeline(docs, docs.where(col("doc_id") % 50 === 0))
@@ -639,6 +655,9 @@ object SparkEntry {
     "text_lm_score" -> OracleSql.textLmScore,
     "text_filter" -> OracleSql.textFilter(30, 90, 0.15, 0.10),
     "pack_sequences" -> OracleSql.packSequences(512),
+    "text_bm25" -> OracleSql.textBm25(Seq("hash", "join", "vector"), 10),
+    "text_entropy" -> OracleSql.textEntropy,
+    "dedup_cross" -> OracleSql.dedupCross(16, 2, 0.5),
     "corpus_pipeline" -> OracleSql.corpusPipeline(4, 50, 16, 2, 0.5, 512),
   )
 }

@@ -120,23 +120,30 @@ object Dedup {
     * bucket self-join on the band signature). Output identical to
     * [[lshCandidates]].
     */
-  def lshCandidatesFast(sigs: DataFrame, rowsPerBand: Int, perms: Int): DataFrame = {
+  /** Band strings sliced map-side out of [[minhashSigs]] signatures:
+    * (doc_id, band, sig). NULL signatures (shingle-less docs — see
+    * MinHashSig) must not collide: element_at over a NULL sig yields
+    * all-NULL band slots, array_join skips NULLs, and every
+    * shingle-less doc would land on the "" band signature. Enforced
+    * AFTER the explode: a real sig's band string is a comma-join of
+    * long literals and can never be empty, so `sig != ""` ⟺ input sig
+    * was non-NULL — and filtering the exploded output compares a
+    * materialized string instead of re-evaluating the (md5-per-
+    * shingle) signature expression for an isNotNull probe (measured
+    * 6× on the unpersisted plan).
+    */
+  private[operators] def bandSlices(sigs: DataFrame, rowsPerBand: Int, perms: Int): DataFrame = {
     val nBands = perms / rowsPerBand
-    // NULL signatures (shingle-less docs — see MinHashSig) must not
-    // collide: element_at over a NULL sig yields all-NULL band slots,
-    // array_join skips NULLs, and every shingle-less doc would land on
-    // the "" band signature. Enforced AFTER the explode: a real sig's
-    // band string is a comma-join of long literals and can never be
-    // empty, so `sig != ""` ⟺ input sig was non-NULL — and filtering
-    // the exploded output compares a materialized string instead of
-    // re-evaluating the (md5-per-shingle) signature expression for an
-    // isNotNull probe (measured 6× on the unpersisted plan).
-    val bands = sigs.select(col("doc_id"), posexplode(expr(
+    sigs.select(col("doc_id"), posexplode(expr(
       s"transform(sequence(0, ${nBands - 1}), b -> " +
         s"array_join(transform(sequence(0, ${rowsPerBand - 1}), " +
         s"r -> cast(element_at(sig, b * $rowsPerBand + r + 1) as string)), ','))")))
       .toDF("doc_id", "band", "sig")
       .where(col("sig") =!= "")
+  }
+
+  def lshCandidatesFast(sigs: DataFrame, rowsPerBand: Int, perms: Int): DataFrame = {
+    val bands = bandSlices(sigs, rowsPerBand, perms)
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig"))
@@ -281,6 +288,60 @@ object Dedup {
       .join(cc, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
       .withColumn("keep", (col("doc_id") === col("cluster")).cast("int"))
+  }
+
+  /** Cross-corpus near-dup flagging: flag every CORPUS document whose
+    * banded MinHash signature collides with a REFERENCE document's and
+    * whose estimated Jaccard ≥ `minJaccard` — "dedup the new crawl
+    * against the existing training set", the cross-dataset sibling of
+    * [[pipeline]]'s self-dedup. Output for EVERY corpus doc:
+    * (doc_id, ref_dups = verified reference near-dups, dup_of = the
+    * smallest such reference id or −1, flagged ∈ {0,1}).
+    *
+    * Scale shape: signatures map-side on BOTH sides; the only
+    * body-independent exchanges are the band bucket join (compact
+    * (doc, band, sig) rows — corpus NEVER self-joins, so candidate
+    * count is corpus×reference collisions only), the O(perms)/pair
+    * estimate join, and the per-doc hit aggregate. NO broadcast hint
+    * on either side: the reference (an existing training set) is
+    * usually as big as the corpus — AQE picks the strategy. The hit
+    * table is localCheckpointed (eager) so both sig persists drop
+    * before return (cache-hygiene contract).
+    */
+  def crossDup(corpus: DataFrame, reference: DataFrame, perms: Int,
+               rowsPerBand: Int, minJaccard: Double): DataFrame = {
+    val cSigs = minhashSigs(corpus, perms).persist()
+    val rSigs = minhashSigs(reference, perms).persist()
+    val hits = try {
+      val cand = bandSlices(cSigs, rowsPerBand, perms)
+        .select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+        .join(bandSlices(rSigs, rowsPerBand, perms)
+          .select(col("doc_id").as("doc_b"), col("band"), col("sig")),
+          Seq("band", "sig"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      cand
+        .join(cSigs.where(col("sig").isNotNull)
+          .select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(rSigs.where(col("sig").isNotNull)
+          .select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          r3(expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))" +
+            s" / cast($perms as double)")).as("jaccard_est"))
+        .where(col("jaccard_est") >= minJaccard)
+        .groupBy(col("doc_a"))
+        .agg(count(lit(1)).as("ref_dups"), min(col("doc_b")).as("dup_of"))
+        .select(col("doc_a").as("doc_id"), col("ref_dups"), col("dup_of"))
+        .localCheckpoint() // eager: both sig persists can drop before return
+    } finally {
+      cSigs.unpersist(blocking = false)
+      rSigs.unpersist(blocking = false)
+    }
+    corpus.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ref_dups"), lit(0L)).as("ref_dups"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        col("ref_dups").isNotNull.cast("int").as("flagged"))
   }
 
   /** Exact word-3-gram Jaccard on candidate pairs. `pairs` must have

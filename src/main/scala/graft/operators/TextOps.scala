@@ -359,6 +359,83 @@ object TextOps {
         expr(s"(stream_pos + n_tokens - 1) div $budget").as("end_seq"))
   }
 
+  /** BM25 ranked retrieval (the Robertson/Lucene formulation) of the
+    * top-k documents for a literal query term set:
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) — the classic sparse
+    * retrieval sibling of the ANN operators (keyword search over a
+    * training corpus: find the documents most about X).
+    *
+    * Scale shape: ONE body pass — the token array is split once per
+    * row, dl = its size, and each query term's tf is a per-row filter
+    * count (query terms are a literal handful, so this is a fixed
+    * number of per-row loops, ZERO shuffle on bodies). Corpus stats
+    * (N, avgdl, per-term df) reduce to ONE row via map-side partial
+    * aggs and ride back as a broadcast; scoring is map-side; the
+    * final top-k is the two-phase salted rank ([[topTokens]]' shape):
+    * per-salt row_number first, so the single final aggregate sees at
+    * most salt·k rows — never a global sort of the corpus. The score
+    * is ROUNDED before ranking (engine-identical order); docs
+    * matching no term are dropped before ranking.
+    *
+    * FP note: dl/tf/df/N are integer-valued doubles (exact), so both
+    * engines feed ln identical rationals; only ln itself and the
+    * final arithmetic are inexact — absorbed by the rounding like
+    * every other gate.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25: query term set must be non-empty")
+    val tfCols = terms.indices.map { i =>
+      val t = terms(i)
+      size(filter(col("toks"), x => x === lit(t))).cast("double").as(s"tf_$i")
+    }
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(Seq(col("doc_id"), size(col("toks")).cast("double").as("dl")) ++ tfCols: _*)
+    val statCols = Seq(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl")) ++
+      terms.indices.map(i =>
+        sum((col(s"tf_$i") > 0).cast("long")).cast("double").as(s"df_$i"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val score = terms.indices.map { i =>
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5)))
+      idf * (col(s"tf_$i") * lit(k1 + 1.0)) /
+        (col(s"tf_$i") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), r3(score).as("score"))
+      .where(col("score") > 0.0)
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(32)))
+      .withColumn("r1", row_number().over(
+        Window.partitionBy(col("salt")).orderBy(col("score").desc, col("doc_id"))))
+      .where(col("r1") <= k).drop("salt", "r1")
+      .agg(expr(s"slice(array_sort(collect_list(struct(-score AS s_neg, doc_id AS doc_id, score AS score))), 1, $k)")
+        .as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("t.doc_id").as("doc_id"), col("t.score").as("score"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** Per-document unigram Shannon entropy (nats): H = ln(n) −
+    * Σ tf·ln(tf) / n, plus the distinct-token count. Low entropy marks
+    * repetitive/boilerplate text (the information-theoretic cousin of
+    * [[repetition]]'s dup_frac — H = ln(uniq) exactly when all tokens
+    * are distinct); a training-data run drops both entropy tails.
+    *
+    * Scale shape: one token pass → map-side-combined (doc, tok) tf →
+    * one doc-keyed aggregate. Only compact (doc_id, tok-hash, tf)
+    * rows ever shuffle, never bodies.
+    */
+  def entropy(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("uniq_tokens"),
+        r3(log(sum(col("tf")).cast("double")) -
+          sum(col("tf").cast("double") * log(col("tf").cast("double"))) /
+            sum(col("tf"))).as("entropy"))
+
   /** Corpus-wide top-k tokens by frequency — vocabulary building. The
     * token explosion is reduced by a map-side-combined count, then
     * top-k is TWO-phase: per-salt top-k first, so the single-partition

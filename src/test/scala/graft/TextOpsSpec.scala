@@ -298,6 +298,58 @@ class TextOpsSpec extends AnyFunSuite {
     assert(graft.operators.Corpus.pipeline(docs, bench, maxTokens = 10).count() === 0L)
   }
 
+  test("bm25: exact scores on a two-doc corpus; no-match docs dropped") {
+    import spark.implicits._
+    // N=2, df(x)=2, dl=2=avgdl → idf = ln(1.2);
+    // d0 tf=1: ln(1.2)·2.2/(1+1.2) = ln(1.2)        → 0.182
+    // d1 tf=2: ln(1.2)·2·2.2/(2+1.2) = 1.375·ln(1.2) → 0.251
+    val docs = Seq((0L, "x a"), (1L, "x x")).toDF("doc_id", "text")
+    val out = TextOps.bm25(docs, Seq("x"), 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 0.251, 1L), (0L, 0.182, 2L)))
+    // a doc with no query term never appears
+    val none = TextOps.bm25(Seq((0L, "a b"), (1L, "x y")).toDF("doc_id", "text"),
+      Seq("z"), 10).collect()
+    assert(none.isEmpty)
+  }
+
+  test("entropy: uniform, degenerate and mixed docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a a b b"),   // H = ln4 − 4·ln2/4 = ln2          → 0.693
+      (1L, "a b c d"),   // all distinct → H = ln4            → 1.386
+      (2L, "x x x")      // single token → H = 0
+    ).toDF("doc_id", "text")
+    val out = TextOps.entropy(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0L) === ((4L, 2L, 0.693)))
+    assert(out(1L) === ((4L, 4L, 1.386)))
+    assert(out(2L) === ((3L, 1L, 0.0)))
+  }
+
+  test("crossDup flags corpus docs near-dup of reference docs only") {
+    import spark.implicits._
+    def words(pfx: String, k: Int) = (1 to k).map(i => s"$pfx$i").mkString(" ")
+    val corpus = Seq(
+      (1L, words("w", 40)),   // exact dup of reference doc 0 → flagged
+      (3L, words("v", 40)),   // unique → clean
+      (5L, words("w", 40))    // another dup of reference doc 0 → flagged
+    ).toDF("doc_id", "text")
+    val reference = Seq(
+      (0L, words("w", 40)),
+      (2L, words("q", 40))
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.crossDup(corpus, reference, 16, 2, 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out(1L) === ((1L, 0L, 1)))
+    assert(out(3L) === ((0L, -1L, 0)))
+    assert(out(5L) === ((1L, 0L, 1)))
+    // corpus docs never flag against EACH OTHER (1 and 5 are mutual
+    // dups but both reference-flag only via doc 0)
+    assert(out.keySet === Set(1L, 3L, 5L))
+  }
+
   test("tfidf hint broadcasts the tok-keyed df join — and is the ONLY thing that does") {
     // Differential assertion under withoutBroadcast: with automatic
     // broadcasts disabled, the only broadcast that can reach the tf⋈df
