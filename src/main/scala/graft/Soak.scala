@@ -106,6 +106,16 @@ object Soak {
       // replica-prefixed tokens grow the vocab ~factor×, the honest
       // worst case for the broadcast-counts path
       "text_lm_score" -> (() => TextOps.lmScore(docs)),
+      "text_entropy" -> (() => TextOps.entropy(docs)),
+      // replica tokens are prefixed, so only replica 0 matches the
+      // query terms — df/hits stay base-sized while the scan and the
+      // per-row tf loops grow factor×, which IS bm25's dominant cost
+      "text_bm25" -> (() => TextOps.bm25(docs, Seq("hash", "join", "vector"), 10)),
+      // both sides grow factor× (new crawl AND training set are big);
+      // disjoint replica tokens keep cross collisions linear
+      "dedup_cross" -> (() => graft.operators.Dedup.crossDup(
+        docs.where(col("doc_id") % 2 === 1), docs.where(col("doc_id") % 2 === 0),
+        16, 2, 0.5)),
       // fixed benchmark (the BASE corpus' every-50th doc) against the
       // factor×-grown corpus — the real decontamination shape: the
       // broadcast side stays eval-set-sized while probe work grows

@@ -369,7 +369,12 @@ object TextOps {
     * Scale shape: ONE body pass — the token array is split once per
     * row, dl = its size, and each query term's tf is a per-row filter
     * count (query terms are a literal handful, so this is a fixed
-    * number of per-row loops, ZERO shuffle on bodies). Corpus stats
+    * number of per-row loops, ZERO shuffle on bodies). The compact
+    * per-doc projection (doc_id, dl, tf…) is eagerly localCheckpointed
+    * — the corpus-stats aggregate AND the scoring projection both read
+    * those blocks, so the text is scanned/tokenized exactly once (an
+    * uncheckpointed plan evaluates `base` twice — the lmScore/tfidf
+    * lesson; same executor-loss durability caveat). Corpus stats
     * (N, avgdl, per-term df) reduce to ONE row via map-side partial
     * aggs and ride back as a broadcast; scoring is map-side; the
     * final top-k is the two-phase salted rank ([[topTokens]]' shape):
@@ -392,6 +397,7 @@ object TextOps {
     }
     val base = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(Seq(col("doc_id"), size(col("toks")).cast("double").as("dl")) ++ tfCols: _*)
+      .localCheckpoint()
     val statCols = Seq(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl")) ++
       terms.indices.map(i =>
         sum((col(s"tf_$i") > 0).cast("long")).cast("double").as(s"df_$i"))

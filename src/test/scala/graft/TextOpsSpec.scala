@@ -313,6 +313,15 @@ class TextOpsSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
+  test("bm25 reads the document bodies exactly once (checkpointed base, no second scan)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextOps.bm25(docs, Seq("hash", "join"), 5)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("parquet"),
+      s"bm25 plan re-scans the corpus:\n$plan")
+  }
+
   test("entropy: uniform, degenerate and mixed docs") {
     import spark.implicits._
     val docs = Seq(
