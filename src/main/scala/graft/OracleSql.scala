@@ -1099,6 +1099,26 @@ object OracleSql {
        |FROM tf JOIN c ON c.tok = tf.tok CROSS JOIN tot
        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin
 
+  /** Bigram LM score: mirrors the Spark side's single-pass shape —
+    * per-(doc, prev, tok) tf, corpus counts and prev-marginals derived
+    * from it, score = tf-weighted mean ln(c_pt / c_p).
+    */
+  val textLmBigram: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |bg AS (
+       |  SELECT doc_id, tk[i] AS p, tk[i + 1] AS t
+       |  FROM (SELECT doc_id, tk, UNNEST(generate_series(1, len(tk) - 1)) AS i
+       |        FROM toks WHERE len(tk) >= 2)),
+       |tf AS (SELECT doc_id, p, t, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3),
+       |cpt AS (SELECT p, t, SUM(tf) AS c_pt FROM tf GROUP BY 1, 2),
+       |cp AS (SELECT p, SUM(c_pt) AS c_p FROM cpt GROUP BY 1)
+       |SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+       |  ${R("SUM(tf.tf * ln(CAST(cpt.c_pt AS DOUBLE) / cp.c_p)) / SUM(tf.tf)")} AS lm2_score
+       |FROM tf
+       |JOIN cpt ON cpt.p = tf.p AND cpt.t = tf.t
+       |JOIN cp ON cp.p = tf.p
+       |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin
+
   /** BM25 retrieval: identical Robertson/Lucene arithmetic, score
     * rounded before the rank. dl/tf/df/N are integer-valued doubles
     * (exact sums), so both engines feed ln the same rationals.

@@ -107,6 +107,9 @@ object Soak {
       // worst case for the broadcast-counts path
       "text_lm_score" -> (() => TextOps.lmScore(docs)),
       "text_entropy" -> (() => TextOps.entropy(docs)),
+      // the bigram vocab grows ~factor× (disjoint replica tokens) —
+      // the worst case for the broadcast-counts path
+      "text_lm_bigram" -> (() => TextOps.lmScoreBigram(docs)),
       // replica tokens are prefixed, so only replica 0 matches the
       // query terms — df/hits stay base-sized while the scan and the
       // per-row tf loops grow factor×, which IS bm25's dominant cost

@@ -535,6 +535,9 @@ object SparkEntry {
     "pack_sequences" -> ((s, dir) =>
       TextOps.packSequences(Tables.documents(s, dir), 512).orderBy(col("doc_id"))),
 
+    "text_lm_bigram" -> ((s, dir) =>
+      TextOps.lmScoreBigram(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+
     "text_bm25" -> ((s, dir) =>
       TextOps.bm25(Tables.documents(s, dir), Seq("hash", "join", "vector"), 10)
         .orderBy(col("rank"))),
@@ -655,6 +658,7 @@ object SparkEntry {
     "text_lm_score" -> OracleSql.textLmScore,
     "text_filter" -> OracleSql.textFilter(30, 90, 0.15, 0.10),
     "pack_sequences" -> OracleSql.packSequences(512),
+    "text_lm_bigram" -> OracleSql.textLmBigram,
     "text_bm25" -> OracleSql.textBm25(Seq("hash", "join", "vector"), 10),
     "text_entropy" -> OracleSql.textEntropy,
     "dedup_cross" -> OracleSql.dedupCross(16, 2, 0.5),

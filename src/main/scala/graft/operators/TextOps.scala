@@ -359,6 +359,44 @@ object TextOps {
         expr(s"(stream_pos + n_tokens - 1) div $budget").as("end_seq"))
   }
 
+  /** Bigram LM score: mean ln P(tok | prev) over the document's bigram
+    * positions, with the conditional estimated from the corpus itself
+    * — P(t|p) = c(p,t) / c(p,·). The sequel to [[lmScore]]'s unigram
+    * signal (CCNet uses a 5-gram KenLM; a corpus-self bigram LM is the
+    * honest distributable analogue — no smoothing needed because every
+    * scored bigram was counted). Degenerate repetitive text scores
+    * near 0 (its bigrams are all it has); incoherent text scores very
+    * negative.
+    *
+    * Scale shape = [[lmScore]]'s exactly: per-(doc, prev, tok) tf in
+    * ONE body pass (eager localCheckpoint), corpus bigram counts AND
+    * prev-marginals DERIVED from tf, both riding as broadcasts —
+    * `broadcastCounts = false` for web-scale bigram vocabularies
+    * (which outgrow broadcast range much sooner than unigram ones).
+    * Docs with < 2 tokens are dropped (no bigram positions), the
+    * [[repetition]] contract.
+    */
+  def lmScoreBigram(docs: DataFrame, broadcastCounts: Boolean = true): DataFrame = {
+    val tf = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(element_at(toks, i) AS p, element_at(toks, i + 1) AS t))")).as("bg"))
+      .select(col("doc_id"), col("bg.p").as("p"), col("bg.t").as("t"))
+      .groupBy(col("doc_id"), col("p"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val cpt0 = tf.groupBy(col("p"), col("t")).agg(sum(col("tf")).as("c_pt"))
+    val cp0 = cpt0.groupBy(col("p")).agg(sum(col("c_pt")).as("c_p"))
+    val cpt = if (broadcastCounts) broadcast(cpt0) else cpt0
+    val cp = if (broadcastCounts) broadcast(cp0) else cp0
+    tf.join(cpt, Seq("p", "t")).join(cp, Seq("p"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_bigrams"),
+        r3(sum(col("tf") * log(col("c_pt").cast("double") / col("c_p"))) /
+          sum(col("tf"))).as("lm2_score"))
+  }
+
   /** BM25 ranked retrieval (the Robertson/Lucene formulation) of the
     * top-k documents for a literal query term set:
     * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),

@@ -298,6 +298,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(graft.operators.Corpus.pipeline(docs, bench, maxTokens = 10).count() === 0L)
   }
 
+  test("lmScoreBigram: exact conditional log-probs; paths agree under disabled broadcasts") {
+    import spark.implicits._
+    // corpus bigrams: c(a,b)=2, c(b,a)=1, c(a,c)=1 → c(a,·)=3, c(b,·)=1
+    // doc0 = a b a c: (ln(2/3) + ln(1/1) + ln(1/3)) / 3 → −0.501
+    // doc1 = a b:      ln(2/3)                          → −0.405
+    val docs = Seq((0L, "a b a c"), (1L, "a b"), (2L, "solo")).toDF("doc_id", "text")
+    val out = TextOps.lmScoreBigram(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out === Map(0L -> ((3L, -0.501)), 1L -> ((1L, -0.405)))) // sub-2-token doc dropped
+    val skew = skewedCorpus()
+    val hinted = TextOps.lmScoreBigram(skew).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val unhinted = withoutBroadcast {
+      TextOps.lmScoreBigram(skew, broadcastCounts = false).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    assert(hinted === unhinted)
+  }
+
   test("bm25: exact scores on a two-doc corpus; no-match docs dropped") {
     import spark.implicits._
     // N=2, df(x)=2, dl=2=avgdl → idf = ln(1.2);
