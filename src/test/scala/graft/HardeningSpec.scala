@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.VectorExprs
-import graft.operators.{Dedup, Relational, Similarity, TimeSeries}
+import graft.operators.{Dedup, Relational, Similarity, TextOps, TimeSeries}
 
 /** Round-4 hardening: native-expression parity twins, skew/typing
   * contracts, and cache hygiene.
@@ -315,5 +315,19 @@ class HardeningSpec extends AnyFunSuite {
 
     SparkEntry.queries("dedup_jaccard_est")(spark, dir).count()
     assert(cm.isEmpty, "dedup_jaccard_est entry leaked a cache entry")
+
+    val docs = Tables.documents(spark, dir)
+    Dedup.crossDup(docs.where(col("doc_id") % 2 === 1),
+      docs.where(col("doc_id") % 2 === 0), 16, 2, 0.5).count()
+    assert(cm.isEmpty, "crossDup leaked a cache entry")
+
+    graft.operators.Corpus.pipeline(docs, docs.where(col("doc_id") % 50 === 0)).count()
+    assert(cm.isEmpty, "Corpus.pipeline leaked a cache entry")
+
+    // the checkpoint-based text ops never register cacheManager entries
+    TextOps.lmScore(docs).count()
+    TextOps.lmScoreBigram(docs).count()
+    TextOps.bm25(docs, Seq("hash", "join"), 5).count()
+    assert(cm.isEmpty, "checkpoint-based text ops leaked a cache entry")
   }
 }
