@@ -761,6 +761,45 @@ object OracleSql {
        |  FROM s)
        |SELECT qid, vid, cos, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
+  /** PQ ANN: codebook = sub-slices of the first nCodewords vectors;
+    * per-subspace assignment by ROUNDED squared L2 (argmin, cid
+    * tie-break); ADC score = sum of per-subspace distance-table
+    * entries, rounded before the ascending rank. Squares are written
+    * as explicit products (pow() is not guaranteed bit-equal to x·x).
+    */
+  def annPq(nCodewords: Int, m: Int, nQueries: Int, k: Int, dim: Int = 64): String = {
+    val subDim = dim / m
+    def d2(vec: String) = {
+      val diff = s"($vec[cw.s * $subDim + i] - cw.v[cw.s * $subDim + i])"
+      R(s"list_sum(list_transform(generate_series(1, $subDim), i -> $diff * $diff))")
+    }
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cw AS (
+       |  SELECT s.s, e.vec_id AS c, e.v FROM e CROSS JOIN range(0, $m) s(s)
+       |  WHERE e.vec_id < $nCodewords),
+       |a0 AS (
+       |  SELECT e.vec_id, cw.s, cw.c, ${d2("e.v")} AS d2
+       |  FROM e CROSS JOIN cw),
+       |asg AS (
+       |  SELECT vec_id, s, c AS code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+       |    FROM a0)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
+       |dt AS (
+       |  SELECT q.qid, cw.s, cw.c AS code, ${d2("q.qv")} AS d2
+       |  FROM q CROSS JOIN cw),
+       |sc AS (
+       |  SELECT dt.qid, a.vec_id AS vid, ${R("SUM(dt.d2)")} AS adist
+       |  FROM asg a JOIN dt ON dt.s = a.s AND dt.code = a.code
+       |  WHERE a.vec_id != dt.qid
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS BIGINT) AS rank
+       |  FROM sc)
+       |SELECT qid, vid, adist, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
   def annTopK(nQueries: Int, k: Int): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),

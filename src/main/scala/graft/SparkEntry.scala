@@ -461,6 +461,11 @@ object SparkEntry {
       TimeSeries.valueHistogram(Tables.events(s, dir), 50.0, 10)
         .orderBy(col("event_type"), col("bin"))),
 
+    "ann_pq" -> ((s, dir) =>
+      Similarity.annPqTopK(Tables.embeddings(s, dir), 16, 4, 5, 5)
+        .select(col("qid"), col("vid"), col("adist"), col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))),
+
     "ann_recall" -> ((s, dir) =>
       Similarity.annRecall(Tables.embeddings(s, dir), 8, 5, 5)
         .orderBy(col("qid"))),
@@ -641,6 +646,7 @@ object SparkEntry {
     "ts_decompose" -> OracleSql.decompose(HALF),
     "value_histogram" -> OracleSql.valueHistogram(50.0, 10),
     "ann_recall" -> OracleSql.annRecall(8, 5, 5, 64),
+    "ann_pq" -> OracleSql.annPq(16, 4, 5, 5),
     "token_topk" -> OracleSql.tokenTopK(20),
     "ts_outliers_mad" -> OracleSql.outliersMad(3.0),
     "ts_metrics_horizon" -> OracleSql.metricsHorizon(HALF, SLOPE_W, NY, HORIZONS),

@@ -105,6 +105,7 @@ object VectorExprs {
     "graft_ewma" -> "graft_ewma(vals: array<float|double>, alpha: double literal)",
     "graft_holt" -> "graft_holt(vals: array<float|double>, alpha: double literal, beta: double literal)",
     "graft_ivf_cell" -> "graft_ivf_cell(v: array<float|double>, centroids: string literal from IvfCell.encode)",
+    "graft_pq_codes" -> "graft_pq_codes(v: array<float|double>, codebook: string literal from PqCodes.encode)",
     "graft_ivf_cells" -> "graft_ivf_cells(v: array<float|double>, centroids: string literal from IvfCell.encode, nprobe: int literal)")
 
   private[graft] def build(name: String, exprs: Seq[Expression]): Expression = {
@@ -135,6 +136,9 @@ object VectorExprs {
       case "graft_ivf_cell" =>
         requireArity(name, usage, exprs, 2)
         IvfCell(exprs(0), litStrArg(name, usage, exprs, 1))
+      case "graft_pq_codes" =>
+        requireArity(name, usage, exprs, 2)
+        PqCodes(exprs(0), litStrArg(name, usage, exprs, 1))
       case "graft_ivf_cells" =>
         requireArity(name, usage, exprs, 3)
         IvfCells(exprs(0), litStrArg(name, usage, exprs, 1),

@@ -195,6 +195,89 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** PQ (product-quantization) ANN: the compressed-domain tier. The
+    * corpus is encoded to `m` codeword ids per vector (codebook = the
+    * first `nCodewords` vectors' sub-slices, the [[annIvfTopK]]
+    * quantizer convention — real k-means codebooks also live
+    * driver-side); search is ADC (asymmetric distance computation):
+    * each query precomputes a distance table d²(q_sub, codeword) per
+    * subspace, and a vector's approximate distance is the sum of `m`
+    * table lookups — the corpus' raw vectors are never read at query
+    * time, only the (m·log₂ k)-bit codes. FAISS-IndexPQ semantics;
+    * output ranks ASCENDING approximate distance.
+    *
+    * Scale shape: encoding is a ZERO-exchange projection (the codebook
+    * rides inside the native [[graft.functions.PqCodes]] expression,
+    * which rounds each subspace d² before its argmin so codes are
+    * bit-identical in any engine); the query distance tables are
+    * driver-computed (nQueries·m·k doubles — broadcast-class) and
+    * joined to the exploded codes map-side. The per-(qid, vid) ADC
+    * sum's rows are map-local (one corpus row → its m code rows), so
+    * the partial agg emits ONE compact row per scored pair; the
+    * exchange carries corpus×queries scalars into the same two-phase
+    * salted rank as every other ANN tier. PQ alone is a full-scan
+    * compression scheme by design — at extreme scale it composes with
+    * IVF pruning (encode only the probed cells' candidates), which is
+    * exactly how FAISS IVFPQ does it.
+    */
+  def annPqTopK(embeddings: DataFrame, nCodewords: Int, m: Int,
+                nQueries: Int, k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    VectorExprs.register(spark)
+    val cents = embeddings.where(col("vec_id") < nCodewords)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getAs[Number](0).longValue(),
+        r.getSeq[Number](1).map(_.doubleValue()).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "annPqTopK: empty codebook")
+    val dim = cents.head._2.length
+    require(dim % m == 0, s"annPqTopK: dim $dim not divisible by m = $m subspaces")
+    val subDim = dim / m
+    val cids = Array.fill(m)(cents.map(_._1))
+    val books = Array.tabulate(m)(s => cents.map(_._2.slice(s * subDim, (s + 1) * subDim)))
+    val enc = graft.functions.PqCodes.encode(cids, books)
+    // ADC distance tables, driver-computed with the same left-to-right
+    // accumulation + canonical rounding as PqCodes and the SQL oracle
+    def r3d(x: Double) = math.floor(x * 1000.0 + 0.5001) / 1000.0
+    val qs = embeddings.where(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getAs[Number](0).longValue(),
+        r.getSeq[Number](1).map(_.doubleValue()).toArray))
+    val dtRows = for {
+      (qid, qv) <- qs.toSeq
+      s <- 0 until m
+      c <- cents.indices
+    } yield {
+      val w = books(s)(c)
+      var d2 = 0.0
+      var d = 0
+      while (d < subDim) {
+        val idx = s * subDim + d
+        val x = (if (idx < qv.length) qv(idx) else 0.0) - w(d)
+        d2 += x * x
+        d += 1
+      }
+      (qid, s, cids(s)(c), r3d(d2))
+    }
+    import spark.implicits._
+    val dt = dtRows.toDF("qid", "s", "code", "d2")
+    val codes = embeddings.where(col("embedding").isNotNull)
+      .select(col("vec_id"), expr(s"graft_pq_codes(embedding, '$enc')").as("codes"))
+    val scored = codes
+      .select(col("vec_id").as("vid"), posexplode(col("codes")).as(Seq("s", "code")))
+      .join(broadcast(dt), Seq("s", "code"))
+      .where(col("vid") =!= col("qid"))
+      .groupBy(col("qid"), col("vid"))
+      .agg(r3(sum(col("d2"))).as("adist"))
+    val salted = scored.withColumn("salt", pmod(col("vid"), lit(32)))
+      .withColumn("r1", row_number().over(
+        Window.partitionBy(col("qid"), col("salt")).orderBy(col("adist").asc, col("vid"))))
+      .where(col("r1") <= k).drop("salt", "r1")
+    salted.withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("vid"))))
+      .where(col("rank") <= k)
+  }
+
   /** Recall@k of the LSH ANN against the exact top-k, per query —
     * the self-evaluation loop a production ANN deployment runs when
     * tuning nPlanes (left join so queries with zero bucket-mates

@@ -135,6 +135,41 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!ann.exists(r => r.getAs[Long]("vid") === 11L))
   }
 
+  test("ann PQ: codebook vectors encode to their own codes; identical vector ranks first") {
+    import spark.implicits._
+    // dim 4, m = 2 subspaces of 2; codebook = vecs 0 and 1
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)),  // identical to query 0 → adist 0, rank 1
+      (11L, Array(0.0f, 1.0f, 1.0f, 0.0f)))  // codebook-1-shaped → farther from q0
+      .toDF("vec_id", "embedding")
+    graft.functions.VectorExprs.register(spark)
+    // direct code check: each codebook vector is its own nearest codeword
+    val cids = Array.fill(2)(Array(0L, 1L))
+    val books = Array.tabulate(2)(s => Array(
+      Array(1.0, 0.0, 0.0, 0.0).slice(s * 2, s * 2 + 2),
+      Array(0.0, 1.0, 1.0, 0.0).slice(s * 2, s * 2 + 2)))
+    val enc = graft.functions.PqCodes.encode(cids, books)
+    val codes = e.selectExpr("vec_id", s"graft_pq_codes(embedding, '$enc') AS c")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes(0L) === Seq(0L, 0L) && codes(10L) === Seq(0L, 0L))
+    assert(codes(1L) === Seq(1L, 1L) && codes(11L) === Seq(1L, 1L))
+    val ann = Similarity.annPqTopK(e, 2, 2, 1, 3).orderBy("rank").collect()
+    assert(ann.head.getAs[Long]("vid") === 10L)
+    assert(ann.head.getAs[Double]("adist") === 0.0)
+    // same-code vectors share an adist; farther codes rank below
+    assert(ann.last.getAs[Double]("adist") >= ann.head.getAs[Double]("adist"))
+  }
+
+  test("graft_pq_codes rejects a malformed codebook eagerly") {
+    val err = intercept[IllegalArgumentException] {
+      graft.functions.PqCodes.encode(Array(Array(1L, 0L)),
+        Array(Array(Array(1.0), Array(0.0))))
+    }
+    assert(err.getMessage.contains("sorted ascending"))
+  }
+
   test("simhash: identical docs equal, different docs differ") {
     val d = docs((1L, "a b c d"), (2L, "a b c d"), (3L, "totally different words here now"))
     val s = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
