@@ -101,6 +101,7 @@ object Soak {
       "ann_ivf" -> (() => Similarity.annIvfTopK(emb, 16, 5, 5)),
       "ann_ivf_probe" -> (() => Similarity.annIvfTopKProbe(emb, 16, 5, 5, 2)),
       "ann_pq" -> (() => Similarity.annPqTopK(emb, 16, 4, 5, 5)),
+      "ann_ivfpq" -> (() => Similarity.annIvfPqTopK(emb, 16, 16, 4, 5, 5)),
       "text_tfidf" -> (() => TextOps.tfidf(docs, 3)),
       // the vocab-count exchange + doc-keyed agg (the only r7-added
       // operator without a recorded soak ratio — VERDICT r7 #3);

@@ -461,6 +461,11 @@ object SparkEntry {
       TimeSeries.valueHistogram(Tables.events(s, dir), 50.0, 10)
         .orderBy(col("event_type"), col("bin"))),
 
+    "ann_ivfpq" -> ((s, dir) =>
+      Similarity.annIvfPqTopK(Tables.embeddings(s, dir), 16, 16, 4, 5, 5)
+        .select(col("qid"), col("vid"), col("adist"), col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))),
+
     "ann_pq" -> ((s, dir) =>
       Similarity.annPqTopK(Tables.embeddings(s, dir), 16, 4, 5, 5)
         .select(col("qid"), col("vid"), col("adist"), col("rank").cast("long").as("rank"))
@@ -647,6 +652,7 @@ object SparkEntry {
     "value_histogram" -> OracleSql.valueHistogram(50.0, 10),
     "ann_recall" -> OracleSql.annRecall(8, 5, 5, 64),
     "ann_pq" -> OracleSql.annPq(16, 4, 5, 5),
+    "ann_ivfpq" -> OracleSql.annIvfPq(16, 16, 4, 5, 5),
     "token_topk" -> OracleSql.tokenTopK(20),
     "ts_outliers_mad" -> OracleSql.outliersMad(3.0),
     "ts_metrics_horizon" -> OracleSql.metricsHorizon(HALF, SLOPE_W, NY, HORIZONS),

@@ -278,6 +278,80 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** IVF + PQ composed — the FAISS-IVFPQ shape and the one that
+    * actually runs at extreme scale: the IVF coarse quantizer prunes
+    * candidates to the query's cell, and within the cell vectors are
+    * scored by PQ/ADC (m table lookups per pair, raw vectors never
+    * read at query time). Both assignments happen in ONE zero-exchange
+    * projection over the scan (native [[graft.functions.IvfCell]] +
+    * [[graft.functions.PqCodes]] side by side); candidates then flow
+    * through the same broadcast cell join and map-local ADC sum as
+    * [[annIvfTopK]] / [[annPqTopK]]. Output ranks ASCENDING
+    * approximate distance within each query's cell.
+    */
+  def annIvfPqTopK(embeddings: DataFrame, nCentroids: Int, nCodewords: Int,
+                   m: Int, nQueries: Int, k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    VectorExprs.register(spark)
+    val encIvf = quantizer(embeddings, nCentroids)
+    val cents = embeddings.where(col("vec_id") < nCodewords)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getAs[Number](0).longValue(),
+        r.getSeq[Number](1).map(_.doubleValue()).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "annIvfPqTopK: empty codebook")
+    val dim = cents.head._2.length
+    require(dim % m == 0, s"annIvfPqTopK: dim $dim not divisible by m = $m subspaces")
+    val subDim = dim / m
+    val cids = Array.fill(m)(cents.map(_._1))
+    val books = Array.tabulate(m)(s => cents.map(_._2.slice(s * subDim, (s + 1) * subDim)))
+    val encPq = graft.functions.PqCodes.encode(cids, books)
+    def r3d(x: Double) = math.floor(x * 1000.0 + 0.5001) / 1000.0
+    val qs = embeddings.where(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getAs[Number](0).longValue(),
+        r.getSeq[Number](1).map(_.doubleValue()).toArray))
+    val dtRows = for {
+      (qid, qv) <- qs.toSeq
+      s <- 0 until m
+      c <- cents.indices
+    } yield {
+      val w = books(s)(c)
+      var d2 = 0.0
+      var d = 0
+      while (d < subDim) {
+        val idx = s * subDim + d
+        val x = (if (idx < qv.length) qv(idx) else 0.0) - w(d)
+        d2 += x * x
+        d += 1
+      }
+      (qid, s, cids(s)(c), r3d(d2))
+    }
+    import spark.implicits._
+    val dt = dtRows.toDF("qid", "s", "code", "d2")
+    // one projection assigns BOTH the IVF cell and the PQ codes
+    val assigned = embeddings.where(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        expr(s"coalesce(graft_ivf_cell(embedding, '$encIvf'), -1L)").as("cell"),
+        expr(s"graft_pq_codes(embedding, '$encPq')").as("codes"))
+    val qcells = assigned.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("cell"))
+    val scored = assigned
+      .select(col("vec_id").as("vid"), col("cell"), posexplode(col("codes")).as(Seq("s", "code")))
+      .join(broadcast(qcells), Seq("cell"))
+      .where(col("vid") =!= col("qid"))
+      .join(broadcast(dt), Seq("qid", "s", "code"))
+      .groupBy(col("qid"), col("vid"))
+      .agg(r3(sum(col("d2"))).as("adist"))
+    val salted = scored.withColumn("salt", pmod(col("vid"), lit(32)))
+      .withColumn("r1", row_number().over(
+        Window.partitionBy(col("qid"), col("salt")).orderBy(col("adist").asc, col("vid"))))
+      .where(col("r1") <= k).drop("salt", "r1")
+    salted.withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("vid"))))
+      .where(col("rank") <= k)
+  }
+
   /** Recall@k of the LSH ANN against the exact top-k, per query —
     * the self-evaluation loop a production ANN deployment runs when
     * tuning nPlanes (left join so queries with zero bucket-mates

@@ -162,6 +162,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ann.last.getAs[Double]("adist") >= ann.head.getAs[Double]("adist"))
   }
 
+  test("ann IVFPQ prunes to the query's cell and scores by code distance") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)),  // query 0's cell, identical → rank 1, adist 0
+      (11L, Array(0.9f, 0.1f, 0.0f, 0.0f)),  // query 0's cell, near
+      (12L, Array(0.0f, 1.0f, 0.9f, 0.0f)))  // centroid 1's cell → pruned away
+      .toDF("vec_id", "embedding")
+    val ann = Similarity.annIvfPqTopK(e, 2, 2, 2, 1, 5).orderBy("rank").collect()
+    assert(ann.head.getAs[Long]("vid") === 10L)
+    assert(ann.head.getAs[Double]("adist") === 0.0)
+    assert(!ann.exists(_.getAs[Long]("vid") == 12L), "other-cell vector must be pruned")
+    assert(ann.exists(_.getAs[Long]("vid") == 11L), "same-cell near vector must be scored")
+  }
+
   test("graft_pq_codes rejects a malformed codebook eagerly") {
     val err = intercept[IllegalArgumentException] {
       graft.functions.PqCodes.encode(Array(Array(1L, 0L)),
