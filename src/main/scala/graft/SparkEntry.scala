@@ -471,6 +471,10 @@ object SparkEntry {
         .select(col("qid"), col("vid"), col("adist"), col("rank").cast("long").as("rank"))
         .orderBy(col("qid"), col("rank"))),
 
+    "ann_pq_recall" -> ((s, dir) =>
+      Similarity.annPqRecall(Tables.embeddings(s, dir), 16, 4, 5, 5)
+        .orderBy(col("qid"))),
+
     "ann_recall" -> ((s, dir) =>
       Similarity.annRecall(Tables.embeddings(s, dir), 8, 5, 5)
         .orderBy(col("qid"))),
@@ -653,6 +657,7 @@ object SparkEntry {
     "ann_recall" -> OracleSql.annRecall(8, 5, 5, 64),
     "ann_pq" -> OracleSql.annPq(16, 4, 5, 5),
     "ann_ivfpq" -> OracleSql.annIvfPq(16, 16, 4, 5, 5),
+    "ann_pq_recall" -> OracleSql.annPqRecall(16, 4, 5, 5),
     "token_topk" -> OracleSql.tokenTopK(20),
     "ts_outliers_mad" -> OracleSql.outliersMad(3.0),
     "ts_metrics_horizon" -> OracleSql.metricsHorizon(HALF, SLOPE_W, NY, HORIZONS),

@@ -369,6 +369,24 @@ object Similarity {
         r3(col("n_hit") / col("n_exact")).as("recall"))
   }
 
+  /** Recall@k of the PQ tier against the exact top-k — the accuracy
+    * side of the compression trade the PQ deployment loop tunes
+    * (m / codebook size vs recall), mirroring [[annRecall]] for the
+    * LSH tier.
+    */
+  def annPqRecall(embeddings: DataFrame, nCodewords: Int, m: Int,
+                  nQueries: Int, k: Int): DataFrame = {
+    val exact = cosineTopK(embeddings, nQueries, k).select(col("qid"), col("vid"))
+    val approx = annPqTopK(embeddings, nCodewords, m, nQueries, k)
+      .select(col("qid"), col("vid"), lit(1).as("hit"))
+    exact.join(approx, Seq("qid", "vid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        r3(col("n_hit") / col("n_exact")).as("recall"))
+  }
+
   /** ANN top-k via LSH buckets: score only same-bucket candidates,
     * rank within bucket. Recall < 1 by construction; the exactness
     * baseline is [[cosineTopK]].
