@@ -635,11 +635,16 @@ object OracleSql {
                      rowsPerBand: Int, minJaccard: Double,
                      budget: Int,
                      minTokens: Int = 30, maxTokens: Int = 90,
-                     maxStop: Double = 0.15, maxDup: Double = 0.10): String =
+                     maxStop: Double = 0.15, maxDup: Double = 0.10,
+                     lmBand: Option[(Double, Double)] = None): String = {
+    val lmCte = lmBand.map { case (lo, hi) =>
+      s"lmk AS (SELECT doc_id FROM ($textLmScore) WHERE lm_score BETWEEN $lo AND $hi),\n"
+    }.getOrElse("")
+    val lmJoin = if (lmBand.isDefined) " JOIN lmk ON lmk.doc_id = f.doc_id" else ""
     s"""WITH RECURSIVE
        |fkeep AS (SELECT doc_id FROM (${textFilter(minTokens, maxTokens, maxStop, maxDup)}) WHERE keep = 1),
        |dkeep AS (SELECT doc_id FROM (${decontaminate(decontN, benchMod)}) WHERE contaminated = 0),
-       |clean AS (SELECT f.doc_id FROM fkeep f JOIN dkeep k ON k.doc_id = f.doc_id),
+       |${lmCte}clean AS (SELECT f.doc_id FROM fkeep f JOIN dkeep k ON k.doc_id = f.doc_id$lmJoin),
        |${minhashCtes(perms, rowsPerBand)},
        |cpairs AS (
        |  SELECT DISTINCT doc_a, doc_b FROM cand
@@ -679,6 +684,7 @@ object OracleSql {
        |  stream_pos % $budget AS start_offset,
        |  (stream_pos + n_tokens - 1) // $budget AS end_seq
        |FROM p ORDER BY doc_id""".stripMargin
+  }
 
   /** Canonical text normalization: lowercase, non-alnum → space,
     * whitespace collapse, trim.

@@ -574,6 +574,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the full five-stage composition: quality filter → unigram-LM
+    // band (CCNet-style, both tails dropped) → decontamination →
+    // near-dedup → packing
+    "corpus_pipeline_lm" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Corpus.pipeline(docs, docs.where(col("doc_id") % 50 === 0),
+          lmScoreBand = Some((-3.41, -3.39)))
+        .orderBy(col("doc_id"))
+    }),
+
     "range_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val iv = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
@@ -680,5 +690,7 @@ object SparkEntry {
     "text_entropy" -> OracleSql.textEntropy,
     "dedup_cross" -> OracleSql.dedupCross(16, 2, 0.5),
     "corpus_pipeline" -> OracleSql.corpusPipeline(4, 50, 16, 2, 0.5, 512),
+    "corpus_pipeline_lm" -> OracleSql.corpusPipeline(4, 50, 16, 2, 0.5, 512,
+      lmBand = Some((-3.41, -3.39))),
   )
 }

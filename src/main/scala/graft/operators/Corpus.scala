@@ -47,12 +47,21 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** `lmScoreBand = Some((lo, hi))` adds a unigram-LM quality stage
+    * (the CCNet-style filter): only docs whose [[TextOps.lmScore]]
+    * falls inside the band survive to dedup/packing — both lm tails
+    * (garbled AND stopword-soup text) drop. Costs ONE extra body pass
+    * (lmScore's checkpointed tf), making four total when enabled; the
+    * band ids join cleanMeta as compact scalars, bodies still never
+    * shuffle.
+    */
   def pipeline(docs: DataFrame, benchmark: DataFrame,
                decontaminateN: Int = 4,
                perms: Int = 16, rowsPerBand: Int = 2, minJaccard: Double = 0.5,
                budget: Int = 512, shardCol: String = "source",
                minTokens: Int = 30, maxTokens: Int = 90,
-               maxStopRatio: Double = 0.15, maxDupRatio: Double = 0.10): DataFrame = {
+               maxStopRatio: Double = 0.15, maxDupRatio: Double = 0.10,
+               lmScoreBand: Option[(Double, Double)] = None): DataFrame = {
     // ONE body pass → compact materialized frame; `keep` is filtered
     // on the MATERIALIZED column, never pushed into the text exprs.
     // Filter thresholds are parameters like every other stage's knobs
@@ -64,8 +73,20 @@ object Corpus {
       .localCheckpoint()
     val contaminatedIds = TextOps.decontaminate(docs, benchmark, decontaminateN)
       .where(col("contaminated") === 1).select(col("doc_id"))
-    val cleanMeta = meta.where(col("keep") === 1).drop("keep")
+    val cleanMeta0 = meta.where(col("keep") === 1).drop("keep")
       .join(broadcast(contaminatedIds), Seq("doc_id"), "left_anti")
+    val cleanMeta = lmScoreBand match {
+      case Some((lo, hi)) =>
+        // compact id join (no broadcast hint: the band can keep most of
+        // the corpus — AQE picks); applied BEFORE sigs, so dedup runs
+        // on the lm-surviving subset (≡ dedup-on-subset, as with the
+        // other filters)
+        cleanMeta0.join(
+          TextOps.lmScore(docs)
+            .where(col("lm_score").between(lo, hi)).select(col("doc_id")),
+          "doc_id")
+      case None => cleanMeta0
+    }
     val sigs = Dedup.minhashSigs(docs, perms)
       .join(cleanMeta.select(col("doc_id")), "doc_id")
       .persist()

@@ -298,6 +298,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(graft.operators.Corpus.pipeline(docs, bench, maxTokens = 10).count() === 0L)
   }
 
+  test("corpus pipeline lm band drops out-of-band docs before dedup") {
+    import spark.implicits._
+    def words(pfx: String, k: Int) = (1 to k).map(i => s"$pfx$i").mkString(" ")
+    // unigram counts: w-tokens appear twice (docs 1+2), every other
+    // token once → lmScore(doc 1) = ln(2/162) ≈ −4.394, all-unique
+    // docs ≈ −5.088; the band keeps only the w-docs, of which the
+    // cluster min (1) survives dedup
+    val docs = Seq(
+      (0L, words("z", 40), "A"),
+      (1L, words("w", 40), "A"),
+      (2L, words("w", 40), "A"),
+      (3L, "tiny doc", "A"),
+      (4L, words("v", 40), "A")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.operators.Corpus.pipeline(docs, docs.where($"doc_id" === 0L),
+        lmScoreBand = Some((-4.5, -4.0)))
+      .collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L)) // doc 4 (in-filter, out-of-band) dropped by the lm stage
+  }
+
   test("lmScoreBigram: exact conditional log-probs; paths agree under disabled broadcasts") {
     import spark.implicits._
     // corpus bigrams: c(a,b)=2, c(b,a)=1, c(a,c)=1 → c(a,·)=3, c(b,·)=1
