@@ -136,6 +136,9 @@ object Soak {
         512, "shard_key")),
       "corpus_pipeline" -> (() => graft.operators.Corpus.pipeline(
         docs, Tables.documents(spark, sfDir).where(col("doc_id") % 50 === 0))),
+      "corpus_pipeline_lm" -> (() => graft.operators.Corpus.pipeline(
+        docs, Tables.documents(spark, sfDir).where(col("doc_id") % 50 === 0),
+        lmScoreBand = Some((-3.41, -3.39)))),
       "token_topk" -> (() => TextOps.topTokens(docs, 20)),
       // generator at factor×10K keys (100K at the default factor 10):
       // validates that the 45 per-KEY md5 draws — not per-row — keep
