@@ -1242,6 +1242,56 @@ object OracleSql {
        |FROM tf JOIN c ON c.tok = tf.tok CROSS JOIN tot
        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin
 
+  /** Winnowing CTEs: per-position k-gram polynomial hash (exact
+    * BIGINT power sum, ONE final mod — equal to the Spark side's
+    * per-step fold for k ≤ 8), windows of w hashes, rightmost-min
+    * selection via (fp ASC, p DESC) rank. `sel ... rn = 1` rows are
+    * the fingerprints; DISTINCT equals the change-detection dedup
+    * (a position's winning window range is contiguous).
+    */
+  private def winnowCtes(k: Int, w: Int): String = {
+    require(k <= 8, s"winnow oracle: k = $k overflows the BIGINT power sum")
+    val terms = (0 until k).map { i =>
+      val pow = BigInt(31).pow(k - 1 - i).toLong
+      s"CAST(ascii(substr(text, p + $i, 1)) AS BIGINT) * $pow"
+    }.mkString(" + ")
+    s"""h AS (
+       |  SELECT doc_id, p, CAST(($terms) % 1000000007 AS BIGINT) AS fp, nh
+       |  FROM (SELECT doc_id, text, length(text) - ${k - 1} AS nh,
+       |          UNNEST(generate_series(1, length(text) - ${k - 1})) AS p
+       |        FROM documents WHERE length(text) >= $k)),
+       |wins AS (
+       |  SELECT doc_id, UNNEST(generate_series(1, GREATEST(1, nh - ${w - 1}))) AS j
+       |  FROM (SELECT DISTINCT doc_id, nh FROM h)),
+       |sel AS (
+       |  SELECT wi.doc_id, wi.j, h.p, h.fp,
+       |         ROW_NUMBER() OVER (PARTITION BY wi.doc_id, wi.j ORDER BY h.fp ASC, h.p DESC) AS rn
+       |  FROM wins wi JOIN h ON h.doc_id = wi.doc_id AND h.p BETWEEN wi.j AND wi.j + ${w - 1})""".stripMargin
+  }
+
+  /** Winnowing fingerprints per doc (MOSS). */
+  def docWinnow(k: Int, w: Int): String =
+    s"""WITH ${winnowCtes(k, w)}
+       |SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos, fp
+       |FROM sel WHERE rn = 1
+       |ORDER BY doc_id, pos""".stripMargin
+
+  /** Substring-level near-dup pairs by shared winnow fingerprints;
+    * fingerprints in more than maxDocFreq docs dropped first (the
+    * ignore-ubiquitous rule, mirrored from the Spark side).
+    */
+  def dedupWinnow(k: Int, w: Int, minShared: Int, maxDocFreq: Long): String =
+    s"""WITH ${winnowCtes(k, w)},
+       |fps0 AS (SELECT DISTINCT doc_id, fp FROM sel WHERE rn = 1),
+       |fps AS (
+       |  SELECT doc_id, fp FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY fp) AS df FROM fps0)
+       |  WHERE df <= $maxDocFreq)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+       |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= $minShared
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Bigram LM score: mirrors the Spark side's single-pass shape —
     * per-(doc, prev, tok) tf, corpus counts and prev-marginals derived
     * from it, score = tf-weighted mean ln(c_pt / c_p).

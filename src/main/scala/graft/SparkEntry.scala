@@ -549,6 +549,17 @@ object SparkEntry {
     "pack_sequences" -> ((s, dir) =>
       TextOps.packSequences(Tables.documents(s, dir), 512).orderBy(col("doc_id"))),
 
+    "doc_winnow" -> ((s, dir) =>
+      TextOps.winnow(Tables.documents(s, dir), 8, 8)
+        .orderBy(col("doc_id"), col("pos"))),
+
+    // maxDocFreq=50 drops ubiquitous (common-substring) fingerprints —
+    // the signal AND scale rule (see winnowPairs); minShared=30
+    // isolates the near-dup tail (background sharing tops out ~20)
+    "dedup_winnow" -> ((s, dir) =>
+      TextOps.winnowPairs(Tables.documents(s, dir), 8, 8, 30, 50L)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     "text_lm_bigram" -> ((s, dir) =>
       TextOps.lmScoreBigram(Tables.documents(s, dir)).orderBy(col("doc_id"))),
 
@@ -686,6 +697,8 @@ object SparkEntry {
     "text_filter" -> OracleSql.textFilter(30, 90, 0.15, 0.10),
     "pack_sequences" -> OracleSql.packSequences(512),
     "text_lm_bigram" -> OracleSql.textLmBigram,
+    "doc_winnow" -> OracleSql.docWinnow(8, 8),
+    "dedup_winnow" -> OracleSql.dedupWinnow(8, 8, 30, 50L),
     "text_bm25" -> OracleSql.textBm25(Seq("hash", "join", "vector"), 10),
     "text_entropy" -> OracleSql.textEntropy,
     "dedup_cross" -> OracleSql.dedupCross(16, 2, 0.5),

@@ -101,6 +101,7 @@ object VectorExprs {
     "graft_lsh_bucket" -> "graft_lsh_bucket(v: array<float|double>, nPlanes: int literal)",
     "graft_minhash" -> "graft_minhash(shingles: array<string>, perms: int literal)",
     "graft_rolling_hash" -> "graft_rolling_hash(text: string)",
+    "graft_winnow" -> "graft_winnow(text: string, k: int literal, w: int literal)",
     "graft_ngram_stats" -> "graft_ngram_stats(tokens: array<string> with NON-NULL elements, n: int literal)",
     "graft_ewma" -> "graft_ewma(vals: array<float|double>, alpha: double literal)",
     "graft_holt" -> "graft_holt(vals: array<float|double>, alpha: double literal, beta: double literal)",
@@ -123,6 +124,10 @@ object VectorExprs {
         MinHashSig(exprs(0), litIntArg(name, usage, exprs, 1))
       case "graft_rolling_hash" =>
         requireArity(name, usage, exprs, 1); RollingHash31(exprs.head)
+      case "graft_winnow" =>
+        requireArity(name, usage, exprs, 3)
+        WinnowFps(exprs(0), litIntArg(name, usage, exprs, 1),
+          litIntArg(name, usage, exprs, 2))
       case "graft_ngram_stats" =>
         requireArity(name, usage, exprs, 2)
         NgramStats(exprs(0), litIntArg(name, usage, exprs, 1))

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+  * MOSS algorithm): hash every `k`-character gram (polynomial base 31
+  * mod 1e9+7 — [[RollingHash31]]'s arithmetic per position), slide a
+  * window of `w` consecutive hashes, and select each window's minimum
+  * (ties → the RIGHTMOST position). Selected (pos, fp) pairs are the
+  * document's local fingerprints: any shared substring of length
+  * ≥ k + w − 1 between two documents is GUARANTEED to share a
+  * fingerprint — the substring-level dedup primitive (exact-substring
+  * dedup à la "Deduplicating Training Data Makes Language Models
+  * Better", at fingerprint rather than suffix-array granularity).
+  *
+  * Returns `array<struct<pos:int, fp:bigint>>` (1-based gram
+  * positions, ascending; empty for texts shorter than k). A position
+  * is recorded once — a window's winner can only repeat while it
+  * stays the rightmost minimum of consecutive windows, so dedup-by-
+  * last-recorded equals set-distinctness.
+  *
+  * Bit-portability: per-position hash = Σ chr_i·31^{k−1−i} mod 1e9+7
+  * folded as `(h·31 + c) mod M` — exact integer arithmetic; with
+  * k ≤ 8 an engine can equivalently evaluate the power sum in plain
+  * BIGINT range and take one final mod, which is how the DuckDB
+  * oracle states it. If fewer than `w` hashes exist, one window
+  * covers them all (every non-empty-gram doc yields ≥ 1 fingerprint).
+  *
+  * CodegenFallback like [[NgramStats]]: one primitive-loop pass per
+  * row is the win. Selection is O(n·w) with the naive inner scan —
+  * w is a small constant (4-16 in practice).
+  */
+case class WinnowFps(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, s"graft_winnow: k must be >= 1, got $k")
+  require(w >= 1, s"graft_winnow: w must be >= 1, got $w")
+
+  private val M = 1000000007L
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("fp", LongType, nullable = false))), containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    val nH = n - k + 1
+    if (nH <= 0) return new GenericArrayData(Array.empty[Any])
+    val hashes = new Array[Long](nH)
+    var p = 0
+    while (p < nH) {
+      var h = 0L
+      var i = 0
+      while (i < k) {
+        h = (h * 31L + s.charAt(p + i).toLong) % M
+        i += 1
+      }
+      hashes(p) = h
+      p += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any]
+    val nWin = math.max(1, nH - w + 1)
+    var lastPos = -1
+    var j = 0
+    while (j < nWin) {
+      val end = math.min(j + w, nH)
+      var bestH = Long.MaxValue
+      var bestP = -1
+      var q = j
+      while (q < end) {
+        // <= keeps the RIGHTMOST minimum (ascending scan)
+        if (hashes(q) <= bestH) { bestH = hashes(q); bestP = q }
+        q += 1
+      }
+      if (bestP != lastPos) {
+        out += new GenericInternalRow(Array[Any](bestP + 1, bestH))
+        lastPos = bestP
+      }
+      j += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+}

@@ -480,6 +480,51 @@ object TextOps {
           sum(col("tf").cast("double") * log(col("tf").cast("double"))) /
             sum(col("tf"))).as("entropy"))
 
+  /** Winnowing fingerprints per document (the MOSS algorithm, via the
+    * native [[graft.functions.WinnowFps]] expression): one row per
+    * selected (pos, fp) — any shared substring of length ≥ k + w − 1
+    * between two docs is guaranteed to share a fingerprint. Per-row
+    * computation, zero shuffle; ~2/(w+1) of the k-gram hashes are
+    * selected, so output is a bounded fraction of the text length.
+    */
+  def winnow(docs: DataFrame, k: Int = 8, w: Int = 8): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    docs.select(col("doc_id"), explode(expr(s"graft_winnow(text, $k, $w)")).as("s"))
+      .select(col("doc_id"), col("s.pos").cast("long").as("pos"), col("s.fp").as("fp"))
+  }
+
+  /** Substring-level near-dup candidates: pairs of documents sharing
+    * at least `minShared` DISTINCT winnowing fingerprints — the
+    * fingerprint-granular version of suffix-array substring dedup.
+    * Shape mirrors the shingle-Jaccard verifier: per-doc distinct fp
+    * sets, intersection via fp equi-join (never per-pair arrays),
+    * doc_a < doc_b.
+    *
+    * `maxDocFreq` drops fingerprints appearing in more than that many
+    * documents BEFORE the self-join (MOSS's ignore-ubiquitous rule).
+    * This is a correctness-of-signal rule AND the scale guard: a
+    * fingerprint of a common within-word substring lands every
+    * document in one bucket, and a bucket self-join is QUADRATIC in
+    * bucket size — the builder's own factor-10 soak ran away (>600s)
+    * before the cap existed, the exact stop-shingle failure mode of
+    * naive substring dedup. Ubiquitous fingerprints carry no near-dup
+    * evidence (they are vocabulary artifacts), so the cap sharpens
+    * the signal while bounding every bucket.
+    */
+  def winnowPairs(docs: DataFrame, k: Int = 8, w: Int = 8,
+                  minShared: Int = 2, maxDocFreq: Long = 50L): DataFrame = {
+    val fps = winnow(docs, k, w).select(col("doc_id"), col("fp")).distinct()
+    val w2 = Window.partitionBy(col("fp"))
+    val rare = fps.withColumn("_df", count(lit(1)).over(w2))
+      .where(col("_df") <= maxDocFreq).drop("_df")
+    rare.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(rare.select(col("doc_id").as("doc_b"), col("fp")), "fp")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+  }
+
   /** Corpus-wide top-k tokens by frequency — vocabulary building. The
     * token explosion is reduced by a map-side-combined count, then
     * top-k is TWO-phase: per-salt top-k first, so the single-partition

@@ -337,6 +337,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(hinted === unhinted)
   }
 
+  test("winnow: shared-substring guarantee, injectivity, short-doc edges") {
+    import spark.implicits._
+    // k=4, w=3 → any shared substring of length ≥ 6 must share a fp.
+    // For k=4 the power sum (≤ 31³·255 ≈ 7.6e6) never reaches the
+    // modulus, so the hash is INJECTIVE on 4-char ascii grams — set
+    // intersections below are exact substring evidence, not collisions.
+    val shared = "abcdefghij"
+    val docs = Seq(
+      (0L, s"xx$shared"), (1L, s"${shared}zzzz"), (2L, "qqqqqqqqqqqq")
+    ).toDF("doc_id", "text")
+    val fps = TextOps.winnow(docs, 4, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    def s(id: Long) = fps.filter(_._1 == id).map(_._2).toSet
+    assert((s(0) & s(1)).nonEmpty, "10-char shared substring must share a fingerprint")
+    assert((s(0) & s(2)).isEmpty)
+    assert(s(2).size === 1) // all-equal grams → one distinct fp
+    val pairs = TextOps.winnowPairs(docs, 4, 3, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((0L, 1L)))
+    // shorter than k → no grams; exactly k → one window, one fp
+    assert(TextOps.winnow(Seq((9L, "abc")).toDF("doc_id", "text"), 4, 3).count() === 0L)
+    assert(TextOps.winnow(Seq((9L, "abcd")).toDF("doc_id", "text"), 4, 3).count() === 1L)
+  }
+
   test("bm25: exact scores on a two-doc corpus; no-match docs dropped") {
     import spark.implicits._
     // N=2, df(x)=2, dl=2=avgdl → idf = ln(1.2);
