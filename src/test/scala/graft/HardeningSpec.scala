@@ -282,7 +282,7 @@ class HardeningSpec extends AnyFunSuite {
     // divergence here is the classic hand-rolled-expression bug class
     val names = Seq("ts_ewma", "ts_holt", "dedup_simhash", "doc_fingerprint",
       "ann_ivf", "ann_ivf_probe", "ann_lsh", "dedup_minhash_lsh",
-      "text_repetition", "text_filter", "ann_pq", "ann_ivfpq")
+      "text_repetition", "text_filter", "ann_pq", "ann_ivfpq", "doc_winnow")
     names.foreach { name =>
       val codegen = SparkEntry.queries(name)(spark, dir).collect().map(_.toString).sorted
       spark.conf.set("spark.sql.codegen.wholeStage", "false")
