@@ -18,6 +18,9 @@ object Session {
     .config("spark.ui.enabled", "false")
     // driver testdata writes TIMESTAMP(NANOS); read as long, see Tables.events
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // bucketed-table data (Formats.writeBucketed) goes to tmp, not cwd
+    .config("spark.sql.warehouse.dir",
+      s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
 
   def local(cores: Int = 32): SparkSession = {
     val s = tune(SparkSession.builder()

@@ -171,7 +171,7 @@ object TextOps {
     * docs shorter than n tokens (guards Spark's `sequence(1, 0)`,
     * which would DESCEND and slice garbage).
     */
-  private def distinctNgrams(toks: String, n: Int): Column =
+  private[graft] def distinctNgrams(toks: String, n: Int): Column =
     when(expr(s"size($toks)") >= n,
       array_distinct(expr(
         s"transform(sequence(1, size($toks) - ${n - 1}), i -> concat_ws(' ', slice($toks, i, $n)))")))

@@ -40,4 +40,17 @@ object Formats {
 
   def readDayPartitioned(spark: SparkSession, path: String, dayCol: String = "day"): DataFrame =
     spark.read.parquet(path).withColumn(dayCol, col(dayCol).cast("date"))
+
+  /** Write a catalog table bucketed (and sorted) by a key: the
+    * co-located-join layout of SURVEY §3/§5 — two tables bucketed the
+    * same way join WITHOUT any Exchange (each bucket pairs by file),
+    * which at 100 TB is the difference between a join and a
+    * cluster-wide reshuffle of both inputs. Bucketing requires the
+    * catalog (`saveAsTable`), not a bare path — bucket metadata lives
+    * in the metastore. FormatsSpec proves the exchange-free plan.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
 }

@@ -76,6 +76,32 @@ object StreamOps {
       .drop("_rn")
   }
 
+  /** Streaming benchmark decontamination at INGEST: emit the doc_id of
+    * every streaming document sharing a word n-gram with the (static,
+    * broadcast) benchmark corpus — the eval-overlap flagging of
+    * [[graft.operators.TextOps.decontaminate]] applied before data
+    * ever lands in the lake. Stream-static inner join on the exploded
+    * gram (the static side broadcast — stateless probe), then
+    * watermarked `dropDuplicatesWithinWatermark` collapses a doc's
+    * multiple gram hits to ONE emitted row; state = one key per
+    * contaminated doc inside the horizon, pruned beyond it.
+    */
+  def decontaminateStream(docs: DataFrame, benchmark: DataFrame, n: Int,
+                          watermark: String): DataFrame = {
+    val bench = broadcast(
+      benchmark.select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(explode(graft.operators.TextOps.distinctNgrams("toks", n)).as("gram"))
+        .distinct())
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("ts"),
+        explode(graft.operators.TextOps.distinctNgrams("toks", n)).as("gram"))
+      .join(bench, "gram")
+      .select(col("doc_id"), col("ts"))
+      .dropDuplicatesWithinWatermark("doc_id")
+  }
+
   /** Batch twin of [[sessionWindows]]. */
   def sessionWindowsBatch(events: DataFrame, gap: String): DataFrame =
     events

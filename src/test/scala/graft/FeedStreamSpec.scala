@@ -145,6 +145,31 @@ class FeedStreamSpec extends AnyFunSuite {
     assert(lake.count() === 20)
   }
 
+  test("bucketed tables join without any exchange (co-located join layout)") {
+    import graft.sources.Formats
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    Formats.writeBucketed(ev.select("user_id", "event_id", "value"), "graft_bkt_a", "user_id", 4)
+    Formats.writeBucketed(
+      ev.groupBy("user_id").agg(count(lit(1)).as("n")), "graft_bkt_b", "user_id", 4)
+    val conf = spark.conf
+    val prev = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("graft_bkt_a").join(spark.table("graft_bkt_b"), "user_id")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      // the whole point of bucketing: bucket-pairing replaces the
+      // shuffle — a 100-TB join with ZERO Exchange on either side
+      assert(!plan.contains("Exchange"), s"bucketed join must not exchange:\n$plan")
+      assert(joined.count() === ev.count()) // every event row matched its user's agg row
+    } finally {
+      prev.fold(conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    }
+  }
+
   test("batch session_window matches the lag-based sessionize operator") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val native = StreamOps.sessionWindowsBatch(ev, "30 minutes")
@@ -152,6 +177,28 @@ class FeedStreamSpec extends AnyFunSuite {
     val ours = graft.operators.Relational.sessionize(ev, 1800000000L)
       .collect().map(r => (r.getLong(0), r.getAs[Long]("session_start_us")) -> r.getAs[Long]("n_events")).toMap
     assert(native === ours)
+  }
+
+  test("streaming decontamination flags exactly the benchmark-overlapping docs") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("decon-in").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(offsetMin: Long) = new java.sql.Timestamp(base.getTime + offsetMin * 60000L)
+    val rows = Seq(
+      (1L, ts(0), "alpha beta gamma delta"),   // shares "alpha beta gamma"
+      (2L, ts(1), "iota kappa lambda mu"),     // disjoint
+      (3L, ts(2), "zeta alpha beta gamma"))    // shares the same 3-gram
+    rows.toDF("doc_id", "ts", "text").write.mode("overwrite").parquet(dir)
+    val bench = Seq((0L, "alpha beta gamma epsilon")).toDF("doc_id", "text")
+    val src = spark.readStream
+      .schema(rows.toDF("doc_id", "ts", "text").schema).parquet(dir)
+    val q = StreamOps.decontaminateStream(src, bench, 3, "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("decon").start()
+    try {
+      q.processAllAvailable()
+      val flagged = spark.sql("select doc_id from decon").collect().map(_.getLong(0)).sorted
+      assert(flagged.toSeq === Seq(1L, 3L))
+    } finally q.stop()
   }
 
   test("streaming session_window emits closed sessions after watermark advances") {
