@@ -1403,6 +1403,28 @@ object OracleSql {
        |  (stream_pos + n_tokens - 1) // $budget AS end_seq
        |FROM p ORDER BY doc_id""".stripMargin
 
+  /** Shuffled packing: identical to packSequences but the per-shard
+    * stream order is the md5-PRNG key (hex strings compare identically
+    * in any engine), doc_id tie-break.
+    */
+  def packShuffled(budget: Int, seed: String): String =
+    s"""WITH s AS (
+       |  SELECT doc_id, source AS shard,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    MD5(CONCAT('$seed:', CAST(doc_id AS VARCHAR))) AS shuf
+       |  FROM documents),
+       |p AS (
+       |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+       |      PARTITION BY shard ORDER BY shuf, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS stream_pos
+       |  FROM s)
+       |SELECT doc_id, shard, n_tokens,
+       |  stream_pos // $budget AS start_seq,
+       |  stream_pos % $budget AS start_offset,
+       |  (stream_pos + n_tokens - 1) // $budget AS end_seq
+       |FROM p ORDER BY doc_id""".stripMargin
+
   /** ml_feed summary oracle: per-key X/y sample shapes + checksums,
     * float-cast exactly like the feed's arrays.
     */

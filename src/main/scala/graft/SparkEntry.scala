@@ -549,6 +549,10 @@ object SparkEntry {
     "pack_sequences" -> ((s, dir) =>
       TextOps.packSequences(Tables.documents(s, dir), 512).orderBy(col("doc_id"))),
 
+    "pack_shuffled" -> ((s, dir) =>
+      TextOps.packSequencesShuffled(Tables.documents(s, dir), 512)
+        .orderBy(col("doc_id"))),
+
     "doc_winnow" -> ((s, dir) =>
       TextOps.winnow(Tables.documents(s, dir), 8, 8)
         .orderBy(col("doc_id"), col("pos"))),
@@ -696,6 +700,7 @@ object SparkEntry {
     "text_lm_score" -> OracleSql.textLmScore,
     "text_filter" -> OracleSql.textFilter(30, 90, 0.15, 0.10),
     "pack_sequences" -> OracleSql.packSequences(512),
+    "pack_shuffled" -> OracleSql.packShuffled(512, "shuffle"),
     "text_lm_bigram" -> OracleSql.textLmBigram,
     "doc_winnow" -> OracleSql.docWinnow(8, 8),
     "dedup_winnow" -> OracleSql.dedupWinnow(8, 8, 30, 50L),

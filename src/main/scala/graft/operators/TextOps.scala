@@ -341,6 +341,30 @@ object TextOps {
     packCounts(docs.select(col("doc_id"), col(shardCol).as("shard"),
       size(split(col("text"), " ")).cast("long").as("n_tokens")), budget)
 
+  /** [[packSequences]] with deterministic document SHUFFLING: within
+    * each shard, docs are packed in md5-PRNG order (seeded, engine-
+    * portable) instead of doc_id order — training data must not be
+    * packed in ingestion/id order (adjacent near-identical docs would
+    * co-occupy sequences and correlate batches). Same one-shuffle
+    * shape; a rerun with the same seed reproduces the exact layout on
+    * any engine/partitioning (a `rand()` shuffle would do neither).
+    */
+  def packSequencesShuffled(docs: DataFrame, budget: Int,
+                            shardCol: String = "source",
+                            seed: String = "shuffle"): DataFrame = {
+    val shufKey = md5(concat(lit(s"$seed:"), col("doc_id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(shufKey, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), col(shardCol).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("stream_pos", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"stream_pos div $budget").as("start_seq"),
+        (col("stream_pos") % budget).as("start_offset"),
+        expr(s"(stream_pos + n_tokens - 1) div $budget").as("end_seq"))
+  }
+
   /** [[packSequences]] over precomputed (doc_id, shard, n_tokens) —
     * the composition entry point: token counts are computed where the
     * text already is, so the packing shuffle moves 3 scalar columns,

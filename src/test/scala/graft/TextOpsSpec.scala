@@ -149,6 +149,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(3L) === ((0L, 0L, 1L)))     // shard B's stream starts at 0
   }
 
+  test("shuffled packing: deterministic non-id order, conserved stream") {
+    import spark.implicits._
+    def words(k: Int) = Seq.fill(k)("w").mkString(" ")
+    val docs = (0L until 20L).map(i => (i, words(100), "A")).toDF("doc_id", "text", "source")
+    val a = TextOps.packSequencesShuffled(docs, 256).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val b = TextOps.packSequencesShuffled(docs, 256).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(a === b) // same seed → identical layout across runs
+    val plain = TextOps.packSequences(docs, 256).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(a !== plain) // the order is genuinely shuffled vs doc_id order
+    // stream conservation: the multiset of start offsets is the same
+    // as id-order packing (uniform 100-token docs), only permuted
+    assert(a.values.toSeq.sorted === plain.values.toSeq.sorted)
+    // different seed → different layout
+    val c = TextOps.packSequencesShuffled(docs, 256, seed = "other").collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(a !== c)
+  }
+
   test("corpus pipeline composes: filter, decontaminate, dedup, pack") {
     import spark.implicits._
     def words(pfx: String, k: Int) = (1 to k).map(i => s"$pfx$i").mkString(" ")
