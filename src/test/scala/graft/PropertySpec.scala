@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextOps
+
+/** Property-based invariants against INDEPENDENT sequential reference
+  * implementations (deterministic ScalaCheck seeds; every generated
+  * scenario batched into ONE DataFrame so the whole property costs one
+  * Spark job). These are the randomized cousins of the example-based
+  * specs: the reference computations share no code or arithmetic path
+  * with the operators.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Session.local(4)
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("packCounts matches a sequential reference on random shard layouts") {
+    import spark.implicits._
+    val scenario = for {
+      nShards <- Gen.choose(1, 3)
+      budget <- Gen.oneOf(1, 16, 512)
+      docs <- Gen.listOfN(40, for {
+        shard <- Gen.choose(0, nShards - 1)
+        nToks <- Gen.choose(0L, 700L)
+      } yield (shard, nToks))
+    } yield (budget, docs)
+    samples(scenario, 8).zipWithIndex.foreach { case ((budget, docs), si) =>
+      val rows = docs.zipWithIndex.map { case ((shard, n), i) =>
+        (i.toLong, s"s${si}_$shard", n)
+      }
+      val got = TextOps.packCounts(
+          rows.toDF("doc_id", "shard", "n_tokens"), budget)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5))))
+        .toMap
+      // reference: plain sequential accumulation per shard in id order
+      val expected = rows.groupBy(_._2).flatMap { case (_, ds) =>
+        var pos = 0L
+        ds.sortBy(_._1).map { case (id, _, n) =>
+          val placement = (pos / budget, pos % budget, (pos + n - 1) / budget)
+          pos += n
+          id -> placement
+        }
+      }
+      assert(got === expected, s"scenario $si (budget $budget)")
+    }
+  }
+
+  test("graft_winnow matches a sequential reference on random strings") {
+    import spark.implicits._
+    graft.functions.VectorExprs.register(spark)
+    val M = 1000000007L
+    val scenario = for {
+      k <- Gen.choose(1, 8)
+      w <- Gen.choose(1, 10)
+      // small alphabet → frequent hash ties, stressing the
+      // rightmost-min rule; include length < k edge cases
+      s <- Gen.choose(0, 40).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    } yield (k, w, s)
+    val cases = samples(scenario, 60)
+    def reference(text: String, k: Int, w: Int): Seq[(Int, Long)] = {
+      val nH = text.length - k + 1
+      if (nH <= 0) return Seq.empty
+      val hs = (0 until nH).map { p =>
+        text.substring(p, p + k).foldLeft(0L)((h, c) => (h * 31 + c) % M)
+      }
+      val out = scala.collection.mutable.LinkedHashSet.empty[(Int, Long)]
+      for (j <- 0 until math.max(1, nH - w + 1)) {
+        val win = hs.zipWithIndex.slice(j, math.min(j + w, nH))
+        val minH = win.map(_._1).min
+        val (h, p) = win.filter(_._1 == minH).last // rightmost min
+        out += ((p + 1, h))
+      }
+      out.toSeq
+    }
+    val df = cases.zipWithIndex.map { case ((k, w, s), i) => (i.toLong, k, w, s) }
+      .toDF("id", "k", "w", "text")
+    // one job per (k, w) group keeps each expression's literals static
+    cases.map { case (k, w, _) => (k, w) }.distinct.foreach { case (k, w) =>
+      val got = df.where(col("k") === k && col("w") === w)
+        .selectExpr("id", s"graft_winnow(text, $k, $w) AS fps")
+        .collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getInt(0), x.getLong(1))))
+        .toMap
+      got.foreach { case (id, fps) =>
+        val (kk, ww, s) = cases(id.toInt)
+        assert(fps.toSeq === reference(s, kk, ww).sortBy(_._1),
+          s"winnow mismatch: k=$kk w=$ww text='$s'")
+      }
+    }
+  }
+}
