@@ -1345,6 +1345,19 @@ object OracleSql {
        |SELECT doc_id, score, rank FROM r WHERE rank <= $k ORDER BY rank""".stripMargin
   }
 
+  /** One-row corpus report. */
+  val corpusStats: String =
+    s"""WITH t AS (
+       |  SELECT COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS vocab
+       |  FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)),
+       |d AS (
+       |  SELECT COUNT(*) AS n_docs, COUNT(DISTINCT MD5(text)) AS n_unique_docs
+       |  FROM documents)
+       |SELECT d.n_docs, d.n_unique_docs, t.n_tokens, t.vocab,
+       |  ${R("CAST(t.n_tokens AS DOUBLE) / d.n_docs")} AS avg_tokens,
+       |  ${R("1.0 - CAST(d.n_unique_docs AS DOUBLE) / d.n_docs")} AS dup_rate
+       |FROM d CROSS JOIN t""".stripMargin
+
   /** Unigram Shannon entropy per doc: H = ln(n) − Σ tf·ln(tf) / n. */
   val textEntropy: String =
     s"""WITH tf AS (

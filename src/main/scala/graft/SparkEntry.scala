@@ -574,6 +574,9 @@ object SparkEntry {
     "text_entropy" -> ((s, dir) =>
       TextOps.entropy(Tables.documents(s, dir)).orderBy(col("doc_id"))),
 
+    "corpus_stats" -> ((s, dir) =>
+      TextOps.corpusStats(Tables.documents(s, dir))),
+
     // corpus = odd doc_ids deduped AGAINST reference = even doc_ids
     // (the cross-dataset "new crawl vs existing training set" shape)
     "dedup_cross" -> ((s, dir) => {
@@ -706,6 +709,7 @@ object SparkEntry {
     "dedup_winnow" -> OracleSql.dedupWinnow(8, 8, 30, 50L),
     "text_bm25" -> OracleSql.textBm25(Seq("hash", "join", "vector"), 10),
     "text_entropy" -> OracleSql.textEntropy,
+    "corpus_stats" -> OracleSql.corpusStats,
     "dedup_cross" -> OracleSql.dedupCross(16, 2, 0.5),
     "corpus_pipeline" -> OracleSql.corpusPipeline(4, 50, 16, 2, 0.5, 512),
     "corpus_pipeline_lm" -> OracleSql.corpusPipeline(4, 50, 16, 2, 0.5, 512,

@@ -549,6 +549,23 @@ object TextOps {
       .where(col("shared_fps") >= minShared)
   }
 
+  /** One-row corpus report — the first query a user runs on a new
+    * corpus: doc/token/vocab counts, exact-duplicate rate, mean doc
+    * length. Two aggregate passes (doc-level + token-level), each
+    * map-side partial; `countDistinct` is Spark's standard two-phase
+    * distinct agg, never a driver-side set.
+    */
+  def corpusStats(docs: DataFrame): DataFrame = {
+    val tok = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("vocab"))
+    docs.agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique_docs"))
+      .crossJoin(broadcast(tok))
+      .select(col("n_docs"), col("n_unique_docs"), col("n_tokens"), col("vocab"),
+        r3(col("n_tokens").cast("double") / col("n_docs")).as("avg_tokens"),
+        r3(lit(1.0) - col("n_unique_docs").cast("double") / col("n_docs")).as("dup_rate"))
+  }
+
   /** Corpus-wide top-k tokens by frequency — vocabulary building. The
     * token explosion is reduced by a map-side-combined count, then
     * top-k is TWO-phase: per-salt top-k first, so the single-partition

@@ -406,6 +406,18 @@ class TextOpsSpec extends AnyFunSuite {
       s"bm25 plan re-scans the corpus:\n$plan")
   }
 
+  test("corpusStats: counts, vocab and exact-dup rate") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b c"), (1L, "a b c"), (2L, "d e"), (3L, "f")).toDF("doc_id", "text")
+    val r = TextOps.corpusStats(docs).collect().head
+    assert(r.getLong(0) === 4L)  // n_docs
+    assert(r.getLong(1) === 3L)  // unique texts
+    assert(r.getLong(2) === 9L)  // tokens: 3 + 3 + 2 + 1
+    assert(r.getLong(3) === 6L)  // vocab a..f
+    assert(r.getDouble(4) === 2.25)
+    assert(r.getDouble(5) === 0.25)
+  }
+
   test("entropy: uniform, degenerate and mixed docs") {
     import spark.implicits._
     val docs = Seq(
