@@ -1345,6 +1345,25 @@ object OracleSql {
        |SELECT doc_id, score, rank FROM r WHERE rank <= $k ORDER BY rank""".stripMargin
   }
 
+  /** Token-budget subsample: same md5-PRNG per-shard order and
+    * exclusive running sum as the Spark side.
+    */
+  def sampleTokenBudget(tokenBudget: Long, seed: String): String =
+    s"""WITH s AS (
+       |  SELECT doc_id, source AS shard,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    MD5(CONCAT('$seed:', CAST(doc_id AS VARCHAR))) AS shuf
+       |  FROM documents),
+       |p AS (
+       |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+       |      PARTITION BY shard ORDER BY shuf, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS stream_pos
+       |  FROM s)
+       |SELECT doc_id, shard, n_tokens, stream_pos
+       |FROM p WHERE stream_pos < $tokenBudget
+       |ORDER BY doc_id""".stripMargin
+
   /** One-row corpus report. */
   val corpusStats: String =
     s"""WITH t AS (

@@ -577,6 +577,11 @@ object SparkEntry {
     "corpus_stats" -> ((s, dir) =>
       TextOps.corpusStats(Tables.documents(s, dir))),
 
+    // ~1000 tokens per source shard — a meaningful fraction kept
+    "sample_token_budget" -> ((s, dir) =>
+      TextOps.sampleTokenBudget(Tables.documents(s, dir), 1000L)
+        .orderBy(col("doc_id"))),
+
     // corpus = odd doc_ids deduped AGAINST reference = even doc_ids
     // (the cross-dataset "new crawl vs existing training set" shape)
     "dedup_cross" -> ((s, dir) => {
@@ -710,6 +715,7 @@ object SparkEntry {
     "text_bm25" -> OracleSql.textBm25(Seq("hash", "join", "vector"), 10),
     "text_entropy" -> OracleSql.textEntropy,
     "corpus_stats" -> OracleSql.corpusStats,
+    "sample_token_budget" -> OracleSql.sampleTokenBudget(1000L, "budget"),
     "dedup_cross" -> OracleSql.dedupCross(16, 2, 0.5),
     "corpus_pipeline" -> OracleSql.corpusPipeline(4, 50, 16, 2, 0.5, 512),
     "corpus_pipeline_lm" -> OracleSql.corpusPipeline(4, 50, 16, 2, 0.5, 512,

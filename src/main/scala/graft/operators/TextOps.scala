@@ -549,6 +549,34 @@ object TextOps {
       .where(col("shared_fps") >= minShared)
   }
 
+  /** Deterministic token-budget subsample: keep documents, in seeded
+    * md5-PRNG order WITHIN each shard, while the shard's running token
+    * count (exclusive of the current doc) stays under `tokenBudget` —
+    * "give me a ~N-token random subsample" (the downsampling step
+    * before a budgeted training run), reproducible on any engine /
+    * partitioning / rerun. The first doc of a shard always survives
+    * (a budget smaller than every doc still yields data); kept rows
+    * carry `stream_pos` so the actual token total is auditable.
+    *
+    * Scale shape: ONE shuffle on the shard key + per-shard running
+    * sum — identical machinery to [[packCounts]]; shard count bounds
+    * partition size, per-shard budgets make the global budget
+    * = Σ shards.
+    */
+  def sampleTokenBudget(docs: DataFrame, tokenBudget: Long,
+                        shardCol: String = "source",
+                        seed: String = "budget"): DataFrame = {
+    val shufKey = md5(concat(lit(s"$seed:"), col("doc_id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(shufKey, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), col(shardCol).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("stream_pos", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .where(col("stream_pos") < tokenBudget)
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("stream_pos"))
+  }
+
   /** One-row corpus report — the first query a user runs on a new
     * corpus: doc/token/vocab counts, exact-duplicate rate, mean doc
     * length. Two aggregate passes (doc-level + token-level), each

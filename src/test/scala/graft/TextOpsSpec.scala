@@ -406,6 +406,29 @@ class TextOpsSpec extends AnyFunSuite {
       s"bm25 plan re-scans the corpus:\n$plan")
   }
 
+  test("sampleTokenBudget keeps a budgeted prefix of the shuffled stream, per shard") {
+    import spark.implicits._
+    def words(k: Int) = Seq.fill(k)("w").mkString(" ")
+    val docs = (0L until 10L).map(i => (i, words(100), if (i < 5) "A" else "B"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.sampleTokenBudget(docs, 250L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    // per shard: positions 0, 100, 200 survive (< 250), 300+ dropped
+    val byShard = out.groupBy(_._2)
+    assert(byShard.keySet === Set("A", "B"))
+    byShard.values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq === Seq(0L, 100L, 200L))
+    }
+    // deterministic: same seed → same doc set; different seed → different
+    val again = TextOps.sampleTokenBudget(docs, 250L).collect().map(_.getLong(0)).toSet
+    assert(again === out.map(_._1).toSet)
+    val other = TextOps.sampleTokenBudget(docs, 250L, seed = "other")
+      .collect().map(_.getLong(0)).toSet
+    assert(other !== again)
+    // a budget below every doc still keeps one doc per shard
+    assert(TextOps.sampleTokenBudget(docs, 1L).count() === 2L)
+  }
+
   test("corpusStats: counts, vocab and exact-dup rate") {
     import spark.implicits._
     val docs = Seq((0L, "a b c"), (1L, "a b c"), (2L, "d e"), (3L, "f")).toDF("doc_id", "text")
