@@ -148,6 +148,11 @@ object Soak {
         docs, Tables.documents(spark, sfDir).where(col("doc_id") % 50 === 0),
         lmScoreBand = Some((-3.41, -3.39)))),
       "token_topk" -> (() => TextOps.topTokens(docs, 20)),
+      "corpus_stats" -> (() => TextOps.corpusStats(docs)),
+      "sample_token_budget" -> (() => TextOps.sampleTokenBudget(
+        docs.withColumn("shard_key",
+          concat_ws("_", col("source"), (col("doc_id") / 1000).cast("long"))),
+        1000L, "shard_key")),
       // generator at factor×10K keys (100K at the default factor 10):
       // validates that the 45 per-KEY md5 draws — not per-row — keep
       // generation linear at realistic key cardinality
