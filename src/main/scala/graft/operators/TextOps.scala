@@ -538,9 +538,14 @@ object TextOps {
   def winnowPairs(docs: DataFrame, k: Int = 8, w: Int = 8,
                   minShared: Int = 2, maxDocFreq: Long = 50L): DataFrame = {
     val fps = winnow(docs, k, w).select(col("doc_id"), col("fp")).distinct()
-    val w2 = Window.partitionBy(col("fp"))
-    val rare = fps.withColumn("_df", count(lit(1)).over(w2))
-      .where(col("_df") <= maxDocFreq).drop("_df")
+    // the cap itself must not be the hot spot: df is computed by a
+    // MAP-SIDE-COMBINED groupBy (a corpus-wide fp partial-aggs before
+    // the exchange — a window COUNT over fp would buffer all its rows
+    // on one reducer), and the >cap list is heavy-hitters-tiny by
+    // definition, so it rides as a broadcast ANTI join
+    val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
+      .where(col("_df") > maxDocFreq).select(col("fp"))
+    val rare = fps.join(broadcast(hot), Seq("fp"), "left_anti")
     rare.select(col("doc_id").as("doc_a"), col("fp"))
       .join(rare.select(col("doc_id").as("doc_b"), col("fp")), "fp")
       .where(col("doc_a") < col("doc_b"))
