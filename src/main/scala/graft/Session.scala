@@ -18,9 +18,11 @@ object Session {
     .config("spark.ui.enabled", "false")
     // driver testdata writes TIMESTAMP(NANOS); read as long, see Tables.events
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // bucketed-table data (Formats.writeBucketed) goes to tmp, not cwd
+    // bucketed-table data (Formats.writeBucketed) goes to tmp, not cwd;
+    // pid-suffixed so concurrent JVMs (tests + bench) never collide on
+    // the same warehouse path / table names
     .config("spark.sql.warehouse.dir",
-      s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
+      s"${System.getProperty("java.io.tmpdir")}/graft-warehouse-${ProcessHandle.current().pid()}")
 
   def local(cores: Int = 32): SparkSession = {
     val s = tune(SparkSession.builder()

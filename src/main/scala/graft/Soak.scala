@@ -116,12 +116,12 @@ object Soak {
       // query terms — df/hits stay base-sized while the scan and the
       // per-row tf loops grow factor×, which IS bm25's dominant cost
       "text_bm25" -> (() => TextOps.bm25(docs, Seq("hash", "join", "vector"), 10)),
-      // both sides grow factor× (new crawl AND training set are big);
-      // disjoint replica tokens keep cross collisions linear
       // replica tokens are prefixed → replica substrings differ → the
       // fp bucket join grows linearly, the same disjointness argument
       // as the shingle family
       "dedup_winnow" -> (() => TextOps.winnowPairs(docs, 8, 8, 30, 50L)),
+      // both sides grow factor× (new crawl AND training set are big);
+      // disjoint replica tokens keep cross collisions linear
       "dedup_cross" -> (() => graft.operators.Dedup.crossDup(
         docs.where(col("doc_id") % 2 === 1), docs.where(col("doc_id") % 2 === 0),
         16, 2, 0.5)),

@@ -24,8 +24,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * stays the rightmost minimum of consecutive windows, so dedup-by-
   * last-recorded equals set-distinctness.
   *
-  * Bit-portability: per-position hash = Σ chr_i·31^{k−1−i} mod 1e9+7
-  * folded as `(h·31 + c) mod M` — exact integer arithmetic; with
+  * Bit-portability: per-position hash = Σ cp_i·31^{k−1−i} mod 1e9+7
+  * over CODEPOINTS (matching DuckDB's character semantics — UTF-16
+  * units would diverge on non-BMP text), folded as
+  * `(h·31 + c) mod M` — exact integer arithmetic; with
   * k ≤ 8 an engine can equivalently evaluate the power sum in plain
   * BIGINT range and take one final mod, which is how the DuckDB
   * oracle states it. If fewer than `w` hashes exist, one window
@@ -48,8 +50,12 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
     StructField("fp", LongType, nullable = false))), containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    val n = s.length
+    // iterate CODEPOINTS, not UTF-16 chars: DuckDB's substr/ascii are
+    // character(codepoint)-based, so hashing surrogate pairs as two
+    // units would silently break gate parity on any non-BMP text
+    // (emoji etc.); positions below are 1-based codepoint positions
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cps.length
     val nH = n - k + 1
     if (nH <= 0) return new GenericArrayData(Array.empty[Any])
     val hashes = new Array[Long](nH)
@@ -58,7 +64,7 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
       var h = 0L
       var i = 0
       while (i < k) {
-        h = (h * 31L + s.charAt(p + i).toLong) % M
+        h = (h * 31L + cps(p + i).toLong) % M
         i += 1
       }
       hashes(p) = h

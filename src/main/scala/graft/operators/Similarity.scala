@@ -30,6 +30,83 @@ object Similarity {
   /** Embedding dimension of the test corpus. */
   val DIM = 64
 
+  /** The two-phase salted top-k shared by every ANN tier: phase 1
+    * ranks within (qid, salt) — WindowGroupLimit prunes BEFORE the
+    * exchange — so the final per-qid rank sees at most 32·k rows per
+    * query, never a corpus-sized bucket. `scored` must have
+    * (qid, vid, `valueCol`); order is (value asc|desc, vid).
+    */
+  private def saltedTopK(scored: DataFrame, valueCol: String,
+                         ascending: Boolean, k: Int): DataFrame = {
+    val ord = if (ascending) col(valueCol).asc else col(valueCol).desc
+    scored.withColumn("salt", pmod(col("vid"), lit(32)))
+      .withColumn("r1", row_number().over(
+        Window.partitionBy(col("qid"), col("salt")).orderBy(ord, col("vid"))))
+      .where(col("r1") <= k).drop("salt", "r1")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(ord, col("vid"))))
+      .where(col("rank") <= k)
+  }
+
+  /** The first `n` vectors (by vec_id, ascending), widened to doubles
+    * — ONE driver collect shared by codebook, quantizer and query-
+    * table construction (O(n·dim), the footprint a broadcast would
+    * ship).
+    */
+  private def headVectors(embeddings: DataFrame, n: Int): Array[(Long, Array[Double])] =
+    embeddings.where(col("vec_id") < n)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getAs[Number](0).longValue(),
+        r.getSeq[Number](1).map(_.doubleValue()).toArray))
+      .sortBy(_._1)
+
+  /** PQ codebook from centroid vectors: per-subspace codeword ids +
+    * sub-slices, serialized for [[graft.functions.PqCodes]]. Shared by
+    * [[annPqTopK]] / [[annIvfPqTopK]] / [[annPqRecall]] so the
+    * convention can never diverge between tiers.
+    */
+  private def pqBooks(cents: Array[(Long, Array[Double])], m: Int)
+      : (String, Array[Array[Long]], Array[Array[Array[Double]]], Int) = {
+    require(cents.nonEmpty, "PQ: empty codebook")
+    val dim = cents.head._2.length
+    require(dim % m == 0, s"PQ: dim $dim not divisible by m = $m subspaces")
+    val subDim = dim / m
+    val cids = Array.fill(m)(cents.map(_._1))
+    val books = Array.tabulate(m)(s => cents.map(_._2.slice(s * subDim, (s + 1) * subDim)))
+    (graft.functions.PqCodes.encode(cids, books), cids, books, subDim)
+  }
+
+  /** ADC distance tables for the collected query vectors: one row per
+    * (qid, subspace, codeword) with the ROUNDED squared L2 — computed
+    * driver-side with the same left-to-right accumulation + canonical
+    * rounding as PqCodes and the SQL oracle.
+    */
+  private def pqDistTable(spark: org.apache.spark.sql.SparkSession,
+                          qs: Array[(Long, Array[Double])],
+                          cids: Array[Array[Long]],
+                          books: Array[Array[Array[Double]]],
+                          subDim: Int): DataFrame = {
+    def r3d(x: Double) = math.floor(x * 1000.0 + 0.5001) / 1000.0
+    val rows = for {
+      (qid, qv) <- qs.toSeq
+      s <- books.indices
+      c <- books(s).indices
+    } yield {
+      val w = books(s)(c)
+      var d2 = 0.0
+      var d = 0
+      while (d < subDim) {
+        val idx = s * subDim + d
+        val x = (if (idx < qv.length) qv(idx) else 0.0) - w(d)
+        d2 += x * x
+        d += 1
+      }
+      (qid, s, cids(s)(c), r3d(d2))
+    }
+    import spark.implicits._
+    rows.toDF("qid", "s", "code", "d2")
+  }
+
   /** `(vec_id, v, norm)` — the raw vector plus its L2 norm (floats
     * widened to double per element, exactly `CAST(... AS DOUBLE[])`).
     */
@@ -50,13 +127,7 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("vid"),
         r3(expr("graft_vec_dot(v, qv)") / (col("norm") * col("qnorm"))).as("cos"))
     // phase 1: top-k within (qid, salt); phase 2: global top-k per qid
-    val salted = scored.withColumn("salt", pmod(col("vid"), lit(32)))
-      .withColumn("r1", row_number().over(
-        Window.partitionBy(col("qid"), col("salt")).orderBy(col("cos").desc, col("vid"))))
-      .where(col("r1") <= k).drop("salt", "r1")
-    salted.withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))))
-      .where(col("rank") <= k)
+    saltedTopK(scored, "cos", ascending = false, k)
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ `threshold`, vec_a < vec_b.
@@ -153,13 +224,7 @@ object Similarity {
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("vid"),
         r3(expr("graft_vec_dot(v, qv)") / (col("norm") * col("qnorm"))).as("cos"))
-    val salted = scored.withColumn("salt", pmod(col("vid"), lit(32)))
-      .withColumn("r1", row_number().over(
-        Window.partitionBy(col("qid"), col("salt")).orderBy(col("cos").desc, col("vid"))))
-      .where(col("r1") <= k).drop("salt", "r1")
-    salted.withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))))
-      .where(col("rank") <= k)
+    saltedTopK(scored, "cos", ascending = false, k)
   }
 
   /** Multi-probe IVF ANN: like [[annIvfTopK]] but each query searches
@@ -186,13 +251,7 @@ object Similarity {
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("vid"),
         r3(expr("graft_vec_dot(v, qv)") / (col("norm") * col("qnorm"))).as("cos"))
-    val salted = scored.withColumn("salt", pmod(col("vid"), lit(32)))
-      .withColumn("r1", row_number().over(
-        Window.partitionBy(col("qid"), col("salt")).orderBy(col("cos").desc, col("vid"))))
-      .where(col("r1") <= k).drop("salt", "r1")
-    salted.withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))))
-      .where(col("rank") <= k)
+    saltedTopK(scored, "cos", ascending = false, k)
   }
 
   /** PQ (product-quantization) ANN: the compressed-domain tier. The
@@ -224,43 +283,10 @@ object Similarity {
                 nQueries: Int, k: Int): DataFrame = {
     val spark = embeddings.sparkSession
     VectorExprs.register(spark)
-    val cents = embeddings.where(col("vec_id") < nCodewords)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getAs[Number](0).longValue(),
-        r.getSeq[Number](1).map(_.doubleValue()).toArray))
-      .sortBy(_._1)
-    require(cents.nonEmpty, "annPqTopK: empty codebook")
-    val dim = cents.head._2.length
-    require(dim % m == 0, s"annPqTopK: dim $dim not divisible by m = $m subspaces")
-    val subDim = dim / m
-    val cids = Array.fill(m)(cents.map(_._1))
-    val books = Array.tabulate(m)(s => cents.map(_._2.slice(s * subDim, (s + 1) * subDim)))
-    val enc = graft.functions.PqCodes.encode(cids, books)
-    // ADC distance tables, driver-computed with the same left-to-right
-    // accumulation + canonical rounding as PqCodes and the SQL oracle
-    def r3d(x: Double) = math.floor(x * 1000.0 + 0.5001) / 1000.0
-    val qs = embeddings.where(col("vec_id") < nQueries)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getAs[Number](0).longValue(),
-        r.getSeq[Number](1).map(_.doubleValue()).toArray))
-    val dtRows = for {
-      (qid, qv) <- qs.toSeq
-      s <- 0 until m
-      c <- cents.indices
-    } yield {
-      val w = books(s)(c)
-      var d2 = 0.0
-      var d = 0
-      while (d < subDim) {
-        val idx = s * subDim + d
-        val x = (if (idx < qv.length) qv(idx) else 0.0) - w(d)
-        d2 += x * x
-        d += 1
-      }
-      (qid, s, cids(s)(c), r3d(d2))
-    }
-    import spark.implicits._
-    val dt = dtRows.toDF("qid", "s", "code", "d2")
+    // ONE collect covers both the codebook and the query vectors
+    val head = headVectors(embeddings, math.max(nCodewords, nQueries))
+    val (enc, cids, books, subDim) = pqBooks(head.filter(_._1 < nCodewords), m)
+    val dt = pqDistTable(spark, head.filter(_._1 < nQueries), cids, books, subDim)
     val codes = embeddings.where(col("embedding").isNotNull)
       .select(col("vec_id"), expr(s"graft_pq_codes(embedding, '$enc')").as("codes"))
     val scored = codes
@@ -269,13 +295,7 @@ object Similarity {
       .where(col("vid") =!= col("qid"))
       .groupBy(col("qid"), col("vid"))
       .agg(r3(sum(col("d2"))).as("adist"))
-    val salted = scored.withColumn("salt", pmod(col("vid"), lit(32)))
-      .withColumn("r1", row_number().over(
-        Window.partitionBy(col("qid"), col("salt")).orderBy(col("adist").asc, col("vid"))))
-      .where(col("r1") <= k).drop("salt", "r1")
-    salted.withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("vid"))))
-      .where(col("rank") <= k)
+    saltedTopK(scored, "adist", ascending = true, k)
   }
 
   /** IVF + PQ composed — the FAISS-IVFPQ shape and the one that
@@ -293,42 +313,13 @@ object Similarity {
                    m: Int, nQueries: Int, k: Int): DataFrame = {
     val spark = embeddings.sparkSession
     VectorExprs.register(spark)
-    val encIvf = quantizer(embeddings, nCentroids)
-    val cents = embeddings.where(col("vec_id") < nCodewords)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getAs[Number](0).longValue(),
-        r.getSeq[Number](1).map(_.doubleValue()).toArray))
-      .sortBy(_._1)
-    require(cents.nonEmpty, "annIvfPqTopK: empty codebook")
-    val dim = cents.head._2.length
-    require(dim % m == 0, s"annIvfPqTopK: dim $dim not divisible by m = $m subspaces")
-    val subDim = dim / m
-    val cids = Array.fill(m)(cents.map(_._1))
-    val books = Array.tabulate(m)(s => cents.map(_._2.slice(s * subDim, (s + 1) * subDim)))
-    val encPq = graft.functions.PqCodes.encode(cids, books)
-    def r3d(x: Double) = math.floor(x * 1000.0 + 0.5001) / 1000.0
-    val qs = embeddings.where(col("vec_id") < nQueries)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getAs[Number](0).longValue(),
-        r.getSeq[Number](1).map(_.doubleValue()).toArray))
-    val dtRows = for {
-      (qid, qv) <- qs.toSeq
-      s <- 0 until m
-      c <- cents.indices
-    } yield {
-      val w = books(s)(c)
-      var d2 = 0.0
-      var d = 0
-      while (d < subDim) {
-        val idx = s * subDim + d
-        val x = (if (idx < qv.length) qv(idx) else 0.0) - w(d)
-        d2 += x * x
-        d += 1
-      }
-      (qid, s, cids(s)(c), r3d(d2))
-    }
-    import spark.implicits._
-    val dt = dtRows.toDF("qid", "s", "code", "d2")
+    // ONE collect covers quantizer centroids, PQ codebook AND queries
+    val head = headVectors(embeddings,
+      math.max(nCentroids, math.max(nCodewords, nQueries)))
+    val ivfCents = head.filter(_._1 < nCentroids)
+    val encIvf = graft.functions.IvfCell.encode(ivfCents.map(_._1), ivfCents.map(_._2))
+    val (encPq, cids, books, subDim) = pqBooks(head.filter(_._1 < nCodewords), m)
+    val dt = pqDistTable(spark, head.filter(_._1 < nQueries), cids, books, subDim)
     // one projection assigns BOTH the IVF cell and the PQ codes
     val assigned = embeddings.where(col("embedding").isNotNull)
       .select(col("vec_id"),
@@ -343,13 +334,7 @@ object Similarity {
       .join(broadcast(dt), Seq("qid", "s", "code"))
       .groupBy(col("qid"), col("vid"))
       .agg(r3(sum(col("d2"))).as("adist"))
-    val salted = scored.withColumn("salt", pmod(col("vid"), lit(32)))
-      .withColumn("r1", row_number().over(
-        Window.partitionBy(col("qid"), col("salt")).orderBy(col("adist").asc, col("vid"))))
-      .where(col("r1") <= k).drop("salt", "r1")
-    salted.withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("vid"))))
-      .where(col("rank") <= k)
+    saltedTopK(scored, "adist", ascending = true, k)
   }
 
   /** Recall@k of the LSH ANN against the exact top-k, per query —
@@ -409,12 +394,6 @@ object Similarity {
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("vid"),
         r3(expr("graft_vec_dot(v, qv)") / (col("norm") * col("qnorm"))).as("cos"))
-    val salted = scored.withColumn("salt", pmod(col("vid"), lit(32)))
-      .withColumn("r1", row_number().over(
-        Window.partitionBy(col("qid"), col("salt")).orderBy(col("cos").desc, col("vid"))))
-      .where(col("r1") <= k).drop("salt", "r1")
-    salted.withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))))
-      .where(col("rank") <= k)
+    saltedTopK(scored, "cos", ascending = false, k)
   }
 }

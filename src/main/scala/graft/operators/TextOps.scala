@@ -338,8 +338,40 @@ object TextOps {
     */
   def packSequences(docs: DataFrame, budget: Int,
                     shardCol: String = "source"): DataFrame =
-    packCounts(docs.select(col("doc_id"), col(shardCol).as("shard"),
-      size(split(col("text"), " ")).cast("long").as("n_tokens")), budget)
+    packCounts(tokenCounts(docs, shardCol), budget)
+
+  /** Seeded md5-PRNG shuffle key — the engine-portable pseudo-random
+    * per-shard order shared by [[packSequencesShuffled]] and
+    * [[sampleTokenBudget]] (hex strings compare identically in any
+    * engine; a `rand()` order would be neither reproducible nor
+    * oracle-checkable).
+    */
+  private def shuffleKey(seed: String): Column =
+    md5(concat(lit(s"$seed:"), col("doc_id").cast("string")))
+
+  /** Per-shard EXCLUSIVE running token sum over the given order — ONE
+    * shuffle on the shard key, bounded per-shard state; the shared
+    * machinery of packing and budget sampling (three operators + two
+    * oracle twins depend on this exact formulation staying in
+    * lockstep).
+    */
+  private def streamPos(orderCols: Seq[Column]): Column =
+    coalesce(sum(col("n_tokens")).over(
+      Window.partitionBy(col("shard")).orderBy(orderCols: _*)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+
+  /** Placement columns from a `stream_pos` column: integer `div`, not
+    * `/` (Spark's `/` on longs is DOUBLE division).
+    */
+  private def placements(budget: Int): Seq[Column] = Seq(
+    col("doc_id"), col("shard"), col("n_tokens"),
+    expr(s"stream_pos div $budget").as("start_seq"),
+    (col("stream_pos") % budget).as("start_offset"),
+    expr(s"(stream_pos + n_tokens - 1) div $budget").as("end_seq"))
+
+  private def tokenCounts(docs: DataFrame, shardCol: String): DataFrame =
+    docs.select(col("doc_id"), col(shardCol).as("shard"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
 
   /** [[packSequences]] with deterministic document SHUFFLING: within
     * each shard, docs are packed in md5-PRNG order (seeded, engine-
@@ -351,37 +383,20 @@ object TextOps {
     */
   def packSequencesShuffled(docs: DataFrame, budget: Int,
                             shardCol: String = "source",
-                            seed: String = "shuffle"): DataFrame = {
-    val shufKey = md5(concat(lit(s"$seed:"), col("doc_id").cast("string")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard")).orderBy(shufKey, col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    docs.select(col("doc_id"), col(shardCol).as("shard"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .withColumn("stream_pos", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .select(col("doc_id"), col("shard"), col("n_tokens"),
-        expr(s"stream_pos div $budget").as("start_seq"),
-        (col("stream_pos") % budget).as("start_offset"),
-        expr(s"(stream_pos + n_tokens - 1) div $budget").as("end_seq"))
-  }
+                            seed: String = "shuffle"): DataFrame =
+    tokenCounts(docs, shardCol)
+      .withColumn("stream_pos", streamPos(Seq(shuffleKey(seed), col("doc_id"))))
+      .select(placements(budget): _*)
 
   /** [[packSequences]] over precomputed (doc_id, shard, n_tokens) —
     * the composition entry point: token counts are computed where the
     * text already is, so the packing shuffle moves 3 scalar columns,
     * never document bodies.
     */
-  def packCounts(counts: DataFrame, budget: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+  def packCounts(counts: DataFrame, budget: Int): DataFrame =
     counts
-      .withColumn("stream_pos", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      // integer `div`, not `/`: Spark's `/` on longs is DOUBLE division
-      .select(col("doc_id"), col("shard"), col("n_tokens"),
-        expr(s"stream_pos div $budget").as("start_seq"),
-        (col("stream_pos") % budget).as("start_offset"),
-        expr(s"(stream_pos + n_tokens - 1) div $budget").as("end_seq"))
-  }
+      .withColumn("stream_pos", streamPos(Seq(col("doc_id"))))
+      .select(placements(budget): _*)
 
   /** Bigram LM score: mean ln P(tok | prev) over the document's bigram
     * positions, with the conditional estimated from the corpus itself
@@ -541,11 +556,15 @@ object TextOps {
     // the cap itself must not be the hot spot: df is computed by a
     // MAP-SIDE-COMBINED groupBy (a corpus-wide fp partial-aggs before
     // the exchange — a window COUNT over fp would buffer all its rows
-    // on one reducer), and the >cap list is heavy-hitters-tiny by
-    // definition, so it rides as a broadcast ANTI join
+    // on one reducer). The >cap list is bounded by totalFps/cap —
+    // small on most corpora but corpus-PROPORTIONAL, not constant, so
+    // NO broadcast hint: AQE broadcasts it when it is in fact tiny and
+    // falls back to a skew-split anti join when it is not (the hinted
+    // version would OOM the driver on exactly the web-scale corpus the
+    // cap exists for)
     val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
       .where(col("_df") > maxDocFreq).select(col("fp"))
-    val rare = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    val rare = fps.join(hot, Seq("fp"), "left_anti")
     rare.select(col("doc_id").as("doc_a"), col("fp"))
       .join(rare.select(col("doc_id").as("doc_b"), col("fp")), "fp")
       .where(col("doc_a") < col("doc_b"))
@@ -571,13 +590,11 @@ object TextOps {
   def sampleTokenBudget(docs: DataFrame, tokenBudget: Long,
                         shardCol: String = "source",
                         seed: String = "budget"): DataFrame = {
-    val shufKey = md5(concat(lit(s"$seed:"), col("doc_id").cast("string")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard")).orderBy(shufKey, col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    docs.select(col("doc_id"), col(shardCol).as("shard"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .withColumn("stream_pos", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    require(tokenBudget > 0,
+      s"sampleTokenBudget: tokenBudget must be positive, got $tokenBudget " +
+        "(the first-doc-per-shard guarantee assumes a positive budget)")
+    tokenCounts(docs, shardCol)
+      .withColumn("stream_pos", streamPos(Seq(shuffleKey(seed), col("doc_id"))))
       .where(col("stream_pos") < tokenBudget)
       .select(col("doc_id"), col("shard"), col("n_tokens"), col("stream_pos"))
   }

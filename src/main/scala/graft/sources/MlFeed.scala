@@ -52,6 +52,18 @@ object MlFeed {
     conv(substring(md5(concat(lit("shard:"), key.cast("string"))), 1, 8), 16, 10)
       .cast("bigint").mod(nShards).cast("int")
 
+  /** A NULL key has no deterministic shard (`shardOf(null)` is null —
+    * partitionBy would write it as the Hive default partition and the
+    * batcher would NPE on it). Rejected with a per-row `raise_error`
+    * folded into the shard expression — a named failure at zero extra
+    * passes; silently dropping training samples would be worse.
+    */
+  private def shardOrFail(key: Column, nShards: Int): Column =
+    when(key.isNull, raise_error(lit(
+        "writeShards: NULL user_id has no deterministic shard; " +
+          "filter or impute keys before sharding")).cast("int"))
+      .otherwise(shardOf(key, nShards))
+
   /** Hash-sharded parquet write: `nShards` key-group files so a
     * training worker reads whole keys; no tiny-file explosion. The
     * shard id is the EXPLICIT [[shardOf]] column (engine-reproducible,
@@ -64,7 +76,7 @@ object MlFeed {
     * the external `ml_feed_batches*` oracles verify the roundtrip).
     */
   def writeShards(samples: DataFrame, path: String, nShards: Int): Unit =
-    samples.withColumn("shard", shardOf(col("user_id"), nShards))
+    samples.withColumn("shard", shardOrFail(col("user_id"), nShards))
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("user_id"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
