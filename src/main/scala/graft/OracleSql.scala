@@ -744,6 +744,29 @@ object OracleSql {
        |  FROM s)
        |SELECT qid, vid, cos, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
+  /** SemDeDup: the annIvf cell assignment (rounded cosine, cid
+    * tie-break), then a vector is dropped iff a lower-id vector in
+    * its cell has rounded cosine >= threshold.
+    */
+  def dedupSemantic(nCentroids: Int, threshold: Double): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $nCentroids),
+       |a0 AS (
+       |  SELECT e.vec_id, e.v, c.cid, ${R("list_cosine_similarity(e.v, c.cv)")} AS ccos
+       |  FROM e CROSS JOIN c),
+       |a1 AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+       |  FROM a0),
+       |asg AS (SELECT vec_id, v, cid AS cell FROM a1 WHERE crank = 1),
+       |dup AS (
+       |  SELECT DISTINCT a.vec_id
+       |  FROM asg a JOIN asg b
+       |    ON a.cell = b.cell AND b.vec_id < a.vec_id
+       |   AND ${R("list_cosine_similarity(a.v, b.v)")} >= $threshold)
+       |SELECT a.vec_id, a.cell, (d.vec_id IS NOT NULL) AS dropped
+       |FROM asg a LEFT JOIN dup d ON d.vec_id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
   /** Multi-probe IVF: corpus keeps its top-1 cell; queries search
     * their `nprobe` nearest cells (crank <= nprobe).
     */

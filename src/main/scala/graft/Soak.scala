@@ -102,6 +102,13 @@ object Soak {
       "ann_ivf_probe" -> (() => Similarity.annIvfTopKProbe(emb, 16, 5, 5, 2)),
       "ann_pq" -> (() => Similarity.annPqTopK(emb, 16, 4, 5, 5)),
       "ann_ivfpq" -> (() => Similarity.annIvfPqTopK(emb, 16, 16, 4, 5, 5)),
+      // SemDeDup's cost law is Σ cell² — at scale the quantizer grows
+      // with the corpus to hold cell size constant (the paper's ~√n
+      // clusters), so the soak scales nCentroids with the factor; a
+      // FIXED 16-cell codebook over factor× plain-replica data would
+      // measure factor²× pair evaluations — the dataset's choice, not
+      // the plan's
+      "dedup_semantic" -> (() => Similarity.semanticDedup(emb, 16 * factor, 0.3)),
       "text_tfidf" -> (() => TextOps.tfidf(docs, 3)),
       // the vocab-count exchange + doc-keyed agg (the only r7-added
       // operator without a recorded soak ratio — VERDICT r7 #3);

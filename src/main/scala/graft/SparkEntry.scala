@@ -178,6 +178,10 @@ object SparkEntry {
       Similarity.cosineDupPairs(Tables.embeddings(s, dir), 0.3)
         .orderBy(col("vec_a"), col("vec_b"))),
 
+    "dedup_semantic" -> ((s, dir) =>
+      Similarity.semanticDedup(Tables.embeddings(s, dir), 16, 0.3)
+        .orderBy(col("vec_id"))),
+
     "lang_id" -> ((s, dir) =>
       TextOps.langId(Tables.documents(s, dir)).orderBy(col("doc_id"))),
 
@@ -646,6 +650,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> OracleSql.dedupNgramJaccard,
     "ann_topk" -> OracleSql.annTopK(5, 5),
     "embed_cosine_dup" -> OracleSql.embedCosineDup(0.3),
+    "dedup_semantic" -> OracleSql.dedupSemantic(16, 0.3),
     "lang_id" -> OracleSql.langId,
     "text_quality" -> OracleSql.textQuality,
     "token_count" -> OracleSql.tokenCount,

@@ -146,6 +146,55 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), cos.as("cos"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): embedding-space near-duplicate removal that
+    * never goes all-pairs. Vectors are coarsely clustered (the same
+    * deterministic IVF cell assignment as [[annIvfTopK]] — k-means in
+    * the paper) and only WITHIN-cell pairs are compared — the paper's
+    * observation that ε-duplicates share a cluster turns O(n²) into
+    * O(Σ cell²), bounded by the nCentroids sizing (the paper uses
+    * ~√n clusters). A vector is `dropped` when a LOWER-id vector in
+    * its cell has rounded cosine ≥ threshold — the repo-wide min-id
+    * survivor rule, chosen over the paper's keep-farthest-from-
+    * centroid because it is order-free (no sequential greedy pass)
+    * and engine-reproducible. Output: one row per non-null vector —
+    * (vec_id, cell, dropped).
+    *
+    * Scale shape: cell assignment is a ZERO-exchange projection (the
+    * codebook rides inside `graft_ivf_cell`); the only exchanges are
+    * the cell-keyed self-join and the final id-keyed survivor join
+    * (dup ids are a small minority by construction — a corpus that
+    * drops most of itself has bigger problems than this join). The
+    * reference keeps full vectors only inside the cell join, exactly
+    * like [[annIvfTopK]]'s search side.
+    */
+  def semanticDedup(embeddings: DataFrame, nCentroids: Int,
+                    threshold: Double): DataFrame = {
+    VectorExprs.register(embeddings.sparkSession)
+    val enc = quantizer(embeddings, nCentroids)
+    // coalesce sentinel: see annIvfTopK — keeps `cell` non-nullable so
+    // the equi-join doesn't re-run the argmax under an isnotnull guard
+    val assigned = prepared(embeddings)
+      .where(col("v").isNotNull)
+      .withColumn("cell", expr(s"coalesce(graft_ivf_cell(v, '$enc'), -1L)"))
+    val earlier = assigned.select(col("vec_id").as("vid_b"),
+      col("cell").as("cell_b"), col("v").as("vb"), col("norm").as("nb"))
+    val cos = r3(expr("graft_vec_dot(v, vb)") / (col("norm") * col("nb")))
+    // LEFT OUTER with threshold + id order inside the join condition:
+    // witness-less vectors survive the join as a single null-extended
+    // row instead of needing a third corpus scan to be re-attached
+    // (the first cut did dups.distinct + outer join back onto a fresh
+    // scan — the plan audit showed THREE full scans, each re-running
+    // the argmax). Non-dup pairs still die inside the join; the only
+    // post-join exchange carries compact (vec_id, cell, bool) rows,
+    // partial-agged map-side.
+    assigned.join(earlier,
+        col("cell") === col("cell_b") &&
+          col("vid_b") < col("vec_id") && cos >= threshold, "left")
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(max(col("vid_b").isNotNull).as("dropped"))
+  }
+
   /** Hyperplane weight: u(p:d) − 0.5 via md5 — partition-invariant
     * and embeddable as an identical literal in any engine's SQL.
     */

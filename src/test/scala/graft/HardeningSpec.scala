@@ -184,6 +184,43 @@ class HardeningSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDedup drops exactly the lower-id-witnessed within-cell dups") {
+    val emb = Tables.embeddings(spark, dir)
+    VectorExprs.register(spark)
+    // independent cell map: the BNLJ + row_number argmax formulation
+    // (no IvfCell), same as the annIvfTopK parity test above
+    val e = Similarity.prepared(emb)
+    val c = Similarity.prepared(emb).where(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))
+    val cellOf = e.join(broadcast(c))
+      .withColumn("ccos", r3c(expr("graft_vec_dot(v, cv)") / (col("norm") * col("cnorm"))))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))))
+      .where(col("crank") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent pair generation: the brute-force exact verifier
+    val pairs = Similarity.cosineDupPairs(emb, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val droppedRef = pairs.collect {
+      case (a, b) if cellOf(a) == cellOf(b) => b // b = the higher id
+    }.toSet
+    val got = Similarity.semanticDedup(emb, 16, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length === emb.count(), "one row per vector")
+    got.foreach { case (vid, cell, _) =>
+      assert(cell === cellOf(vid), s"vec $vid: cell mismatch")
+    }
+    assert(got.filter(_._3).map(_._1).toSet === droppedRef)
+    // the SemDeDup approximation must be OBSERVABLE on this data:
+    // above-threshold pairs that cross cells exist and do NOT drop
+    // their higher id (unless it has a separate within-cell witness)
+    val crossOnly = pairs.collect {
+      case (a, b) if cellOf(a) != cellOf(b) => b
+    }.toSet -- droppedRef
+    assert(crossOnly.nonEmpty, "dataset has no cross-cell dup pairs — test can't distinguish cell-restricted from brute-force dedup")
+  }
+
   // ---------------- rangeJoin skew + typing ----------------
 
   test("rangeJoin is exact under pathological long intervals (span >> width)") {
