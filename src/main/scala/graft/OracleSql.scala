@@ -1387,6 +1387,34 @@ object OracleSql {
        |FROM p WHERE stream_pos < $tokenBudget
        |ORDER BY doc_id""".stripMargin
 
+  /** Mixture sampling: per-source literal budgets (the SAME
+    * floor(w·N) longs via [[graft.operators.TextOps.mixtureBudgets]]),
+    * per-source seeded order, exclusive running sum.
+    */
+  def sampleMixture(weights: Map[String, Double], totalBudget: Long,
+                    seed: String): String = {
+    val cases = graft.operators.TextOps.mixtureBudgets(weights, totalBudget)
+      .toSeq.sortBy(_._1)
+      .map { case (s, b) => s"WHEN '$s' THEN CAST($b AS BIGINT)" }
+      .mkString(" ")
+    s"""WITH s AS (
+       |  SELECT doc_id, source AS shard,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CASE source $cases END AS budget,
+       |    MD5(CONCAT('$seed:', CAST(doc_id AS VARCHAR))) AS shuf
+       |  FROM documents),
+       |f AS (SELECT * FROM s WHERE budget IS NOT NULL),
+       |p AS (
+       |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+       |      PARTITION BY shard ORDER BY shuf, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS stream_pos
+       |  FROM f)
+       |SELECT doc_id, shard, n_tokens, budget, stream_pos
+       |FROM p WHERE stream_pos < budget
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** One-row corpus report. */
   val corpusStats: String =
     s"""WITH t AS (

@@ -160,6 +160,13 @@ object Soak {
         docs.withColumn("shard_key",
           concat_ws("_", col("source"), (col("doc_id") / 1000).cast("long"))),
         1000L, "shard_key")),
+      // budget grows with the corpus (a factor× corpus gets a factor×
+      // mixture target); sources stay the base 20, so each source's
+      // window partition grows factor× — the running sum must stay
+      // linear in partition size
+      "sample_mixture" -> (() => TextOps.sampleMixture(docs,
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+        2000L * factor)),
       // generator at factor×10K keys (100K at the default factor 10):
       // validates that the 45 per-KEY md5 draws — not per-row — keep
       // generation linear at realistic key cardinality

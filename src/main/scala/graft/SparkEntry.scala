@@ -586,6 +586,15 @@ object SparkEntry {
       TextOps.sampleTokenBudget(Tables.documents(s, dir), 1000L)
         .orderBy(col("doc_id"))),
 
+    // 50/30/20 mixture over three sources at ~2000 total tokens —
+    // budgets truncate every source at both SFs (each source holds
+    // 1.1-1.5K tokens at sf0.01, 13-14K at sf0.1); the other 17
+    // sources drop entirely
+    "sample_mixture" -> ((s, dir) =>
+      TextOps.sampleMixture(Tables.documents(s, dir),
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 2000L)
+        .orderBy(col("doc_id"))),
+
     // corpus = odd doc_ids deduped AGAINST reference = even doc_ids
     // (the cross-dataset "new crawl vs existing training set" shape)
     "dedup_cross" -> ((s, dir) => {
@@ -721,6 +730,8 @@ object SparkEntry {
     "text_entropy" -> OracleSql.textEntropy,
     "corpus_stats" -> OracleSql.corpusStats,
     "sample_token_budget" -> OracleSql.sampleTokenBudget(1000L, "budget"),
+    "sample_mixture" -> OracleSql.sampleMixture(
+      Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 2000L, "mixture"),
     "dedup_cross" -> OracleSql.dedupCross(16, 2, 0.5),
     "corpus_pipeline" -> OracleSql.corpusPipeline(4, 50, 16, 2, 0.5, 512),
     "corpus_pipeline_lm" -> OracleSql.corpusPipeline(4, 50, 16, 2, 0.5, 512,

@@ -599,6 +599,58 @@ object TextOps {
       .select(col("doc_id"), col("shard"), col("n_tokens"), col("stream_pos"))
   }
 
+  /** Per-source budgets of a mixture: floor(weight × totalBudget) as
+    * literal longs. Public because [[graft.OracleSql]] must embed the
+    * IDENTICAL literals — one formula, both engines.
+    */
+  def mixtureBudgets(weights: Map[String, Double],
+                     totalBudget: Long): Map[String, Long] =
+    weights.map { case (s, w) => s -> math.floor(w * totalBudget).toLong }
+
+  /** Deterministic mixture sampling (the Pile/Dolma recipe): each
+    * source gets its own token budget = floor(weight × totalBudget),
+    * filled in seeded md5-PRNG order — "rebalance the corpus to THIS
+    * source mixture at ~N total tokens", the step that sets domain
+    * proportions before a training run. Sources absent from `weights`
+    * drop entirely; the first doc of every weighted source survives
+    * (same guarantee as [[sampleTokenBudget]]); kept rows carry
+    * `budget` and `stream_pos` so the realized mixture is auditable.
+    *
+    * Scale shape: identical to [[sampleTokenBudget]] — ONE shuffle on
+    * the shard key + per-shard running sum. The weight table enters
+    * the plan as a literal CASE expression, never a join (mixture
+    * maps are config-sized by nature), and unweighted sources are
+    * filtered BEFORE the window so dropped rows never shuffle.
+    */
+  def sampleMixture(docs: DataFrame, weights: Map[String, Double],
+                    totalBudget: Long, shardCol: String = "source",
+                    seed: String = "mixture"): DataFrame = {
+    require(totalBudget > 0,
+      s"sampleMixture: totalBudget must be positive, got $totalBudget")
+    require(weights.nonEmpty,
+      "sampleMixture: weights is empty — every document would drop")
+    weights.foreach { case (s, w) =>
+      require(w > 0,
+        s"sampleMixture: weight for '$s' must be positive, got $w " +
+          "(drop the key instead of zeroing it)")
+    }
+    val budgetExpr = mixtureBudgets(weights, totalBudget)
+      .foldLeft(lit(null).cast("long")) { case (acc, (s, b)) =>
+        when(col("shard") === lit(s), lit(b)).otherwise(acc)
+      }
+    // the explicit isin (unlike the CASE's isnotnull) is a plain IN
+    // predicate, so it reaches the scan as a pushed filter — on a
+    // source-partitioned lake that is partition PRUNING, not a scan
+    tokenCounts(docs.where(col(shardCol).isin(weights.keys.toSeq: _*)),
+        shardCol)
+      .withColumn("budget", budgetExpr)
+      .where(col("budget").isNotNull)
+      .withColumn("stream_pos", streamPos(Seq(shuffleKey(seed), col("doc_id"))))
+      .where(col("stream_pos") < col("budget"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("budget"), col("stream_pos"))
+  }
+
   /** One-row corpus report — the first query a user runs on a new
     * corpus: doc/token/vocab counts, exact-duplicate rate, mean doc
     * length. Two aggregate passes (doc-level + token-level), each

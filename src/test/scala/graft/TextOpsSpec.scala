@@ -429,6 +429,41 @@ class TextOpsSpec extends AnyFunSuite {
     assert(TextOps.sampleTokenBudget(docs, 1L).count() === 2L)
   }
 
+  test("sampleMixture fills per-source floor(w·N) budgets; unweighted sources drop") {
+    import spark.implicits._
+    def words(k: Int) = Seq.fill(k)("w").mkString(" ")
+    val docs = (0L until 15L).map(i => (i, words(100),
+      if (i < 5) "A" else if (i < 10) "B" else "C"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.sampleMixture(docs,
+        Map("A" -> 0.6, "B" -> 0.4), 500L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4)))
+    // budgets: A = 300 (positions 0,100,200), B = 200 (0,100); C absent
+    assert(out.map(_._2).toSet === Set("A", "B"))
+    assert(out.count(_._2 == "A") === 3)
+    assert(out.count(_._2 == "B") === 2)
+    out.foreach { case (_, s, budget, pos) =>
+      assert(budget === (if (s == "A") 300L else 200L))
+      assert(pos < budget)
+    }
+    // single-source mixture ≡ sampleTokenBudget on the filtered corpus
+    // at the same effective budget and seed — shared streamPos machinery
+    val mix = TextOps.sampleMixture(docs, Map("A" -> 1.0), 300L,
+        seed = "budget").collect().map(_.getLong(0)).toSet
+    val tb = TextOps.sampleTokenBudget(docs.where($"source" === "A"), 300L)
+      .collect().map(_.getLong(0)).toSet
+    assert(mix === tb)
+    // a budget below every doc still keeps one doc per weighted source
+    assert(TextOps.sampleMixture(docs, Map("C" -> 0.001), 1000L).count() === 1L)
+    // contract errors are named, not silent empties
+    intercept[IllegalArgumentException] {
+      TextOps.sampleMixture(docs, Map.empty, 500L)
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.sampleMixture(docs, Map("A" -> 0.0), 500L)
+    }
+  }
+
   test("corpusStats: counts, vocab and exact-dup rate") {
     import spark.implicits._
     val docs = Seq((0L, "a b c"), (1L, "a b c"), (2L, "d e"), (3L, "f")).toDF("doc_id", "text")
