@@ -636,11 +636,34 @@ object OracleSql {
                      budget: Int,
                      minTokens: Int = 30, maxTokens: Int = 90,
                      maxStop: Double = 0.15, maxDup: Double = 0.10,
-                     lmBand: Option[(Double, Double)] = None): String = {
+                     lmBand: Option[(Double, Double)] = None,
+                     mixture: Option[(Map[String, Double], Long)] = None): String = {
     val lmCte = lmBand.map { case (lo, hi) =>
       s"lmk AS (SELECT doc_id FROM ($textLmScore) WHERE lm_score BETWEEN $lo AND $hi),\n"
     }.getOrElse("")
     val lmJoin = if (lmBand.isDefined) " JOIN lmk ON lmk.doc_id = f.doc_id" else ""
+    // mixture stage between dedup and packing: same literal budgets as
+    // the Spark side (shared mixtureBudgets formula), seeded order,
+    // exclusive running sum — mirrors TextOps.mixtureFromCounts
+    val mixCte = mixture.map { case (weights, total) =>
+      val cases = graft.operators.TextOps.mixtureBudgets(weights, total)
+        .toSeq.sortBy(_._1)
+        .map { case (src, b) => s"WHEN '$src' THEN CAST($b AS BIGINT)" }
+        .mkString(" ")
+      s"""mixb AS (
+         |  SELECT *, CASE shard $cases END AS mbudget,
+         |    MD5(CONCAT('mixture:', CAST(doc_id AS VARCHAR))) AS shuf
+         |  FROM s WHERE CASE shard $cases END IS NOT NULL),
+         |mixp AS (
+         |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+         |      PARTITION BY shard ORDER BY shuf, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS mpos
+         |  FROM mixb),
+         |mix AS (SELECT doc_id, shard, n_tokens FROM mixp WHERE mpos < mbudget),
+         |""".stripMargin
+    }.getOrElse("")
+    val packSrc = if (mixture.isDefined) "mix" else "s"
     s"""WITH RECURSIVE
        |fkeep AS (SELECT doc_id FROM (${textFilter(minTokens, maxTokens, maxStop, maxDup)}) WHERE keep = 1),
        |dkeep AS (SELECT doc_id FROM (${decontaminate(decontN, benchMod)}) WHERE contaminated = 0),
@@ -673,12 +696,12 @@ object OracleSql {
        |  SELECT d.doc_id, d.source AS shard,
        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
        |  FROM documents d JOIN surv ON surv.doc_id = d.doc_id),
-       |p AS (
+       |${mixCte}p AS (
        |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
        |      PARTITION BY shard ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
        |    AS stream_pos
-       |  FROM s)
+       |  FROM $packSrc)
        |SELECT doc_id, shard, n_tokens,
        |  stream_pos // $budget AS start_seq,
        |  stream_pos % $budget AS start_offset,

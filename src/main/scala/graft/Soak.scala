@@ -154,6 +154,12 @@ object Soak {
       "corpus_pipeline_lm" -> (() => graft.operators.Corpus.pipeline(
         docs, Tables.documents(spark, sfDir).where(col("doc_id") % 50 === 0),
         lmScoreBand = Some((-3.41, -3.39)))),
+      // mixture target grows with the corpus; the stage itself is a
+      // scalar-only selection over the survivors frame
+      "corpus_pipeline_mix" -> (() => graft.operators.Corpus.pipeline(
+        docs, Tables.documents(spark, sfDir).where(col("doc_id") % 50 === 0),
+        mixture = Some((Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+          1500L * factor)))),
       "token_topk" -> (() => TextOps.topTokens(docs, 20)),
       "corpus_stats" -> (() => TextOps.corpusStats(docs)),
       "sample_token_budget" -> (() => TextOps.sampleTokenBudget(

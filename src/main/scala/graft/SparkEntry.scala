@@ -620,6 +620,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // filter → decontaminate → dedup → MIXTURE (50/30/20 over three
+    // sources at ~1500 tokens) → pack: the rebalance runs on clean
+    // unique docs, so packed output realizes the target proportions
+    "corpus_pipeline_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Corpus.pipeline(docs, docs.where(col("doc_id") % 50 === 0),
+          mixture = Some((Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 1500L)))
+        .orderBy(col("doc_id"))
+    }),
+
     "range_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val iv = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
@@ -736,5 +746,7 @@ object SparkEntry {
     "corpus_pipeline" -> OracleSql.corpusPipeline(4, 50, 16, 2, 0.5, 512),
     "corpus_pipeline_lm" -> OracleSql.corpusPipeline(4, 50, 16, 2, 0.5, 512,
       lmBand = Some((-3.41, -3.39))),
+    "corpus_pipeline_mix" -> OracleSql.corpusPipeline(4, 50, 16, 2, 0.5, 512,
+      mixture = Some((Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 1500L))),
   )
 }

@@ -54,6 +54,14 @@ object Corpus {
     * (lmScore's checkpointed tf), making four total when enabled; the
     * band ids join cleanMeta as compact scalars, bodies still never
     * shuffle.
+    *
+    * `mixture = Some((weights, totalBudget))` adds a domain-mixture
+    * stage (the Pile/Dolma rebalance) AFTER dedup and BEFORE packing
+    * — the order a real run uses, so mixture budgets are filled with
+    * unique, clean documents and the packed output realizes the
+    * target proportions. Zero extra body passes: the selection runs
+    * on the survivors' (doc_id, shard, n_tokens) scalars
+    * ([[TextOps.mixtureFromCounts]]); unweighted sources drop.
     */
   def pipeline(docs: DataFrame, benchmark: DataFrame,
                decontaminateN: Int = 4,
@@ -61,7 +69,8 @@ object Corpus {
                budget: Int = 512, shardCol: String = "source",
                minTokens: Int = 30, maxTokens: Int = 90,
                maxStopRatio: Double = 0.15, maxDupRatio: Double = 0.10,
-               lmScoreBand: Option[(Double, Double)] = None): DataFrame = {
+               lmScoreBand: Option[(Double, Double)] = None,
+               mixture: Option[(Map[String, Double], Long)] = None): DataFrame = {
     // ONE body pass → compact materialized frame; `keep` is filtered
     // on the MATERIALIZED column, never pushed into the text exprs.
     // Filter thresholds are parameters like every other stage's knobs
@@ -104,6 +113,12 @@ object Corpus {
     val survivors = cleanMeta.join(clusters, Seq("doc_id"), "left")
       .where(coalesce(col("cluster"), col("doc_id")) === col("doc_id"))
       .drop("cluster")
-    TextOps.packCounts(survivors, budget)
+    val mixed = mixture match {
+      case Some((weights, totalBudget)) =>
+        TextOps.mixtureFromCounts(survivors, weights, totalBudget)
+          .select(col("doc_id"), col("shard"), col("n_tokens"))
+      case None => survivors
+    }
+    TextOps.packCounts(mixed, budget)
   }
 }

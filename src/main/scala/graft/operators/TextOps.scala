@@ -624,7 +624,18 @@ object TextOps {
     */
   def sampleMixture(docs: DataFrame, weights: Map[String, Double],
                     totalBudget: Long, shardCol: String = "source",
-                    seed: String = "mixture"): DataFrame = {
+                    seed: String = "mixture"): DataFrame =
+    mixtureFromCounts(tokenCounts(docs, shardCol), weights, totalBudget, seed)
+
+  /** [[sampleMixture]] over precomputed (doc_id, shard, n_tokens) —
+    * the composition entry point (the [[packCounts]] convention):
+    * inside [[graft.operators.Corpus.pipeline]] the counts frame
+    * already exists, so mixture selection moves 3 scalar columns and
+    * never re-reads a body.
+    */
+  def mixtureFromCounts(counts: DataFrame, weights: Map[String, Double],
+                        totalBudget: Long,
+                        seed: String = "mixture"): DataFrame = {
     require(totalBudget > 0,
       s"sampleMixture: totalBudget must be positive, got $totalBudget")
     require(weights.nonEmpty,
@@ -639,10 +650,9 @@ object TextOps {
         when(col("shard") === lit(s), lit(b)).otherwise(acc)
       }
     // the explicit isin (unlike the CASE's isnotnull) is a plain IN
-    // predicate, so it reaches the scan as a pushed filter — on a
-    // source-partitioned lake that is partition PRUNING, not a scan
-    tokenCounts(docs.where(col(shardCol).isin(weights.keys.toSeq: _*)),
-        shardCol)
+    // predicate, so it pushes through the counts projection to the
+    // scan — on a source-partitioned lake that is partition PRUNING
+    counts.where(col("shard").isin(weights.keys.toSeq: _*))
       .withColumn("budget", budgetExpr)
       .where(col("budget").isNotNull)
       .withColumn("stream_pos", streamPos(Seq(shuffleKey(seed), col("doc_id"))))

@@ -339,6 +339,39 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out === Set(1L)) // doc 4 (in-filter, out-of-band) dropped by the lm stage
   }
 
+  test("corpus pipeline mixture stage rebalances survivors before packing") {
+    import spark.implicits._
+    def words(pfx: String, k: Int) = (1 to k).map(i => s"$pfx$i").mkString(" ")
+    // all five docs pass the default filter (40 tokens, unique text);
+    // no benchmark overlap, no dup clusters — survivors = all of them
+    val docs = Seq(
+      (0L, words("a", 40), "A"), (1L, words("b", 40), "A"),
+      (2L, words("c", 40), "A"),
+      (3L, words("d", 40), "B"), (4L, words("e", 40), "B")
+    ).toDF("doc_id", "text", "source")
+    val bench = docs.where($"doc_id" < 0)
+    // budgets: A = 40 tokens — only the stream-first doc starts under
+    // it (position 40 is NOT < 40; the keep rule is on the exclusive
+    // START position, as in sampleTokenBudget); B = 100 — positions 0
+    // and 40 both start under it, so both docs survive
+    val out = graft.operators.Corpus.pipeline(docs, bench,
+        mixture = Some((Map("A" -> 0.2, "B" -> 0.5), 200L)))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(out.count(_._2 == "A") === 1, s"A over budget: ${out.toSeq}")
+    assert(out.count(_._2 == "B") === 2)
+    // an unweighted source drops entirely
+    val onlyB = graft.operators.Corpus.pipeline(docs, bench,
+        mixture = Some((Map("B" -> 1.0), 200L)))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(onlyB.map(_._2).toSet === Set("B"))
+    // packing runs on the POST-mixture stream: B kept both docs, so
+    // placements are contiguous from position 0 in doc_id order
+    val b = graft.operators.Corpus.pipeline(docs, bench,
+        mixture = Some((Map("B" -> 1.0), 200L)), budget = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(b.toSeq === Seq((3L, 0L, 0L), (4L, 0L, 40L)))
+  }
+
   test("lmScoreBigram: exact conditional log-probs; paths agree under disabled broadcasts") {
     import spark.implicits._
     // corpus bigrams: c(a,b)=2, c(b,a)=1, c(a,c)=1 → c(a,·)=3, c(b,·)=1
