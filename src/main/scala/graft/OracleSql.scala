@@ -646,10 +646,7 @@ object OracleSql {
     // the Spark side (shared mixtureBudgets formula), seeded order,
     // exclusive running sum — mirrors TextOps.mixtureFromCounts
     val mixCte = mixture.map { case (weights, total) =>
-      val cases = graft.operators.TextOps.mixtureBudgets(weights, total)
-        .toSeq.sortBy(_._1)
-        .map { case (src, b) => s"WHEN '$src' THEN CAST($b AS BIGINT)" }
-        .mkString(" ")
+      val cases = mixtureCases(weights, total)
       s"""mixb AS (
          |  SELECT *, CASE shard $cases END AS mbudget,
          |    MD5(CONCAT('mixture:', CAST(doc_id AS VARCHAR))) AS shuf
@@ -772,7 +769,11 @@ object OracleSql {
     * its cell has rounded cosine >= threshold.
     */
   def dedupSemantic(nCentroids: Int, threshold: Double): String =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    // NULL embeddings are excluded on BOTH sides: the Spark operator
+    // guards v.isNotNull, so the one-row-per-vector contract means
+    // one row per NON-NULL vector
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL),
        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $nCentroids),
        |a0 AS (
        |  SELECT e.vec_id, e.v, c.cid, ${R("list_cosine_similarity(e.v, c.cv)")} AS ccos
@@ -1410,16 +1411,28 @@ object OracleSql {
        |FROM p WHERE stream_pos < $tokenBudget
        |ORDER BY doc_id""".stripMargin
 
-  /** Mixture sampling: per-source literal budgets (the SAME
-    * floor(w·N) longs via [[graft.operators.TextOps.mixtureBudgets]]),
-    * per-source seeded order, exclusive running sum.
+  /** SQL string literal with single quotes doubled — source names in
+    * mixture weight maps are caller-supplied data values, not
+    * identifiers under our control.
+    */
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Mixture budgets as a CASE over escaped source literals (the SAME
+    * floor(w·N) longs via [[graft.operators.TextOps.mixtureBudgets]]).
+    */
+  private def mixtureCases(weights: Map[String, Double],
+                           totalBudget: Long): String =
+    graft.operators.TextOps.mixtureBudgets(weights, totalBudget)
+      .toSeq.sortBy(_._1)
+      .map { case (s, b) => s"WHEN ${sqlStr(s)} THEN CAST($b AS BIGINT)" }
+      .mkString(" ")
+
+  /** Mixture sampling: per-source literal budgets, per-source seeded
+    * order, exclusive running sum.
     */
   def sampleMixture(weights: Map[String, Double], totalBudget: Long,
                     seed: String): String = {
-    val cases = graft.operators.TextOps.mixtureBudgets(weights, totalBudget)
-      .toSeq.sortBy(_._1)
-      .map { case (s, b) => s"WHEN '$s' THEN CAST($b AS BIGINT)" }
-      .mkString(" ")
+    val cases = mixtureCases(weights, totalBudget)
     s"""WITH s AS (
        |  SELECT doc_id, source AS shard,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

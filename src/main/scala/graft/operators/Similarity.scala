@@ -251,6 +251,13 @@ object Similarity {
       .map(r => (r.getAs[Number](0).longValue(),
         r.getSeq[Number](1).map(_.doubleValue()).toArray))
       .sortBy(_._1)
+    // an empty codebook would silently assign EVERY vector the -1
+    // sentinel cell — one bucket holding the whole corpus, turning the
+    // cell-keyed joins downstream (IVF search, semanticDedup) into the
+    // all-pairs blowup the quantizer exists to avoid
+    require(cents.nonEmpty,
+      s"quantizer: no vectors with vec_id < $nCentroids — the codebook " +
+        "is empty (centroids are the first nCentroids vec_ids by convention)")
     graft.functions.IvfCell.encode(cents.map(_._1), cents.map(_._2))
   }
 

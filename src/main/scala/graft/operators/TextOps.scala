@@ -645,16 +645,27 @@ object TextOps {
         s"sampleMixture: weight for '$s' must be positive, got $w " +
           "(drop the key instead of zeroing it)")
     }
-    val budgetExpr = mixtureBudgets(weights, totalBudget)
+    val budgets = mixtureBudgets(weights, totalBudget)
+    // floor(w·N) of a small positive weight can still be 0 — which
+    // would silently drop the source and break the first-doc
+    // guarantee the positive-weight require promises
+    budgets.foreach { case (s, b) =>
+      require(b > 0,
+        s"sampleMixture: source '$s' gets a zero token budget " +
+          s"(floor(${weights(s)} × $totalBudget)) — raise the weight " +
+          "or the total, or drop the key")
+    }
+    val budgetExpr = budgets
       .foldLeft(lit(null).cast("long")) { case (acc, (s, b)) =>
         when(col("shard") === lit(s), lit(b)).otherwise(acc)
       }
-    // the explicit isin (unlike the CASE's isnotnull) is a plain IN
-    // predicate, so it pushes through the counts projection to the
-    // scan — on a source-partitioned lake that is partition PRUNING
+    // the explicit isin (unlike a CASE-derived predicate) is a plain
+    // IN, so it pushes through the counts projection to the scan — on
+    // a source-partitioned lake that is partition PRUNING. Every
+    // surviving row's shard is a weights key, so budgetExpr is
+    // non-null by construction.
     counts.where(col("shard").isin(weights.keys.toSeq: _*))
       .withColumn("budget", budgetExpr)
-      .where(col("budget").isNotNull)
       .withColumn("stream_pos", streamPos(Seq(shuffleKey(seed), col("doc_id"))))
       .where(col("stream_pos") < col("budget"))
       .select(col("doc_id"), col("shard"), col("n_tokens"),

@@ -219,6 +219,12 @@ class HardeningSpec extends AnyFunSuite {
       case (a, b) if cellOf(a) != cellOf(b) => b
     }.toSet -- droppedRef
     assert(crossOnly.nonEmpty, "dataset has no cross-cell dup pairs — test can't distinguish cell-restricted from brute-force dedup")
+    // an empty codebook (no vec_id < nCentroids) must error, not
+    // degrade to a single -1 cell holding the whole corpus
+    val err = intercept[IllegalArgumentException] {
+      Similarity.semanticDedup(emb.where(col("vec_id") >= 16), 16, 0.3)
+    }
+    assert(err.getMessage.contains("codebook"))
   }
 
   // ---------------- rangeJoin skew + typing ----------------

@@ -495,6 +495,12 @@ class TextOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TextOps.sampleMixture(docs, Map("A" -> 0.0), 500L)
     }
+    // a positive weight whose floor(w·N) budget is 0 must error, not
+    // silently drop the source
+    val zeroBudget = intercept[IllegalArgumentException] {
+      TextOps.sampleMixture(docs, Map("A" -> 0.001), 500L)
+    }
+    assert(zeroBudget.getMessage.contains("zero token budget"))
   }
 
   test("corpusStats: counts, vocab and exact-dup rate") {
