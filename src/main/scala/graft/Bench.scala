@@ -107,6 +107,15 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"BENCH artifact write to $outPath failed: $e") }
+    // Compact summary LAST (VERDICT r8 #6): the full line above has been
+    // tail-truncated two rounds running ("parsed": null in BENCH_r07/r08).
+    // This one is ~100 bytes — it fits ANY tail window, and it is valid
+    // standalone JSON in the driver's contract shape, so a last-line (or
+    // first-parsable-line) reader gets at least total/count/errors; the
+    // per-query payload lives in the durable file either way.
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n":${names.size},""" +
+      s""""errors":$errs,"sf":"$sfDir","detail":"$outPath"}"""
+    println(summary)
     spark.stop()
   }
 }

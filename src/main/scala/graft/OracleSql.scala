@@ -826,7 +826,8 @@ object OracleSql {
       val diff = s"($vec[cw.s * $subDim + i] - cw.v[cw.s * $subDim + i])"
       R(s"list_sum(list_transform(generate_series(1, $subDim), i -> $diff * $diff))")
     }
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL),
        |cw AS (
        |  SELECT s.s, e.vec_id AS c, e.v FROM e CROSS JOIN range(0, $m) s(s)
        |  WHERE e.vec_id < $nCodewords),
@@ -864,7 +865,8 @@ object OracleSql {
       val diff = s"($vec[cw.s * $subDim + i] - cw.v[cw.s * $subDim + i])"
       R(s"list_sum(list_transform(generate_series(1, $subDim), i -> $diff * $diff))")
     }
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL),
        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $nCentroids),
        |ca0 AS (
        |  SELECT e.vec_id, c.cid, ${R("list_cosine_similarity(e.v, c.cv)")} AS ccos
@@ -912,7 +914,8 @@ object OracleSql {
       val diff = s"($vec[cw.s * $subDim + i] - cw.v[cw.s * $subDim + i])"
       R(s"list_sum(list_transform(generate_series(1, $subDim), i -> $diff * $diff))")
     }
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL),
        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
        |xs AS (
        |  SELECT qid, vec_id AS vid, ${R("list_cosine_similarity(qv, v)")} AS cos

@@ -23,9 +23,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * / 1000` BEFORE the argmin, so code assignment is bit-identical in
   * any engine.
   *
-  * Elements past the input vector's length (shorter vectors than the
-  * codebook expects) contribute as 0.0 — the testdata corpus is
-  * uniform-dim, so this branch exists only to keep eval total.
+  * A vector SHORTER than the codebook's total dimension is rejected
+  * with a named error (the repo's eager-guard convention, ADVICE r8):
+  * silently padding with 0.0 here while the SQL oracle's out-of-range
+  * list index yields NULL terms (skipped by `list_sum`) would assign
+  * DIVERGENT codes on non-uniform-dim corpora — a latent gate split
+  * better surfaced as a failure than absorbed.
   *
   * CodegenFallback like [[SimHash64]]/[[NgramStats]]: the win is the
   * single primitive loop per row (m·k·subDim flops), not codegen
@@ -45,6 +48,16 @@ case class PqCodes(child: Expression, encoded: String)
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val m = books.length
+    val totalDim = {
+      var t = 0; var i = 0
+      while (i < m) { t += (if (books(i).nonEmpty) books(i)(0).length else 0); i += 1 }
+      t
+    }
+    if (n < totalDim)
+      throw new IllegalArgumentException(
+        s"graft_pq_codes: input vector has $n elements but the codebook " +
+          s"spans $totalDim dimensions — PQ codes for short vectors are " +
+          "engine-ambiguous (pad or reject upstream)")
     val out = new Array[Long](m)
     var s = 0
     var offset = 0

@@ -115,9 +115,46 @@ object MlFeed {
     * collect. Assumes one file per shard ≤ `maxPartitionBytes` (how
     * [[writeShards]] sizes them: a shard ≈ one training-worker
     * partition); a shard file large enough to be SPLIT across read
-    * partitions would restart its batch numbering mid-shard.
+    * partitions would restart its batch numbering mid-shard — so the
+    * assumption is CHECKED by default ([[validateShardLayout]], ADVICE
+    * r8): duplicate (shard, batch) ids become a named error, not a
+    * silently corrupted feed. `validate = false` skips the check when
+    * the caller has already validated the layout (e.g. many epochs
+    * over one write).
     */
-  def batchesByShard(spark: SparkSession, path: String, batchSize: Int): DataFrame = {
+  /** Read-side guard for [[batchesByShard]]'s one-contiguous-run-per-
+    * shard assumption: fails with a named error if any shard's rows
+    * span MULTIPLE read partitions (a shard file bigger than
+    * `spark.sql.files.maxPartitionBytes` is split, restarting batch
+    * numbering mid-shard). One column-pruned scan + a map-side-combined
+    * countDistinct — and because FilePartition planning depends only on
+    * file sizes (not on which columns are read), this probe sees
+    * EXACTLY the partition layout the batcher's full-column read gets.
+    * Several whole shards coalesced into one partition is fine (the
+    * batcher cuts on shard change); one shard across several partitions
+    * is not.
+    */
+  def validateShardLayout(spark: SparkSession, path: String): Unit = {
+    val bad = spark.read.parquet(path)
+      .select(col("shard").cast("int").as("shard"),
+        spark_partition_id().as("pid"))
+      .groupBy(col("shard")).agg(countDistinct(col("pid")).as("nparts"))
+      .where(col("nparts") > 1)
+      .limit(5).collect()
+    if (bad.nonEmpty) {
+      val detail = bad.map(r => s"shard ${r.get(0)} spans ${r.get(1)} partitions").mkString("; ")
+      throw new IllegalStateException(
+        s"batchesByShard: shard file(s) split across read partitions ($detail) — " +
+          "batch numbering would restart mid-shard. Raise " +
+          "spark.sql.files.maxPartitionBytes above the largest shard file, " +
+          "or re-shard with more shards (writeShards targets one " +
+          "training-worker partition per shard)")
+    }
+  }
+
+  def batchesByShard(spark: SparkSession, path: String, batchSize: Int,
+                     validate: Boolean = true): DataFrame = {
+    if (validate) validateShardLayout(spark, path)
     val df = spark.read.parquet(path)
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -71,6 +71,42 @@ class FeedStreamSpec extends AnyFunSuite {
     assert(again === b.map(r => (r.getAs[Int]("shard"), r.getAs[Int]("batch"), r.getAs[Int]("n"))).toSet)
   }
 
+  test("batchesByShard validation fails loudly when a shard file splits across read partitions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mlfeed-split").toString
+    // one shard, one file, MANY row groups (tiny parquet.block.size), so
+    // a small maxPartitionBytes genuinely yields rows in several read
+    // partitions — the exact silent-corruption scenario of ADVICE r8
+    val big = (0 until 2000)
+      .map(i => (0, Array.fill(64)(i.toFloat), Array.fill(8)(i.toFloat)))
+      .toDF("shard", "x", "y")
+    big.repartition(1).write.option("parquet.block.size", "1024")
+      .mode("overwrite").partitionBy("shard").parquet(dir)
+    val conf = spark.conf
+    val prevMax = conf.getOption("spark.sql.files.maxPartitionBytes")
+    val prevCost = conf.getOption("spark.sql.files.openCostInBytes")
+    conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    conf.set("spark.sql.files.openCostInBytes", "1024")
+    try {
+      val e = intercept[IllegalStateException](
+        MlFeed.batchesByShard(spark, dir, 100).collect())
+      assert(e.getMessage.contains("split across read partitions"))
+      // same layout under sane split confs: validation passes and the
+      // feed is whole (openCost must come back up too — maxSplitBytes is
+      // min(maxPartitionBytes, max(openCostInBytes, bytesPerCore)), so a
+      // tiny openCost alone keeps splitting small files to fill cores)
+      conf.set("spark.sql.files.maxPartitionBytes", String.valueOf(128L * 1024 * 1024))
+      conf.set("spark.sql.files.openCostInBytes", String.valueOf(4L * 1024 * 1024))
+      assert(MlFeed.batchesByShard(spark, dir, 500).collect()
+        .map(_.getAs[Int]("n")).sum === 2000)
+    } finally {
+      prevMax.fold(conf.unset("spark.sql.files.maxPartitionBytes"))(
+        conf.set("spark.sql.files.maxPartitionBytes", _))
+      prevCost.fold(conf.unset("spark.sql.files.openCostInBytes"))(
+        conf.set("spark.sql.files.openCostInBytes", _))
+    }
+  }
+
   test("multimodal features = byte histogram of the payload") {
     import spark.implicits._
     val docs = Seq((7L, "aab")).toDF("doc_id", "text") // 'a'=97 -> bucket 1, 'b'=98 -> bucket 2
