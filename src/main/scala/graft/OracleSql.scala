@@ -814,6 +814,76 @@ object OracleSql {
        |  FROM s)
        |SELECT qid, vid, cos, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
+  /** Unrolled Lloyd's k-means CTE chain: `c0` = the first-`k` seed
+    * codebook, then for i in 1..nIter an assignment CTE `a{i}` (the
+    * annIvf rounded-cosine argmax with cid tie-break) against
+    * `c{i-1}`, per-(cell, dim) member stats `m{i}` with the ROUNDED
+    * per-dimension mean, and the updated codebook `c{i}`. A fixed
+    * nIter unrolls exactly — no recursive CTE, every iteration's
+    * arithmetic visibly identical to the Spark side's ([[
+    * graft.operators.Similarity.kmeansStep]]). Uniform-dim corpus
+    * assumed (COUNT(*) per (cell, d) = cluster size).
+    */
+  private def kmeansCtes(k: Int, nIter: Int, dim: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |      WHERE embedding IS NOT NULL),
+         |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $k)""".stripMargin)
+    for (i <- 1 to nIter) {
+      sb.append(
+        s""",
+           |a${i}0 AS (
+           |  SELECT e.vec_id, e.v, c.cid, ${R("list_cosine_similarity(e.v, c.cv)")} AS ccos
+           |  FROM e CROSS JOIN c${i - 1} c),
+           |a$i AS (
+           |  SELECT vec_id, v, cid AS cell FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+           |    FROM a${i}0)
+           |  WHERE crank = 1),
+           |m$i AS (
+           |  SELECT cell, d, COUNT(*) AS n, ${R("SUM(v[d+1]) / COUNT(*)")} AS cd
+           |  FROM a$i CROSS JOIN range(0, $dim) r(d)
+           |  GROUP BY cell, d),
+           |c$i AS (
+           |  SELECT cell AS cid, LIST(cd ORDER BY d) AS cv FROM m$i GROUP BY cell)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** kmeans_fit: `nIter` unrolled Lloyd rounds; per surviving cluster
+    * of the FINAL round, the member count and the position-weighted
+    * checksum Σ (d+1)·cd over the round's updated (rounded) means.
+    */
+  def kmeansFit(k: Int, nIter: Int, dim: Int = 64): String =
+    s"""WITH ${kmeansCtes(k, nIter, dim)}
+       |SELECT cell AS cid, MAX(n) AS n, ${R("SUM((d+1) * cd)")} AS checksum
+       |FROM m$nIter GROUP BY cell ORDER BY cid""".stripMargin
+
+  /** annIvf search against the k-means-TRAINED codebook `c{kmIter}`
+    * instead of the first-N convention — the annIvf CTEs with the
+    * trained centroids swapped in.
+    */
+  def annIvfTrained(nCentroids: Int, kmIter: Int, nQueries: Int, k: Int,
+                    dim: Int = 64): String =
+    s"""WITH ${kmeansCtes(nCentroids, kmIter, dim)},
+       |f0 AS (
+       |  SELECT e.vec_id, e.v, c.cid, ${R("list_cosine_similarity(e.v, c.cv)")} AS ccos
+       |  FROM e CROSS JOIN c$kmIter c),
+       |asg AS (
+       |  SELECT vec_id, v, cid AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+       |    FROM f0)
+       |  WHERE crank = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv, cell FROM asg WHERE vec_id < $nQueries),
+       |s AS (
+       |  SELECT q.qid, a.vec_id AS vid, ${R("list_cosine_similarity(a.v, q.qv)")} AS cos
+       |  FROM asg a JOIN q ON a.cell = q.cell AND a.vec_id != q.qid),
+       |r AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS rank
+       |  FROM s)
+       |SELECT qid, vid, cos, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
   /** PQ ANN: codebook = sub-slices of the first nCodewords vectors;
     * per-subspace assignment by ROUNDED squared L2 (argmin, cid
     * tie-break); ADC score = sum of per-subspace distance-table

@@ -370,6 +370,19 @@ object SparkEntry {
         .select(col("qid"), col("vid"), col("cos"), col("rank").cast("long").as("rank"))
         .orderBy(col("qid"), col("rank"))),
 
+    // 3 Lloyd rounds from the first-8 seed: per surviving cluster its
+    // size and the position-weighted centroid checksum (see kmeansFit)
+    "kmeans_fit" -> ((s, dir) =>
+      Similarity.kmeansFit(Tables.embeddings(s, dir), 8, 3)
+        .orderBy(col("cid"))),
+
+    // the trained-quantizer composition: 3 Lloyd rounds, then the
+    // standard IVF search against the trained codebook
+    "ann_ivf_trained" -> ((s, dir) =>
+      Similarity.annIvfTopKTrained(Tables.embeddings(s, dir), 8, 3, 5, 5)
+        .select(col("qid"), col("vid"), col("cos"), col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))),
+
     "dedup_jaccard_est" -> ((s, dir) => {
       // persist: sigs feed banding + both estimate-join sides; the
       // (small, candidate-filtered) estimate table is checkpointed
@@ -700,6 +713,8 @@ object SparkEntry {
     "ts_interp_linear" -> OracleSql.interpolate,
     "ann_ivf" -> OracleSql.annIvf(16, 5, 5),
     "ann_ivf_probe" -> OracleSql.annIvfProbe(16, 5, 5, 2),
+    "kmeans_fit" -> OracleSql.kmeansFit(8, 3),
+    "ann_ivf_trained" -> OracleSql.annIvfTrained(8, 3, 5, 5),
     "dedup_jaccard_est" -> OracleSql.dedupJaccardEst(16, 2),
     "dedup_cc" -> OracleSql.dedupCc(16, 2),
     "q5_region_revenue" -> OracleSql.q5RegionRevenue,

@@ -263,7 +263,16 @@ object Similarity {
 
   def annIvfTopK(embeddings: DataFrame, nCentroids: Int, nQueries: Int, k: Int): DataFrame = {
     VectorExprs.register(embeddings.sparkSession)
-    val enc = quantizer(embeddings, nCentroids)
+    annIvfWithQuantizer(embeddings, quantizer(embeddings, nCentroids), nQueries, k)
+  }
+
+  /** IVF search against an already-encoded quantizer — the shared core
+    * of [[annIvfTopK]] (first-N convention) and [[annIvfTopKTrained]]
+    * (k-means codebook). Same scale shape either way: zero-exchange
+    * assignment, broadcast cell join, two-phase salted top-k.
+    */
+  private def annIvfWithQuantizer(embeddings: DataFrame, enc: String,
+                                  nQueries: Int, k: Int): DataFrame = {
     // coalesce to a sentinel makes `cell` statically NON-nullable:
     // without it the equi-join infers isnotnull(ivfcell(...)) and the
     // O(nCentroids·dim) argmax runs TWICE per row (Filter and Project
@@ -281,6 +290,112 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("vid"),
         r3(expr("graft_vec_dot(v, qv)") / (col("norm") * col("qnorm"))).as("cos"))
     saltedTopK(scored, "cos", ascending = false, k)
+  }
+
+  /** The canonical rounding, driver-side: floor(x·1000 + 0.5001)/1000
+    * — the same IEEE ops as [[r3]] / the SQL oracle's `R`.
+    */
+  private def r3d(x: Double): Double = math.floor(x * 1000.0 + 0.5001) / 1000.0
+
+  /** One Lloyd iteration: assign every vector to its nearest current
+    * centroid (rounded-cosine argmax — the [[graft.functions.IvfCell]]
+    * zero-exchange projection, spherical k-means' assignment step) and
+    * recompute each surviving cell's centroid as the per-dimension mean
+    * of its members, ROUNDED to 1e-3 so the next iteration's codebook
+    * is a bit-identical literal in any engine (parallel FP summation
+    * only perturbs means at ~1e-13 relative — far inside the rounding
+    * guard, the same argument every rounded aggregate in this repo
+    * leans on). Cosine assignment is scale-invariant in the centroid,
+    * so the UN-normalized mean is equivalent to the normalized-mean
+    * update of textbook spherical k-means.
+    *
+    * Scale shape: assignment is a pure projection on the scan (the
+    * codebook rides inside the expression); the update is ONE
+    * map-side-combined groupBy over (cell, dim) — the exchange carries
+    * at most k·dim·partitions partial rows, never vectors. The only
+    * driver materialization is the k×dim centroid matrix itself — the
+    * standard k-means shape (FAISS trains codebooks driver/host-side
+    * too). Cells that lose all members simply drop (their cid vanishes
+    * from the codebook — both engines agree by construction).
+    */
+  private def kmeansStep(embeddings: DataFrame,
+                         cents: Array[(Long, Array[Double])]): Array[(Long, Array[Double])] = {
+    val enc = graft.functions.IvfCell.encode(cents.map(_._1), cents.map(_._2))
+    val rows = embeddings.where(col("embedding").isNotNull)
+      .select(expr(s"coalesce(graft_ivf_cell(embedding, '$enc'), -1L)").as("cell"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("cell"), col("d"))
+      .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
+      .collect()
+    rows.groupBy(_.getLong(0)).toArray.sortBy(_._1).map { case (cid, rs) =>
+      (cid, rs.sortBy(_.getInt(1)).map(r => r3d(r.getDouble(2) / r.getLong(3))))
+    }
+  }
+
+  /** Distributed Lloyd's k-means codebook training (the fit stage the
+    * quantizer stack lacked — every consumer so far used the first-N
+    * convention; this is the FAISS `train()` analogue). Seed = the
+    * first `k` non-null vectors (deterministic — the repo's codebook
+    * convention); `nIter` full assignment+update rounds; rounded
+    * centroids each round (see [[kmeansStep]]) keep the trajectory
+    * engine-reproducible. Returns the (cid, centroid) array ready for
+    * [[graft.functions.IvfCell.encode]]. Cluster ids are the SEED
+    * vec_ids and survive across iterations (a cid disappears only if
+    * its cell empties).
+    */
+  def kmeansCentroids(embeddings: DataFrame, k: Int, nIter: Int): Array[(Long, Array[Double])] = {
+    VectorExprs.register(embeddings.sparkSession)
+    var cents = embeddings
+      .where(col("vec_id") < k && col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getAs[Number](0).longValue(),
+        r.getSeq[Number](1).map(_.doubleValue()).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty,
+      s"kmeans: no non-null vectors with vec_id < $k to seed the codebook")
+    var it = 0
+    while (it < nIter) { cents = kmeansStep(embeddings, cents); it += 1 }
+    cents
+  }
+
+  /** The `kmeans_fit` gate surface: run `nIter − 1` full Lloyd rounds
+    * driver-side, then perform the FINAL round distributed and report
+    * per surviving cluster its member count and a checksum of the
+    * updated centroid — Σ_d (d+1)·c_d over the ROUNDED per-dimension
+    * means, rounded again (position-weighted so permuted dimensions
+    * can't cancel). One row per cluster: (cid, n, checksum) — compact
+    * scalars, externally checkable without shipping float arrays
+    * through the gate.
+    *
+    * Uniform-dimension corpora assumed (the per-(cell, d) row count
+    * equals the cluster size for every d — `max` collapses it); the
+    * embeddings table is dim-64 throughout.
+    */
+  def kmeansFit(embeddings: DataFrame, k: Int, nIter: Int): DataFrame = {
+    require(nIter >= 1, s"kmeansFit: nIter must be >= 1, got $nIter")
+    val cents = kmeansCentroids(embeddings, k, nIter - 1)
+    val enc = graft.functions.IvfCell.encode(cents.map(_._1), cents.map(_._2))
+    embeddings.where(col("embedding").isNotNull)
+      .select(expr(s"coalesce(graft_ivf_cell(embedding, '$enc'), -1L)").as("cid"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("cid"), col("d"))
+      .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
+      .select(col("cid"), col("d"), col("n"), r3(col("sx") / col("n")).as("cd"))
+      .groupBy(col("cid"))
+      .agg(max(col("n")).as("n"),
+        r3(sum((col("d") + 1) * col("cd"))).as("checksum"))
+  }
+
+  /** [[annIvfTopK]] with a TRAINED coarse quantizer: `kmIter` Lloyd
+    * rounds over the corpus replace the first-N-vectors convention —
+    * the production IVF recipe end-to-end (train → assign → search),
+    * proving the fit stage composes with the search stack unchanged.
+    */
+  def annIvfTopKTrained(embeddings: DataFrame, nCentroids: Int, kmIter: Int,
+                        nQueries: Int, k: Int): DataFrame = {
+    val cents = kmeansCentroids(embeddings, nCentroids, kmIter)
+    annIvfWithQuantizer(embeddings,
+      graft.functions.IvfCell.encode(cents.map(_._1), cents.map(_._2)), nQueries, k)
   }
 
   /** Multi-probe IVF ANN: like [[annIvfTopK]] but each query searches

@@ -135,6 +135,42 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!ann.exists(r => r.getAs[Long]("vid") === 11L))
   }
 
+  test("kmeans: one Lloyd round moves each centroid to its cell's rounded mean") {
+    import spark.implicits._
+    // two tight groups on orthogonal axes; seeds 0 and 1 are one member
+    // of each group, so after one round each centroid is the group mean
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.8f, 0.2f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.9f, 0.1f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(e, 2, 1).toMap
+    def r3(x: Double) = math.floor(x * 1000.0 + 0.5001) / 1000.0
+    // cell 0 = {0, 2}: mean (0.9, 0.1, 0, 0); cell 1 = {1, 3}
+    assert(cents(0L).toSeq === Seq(r3((1.0 + 0.8f.toDouble) / 2), r3(0.2f.toDouble / 2), 0.0, 0.0))
+    assert(cents(1L).toSeq === Seq(0.0, r3((1.0 + 0.9f.toDouble) / 2), r3(0.1f.toDouble / 2), 0.0))
+    // nIter = 0 is exactly the seed (the first-N convention)
+    val seed = Similarity.kmeansCentroids(e, 2, 0).toMap
+    assert(seed(0L).toSeq === Seq(1.0, 0.0, 0.0, 0.0))
+  }
+
+  test("kmeans_fit sizes cover the corpus; trained IVF search stays cell-pruned") {
+    import spark.implicits._
+    val e = (0L until 40L).map(i =>
+      (i, Array.tabulate(4)(d => (((i * 7 + d * 3) % 11).toFloat + 1f) / 11f)))
+      .toDF("vec_id", "embedding")
+    val fit = Similarity.kmeansFit(e, 3, 2).collect()
+    assert(fit.map(_.getAs[Long]("n")).sum === 40L)
+    assert(fit.map(_.getAs[Long]("cid")).toSet.subsetOf(Set(0L, 1L, 2L)))
+    // the composition returns ranked same-cell neighbours per query
+    val ann = Similarity.annIvfTopKTrained(e, 3, 2, 2, 3)
+    val rows = ann.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Int]("rank") <= 3))
+    // and never pairs a query with itself
+    assert(rows.forall(r => r.getAs[Long]("qid") !== r.getAs[Long]("vid")))
+  }
+
   test("ann PQ: codebook vectors encode to their own codes; identical vector ranks first") {
     import spark.implicits._
     // dim 4, m = 2 subspaces of 2; codebook = vecs 0 and 1
