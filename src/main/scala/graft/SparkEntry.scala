@@ -492,6 +492,12 @@ object SparkEntry {
       Similarity.annPqRecall(Tables.embeddings(s, dir), 16, 4, 5, 5)
         .orderBy(col("qid"))),
 
+    // the composed-tier recall a production tuner actually watches
+    // (cell pruning × code compression)
+    "ann_ivfpq_recall" -> ((s, dir) =>
+      Similarity.annIvfPqRecall(Tables.embeddings(s, dir), 16, 16, 4, 5, 5)
+        .orderBy(col("qid"))),
+
     "ann_recall" -> ((s, dir) =>
       Similarity.annRecall(Tables.embeddings(s, dir), 8, 5, 5)
         .orderBy(col("qid"))),
@@ -730,6 +736,7 @@ object SparkEntry {
     "ann_pq" -> OracleSql.annPq(16, 4, 5, 5),
     "ann_ivfpq" -> OracleSql.annIvfPq(16, 16, 4, 5, 5),
     "ann_pq_recall" -> OracleSql.annPqRecall(16, 4, 5, 5),
+    "ann_ivfpq_recall" -> OracleSql.annIvfPqRecall(16, 16, 4, 5, 5),
     "token_topk" -> OracleSql.tokenTopK(20),
     "ts_outliers_mad" -> OracleSql.outliersMad(3.0),
     "ts_metrics_horizon" -> OracleSql.metricsHorizon(HALF, SLOPE_W, NY, HORIZONS),

@@ -543,6 +543,24 @@ object Similarity {
         r3(col("n_hit") / col("n_exact")).as("recall"))
   }
 
+  /** Recall@k of the COMPOSED IVF+PQ tier against the exact top-k —
+    * the number a production tuner actually watches (cell pruning and
+    * code compression both cost recall; this measures their product,
+    * where [[annPqRecall]] isolates the PQ term alone).
+    */
+  def annIvfPqRecall(embeddings: DataFrame, nCentroids: Int, nCodewords: Int,
+                     m: Int, nQueries: Int, k: Int): DataFrame = {
+    val exact = cosineTopK(embeddings, nQueries, k).select(col("qid"), col("vid"))
+    val approx = annIvfPqTopK(embeddings, nCentroids, nCodewords, m, nQueries, k)
+      .select(col("qid"), col("vid"), lit(1).as("hit"))
+    exact.join(approx, Seq("qid", "vid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        r3(col("n_hit") / col("n_exact")).as("recall"))
+  }
+
   /** ANN top-k via LSH buckets: score only same-bucket candidates,
     * rank within bucket. Recall < 1 by construction; the exactness
     * baseline is [[cosineTopK]].
