@@ -623,6 +623,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the stored-index sibling of dedup_cross: persist the reference
+    // (even ids) band/sig index to the catalog, then probe the crawl
+    // (odd ids) against the STORED index — output must equal
+    // dedup_cross on the same split (the oracle is literally the same
+    // SQL); the index write is part of the gate so the roundtrip is
+    // what's measured
+    "dedup_cross_stored" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.writeBandIndex(docs.where(col("doc_id") % 2 === 0), 16, 2, "graft_xidx", 8)
+      Dedup.crossDupAgainstIndex(docs.where(col("doc_id") % 2 === 1), "graft_xidx", 16, 2, 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     "corpus_pipeline" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       graft.operators.Corpus.pipeline(docs, docs.where(col("doc_id") % 50 === 0))
@@ -765,6 +778,9 @@ object SparkEntry {
     "sample_mixture" -> OracleSql.sampleMixture(
       Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 2000L, "mixture"),
     "dedup_cross" -> OracleSql.dedupCross(16, 2, 0.5),
+    // the stored-index path must produce byte-identical output to the
+    // recompute path — one oracle serves both
+    "dedup_cross_stored" -> OracleSql.dedupCross(16, 2, 0.5),
     "corpus_pipeline" -> OracleSql.corpusPipeline(4, 50, 16, 2, 0.5, 512),
     "corpus_pipeline_lm" -> OracleSql.corpusPipeline(4, 50, 16, 2, 0.5, 512,
       lmBand = Some((-3.41, -3.39))),

@@ -344,6 +344,90 @@ object Dedup {
         col("ref_dups").isNotNull.cast("int").as("flagged"))
   }
 
+  /** Persist a REFERENCE corpus' dedup signature index to the catalog
+    * — signatures computed ONCE, probed by every future crawl
+    * ([[crossDupAgainstIndex]]); today's [[crossDup]] recomputes the
+    * reference side every run, which at 100 TB re-reads and re-hashes
+    * the whole training set nightly. Two bucketed tables:
+    *
+    *   - `<table>_bands` (doc_id, band, sig) bucketed+sorted by
+    *     (band, sig) — the LSH probe side. Bucket columns = the band
+    *     join's equi-keys, so the stored side joins with ZERO Exchange
+    *     (each bucket pairs by file; only the new crawl shuffles, and
+    *     it is the small side by construction).
+    *   - `<table>_sigs` (doc_id, sig) bucketed by doc_id — the
+    *     verification side of the estimate join, exchange-free on the
+    *     stored doc_id key the same way.
+    *
+    * One signature pass over the reference (persisted for the two
+    * writes); NULL sigs (shingle-less docs) are excluded — they can
+    * never witness a candidate.
+    */
+  /** Band rows for a corpus — (doc_id, band, sig), the probe-side unit
+    * of every LSH join: [[bandSlices]] over fresh map-side signatures.
+    */
+  def bandRows(docs: DataFrame, perms: Int, rowsPerBand: Int): DataFrame =
+    bandSlices(minhashSigs(docs, perms), rowsPerBand, perms)
+
+  def writeBandIndex(reference: DataFrame, perms: Int, rowsPerBand: Int,
+                     table: String, nBuckets: Int): Unit = {
+    val sigs = minhashSigs(reference, perms).persist()
+    try {
+      graft.sources.Formats.writeBucketedKeys(
+        bandSlices(sigs, rowsPerBand, perms), s"${table}_bands", Seq("band", "sig"), nBuckets)
+      graft.sources.Formats.writeBucketedKeys(
+        sigs.where(col("sig").isNotNull), s"${table}_sigs", Seq("doc_id"), nBuckets)
+    } finally sigs.unpersist(blocking = false)
+  }
+
+  /** [[crossDup]] against a STORED [[writeBandIndex]] index: flag every
+    * corpus document whose banded signature collides with an indexed
+    * reference document's at estimated Jaccard ≥ `minJaccard` — the
+    * "dedup tonight's crawl against the training set" path with the
+    * training set's signatures read from the catalog instead of
+    * recomputed. Output identical to [[crossDup]] on the same inputs
+    * (equivalence is the `dedup_cross_stored` gate).
+    *
+    * Scale shape: the crawl's signatures are map-side; the band join's
+    * STORED side is bucket-pruned-exchange-free (see [[writeBandIndex]]
+    * — the plan spec in FeedStreamSpec proves no Exchange above the
+    * stored scan), and the estimate join reads stored sigs bucketed on
+    * doc_id. No broadcast hints anywhere: the index is training-set-
+    * sized by nature.
+    */
+  def crossDupAgainstIndex(corpus: DataFrame, table: String, perms: Int,
+                           rowsPerBand: Int, minJaccard: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    val rBands = spark.table(s"${table}_bands")
+    val rSigs = spark.table(s"${table}_sigs")
+    val cSigs = minhashSigs(corpus, perms).persist()
+    val hits = try {
+      val cand = bandSlices(cSigs, rowsPerBand, perms)
+        .select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+        .join(rBands.select(col("doc_id").as("doc_b"), col("band"), col("sig")),
+          Seq("band", "sig"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      cand
+        .join(cSigs.where(col("sig").isNotNull)
+          .select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(rSigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          r3(expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))" +
+            s" / cast($perms as double)")).as("jaccard_est"))
+        .where(col("jaccard_est") >= minJaccard)
+        .groupBy(col("doc_a"))
+        .agg(count(lit(1)).as("ref_dups"), min(col("doc_b")).as("dup_of"))
+        .select(col("doc_a").as("doc_id"), col("ref_dups"), col("dup_of"))
+        .localCheckpoint() // eager: the sig persist can drop before return
+    } finally cSigs.unpersist(blocking = false)
+    corpus.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ref_dups"), lit(0L)).as("ref_dups"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        col("ref_dups").isNotNull.cast("int").as("flagged"))
+  }
+
   /** Exact word-3-gram Jaccard on candidate pairs. `pairs` must have
     * (doc_a, doc_b); joins each side's shingle set, intersection via
     * shingle equi-join — no array materialization per pair.

@@ -50,7 +50,16 @@ object Formats {
     * in the metastore. FormatsSpec proves the exchange-free plan.
     */
   def writeBucketed(df: DataFrame, table: String, key: String, nBuckets: Int): Unit =
+    writeBucketedKeys(df, table, Seq(key), nBuckets)
+
+  /** Multi-key variant: bucket (and sort) by a composite key — the
+    * layout for joins whose equi-keys are composite, e.g. the LSH band
+    * index's (band, sig). Join keys must match the bucket columns
+    * exactly for the exchange-free scan.
+    */
+  def writeBucketedKeys(df: DataFrame, table: String, keys: Seq[String], nBuckets: Int): Unit =
     df.write.mode("overwrite")
-      .bucketBy(nBuckets, key).sortBy(key)
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .format("parquet").saveAsTable(table)
 }

@@ -206,6 +206,76 @@ class FeedStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("stored band index: probe joins with zero Exchange on the stored side") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    Dedup.writeBandIndex(docs.where(col("doc_id") % 2 === 0), 16, 2, "graft_xidx_t", 4)
+    val conf = spark.conf
+    val prevBc = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = conf.getOption("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.enabled", "false") // static plan → inspectable join sides
+    try {
+      // equivalence: stored-index probe == recompute-both-sides crossDup
+      val stored = Dedup.crossDupAgainstIndex(
+          docs.where(col("doc_id") % 2 === 1), "graft_xidx_t", 16, 2, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      val fresh = Dedup.crossDup(docs.where(col("doc_id") % 2 === 1),
+          docs.where(col("doc_id") % 2 === 0), 16, 2, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      assert(stored === fresh)
+      // plan shape: the band join's STORED side reads the bucketed scan
+      // directly — no Exchange between scan and join; the crawl side is
+      // the one that shuffles to match the bucketing. (The operator's
+      // own candidate join is checkpointed away in its final plan, so
+      // drive the identical join here from its public pieces.)
+      val full = Dedup.bandRows(docs.where(col("doc_id") % 2 === 1), 16, 2)
+        .select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+        .join(spark.table("graft_xidx_t_bands")
+          .select(col("doc_id").as("doc_b"), col("band"), col("sig")),
+          Seq("band", "sig"))
+      full.collect()
+      val plan = full.queryExecution.executedPlan
+      def findJoins(p: SparkPlan): Seq[SparkPlan] = p.collect {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }
+      val bandJoin = findJoins(plan).find { j =>
+        val (l, r) = j match {
+          case s: SortMergeJoinExec => (s.left, s.right)
+          case s: ShuffledHashJoinExec => (s.left, s.right)
+        }
+        Seq(l, r).exists(_.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.tableIdentifier.exists(_.table == "graft_xidx_t_bands") => f
+        }.nonEmpty)
+      }.getOrElse(fail("no join over the stored bands table in the plan"))
+      val (lhs, rhs) = bandJoin match {
+        case s: SortMergeJoinExec => (s.left, s.right)
+        case s: ShuffledHashJoinExec => (s.left, s.right)
+      }
+      val storedSide = Seq(lhs, rhs).find(_.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.tableIdentifier.exists(_.table == "graft_xidx_t_bands") => f
+      }.nonEmpty).get
+      val crawlSide = if (storedSide eq lhs) rhs else lhs
+      assert(storedSide.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"stored side must not exchange:\n$storedSide")
+      assert(crawlSide.collect { case e: ShuffleExchangeExec => e }.nonEmpty,
+        "the crawl side is the one expected to shuffle into the bucket layout")
+    } finally {
+      prevBc.fold(conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      prevAqe.fold(conf.unset("spark.sql.adaptive.enabled"))(
+        conf.set("spark.sql.adaptive.enabled", _))
+      spark.sql("DROP TABLE IF EXISTS graft_xidx_t_bands")
+      spark.sql("DROP TABLE IF EXISTS graft_xidx_t_sigs")
+    }
+  }
+
   test("batch session_window matches the lag-based sessionize operator") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val native = StreamOps.sessionWindowsBatch(ev, "30 minutes")
