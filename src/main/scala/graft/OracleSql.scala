@@ -1370,6 +1370,18 @@ object OracleSql {
        |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** decontaminateStream's batch twin: contaminated docs (any shared
+    * n-gram with the benchmark = docs with doc_id % m = 0) with their
+    * synthetic first event time (2024-01-01 epoch + doc_id seconds —
+    * the gate's convention).
+    */
+  def streamDecontaminateBatch(n: Int, m: Int): String =
+    s"""WITH ${ngramsCte(n)},
+       |bench AS (SELECT DISTINCT g FROM dg WHERE doc_id % $m = 0),
+       |hits AS (SELECT DISTINCT dg.doc_id FROM dg JOIN bench USING (g))
+       |SELECT doc_id, 1704067200000000 + doc_id * 1000000 AS ts_us
+       |FROM hits ORDER BY doc_id""".stripMargin
+
   /** Repetition signals: duplicate-n-gram fraction + top-token
     * dominance. Grams here are NOT deduped (the fraction needs the raw
     * count), so this builds its own list instead of ngramsCte.

@@ -535,6 +535,17 @@ object SparkEntry {
         Tables.events(s, dir), Seq("user_id", "event_type"))
         .orderBy(col("user_id"), col("event_type"))),
 
+    // decontaminateStream's batch twin: documents carry synthetic event
+    // times (2024-01-01 epoch + doc_id seconds — the engine-portable
+    // convention); output = each contaminated doc's first event time
+    "stream_decontaminate_batch" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("ts", timestamp_micros(lit(1704067200000000L) + col("doc_id") * 1000000L))
+      graft.streaming.StreamOps.decontaminateStreamBatch(
+          docs, Tables.documents(s, dir).where(col("doc_id") % 50 === 0), 4)
+        .orderBy(col("doc_id"))
+    }),
+
     "ts_lag_features" -> ((s, dir) =>
       TimeSeries.lagFeatures(
         TimeSeries.resampleDaily(Tables.events(s, dir)), Seq(1, 7), 7)
@@ -758,6 +769,7 @@ object SparkEntry {
     "range_join" -> OracleSql.rangeJoin,
     "session_window_batch" -> OracleSql.sessionWindowBatch(1800000000L),
     "dedup_stream_batch" -> OracleSql.dedupStreamBatch,
+    "stream_decontaminate_batch" -> OracleSql.streamDecontaminateBatch(4, 50),
     "ts_lag_features" -> OracleSql.lagFeatures(Seq(1, 7), 7),
     "dedup_pipeline" -> OracleSql.dedupPipeline(16, 2, 0.5),
     "text_normalize" -> OracleSql.textNormalize,

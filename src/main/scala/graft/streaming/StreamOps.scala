@@ -102,6 +102,30 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("doc_id")
   }
 
+  /** Batch twin of [[decontaminateStream]] with canonical
+    * deterministic semantics: one row per contaminated doc with its
+    * FIRST event time (min ts — the row
+    * `dropDuplicatesWithinWatermark` keeps when the stream arrives in
+    * event-time order; the batch twin pins the deterministic answer
+    * the oracle can check). Same shape as the streaming plan: gram
+    * explode, broadcast benchmark probe, per-doc collapse — one
+    * shuffle on doc_id carrying only (doc_id, ts) scalars.
+    */
+  def decontaminateStreamBatch(docs: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
+    val bench = broadcast(
+      benchmark.select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(explode(graft.operators.TextOps.distinctNgrams("toks", n)).as("gram"))
+        .distinct())
+    docs
+      .select(col("doc_id"), unix_micros(col("ts")).as("ts_us"),
+        split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("ts_us"),
+        explode(graft.operators.TextOps.distinctNgrams("toks", n)).as("gram"))
+      .join(bench, "gram")
+      .groupBy(col("doc_id"))
+      .agg(min(col("ts_us")).as("ts_us"))
+  }
+
   /** Batch twin of [[sessionWindows]]. */
   def sessionWindowsBatch(events: DataFrame, gap: String): DataFrame =
     events

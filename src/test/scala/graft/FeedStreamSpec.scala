@@ -304,6 +304,14 @@ class FeedStreamSpec extends AnyFunSuite {
       q.processAllAvailable()
       val flagged = spark.sql("select doc_id from decon").collect().map(_.getLong(0)).sorted
       assert(flagged.toSeq === Seq(1L, 3L))
+      // the batch twin agrees doc-for-doc, and pins each doc's FIRST
+      // event time as the canonical emission
+      val twin = StreamOps.decontaminateStreamBatch(
+          rows.toDF("doc_id", "ts", "text"), bench, 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(twin.keySet === Set(1L, 3L))
+      assert(twin(1L) === base.getTime * 1000L)
+      assert(twin(3L) === (base.getTime + 2 * 60000L) * 1000L)
     } finally q.stop()
   }
 
