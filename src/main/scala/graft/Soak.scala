@@ -132,6 +132,27 @@ object Soak {
       "dedup_cross" -> (() => graft.operators.Dedup.crossDup(
         docs.where(col("doc_id") % 2 === 1), docs.where(col("doc_id") % 2 === 0),
         16, 2, 0.5)),
+      // the stored-index path at the same factor×-both-sides growth:
+      // index write (one sig pass + two bucketed writes) + probe
+      "dedup_cross_stored" -> (() => {
+        Dedup.writeBandIndex(docs.where(col("doc_id") % 2 === 0),
+          16, 2, "graft_soak_xidx", 8)
+        Dedup.crossDupAgainstIndex(docs.where(col("doc_id") % 2 === 1),
+          "graft_soak_xidx", 16, 2, 0.5)
+      }),
+      // probe-only against an index built in the PREVIOUS entry's run
+      // — the recurring (nightly) cost of the stored path, the number
+      // that beats recompute-both-sides dedup_cross. Run it together
+      // with dedup_cross_stored (or after any writeBandIndex) so the
+      // catalog table exists.
+      "dedup_cross_probe" -> (() =>
+        Dedup.crossDupAgainstIndex(docs.where(col("doc_id") % 2 === 1),
+          "graft_soak_xidx", 16, 2, 0.5)),
+      // k-means cost law is n·k per round; production sizes the
+      // codebook ~√n (the SemDeDup argument), so the soak scales k
+      // with √factor rather than holding it flat
+      "kmeans_fit" -> (() => Similarity.kmeansFit(emb,
+        math.max(8, (8 * math.sqrt(factor.toDouble)).round.toInt), 3)),
       // fixed benchmark (the BASE corpus' every-50th doc) against the
       // factor×-grown corpus — the real decontamination shape: the
       // broadcast side stays eval-set-sized while probe work grows

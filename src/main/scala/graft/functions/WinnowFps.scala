@@ -34,8 +34,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * covers them all (every non-empty-gram doc yields ≥ 1 fingerprint).
   *
   * CodegenFallback like [[NgramStats]]: one primitive-loop pass per
-  * row is the win. Selection is O(n·w) with the naive inner scan —
-  * w is a small constant (4-16 in practice).
+  * row is the win. Hashing is a true rolling update and selection a
+  * monotone deque — O(n) per row total, independent of k and w.
   */
 case class WinnowFps(child: Expression, k: Int, w: Int)
     extends UnaryExpression with CodegenFallback {
@@ -58,34 +58,51 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
     val n = cps.length
     val nH = n - k + 1
     if (nH <= 0) return new GenericArrayData(Array.empty[Any])
+    // TRUE rolling hash (VERDICT r8 #4): h(p+1) = (h(p) − cp(p)·31^{k−1})
+    // ·31 + cp(p+k) mod M — exact modular integer arithmetic, so values
+    // are bit-identical to the per-position recompute it replaces
+    // (PropertySpec's independent reference pins equality). O(n) total
+    // hashing instead of O(n·k). Intermediate bound: cp ≤ 0x10FFFF and
+    // pow, h < M ≈ 1e9, so every product stays far inside a Long.
+    var pow = 1L // 31^{k−1} mod M
+    var i = 1
+    while (i < k) { pow = pow * 31L % M; i += 1 }
     val hashes = new Array[Long](nH)
-    var p = 0
+    var h = 0L
+    i = 0
+    while (i < k) { h = (h * 31L + cps(i).toLong) % M; i += 1 }
+    hashes(0) = h
+    var p = 1
     while (p < nH) {
-      var h = 0L
-      var i = 0
-      while (i < k) {
-        h = (h * 31L + cps(p + i).toLong) % M
-        i += 1
-      }
+      h = ((h + M - cps(p - 1).toLong * pow % M) % M * 31L + cps(p + k - 1).toLong) % M
       hashes(p) = h
       p += 1
     }
+    // Monotone deque (strictly increasing hash front→back): pushing a
+    // new index pops every back entry with hash >= its own, so among
+    // equal minima the NEWEST survives — the front is always the
+    // window's RIGHTMOST minimum, exactly the `<=` ascending-scan rule
+    // it replaces. O(n) total window selection instead of O(n·w).
     val out = new scala.collection.mutable.ArrayBuffer[Any]
     val nWin = math.max(1, nH - w + 1)
+    val deque = new Array[Int](nH)
+    var head = 0
+    var tail = 0
     var lastPos = -1
+    var nextIdx = 0
     var j = 0
     while (j < nWin) {
       val end = math.min(j + w, nH)
-      var bestH = Long.MaxValue
-      var bestP = -1
-      var q = j
-      while (q < end) {
-        // <= keeps the RIGHTMOST minimum (ascending scan)
-        if (hashes(q) <= bestH) { bestH = hashes(q); bestP = q }
-        q += 1
+      while (nextIdx < end) {
+        while (tail > head && hashes(deque(tail - 1)) >= hashes(nextIdx)) tail -= 1
+        deque(tail) = nextIdx
+        tail += 1
+        nextIdx += 1
       }
+      while (deque(head) < j) head += 1
+      val bestP = deque(head)
       if (bestP != lastPos) {
-        out += new GenericInternalRow(Array[Any](bestP + 1, bestH))
+        out += new GenericInternalRow(Array[Any](bestP + 1, hashes(bestP)))
         lastPos = bestP
       }
       j += 1
