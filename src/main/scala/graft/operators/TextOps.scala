@@ -254,7 +254,6 @@ object TextOps {
   def compositeFilter(docs: DataFrame, minTokens: Int = 30, maxTokens: Int = 90,
                       maxStopRatio: Double = 0.15, maxDupRatio: Double = 0.10,
                       retainAll: Boolean = false): DataFrame = {
-    graft.functions.VectorExprs.register(docs.sparkSession)
     if (retainAll) {
       val reserved = Seq("toks", "st", "n_toks", "stop_ratio", "dup_frac", "keep")
       val clash = docs.columns.filter(reserved.contains)
@@ -262,13 +261,30 @@ object TextOps {
         s"compositeFilter(retainAll = true): input column(s) ${clash.mkString(", ")} " +
           s"collide with reserved output names (${reserved.mkString(", ")}); rename them first")
     }
+    compositeFilterToks(docs.withColumn("toks", split(col("text"), " ")),
+      minTokens, maxTokens, maxStopRatio, maxDupRatio, retainAll)
+  }
+
+  /** [[compositeFilter]] over an ALREADY-tokenized frame (a `toks`
+    * array column): the verdict math with no `split` of its own, so a
+    * composition that tokenizes once (e.g. [[Corpus.pipeline]]'s shared
+    * tokenized checkpoint feeding both the verdict and the lm band) can
+    * reuse the same pass. `retainAll` keeps every input column except
+    * `toks` itself.
+    */
+  private[operators] def compositeFilterToks(tokenized: DataFrame,
+      minTokens: Int, maxTokens: Int, maxStopRatio: Double, maxDupRatio: Double,
+      retainAll: Boolean): DataFrame = {
+    graft.functions.VectorExprs.register(tokenized.sparkSession)
     val toks = col("toks")
     // retainAll: keep every input column alongside the verdict — the
     // verdict stays a pure PROJECTION, so a composition can filter
     // `WHERE keep = 1` inline instead of joining a doc_id keep-list
     // back to the corpus (which would reshuffle document bodies)
-    val base = if (retainAll) docs.columns.toSeq.map(col) else Seq(col("doc_id"))
-    docs.withColumn("toks", split(col("text"), " "))
+    val base =
+      if (retainAll) tokenized.columns.toSeq.filterNot(_ == "toks").map(col)
+      else Seq(col("doc_id"))
+    tokenized
       .where(size(toks) >= 2)
       .withColumn("st", expr("graft_ngram_stats(toks, 2)"))
       .select(base ++ Seq(size(toks).cast("long").as("n_toks"),
@@ -304,11 +320,22 @@ object TextOps {
     * equality, like tfidf's). Same localCheckpoint durability caveat
     * as tfidf: use reliable `checkpoint()` at cluster scale.
     */
-  def lmScore(docs: DataFrame, broadcastCounts: Boolean = true): DataFrame = {
-    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+  def lmScore(docs: DataFrame, broadcastCounts: Boolean = true): DataFrame =
+    lmScoreFromTf(
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint(),
+      broadcastCounts)
+
+  /** [[lmScore]] from a pre-aggregated, MATERIALIZED (checkpointed)
+    * per-(doc_id, tok) `tf` frame — lets a composition that already
+    * tokenized the corpus derive the score without a second body pass
+    * ([[Corpus.pipeline]]'s lm band). The frame must be a leaf: both
+    * the vocab-count derivation and the scoring join read it.
+    */
+  private[operators] def lmScoreFromTf(tf: DataFrame,
+                                       broadcastCounts: Boolean = true): DataFrame = {
     val counts0 = tf.groupBy(col("tok")).agg(sum(col("tf")).as("n"))
     val counts = if (broadcastCounts) broadcast(counts0) else counts0
     val total = counts0.agg(sum(col("n")).as("total"))
