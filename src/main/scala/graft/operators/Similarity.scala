@@ -321,9 +321,16 @@ object Similarity {
   private def kmeansStep(embeddings: DataFrame,
                          cents: Array[(Long, Array[Double])]): Array[(Long, Array[Double])] = {
     val enc = graft.functions.IvfCell.encode(cents.map(_._1), cents.map(_._2))
+    // the cell assignment is projected BELOW the posexplode (two
+    // selects — the Generate passes `cell` through), so the
+    // O(k·dim) argmax runs once per VECTOR; folding it into the same
+    // select as posexplode lands it in the Project above the Generate,
+    // re-running it once per exploded ELEMENT (a dim× amplification —
+    // caught by plan audit)
     val rows = embeddings.where(col("embedding").isNotNull)
-      .select(expr(s"coalesce(graft_ivf_cell(embedding, '$enc'), -1L)").as("cell"),
-        posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("embedding"),
+        expr(s"coalesce(graft_ivf_cell(embedding, '$enc'), -1L)").as("cell"))
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
       .groupBy(col("cell"), col("d"))
       .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
       .collect()
@@ -375,9 +382,11 @@ object Similarity {
     require(nIter >= 1, s"kmeansFit: nIter must be >= 1, got $nIter")
     val cents = kmeansCentroids(embeddings, k, nIter - 1)
     val enc = graft.functions.IvfCell.encode(cents.map(_._1), cents.map(_._2))
+    // assignment below the explode — see kmeansStep's plan-audit note
     embeddings.where(col("embedding").isNotNull)
-      .select(expr(s"coalesce(graft_ivf_cell(embedding, '$enc'), -1L)").as("cid"),
-        posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("embedding"),
+        expr(s"coalesce(graft_ivf_cell(embedding, '$enc'), -1L)").as("cid"))
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("d", "x")))
       .groupBy(col("cid"), col("d"))
       .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
       .select(col("cid"), col("d"), col("n"), r3(col("sx") / col("n")).as("cd"))
