@@ -884,6 +884,29 @@ object OracleSql {
        |  FROM s)
        |SELECT qid, vid, cos, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
+  /** SemDeDup on the k-means-TRAINED quantizer: the kmeans chain, one
+    * more assignment, then the dedupSemantic pair/survivor CTEs.
+    */
+  def dedupSemanticTrained(nCentroids: Int, kmIter: Int, threshold: Double,
+                           dim: Int = 64): String =
+    s"""WITH ${kmeansCtes(nCentroids, kmIter, dim)},
+       |f0 AS (
+       |  SELECT e.vec_id, e.v, c.cid, ${R("list_cosine_similarity(e.v, c.cv)")} AS ccos
+       |  FROM e CROSS JOIN c$kmIter c),
+       |asg AS (
+       |  SELECT vec_id, v, cid AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+       |    FROM f0)
+       |  WHERE crank = 1),
+       |dup AS (
+       |  SELECT DISTINCT a.vec_id
+       |  FROM asg a JOIN asg b
+       |    ON a.cell = b.cell AND b.vec_id < a.vec_id
+       |   AND ${R("list_cosine_similarity(a.v, b.v)")} >= $threshold)
+       |SELECT a.vec_id, a.cell, (d.vec_id IS NOT NULL) AS dropped
+       |FROM asg a LEFT JOIN dup d ON d.vec_id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
   /** PQ ANN: codebook = sub-slices of the first nCodewords vectors;
     * per-subspace assignment by ROUNDED squared L2 (argmin, cid
     * tie-break); ADC score = sum of per-subspace distance-table

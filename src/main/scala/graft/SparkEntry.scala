@@ -383,6 +383,12 @@ object SparkEntry {
         .select(col("qid"), col("vid"), col("cos"), col("rank").cast("long").as("rank"))
         .orderBy(col("qid"), col("rank"))),
 
+    // SemDeDup with the paper's actual k-means clustering (2 Lloyd
+    // rounds) instead of the first-N convention
+    "dedup_semantic_trained" -> ((s, dir) =>
+      Similarity.semanticDedupTrained(Tables.embeddings(s, dir), 8, 2, 0.3)
+        .orderBy(col("vec_id"))),
+
     "dedup_jaccard_est" -> ((s, dir) => {
       // persist: sigs feed banding + both estimate-join sides; the
       // (small, candidate-filtered) estimate table is checkpointed
@@ -745,6 +751,7 @@ object SparkEntry {
     "ann_ivf_probe" -> OracleSql.annIvfProbe(16, 5, 5, 2),
     "kmeans_fit" -> OracleSql.kmeansFit(8, 3),
     "ann_ivf_trained" -> OracleSql.annIvfTrained(8, 3, 5, 5),
+    "dedup_semantic_trained" -> OracleSql.dedupSemanticTrained(8, 2, 0.3),
     "dedup_jaccard_est" -> OracleSql.dedupJaccardEst(16, 2),
     "dedup_cc" -> OracleSql.dedupCc(16, 2),
     "q5_region_revenue" -> OracleSql.q5RegionRevenue,

@@ -171,7 +171,22 @@ object Similarity {
   def semanticDedup(embeddings: DataFrame, nCentroids: Int,
                     threshold: Double): DataFrame = {
     VectorExprs.register(embeddings.sparkSession)
-    val enc = quantizer(embeddings, nCentroids)
+    semanticDedupWith(embeddings, quantizer(embeddings, nCentroids), threshold)
+  }
+
+  /** [[semanticDedup]] with a TRAINED coarse quantizer (`kmIter` Lloyd
+    * rounds) — the paper's actual recipe (SemDeDup clusters with
+    * k-means); the first-N convention remains the cheap default.
+    */
+  def semanticDedupTrained(embeddings: DataFrame, nCentroids: Int, kmIter: Int,
+                           threshold: Double): DataFrame = {
+    val cents = kmeansCentroids(embeddings, nCentroids, kmIter)
+    semanticDedupWith(embeddings,
+      graft.functions.IvfCell.encode(cents.map(_._1), cents.map(_._2)), threshold)
+  }
+
+  private def semanticDedupWith(embeddings: DataFrame, enc: String,
+                                threshold: Double): DataFrame = {
     // coalesce sentinel: see annIvfTopK — keeps `cell` non-nullable so
     // the equi-join doesn't re-run the argmax under an isnotnull guard
     val assigned = prepared(embeddings)
