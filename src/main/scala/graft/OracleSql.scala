@@ -907,6 +907,92 @@ object OracleSql {
        |FROM asg a LEFT JOIN dup d ON d.vec_id = a.vec_id
        |ORDER BY a.vec_id""".stripMargin
 
+  /** Unrolled per-subspace Lloyd's k-means for the PQ codebook
+    * (mirrors [[kmeansCtes]] under squared-L2): `b0` = the first-`k`
+    * sub-slice seed (one row per (subspace, codeword) with the
+    * sub-vector as `w`), then per iteration an assignment CTE `pa{i}`
+    * (rounded-d² argmin, code tie-break — the PqCodes rule), member
+    * stats `pm{i}` with the ROUNDED per-sub-dimension mean, and the
+    * updated book `b{i}`.
+    */
+  private def pqKmeansCtes(k: Int, m: Int, nIter: Int, dim: Int): String = {
+    val subDim = dim / m
+    val sb = new StringBuilder
+    sb.append(
+      s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |      WHERE embedding IS NOT NULL),
+         |b0 AS (
+         |  SELECT s.s, e.vec_id AS c,
+         |         e.v[s.s * $subDim + 1 : s.s * $subDim + $subDim] AS w
+         |  FROM e CROSS JOIN range(0, $m) s(s) WHERE e.vec_id < $k)""".stripMargin)
+    for (i <- 1 to nIter) {
+      val diff = s"(e.v[b.s * $subDim + j] - b.w[j])"
+      sb.append(
+        s""",
+           |pa${i}0 AS (
+           |  SELECT e.vec_id, b.s, b.c,
+           |    ${R(s"list_sum(list_transform(generate_series(1, $subDim), j -> $diff * $diff))")} AS d2
+           |  FROM e CROSS JOIN b${i - 1} b),
+           |pa$i AS (
+           |  SELECT vec_id, s, c AS code FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+           |    FROM pa${i}0)
+           |  WHERE rn = 1),
+           |pm$i AS (
+           |  SELECT a.s, a.code, g.j, COUNT(*) AS n,
+           |         ${R(s"SUM(e.v[a.s * $subDim + g.j]) / COUNT(*)")} AS cd
+           |  FROM pa$i a JOIN e ON e.vec_id = a.vec_id
+           |  CROSS JOIN generate_series(1, $subDim) g(j)
+           |  GROUP BY a.s, a.code, g.j),
+           |b$i AS (
+           |  SELECT s, code AS c, LIST(cd ORDER BY j) AS w FROM pm$i GROUP BY s, code)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** pq_fit: per surviving (subspace, codeword) of the final round,
+    * the member count and the position-weighted checksum Σ j·cd over
+    * the round's updated (rounded) means (j is 1-based).
+    */
+  def pqFit(k: Int, m: Int, nIter: Int, dim: Int = 64): String =
+    s"""WITH ${pqKmeansCtes(k, m, nIter, dim)}
+       |SELECT s, code, MAX(n) AS n, ${R("SUM(j * cd)")} AS checksum
+       |FROM pm$nIter GROUP BY s, code ORDER BY s, code""".stripMargin
+
+  /** annPq search against the per-subspace-k-means-TRAINED codebook
+    * `b{kmIter}` instead of the first-N sub-slice convention.
+    */
+  def annPqTrained(nCodewords: Int, m: Int, kmIter: Int, nQueries: Int,
+                   k: Int, dim: Int = 64): String = {
+    val subDim = dim / m
+    def d2(vec: String) = {
+      val diff = s"($vec[b.s * $subDim + j] - b.w[j])"
+      R(s"list_sum(list_transform(generate_series(1, $subDim), j -> $diff * $diff))")
+    }
+    s"""WITH ${pqKmeansCtes(nCodewords, m, kmIter, dim)},
+       |fa0 AS (
+       |  SELECT e.vec_id, b.s, b.c, ${d2("e.v")} AS d2
+       |  FROM e CROSS JOIN b$kmIter b),
+       |asg AS (
+       |  SELECT vec_id, s, c AS code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+       |    FROM fa0)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < $nQueries),
+       |dt AS (
+       |  SELECT q.qid, b.s, b.c AS code, ${d2("q.v")} AS d2
+       |  FROM q CROSS JOIN b$kmIter b),
+       |sc AS (
+       |  SELECT dt.qid, a.vec_id AS vid, ${R("SUM(dt.d2)")} AS adist
+       |  FROM asg a JOIN dt ON dt.s = a.s AND dt.code = a.code
+       |  WHERE a.vec_id != dt.qid
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS BIGINT) AS rank
+       |  FROM sc)
+       |SELECT qid, vid, adist, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
   /** PQ ANN: codebook = sub-slices of the first nCodewords vectors;
     * per-subspace assignment by ROUNDED squared L2 (argmin, cid
     * tie-break); ADC score = sum of per-subspace distance-table

@@ -389,6 +389,18 @@ object SparkEntry {
       Similarity.semanticDedupTrained(Tables.embeddings(s, dir), 8, 2, 0.3)
         .orderBy(col("vec_id"))),
 
+    // per-subspace k-means PQ codebook training (FAISS IndexPQ train):
+    // 2 rounds over 16 codewords x 4 subspaces
+    "pq_fit" -> ((s, dir) =>
+      Similarity.pqFit(Tables.embeddings(s, dir), 16, 4, 2)
+        .orderBy(col("s"), col("code"))),
+
+    // the trained compressed tier end-to-end: train -> encode -> ADC
+    "ann_pq_trained" -> ((s, dir) =>
+      Similarity.annPqTopKTrained(Tables.embeddings(s, dir), 16, 4, 2, 5, 5)
+        .select(col("qid"), col("vid"), col("adist"), col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))),
+
     "dedup_jaccard_est" -> ((s, dir) => {
       // persist: sigs feed banding + both estimate-join sides; the
       // (small, candidate-filtered) estimate table is checkpointed
@@ -752,6 +764,8 @@ object SparkEntry {
     "kmeans_fit" -> OracleSql.kmeansFit(8, 3),
     "ann_ivf_trained" -> OracleSql.annIvfTrained(8, 3, 5, 5),
     "dedup_semantic_trained" -> OracleSql.dedupSemanticTrained(8, 2, 0.3),
+    "pq_fit" -> OracleSql.pqFit(16, 4, 2),
+    "ann_pq_trained" -> OracleSql.annPqTrained(16, 4, 2, 5, 5),
     "dedup_jaccard_est" -> OracleSql.dedupJaccardEst(16, 2),
     "dedup_cc" -> OracleSql.dedupCc(16, 2),
     "q5_region_revenue" -> OracleSql.q5RegionRevenue,

@@ -532,6 +532,125 @@ object Similarity {
     saltedTopK(scored, "adist", ascending = true, k)
   }
 
+  /** One per-subspace Lloyd round for the PQ codebook (the FAISS
+    * IndexPQ `train()` recipe — k-means per subspace under squared
+    * L2): assignment = the zero-exchange [[graft.functions.PqCodes]]
+    * rounded-d² argmin projection, ALL `m` subspaces in one pass over
+    * the scan; update = one map-side-combined groupBy mean over
+    * (subspace, codeword, sub-dimension) — the exchange carries
+    * ≤ m·k·subDim·partitions partial rows. Codes are projected BELOW
+    * the posexplode (the [[kmeansStep]] plan-audit lesson), so the
+    * m·k·subDim argmin runs once per VECTOR. Codewords that lose all
+    * members drop from their subspace's book; means are ROUNDED so the
+    * trajectory is engine-reproducible.
+    */
+  private def pqKmeansStep(embeddings: DataFrame, cids: Array[Array[Long]],
+                           books: Array[Array[Array[Double]]])
+      : (Array[Array[Long]], Array[Array[Array[Double]]]) = {
+    val enc = graft.functions.PqCodes.encode(cids, books)
+    val m = books.length
+    val subDim = books(0)(0).length
+    val rows = embeddings.where(col("embedding").isNotNull)
+      .select(col("embedding"), expr(s"graft_pq_codes(embedding, '$enc')").as("codes"))
+      .select(col("codes"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(expr(s"d div $subDim").as("s"),
+        expr(s"element_at(codes, cast(d div $subDim as int) + 1)").as("code"),
+        (col("d") % subDim).as("sd"), col("x"))
+      .groupBy(col("s"), col("code"), col("sd"))
+      .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
+      .collect()
+    val outC = new Array[Array[Long]](m)
+    val outB = new Array[Array[Array[Double]]](m)
+    var s = 0
+    while (s < m) {
+      val byCode = rows.filter(_.getLong(0) == s).groupBy(_.getLong(1)).toArray.sortBy(_._1)
+      outC(s) = byCode.map(_._1)
+      outB(s) = byCode.map { case (_, rs) =>
+        rs.sortBy(_.getAs[Number](2).intValue())
+          .map(r => r3d(r.getDouble(3) / r.getLong(4)))
+      }
+      s += 1
+    }
+    (outC, outB)
+  }
+
+  /** PQ codebook trained by `nIter` per-subspace Lloyd rounds from the
+    * first-`nCodewords` sub-slice seed — the trained counterpart of
+    * [[pqBooks]]'s convention, completing the trained-quantizer story
+    * for the compressed tier.
+    */
+  def pqTrainedBooks(embeddings: DataFrame, nCodewords: Int, m: Int, nIter: Int)
+      : (Array[Array[Long]], Array[Array[Array[Double]]]) = {
+    VectorExprs.register(embeddings.sparkSession)
+    val head = headVectors(embeddings.where(col("embedding").isNotNull), nCodewords)
+    var (cids, books) = { val (_, c, b, _) = pqBooks(head, m); (c, b) }
+    var it = 0
+    while (it < nIter) {
+      val r = pqKmeansStep(embeddings, cids, books)
+      cids = r._1; books = r._2
+      it += 1
+    }
+    (cids, books)
+  }
+
+  /** The `pq_fit` gate surface (mirrors [[kmeansFit]]): `nIter − 1`
+    * driver rounds, then the final round distributed — per surviving
+    * (subspace, codeword): member count and the position-weighted
+    * checksum Σ (j+1)·w_j of the updated (rounded) codeword.
+    */
+  def pqFit(embeddings: DataFrame, nCodewords: Int, m: Int, nIter: Int): DataFrame = {
+    require(nIter >= 1, s"pqFit: nIter must be >= 1, got $nIter")
+    val (cids, books) = pqTrainedBooks(embeddings, nCodewords, m, nIter - 1)
+    val subDim = books(0)(0).length
+    val enc = graft.functions.PqCodes.encode(cids, books)
+    embeddings.where(col("embedding").isNotNull)
+      .select(col("embedding"), expr(s"graft_pq_codes(embedding, '$enc')").as("codes"))
+      .select(col("codes"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(expr(s"d div $subDim").as("s"),
+        expr(s"element_at(codes, cast(d div $subDim as int) + 1)").as("code"),
+        (col("d") % subDim).as("sd"), col("x"))
+      .groupBy(col("s"), col("code"), col("sd"))
+      .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
+      .select(col("s"), col("code"), col("sd"), col("n"), r3(col("sx") / col("n")).as("cd"))
+      .groupBy(col("s"), col("code"))
+      .agg(max(col("n")).as("n"),
+        r3(sum((col("sd") + 1) * col("cd"))).as("checksum"))
+  }
+
+  /** PQ/ADC search against an explicit (cids, books) codebook — the
+    * shared core of the trained tier. Same shape as [[annPqTopK]]:
+    * zero-exchange encoding, driver-computed broadcast distance
+    * tables, map-local ADC sum, salted ascending rank.
+    */
+  private def annPqWith(embeddings: DataFrame, cids: Array[Array[Long]],
+                        books: Array[Array[Array[Double]]], subDim: Int,
+                        nQueries: Int, k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    val enc = graft.functions.PqCodes.encode(cids, books)
+    val dt = pqDistTable(spark,
+      headVectors(embeddings.where(col("embedding").isNotNull), nQueries),
+      cids, books, subDim)
+    val codes = embeddings.where(col("embedding").isNotNull)
+      .select(col("vec_id"), expr(s"graft_pq_codes(embedding, '$enc')").as("codes"))
+    val scored = codes
+      .select(col("vec_id").as("vid"), posexplode(col("codes")).as(Seq("s", "code")))
+      .join(broadcast(dt), Seq("s", "code"))
+      .where(col("vid") =!= col("qid"))
+      .groupBy(col("qid"), col("vid"))
+      .agg(r3(sum(col("d2"))).as("adist"))
+    saltedTopK(scored, "adist", ascending = true, k)
+  }
+
+  /** [[annPqTopK]] with a TRAINED codebook: `kmIter` per-subspace
+    * Lloyd rounds replace the first-N sub-slice convention — the
+    * production PQ recipe end-to-end (train → encode → ADC search).
+    */
+  def annPqTopKTrained(embeddings: DataFrame, nCodewords: Int, m: Int,
+                       kmIter: Int, nQueries: Int, k: Int): DataFrame = {
+    val (cids, books) = pqTrainedBooks(embeddings, nCodewords, m, kmIter)
+    annPqWith(embeddings, cids, books, books(0)(0).length, nQueries, k)
+  }
+
   /** Recall@k of the LSH ANN against the exact top-k, per query —
     * the self-evaluation loop a production ANN deployment runs when
     * tuning nPlanes (left join so queries with zero bucket-mates

@@ -171,6 +171,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getAs[Long]("qid") !== r.getAs[Long]("vid")))
   }
 
+  test("pq training: one per-subspace Lloyd round moves codewords to rounded sub-means") {
+    import spark.implicits._
+    // dim 4, m 2: subspace codewords seeded from vecs 0/1; vecs 2/3
+    // sit near one codeword per subspace, so the round's means are known
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Array(0.8f, 0.2f, 0.0f, 0.9f)),
+      (3L, Array(0.2f, 0.9f, 0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val (cids, books) = Similarity.pqTrainedBooks(e, 2, 2, 1)
+    def r3(x: Double) = math.floor(x * 1000.0 + 0.5001) / 1000.0
+    assert(cids(0).toSeq === Seq(0L, 1L) && cids(1).toSeq === Seq(0L, 1L))
+    // subspace 0: c0 <- {v0,v2} sub0, c1 <- {v1,v3} sub0
+    assert(books(0)(0).toSeq === Seq(r3((1.0 + 0.8f.toDouble) / 2), r3(0.2f.toDouble / 2)))
+    assert(books(0)(1).toSeq === Seq(r3(0.2f.toDouble / 2), r3((1.0 + 0.9f.toDouble) / 2)))
+    // subspace 1: c0 <- {v0,v2} sub1, c1 <- {v1,v3} sub1
+    assert(books(1)(0).toSeq === Seq(0.0, r3((1.0 + 0.9f.toDouble) / 2)))
+    assert(books(1)(1).toSeq === Seq(r3((1.0 + 0.9f.toDouble) / 2), r3(0.1f.toDouble / 2)))
+    // fit gate: every vector accounted for in every subspace
+    val fit = Similarity.pqFit(e, 2, 2, 1).collect()
+    assert(fit.map(_.getAs[Long]("n")).sum === 8L) // 4 vecs x 2 subspaces
+    // trained search returns ranked rows and never self-pairs
+    val ann = Similarity.annPqTopKTrained(e, 2, 2, 1, 1, 3).collect()
+    assert(ann.nonEmpty && ann.forall(r => r.getAs[Long]("qid") !== r.getAs[Long]("vid")))
+  }
+
   test("ann PQ: codebook vectors encode to their own codes; identical vector ranks first") {
     import spark.implicits._
     // dim 4, m = 2 subspaces of 2; codebook = vecs 0 and 1
