@@ -665,6 +665,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // incremental index maintenance: build the reference index in TWO
+    // batches (evens % 4 == 0, then append evens % 4 == 2) and probe —
+    // must equal the one-shot build / the recompute path (same oracle)
+    "dedup_cross_stored_inc" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.writeBandIndex(docs.where(col("doc_id") % 4 === 0), 16, 2, "graft_xinc", 8)
+      Dedup.appendBandIndex(docs.where(col("doc_id") % 4 === 2), 16, 2, "graft_xinc", 8)
+      Dedup.crossDupAgainstIndex(docs.where(col("doc_id") % 2 === 1), "graft_xinc", 16, 2, 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     "corpus_pipeline" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       graft.operators.Corpus.pipeline(docs, docs.where(col("doc_id") % 50 === 0))
@@ -814,6 +825,7 @@ object SparkEntry {
     // the stored-index path must produce byte-identical output to the
     // recompute path — one oracle serves both
     "dedup_cross_stored" -> OracleSql.dedupCross(16, 2, 0.5),
+    "dedup_cross_stored_inc" -> OracleSql.dedupCross(16, 2, 0.5),
     "corpus_pipeline" -> OracleSql.corpusPipeline(4, 50, 16, 2, 0.5, 512),
     "corpus_pipeline_lm" -> OracleSql.corpusPipeline(4, 50, 16, 2, 0.5, 512,
       lmBand = Some((-3.41, -3.39))),

@@ -380,6 +380,28 @@ object Dedup {
     } finally sigs.unpersist(blocking = false)
   }
 
+  /** Append NEW reference documents to an existing [[writeBandIndex]]
+    * index — the nightly index-maintenance step: the training set
+    * grows by yesterday's accepted crawl WITHOUT rebuilding (at 100 TB
+    * a rebuild re-hashes the whole set; the append hashes only the
+    * delta). Bucket spec must match the existing tables' (`nBuckets`;
+    * Spark validates on append), so the exchange-free probe property
+    * survives growth. Gated: `dedup_cross_stored_inc` builds the index
+    * in two halves and must equal the one-shot build's output.
+    */
+  def appendBandIndex(newDocs: DataFrame, perms: Int, rowsPerBand: Int,
+                      table: String, nBuckets: Int): Unit = {
+    val sigs = minhashSigs(newDocs, perms).persist()
+    try {
+      graft.sources.Formats.writeBucketedKeys(
+        bandSlices(sigs, rowsPerBand, perms), s"${table}_bands",
+        Seq("band", "sig"), nBuckets, mode = "append")
+      graft.sources.Formats.writeBucketedKeys(
+        sigs.where(col("sig").isNotNull), s"${table}_sigs",
+        Seq("doc_id"), nBuckets, mode = "append")
+    } finally sigs.unpersist(blocking = false)
+  }
+
   /** [[crossDup]] against a STORED [[writeBandIndex]] index: flag every
     * corpus document whose banded signature collides with an indexed
     * reference document's at estimated Jaccard ≥ `minJaccard` — the

@@ -410,6 +410,27 @@ object Similarity {
         r3(sum((col("d") + 1) * col("cd"))).as("checksum"))
   }
 
+  /** Mean codebook distortion avg(1 − rounded cos(v, assigned
+    * centroid)) — the quality number a training loop watches; Lloyd
+    * descends it (HardeningSpec pins trained < seed on the test
+    * corpus). Assignment is the usual zero-exchange projection; the
+    * k-row centroid table rides as a broadcast for the cosine lookup.
+    */
+  def kmeansInertia(embeddings: DataFrame,
+                    cents: Array[(Long, Array[Double])]): Double = {
+    val spark = embeddings.sparkSession
+    VectorExprs.register(spark)
+    import spark.implicits._
+    val enc = graft.functions.IvfCell.encode(cents.map(_._1), cents.map(_._2))
+    val cdf = broadcast(cents.toSeq.toDF("cell", "cv"))
+    prepared(embeddings).where(col("v").isNotNull)
+      .withColumn("cell", expr(s"coalesce(graft_ivf_cell(v, '$enc'), -1L)"))
+      .join(cdf, Seq("cell"))
+      .select((lit(1.0) - r3(expr("graft_vec_dot(v, cv)") /
+        (col("norm") * sqrt(expr("graft_vec_dot(cv, cv)"))))).as("dist"))
+      .agg(avg(col("dist"))).head().getDouble(0)
+  }
+
   /** [[annIvfTopK]] with a TRAINED coarse quantizer: `kmIter` Lloyd
     * rounds over the corpus replace the first-N-vectors convention —
     * the production IVF recipe end-to-end (train → assign → search),

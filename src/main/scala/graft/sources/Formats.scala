@@ -55,10 +55,14 @@ object Formats {
   /** Multi-key variant: bucket (and sort) by a composite key — the
     * layout for joins whose equi-keys are composite, e.g. the LSH band
     * index's (band, sig). Join keys must match the bucket columns
-    * exactly for the exchange-free scan.
+    * exactly for the exchange-free scan. `mode = "append"` adds rows
+    * to an existing table (Spark validates the bucket spec matches) —
+    * new rows land in the right buckets by construction, so the
+    * exchange-free join property survives incremental growth.
     */
-  def writeBucketedKeys(df: DataFrame, table: String, keys: Seq[String], nBuckets: Int): Unit =
-    df.write.mode("overwrite")
+  def writeBucketedKeys(df: DataFrame, table: String, keys: Seq[String],
+                        nBuckets: Int, mode: String = "overwrite"): Unit =
+    df.write.mode(mode)
       .bucketBy(nBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet").saveAsTable(table)

@@ -340,6 +340,18 @@ class HardeningSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans training descends the codebook distortion on the real corpus") {
+    val emb = Tables.embeddings(spark, dir)
+    val seed = graft.operators.Similarity.kmeansCentroids(emb, 8, 0)
+    val trained = graft.operators.Similarity.kmeansCentroids(emb, 8, 3)
+    val before = graft.operators.Similarity.kmeansInertia(emb, seed)
+    val after = graft.operators.Similarity.kmeansInertia(emb, trained)
+    // Lloyd descends mean distortion; per-round 1e-3 centroid rounding
+    // can only wobble it at that scale, far below the real improvement
+    assert(after < before,
+      s"training must reduce distortion: seed $before -> trained $after")
+  }
+
   // ---------------- cache hygiene ----------------
 
   test("operators leave no cacheManager entries behind") {
@@ -372,5 +384,23 @@ class HardeningSpec extends AnyFunSuite {
     TextOps.lmScoreBigram(docs).count()
     TextOps.bm25(docs, Seq("hash", "join"), 5).count()
     assert(cm.isEmpty, "checkpoint-based text ops leaked a cache entry")
+
+    // r9: the stored-index path persists the crawl sigs internally
+    Dedup.writeBandIndex(docs.where(col("doc_id") % 2 === 0), 16, 2, "graft_hyg_idx", 2)
+    assert(cm.isEmpty, "writeBandIndex leaked a cache entry")
+    try {
+      Dedup.crossDupAgainstIndex(docs.where(col("doc_id") % 2 === 1),
+        "graft_hyg_idx", 16, 2, 0.5).count()
+      assert(cm.isEmpty, "crossDupAgainstIndex leaked a cache entry")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_hyg_idx_bands")
+      spark.sql("DROP TABLE IF EXISTS graft_hyg_idx_sigs")
+    }
+
+    // r9: the lm-band pipeline's shared tokenized checkpoint is a
+    // leaf, not a cache entry
+    graft.operators.Corpus.pipeline(docs, docs.where(col("doc_id") % 50 === 0),
+      lmScoreBand = Some((-3.41, -3.39))).count()
+    assert(cm.isEmpty, "Corpus.pipeline(lm band) leaked a cache entry")
   }
 }
