@@ -1479,6 +1479,18 @@ object OracleSql {
        |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Cluster-size histogram over the dedup pipeline's labels
+    * (singletons included) — the pipeline oracle wrapped in two
+    * grouping shells.
+    */
+  def dedupClusterStats(perms: Int, rowsPerBand: Int, minJaccard: Double): String =
+    s"""SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+       |FROM (
+       |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS sz FROM (
+       |${dedupPipeline(perms, rowsPerBand, minJaccard)}
+       |  ) GROUP BY cluster)
+       |GROUP BY sz ORDER BY sz""".stripMargin
+
   /** decontaminateStream's batch twin: contaminated docs (any shared
     * n-gram with the benchmark = docs with doc_id % m = 0) with their
     * synthetic first event time (2024-01-01 epoch + doc_id seconds —

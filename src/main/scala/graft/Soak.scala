@@ -153,6 +153,14 @@ object Soak {
       // with √factor rather than holding it flat
       "kmeans_fit" -> (() => Similarity.kmeansFit(emb,
         math.max(8, (8 * math.sqrt(factor.toDouble)).round.toInt), 3)),
+      // PQ codebooks stay small at any corpus size (FAISS uses 256
+      // codewords per subspace at billion scale) — k is fixed, the
+      // per-round cost is the n·m·k·subDim assignment scan
+      "pq_fit" -> (() => Similarity.pqFit(emb, 16, 4, 2)),
+      // trained SemDeDup: same Σ cell² law as dedup_semantic, same
+      // scaled-codebook regime, plus the training rounds themselves
+      "dedup_semantic_trained" -> (() =>
+        Similarity.semanticDedupTrained(emb, 16 * factor, 2, 0.3)),
       // fixed benchmark (the BASE corpus' every-50th doc) against the
       // factor×-grown corpus — the real decontamination shape: the
       // broadcast side stays eval-set-sized while probe work grows

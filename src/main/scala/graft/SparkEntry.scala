@@ -573,6 +573,12 @@ object SparkEntry {
       Dedup.pipeline(Tables.documents(s, dir), 16, 2, 0.5)
         .orderBy(col("doc_id"))),
 
+    // the dedup report: cluster-size histogram over the pipeline's
+    // labels, singletons included
+    "dedup_cluster_stats" -> ((s, dir) =>
+      Dedup.clusterStats(Tables.documents(s, dir), 16, 2, 0.5)
+        .orderBy(col("cluster_size"))),
+
     "text_normalize" -> ((s, dir) =>
       TextOps.normalize(Tables.documents(s, dir)).orderBy(col("doc_id"))),
 
@@ -804,6 +810,7 @@ object SparkEntry {
     "stream_decontaminate_batch" -> OracleSql.streamDecontaminateBatch(4, 50),
     "ts_lag_features" -> OracleSql.lagFeatures(Seq(1, 7), 7),
     "dedup_pipeline" -> OracleSql.dedupPipeline(16, 2, 0.5),
+    "dedup_cluster_stats" -> OracleSql.dedupClusterStats(16, 2, 0.5),
     "text_normalize" -> OracleSql.textNormalize,
     "text_tfidf" -> OracleSql.textTfidf(3),
     "decontaminate" -> OracleSql.decontaminate(4, 50),

@@ -290,6 +290,21 @@ object Dedup {
       .withColumn("keep", (col("doc_id") === col("cluster")).cast("int"))
   }
 
+  /** Duplicate-cluster size histogram over the FULL corpus (singletons
+    * included): (cluster_size, n_clusters) — the one-page dedup report
+    * a corpus owner reads before choosing thresholds (a fat tail of
+    * big clusters means boilerplate; all-singletons means the
+    * thresholds are too tight). Rides on [[pipeline]]'s labels; the
+    * two stats aggregations exchange only (cluster)- and (size)-keyed
+    * scalar rows, both map-side combined.
+    */
+  def clusterStats(docs: DataFrame, perms: Int, rowsPerBand: Int,
+                   minJaccard: Double): DataFrame =
+    pipeline(docs, perms, rowsPerBand, minJaccard)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("sz").as("cluster_size"), col("n_clusters"))
+
   /** Cross-corpus near-dup flagging: flag every CORPUS document whose
     * banded MinHash signature collides with a REFERENCE document's and
     * whose estimated Jaccard ≥ `minJaccard` — "dedup the new crawl
