@@ -1491,6 +1491,16 @@ object OracleSql {
        |  ) GROUP BY cluster)
        |GROUP BY sz ORDER BY sz""".stripMargin
 
+  /** crossDupStream's batch twin: the dedupCross verdict restricted to
+    * flagged docs, with the synthetic first event time (2024-01-01
+    * epoch + doc_id seconds — the gate's convention).
+    */
+  def streamCrossDupBatch(perms: Int, rowsPerBand: Int, minJaccard: Double): String =
+    s"""SELECT doc_id, 1704067200000000 + doc_id * 1000000 AS ts_us
+       |FROM (
+       |${dedupCross(perms, rowsPerBand, minJaccard)}
+       |) WHERE flagged = 1 ORDER BY doc_id""".stripMargin
+
   /** decontaminateStream's batch twin: contaminated docs (any shared
     * n-gram with the benchmark = docs with doc_id % m = 0) with their
     * synthetic first event time (2024-01-01 epoch + doc_id seconds —

@@ -553,6 +553,19 @@ object SparkEntry {
         Tables.events(s, dir), Seq("user_id", "event_type"))
         .orderBy(col("user_id"), col("event_type"))),
 
+    // crossDupStream's batch twin: the reference index (even ids) is
+    // written to the catalog, the crawl (odd ids, synthetic event
+    // times) is probed — output = each flagged doc's first event time
+    "stream_crossdup_batch" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.writeBandIndex(docs.where(col("doc_id") % 2 === 0), 16, 2, "graft_xstr", 8)
+      graft.streaming.StreamOps.crossDupStreamBatch(
+          docs.where(col("doc_id") % 2 === 1)
+            .withColumn("ts", timestamp_micros(lit(1704067200000000L) + col("doc_id") * 1000000L)),
+          "graft_xstr", 16, 2, 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     // decontaminateStream's batch twin: documents carry synthetic event
     // times (2024-01-01 epoch + doc_id seconds — the engine-portable
     // convention); output = each contaminated doc's first event time
@@ -808,6 +821,7 @@ object SparkEntry {
     "session_window_batch" -> OracleSql.sessionWindowBatch(1800000000L),
     "dedup_stream_batch" -> OracleSql.dedupStreamBatch,
     "stream_decontaminate_batch" -> OracleSql.streamDecontaminateBatch(4, 50),
+    "stream_crossdup_batch" -> OracleSql.streamCrossDupBatch(16, 2, 0.5),
     "ts_lag_features" -> OracleSql.lagFeatures(Seq(1, 7), 7),
     "dedup_pipeline" -> OracleSql.dedupPipeline(16, 2, 0.5),
     "dedup_cluster_stats" -> OracleSql.dedupClusterStats(16, 2, 0.5),

@@ -126,6 +126,79 @@ object StreamOps {
       .agg(min(col("ts_us")).as("ts_us"))
   }
 
+  /** Streaming cross-corpus dedup at INGEST against a STORED
+    * [[graft.operators.Dedup.writeBandIndex]] index: emit each
+    * streamed document whose banded MinHash signature collides with an
+    * indexed reference document at estimated Jaccard ≥ `minJaccard` —
+    * "dedup tonight's crawl against the training set AS IT STREAMS",
+    * the streaming face of
+    * [[graft.operators.Dedup.crossDupAgainstIndex]].
+    *
+    * Everything is per-row or stream-static, so append mode works on
+    * an unbounded stream: signatures and band slices are pure
+    * projections (`graft_minhash` + array slicing), the band probe and
+    * the sig-verification joins are STREAM-STATIC inner joins against
+    * the bucketed catalog tables (stateless — the static side is the
+    * index), and `dropDuplicatesWithinWatermark` collapses a doc's
+    * multiple verified hits to ONE emitted row; state = one key per
+    * flagged doc inside the horizon. Candidate pairs are NOT
+    * pre-distinct'd (that would be a streaming aggregation) — a pair
+    * can reach the estimate join once per shared band, a ≤ nBands
+    * duplication bounded by the band count, all collapsed by the final
+    * watermarked dedup.
+    */
+  def crossDupStream(docs: DataFrame, table: String, perms: Int,
+                     rowsPerBand: Int, minJaccard: Double,
+                     watermark: String): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.VectorExprs.register(spark)
+    val nBands = perms / rowsPerBand
+    val rBands = spark.table(s"${table}_bands")
+    val rSigs = spark.table(s"${table}_sigs")
+    val sigs = docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("ts"), expr(
+        "transform(sequence(1, size(toks) - 2), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))").as("shingles"))
+      .select(col("doc_id"), col("ts"), expr(s"graft_minhash(shingles, $perms)").as("sig_a"))
+    // NULL sigs (shingle-less docs) are dropped via the exploded band
+    // string — a real sig's band join is a comma-join of longs and can
+    // never be "" — instead of an isNotNull probe on sig_a, which
+    // would re-evaluate the md5-per-shingle signature expression for
+    // the filter (the bandSlices double-eval lesson)
+    val banded = sigs.select(col("doc_id"), col("ts"), col("sig_a"), posexplode(expr(
+        s"transform(sequence(0, ${nBands - 1}), b -> " +
+          s"array_join(transform(sequence(0, ${rowsPerBand - 1}), " +
+          s"r -> cast(element_at(sig_a, b * $rowsPerBand + r + 1) as string)), ','))")))
+      .toDF("doc_id", "ts", "sig_a", "band", "sig")
+      .where(col("sig") =!= "")
+    banded
+      .join(rBands.select(col("doc_id").as("doc_b"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .join(rSigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .where(r3(expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))" +
+        s" / cast($perms as double)")) >= minJaccard)
+      .select(col("doc_id"), col("ts"))
+      .dropDuplicatesWithinWatermark("doc_id")
+  }
+
+  /** Batch twin of [[crossDupStream]]: flagged docs with their FIRST
+    * event time — [[graft.operators.Dedup.crossDupAgainstIndex]]'s
+    * verdict joined back to the event times (same canonical-emission
+    * convention as [[decontaminateStreamBatch]]).
+    */
+  def crossDupStreamBatch(docs: DataFrame, table: String, perms: Int,
+                          rowsPerBand: Int, minJaccard: Double): DataFrame = {
+    val flagged = graft.operators.Dedup
+      .crossDupAgainstIndex(docs, table, perms, rowsPerBand, minJaccard)
+      .where(col("flagged") === 1).select(col("doc_id"))
+    docs.select(col("doc_id"), unix_micros(col("ts")).as("ts_us"))
+      .join(flagged, "doc_id")
+      .groupBy(col("doc_id")).agg(min(col("ts_us")).as("ts_us"))
+  }
+
   /** Batch twin of [[sessionWindows]]. */
   def sessionWindowsBatch(events: DataFrame, gap: String): DataFrame =
     events

@@ -315,6 +315,49 @@ class FeedStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming crossDup probe flags exactly the stored-index near-dups") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val dir = Files.createTempDirectory("xdup-in").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(offsetMin: Long) = new java.sql.Timestamp(base.getTime + offsetMin * 60000L)
+    // reference = docs 100/102; stream doc 1 is a near-copy of 100,
+    // doc 3 shares nothing, doc 5 is an exact copy of 102
+    val ref = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (102L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    Dedup.writeBandIndex(ref, 16, 2, "graft_xstr_t", 2)
+    val rows = Seq(
+      (1L, ts(0), "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, ts(1), "nothing shared here at all with anything stored"),
+      (5L, ts(2), "one two three four five six seven eight"))
+    rows.toDF("doc_id", "ts", "text").write.mode("overwrite").parquet(dir)
+    val src = spark.readStream
+      .schema(rows.toDF("doc_id", "ts", "text").schema).parquet(dir)
+    val q = StreamOps.crossDupStream(src, "graft_xstr_t", 16, 2, 0.5, "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("xdup").start()
+    try {
+      q.processAllAvailable()
+      val flagged = spark.sql("select doc_id from xdup").collect().map(_.getLong(0)).sorted
+      assert(flagged.toSeq === Seq(1L, 5L))
+      // batch twin agrees and pins the event time
+      val twin = StreamOps.crossDupStreamBatch(
+          rows.toDF("doc_id", "ts", "text"), "graft_xstr_t", 16, 2, 0.5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(twin.keySet === Set(1L, 5L))
+      assert(twin(5L) === (base.getTime + 2 * 60000L) * 1000L)
+      // and equals the recompute path on the same inputs
+      val fresh = Dedup.crossDup(rows.toDF("doc_id", "ts", "text").drop("ts"), ref, 16, 2, 0.5)
+        .where(col("flagged") === 1).collect().map(_.getLong(0)).toSet
+      assert(fresh === Set(1L, 5L))
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS graft_xstr_t_bands")
+      spark.sql("DROP TABLE IF EXISTS graft_xstr_t_sigs")
+    }
+  }
+
   test("streaming session_window emits closed sessions after watermark advances") {
     import spark.implicits._
     val dir = Files.createTempDirectory("sess-in").toString
