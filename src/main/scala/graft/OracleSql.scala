@@ -915,13 +915,16 @@ object OracleSql {
     * stats `pm{i}` with the ROUNDED per-sub-dimension mean, and the
     * updated book `b{i}`.
     */
-  private def pqKmeansCtes(k: Int, m: Int, nIter: Int, dim: Int): String = {
+  private def pqKmeansCtes(k: Int, m: Int, nIter: Int, dim: Int,
+                           withE: Boolean = true): String = {
     val subDim = dim / m
     val sb = new StringBuilder
-    sb.append(
+    if (withE) sb.append(
       s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
          |      WHERE embedding IS NOT NULL),
-         |b0 AS (
+         |""".stripMargin)
+    sb.append(
+      s"""b0 AS (
          |  SELECT s.s, e.vec_id AS c,
          |         e.v[s.s * $subDim + 1 : s.s * $subDim + $subDim] AS w
          |  FROM e CROSS JOIN range(0, $m) s(s) WHERE e.vec_id < $k)""".stripMargin)
@@ -1071,6 +1074,105 @@ object OracleSql {
        |dt AS (
        |  SELECT q.qid, cw.s, cw.c AS code, ${d2("q.qv")} AS d2
        |  FROM q CROSS JOIN cw),
+       |sc AS (
+       |  SELECT qc.qid, a.vec_id AS vid, ${R("SUM(dt.d2)")} AS adist
+       |  FROM asg a
+       |  JOIN cells ce ON ce.vec_id = a.vec_id
+       |  JOIN qc ON qc.cell = ce.cell AND a.vec_id != qc.qid
+       |  JOIN dt ON dt.qid = qc.qid AND dt.s = a.s AND dt.code = a.code
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS BIGINT) AS rank
+       |  FROM sc)
+       |SELECT qid, vid, adist, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
+  /** Multi-probe IVF+PQ: the annIvfPq CTEs with the query side
+    * searching its `nprobe` nearest cells (crank <= nprobe, as in
+    * annIvfProbe). Corpus rows keep top-1, probed cells are distinct.
+    */
+  def annIvfPqProbe(nCentroids: Int, nCodewords: Int, m: Int,
+                    nQueries: Int, k: Int, nprobe: Int, dim: Int = 64): String = {
+    val subDim = dim / m
+    def d2(vec: String) = {
+      val diff = s"($vec[cw.s * $subDim + i] - cw.v[cw.s * $subDim + i])"
+      R(s"list_sum(list_transform(generate_series(1, $subDim), i -> $diff * $diff))")
+    }
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $nCentroids),
+       |ca0 AS (
+       |  SELECT e.vec_id, c.cid, ${R("list_cosine_similarity(e.v, c.cv)")} AS ccos
+       |  FROM e CROSS JOIN c),
+       |ca1 AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+       |  FROM ca0),
+       |cells AS (SELECT vec_id, cid AS cell FROM ca1 WHERE crank = 1),
+       |qc AS (SELECT vec_id AS qid, cid AS cell FROM ca1
+       |       WHERE vec_id < $nQueries AND crank <= $nprobe),
+       |cw AS (
+       |  SELECT s.s, e.vec_id AS c, e.v FROM e CROSS JOIN range(0, $m) s(s)
+       |  WHERE e.vec_id < $nCodewords),
+       |a0 AS (
+       |  SELECT e.vec_id, cw.s, cw.c, ${d2("e.v")} AS d2
+       |  FROM e CROSS JOIN cw),
+       |asg AS (
+       |  SELECT vec_id, s, c AS code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+       |    FROM a0)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
+       |dt AS (
+       |  SELECT q.qid, cw.s, cw.c AS code, ${d2("q.qv")} AS d2
+       |  FROM q CROSS JOIN cw),
+       |sc AS (
+       |  SELECT qc.qid, a.vec_id AS vid, ${R("SUM(dt.d2)")} AS adist
+       |  FROM asg a
+       |  JOIN cells ce ON ce.vec_id = a.vec_id
+       |  JOIN qc ON qc.cell = ce.cell AND a.vec_id != qc.qid
+       |  JOIN dt ON dt.qid = qc.qid AND dt.s = a.s AND dt.code = a.code
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS BIGINT) AS rank
+       |  FROM sc)
+       |SELECT qid, vid, adist, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
+  /** Fully-trained IVF+PQ: the cosine k-means chain (coarse cells) AND
+    * the per-subspace L2 chain (codebook) side by side — `e` emitted
+    * once — then assignment from the FINAL c/b tables and the ADC
+    * search.
+    */
+  def annIvfPqTrained(nCentroids: Int, nCodewords: Int, m: Int, kmIter: Int,
+                      nQueries: Int, k: Int, dim: Int = 64): String = {
+    val subDim = dim / m
+    def d2(vec: String) = {
+      val diff = s"($vec[b.s * $subDim + j] - b.w[j])"
+      R(s"list_sum(list_transform(generate_series(1, $subDim), j -> $diff * $diff))")
+    }
+    s"""WITH ${kmeansCtes(nCentroids, kmIter, dim)},
+       |${pqKmeansCtes(nCodewords, m, kmIter, dim, withE = false)},
+       |fc0 AS (
+       |  SELECT e.vec_id, c.cid, ${R("list_cosine_similarity(e.v, c.cv)")} AS ccos
+       |  FROM e CROSS JOIN c$kmIter c),
+       |cells AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+       |    FROM fc0)
+       |  WHERE crank = 1),
+       |fb0 AS (
+       |  SELECT e.vec_id, b.s, b.c, ${d2("e.v")} AS d2
+       |  FROM e CROSS JOIN b$kmIter b),
+       |asg AS (
+       |  SELECT vec_id, s, c AS code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+       |    FROM fb0)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < $nQueries),
+       |qc AS (SELECT q.qid, cells.cell FROM q JOIN cells ON cells.vec_id = q.qid),
+       |dt AS (
+       |  SELECT q.qid, b.s, b.c AS code, ${d2("q.v")} AS d2
+       |  FROM q CROSS JOIN b$kmIter b),
        |sc AS (
        |  SELECT qc.qid, a.vec_id AS vid, ${R("SUM(dt.d2)")} AS adist
        |  FROM asg a

@@ -401,6 +401,20 @@ object SparkEntry {
         .select(col("qid"), col("vid"), col("adist"), col("rank").cast("long").as("rank"))
         .orderBy(col("qid"), col("rank"))),
 
+    // multi-probe on the composed tier (nprobe=2) — the production
+    // recall knob applied to IVFPQ
+    "ann_ivfpq_probe" -> ((s, dir) =>
+      Similarity.annIvfPqTopKProbe(Tables.embeddings(s, dir), 16, 16, 4, 5, 5, 2)
+        .select(col("qid"), col("vid"), col("adist"), col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))),
+
+    // both quantizers trained (coarse cells AND codebook) — the
+    // complete FAISS IVFPQ production recipe
+    "ann_ivfpq_trained" -> ((s, dir) =>
+      Similarity.annIvfPqTopKTrained(Tables.embeddings(s, dir), 8, 16, 4, 2, 5, 5)
+        .select(col("qid"), col("vid"), col("adist"), col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))),
+
     "dedup_jaccard_est" -> ((s, dir) => {
       // persist: sigs feed banding + both estimate-join sides; the
       // (small, candidate-filtered) estimate table is checkpointed
@@ -796,6 +810,8 @@ object SparkEntry {
     "dedup_semantic_trained" -> OracleSql.dedupSemanticTrained(8, 2, 0.3),
     "pq_fit" -> OracleSql.pqFit(16, 4, 2),
     "ann_pq_trained" -> OracleSql.annPqTrained(16, 4, 2, 5, 5),
+    "ann_ivfpq_probe" -> OracleSql.annIvfPqProbe(16, 16, 4, 5, 5, 2),
+    "ann_ivfpq_trained" -> OracleSql.annIvfPqTrained(8, 16, 4, 2, 5, 5),
     "dedup_jaccard_est" -> OracleSql.dedupJaccardEst(16, 2),
     "dedup_cc" -> OracleSql.dedupCc(16, 2),
     "q5_region_revenue" -> OracleSql.q5RegionRevenue,

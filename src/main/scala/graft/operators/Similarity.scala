@@ -707,6 +707,74 @@ object Similarity {
         r3(col("n_hit") / col("n_exact")).as("recall"))
   }
 
+  /** Multi-probe IVF+PQ: [[annIvfPqTopK]] with the query side probing
+    * its `nprobe` nearest cells ([[graft.functions.IvfCells]] on the
+    * broadcast-sized side, as in [[annIvfTopKProbe]]) — the recall
+    * knob of the composed tier, exactly how a production FAISS IVFPQ
+    * deployment trades search cost for recall. Corpus rows keep their
+    * top-1 cell, probed cells are distinct → no pair scored twice.
+    */
+  def annIvfPqTopKProbe(embeddings: DataFrame, nCentroids: Int, nCodewords: Int,
+                        m: Int, nQueries: Int, k: Int, nprobe: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    VectorExprs.register(spark)
+    val head = headVectors(embeddings,
+      math.max(nCentroids, math.max(nCodewords, nQueries)))
+    val ivfCents = head.filter(_._1 < nCentroids)
+    val encIvf = graft.functions.IvfCell.encode(ivfCents.map(_._1), ivfCents.map(_._2))
+    val (encPq, cids, books, subDim) = pqBooks(head.filter(_._1 < nCodewords), m)
+    val dt = pqDistTable(spark, head.filter(_._1 < nQueries), cids, books, subDim)
+    val assigned = embeddings.where(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        expr(s"coalesce(graft_ivf_cell(embedding, '$encIvf'), -1L)").as("cell"),
+        expr(s"graft_pq_codes(embedding, '$encPq')").as("codes"))
+    val qcells = embeddings.where(col("embedding").isNotNull && col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"),
+        explode(expr(s"graft_ivf_cells(embedding, '$encIvf', $nprobe)")).as("cell"))
+    val scored = assigned
+      .select(col("vec_id").as("vid"), col("cell"), posexplode(col("codes")).as(Seq("s", "code")))
+      .join(broadcast(qcells), Seq("cell"))
+      .where(col("vid") =!= col("qid"))
+      .join(broadcast(dt), Seq("qid", "s", "code"))
+      .groupBy(col("qid"), col("vid"))
+      .agg(r3(sum(col("d2"))).as("adist"))
+    saltedTopK(scored, "adist", ascending = true, k)
+  }
+
+  /** Fully-TRAINED IVF+PQ: both quantizers learned — `kmIter` Lloyd
+    * rounds for the coarse cells ([[kmeansCentroids]]) and per-subspace
+    * rounds for the codebook ([[pqTrainedBooks]]) — the complete FAISS
+    * IVFPQ production recipe (train coarse → train PQ → assign both →
+    * ADC search in the probed cell).
+    */
+  def annIvfPqTopKTrained(embeddings: DataFrame, nCentroids: Int, nCodewords: Int,
+                          m: Int, kmIter: Int, nQueries: Int, k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    VectorExprs.register(spark)
+    val cents = kmeansCentroids(embeddings, nCentroids, kmIter)
+    val encIvf = graft.functions.IvfCell.encode(cents.map(_._1), cents.map(_._2))
+    val (cids, books) = pqTrainedBooks(embeddings, nCodewords, m, kmIter)
+    val subDim = books(0)(0).length
+    val encPq = graft.functions.PqCodes.encode(cids, books)
+    val dt = pqDistTable(spark,
+      headVectors(embeddings.where(col("embedding").isNotNull), nQueries),
+      cids, books, subDim)
+    val assigned = embeddings.where(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        expr(s"coalesce(graft_ivf_cell(embedding, '$encIvf'), -1L)").as("cell"),
+        expr(s"graft_pq_codes(embedding, '$encPq')").as("codes"))
+    val qcells = assigned.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("cell"))
+    val scored = assigned
+      .select(col("vec_id").as("vid"), col("cell"), posexplode(col("codes")).as(Seq("s", "code")))
+      .join(broadcast(qcells), Seq("cell"))
+      .where(col("vid") =!= col("qid"))
+      .join(broadcast(dt), Seq("qid", "s", "code"))
+      .groupBy(col("qid"), col("vid"))
+      .agg(r3(sum(col("d2"))).as("adist"))
+    saltedTopK(scored, "adist", ascending = true, k)
+  }
+
   /** Recall@k of the COMPOSED IVF+PQ tier against the exact top-k —
     * the number a production tuner actually watches (cell pruning and
     * code compression both cost recall; this measures their product,
