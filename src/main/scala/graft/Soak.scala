@@ -161,6 +161,10 @@ object Soak {
       // scaled-codebook regime, plus the training rounds themselves
       "dedup_semantic_trained" -> (() =>
         Similarity.semanticDedupTrained(emb, 16 * factor, 2, 0.3)),
+      // the full trained IVFPQ recipe (both quantizers learned) —
+      // coarse codebook scaled √factor like kmeans_fit
+      "ann_ivfpq_trained" -> (() => Similarity.annIvfPqTopKTrained(emb,
+        math.max(8, (8 * math.sqrt(factor.toDouble)).round.toInt), 16, 4, 2, 5, 5)),
       // fixed benchmark (the BASE corpus' every-50th doc) against the
       // factor×-grown corpus — the real decontamination shape: the
       // broadcast side stays eval-set-sized while probe work grows

@@ -54,6 +54,54 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("kmeansCentroids matches a sequential Lloyd reference on random corpora") {
+    import spark.implicits._
+    def r3(x: Double) = math.floor(x * 1000.0 + 0.5001) / 1000.0
+    // components are multiples of 0.25: every sum is exact in binary,
+    // so the reference's sequential summation and Spark's partition-
+    // order summation produce IDENTICAL doubles — the property tests
+    // the algorithm (assignment, ties, empty cells, rounding), not FP
+    // associativity. Values coarse enough to make cosine ties common.
+    val scenario = for {
+      k <- Gen.choose(2, 3)
+      nIter <- Gen.choose(0, 2)
+      n <- Gen.choose(4, 12)
+      vecs <- Gen.listOfN(n, Gen.listOfN(4, Gen.oneOf(0.25f, 0.5f, 0.75f, 1.0f)))
+    } yield (k, nIter, vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) })
+    def reference(vecs: Seq[(Long, Array[Float])], k: Int,
+                  nIter: Int): Seq[(Long, Seq[Double])] = {
+      var cents: Seq[(Long, Array[Double])] =
+        vecs.filter(_._1 < k).sortBy(_._1).map { case (id, v) => (id, v.map(_.toDouble)) }
+      for (_ <- 0 until nIter) {
+        val assigned = vecs.map { case (_, v) =>
+          val vd = v.map(_.toDouble)
+          val vn = math.sqrt(vd.foldLeft(0.0)((a, x) => a + x * x))
+          var best = Double.NegativeInfinity
+          var bc = -1L
+          for ((cid, cv) <- cents) {
+            val cn = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x))
+            var dot = 0.0
+            for (i <- vd.indices) dot += vd(i) * cv(i)
+            val cc = r3(dot / (vn * cn))
+            if (cc > best) { best = cc; bc = cid } // strict > = smallest-cid tie rule
+          }
+          (bc, vd)
+        }
+        cents = assigned.groupBy(_._1).toSeq.sortBy(_._1).map { case (cid, vs) =>
+          (cid, Array.tabulate(4)(d => r3(vs.map(_._2(d)).sum / vs.size)))
+        }
+      }
+      cents.map { case (cid, cv) => (cid, cv.toSeq) }
+    }
+    samples(scenario, 25).foreach { case (k, nIter, vecs) =>
+      val df = vecs.toSeq.toDF("vec_id", "embedding")
+      val got = graft.operators.Similarity.kmeansCentroids(df, k, nIter)
+        .map { case (cid, cv) => (cid, cv.toSeq) }.toSeq
+      assert(got === reference(vecs, k, nIter),
+        s"kmeans mismatch: k=$k nIter=$nIter vecs=${vecs.map(_._2.mkString("[", ",", "]"))}")
+    }
+  }
+
   test("graft_winnow matches a sequential reference on random strings") {
     import spark.implicits._
     graft.functions.VectorExprs.register(spark)
