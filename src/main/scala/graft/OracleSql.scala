@@ -884,6 +884,22 @@ object OracleSql {
        |  FROM s)
        |SELECT qid, vid, cos, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
+  /** Per-dimension embedding stats: count/mean/variance/min/max, the
+    * variance in the shared sum-of-squares form. Out-of-range list
+    * indexes are NULL (short vectors) and COUNT(x) skips them —
+    * matching posexplode's per-element semantics.
+    */
+  def embeddingStats(dim: Int = 64): String =
+    s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL),
+       |x AS (SELECT r.d, e.v[r.d + 1] AS x FROM e CROSS JOIN range(0, $dim) r(d))
+       |SELECT d, COUNT(x) AS n,
+       |       ${R("SUM(x) / COUNT(x)")} AS mean,
+       |       ${R("SUM(x * x) / COUNT(x) - (SUM(x) / COUNT(x)) * (SUM(x) / COUNT(x))")} AS variance,
+       |       ${R("MIN(x)")} AS min_x,
+       |       ${R("MAX(x)")} AS max_x
+       |FROM x GROUP BY d ORDER BY d""".stripMargin
+
   /** SemDeDup on the k-means-TRAINED quantizer: the kmeans chain, one
     * more assignment, then the dedupSemantic pair/survivor CTEs.
     */

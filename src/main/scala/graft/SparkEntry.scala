@@ -376,6 +376,12 @@ object SparkEntry {
       Similarity.kmeansFit(Tables.embeddings(s, dir), 8, 3)
         .orderBy(col("cid"))),
 
+    // per-dimension embedding report — the whitening / scalar-quantizer
+    // prep pass
+    "embedding_stats" -> ((s, dir) =>
+      Similarity.embeddingStats(Tables.embeddings(s, dir))
+        .orderBy(col("d"))),
+
     // the trained-quantizer composition: 3 Lloyd rounds, then the
     // standard IVF search against the trained codebook
     "ann_ivf_trained" -> ((s, dir) =>
@@ -806,6 +812,7 @@ object SparkEntry {
     "ann_ivf" -> OracleSql.annIvf(16, 5, 5),
     "ann_ivf_probe" -> OracleSql.annIvfProbe(16, 5, 5, 2),
     "kmeans_fit" -> OracleSql.kmeansFit(8, 3),
+    "embedding_stats" -> OracleSql.embeddingStats(),
     "ann_ivf_trained" -> OracleSql.annIvfTrained(8, 3, 5, 5),
     "dedup_semantic_trained" -> OracleSql.dedupSemanticTrained(8, 2, 0.3),
     "pq_fit" -> OracleSql.pqFit(16, 4, 2),

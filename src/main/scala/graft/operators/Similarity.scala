@@ -410,6 +410,31 @@ object Similarity {
         r3(sum((col("d") + 1) * col("cd"))).as("checksum"))
   }
 
+  /** Per-dimension embedding-corpus report: element count, mean,
+    * variance, min, max for every dimension — the prep pass for
+    * whitening / per-dim scalar quantization and the first query run
+    * on a new embedding corpus (degenerate dims show up as ~zero
+    * variance). Variance is written in the sum-of-squares form
+    * Σx²/n − (Σx/n)² so BOTH engines share the exact formula
+    * (`stddev`'s internal algorithm differs engine to engine); all
+    * outputs rounded. One explode pass, map-side-combined — the
+    * exchange carries dim×partitions partial rows.
+    *
+    * Count is per-ELEMENT (nulls and short vectors excluded), so the
+    * report stays truthful on ragged corpora.
+    */
+  def embeddingStats(embeddings: DataFrame): DataFrame =
+    embeddings.where(col("embedding").isNotNull)
+      .select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("d").cast("long").as("d"), col("x").cast("double").as("x"))
+      .groupBy(col("d"))
+      .agg(count(col("x")).as("n"),
+        r3(sum(col("x")) / count(col("x"))).as("mean"),
+        r3(sum(col("x") * col("x")) / count(col("x")) -
+          (sum(col("x")) / count(col("x"))) * (sum(col("x")) / count(col("x")))).as("variance"),
+        r3(min(col("x"))).as("min_x"),
+        r3(max(col("x"))).as("max_x"))
+
   /** Mean codebook distortion avg(1 − rounded cos(v, assigned
     * centroid)) — the quality number a training loop watches; Lloyd
     * descends it (HardeningSpec pins trained < seed on the test
