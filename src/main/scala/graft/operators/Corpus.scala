@@ -90,7 +90,7 @@ object Corpus {
         val m = TextOps.compositeFilterToks(tokenized, minTokens, maxTokens,
             maxStopRatio, maxDupRatio, retainAll = true)
           .select(col("doc_id"), col(shardCol).as("shard"),
-            col("n_toks").as("n_toks"), col("keep"))
+            col("n_toks").as("n_tokens"), col("keep"))
           .localCheckpoint()
         val tf = tokenized
           .select(col("doc_id"), explode(col("toks")).as("tok"))
@@ -103,14 +103,12 @@ object Corpus {
         (TextOps.compositeFilter(docs, minTokens, maxTokens,
             maxStopRatio, maxDupRatio, retainAll = true)
           .select(col("doc_id"), col(shardCol).as("shard"),
-            col("n_toks").as("n_toks"), col("keep"))
+            col("n_toks").as("n_tokens"), col("keep"))
           .localCheckpoint(), None)
     }
     val contaminatedIds = TextOps.decontaminate(docs, benchmark, decontaminateN)
       .where(col("contaminated") === 1).select(col("doc_id"))
-    val cleanMeta0 = meta
-      .withColumnRenamed("n_toks", "n_tokens")
-      .where(col("keep") === 1).drop("keep")
+    val cleanMeta0 = meta.where(col("keep") === 1).drop("keep")
       .join(broadcast(contaminatedIds), Seq("doc_id"), "left_anti")
     val cleanMeta = lmIds match {
       // compact id join (no broadcast hint: the band can keep most of

@@ -359,11 +359,17 @@ object Dedup {
         col("ref_dups").isNotNull.cast("int").as("flagged"))
   }
 
+  /** Band rows for a corpus — (doc_id, band, sig), the probe-side unit
+    * of every LSH join: [[bandSlices]] over fresh map-side signatures.
+    */
+  def bandRows(docs: DataFrame, perms: Int, rowsPerBand: Int): DataFrame =
+    bandSlices(minhashSigs(docs, perms), rowsPerBand, perms)
+
   /** Persist a REFERENCE corpus' dedup signature index to the catalog
     * — signatures computed ONCE, probed by every future crawl
     * ([[crossDupAgainstIndex]]); today's [[crossDup]] recomputes the
     * reference side every run, which at 100 TB re-reads and re-hashes
-    * the whole training set nightly. Two bucketed tables:
+    * the whole training set nightly. Three tables:
     *
     *   - `<table>_bands` (doc_id, band, sig) bucketed+sorted by
     *     (band, sig) — the LSH probe side. Bucket columns = the band
@@ -373,19 +379,16 @@ object Dedup {
     *   - `<table>_sigs` (doc_id, sig) bucketed by doc_id — the
     *     verification side of the estimate join, exchange-free on the
     *     stored doc_id key the same way.
+    *   - `<table>_meta` — the banding parameters, validated by every
+    *     probe/append ([[requireIndexParams]]).
     *
     * One signature pass over the reference (persisted for the two
     * writes); NULL sigs (shingle-less docs) are excluded — they can
     * never witness a candidate.
     */
-  /** Band rows for a corpus — (doc_id, band, sig), the probe-side unit
-    * of every LSH join: [[bandSlices]] over fresh map-side signatures.
-    */
-  def bandRows(docs: DataFrame, perms: Int, rowsPerBand: Int): DataFrame =
-    bandSlices(minhashSigs(docs, perms), rowsPerBand, perms)
-
   def writeBandIndex(reference: DataFrame, perms: Int, rowsPerBand: Int,
                      table: String, nBuckets: Int): Unit = {
+    val spark = reference.sparkSession
     val sigs = minhashSigs(reference, perms).persist()
     try {
       graft.sources.Formats.writeBucketedKeys(
@@ -393,6 +396,30 @@ object Dedup {
       graft.sources.Formats.writeBucketedKeys(
         sigs.where(col("sig").isNotNull), s"${table}_sigs", Seq("doc_id"), nBuckets)
     } finally sigs.unpersist(blocking = false)
+    // banding parameters travel WITH the index: a probe or append with
+    // different perms/rowsPerBand would slice bands differently and
+    // silently deflate every jaccard estimate (NULL-padded zip_with
+    // slots) — mismatches must be a named error, not wrong verdicts
+    import spark.implicits._
+    Seq((perms, rowsPerBand, nBuckets)).toDF("perms", "rows_per_band", "n_buckets")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta")
+  }
+
+  /** Eager guard shared by every index consumer: the stored banding
+    * parameters must equal the caller's (see [[writeBandIndex]]).
+    */
+  private[graft] def requireIndexParams(spark: org.apache.spark.sql.SparkSession,
+                                        table: String, perms: Int,
+                                        rowsPerBand: Int): Unit = {
+    val metaT = s"${table}_meta"
+    require(spark.catalog.tableExists(metaT),
+      s"band index '$table' has no $metaT table — (re)build it with writeBandIndex")
+    val m = spark.table(metaT).collect().head
+    require(m.getInt(0) == perms && m.getInt(1) == rowsPerBand,
+      s"band index '$table' was built with perms=${m.getInt(0)}, " +
+        s"rowsPerBand=${m.getInt(1)} but probed/appended with perms=$perms, " +
+        s"rowsPerBand=$rowsPerBand — mismatched banding silently corrupts " +
+        "dedup verdicts; rebuild the index or match its parameters")
   }
 
   /** Append NEW reference documents to an existing [[writeBandIndex]]
@@ -406,6 +433,7 @@ object Dedup {
     */
   def appendBandIndex(newDocs: DataFrame, perms: Int, rowsPerBand: Int,
                       table: String, nBuckets: Int): Unit = {
+    requireIndexParams(newDocs.sparkSession, table, perms, rowsPerBand)
     val sigs = minhashSigs(newDocs, perms).persist()
     try {
       graft.sources.Formats.writeBucketedKeys(
@@ -435,6 +463,7 @@ object Dedup {
   def crossDupAgainstIndex(corpus: DataFrame, table: String, perms: Int,
                            rowsPerBand: Int, minJaccard: Double): DataFrame = {
     val spark = corpus.sparkSession
+    requireIndexParams(spark, table, perms, rowsPerBand)
     val rBands = spark.table(s"${table}_bands")
     val rSigs = spark.table(s"${table}_sigs")
     val cSigs = minhashSigs(corpus, perms).persist()

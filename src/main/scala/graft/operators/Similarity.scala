@@ -54,7 +54,11 @@ object Similarity {
     * ship).
     */
   private def headVectors(embeddings: DataFrame, n: Int): Array[(Long, Array[Double])] =
-    embeddings.where(col("vec_id") < n)
+    // NULL embeddings are excluded HERE, once for every consumer
+    // (codebooks, quantizers, query tables): a NULL head vector would
+    // NPE the double widening below, while every SQL oracle's `e` CTE
+    // filters NULL — one shared guard keeps all tiers aligned
+    embeddings.where(col("vec_id") < n && col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getAs[Number](0).longValue(),
         r.getSeq[Number](1).map(_.doubleValue()).toArray))
@@ -420,8 +424,11 @@ object Similarity {
     * outputs rounded. One explode pass, map-side-combined — the
     * exchange carries dim×partitions partial rows.
     *
-    * Count is per-ELEMENT (nulls and short vectors excluded), so the
-    * report stays truthful on ragged corpora.
+    * Count is per-ELEMENT (nulls and SHORTER-than-modal vectors
+    * excluded per dimension). The gate's SQL oracle iterates a fixed
+    * corpus dimension (64), so vectors LONGER than that would emit
+    * extra `d` groups only on the Spark side — the same uniform-dim
+    * corpus assumption every PQ operator documents.
     */
   def embeddingStats(embeddings: DataFrame): DataFrame =
     embeddings.where(col("embedding").isNotNull)
@@ -561,16 +568,29 @@ object Similarity {
     val encIvf = graft.functions.IvfCell.encode(ivfCents.map(_._1), ivfCents.map(_._2))
     val (encPq, cids, books, subDim) = pqBooks(head.filter(_._1 < nCodewords), m)
     val dt = pqDistTable(spark, head.filter(_._1 < nQueries), cids, books, subDim)
-    // one projection assigns BOTH the IVF cell and the PQ codes
+    annIvfPqCore(embeddings, encIvf, encPq, dt, k,
+      assigned => assigned.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("cell")))
+  }
+
+  /** The IVF+PQ scoring core shared by the plain / multi-probe /
+    * fully-trained tiers: ONE zero-exchange projection assigns BOTH
+    * the cell and the codes; candidates flow through the broadcast
+    * cell join, the map-local ADC sum, and the salted ascending rank.
+    * `qcellsOf` builds the (qid, cell) probe side from the assigned
+    * frame — top-1 cells for the plain/trained tiers, exploded nprobe
+    * cells for the probe tier.
+    */
+  private def annIvfPqCore(embeddings: DataFrame, encIvf: String, encPq: String,
+                           dt: DataFrame, k: Int,
+                           qcellsOf: DataFrame => DataFrame): DataFrame = {
     val assigned = embeddings.where(col("embedding").isNotNull)
       .select(col("vec_id"),
         expr(s"coalesce(graft_ivf_cell(embedding, '$encIvf'), -1L)").as("cell"),
         expr(s"graft_pq_codes(embedding, '$encPq')").as("codes"))
-    val qcells = assigned.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("cell"))
     val scored = assigned
       .select(col("vec_id").as("vid"), col("cell"), posexplode(col("codes")).as(Seq("s", "code")))
-      .join(broadcast(qcells), Seq("cell"))
+      .join(broadcast(qcellsOf(assigned)), Seq("cell"))
       .where(col("vid") =!= col("qid"))
       .join(broadcast(dt), Seq("qid", "s", "code"))
       .groupBy(col("qid"), col("vid"))
@@ -628,7 +648,7 @@ object Similarity {
   def pqTrainedBooks(embeddings: DataFrame, nCodewords: Int, m: Int, nIter: Int)
       : (Array[Array[Long]], Array[Array[Array[Double]]]) = {
     VectorExprs.register(embeddings.sparkSession)
-    val head = headVectors(embeddings.where(col("embedding").isNotNull), nCodewords)
+    val head = headVectors(embeddings, nCodewords)
     var (cids, books) = { val (_, c, b, _) = pqBooks(head, m); (c, b) }
     var it = 0
     while (it < nIter) {
@@ -674,7 +694,7 @@ object Similarity {
     val spark = embeddings.sparkSession
     val enc = graft.functions.PqCodes.encode(cids, books)
     val dt = pqDistTable(spark,
-      headVectors(embeddings.where(col("embedding").isNotNull), nQueries),
+      headVectors(embeddings, nQueries),
       cids, books, subDim)
     val codes = embeddings.where(col("embedding").isNotNull)
       .select(col("vec_id"), expr(s"graft_pq_codes(embedding, '$enc')").as("codes"))
@@ -749,21 +769,10 @@ object Similarity {
     val encIvf = graft.functions.IvfCell.encode(ivfCents.map(_._1), ivfCents.map(_._2))
     val (encPq, cids, books, subDim) = pqBooks(head.filter(_._1 < nCodewords), m)
     val dt = pqDistTable(spark, head.filter(_._1 < nQueries), cids, books, subDim)
-    val assigned = embeddings.where(col("embedding").isNotNull)
-      .select(col("vec_id"),
-        expr(s"coalesce(graft_ivf_cell(embedding, '$encIvf'), -1L)").as("cell"),
-        expr(s"graft_pq_codes(embedding, '$encPq')").as("codes"))
-    val qcells = embeddings.where(col("embedding").isNotNull && col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"),
-        explode(expr(s"graft_ivf_cells(embedding, '$encIvf', $nprobe)")).as("cell"))
-    val scored = assigned
-      .select(col("vec_id").as("vid"), col("cell"), posexplode(col("codes")).as(Seq("s", "code")))
-      .join(broadcast(qcells), Seq("cell"))
-      .where(col("vid") =!= col("qid"))
-      .join(broadcast(dt), Seq("qid", "s", "code"))
-      .groupBy(col("qid"), col("vid"))
-      .agg(r3(sum(col("d2"))).as("adist"))
-    saltedTopK(scored, "adist", ascending = true, k)
+    annIvfPqCore(embeddings, encIvf, encPq, dt, k,
+      _ => embeddings.where(col("embedding").isNotNull && col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"),
+          explode(expr(s"graft_ivf_cells(embedding, '$encIvf', $nprobe)")).as("cell")))
   }
 
   /** Fully-TRAINED IVF+PQ: both quantizers learned — `kmIter` Lloyd
@@ -781,23 +790,10 @@ object Similarity {
     val (cids, books) = pqTrainedBooks(embeddings, nCodewords, m, kmIter)
     val subDim = books(0)(0).length
     val encPq = graft.functions.PqCodes.encode(cids, books)
-    val dt = pqDistTable(spark,
-      headVectors(embeddings.where(col("embedding").isNotNull), nQueries),
-      cids, books, subDim)
-    val assigned = embeddings.where(col("embedding").isNotNull)
-      .select(col("vec_id"),
-        expr(s"coalesce(graft_ivf_cell(embedding, '$encIvf'), -1L)").as("cell"),
-        expr(s"graft_pq_codes(embedding, '$encPq')").as("codes"))
-    val qcells = assigned.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("cell"))
-    val scored = assigned
-      .select(col("vec_id").as("vid"), col("cell"), posexplode(col("codes")).as(Seq("s", "code")))
-      .join(broadcast(qcells), Seq("cell"))
-      .where(col("vid") =!= col("qid"))
-      .join(broadcast(dt), Seq("qid", "s", "code"))
-      .groupBy(col("qid"), col("vid"))
-      .agg(r3(sum(col("d2"))).as("adist"))
-    saltedTopK(scored, "adist", ascending = true, k)
+    val dt = pqDistTable(spark, headVectors(embeddings, nQueries), cids, books, subDim)
+    annIvfPqCore(embeddings, encIvf, encPq, dt, k,
+      assigned => assigned.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("cell")))
   }
 
   /** Recall@k of the COMPOSED IVF+PQ tier against the exact top-k —

@@ -152,6 +152,7 @@ object StreamOps {
                      watermark: String): DataFrame = {
     val spark = docs.sparkSession
     graft.functions.VectorExprs.register(spark)
+    graft.operators.Dedup.requireIndexParams(spark, table, perms, rowsPerBand)
     val nBands = perms / rowsPerBand
     val rBands = spark.table(s"${table}_bands")
     val rSigs = spark.table(s"${table}_sigs")

@@ -227,6 +227,16 @@ class FeedStreamSpec extends AnyFunSuite {
           docs.where(col("doc_id") % 2 === 0), 16, 2, 0.5)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
       assert(stored === fresh)
+      // probing or appending with MISMATCHED banding parameters is a
+      // named error, never silently-deflated estimates (review r9)
+      val e1 = intercept[IllegalArgumentException](
+        Dedup.crossDupAgainstIndex(docs.where(col("doc_id") % 2 === 1),
+          "graft_xidx_t", 32, 2, 0.5).collect())
+      assert(e1.getMessage.contains("mismatched banding"))
+      val e2 = intercept[IllegalArgumentException](
+        Dedup.appendBandIndex(docs.where(col("doc_id") % 2 === 1),
+          16, 4, "graft_xidx_t", 4))
+      assert(e2.getMessage.contains("mismatched banding"))
       // plan shape: the band join's STORED side reads the bucketed scan
       // directly — no Exchange between scan and join; the crawl side is
       // the one that shuffles to match the bucketing. (The operator's
@@ -273,6 +283,7 @@ class FeedStreamSpec extends AnyFunSuite {
         conf.set("spark.sql.adaptive.enabled", _))
       spark.sql("DROP TABLE IF EXISTS graft_xidx_t_bands")
       spark.sql("DROP TABLE IF EXISTS graft_xidx_t_sigs")
+      spark.sql("DROP TABLE IF EXISTS graft_xidx_t_meta")
     }
   }
 
@@ -355,6 +366,7 @@ class FeedStreamSpec extends AnyFunSuite {
       q.stop()
       spark.sql("DROP TABLE IF EXISTS graft_xstr_t_bands")
       spark.sql("DROP TABLE IF EXISTS graft_xstr_t_sigs")
+      spark.sql("DROP TABLE IF EXISTS graft_xstr_t_meta")
     }
   }
 

@@ -395,6 +395,7 @@ class HardeningSpec extends AnyFunSuite {
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_hyg_idx_bands")
       spark.sql("DROP TABLE IF EXISTS graft_hyg_idx_sigs")
+      spark.sql("DROP TABLE IF EXISTS graft_hyg_idx_meta")
     }
 
     // r9: the lm-band pipeline's shared tokenized checkpoint is a
