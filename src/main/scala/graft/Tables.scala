@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
@@ -19,17 +19,25 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Events table. The driver writes `ts` as parquet TIMESTAMP(NANOS),
-    * which Spark only reads via `spark.sql.legacy.parquet.nanosAsLong`
-    * (set in [[Session]]) as a raw nanosecond long. Normalize to a
-    * microsecond TIMESTAMP with integer division — the same ns→µs
-    * truncation DuckDB applies, so both engines see identical instants.
+  /** Events table, with `ts` normalized to a session-tz TIMESTAMP no
+    * matter which parquet encoding the driver generated:
+    *
+    *  - TIMESTAMP(NANOS): Spark only reads it (via
+    *    `spark.sql.legacy.parquet.nanosAsLong`, set in [[Session]]) as a
+    *    raw nanosecond long → truncate ns→µs exactly like DuckDB does.
+    *  - TIMESTAMP(µs, isAdjustedToUTC=false): Spark ≥3.4 reads it as
+    *    TIMESTAMP_NTZ → cast to TIMESTAMP. The session timezone is UTC
+    *    ([[Session]]), so the cast keeps the stored µs value bit-exact,
+    *    which is also how DuckDB treats a tz-less timestamp.
+    *  - TIMESTAMP(µs/ms, adjusted): already TimestampType; no-op.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = apply(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
