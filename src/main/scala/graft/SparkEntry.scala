@@ -521,6 +521,35 @@ object SparkEntry {
         .select(col("qid"), col("vid"), col("adist"), col("rank").cast("long").as("rank"))
         .orderBy(col("qid"), col("rank"))),
 
+    // the stored-index sibling of ann_ivfpq: persist the (vec_id,
+    // cell, codes) index + codebooks to the catalog, then probe the
+    // query batch against the STORED index — output must equal the
+    // recompute path (the oracle is literally the same SQL); the index
+    // write is part of the gate so the roundtrip is what's measured
+    "ann_ivfpq_stored" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeAnnIndex(emb, 16, 16, 4, "graft_annidx", 8)
+      Similarity.annIvfPqAgainstIndex(emb.where(col("vec_id") < 5), "graft_annidx", 5)
+        .select(col("qid"), col("vid"), col("adist"), col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // incremental index maintenance: build in TWO batches — the first
+    // carries the codebook head (vec_id < 16, the train step), the
+    // append encodes only its delta with the STORED codebooks (the
+    // FAISS add-after-train shape) — and probe; must equal the
+    // one-shot build / the recompute path (same oracle)
+    "ann_ivfpq_stored_inc" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeAnnIndex(
+        emb.where(col("vec_id") < 16 || col("vec_id") % 2 === 0), 16, 16, 4, "graft_anninc", 8)
+      Similarity.appendAnnIndex(
+        emb.where(col("vec_id") >= 16 && col("vec_id") % 2 === 1), "graft_anninc")
+      Similarity.annIvfPqAgainstIndex(emb.where(col("vec_id") < 5), "graft_anninc", 5)
+        .select(col("qid"), col("vid"), col("adist"), col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     "ann_pq" -> ((s, dir) =>
       Similarity.annPqTopK(Tables.embeddings(s, dir), 16, 4, 5, 5)
         .select(col("qid"), col("vid"), col("adist"), col("rank").cast("long").as("rank"))
@@ -833,6 +862,8 @@ object SparkEntry {
     "ann_recall" -> OracleSql.annRecall(8, 5, 5, 64),
     "ann_pq" -> OracleSql.annPq(16, 4, 5, 5),
     "ann_ivfpq" -> OracleSql.annIvfPq(16, 16, 4, 5, 5),
+    "ann_ivfpq_stored" -> OracleSql.annIvfPq(16, 16, 4, 5, 5),
+    "ann_ivfpq_stored_inc" -> OracleSql.annIvfPq(16, 16, 4, 5, 5),
     "ann_pq_recall" -> OracleSql.annPqRecall(16, 4, 5, 5),
     "ann_ivfpq_recall" -> OracleSql.annIvfPqRecall(16, 16, 4, 5, 5),
     "token_topk" -> OracleSql.tokenTopK(20),

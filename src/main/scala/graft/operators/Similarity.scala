@@ -814,6 +814,141 @@ object Similarity {
         r3(col("n_hit") / col("n_exact")).as("recall"))
   }
 
+  // ------------------------------------------------------------------
+  // Stored ANN index (IVFPQ): write once, probe nightly, append deltas
+  // ------------------------------------------------------------------
+
+  /** Persist the IVFPQ index for `embeddings` to the catalog — the
+    * encode-once/probe-forever boundary every prior ANN tier lacked
+    * (each query re-encoded the corpus; at 100 TB the index build is
+    * the cost you pay ONCE). Two tables:
+    *
+    *   - `<table>_codes` — `(vec_id, cell, codes)`: the coarse cell and
+    *     the m PQ codeword ids per vector, bucketed by `cell`
+    *     ([[graft.sources.Formats.writeBucketedKeys]]) so a probe's
+    *     cell join reads the bucketed scan with ZERO Exchange on the
+    *     stored side (plan spec in AnnIndexSpec). Raw vectors are NOT
+    *     stored — the whole point of the compressed tier.
+    *   - `<table>_meta` — the build parameters AND the serialized
+    *     quantizer + PQ codebooks ([[graft.functions.IvfCell.encode]] /
+    *     [[graft.functions.PqCodes.encode]]). Codebooks travel WITH the
+    *     index: a probe or append that recomputed them from ITS input's
+    *     head vectors would silently encode against a different
+    *     codebook and corrupt every distance — reading them from meta
+    *     makes the mismatch structurally impossible.
+    *
+    * Codebook convention: first-`nCentroids` / first-`nCodewords`
+    * vectors of THIS build input (the [[annIvfPqTopK]] convention, so
+    * the stored probe is byte-equal to the recompute path — the
+    * `ann_ivfpq_stored` gate). Encoding is the usual ONE zero-exchange
+    * projection over the scan.
+    */
+  def writeAnnIndex(embeddings: DataFrame, nCentroids: Int, nCodewords: Int,
+                    m: Int, table: String, nBuckets: Int): Unit = {
+    val spark = embeddings.sparkSession
+    VectorExprs.register(spark)
+    val head = headVectors(embeddings, math.max(nCentroids, nCodewords))
+    val ivfCents = head.filter(_._1 < nCentroids)
+    require(ivfCents.nonEmpty,
+      s"writeAnnIndex: no non-null vectors with vec_id < $nCentroids to seed the quantizer")
+    val encIvf = graft.functions.IvfCell.encode(ivfCents.map(_._1), ivfCents.map(_._2))
+    val (encPq, _, _, _) = pqBooks(head.filter(_._1 < nCodewords), m)
+    graft.sources.Formats.writeBucketedKeys(
+      encodeForIndex(embeddings, encIvf, encPq), s"${table}_codes", Seq("cell"), nBuckets)
+    import spark.implicits._
+    Seq((nCentroids, nCodewords, m, nBuckets, encIvf, encPq))
+      .toDF("n_centroids", "n_codewords", "m", "n_buckets", "enc_ivf", "enc_pq")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta")
+  }
+
+  /** The index row projection: ONE zero-exchange pass assigns cell and
+    * codes side by side (the [[annIvfPqCore]] shape, minus the search).
+    */
+  private def encodeForIndex(vecs: DataFrame, encIvf: String, encPq: String): DataFrame =
+    vecs.where(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        expr(s"coalesce(graft_ivf_cell(embedding, '$encIvf'), -1L)").as("cell"),
+        expr(s"graft_pq_codes(embedding, '$encPq')").as("codes"))
+
+  /** Eager guard + parameter read shared by every index consumer: the
+    * meta table must exist; returns (m, nBuckets, encIvf, encPq).
+    */
+  private def annIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                           table: String): (Int, Int, String, String) = {
+    val metaT = s"${table}_meta"
+    require(spark.catalog.tableExists(metaT),
+      s"ANN index '$table' has no $metaT table — (re)build it with writeAnnIndex")
+    val r = spark.table(metaT).collect().head
+    (r.getAs[Int]("m"), r.getAs[Int]("n_buckets"),
+      r.getAs[String]("enc_ivf"), r.getAs[String]("enc_pq"))
+  }
+
+  /** Append NEW vectors to a stored [[writeAnnIndex]] index — the
+    * nightly maintenance step: the corpus grows by today's accepted
+    * embeddings WITHOUT rebuilding (at 100 TB a rebuild re-encodes the
+    * whole set; the append encodes only the delta). The delta is
+    * encoded with the STORED codebooks — exactly FAISS `add()` after
+    * `train()` — so a two-batch build equals the one-shot build
+    * (gated: `ann_ivfpq_stored_inc`). Bucket spec comes from meta and
+    * Spark re-validates it on append, so the exchange-free probe
+    * property survives growth.
+    */
+  def appendAnnIndex(newVecs: DataFrame, table: String): Unit = {
+    val spark = newVecs.sparkSession
+    VectorExprs.register(spark)
+    val (_, nBuckets, encIvf, encPq) = annIndexMeta(spark, table)
+    graft.sources.Formats.writeBucketedKeys(
+      encodeForIndex(newVecs, encIvf, encPq), s"${table}_codes",
+      Seq("cell"), nBuckets, mode = "append")
+  }
+
+  /** The pre-rank scored frame of the stored probe — split out so the
+    * plan spec can assert the Exchange census on exactly this subplan:
+    * stored `_codes` scan → posexplode → broadcast cell join →
+    * broadcast ADC join → partial agg, with the ONLY Exchange carrying
+    * the per-(qid, vid) partial distance sums (compact scalars — the
+    * same shape every ANN tier ships through its rank).
+    */
+  private[graft] def annIndexScored(queries: DataFrame, table: String): DataFrame = {
+    val spark = queries.sparkSession
+    VectorExprs.register(spark)
+    val (_, _, encIvf, encPq) = annIndexMeta(spark, table)
+    val (cids, books) = graft.functions.PqCodes.decode(encPq)
+    val subDim = books(0)(0).length
+    // the query set is broadcast-class by contract (it's the nightly
+    // probe batch, not the corpus): one O(q·dim) collect builds the
+    // ADC tables, the same footprint a broadcast would ship anyway
+    val qs = queries.where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getAs[Number](0).longValue(),
+        r.getSeq[Number](1).map(_.doubleValue()).toArray))
+      .sortBy(_._1)
+    val dt = pqDistTable(spark, qs, cids, books, subDim)
+    val qcells = queries.where(col("embedding").isNotNull)
+      .select(col("vec_id").as("qid"),
+        expr(s"coalesce(graft_ivf_cell(embedding, '$encIvf'), -1L)").as("cell"))
+    spark.table(s"${table}_codes")
+      .select(col("vec_id").as("vid"), col("cell"),
+        posexplode(col("codes")).as(Seq("s", "code")))
+      .join(broadcast(qcells), Seq("cell"))
+      .where(col("vid") =!= col("qid"))
+      .join(broadcast(dt), Seq("qid", "s", "code"))
+      .groupBy(col("qid"), col("vid"))
+      .agg(r3(sum(col("d2"))).as("adist"))
+  }
+
+  /** IVFPQ search against a STORED [[writeAnnIndex]] index: the
+    * corpus' raw vectors are never read — candidates come from the
+    * bucketed `(vec_id, cell, codes)` table, distances from the m ADC
+    * lookups, codebooks from meta. Output identical to
+    * [[annIvfPqTopK]] on the same build input (the `ann_ivfpq_stored`
+    * gate shares the recompute path's oracle verbatim). This converts
+    * every nightly ANN query from re-encode-the-corpus to
+    * probe-the-index — the shape that actually runs at 100 TB.
+    */
+  def annIvfPqAgainstIndex(queries: DataFrame, table: String, k: Int): DataFrame =
+    saltedTopK(annIndexScored(queries, table), "adist", ascending = true, k)
+
   /** ANN top-k via LSH buckets: score only same-bucket candidates,
     * rank within bucket. Recall < 1 by construction; the exactness
     * baseline is [[cosineTopK]].
