@@ -1103,6 +1103,131 @@ object OracleSql {
        |SELECT qid, vid, adist, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
+  /** Residual IVF+PQ (FAISS proper): the annIvfPq CTE chain with every
+    * PQ-facing vector replaced by its residual r = v − centroid(cell)
+    * — codebook slices, code assignment, and the query distance tables
+    * all operate in residual space; the cell chain is unchanged.
+    */
+  def annIvfPqResidual(nCentroids: Int, nCodewords: Int, m: Int,
+                       nQueries: Int, k: Int, dim: Int = 64): String = {
+    val subDim = dim / m
+    def d2(vec: String) = {
+      val diff = s"($vec[cw.s * $subDim + i] - cw.v[cw.s * $subDim + i])"
+      R(s"list_sum(list_transform(generate_series(1, $subDim), i -> $diff * $diff))")
+    }
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $nCentroids),
+       |ca0 AS (
+       |  SELECT e.vec_id, c.cid, ${R("list_cosine_similarity(e.v, c.cv)")} AS ccos
+       |  FROM e CROSS JOIN c),
+       |cells AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+       |    FROM ca0)
+       |  WHERE crank = 1),
+       |res AS (
+       |  SELECT e.vec_id, cl.cell,
+       |         list_transform(generate_series(1, $dim), i -> e.v[i] - cc.cv[i]) AS rv
+       |  FROM e JOIN cells cl ON cl.vec_id = e.vec_id
+       |         JOIN c cc ON cc.cid = cl.cell),
+       |cw AS (
+       |  SELECT s.s, r.vec_id AS c, r.rv AS v FROM res r CROSS JOIN range(0, $m) s(s)
+       |  WHERE r.vec_id >= $nCentroids AND r.vec_id < ${nCentroids + nCodewords}),
+       |a0 AS (
+       |  SELECT r.vec_id, cw.s, cw.c, ${d2("r.rv")} AS d2
+       |  FROM res r CROSS JOIN cw),
+       |asg AS (
+       |  SELECT vec_id, s, c AS code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+       |    FROM a0)
+       |  WHERE rn = 1),
+       |qc AS (SELECT vec_id AS qid, cell FROM cells WHERE vec_id < $nQueries),
+       |qres AS (SELECT vec_id AS qid, rv FROM res WHERE vec_id < $nQueries),
+       |dt AS (
+       |  SELECT q.qid, cw.s, cw.c AS code, ${d2("q.rv")} AS d2
+       |  FROM qres q CROSS JOIN cw),
+       |sc AS (
+       |  SELECT qc.qid, a.vec_id AS vid, ${R("SUM(dt.d2)")} AS adist
+       |  FROM asg a
+       |  JOIN cells ce ON ce.vec_id = a.vec_id
+       |  JOIN qc ON qc.cell = ce.cell AND a.vec_id != qc.qid
+       |  JOIN dt ON dt.qid = qc.qid AND dt.s = a.s AND dt.code = a.code
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS BIGINT) AS rank
+       |  FROM sc)
+       |SELECT qid, vid, adist, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
+  /** Recall of the residual composed tier vs exact — the annIvfPqRecall
+    * frame with the residual CTE chain as the approx side.
+    */
+  def annIvfPqResidualRecall(nCentroids: Int, nCodewords: Int, m: Int,
+                             nQueries: Int, k: Int, dim: Int = 64): String = {
+    val subDim = dim / m
+    def d2(vec: String) = {
+      val diff = s"($vec[cw.s * $subDim + i] - cw.v[cw.s * $subDim + i])"
+      R(s"list_sum(list_transform(generate_series(1, $subDim), i -> $diff * $diff))")
+    }
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
+       |xs AS (
+       |  SELECT qid, vec_id AS vid, ${R("list_cosine_similarity(qv, v)")} AS cos
+       |  FROM e CROSS JOIN q WHERE vec_id != qid),
+       |xr AS (
+       |  SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+       |  FROM xs),
+       |exact AS (SELECT qid, vid FROM xr WHERE rank <= $k),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $nCentroids),
+       |ca0 AS (
+       |  SELECT e.vec_id, c.cid, ${R("list_cosine_similarity(e.v, c.cv)")} AS ccos
+       |  FROM e CROSS JOIN c),
+       |cells AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+       |    FROM ca0)
+       |  WHERE crank = 1),
+       |res AS (
+       |  SELECT e.vec_id, cl.cell,
+       |         list_transform(generate_series(1, $dim), i -> e.v[i] - cc.cv[i]) AS rv
+       |  FROM e JOIN cells cl ON cl.vec_id = e.vec_id
+       |         JOIN c cc ON cc.cid = cl.cell),
+       |cw AS (
+       |  SELECT s.s, r.vec_id AS c, r.rv AS v FROM res r CROSS JOIN range(0, $m) s(s)
+       |  WHERE r.vec_id >= $nCentroids AND r.vec_id < ${nCentroids + nCodewords}),
+       |a0 AS (
+       |  SELECT r.vec_id, cw.s, cw.c, ${d2("r.rv")} AS d2
+       |  FROM res r CROSS JOIN cw),
+       |asg AS (
+       |  SELECT vec_id, s, c AS code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+       |    FROM a0)
+       |  WHERE rn = 1),
+       |qc AS (SELECT vec_id AS qid, cell FROM cells WHERE vec_id < $nQueries),
+       |qres AS (SELECT vec_id AS qid, rv FROM res WHERE vec_id < $nQueries),
+       |dt AS (
+       |  SELECT q.qid, cw.s, cw.c AS code, ${d2("q.rv")} AS d2
+       |  FROM qres q CROSS JOIN cw),
+       |sc AS (
+       |  SELECT qc.qid, a.vec_id AS vid, ${R("SUM(dt.d2)")} AS adist
+       |  FROM asg a
+       |  JOIN cells ce ON ce.vec_id = a.vec_id
+       |  JOIN qc ON qc.cell = ce.cell AND a.vec_id != qc.qid
+       |  JOIN dt ON dt.qid = qc.qid AND dt.s = a.s AND dt.code = a.code
+       |  GROUP BY 1, 2),
+       |pr AS (
+       |  SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS rank
+       |  FROM sc),
+       |approx AS (SELECT qid, vid, 1 AS hit FROM pr WHERE rank <= $k)
+       |SELECT x.qid, COUNT(*) AS n_exact,
+       |       CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS n_hit,
+       |       ${R("SUM(COALESCE(a.hit, 0)) / COUNT(*)")} AS recall
+       |FROM exact x LEFT JOIN approx a ON x.qid = a.qid AND x.vid = a.vid
+       |GROUP BY x.qid ORDER BY x.qid""".stripMargin
+  }
+
   /** Multi-probe IVF+PQ: the annIvfPq CTEs with the query side
     * searching its `nprobe` nearest cells (crank <= nprobe, as in
     * annIvfProbe). Corpus rows keep top-1, probed cells are distinct.

@@ -521,6 +521,18 @@ object SparkEntry {
         .select(col("qid"), col("vid"), col("adist"), col("rank").cast("long").as("rank"))
         .orderBy(col("qid"), col("rank"))),
 
+    // FAISS IVFPQ proper: PQ codes quantize the RESIDUAL v − centroid
+    // (same codebook budget as ann_ivfpq — the recall gate publishes
+    // the improvement the residual trick buys)
+    "ann_ivfpq_residual" -> ((s, dir) =>
+      Similarity.annIvfPqResidualTopK(Tables.embeddings(s, dir), 16, 16, 4, 5, 5)
+        .select(col("qid"), col("vid"), col("adist"), col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))),
+
+    "ann_ivfpq_residual_recall" -> ((s, dir) =>
+      Similarity.annIvfPqResidualRecall(Tables.embeddings(s, dir), 16, 16, 4, 5, 5)
+        .orderBy(col("qid"))),
+
     // the stored-index sibling of ann_ivfpq: persist the (vec_id,
     // cell, codes) index + codebooks to the catalog, then probe the
     // query batch against the STORED index — output must equal the
@@ -862,6 +874,8 @@ object SparkEntry {
     "ann_recall" -> OracleSql.annRecall(8, 5, 5, 64),
     "ann_pq" -> OracleSql.annPq(16, 4, 5, 5),
     "ann_ivfpq" -> OracleSql.annIvfPq(16, 16, 4, 5, 5),
+    "ann_ivfpq_residual" -> OracleSql.annIvfPqResidual(16, 16, 4, 5, 5),
+    "ann_ivfpq_residual_recall" -> OracleSql.annIvfPqResidualRecall(16, 16, 4, 5, 5),
     "ann_ivfpq_stored" -> OracleSql.annIvfPq(16, 16, 4, 5, 5),
     "ann_ivfpq_stored_inc" -> OracleSql.annIvfPq(16, 16, 4, 5, 5),
     "ann_pq_recall" -> OracleSql.annPqRecall(16, 4, 5, 5),
