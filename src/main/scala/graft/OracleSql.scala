@@ -860,6 +860,45 @@ object OracleSql {
        |SELECT cell AS cid, MAX(n) AS n, ${R("SUM((d+1) * cd)")} AS checksum
        |FROM m$nIter GROUP BY cell ORDER BY cid""".stripMargin
 
+  /** kmeans_fit on the md5-PRNG sample: the kmeansCtes chain with every
+    * assignment restricted to the `es` sample CTE — the SAME first-4-
+    * hex-digits bucket arithmetic as the Spark side (and the ts_split
+    * gate), so the training set is identical vector-for-vector. Seeds
+    * stay the FULL corpus' first-k.
+    */
+  def kmeansFitSampled(k: Int, nIter: Int, keep: Int, nBuckets: Int,
+                       dim: Int = 64): String = {
+    val bucket =
+      s"CAST(CONCAT('0x', SUBSTR(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS INTEGER) % $nBuckets"
+    val sb = new StringBuilder
+    sb.append(
+      s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |      WHERE embedding IS NOT NULL),
+         |es AS (SELECT * FROM e WHERE $bucket < $keep),
+         |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $k)""".stripMargin)
+    for (i <- 1 to nIter) {
+      sb.append(
+        s""",
+           |a${i}0 AS (
+           |  SELECT e.vec_id, e.v, c.cid, ${R("list_cosine_similarity(e.v, c.cv)")} AS ccos
+           |  FROM es e CROSS JOIN c${i - 1} c),
+           |a$i AS (
+           |  SELECT vec_id, v, cid AS cell FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+           |    FROM a${i}0)
+           |  WHERE crank = 1),
+           |m$i AS (
+           |  SELECT cell, d, COUNT(*) AS n, ${R("SUM(v[d+1]) / COUNT(*)")} AS cd
+           |  FROM a$i CROSS JOIN range(0, $dim) r(d)
+           |  GROUP BY cell, d),
+           |c$i AS (
+           |  SELECT cell AS cid, LIST(cd ORDER BY d) AS cv FROM m$i GROUP BY cell)""".stripMargin)
+    }
+    s"""WITH ${sb.toString}
+       |SELECT cell AS cid, MAX(n) AS n, ${R("SUM((d+1) * cd)")} AS checksum
+       |FROM m$nIter GROUP BY cell ORDER BY cid""".stripMargin
+  }
+
   /** annIvf search against the k-means-TRAINED codebook `c{kmIter}`
     * instead of the first-N convention — the annIvf CTEs with the
     * trained centroids swapped in.

@@ -376,6 +376,14 @@ object SparkEntry {
       Similarity.kmeansFit(Tables.embeddings(s, dir), 8, 3)
         .orderBy(col("cid"))),
 
+    // the FAISS sampling discipline: train on a deterministic md5-PRNG
+    // sample (1 of 4 buckets here) so fit cost is bounded by the
+    // sample, not the corpus — the oracle reproduces the md5 bucket
+    // arithmetic so the training set is identical vector-for-vector
+    "kmeans_fit_sampled" -> ((s, dir) =>
+      Similarity.kmeansFitSampled(Tables.embeddings(s, dir), 8, 3, 1, 4)
+        .orderBy(col("cid"))),
+
     // per-dimension embedding report — the whitening / scalar-quantizer
     // prep pass
     "embedding_stats" -> ((s, dir) =>
@@ -853,6 +861,7 @@ object SparkEntry {
     "ann_ivf" -> OracleSql.annIvf(16, 5, 5),
     "ann_ivf_probe" -> OracleSql.annIvfProbe(16, 5, 5, 2),
     "kmeans_fit" -> OracleSql.kmeansFit(8, 3),
+    "kmeans_fit_sampled" -> OracleSql.kmeansFitSampled(8, 3, 1, 4),
     "embedding_stats" -> OracleSql.embeddingStats(),
     "ann_ivf_trained" -> OracleSql.annIvfTrained(8, 3, 5, 5),
     "dedup_semantic_trained" -> OracleSql.dedupSemanticTrained(8, 2, 0.3),

@@ -384,6 +384,91 @@ object Similarity {
     cents
   }
 
+  /** md5-PRNG sample bucket of `vec_id` — the engine-portable
+    * pseudo-random the repo uses everywhere randomness crosses the
+    * oracle boundary (`rand()` is engine- AND partitioning-dependent;
+    * the md5 bucket is a pure function of the key). Same arithmetic as
+    * [[TimeSeries.split]] / the DuckDB `CAST(CONCAT('0x', SUBSTR(md5(
+    * ...), 1, 4)) AS INTEGER)` form: first 4 hex digits → 0..65535.
+    */
+  private def sampleBucket(nBuckets: Int): Column =
+    conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
+      .cast("int") % nBuckets
+
+  /** [[kmeansCentroids]] trained on a DETERMINISTIC md5-PRNG sample
+    * (`keep` of `nBuckets` buckets) instead of the full corpus — the
+    * FAISS discipline: codebook quality needs ~hundreds of vectors per
+    * centroid, not the whole corpus, so the fit cost is bounded by the
+    * SAMPLE size while the corpus grows without bound. Seeds stay the
+    * full corpus' first-k (the repo's codebook convention — the sample
+    * decides only which vectors VOTE in the Lloyd updates). Sampling by
+    * md5 bucket keeps the training set identical across engines,
+    * partitionings and cluster sizes — `sample()`/`rand()` would give
+    * every run a different codebook.
+    */
+  def kmeansCentroidsSampled(embeddings: DataFrame, k: Int, nIter: Int,
+                             keep: Int, nBuckets: Int): Array[(Long, Array[Double])] = {
+    require(keep >= 1 && keep <= nBuckets,
+      s"kmeansCentroidsSampled: keep=$keep must be in [1, $nBuckets]")
+    VectorExprs.register(embeddings.sparkSession)
+    var cents = embeddings
+      .where(col("vec_id") < k && col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getAs[Number](0).longValue(),
+        r.getSeq[Number](1).map(_.doubleValue()).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty,
+      s"kmeans: no non-null vectors with vec_id < $k to seed the codebook")
+    val sample = embeddings.where(sampleBucket(nBuckets) < keep)
+    var it = 0
+    while (it < nIter) { cents = kmeansStep(sample, cents); it += 1 }
+    cents
+  }
+
+  /** [[kmeansCentroidsSampled]] with the FAISS auto-sizing rule: train
+    * on ~`perCentroid`·k vectors (FAISS default 256·k) whatever the
+    * corpus size — ONE count scan picks the bucket fraction, then the
+    * fit cost is flat in corpus size (the soak's "fit cost stays flat
+    * across a decade" claim). Returns the centroids plus the
+    * (keep, nBuckets) actually used so callers can reproduce the
+    * sample.
+    */
+  def kmeansCentroidsAutoSampled(embeddings: DataFrame, k: Int, nIter: Int,
+                                 perCentroid: Int = 256)
+      : (Array[(Long, Array[Double])], Int, Int) = {
+    val nBuckets = 10000
+    val n = embeddings.where(col("embedding").isNotNull).count()
+    val target = perCentroid.toLong * k
+    val keep =
+      if (n <= target) nBuckets
+      else math.max(1, math.ceil(nBuckets.toDouble * target / n).toInt)
+    (kmeansCentroidsSampled(embeddings, k, nIter, keep, nBuckets), keep, nBuckets)
+  }
+
+  /** The `kmeans_fit_sampled` gate surface (mirrors [[kmeansFit]] on
+    * the md5 sample): `nIter − 1` rounds over the sample, then the
+    * FINAL round distributed over the sample — per surviving cluster
+    * its SAMPLE member count and updated-centroid checksum. The oracle
+    * reproduces the md5 bucket arithmetic in its `es` CTE, so the
+    * training set is provably identical vector-for-vector.
+    */
+  def kmeansFitSampled(embeddings: DataFrame, k: Int, nIter: Int,
+                       keep: Int, nBuckets: Int): DataFrame = {
+    require(nIter >= 1, s"kmeansFitSampled: nIter must be >= 1, got $nIter")
+    val cents = kmeansCentroidsSampled(embeddings, k, nIter - 1, keep, nBuckets)
+    val enc = graft.functions.IvfCell.encode(cents.map(_._1), cents.map(_._2))
+    embeddings.where(col("embedding").isNotNull && sampleBucket(nBuckets) < keep)
+      .select(col("embedding"),
+        expr(s"coalesce(graft_ivf_cell(embedding, '$enc'), -1L)").as("cid"))
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("cid"), col("d"))
+      .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
+      .select(col("cid"), col("d"), col("n"), r3(col("sx") / col("n")).as("cd"))
+      .groupBy(col("cid"))
+      .agg(max(col("n")).as("n"),
+        r3(sum((col("d") + 1) * col("cd"))).as("checksum"))
+  }
+
   /** The `kmeans_fit` gate surface: run `nIter − 1` full Lloyd rounds
     * driver-side, then perform the FINAL round distributed and report
     * per surviving cluster its member count and a checksum of the
@@ -653,6 +738,31 @@ object Similarity {
     var it = 0
     while (it < nIter) {
       val r = pqKmeansStep(embeddings, cids, books)
+      cids = r._1; books = r._2
+      it += 1
+    }
+    (cids, books)
+  }
+
+  /** [[pqTrainedBooks]] on the deterministic md5-PRNG sample (`keep` of
+    * `nBuckets` buckets) — the same FAISS sampling discipline as
+    * [[kmeansCentroidsSampled]] applied to the per-subspace Lloyd
+    * rounds: only sampled vectors vote in the codeword updates, so the
+    * PQ fit cost is bounded by the sample size at any corpus size.
+    * Seeds stay the full corpus' first-`nCodewords` sub-slices.
+    */
+  def pqTrainedBooksSampled(embeddings: DataFrame, nCodewords: Int, m: Int,
+                            nIter: Int, keep: Int, nBuckets: Int)
+      : (Array[Array[Long]], Array[Array[Array[Double]]]) = {
+    require(keep >= 1 && keep <= nBuckets,
+      s"pqTrainedBooksSampled: keep=$keep must be in [1, $nBuckets]")
+    VectorExprs.register(embeddings.sparkSession)
+    val head = headVectors(embeddings, nCodewords)
+    var (cids, books) = { val (_, c, b, _) = pqBooks(head, m); (c, b) }
+    val sample = embeddings.where(sampleBucket(nBuckets) < keep)
+    var it = 0
+    while (it < nIter) {
+      val r = pqKmeansStep(sample, cids, books)
       cids = r._1; books = r._2
       it += 1
     }
