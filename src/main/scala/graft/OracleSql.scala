@@ -1142,6 +1142,68 @@ object OracleSql {
        |SELECT qid, vid, adist, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
+  /** Shared SQ8 CTE chain: per-dim ROUNDED min/max (the embedding_stats
+    * ground truth), affine scale 255/(max−min) (0 when degenerate),
+    * per-(vec, d) uint8 code, and the query term table (qid, d, code,
+    * rounded squared diff against the reconstruction) — mirrors
+    * [[graft.operators.Similarity.annSqTopK]]'s driver arithmetic
+    * op for op.
+    */
+  private def sqCtes(nQueries: Int, dim: Int): String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |      WHERE embedding IS NOT NULL),
+       |st AS (
+       |  SELECT r.d, ${R("MIN(e.v[r.d + 1])")} AS mn, ${R("MAX(e.v[r.d + 1])")} AS mx
+       |  FROM e CROSS JOIN range(0, $dim) r(d) GROUP BY r.d),
+       |sp AS (SELECT d, mn,
+       |              CASE WHEN mx > mn THEN 255.0 / (mx - mn) ELSE 0.0 END AS s
+       |       FROM st),
+       |cx AS (
+       |  SELECT e.vec_id, sp.d,
+       |         CAST(LEAST(255.0, GREATEST(0.0,
+       |           FLOOR((e.v[sp.d + 1] - sp.mn) * sp.s + 0.5))) AS INTEGER) AS code
+       |  FROM e CROSS JOIN sp),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
+       |dt0 AS (
+       |  SELECT q.qid, sp.d, cd.code,
+       |         q.qv[sp.d + 1] - (sp.mn +
+       |           CASE WHEN sp.s = 0 THEN 0 ELSE cd.code / sp.s END) AS diff
+       |  FROM q CROSS JOIN sp CROSS JOIN range(0, 256) cd(code)),
+       |dt AS (SELECT qid, d, code, ${R("diff * diff")} AS term FROM dt0),
+       |sc AS (
+       |  SELECT dt.qid, cx.vec_id AS vid, ${R("SUM(dt.term)")} AS adist
+       |  FROM cx JOIN dt ON dt.d = cx.d AND dt.code = cx.code
+       |  WHERE cx.vec_id != dt.qid
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** SQ8 ANN: asymmetric full-precision-query vs uint8-codes search. */
+  def annSq(nQueries: Int, k: Int, dim: Int = 64): String =
+    s"""WITH ${sqCtes(nQueries, dim)},
+       |r AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS BIGINT) AS rank
+       |  FROM sc)
+       |SELECT qid, vid, adist, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
+  /** Recall of the SQ8 tier vs the exact cosine top-k. */
+  def annSqRecall(nQueries: Int, k: Int, dim: Int = 64): String =
+    s"""WITH ${sqCtes(nQueries, dim)},
+       |xs AS (
+       |  SELECT q.qid, e.vec_id AS vid, ${R("list_cosine_similarity(q.qv, e.v)")} AS cos
+       |  FROM e CROSS JOIN q WHERE e.vec_id != q.qid),
+       |xr AS (
+       |  SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+       |  FROM xs),
+       |exact AS (SELECT qid, vid FROM xr WHERE rank <= $k),
+       |pr AS (
+       |  SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS rank
+       |  FROM sc),
+       |approx AS (SELECT qid, vid, 1 AS hit FROM pr WHERE rank <= $k)
+       |SELECT x.qid, COUNT(*) AS n_exact,
+       |       CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS n_hit,
+       |       ${R("SUM(COALESCE(a.hit, 0)) / COUNT(*)")} AS recall
+       |FROM exact x LEFT JOIN approx a ON x.qid = a.qid AND x.vid = a.vid
+       |GROUP BY x.qid ORDER BY x.qid""".stripMargin
+
   /** Residual IVF+PQ (FAISS proper): the annIvfPq CTE chain with every
     * PQ-facing vector replaced by its residual r = v − centroid(cell)
     * — codebook slices, code assignment, and the query distance tables

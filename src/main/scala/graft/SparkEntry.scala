@@ -529,6 +529,18 @@ object SparkEntry {
         .select(col("qid"), col("vid"), col("adist"), col("rank").cast("long").as("rank"))
         .orderBy(col("qid"), col("rank"))),
 
+    // SQ8 scalar quantization — the 8-bit-per-dim tier between raw
+    // vectors and PQ (4x compression, recall well above PQ's at gate
+    // scale — 256 levels/dim vs 16 codewords/16-dim subspace)
+    "ann_sq" -> ((s, dir) =>
+      Similarity.annSqTopK(Tables.embeddings(s, dir), 5, 5)
+        .select(col("qid"), col("vid"), col("adist"), col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))),
+
+    "ann_sq_recall" -> ((s, dir) =>
+      Similarity.annSqRecall(Tables.embeddings(s, dir), 5, 5)
+        .orderBy(col("qid"))),
+
     // FAISS IVFPQ proper: PQ codes quantize the RESIDUAL v − centroid
     // (same codebook budget as ann_ivfpq — the recall gate publishes
     // the improvement the residual trick buys)
@@ -883,6 +895,8 @@ object SparkEntry {
     "ann_recall" -> OracleSql.annRecall(8, 5, 5, 64),
     "ann_pq" -> OracleSql.annPq(16, 4, 5, 5),
     "ann_ivfpq" -> OracleSql.annIvfPq(16, 16, 4, 5, 5),
+    "ann_sq" -> OracleSql.annSq(5, 5),
+    "ann_sq_recall" -> OracleSql.annSqRecall(5, 5),
     "ann_ivfpq_residual" -> OracleSql.annIvfPqResidual(16, 16, 4, 5, 5),
     "ann_ivfpq_residual_recall" -> OracleSql.annIvfPqResidualRecall(16, 16, 4, 5, 5),
     "ann_ivfpq_stored" -> OracleSql.annIvfPq(16, 16, 4, 5, 5),

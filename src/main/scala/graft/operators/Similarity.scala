@@ -925,6 +925,104 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------
+  // SQ8 scalar quantization: per-dim affine uint8 codes
+  // ------------------------------------------------------------------
+
+  /** Array-of-doubles SQL literal — Double.toString round-trips
+    * exactly (the LSH hyperplane precedent), so the same 64 values are
+    * bit-identical literals in any engine.
+    */
+  private def dArr(xs: Array[Double]): String =
+    xs.map(x => s"${x}D").mkString("array(", ", ", ")")
+
+  /** Per-dim affine SQ8 parameters from [[embeddingStats]]: (mins,
+    * scales) with scale_d = 255/(max_d − min_d), or 0 for a degenerate
+    * dimension (min = max → every code 0, reconstruction = min). The
+    * stats' ROUNDED min/max are the shared ground truth — both engines
+    * derive identical scales from them, so codes are bit-stable.
+    */
+  private def sqParams(embeddings: DataFrame): (Array[Double], Array[Double]) = {
+    val rows = embeddingStats(embeddings)
+      .select(col("d"), col("min_x"), col("max_x")).collect()
+      .map(r => (r.getAs[Number](0).intValue(), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val mins = rows.map(_._2)
+    val scales = rows.map { case (_, mn, mx) => if (mx > mn) 255.0 / (mx - mn) else 0.0 }
+    (mins, scales)
+  }
+
+  /** SQ8 encoding — `(vec_id, codes array<int>[dim])` with code_d =
+    * clamp(⌊(x_d − min_d)·scale_d + 0.5⌋, 0, 255): a ZERO-exchange
+    * projection (the params ride as array literals inside nested
+    * `zip_with`, the [[graft.functions.PqCodes]] discipline without a
+    * new native expression — floor/least/greatest are exact IEEE ops,
+    * so codes are bit-identical in any engine). 8 bits per dimension =
+    * 4× compression over float32 — the FAISS SQ8 tier between raw
+    * vectors and PQ's 2 bits/dim at the gate codebook.
+    */
+  def sqEncoded(embeddings: DataFrame): DataFrame = {
+    val (mins, scales) = sqParams(embeddings)
+    embeddings.where(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        expr(
+          s"""zip_with(
+             |  zip_with(embedding, ${dArr(mins)}, (x, mn) -> cast(x as double) - mn),
+             |  ${dArr(scales)},
+             |  (dd, s) -> cast(least(255.0D, greatest(0.0D, floor(dd * s + 0.5D))) as int))
+             |""".stripMargin.replaceAll("\n", " ")).as("codes"))
+  }
+
+  /** SQ8 ANN: asymmetric search — the query stays full-precision, the
+    * corpus is read ONLY as uint8 codes, distance = Σ_d (q_d −
+    * reconstruct(code_d))². Same machinery as the PQ tier: a driver-
+    * computed broadcast term table (qid, d, code, term) replaces the
+    * per-pair arithmetic with dim lookups, the per-pair sum partial-
+    * aggs map-locally, and the salted ascending rank caps every
+    * reducer. Term-table footprint = nQueries·dim·256 doubles —
+    * broadcast-class at embedding dims.
+    */
+  def annSqTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    VectorExprs.register(spark)
+    import spark.implicits._
+    val (mins, scales) = sqParams(embeddings)
+    val qs = headVectors(embeddings, nQueries)
+    val dt = (for {
+      (qid, qv) <- qs.toSeq
+      d <- mins.indices
+      code <- 0 until 256
+    } yield {
+      val recon = mins(d) + (if (scales(d) == 0.0) 0.0 else code / scales(d))
+      val diff = qv(d) - recon
+      (qid, d, code, r3d(diff * diff))
+    }).toDF("qid", "d", "code", "term")
+    val scored = sqEncoded(embeddings)
+      .select(col("vec_id").as("vid"), posexplode(col("codes")).as(Seq("d", "code")))
+      .join(broadcast(dt), Seq("d", "code"))
+      .where(col("vid") =!= col("qid"))
+      .groupBy(col("qid"), col("vid"))
+      .agg(r3(sum(col("term"))).as("adist"))
+    saltedTopK(scored, "adist", ascending = true, k)
+  }
+
+  /** Recall@k of the SQ8 tier vs exact — published next to the PQ
+    * recalls: at 8 bits/dim vs PQ's fraction of a bit, SQ8 recall
+    * should sit WELL above the PQ tiers' at gate scale (it keeps 256
+    * levels per dimension; PQ keeps 16 codewords per 16-dim subspace).
+    */
+  def annSqRecall(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val exact = cosineTopK(embeddings, nQueries, k).select(col("qid"), col("vid"))
+    val approx = annSqTopK(embeddings, nQueries, k)
+      .select(col("qid"), col("vid"), lit(1).as("hit"))
+    exact.join(approx, Seq("qid", "vid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        r3(col("n_hit") / col("n_exact")).as("recall"))
+  }
+
+  // ------------------------------------------------------------------
   // Residual PQ (FAISS IVFPQ proper): codes encode v − centroid(cell)
   // ------------------------------------------------------------------
 
