@@ -1845,6 +1845,62 @@ object OracleSql {
        |${dedupCross(perms, rowsPerBand, minJaccard)}
        |) WHERE flagged = 1 ORDER BY doc_id""".stripMargin
 
+  /** semanticDedupStream's batch twin: the even-id embeddings are the
+    * stored index (first-16-of-evens coarse quantizer, SQ8 codes from
+    * the index corpus' ROUNDED per-dim min/max); the stream = odd ids
+    * plus re-crawled copies of the indexed vectors under offset ids.
+    * A streamed vector is flagged when its assigned cell holds an
+    * indexed vector (other than itself) with R(cos(v, SQ8-recon)) ≥
+    * `threshold`. Output = (vec_id, synthetic first event time).
+    */
+  def streamSemDedupBatch(nCentroids: Int, threshold: Double, offset: Long,
+                          dim: Int = 64): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL),
+       |idx AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+       |str AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 1
+       |        UNION ALL SELECT vec_id + $offset, v FROM idx),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM idx WHERE vec_id < $nCentroids),
+       |st AS (
+       |  SELECT r.d, ${R("MIN(h.v[r.d + 1])")} AS mn, ${R("MAX(h.v[r.d + 1])")} AS mx
+       |  FROM (SELECT * FROM idx WHERE vec_id < $nCentroids) h
+       |  CROSS JOIN range(0, $dim) r(d) GROUP BY r.d),
+       |sp AS (SELECT d, mn,
+       |              CASE WHEN mx > mn THEN 255.0 / (mx - mn) ELSE 0.0 END AS s
+       |       FROM st),
+       |ic0 AS (
+       |  SELECT idx.vec_id, c.cid, ${R("list_cosine_similarity(idx.v, c.cv)")} AS ccos
+       |  FROM idx CROSS JOIN c),
+       |icells AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+       |    FROM ic0)
+       |  WHERE crank = 1),
+       |rx AS (
+       |  SELECT i.vec_id, sp.d,
+       |         sp.mn + CASE WHEN sp.s = 0 THEN 0 ELSE
+       |           CAST(LEAST(255.0, GREATEST(0.0,
+       |             FLOOR((i.v[sp.d + 1] - sp.mn) * sp.s + 0.5))) AS INTEGER) / sp.s END AS x
+       |  FROM idx i CROSS JOIN sp),
+       |rv AS (SELECT vec_id, LIST(x ORDER BY d) AS rv FROM rx GROUP BY vec_id),
+       |sc0 AS (
+       |  SELECT s.vec_id, c.cid, ${R("list_cosine_similarity(s.v, c.cv)")} AS ccos
+       |  FROM str s CROSS JOIN c),
+       |scells AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+       |    FROM sc0)
+       |  WHERE crank = 1),
+       |hit AS (
+       |  SELECT DISTINCT sc.vec_id
+       |  FROM scells sc
+       |  JOIN str sv ON sv.vec_id = sc.vec_id
+       |  JOIN icells ic ON ic.cell = sc.cell AND ic.vec_id != sc.vec_id
+       |  JOIN rv ON rv.vec_id = ic.vec_id
+       |  WHERE ${R("list_cosine_similarity(sv.v, rv.rv)")} >= $threshold)
+       |SELECT vec_id, 1704067200000000 + vec_id * 1000000 AS ts_us
+       |FROM hit ORDER BY vec_id""".stripMargin
+
   /** decontaminateStream's batch twin: contaminated docs (any shared
     * n-gram with the benchmark = docs with doc_id % m = 0) with their
     * synthetic first event time (2024-01-01 epoch + doc_id seconds —

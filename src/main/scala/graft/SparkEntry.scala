@@ -647,6 +647,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // semanticDedupStream's batch twin: the reference embeddings (even
+    // ids) are indexed with writeAnnIndex; the "stream" (odd ids PLUS
+    // re-crawled copies of the indexed vectors under offset ids,
+    // synthetic event times) is probed — a streamed vector is flagged
+    // when its cell holds an indexed vector with cos(v, SQ8-recon)
+    // >= 0.9; output = each flagged vector's first event time
+    "stream_semdedup_batch" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeAnnIndex(emb.where(col("vec_id") % 2 === 0), 16, 16, 4, "graft_semidx", 8)
+      val stream = emb.where(col("vec_id") % 2 === 1)
+        .unionByName(emb.where(col("vec_id") % 2 === 0)
+          .withColumn("vec_id", col("vec_id") + 1000000L))
+        .withColumn("ts", timestamp_micros(lit(1704067200000000L) + col("vec_id") * 1000000L))
+      graft.streaming.StreamOps.semanticDedupStreamBatch(stream, "graft_semidx", 0.9)
+        .orderBy(col("vec_id"))
+    }),
+
     // decontaminateStream's batch twin: documents carry synthetic event
     // times (2024-01-01 epoch + doc_id seconds — the engine-portable
     // convention); output = each contaminated doc's first event time
@@ -912,6 +929,7 @@ object SparkEntry {
     "session_window_batch" -> OracleSql.sessionWindowBatch(1800000000L),
     "dedup_stream_batch" -> OracleSql.dedupStreamBatch,
     "stream_decontaminate_batch" -> OracleSql.streamDecontaminateBatch(4, 50),
+    "stream_semdedup_batch" -> OracleSql.streamSemDedupBatch(16, 0.9, 1000000L),
     "stream_crossdup_batch" -> OracleSql.streamCrossDupBatch(16, 2, 0.5),
     "ts_lag_features" -> OracleSql.lagFeatures(Seq(1, 7), 7),
     "dedup_pipeline" -> OracleSql.dedupPipeline(16, 2, 0.5),

@@ -951,6 +951,32 @@ object Similarity {
     (mins, scales)
   }
 
+  /** The SQ8 encode expression over a `vecCol` array column — shared
+    * by [[sqEncoded]] and the stored index's sq column so the code
+    * convention can never diverge.
+    */
+  private def sqEncodeSql(vecCol: String, mins: Array[Double],
+                          scales: Array[Double]): String =
+    s"""zip_with(
+       |  zip_with($vecCol, ${dArr(mins)}, (x, mn) -> cast(x as double) - mn),
+       |  ${dArr(scales)},
+       |  (dd, s) -> cast(least(255.0D, greatest(0.0D, floor(dd * s + 0.5D))) as int))
+       |""".stripMargin.replaceAll("\n", " ")
+
+  /** The SQ8 decode (reconstruction) expression over a `codeCol`
+    * array<int> column: x̂_d = min_d + code_d/scale_d (min alone for a
+    * degenerate dimension) — exact IEEE ops on shared literals, so
+    * reconstructions are bit-identical in any engine.
+    */
+  private def sqReconSql(codeCol: String, mins: Array[Double],
+                         scales: Array[Double]): String =
+    s"""zip_with(
+       |  zip_with($codeCol, ${dArr(scales)},
+       |    (c, s) -> CASE WHEN s = 0.0D THEN 0.0D ELSE cast(c as double) / s END),
+       |  ${dArr(mins)},
+       |  (q, mn) -> mn + q)
+       |""".stripMargin.replaceAll("\n", " ")
+
   /** SQ8 encoding — `(vec_id, codes array<int>[dim])` with code_d =
     * clamp(⌊(x_d − min_d)·scale_d + 0.5⌋, 0, 255): a ZERO-exchange
     * projection (the params ride as array literals inside nested
@@ -964,12 +990,7 @@ object Similarity {
     val (mins, scales) = sqParams(embeddings)
     embeddings.where(col("embedding").isNotNull)
       .select(col("vec_id"),
-        expr(
-          s"""zip_with(
-             |  zip_with(embedding, ${dArr(mins)}, (x, mn) -> cast(x as double) - mn),
-             |  ${dArr(scales)},
-             |  (dd, s) -> cast(least(255.0D, greatest(0.0D, floor(dd * s + 0.5D))) as int))
-             |""".stripMargin.replaceAll("\n", " ")).as("codes"))
+        expr(sqEncodeSql("embedding", mins, scales)).as("codes"))
   }
 
   /** SQ8 ANN: asymmetric search — the query stays full-precision, the
@@ -1173,52 +1194,71 @@ object Similarity {
       s"writeAnnIndex: no non-null vectors with vec_id < $nCentroids to seed the quantizer")
     val encIvf = graft.functions.IvfCell.encode(ivfCents.map(_._1), ivfCents.map(_._2))
     val (encPq, _, _, _) = pqBooks(head.filter(_._1 < nCodewords), m)
+    // SQ8 params from the TRAIN block (the same head the codebooks
+    // come from), NOT the whole build input: every stored artifact
+    // derives from one deterministic block, so append-with-stored-
+    // params ≡ one-shot build bit-exactly (corpus-wide stats would
+    // shift whenever the corpus grows — the two-batch gate caught
+    // exactly that). FAISS SQ trains its ranges on a sample the same
+    // way. PQ codes serve ADC ranking; SQ codes serve the cosine-
+    // threshold reconstruction path (values outside the train block's
+    // range clamp to the edge codes).
+    val (sqMins, sqScales) = sqParams(
+      embeddings.where(col("vec_id") < math.max(nCentroids, nCodewords)))
     graft.sources.Formats.writeBucketedKeys(
-      encodeForIndex(embeddings, encIvf, encPq), s"${table}_codes", Seq("cell"), nBuckets)
+      encodeForIndex(embeddings, encIvf, encPq, sqMins, sqScales),
+      s"${table}_codes", Seq("cell"), nBuckets)
     import spark.implicits._
-    Seq((nCentroids, nCodewords, m, nBuckets, encIvf, encPq))
-      .toDF("n_centroids", "n_codewords", "m", "n_buckets", "enc_ivf", "enc_pq")
+    Seq((nCentroids, nCodewords, m, nBuckets, encIvf, encPq, sqMins.toSeq, sqScales.toSeq))
+      .toDF("n_centroids", "n_codewords", "m", "n_buckets", "enc_ivf", "enc_pq",
+        "sq_mins", "sq_scales")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta")
   }
 
-  /** The index row projection: ONE zero-exchange pass assigns cell and
-    * codes side by side (the [[annIvfPqCore]] shape, minus the search).
+  /** The index row projection: ONE zero-exchange pass assigns the
+    * cell, the PQ codes and the SQ8 codes side by side (the
+    * [[annIvfPqCore]] shape, minus the search).
     */
-  private def encodeForIndex(vecs: DataFrame, encIvf: String, encPq: String): DataFrame =
+  private def encodeForIndex(vecs: DataFrame, encIvf: String, encPq: String,
+                             sqMins: Array[Double], sqScales: Array[Double]): DataFrame =
     vecs.where(col("embedding").isNotNull)
       .select(col("vec_id"),
         expr(s"coalesce(graft_ivf_cell(embedding, '$encIvf'), -1L)").as("cell"),
-        expr(s"graft_pq_codes(embedding, '$encPq')").as("codes"))
+        expr(s"graft_pq_codes(embedding, '$encPq')").as("codes"),
+        expr(sqEncodeSql("embedding", sqMins, sqScales)).as("sq"))
 
   /** Eager guard + parameter read shared by every index consumer: the
-    * meta table must exist; returns (m, nBuckets, encIvf, encPq).
+    * meta table must exist; returns (m, nBuckets, encIvf, encPq,
+    * sqMins, sqScales).
     */
-  private def annIndexMeta(spark: org.apache.spark.sql.SparkSession,
-                           table: String): (Int, Int, String, String) = {
+  private def annIndexMeta(spark: org.apache.spark.sql.SparkSession, table: String)
+      : (Int, Int, String, String, Array[Double], Array[Double]) = {
     val metaT = s"${table}_meta"
     require(spark.catalog.tableExists(metaT),
       s"ANN index '$table' has no $metaT table — (re)build it with writeAnnIndex")
     val r = spark.table(metaT).collect().head
     (r.getAs[Int]("m"), r.getAs[Int]("n_buckets"),
-      r.getAs[String]("enc_ivf"), r.getAs[String]("enc_pq"))
+      r.getAs[String]("enc_ivf"), r.getAs[String]("enc_pq"),
+      r.getAs[scala.collection.Seq[Double]]("sq_mins").toArray,
+      r.getAs[scala.collection.Seq[Double]]("sq_scales").toArray)
   }
 
   /** Append NEW vectors to a stored [[writeAnnIndex]] index — the
     * nightly maintenance step: the corpus grows by today's accepted
     * embeddings WITHOUT rebuilding (at 100 TB a rebuild re-encodes the
     * whole set; the append encodes only the delta). The delta is
-    * encoded with the STORED codebooks — exactly FAISS `add()` after
-    * `train()` — so a two-batch build equals the one-shot build
-    * (gated: `ann_ivfpq_stored_inc`). Bucket spec comes from meta and
-    * Spark re-validates it on append, so the exchange-free probe
-    * property survives growth.
+    * encoded with the STORED codebooks AND the stored SQ8 params —
+    * exactly FAISS `add()` after `train()` — so a two-batch build
+    * equals the one-shot build (gated: `ann_ivfpq_stored_inc`). Bucket
+    * spec comes from meta and Spark re-validates it on append, so the
+    * exchange-free probe property survives growth.
     */
   def appendAnnIndex(newVecs: DataFrame, table: String): Unit = {
     val spark = newVecs.sparkSession
     VectorExprs.register(spark)
-    val (_, nBuckets, encIvf, encPq) = annIndexMeta(spark, table)
+    val (_, nBuckets, encIvf, encPq, sqMins, sqScales) = annIndexMeta(spark, table)
     graft.sources.Formats.writeBucketedKeys(
-      encodeForIndex(newVecs, encIvf, encPq), s"${table}_codes",
+      encodeForIndex(newVecs, encIvf, encPq, sqMins, sqScales), s"${table}_codes",
       Seq("cell"), nBuckets, mode = "append")
   }
 
@@ -1232,7 +1272,7 @@ object Similarity {
   private[graft] def annIndexScored(queries: DataFrame, table: String): DataFrame = {
     val spark = queries.sparkSession
     VectorExprs.register(spark)
-    val (_, _, encIvf, encPq) = annIndexMeta(spark, table)
+    val (_, _, encIvf, encPq, _, _) = annIndexMeta(spark, table)
     val (cids, books) = graft.functions.PqCodes.decode(encPq)
     val subDim = books(0)(0).length
     // the query set is broadcast-class by contract (it's the nightly
@@ -1256,6 +1296,30 @@ object Similarity {
       .groupBy(col("qid"), col("vid"))
       .agg(r3(sum(col("d2"))).as("adist"))
   }
+
+  /** The stored index's RECONSTRUCTED vectors — `(vec_b, cell, rv)`
+    * with rv = SQ8-decode(sq) — as a static frame over the bucketed
+    * `_codes` table: the probe side a stream-static semantic-dedup
+    * join needs. SQ8 (not PQ) feeds the reconstruction because a
+    * cosine THRESHOLD needs fidelity: cos(v, sq-recon(v)) ≈ 1 at 8
+    * bits/dim, where the PQ reconstruction caps near the corpus'
+    * background similarity (measured 0.46 max on the gate corpus —
+    * a threshold over PQ recon separates nothing). Raw corpus vectors
+    * are never read; the params come from meta; scan → project,
+    * exchange-free.
+    */
+  def annIndexRecon(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
+    val (_, _, _, _, sqMins, sqScales) = annIndexMeta(spark, table)
+    spark.table(s"${table}_codes")
+      .select(col("vec_id").as("vec_b"), col("cell"),
+        expr(sqReconSql("sq", sqMins, sqScales)).as("rv"))
+  }
+
+  /** The stored index's coarse-quantizer encoding — for assigning NEW
+    * (e.g. streamed) vectors to the index's cells.
+    */
+  def annIndexQuantizer(spark: org.apache.spark.sql.SparkSession, table: String): String =
+    annIndexMeta(spark, table)._3
 
   /** IVFPQ search against a STORED [[writeAnnIndex]] index: the
     * corpus' raw vectors are never read — candidates come from the

@@ -200,6 +200,72 @@ object StreamOps {
       .groupBy(col("doc_id")).agg(min(col("ts_us")).as("ts_us"))
   }
 
+  /** Streaming SEMANTIC dedup at INGEST against a STORED
+    * [[graft.operators.Similarity.writeAnnIndex]] vector index: emit
+    * each streamed vector whose cell holds an indexed vector with
+    * rounded cos(v, PQ-reconstruction) ≥ `threshold` — SemDeDup's
+    * "is tonight's embedding a near-copy of the training set"
+    * applied before data lands, the vector-space face of
+    * [[crossDupStream]].
+    *
+    * Everything is per-row or stream-static, so append mode works on
+    * an unbounded stream: cell assignment is a pure projection (the
+    * stored quantizer rides inside the expression), the probe is a
+    * STREAM-STATIC inner join on `cell` against the bucketed codes
+    * table projected through the PQ decode (stateless — the static
+    * side IS the index; raw corpus vectors are never read), and
+    * `dropDuplicatesWithinWatermark` collapses multiple same-cell
+    * witnesses to ONE emitted row. State = one key per flagged vector
+    * inside the horizon.
+    */
+  def semanticDedupStream(vecs: DataFrame, table: String, threshold: Double,
+                          watermark: String): DataFrame = {
+    import graft.operators.Similarity
+    val spark = vecs.sparkSession
+    graft.functions.VectorExprs.register(spark)
+    val encIvf = Similarity.annIndexQuantizer(spark, table)
+    val recon = Similarity.annIndexRecon(spark, table)
+    vecs
+      .withWatermark("ts", watermark)
+      .where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("ts"), col("embedding").as("v"),
+        expr(s"coalesce(graft_ivf_cell(embedding, '$encIvf'), -1L)").as("cell"))
+      .join(recon, Seq("cell"))
+      .where(col("vec_id") =!= col("vec_b"))
+      .where(r3(expr("graft_vec_dot(v, rv)") /
+        (sqrt(expr("graft_vec_dot(v, v)")) * sqrt(expr("graft_vec_dot(rv, rv)"))))
+        >= threshold)
+      .select(col("vec_id"), col("ts"))
+      .dropDuplicatesWithinWatermark("vec_id")
+  }
+
+  /** Batch twin of [[semanticDedupStream]]: flagged vectors with their
+    * FIRST event time (the canonical-emission convention of
+    * [[decontaminateStreamBatch]]/[[crossDupStreamBatch]]). Same plan
+    * shape: projection-assigned cells, the stored index decoded in a
+    * projection, one shuffle carrying only (vec_id, ts_us) scalars.
+    */
+  def semanticDedupStreamBatch(vecs: DataFrame, table: String,
+                               threshold: Double): DataFrame = {
+    import graft.operators.Similarity
+    val spark = vecs.sparkSession
+    graft.functions.VectorExprs.register(spark)
+    val encIvf = Similarity.annIndexQuantizer(spark, table)
+    val recon = Similarity.annIndexRecon(spark, table)
+    vecs
+      .where(col("embedding").isNotNull)
+      .select(col("vec_id"), unix_micros(col("ts")).as("ts_us"),
+        col("embedding").as("v"),
+        expr(s"coalesce(graft_ivf_cell(embedding, '$encIvf'), -1L)").as("cell"))
+      .join(recon, Seq("cell"))
+      .where(col("vec_id") =!= col("vec_b"))
+      .where(r3(expr("graft_vec_dot(v, rv)") /
+        (sqrt(expr("graft_vec_dot(v, v)")) * sqrt(expr("graft_vec_dot(rv, rv)"))))
+        >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(min(col("ts_us")).as("ts_us"))
+  }
+
   /** Batch twin of [[sessionWindows]]. */
   def sessionWindowsBatch(events: DataFrame, gap: String): DataFrame =
     events

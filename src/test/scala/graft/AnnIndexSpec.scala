@@ -59,12 +59,13 @@ class AnnIndexSpec extends AnyFunSuite {
         emb.where(col("vec_id") >= 16 && col("vec_id") % 2 === 1), "graft_annidx_t2")
       // the stored index CONTENTS must match row-for-row, not just the
       // probe output: same (vec_id, cell, codes) set either way
-      val one = spark.table("graft_annidx_t1_codes")
-        .select(col("vec_id"), col("cell"), col("codes").cast("string"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
-      val two = spark.table("graft_annidx_t2_codes")
-        .select(col("vec_id"), col("cell"), col("codes").cast("string"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      def contents(t: String) = spark.table(t)
+        .select(col("vec_id"), col("cell"), col("codes").cast("string"),
+          col("sq").cast("string"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+        .toSet
+      val one = contents("graft_annidx_t1_codes")
+      val two = contents("graft_annidx_t2_codes")
       assert(one === two)
       val p1 = rows(Similarity.annIvfPqAgainstIndex(
         emb.where(col("vec_id") < 5), "graft_annidx_t1", 5))

@@ -370,6 +370,50 @@ class FeedStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming semantic dedup flags exactly the stored-index near-copies") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val dir = Files.createTempDirectory("semdedup-in").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(offsetMin: Long) = new java.sql.Timestamp(base.getTime + offsetMin * 60000L)
+    // reference corpus: 20 deterministic unit-ish vectors (vec_ids
+    // 0..19; the first 16 seed the coarse quantizer + PQ codebook)
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val refVecs = (0L until 20L).map(i => (i, vec()))
+    Similarity.writeAnnIndex(refVecs.toDF("vec_id", "embedding"), 16, 16, 4,
+      "graft_semidx_t", 2)
+    // stream: 100 = exact copy of ref 17, 101 = fresh direction,
+    // 102 = near-copy of ref 18 (tiny perturbation)
+    val near18 = refVecs(18)._2.map(x => x + 0.01f)
+    val rows = Seq(
+      (100L, ts(0), refVecs(17)._2),
+      (101L, ts(1), vec()),
+      (102L, ts(2), near18))
+    rows.toDF("vec_id", "ts", "embedding").write.mode("overwrite").parquet(dir)
+    val src = spark.readStream
+      .schema(rows.toDF("vec_id", "ts", "embedding").schema).parquet(dir)
+    val q = StreamOps.semanticDedupStream(src, "graft_semidx_t", 0.9, "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("semdedup").start()
+    try {
+      q.processAllAvailable()
+      val flagged = spark.sql("select vec_id from semdedup").collect()
+        .map(_.getLong(0)).sorted
+      assert(flagged.toSeq === Seq(100L, 102L))
+      // batch twin agrees vector-for-vector and pins the event time
+      val twin = StreamOps.semanticDedupStreamBatch(
+          rows.toDF("vec_id", "ts", "embedding"), "graft_semidx_t", 0.9)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(twin.keySet === Set(100L, 102L))
+      assert(twin(100L) === base.getTime * 1000L)
+      assert(twin(102L) === (base.getTime + 2 * 60000L) * 1000L)
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS graft_semidx_t_codes")
+      spark.sql("DROP TABLE IF EXISTS graft_semidx_t_meta")
+    }
+  }
+
   test("streaming session_window emits closed sessions after watermark advances") {
     import spark.implicits._
     val dir = Files.createTempDirectory("sess-in").toString
