@@ -148,6 +148,57 @@ object Soak {
       "dedup_cross_probe" -> (() =>
         Dedup.crossDupAgainstIndex(docs.where(col("doc_id") % 2 === 1),
           "graft_soak_xidx", 16, 2, 0.5)),
+      // AXIS 2 of the two-axis stored-index soak: crawl FIXED at the
+      // BASE corpus' odd ids, band index grown factor× (built by the
+      // dedup_cross_stored entry). Cost law: the crawl's signature
+      // pass is constant; band-bucket collisions against the disjoint
+      // replica corpus stay ≈ base-level (replica shingles can't match
+      // the base crawl) — probe cost should be ~FLAT in index growth,
+      // the "probe cost is crawl-dominated" claim, measured.
+      "dedup_cross_probe_fixed" -> (() =>
+        Dedup.crossDupAgainstIndex(
+          Tables.documents(spark, sfDir).where(col("doc_id") % 2 === 1),
+          "graft_soak_xidx", 16, 2, 0.5)),
+      // ---- stored ANN index, two-axis ----
+      // build+probe at the factor× corpus, FIXED 16-cell codebook:
+      // one zero-exchange encode scan + bucketed write (linear), then
+      // a probe whose cell holds factor× codes
+      "ann_ivfpq_stored" -> (() => {
+        Similarity.writeAnnIndex(emb, 16, 16, 4, "graft_soak_annidx", 8)
+        Similarity.annIvfPqAgainstIndex(
+          Tables.embeddings(spark, sfDir).where(col("vec_id") < 5),
+          "graft_soak_annidx", 5)
+      }),
+      // AXIS 2: probe-only, crawl FIXED (5 base queries), index grown
+      // factor×. Declared cost law: at a FIXED codebook the probed
+      // cell's population grows factor×, so the ADC scan is LINEAR in
+      // index size — this entry MEASURES that law (it is not a flat
+      // claim); the production regime bounds the cell by scaling the
+      // codebook ~√n, the next entry.
+      "ann_index_probe" -> (() =>
+        Similarity.annIvfPqAgainstIndex(
+          Tables.embeddings(spark, sfDir).where(col("vec_id") < 5),
+          "graft_soak_annidx", 5)),
+      // the production regime: codebook scaled √factor (the SemDeDup
+      // ~√n sizing) → cell occupancy ~√n → per-query probe work grows
+      // ~√factor while the build stays one linear pass
+      "ann_ivfpq_stored_scaled" -> (() => {
+        val nC = math.max(16, (16 * math.sqrt(factor.toDouble)).round.toInt)
+        Similarity.writeAnnIndex(emb, nC, 16, 4, "graft_soak_annidx_s", 8)
+        Similarity.annIvfPqAgainstIndex(
+          Tables.embeddings(spark, sfDir).where(col("vec_id") < 5),
+          "graft_soak_annidx_s", 5)
+      }),
+      // semantic dedup at ingest: nightly batch FIXED (base odd ids),
+      // stored reference grown factor× — declared law: batch size ×
+      // cell occupancy, so LINEAR in index growth at the fixed
+      // codebook (same argument as ann_index_probe)
+      "stream_semdedup_batch" -> (() =>
+        graft.streaming.StreamOps.semanticDedupStreamBatch(
+          Tables.embeddings(spark, sfDir).where(col("vec_id") % 2 === 1)
+            .withColumn("ts",
+              timestamp_micros(lit(1704067200000000L) + col("vec_id") * 1000000L)),
+          "graft_soak_annidx", 0.9)),
       // k-means cost law is n·k per round; production sizes the
       // codebook ~√n (the SemDeDup argument), so the soak scales k
       // with √factor rather than holding it flat
