@@ -1169,8 +1169,13 @@ object OracleSql {
        |         q.qv[sp.d + 1] - (sp.mn +
        |           CASE WHEN sp.s = 0 THEN 0 ELSE cd.code / sp.s END) AS diff
        |  FROM q CROSS JOIN sp CROSS JOIN range(0, 256) cd(code)),
-       |dt AS (SELECT qid, d, code, ${R("diff * diff")} AS term FROM dt0),
-       |sc AS (
+       |dt AS (SELECT qid, d, code, ${R("diff * diff")} AS term FROM dt0)""".stripMargin
+
+  /** The full-scan SQ8 scoring CTE (every pair; the IVF-composed
+    * variant swaps in a cell-restricted version).
+    */
+  private val sqScanSc: String =
+    s"""sc AS (
        |  SELECT dt.qid, cx.vec_id AS vid, ${R("SUM(dt.term)")} AS adist
        |  FROM cx JOIN dt ON dt.d = cx.d AND dt.code = cx.code
        |  WHERE cx.vec_id != dt.qid
@@ -1179,6 +1184,34 @@ object OracleSql {
   /** SQ8 ANN: asymmetric full-precision-query vs uint8-codes search. */
   def annSq(nQueries: Int, k: Int, dim: Int = 64): String =
     s"""WITH ${sqCtes(nQueries, dim)},
+       |$sqScanSc,
+       |r AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS BIGINT) AS rank
+       |  FROM sc)
+       |SELECT qid, vid, adist, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
+  /** IVF + SQ8 composed (FAISS IndexIVFScalarQuantizer): the sq chain
+    * with scoring restricted to the query's coarse cell.
+    */
+  def annIvfSq(nCentroids: Int, nQueries: Int, k: Int, dim: Int = 64): String =
+    s"""WITH ${sqCtes(nQueries, dim)},
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $nCentroids),
+       |ca0 AS (
+       |  SELECT e.vec_id, c.cid, ${R("list_cosine_similarity(e.v, c.cv)")} AS ccos
+       |  FROM e CROSS JOIN c),
+       |cells AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+       |    FROM ca0)
+       |  WHERE crank = 1),
+       |qc AS (SELECT vec_id AS qid, cell FROM cells WHERE vec_id < $nQueries),
+       |sc AS (
+       |  SELECT qc.qid, cx.vec_id AS vid, ${R("SUM(dt.term)")} AS adist
+       |  FROM cx
+       |  JOIN cells ce ON ce.vec_id = cx.vec_id
+       |  JOIN qc ON qc.cell = ce.cell AND cx.vec_id != qc.qid
+       |  JOIN dt ON dt.qid = qc.qid AND dt.d = cx.d AND dt.code = cx.code
+       |  GROUP BY 1, 2),
        |r AS (
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS BIGINT) AS rank
        |  FROM sc)
@@ -1187,6 +1220,7 @@ object OracleSql {
   /** Recall of the SQ8 tier vs the exact cosine top-k. */
   def annSqRecall(nQueries: Int, k: Int, dim: Int = 64): String =
     s"""WITH ${sqCtes(nQueries, dim)},
+       |$sqScanSc,
        |xs AS (
        |  SELECT q.qid, e.vec_id AS vid, ${R("list_cosine_similarity(q.qv, e.v)")} AS cos
        |  FROM e CROSS JOIN q WHERE e.vec_id != q.qid),

@@ -541,6 +541,14 @@ object SparkEntry {
       Similarity.annSqRecall(Tables.embeddings(s, dir), 5, 5)
         .orderBy(col("qid"))),
 
+    // IVF + SQ8 composed (the FAISS IndexIVFScalarQuantizer shape):
+    // cell pruning + near-exact 8-bit scoring — the sweet spot
+    // between IVFPQ (lossier) and brute force
+    "ann_ivfsq" -> ((s, dir) =>
+      Similarity.annIvfSqTopK(Tables.embeddings(s, dir), 16, 5, 5)
+        .select(col("qid"), col("vid"), col("adist"), col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))),
+
     // FAISS IVFPQ proper: PQ codes quantize the RESIDUAL v − centroid
     // (same codebook budget as ann_ivfpq — the recall gate publishes
     // the improvement the residual trick buys)
@@ -914,6 +922,7 @@ object SparkEntry {
     "ann_ivfpq" -> OracleSql.annIvfPq(16, 16, 4, 5, 5),
     "ann_sq" -> OracleSql.annSq(5, 5),
     "ann_sq_recall" -> OracleSql.annSqRecall(5, 5),
+    "ann_ivfsq" -> OracleSql.annIvfSq(16, 5, 5),
     "ann_ivfpq_residual" -> OracleSql.annIvfPqResidual(16, 16, 4, 5, 5),
     "ann_ivfpq_residual_recall" -> OracleSql.annIvfPqResidualRecall(16, 16, 4, 5, 5),
     "ann_ivfpq_stored" -> OracleSql.annIvfPq(16, 16, 4, 5, 5),

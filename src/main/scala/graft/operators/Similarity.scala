@@ -1026,6 +1026,54 @@ object Similarity {
     saltedTopK(scored, "adist", ascending = true, k)
   }
 
+  /** IVF + SQ8 composed — the FAISS IndexIVFScalarQuantizer shape:
+    * the coarse quantizer prunes candidates to the query's cell, and
+    * within the cell vectors are scored from their SQ8 codes (the
+    * same asymmetric term-table lookup as [[annSqTopK]], raw vectors
+    * never read at query time). The production sweet spot between
+    * IVFPQ (4× smaller codes, lossier) and brute-force: near-exact
+    * recall at 4× compression WITH cell pruning. ONE zero-exchange
+    * projection assigns cell and codes; candidates flow through the
+    * broadcast cell join, the map-local term sum, the salted
+    * ascending rank.
+    */
+  def annIvfSqTopK(embeddings: DataFrame, nCentroids: Int,
+                   nQueries: Int, k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    VectorExprs.register(spark)
+    import spark.implicits._
+    val (mins, scales) = sqParams(embeddings)
+    val ivfCents = headVectors(embeddings, nCentroids)
+    require(ivfCents.nonEmpty,
+      s"IVF+SQ: no non-null vectors with vec_id < $nCentroids for the quantizer")
+    val encIvf = graft.functions.IvfCell.encode(ivfCents.map(_._1), ivfCents.map(_._2))
+    val qs = headVectors(embeddings, nQueries)
+    val dt = (for {
+      (qid, qv) <- qs.toSeq
+      d <- mins.indices
+      code <- 0 until 256
+    } yield {
+      val recon = mins(d) + (if (scales(d) == 0.0) 0.0 else code / scales(d))
+      val diff = qv(d) - recon
+      (qid, d, code, r3d(diff * diff))
+    }).toDF("qid", "d", "code", "term")
+    val assigned = embeddings.where(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        expr(s"coalesce(graft_ivf_cell(embedding, '$encIvf'), -1L)").as("cell"),
+        expr(sqEncodeSql("embedding", mins, scales)).as("codes"))
+    val qcells = broadcast(assigned.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("cell")))
+    val scored = assigned
+      .select(col("vec_id").as("vid"), col("cell"),
+        posexplode(col("codes")).as(Seq("d", "code")))
+      .join(qcells, Seq("cell"))
+      .where(col("vid") =!= col("qid"))
+      .join(broadcast(dt), Seq("qid", "d", "code"))
+      .groupBy(col("qid"), col("vid"))
+      .agg(r3(sum(col("term"))).as("adist"))
+    saltedTopK(scored, "adist", ascending = true, k)
+  }
+
   /** Recall@k of the SQ8 tier vs exact — published next to the PQ
     * recalls: at 8 bits/dim vs PQ's fraction of a bit, SQ8 recall
     * should sit WELL above the PQ tiers' at gate scale (it keeps 256
