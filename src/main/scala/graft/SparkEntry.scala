@@ -574,6 +574,17 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // multi-probe against the stored index (nprobe=2) — the recall
+    // knob on the encode-once path; byte-equal to the recompute
+    // multi-probe tier, so it shares that oracle verbatim
+    "ann_ivfpq_stored_probe" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeAnnIndex(emb, 16, 16, 4, "graft_annidxp", 8)
+      Similarity.annIvfPqAgainstIndex(emb.where(col("vec_id") < 5), "graft_annidxp", 5, nprobe = 2)
+        .select(col("qid"), col("vid"), col("adist"), col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // incremental index maintenance: build in TWO batches — the first
     // carries the codebook head (vec_id < 16, the train step), the
     // append encodes only its delta with the STORED codebooks (the
@@ -926,6 +937,7 @@ object SparkEntry {
     "ann_ivfpq_residual" -> OracleSql.annIvfPqResidual(16, 16, 4, 5, 5),
     "ann_ivfpq_residual_recall" -> OracleSql.annIvfPqResidualRecall(16, 16, 4, 5, 5),
     "ann_ivfpq_stored" -> OracleSql.annIvfPq(16, 16, 4, 5, 5),
+    "ann_ivfpq_stored_probe" -> OracleSql.annIvfPqProbe(16, 16, 4, 5, 5, 2),
     "ann_ivfpq_stored_inc" -> OracleSql.annIvfPq(16, 16, 4, 5, 5),
     "ann_pq_recall" -> OracleSql.annPqRecall(16, 4, 5, 5),
     "ann_ivfpq_recall" -> OracleSql.annIvfPqRecall(16, 16, 4, 5, 5),

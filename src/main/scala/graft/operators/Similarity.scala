@@ -1315,9 +1315,12 @@ object Similarity {
     * stored `_codes` scan → posexplode → broadcast cell join →
     * broadcast ADC join → partial agg, with the ONLY Exchange carrying
     * the per-(qid, vid) partial distance sums (compact scalars — the
-    * same shape every ANN tier ships through its rank).
+    * same shape every ANN tier ships through its rank). `nprobe` > 1
+    * explodes each query's nearest cells (the standard IVF recall
+    * knob, applied to the stored path).
     */
-  private[graft] def annIndexScored(queries: DataFrame, table: String): DataFrame = {
+  private[graft] def annIndexScored(queries: DataFrame, table: String,
+                                    nprobe: Int = 1): DataFrame = {
     val spark = queries.sparkSession
     VectorExprs.register(spark)
     val (_, _, encIvf, encPq, _, _) = annIndexMeta(spark, table)
@@ -1332,9 +1335,15 @@ object Similarity {
         r.getSeq[Number](1).map(_.doubleValue()).toArray))
       .sortBy(_._1)
     val dt = pqDistTable(spark, qs, cids, books, subDim)
-    val qcells = queries.where(col("embedding").isNotNull)
-      .select(col("vec_id").as("qid"),
-        expr(s"coalesce(graft_ivf_cell(embedding, '$encIvf'), -1L)").as("cell"))
+    val qcells =
+      if (nprobe <= 1)
+        queries.where(col("embedding").isNotNull)
+          .select(col("vec_id").as("qid"),
+            expr(s"coalesce(graft_ivf_cell(embedding, '$encIvf'), -1L)").as("cell"))
+      else
+        queries.where(col("embedding").isNotNull)
+          .select(col("vec_id").as("qid"),
+            explode(expr(s"graft_ivf_cells(embedding, '$encIvf', $nprobe)")).as("cell"))
     spark.table(s"${table}_codes")
       .select(col("vec_id").as("vid"), col("cell"),
         posexplode(col("codes")).as(Seq("s", "code")))
@@ -1378,8 +1387,9 @@ object Similarity {
     * every nightly ANN query from re-encode-the-corpus to
     * probe-the-index — the shape that actually runs at 100 TB.
     */
-  def annIvfPqAgainstIndex(queries: DataFrame, table: String, k: Int): DataFrame =
-    saltedTopK(annIndexScored(queries, table), "adist", ascending = true, k)
+  def annIvfPqAgainstIndex(queries: DataFrame, table: String, k: Int,
+                           nprobe: Int = 1): DataFrame =
+    saltedTopK(annIndexScored(queries, table, nprobe), "adist", ascending = true, k)
 
   /** ANN top-k via LSH buckets: score only same-bucket candidates,
     * rank within bucket. Recall < 1 by construction; the exactness
