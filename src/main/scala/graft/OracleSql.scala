@@ -1149,12 +1149,12 @@ object OracleSql {
     * [[graft.operators.Similarity.annSqTopK]]'s driver arithmetic
     * op for op.
     */
-  private def sqCtes(nQueries: Int, dim: Int): String =
+  private def sqCtes(nQueries: Int, dim: Int, statsWhere: String = ""): String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |      WHERE embedding IS NOT NULL),
        |st AS (
        |  SELECT r.d, ${R("MIN(e.v[r.d + 1])")} AS mn, ${R("MAX(e.v[r.d + 1])")} AS mx
-       |  FROM e CROSS JOIN range(0, $dim) r(d) GROUP BY r.d),
+       |  FROM (SELECT * FROM e $statsWhere) e CROSS JOIN range(0, $dim) r(d) GROUP BY r.d),
        |sp AS (SELECT d, mn,
        |              CASE WHEN mx > mn THEN 255.0 / (mx - mn) ELSE 0.0 END AS s
        |       FROM st),
@@ -1194,7 +1194,19 @@ object OracleSql {
     * with scoring restricted to the query's coarse cell.
     */
   def annIvfSq(nCentroids: Int, nQueries: Int, k: Int, dim: Int = 64): String =
-    s"""WITH ${sqCtes(nQueries, dim)},
+    annIvfSqWith(nCentroids, nQueries, k, dim, "")
+
+  /** IVF+SQ8 against the STORED index: identical chain, but the SQ8
+    * stats come from the index's TRAIN block (vec_id < trainN — the
+    * writeAnnIndex convention that keeps append ≡ one-shot).
+    */
+  def annIvfSqStored(nCentroids: Int, trainN: Int, nQueries: Int, k: Int,
+                     dim: Int = 64): String =
+    annIvfSqWith(nCentroids, nQueries, k, dim, s"WHERE vec_id < $trainN")
+
+  private def annIvfSqWith(nCentroids: Int, nQueries: Int, k: Int, dim: Int,
+                           statsWhere: String): String =
+    s"""WITH ${sqCtes(nQueries, dim, statsWhere)},
        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $nCentroids),
        |ca0 AS (
        |  SELECT e.vec_id, c.cid, ${R("list_cosine_similarity(e.v, c.cv)")} AS ccos

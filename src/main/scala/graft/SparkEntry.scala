@@ -574,6 +574,18 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // IVF+SQ8 against the stored index: the sq column the index
+    // already carries, cell-pruned and scored by term-table lookups —
+    // stored-path parity for the scalar tier (oracle = the ann_ivfsq
+    // chain with the stats sourced from the index's train block)
+    "ann_ivfsq_stored" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeAnnIndex(emb, 16, 16, 4, "graft_annidxq", 8)
+      Similarity.annIvfSqAgainstIndex(emb.where(col("vec_id") < 5), "graft_annidxq", 5)
+        .select(col("qid"), col("vid"), col("adist"), col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // multi-probe against the stored index (nprobe=2) — the recall
     // knob on the encode-once path; byte-equal to the recompute
     // multi-probe tier, so it shares that oracle verbatim
@@ -934,6 +946,7 @@ object SparkEntry {
     "ann_sq" -> OracleSql.annSq(5, 5),
     "ann_sq_recall" -> OracleSql.annSqRecall(5, 5),
     "ann_ivfsq" -> OracleSql.annIvfSq(16, 5, 5),
+    "ann_ivfsq_stored" -> OracleSql.annIvfSqStored(16, 16, 5, 5),
     "ann_ivfpq_residual" -> OracleSql.annIvfPqResidual(16, 16, 4, 5, 5),
     "ann_ivfpq_residual_recall" -> OracleSql.annIvfPqResidualRecall(16, 16, 4, 5, 5),
     "ann_ivfpq_stored" -> OracleSql.annIvfPq(16, 16, 4, 5, 5),

@@ -1391,6 +1391,46 @@ object Similarity {
                            nprobe: Int = 1): DataFrame =
     saltedTopK(annIndexScored(queries, table, nprobe), "adist", ascending = true, k)
 
+  /** IVF+SQ8 against the STORED index — [[annIvfSqTopK]]'s composed
+    * tier reading the `sq` column the index already carries (the
+    * same codes the semantic-dedup reconstruction uses): cell-pruned
+    * candidates scored by SQ8 term-table lookups, raw vectors never
+    * read, params from meta. Completes stored-path parity for the
+    * scalar tier alongside 28p/28q'.
+    */
+  def annIvfSqAgainstIndex(queries: DataFrame, table: String, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    VectorExprs.register(spark)
+    import spark.implicits._
+    val (_, _, encIvf, _, sqMins, sqScales) = annIndexMeta(spark, table)
+    val qs = queries.where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getAs[Number](0).longValue(),
+        r.getSeq[Number](1).map(_.doubleValue()).toArray))
+      .sortBy(_._1)
+    val dt = (for {
+      (qid, qv) <- qs.toSeq
+      d <- sqMins.indices
+      code <- 0 until 256
+    } yield {
+      val recon = sqMins(d) + (if (sqScales(d) == 0.0) 0.0 else code / sqScales(d))
+      val diff = qv(d) - recon
+      (qid, d, code, r3d(diff * diff))
+    }).toDF("qid", "d", "code", "term")
+    val qcells = queries.where(col("embedding").isNotNull)
+      .select(col("vec_id").as("qid"),
+        expr(s"coalesce(graft_ivf_cell(embedding, '$encIvf'), -1L)").as("cell"))
+    val scored = spark.table(s"${table}_codes")
+      .select(col("vec_id").as("vid"), col("cell"),
+        posexplode(col("sq")).as(Seq("d", "code")))
+      .join(broadcast(qcells), Seq("cell"))
+      .where(col("vid") =!= col("qid"))
+      .join(broadcast(dt), Seq("qid", "d", "code"))
+      .groupBy(col("qid"), col("vid"))
+      .agg(r3(sum(col("term"))).as("adist"))
+    saltedTopK(scored, "adist", ascending = true, k)
+  }
+
   /** ANN top-k via LSH buckets: score only same-bucket candidates,
     * rank within bucket. Recall < 1 by construction; the exactness
     * baseline is [[cosineTopK]].
