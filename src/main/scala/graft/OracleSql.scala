@@ -1892,8 +1892,10 @@ object OracleSql {
        |) WHERE flagged = 1 ORDER BY doc_id""".stripMargin
 
   /** semanticDedupStream's batch twin: the even-id embeddings are the
-    * stored index (first-16-of-evens coarse quantizer, SQ8 codes from
-    * the index corpus' ROUNDED per-dim min/max); the stream = odd ids
+    * stored index (coarse quantizer = the evens with vec_id <
+    * nCentroids — 8 cells at the gate's nCentroids=16, the
+    * writeAnnIndex id-threshold convention on a filtered input; SQ8
+    * stats from the same train block); the stream = odd ids
     * plus re-crawled copies of the indexed vectors under offset ids.
     * A streamed vector is flagged when its assigned cell holds an
     * indexed vector (other than itself) with R(cos(v, SQ8-recon)) ≥

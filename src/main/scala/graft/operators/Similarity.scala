@@ -410,6 +410,16 @@ object Similarity {
                              keep: Int, nBuckets: Int): Array[(Long, Array[Double])] = {
     require(keep >= 1 && keep <= nBuckets,
       s"kmeansCentroidsSampled: keep=$keep must be in [1, $nBuckets]")
+    kmeansIterate(embeddings.where(sampleBucket(nBuckets) < keep),
+      embeddings, k, nIter)
+  }
+
+  /** Seed from the full corpus' first-k, then `nIter` Lloyd rounds
+    * where only `sample` votes — shared by the gate-arithmetic and
+    * auto-sized sampled fits.
+    */
+  private def kmeansIterate(sample: DataFrame, embeddings: DataFrame,
+                            k: Int, nIter: Int): Array[(Long, Array[Double])] = {
     VectorExprs.register(embeddings.sparkSession)
     var cents = embeddings
       .where(col("vec_id") < k && col("embedding").isNotNull)
@@ -419,7 +429,6 @@ object Similarity {
       .sortBy(_._1)
     require(cents.nonEmpty,
       s"kmeans: no non-null vectors with vec_id < $k to seed the codebook")
-    val sample = embeddings.where(sampleBucket(nBuckets) < keep)
     var it = 0
     while (it < nIter) { cents = kmeansStep(sample, cents); it += 1 }
     cents
@@ -432,17 +441,27 @@ object Similarity {
     * across a decade" claim). Returns the centroids plus the
     * (keep, nBuckets) actually used so callers can reproduce the
     * sample.
+    *
+    * The bucket space is 2²⁰ (a power of two dividing the 8-hex-digit
+    * md5 prefix's 2³² values exactly → unbiased buckets), so the
+    * smallest expressible fraction is 2⁻²⁰ — the keep=1 floor only
+    * bites beyond ~10⁶·target vectors, versus ~10⁴·target had the
+    * 4-hex/10⁴-bucket gate arithmetic been reused (where the flat-cost
+    * contract would silently fail at 100-TB corpus sizes — review r11).
     */
   def kmeansCentroidsAutoSampled(embeddings: DataFrame, k: Int, nIter: Int,
                                  perCentroid: Int = 256)
       : (Array[(Long, Array[Double])], Int, Int) = {
-    val nBuckets = 10000
+    val nBuckets = 1 << 20
     val n = embeddings.where(col("embedding").isNotNull).count()
     val target = perCentroid.toLong * k
     val keep =
       if (n <= target) nBuckets
       else math.max(1, math.ceil(nBuckets.toDouble * target / n).toInt)
-    (kmeansCentroidsSampled(embeddings, k, nIter, keep, nBuckets), keep, nBuckets)
+    val sample = embeddings.where(
+      conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % nBuckets < keep)
+    (kmeansIterate(sample, embeddings, k, nIter), keep, nBuckets)
   }
 
   /** The `kmeans_fit_sampled` gate surface (mirrors [[kmeansFit]] on
@@ -977,6 +996,28 @@ object Similarity {
        |  (q, mn) -> mn + q)
        |""".stripMargin.replaceAll("\n", " ")
 
+  /** The SQ8 query term table (qid, d, code, rounded squared diff vs
+    * the reconstruction) — ONE definition shared by every SQ scorer
+    * ([[annSqTopK]] / [[annIvfSqTopK]] / [[annIvfSqAgainstIndex]]) so
+    * the reconstruction arithmetic can never diverge between tiers
+    * (it must also stay in lockstep with [[sqReconSql]] and the
+    * oracle's `dt0` CTE).
+    */
+  private def sqDistTable(spark: org.apache.spark.sql.SparkSession,
+                          qs: Array[(Long, Array[Double])],
+                          mins: Array[Double], scales: Array[Double]): DataFrame = {
+    import spark.implicits._
+    (for {
+      (qid, qv) <- qs.toSeq
+      d <- mins.indices
+      code <- 0 until 256
+    } yield {
+      val recon = mins(d) + (if (scales(d) == 0.0) 0.0 else code / scales(d))
+      val diff = qv(d) - recon
+      (qid, d, code, r3d(diff * diff))
+    }).toDF("qid", "d", "code", "term")
+  }
+
   /** SQ8 encoding — `(vec_id, codes array<int>[dim])` with code_d =
     * clamp(⌊(x_d − min_d)·scale_d + 0.5⌋, 0, 255): a ZERO-exchange
     * projection (the params ride as array literals inside nested
@@ -1008,15 +1049,7 @@ object Similarity {
     import spark.implicits._
     val (mins, scales) = sqParams(embeddings)
     val qs = headVectors(embeddings, nQueries)
-    val dt = (for {
-      (qid, qv) <- qs.toSeq
-      d <- mins.indices
-      code <- 0 until 256
-    } yield {
-      val recon = mins(d) + (if (scales(d) == 0.0) 0.0 else code / scales(d))
-      val diff = qv(d) - recon
-      (qid, d, code, r3d(diff * diff))
-    }).toDF("qid", "d", "code", "term")
+    val dt = sqDistTable(spark, qs, mins, scales)
     val scored = sqEncoded(embeddings)
       .select(col("vec_id").as("vid"), posexplode(col("codes")).as(Seq("d", "code")))
       .join(broadcast(dt), Seq("d", "code"))
@@ -1048,15 +1081,7 @@ object Similarity {
       s"IVF+SQ: no non-null vectors with vec_id < $nCentroids for the quantizer")
     val encIvf = graft.functions.IvfCell.encode(ivfCents.map(_._1), ivfCents.map(_._2))
     val qs = headVectors(embeddings, nQueries)
-    val dt = (for {
-      (qid, qv) <- qs.toSeq
-      d <- mins.indices
-      code <- 0 until 256
-    } yield {
-      val recon = mins(d) + (if (scales(d) == 0.0) 0.0 else code / scales(d))
-      val diff = qv(d) - recon
-      (qid, d, code, r3d(diff * diff))
-    }).toDF("qid", "d", "code", "term")
+    val dt = sqDistTable(spark, qs, mins, scales)
     val assigned = embeddings.where(col("embedding").isNotNull)
       .select(col("vec_id"),
         expr(s"coalesce(graft_ivf_cell(embedding, '$encIvf'), -1L)").as("cell"),
@@ -1146,21 +1171,28 @@ object Similarity {
       s"residual PQ: no non-null vectors with vec_id < $nCentroids for the quantizer")
     val encIvf = graft.functions.IvfCell.encode(ivfCents.map(_._1), ivfCents.map(_._2))
     val centOf = ivfCents.toMap
+    // drop the -1 sentinel (a zero-norm head vector assigns no cell):
+    // such an id simply doesn't seed/query, matching the corpus side
+    // where cell -1 never survives the centroid join — without the
+    // filter, centOf(-1) would kill the driver on a degenerate row
     val cellOf = headCellsOf(embeddings, encIvf,
-      math.max(nCentroids + nCodewords, nQueries))
+      math.max(nCentroids + nCodewords, nQueries)).filter(_._2 >= 0)
     def residual(vid: Long, v: Array[Double]): Array[Double] = {
       val cv = centOf(cellOf(vid))
       Array.tabulate(v.length)(i => v(i) - cv(i))
     }
+    def hasCell(id: Long) = cellOf.contains(id)
     // PQ codebook from the RESIDUALS of the block AFTER the centroids
-    val seed = head.filter(t => t._1 >= nCentroids && t._1 < nCentroids + nCodewords)
+    val seed = head
+      .filter(t => t._1 >= nCentroids && t._1 < nCentroids + nCodewords && hasCell(t._1))
       .map { case (id, v) => (id, residual(id, v)) }
     require(seed.nonEmpty,
       s"residual PQ: no non-null vectors in [$nCentroids, ${nCentroids + nCodewords}) to seed the codebook")
     val (encPq, cids, books, subDim) = pqBooks(seed, m)
     // ADC tables from the query's own-cell residual
     val dt = pqDistTable(spark,
-      head.filter(_._1 < nQueries).map { case (id, v) => (id, residual(id, v)) },
+      head.filter(t => t._1 < nQueries && hasCell(t._1))
+        .map { case (id, v) => (id, residual(id, v)) },
       cids, books, subDim)
     val qcells = broadcast(
       cellOf.filter(_._1 < nQueries).toSeq.toDF("qid", "cell"))
@@ -1226,11 +1258,16 @@ object Similarity {
     *     codebook and corrupt every distance — reading them from meta
     *     makes the mismatch structurally impossible.
     *
-    * Codebook convention: first-`nCentroids` / first-`nCodewords`
-    * vectors of THIS build input (the [[annIvfPqTopK]] convention, so
-    * the stored probe is byte-equal to the recompute path — the
-    * `ann_ivfpq_stored` gate). Encoding is the usual ONE zero-exchange
-    * projection over the scan.
+    * Codebook convention: the vectors of THIS build input with
+    * `vec_id < nCentroids` / `< nCodewords` (the [[annIvfPqTopK]]
+    * convention, so the stored probe is byte-equal to the recompute
+    * path — the `ann_ivfpq_stored` gate). NOTE this is an ID
+    * THRESHOLD, not a count: a FILTERED build input (e.g. the
+    * even-ids-only semantic-dedup index) trains a proportionally
+    * SMALLER quantizer/codebook — deliberate (the oracle applies the
+    * same threshold to the same filtered set), but capacity-relevant
+    * when sizing nCentroids for sparse-id corpora. Encoding is the
+    * usual ONE zero-exchange projection over the scan.
     */
   def writeAnnIndex(embeddings: DataFrame, nCentroids: Int, nCodewords: Int,
                     m: Int, table: String, nBuckets: Int): Unit = {
@@ -1408,15 +1445,7 @@ object Similarity {
       .map(r => (r.getAs[Number](0).longValue(),
         r.getSeq[Number](1).map(_.doubleValue()).toArray))
       .sortBy(_._1)
-    val dt = (for {
-      (qid, qv) <- qs.toSeq
-      d <- sqMins.indices
-      code <- 0 until 256
-    } yield {
-      val recon = sqMins(d) + (if (sqScales(d) == 0.0) 0.0 else code / sqScales(d))
-      val diff = qv(d) - recon
-      (qid, d, code, r3d(diff * diff))
-    }).toDF("qid", "d", "code", "term")
+    val dt = sqDistTable(spark, qs, sqMins, sqScales)
     val qcells = queries.where(col("embedding").isNotNull)
       .select(col("vec_id").as("qid"),
         expr(s"coalesce(graft_ivf_cell(embedding, '$encIvf'), -1L)").as("cell"))

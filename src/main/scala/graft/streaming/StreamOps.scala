@@ -203,7 +203,7 @@ object StreamOps {
   /** Streaming SEMANTIC dedup at INGEST against a STORED
     * [[graft.operators.Similarity.writeAnnIndex]] vector index: emit
     * each streamed vector whose cell holds an indexed vector with
-    * rounded cos(v, PQ-reconstruction) ≥ `threshold` — SemDeDup's
+    * rounded cos(v, SQ8-reconstruction) ≥ `threshold` — SemDeDup's
     * "is tonight's embedding a near-copy of the training set"
     * applied before data lands, the vector-space face of
     * [[crossDupStream]].
