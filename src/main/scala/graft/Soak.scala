@@ -189,6 +189,12 @@ object Soak {
           Tables.embeddings(spark, sfDir).where(col("vec_id") < 5),
           "graft_soak_annidx_s", 5)
       }),
+      // SQ8 full-scan tier: law = linear corpus scan (fixed 5-query
+      // broadcast term table); the per-pair sum partial-aggs map-side
+      "ann_sq" -> (() => Similarity.annSqTopK(emb, 5, 5)),
+      // IVF+SQ8 composed: cell-pruned candidates, same linear-in-cell
+      // law as the other fixed-codebook IVF tiers
+      "ann_ivfsq" -> (() => Similarity.annIvfSqTopK(emb, 16, 5, 5)),
       // semantic dedup at ingest: nightly batch FIXED (base odd ids),
       // stored reference grown factor× — declared law: batch size ×
       // cell occupancy, so LINEAR in index growth at the fixed
