@@ -1095,14 +1095,22 @@ object OracleSql {
     * argmax) restricts candidate pairs to same-cell; scoring is the
     * annPq ADC sum. One oracle = both CTE families side by side.
     */
+  /** `candJoin` / `candCond` splice an extra candidate-side join /
+    * predicate into the scoring CTE — the hooks behind the filtered
+    * search (`ev.label = qc.qid % n`) and delete/compaction
+    * (`NOT (a.vec_id ...)`) gates, which are by construction the
+    * recompute-path IVFPQ over a restricted candidate set (codebooks,
+    * cells and ADC tables are untouched by a candidate filter).
+    */
   def annIvfPq(nCentroids: Int, nCodewords: Int, m: Int,
-               nQueries: Int, k: Int, dim: Int = 64): String = {
+               nQueries: Int, k: Int, dim: Int = 64,
+               candJoin: String = "", candCond: String = ""): String = {
     val subDim = dim / m
     def d2(vec: String) = {
       val diff = s"($vec[cw.s * $subDim + i] - cw.v[cw.s * $subDim + i])"
       R(s"list_sum(list_transform(generate_series(1, $subDim), i -> $diff * $diff))")
     }
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |           WHERE embedding IS NOT NULL),
        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $nCentroids),
        |ca0 AS (
@@ -1133,7 +1141,8 @@ object OracleSql {
        |  SELECT qc.qid, a.vec_id AS vid, ${R("SUM(dt.d2)")} AS adist
        |  FROM asg a
        |  JOIN cells ce ON ce.vec_id = a.vec_id
-       |  JOIN qc ON qc.cell = ce.cell AND a.vec_id != qc.qid
+       |  $candJoin
+       |  JOIN qc ON qc.cell = ce.cell AND a.vec_id != qc.qid $candCond
        |  JOIN dt ON dt.qid = qc.qid AND dt.s = a.s AND dt.code = a.code
        |  GROUP BY 1, 2),
        |r AS (
@@ -1141,6 +1150,22 @@ object OracleSql {
        |  FROM sc)
        |SELECT qid, vid, adist, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
+
+  /** Exact filtered search: the brute cosine top-k of [[annTopK]]
+    * restricted to candidates whose label matches the query's
+    * predicate (`label = qid % nLabels`) — pre-filter semantics, so
+    * the filter sits in the scoring CTE's WHERE, before ranking.
+    */
+  def annTopKFiltered(nQueries: Int, k: Int, nLabels: Int): String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
+       |s AS (
+       |  SELECT qid, vec_id AS vid, label, ${R("list_cosine_similarity(qv, v)")} AS cos
+       |  FROM e CROSS JOIN q WHERE vec_id != qid AND label = qid % $nLabels),
+       |r AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS rank
+       |  FROM s)
+       |SELECT qid, vid, label, cos, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
   /** Shared SQ8 CTE chain: per-dim ROUNDED min/max (the embedding_stats
     * ground truth), affine scale 255/(max−min) (0 when degenerate),

@@ -613,6 +613,60 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // filtered vector search, exact tier: each query ranks ONLY
+    // candidates matching its metadata predicate (label = qid % 10) —
+    // pre-filtering in the join condition, the production vector-store
+    // shape (language/source/license filters beside the ANN)
+    "ann_filtered" -> ((s, dir) =>
+      Similarity.cosineTopKFiltered(Tables.embeddings(s, dir), 5, 5, 10)
+        .select(col("qid"), col("vid"), col("label"), col("cos"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))),
+
+    // the same predicate pushed into the STORED index probe: the label
+    // column the index carries filters candidates BEFORE ADC scoring,
+    // so the result is the IVFPQ top-k of the filtered set (oracle =
+    // the recompute IVFPQ chain with the label condition spliced into
+    // the scoring CTE)
+    "ann_filtered_stored" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeAnnIndex(emb, 16, 16, 4, "graft_annflt", 8)
+      Similarity.annIvfPqAgainstIndexFiltered(
+          emb.where(col("vec_id") < 5), "graft_annflt", 5, 10)
+        .select(col("qid"), col("vid"), col("adist"), col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // logical delete: tombstoned ids vanish from the probe IMMEDIATELY
+    // (broadcast anti-join mask), no rewrite — oracle is the recompute
+    // path minus the deleted candidate set
+    "ann_index_delete" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeAnnIndex(emb, 16, 16, 4, "graft_anndel", 8)
+      Similarity.deleteFromAnnIndex(
+        emb.where(col("vec_id") >= 16 && col("vec_id") % 5 === 3).select("vec_id"),
+        "graft_anndel")
+      Similarity.annIvfPqAgainstIndex(emb.where(col("vec_id") < 5), "graft_anndel", 5)
+        .select(col("qid"), col("vid"), col("adist"), col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // compaction folds the tombstones into a NEW generation of the
+    // bucketed codes table (write-new-then-swap, never in-place) and
+    // drops them; the probe afterwards must answer exactly like the
+    // tombstone-mask path — same oracle as ann_index_delete
+    "ann_index_compact" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeAnnIndex(emb, 16, 16, 4, "graft_anncomp", 8)
+      Similarity.deleteFromAnnIndex(
+        emb.where(col("vec_id") >= 16 && col("vec_id") % 5 === 3).select("vec_id"),
+        "graft_anncomp")
+      Similarity.compactAnnIndex("graft_anncomp")
+      Similarity.annIvfPqAgainstIndex(emb.where(col("vec_id") < 5), "graft_anncomp", 5)
+        .select(col("qid"), col("vid"), col("adist"), col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     "ann_pq" -> ((s, dir) =>
       Similarity.annPqTopK(Tables.embeddings(s, dir), 16, 4, 5, 5)
         .select(col("qid"), col("vid"), col("adist"), col("rank").cast("long").as("rank"))
@@ -950,6 +1004,14 @@ object SparkEntry {
     "ann_ivfpq_residual" -> OracleSql.annIvfPqResidual(16, 16, 4, 5, 5),
     "ann_ivfpq_residual_recall" -> OracleSql.annIvfPqResidualRecall(16, 16, 4, 5, 5),
     "ann_ivfpq_stored" -> OracleSql.annIvfPq(16, 16, 4, 5, 5),
+    "ann_filtered" -> OracleSql.annTopKFiltered(5, 5, 10),
+    "ann_filtered_stored" -> OracleSql.annIvfPq(16, 16, 4, 5, 5,
+      candJoin = "JOIN e ev ON ev.vec_id = a.vec_id",
+      candCond = "AND ev.label = qc.qid % 10"),
+    "ann_index_delete" -> OracleSql.annIvfPq(16, 16, 4, 5, 5,
+      candCond = "AND NOT (a.vec_id >= 16 AND a.vec_id % 5 = 3)"),
+    "ann_index_compact" -> OracleSql.annIvfPq(16, 16, 4, 5, 5,
+      candCond = "AND NOT (a.vec_id >= 16 AND a.vec_id % 5 = 3)"),
     "ann_ivfpq_stored_probe" -> OracleSql.annIvfPqProbe(16, 16, 4, 5, 5, 2),
     "ann_ivfpq_stored_inc" -> OracleSql.annIvfPq(16, 16, 4, 5, 5),
     "ann_pq_recall" -> OracleSql.annPqRecall(16, 4, 5, 5),

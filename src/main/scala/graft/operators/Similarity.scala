@@ -134,6 +134,31 @@ object Similarity {
     saltedTopK(scored, "cos", ascending = false, k)
   }
 
+  /** Filtered vector search, exact tier: per-query top-k cosine over
+    * ONLY the vectors satisfying the query's metadata predicate —
+    * here `label = qid % nLabels`, standing in for the language /
+    * source / license-bucket filters of a production vector store.
+    * PRE-filtering: the predicate lives in the join condition, so
+    * non-matching candidates die during the broadcast-join scan and
+    * the top-k is exact over the filtered set. (Post-filtering — rank
+    * first, filter after — silently returns < k or loses recall; the
+    * filtered-ANN literature calls this the pre/post-filter gap.)
+    */
+  def cosineTopKFiltered(embeddings: DataFrame, nQueries: Int, k: Int,
+                         nLabels: Int): DataFrame = {
+    VectorExprs.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("norm", sqrt(expr("graft_vec_dot(v, v)")))
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+    val scored = e.join(broadcast(q),
+        col("vec_id") =!= col("qid") &&
+        col("label") === pmod(col("qid"), lit(nLabels.toLong)).cast("int"))
+      .select(col("qid"), col("vec_id").as("vid"), col("label"),
+        r3(expr("graft_vec_dot(v, qv)") / (col("norm") * col("qnorm"))).as("cos"))
+    saltedTopK(scored, "cos", ascending = false, k)
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ `threshold`, vec_a < vec_b.
     * Brute force — the exact verifier; candidate generation at scale
     * is [[annLshTopK]]-style bucketing. The threshold lives in the
@@ -1302,15 +1327,24 @@ object Similarity {
 
   /** The index row projection: ONE zero-exchange pass assigns the
     * cell, the PQ codes and the SQ8 codes side by side (the
-    * [[annIvfPqCore]] shape, minus the search).
+    * [[annIvfPqCore]] shape, minus the search). The build input's
+    * `label` column rides along as filterable metadata — the
+    * pre-filtering predicate of [[annIvfPqAgainstIndexFiltered]]
+    * reads it straight off the stored scan (a vector-store index
+    * without the filter columns can only post-filter, which silently
+    * loses recall). Inputs without a label column store NULL.
     */
   private def encodeForIndex(vecs: DataFrame, encIvf: String, encPq: String,
-                             sqMins: Array[Double], sqScales: Array[Double]): DataFrame =
+                             sqMins: Array[Double], sqScales: Array[Double]): DataFrame = {
+    val labelCol =
+      if (vecs.columns.contains("label")) col("label").cast("int")
+      else lit(null).cast("int")
     vecs.where(col("embedding").isNotNull)
-      .select(col("vec_id"),
+      .select(col("vec_id"), labelCol.as("label"),
         expr(s"coalesce(graft_ivf_cell(embedding, '$encIvf'), -1L)").as("cell"),
         expr(s"graft_pq_codes(embedding, '$encPq')").as("codes"),
         expr(sqEncodeSql("embedding", sqMins, sqScales)).as("sq"))
+  }
 
   /** Eager guard + parameter read shared by every index consumer: the
     * meta table must exist; returns (m, nBuckets, encIvf, encPq,
@@ -1347,6 +1381,63 @@ object Similarity {
       Seq("cell"), nBuckets, mode = "append")
   }
 
+  /** Logical delete from a stored index — tombstones, not rewrites:
+    * the ids land in `<table>_tombstones` (append-mode, so deletes
+    * accumulate across calls) and every probe/reconstruction path
+    * anti-joins them out until [[compactAnnIndex]] folds them into
+    * the data. At 100 TB this is the only viable delete: rewriting
+    * the bucketed codes table per takedown request re-shuffles the
+    * corpus; a broadcast anti-join on the (small, bounded by
+    * compaction cadence) tombstone set costs one map-side pass.
+    * FAISS `remove_ids` on IVF does the same mark-then-compact dance.
+    */
+  def deleteFromAnnIndex(ids: DataFrame, table: String): Unit = {
+    val spark = ids.sparkSession
+    annIndexMeta(spark, table) // eager guard: no tombstones for a non-index
+    ids.select(col("vec_id")).write.mode("append")
+      .format("parquet").saveAsTable(s"${table}_tombstones")
+  }
+
+  /** Anti-join the tombstone set out of an index scan (no-op — and a
+    * byte-identical plan — when the index has never seen a delete).
+    * Broadcast by contract: tombstones are bounded by the compaction
+    * cadence, not the corpus.
+    */
+  private def maskTombstones(codes: DataFrame, table: String): DataFrame = {
+    val spark = codes.sparkSession
+    val tsT = s"${table}_tombstones"
+    if (spark.catalog.tableExists(tsT))
+      codes.join(broadcast(spark.table(tsT).select(col("vec_id")).distinct()),
+        Seq("vec_id"), "left_anti")
+    else codes
+  }
+
+  /** Fold accumulated tombstones into the stored index: rewrite the
+    * surviving rows as a NEW generation of the bucketed codes table,
+    * swap it in, drop the tombstones. Write-to-new-then-swap (never
+    * read-and-overwrite in place): the survivors scan streams from the
+    * old generation while the new one is written, so the rewrite is
+    * one bucketed pass with no intermediate materialization — the
+    * shape that still works when the codes table is itself TB-scale.
+    * Codebooks/meta are untouched (removing vectors never retrains —
+    * the FAISS convention), so a compacted index answers probes
+    * bit-identically to one built on the survivor set with the same
+    * train block.
+    */
+  def compactAnnIndex(table: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val (_, nBuckets, _, _, _, _) = annIndexMeta(spark, table)
+    val tsT = s"${table}_tombstones"
+    if (spark.catalog.tableExists(tsT)) {
+      graft.sources.Formats.writeBucketedKeys(
+        maskTombstones(spark.table(s"${table}_codes"), table),
+        s"${table}_codes_compacting", Seq("cell"), nBuckets)
+      spark.sql(s"DROP TABLE ${table}_codes")
+      spark.sql(s"ALTER TABLE ${table}_codes_compacting RENAME TO ${table}_codes")
+      spark.sql(s"DROP TABLE $tsT")
+    }
+  }
+
   /** The pre-rank scored frame of the stored probe — split out so the
     * plan spec can assert the Exchange census on exactly this subplan:
     * stored `_codes` scan → posexplode → broadcast cell join →
@@ -1357,7 +1448,8 @@ object Similarity {
     * knob, applied to the stored path).
     */
   private[graft] def annIndexScored(queries: DataFrame, table: String,
-                                    nprobe: Int = 1): DataFrame = {
+                                    nprobe: Int = 1,
+                                    labelMod: Option[Int] = None): DataFrame = {
     val spark = queries.sparkSession
     VectorExprs.register(spark)
     val (_, _, encIvf, encPq, _, _) = annIndexMeta(spark, table)
@@ -1381,10 +1473,23 @@ object Similarity {
         queries.where(col("embedding").isNotNull)
           .select(col("vec_id").as("qid"),
             explode(expr(s"graft_ivf_cells(embedding, '$encIvf', $nprobe)")).as("cell"))
-    spark.table(s"${table}_codes")
-      .select(col("vec_id").as("vid"), col("cell"),
-        posexplode(col("codes")).as(Seq("s", "code")))
-      .join(broadcast(qcells), Seq("cell"))
+    // when a metadata filter is active the stored label column joins
+    // the explode; otherwise the projection is byte-identical to the
+    // unfiltered plan (census spec unaffected)
+    val codeRows = labelMod match {
+      case Some(n) =>
+        maskTombstones(spark.table(s"${table}_codes"), table)
+          .select(col("vec_id").as("vid"), col("cell"), col("label"),
+            posexplode(col("codes")).as(Seq("s", "code")))
+          .join(broadcast(qcells), Seq("cell"))
+          .where(col("label") === pmod(col("qid"), lit(n.toLong)).cast("int"))
+      case None =>
+        maskTombstones(spark.table(s"${table}_codes"), table)
+          .select(col("vec_id").as("vid"), col("cell"),
+            posexplode(col("codes")).as(Seq("s", "code")))
+          .join(broadcast(qcells), Seq("cell"))
+    }
+    codeRows
       .where(col("vid") =!= col("qid"))
       .join(broadcast(dt), Seq("qid", "s", "code"))
       .groupBy(col("qid"), col("vid"))
@@ -1404,7 +1509,7 @@ object Similarity {
     */
   def annIndexRecon(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
     val (_, _, _, _, sqMins, sqScales) = annIndexMeta(spark, table)
-    spark.table(s"${table}_codes")
+    maskTombstones(spark.table(s"${table}_codes"), table)
       .select(col("vec_id").as("vec_b"), col("cell"),
         expr(sqReconSql("sq", sqMins, sqScales)).as("rv"))
   }
@@ -1428,6 +1533,22 @@ object Similarity {
                            nprobe: Int = 1): DataFrame =
     saltedTopK(annIndexScored(queries, table, nprobe), "adist", ascending = true, k)
 
+  /** Filtered search against the STORED index: the per-query metadata
+    * predicate (`label = qid % nLabels`) is evaluated on the label
+    * column the index itself carries, BEFORE ADC scoring — candidates
+    * failing the filter never reach the distance sum, so the top-k is
+    * the IVFPQ top-k of the filtered candidate set (pre-filtering,
+    * same semantics as [[cosineTopKFiltered]] modulo the ADC metric).
+    * Indexes built from label-less inputs store NULL labels and
+    * return empty here — a filter over metadata the index never had
+    * is a caller error surfaced as zero rows, not silently unfiltered
+    * results.
+    */
+  def annIvfPqAgainstIndexFiltered(queries: DataFrame, table: String, k: Int,
+                                   nLabels: Int, nprobe: Int = 1): DataFrame =
+    saltedTopK(annIndexScored(queries, table, nprobe, labelMod = Some(nLabels)),
+      "adist", ascending = true, k)
+
   /** IVF+SQ8 against the STORED index — [[annIvfSqTopK]]'s composed
     * tier reading the `sq` column the index already carries (the
     * same codes the semantic-dedup reconstruction uses): cell-pruned
@@ -1449,7 +1570,7 @@ object Similarity {
     val qcells = queries.where(col("embedding").isNotNull)
       .select(col("vec_id").as("qid"),
         expr(s"coalesce(graft_ivf_cell(embedding, '$encIvf'), -1L)").as("cell"))
-    val scored = spark.table(s"${table}_codes")
+    val scored = maskTombstones(spark.table(s"${table}_codes"), table)
       .select(col("vec_id").as("vid"), col("cell"),
         posexplode(col("sq")).as(Seq("d", "code")))
       .join(broadcast(qcells), Seq("cell"))
