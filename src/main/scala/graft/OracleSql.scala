@@ -496,6 +496,45 @@ object OracleSql {
        |FROM h JOIN lastr ON h.user_id = lastr.user_id AND h.rn = lastr.mx
        |ORDER BY h.user_id""".stripMargin
 
+  /** Additive Holt-Winters via a recursive CTE carrying the m
+    * seasonals as a list column — per-step arithmetic parenthesized
+    * exactly like HwFold's Java (lNew inlined into the b and s
+    * updates recomputes the identical IEEE value; the CASE branch's
+    * `h.s[i]` IS sⱼ inside the updated position).
+    */
+  def holtWinters(alpha: Double, beta: Double, gamma: Double,
+                  period: Int, horizon: Int): String = {
+    val ia = 1 - alpha
+    val ib = 1 - beta
+    val ig = 1 - gamma
+    val zeros = Seq.fill(period)("CAST(0.0 AS DOUBLE)").mkString("[", ", ", "]")
+    // j+1 (1-based list position) for the row being folded: t = rn − 1
+    val pos = s"((n.rn - 1) % $period) + 1"
+    val lNew = s"(n.v - h.s[$pos]) * $alpha + (h.l + h.b) * $ia"
+    val lNewAtI = s"(n.v - h.s[i]) * $alpha + (h.l + h.b) * $ia"
+    s"""WITH RECURSIVE $daily,
+       |n AS (
+       |  SELECT user_id, v, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+       |  FROM daily),
+       |h AS (
+       |  SELECT user_id, rn, v AS l, CAST(0.0 AS DOUBLE) AS b, $zeros AS s
+       |  FROM n WHERE rn = 1
+       |  UNION ALL
+       |  SELECT n.user_id, n.rn,
+       |         $lNew AS l,
+       |         (($lNew) - h.l) * $beta + h.b * $ib AS b,
+       |         list_transform(generate_series(1, $period), i ->
+       |           CASE WHEN i = $pos
+       |                THEN (n.v - ($lNewAtI)) * $gamma + h.s[i] * $ig
+       |                ELSE h.s[i] END) AS s
+       |  FROM h JOIN n ON n.user_id = h.user_id AND n.rn = h.rn + 1),
+       |lastr AS (SELECT user_id, MAX(rn) AS mx FROM n GROUP BY user_id)
+       |SELECT h.user_id, ${R("h.l")} AS level, ${R("h.b")} AS trend,
+       |       ${R(s"h.l + h.b * $horizon.0 + h.s[((lastr.mx - 1 + $horizon) % $period) + 1]")} AS forecast
+       |FROM h JOIN lastr ON h.user_id = lastr.user_id AND h.rn = lastr.mx
+       |ORDER BY h.user_id""".stripMargin
+  }
+
   def winsorize(lo: Double, hi: Double): String =
     s"""WITH $daily,
        |q AS (

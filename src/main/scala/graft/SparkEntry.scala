@@ -303,6 +303,13 @@ object SparkEntry {
       TimeSeries.holt(TimeSeries.resampleDaily(Tables.events(s, dir)), 0.5, 0.3, NY)
         .orderBy(col("user_id"))),
 
+    // additive Holt-Winters: weekly (period-7) seasonal state on the
+    // daily series, h-step forecast picks the right seasonal slot
+    "ts_holt_winters" -> ((s, dir) =>
+      TimeSeries.holtWinters(TimeSeries.resampleDaily(Tables.events(s, dir)),
+          0.5, 0.3, 0.4, 7, NY)
+        .orderBy(col("user_id"))),
+
     "ts_anomalies" -> ((s, dir) =>
       TimeSeries.anomalies(Tables.events(s, dir), HALF, 2.0)
         .orderBy(col("user_id"), col("day"))),
@@ -958,6 +965,7 @@ object SparkEntry {
     "ts_rolling" -> OracleSql.rolling(7),
     "ts_ewma" -> OracleSql.ewma(0.3),
     "ts_holt" -> OracleSql.holt(0.5, 0.3, NY),
+    "ts_holt_winters" -> OracleSql.holtWinters(0.5, 0.3, 0.4, 7, NY),
     "ts_winsorize" -> OracleSql.winsorize(0.05, 0.95),
     "sample_stratified" -> OracleSql.sampleStratified,
     "ts_anomalies" -> OracleSql.anomalies(HALF, 2.0),

@@ -304,6 +304,32 @@ object TimeSeries {
         r3(expr(s"element_at(hb, 1) + element_at(hb, 2) * $horizon.0")).as("forecast"))
   }
 
+  /** Additive Holt-Winters per key: final (level, trend) of the
+    * triple-smoothing recursion over the day-ordered series (period-m
+    * seasonal state, [[graft.functions.HwFold]], one codegen'd pass),
+    * plus the h-step seasonal forecast
+    * `level + h·trend + s[(t_last + h) mod m]` — the classic seasonal
+    * baseline for the reference's period-30.5d signals
+    * (src/demo/create_time_series.py:110-139), next to [[holt]]'s
+    * trend-only forecast. Oracle: DuckDB recursive CTE carrying the m
+    * seasonals as a list column, identical parenthesization.
+    */
+  def holtWinters(daily: DataFrame, alpha: Double, beta: Double, gamma: Double,
+                  period: Int, horizon: Int): DataFrame = {
+    graft.functions.VectorExprs.register(daily.sparkSession)
+    daily.groupBy(col(KEY))
+      .agg(expr("transform(sort_array(collect_list(struct(day, v))), s -> s.v)").as("vals"))
+      .select(col(KEY), expr(
+        s"graft_holt_winters(vals, cast($alpha as double), cast($beta as double), " +
+          s"cast($gamma as double), $period)").as("hw"))
+      .select(col(KEY),
+        r3(expr("element_at(hw, 1)")).as("level"),
+        r3(expr("element_at(hw, 2)")).as("trend"),
+        r3(expr(s"element_at(hw, 1) + element_at(hw, 2) * $horizon.0 + " +
+          s"element_at(hw, 4 + cast(pmod(cast(element_at(hw, 3) as bigint) - 1 + $horizon, $period) as int))"))
+          .as("forecast"))
+  }
+
   /** Z-score anomaly days: |scaled| ≥ `z` on the detrended,
     * standardized series — the reference's spike events
     * (create_time_series.py:147-153) surfaced as a filter.

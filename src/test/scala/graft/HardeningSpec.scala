@@ -72,6 +72,37 @@ class HardeningSpec extends AnyFunSuite {
     assert(one.getAs[Double]("level") === 7.0 && one.getAs[Double]("trend") === 0.0)
   }
 
+  test("holtWinters: constant series stays flat; seasonal square wave is learned") {
+    import spark.implicits._
+    def daily(vs: Seq[Double]) = vs.zipWithIndex
+      .map { case (v, i) => (1L, f"2020-01-${i + 1}%02d", v) }
+      .toDF("user_id", "day", "v").withColumn("day", to_date(col("day")))
+    // constant series: level = const, trend = 0, all seasonals stay 0,
+    // so every forecast horizon returns the constant
+    val const = TimeSeries.holtWinters(daily(Seq.fill(28)(42.0)), 0.5, 0.3, 0.4, 7, 5)
+      .collect().head
+    assert(const.getAs[Double]("level") === 42.0)
+    assert(const.getAs[Double]("trend") === 0.0)
+    assert(const.getAs[Double]("forecast") === 42.0)
+    // period-2 square wave 10/20 with period=2: after enough cycles the
+    // forecast at horizon 2 (same phase as the last value) tracks that
+    // value far better than trend-only Holt can
+    val wave = (0 until 30).map(t => if (t % 2 == 0) 10.0 else 20.0)
+    val hw = TimeSeries.holtWinters(daily(wave), 0.3, 0.05, 0.6, 2, 2)
+      .collect().head
+    val lastVal = wave.last // t = 29, odd phase → 20; horizon 2 lands on odd phase
+    assert(math.abs(hw.getAs[Double]("forecast") - lastVal) < 2.0,
+      s"seasonal forecast ${hw.getAs[Double]("forecast")} should track $lastVal")
+    // single element seeds (v, 0) with zero seasonals
+    val one = TimeSeries.holtWinters(daily(Seq(7.0)), 0.5, 0.3, 0.4, 7, 3)
+      .collect().head
+    assert(one.getAs[Double]("level") === 7.0 && one.getAs[Double]("forecast") === 7.0)
+    // degenerate period is a named error
+    val e = intercept[Exception](
+      TimeSeries.holtWinters(daily(Seq(1.0, 2.0)), 0.5, 0.3, 0.4, 1, 3).collect())
+    assert(e.getMessage.contains("period"))
+  }
+
   test("winsorize clamps to the per-key quantile band, interior untouched") {
     import spark.implicits._
     val daily = ((1 to 99).map(i => (1L, f"2020-01-01", i.toDouble)) :+ (1L, "2020-01-01", 1000.0))
