@@ -1716,6 +1716,53 @@ object OracleSql {
        |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
+  /** Lagged cross-correlation between two event-type daily series —
+    * rounded per-type daily sums (identical corr inputs on both
+    * engines), pairs (a_d, b_{d−k}) matched on calendar days.
+    */
+  def crossCorr(typeA: String, typeB: String, maxLag: Int): String =
+    s"""WITH da AS (
+       |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, ${R("SUM(value)")} AS va
+       |  FROM events WHERE event_type = '$typeA' GROUP BY 1, 2),
+       |db AS (
+       |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, ${R("SUM(value)")} AS vb
+       |  FROM events WHERE event_type = '$typeB' GROUP BY 1, 2),
+       |j AS (
+       |  SELECT da.user_id, l.lag, da.va, db.vb
+       |  FROM da CROSS JOIN range(0, ${maxLag + 1}) l(lag)
+       |  JOIN db ON db.user_id = da.user_id
+       |         AND db.day = da.day - CAST(l.lag AS INTEGER))
+       |SELECT user_id, lag,
+       |       ${R("COVAR_POP(va, vb) / NULLIF(STDDEV_POP(va) * STDDEV_POP(vb), 0)")} AS ccf
+       |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** PII redaction over the deterministically augmented corpus — the
+    * regex constants are interpolated from
+    * [[graft.operators.TextOps.EmailRe]]/PhoneRe/IpRe so the two
+    * sides share one pattern source (Java regex and RE2 agree on this
+    * syntax subset by construction).
+    */
+  val textPiiMask: String = {
+    val e = graft.operators.TextOps.EmailRe
+    val p = graft.operators.TextOps.PhoneRe
+    val ip = graft.operators.TextOps.IpRe
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+       |         '@mail.example or +1 555-' ||
+       |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+       |         ' at 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+       |         CAST(doc_id * 7 % 256 AS VARCHAR) AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |       CAST(len(regexp_extract_all(text, '$e')) AS BIGINT) AS n_emails,
+       |       CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_phones,
+       |       CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
+       |       regexp_replace(regexp_replace(regexp_replace(text,
+       |         '$e', '[EMAIL]', 'g'), '$p', '[PHONE]', 'g'), '$ip', '[IP]', 'g') AS masked
+       |FROM aug ORDER BY doc_id""".stripMargin
+  }
+
   /** Largest day-over-day level shift per key (ties broken by day). */
   val changepoint: String =
     s"""WITH $daily,

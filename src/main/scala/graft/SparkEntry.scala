@@ -354,6 +354,18 @@ object SparkEntry {
       TimeSeries.acf(TimeSeries.resampleDaily(Tables.events(s, dir)), ACF_LAGS)
         .orderBy(col("user_id"))),
 
+    // lead-lag probe: does purchase activity lead clicks by k days?
+    "ts_cross_corr" -> ((s, dir) =>
+      TimeSeries.crossCorr(Tables.events(s, dir), "click", "purchase", 3)
+        .orderBy(col("user_id"), col("lag"))),
+
+    // PII scrub over the deterministically augmented corpus (the raw
+    // testdata has no digits at all — injection makes the regexes and
+    // the mask hash-checkable for real)
+    "text_pii_mask" -> ((s, dir) =>
+      TextOps.maskPii(TextOps.withInjectedPii(Tables.documents(s, dir)))
+        .orderBy(col("doc_id"))),
+
     "ts_changepoint" -> ((s, dir) =>
       TimeSeries.changepoint(TimeSeries.resampleDaily(Tables.events(s, dir)))
         .orderBy(col("user_id"))),
@@ -977,6 +989,8 @@ object SparkEntry {
     "skew_safe_agg" -> OracleSql.skewSafeAgg,
     "ts_metrics_overall" -> OracleSql.metricsOverall(HALF, SLOPE_W, NY),
     "ts_acf" -> OracleSql.acf(ACF_LAGS),
+    "ts_cross_corr" -> OracleSql.crossCorr("click", "purchase", 3),
+    "text_pii_mask" -> OracleSql.textPiiMask,
     "ts_changepoint" -> OracleSql.changepoint,
     "ts_seasonal_profile" -> OracleSql.seasonalProfile(HALF),
     "ts_interp_linear" -> OracleSql.interpolate,

@@ -743,4 +743,47 @@ object TextOps {
       .select(col("t.token").as("token"), col("t.n").as("n"),
         (col("pos") + 1).cast("long").as("rank"))
   }
+
+  // ---------------- PII redaction ----------------
+
+  /** PII patterns, restricted to the syntax subset whose semantics are
+    * identical between Java regex (Spark codegen) and RE2 (DuckDB):
+    * character classes, bounded/greedy quantifiers, `\b`, grouping —
+    * no backreferences, no lookaround (RE2 has neither). The oracle
+    * interpolates THESE constants, so the two sides cannot drift.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9]{1,2} [0-9]{3}-[0-9]{4}"
+  val IpRe = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Deterministic PII augmentation for gates/specs: the driver corpus
+    * contains no digits or addresses at all, so the redaction gate
+    * injects one email, one phone and one IPv4 derived from `doc_id`
+    * (identically reconstructed in the oracle SQL) — the masking is
+    * then verified against text that actually exercises the patterns.
+    */
+  def withInjectedPii(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(
+      col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example or +1 555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" at 192.168."), pmod(col("doc_id"), lit(256)).cast("string"),
+      lit("."), pmod(col("doc_id") * 7, lit(256)).cast("string")))
+
+  /** PII redaction — the standard pre-training scrub (CCNet/Dolma ship
+    * the same email/phone/IP pass): count then mask each class, email
+    * → phone → IP in that order on both sides. Pure codegen'd
+    * `regexp_replace`/`regexp_count` projections — no UDF, no shuffle;
+    * at 100 TB this is a map-only pass that pipelines into whatever
+    * filter/tokenize stage follows.
+    */
+  def maskPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_count(col("text"), lit(IpRe)).cast("long").as("n_ips"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        lit(EmailRe), lit("[EMAIL]")),
+        lit(PhoneRe), lit("[PHONE]")),
+        lit(IpRe), lit("[IP]")).as("masked"))
 }

@@ -361,6 +361,34 @@ object TimeSeries {
         lags.tail.map(l => acfCol(l).as(s"acf_$l")): _*)
   }
 
+  /** Lagged cross-correlation between two event-type series per key:
+    * ccf(k) = Pearson r of (a_d, b_{d−k}) over calendar days where
+    * BOTH series have a value — does typeB lead typeA by k days (the
+    * classic lead-lag probe next to [[acf]]'s self-correlation).
+    * Daily sums are rounded (the shared daily convention) so both
+    * engines correlate bit-identical inputs; the lag dimension is a
+    * broadcast `range`, so the cost is |lags| map-side day-shifted
+    * copies of the A side joining B on (key, day) — linear in the
+    * data, never a per-user cross product.
+    */
+  def crossCorr(events: DataFrame, typeA: String, typeB: String,
+                maxLag: Int): DataFrame = {
+    val spark = events.sparkSession
+    def perType(t: String, vName: String) =
+      events.where(col("event_type") === t)
+        .groupBy(col(KEY), to_date(col("ts")).as(DAY))
+        .agg(r3(sum(col("value"))).as(vName))
+    val a = perType(typeA, "va")
+    val b = perType(typeB, "vb").withColumnRenamed(DAY, "bday")
+    val lagsDim = spark.range(0L, maxLag + 1L).toDF("lag")
+    val shifted = a.crossJoin(broadcast(lagsDim))
+      .withColumn("bday", date_sub(col(DAY), col("lag").cast("int")))
+    shifted.join(b, Seq(KEY, "bday"))
+      .groupBy(col(KEY), col("lag"))
+      .agg(r3(covar_pop(col("va"), col("vb")) /
+        nullif(stddev_pop(col("va")) * stddev_pop(col("vb")), lit(0.0))).as("ccf"))
+  }
+
   /** Largest level shift per key: the day with the biggest absolute
     * day-over-day change and its signed magnitude — surfaces the
     * reference's injected level-shift spikes

@@ -571,4 +571,30 @@ class TextOpsSpec extends AnyFunSuite {
         "un-hinted path must not broadcast the df side when broadcasts are disabled")
     }
   }
+
+  test("maskPii counts and masks every class; masked text has zero residual PII") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "reach me at alice.b+test@corp.example.org or +44 123-4567 ok"),
+      (2L, "server 10.0.255.3 and backup 8.8.8.8 hold the logs"),
+      (3L, "no pii here at all"),
+      (4L, "two mails a@b.co c@d.org one ip 1.2.3.4")
+    ).toDF("doc_id", "text")
+    val out = TextOps.maskPii(docs).orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ===
+      Seq((1L, 1L, 0L), (0L, 0L, 2L), (0L, 0L, 0L), (2L, 0L, 1L)))
+    assert(out(0).getString(4) === "reach me at [EMAIL] or [PHONE] ok")
+    assert(out(1).getString(4) === "server [IP] and backup [IP] hold the logs")
+    assert(out(2).getString(4) === "no pii here at all")
+    assert(out(3).getString(4) === "two mails [EMAIL] [EMAIL] one ip [IP]")
+    // masking is a fixpoint: re-scanning masked text finds nothing
+    val remasked = TextOps.maskPii(
+      TextOps.maskPii(docs).select(col("doc_id"), col("masked").as("text")))
+    assert(remasked.agg(sum(col("n_emails") + col("n_phones") + col("n_ips")))
+      .collect().head.getLong(0) === 0L)
+    // the injected-PII corpus carries exactly one of each per doc
+    val inj = TextOps.maskPii(TextOps.withInjectedPii(
+      Seq((7L, "plain words only")).toDF("doc_id", "text"))).collect().head
+    assert((inj.getLong(1), inj.getLong(2), inj.getLong(3)) === ((1L, 1L, 1L)))
+  }
 }

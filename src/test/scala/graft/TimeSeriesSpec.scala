@@ -221,4 +221,21 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out.length === 1)
     assert(out.head.getAs[Double]("v") === 50.0)
   }
+
+  test("crossCorr peaks at the constructed lead: b leads a by exactly 2 days") {
+    import spark.implicits._
+    // a_d = f(d), b_d = f(d + 2): the pair (a_d, b_{d-2}) is (f(d), f(d))
+    // → perfect correlation at lag 2; other lags see a shifted, noisy match
+    def f(d: Int) = ((d * 37) % 11).toDouble
+    val rows =
+      (0 until 30).map(d => (1L, s"2024-01-${"%02d".format(d + 1)} 12:00:00", "a", f(d))) ++
+      (0 until 30).map(d => (1L, s"2024-01-${"%02d".format(d + 1)} 12:00:00", "b", f(d + 2)))
+    val events = rows.toDF("user_id", "ts", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val ccf = TimeSeries.crossCorr(events, "a", "b", 3)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(ccf(2L) === 1.0)
+    assert(ccf.keySet === Set(0L, 1L, 2L, 3L))
+    assert(ccf(0L) < 0.99 && ccf(1L) < 0.99 && ccf(3L) < 0.99)
+  }
 }
