@@ -2201,8 +2201,10 @@ object OracleSql {
     * rounded before the rank. dl/tf/df/N are integer-valued doubles
     * (exact sums), so both engines feed ln the same rationals.
     */
-  def textBm25(terms: Seq[String], k: Int,
-               k1: Double = 1.2, b: Double = 0.75): String = {
+  /** The BM25 CTE chain ending in `br(doc_id, score, rank)` — shared
+    * by [[textBm25]] and the hybrid-retrieval fusion oracle.
+    */
+  private def bm25Ctes(terms: Seq[String], k1: Double, b: Double): String = {
     val tfCols = terms.indices.map { i =>
       s"CAST(len(list_filter(t, x -> x = '${terms(i)}')) AS DOUBLE) AS tf_$i"
     }.mkString(",\n       |    ")
@@ -2213,7 +2215,7 @@ object OracleSql {
       s"ln(1.0 + (n_docs - df_$i + 0.5) / (df_$i + 0.5)) * (tf_$i * ${k1 + 1.0}) / " +
         s"(tf_$i + $k1 * (${1.0 - b} + $b * dl / avgdl))"
     }.mkString(" + ")
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
        |    $tfCols
        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
@@ -2221,14 +2223,48 @@ object OracleSql {
        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl,
        |    $dfCols
        |  FROM base),
-       |scored AS (
+       |bscored AS (
        |  SELECT doc_id, ${R(score)} AS score FROM base CROSS JOIN stats),
-       |r AS (
+       |br AS (
        |  SELECT doc_id, score,
        |         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
-       |  FROM scored WHERE score > 0.0)
-       |SELECT doc_id, score, rank FROM r WHERE rank <= $k ORDER BY rank""".stripMargin
+       |  FROM bscored WHERE score > 0.0)""".stripMargin
   }
+
+  def textBm25(terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH ${bm25Ctes(terms, k1, b)}
+       |SELECT doc_id, score, rank FROM br WHERE rank <= $k ORDER BY rank""".stripMargin
+
+  /** Hybrid retrieval: BM25 rank list ⊕ cosine rank list fused by
+    * reciprocal-rank fusion, `Σ 1/(rrfK + rank)` (Cormack et al. 2009)
+    * with an absent list contributing 0 — the standard sparse+dense
+    * production retrieval stack. Query = the term set for the text
+    * side, embedding vec_id 0 for the dense side (doc_id ≡ vec_id).
+    */
+  def hybridRrf(terms: Seq[String], nCand: Int, k: Int,
+                rrfK: Int = 60): String =
+    s"""WITH ${bm25Ctes(terms, 1.2, 0.75)},
+       |tr AS (SELECT doc_id, rank FROM br WHERE rank <= $nCand),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 1),
+       |vs AS (
+       |  SELECT vec_id AS vid, ${R("list_cosine_similarity(qv, v)")} AS cos
+       |  FROM e CROSS JOIN q WHERE vec_id != qid),
+       |vr0 AS (
+       |  SELECT vid AS doc_id,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vid) AS BIGINT) AS rank
+       |  FROM vs),
+       |vr AS (SELECT doc_id, rank FROM vr0 WHERE rank <= $nCand),
+       |f AS (
+       |  SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id,
+       |         ${R(s"COALESCE(1.0 / ($rrfK + tr.rank), 0.0) + COALESCE(1.0 / ($rrfK + vr.rank), 0.0)")} AS rrf
+       |  FROM tr FULL OUTER JOIN vr ON vr.doc_id = tr.doc_id),
+       |fr AS (
+       |  SELECT doc_id, rrf,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+       |  FROM f)
+       |SELECT doc_id, rrf, rank FROM fr WHERE rank <= $k ORDER BY rank""".stripMargin
 
   /** Token-budget subsample: same md5-PRNG per-shard order and
     * exclusive running sum as the Spark side.

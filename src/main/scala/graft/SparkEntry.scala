@@ -844,6 +844,13 @@ object SparkEntry {
       TextOps.bm25(Tables.documents(s, dir), Seq("hash", "join", "vector"), 10)
         .orderBy(col("rank"))),
 
+    // sparse+dense hybrid retrieval: BM25 top-20 ⊕ cosine top-20 fused
+    // by reciprocal-rank fusion (rrfK = 60), top-10 reported
+    "search_hybrid_rrf" -> ((s, dir) =>
+      TextOps.hybridRrf(Tables.documents(s, dir), Tables.embeddings(s, dir),
+          Seq("hash", "join", "vector"), 20, 10)
+        .orderBy(col("rank"))),
+
     "text_entropy" -> ((s, dir) =>
       TextOps.entropy(Tables.documents(s, dir)).orderBy(col("doc_id"))),
 
@@ -1064,6 +1071,7 @@ object SparkEntry {
     "doc_winnow" -> OracleSql.docWinnow(8, 8),
     "dedup_winnow" -> OracleSql.dedupWinnow(8, 8, 30, 50L),
     "text_bm25" -> OracleSql.textBm25(Seq("hash", "join", "vector"), 10),
+    "search_hybrid_rrf" -> OracleSql.hybridRrf(Seq("hash", "join", "vector"), 20, 10),
     "text_entropy" -> OracleSql.textEntropy,
     "corpus_stats" -> OracleSql.corpusStats,
     "sample_token_budget" -> OracleSql.sampleTokenBudget(1000L, "budget"),

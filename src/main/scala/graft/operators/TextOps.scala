@@ -744,6 +744,39 @@ object TextOps {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Hybrid retrieval: the BM25 rank list and the dense cosine rank
+    * list fused by reciprocal-rank fusion —
+    * `rrf = Σ_lists 1/(rrfK + rank)`, absent list contributes 0
+    * (Cormack et al. 2009, the fusion every sparse+dense production
+    * retrieval stack ships; rrfK = 60 is the paper's constant). The
+    * text query is `terms`; the dense query is embedding vec_id 0
+    * (`doc_id ≡ vec_id` in the corpus).
+    *
+    * Scale shape: both candidate lists are top-`nCand` — bounded by
+    * construction, not by corpus size — so the fusion join and the
+    * final rank run on ≤ 2·nCand rows regardless of scale; the heavy
+    * lifting stays inside [[bm25]]'s salted top-k and
+    * [[graft.operators.Similarity.cosineTopK]]'s two-phase rank. The
+    * final rank is the same bounded sorted-collect slice as
+    * [[bm25]]'s (no empty-partition WindowExec).
+    */
+  def hybridRrf(docs: DataFrame, embeddings: DataFrame, terms: Seq[String],
+                nCand: Int, k: Int, rrfK: Int = 60): DataFrame = {
+    val text = bm25(docs, terms, nCand)
+      .select(col("doc_id"), col("rank").as("rank_text"))
+    val dense = Similarity.cosineTopK(embeddings, 1, nCand)
+      .select(col("vid").as("doc_id"), col("rank").cast("long").as("rank_vec"))
+    text.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        r3(coalesce(lit(1.0) / (lit(rrfK) + col("rank_text")), lit(0.0)) +
+           coalesce(lit(1.0) / (lit(rrfK) + col("rank_vec")), lit(0.0))).as("rrf"))
+      .agg(expr(s"slice(array_sort(collect_list(struct(-rrf AS r_neg, doc_id AS doc_id, rrf AS rrf))), 1, $k)")
+        .as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("t.doc_id").as("doc_id"), col("t.rrf").as("rrf"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   // ---------------- PII redaction ----------------
 
   /** PII patterns, restricted to the syntax subset whose semantics are

@@ -572,6 +572,37 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hybridRrf fuses the two rank lists exactly: 1/(60+r_text) + 1/(60+r_vec)") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val terms = Seq("hash", "join", "vector")
+    val nCand = 20
+    val tr = TextOps.bm25(docs, terms, nCand)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val vr = graft.operators.Similarity.cosineTopK(emb, 1, nCand)
+      .collect().map(r => r.getLong(1) -> r.getInt(3).toLong).toMap
+    def r3(x: Double) = math.floor(x * 1000.0 + 0.5001) / 1000.0
+    val expected = (tr.keySet ++ vr.keySet).toSeq
+      .map(id => (id, r3(tr.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        vr.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0))))
+      .sortBy { case (id, s) => (-s, id) }.take(10).zipWithIndex
+      .map { case ((id, s), i) => (id, s, (i + 1).toLong) }.toSet
+    val got = TextOps.hybridRrf(docs, emb, terms, nCand, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // a doc on BOTH lists must beat a doc whose single-list rank is no
+    // better than either of its ranks — the point of fusion
+    val both = (tr.keySet intersect vr.keySet)
+    if (both.nonEmpty) {
+      val b = both.minBy(id => tr(id) + vr(id))
+      val bScore = 1.0 / (60 + tr(b)) + 1.0 / (60 + vr(b))
+      val singles = (tr.keySet diff vr.keySet).filter(id => tr(id) >= math.max(tr(b), vr(b)))
+      singles.foreach(s => assert(bScore > 1.0 / (60 + tr(s))))
+    }
+  }
+
   test("maskPii counts and masks every class; masked text has zero residual PII") {
     import spark.implicits._
     val docs = Seq(
