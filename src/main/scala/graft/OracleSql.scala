@@ -2060,6 +2060,52 @@ object OracleSql {
        |SELECT vec_id, 1704067200000000 + vec_id * 1000000 AS ts_us
        |FROM hit ORDER BY vec_id""".stripMargin
 
+  /** Range search against the stored index: every same-cell indexed
+    * vector with R(cos(query, SQ8-recon)) ≥ threshold. Quantizer,
+    * cell assignment and reconstruction mirror the writeAnnIndex
+    * conventions on the FULL build input (head-block codebooks and SQ
+    * stats, rounded mins/maxes, clamp-to-edge codes).
+    */
+  def annRangeStored(nCentroids: Int, nCodewords: Int, nQueries: Int,
+                     threshold: Double, dim: Int = 64): String = {
+    val trainMax = math.max(nCentroids, nCodewords)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $nCentroids),
+       |st AS (
+       |  SELECT r.d, ${R("MIN(h.v[r.d + 1])")} AS mn, ${R("MAX(h.v[r.d + 1])")} AS mx
+       |  FROM (SELECT * FROM e WHERE vec_id < $trainMax) h
+       |  CROSS JOIN range(0, $dim) r(d) GROUP BY r.d),
+       |sp AS (SELECT d, mn,
+       |              CASE WHEN mx > mn THEN 255.0 / (mx - mn) ELSE 0.0 END AS s
+       |       FROM st),
+       |ca0 AS (
+       |  SELECT e.vec_id, c.cid, ${R("list_cosine_similarity(e.v, c.cv)")} AS ccos
+       |  FROM e CROSS JOIN c),
+       |cells AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+       |    FROM ca0)
+       |  WHERE crank = 1),
+       |rx AS (
+       |  SELECT i.vec_id, sp.d,
+       |         sp.mn + CASE WHEN sp.s = 0 THEN 0 ELSE
+       |           CAST(LEAST(255.0, GREATEST(0.0,
+       |             FLOOR((i.v[sp.d + 1] - sp.mn) * sp.s + 0.5))) AS INTEGER) / sp.s END AS x
+       |  FROM e i CROSS JOIN sp),
+       |rv AS (SELECT vec_id, LIST(x ORDER BY d) AS rv FROM rx GROUP BY vec_id),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
+       |qq AS (SELECT q.qid, q.qv, cells.cell FROM q JOIN cells ON cells.vec_id = q.qid),
+       |hits AS (
+       |  SELECT qq.qid, ce.vec_id AS vid,
+       |         ${R("list_cosine_similarity(qq.qv, rv.rv)")} AS cos
+       |  FROM qq
+       |  JOIN cells ce ON ce.cell = qq.cell AND ce.vec_id != qq.qid
+       |  JOIN rv ON rv.vec_id = ce.vec_id)
+       |SELECT qid, vid, cos FROM hits WHERE cos >= $threshold
+       |ORDER BY qid, vid""".stripMargin
+  }
+
   /** decontaminateStream's batch twin: contaminated docs (any shared
     * n-gram with the benchmark = docs with doc_id % m = 0) with their
     * synthetic first event time (2024-01-01 epoch + doc_id seconds —

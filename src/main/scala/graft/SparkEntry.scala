@@ -656,6 +656,16 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // range search against the stored index: EVERY same-cell vector
+    // with recon-cosine >= threshold (takedown sweeps, near-dup
+    // audits) — no k, the SQ8 codes carry the fidelity the cut needs
+    "ann_range_stored" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeAnnIndex(emb, 16, 16, 4, "graft_annrng", 8)
+      Similarity.annRangeAgainstIndex(emb.where(col("vec_id") < 5), "graft_annrng", 0.3)
+        .orderBy(col("qid"), col("vid"))
+    }),
+
     // logical delete: tombstoned ids vanish from the probe IMMEDIATELY
     // (broadcast anti-join mask), no rewrite — oracle is the recompute
     // path minus the deleted candidate set
@@ -1037,6 +1047,7 @@ object SparkEntry {
     "ann_filtered_stored" -> OracleSql.annIvfPq(16, 16, 4, 5, 5,
       candJoin = "JOIN e ev ON ev.vec_id = a.vec_id",
       candCond = "AND ev.label = qc.qid % 10"),
+    "ann_range_stored" -> OracleSql.annRangeStored(16, 16, 5, 0.3),
     "ann_index_delete" -> OracleSql.annIvfPq(16, 16, 4, 5, 5,
       candCond = "AND NOT (a.vec_id >= 16 AND a.vec_id % 5 = 3)"),
     "ann_index_compact" -> OracleSql.annIvfPq(16, 16, 4, 5, 5,

@@ -1549,6 +1549,35 @@ object Similarity {
     saltedTopK(annIndexScored(queries, table, nprobe, labelMod = Some(nLabels)),
       "adist", ascending = true, k)
 
+  /** RANGE search against the STORED index (FAISS `range_search` on
+    * IVF): all indexed vectors in the query's cell with rounded
+    * cos(query, SQ8-reconstruction) ≥ `threshold` — no k, the caller
+    * wants EVERY near-copy (takedown sweeps, near-dup audits). The
+    * SQ8 codes serve the threshold because a cosine cut needs
+    * reconstruction fidelity (cos(v, sq-recon(v)) ≈ 1 at 8 bits/dim;
+    * the PQ reconstruction caps near background similarity — see
+    * [[annIndexRecon]]). Raw corpus vectors are never read; candidates
+    * are cell-pruned; the threshold lives in the scan-side filter, so
+    * non-matches die before any shuffle. Tombstones are honored via
+    * the recon path's mask.
+    */
+  def annRangeAgainstIndex(queries: DataFrame, table: String,
+                           threshold: Double): DataFrame = {
+    val spark = queries.sparkSession
+    VectorExprs.register(spark)
+    val encIvf = annIndexQuantizer(spark, table)
+    val q = queries.where(col("embedding").isNotNull)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        expr(s"coalesce(graft_ivf_cell(embedding, '$encIvf'), -1L)").as("cell"))
+    annIndexRecon(spark, table).join(broadcast(q), Seq("cell"))
+      .where(col("vec_b") =!= col("qid"))
+      .select(col("qid"), col("vec_b").as("vid"),
+        r3(expr("graft_vec_dot(qv, rv)") /
+          (sqrt(expr("graft_vec_dot(qv, qv)")) * sqrt(expr("graft_vec_dot(rv, rv)"))))
+          .as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   /** IVF+SQ8 against the STORED index — [[annIvfSqTopK]]'s composed
     * tier reading the `sq` column the index already carries (the
     * same codes the semantic-dedup reconstruction uses): cell-pruned

@@ -22,6 +22,8 @@ class AnnLifecycleSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS ${table}_tombstones")
   }
 
+  private def r3c(c: org.apache.spark.sql.Column) = floor(c * 1000.0 + 0.5001) / 1000.0
+
   private def probeRows(df: org.apache.spark.sql.DataFrame) =
     df.select(col("qid"), col("vid"), col("adist"), col("rank"))
       .collect().map(r => (r.getLong(0), r.getLong(1),
@@ -131,6 +133,41 @@ class AnnLifecycleSpec extends AnyFunSuite {
       assert(compacted === masked)
       assert(compacted.nonEmpty)
     } finally dropIndex("graft_lc_cmp")
+  }
+
+  test("range search returns exactly the same-cell recon-cosine hits and honors tombstones") {
+    val emb = Tables.embeddings(spark, dir)
+    try {
+      Similarity.writeAnnIndex(emb, 16, 16, 4, "graft_lc_rng", 4)
+      val q = emb.where(col("vec_id") < 5)
+      val got = Similarity.annRangeAgainstIndex(q, "graft_lc_rng", 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got.nonEmpty)
+      assert(got.forall(_._3 >= 0.3))
+      // exhaustiveness: joining recon to queries by cell and filtering
+      // in the test reproduces the full hit set (nothing pruned away
+      // beyond the cell and the threshold)
+      graft.functions.VectorExprs.register(spark)
+      val encIvf = Similarity.annIndexQuantizer(spark, "graft_lc_rng")
+      val qc = q.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        expr(s"coalesce(graft_ivf_cell(embedding, '$encIvf'), -1L)").as("cell"))
+      val expected = Similarity.annIndexRecon(spark, "graft_lc_rng")
+        .join(qc, Seq("cell")).where(col("vec_b") =!= col("qid"))
+        .select(col("qid"), col("vec_b"),
+          r3c(expr("graft_vec_dot(qv, rv)") /
+            (sqrt(expr("graft_vec_dot(qv, qv)")) * sqrt(expr("graft_vec_dot(rv, rv)"))))
+            .as("cos"))
+        .where(col("cos") >= 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === expected)
+      // tombstoning a hit removes it from the range result
+      val victim = got.head._2
+      import spark.implicits._
+      Similarity.deleteFromAnnIndex(Seq(victim).toDF("vec_id"), "graft_lc_rng")
+      val after = Similarity.annRangeAgainstIndex(q, "graft_lc_rng", 0.3)
+        .collect().map(_.getLong(1)).toSet
+      assert(!after.contains(victim))
+    } finally dropIndex("graft_lc_rng")
   }
 
   test("deleting from a missing index is a named error") {
