@@ -301,6 +301,43 @@ object OracleSql {
        |ORDER BY d.user_id, d.day""".stripMargin
 
   /** Gap-based sessionization (30-minute gap). */
+  /** Funnel ladder: tᵢ = first stage-i event strictly after tᵢ₋₁. */
+  def funnel(stages: Seq[String]): String = {
+    val ctes = stages.zipWithIndex.map { case (st, i) =>
+      if (i == 0)
+        s"""t1 AS (
+           |  SELECT user_id, MIN(epoch_us(ts)) AS t1_us FROM events
+           |  WHERE event_type = '$st' GROUP BY 1)""".stripMargin
+      else
+        s"""t${i + 1} AS (
+           |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t${i + 1}_us
+           |  FROM events e JOIN t$i ON t$i.user_id = e.user_id
+           |  WHERE e.event_type = '$st' AND epoch_us(e.ts) > t$i.t${i}_us
+           |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val tCols = stages.indices.map(i => s"t${i + 1}.t${i + 1}_us").mkString(", ")
+    val stage = stages.indices.map(i =>
+      s"CASE WHEN t${i + 1}.t${i + 1}_us IS NOT NULL THEN 1 ELSE 0 END").mkString(" + ")
+    val joins = stages.indices.tail.map(i =>
+      s"LEFT JOIN t${i + 1} ON t${i + 1}.user_id = t1.user_id").mkString("\n")
+    s"""WITH $ctes
+       |SELECT t1.user_id, $tCols, CAST($stage AS BIGINT) AS stage
+       |FROM t1
+       |$joins
+       |ORDER BY t1.user_id""".stripMargin
+  }
+
+  /** Weekly cohort retention triangle (Monday-truncated weeks). */
+  val retention: String =
+    """WITH active AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      |  FROM events),
+      |cohorts AS (SELECT user_id, MIN(wk) AS cohort FROM active GROUP BY 1)
+      |SELECT c.cohort, CAST((a.wk - c.cohort) // 7 AS BIGINT) AS week_n,
+      |       COUNT(DISTINCT a.user_id) AS n_users
+      |FROM active a JOIN cohorts c ON c.user_id = a.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def sessionize(gapMicros: Long): String =
     s"""WITH e AS (
        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),

@@ -140,6 +140,17 @@ object SparkEntry {
       Relational.sessionize(Tables.events(s, dir), 1800000000L)
         .orderBy(col("user_id"), col("session_no"))),
 
+    // strictly-ordered conversion ladder: first signup, then first
+    // click after it, then first purchase after that
+    "funnel_conversion" -> ((s, dir) =>
+      Relational.funnel(Tables.events(s, dir), Seq("signup", "click", "purchase"))
+        .orderBy(col("user_id"))),
+
+    // weekly cohort retention triangle over first-active weeks
+    "retention_cohorts" -> ((s, dir) =>
+      Relational.retention(Tables.events(s, dir))
+        .orderBy(col("cohort"), col("week_n"))),
+
     "ts_generate" -> ((s, _) =>
       Generate.series(s, 100, 200, 30)
         .select(col("key"), col("t").cast("long").as("t"), col("v"), col("signal_type"))
@@ -971,6 +982,8 @@ object SparkEntry {
     "topk_per_group" -> OracleSql.topkPerGroup,
     "ts_asof_join" -> OracleSql.asofJoin,
     "ts_sessionize" -> OracleSql.sessionize(1800000000L),
+    "funnel_conversion" -> OracleSql.funnel(Seq("signup", "click", "purchase")),
+    "retention_cohorts" -> OracleSql.retention,
     "ts_generate" -> OracleSql.generate(100, 200, 30),
     "ts_generate_short" -> OracleSql.generate(100, 90, 30),
     "dedup_exact" -> OracleSql.dedupExact,

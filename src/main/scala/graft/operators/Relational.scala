@@ -143,4 +143,54 @@ object Relational {
       .where(col(tCol) >= col(startCol) && col(tCol) <= col(endCol))
       .drop("_bucket")
   }
+
+  /** Funnel conversion: the strictly-ordered `stages` ladder per user
+    * — tᵢ = the FIRST stage-i event strictly after tᵢ₋₁ (the classic
+    * signup → click → purchase conversion probe). Output: one row per
+    * user who entered the funnel, with each reached stage's first
+    * timestamp (µs) and the count of stages reached.
+    *
+    * Scale shape: each stage is filter (pushed to the scan) →
+    * map-side-combined min per user → join on user_id against the
+    * PREVIOUS stage's per-user scalars. Every join input is one row
+    * per funnel user — aggregates join aggregates, raw events never
+    * join raw events — so depth costs |stages| small hash joins, not
+    * an event-level self-join.
+    */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, s"funnel: need at least 2 stages, got $stages")
+    val first = events.where(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("t1_us"))
+    val laddered = stages.tail.zipWithIndex.foldLeft(first) { case (acc, (st, i)) =>
+      val prev = s"t${i + 1}_us"
+      val cur = s"t${i + 2}_us"
+      val nxt = events.where(col("event_type") === st)
+        .select(col("user_id"), unix_micros(col("ts")).as("e_us"))
+        .join(acc.select(col("user_id"), col(prev)), Seq("user_id"))
+        .where(col("e_us") > col(prev))
+        .groupBy(col("user_id")).agg(min(col("e_us")).as(cur))
+      acc.join(nxt, Seq("user_id"), "left_outer")
+    }
+    laddered.withColumn("stage",
+      stages.indices.map(i =>
+        when(col(s"t${i + 1}_us").isNotNull, 1L).otherwise(0L)).reduce(_ + _))
+  }
+
+  /** Weekly retention cohorts: users grouped by their FIRST active
+    * week (Monday-truncated), n_users = distinct users of that cohort
+    * active again `week_n` weeks later — the canonical cohort
+    * triangle. Active weeks are distinct-projected per user first, so
+    * the heavy input collapses to ≤ |users|·|weeks| compact rows
+    * before any join; the cohort attach joins per-user scalars.
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val active = events
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+    val cohorts = active.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+    active.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("long").as("week_n"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
 }

@@ -133,4 +133,47 @@ class RelationalSpec extends AnyFunSuite {
     val cnt = Relational.rangeJoin(points, "t", intervals, "start", "end", 7L).count()
     assert(cnt === fast.size)
   }
+
+  test("funnel: strict ordering enforced, out-of-order stages do not count") {
+    import spark.implicits._
+    // A completes in order; B purchases BEFORE clicking (purchase must
+    // not count); C only signs up; D clicks without signing up (not in
+    // the funnel at all)
+    val rows = Seq(
+      ("A", "signup", 10), ("A", "click", 20), ("A", "purchase", 30),
+      ("B", "signup", 10), ("B", "purchase", 15), ("B", "click", 20),
+      ("C", "signup", 10),
+      ("D", "click", 10), ("D", "purchase", 20)
+    ).map { case (u, t, sec) =>
+      (u.hashCode.toLong, t, java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(sec)))
+    }
+    val events = rows.toDF("user_id", "event_type", "ts")
+    val out = Relational.funnel(events, Seq("signup", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Any]("t2_us") != null, r.getAs[Any]("t3_us") != null,
+          r.getLong(r.fieldIndex("stage")))).toMap
+    assert(out.keySet === Set("A", "B", "C").map(_.hashCode.toLong))
+    assert(out("A".hashCode.toLong) === ((true, true, 3L)))
+    assert(out("B".hashCode.toLong) === ((true, false, 2L)))
+    assert(out("C".hashCode.toLong) === ((false, false, 1L)))
+  }
+
+  test("retention: cohort triangle counts returning users per week offset") {
+    import spark.implicits._
+    def ts(day: String) = java.sql.Timestamp.valueOf(s"$day 12:00:00")
+    // weeks: 2024-01-01 (Mon), 2024-01-08, 2024-01-15
+    val events = Seq(
+      (1L, ts("2024-01-02")), (1L, ts("2024-01-09")), (1L, ts("2024-01-16")),
+      (2L, ts("2024-01-03")), (2L, ts("2024-01-17")),
+      (3L, ts("2024-01-10"))
+    ).toDF("user_id", "ts")
+    val out = Relational.retention(events)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set(
+      ("2024-01-01", 0L, 2L),  // users 1,2 start week 0
+      ("2024-01-01", 1L, 1L),  // user 1 returns in week 1
+      ("2024-01-01", 2L, 2L),  // users 1,2 in week 2
+      ("2024-01-08", 0L, 1L))) // user 3's own cohort
+  }
 }
