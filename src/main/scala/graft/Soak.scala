@@ -179,6 +179,34 @@ object Soak {
         Similarity.annIvfPqAgainstIndex(
           Tables.embeddings(spark, sfDir).where(col("vec_id") < 5),
           "graft_soak_annidx", 5)),
+      // filtered probe against the SAME grown index: the label
+      // predicate is evaluated on UNEXPLODED candidates (join → filter
+      // → explode), so failing candidates never produce their m ADC
+      // rows — law: (cell population / |labels|) ADC work; measured
+      // parity with ann_index_probe at factor 1 (fixed overhead
+      // dominates) and at/below it as the cell grows
+      "ann_filtered_probe" -> (() =>
+        Similarity.annIvfPqAgainstIndexFiltered(
+          Tables.embeddings(spark, sfDir).where(col("vec_id") < 5),
+          "graft_soak_annidx", 5, 10)),
+      // range search against the grown index: recon join over the
+      // probed cell — linear in cell population at the fixed codebook,
+      // like ann_index_probe but through the SQ8 reconstruction
+      "ann_range_probe" -> (() =>
+        Similarity.annRangeAgainstIndex(
+          Tables.embeddings(spark, sfDir).where(col("vec_id") < 5),
+          "graft_soak_annidx", 0.3)),
+      // full delete/compact lifecycle at factor×: build (linear encode
+      // + bucketed write) + tombstone write + compaction rewrite
+      // (linear bucketed pass over survivors) — law: two linear passes
+      // over the index, NEVER quadratic in deletes
+      "ann_index_compact" -> (() => {
+        Similarity.writeAnnIndex(emb, 16, 16, 4, "graft_soak_anncmp", 8)
+        Similarity.deleteFromAnnIndex(
+          emb.where(col("vec_id") % 5 === 3).select(col("vec_id")), "graft_soak_anncmp")
+        Similarity.compactAnnIndex("graft_soak_anncmp")
+        spark.table("graft_soak_anncmp_codes")
+      }),
       // the production regime: codebook scaled √factor (the SemDeDup
       // ~√n sizing) → cell occupancy ~√n → per-query probe work grows
       // ~√factor while the build stays one linear pass
@@ -263,6 +291,28 @@ object Soak {
       "sample_mixture" -> (() => TextOps.sampleMixture(docs,
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
         2000L * factor)),
+      // map-only regex scrub: pure projection, law = linear scan
+      "text_pii_mask" -> (() => TextOps.maskPii(TextOps.withInjectedPii(docs))),
+      // hybrid retrieval: bm25's linear scan + the dense linear scan;
+      // the fusion itself is candidate-bounded (≤ 2·nCand rows)
+      "search_hybrid_rrf" -> (() =>
+        TextOps.hybridRrf(docs, emb, Seq("hash", "join", "vector"), 20, 10)),
+      // filtered brute tier: same linear broadcast-join scan as
+      // ann_topk with the predicate discarding ~9/10 candidates inline
+      "ann_filtered" -> (() => Similarity.cosineTopKFiltered(emb, 5, 5, 10)),
+      // per-stage filter+agg passes joining per-user scalars — keys
+      // grow factor×, every stage linear
+      "funnel_conversion" -> (() =>
+        Relational.funnel(ev, Seq("signup", "click", "purchase"))),
+      "retention_cohorts" -> (() => Relational.retention(ev)),
+      // per-type daily aggs + |lags| shifted copies joining on
+      // (key, day) — linear in keys at fixed lag count
+      "ts_cross_corr" -> (() =>
+        graft.operators.TimeSeries.crossCorr(ev, "click", "purchase", 3)),
+      // one fold pass per key over the day-ordered series — the
+      // HoltFold law with m extra state slots
+      "ts_holt_winters" -> (() => graft.operators.TimeSeries.holtWinters(
+        graft.operators.TimeSeries.resampleDaily(ev), 0.5, 0.3, 0.4, 7, 5)),
       // generator at factor×10K keys (100K at the default factor 10):
       // validates that the 45 per-KEY md5 draws — not per-row — keep
       // generation linear at realistic key cardinality

@@ -1406,8 +1406,11 @@ object Similarity {
   private def maskTombstones(codes: DataFrame, table: String): DataFrame = {
     val spark = codes.sparkSession
     val tsT = s"${table}_tombstones"
+    // no distinct on the tombstone side: an anti-join is indifferent
+    // to duplicate keys, and the distinct would cost a shuffle INSIDE
+    // the broadcast subtree (the census spec counts it)
     if (spark.catalog.tableExists(tsT))
-      codes.join(broadcast(spark.table(tsT).select(col("vec_id")).distinct()),
+      codes.join(broadcast(spark.table(tsT).select(col("vec_id"))),
         Seq("vec_id"), "left_anti")
     else codes
   }
@@ -1473,16 +1476,20 @@ object Similarity {
         queries.where(col("embedding").isNotNull)
           .select(col("vec_id").as("qid"),
             explode(expr(s"graft_ivf_cells(embedding, '$encIvf', $nprobe)")).as("cell"))
-    // when a metadata filter is active the stored label column joins
-    // the explode; otherwise the projection is byte-identical to the
-    // unfiltered plan (census spec unaffected)
+    // when a metadata filter is active, the predicate is evaluated on
+    // the UNEXPLODED candidate rows (join → filter → explode): failing
+    // candidates never produce their m ADC rows, so the filter pays
+    // for itself instead of only trimming the final agg. The
+    // unfiltered projection is byte-identical to the original plan
+    // (census spec unaffected).
     val codeRows = labelMod match {
       case Some(n) =>
         maskTombstones(spark.table(s"${table}_codes"), table)
-          .select(col("vec_id").as("vid"), col("cell"), col("label"),
-            posexplode(col("codes")).as(Seq("s", "code")))
+          .select(col("vec_id").as("vid"), col("cell"), col("label"), col("codes"))
           .join(broadcast(qcells), Seq("cell"))
           .where(col("label") === pmod(col("qid"), lit(n.toLong)).cast("int"))
+          .select(col("qid"), col("vid"),
+            posexplode(col("codes")).as(Seq("s", "code")))
       case None =>
         maskTombstones(spark.table(s"${table}_codes"), table)
           .select(col("vec_id").as("vid"), col("cell"),

@@ -170,6 +170,40 @@ class AnnLifecycleSpec extends AnyFunSuite {
     } finally dropIndex("graft_lc_rng")
   }
 
+  test("plan census: filtered probe keeps ONE Exchange, range search has ZERO, delete adds none") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val emb = Tables.embeddings(spark, dir)
+    val conf = spark.conf
+    val prevAqe = conf.getOption("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Similarity.writeAnnIndex(emb, 16, 16, 4, "graft_lc_plan", 4)
+      val q = emb.where(col("vec_id") < 5)
+      def shuffles(df: org.apache.spark.sql.DataFrame) = {
+        df.collect()
+        df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }.size
+      }
+      // label pre-filter is scan-side: the probe still shuffles ONLY
+      // the per-(qid, vid) partial sums
+      assert(shuffles(Similarity.annIndexScored(q, "graft_lc_plan",
+        labelMod = Some(10))) === 1)
+      // range search is scan → broadcast joins → filter: NO shuffle at
+      // all — the cheapest possible nightly sweep shape
+      assert(shuffles(Similarity.annRangeAgainstIndex(q, "graft_lc_plan", 0.3)) === 0)
+      // the tombstone mask is a broadcast anti-join: still no extra
+      // shuffle on either path
+      import spark.implicits._
+      Similarity.deleteFromAnnIndex(Seq(999999L).toDF("vec_id"), "graft_lc_plan")
+      assert(shuffles(Similarity.annIndexScored(q, "graft_lc_plan",
+        labelMod = Some(10))) === 1)
+      assert(shuffles(Similarity.annRangeAgainstIndex(q, "graft_lc_plan", 0.3)) === 0)
+    } finally {
+      prevAqe.fold(conf.unset("spark.sql.adaptive.enabled"))(
+        conf.set("spark.sql.adaptive.enabled", _))
+      dropIndex("graft_lc_plan")
+    }
+  }
+
   test("deleting from a missing index is a named error") {
     import spark.implicits._
     val e = intercept[IllegalArgumentException](
