@@ -2436,12 +2436,17 @@ object OracleSql {
     * (the gate's split of the documents table). Same minhash/band CTEs
     * over the full table; candidates restricted to corpus×reference.
     */
-  def dedupCross(perms: Int, rowsPerBand: Int, minJaccard: Double): String =
+  /** `refCond` restricts the REFERENCE (b) side — the default is the
+    * gates' even-id training set; the takedown gates subtract the
+    * tombstoned ids from it.
+    */
+  def dedupCross(perms: Int, rowsPerBand: Int, minJaccard: Double,
+                 refCond: String = "b.doc_id % 2 = 0"): String =
     s"""WITH ${minhashCtes(perms, rowsPerBand)},
        |xcand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
-       |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+       |  WHERE a.doc_id % 2 = 1 AND $refCond),
        |est AS (
        |  SELECT p.doc_a, p.doc_b,
        |         ${R(s"SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / CAST($perms AS DOUBLE)")} AS je

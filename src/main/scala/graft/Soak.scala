@@ -159,6 +159,18 @@ object Soak {
         Dedup.crossDupAgainstIndex(
           Tables.documents(spark, sfDir).where(col("doc_id") % 2 === 1),
           "graft_soak_xidx", 16, 2, 0.5)),
+      // band-index takedown lifecycle at factor×: build (one sig pass
+      // + two bucketed writes) + tombstones + compaction (one linear
+      // bucketed rewrite per table) — same two-linear-passes law as
+      // ann_index_compact, on the text side
+      "band_index_compact" -> (() => {
+        Dedup.writeBandIndex(docs.where(col("doc_id") % 2 === 0),
+          16, 2, "graft_soak_xcmp", 8)
+        Dedup.deleteFromBandIndex(
+          docs.where(col("doc_id") % 10 === 0).select(col("doc_id")), "graft_soak_xcmp")
+        Dedup.compactBandIndex("graft_soak_xcmp")
+        spark.table("graft_soak_xcmp_sigs")
+      }),
       // ---- stored ANN index, two-axis ----
       // build+probe at the factor× corpus, FIXED 16-cell codebook:
       // one zero-exchange encode scan + bucketed write (linear), then

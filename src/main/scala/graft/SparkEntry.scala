@@ -914,6 +914,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // takedown via tombstones: deleted reference docs stop witnessing
+    // verdicts IMMEDIATELY (anti-join mask, no rewrite) — oracle is
+    // the recompute path with the deleted ids subtracted from the
+    // reference side
+    "dedup_cross_takedown" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.writeBandIndex(docs.where(col("doc_id") % 2 === 0), 16, 2, "graft_xdel", 8)
+      Dedup.deleteFromBandIndex(
+        docs.where(col("doc_id") % 10 === 0).select(col("doc_id")), "graft_xdel")
+      Dedup.crossDupAgainstIndex(docs.where(col("doc_id") % 2 === 1), "graft_xdel", 16, 2, 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // compaction folds the tombstones into new generations of both
+    // bucketed tables; probe must answer exactly like the mask path
+    // (same oracle as dedup_cross_takedown)
+    "dedup_cross_takedown_compact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.writeBandIndex(docs.where(col("doc_id") % 2 === 0), 16, 2, "graft_xcmp", 8)
+      Dedup.deleteFromBandIndex(
+        docs.where(col("doc_id") % 10 === 0).select(col("doc_id")), "graft_xcmp")
+      Dedup.compactBandIndex("graft_xcmp")
+      Dedup.crossDupAgainstIndex(docs.where(col("doc_id") % 2 === 1), "graft_xcmp", 16, 2, 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     // incremental index maintenance: build the reference index in TWO
     // batches (evens % 4 == 0, then append evens % 4 == 2) and probe —
     // must equal the one-shot build / the recompute path (same oracle)
@@ -1105,6 +1131,10 @@ object SparkEntry {
     // the stored-index path must produce byte-identical output to the
     // recompute path — one oracle serves both
     "dedup_cross_stored" -> OracleSql.dedupCross(16, 2, 0.5),
+    "dedup_cross_takedown" -> OracleSql.dedupCross(16, 2, 0.5,
+      refCond = "b.doc_id % 2 = 0 AND NOT (b.doc_id % 10 = 0)"),
+    "dedup_cross_takedown_compact" -> OracleSql.dedupCross(16, 2, 0.5,
+      refCond = "b.doc_id % 2 = 0 AND NOT (b.doc_id % 10 = 0)"),
     "dedup_cross_stored_inc" -> OracleSql.dedupCross(16, 2, 0.5),
     "corpus_pipeline" -> OracleSql.corpusPipeline(4, 50, 16, 2, 0.5, 512),
     "corpus_pipeline_lm" -> OracleSql.corpusPipeline(4, 50, 16, 2, 0.5, 512,

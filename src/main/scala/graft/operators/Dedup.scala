@@ -445,6 +445,64 @@ object Dedup {
     } finally sigs.unpersist(blocking = false)
   }
 
+  /** Tombstone takedown for the stored band index — the text-side twin
+    * of [[graft.operators.Similarity.deleteFromAnnIndex]]: removed
+    * reference docs (licensing takedowns, opt-outs) stop witnessing
+    * dedup verdicts IMMEDIATELY via an anti-join mask; the physical
+    * rows go at the next [[compactBandIndex]]. At 100 TB rewriting two
+    * bucketed tables per takedown request is not viable; a broadcast
+    * anti-join on the (compaction-cadence-bounded) tombstone set is
+    * one map-side pass.
+    */
+  def deleteFromBandIndex(ids: DataFrame, table: String): Unit = {
+    val spark = ids.sparkSession
+    require(spark.catalog.tableExists(s"${table}_meta"),
+      s"band index '$table' has no ${table}_meta table — (re)build it with writeBandIndex")
+    ids.select(col("doc_id")).write.mode("append")
+      .format("parquet").saveAsTable(s"${table}_tombstones")
+  }
+
+  /** The `<table>_bands` / `<table>_sigs` scan with the tombstone mask
+    * applied — the ONLY way index consumers read the stored tables (a
+    * consumer reading them raw would resurrect taken-down docs). No
+    * distinct on the tombstone side: anti-joins are duplicate-safe and
+    * a distinct would cost a shuffle inside the broadcast subtree.
+    */
+  private[graft] def maskedBandTable(spark: org.apache.spark.sql.SparkSession,
+                                     table: String, which: String): DataFrame = {
+    val t = spark.table(s"${table}_$which")
+    val tsT = s"${table}_tombstones"
+    if (spark.catalog.tableExists(tsT))
+      t.join(broadcast(spark.table(tsT).select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+    else t
+  }
+
+  /** Fold accumulated tombstones into the band index: rewrite both
+    * bucketed tables as NEW generations (write-then-swap, one linear
+    * bucketed pass each — never read-and-overwrite in place), drop the
+    * tombstones. Banding params/meta untouched, so probes answer
+    * bit-identically to an index built on the survivor set.
+    */
+  def compactBandIndex(table: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    require(spark.catalog.tableExists(s"${table}_meta"),
+      s"band index '$table' has no ${table}_meta table — (re)build it with writeBandIndex")
+    val nBuckets = spark.table(s"${table}_meta").collect().head.getInt(2)
+    val tsT = s"${table}_tombstones"
+    if (spark.catalog.tableExists(tsT)) {
+      Seq("bands" -> Seq("band", "sig"), "sigs" -> Seq("doc_id")).foreach {
+        case (which, keys) =>
+          graft.sources.Formats.writeBucketedKeys(
+            maskedBandTable(spark, table, which),
+            s"${table}_${which}_compacting", keys, nBuckets)
+          spark.sql(s"DROP TABLE ${table}_$which")
+          spark.sql(s"ALTER TABLE ${table}_${which}_compacting RENAME TO ${table}_$which")
+      }
+      spark.sql(s"DROP TABLE $tsT")
+    }
+  }
+
   /** [[crossDup]] against a STORED [[writeBandIndex]] index: flag every
     * corpus document whose banded signature collides with an indexed
     * reference document's at estimated Jaccard ≥ `minJaccard` — the
@@ -464,8 +522,8 @@ object Dedup {
                            rowsPerBand: Int, minJaccard: Double): DataFrame = {
     val spark = corpus.sparkSession
     requireIndexParams(spark, table, perms, rowsPerBand)
-    val rBands = spark.table(s"${table}_bands")
-    val rSigs = spark.table(s"${table}_sigs")
+    val rBands = maskedBandTable(spark, table, "bands")
+    val rSigs = maskedBandTable(spark, table, "sigs")
     val cSigs = minhashSigs(corpus, perms).persist()
     val hits = try {
       val cand = bandSlices(cSigs, rowsPerBand, perms)

@@ -154,8 +154,8 @@ object StreamOps {
     graft.functions.VectorExprs.register(spark)
     graft.operators.Dedup.requireIndexParams(spark, table, perms, rowsPerBand)
     val nBands = perms / rowsPerBand
-    val rBands = spark.table(s"${table}_bands")
-    val rSigs = spark.table(s"${table}_sigs")
+    val rBands = graft.operators.Dedup.maskedBandTable(spark, table, "bands")
+    val rSigs = graft.operators.Dedup.maskedBandTable(spark, table, "sigs")
     val sigs = docs
       .withWatermark("ts", watermark)
       .select(col("doc_id"), col("ts"), split(col("text"), " ").as("toks"))

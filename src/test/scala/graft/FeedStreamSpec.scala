@@ -287,6 +287,40 @@ class FeedStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("band index takedown: tombstones mask immediately, compaction folds them in") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def drop(t: String) = Seq("_bands", "_sigs", "_meta", "_tombstones").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS $t$s"))
+    try {
+      Dedup.writeBandIndex(docs.where(col("doc_id") % 2 === 0), 16, 2, "graft_xtd_t", 4)
+      val crawl = docs.where(col("doc_id") % 2 === 1)
+      def probe() = Dedup.crossDupAgainstIndex(crawl, "graft_xtd_t", 16, 2, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      val before = probe()
+      val witnesses = before.filter(_._4 == 1).map(_._3).toSet
+      assert(witnesses.nonEmpty)
+      import spark.implicits._
+      Dedup.deleteFromBandIndex(witnesses.toSeq.toDF("doc_id"), "graft_xtd_t")
+      val masked = probe()
+      // taken-down docs never appear as witnesses again
+      assert(!masked.exists(r => witnesses.contains(r._3)))
+      // and the masked probe equals a full recompute on the survivors
+      val rebuilt = Dedup.crossDup(crawl,
+          docs.where(col("doc_id") % 2 === 0 &&
+            !col("doc_id").isin(witnesses.toSeq: _*)), 16, 2, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      assert(masked.toSet === rebuilt.toSet)
+      val nBands = spark.table("graft_xtd_t_bands").count()
+      val nSigs = spark.table("graft_xtd_t_sigs").count()
+      Dedup.compactBandIndex("graft_xtd_t")
+      assert(!spark.catalog.tableExists("graft_xtd_t_tombstones"))
+      assert(spark.table("graft_xtd_t_sigs").count() < nSigs)
+      assert(spark.table("graft_xtd_t_bands").count() < nBands)
+      assert(probe().toSet === masked.toSet)
+    } finally drop("graft_xtd_t")
+  }
+
   test("batch session_window matches the lag-based sessionize operator") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val native = StreamOps.sessionWindowsBatch(ev, "30 minutes")
