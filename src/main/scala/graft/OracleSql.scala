@@ -301,19 +301,25 @@ object OracleSql {
        |ORDER BY d.user_id, d.day""".stripMargin
 
   /** Gap-based sessionization (30-minute gap). */
-  /** Funnel ladder: tᵢ = first stage-i event strictly after tᵢ₋₁. */
-  def funnel(stages: Seq[String]): String = {
+  /** Funnel ladder: tᵢ = first stage-i event strictly after tᵢ₋₁
+    * (and within `maxGapUs` of it when set — the conversion
+    * deadline).
+    */
+  def funnel(stages: Seq[String], maxGapUs: Option[Long] = None): String = {
     val ctes = stages.zipWithIndex.map { case (st, i) =>
       if (i == 0)
         s"""t1 AS (
            |  SELECT user_id, MIN(epoch_us(ts)) AS t1_us FROM events
            |  WHERE event_type = '$st' GROUP BY 1)""".stripMargin
-      else
+      else {
+        val window = maxGapUs
+          .map(g => s" AND epoch_us(e.ts) <= t$i.t${i}_us + $g").getOrElse("")
         s"""t${i + 1} AS (
            |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t${i + 1}_us
            |  FROM events e JOIN t$i ON t$i.user_id = e.user_id
-           |  WHERE e.event_type = '$st' AND epoch_us(e.ts) > t$i.t${i}_us
+           |  WHERE e.event_type = '$st' AND epoch_us(e.ts) > t$i.t${i}_us$window
            |  GROUP BY 1)""".stripMargin
+      }
     }.mkString(",\n")
     val tCols = stages.indices.map(i => s"t${i + 1}.t${i + 1}_us").mkString(", ")
     val stage = stages.indices.map(i =>
@@ -1628,19 +1634,27 @@ object OracleSql {
     * the annIvfPq CTEs (cell pruning + ADC scoring) + the brute-force
     * ranking + the recall left join.
     */
+  /** `labelMod` restricts BOTH the exact and the approximate
+    * candidate sets to the per-query metadata predicate — the
+    * filtered-search recall gate.
+    */
   def annIvfPqRecall(nCentroids: Int, nCodewords: Int, m: Int,
-                     nQueries: Int, k: Int, dim: Int = 64): String = {
+                     nQueries: Int, k: Int, dim: Int = 64,
+                     labelMod: Option[Int] = None): String = {
     val subDim = dim / m
     def d2(vec: String) = {
       val diff = s"($vec[cw.s * $subDim + i] - cw.v[cw.s * $subDim + i])"
       R(s"list_sum(list_transform(generate_series(1, $subDim), i -> $diff * $diff))")
     }
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    val exactCond = labelMod.map(n => s"AND label = qid % $n").getOrElse("")
+    val candJoin = labelMod.map(_ => "JOIN e ev ON ev.vec_id = a.vec_id").getOrElse("")
+    val candCond = labelMod.map(n => s"AND ev.label = qc.qid % $n").getOrElse("")
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |           WHERE embedding IS NOT NULL),
        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
        |xs AS (
        |  SELECT qid, vec_id AS vid, ${R("list_cosine_similarity(qv, v)")} AS cos
-       |  FROM e CROSS JOIN q WHERE vec_id != qid),
+       |  FROM e CROSS JOIN q WHERE vec_id != qid $exactCond),
        |xr AS (
        |  SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
        |  FROM xs),
@@ -1673,7 +1687,8 @@ object OracleSql {
        |  SELECT qc.qid, a.vec_id AS vid, ${R("SUM(dt.d2)")} AS adist
        |  FROM asg a
        |  JOIN cells ce ON ce.vec_id = a.vec_id
-       |  JOIN qc ON qc.cell = ce.cell AND a.vec_id != qc.qid
+       |  $candJoin
+       |  JOIN qc ON qc.cell = ce.cell AND a.vec_id != qc.qid $candCond
        |  JOIN dt ON dt.qid = qc.qid AND dt.s = a.s AND dt.code = a.code
        |  GROUP BY 1, 2),
        |pr AS (

@@ -151,6 +151,13 @@ object SparkEntry {
       Relational.retention(Tables.events(s, dir))
         .orderBy(col("cohort"), col("week_n"))),
 
+    // funnel with a conversion DEADLINE: each stage must land within
+    // 7 days of the previous one
+    "funnel_windowed" -> ((s, dir) =>
+      Relational.funnel(Tables.events(s, dir), Seq("signup", "click", "purchase"),
+          maxGapUs = Some(604800000000L))
+        .orderBy(col("user_id"))),
+
     "ts_generate" -> ((s, _) =>
       Generate.series(s, 100, 200, 30)
         .select(col("key"), col("t").cast("long").as("t"), col("v"), col("signal_type"))
@@ -667,6 +674,13 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // recall of the FILTERED stored probe vs the exact filtered tier —
+    // the number a tuner reads before shipping filtered ANN
+    "ann_filtered_recall" -> ((s, dir) =>
+      Similarity.annFilteredRecall(Tables.embeddings(s, dir), 16, 16, 4, 5, 5, 10,
+          "graft_annfrec", 8)
+        .orderBy(col("qid"))),
+
     // range search against the stored index: EVERY same-cell vector
     // with recon-cosine >= threshold (takedown sweeps, near-dup
     // audits) — no k, the SQ8 codes carry the fidelity the cut needs
@@ -1009,6 +1023,8 @@ object SparkEntry {
     "ts_asof_join" -> OracleSql.asofJoin,
     "ts_sessionize" -> OracleSql.sessionize(1800000000L),
     "funnel_conversion" -> OracleSql.funnel(Seq("signup", "click", "purchase")),
+    "funnel_windowed" -> OracleSql.funnel(Seq("signup", "click", "purchase"),
+      maxGapUs = Some(604800000000L)),
     "retention_cohorts" -> OracleSql.retention,
     "ts_generate" -> OracleSql.generate(100, 200, 30),
     "ts_generate_short" -> OracleSql.generate(100, 90, 30),
@@ -1087,6 +1103,8 @@ object SparkEntry {
       candJoin = "JOIN e ev ON ev.vec_id = a.vec_id",
       candCond = "AND ev.label = qc.qid % 10"),
     "ann_range_stored" -> OracleSql.annRangeStored(16, 16, 5, 0.3),
+    "ann_filtered_recall" -> OracleSql.annIvfPqRecall(16, 16, 4, 5, 5,
+      labelMod = Some(10)),
     "ann_index_delete" -> OracleSql.annIvfPq(16, 16, 4, 5, 5,
       candCond = "AND NOT (a.vec_id >= 16 AND a.vec_id % 5 = 3)"),
     "ann_index_compact" -> OracleSql.annIvfPq(16, 16, 4, 5, 5,

@@ -157,17 +157,23 @@ object Relational {
     * join raw events — so depth costs |stages| small hash joins, not
     * an event-level self-join.
     */
-  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+  def funnel(events: DataFrame, stages: Seq[String],
+             maxGapUs: Option[Long] = None): DataFrame = {
     require(stages.size >= 2, s"funnel: need at least 2 stages, got $stages")
     val first = events.where(col("event_type") === stages.head)
       .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("t1_us"))
     val laddered = stages.tail.zipWithIndex.foldLeft(first) { case (acc, (st, i)) =>
       val prev = s"t${i + 1}_us"
       val cur = s"t${i + 2}_us"
+      // conversion deadline: with maxGapUs, stage i must land within
+      // the window after stage i−1 (the "click within 7 days of
+      // signup" production funnel); without it, any later event counts
+      val inWindow = maxGapUs.fold(lit(true))(g =>
+        col("e_us") <= col(prev) + lit(g))
       val nxt = events.where(col("event_type") === st)
         .select(col("user_id"), unix_micros(col("ts")).as("e_us"))
         .join(acc.select(col("user_id"), col(prev)), Seq("user_id"))
-        .where(col("e_us") > col(prev))
+        .where(col("e_us") > col(prev) && inWindow)
         .groupBy(col("user_id")).agg(min(col("e_us")).as(cur))
       acc.join(nxt, Seq("user_id"), "left_outer")
     }

@@ -1556,6 +1556,30 @@ object Similarity {
     saltedTopK(annIndexScored(queries, table, nprobe, labelMod = Some(nLabels)),
       "adist", ascending = true, k)
 
+  /** Recall@k of the FILTERED stored-index probe against the exact
+    * filtered tier — the number a tuner watches before shipping
+    * metadata-filtered ANN (filtered recall can differ sharply from
+    * unfiltered: the filter thins cells, so the right answers more
+    * often live outside the probed cell). Builds the index as part of
+    * the measurement (the gate convention for stored-index surfaces).
+    */
+  def annFilteredRecall(embeddings: DataFrame, nCentroids: Int, nCodewords: Int,
+                        m: Int, nQueries: Int, k: Int, nLabels: Int,
+                        table: String, nBuckets: Int): DataFrame = {
+    writeAnnIndex(embeddings, nCentroids, nCodewords, m, table, nBuckets)
+    val exact = cosineTopKFiltered(embeddings, nQueries, k, nLabels)
+      .select(col("qid"), col("vid"))
+    val approx = annIvfPqAgainstIndexFiltered(
+        embeddings.where(col("vec_id") < nQueries), table, k, nLabels)
+      .select(col("qid"), col("vid"), lit(1).as("hit"))
+    exact.join(approx, Seq("qid", "vid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        r3(col("n_hit") / col("n_exact")).as("recall"))
+  }
+
   /** RANGE search against the STORED index (FAISS `range_search` on
     * IVF): all indexed vectors in the query's cell with rounded
     * cos(query, SQ8-reconstruction) ≥ `threshold` — no k, the caller

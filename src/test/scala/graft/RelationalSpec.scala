@@ -157,6 +157,18 @@ class RelationalSpec extends AnyFunSuite {
     assert(out("A".hashCode.toLong) === ((true, true, 3L)))
     assert(out("B".hashCode.toLong) === ((true, false, 2L)))
     assert(out("C".hashCode.toLong) === ((false, false, 1L)))
+    // conversion deadline: A's click came 10s after signup — with a
+    // 5-second window it no longer counts (and purchase, which
+    // depends on the click, falls with it)
+    val windowed = Relational.funnel(events, Seq("signup", "click", "purchase"),
+        maxGapUs = Some(5000000L))
+      .collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("stage"))).toMap
+    assert(windowed("A".hashCode.toLong) === 1L)
+    // with a 15-second window the full ladder fits again
+    val wide = Relational.funnel(events, Seq("signup", "click", "purchase"),
+        maxGapUs = Some(15000000L))
+      .collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("stage"))).toMap
+    assert(wide("A".hashCode.toLong) === 3L)
   }
 
   test("retention: cohort triangle counts returning users per week offset") {
