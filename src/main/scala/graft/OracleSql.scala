@@ -2479,6 +2479,31 @@ object OracleSql {
        |LEFT JOIN hits h ON h.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** The packed token stream's content check: same running sum as
+    * [[packSequences]], tokens positioned `stream_pos + i − 1`, one
+    * row per (shard, seq) with count + md5 of the space-joined
+    * stream-ordered tokens.
+    */
+  def packTokenStream(budget: Int): String =
+    s"""WITH s AS (
+       |  SELECT doc_id, source AS shard, string_split(text, ' ') AS t
+       |  FROM documents),
+       |p AS (
+       |  SELECT *, CAST(COALESCE(SUM(len(t)) OVER (
+       |      PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS stream_pos
+       |  FROM s),
+       |tk AS (
+       |  SELECT shard, stream_pos + u.i - 1 AS pos, u.tok
+       |  FROM (SELECT shard, stream_pos,
+       |          UNNEST(list_transform(generate_series(1, len(t)),
+       |            i -> {'i': i, 'tok': t[i]})) AS u
+       |        FROM p))
+       |SELECT shard, pos // $budget AS seq, COUNT(*) AS n_tokens,
+       |       MD5(STRING_AGG(tok, ' ' ORDER BY pos)) AS fp
+       |FROM tk GROUP BY 1, 2 ORDER BY shard, seq""".stripMargin
+
   /** Sequence packing: per-shard running token sum (CAST to BIGINT —
     * DuckDB window SUM yields HUGEINT) → integer-division chunk ids.
     */

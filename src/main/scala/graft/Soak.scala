@@ -279,6 +279,12 @@ object Soak {
         docs.withColumn("shard_key",
           concat_ws("_", col("source"), (col("doc_id") / 1000).cast("long"))),
         512, "shard_key")),
+      // the packed CONTENT pass: token explode + (shard, seq) agg with
+      // per-group state bounded by the budget — linear in tokens
+      "pack_token_stream" -> (() => TextOps.packTokenStream(
+        docs.withColumn("shard_key",
+          concat_ws("_", col("source"), (col("doc_id") / 1000).cast("long"))),
+        512, "shard_key")),
       "corpus_pipeline" -> (() => graft.operators.Corpus.pipeline(
         docs, Tables.documents(spark, sfDir).where(col("doc_id") % 50 === 0))),
       "corpus_pipeline_lm" -> (() => graft.operators.Corpus.pipeline(

@@ -857,6 +857,13 @@ object SparkEntry {
     "pack_sequences" -> ((s, dir) =>
       TextOps.packSequences(Tables.documents(s, dir), 512).orderBy(col("doc_id"))),
 
+    // the packed sequences' CONTENT, fingerprinted: count + md5 of
+    // the stream-ordered tokens per (shard, seq) — a placement bug
+    // that scrambles order but not counts fails exactly here
+    "pack_token_stream" -> ((s, dir) =>
+      TextOps.packTokenStream(Tables.documents(s, dir), 512)
+        .orderBy(col("shard"), col("seq"))),
+
     "pack_shuffled" -> ((s, dir) =>
       TextOps.packSequencesShuffled(Tables.documents(s, dir), 512)
         .orderBy(col("doc_id"))),
@@ -1134,6 +1141,7 @@ object SparkEntry {
     "text_lm_score" -> OracleSql.textLmScore,
     "text_filter" -> OracleSql.textFilter(30, 90, 0.15, 0.10),
     "pack_sequences" -> OracleSql.packSequences(512),
+    "pack_token_stream" -> OracleSql.packTokenStream(512),
     "pack_shuffled" -> OracleSql.packShuffled(512, "shuffle"),
     "text_lm_bigram" -> OracleSql.textLmBigram,
     "doc_winnow" -> OracleSql.docWinnow(8, 8),

@@ -367,6 +367,37 @@ object TextOps {
                     shardCol: String = "source"): DataFrame =
     packCounts(tokenCounts(docs, shardCol), budget)
 
+  /** Materialize the PACKED TOKEN STREAM from [[packSequences]]'
+    * placements — the content a trainer actually consumes: one row per
+    * (shard, seq) with the token count and an md5 fingerprint of the
+    * space-joined tokens in stream order. This closes the pipeline
+    * end-to-end: raw corpus → placements → verifiable sequence
+    * content (a placement bug that never scrambles counts but
+    * scrambles ORDER is exactly what the fingerprint catches).
+    *
+    * Scale shape: token explode joins doc-level placements on doc_id
+    * (compact rows), then one (shard, seq) agg whose per-group state
+    * is ≤ `budget` tokens by construction — bounded regardless of
+    * corpus size. No global order: sequences assemble within shards.
+    */
+  def packTokenStream(docs: DataFrame, budget: Int,
+                      shardCol: String = "source"): DataFrame = {
+    val placed = packSequences(docs, budget, shardCol)
+      .select(col("doc_id"), col("shard"),
+        (col("start_seq") * budget + col("start_offset")).as("stream_pos"))
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("idx", "tok")))
+      .join(placed, Seq("doc_id"))
+      .select(col("shard"),
+        expr(s"(stream_pos + idx) div $budget").as("seq"),
+        ((col("stream_pos") + col("idx")) % budget).as("off"), col("tok"))
+      .groupBy(col("shard"), col("seq"))
+      .agg(count(lit(1)).as("n_tokens"),
+        md5(expr(
+          "concat_ws(' ', transform(array_sort(collect_list(struct(off, tok))), s -> s.tok))"))
+          .as("fp"))
+  }
+
   /** Seeded md5-PRNG shuffle key — the engine-portable pseudo-random
     * per-shard order shared by [[packSequencesShuffled]] and
     * [[sampleTokenBudget]] (hex strings compare identically in any

@@ -317,4 +317,20 @@ class LlmOpsSpec extends AnyFunSuite {
     val ann = Similarity.annLshTopK(e, 8, 1, 3, dim = 4).collect()
     assert(ann.exists(r => r.getAs[Long]("vid") === 10L && r.getAs[Double]("cos") === 1.0))
   }
+
+  test("packTokenStream stitches document tokens across sequence boundaries in order") {
+    import spark.implicits._
+    // shard s: doc 1 = "a b c", doc 2 = "d e f g" — budget 5 packs the
+    // stream a b c d e | f g (doc 2 straddles the boundary)
+    val docs = Seq((1L, "s", "a b c"), (2L, "s", "d e f g"))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.packTokenStream(docs, 5).orderBy("seq").collect()
+    assert(out.length === 2)
+    def md5Hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert((out(0).getLong(1), out(0).getLong(2), out(0).getString(3)) ===
+      ((0L, 5L, md5Hex("a b c d e"))))
+    assert((out(1).getLong(1), out(1).getLong(2), out(1).getString(3)) ===
+      ((1L, 2L, md5Hex("f g"))))
+  }
 }
