@@ -333,6 +333,16 @@ object OracleSql {
        |ORDER BY t1.user_id""".stripMargin
   }
 
+  /** Completed funnels only, with their stage times — funnelStream's
+    * batch-twin oracle.
+    */
+  def funnelComplete(stages: Seq[String]): String = {
+    val tCols = stages.indices.map(i => s"t${i + 1}_us").mkString(", ")
+    s"""SELECT user_id, $tCols FROM (
+       |${funnel(stages)}
+       |) WHERE stage = ${stages.size} ORDER BY user_id""".stripMargin
+  }
+
   /** Weekly cohort retention triangle (Monday-truncated weeks). */
   val retention: String =
     """WITH active AS (

@@ -151,6 +151,14 @@ object SparkEntry {
       Relational.retention(Tables.events(s, dir))
         .orderBy(col("cohort"), col("week_n"))),
 
+    // funnelStream's library twin: the completed ladders an ordered
+    // replay of the stream emits (the streaming op itself is driven
+    // live in FeedStreamSpec)
+    "stream_funnel_batch" -> ((s, dir) =>
+      graft.streaming.StreamOps.funnelStreamBatch(Tables.events(s, dir),
+          Seq("signup", "click", "purchase"))
+        .orderBy(col("user_id"))),
+
     // funnel with a conversion DEADLINE: each stage must land within
     // 7 days of the previous one
     "funnel_windowed" -> ((s, dir) =>
@@ -1032,6 +1040,7 @@ object SparkEntry {
     "funnel_conversion" -> OracleSql.funnel(Seq("signup", "click", "purchase")),
     "funnel_windowed" -> OracleSql.funnel(Seq("signup", "click", "purchase"),
       maxGapUs = Some(604800000000L)),
+    "stream_funnel_batch" -> OracleSql.funnelComplete(Seq("signup", "click", "purchase")),
     "retention_cohorts" -> OracleSql.retention,
     "ts_generate" -> OracleSql.generate(100, 200, 30),
     "ts_generate_short" -> OracleSql.generate(100, 90, 30),

@@ -266,6 +266,65 @@ object StreamOps {
       .agg(min(col("ts_us")).as("ts_us"))
   }
 
+  /** Streaming funnel — the [[graft.operators.Relational.funnel]]
+    * ladder as a PER-USER STATE MACHINE via
+    * `flatMapGroupsWithState` (the custom-state primitive the
+    * built-in windowed aggs can't express: the transition condition
+    * depends on the PREVIOUS stage's accepted timestamp, not on any
+    * window). State per user = (stages reached, t1, t2, t3) — a few
+    * longs, bounded forever; a user emits exactly ONE row, at the
+    * moment the final stage lands, then the state goes inert.
+    *
+    * Each micro-batch's events fold in event-time order (ties by
+    * stage order), which reproduces the batch min-first-times
+    * semantics on an ordered ingest — the replay/backfill shape the
+    * gate verifies via [[funnelStreamBatch]]. An out-of-order
+    * deployment buffers per user within the watermark before folding;
+    * the fold itself is unchanged.
+    *
+    * Specialized to 3-stage ladders: the state/output encoders are
+    * flat long tuples (a few primitive columns, never a collection
+    * that grows with input).
+    */
+  def funnelStream(events: DataFrame, stages: Seq[String],
+                   watermark: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(stages.size == 3,
+      s"funnelStream: the streaming state machine is specialized to 3 stages, got $stages")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    events
+      .withWatermark("ts", watermark)
+      .where(col("event_type").isin(stages: _*))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, Long, Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, evs, state) =>
+          var (n, t1, t2, t3) = state.getOption.getOrElse((0, 0L, 0L, 0L))
+          val wasDone = n == 3
+          for ((_, et, ts) <- evs.toSeq.sortBy(e => (e._3, stageIdx(e._2)))
+               if n < 3) {
+            if (n == 0 && et == stages(0)) { t1 = ts; n = 1 }
+            else if (n == 1 && et == stages(1) && ts > t1) { t2 = ts; n = 2 }
+            else if (n == 2 && et == stages(2) && ts > t2) { t3 = ts; n = 3 }
+          }
+          state.update((n, t1, t2, t3))
+          if (!wasDone && n == 3) Iterator((user, t1, t2, t3)) else Iterator.empty
+      }
+      .toDF("user_id", "t1_us", "t2_us", "t3_us")
+  }
+
+  /** Batch twin of [[funnelStream]]: the completed ladders with their
+    * stage times — what an ordered replay of the stream emits.
+    */
+  def funnelStreamBatch(events: DataFrame, stages: Seq[String]): DataFrame =
+    graft.operators.Relational.funnel(events, stages)
+      .where(col("stage") === stages.size)
+      .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"))
+
   /** Batch twin of [[sessionWindows]]. */
   def sessionWindowsBatch(events: DataFrame, gap: String): DataFrame =
     events

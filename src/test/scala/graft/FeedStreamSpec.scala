@@ -287,6 +287,52 @@ class FeedStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming funnel state machine emits each completed ladder exactly once") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("funnel-in").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    // batch 1: user 1 completes the full ladder; user 2 reaches click;
+    // user 3 purchases BEFORE clicking (must not advance)
+    val b1 = Seq(
+      (1L, "signup", ts(0)), (1L, "click", ts(1)), (1L, "purchase", ts(2)),
+      (2L, "signup", ts(0)), (2L, "click", ts(3)),
+      (3L, "signup", ts(0)), (3L, "purchase", ts(1)))
+    // batch 2: user 2 completes; user 3 clicks then purchases (now in
+    // order); user 1 purchases AGAIN — must NOT re-emit
+    val b2 = Seq(
+      (2L, "purchase", ts(10)),
+      (3L, "click", ts(11)), (3L, "purchase", ts(12)),
+      (1L, "purchase", ts(13)))
+    def write(rows: Seq[(Long, String, java.sql.Timestamp)]) =
+      rows.toDF("user_id", "event_type", "ts").coalesce(1)
+        .write.mode("append").parquet(dir)
+    write(b1)
+    val schema = b1.toDF("user_id", "event_type", "ts").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StreamOps.funnelStream(src, Seq("signup", "click", "purchase"), "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("funl").start()
+    try {
+      q.processAllAvailable()
+      write(b2)
+      q.processAllAvailable()
+      val got = spark.sql("select * from funl").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // exactly one emission per completed user, with the FIRST times
+      def us(min: Long) = (base.getTime + min * 60000L) * 1000L
+      assert(got.sortBy(_._1).toSeq === Seq(
+        (1L, us(0), us(1), us(2)),
+        (2L, us(0), us(3), us(10)),
+        (3L, us(0), us(11), us(12))))
+      // and the emitted set equals the batch twin on the full replay
+      val twin = StreamOps.funnelStreamBatch(
+          spark.read.parquet(dir), Seq("signup", "click", "purchase"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got.toSet === twin)
+    } finally q.stop()
+  }
+
   test("band index takedown: tombstones mask immediately, compaction folds them in") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
