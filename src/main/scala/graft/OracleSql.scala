@@ -1884,6 +1884,29 @@ object OracleSql {
        |       ${R("detrended - seasonal")} AS resid
        |FROM w ORDER BY user_id, day""".stripMargin
 
+  /** Wang-Hyndman trend/seasonality strength over the decomposition
+    * components (explicit CASE on zero denominator variance — see the
+    * Spark side).
+    */
+  def seasonalStrength(half: Int): String = {
+    def strength(denom: String) =
+      s"""CASE WHEN VAR_POP($denom) = 0 THEN NULL
+         |            ELSE ${R(s"GREATEST(0.0, 1.0 - VAR_POP(resid) / VAR_POP($denom))")} END""".stripMargin
+    s"""WITH $daily, ${trendCte(half)}, $detrendCte,
+       |d AS (
+       |  SELECT *, CAST((day - DATE '1970-01-05') % 7 AS BIGINT) AS dow FROM det),
+       |w AS (
+       |  SELECT user_id, day, v, detrended,
+       |         ${R("AVG(detrended) OVER (PARTITION BY user_id, dow)")} AS seasonal
+       |  FROM d),
+       |sel AS (
+       |  SELECT user_id, v, seasonal, ${R("detrended - seasonal")} AS resid FROM w)
+       |SELECT user_id,
+       |       ${strength("v - seasonal")} AS trend_strength,
+       |       ${strength("seasonal + resid")} AS seasonal_strength
+       |FROM sel GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
   /** Fixed-width value histogram per event type. */
   def valueHistogram(width: Double, nBins: Int): String =
     s"""SELECT event_type,
@@ -2673,6 +2696,17 @@ object OracleSql {
        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
 
   /** TPC-H Q14-style promotion revenue share. */
+  val q6Revenue: String =
+    s"""SELECT
+       |  ${R("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)")} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  AND CAST(l_discount AS DECIMAL(4,2)) >= CAST(0.05 AS DECIMAL(4,2))
+       |  AND CAST(l_discount AS DECIMAL(4,2)) <= CAST(0.07 AS DECIMAL(4,2))
+       |  AND l_quantity < 24""".stripMargin
+
   val q14PromoShare: String = {
     val disc = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
     s"""SELECT

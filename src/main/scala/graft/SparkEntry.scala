@@ -523,6 +523,21 @@ object SparkEntry {
         .orderBy(col("n_name"))
     }),
 
+    // TPC-H Q6: the pure scan headliner — every predicate pushes to
+    // the parquet scan, one decimal-exact map-side aggregate, no join
+    "q6_revenue" -> ((s, dir) => {
+      val from = lit("1997-01-01 00:00:00").cast("timestamp")
+      val to = lit("1998-01-01 00:00:00").cast("timestamp")
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= from && col("l_shipdate") < to &&
+          pct2("l_discount") >= lit(0.05).cast("decimal(4,2)") &&
+          pct2("l_discount") <= lit(0.07).cast("decimal(4,2)") &&
+          col("l_quantity") < 24)
+        .agg(r3c(sum(dec2("l_extendedprice") * pct2("l_discount")).cast("double"))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     "q14_promo_share" -> ((s, dir) => {
       val from = lit("1997-01-01 00:00:00").cast("timestamp")
       val to = lit("1997-03-01 00:00:00").cast("timestamp")
@@ -564,6 +579,11 @@ object SparkEntry {
     "ts_decompose" -> ((s, dir) =>
       TimeSeries.decompose(Tables.events(s, dir), HALF)
         .orderBy(col("user_id"), col("day"))),
+
+    // Wang-Hyndman trend/seasonality strength per series
+    "ts_seasonal_strength" -> ((s, dir) =>
+      TimeSeries.seasonalStrength(Tables.events(s, dir), HALF)
+        .orderBy(col("user_id"))),
 
     "value_histogram" -> ((s, dir) =>
       TimeSeries.valueHistogram(Tables.events(s, dir), 50.0, 10)
@@ -1097,12 +1117,14 @@ object SparkEntry {
     "dedup_cc" -> OracleSql.dedupCc(16, 2),
     "q5_region_revenue" -> OracleSql.q5RegionRevenue,
     "q14_promo_share" -> OracleSql.q14PromoShare,
+    "q6_revenue" -> OracleSql.q6Revenue,
     "multimodal_framesample" -> OracleSql.multimodalFrameSample(7),
     "multimodal_resize" -> OracleSql.multimodalResize(64),
     "ts_deseasonalize" -> OracleSql.deseasonalize(HALF),
     "ts_fit_linear" -> OracleSql.fitLinear,
     "ts_predict_linear" -> OracleSql.predictLinear(NY),
     "ts_decompose" -> OracleSql.decompose(HALF),
+    "ts_seasonal_strength" -> OracleSql.seasonalStrength(HALF),
     "value_histogram" -> OracleSql.valueHistogram(50.0, 10),
     "ann_recall" -> OracleSql.annRecall(8, 5, 5, 64),
     "ann_pq" -> OracleSql.annPq(16, 4, 5, 5),

@@ -493,6 +493,29 @@ object TimeSeries {
       .select(col(KEY), col(DAY), col("v"), col("trend"), col("seasonal"), col("resid"))
   }
 
+  /** Wang-Hyndman trend/seasonality strength per key (the feature-
+    * based series summary, "Visualising forecasting algorithm
+    * performance using time series instance spaces", 2017):
+    * F_T = max(0, 1 − Var(R)/Var(v − S)),
+    * F_S = max(0, 1 − Var(R)/Var(S + R)) over the [[decompose]]
+    * components — near 1 = strongly trended/seasonal, near 0 = noise.
+    * NULL when the denominator variance is zero (constant component),
+    * spelled as an explicit CASE so both engines agree instead of
+    * leaning on greatest-vs-NULL semantics. Same single key exchange
+    * as the decomposition it reads.
+    */
+  def seasonalStrength(events: DataFrame, half: Int): DataFrame = {
+    def strength(denom: Column): Column = {
+      val vd = var_pop(denom)
+      when(vd === 0.0, lit(null).cast("double"))
+        .otherwise(greatest(lit(0.0), lit(1.0) - var_pop(col("resid")) / vd))
+    }
+    decompose(events, half)
+      .groupBy(col(KEY))
+      .agg(r3(strength(col("v") - col("seasonal"))).as("trend_strength"),
+        r3(strength(col("seasonal") + col("resid"))).as("seasonal_strength"))
+  }
+
   /** Fixed-width value histogram per event type: bin = value/width
     * clamped to nBins — one partial-agg groupBy, the workhorse
     * profiling query at any scale.

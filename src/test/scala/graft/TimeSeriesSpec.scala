@@ -222,6 +222,28 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out.head.getAs[Double]("v") === 50.0)
   }
 
+  test("seasonalStrength: weekly square wave reads seasonal, steep line reads trended") {
+    import spark.implicits._
+    val rows =
+      // user 1: pure period-7 square wave, no trend
+      (0 until 56).map(d => (1L, f"2024-01-01 12:00:00", d, if (d % 7 < 3) 10.0 else 50.0)) ++
+      // user 2: steep line, no seasonality
+      (0 until 56).map(d => (2L, f"2024-01-01 12:00:00", d, 100.0 * d))
+    val events = rows.map { case (u, t0, d, v) =>
+      (u, new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf(t0).getTime + d * 86400000L), v)
+    }.toDF("user_id", "ts", "value")
+    val out = TimeSeries.seasonalStrength(events, 3)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Double]),
+         Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    val (t1, s1) = out(1L)
+    val (t2, s2) = out(2L)
+    assert(s1.exists(_ > 0.8), s"square wave seasonal strength $s1 should be high")
+    assert(t2.exists(_ > 0.8), s"line trend strength $t2 should be high")
+    assert(s2.forall(_ < 0.5), s"line seasonal strength $s2 should be low")
+  }
+
   test("crossCorr peaks at the constructed lead: b leads a by exactly 2 days") {
     import spark.implicits._
     // a_d = f(d), b_d = f(d + 2): the pair (a_d, b_{d-2}) is (f(d), f(d))
