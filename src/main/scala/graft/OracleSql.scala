@@ -333,6 +333,20 @@ object OracleSql {
        |ORDER BY t1.user_id""".stripMargin
   }
 
+  /** anomalyStream's batch twin: per-(user, type) rounded profile,
+    * events with |rounded z| ≥ z, constant-sigma groups excluded.
+    */
+  def anomalyBatch(z: Double): String =
+    s"""WITH p AS (
+       |  SELECT user_id, event_type, ${R("AVG(value)")} AS mu,
+       |         ${R("STDDEV_POP(value)")} AS sigma
+       |  FROM events GROUP BY 1, 2)
+       |SELECT e.event_id, e.user_id, e.event_type, epoch_us(e.ts) AS ts_us,
+       |       e.value, ${R("(e.value - p.mu) / p.sigma")} AS zscore
+       |FROM events e JOIN p USING (user_id, event_type)
+       |WHERE p.sigma > 0 AND ABS(${R("(e.value - p.mu) / p.sigma")}) >= $z
+       |ORDER BY e.event_id""".stripMargin
+
   /** Completed funnels only, with their stage times — funnelStream's
     * batch-twin oracle.
     */
@@ -586,6 +600,24 @@ object OracleSql {
        |       ${R(s"h.l + h.b * $horizon.0 + h.s[((lastr.mx - 1 + $horizon) % $period) + 1]")} AS forecast
        |FROM h JOIN lastr ON h.user_id = lastr.user_id AND h.rn = lastr.mx
        |ORDER BY h.user_id""".stripMargin
+  }
+
+  /** The Holt-Winters forecast curve: the same recursion, exploded
+    * over steps 1..horizon with per-step seasonal slots.
+    */
+  def holtWintersForecast(alpha: Double, beta: Double, gamma: Double,
+                          period: Int, horizon: Int): String = {
+    val base = holtWinters(alpha, beta, gamma, period, horizon)
+    // reuse the recursion's CTE chain, swap the final projection
+    val upToFinal = base.substring(0, base.indexOf("SELECT h.user_id,")).trim
+    s"""$upToFinal,
+       |sel AS (
+       |  SELECT h.user_id, h.l, h.b, h.s, lastr.mx
+       |  FROM h JOIN lastr ON h.user_id = lastr.user_id AND h.rn = lastr.mx)
+       |SELECT user_id, g.h,
+       |       ${R(s"l + b * CAST(g.h AS DOUBLE) + s[((mx - 1 + g.h) % $period) + 1]")} AS forecast
+       |FROM sel CROSS JOIN range(1, ${horizon + 1}) g(h)
+       |ORDER BY user_id, g.h""".stripMargin
   }
 
   def winsorize(lo: Double, hi: Double): String =

@@ -151,6 +151,12 @@ object SparkEntry {
       Relational.retention(Tables.events(s, dir))
         .orderBy(col("cohort"), col("week_n"))),
 
+    // anomalyStream's library twin: ingest-time z-score alerting over
+    // the per-(user, type) historical profile
+    "stream_anomaly_batch" -> ((s, dir) =>
+      graft.streaming.StreamOps.anomalyStreamBatch(Tables.events(s, dir), 3.0)
+        .orderBy(col("event_id"))),
+
     // funnelStream's library twin: the completed ladders an ordered
     // replay of the stream emits (the streaming op itself is driven
     // live in FeedStreamSpec)
@@ -335,6 +341,12 @@ object SparkEntry {
       TimeSeries.holtWinters(TimeSeries.resampleDaily(Tables.events(s, dir)),
           0.5, 0.3, 0.4, 7, NY)
         .orderBy(col("user_id"))),
+
+    // the full HW forecast curve: one row per (key, step 1..NY)
+    "ts_forecast_hw" -> ((s, dir) =>
+      TimeSeries.holtWintersForecast(TimeSeries.resampleDaily(Tables.events(s, dir)),
+          0.5, 0.3, 0.4, 7, NY)
+        .orderBy(col("user_id"), col("h"))),
 
     "ts_anomalies" -> ((s, dir) =>
       TimeSeries.anomalies(Tables.events(s, dir), HALF, 2.0)
@@ -1061,6 +1073,7 @@ object SparkEntry {
     "funnel_windowed" -> OracleSql.funnel(Seq("signup", "click", "purchase"),
       maxGapUs = Some(604800000000L)),
     "stream_funnel_batch" -> OracleSql.funnelComplete(Seq("signup", "click", "purchase")),
+    "stream_anomaly_batch" -> OracleSql.anomalyBatch(3.0),
     "retention_cohorts" -> OracleSql.retention,
     "ts_generate" -> OracleSql.generate(100, 200, 30),
     "ts_generate_short" -> OracleSql.generate(100, 90, 30),
@@ -1086,6 +1099,7 @@ object SparkEntry {
     "ts_ewma" -> OracleSql.ewma(0.3),
     "ts_holt" -> OracleSql.holt(0.5, 0.3, NY),
     "ts_holt_winters" -> OracleSql.holtWinters(0.5, 0.3, 0.4, 7, NY),
+    "ts_forecast_hw" -> OracleSql.holtWintersForecast(0.5, 0.3, 0.4, 7, NY),
     "ts_winsorize" -> OracleSql.winsorize(0.05, 0.95),
     "sample_stratified" -> OracleSql.sampleStratified,
     "ts_anomalies" -> OracleSql.anomalies(HALF, 2.0),

@@ -314,21 +314,45 @@ object TimeSeries {
     * trend-only forecast. Oracle: DuckDB recursive CTE carrying the m
     * seasonals as a list column, identical parenthesization.
     */
-  def holtWinters(daily: DataFrame, alpha: Double, beta: Double, gamma: Double,
-                  period: Int, horizon: Int): DataFrame = {
+  /** The folded Holt-Winters state per key — `(key, hw)` with hw =
+    * [level, trend, count, s₀…s₍ₘ₋₁₎]; shared by [[holtWinters]] and
+    * [[holtWintersForecast]].
+    */
+  private def hwState(daily: DataFrame, alpha: Double, beta: Double,
+                      gamma: Double, period: Int): DataFrame = {
     graft.functions.VectorExprs.register(daily.sparkSession)
     daily.groupBy(col(KEY))
       .agg(expr("transform(sort_array(collect_list(struct(day, v))), s -> s.v)").as("vals"))
       .select(col(KEY), expr(
         s"graft_holt_winters(vals, cast($alpha as double), cast($beta as double), " +
           s"cast($gamma as double), $period)").as("hw"))
+  }
+
+  def holtWinters(daily: DataFrame, alpha: Double, beta: Double, gamma: Double,
+                  period: Int, horizon: Int): DataFrame =
+    hwState(daily, alpha, beta, gamma, period)
       .select(col(KEY),
         r3(expr("element_at(hw, 1)")).as("level"),
         r3(expr("element_at(hw, 2)")).as("trend"),
         r3(expr(s"element_at(hw, 1) + element_at(hw, 2) * $horizon.0 + " +
           s"element_at(hw, 4 + cast(pmod(cast(element_at(hw, 3) as bigint) - 1 + $horizon, $period) as int))"))
           .as("forecast"))
-  }
+
+  /** The full Holt-Winters forecast CURVE: one row per (key, step)
+    * for steps 1..horizon, each picking its seasonal slot — what a
+    * downstream scorer ([[metrics]]) consumes, next to
+    * [[forecastBaseline]]'s trend-only curve. The fold runs once per
+    * key; the horizon explode is a map-only sequence.
+    */
+  def holtWintersForecast(daily: DataFrame, alpha: Double, beta: Double,
+                          gamma: Double, period: Int, horizon: Int): DataFrame =
+    hwState(daily, alpha, beta, gamma, period)
+      .select(col(KEY), col("hw"),
+        explode(expr(s"sequence(1, $horizon)")).as("h"))
+      .select(col(KEY), col("h").cast("long").as("h"),
+        r3(expr(s"element_at(hw, 1) + element_at(hw, 2) * cast(h as double) + " +
+          s"element_at(hw, 4 + cast(pmod(cast(element_at(hw, 3) as bigint) - 1 + h, $period) as int))"))
+          .as("forecast"))
 
   /** Z-score anomaly days: |scaled| ≥ `z` on the detrended,
     * standardized series — the reference's spike events

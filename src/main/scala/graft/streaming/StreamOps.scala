@@ -266,6 +266,44 @@ object StreamOps {
       .agg(min(col("ts_us")).as("ts_us"))
   }
 
+  /** Per-(user, event_type) historical profile for [[anomalyStream]]:
+    * rounded mean + population stddev — recomputed offline at
+    * whatever cadence, read as the static side of the ingest join.
+    */
+  def anomalyProfile(history: DataFrame): DataFrame =
+    history.groupBy(col("user_id"), col("event_type"))
+      .agg(r3(avg(col("value"))).as("mu"), r3(stddev_pop(col("value"))).as("sigma"))
+
+  /** Streaming anomaly flagging at INGEST: stream-static join of the
+    * event stream against the historical profile, emitting events
+    * whose rounded z-score magnitude reaches `z` — alerting the
+    * moment the anomalous event lands instead of at the nightly
+    * batch. Per-row verdicts, NO streaming state at all: append mode
+    * holds on an unbounded stream, and the profile swap is a static-
+    * side refresh. Constant-sigma groups are excluded (z undefined),
+    * matching the batch twin.
+    */
+  def anomalyStream(events: DataFrame, profile: DataFrame, z: Double,
+                    watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .join(profile.where(col("sigma") > 0.0), Seq("user_id", "event_type"))
+      .withColumn("zscore", r3((col("value") - col("mu")) / col("sigma")))
+      .where(abs(col("zscore")) >= z)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        col("value"), col("zscore"))
+
+  /** Batch twin of [[anomalyStream]] with the profile computed from
+    * the history itself — what a full replay emits.
+    */
+  def anomalyStreamBatch(events: DataFrame, z: Double): DataFrame =
+    events
+      .join(anomalyProfile(events).where(col("sigma") > 0.0),
+        Seq("user_id", "event_type"))
+      .withColumn("zscore", r3((col("value") - col("mu")) / col("sigma")))
+      .where(abs(col("zscore")) >= z)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"), col("zscore"))
+
   /** Streaming funnel — the [[graft.operators.Relational.funnel]]
     * ladder as a PER-USER STATE MACHINE via
     * `flatMapGroupsWithState` (the custom-state primitive the

@@ -287,6 +287,36 @@ class FeedStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming anomaly flags exactly the profile outliers at ingest") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("anom-in").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val history = Seq(
+      (1L, "m", 9.0), (1L, "m", 10.0), (1L, "m", 11.0),
+      (2L, "m", 5.0), (2L, "m", 5.0)) // constant sigma: group excluded
+      .toDF("user_id", "event_type", "value")
+    val profile = StreamOps.anomalyProfile(history)
+    val streamRows = Seq(
+      (10L, 1L, "m", ts(0), 10.0),   // dead normal
+      (11L, 1L, "m", ts(1), 100.0),  // massive spike
+      (12L, 2L, "m", ts(2), 99.0))   // spike, but sigma-0 group
+    streamRows.toDF("event_id", "user_id", "event_type", "ts", "value")
+      .write.mode("overwrite").parquet(dir)
+    val src = spark.readStream.schema(
+      streamRows.toDF("event_id", "user_id", "event_type", "ts", "value").schema)
+      .parquet(dir)
+    val q = StreamOps.anomalyStream(src, profile, 3.0, "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("anom").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("select event_id, zscore from anom").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.map(_._1).toSeq === Seq(11L))
+      assert(got.head._2 > 100.0) // (100-10)/0.817 ≈ 110
+    } finally q.stop()
+  }
+
   test("streaming funnel state machine emits each completed ladder exactly once") {
     import spark.implicits._
     val dir = Files.createTempDirectory("funnel-in").toString
