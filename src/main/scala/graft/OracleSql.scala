@@ -569,8 +569,12 @@ object OracleSql {
     * updates recomputes the identical IEEE value; the CASE branch's
     * `h.s[i]` IS sⱼ inside the updated position).
     */
-  def holtWinters(alpha: Double, beta: Double, gamma: Double,
-                  period: Int, horizon: Int): String = {
+  /** The HW recursion CTE chain (`n`/`h`/`lastr`) folding the series
+    * read from `src(user_id, day, v)` — shared by the three HW
+    * oracles.
+    */
+  private def hwCtes(alpha: Double, beta: Double, gamma: Double,
+                     period: Int, src: String): String = {
     val ia = 1 - alpha
     val ib = 1 - beta
     val ig = 1 - gamma
@@ -579,10 +583,9 @@ object OracleSql {
     val pos = s"((n.rn - 1) % $period) + 1"
     val lNew = s"(n.v - h.s[$pos]) * $alpha + (h.l + h.b) * $ia"
     val lNewAtI = s"(n.v - h.s[i]) * $alpha + (h.l + h.b) * $ia"
-    s"""WITH RECURSIVE $daily,
-       |n AS (
+    s"""n AS (
        |  SELECT user_id, v, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
-       |  FROM daily),
+       |  FROM $src),
        |h AS (
        |  SELECT user_id, rn, v AS l, CAST(0.0 AS DOUBLE) AS b, $zeros AS s
        |  FROM n WHERE rn = 1
@@ -595,22 +598,25 @@ object OracleSql {
        |                THEN (n.v - ($lNewAtI)) * $gamma + h.s[i] * $ig
        |                ELSE h.s[i] END) AS s
        |  FROM h JOIN n ON n.user_id = h.user_id AND n.rn = h.rn + 1),
-       |lastr AS (SELECT user_id, MAX(rn) AS mx FROM n GROUP BY user_id)
+       |lastr AS (SELECT user_id, MAX(rn) AS mx FROM n GROUP BY user_id)""".stripMargin
+  }
+
+  def holtWinters(alpha: Double, beta: Double, gamma: Double,
+                  period: Int, horizon: Int): String =
+    s"""WITH RECURSIVE $daily,
+       |${hwCtes(alpha, beta, gamma, period, "daily")}
        |SELECT h.user_id, ${R("h.l")} AS level, ${R("h.b")} AS trend,
        |       ${R(s"h.l + h.b * $horizon.0 + h.s[((lastr.mx - 1 + $horizon) % $period) + 1]")} AS forecast
        |FROM h JOIN lastr ON h.user_id = lastr.user_id AND h.rn = lastr.mx
        |ORDER BY h.user_id""".stripMargin
-  }
 
   /** The Holt-Winters forecast curve: the same recursion, exploded
     * over steps 1..horizon with per-step seasonal slots.
     */
   def holtWintersForecast(alpha: Double, beta: Double, gamma: Double,
-                          period: Int, horizon: Int): String = {
-    val base = holtWinters(alpha, beta, gamma, period, horizon)
-    // reuse the recursion's CTE chain, swap the final projection
-    val upToFinal = base.substring(0, base.indexOf("SELECT h.user_id,")).trim
-    s"""$upToFinal,
+                          period: Int, horizon: Int): String =
+    s"""WITH RECURSIVE $daily,
+       |${hwCtes(alpha, beta, gamma, period, "daily")},
        |sel AS (
        |  SELECT h.user_id, h.l, h.b, h.s, lastr.mx
        |  FROM h JOIN lastr ON h.user_id = lastr.user_id AND h.rn = lastr.mx)
@@ -618,7 +624,33 @@ object OracleSql {
        |       ${R(s"l + b * CAST(g.h AS DOUBLE) + s[((mx - 1 + g.h) % $period) + 1]")} AS forecast
        |FROM sel CROSS JOIN range(1, ${horizon + 1}) g(h)
        |ORDER BY user_id, g.h""".stripMargin
-  }
+
+  /** Holdout backtest of the HW forecaster: fold the recursion over
+    * the series MINUS its last `horizon` days, score each held-out
+    * day against the step forecast.
+    */
+  def backtestHw(alpha: Double, beta: Double, gamma: Double,
+                 period: Int, horizon: Int): String =
+    s"""WITH RECURSIVE $daily,
+       |nend AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn_end
+       |  FROM daily),
+       |hist AS (SELECT user_id, day, v FROM nend WHERE rn_end > $horizon),
+       |act AS (
+       |  SELECT user_id, day, v, CAST($horizon + 1 - rn_end AS BIGINT) AS hh
+       |  FROM nend WHERE rn_end <= $horizon),
+       |${hwCtes(alpha, beta, gamma, period, "hist")},
+       |sel AS (
+       |  SELECT h.user_id, h.l, h.b, h.s, lastr.mx
+       |  FROM h JOIN lastr ON h.user_id = lastr.user_id AND h.rn = lastr.mx),
+       |f AS (
+       |  SELECT user_id, g.h AS hh,
+       |         ${R(s"l + b * CAST(g.h AS DOUBLE) + s[((mx - 1 + g.h) % $period) + 1]")} AS forecast
+       |  FROM sel CROSS JOIN range(1, ${horizon + 1}) g(h))
+       |SELECT a.user_id, a.day, a.v, f.forecast,
+       |       ${R("ABS(a.v - f.forecast)")} AS abs_err
+       |FROM act a JOIN f ON f.user_id = a.user_id AND f.hh = a.hh
+       |ORDER BY a.user_id, a.day""".stripMargin
 
   def winsorize(lo: Double, hi: Double): String =
     s"""WITH $daily,

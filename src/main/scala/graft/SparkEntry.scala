@@ -348,6 +348,12 @@ object SparkEntry {
           0.5, 0.3, 0.4, 7, NY)
         .orderBy(col("user_id"), col("h"))),
 
+    // honest out-of-sample HW evaluation: train minus last NY days,
+    // score each held-out day against its step forecast
+    "ts_backtest_hw" -> ((s, dir) =>
+      TimeSeries.backtestHw(Tables.events(s, dir), 0.5, 0.3, 0.4, 7, NY)
+        .orderBy(col("user_id"), col("day"))),
+
     "ts_anomalies" -> ((s, dir) =>
       TimeSeries.anomalies(Tables.events(s, dir), HALF, 2.0)
         .orderBy(col("user_id"), col("day"))),
@@ -1100,6 +1106,7 @@ object SparkEntry {
     "ts_holt" -> OracleSql.holt(0.5, 0.3, NY),
     "ts_holt_winters" -> OracleSql.holtWinters(0.5, 0.3, 0.4, 7, NY),
     "ts_forecast_hw" -> OracleSql.holtWintersForecast(0.5, 0.3, 0.4, 7, NY),
+    "ts_backtest_hw" -> OracleSql.backtestHw(0.5, 0.3, 0.4, 7, NY),
     "ts_winsorize" -> OracleSql.winsorize(0.05, 0.95),
     "sample_stratified" -> OracleSql.sampleStratified,
     "ts_anomalies" -> OracleSql.anomalies(HALF, 2.0),

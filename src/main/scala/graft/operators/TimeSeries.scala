@@ -517,6 +517,30 @@ object TimeSeries {
       .select(col(KEY), col(DAY), col("v"), col("trend"), col("seasonal"), col("resid"))
   }
 
+  /** Holdout BACKTEST of the Holt-Winters forecaster: fold the
+    * recursion over each series minus its last `horizon` days, then
+    * score every held-out day against the matching step forecast —
+    * (key, day, actual, forecast, abs_err) rows, the honest
+    * out-of-sample evaluation ([[metrics]]' input shape) rather than
+    * an in-sample fit. Series shorter than the horizon have no
+    * history to train on and drop out (inner join), same as the
+    * oracle.
+    */
+  def backtestHw(events: DataFrame, alpha: Double, beta: Double, gamma: Double,
+                 period: Int, horizon: Int): DataFrame = {
+    val daily = resampleDaily(events)
+      .withColumn("rn_end",
+        row_number().over(Window.partitionBy(KEY).orderBy(col(DAY).desc)))
+    val hist = daily.where(col("rn_end") > horizon).select(col(KEY), col(DAY), col("v"))
+    val act = daily.where(col("rn_end") <= horizon)
+      .select(col(KEY), col(DAY), col("v"),
+        (lit(horizon + 1) - col("rn_end")).cast("long").as("h"))
+    act.join(holtWintersForecast(hist, alpha, beta, gamma, period, horizon),
+        Seq(KEY, "h"))
+      .select(col(KEY), col(DAY), col("v"), col("forecast"),
+        r3(abs(col("v") - col("forecast"))).as("abs_err"))
+  }
+
   /** Wang-Hyndman trend/seasonality strength per key (the feature-
     * based series summary, "Visualising forecasting algorithm
     * performance using time series instance spaces", 2017):
