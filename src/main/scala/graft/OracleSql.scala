@@ -357,6 +357,108 @@ object OracleSql {
        |) WHERE stage = ${stages.size} ORDER BY user_id""".stripMargin
   }
 
+  /** Trailing-window Bollinger envelope; bands compose the ROUNDED
+    * mid/σ exactly like the Spark side.
+    */
+  def bollinger(n: Int, k: Double): String = {
+    val w = s"OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW)"
+    s"""WITH $daily,
+       |b AS (
+       |  SELECT user_id, day, v,
+       |         ${R(s"AVG(v) $w")} AS mid,
+       |         ${R(s"STDDEV_POP(v) $w")} AS sd
+       |  FROM daily)
+       |SELECT user_id, day, v, mid, sd,
+       |       ${R(s"mid + $k * sd")} AS upper,
+       |       ${R(s"mid - $k * sd")} AS lower,
+       |       CASE WHEN sd > 0.0 THEN ${R(s"(v - (${R(s"mid - $k * sd")})) / ((${R(s"mid + $k * sd")}) - (${R(s"mid - $k * sd")}))")} END AS pct_b
+       |FROM b ORDER BY user_id, day""".stripMargin
+  }
+
+  /** First-kMax Fourier coefficients per key (a_k, b_k, power). */
+  def harmonics(kMax: Int): String =
+    s"""WITH $daily,
+       |idx AS (
+       |  SELECT user_id, v,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) - 1 AS DOUBLE) AS i,
+       |         CAST(COUNT(*) OVER (PARTITION BY user_id) AS DOUBLE) AS n
+       |  FROM daily),
+       |ex AS (
+       |  SELECT user_id, v, i, n, UNNEST(generate_series(1, $kMax)) AS k FROM idx),
+       |h AS (
+       |  SELECT user_id, k,
+       |         ${R("2.0 * SUM(v * COS(2.0 * PI() * k * i / n)) / MAX(n)")} AS a_k,
+       |         ${R("2.0 * SUM(v * SIN(2.0 * PI() * k * i / n)) / MAX(n)")} AS b_k
+       |  FROM ex GROUP BY 1, 2)
+       |SELECT user_id, k, a_k, b_k, ${R("a_k * a_k + b_k * b_k")} AS power
+       |FROM h ORDER BY user_id, k""".stripMargin
+
+  /** Split-half stationarity diagnostic per key. */
+  val stationarity: String =
+    s"""WITH $daily,
+       |idx AS (
+       |  SELECT user_id, v,
+       |         CASE WHEN (ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) - 1) * 2
+       |                   < COUNT(*) OVER (PARTITION BY user_id)
+       |              THEN 0 ELSE 1 END AS half
+       |  FROM daily),
+       |st AS (
+       |  SELECT user_id,
+       |         ${R("AVG(CASE WHEN half = 0 THEN v END)")} AS mu1,
+       |         ${R("AVG(CASE WHEN half = 1 THEN v END)")} AS mu2,
+       |         ${R("VAR_POP(CASE WHEN half = 0 THEN v END)")} AS var1,
+       |         ${R("VAR_POP(CASE WHEN half = 1 THEN v END)")} AS var2
+       |  FROM idx GROUP BY 1)
+       |SELECT user_id, mu1, mu2, var1, var2,
+       |       ${R("ABS(mu2 - mu1)")} AS level_shift,
+       |       CASE WHEN var1 > 0.0 THEN ${R("var2 / var1")} END AS var_ratio
+       |FROM st ORDER BY user_id""".stripMargin
+
+  /** First-order event-type transition matrix with P(next | prev). */
+  val pathTransitions: String =
+    s"""WITH p AS (
+       |  SELECT user_id, event_type,
+       |         LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+       |  FROM events),
+       |c AS (
+       |  SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+       |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+       |SELECT prev_type, next_type, n_transitions,
+       |       ${R("CAST(n_transitions AS DOUBLE) / SUM(n_transitions) OVER (PARTITION BY prev_type)")} AS p_transition
+       |FROM c ORDER BY prev_type, next_type""".stripMargin
+
+  /** DAU + exact trailing-window rolling distinct users. */
+  def activeUsersRolling(windowDays: Int): String =
+    s"""WITH active AS (
+       |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+       |days AS (SELECT DISTINCT day AS w_day FROM active),
+       |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM active GROUP BY 1),
+       |roll AS (
+       |  SELECT d.w_day AS day, COUNT(DISTINCT a.user_id) AS rolling_users
+       |  FROM days d JOIN active a
+       |    ON d.w_day >= a.day AND d.w_day < a.day + $windowDays
+       |  GROUP BY 1)
+       |SELECT dau.day, dau.dau, roll.rolling_users
+       |FROM dau JOIN roll USING (day) ORDER BY day""".stripMargin
+
+  /** Cross-doc duplicated-span ratio (distinct word k-grams; DuckDB
+    * list slicing `t[i:i+k-1]` is inclusive on both ends, mirroring
+    * Spark's `slice(toks, i, k)`).
+    */
+  def textDupSpans(k: Int): String =
+    s"""WITH spans AS (
+       |  SELECT DISTINCT doc_id, span FROM (
+       |    SELECT doc_id, UNNEST(list_transform(generate_series(1, len(t) - ${k - 1}),
+       |      i -> array_to_string(t[i:i+${k - 1}], ' '))) AS span
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       |    WHERE len(t) >= $k)),
+       |df AS (SELECT span, COUNT(*) AS span_df FROM spans GROUP BY 1)
+       |SELECT s.doc_id, COUNT(*) AS n_spans,
+       |       CAST(SUM(CASE WHEN f.span_df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+       |       ${R("CAST(SUM(CASE WHEN f.span_df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)")} AS dup_ratio
+       |FROM spans s JOIN df f USING (span)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Weekly cohort retention triangle (Monday-truncated weeks). */
   val retention: String =
     """WITH active AS (

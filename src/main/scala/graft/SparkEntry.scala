@@ -358,6 +358,36 @@ object SparkEntry {
       TimeSeries.anomalies(Tables.events(s, dir), HALF, 2.0)
         .orderBy(col("user_id"), col("day"))),
 
+    // trailing-7 Bollinger envelope: mid ± 2σ bands + %B position
+    "ts_bollinger" -> ((s, dir) =>
+      TimeSeries.bollinger(TimeSeries.resampleDaily(Tables.events(s, dir)), 7, 2.0)
+        .orderBy(col("user_id"), col("day"))),
+
+    // first-3-harmonic Fourier coefficients + spectral power per key
+    "ts_harmonics" -> ((s, dir) =>
+      TimeSeries.harmonics(TimeSeries.resampleDaily(Tables.events(s, dir)), 3)
+        .orderBy(col("user_id"), col("k"))),
+
+    // split-half drift diagnostic: level shift + variance ratio
+    "ts_stationarity" -> ((s, dir) =>
+      TimeSeries.stationarity(TimeSeries.resampleDaily(Tables.events(s, dir)))
+        .orderBy(col("user_id"))),
+
+    // first-order Markov paths: event-type transition counts + P(next|prev)
+    "path_transitions" -> ((s, dir) =>
+      Relational.pathTransitions(Tables.events(s, dir))
+        .orderBy(col("prev_type"), col("next_type"))),
+
+    // DAU + exact trailing-7-day rolling active users
+    "active_users_rolling" -> ((s, dir) =>
+      Relational.activeUsersRolling(Tables.events(s, dir), 7)
+        .orderBy(col("day"))),
+
+    // cross-doc duplicated-span score (Lee et al. 2022 substring dedup)
+    "text_dup_spans" -> ((s, dir) =>
+      TextOps.dupSpanRatio(Tables.documents(s, dir), 5)
+        .orderBy(col("doc_id"))),
+
     "ts_retrend" -> ((s, dir) =>
       TimeSeries.retrend(
         TimeSeries.detrend(TimeSeries.trend(TimeSeries.resampleDaily(Tables.events(s, dir)), HALF)),
@@ -1081,6 +1111,12 @@ object SparkEntry {
     "stream_funnel_batch" -> OracleSql.funnelComplete(Seq("signup", "click", "purchase")),
     "stream_anomaly_batch" -> OracleSql.anomalyBatch(3.0),
     "retention_cohorts" -> OracleSql.retention,
+    "ts_bollinger" -> OracleSql.bollinger(7, 2.0),
+    "ts_harmonics" -> OracleSql.harmonics(3),
+    "ts_stationarity" -> OracleSql.stationarity,
+    "path_transitions" -> OracleSql.pathTransitions,
+    "active_users_rolling" -> OracleSql.activeUsersRolling(7),
+    "text_dup_spans" -> OracleSql.textDupSpans(5),
     "ts_generate" -> OracleSql.generate(100, 200, 30),
     "ts_generate_short" -> OracleSql.generate(100, 90, 30),
     "dedup_exact" -> OracleSql.dedupExact,

@@ -182,6 +182,64 @@ object Relational {
         when(col(s"t${i + 1}_us").isNotNull, 1L).otherwise(0L)).reduce(_ + _))
   }
 
+  private def r3(c: Column): Column = floor(c * 1000.0 + 0.5001) / 1000.0
+
+  /** Per-corpus event-type transition matrix (first-order Markov
+    * paths): for every consecutive `(prev → next)` pair inside a
+    * user's time-ordered event stream, the transition count and its
+    * conditional probability `P(next | prev)`.
+    *
+    * Scale shape: one window shuffle on `user_id` (the same partition
+    * the sessionize/funnel family reuses) produces the lagged pairs;
+    * the groupBy collapses them map-side to at most |types|² rows, so
+    * the probability window runs on a dimension-sized frame. No
+    * event-level self-join, no global sort.
+    */
+  def pathTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+    val counts = pairs
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val wp = Window.partitionBy(col("prev_type"))
+    counts.withColumn("p_transition",
+      r3(col("n_transitions").cast("double") /
+        sum(col("n_transitions")).over(wp)))
+  }
+
+  /** Daily active users plus a trailing `windowDays`-day rolling
+    * distinct-user count (the DAU/WAU dashboard pair), exact.
+    *
+    * Scale shape: the raw stream first collapses to DISTINCT
+    * `(day, user)` — the only stage that sees event volume, and it is
+    * map-side combinable. Rolling distinct-over-a-window cannot be
+    * expressed as a window aggregate without holding per-day user
+    * sets, so each active day instead contributes to the ≤`windowDays`
+    * window days it falls into via a join against the tiny distinct
+    * `day` dimension (broadcast — days number in the thousands even
+    * for decade-long logs), then one exact count-distinct per window
+    * day. Fan-out is bounded by `windowDays`, never by data volume.
+    */
+  def activeUsersRolling(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val active = events
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val days = active.select(col("day").as("w_day")).distinct()
+    val dau = active.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val rolling = active
+      .join(broadcast(days),
+        col("w_day") >= col("day") &&
+          col("w_day") < date_add(col("day"), windowDays))
+      .groupBy(col("w_day").as("day"))
+      .agg(countDistinct(col("user_id")).as("rolling_users"))
+    dau.join(rolling, Seq("day"))
+  }
+
   /** Weekly retention cohorts: users grouped by their FIRST active
     * week (Monday-truncated), n_users = distinct users of that cohort
     * active again `week_n` weeks later — the canonical cohort

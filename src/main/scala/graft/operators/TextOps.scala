@@ -238,6 +238,41 @@ object TextOps {
         r3(col("st.top_run").cast("double") / size(col("toks"))).as("top_tok_frac"))
   }
 
+  /** Cross-document duplicated-span ratio per doc: the fraction of a
+    * document's distinct word `k`-gram spans that also occur in at
+    * least one OTHER document — the per-doc contamination score behind
+    * substring-level dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": duplicated spans, not whole
+    * docs, are what the model memorizes). [[repetition]] measures
+    * WITHIN-doc duplication; this measures ACROSS-doc.
+    *
+    * Scale shape: the span explode is the only stage at token volume,
+    * and it collapses immediately through two map-side-combined
+    * groupBys — `(doc, span)` distinct, then span → doc-frequency.
+    * Both sides of the span join land on the same `span` hash
+    * partitioning (Catalyst reuses the exchange), and the df side is
+    * pre-shrunk to distinct spans, so a hot span costs its df count,
+    * not df². AQE's skew split covers a pathological reprint span.
+    */
+  def dupSpanRatio(docs: DataFrame, k: Int = 5): DataFrame = {
+    val spans = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), " +
+          s"i -> concat_ws(' ', slice(toks, i, $k)))")).as("span"))
+      .distinct()
+    val df = spans.groupBy(col("span"))
+      .agg(count(lit(1)).as("span_df"))
+    spans.join(df, Seq("span"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("span_df") > 1, 1L).otherwise(0L)).as("dup_spans"))
+      .withColumn("dup_ratio",
+        r3(col("dup_spans").cast("double") / col("n_spans")))
+  }
+
   /** Composite C4/Gopher-style keep/drop verdict: token-count bounds,
     * stopword-density cap, duplicate-2-gram cap — each signal emitted
     * alongside the verdict so a pipeline can audit WHY a doc dropped.

@@ -257,6 +257,78 @@ object TimeSeries {
       .withColumn("roll_std", r3(stddev_pop(col("v")).over(w)))
   }
 
+  /** Bollinger bands over the trailing `n`-row window per key:
+    * mid = rolling mean, upper/lower = mid ± k·rolling σ, and %B
+    * (`(v − lower)/(upper − lower)`, null while the window is flat) —
+    * the rolling-volatility envelope the reference's anomaly plots
+    * eyeball (src/demo/utils.py:921-938 flags |v−trend| outliers; the
+    * band form normalizes the same deviation by LOCAL volatility).
+    * Same single-shuffle window shape as [[rolling]]; bands derive
+    * from the ROUNDED mid/σ so both engines compose bit-identically.
+    */
+  def bollinger(daily: DataFrame, n: Int, k: Double): DataFrame = {
+    val w = wOrdered.rowsBetween(-(n - 1), 0)
+    daily
+      .withColumn("mid", r3(avg(col("v")).over(w)))
+      .withColumn("sd", r3(stddev_pop(col("v")).over(w)))
+      .withColumn("upper", r3(col("mid") + lit(k) * col("sd")))
+      .withColumn("lower", r3(col("mid") - lit(k) * col("sd")))
+      .withColumn("pct_b",
+        when(col("sd") > 0.0,
+          r3((col("v") - col("lower")) / (col("upper") - col("lower")))))
+  }
+
+  /** First `kMax` Fourier coefficients of each key's day-ordered
+    * series: `a_k = 2/N Σᵢ vᵢ·cos(2πki/N)`, `b_k` likewise with sin,
+    * and the harmonic power `a_k² + b_k²` — the spectral view of the
+    * seasonality the reference bakes in as a period-30.5d sinusoid
+    * (src/demo/create_time_series.py:110-139); the dominant k recovers
+    * that period as N/k days.
+    *
+    * Scale shape: row index + length come from one window pass per
+    * key; the k fan-out is a constant-`kMax` explode; the coefficient
+    * sums are a map-side-combined groupBy on `(key, k)` — the shuffle
+    * carries |keys|·kMax partial rows, never the series volume.
+    */
+  def harmonics(daily: DataFrame, kMax: Int): DataFrame =
+    daily
+      .withColumn("i", (row_number().over(wOrdered) - 1).cast("double"))
+      .withColumn("n", count(lit(1)).over(wKey).cast("double"))
+      .select(col(KEY), col("v"), col("i"), col("n"),
+        explode(sequence(lit(1L), lit(kMax.toLong))).as("k"))
+      .withColumn("theta",
+        lit(2.0 * math.Pi) * col("k") * col("i") / col("n"))
+      .groupBy(col(KEY), col("k"))
+      .agg(
+        r3(lit(2.0) * sum(col("v") * cos(col("theta"))) / max(col("n"))).as("a_k"),
+        r3(lit(2.0) * sum(col("v") * sin(col("theta"))) / max(col("n"))).as("b_k"))
+      .withColumn("power", r3(col("a_k") * col("a_k") + col("b_k") * col("b_k")))
+
+  /** Split-half stationarity diagnostic per key: mean and population
+    * variance of the first vs second half of the day-ordered series,
+    * plus the level-shift (`|µ₂−µ₁|`) and variance-ratio
+    * (`σ₂²/σ₁²`, null when the first half is flat) a drift monitor
+    * thresholds on — the cheap distributed stand-in for an ADF test
+    * (which needs per-series OLS; [[fitLinear]] covers the trend
+    * view). One window pass for the index, one map-side-combined
+    * groupBy; `2i < N` keeps the half split in exact integer math so
+    * every engine buckets identically.
+    */
+  def stationarity(daily: DataFrame): DataFrame =
+    daily
+      .withColumn("i", row_number().over(wOrdered) - 1)
+      .withColumn("n", count(lit(1)).over(wKey))
+      .withColumn("half", when(col("i") * 2 < col("n"), 0L).otherwise(1L))
+      .groupBy(col(KEY))
+      .agg(
+        r3(avg(when(col("half") === 0, col("v")))).as("mu1"),
+        r3(avg(when(col("half") === 1, col("v")))).as("mu2"),
+        r3(var_pop(when(col("half") === 0, col("v")))).as("var1"),
+        r3(var_pop(when(col("half") === 1, col("v")))).as("var2"))
+      .withColumn("level_shift", r3(abs(col("mu2") - col("mu1"))))
+      .withColumn("var_ratio",
+        when(col("var1") > 0.0, r3(col("var2") / col("var1"))))
+
   /** Final exponentially-weighted moving average per key
     * (`ewma₀ = v₀; ewmaₜ = (1−α)·ewmaₜ₋₁ + α·vₜ`) — folded over the
     * day-ordered series by the native codegen'd

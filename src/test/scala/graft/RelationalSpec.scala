@@ -188,4 +188,42 @@ class RelationalSpec extends AnyFunSuite {
       ("2024-01-01", 2L, 2L),  // users 1,2 in week 2
       ("2024-01-08", 0L, 1L))) // user 3's own cohort
   }
+
+  test("pathTransitions: per-user consecutive pairs, P(next|prev) normalized") {
+    import spark.implicits._
+    val base = 1700000000000000L
+    val ev = Seq(
+      // user 1: a -> b -> a -> c ; user 2: a -> b
+      (1L, 1L, base, "a"), (2L, 1L, base + 1, "b"),
+      (3L, 1L, base + 2, "a"), (4L, 1L, base + 3, "c"),
+      (5L, 2L, base, "a"), (6L, 2L, base + 1, "b"))
+      .toDF("event_id", "user_id", "ts_us", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    val out = Relational.pathTransitions(ev)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    // from 'a': 2× a->b, 1× a->c; from 'b': 1× b->a
+    assert(out(("a", "b")) === ((2L, 0.667)))
+    assert(out(("a", "c")) === ((1L, 0.333)))
+    assert(out(("b", "a")) === ((1L, 1.0)))
+    // first event of each user contributes no pair: 4 transitions total
+    assert(out.values.map(_._1).sum === 4L)
+  }
+
+  test("activeUsersRolling: DAU exact, trailing window unions distinct users") {
+    import spark.implicits._
+    def ts(day: String) = java.sql.Timestamp.valueOf(s"$day 10:00:00")
+    val ev = Seq(
+      (1L, ts("2024-01-01")), (1L, ts("2024-01-01")), // same user twice a day
+      (2L, ts("2024-01-01")),
+      (2L, ts("2024-01-02")),
+      (3L, ts("2024-01-05")))
+      .toDF("user_id", "ts")
+    val out = Relational.activeUsersRolling(ev, 3)
+      .collect().map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("2024-01-01") === ((2L, 2L)))            // users 1,2
+    assert(out("2024-01-02") === ((1L, 2L)))            // window: 01+02 → {1,2}
+    assert(out("2024-01-05") === ((1L, 1L)))            // 03/04 outside window
+    assert(out.size === 3)                              // only active days listed
+  }
 }

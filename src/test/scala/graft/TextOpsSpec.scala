@@ -628,4 +628,24 @@ class TextOpsSpec extends AnyFunSuite {
       Seq((7L, "plain words only")).toDF("doc_id", "text"))).collect().head
     assert((inj.getLong(1), inj.getLong(2), inj.getLong(3)) === ((1L, 1L, 1L)))
   }
+
+  test("dupSpanRatio: shared k-gram spans counted across docs, not within") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e x y z w q"),     // shares "a b c d e" with doc 2
+      (2L, "a b c d e p q r s t"),
+      (3L, "m n o p q r s t u v"),     // shares "p q r s t" with doc 2
+      (4L, "k k k k k k k k"))         // self-repetition only: no dup
+      .toDF("doc_id", "text")
+    val out = TextOps.dupSpanRatio(docs, 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 1: 6 spans, exactly 1 ("a b c d e") duplicated
+    assert(out(1L) === ((6L, 1L, 0.167)))
+    // doc 4: distinct spans collapse to one ("k k k k k"), unique corpus-wide
+    assert(out(4L) === ((1L, 0L, 0.0)))
+    // doc 2 shares its head with doc 1 and tail with doc 3
+    assert(out(2L)._2 === 2L)
+    assert(out(3L)._2 === 1L)
+  }
 }

@@ -260,4 +260,56 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(ccf.keySet === Set(0L, 1L, 2L, 3L))
     assert(ccf(0L) < 0.99 && ccf(1L) < 0.99 && ccf(3L) < 0.99)
   }
+
+  test("bollinger: constant series has zero-width bands and null %B") {
+    val b = TimeSeries.bollinger(daily.where(col("user_id") === 2), 7, 2.0)
+      .orderBy("day").collect()
+    b.foreach { r =>
+      assert(r.getAs[Double]("mid") === 5.0)
+      assert(r.getAs[Double]("sd") === 0.0)
+      assert(r.getAs[Double]("upper") === 5.0)
+      assert(r.getAs[Double]("lower") === 5.0)
+      assert(r.isNullAt(r.fieldIndex("pct_b"))) // flat window → undefined %B
+    }
+    // linear series: the latest value always sits at the TOP of its
+    // trailing window, so %B is the same fixed point > 0.5 every day
+    val lin = TimeSeries.bollinger(daily.where(col("user_id") === 1), 7, 2.0)
+      .orderBy("day").collect().drop(6) // full windows only
+    lin.foreach { r =>
+      assert(r.getAs[Double]("pct_b") > 0.8 && r.getAs[Double]("pct_b") <= 1.0)
+      assert(r.getAs[Double]("upper") > r.getAs[Double]("lower"))
+    }
+  }
+
+  test("harmonics: pure k=2 sinusoid concentrates power in k=2") {
+    import spark.implicits._
+    val n = 32
+    val rows = (0 until n).map(i => (1L,
+      java.sql.Date.valueOf(s"2024-${"%02d".format(i / 28 + 1)}-${"%02d".format(i % 28 + 1)}"),
+      math.sin(2.0 * math.Pi * 2 * i / n)))
+    val h = TimeSeries.harmonics(rows.toDF("user_id", "day", "v"), 3)
+      .collect().map(r => r.getLong(1) -> r.getAs[Double]("power")).toMap
+    assert(h(2L) > 0.9)                       // b_2 ≈ 1 → power ≈ 1
+    assert(h(1L) < 0.01 && h(3L) < 0.01)      // orthogonal harmonics vanish
+  }
+
+  test("stationarity: level shift detected, stationary series flat") {
+    import spark.implicits._
+    // user 1: 10 days at 1.0 then 10 days at 5.0 → shift 4, var_ratio ~1
+    // user 2: constant → shift 0, var_ratio null (var1 = 0)
+    val rows =
+      (0 until 20).map(i => (1L,
+        java.sql.Date.valueOf(s"2024-01-${"%02d".format(i + 1)}"),
+        if (i < 10) 1.0 else 5.0)) ++
+      (0 until 20).map(i => (2L,
+        java.sql.Date.valueOf(s"2024-01-${"%02d".format(i + 1)}"), 7.0))
+    val out = TimeSeries.stationarity(rows.toDF("user_id", "day", "v"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Double]("mu1") === 1.0)
+    assert(out(1L).getAs[Double]("mu2") === 5.0)
+    assert(out(1L).getAs[Double]("level_shift") === 4.0)
+    assert(out(1L).getAs[Double]("var1") === 0.0)
+    assert(out(2L).getAs[Double]("level_shift") === 0.0)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("var_ratio"))) // flat first half
+  }
 }
