@@ -427,6 +427,41 @@ object OracleSql {
        |       ${R("CAST(n_transitions AS DOUBLE) / SUM(n_transitions) OVER (PARTITION BY prev_type)")} AS p_transition
        |FROM c ORDER BY prev_type, next_type""".stripMargin
 
+  /** Z-order clustering audit over lineitem: per-file row count +
+    * (bin_x, bin_y) bounding rectangle. Pure integer arithmetic
+    * (`//` ≡ Spark's `div` on non-negative BIGINTs).
+    */
+  def layoutZorder(xCol: String, yCol: String, bits: Int, files: Int): String = {
+    val nb = 1L << bits
+    val interleave = (0 until bits).map { b =>
+      s"((bin_x // ${1L << b}) % 2) * ${1L << (2 * b)} + " +
+        s"((bin_y // ${1L << b}) % 2) * ${1L << (2 * b + 1)}"
+    }.mkString(" + ")
+    s"""WITH st AS (
+       |  SELECT MIN(CAST($xCol AS BIGINT)) AS zmin_x, MAX(CAST($xCol AS BIGINT)) AS zmax_x,
+       |         MIN(CAST($yCol AS BIGINT)) AS zmin_y, MAX(CAST($yCol AS BIGINT)) AS zmax_y
+       |  FROM lineitem),
+       |b AS (
+       |  SELECT ((CAST(l.$xCol AS BIGINT) - st.zmin_x) * $nb) // (st.zmax_x - st.zmin_x + 1) AS bin_x,
+       |         ((CAST(l.$yCol AS BIGINT) - st.zmin_y) * $nb) // (st.zmax_y - st.zmin_y + 1) AS bin_y
+       |  FROM lineitem l CROSS JOIN st),
+       |z AS (SELECT bin_x, bin_y, $interleave AS zval FROM b)
+       |SELECT (zval * $files) // ${nb * nb} AS file_id, COUNT(*) AS n_rows,
+       |       MIN(bin_x) AS min_bx, MAX(bin_x) AS max_bx,
+       |       MIN(bin_y) AS min_by, MAX(bin_y) AS max_by
+       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** transitionsStream's batch twin: the per-hop lag rows. */
+  val transitionsBatch: String =
+    s"""WITH p AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+       |         LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+       |  FROM events)
+       |SELECT user_id, event_id, prev_type, event_type AS next_type, ts_us
+       |FROM p WHERE prev_type IS NOT NULL
+       |ORDER BY event_id""".stripMargin
+
   /** DAU + exact trailing-window rolling distinct users. */
   def activeUsersRolling(windowDays: Int): String =
     s"""WITH active AS (

@@ -378,6 +378,12 @@ object SparkEntry {
       Relational.pathTransitions(Tables.events(s, dir))
         .orderBy(col("prev_type"), col("next_type"))),
 
+    // transitionsStream's library twin: the per-hop rows an ordered
+    // replay emits (the streaming op runs live in FeedStreamSpec)
+    "stream_transitions_batch" -> ((s, dir) =>
+      graft.streaming.StreamOps.transitionsStreamBatch(Tables.events(s, dir))
+        .orderBy(col("event_id"))),
+
     // DAU + exact trailing-7-day rolling active users
     "active_users_rolling" -> ((s, dir) =>
       Relational.activeUsersRolling(Tables.events(s, dir), 7)
@@ -387,6 +393,13 @@ object SparkEntry {
     "text_dup_spans" -> ((s, dir) =>
       TextOps.dupSpanRatio(Tables.documents(s, dir), 5)
         .orderBy(col("doc_id"))),
+
+    // Z-order layout audit: per-file (bin_x, bin_y) rectangles after
+    // Morton clustering lineitem on (orderkey, partkey)
+    "layout_zorder" -> ((s, dir) =>
+      graft.operators.Layout.zorderSummary(
+          Tables.lineitem(s, dir), "l_orderkey", "l_partkey", 8, 32)
+        .orderBy(col("file_id"))),
 
     "ts_retrend" -> ((s, dir) =>
       TimeSeries.retrend(
@@ -1115,8 +1128,10 @@ object SparkEntry {
     "ts_harmonics" -> OracleSql.harmonics(3),
     "ts_stationarity" -> OracleSql.stationarity,
     "path_transitions" -> OracleSql.pathTransitions,
+    "stream_transitions_batch" -> OracleSql.transitionsBatch,
     "active_users_rolling" -> OracleSql.activeUsersRolling(7),
     "text_dup_spans" -> OracleSql.textDupSpans(5),
+    "layout_zorder" -> OracleSql.layoutZorder("l_orderkey", "l_partkey", 8, 32),
     "ts_generate" -> OracleSql.generate(100, 200, 30),
     "ts_generate_short" -> OracleSql.generate(100, 90, 30),
     "dedup_exact" -> OracleSql.dedupExact,

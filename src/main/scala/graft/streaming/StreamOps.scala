@@ -355,6 +355,61 @@ object StreamOps {
       .toDF("user_id", "t1_us", "t2_us", "t3_us")
   }
 
+  /** Streaming first-order path transitions: every `(prev → next)`
+    * event-type hop a user makes, emitted AT INGEST — the live feed
+    * behind [[graft.operators.Relational.pathTransitions]]'s batch
+    * matrix (counts/probabilities are one windowless groupBy away
+    * downstream). `flatMapGroupsWithState` because the emission
+    * depends on the PREVIOUS event's type, which no built-in windowed
+    * agg carries across micro-batches. State per user = the last
+    * (ts_us, event_id, event_type) — three scalars, bounded forever.
+    *
+    * Each micro-batch folds in event-time order (ties by event_id),
+    * reproducing the batch lag semantics on an ordered ingest — the
+    * replay/backfill equivalence [[transitionsStreamBatch]] gates.
+    */
+  def transitionsStream(events: DataFrame, watermark: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String), (Long, Long, String, String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, evs, state) =>
+          var last = state.getOption.getOrElse((0L, 0L, ""))
+          val out = Seq.newBuilder[(Long, Long, String, String, Long)]
+          for ((_, eid, et, ts) <- evs.toSeq.sortBy(e => (e._4, e._2))) {
+            if (last._3.nonEmpty) out += ((user, eid, last._3, et, ts))
+            last = (ts, eid, et)
+          }
+          state.update(last)
+          out.result().iterator
+      }
+      .toDF("user_id", "event_id", "prev_type", "next_type", "ts_us")
+  }
+
+  /** Batch twin of [[transitionsStream]]: the per-hop rows an ordered
+    * replay emits — one lag window on the sessionize/funnel user
+    * partitioning, no state.
+    */
+  def transitionsStreamBatch(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .select(col("user_id"), col("event_id"), col("prev_type"),
+        col("event_type").as("next_type"), col("ts_us"))
+  }
+
   /** Batch twin of [[funnelStream]]: the completed ladders with their
     * stage times — what an ordered replay of the stream emits.
     */

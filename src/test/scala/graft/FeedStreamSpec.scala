@@ -363,6 +363,47 @@ class FeedStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming transitions emit each hop once, across micro-batch boundaries") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("trans-in").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    // batch 1: user 1 a→b→a, user 2 first event only (no hop yet)
+    val b1 = Seq(
+      (10L, 1L, "a", ts(0)), (11L, 1L, "b", ts(1)), (12L, 1L, "a", ts(2)),
+      (20L, 2L, "x", ts(0)))
+    // batch 2: user 1 continues a→c (the hop CROSSES the batch
+    // boundary — state carries the last type); user 2 hops x→y
+    val b2 = Seq((13L, 1L, "c", ts(10)), (21L, 2L, "y", ts(11)))
+    def write(rows: Seq[(Long, Long, String, java.sql.Timestamp)]) =
+      rows.toDF("event_id", "user_id", "event_type", "ts").coalesce(1)
+        .write.mode("append").parquet(dir)
+    write(b1)
+    val schema = b1.toDF("event_id", "user_id", "event_type", "ts").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StreamOps.transitionsStream(src, "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("trans").start()
+    try {
+      q.processAllAvailable()
+      write(b2)
+      q.processAllAvailable()
+      val got = spark.sql("select * from trans").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
+      def us(min: Long) = (base.getTime + min * 60000L) * 1000L
+      assert(got.sortBy(_._2).toSeq === Seq(
+        (1L, 11L, "a", "b", us(1)),
+        (1L, 12L, "b", "a", us(2)),
+        (1L, 13L, "a", "c", us(10)),   // cross-batch hop
+        (2L, 21L, "x", "y", us(11))))
+      // the emitted set equals the batch twin on the full replay
+      val twin = StreamOps.transitionsStreamBatch(spark.read.parquet(dir))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSet
+      assert(got.toSet === twin)
+    } finally q.stop()
+  }
+
   test("band index takedown: tombstones mask immediately, compaction folds them in") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

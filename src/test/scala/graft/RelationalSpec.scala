@@ -226,4 +226,32 @@ class RelationalSpec extends AnyFunSuite {
     assert(out("2024-01-05") === ((1L, 1L)))            // 03/04 outside window
     assert(out.size === 3)                              // only active days listed
   }
+
+  test("zorder: Morton interleave on a 4x4 grid, contiguous file ranges") {
+    import spark.implicits._
+    val grid = for { x <- 0 to 3; y <- 0 to 3 } yield (x.toLong, y.toLong)
+    val z = graft.operators.Layout.zorder(
+        grid.toDF("x", "y"), "x", "y", bits = 2, files = 4)
+      .collect().map(r => (r.getLong(r.fieldIndex("bin_x")),
+        r.getLong(r.fieldIndex("bin_y"))) -> r.getLong(r.fieldIndex("zval"))).toMap
+    // bins = values (span 4 over 4 bins); classic Morton codes
+    assert(z((0L, 0L)) === 0L)
+    assert(z((1L, 0L)) === 1L)
+    assert(z((0L, 1L)) === 2L)
+    assert(z((1L, 1L)) === 3L)
+    assert(z((2L, 3L)) === 14L)
+    assert(z((3L, 3L)) === 15L)
+    assert(z.values.toSeq.sorted === (0L to 15L))       // bijective on the grid
+    // summary: each of the 4 files covers a 2x2 rectangle — BOTH
+    // dimensions prune, which is the whole point of z-ordering
+    val s = graft.operators.Layout.zorderSummary(
+        grid.toDF("x", "y"), "x", "y", bits = 2, files = 4)
+      .collect()
+    assert(s.length === 4)
+    s.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_rows")) === 4L)
+      assert(r.getLong(r.fieldIndex("max_bx")) - r.getLong(r.fieldIndex("min_bx")) === 1L)
+      assert(r.getLong(r.fieldIndex("max_by")) - r.getLong(r.fieldIndex("min_by")) === 1L)
+    }
+  }
 }
