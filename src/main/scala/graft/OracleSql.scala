@@ -1979,6 +1979,33 @@ object OracleSql {
        |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
+  /** PACF lags 1–3: Durbin–Levinson closed forms over the rounded
+    * acf estimates, identical expression tree to the Spark side.
+    */
+  val pacf: String = {
+    def corr(l: Int) = {
+      val vp = s"CASE WHEN v_l$l IS NOT NULL THEN v END"
+      R(s"COVAR_POP($vp, v_l$l) / NULLIF(STDDEV_POP($vp) * STDDEV_POP(v_l$l), 0)")
+    }
+    s"""WITH $daily,
+       |l AS (
+       |  SELECT user_id, v, LAG(v, 1) OVER w AS v_l1,
+       |         LAG(v, 2) OVER w AS v_l2, LAG(v, 3) OVER w AS v_l3
+       |  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+       |a AS (
+       |  SELECT user_id, ${corr(1)} AS r1, ${corr(2)} AS r2, ${corr(3)} AS r3
+       |  FROM l GROUP BY user_id),
+       |p AS (
+       |  SELECT user_id, r1, r2, r3,
+       |         (r2 - r1 * r1) / NULLIF(1.0 - r1 * r1, 0.0) AS phi22
+       |  FROM a),
+       |q AS (SELECT *, r1 * (1.0 - phi22) AS phi21 FROM p)
+       |SELECT user_id, r1 AS pacf_1,
+       |       ${R("phi22")} AS pacf_2,
+       |       ${R("(r3 - phi21 * r2 - phi22 * r1) / NULLIF(1.0 - phi21 * r1 - phi22 * r2, 0.0)")} AS pacf_3
+       |FROM q ORDER BY user_id""".stripMargin
+  }
+
   /** Lagged cross-correlation between two event-type daily series —
     * rounded per-type daily sums (identical corr inputs on both
     * engines), pairs (a_d, b_{d−k}) matched on calendar days.

@@ -441,6 +441,11 @@ object SparkEntry {
       TimeSeries.acf(TimeSeries.resampleDaily(Tables.events(s, dir)), ACF_LAGS)
         .orderBy(col("user_id"))),
 
+    // Durbin-Levinson partial autocorrelation (AR-order diagnostic)
+    "ts_pacf" -> ((s, dir) =>
+      TimeSeries.pacf(TimeSeries.resampleDaily(Tables.events(s, dir)))
+        .orderBy(col("user_id"))),
+
     // lead-lag probe: does purchase activity lead clicks by k days?
     "ts_cross_corr" -> ((s, dir) =>
       TimeSeries.crossCorr(Tables.events(s, dir), "click", "purchase", 3)
@@ -1125,6 +1130,7 @@ object SparkEntry {
     "stream_anomaly_batch" -> OracleSql.anomalyBatch(3.0),
     "retention_cohorts" -> OracleSql.retention,
     "ts_bollinger" -> OracleSql.bollinger(7, 2.0),
+    "ts_pacf" -> OracleSql.pacf,
     "ts_harmonics" -> OracleSql.harmonics(3),
     "ts_stationarity" -> OracleSql.stationarity,
     "path_transitions" -> OracleSql.pathTransitions,

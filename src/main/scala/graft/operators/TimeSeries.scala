@@ -457,6 +457,33 @@ object TimeSeries {
         lags.tail.map(l => acfCol(l).as(s"acf_$l")): _*)
   }
 
+  /** Partial autocorrelation at lags 1–3 per key, via the
+    * Durbin–Levinson recursion unrolled to closed forms over the
+    * [[acf]] estimates (the AR-order diagnostic that separates direct
+    * lag-k dependence from what lags 1..k−1 already explain):
+    * φ₁₁ = r₁; φ₂₂ = (r₂ − r₁²)/(1 − r₁²); φ₂₁ = r₁(1 − φ₂₂);
+    * φ₃₃ = (r₃ − φ₂₁r₂ − φ₂₂r₁)/(1 − φ₂₁r₁ − φ₂₂r₂).
+    *
+    * Degenerate guards are NULLIF on the DL denominators (|r₁| = 1,
+    * e.g. a perfectly linear series, has no defined partials beyond
+    * lag 1). The arithmetic runs on the ROUNDED acf values with an
+    * identical expression tree in the oracle, so per-row IEEE ops
+    * make the result bit-equal with no further intermediate rounding.
+    * Cost = the acf aggregate itself; the DL step is a projection.
+    */
+  def pacf(daily: DataFrame): DataFrame = {
+    val a = acf(daily, Seq(1, 2, 3))
+    val r1 = col("acf_1"); val r2 = col("acf_2"); val rr3 = col("acf_3")
+    val phi22 = (r2 - r1 * r1) / nullif(lit(1.0) - r1 * r1, lit(0.0))
+    val phi21 = r1 * (lit(1.0) - phi22)
+    val phi33 = (rr3 - phi21 * r2 - phi22 * r1) /
+      nullif(lit(1.0) - phi21 * r1 - phi22 * r2, lit(0.0))
+    a.select(col(KEY),
+      r1.as("pacf_1"),
+      r3(phi22).as("pacf_2"),
+      r3(phi33).as("pacf_3"))
+  }
+
   /** Lagged cross-correlation between two event-type series per key:
     * ccf(k) = Pearson r of (a_d, b_{d−k}) over calendar days where
     * BOTH series have a value — does typeB lead typeA by k days (the

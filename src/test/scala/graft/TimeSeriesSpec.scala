@@ -312,4 +312,26 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out(2L).getAs[Double]("level_shift") === 0.0)
     assert(out(2L).isNullAt(out(2L).fieldIndex("var_ratio"))) // flat first half
   }
+
+  test("pacf: AR(1)-like series has vanishing lag-2/3 partials; degenerate guards") {
+    import spark.implicits._
+    // x_t = 0.6 x_{t-1} + deterministic pseudo-noise → pacf_1 large,
+    // pacf_2/pacf_3 near zero (the AR(1) signature DL must recover)
+    val rng = new scala.util.Random(42) // fixed seed → deterministic spec
+    var x = 0.0
+    val rows = (0 until 120).map { i =>
+      x = 0.6 * x + rng.nextGaussian()
+      (1L, java.sql.Date.valueOf(s"2024-${"%02d".format(i / 28 + 1)}-${"%02d".format(i % 28 + 1)}"), x)
+    }
+    val p = TimeSeries.pacf(rows.toDF("user_id", "day", "v")).collect().head
+    assert(p.getAs[Double]("pacf_1") > 0.3)
+    assert(math.abs(p.getAs[Double]("pacf_2")) < 0.2)
+    assert(math.abs(p.getAs[Double]("pacf_3")) < 0.2)
+    // perfectly linear series: r1 rounds to 1.0 → DL denominator 0 →
+    // partials beyond lag 1 are NULL, not garbage
+    val lin = TimeSeries.pacf(daily.where(col("user_id") === 1)).collect().head
+    assert(lin.getAs[Double]("pacf_1") >= 0.99)
+    assert(lin.isNullAt(lin.fieldIndex("pacf_2")))
+    assert(lin.isNullAt(lin.fieldIndex("pacf_3")))
+  }
 }
