@@ -452,6 +452,37 @@ object OracleSql {
        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Schema-on-read over the JSON props bag (DuckDB's built-in json
+    * extension mirrors Spark's from_json with a declared k INT field).
+    */
+  val eventsJsonAgg: String =
+    s"""WITH e AS (
+       |  SELECT event_type, CAST(json_extract(props, '$$.k') AS INTEGER) AS k
+       |  FROM events)
+       |SELECT event_type, COUNT(k) AS n_with_k, MIN(k) AS min_k,
+       |       MAX(k) AS max_k, ${R("AVG(k)")} AS avg_k
+       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Snapshot diff vs the gate's deterministic mutation of documents. */
+  val corpusDiff: String =
+    """WITH newsnap AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 7 = 2 THEN text || ' v2' ELSE text END AS text,
+      |         source
+      |  FROM documents WHERE doc_id % 11 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000, text, source FROM documents WHERE doc_id % 13 = 1),
+      |o AS (SELECT doc_id, md5(text) AS old_hash, source AS old_source FROM documents),
+      |n AS (SELECT doc_id, md5(text) AS new_hash, source AS new_source FROM newsnap)
+      |SELECT COALESCE(n.new_source, o.old_source) AS source,
+      |       CASE WHEN o.old_hash IS NULL THEN 'added'
+      |            WHEN n.new_hash IS NULL THEN 'removed'
+      |            WHEN o.old_hash <> n.new_hash THEN 'changed'
+      |            ELSE 'unchanged' END AS status,
+      |       COUNT(*) AS n_docs
+      |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** transitionsStream's batch twin: the per-hop lag rows. */
   val transitionsBatch: String =
     s"""WITH p AS (

@@ -334,7 +334,31 @@ object Soak {
       // generator at factor×10K keys (100K at the default factor 10):
       // validates that the 45 per-KEY md5 draws — not per-row — keep
       // generation linear at realistic key cardinality
-      "ts_generate" -> (() => Generate.series(spark, factor * 10000, 200, 30)))
+      "ts_generate" -> (() => Generate.series(spark, factor * 10000, 200, 30)),
+      // one lag window on user + a |types|²-bounded matrix agg — the
+      // window shuffle is the only event-volume stage
+      "path_transitions" -> (() => Relational.pathTransitions(ev)),
+      // DISTINCT (day,user) collapse then broadcast day-dim fan-out
+      // (≤ windowDays per active day) — distinct keys grow factor×,
+      // days stay fixed, so both stages must scale linearly
+      "active_users_rolling" -> (() => Relational.activeUsersRolling(ev, 7)),
+      // span explode → (doc,span) distinct → span-df join; replica-
+      // prefixed tokens keep spans disjoint across replicas, so df
+      // stays base-shaped and the join grows linearly (the shingle-
+      // family disjointness argument)
+      "text_dup_spans" -> (() => TextOps.dupSpanRatio(docs, 5)),
+      // pure projection + constant-size agg frame: bin/interleave
+      // arithmetic is map-only; the audit groupBy has `files` groups
+      "layout_zorder" -> (() => graft.operators.Layout.zorderSummary(
+        ev.select(col("event_id").as("x"), col("user_id").as("y")),
+        "x", "y", 8, 32)),
+      // acf aggregate (3 lag windows over the key exchange) + a pure
+      // DL projection — cost law = the acf pass itself
+      "ts_pacf" -> (() => graft.operators.TimeSeries.pacf(
+        graft.operators.TimeSeries.resampleDaily(ev))),
+      // the ordered-replay hop emission: one lag window on user
+      "stream_transitions_batch" -> (() =>
+        graft.streaming.StreamOps.transitionsStreamBatch(ev)))
 
     // optional args name a subset — e.g. the dedup family at a higher
     // SPARK_GRAFT_SOAK_FACTOR without paying for the whole suite

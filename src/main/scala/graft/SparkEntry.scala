@@ -401,6 +401,26 @@ object SparkEntry {
           Tables.lineitem(s, dir), "l_orderkey", "l_partkey", 8, 32)
         .orderBy(col("file_id"))),
 
+    // schema-on-read over the JSON props bag: per-type stats of $.k
+    "events_json_agg" -> ((s, dir) =>
+      Relational.jsonAgg(Tables.events(s, dir))
+        .orderBy(col("event_type"))),
+
+    // snapshot audit: added/removed/changed/unchanged per source vs a
+    // deterministically mutated second snapshot (drop %11=3, edit
+    // %7=2, add %13=1 under offset ids)
+    "corpus_diff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val newSnap = d.where(col("doc_id") % 11 =!= 3)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 2, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(d.where(col("doc_id") % 13 === 1)
+          .withColumn("doc_id", col("doc_id") + 1000000000L))
+      graft.operators.Corpus.snapshotDiff(d, newSnap)
+        .orderBy(col("source"), col("status"))
+    }),
+
     "ts_retrend" -> ((s, dir) =>
       TimeSeries.retrend(
         TimeSeries.detrend(TimeSeries.trend(TimeSeries.resampleDaily(Tables.events(s, dir)), HALF)),
@@ -1138,6 +1158,8 @@ object SparkEntry {
     "active_users_rolling" -> OracleSql.activeUsersRolling(7),
     "text_dup_spans" -> OracleSql.textDupSpans(5),
     "layout_zorder" -> OracleSql.layoutZorder("l_orderkey", "l_partkey", 8, 32),
+    "events_json_agg" -> OracleSql.eventsJsonAgg,
+    "corpus_diff" -> OracleSql.corpusDiff,
     "ts_generate" -> OracleSql.generate(100, 200, 30),
     "ts_generate_short" -> OracleSql.generate(100, 90, 30),
     "dedup_exact" -> OracleSql.dedupExact,

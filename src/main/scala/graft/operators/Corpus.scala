@@ -143,4 +143,32 @@ object Corpus {
     }
     TextOps.packCounts(mixed, budget)
   }
+
+  /** Corpus snapshot diff: per-(source, status) counts of added /
+    * removed / changed / unchanged documents between two snapshots of
+    * the same table — the nightly audit that catches a broken crawl
+    * (everything "changed") or a silent upstream truncation
+    * (everything "removed") BEFORE a retrain ingests it.
+    *
+    * Scale shape: each side collapses to (doc_id, md5, source) in its
+    * scan projection — content never crosses the wire, only 32-byte
+    * digests. The full-outer join co-partitions both sides on doc_id
+    * (one exchange each), and the status verdict is a projection; the
+    * final count collapses map-side to |sources|·4 rows.
+    */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("old_hash"),
+      col("source").as("old_source"))
+    val n = newDocs.select(col("doc_id"), md5(col("text")).as("new_hash"),
+      col("source").as("new_source"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_hash").isNull, lit("added"))
+          .when(col("new_hash").isNull, lit("removed"))
+          .when(col("old_hash") =!= col("new_hash"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .groupBy(coalesce(col("new_source"), col("old_source")).as("source"),
+        col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
 }

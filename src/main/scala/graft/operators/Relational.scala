@@ -211,6 +211,28 @@ object Relational {
         sum(col("n_transitions")).over(wp)))
   }
 
+  /** Semi-structured payload extraction + aggregate: parse the JSON
+    * `props` column with a declared schema (`from_json`, codegen'd —
+    * the engine-native path for the event-property bags every
+    * analytics stream carries) and aggregate the extracted field per
+    * event type. Schema-on-read stays a pure projection; the groupBy
+    * collapses map-side to |types| rows. Malformed or missing JSON
+    * yields NULL (counted out by `count(k)`), never a failed job.
+    */
+  def jsonAgg(events: DataFrame): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.IntegerType)))
+    events
+      .withColumn("k", from_json(col("props"), schema)("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n_with_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        r3(avg(col("k"))).as("avg_k"))
+  }
+
   /** Daily active users plus a trailing `windowDays`-day rolling
     * distinct-user count (the DAU/WAU dashboard pair), exact.
     *

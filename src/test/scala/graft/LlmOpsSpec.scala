@@ -333,4 +333,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert((out(1).getLong(1), out(1).getLong(2), out(1).getString(3)) ===
       ((1L, 2L, md5Hex("f g"))))
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged per source") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "alpha", "s0"), (2L, "beta", "s0"),
+      (3L, "gamma", "s1"), (4L, "delta", "s1"))
+      .toDF("doc_id", "text", "source")
+    val nu = Seq(
+      (1L, "alpha", "s0"),          // unchanged
+      (2L, "beta EDITED", "s0"),    // changed
+      (4L, "delta", "s1"),          // unchanged (3 removed)
+      (5L, "epsilon", "s1"))        // added
+      .toDF("doc_id", "text", "source")
+    val out = graft.operators.Corpus.snapshotDiff(old, nu)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      ("s0", "unchanged") -> 1L, ("s0", "changed") -> 1L,
+      ("s1", "removed") -> 1L, ("s1", "unchanged") -> 1L,
+      ("s1", "added") -> 1L))
+  }
 }
