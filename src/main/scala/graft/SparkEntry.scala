@@ -406,6 +406,16 @@ object SparkEntry {
       Relational.jsonAgg(Tables.events(s, dir))
         .orderBy(col("event_type"))),
 
+    // the TS feature store: resample once into a bucketed (key)/
+    // sorted (key, day) table, serve lag features with ZERO Exchange
+    // (oracle = the recompute ts_lag_features SQL)
+    "ts_features_stored" -> ((s, dir) => {
+      s.sql("DROP TABLE IF EXISTS graft_ts_store")
+      TimeSeries.writeDailyStore(Tables.events(s, dir), "graft_ts_store", 8)
+      TimeSeries.lagFeaturesStored(s, "graft_ts_store", Seq(1, 7), 7)
+        .orderBy(col("user_id"), col("day"))
+    }),
+
     // snapshot audit: added/removed/changed/unchanged per source vs a
     // deterministically mutated second snapshot (drop %11=3, edit
     // %7=2, add %13=1 under offset ids)
@@ -1159,6 +1169,7 @@ object SparkEntry {
     "text_dup_spans" -> OracleSql.textDupSpans(5),
     "layout_zorder" -> OracleSql.layoutZorder("l_orderkey", "l_partkey", 8, 32),
     "events_json_agg" -> OracleSql.eventsJsonAgg,
+    "ts_features_stored" -> OracleSql.lagFeatures(Seq(1, 7), 7),
     "corpus_diff" -> OracleSql.corpusDiff,
     "ts_generate" -> OracleSql.generate(100, 200, 30),
     "ts_generate_short" -> OracleSql.generate(100, 90, 30),

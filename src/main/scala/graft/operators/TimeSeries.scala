@@ -750,6 +750,28 @@ object TimeSeries {
       .drop("_rn")
   }
 
+  /** Persist the resampled daily series as a bucketed FEATURE STORE:
+    * bucketed by key, files sorted by (key, day). Every window
+    * operator in this file requires exactly the distribution the
+    * stored scan then reports — so the whole trend/detrend/lag/
+    * rolling chain runs over the store with ZERO Exchange (the
+    * encode-once/probe-forever shape of the stored ANN/band indexes,
+    * applied to the time-series surface: resample the 100-TB event
+    * log once, serve every downstream feature job from the compact
+    * store). FeedStreamSpec pins the exchange-free window plan.
+    */
+  def writeDailyStore(events: DataFrame, table: String, buckets: Int): Unit =
+    graft.sources.Formats.writeBucketedSorted(
+      resampleDaily(events), table, Seq(KEY), Seq(KEY, DAY), buckets)
+
+  /** [[lagFeatures]] served from the daily store — byte-equal to the
+    * recompute path, minus the event-volume resample and the window
+    * exchange.
+    */
+  def lagFeaturesStored(spark: org.apache.spark.sql.SparkSession, table: String,
+                        lags: Seq[Int], maWindow: Int): DataFrame =
+    lagFeatures(spark.table(table), lags, maWindow)
+
   /** Full preprocessing chain (reference pre_processing:
     * src/demo/utils.py:200-351): trend → detrend → standardize →
     * gradient. Single shuffle on `user_id` after the resample.

@@ -66,4 +66,23 @@ object Formats {
       .bucketBy(nBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet").saveAsTable(table)
+
+  /** Bucket by one key set, sort files by a LONGER prefix-compatible
+    * column list — the window-function layout: a table bucketed by
+    * `key` and sorted by `(key, time)` serves `PARTITION BY key ORDER
+    * BY time` windows with the scan's own partitioning (zero
+    * Exchange; the bucketed scan reports HashPartitioning(key), which
+    * satisfies the window's ClusteredDistribution). The input is
+    * repartitioned onto the bucket key first so each task holds
+    * exactly its bucket's rows — one file per bucket, the layout
+    * Spark needs to also report the sort order.
+    */
+  def writeBucketedSorted(df: DataFrame, table: String, bucketKeys: Seq[String],
+                          sortCols: Seq[String], nBuckets: Int,
+                          mode: String = "overwrite"): Unit =
+    df.repartition(nBuckets, bucketKeys.map(col): _*)
+      .write.mode(mode)
+      .bucketBy(nBuckets, bucketKeys.head, bucketKeys.tail: _*)
+      .sortBy(sortCols.head, sortCols.tail: _*)
+      .format("parquet").saveAsTable(table)
 }

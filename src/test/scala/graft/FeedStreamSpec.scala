@@ -404,6 +404,34 @@ class FeedStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ts feature store: window chain runs with zero Exchange, parity with recompute") {
+    import graft.operators.TimeSeries
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    spark.sql("DROP TABLE IF EXISTS graft_ts_store_t")
+    TimeSeries.writeDailyStore(ev, "graft_ts_store_t", 4)
+    val conf = spark.conf
+    val prevAqe = conf.getOption("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false") // static plan → inspectable
+    try {
+      val stored = TimeSeries.lagFeaturesStored(spark, "graft_ts_store_t", Seq(1, 7), 7)
+      // the bucketed scan's HashPartitioning(user_id) serves the
+      // window's required distribution — NO shuffle anywhere
+      assert(stored.queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"stored window chain must not exchange:\n${stored.queryExecution.executedPlan}")
+      // byte-parity with the recompute path
+      val recomputed = TimeSeries.lagFeatures(
+        TimeSeries.resampleDaily(ev), Seq(1, 7), 7)
+      assert(stored.orderBy("user_id", "day").collect().toSeq ===
+        recomputed.orderBy("user_id", "day").collect().toSeq)
+    } finally {
+      prevAqe.fold(conf.unset("spark.sql.adaptive.enabled"))(
+        conf.set("spark.sql.adaptive.enabled", _))
+      spark.sql("DROP TABLE IF EXISTS graft_ts_store_t")
+    }
+  }
+
   test("band index takedown: tombstones mask immediately, compaction folds them in") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
