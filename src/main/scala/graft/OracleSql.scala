@@ -452,6 +452,23 @@ object OracleSql {
        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** TPC-H Q18-style big-order ladder: decimal-exact HAVING, top-100
+    * by (totalprice DESC, orderkey) — a deterministic total order.
+    */
+  def q18BigOrders(minQty: Int): String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+       |  FROM lineitem GROUP BY 1
+       |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > $minQty)
+       |SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       |       CAST(date_trunc('day', o.o_orderdate) AS DATE) AS o_orderdate,
+       |       o.o_totalprice, CAST(b.qty AS DOUBLE) AS sum_qty
+       |FROM big b
+       |JOIN orders o ON o.o_orderkey = b.l_orderkey
+       |JOIN customer c ON c.c_custkey = o.o_custkey
+       |ORDER BY o.o_totalprice DESC, o.o_orderkey
+       |LIMIT 100""".stripMargin
+
   /** Schema-on-read over the JSON props bag (DuckDB's built-in json
     * extension mirrors Spark's from_json with a declared k INT field).
     */

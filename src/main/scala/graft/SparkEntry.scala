@@ -416,6 +416,50 @@ object SparkEntry {
         .orderBy(col("user_id"), col("day"))
     }),
 
+    // incremental store: day-aligned two-half build ≡ one-shot build
+    // (same oracle as the recompute path)
+    "ts_store_inc" -> ((s, dir) => {
+      s.sql("DROP TABLE IF EXISTS graft_ts_inc")
+      val ev = Tables.events(s, dir)
+      val mid = lit("2024-01-16").cast("date")
+      TimeSeries.writeDailyStore(ev.where(to_date(col("ts")) < mid), "graft_ts_inc", 8)
+      TimeSeries.appendDailyStore(ev.where(to_date(col("ts")) >= mid), "graft_ts_inc", 8)
+      TimeSeries.lagFeaturesStored(s, "graft_ts_inc", Seq(1, 7), 7)
+        .orderBy(col("user_id"), col("day"))
+    }),
+
+    // ml_feed's (X, y) assembly served from the feature store (same
+    // oracle as ml_feed — the store is plan-transparent)
+    "ml_feed_stored" -> ((s, dir) => {
+      s.sql("DROP TABLE IF EXISTS graft_ts_feed")
+      TimeSeries.writeDailyStore(Tables.events(s, dir), "graft_ts_feed", 8)
+      val samples = graft.sources.MlFeed.samples(s.table("graft_ts_feed"), NX, NY)
+      def fsum(c: String) = expr(s"aggregate($c, cast(0 as double), (acc, e) -> acc + cast(e as double))")
+      samples.select(col("user_id"),
+          size(col("x")).cast("long").as("x_n"),
+          size(col("y")).cast("long").as("y_n"),
+          when(size(col("x")) > 0, r3c(fsum("x"))).as("x_sum"),
+          when(size(col("y")) > 0, r3c(fsum("y"))).as("y_sum"))
+        .orderBy(col("user_id"))
+    }),
+
+    // TPC-H Q18-style big-order ladder: the heavy lineitem groupBy is
+    // the ONLY event-volume shuffle; the surviving keys (decimal-exact
+    // HAVING) are few, so they broadcast into orders, then customer
+    "q18_big_orders" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("qty"))
+        .where(col("qty") > 150)
+      big.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("o_orderdate"), col("o_totalprice"),
+          col("qty").cast("double").as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     // snapshot audit: added/removed/changed/unchanged per source vs a
     // deterministically mutated second snapshot (drop %11=3, edit
     // %7=2, add %13=1 under offset ids)
@@ -1170,6 +1214,9 @@ object SparkEntry {
     "layout_zorder" -> OracleSql.layoutZorder("l_orderkey", "l_partkey", 8, 32),
     "events_json_agg" -> OracleSql.eventsJsonAgg,
     "ts_features_stored" -> OracleSql.lagFeatures(Seq(1, 7), 7),
+    "ts_store_inc" -> OracleSql.lagFeatures(Seq(1, 7), 7),
+    "ml_feed_stored" -> OracleSql.mlFeed(NX, NY),
+    "q18_big_orders" -> OracleSql.q18BigOrders(150),
     "corpus_diff" -> OracleSql.corpusDiff,
     "ts_generate" -> OracleSql.generate(100, 200, 30),
     "ts_generate_short" -> OracleSql.generate(100, 90, 30),

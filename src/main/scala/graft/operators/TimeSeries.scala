@@ -764,6 +764,19 @@ object TimeSeries {
     graft.sources.Formats.writeBucketedSorted(
       resampleDaily(events), table, Seq(KEY), Seq(KEY, DAY), buckets)
 
+  /** Incremental store growth: resample only the NEW slice of the
+    * event log (a day-aligned partition — per-(key, day) sums never
+    * straddle an append boundary, so slice resamples union to the
+    * full resample) and append it bucketed. New rows land in their
+    * buckets by construction; the zero-Exchange serving property
+    * survives growth (appended buckets hold >1 file, so Spark adds a
+    * per-partition sort, never a shuffle).
+    */
+  def appendDailyStore(events: DataFrame, table: String, buckets: Int): Unit =
+    graft.sources.Formats.writeBucketedSorted(
+      resampleDaily(events), table, Seq(KEY), Seq(KEY, DAY), buckets,
+      mode = "append")
+
   /** [[lagFeatures]] served from the daily store — byte-equal to the
     * recompute path, minus the event-volume resample and the window
     * exchange.
