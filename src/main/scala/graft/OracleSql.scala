@@ -480,6 +480,18 @@ object OracleSql {
        |       MAX(k) AS max_k, ${R("AVG(k)")} AS avg_k
        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Explicit-values pivot: wide per-(user, day) feature row. Spark's
+    * pivot-agg yields NULL for absent (user, day, type) cells; the
+    * CASE-filtered SUMs do the same.
+    */
+  def eventsPivotDaily(types: Seq[String]): String = {
+    val cols = types.map(t =>
+      s"${R(s"SUM(CASE WHEN event_type = '$t' THEN value END)")} AS $t").mkString(",\n       ")
+    s"""SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+       |       $cols
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** Snapshot diff vs the gate's deterministic mutation of documents. */
   val corpusDiff: String =
     """WITH newsnap AS (

@@ -159,6 +159,13 @@ object Soak {
         Dedup.crossDupAgainstIndex(
           Tables.documents(spark, sfDir).where(col("doc_id") % 2 === 1),
           "graft_soak_xidx", 16, 2, 0.5)),
+      // the factor×-crawl probe with the Bloom semi-join reduction:
+      // same verdicts (no false negatives), but band keys that can't
+      // match die BEFORE the probe exchange — compare directly to
+      // dedup_cross_probe at the same factor
+      "dedup_cross_probe_bloom" -> (() =>
+        Dedup.crossDupAgainstIndexBloom(docs.where(col("doc_id") % 2 === 1),
+          "graft_soak_xidx", 16, 2, 0.5)),
       // band-index takedown lifecycle at factor×: build (one sig pass
       // + two bucketed writes) + tombstones + compaction (one linear
       // bucketed rewrite per table) — same two-linear-passes law as

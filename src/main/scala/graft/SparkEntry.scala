@@ -406,6 +406,12 @@ object SparkEntry {
       Relational.jsonAgg(Tables.events(s, dir))
         .orderBy(col("event_type"))),
 
+    // explicit-values pivot: one wide feature row per (user, day)
+    "events_pivot_daily" -> ((s, dir) =>
+      Relational.pivotDaily(Tables.events(s, dir),
+          Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy(col("user_id"), col("day"))),
+
     // the TS feature store: resample once into a bucketed (key)/
     // sorted (key, day) table, serve lag features with ZERO Exchange
     // (oracle = the recompute ts_lag_features SQL)
@@ -1103,6 +1109,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the stored probe behind a Bloom semi-join reduction: crawl keys
+    // that can't match never shuffle; no false negatives → same oracle
+    "dedup_cross_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.writeBandIndex(docs.where(col("doc_id") % 2 === 0), 16, 2, "graft_xblm", 8)
+      Dedup.crossDupAgainstIndexBloom(docs.where(col("doc_id") % 2 === 1),
+          "graft_xblm", 16, 2, 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     // takedown via tombstones: deleted reference docs stop witnessing
     // verdicts IMMEDIATELY (anti-join mask, no rewrite) — oracle is
     // the recompute path with the deleted ids subtracted from the
@@ -1213,6 +1229,8 @@ object SparkEntry {
     "text_dup_spans" -> OracleSql.textDupSpans(5),
     "layout_zorder" -> OracleSql.layoutZorder("l_orderkey", "l_partkey", 8, 32),
     "events_json_agg" -> OracleSql.eventsJsonAgg,
+    "events_pivot_daily" -> OracleSql.eventsPivotDaily(
+      Seq("click", "error", "purchase", "signup", "view")),
     "ts_features_stored" -> OracleSql.lagFeatures(Seq(1, 7), 7),
     "ts_store_inc" -> OracleSql.lagFeatures(Seq(1, 7), 7),
     "ml_feed_stored" -> OracleSql.mlFeed(NX, NY),
@@ -1346,6 +1364,7 @@ object SparkEntry {
     // the stored-index path must produce byte-identical output to the
     // recompute path — one oracle serves both
     "dedup_cross_stored" -> OracleSql.dedupCross(16, 2, 0.5),
+    "dedup_cross_bloom" -> OracleSql.dedupCross(16, 2, 0.5),
     "dedup_cross_takedown" -> OracleSql.dedupCross(16, 2, 0.5,
       refCond = "b.doc_id % 2 = 0 AND NOT (b.doc_id % 10 = 0)"),
     "dedup_cross_takedown_compact" -> OracleSql.dedupCross(16, 2, 0.5,

@@ -552,6 +552,67 @@ object Dedup {
         col("ref_dups").isNotNull.cast("int").as("flagged"))
   }
 
+  /** [[crossDupAgainstIndex]] with a BLOOM SEMI-JOIN REDUCTION on the
+    * probe side: a compact bitset summary of the stored index's
+    * (band, sig) keys — built distributed, broadcast once — filters
+    * the crawl's band signatures BEFORE their exchange, so crawl keys
+    * that cannot possibly match never shuffle at all. Bloom filters
+    * have no false negatives, so the output is bit-identical to the
+    * unfiltered probe (same oracle); only the shuffled volume drops.
+    *
+    * At 100 TB this is the nightly-probe win: a fresh crawl shares few
+    * band signatures with the reference index, so most of the probe
+    * exchange is wasted without the prefilter. `expectedItems`/`fpBits`
+    * size the filter (Spark's own bound: ~1.2 GB per 10⁹ keys at 1%
+    * fpp) — the broadcast stays driver-bounded and explicit.
+    */
+  def crossDupAgainstIndexBloom(corpus: DataFrame, table: String, perms: Int,
+                                rowsPerBand: Int, minJaccard: Double,
+                                expectedItems: Long = 1L << 20,
+                                fpBits: Long = 1L << 23): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.BloomExprs.register(spark)
+    requireIndexParams(spark, table, perms, rowsPerBand)
+    val rBands = maskedBandTable(spark, table, "bands")
+    val rSigs = maskedBandTable(spark, table, "sigs")
+    def keyHash = "xxhash64(concat(cast(band as string), '|', cast(sig as string)))"
+    // the filter bitset is built DISTRIBUTED (map-side partial blooms
+    // OR-merged by the aggregate) and only the final ~fpBits/8 bytes
+    // land on the driver — the same bounded-materialization contract
+    // as the PQ/IVF codebooks; might_contain requires a constant
+    val bfBytes = rBands
+      .select(expr(keyHash).as("h"))
+      .agg(expr(s"graft_bloom_agg(h, ${expectedItems}L, ${fpBits}L)").as("bf"))
+      .collect().head.getAs[Array[Byte]](0)
+    val cSigs = minhashSigs(corpus, perms).persist()
+    val hits = try {
+      val cand = bandSlices(cSigs, rowsPerBand, perms)
+        .select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+        .where(call_function("graft_bloom_contains", lit(bfBytes), expr(keyHash)))
+        .join(rBands.select(col("doc_id").as("doc_b"), col("band"), col("sig")),
+          Seq("band", "sig"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      cand
+        .join(cSigs.where(col("sig").isNotNull)
+          .select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(rSigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          r3(expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))" +
+            s" / cast($perms as double)")).as("jaccard_est"))
+        .where(col("jaccard_est") >= minJaccard)
+        .groupBy(col("doc_a"))
+        .agg(count(lit(1)).as("ref_dups"), min(col("doc_b")).as("dup_of"))
+        .select(col("doc_a").as("doc_id"), col("ref_dups"), col("dup_of"))
+        .localCheckpoint()
+    } finally cSigs.unpersist(blocking = false)
+    corpus.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ref_dups"), lit(0L)).as("ref_dups"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        col("ref_dups").isNotNull.cast("int").as("flagged"))
+  }
+
   /** Exact word-3-gram Jaccard on candidate pairs. `pairs` must have
     * (doc_a, doc_b); joins each side's shingle set, intersection via
     * shingle equi-join — no array materialization per pair.

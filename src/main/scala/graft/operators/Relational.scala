@@ -211,6 +211,22 @@ object Relational {
         sum(col("n_transitions")).over(wp)))
   }
 
+  /** Daily per-user WIDE feature row: one column per event type
+    * (explicit type list — never `pivot()` without values, which
+    * needs an extra distinct pass over 100 TB to discover the
+    * columns), each holding the rounded daily value sum. The pivot is
+    * one map-side-combined groupBy — same single-shuffle shape as the
+    * long-format resample, emitting the wide layout a feature join
+    * consumes directly.
+    */
+  def pivotDaily(events: DataFrame, types: Seq[String]): DataFrame = {
+    require(types.nonEmpty, "pivotDaily: types must be non-empty")
+    events
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .pivot("event_type", types)
+      .agg(r3(sum(col("value"))))
+  }
+
   /** Semi-structured payload extraction + aggregate: parse the JSON
     * `props` column with a declared schema (`from_json`, codegen'd —
     * the engine-native path for the event-property bags every

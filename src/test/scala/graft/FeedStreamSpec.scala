@@ -404,6 +404,42 @@ class FeedStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bloom-prefiltered stored probe: bit-identical verdicts, crawl keys pruned") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    Seq("_bands", "_sigs", "_meta", "_tombstones").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_xblm_t$s"))
+    Dedup.writeBandIndex(docs.where(col("doc_id") % 2 === 0), 16, 2, "graft_xblm_t", 4)
+    val crawl = docs.where(col("doc_id") % 2 === 1)
+    try {
+      val plain = Dedup.crossDupAgainstIndex(crawl, "graft_xblm_t", 16, 2, 0.5)
+        .orderBy("doc_id").collect().toSeq
+      val bloomed = Dedup.crossDupAgainstIndexBloom(crawl, "graft_xblm_t", 16, 2, 0.5)
+        .orderBy("doc_id").collect().toSeq
+      // no false negatives → the semi-join reduction never changes output
+      assert(bloomed === plain)
+      // and it actually REDUCES: fewer crawl band rows survive the
+      // prefilter than exist (a fresh crawl shares few signatures)
+      graft.functions.BloomExprs.register(spark)
+      Seq("_bands", "_sigs", "_meta", "_tombstones").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_xblm_c$s"))
+      Dedup.writeBandIndex(crawl, 16, 2, "graft_xblm_c", 4)
+      val slices = spark.table("graft_xblm_c_bands")
+      val total = slices.count()
+      def keyHash = "xxhash64(concat(cast(band as string), '|', cast(sig as string)))"
+      val bf = spark.table("graft_xblm_t_bands")
+        .select(expr(keyHash).as("h"))
+        .agg(expr("graft_bloom_agg(h, 1048576L, 8388608L)").as("bf"))
+        .collect().head.getAs[Array[Byte]](0)
+      val kept = slices.where(
+        call_function("graft_bloom_contains", lit(bf), expr(keyHash))).count()
+      assert(kept < total, s"bloom should prune some of $total crawl band rows")
+    } finally Seq("_bands", "_sigs", "_meta", "_tombstones").foreach { s =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_xblm_t$s")
+      spark.sql(s"DROP TABLE IF EXISTS graft_xblm_c$s")
+    }
+  }
+
   test("ts feature store: window chain runs with zero Exchange, parity with recompute") {
     import graft.operators.TimeSeries
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
