@@ -166,6 +166,21 @@ object Soak {
       "dedup_cross_probe_bloom" -> (() =>
         Dedup.crossDupAgainstIndexBloom(docs.where(col("doc_id") % 2 === 1),
           "graft_soak_xidx", 16, 2, 0.5)),
+      // one-time crawl signature materialization (the cost the two
+      // entries below amortize away)
+      "dedup_cross_write_sigs" -> (() => {
+        Dedup.writeCrawlSigs(docs.where(col("doc_id") % 2 === 1),
+          16, "graft_soak_csigs", 8)
+        spark.table("graft_soak_csigs")
+      }),
+      // stored-signatures probe (no md5 recompute): the exchange IS
+      // the cost — compare bloom on/off at the same factor
+      "dedup_cross_probe_sigs" -> (() =>
+        Dedup.crossDupStoredSigs(spark, "graft_soak_csigs", "graft_soak_xidx",
+          16, 2, 0.5)),
+      "dedup_cross_probe_sigs_bloom" -> (() =>
+        Dedup.crossDupStoredSigs(spark, "graft_soak_csigs", "graft_soak_xidx",
+          16, 2, 0.5, bloom = true)),
       // band-index takedown lifecycle at factor×: build (one sig pass
       // + two bucketed writes) + tombstones + compaction (one linear
       // bucketed rewrite per table) — same two-linear-passes law as

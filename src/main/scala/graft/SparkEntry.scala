@@ -1109,6 +1109,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // fully-stored probe: crawl signatures AND reference index both
+    // read from storage — a nightly probe never touches raw text
+    "dedup_cross_sigs_stored" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.writeBandIndex(docs.where(col("doc_id") % 2 === 0), 16, 2, "graft_xsig", 8)
+      Dedup.writeCrawlSigs(docs.where(col("doc_id") % 2 === 1), 16, "graft_xsig_crawl", 8)
+      Dedup.crossDupStoredSigs(s, "graft_xsig_crawl", "graft_xsig", 16, 2, 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     // the stored probe behind a Bloom semi-join reduction: crawl keys
     // that can't match never shuffle; no false negatives → same oracle
     "dedup_cross_bloom" -> ((s, dir) => {
@@ -1365,6 +1375,7 @@ object SparkEntry {
     // recompute path — one oracle serves both
     "dedup_cross_stored" -> OracleSql.dedupCross(16, 2, 0.5),
     "dedup_cross_bloom" -> OracleSql.dedupCross(16, 2, 0.5),
+    "dedup_cross_sigs_stored" -> OracleSql.dedupCross(16, 2, 0.5),
     "dedup_cross_takedown" -> OracleSql.dedupCross(16, 2, 0.5,
       refCond = "b.doc_id % 2 = 0 AND NOT (b.doc_id % 10 = 0)"),
     "dedup_cross_takedown_compact" -> OracleSql.dedupCross(16, 2, 0.5,

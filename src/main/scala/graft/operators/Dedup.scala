@@ -613,6 +613,78 @@ object Dedup {
         col("ref_dups").isNotNull.cast("int").as("flagged"))
   }
 
+  /** Persist a crawl's MinHash signatures once — (doc_id, sig array)
+    * bucketed by doc_id. Nightly probes then read signatures instead
+    * of recomputing one md5 per shingle over the raw text; the text
+    * column never participates in a probe again.
+    */
+  def writeCrawlSigs(corpus: DataFrame, perms: Int, table: String,
+                     nBuckets: Int): Unit = {
+    // persist BEFORE the null filter: `sig IS NOT NULL` on the live
+    // plan substitutes the md5-per-shingle signature expression into
+    // the predicate and re-evaluates it per probe (the bandSlices
+    // lesson — measured 26× on this write); filtering the
+    // materialized rows costs a null check
+    val sigs = minhashSigs(corpus, perms).persist()
+    try graft.sources.Formats.writeBucketedKeys(
+      sigs.where(col("sig").isNotNull), table, Seq("doc_id"), nBuckets)
+    finally sigs.unpersist(blocking = false)
+  }
+
+  /** Stored-signatures probe: both sides of the band join come from
+    * storage — the crawl's [[writeCrawlSigs]] table and the reference
+    * [[writeBandIndex]] — so a probe costs band slicing + the join,
+    * never a signature recompute. With `bloom = true` the index-key
+    * bitset prunes crawl band rows before their exchange (this is the
+    * shape where the reduction pays: signature compute is already
+    * zero, the exchange IS the probe's cost). Verdicts are identical
+    * either way (no false negatives); same oracle as the other
+    * cross-dup gates.
+    */
+  def crossDupStoredSigs(spark: org.apache.spark.sql.SparkSession,
+                         sigsTable: String, indexTable: String, perms: Int,
+                         rowsPerBand: Int, minJaccard: Double,
+                         bloom: Boolean = false,
+                         expectedItems: Long = 1L << 20,
+                         fpBits: Long = 1L << 23): DataFrame = {
+    requireIndexParams(spark, indexTable, perms, rowsPerBand)
+    val rBands = maskedBandTable(spark, indexTable, "bands")
+    val rSigs = maskedBandTable(spark, indexTable, "sigs")
+    val cSigs = spark.table(sigsTable)
+    def keyHash = "xxhash64(concat(cast(band as string), '|', cast(sig as string)))"
+    val slices = bandSlices(cSigs, rowsPerBand, perms)
+      .select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+    val prefiltered =
+      if (!bloom) slices
+      else {
+        graft.functions.BloomExprs.register(spark)
+        val bfBytes = rBands
+          .select(expr(keyHash).as("h"))
+          .agg(expr(s"graft_bloom_agg(h, ${expectedItems}L, ${fpBits}L)").as("bf"))
+          .collect().head.getAs[Array[Byte]](0)
+        slices.where(call_function("graft_bloom_contains", lit(bfBytes), expr(keyHash)))
+      }
+    val hits = prefiltered
+      .join(rBands.select(col("doc_id").as("doc_b"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .join(cSigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(rSigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        r3(expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))" +
+          s" / cast($perms as double)")).as("jaccard_est"))
+      .where(col("jaccard_est") >= minJaccard)
+      .groupBy(col("doc_a"))
+      .agg(count(lit(1)).as("ref_dups"), min(col("doc_b")).as("dup_of"))
+      .select(col("doc_a").as("doc_id"), col("ref_dups"), col("dup_of"))
+    cSigs.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ref_dups"), lit(0L)).as("ref_dups"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        col("ref_dups").isNotNull.cast("int").as("flagged"))
+  }
+
   /** Exact word-3-gram Jaccard on candidate pairs. `pairs` must have
     * (doc_a, doc_b); joins each side's shingle set, intersection via
     * shingle equi-join — no array materialization per pair.

@@ -418,6 +418,15 @@ class FeedStreamSpec extends AnyFunSuite {
         .orderBy("doc_id").collect().toSeq
       // no false negatives → the semi-join reduction never changes output
       assert(bloomed === plain)
+      // stored-signatures probe: same verdicts from storage, bloom on or off
+      spark.sql("DROP TABLE IF EXISTS graft_xblm_csig")
+      Dedup.writeCrawlSigs(crawl, 16, "graft_xblm_csig", 4)
+      val sigsPlain = Dedup.crossDupStoredSigs(spark, "graft_xblm_csig",
+        "graft_xblm_t", 16, 2, 0.5).orderBy("doc_id").collect().toSeq
+      val sigsBloom = Dedup.crossDupStoredSigs(spark, "graft_xblm_csig",
+        "graft_xblm_t", 16, 2, 0.5, bloom = true).orderBy("doc_id").collect().toSeq
+      assert(sigsPlain === plain)
+      assert(sigsBloom === plain)
       // and it actually REDUCES: fewer crawl band rows survive the
       // prefilter than exist (a fresh crawl shares few signatures)
       graft.functions.BloomExprs.register(spark)
@@ -434,9 +443,12 @@ class FeedStreamSpec extends AnyFunSuite {
       val kept = slices.where(
         call_function("graft_bloom_contains", lit(bf), expr(keyHash))).count()
       assert(kept < total, s"bloom should prune some of $total crawl band rows")
-    } finally Seq("_bands", "_sigs", "_meta", "_tombstones").foreach { s =>
-      spark.sql(s"DROP TABLE IF EXISTS graft_xblm_t$s")
-      spark.sql(s"DROP TABLE IF EXISTS graft_xblm_c$s")
+    } finally {
+      Seq("_bands", "_sigs", "_meta", "_tombstones").foreach { s =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_xblm_t$s")
+        spark.sql(s"DROP TABLE IF EXISTS graft_xblm_c$s")
+      }
+      spark.sql("DROP TABLE IF EXISTS graft_xblm_csig")
     }
   }
 

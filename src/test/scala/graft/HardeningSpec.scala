@@ -435,4 +435,60 @@ class HardeningSpec extends AnyFunSuite {
       lmScoreBand = Some((-3.41, -3.39))).count()
     assert(cm.isEmpty, "Corpus.pipeline(lm band) leaked a cache entry")
   }
+
+  // ---------------- round-11 third block ----------------
+
+  test("zorder rejects out-of-range bits and non-positive files eagerly") {
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("x", "y")
+    intercept[IllegalArgumentException](graft.operators.Layout.zorder(df, "x", "y", bits = 0))
+    intercept[IllegalArgumentException](graft.operators.Layout.zorder(df, "x", "y", bits = 21))
+    intercept[IllegalArgumentException](graft.operators.Layout.zorder(df, "x", "y", files = 0))
+  }
+
+  test("pivotDaily rejects an empty type list; lagFeatures empty lags") {
+    import spark.implicits._
+    val ev = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a", 1.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    intercept[IllegalArgumentException](Relational.pivotDaily(ev, Seq.empty))
+    intercept[IllegalArgumentException](TimeSeries.lagFeatures(
+      ev.select(col("user_id"), to_date(col("ts")).as("day"), col("value").as("v")),
+      Seq.empty, 3))
+  }
+
+  test("harmonics and stationarity survive degenerate single-row series") {
+    import spark.implicits._
+    val one = Seq((1L, java.sql.Date.valueOf("2024-01-01"), 4.0))
+      .toDF("user_id", "day", "v")
+    // N = 1: theta = 2πk·0/1 = 0 → a_k = 2·v, b_k = 0 — defined, no crash
+    val h = TimeSeries.harmonics(one, 2).orderBy("k").collect()
+    assert(h.length === 2)
+    assert(h(0).getAs[Double]("a_k") === 8.0)
+    assert(h(0).getAs[Double]("b_k") === 0.0)
+    // single row: 2·0 < 1 → the row lands in half 0; second half
+    // empty → mu2/var2 null, ratios null
+    val s = TimeSeries.stationarity(one).collect().head
+    assert(s.getAs[Double]("mu1") === 4.0)
+    assert(s.isNullAt(s.fieldIndex("mu2")))
+    assert(s.isNullAt(s.fieldIndex("var_ratio")))
+  }
+
+  test("dupSpanRatio drops docs shorter than k; funnel of 1-type stream empty-safe") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b c d e f")).toDF("doc_id", "text")
+    val out = TextOps.dupSpanRatio(docs, 5).collect()
+    assert(out.map(_.getLong(0)).toSet === Set(2L)) // doc 1 has no 5-gram
+  }
+
+  test("activeUsersRolling window of 1 day degenerates to DAU") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-03 01:00:00")))
+      .toDF("user_id", "ts")
+    Relational.activeUsersRolling(ev, 1).collect().foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), "1-day window must equal DAU")
+    }
+  }
 }
