@@ -2039,6 +2039,33 @@ object OracleSql {
        |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
+  /** Multi-grain rollup: GROUPING SETS over (key, day/week/month). */
+  val tsRollup: String =
+    s"""WITH base AS (
+       |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+       |         CAST(date_trunc('week', ts) AS DATE) AS week,
+       |         CAST(date_trunc('month', ts) AS DATE) AS month, value
+       |  FROM events)
+       |SELECT user_id,
+       |       CASE WHEN day IS NOT NULL THEN 'day'
+       |            WHEN week IS NOT NULL THEN 'week'
+       |            ELSE 'month' END AS grain,
+       |       COALESCE(day, week, month) AS period,
+       |       ${R("SUM(value)")} AS v
+       |FROM base
+       |GROUP BY GROUPING SETS ((user_id, day), (user_id, week), (user_id, month))
+       |ORDER BY user_id, grain, period""".stripMargin
+
+  /** Content-digest dedup on the media payload (payload ≡ utf-8 text
+    * bytes by construction, so md5(text) is the same digest).
+    */
+  val multimodalDedup: String =
+    """SELECT doc_id AS media_id, md5(text) AS content_hash,
+      |       'image' AS modality,
+      |       COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies,
+      |       CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END AS keep
+      |FROM documents ORDER BY media_id""".stripMargin
+
   /** PACF lags 1–3: Durbin–Levinson closed forms over the rounded
     * acf estimates, identical expression tree to the Spark side.
     */

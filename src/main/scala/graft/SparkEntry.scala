@@ -526,6 +526,17 @@ object SparkEntry {
       TimeSeries.pacf(TimeSeries.resampleDaily(Tables.events(s, dir)))
         .orderBy(col("user_id"))),
 
+    // day/week/month rollup in ONE pass via GROUPING SETS
+    "ts_rollup" -> ((s, dir) =>
+      TimeSeries.rollup(Tables.events(s, dir))
+        .orderBy(col("user_id"), col("grain"), col("period"))),
+
+    // content-digest dedup on the binary payload column
+    "multimodal_dedup" -> ((s, dir) =>
+      graft.sources.Multimodal.dedupPayload(
+          graft.sources.Multimodal.ingest(Tables.documents(s, dir)))
+        .orderBy(col("media_id"))),
+
     // lead-lag probe: does purchase activity lead clicks by k days?
     "ts_cross_corr" -> ((s, dir) =>
       TimeSeries.crossCorr(Tables.events(s, dir), "click", "purchase", 3)
@@ -1231,6 +1242,8 @@ object SparkEntry {
     "retention_cohorts" -> OracleSql.retention,
     "ts_bollinger" -> OracleSql.bollinger(7, 2.0),
     "ts_pacf" -> OracleSql.pacf,
+    "ts_rollup" -> OracleSql.tsRollup,
+    "multimodal_dedup" -> OracleSql.multimodalDedup,
     "ts_harmonics" -> OracleSql.harmonics(3),
     "ts_stationarity" -> OracleSql.stationarity,
     "path_transitions" -> OracleSql.pathTransitions,

@@ -750,6 +750,33 @@ object TimeSeries {
       .drop("_rn")
   }
 
+  /** Multi-grain rollup in ONE pass: per-key value sums at day, week
+    * and month grain via GROUPING SETS — the engine expands the three
+    * granularities map-side (one Expand, one shuffle), instead of
+    * three separate scans+aggregations over the 100-TB event log.
+    * Output: (key, grain, period, v); `period` is the grain's
+    * truncated start date.
+    */
+  def rollup(events: DataFrame): DataFrame = {
+    val base = events.select(col(KEY),
+      to_date(col("ts")).as("day"),
+      date_trunc("week", col("ts")).cast("date").as("week"),
+      date_trunc("month", col("ts")).cast("date").as("month"),
+      col("value"))
+    base.groupingSets(
+        Seq(Seq(col(KEY), col("day")),
+          Seq(col(KEY), col("week")),
+          Seq(col(KEY), col("month"))),
+        col(KEY), col("day"), col("week"), col("month"))
+      .agg(r3(sum(col("value"))).as("v"))
+      .select(col(KEY),
+        when(col("day").isNotNull, lit("day"))
+          .when(col("week").isNotNull, lit("week"))
+          .otherwise(lit("month")).as("grain"),
+        coalesce(col("day"), col("week"), col("month")).as("period"),
+        col("v"))
+  }
+
   /** Persist the resampled daily series as a bucketed FEATURE STORE:
     * bucketed by key, files sorted by (key, day). Every window
     * operator in this file requires exactly the distribution the

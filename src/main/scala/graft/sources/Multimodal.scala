@@ -49,6 +49,23 @@ object Multimodal {
       .select(col("media_id"), col("off").cast("long").as("frame_off"),
         expr("cast(ascii(substr(txt, off + 1, 1)) as bigint)").as("frame_val"))
 
+  /** Exact payload dedup on the BINARY column: md5 the blob bytes,
+    * keep the smallest media_id of each content group — image/audio
+    * dedup by content digest, the first dedup pass every multimodal
+    * corpus runs (identical bytes re-crawled under different ids).
+    * Same keep-min shape as text dedup_exact; the digest is computed
+    * in the scan projection so blobs never shuffle — only (id, hash,
+    * modality) rows do.
+    */
+  def dedupPayload(media: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash"))
+    media.select(col("media_id"), md5(col("payload")).as("content_hash"),
+        col("meta.modality").as("modality"))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("keep",
+        (col("media_id") === min(col("media_id")).over(w)).cast("int"))
+  }
+
   /** Resize metadata: target dimensions bounded to `maxDim` with
     * aspect ratio preserved — the planning half of a resize (the pixel
     * resample itself is the stubbed decode). Pure arithmetic on the
