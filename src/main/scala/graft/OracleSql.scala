@@ -2039,6 +2039,46 @@ object OracleSql {
        |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
+  /** Fourier extrapolation: linear fit on the row index + first-kMax
+    * residual harmonics, projected `horizon` steps past the end.
+    * Composition order parenthesized to match the Spark expression
+    * tree exactly.
+    */
+  def harmonicsForecast(kMax: Int, horizon: Int): String = {
+    val slopeRaw = "COVAR_POP(v, i) / NULLIF(VAR_POP(i), 0.0)"
+    val coeffCols = (1 to kMax).map { k =>
+      s"${R(s"2.0 * SUM(res * COS(2.0 * PI() * $k * i / n)) / MAX(n)")} AS a$k,\n       " +
+        s"${R(s"2.0 * SUM(res * SIN(2.0 * PI() * $k * i / n)) / MAX(n)")} AS b$k"
+    }.mkString(",\n       ")
+    val harmSum = (1 to kMax).map { k =>
+      s"a$k * COS(2.0 * PI() * $k * (n - 1.0 + h) / n) + b$k * SIN(2.0 * PI() * $k * (n - 1.0 + h) / n)"
+    }.mkString("(", " + ", ")")
+    s"""WITH $daily,
+       |idx AS (
+       |  SELECT user_id, v,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) - 1 AS DOUBLE) AS i,
+       |         CAST(COUNT(*) OVER (PARTITION BY user_id) AS DOUBLE) AS n
+       |  FROM daily),
+       |fit AS (
+       |  SELECT user_id, ${R(slopeRaw)} AS slope,
+       |         ${R(s"AVG(v) - $slopeRaw * AVG(i)")} AS intercept,
+       |         MAX(n) AS n
+       |  FROM idx GROUP BY 1),
+       |res AS (
+       |  SELECT idx.user_id, idx.i, idx.n, fit.slope, fit.intercept,
+       |         v - (intercept + slope * i) AS res
+       |  FROM idx JOIN fit USING (user_id)),
+       |cf AS (
+       |  SELECT user_id, MAX(slope) AS slope, MAX(intercept) AS intercept, MAX(n) AS n,
+       |       $coeffCols
+       |  FROM res GROUP BY 1),
+       |f AS (
+       |  SELECT *, UNNEST(generate_series(1, $horizon)) AS h FROM cf)
+       |SELECT user_id, h,
+       |       ${R(s"intercept + slope * (n - 1.0 + h) + $harmSum")} AS forecast
+       |FROM f ORDER BY user_id, h""".stripMargin
+  }
+
   /** Multi-grain rollup: GROUPING SETS over (key, day/week/month). */
   val tsRollup: String =
     s"""WITH base AS (

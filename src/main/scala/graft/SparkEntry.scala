@@ -531,6 +531,13 @@ object SparkEntry {
       TimeSeries.rollup(Tables.events(s, dir))
         .orderBy(col("user_id"), col("grain"), col("period"))),
 
+    // Fourier extrapolation: linear trend + first-3 residual harmonics
+    // projected NY steps past each series' end
+    "ts_forecast_harmonics" -> ((s, dir) =>
+      TimeSeries.harmonicsForecast(
+          TimeSeries.resampleDaily(Tables.events(s, dir)), 3, NY)
+        .orderBy(col("user_id"), col("h"))),
+
     // content-digest dedup on the binary payload column
     "multimodal_dedup" -> ((s, dir) =>
       graft.sources.Multimodal.dedupPayload(
@@ -1243,6 +1250,7 @@ object SparkEntry {
     "ts_bollinger" -> OracleSql.bollinger(7, 2.0),
     "ts_pacf" -> OracleSql.pacf,
     "ts_rollup" -> OracleSql.tsRollup,
+    "ts_forecast_harmonics" -> OracleSql.harmonicsForecast(3, NY),
     "multimodal_dedup" -> OracleSql.multimodalDedup,
     "ts_harmonics" -> OracleSql.harmonics(3),
     "ts_stationarity" -> OracleSql.stationarity,

@@ -750,6 +750,53 @@ object TimeSeries {
       .drop("_rn")
   }
 
+  /** Fourier extrapolation forecast: fit linear trend over the row
+    * index, take the first `kMax` Fourier coefficients of the
+    * RESIDUAL (base period = the observed window length, the standard
+    * harmonic-extrapolation convention), and project both `horizon`
+    * steps past the series end:
+    * ŷ(n−1+h) = â + b̂·(n−1+h) + Σ_k [a_k cos θ + b_k sin θ],
+    * θ = 2πk(n−1+h)/n — the spectral sequel to [[extrapolateTrend]]
+    * (which extrapolates trend only) and [[holtWinters]] (fixed
+    * period m; here the harmonics FIND the periods).
+    *
+    * Three key-partitioned stages, one logical shuffle: index window →
+    * fit aggregate → residual join (same key partitioning, exchange
+    * reuse) → coefficient aggregate (six conditional sums, no
+    * explode) → map-only horizon explode. Forecast composes ROUNDED
+    * fit + coefficients, so both engines agree bit-for-bit.
+    */
+  def harmonicsForecast(daily: DataFrame, kMax: Int, horizon: Int): DataFrame = {
+    require(kMax >= 1 && kMax <= 8, s"harmonicsForecast: kMax in [1,8], got $kMax")
+    val indexed = daily
+      .withColumn("i", (row_number().over(wOrdered) - 1).cast("double"))
+      .withColumn("n", count(lit(1)).over(wKey).cast("double"))
+    val slopeRaw = covar_pop(col("v"), col("i")) / nullif(var_pop(col("i")), lit(0.0))
+    val fit = indexed.groupBy(col(KEY)).agg(
+      r3(slopeRaw).as("slope"),
+      r3(avg(col("v")) - slopeRaw * avg(col("i"))).as("intercept"))
+    val res = indexed.join(fit, Seq(KEY))
+      .withColumn("res", col("v") - (col("intercept") + col("slope") * col("i")))
+    def harm(k: Int, f: Column => Column): Column =
+      r3(lit(2.0) * sum(col("res") *
+        f(lit(2.0 * math.Pi) * lit(k) * col("i") / col("n"))) / max(col("n")))
+    val aggCols: Seq[Column] =
+      Seq(first(col("slope")).as("slope"), first(col("intercept")).as("intercept"),
+        max(col("n")).as("n")) ++
+      (1 to kMax).flatMap(k =>
+        Seq(harm(k, cos).as(s"a$k"), harm(k, sin).as(s"b$k")))
+    val coeffs = res.groupBy(col(KEY)).agg(aggCols.head, aggCols.tail: _*)
+    val withH = coeffs.select(col("*"),
+      explode(sequence(lit(1L), lit(horizon.toLong))).as("h"))
+      .withColumn("i_f", col("n") - 1.0 + col("h"))
+    val harmonicsSum = (1 to kMax).map { k =>
+      val theta = lit(2.0 * math.Pi) * lit(k) * col("i_f") / col("n")
+      col(s"a$k") * cos(theta) + col(s"b$k") * sin(theta)
+    }.reduce(_ + _)
+    withH.select(col(KEY), col("h"),
+      r3(col("intercept") + col("slope") * col("i_f") + harmonicsSum).as("forecast"))
+  }
+
   /** Multi-grain rollup in ONE pass: per-key value sums at day, week
     * and month grain via GROUPING SETS — the engine expands the three
     * granularities map-side (one Expand, one shuffle), instead of
