@@ -278,6 +278,24 @@ object OracleSql {
        |ORDER BY revenue DESC, l_orderkey
        |LIMIT 10""".stripMargin
 
+  /** TPC-H Q10-style returned-item customer ranking. */
+  val q10Returns: String =
+    s"""WITH rev AS (
+       |  SELECT o.o_custkey,
+       |         ${R("CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)", 2)} AS revenue
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  WHERE l.l_returnflag = 'R'
+       |    AND o.o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+       |    AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+       |  GROUP BY 1)
+       |SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal, rev.revenue
+       |FROM rev
+       |JOIN customer c ON c.c_custkey = rev.o_custkey
+       |JOIN nation n ON n.n_nationkey = c.c_nationkey
+       |ORDER BY rev.revenue DESC, c.c_custkey
+       |LIMIT 20""".stripMargin
+
   /** Grouped top-k with deterministic tie-break. */
   val topkPerGroup: String =
     """SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
@@ -511,6 +529,21 @@ object OracleSql {
       |       COUNT(*) AS n_docs
       |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Watermark-sizing audit under the gate's md5 arrival permutation. */
+  def streamLateAudit(lateThresholdUs: Long): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |         CAST(CONCAT('0x', SUBSTR(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) AS arrival
+       |  FROM events),
+       |h AS (
+       |  SELECT *, MAX(ts_us) OVER (PARTITION BY user_id ORDER BY arrival, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm
+       |  FROM e)
+       |SELECT user_id, COUNT(*) AS n_events,
+       |       CAST(SUM(CASE WHEN hwm - ts_us > $lateThresholdUs THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       |       MAX(hwm - ts_us) AS max_late_us
+       |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** transitionsStream's batch twin: the per-hop lag rows. */
   val transitionsBatch: String =

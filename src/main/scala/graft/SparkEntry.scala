@@ -117,6 +117,30 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // TPC-H Q10-style returned-item ranking: one quarter's returns,
+    // revenue per customer, top 20 — filters push to both scans,
+    // dims broadcast, one agg shuffle, TakeOrdered (no global sort)
+    "q10_returns" -> ((s, dir) => {
+      val lo = lit("1995-10-01 00:00:00").cast("timestamp")
+      val hi = lit("1996-01-01 00:00:00").cast("timestamp")
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select("o_orderkey", "o_custkey")
+      val l = Tables.lineitem(s, dir).where(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val c = Tables.customer(s, dir)
+      val n = Tables.apply(s, dir, "nation")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(r2c(sum(dec2("l_extendedprice") * (lit(1) - pct2("l_discount"))).cast("double")).as("revenue"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("c_acctbal"), col("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     "topk_per_group" -> ((s, dir) =>
       Relational.topKPerGroup(Tables.orders(s, dir), "o_orderpriority", "o_totalprice", "o_orderkey", 3)
         .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
@@ -377,6 +401,15 @@ object SparkEntry {
     "path_transitions" -> ((s, dir) =>
       Relational.pathTransitions(Tables.events(s, dir))
         .orderBy(col("prev_type"), col("next_type"))),
+
+    // watermark-sizing audit under a deterministic md5 arrival
+    // permutation (the raw log arrives perfectly ordered — like the
+    // PII gate, injection makes the audit hash-checkable for real)
+    "stream_late_audit" -> ((s, dir) =>
+      graft.streaming.StreamOps.lateEventsAudit(Tables.events(s, dir),
+          conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10).cast("bigint"),
+          3600000000L)
+        .orderBy(col("user_id"))),
 
     // transitionsStream's library twin: the per-hop rows an ordered
     // replay emits (the streaming op runs live in FeedStreamSpec)
@@ -1256,6 +1289,7 @@ object SparkEntry {
     "ts_stationarity" -> OracleSql.stationarity,
     "path_transitions" -> OracleSql.pathTransitions,
     "stream_transitions_batch" -> OracleSql.transitionsBatch,
+    "stream_late_audit" -> OracleSql.streamLateAudit(3600000000L),
     "active_users_rolling" -> OracleSql.activeUsersRolling(7),
     "text_dup_spans" -> OracleSql.textDupSpans(5),
     "layout_zorder" -> OracleSql.layoutZorder("l_orderkey", "l_partkey", 8, 32),
@@ -1266,6 +1300,7 @@ object SparkEntry {
     "ts_store_inc" -> OracleSql.lagFeatures(Seq(1, 7), 7),
     "ml_feed_stored" -> OracleSql.mlFeed(NX, NY),
     "q18_big_orders" -> OracleSql.q18BigOrders(150),
+    "q10_returns" -> OracleSql.q10Returns,
     "corpus_diff" -> OracleSql.corpusDiff,
     "ts_generate" -> OracleSql.generate(100, 200, 30),
     "ts_generate_short" -> OracleSql.generate(100, 90, 30),

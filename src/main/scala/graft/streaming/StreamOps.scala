@@ -355,6 +355,35 @@ object StreamOps {
       .toDF("user_id", "t1_us", "t2_us", "t3_us")
   }
 
+  /** Watermark-sizing audit: per-user lateness of events relative to
+    * the stream's running event-time high-water mark in ARRIVAL order
+    * (`arrival` = ingest sequence; replay audits pass a stored arrival
+    * column or, when the log records none, a deterministic synthetic
+    * permutation). `n_late` at a candidate threshold = exactly the
+    * rows a `withWatermark(threshold)` deployment would drop; the max
+    * tells you the delay that loses nothing — measured on YOUR data
+    * instead of guessed.
+    *
+    * One window shuffle on user (the sessionize partitioning), then a
+    * map-side-combined per-user aggregate.
+    */
+  def lateEventsAudit(events: DataFrame, arrival: org.apache.spark.sql.Column,
+                      lateThresholdUs: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("arrival"), col("event_id"))
+      .rowsBetween(Long.MinValue, 0)
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), arrival.as("arrival"))
+      .withColumn("hwm", max(col("ts_us")).over(w))
+      .withColumn("late_us", col("hwm") - col("ts_us"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > lateThresholdUs, 1L).otherwise(0L)).as("n_late"),
+        max(col("late_us")).as("max_late_us"))
+  }
+
   /** Streaming first-order path transitions: every `(prev → next)`
     * event-type hop a user makes, emitted AT INGEST — the live feed
     * behind [[graft.operators.Relational.pathTransitions]]'s batch
