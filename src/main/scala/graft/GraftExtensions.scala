@@ -31,5 +31,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info(name, usage),
         (exprs: Seq[Expression]) => VectorExprs.build(name, exprs)))
     }
+    // Bloom semi-join reduction pair (Spark's own catalyst expressions
+    // under graft names — see graft.functions.BloomExprs)
+    ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
+      info("graft_bloom_agg", "graft_bloom_agg(hash_long, n_items, n_bits)"),
+      (exprs: Seq[Expression]) => {
+        graft.functions.VectorExprs.requireArity("graft_bloom_agg",
+          "graft_bloom_agg(hash_long, n_items, n_bits)", exprs, 3)
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1), exprs(2))
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_bloom_contains"),
+      info("graft_bloom_contains", "graft_bloom_contains(bloom, hash_long)"),
+      (exprs: Seq[Expression]) => {
+        graft.functions.VectorExprs.requireArity("graft_bloom_contains",
+          "graft_bloom_contains(bloom, hash_long)", exprs, 2)
+        new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1))
+      }))
   }
 }

@@ -36,6 +36,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT graft_simhash(array('x', 'y', 'z')) AS s").head().getLong(0)
       === viaRegister)
 
+    // the Bloom pair resolves through the same route: build a filter
+    // over 1..3, then probe a member and a non-member
+    val hit = spark.sql(
+      """WITH ks AS (SELECT explode(array(1L, 2L, 3L)) AS k),
+        |bf AS (SELECT graft_bloom_agg(xxhash64(k), 100L, 800L) AS b FROM ks)
+        |SELECT graft_bloom_contains((SELECT b FROM bf), xxhash64(2L)) AS yes,
+        |       graft_bloom_contains((SELECT b FROM bf), xxhash64(99L)) AS no
+        |""".stripMargin).head()
+    assert(hit.getBoolean(0) === true)   // members always hit
+    assert(hit.getBoolean(1) === false)  // 800 bits / 3 keys: fp ~ 0
+
     // builder misuse fails with the function name + signature, not an
     // opaque IndexOutOfBounds/ClassCast/unresolved-expression error
     def failureMessage(sql: String): String = {
