@@ -2357,6 +2357,57 @@ object OracleSql {
        |WHERE ABS(d.v - m.med) > $nMads * x.mad
        |ORDER BY d.user_id, d.day""".stripMargin
 
+  /** MAD-flag + linear imputation between surviving neighbors. */
+  def imputeOutliers(nMads: Double): String =
+    s"""WITH $daily,
+       |m1 AS (SELECT user_id, MEDIAN(v) AS med FROM daily GROUP BY user_id),
+       |m2 AS (
+       |  SELECT d.user_id, MEDIAN(ABS(d.v - m.med)) AS mad
+       |  FROM daily d JOIN m1 m USING (user_id) GROUP BY d.user_id),
+       |f AS (
+       |  SELECT d.user_id, d.day, d.v,
+       |         CASE WHEN ABS(d.v - m.med) > $nMads * x.mad THEN 1 ELSE 0 END AS is_out,
+       |         CASE WHEN ABS(d.v - m.med) > $nMads * x.mad THEN NULL ELSE d.v END AS v0
+       |  FROM daily d JOIN m1 m USING (user_id) JOIN m2 x USING (user_id)),
+       |c AS (
+       |  SELECT *,
+       |         LAST_VALUE(v0 IGNORE NULLS) OVER wp AS pv,
+       |         LAST_VALUE(CASE WHEN v0 IS NOT NULL THEN day END IGNORE NULLS) OVER wp AS pd,
+       |         FIRST_VALUE(v0 IGNORE NULLS) OVER wn AS nv,
+       |         FIRST_VALUE(CASE WHEN v0 IS NOT NULL THEN day END IGNORE NULLS) OVER wn AS nd
+       |  FROM f
+       |  WINDOW wp AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |         wn AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       |SELECT user_id, day, v, is_out,
+       |       ${R("CASE WHEN v0 IS NOT NULL THEN v0 WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv ELSE pv + (nv - pv) * (day - pd) / (nd - pd) END")} AS v_imputed
+       |FROM c ORDER BY user_id, day""".stripMargin
+
+  /** Top-k PMI collocations within a forward window. */
+  def pmiPairs(window: Int, minCount: Long, k: Int): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |pairs AS (
+       |  SELECT UNNEST(flatten(list_transform(generate_series(1, len(t) - 1),
+       |    i -> list_transform(generate_series(1, least($window, len(t) - i)),
+       |      d -> t[i] || ' ' || t[i + d])))) AS pair
+       |  FROM toks WHERE len(t) >= 2),
+       |pc AS (SELECT pair, COUNT(*) AS n_ab FROM pairs GROUP BY 1),
+       |np AS (SELECT SUM(n_ab) AS n_pairs FROM pc),
+       |uc AS (
+       |  SELECT tok, COUNT(*) AS c FROM (
+       |    SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY 1),
+       |nt AS (SELECT SUM(c) AS n_tok FROM uc),
+       |f AS (
+       |  SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b, n_ab
+       |  FROM pc WHERE n_ab >= $minCount)
+       |SELECT f.a, f.b, f.n_ab,
+       |       ${R("LN((CAST(f.n_ab AS DOUBLE) / np.n_pairs) / ((CAST(ca.c AS DOUBLE) / nt.n_tok) * (CAST(cb.c AS DOUBLE) / nt.n_tok)))")} AS pmi
+       |FROM f
+       |JOIN uc ca ON ca.tok = f.a
+       |JOIN uc cb ON cb.tok = f.b
+       |CROSS JOIN np CROSS JOIN nt
+       |ORDER BY pmi DESC, a, b LIMIT $k""".stripMargin
+
   val retrend: String =
     s"""WITH $daily, ${trendCte(3)}, $detrendCte
        |SELECT user_id, day, v, ${R("detrended + trend")} AS retrended

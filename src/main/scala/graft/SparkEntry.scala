@@ -559,6 +559,15 @@ object SparkEntry {
       TimeSeries.pacf(TimeSeries.resampleDaily(Tables.events(s, dir)))
         .orderBy(col("user_id"))),
 
+    // MAD-flag + linear imputation between surviving neighbors
+    "ts_impute_outliers" -> ((s, dir) =>
+      TimeSeries.imputeOutliers(TimeSeries.resampleDaily(Tables.events(s, dir)), 3.0)
+        .orderBy(col("user_id"), col("day"))),
+
+    // top-50 PMI collocations within a forward +/-2 window
+    "text_pmi" -> ((s, dir) =>
+      TextOps.pmiPairs(Tables.documents(s, dir), 2, 5L, 50)),
+
     // day/week/month rollup in ONE pass via GROUPING SETS
     "ts_rollup" -> ((s, dir) =>
       TimeSeries.rollup(Tables.events(s, dir))
@@ -1284,6 +1293,8 @@ object SparkEntry {
     "ts_pacf" -> OracleSql.pacf,
     "ts_rollup" -> OracleSql.tsRollup,
     "ts_forecast_harmonics" -> OracleSql.harmonicsForecast(3, NY),
+    "ts_impute_outliers" -> OracleSql.imputeOutliers(3.0),
+    "text_pmi" -> OracleSql.pmiPairs(2, 5L, 50),
     "multimodal_dedup" -> OracleSql.multimodalDedup,
     "ts_harmonics" -> OracleSql.harmonics(3),
     "ts_stationarity" -> OracleSql.stationarity,

@@ -238,6 +238,50 @@ object TextOps {
         r3(col("st.top_run").cast("double") / size(col("toks"))).as("top_tok_frac"))
   }
 
+  /** Top-k PMI collocations: pointwise mutual information
+    * `ln(p(a,b) / (p(a)·p(b)))` over token pairs co-occurring within
+    * a ±`window` forward window — the association mining behind
+    * phrase detection and word-embedding prep (word2vec's context
+    * windows; Mikolov et al.'s phrase score is PMI with a discount).
+    *
+    * Scale shape: pairs are generated MAP-SIDE from each doc's token
+    * array (nested HOF transform — the shingle pattern with a
+    * variable gap, no self-join at token volume); both count tables
+    * collapse through map-side-combined groupBys, the totals come
+    * from re-aggregating those VOCAB-sized frames (never a second
+    * token-volume pass), and the final rank is TakeOrdered over the
+    * minCount-filtered survivors.
+    */
+  def pmiPairs(docs: DataFrame, window: Int, minCount: Long, k: Int): DataFrame = {
+    require(window >= 1, s"pmiPairs: window must be >= 1, got $window")
+    val pairs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(explode(expr(
+        s"flatten(transform(sequence(1, size(toks) - 1), " +
+          s"i -> transform(sequence(1, least($window, size(toks) - i)), " +
+          s"d -> concat(element_at(toks, i), ' ', element_at(toks, i + d)))))")).as("pair"))
+    val pairCounts = pairs.groupBy(col("pair")).agg(count(lit(1)).as("n_ab"))
+    val nPairs = pairCounts.agg(sum(col("n_ab")).as("n_pairs"))
+    val uniCounts = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val nTok = uniCounts.agg(sum(col("c")).as("n_tok"))
+    pairCounts.where(col("n_ab") >= minCount)
+      .withColumn("a", substring_index(col("pair"), " ", 1))
+      .withColumn("b", substring_index(col("pair"), " ", -1))
+      .join(uniCounts.select(col("tok").as("a"), col("c").as("c_a")), Seq("a"))
+      .join(uniCounts.select(col("tok").as("b"), col("c").as("c_b")), Seq("b"))
+      .crossJoin(broadcast(nPairs))
+      .crossJoin(broadcast(nTok))
+      .withColumn("pmi", r3(log(
+        (col("n_ab").cast("double") / col("n_pairs")) /
+          ((col("c_a").cast("double") / col("n_tok")) *
+            (col("c_b").cast("double") / col("n_tok"))))))
+      .select(col("a"), col("b"), col("n_ab"), col("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /** Cross-document duplicated-span ratio per doc: the fraction of a
     * document's distinct word `k`-gram spans that also occur in at
     * least one OTHER document — the per-doc contamination score behind

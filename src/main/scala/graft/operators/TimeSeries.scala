@@ -715,6 +715,37 @@ object TimeSeries {
       .select(col(KEY), col(DAY), col("v"),
         r3(col("med")).as("med"), r3(abs(col("v") - col("med")) / nullif(col("mad"), lit(0.0))).as("n_mads"))
 
+  /** Robust cleaning sequel to [[outliersMad]]: flag MAD outliers,
+    * then REPLACE them by linear interpolation between the nearest
+    * non-outlier neighbors (edge outliers take the nearest surviving
+    * value) — flag tells you what happened, impute keeps the series
+    * model-ready. All five windows (two medians, prev/next carries)
+    * share the single key exchange.
+    */
+  def imputeOutliers(daily: DataFrame, nMads: Double): DataFrame = {
+    val wPrev = wOrdered.rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = wOrdered.rowsBetween(0, Window.unboundedFollowing)
+    val flagged = daily
+      .withColumn("med", expr("percentile(v, 0.5)").over(wKey))
+      .withColumn("mad", expr("percentile(abs(v - med), 0.5)").over(wKey))
+      .withColumn("is_out",
+        (abs(col("v") - col("med")) > lit(nMads) * col("mad")).cast("int"))
+      .withColumn("v0", when(col("is_out") === 0, col("v")))
+    val obsDay = when(col("v0").isNotNull, col(DAY))
+    flagged
+      .withColumn("pv", last(col("v0"), ignoreNulls = true).over(wPrev))
+      .withColumn("pd", last(obsDay, ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v0"), ignoreNulls = true).over(wNext))
+      .withColumn("nd", first(obsDay, ignoreNulls = true).over(wNext))
+      .withColumn("v_imputed", r3(
+        when(col("v0").isNotNull, col("v0"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            datediff(col(DAY), col("pd")) / datediff(col("nd"), col("pd")))))
+      .select(col(KEY), col(DAY), col("v"), col("is_out"), col("v_imputed"))
+  }
+
   /** Winsorization: clamp each day's value into the per-key exact
     * interpolated [lo, hi] quantile band — the standard heavy-tail
     * cap before model training (the robust cousin of [[outliersMad]]:
