@@ -380,7 +380,32 @@ object Soak {
         graft.operators.TimeSeries.resampleDaily(ev))),
       // the ordered-replay hop emission: one lag window on user
       "stream_transitions_batch" -> (() =>
-        graft.streaming.StreamOps.transitionsStreamBatch(ev)))
+        graft.streaming.StreamOps.transitionsStreamBatch(ev)),
+      // GROUPING SETS: one Expand (×3 rows map-side) + one shuffle
+      "ts_rollup" -> (() => graft.operators.TimeSeries.rollup(ev)),
+      // index window + fit agg + residual join (exchange reuse) +
+      // coefficient agg — the whole chain under one key partitioning
+      "ts_forecast_harmonics" -> (() =>
+        graft.operators.TimeSeries.harmonicsForecast(
+          graft.operators.TimeSeries.resampleDaily(ev), 3, 5)),
+      // five windows over one key exchange
+      "ts_impute_outliers" -> (() =>
+        graft.operators.TimeSeries.imputeOutliers(
+          graft.operators.TimeSeries.resampleDaily(ev), 3.0)),
+      // map-side pair generation; replica-prefixed tokens grow the
+      // pair vocab ~factor× — the honest worst case for the two
+      // vocab-sized count frames
+      "text_pmi" -> (() => TextOps.pmiPairs(docs, 2, 5L, 50)),
+      // per-user lateness windows under the md5 arrival permutation
+      "stream_late_audit" -> (() =>
+        graft.streaming.StreamOps.lateEventsAudit(ev,
+          conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10).cast("bigint"),
+          3600000000L)),
+      // wide pivot: one map-side-combined groupBy
+      "events_pivot_daily" -> (() => Relational.pivotDaily(ev,
+        Seq("click", "error", "purchase", "signup", "view"))),
+      // codegen'd from_json projection + |types| groups
+      "events_json_agg" -> (() => Relational.jsonAgg(ev)))
 
     // optional args name a subset — e.g. the dedup family at a higher
     // SPARK_GRAFT_SOAK_FACTOR without paying for the whole suite

@@ -455,6 +455,32 @@ object SparkEntry {
         .orderBy(col("user_id"), col("day"))
     }),
 
+    // within-corpus LSH candidates from the stored band index:
+    // bucketed (band,sig) self-join, zero Exchange on either side
+    // (same oracle as dedup_minhash_lsh)
+    "dedup_minhash_stored" -> ((s, dir) => {
+      s.sql("DROP TABLE IF EXISTS graft_selfidx_bands")
+      s.sql("DROP TABLE IF EXISTS graft_selfidx_sigs")
+      s.sql("DROP TABLE IF EXISTS graft_selfidx_meta")
+      s.sql("DROP TABLE IF EXISTS graft_selfidx_tombstones")
+      Dedup.writeBandIndex(Tables.documents(s, dir), 16, 2, "graft_selfidx", 8)
+      Dedup.lshCandidatesStored(s, "graft_selfidx")
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // store compaction: append-grown store folded to one file per
+    // bucket, serving bit-unchanged (same oracle as the recompute)
+    "ts_store_compact" -> ((s, dir) => {
+      s.sql("DROP TABLE IF EXISTS graft_ts_cmp")
+      val ev = Tables.events(s, dir)
+      val mid = lit("2024-01-16").cast("date")
+      TimeSeries.writeDailyStore(ev.where(to_date(col("ts")) < mid), "graft_ts_cmp", 8)
+      TimeSeries.appendDailyStore(ev.where(to_date(col("ts")) >= mid), "graft_ts_cmp", 8)
+      TimeSeries.compactDailyStore(s, "graft_ts_cmp", 8)
+      TimeSeries.lagFeaturesStored(s, "graft_ts_cmp", Seq(1, 7), 7)
+        .orderBy(col("user_id"), col("day"))
+    }),
+
     // incremental store: day-aligned two-half build ≡ one-shot build
     // (same oracle as the recompute path)
     "ts_store_inc" -> ((s, dir) => {
@@ -1309,6 +1335,8 @@ object SparkEntry {
       Seq("click", "error", "purchase", "signup", "view")),
     "ts_features_stored" -> OracleSql.lagFeatures(Seq(1, 7), 7),
     "ts_store_inc" -> OracleSql.lagFeatures(Seq(1, 7), 7),
+    "ts_store_compact" -> OracleSql.lagFeatures(Seq(1, 7), 7),
+    "dedup_minhash_stored" -> OracleSql.dedupMinhashLsh(16, 2),
     "ml_feed_stored" -> OracleSql.mlFeed(NX, NY),
     "q18_big_orders" -> OracleSql.q18BigOrders(150),
     "q10_returns" -> OracleSql.q10Returns,

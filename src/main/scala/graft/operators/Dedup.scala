@@ -152,6 +152,25 @@ object Dedup {
       .agg(count(lit(1)).as("shared_bands"))
   }
 
+  /** Within-corpus LSH candidates served FROM the stored band index
+    * (the encode-once path for the corpus's OWN dedup, beside the
+    * cross-corpus probes): the bucketed (band, sig) table self-joins
+    * with ZERO Exchange on either side — both sides are the same
+    * bucketed scan, so each bucket pairs by file (the co-located-join
+    * layout §3/§5 promises; plan spec in FeedStreamSpec). Output ≡
+    * [[lshCandidatesFast]] on the indexed corpus.
+    */
+  def lshCandidatesStored(spark: org.apache.spark.sql.SparkSession,
+                          table: String): DataFrame = {
+    val bands = maskedBandTable(spark, table, "bands")
+    bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_bands"))
+  }
+
   /** One-pass SimHash via the native [[graft.functions.SimHash64]]
     * expression — the scale path (no token explode, no shuffle);
     * bit-identical to [[simhash]] (parity spec in LlmOpsSpec).

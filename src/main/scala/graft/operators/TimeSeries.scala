@@ -882,6 +882,22 @@ object TimeSeries {
       resampleDaily(events), table, Seq(KEY), Seq(KEY, DAY), buckets,
       mode = "append")
 
+  /** Store compaction: appended buckets accumulate one file per
+    * append (losing the reported sort order, costing a per-partition
+    * sort on every read) — fold them into a fresh one-file-per-bucket
+    * generation, write-new-then-swap like the index compactions.
+    * Serving results are bit-unchanged; only the read plan improves.
+    */
+  def compactDailyStore(spark: org.apache.spark.sql.SparkSession,
+                        table: String, buckets: Int): Unit = {
+    val next = s"${table}_compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $next")
+    graft.sources.Formats.writeBucketedSorted(
+      spark.table(table), next, Seq(KEY), Seq(KEY, DAY), buckets)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $next RENAME TO $table")
+  }
+
   /** [[lagFeatures]] served from the daily store — byte-equal to the
     * recompute path, minus the event-volume resample and the window
     * exchange.

@@ -404,6 +404,41 @@ class FeedStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stored self-LSH: bucketed band table self-joins with zero Exchange") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    Seq("_bands", "_sigs", "_meta", "_tombstones").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_selfidx_t$s"))
+    Dedup.writeBandIndex(docs, 16, 2, "graft_selfidx_t", 4)
+    val conf = spark.conf
+    val prevBc = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = conf.getOption("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val stored = Dedup.lshCandidatesStored(spark, "graft_selfidx_t")
+      // both join sides are the same bucketed (band, sig) scan — the
+      // self-join pairs buckets by file, NO shuffle on either side
+      // (the final groupBy on (doc_a, doc_b) is the only Exchange)
+      val exchanges = stored.queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.size <= 1,
+        s"self-join must not exchange its inputs:\n${stored.queryExecution.executedPlan}")
+      // parity with the recompute path
+      val recomputed = Dedup.lshCandidatesFast(Dedup.minhashSigs(docs, 16), 2, 16)
+        .orderBy("doc_a", "doc_b").collect().toSeq
+      assert(stored.orderBy("doc_a", "doc_b").collect().toSeq === recomputed)
+    } finally {
+      prevBc.fold(conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      prevAqe.fold(conf.unset("spark.sql.adaptive.enabled"))(
+        conf.set("spark.sql.adaptive.enabled", _))
+      Seq("_bands", "_sigs", "_meta", "_tombstones").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_selfidx_t$s"))
+    }
+  }
+
   test("bloom-prefiltered stored probe: bit-identical verdicts, crawl keys pruned") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
