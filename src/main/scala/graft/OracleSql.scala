@@ -3242,4 +3242,102 @@ object OracleSql {
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
   }
+
+  /** The scored frame shared by the eval gates: stop_ratio feature vs
+    * the lang='en' label (mirrors Eval.stopRatioScored).
+    */
+  private val scoredCte: String =
+    s"""scored AS (
+       |  SELECT ${R("len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is','on','for'))) / len(string_split(text, ' '))")} AS score,
+       |         lang = 'en' AS label
+       |  FROM documents),
+       |per AS (
+       |  SELECT score,
+       |         SUM(CASE WHEN label THEN 1 ELSE 0 END) AS np,
+       |         SUM(CASE WHEN label THEN 0 ELSE 1 END) AS nn
+       |  FROM scored GROUP BY score)""".stripMargin
+
+  /** Tie-aware Mann-Whitney AUC over the per-score collapsed frame. */
+  val evalAuc: String =
+    s"""WITH $scoredCte,
+       |c AS (
+       |  SELECT np, nn,
+       |         COALESCE(SUM(nn) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below_n
+       |  FROM per)
+       |SELECT CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg,
+       |       ${R("SUM(CAST(np AS DOUBLE) * (CAST(below_n AS DOUBLE) + CAST(nn AS DOUBLE) * 0.5)) / (CAST(SUM(np) AS DOUBLE) * CAST(SUM(nn) AS DOUBLE))")} AS auc
+       |FROM c""".stripMargin
+
+  /** Precision/recall at every distinct score threshold (>= t). */
+  val evalPrCurve: String =
+    s"""WITH $scoredCte,
+       |c AS (
+       |  SELECT score AS thresh,
+       |         SUM(np) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+       |         SUM(nn) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+       |         SUM(np) OVER () AS pos_total
+       |  FROM per)
+       |SELECT thresh, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       |       ${R("CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)")} AS "precision",
+       |       ${R("CAST(tp AS DOUBLE) / CAST(pos_total AS DOUBLE)")} AS recall
+       |FROM c ORDER BY thresh""".stripMargin
+
+  /** Leave-one-out target encoding of event_type on value. */
+  val targetEncode: String =
+    s"""WITH v AS (
+       |  SELECT event_id, event_type, ${R("value")} AS vr FROM events),
+       |s AS (
+       |  SELECT event_type, COUNT(*) AS n, SUM(vr) AS s FROM v GROUP BY 1)
+       |SELECT v.event_id, v.event_type,
+       |       CASE WHEN s.n > 1 THEN ${R("(s.s - v.vr) / CAST(s.n - 1 AS DOUBLE)")} END AS loo
+       |FROM v JOIN s USING (event_type)
+       |ORDER BY v.event_id""".stripMargin
+
+  /** Exact-quantile binning of the daily values: boundary agg + map
+    * binning + per-bin audit.
+    */
+  val featureBins: String =
+    s"""WITH $daily,
+       |b AS (
+       |  SELECT ${R("quantile_cont(v, 0.25)")} AS b1,
+       |         ${R("quantile_cont(v, 0.5)")} AS b2,
+       |         ${R("quantile_cont(v, 0.75)")} AS b3
+       |  FROM daily),
+       |binned AS (
+       |  SELECT v, CAST(1 + (CASE WHEN v > b1 THEN 1 ELSE 0 END)
+       |                   + (CASE WHEN v > b2 THEN 1 ELSE 0 END)
+       |                   + (CASE WHEN v > b3 THEN 1 ELSE 0 END) AS BIGINT) AS bin
+       |  FROM daily CROSS JOIN b)
+       |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       |       MIN(v) AS min_v, MAX(v) AS max_v,
+       |       ${R("SUM(v) / COUNT(*)")} AS mean_v
+       |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
+
+  /** CDC latest-row snapshot per key ((ts, event_id) order). */
+  val cdcLatest: String =
+    s"""SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value
+       |FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM events) t
+       |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** SCD2 validity intervals from the event_type attribute stream. */
+  val scd2Intervals: String =
+    s"""WITH o AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |         CASE WHEN LAG(event_type) OVER w IS NULL
+       |                OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |r AS (
+       |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+       |  FROM o),
+       |g AS (
+       |  SELECT user_id, CAST(run_id AS BIGINT) AS run_id, MIN(event_type) AS attr,
+       |         MIN(ts) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_events
+       |  FROM r GROUP BY 1, 2)
+       |SELECT user_id, run_id, attr, valid_from,
+       |       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to,
+       |       n_events,
+       |       (LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) IS NULL) AS is_current
+       |FROM g ORDER BY user_id, run_id""".stripMargin
 }

@@ -1289,6 +1289,35 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("day"), r3c(col("value")).as("value"))
         .orderBy(col("user_id"), col("event_id"), col("day"))
     }),
+
+    // Mann-Whitney AUC of the stopword-density feature against the
+    // lang='en' label — exact, tie-aware, computed on the per-score
+    // collapsed frame (Eval.auc)
+    "eval_auc" -> ((s, dir) =>
+      graft.operators.Eval.auc(
+        graft.operators.Eval.stopRatioScored(Tables.documents(s, dir)))),
+
+    "eval_pr_curve" -> ((s, dir) =>
+      graft.operators.Eval.prCurve(
+        graft.operators.Eval.stopRatioScored(Tables.documents(s, dir)))
+        .orderBy(col("thresh"))),
+
+    "target_encode" -> ((s, dir) =>
+      graft.operators.Eval.targetEncode(Tables.events(s, dir))
+        .orderBy(col("event_id"))),
+
+    "feature_bins" -> ((s, dir) =>
+      graft.operators.Eval.featureBins(
+        TimeSeries.resampleDaily(Tables.events(s, dir)))
+        .orderBy(col("bin"))),
+
+    "cdc_latest" -> ((s, dir) =>
+      Relational.cdcLatest(Tables.events(s, dir))
+        .orderBy(col("user_id"))),
+
+    "scd2_intervals" -> ((s, dir) =>
+      Relational.scd2Intervals(Tables.events(s, dir))
+        .orderBy(col("user_id"), col("run_id"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1481,5 +1510,11 @@ object SparkEntry {
       lmBand = Some((-3.41, -3.39))),
     "corpus_pipeline_mix" -> OracleSql.corpusPipeline(4, 50, 16, 2, 0.5, 512,
       mixture = Some((Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 1500L))),
+    "eval_auc" -> OracleSql.evalAuc,
+    "eval_pr_curve" -> OracleSql.evalPrCurve,
+    "target_encode" -> OracleSql.targetEncode,
+    "feature_bins" -> OracleSql.featureBins,
+    "cdc_latest" -> OracleSql.cdcLatest,
+    "scd2_intervals" -> OracleSql.scd2Intervals,
   )
 }

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation and feature-engineering operators — the scoring
+  * half of a training pipeline (the reference scores its forecasts in
+  * src/demo/scoring.py; these are the classifier-side analogues a
+  * data-curation pipeline needs: does a quality feature actually
+  * discriminate the target?).
+  *
+  * All designs collapse the event/document volume to a tiny per-score
+  * or per-category frame BEFORE any global window, so the only
+  * single-partition stages run over at most ~1e3 rows no matter the
+  * input size.
+  */
+object Eval {
+
+  private def r3(c: Column): Column = floor(c * 1000.0 + 0.5001) / 1000.0
+
+  /** Mann-Whitney AUC of `score` against boolean `label` — exact,
+    * tie-aware (ties contribute half).
+    *
+    * Scale plan: ONE map-side-combined groupBy collapses the corpus to
+    * per-distinct-score (n_pos, n_neg) counts; the cumulative window
+    * then runs over that collapsed frame (≤1001 rows for an r3-rounded
+    * [0,1] score), never the data. AUC = Σ_s nP(s)·(N_below(s) +
+    * ½·nN(s)) / (NP·NN). All window inputs are exact integers and
+    * halves, so the sum is bit-identical in any engine; one rounded
+    * division at the end.
+    */
+  def auc(scored: DataFrame): DataFrame = {
+    val per = scored.groupBy(col("score")).agg(
+      sum(when(col("label"), 1L).otherwise(0L)).as("np"),
+      sum(when(col("label"), 0L).otherwise(1L)).as("nn"))
+    val below = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    per
+      .withColumn("below_n", coalesce(sum(col("nn")).over(below), lit(0L)))
+      .agg(
+        sum(col("np")).cast("long").as("n_pos"),
+        sum(col("nn")).cast("long").as("n_neg"),
+        r3(sum(col("np").cast("double") *
+            (col("below_n").cast("double") + col("nn").cast("double") * 0.5)) /
+          (sum(col("np")).cast("double") * sum(col("nn")).cast("double")))
+          .as("auc"))
+  }
+
+  /** Precision/recall sweep: one row per distinct score threshold t
+    * (predict positive when score ≥ t), with exact TP/FP counts.
+    * Same collapsed-frame design as [[auc]]: the descending cumulative
+    * window runs over distinct scores only.
+    */
+  def prCurve(scored: DataFrame): DataFrame = {
+    val per = scored.groupBy(col("score").as("thresh")).agg(
+      sum(when(col("label"), 1L).otherwise(0L)).as("np"),
+      sum(when(col("label"), 0L).otherwise(1L)).as("nn"))
+    val cum = Window.orderBy(col("thresh").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.partitionBy()
+    per
+      .withColumn("tp", sum(col("np")).over(cum))
+      .withColumn("fp", sum(col("nn")).over(cum))
+      .withColumn("pos_total", sum(col("np")).over(all))
+      .select(
+        col("thresh"),
+        col("tp").cast("long").as("tp"),
+        col("fp").cast("long").as("fp"),
+        r3(col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .as("precision"),
+        r3(col("tp").cast("double") / col("pos_total").cast("double"))
+          .as("recall"))
+  }
+
+  /** The gate's scored frame: stopword density ([[TextOps.quality]]'s
+    * `stop_ratio`) as the score, `lang = 'en'` as the label — a real
+    * feature-evaluation question (how well does English-stopword
+    * density detect English documents?) with a fully deterministic
+    * oracle. Both halves are codegen projections over one scan.
+    */
+  def stopRatioScored(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val stop = size(filter(toks, t => t.isInCollection(TextOps.STOPWORDS)))
+    docs.select(
+      r3(stop.cast("double") / size(toks)).as("score"),
+      (col("lang") === "en").as("label"))
+  }
+
+  /** Leave-one-out target encoding of a categorical column: each row's
+    * encoding is the mean target of its category EXCLUDING the row
+    * itself — the standard leakage-free categorical feature. NULL for
+    * singleton categories.
+    *
+    * Scale plan: one map-side-combined groupBy to per-category
+    * (n, Σtarget) scalars, broadcast back onto the stream — the encode
+    * itself is a map-only projection; no window over the data, no
+    * second shuffle.
+    */
+  def targetEncode(events: DataFrame): DataFrame = {
+    val vr = r3(col("value"))
+    val stats = events.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"), sum(r3(col("value"))).as("s"))
+    events.join(broadcast(stats), Seq("event_type"))
+      .select(
+        col("event_id"), col("event_type"),
+        when(col("n") > 1,
+          r3((col("s") - vr) / (col("n") - 1).cast("double")))
+          .as("loo"))
+  }
+
+  /** Exact-quantile feature binning: bin boundaries are the
+    * interpolated p25/p50/p75 of the (rounded) daily values, computed
+    * once as a 1-row aggregate and broadcast; the binning itself is a
+    * map-only comparison (`bin = 1 + Σ (v > boundary)`). The gate
+    * audits per-bin count/min/max/mean. At 100 TB the boundary agg is
+    * the only shuffle and approx boundaries (t-digest) would slot in
+    * without changing the binning side.
+    */
+  def featureBins(daily: DataFrame): DataFrame = {
+    val bounds = daily.agg(
+      r3(expr("percentile(v, 0.25)")).as("b1"),
+      r3(expr("percentile(v, 0.5)")).as("b2"),
+      r3(expr("percentile(v, 0.75)")).as("b3"))
+    daily.join(broadcast(bounds))
+      .withColumn("bin",
+        (lit(1) + (col("v") > col("b1")).cast("int")
+          + (col("v") > col("b2")).cast("int")
+          + (col("v") > col("b3")).cast("int")).cast("long"))
+      .groupBy(col("bin")).agg(
+        count(lit(1)).as("n"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"),
+        r3(sum(col("v")) / count(lit(1))).as("mean_v"))
+  }
+}

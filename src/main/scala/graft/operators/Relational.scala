@@ -295,4 +295,59 @@ object Relational {
         (datediff(col("wk"), col("cohort")) / 7).cast("long").as("week_n"))
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
+
+  /** CDC log → current snapshot: the latest row per key (MERGE-upsert
+    * compaction — what a Delta/Hudi "latest snapshot" read computes).
+    * Order is (ts, event_id) so timestamp ties resolve
+    * deterministically.
+    *
+    * Scale plan: a single `max_by` aggregate — one map-side-combined
+    * shuffle carrying one candidate row per (partition, key), never a
+    * per-key sort. The window-based formulation (row_number = 1) must
+    * sort every key's full history; the aggregate keeps only the
+    * running max.
+    */
+  def cdcLatest(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("ts"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("m"))
+      .select(col("user_id"),
+        col("m.ts").as("last_ts"),
+        col("m.event_type").as("last_type"),
+        col("m.value").as("last_value"))
+
+  /** SCD Type-2 history: collapse each key's attribute stream
+    * (`event_type` as the tracked attribute, ordered by ts with
+    * event_id tie-break) into validity intervals — one row per
+    * consecutive run with `valid_from`, `valid_to` (NULL = current)
+    * and the run's event count. The dimension-table shape every
+    * warehouse derives from a CDC feed.
+    *
+    * Scale plan: change-flag (lag) → running sum → per-run aggregate →
+    * lead over runs, ALL on the same user_id partitioning: one
+    * shuffle end-to-end, and the lead window runs over runs, not
+    * events.
+    */
+  def scd2Intervals(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val runs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("run_id"))
+      .agg(min(col("event_type")).as("attr"),
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val wr = Window.partitionBy("user_id").orderBy(col("run_id"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wr))
+      .select(col("user_id"), col("run_id"), col("attr"),
+        col("valid_from"), col("valid_to"), col("n_events"),
+        col("valid_to").isNull.as("is_current"))
+  }
 }

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Eval, Relational}
+
+/** Semantics of the evaluation / feature-engineering / CDC operators
+  * on hand-computed frames.
+  */
+class EvalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Session.local(4)
+
+  test("auc is exact and tie-aware on a hand-computed frame") {
+    import spark.implicits._
+    // scores: pos {0.9, 0.7, 0.5}, neg {0.7, 0.3}
+    // pairs: (0.9 beats both)=2, (0.7: beats 0.3, ties 0.7)=1.5,
+    //        (0.5: beats 0.3)=1  → AUC = 4.5 / 6 = 0.75
+    val df = Seq((0.9, true), (0.7, true), (0.5, true), (0.7, false), (0.3, false))
+      .toDF("score", "label")
+    val r = Eval.auc(df).collect()(0)
+    assert(r.getLong(0) === 3 && r.getLong(1) === 2)
+    assert(r.getDouble(2) === 0.75)
+  }
+
+  test("auc of a perfect separator is 1, of an anti-separator 0") {
+    import spark.implicits._
+    val perfect = Seq((0.9, true), (0.8, true), (0.2, false)).toDF("score", "label")
+    assert(Eval.auc(perfect).collect()(0).getDouble(2) === 1.0)
+    val anti = Seq((0.1, true), (0.9, false)).toDF("score", "label")
+    assert(Eval.auc(anti).collect()(0).getDouble(2) === 0.0)
+  }
+
+  test("prCurve: recall is monotone non-decreasing as threshold drops; last row has recall 1") {
+    import spark.implicits._
+    val df = Seq((0.9, true), (0.7, true), (0.5, true), (0.7, false), (0.3, false))
+      .toDF("score", "label")
+    val rows = Eval.prCurve(df).orderBy(col("thresh").desc).collect()
+    val recalls = rows.map(_.getDouble(4))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b })
+    assert(recalls.last === 1.0)
+    // at thresh=0.9: tp=1 fp=0 → precision 1, recall 1/3
+    assert(rows(0).getLong(1) === 1 && rows(0).getLong(2) === 0)
+    assert(rows(0).getDouble(3) === 1.0)
+  }
+
+  test("targetEncode excludes the row itself and NULLs singletons") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0),
+      (4L, "b", 5.0))
+      .toDF("event_id", "event_type", "value")
+    val out = Eval.targetEncode(ev).orderBy("event_id").collect()
+    // row 1: mean(20,30)=25; row 2: mean(10,30)=20; row 3: mean(10,20)=15
+    assert(out(0).getDouble(2) === 25.0)
+    assert(out(1).getDouble(2) === 20.0)
+    assert(out(2).getDouble(2) === 15.0)
+    assert(out(3).isNullAt(2)) // singleton category leaks nothing
+  }
+
+  test("featureBins: boundaries broadcast, bins partition the values") {
+    import spark.implicits._
+    val daily = (1 to 100).map(i => (1L, java.sql.Date.valueOf("2024-01-01"), i.toDouble))
+      .toDF("user_id", "day", "v")
+    val out = Eval.featureBins(daily).orderBy("bin").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(out.map(_.getLong(1)).sum === 100)
+    // quartiles of 1..100 → 25/25/25/25
+    assert(out.map(_.getLong(1)).toSeq === Seq(25L, 25L, 25L, 25L))
+  }
+
+  test("cdcLatest picks the (ts, event_id)-max row per key") {
+    import spark.implicits._
+    val t = (us: Long) => new java.sql.Timestamp(us)
+    val ev = Seq(
+      (1L, t(1000L), 7L, "a", 1.0),
+      (1L, t(2000L), 5L, "b", 2.0),  // latest ts wins
+      (2L, t(3000L), 1L, "c", 3.0),
+      (2L, t(3000L), 2L, "d", 4.0))  // ts tie → higher event_id wins
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = Relational.cdcLatest(ev).orderBy("user_id").collect()
+    assert(out(0).getString(2) === "b")
+    assert(out(1).getString(2) === "d")
+  }
+
+  test("scd2Intervals collapses runs with correct validity chain") {
+    import spark.implicits._
+    val t = (us: Long) => new java.sql.Timestamp(us)
+    val ev = Seq(
+      (1L, t(1000L), 1L, "a"), (1L, t(2000L), 2L, "a"),
+      (1L, t(3000L), 3L, "b"),
+      (1L, t(4000L), 4L, "a"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Relational.scd2Intervals(ev).orderBy("run_id").collect()
+    assert(out.length === 3) // a-run, b-run, a-run (re-entry opens a NEW interval)
+    assert(out.map(_.getString(2)).toSeq === Seq("a", "b", "a"))
+    assert(out.map(_.getLong(5)).toSeq === Seq(2L, 1L, 1L))
+    // validity chain: each valid_to equals the next valid_from; last open
+    assert(out(0).getTimestamp(4) === out(1).getTimestamp(3))
+    assert(out(1).getTimestamp(4) === out(2).getTimestamp(3))
+    assert(out(2).isNullAt(4) && out(2).getBoolean(6))
+  }
+}
