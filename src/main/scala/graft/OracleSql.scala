@@ -793,6 +793,32 @@ object OracleSql {
        |FROM h JOIN lastr ON h.user_id = lastr.user_id AND h.rn = lastr.mx
        |ORDER BY h.user_id""".stripMargin
 
+  /** Local-level Kalman filter via a recursive CTE — the gain
+    * expression is recomputed inline in each update exactly like
+    * KalmanFold's Java recomputes from the same (p, q, r) doubles.
+    */
+  def kalman(q: Double, r: Double): String = {
+    val k = s"((h.p + $q) / ((h.p + $q) + $r))"
+    s"""WITH RECURSIVE $daily,
+       |n AS (
+       |  SELECT user_id, v, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+       |  FROM daily),
+       |h AS (
+       |  SELECT user_id, rn, v AS l, CAST(1.0 AS DOUBLE) AS p, CAST(0.0 AS DOUBLE) AS k
+       |  FROM n WHERE rn = 1
+       |  UNION ALL
+       |  SELECT n.user_id, n.rn,
+       |         h.l + (n.v - h.l) * $k AS l,
+       |         (1.0 - $k) * (h.p + $q) AS p,
+       |         $k AS k
+       |  FROM h JOIN n ON n.user_id = h.user_id AND n.rn = h.rn + 1),
+       |lastr AS (SELECT user_id, MAX(rn) AS mx FROM n GROUP BY user_id)
+       |SELECT h.user_id, ${R("h.l")} AS level, ${R("h.p")} AS p_var,
+       |       ${R("h.k")} AS gain
+       |FROM h JOIN lastr ON h.user_id = lastr.user_id AND h.rn = lastr.mx
+       |ORDER BY h.user_id""".stripMargin
+  }
+
   /** Additive Holt-Winters via a recursive CTE carrying the m
     * seasonals as a list column — per-step arithmetic parenthesized
     * exactly like HwFold's Java (lNew inlined into the b and s

@@ -1318,6 +1318,14 @@ object SparkEntry {
     "scd2_intervals" -> ((s, dir) =>
       Relational.scd2Intervals(Tables.events(s, dir))
         .orderBy(col("user_id"), col("run_id"))),
+
+    // local-level Kalman smoother (q=0.01, r=1.0): native one-pass
+    // KalmanFold per series; the final gain is the converged
+    // steady-state gain
+    "ts_kalman" -> ((s, dir) =>
+      TimeSeries.kalman(
+        TimeSeries.resampleDaily(Tables.events(s, dir)), 0.01, 1.0)
+        .orderBy(col("user_id"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1516,5 +1524,6 @@ object SparkEntry {
     "feature_bins" -> OracleSql.featureBins,
     "cdc_latest" -> OracleSql.cdcLatest,
     "scd2_intervals" -> OracleSql.scd2Intervals,
+    "ts_kalman" -> OracleSql.kalman(0.01, 1.0),
   )
 }

@@ -376,6 +376,27 @@ object TimeSeries {
         r3(expr(s"element_at(hb, 1) + element_at(hb, 2) * $horizon.0")).as("forecast"))
   }
 
+  /** Local-level Kalman smoother per key: final (level, error
+    * variance, gain) of the `p' = p + q; k = p'/(p'+r); l += (v−l)k;
+    * p = (1−k)p'` recursion over the day-ordered series — the
+    * noise-aware level estimate next to [[holt]]'s trend recursion,
+    * folded by the native codegen [[graft.functions.KalmanFold]] in
+    * one pass (oracle: DuckDB recursive CTE, identical
+    * parenthesization). The final gain is the converged steady-state
+    * Kalman gain for the (q, r) pair.
+    */
+  def kalman(daily: DataFrame, q: Double, rObs: Double): DataFrame = {
+    graft.functions.VectorExprs.register(daily.sparkSession)
+    daily.groupBy(col(KEY))
+      .agg(expr("transform(sort_array(collect_list(struct(day, v))), s -> s.v)").as("vals"))
+      .select(col(KEY), expr(
+        s"graft_kalman(vals, cast($q as double), cast($rObs as double))").as("kf"))
+      .select(col(KEY),
+        r3(expr("element_at(kf, 1)")).as("level"),
+        r3(expr("element_at(kf, 2)")).as("p_var"),
+        r3(expr("element_at(kf, 3)")).as("gain"))
+  }
+
   /** Additive Holt-Winters per key: final (level, trend) of the
     * triple-smoothing recursion over the day-ordered series (period-m
     * seasonal state, [[graft.functions.HwFold]], one codegen'd pass),

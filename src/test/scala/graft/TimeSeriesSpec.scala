@@ -357,4 +357,35 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(lin.isNullAt(lin.fieldIndex("pacf_2")))
     assert(lin.isNullAt(lin.fieldIndex("pacf_3")))
   }
+
+  test("kalman: constant series keeps its level; gain converges to the steady state") {
+    import spark.implicits._
+    val const = (0 until 60).map(i =>
+      (1L, java.sql.Date.valueOf(s"2024-${"%02d".format(i / 28 + 1)}-${"%02d".format(i % 28 + 1)}"), 5.0))
+    val r = TimeSeries.kalman(const.toDF("user_id", "day", "v"), 0.01, 1.0)
+      .collect().head
+    assert(r.getAs[Double]("level") === 5.0)
+    // steady-state gain for q=0.01, r=1: k* = (q + p*)/(q + p* + r)
+    // with p* = (q + sqrt(q² + 4qr))/2 ≈ 0.0951 → k* ≈ 0.0951
+    assert(math.abs(r.getAs[Double]("gain") - 0.095) < 0.001)
+    // two-step hand check: v = [0, 1], q=1, r=1 → pp=2, k=2/3,
+    // l = 0 + (1-0)*2/3 = 2/3, p = (1/3)*2 = 2/3
+    val two = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-01"), 0.0),
+      (1L, java.sql.Date.valueOf("2024-01-02"), 1.0))
+    val h = TimeSeries.kalman(two.toDF("user_id", "day", "v"), 1.0, 1.0)
+      .collect().head
+    assert(h.getAs[Double]("level") === 0.667)
+    assert(h.getAs[Double]("p_var") === 0.667)
+    assert(h.getAs[Double]("gain") === 0.667)
+    // noisy level: the smoothed estimate is much closer to the truth
+    // than the last observation
+    val rng = new scala.util.Random(7)
+    val noisy = (0 until 120).map(i =>
+      (1L, java.sql.Date.valueOf(s"2024-${"%02d".format(i / 28 + 1)}-${"%02d".format(i % 28 + 1)}"),
+        10.0 + rng.nextGaussian()))
+    val s = TimeSeries.kalman(noisy.toDF("user_id", "day", "v"), 0.01, 1.0)
+      .collect().head
+    assert(math.abs(s.getAs[Double]("level") - 10.0) < 0.5)
+  }
 }
