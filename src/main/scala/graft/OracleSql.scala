@@ -3339,6 +3339,18 @@ object OracleSql {
        |       ${R("SUM(v) / COUNT(*)")} AS mean_v
        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
 
+  /** Interval-join attribution (stream_join_batch's oracle): each
+    * click × the same user's views in the preceding window.
+    */
+  def intervalJoin(windowSec: Long): String =
+    s"""SELECT v.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_ts_us,
+       |       v.event_id AS view_id, epoch_us(v.ts) AS view_ts_us
+       |FROM events v JOIN events c
+       |  ON v.user_id = c.user_id
+       | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL $windowSec SECONDS
+       |WHERE v.event_type = 'view' AND c.event_type = 'click'
+       |ORDER BY v.user_id, click_id, view_id""".stripMargin
+
   /** CDC latest-row snapshot per key ((ts, event_id) order). */
   val cdcLatest: String =
     s"""SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value

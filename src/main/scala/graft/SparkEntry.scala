@@ -1326,6 +1326,14 @@ object SparkEntry {
       TimeSeries.kalman(
         TimeSeries.resampleDaily(Tables.events(s, dir)), 0.01, 1.0)
         .orderBy(col("user_id"))),
+
+    // library twin of the STREAM-STREAM interval join (view→click
+    // attribution within 1 day); the streaming op itself is driven
+    // live in FeedStreamSpec
+    "stream_join_batch" -> ((s, dir) =>
+      graft.streaming.StreamOps.intervalJoinStreamBatch(
+        Tables.events(s, dir), 86400L)
+        .orderBy(col("user_id"), col("click_id"), col("view_id"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1525,5 +1533,6 @@ object SparkEntry {
     "cdc_latest" -> OracleSql.cdcLatest,
     "scd2_intervals" -> OracleSql.scd2Intervals,
     "ts_kalman" -> OracleSql.kalman(0.01, 1.0),
+    "stream_join_batch" -> OracleSql.intervalJoin(86400L),
   )
 }

@@ -455,4 +455,57 @@ object StreamOps {
       .select(col("user_id"),
         unix_micros(col("session_window.start")).as("session_start_us"),
         col("n_events"), col("sum_value"))
+
+  /** STREAM-STREAM interval join — the attribution shape: each
+    * `click` joins every `view` by the same user in the preceding
+    * `windowSec` seconds (view_ts ∈ [click_ts − windowSec, click_ts],
+    * inclusive). Watermarks on BOTH inputs bound the join state:
+    * Spark derives each side's state retention from the watermark +
+    * the time-range predicate and evicts automatically — the one
+    * Structured Streaming operator class (beside windowed aggs,
+    * session windows, dedup, and mapGroupsWithState machines) with
+    * TWO live inputs.
+    *
+    * At 100 TB the join shuffles both streams on `user_id` once; the
+    * range predicate is evaluated within each key's co-partitioned
+    * state, never as a cross product.
+    */
+  def intervalJoinStream(views: DataFrame, clicks: DataFrame,
+                         watermark: String, windowSec: Long): DataFrame = {
+    val v = views
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    v.join(c,
+        col("user_id") === col("c_user") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $windowSec SECONDS"))
+      .select(col("user_id"), col("click_id"),
+        unix_micros(col("click_ts")).as("click_ts_us"),
+        col("view_id"), unix_micros(col("view_ts")).as("view_ts_us"))
+  }
+
+  /** Batch twin of [[intervalJoinStream]]: the same equi-key +
+    * time-range join on a bounded replay (views/clicks split from one
+    * event log by type).
+    */
+  def intervalJoinStreamBatch(events: DataFrame, windowSec: Long): DataFrame = {
+    val v = events.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val c = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    v.join(c,
+        col("user_id") === col("c_user") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $windowSec SECONDS"))
+      .select(col("user_id"), col("click_id"),
+        unix_micros(col("click_ts")).as("click_ts_us"),
+        col("view_id"), unix_micros(col("view_ts")).as("view_ts_us"))
+  }
 }

@@ -404,6 +404,47 @@ class FeedStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes views to clicks across batches") {
+    import spark.implicits._
+    val vDir = Files.createTempDirectory("sj-views").toString
+    val cDir = Files.createTempDirectory("sj-clicks").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    def us(min: Long) = (base.getTime + min * 60000L) * 1000L
+    // views batch 1; the click arrives in a LATER micro-batch — the
+    // join must hold view state until the click shows up
+    val v1 = Seq((1L, 100L, "view", ts(0), 0.0), (1L, 101L, "view", ts(5), 0.0),
+      (2L, 200L, "view", ts(0), 0.0))
+    val c1 = Seq.empty[(Long, Long, String, java.sql.Timestamp, Double)]
+    val c2 = Seq((1L, 300L, "click", ts(8), 0.0),   // joins views 100, 101
+      (2L, 301L, "click", ts(90), 0.0))             // view 200 outside 30-min window
+    def write(dir: String, rows: Seq[(Long, Long, String, java.sql.Timestamp, Double)]) =
+      if (rows.nonEmpty) rows.toDF("user_id", "event_id", "event_type", "ts", "value")
+        .coalesce(1).write.mode("append").parquet(dir)
+    write(vDir, v1); write(cDir, c1)
+    // seed the click dir so the stream has a schema-bearing file
+    write(cDir, Seq((9L, 999L, "click", ts(0), 0.0)))
+    val schema = v1.toDF("user_id", "event_id", "event_type", "ts", "value").schema
+    def src(dir: String) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StreamOps.intervalJoinStream(src(vDir), src(cDir), "1 hour", 1800L)
+      .writeStream.outputMode("append").format("memory").queryName("sj").start()
+    try {
+      q.processAllAvailable()
+      write(cDir, c2)
+      q.processAllAvailable()
+      val got = spark.sql("select click_id, view_id from sj").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((300L, 100L), (300L, 101L)))
+      // parity with the batch twin over the full replay
+      val all = spark.read.parquet(vDir).unionByName(spark.read.parquet(cDir))
+      val twin = StreamOps.intervalJoinStreamBatch(all, 1800L)
+        .select("click_id", "view_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === twin)
+    } finally q.stop()
+  }
+
   test("stored self-LSH: bucketed band table self-joins with zero Exchange") {
     import graft.operators.Dedup
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
