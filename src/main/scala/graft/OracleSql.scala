@@ -1351,6 +1351,25 @@ object OracleSql {
        |       ${R("MAX(x)")} AS max_x
        |FROM x GROUP BY d ORDER BY d""".stripMargin
 
+  /** Upper-triangle covariance of the embedding dimensions —
+    * Σxᵢxⱼ/n − (Σxᵢ/n)(Σxⱼ/n) with the identical composition and
+    * rounding as Similarity.covariance.
+    */
+  def embeddingCovariance(dim: Int = 64): String =
+    s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL),
+       |nn AS (SELECT COUNT(*) AS n FROM e),
+       |m AS (SELECT r.d AS i, SUM(e.v[r.d + 1]) AS s
+       |      FROM e CROSS JOIN range(0, $dim) r(d) GROUP BY 1),
+       |p AS (SELECT ri.d AS i, rj.d AS j, SUM(e.v[ri.d + 1] * e.v[rj.d + 1]) AS sp
+       |      FROM e CROSS JOIN range(0, $dim) ri(d) CROSS JOIN range(0, $dim) rj(d)
+       |      WHERE rj.d >= ri.d GROUP BY 1, 2)
+       |SELECT p.i, p.j,
+       |       ${R("p.sp / nn.n - (mi.s / nn.n) * (mj.s / nn.n)")} AS cov
+       |FROM p, nn, m mi, m mj
+       |WHERE mi.i = p.i AND mj.i = p.j
+       |ORDER BY p.i, p.j""".stripMargin
+
   /** SemDeDup on the k-means-TRAINED quantizer: the kmeans chain, one
     * more assignment, then the dedupSemantic pair/survivor CTEs.
     */

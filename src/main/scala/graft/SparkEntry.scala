@@ -1334,6 +1334,12 @@ object SparkEntry {
       graft.streaming.StreamOps.intervalJoinStreamBatch(
         Tables.events(s, dir), 86400L)
         .orderBy(col("user_id"), col("click_id"), col("view_id"))),
+
+    // one-scan upper-triangle covariance of the embedding dimensions
+    // (means ride the same aggregate via sentinel rows)
+    "embedding_covariance" -> ((s, dir) =>
+      Similarity.covariance(Tables.embeddings(s, dir))
+        .orderBy(col("i"), col("j"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1534,5 +1540,6 @@ object SparkEntry {
     "scd2_intervals" -> OracleSql.scd2Intervals,
     "ts_kalman" -> OracleSql.kalman(0.01, 1.0),
     "stream_join_batch" -> OracleSql.intervalJoin(86400L),
+    "embedding_covariance" -> OracleSql.embeddingCovariance(),
   )
 }

@@ -571,6 +571,42 @@ object Similarity {
         r3(min(col("x"))).as("min_x"),
         r3(max(col("x"))).as("max_x"))
 
+  /** Upper-triangle covariance matrix of the embedding dimensions —
+    * the input PCA/whitening consumes. ONE linear scan explodes each
+    * vector's d(d+1)/2 upper-triangle products PLUS a sentinel
+    * (i, −1, xᵢ) row carrying the plain sum, so means and product
+    * sums ride the same map-side-combined aggregate: the shuffle
+    * carries ~|tasks|·d² partials, never n·d² rows, and the corpus is
+    * read once. The final cov(i,j) = Σxᵢxⱼ/n − (Σxᵢ/n)(Σxⱼ/n)
+    * composition joins the tiny (d²/2 + d)-row aggregate against its
+    * own d-row mean slice — broadcast both ways.
+    */
+  def covariance(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val last = dim - 1
+    val lam =
+      s"""flatten(transform(sequence(0, $last), i ->
+         |  concat(
+         |    array(named_struct('i', i, 'j', -1,
+         |      'p', cast(element_at(embedding, i + 1) as double))),
+         |    transform(sequence(i, $last), j -> named_struct('i', i, 'j', j,
+         |      'p', cast(element_at(embedding, i + 1) as double) *
+         |           cast(element_at(embedding, j + 1) as double))))))""".stripMargin
+    val agg = embeddings.where(col("embedding").isNotNull)
+      .select(explode(expr(lam)).as("t"))
+      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+      .agg(sum(col("t.p")).as("s"), count(lit(1)).as("n"))
+    val means = agg.where(col("j") === -1)
+      .select(col("i").as("mi"), col("s").as("sm"))
+    agg.where(col("j") >= 0)
+      .join(broadcast(means.select(col("mi"), col("sm").as("si"))),
+        col("i") === col("mi")).drop("mi")
+      .join(broadcast(means.select(col("mi"), col("sm").as("sj"))),
+        col("j") === col("mi")).drop("mi")
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        r3(col("s") / col("n") - (col("si") / col("n")) * (col("sj") / col("n")))
+          .as("cov"))
+  }
+
   /** Mean codebook distortion avg(1 − rounded cos(v, assigned
     * centroid)) — the quality number a training loop watches; Lloyd
     * descends it (HardeningSpec pins trained < seed on the test

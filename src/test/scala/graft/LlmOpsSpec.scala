@@ -353,4 +353,18 @@ class LlmOpsSpec extends AnyFunSuite {
       ("s1", "removed") -> 1L, ("s1", "unchanged") -> 1L,
       ("s1", "added") -> 1L))
   }
+
+  test("embedding covariance matches the hand-computed matrix; one scan, upper triangle") {
+    import spark.implicits._
+    // vectors (1,2), (3,4), (5,0): means (3, 2)
+    // cov(0,0) = (1+9+25)/3 − 9 = 8/3 ≈ 2.667
+    // cov(0,1) = (2+12+0)/3 − 6 = −4/3 ≈ −1.333
+    // cov(1,1) = (4+16+0)/3 − 4 = 8/3 ≈ 2.667
+    val e = Seq(
+      (1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)), (3L, Array(5.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.covariance(e, dim = 2).orderBy("i", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((0L, 0L, 2.667), (0L, 1L, -1.333), (1L, 1L, 2.667)))
+  }
 }
