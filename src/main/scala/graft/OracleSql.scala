@@ -3358,6 +3358,27 @@ object OracleSql {
        |       ${R("SUM(v) / COUNT(*)")} AS mean_v
        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
 
+  /** TPC-H Q4-style priority ladder over the late-shipment EXISTS. */
+  val q4PrioritySemi: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS order_count
+       |FROM orders o
+       |WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+       |  AND o.o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+       |  AND EXISTS (SELECT 1 FROM lineitem l
+       |              WHERE l.l_orderkey = o.o_orderkey
+       |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q22-style dormant customers via NOT EXISTS. */
+  val q22AntiJoin: String =
+    s"""SELECT c_custkey, c_mktsegment, c_acctbal
+       |FROM customer c
+       |WHERE c.c_acctbal > 0
+       |  AND NOT EXISTS (SELECT 1 FROM orders o
+       |                  WHERE o.o_custkey = c.c_custkey
+       |                    AND o.o_orderdate >= TIMESTAMP '1998-05-01 00:00:00')
+       |ORDER BY c_custkey""".stripMargin
+
   /** Interval-join attribution (stream_join_batch's oracle): each
     * click × the same user's views in the preceding window.
     */

@@ -1340,6 +1340,36 @@ object SparkEntry {
     "embedding_covariance" -> ((s, dir) =>
       Similarity.covariance(Tables.embeddings(s, dir))
         .orderBy(col("i"), col("j"))),
+
+    // TPC-H Q4-style order-priority ladder: EXISTS becomes a LEFT SEMI
+    // join (equi-key + late-shipment residual); the quarter predicate
+    // pushes to the orders scan, the semi-join emits each order once
+    // no matter how many late lineitems it has
+    "q4_priority_semi" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= lit("1995-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-04-01 00:00:00").cast("timestamp"))
+      val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l,
+          o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q22-style dormant-customer audit: NOT EXISTS becomes a
+    // LEFT ANTI join against the distinct-projected recent buyers
+    // (the distinct collapses order volume before the shuffle)
+    "q22_anti_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).where(col("c_acctbal") > 0)
+      val recent = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= lit("1998-05-01 00:00:00").cast("timestamp"))
+        .select(col("o_custkey")).distinct()
+      c.join(recent, c("c_custkey") === recent("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1541,5 +1571,7 @@ object SparkEntry {
     "ts_kalman" -> OracleSql.kalman(0.01, 1.0),
     "stream_join_batch" -> OracleSql.intervalJoin(86400L),
     "embedding_covariance" -> OracleSql.embeddingCovariance(),
+    "q4_priority_semi" -> OracleSql.q4PrioritySemi,
+    "q22_anti_join" -> OracleSql.q22AntiJoin,
   )
 }
