@@ -3358,6 +3358,32 @@ object OracleSql {
        |       ${R("SUM(v) / COUNT(*)")} AS mean_v
        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
 
+  /** Banded Theil–Sen slope: pairwise slopes within `maxLag` rows via
+    * a banded rn self-join, exact interpolated median.
+    */
+  def theilSen(maxLag: Int): String =
+    s"""WITH $daily,
+       |n AS (
+       |  SELECT user_id, day, v, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+       |  FROM daily),
+       |p AS (
+       |  SELECT a.user_id,
+       |         (a.v - b.v) / CAST(date_diff('day', b.day, a.day) AS DOUBLE) AS slope
+       |  FROM n a JOIN n b
+       |    ON a.user_id = b.user_id AND a.rn - b.rn BETWEEN 1 AND $maxLag)
+       |SELECT user_id, ${R("quantile_cont(slope, 0.5)")} AS slope,
+       |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** k-anonymity audit: (event_type, hour) groups under k distinct users. */
+  def kAnonymityAudit(k: Int, grain: String = "hour"): String =
+    s"""SELECT event_type, date_trunc('$grain', ts) AS qid_ts,
+       |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |       CAST(COUNT(*) AS BIGINT) AS n_events
+       |FROM events GROUP BY 1, 2
+       |HAVING COUNT(DISTINCT user_id) < $k
+       |ORDER BY event_type, qid_ts""".stripMargin
+
   /** TPC-H Q4-style priority ladder over the late-shipment EXISTS. */
   val q4PrioritySemi: String =
     s"""SELECT o_orderpriority, COUNT(*) AS order_count

@@ -1370,6 +1370,17 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
         .orderBy(col("c_custkey"))
     }),
+
+    // banded Theil–Sen robust slope (pairs ≤ 7 rows apart)
+    "ts_theilsen" -> ((s, dir) =>
+      TimeSeries.theilSen(
+        TimeSeries.resampleDaily(Tables.events(s, dir)), 7)
+        .orderBy(col("user_id"))),
+
+    // k-anonymity audit of the (event_type, hour) quasi-identifier
+    "kanon_audit" -> ((s, dir) =>
+      Relational.kAnonymityAudit(Tables.events(s, dir), 20)
+        .orderBy(col("event_type"), col("qid_ts"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1573,5 +1584,7 @@ object SparkEntry {
     "embedding_covariance" -> OracleSql.embeddingCovariance(),
     "q4_priority_semi" -> OracleSql.q4PrioritySemi,
     "q22_anti_join" -> OracleSql.q22AntiJoin,
+    "ts_theilsen" -> OracleSql.theilSen(7),
+    "kanon_audit" -> OracleSql.kAnonymityAudit(20),
   )
 }

@@ -296,6 +296,26 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** k-anonymity audit over a quasi-identifier: groups of
+    * (event_type, day) whose distinct-user count is below `k` — the
+    * re-identification risk surface a privacy review needs BEFORE a
+    * dataset ships (rows in small groups are linkable). Emits only
+    * the violating groups with their user/event counts.
+    *
+    * Scale plan: one groupBy with a distinct-count (Spark expands to
+    * two-phase partial distinct — map-side dedup of (qid, user) before
+    * the exchange); the violation filter prunes on the aggregate.
+    */
+  def kAnonymityAudit(events: DataFrame, k: Int,
+                      grain: String = "hour"): DataFrame =
+    events
+      .select(col("event_type"), date_trunc(grain, col("ts")).as("qid_ts"),
+        col("user_id"))
+      .groupBy(col("event_type"), col("qid_ts"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .where(col("n_users") < k)
+
   /** CDC log → current snapshot: the latest row per key (MERGE-upsert
     * compaction — what a Delta/Hudi "latest snapshot" read computes).
     * Order is (ts, event_id) so timestamp ties resolve

@@ -174,6 +174,34 @@ object TimeSeries {
       r3(expr("percentile(v, 0.75)")).as("p75"),
       r3(expr("percentile(v, 0.95)")).as("p95"))
 
+  /** Banded Theil–Sen robust slope per key: the median of pairwise
+    * slopes `(vᵢ − vⱼ)/(dayᵢ − dayⱼ)` over all pairs at most `maxLag`
+    * rows apart — the outlier-proof trend estimate next to
+    * [[fitLinear]]'s OLS (a single corrupted day can move OLS
+    * arbitrarily; the banded median needs half the band corrupted).
+    * Banding makes the cost n·maxLag instead of the classic n²/2
+    * while keeping every short-range slope — the estimator large-n
+    * practice uses.
+    *
+    * Scale plan: all `maxLag` lag windows share ONE key exchange; the
+    * explode is map-only; the per-key median is the same exact
+    * interpolating percentile as [[quantiles]].
+    */
+  def theilSen(daily: DataFrame, maxLag: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(KEY)).orderBy(col(DAY))
+    val slopes = (1 to maxLag).map(k =>
+      ((col("v") - lag(col("v"), k).over(w)) /
+        datediff(col(DAY), lag(col(DAY), k).over(w)).cast("double")).as(s"s$k"))
+    daily.select(col(KEY) +: slopes: _*)
+      .select(col(KEY),
+        explode(array((1 to maxLag).map(k => col(s"s$k")): _*)).as("slope"))
+      .where(col("slope").isNotNull)
+      .groupBy(col(KEY))
+      .agg(r3(expr("percentile(slope, 0.5)")).as("slope"),
+        count(lit(1)).as("n_pairs"))
+  }
+
   /** Monthly-slope "trajectory" metric: median (or mean, with
     * `median = false` — reference's `median=False` path,
     * src/demo/utils.py:501) daily gradient of the trend over the

@@ -358,6 +358,23 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(lin.isNullAt(lin.fieldIndex("pacf_3")))
   }
 
+  test("theilSen: recovers the slope of a line and shrugs off an outlier that moves OLS") {
+    import spark.implicits._
+    def d(i: Int) = java.sql.Date.valueOf(s"2024-${"%02d".format(i / 28 + 1)}-${"%02d".format(i % 28 + 1)}")
+    // clean line v = 2t: both estimators get slope 2
+    val clean = (0 until 40).map(i => (1L, d(i), 2.0 * i)).toDF("user_id", "day", "v")
+    assert(TimeSeries.theilSen(clean, 7).collect().head.getDouble(1) === 2.0)
+    // one corrupted day (+1000): the banded median still says 2
+    val dirty = (0 until 40).map(i =>
+      (1L, d(i), if (i == 20) 2.0 * i + 1000.0 else 2.0 * i)).toDF("user_id", "day", "v")
+    assert(TimeSeries.theilSen(dirty, 7).collect().head.getDouble(1) === 2.0)
+    // while OLS on the same data is visibly dragged off the true slope
+    // (a +1000 spike on one of 40 days shifts a centered-leverage OLS
+    // by ~0.24 — an order of magnitude above the r3 resolution)
+    val ols = TimeSeries.fitLinear(dirty).collect().head.getAs[Double]("slope")
+    assert(math.abs(ols - 2.0) > 0.2)
+  }
+
   test("kalman: constant series keeps its level; gain converges to the steady state") {
     import spark.implicits._
     val const = (0 until 60).map(i =>
