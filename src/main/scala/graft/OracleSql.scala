@@ -3235,6 +3235,37 @@ object OracleSql {
        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
+  /** Theta-method forecast: rounded OLS (a, b), rounded theta-2 line,
+    * list_reduce SES with EwmaFold's exact arithmetic, averaged
+    * forecast — every composed value rounded before reuse, mirroring
+    * TimeSeries.theta.
+    */
+  def theta(alpha: Double, horizon: Int): String = {
+    val slope = "COVAR_POP(v, t) / NULLIF(VAR_POP(t), 0)"
+    s"""WITH $daily,
+       |d AS (SELECT user_id, day, v, CAST(day - DATE '1970-01-01' AS DOUBLE) AS t FROM daily),
+       |fit AS (
+       |  SELECT user_id, ${R(slope)} AS b,
+       |         ${R(s"AVG(v) - ($slope) * AVG(t)")} AS a,
+       |         MAX(day) AS last_day
+       |  FROM d GROUP BY user_id),
+       |th AS (
+       |  SELECT d.user_id, d.day, fit.a, fit.b, fit.last_day,
+       |         ${R("2.0 * d.v - (fit.a + fit.b * d.t)")} AS th2
+       |  FROM d JOIN fit USING (user_id)),
+       |vals AS (
+       |  SELECT user_id, MIN(a) AS a, MIN(b) AS b, MIN(last_day) AS last_day,
+       |         LIST(th2 ORDER BY day) AS vs
+       |  FROM th GROUP BY user_id),
+       |s AS (
+       |  SELECT user_id, a, b, last_day,
+       |         ${R(s"list_reduce(vs, (acc, x) -> acc * ${1 - alpha} + x * $alpha)")} AS ses
+       |  FROM vals)
+       |SELECT user_id, b AS drift, ses,
+       |       ${R(s"0.5 * (a + b * CAST((last_day + $horizon) - DATE '1970-01-01' AS DOUBLE)) + 0.5 * ses")} AS forecast
+       |FROM s ORDER BY user_id""".stripMargin
+  }
+
   /** OLS forecast `horizon` days past each series' end. */
   def predictLinear(horizon: Int): String = {
     val slope = "COVAR_POP(v, t) / NULLIF(VAR_POP(t), 0)"

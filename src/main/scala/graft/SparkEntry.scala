@@ -1381,6 +1381,12 @@ object SparkEntry {
     "kanon_audit" -> ((s, dir) =>
       Relational.kAnonymityAudit(Tables.events(s, dir), 20)
         .orderBy(col("event_type"), col("qid_ts"))),
+
+    // theta-method forecast (OLS drift + SES of the theta-2 line)
+    "ts_theta" -> ((s, dir) =>
+      TimeSeries.theta(
+        TimeSeries.resampleDaily(Tables.events(s, dir)), 0.3, NY)
+        .orderBy(col("user_id"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1586,5 +1592,6 @@ object SparkEntry {
     "q22_anti_join" -> OracleSql.q22AntiJoin,
     "ts_theilsen" -> OracleSql.theilSen(7),
     "kanon_audit" -> OracleSql.kAnonymityAudit(20),
+    "ts_theta" -> OracleSql.theta(0.3, NY),
   )
 }

@@ -613,6 +613,46 @@ object TimeSeries {
         count(lit(1)).as("n_days"))
   }
 
+  /** Theta-method forecast (Assimakopoulos & Nikolopoulos 2000, the
+    * M3-competition winner): decompose each series into the OLS
+    * theta-0 line and the curvature-doubled theta-2 line
+    * `2v − (a + bt)`, SES-smooth the theta-2 line, and forecast
+    * `0.5·(a + b·t_future) + 0.5·SES` — drift from the fit, level
+    * from the smoothing.
+    *
+    * Scale plan: the fit aggregate and the theta-2 projection share
+    * one key partitioning (the join back reuses the fit's exchange);
+    * the SES fold is one [[graft.functions.EwmaFold]] pass over the
+    * day-ordered theta-2 list. All composed values (a, b, theta-2,
+    * SES) are rounded before reuse so the oracle recomputes them
+    * bit-identically.
+    */
+  def theta(daily: DataFrame, alpha: Double, horizon: Int): DataFrame = {
+    graft.functions.VectorExprs.register(daily.sparkSession)
+    val t = datediff(col(DAY), to_date(lit("1970-01-01"))).cast("double")
+    val slope = covar_pop(col("v"), col("t")) / nullif(var_pop(col("t")), lit(0.0))
+    val withT = daily.withColumn("t", t)
+    val fit = withT.groupBy(col(KEY)).agg(
+      r3(slope).as("b"),
+      r3(avg(col("v")) - slope * avg(col("t"))).as("a"),
+      max(col(DAY)).as("last_day"))
+    withT.join(fit, Seq(KEY))
+      .select(col(KEY), col(DAY), col("a"), col("b"), col("last_day"),
+        r3(lit(2.0) * col("v") - (col("a") + col("b") * col("t"))).as("th2"))
+      .groupBy(col(KEY))
+      .agg(min(col("a")).as("a"), min(col("b")).as("b"),
+        min(col("last_day")).as("last_day"),
+        expr("transform(sort_array(collect_list(struct(day, th2))), s -> s.th2)")
+          .as("vals"))
+      .select(col(KEY), col("a"), col("b"), col("last_day"),
+        r3(expr(s"graft_ewma(vals, cast($alpha as double))")).as("ses"))
+      .select(col(KEY), col("b").as("drift"), col("ses"),
+        r3(lit(0.5) * (col("a") + col("b") *
+            datediff(date_add(col("last_day"), horizon),
+              to_date(lit("1970-01-01"))).cast("double")) +
+          lit(0.5) * col("ses")).as("forecast"))
+  }
+
   /** Score the [[fitLinear]] model `horizon` days past each series'
     * end: v_hat = intercept + slope·t. Fit and spine generation are
     * both per-key aggregates — one shuffle, then a map-only explode.

@@ -358,6 +358,24 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(lin.isNullAt(lin.fieldIndex("pacf_3")))
   }
 
+  test("theta: constant series forecasts itself; drift equals the OLS slope") {
+    import spark.implicits._
+    // contiguous days — the drift check needs t to advance 1 per row
+    def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    val const = (0 until 40).map(i => (1L, d(i), 7.0)).toDF("user_id", "day", "v")
+    val c = TimeSeries.theta(const, 0.3, 5).collect().head
+    assert(c.getAs[Double]("drift") === 0.0)
+    assert(c.getAs[Double]("ses") === 7.0)
+    assert(c.getAs[Double]("forecast") === 7.0)
+    // on a clean line the drift is the slope and the forecast splits
+    // the difference between the extrapolated line and the flat SES
+    val line = (0 until 40).map(i => (1L, d(i), 2.0 * i)).toDF("user_id", "day", "v")
+    val l = TimeSeries.theta(line, 0.3, 5).collect().head
+    assert(l.getAs[Double]("drift") === 2.0)
+    val lineAt = 2.0 * (39 + 5)
+    assert(l.getAs[Double]("forecast") < lineAt && l.getAs[Double]("forecast") > l.getAs[Double]("ses"))
+  }
+
   test("theilSen: recovers the slope of a line and shrugs off an outlier that moves OLS") {
     import spark.implicits._
     def d(i: Int) = java.sql.Date.valueOf(s"2024-${"%02d".format(i / 28 + 1)}-${"%02d".format(i % 28 + 1)}")
