@@ -3415,6 +3415,31 @@ object OracleSql {
        |HAVING COUNT(DISTINCT user_id) < $k
        |ORDER BY event_type, qid_ts""".stripMargin
 
+  /** Next-fit byte-budget payload packing via a per-shard recursive
+    * walk in media_id order — mirrors Multimodal.packPayloads' fold.
+    */
+  def packPayloads(budget: Long): String =
+    s"""WITH RECURSIVE m AS (
+       |  SELECT doc_id AS media_id, source AS shard,
+       |         CAST(strlen(text) AS BIGINT) AS n,
+       |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |r AS (
+       |  SELECT shard, rn, media_id, n,
+       |         CASE WHEN n <= $budget THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS bin,
+       |         n AS used
+       |  FROM m WHERE rn = 1
+       |  UNION ALL
+       |  SELECT m.shard, m.rn, m.media_id, m.n,
+       |         CASE WHEN r.used + m.n <= $budget THEN r.bin ELSE r.bin + 1 END,
+       |         CASE WHEN r.used + m.n <= $budget THEN r.used + m.n ELSE m.n END
+       |  FROM r JOIN m ON m.shard = r.shard AND m.rn = r.rn + 1)
+       |SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_blobs,
+       |       CAST(SUM(n) AS BIGINT) AS bytes_used,
+       |       ${R(s"CAST(SUM(n) AS BIGINT) / $budget.0")} AS fill
+       |FROM r GROUP BY shard, bin
+       |ORDER BY shard, bin""".stripMargin
+
   /** TPC-H Q4-style priority ladder over the late-shipment EXISTS. */
   val q4PrioritySemi: String =
     s"""SELECT o_orderpriority, COUNT(*) AS order_count

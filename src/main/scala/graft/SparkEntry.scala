@@ -1387,6 +1387,13 @@ object SparkEntry {
       TimeSeries.theta(
         TimeSeries.resampleDaily(Tables.events(s, dir)), 0.3, NY)
         .orderBy(col("user_id"))),
+
+    // next-fit byte-budget packing of whole payloads (blobs don't
+    // split across training files; sequential within shard, parallel
+    // across shards)
+    "multimodal_pack" -> ((s, dir) =>
+      graft.sources.Multimodal.packPayloads(Tables.documents(s, dir), 1000L)
+        .orderBy(col("shard"), col("bin"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1593,5 +1600,6 @@ object SparkEntry {
     "ts_theilsen" -> OracleSql.theilSen(7),
     "kanon_audit" -> OracleSql.kAnonymityAudit(20),
     "ts_theta" -> OracleSql.theta(0.3, NY),
+    "multimodal_pack" -> OracleSql.packPayloads(1000L),
   )
 }

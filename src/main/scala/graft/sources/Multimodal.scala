@@ -83,6 +83,49 @@ object Multimodal {
         when(col("m") <= maxDim, col("h"))
           .otherwise(floor(col("h") * maxDim / col("m")).cast("long")).as("out_h"))
 
+  /** Next-fit byte-budget BIN PACKING of whole payloads — the
+    * multimodal counterpart of token-stream packing: a blob cannot
+    * split across training files, so instead of stream division each
+    * blob lands wholly in the current bin, opening a new bin when it
+    * would not fit (an oversize blob gets a bin of its own). Walk
+    * order is media_id within each shard.
+    *
+    * Scale plan: packing is inherently sequential WITHIN a shard (bin
+    * state depends on every prior blob) — exactly like every
+    * production packer, the parallelism axis is shards: each shard's
+    * fold runs independently after one shuffle on `shard`. The fold
+    * is a higher-order `aggregate` over the (id, bytes) list; per-bin
+    * audit rows come from one more map-side-combined groupBy. Emits
+    * (shard, bin, n_blobs, bytes_used, fill = bytes/budget).
+    */
+  def packPayloads(docs: DataFrame, budget: Long): DataFrame = {
+    val acc0 = "named_struct('bins', cast(array() as array<bigint>), " +
+      "'bin', cast(0 as bigint), 'used', cast(0 as bigint))"
+    val step = s"""(acc, x) -> CASE
+      WHEN acc.used + x.n <= $budget THEN named_struct(
+        'bins', concat(acc.bins, array(acc.bin)),
+        'bin', acc.bin, 'used', acc.used + x.n)
+      ELSE named_struct(
+        'bins', concat(acc.bins, array(acc.bin + cast(1 as bigint))),
+        'bin', acc.bin + cast(1 as bigint), 'used', x.n) END"""
+    docs
+      .select(col("doc_id").as("media_id"), col("source").as("shard"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n"))
+      .groupBy(col("shard"))
+      .agg(expr("sort_array(collect_list(struct(media_id, n)))").as("items"))
+      .select(col("shard"),
+        col("items"),
+        expr(s"aggregate(items, $acc0, $step).bins").as("bins"))
+      .select(col("shard"), explode(expr(
+        "zip_with(items, bins, (it, b) -> named_struct('n', it.n, 'bin', b))"))
+        .as("z"))
+      .groupBy(col("shard"), col("z.bin").as("bin"))
+      .agg(count(lit(1)).as("n_blobs"), sum(col("z.n")).as("bytes_used"))
+      .select(col("shard"), col("bin"), col("n_blobs"), col("bytes_used"),
+        (floor(col("bytes_used") / lit(budget.toDouble) * 1000.0 + 0.5001) / 1000.0)
+          .as("fill"))
+  }
+
   /** "Decode + featurize" per partition: a deterministic byte-bucket
     * histogram (16 buckets) standing in for pixel statistics. A real
     * codec replaces the inner loop only — the iterator/batch shape,

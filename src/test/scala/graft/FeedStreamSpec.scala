@@ -404,6 +404,26 @@ class FeedStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("payload packing: bins respect the budget, oversize blobs sit alone, nothing lost") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a" * 400, "s0"), (2L, "b" * 400, "s0"), (3L, "c" * 300, "s0"),
+      (4L, "d" * 1500, "s0"),  // oversize: own bin
+      (5L, "e" * 100, "s0"),
+      (6L, "f" * 900, "s1"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.sources.Multimodal.packPayloads(docs, 1000L)
+      .orderBy("shard", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // s0 walk: 400+400 -> bin0 (800); 300 opens bin1; 1500 opens bin2
+    // alone; 100 opens bin3 (1500 left bin2 over budget)
+    assert(out.toSeq === Seq(
+      ("s0", 0L, 2L, 800L), ("s0", 1L, 1L, 300L), ("s0", 2L, 1L, 1500L),
+      ("s0", 3L, 1L, 100L), ("s1", 0L, 1L, 900L)))
+    assert(out.map(_._3).sum === 6) // every blob placed exactly once
+    assert(out.filter(_._4 > 1000L).forall(_._3 == 1L)) // only singletons overflow
+  }
+
   test("stream-stream interval join attributes views to clicks across batches") {
     import spark.implicits._
     val vDir = Files.createTempDirectory("sj-views").toString
