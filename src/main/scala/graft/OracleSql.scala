@@ -3461,6 +3461,104 @@ object OracleSql {
        |                    AND o.o_orderdate >= TIMESTAMP '1998-05-01 00:00:00')
        |ORDER BY c_custkey""".stripMargin
 
+  /** TPC-H Q13-style customer order-count distribution (LEFT OUTER +
+    * two-level aggregate). Orders collapse to per-customer counts
+    * BEFORE the customer join in both engines.
+    */
+  val q13CustDist: String =
+    s"""WITH ocnt AS (
+       |  SELECT o_custkey, COUNT(*) AS n
+       |  FROM orders WHERE o_orderpriority <> '1-URGENT'
+       |  GROUP BY o_custkey)
+       |SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+       |  SELECT c.c_custkey, CAST(COALESCE(ocnt.n, 0) AS BIGINT) AS c_count
+       |  FROM customer c LEFT JOIN ocnt ON c.c_custkey = ocnt.o_custkey)
+       |GROUP BY c_count
+       |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q15-style top supplier: revenue ties to the max kept via
+    * exact decimal equality.
+    */
+  val q15TopSupplier: String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey,
+       |         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+       |  GROUP BY l_suppkey)
+       |SELECT s.s_suppkey, s.s_name,
+       |       ${R("CAST(rev.total AS DOUBLE)", 2)} AS total_revenue
+       |FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+       |WHERE rev.total = (SELECT MAX(total) FROM rev)
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q17-style small-quantity average: the correlated 0.2·avg
+    * threshold stated division-free (5·qty·n < Σqty) so both engines
+    * compare exact decimals/integers.
+    */
+  val q17SmallQty: String =
+    s"""WITH li AS (
+       |  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       |  WHERE p.p_brand = 'Brand#23'),
+       |st AS (
+       |  SELECT l_partkey AS pk, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+       |         COUNT(*) AS n
+       |  FROM li GROUP BY l_partkey)
+       |SELECT ${R("CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0", 2)} AS avg_yearly,
+       |       CAST(COUNT(*) AS BIGINT) AS n_lines
+       |FROM li JOIN st ON li.l_partkey = st.pk
+       |WHERE 5 * CAST(li.l_quantity AS DECIMAL(12,2)) * st.n < st.sq""".stripMargin
+
+  /** TPC-H Q19-style disjunctive-predicate revenue (OR of brand/size/
+    * quantity bands).
+    */
+  val q19Disjunctive: String =
+    s"""SELECT ${R("CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)", 2)} AS revenue,
+       |       CAST(COUNT(*) AS BIGINT) AS n_lines
+       |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1  AND 11)
+       |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+       |   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** TPC-H Q7-style nation-pair trade volume, both directions of the
+    * (NATION_18, NATION_19) pair, by ship year.
+    */
+  val q7Volume: String =
+    s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       |       CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
+       |       ${R("CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)", 2)} AS revenue
+       |FROM lineitem l
+       |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       |JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+       |JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |JOIN customer c ON c.c_custkey = o.o_custkey
+       |JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+       |WHERE ((sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+       |    OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18'))
+       |  AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+       |  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY 1, 2, 3
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q16-style supplier count per part attribute (lineitem is
+    * the part↔supplier association in this schema), negative-balance
+    * suppliers excluded NOT-IN-style.
+    */
+  val q16SupplierCnt: String =
+    s"""WITH assoc AS (
+       |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+       |bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       |SELECT p.p_brand, p.p_size,
+       |       CAST(COUNT(DISTINCT a.l_suppkey) AS BIGINT) AS supplier_cnt
+       |FROM assoc a JOIN part p ON a.l_partkey = p.p_partkey
+       |WHERE p.p_brand <> 'Brand#45'
+       |  AND p.p_size IN (1, 9, 17, 25, 33, 41, 49)
+       |  AND a.l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+       |GROUP BY p.p_brand, p.p_size
+       |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
+
   /** Interval-join attribution (stream_join_batch's oracle): each
     * click × the same user's views in the preceding window.
     */

@@ -1394,6 +1394,125 @@ object SparkEntry {
     "multimodal_pack" -> ((s, dir) =>
       graft.sources.Multimodal.packPayloads(Tables.documents(s, dir), 1000L)
         .orderBy(col("shard"), col("bin"))),
+
+    // TPC-H Q13-style order-count distribution: orders collapse to
+    // per-customer counts FIRST (map-side combined), then the LEFT
+    // OUTER attaches customers — the join touches |customers| rows,
+    // never order volume; the distribution agg is tiny
+    "q13_custdist" -> ((s, dir) => {
+      val ocnt = Tables.orders(s, dir)
+        .where(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      Tables.customer(s, dir).select(col("c_custkey"))
+        .join(ocnt, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(coalesce(col("n"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q15-style top supplier: quarterly revenue per supplier;
+    // the max is a 1-row broadcast, ties kept via exact decimal
+    // equality (never a global sort)
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec2("l_extendedprice") * (lit(1) - pct2("l_discount"))).as("total"))
+      val maxr = rev.agg(max(col("total")).as("max_total"))
+      rev.join(broadcast(maxr), col("total") === col("max_total"))
+        .join(broadcast(Tables(s, dir, "supplier").select("s_suppkey", "s_name")),
+          col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          r2c(col("total").cast("double")).as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q17-style small-quantity lines: the correlated 0.2·avg
+    // threshold rewritten division-free (5·qty·n < Σqty, exact
+    // decimals) so both engines compare identically; per-part stats
+    // are dimension-sized → broadcast
+    "q17_small_qty" -> ((s, dir) => {
+      val brandParts = Tables(s, dir, "part")
+        .where(col("p_brand") === "Brand#23").select(col("p_partkey"))
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val st = li.groupBy(col("l_partkey").as("pk")).agg(
+        sum(dec2("l_quantity")).as("sq"), count(lit(1)).as("n"))
+      li.join(broadcast(st), col("l_partkey") === col("pk"))
+        .where(lit(5) * dec2("l_quantity") * col("n") < col("sq"))
+        .agg(
+          r2c(sum(dec2("l_extendedprice")).cast("double") / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q19-style disjunctive predicate: brand IN pushes to the
+    // part scan, the redundant quantity hull [1,30] pushes to the
+    // lineitem scan, the OR-of-ANDs evaluates after the broadcast join
+    "q19_disjunctive" -> ((s, dir) => {
+      val p = Tables(s, dir, "part")
+        .where(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val l = Tables.lineitem(s, dir)
+        .where(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) && col("l_quantity").between(20, 30)))
+        .agg(
+          r2c(sum(dec2("l_extendedprice") * (lit(1) - pct2("l_discount"))).cast("double")).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q7-style nation-pair volume: supplier→nation and
+    // customer→nation collapse to broadcast key→nation maps; the only
+    // event-volume shuffle is lineitem ⋈ orders
+    "q7_volume" -> ((s, dir) => {
+      val nation = Tables(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val sn = Tables(s, dir, "supplier")
+        .join(nation, col("s_nationkey") === col("n_nationkey"))
+        .where(col("n_name").isin("NATION_18", "NATION_19"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cn = Tables.customer(s, dir)
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+        .where(col("n_name").isin("NATION_18", "NATION_19"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val l = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1995-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+        .join(broadcast(sn), col("s_suppkey") === col("l_suppkey"))
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        .join(broadcast(cn), col("c_custkey") === col("o_custkey"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .where((col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
+               (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(r2c(sum(dec2("l_extendedprice") * (lit(1) - pct2("l_discount"))).cast("double")).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // TPC-H Q16-style supplier count per part attribute: lineitem is
+    // this schema's part↔supplier association — it distinct-projects
+    // map-side BEFORE any join; the blocklist rides as a broadcast anti
+    "q16_supplier_cnt" -> ((s, dir) => {
+      val assoc = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val p = Tables(s, dir, "part")
+        .where(col("p_brand") =!= "Brand#45" &&
+          col("p_size").isin(1, 9, 17, 25, 33, 41, 49))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val bad = Tables(s, dir, "supplier")
+        .where(col("s_acctbal") < 0).select(col("s_suppkey"))
+      assoc.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1601,5 +1720,11 @@ object SparkEntry {
     "kanon_audit" -> OracleSql.kAnonymityAudit(20),
     "ts_theta" -> OracleSql.theta(0.3, NY),
     "multimodal_pack" -> OracleSql.packPayloads(1000L),
+    "q13_custdist" -> OracleSql.q13CustDist,
+    "q15_top_supplier" -> OracleSql.q15TopSupplier,
+    "q17_small_qty" -> OracleSql.q17SmallQty,
+    "q19_disjunctive" -> OracleSql.q19Disjunctive,
+    "q7_volume" -> OracleSql.q7Volume,
+    "q16_supplier_cnt" -> OracleSql.q16SupplierCnt,
   )
 }

@@ -107,6 +107,7 @@ object VectorExprs {
     "graft_holt" -> "graft_holt(vals: array<float|double>, alpha: double literal, beta: double literal)",
     "graft_holt_winters" -> "graft_holt_winters(vals: array<float|double>, alpha: double literal, beta: double literal, gamma: double literal, period: int literal)",
     "graft_kalman" -> "graft_kalman(vals: array<float|double>, q: double literal, r: double literal)",
+    "graft_cusum" -> "graft_cusum(zvals: array<float|double>, k: double literal, h: double literal)",
     "graft_ivf_cell" -> "graft_ivf_cell(v: array<float|double>, centroids: string literal from IvfCell.encode)",
     "graft_pq_codes" -> "graft_pq_codes(v: array<float|double>, codebook: string literal from PqCodes.encode)",
     "graft_ivf_cells" -> "graft_ivf_cells(v: array<float|double>, centroids: string literal from IvfCell.encode, nprobe: int literal)")
@@ -148,6 +149,10 @@ object VectorExprs {
       case "graft_kalman" =>
         requireArity(name, usage, exprs, 3)
         KalmanFold(exprs(0), litDoubleArg(name, usage, exprs, 1),
+          litDoubleArg(name, usage, exprs, 2))
+      case "graft_cusum" =>
+        requireArity(name, usage, exprs, 3)
+        CusumFold(exprs(0), litDoubleArg(name, usage, exprs, 1),
           litDoubleArg(name, usage, exprs, 2))
       case "graft_ivf_cell" =>
         requireArity(name, usage, exprs, 2)
