@@ -819,6 +819,115 @@ object OracleSql {
        |ORDER BY h.user_id""".stripMargin
   }
 
+  /** Two-sided CUSUM chart via a recursive CTE — per-step arithmetic
+    * parenthesized exactly like CusumFold's Java (the excursions spp/
+    * snp are inlined into every consumer, recomputing the identical
+    * IEEE value; both sides clamp before the alarm test).
+    */
+  def cusum(k: Double, h: Double): String = {
+    val spp = s"GREATEST(0.0, c.sp + n.z - $k)"
+    val snp = s"LEAST(0.0, c.sn + n.z + $k)"
+    val al = s"($spp > $h OR $snp < -$h)"
+    val spp1 = s"GREATEST(0.0, 0.0 + z - $k)"
+    val snp1 = s"LEAST(0.0, 0.0 + z + $k)"
+    val al1 = s"($spp1 > $h OR $snp1 < -$h)"
+    s"""WITH RECURSIVE $daily,
+       |st AS (
+       |  SELECT user_id, day, v,
+       |         ${R("AVG(v) OVER (PARTITION BY user_id)")} AS mu,
+       |         ${R("STDDEV_POP(v) OVER (PARTITION BY user_id)")} AS sd
+       |  FROM daily),
+       |n AS (
+       |  SELECT user_id, ${R("(v - mu) / sd")} AS z,
+       |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+       |  FROM st WHERE sd > 0.0),
+       |c AS (
+       |  SELECT user_id, rn,
+       |         CASE WHEN $al1 THEN 0.0 ELSE $spp1 END AS sp,
+       |         CASE WHEN $al1 THEN 0.0 ELSE $snp1 END AS sn,
+       |         $spp1 AS msp, $snp1 AS msn,
+       |         CASE WHEN $al1 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS nal,
+       |         CASE WHEN $al1 THEN CAST(rn AS BIGINT) END AS first
+       |  FROM n WHERE rn = 1
+       |  UNION ALL
+       |  SELECT n.user_id, n.rn,
+       |         CASE WHEN $al THEN 0.0 ELSE $spp END,
+       |         CASE WHEN $al THEN 0.0 ELSE $snp END,
+       |         GREATEST(c.msp, $spp), LEAST(c.msn, $snp),
+       |         c.nal + CASE WHEN $al THEN 1 ELSE 0 END,
+       |         COALESCE(c.first, CASE WHEN $al THEN CAST(n.rn AS BIGINT) END)
+       |  FROM c JOIN n ON n.user_id = c.user_id AND n.rn = c.rn + 1),
+       |lastr AS (SELECT user_id, MAX(rn) AS mx FROM n GROUP BY user_id)
+       |SELECT c.user_id, c.nal AS n_alarms, c.first AS first_alarm,
+       |       ${R("c.msp")} AS max_spos, ${R("c.msn")} AS min_sneg
+       |FROM c JOIN lastr ON c.user_id = lastr.user_id AND c.rn = lastr.mx
+       |ORDER BY c.user_id""".stripMargin
+  }
+
+  /** MASE — forecast MAE over the history's naive one-step MAE,
+    * composed from the shared forecast chain.
+    */
+  def mase(half: Int, window: Int, horizon: Int): String =
+    s"""WITH ${forecastCtes(half, window, horizon)},
+       |hn AS (
+       |  SELECT user_id, v, LAG(v) OVER (PARTITION BY user_id ORDER BY day) AS prev
+       |  FROM history),
+       |nmae AS (
+       |  SELECT user_id, ${R("AVG(ABS(v - prev))")} AS naive_mae
+       |  FROM hn WHERE prev IS NOT NULL GROUP BY user_id),
+       |fmae AS (
+       |  SELECT user_id, ${R("AVG(ABS(v_hat - v_actual))")} AS mae
+       |  FROM joined GROUP BY user_id)
+       |SELECT f.user_id, f.mae, n.naive_mae,
+       |       CASE WHEN n.naive_mae > 0.0 THEN ${R("f.mae / n.naive_mae")} END AS mase
+       |FROM fmae f JOIN nmae n ON f.user_id = n.user_id
+       |ORDER BY f.user_id""".stripMargin
+
+  /** Croston's intermittent-demand method: dense purchase-count spine,
+    * two SES recursions (sizes / intervals) in one recursive CTE with
+    * the EwmaFold arithmetic (`acc·(1−α) + x·α`, 1−α precomputed).
+    */
+  def croston(alpha: Double, demandType: String = "purchase"): String = {
+    val a = alpha
+    val ia = 1 - alpha
+    s"""WITH RECURSIVE spine AS (
+       |  SELECT user_id,
+       |         CAST(UNNEST(generate_series(CAST(date_trunc('day', MIN(ts)) AS DATE),
+       |                                     CAST(date_trunc('day', MAX(ts)) AS DATE),
+       |                                     INTERVAL 1 DAY)) AS DATE) AS day
+       |  FROM events GROUP BY user_id),
+       |dem AS (
+       |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+       |         CAST(COUNT(*) AS DOUBLE) AS n
+       |  FROM events WHERE event_type = '$demandType' GROUP BY 1, 2),
+       |sp AS (
+       |  SELECT s.user_id, s.day, COALESCE(d.n, 0.0) AS v
+       |  FROM spine s LEFT JOIN dem d ON s.user_id = d.user_id AND s.day = d.day),
+       |pos AS (
+       |  SELECT user_id, v, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS p
+       |  FROM sp),
+       |nz AS (
+       |  SELECT user_id, v, CAST(p AS DOUBLE) AS p,
+       |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY p) AS rn
+       |  FROM pos WHERE v > 0.0),
+       |iv AS (
+       |  SELECT user_id, v, rn,
+       |         CASE WHEN rn = 1 THEN p
+       |              ELSE p - LAG(p) OVER (PARTITION BY user_id ORDER BY rn) END AS ivl
+       |  FROM nz),
+       |h AS (
+       |  SELECT user_id, rn, v AS z, ivl AS pp FROM iv WHERE rn = 1
+       |  UNION ALL
+       |  SELECT i.user_id, i.rn, h.z * $ia + i.v * $a, h.pp * $ia + i.ivl * $a
+       |  FROM h JOIN iv i ON i.user_id = h.user_id AND i.rn = h.rn + 1),
+       |lastr AS (SELECT user_id, MAX(rn) AS mx, CAST(COUNT(*) AS BIGINT) AS nd
+       |          FROM nz GROUP BY user_id)
+       |SELECT h.user_id, ${R("h.z")} AS z_hat, ${R("h.pp")} AS p_hat,
+       |       lastr.nd AS n_demands, ${R("h.z / h.pp")} AS forecast
+       |FROM h JOIN lastr ON h.user_id = lastr.user_id AND h.rn = lastr.mx
+       |ORDER BY h.user_id""".stripMargin
+  }
+
   /** Additive Holt-Winters via a recursive CTE carrying the m
     * seasonals as a list column — per-step arithmetic parenthesized
     * exactly like HwFold's Java (lNew inlined into the b and s

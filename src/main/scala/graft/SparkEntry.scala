@@ -1395,6 +1395,21 @@ object SparkEntry {
       graft.sources.Multimodal.packPayloads(Tables.documents(s, dir), 1000L)
         .orderBy(col("shard"), col("bin"))),
 
+    // two-sided CUSUM drift chart (sequential changepoint monitor)
+    "ts_cusum" -> ((s, dir) =>
+      TimeSeries.cusum(TimeSeries.resampleDaily(Tables.events(s, dir)), 0.25, 3.0)
+        .orderBy(col("user_id"))),
+
+    // MASE: forecast MAE scaled by the history's naive one-step MAE
+    "ts_mase" -> ((s, dir) =>
+      TimeSeries.mase(Tables.events(s, dir), HALF, SLOPE_W, NY)
+        .orderBy(col("user_id"))),
+
+    // Croston's intermittent-demand forecast over purchase counts
+    "ts_croston" -> ((s, dir) =>
+      TimeSeries.croston(Tables.events(s, dir), 0.3)
+        .orderBy(col("user_id"))),
+
     // TPC-H Q13-style order-count distribution: orders collapse to
     // per-customer counts FIRST (map-side combined), then the LEFT
     // OUTER attaches customers — the join touches |customers| rows,
@@ -1720,6 +1735,9 @@ object SparkEntry {
     "kanon_audit" -> OracleSql.kAnonymityAudit(20),
     "ts_theta" -> OracleSql.theta(0.3, NY),
     "multimodal_pack" -> OracleSql.packPayloads(1000L),
+    "ts_cusum" -> OracleSql.cusum(0.25, 3.0),
+    "ts_mase" -> OracleSql.mase(HALF, SLOPE_W, NY),
+    "ts_croston" -> OracleSql.croston(0.3),
     "q13_custdist" -> OracleSql.q13CustDist,
     "q15_top_supplier" -> OracleSql.q15TopSupplier,
     "q17_small_qty" -> OracleSql.q17SmallQty,

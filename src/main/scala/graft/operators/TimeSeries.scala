@@ -425,6 +425,120 @@ object TimeSeries {
         r3(expr("element_at(kf, 3)")).as("gain"))
   }
 
+  /** Two-sided CUSUM drift chart per key (Page 1954): standardize the
+    * series against its own mean/σ (both rounded, the [[scale]]
+    * convention), then fold the
+    * `s⁺ = max(0, s⁺ + z − k); s⁻ = min(0, s⁻ + z + k)` recursion with
+    * alarm-and-reset at ±h — the SEQUENTIAL changepoint monitor next
+    * to [[changepoint]]'s single retrospective shift (a drift monitor
+    * thresholds on the alarm count; the reference's injected
+    * level-shift spikes, create_time_series.py:147, are exactly what
+    * this chart fires on). Constant series carry no signal and are
+    * excluded (σ = 0).
+    *
+    * Scale plan: mean/σ window + groupBy collect share ONE key
+    * exchange; the fold is the native codegen
+    * [[graft.functions.CusumFold]] — one pass per series, O(1) state.
+    * Output: (key, n_alarms, first_alarm (1-based day rank, NULL when
+    * none), max_spos, min_sneg).
+    */
+  def cusum(daily: DataFrame, k: Double, h: Double): DataFrame = {
+    graft.functions.VectorExprs.register(daily.sparkSession)
+    daily
+      .withColumn("mu", r3(avg(col("v")).over(wKey)))
+      .withColumn("sd", r3(stddev_pop(col("v")).over(wKey)))
+      .where(col("sd") > 0.0)
+      .withColumn("z", r3((col("v") - col("mu")) / col("sd")))
+      .groupBy(col(KEY))
+      .agg(expr("transform(sort_array(collect_list(struct(day, z))), s -> s.z)").as("zs"))
+      .select(col(KEY), expr(
+        s"graft_cusum(zs, cast($k as double), cast($h as double))").as("cs"))
+      .select(col(KEY),
+        expr("element_at(cs, 1)").cast("long").as("n_alarms"),
+        when(expr("element_at(cs, 2)") >= 0.0,
+          expr("element_at(cs, 2)").cast("long")).as("first_alarm"),
+        r3(expr("element_at(cs, 3)")).as("max_spos"),
+        r3(expr("element_at(cs, 4)")).as("min_sneg"))
+  }
+
+  /** MASE (Hyndman-Koehler 2006) per key: the forecast's MAE scaled by
+    * the TRAINING history's naive one-step MAE — the scale-free metric
+    * that makes series of different magnitudes comparable (the
+    * reference's R2/MSE/MAE, notebooks/scoring.py, are all
+    * scale-bound). mase < 1 ⟺ the forecast beats the naive carry-
+    * forward. NULL for keys whose history never changes (zero naive
+    * error).
+    *
+    * Scale plan: the scored frame is [[forecastBaseline]]'s compact
+    * |keys|·horizon checkpoint; the naive scale is one lag window +
+    * one agg on the SAME key partitioning the resample already
+    * produced; the final join is per-key scalars against per-key
+    * scalars.
+    */
+  def mase(events: DataFrame, half: Int, window: Int, horizon: Int): DataFrame = {
+    val scored = forecastBaseline(events, half, window, horizon)
+    val hist = resampleDaily(events)
+      .withColumn("rn_end",
+        row_number().over(Window.partitionBy(KEY).orderBy(col(DAY).desc)))
+      .where(col("rn_end") > horizon)
+    val naive = hist
+      .withColumn("prev", lag(col("v"), 1).over(wOrdered))
+      .where(col("prev").isNotNull)
+      .groupBy(col(KEY))
+      .agg(r3(avg(abs(col("v") - col("prev")))).as("naive_mae"))
+    scored.groupBy(col(KEY))
+      .agg(r3(avg(abs(col("v_hat") - col("v_actual")))).as("mae"))
+      .join(naive, KEY)
+      .select(col(KEY), col("mae"), col("naive_mae"),
+        when(col("naive_mae") > 0.0, r3(col("mae") / col("naive_mae"))).as("mase"))
+  }
+
+  /** Croston's method (1972) per key — the intermittent-demand
+    * forecaster: over a DENSE daily spine of `purchase` counts, SES-
+    * smooth the nonzero demand SIZES and the inter-demand INTERVALS
+    * separately; forecast = size / interval (expected demand per day).
+    * The daily resample is the wrong input here — a continuous-valued
+    * series is never zero; counts of a sparse event type are genuinely
+    * intermittent, which is the regime Croston exists for.
+    *
+    * Scale plan: the spine explode is map-only off a per-key (min,
+    * max) day agg; the demand join co-partitions on key; both SES
+    * recursions ride the native [[graft.functions.EwmaFold]] over
+    * arrays derived by map-side HOFs (sizes = filter > 0; intervals =
+    * successive diffs of the 1-based nonzero positions, first interval
+    * = first position). Keys with no demand at all drop (no forecast
+    * basis). Demands are small integer counts, so the recursion needs
+    * no intermediate rounding to stay engine-identical.
+    */
+  def croston(events: DataFrame, alpha: Double, demandType: String = "purchase"): DataFrame = {
+    graft.functions.VectorExprs.register(events.sparkSession)
+    val bounds = events.groupBy(col(KEY))
+      .agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+    val spine = bounds.select(col(KEY),
+      explode(expr("sequence(d0, d1, interval 1 day)")).as(DAY))
+    val demand = events.where(col("event_type") === demandType)
+      .groupBy(col(KEY), to_date(col("ts")).as(DAY))
+      .agg(count(lit(1)).cast("double").as("n"))
+    spine.join(demand, Seq(KEY, DAY), "left_outer")
+      .select(col(KEY), col(DAY), coalesce(col("n"), lit(0.0)).as("v"))
+      .groupBy(col(KEY))
+      .agg(expr("transform(sort_array(collect_list(struct(day, v))), s -> s.v)").as("vs"))
+      .select(col(KEY),
+        expr("filter(vs, x -> x > 0.0)").as("sizes"),
+        expr("filter(transform(vs, (x, i) -> IF(x > 0.0, CAST(i + 1 AS DOUBLE), " +
+          "CAST(NULL AS DOUBLE))), p -> p IS NOT NULL)").as("pos"))
+      .where(size(col("sizes")) > 0)
+      .select(col(KEY), col("sizes"),
+        expr("transform(sequence(1, size(pos)), j -> IF(j = 1, element_at(pos, 1), " +
+          "element_at(pos, j) - element_at(pos, j - 1)))").as("ivs"))
+      .select(col(KEY),
+        expr(s"graft_ewma(sizes, cast($alpha as double))").as("z_hat"),
+        expr(s"graft_ewma(ivs, cast($alpha as double))").as("p_hat"),
+        size(col("sizes")).cast("long").as("n_demands"))
+      .select(col(KEY), r3(col("z_hat")).as("z_hat"), r3(col("p_hat")).as("p_hat"),
+        col("n_demands"), r3(col("z_hat") / col("p_hat")).as("forecast"))
+  }
+
   /** Additive Holt-Winters per key: final (level, trend) of the
     * triple-smoothing recursion over the day-ordered series (period-m
     * seasonal state, [[graft.functions.HwFold]], one codegen'd pass),

@@ -423,4 +423,84 @@ class TimeSeriesSpec extends AnyFunSuite {
       .collect().head
     assert(math.abs(s.getAs[Double]("level") - 10.0) < 0.5)
   }
+
+  test("cusum: level shift alarms once near the shift; stable series never alarms") {
+    import spark.implicits._
+    def d(i: Int) = java.sql.Date.valueOf(
+      s"2024-${"%02d".format(i / 28 + 1)}-${"%02d".format(i % 28 + 1)}")
+    // user 1: ±1 alternation for 30 days, then a +10 plateau. The
+    // GLOBAL standardization puts the pre-shift regime below the mean
+    // and the plateau above it, so the chart alarms on the NEGATIVE
+    // side within the first ~8 days (persistent below-mean drift),
+    // resets, re-alarms — and fires the POSITIVE side after day 30.
+    // user 2: the same alternation throughout (z bounded around 0,
+    // CUSUM drifts nowhere). user 3: constant (σ=0, excluded).
+    val rows =
+      (0 until 45).map(i => (1L, d(i), if (i < 30) (if (i % 2 == 0) 1.0 else -1.0) else 10.0)) ++
+      (0 until 45).map(i => (2L, d(i), if (i % 2 == 0) 1.0 else -1.0)) ++
+      (0 until 45).map(i => (3L, d(i), 7.0))
+    val r = TimeSeries.cusum(rows.toDF("user_id", "day", "v"), 0.25, 3.0)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(!r.contains(3L))                      // flat series excluded
+    assert(r(2L).getAs[Long]("n_alarms") === 0L) // stable never alarms
+    assert(r(2L).isNullAt(r(2L).fieldIndex("first_alarm")))
+    val u1 = r(1L)
+    assert(u1.getAs[Long]("n_alarms") >= 3L)     // both regimes keep alarming
+    val first = u1.getAs[Long]("first_alarm")
+    assert(first >= 4L && first <= 12L,
+      s"negative-side alarm should fire in the below-mean prefix, got $first")
+    assert(u1.getAs[Double]("max_spos") > 3.0)   // plateau fires the + side
+    assert(u1.getAs[Double]("min_sneg") <= -3.0) // prefix fired the − side
+  }
+
+  test("croston: hand-computed SES of sizes and intervals; dense-day series degenerates to ewma") {
+    import spark.implicits._
+    val ts = (d: String, h: Int) => java.sql.Timestamp.valueOf(s"2024-01-$d 0$h:00:00")
+    // user 1: purchases on days 2 (x1), 5 (x2), 11 (x1); other events
+    // stretch the spine to days 1..12. Positions (1-based): 2, 5, 11.
+    //   sizes    = [1, 2, 1]   intervals = [2, 3, 6]
+    //   α = 0.5: z = ((1·.5 + 2·.5)·.5 + 1·.5) = 1.25
+    //            p = ((2·.5 + 3·.5)·.5 + 6·.5) = 4.25
+    val rows = Seq(
+      (1L, ts("01", 1), "view", 1.0), (1L, ts("12", 1), "view", 1.0),
+      (1L, ts("02", 1), "purchase", 1.0),
+      (1L, ts("05", 1), "purchase", 1.0), (1L, ts("05", 2), "purchase", 1.0),
+      (1L, ts("11", 1), "purchase", 1.0))
+      .toDF("user_id", "ts", "event_type", "value")
+      .withColumn("event_id", monotonically_increasing_id())
+      .withColumn("props", lit("{}"))
+    val r = TimeSeries.croston(rows, 0.5).collect().head
+    assert(r.getAs[Double]("z_hat") === 1.25)
+    assert(r.getAs[Double]("p_hat") === 4.25)
+    assert(r.getAs[Long]("n_demands") === 3L)
+    assert(r.getAs[Double]("forecast") === 0.294) // r3(1.25 / 4.25)
+    // purchases EVERY day → intervals all 1, forecast = SES of sizes
+    val dense = (1 to 9).map(i => (2L, ts(s"0$i", 1), "purchase", 1.0))
+      .toDF("user_id", "ts", "event_type", "value")
+      .withColumn("event_id", monotonically_increasing_id())
+      .withColumn("props", lit("{}"))
+    val rd = TimeSeries.croston(dense, 0.5).collect().head
+    assert(rd.getAs[Double]("p_hat") === 1.0)
+    assert(rd.getAs[Double]("forecast") === rd.getAs[Double]("z_hat"))
+  }
+
+  test("mase: exact naive scale on a line, and the ratio is the rounded mae/naive_mae") {
+    import spark.implicits._
+    // linear series: v = 10·t over 30 days → the naive one-step scale
+    // is exactly the slope (every |step| = 10). The baseline
+    // forecaster's centered-MA edge flattening costs it real error
+    // here (mase ≈ 1.5) — the metric reports that honestly; the spec
+    // pins the SCALE and the ratio identity, not a quality claim.
+    val rows = (0 until 30).map { i =>
+      (1L, java.sql.Timestamp.valueOf(
+        s"2024-${"%02d".format(i / 28 + 1)}-${"%02d".format(i % 28 + 1)} 01:00:00"),
+        "view", i * 10.0)
+    }.toDF("user_id", "ts", "event_type", "value")
+      .withColumn("event_id", monotonically_increasing_id())
+      .withColumn("props", lit("{}"))
+    val r = TimeSeries.mase(rows, 3, 10, 5).collect().head
+    assert(r.getAs[Double]("naive_mae") === 10.0)
+    val expect = math.floor(r.getAs[Double]("mae") / 10.0 * 1000.0 + 0.5001) / 1000.0
+    assert(r.getAs[Double]("mase") === expect)
+  }
 }
