@@ -1464,6 +1464,107 @@ object OracleSql {
     * Σxᵢxⱼ/n − (Σxᵢ/n)(Σxⱼ/n) with the identical composition and
     * rounding as Similarity.covariance.
     */
+  /** Overlapping token-window chunking (RAG splitter). */
+  def chunkDocs(chunkSize: Int, stride: Int): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |c AS (
+       |  SELECT doc_id, toks,
+       |         UNNEST(generate_series(0, (len(toks) - 1) // $stride)) AS ci
+       |  FROM t),
+       |ch AS (
+       |  SELECT doc_id, ci,
+       |         list_slice(toks, ci * $stride + 1, ci * $stride + $chunkSize) AS w
+       |  FROM c)
+       |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+       |       CAST(len(w) AS BIGINT) AS n_tokens,
+       |       md5(array_to_string(w, ' ')) AS fp
+       |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** MMR greedy selection, k steps unrolled — every step an integer
+    * argmax (7·mc − 3·ms packed scores, vid tie-break), mirroring the
+    * Spark fold's exact-integer arithmetic.
+    */
+  def mmrRerank(nQueries: Int, nCand: Int, k: Int): String = {
+    val steps = (2 to k).map { i =>
+      s"""m$i AS (
+         |  SELECT p.qid, p.va AS vid, MAX(p.ms) AS ms
+         |  FROM psim p JOIN u${i - 1} s ON s.qid = p.qid AND s.vid = p.vb
+         |  GROUP BY 1, 2),
+         |w$i AS (
+         |  SELECT qid, vid, sc FROM (
+         |    SELECT c.qid, c.vid, 7 * c.mc - 3 * COALESCE(m.ms, 0) AS sc,
+         |           ROW_NUMBER() OVER (PARTITION BY c.qid
+         |             ORDER BY 7 * c.mc - 3 * COALESCE(m.ms, 0) DESC, c.vid) AS rn
+         |    FROM cmc c
+         |    LEFT JOIN m$i m ON m.qid = c.qid AND m.vid = c.vid
+         |    LEFT JOIN u${i - 1} x ON x.qid = c.qid AND x.vid = c.vid
+         |    WHERE x.vid IS NULL) WHERE rn = 1),
+         |u$i AS (SELECT * FROM u${i - 1} UNION ALL SELECT qid, vid FROM w$i)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map(i =>
+      s"SELECT qid, CAST($i AS BIGINT) AS mmr_rank, vid, CAST(sc AS DOUBLE) / 10000.0 AS score FROM w$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
+       |s AS (
+       |  SELECT qid, vec_id AS vid, ${R("list_cosine_similarity(qv, v)")} AS cos
+       |  FROM e CROSS JOIN q WHERE vec_id != qid),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+       |  FROM s),
+       |cmc AS (SELECT qid, vid, CAST(ROUND(cos * 1000) AS BIGINT) AS mc
+       |        FROM r WHERE rank <= $nCand),
+       |cvv AS (SELECT c.qid, c.vid, e.v FROM cmc c JOIN e ON e.vec_id = c.vid),
+       |psim AS (
+       |  SELECT a.qid, a.vid AS va, b.vid AS vb,
+       |         CAST(ROUND(${R("list_cosine_similarity(a.v, b.v)")} * 1000) AS BIGINT) AS ms
+       |  FROM cvv a JOIN cvv b ON a.qid = b.qid AND a.vid <> b.vid),
+       |w1 AS (
+       |  SELECT qid, vid, sc FROM (
+       |    SELECT qid, vid, 7 * mc AS sc,
+       |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY 7 * mc DESC, vid) AS rn
+       |    FROM cmc) WHERE rn = 1),
+       |u1 AS (SELECT qid, vid FROM w1),
+       |$steps
+       |$out
+       |ORDER BY qid, mmr_rank""".stripMargin
+  }
+
+  /** Power-iteration top principal component: the covariance chain +
+    * nIter unrolled normalize-and-multiply rounds + the corpus
+    * projection.
+    */
+  def pcaPower(nIter: Int = 5, nOut: Int = 100, dim: Int = 64): String = {
+    val iters = (1 to nIter).map { t =>
+      val xp = if (t == 1) "x0" else s"x${t - 1}"
+      s"""y$t AS (
+         |  SELECT cm.i, ${R(s"SUM(cm.c * $xp.w)")} AS y
+         |  FROM cm JOIN $xp ON cm.j = $xp.i GROUP BY cm.i),
+         |n$t AS (SELECT ${R("SQRT(SUM(y * y))")} AS nrm FROM y$t),
+         |x$t AS (SELECT i, ${R("y / nrm")} AS w FROM y$t, n$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL),
+       |nn AS (SELECT COUNT(*) AS n FROM e),
+       |m AS (SELECT r.d AS i, SUM(e.v[r.d + 1]) AS s
+       |      FROM e CROSS JOIN range(0, $dim) r(d) GROUP BY 1),
+       |p AS (SELECT ri.d AS i, rj.d AS j, SUM(e.v[ri.d + 1] * e.v[rj.d + 1]) AS sp
+       |      FROM e CROSS JOIN range(0, $dim) ri(d) CROSS JOIN range(0, $dim) rj(d)
+       |      WHERE rj.d >= ri.d GROUP BY 1, 2),
+       |cv AS (SELECT p.i, p.j,
+       |       ${R("p.sp / nn.n - (mi.s / nn.n) * (mj.s / nn.n)")} AS c
+       |       FROM p, nn, m mi, m mj WHERE mi.i = p.i AND mj.i = p.j),
+       |cm AS (SELECT i, j, c FROM cv
+       |       UNION ALL SELECT j, i, c FROM cv WHERE i <> j),
+       |x0 AS (SELECT r.d AS i, CASE WHEN r.d = 0 THEN 1.0 ELSE 0.0 END AS w
+       |       FROM range(0, $dim) r(d)),
+       |$iters
+       |SELECT e.vec_id, ${R("SUM(e.v[x.i + 1] * x.w)")} AS pc1
+       |FROM e CROSS JOIN x$nIter x
+       |WHERE e.vec_id < $nOut
+       |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin
+  }
+
   def embeddingCovariance(dim: Int = 64): String =
     s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |           WHERE embedding IS NOT NULL),

@@ -1410,6 +1410,21 @@ object SparkEntry {
       TimeSeries.croston(Tables.events(s, dir), 0.3)
         .orderBy(col("user_id"))),
 
+    // RAG chunking: overlapping token windows with content fingerprints
+    "chunk_documents" -> ((s, dir) =>
+      TextOps.chunkDocs(Tables.documents(s, dir), 64, 48)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // MMR diversification of the cosine top-N (exact-integer greedy)
+    "mmr_rerank" -> ((s, dir) =>
+      Similarity.mmrRerank(Tables.embeddings(s, dir), 5, 10, 5)
+        .orderBy(col("qid"), col("mmr_rank"))),
+
+    // top principal component by power iteration + corpus projection
+    "pca_power" -> ((s, dir) =>
+      Similarity.pcaPower(Tables.embeddings(s, dir))
+        .orderBy(col("vec_id"))),
+
     // TPC-H Q13-style order-count distribution: orders collapse to
     // per-customer counts FIRST (map-side combined), then the LEFT
     // OUTER attaches customers — the join touches |customers| rows,
@@ -1735,6 +1750,9 @@ object SparkEntry {
     "kanon_audit" -> OracleSql.kAnonymityAudit(20),
     "ts_theta" -> OracleSql.theta(0.3, NY),
     "multimodal_pack" -> OracleSql.packPayloads(1000L),
+    "chunk_documents" -> OracleSql.chunkDocs(64, 48),
+    "mmr_rerank" -> OracleSql.mmrRerank(5, 10, 5),
+    "pca_power" -> OracleSql.pcaPower(),
     "ts_cusum" -> OracleSql.cusum(0.25, 3.0),
     "ts_mase" -> OracleSql.mase(HALF, SLOPE_W, NY),
     "ts_croston" -> OracleSql.croston(0.3),

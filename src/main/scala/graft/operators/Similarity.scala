@@ -607,6 +607,116 @@ object Similarity {
           .as("cov"))
   }
 
+  /** Maximal-marginal-relevance reranking (Carbonell & Goldstein 1998)
+    * of the exact cosine top-N: greedily select k of the N candidates
+    * maximizing `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` — the
+    * diversification pass a production RAG retriever runs on its
+    * candidate list (near-duplicate passages waste context slots).
+    *
+    * λ is fixed at 7/10 and the whole selection runs in EXACT INTEGER
+    * arithmetic: rel and sim enter as rounded milli-cosines, each
+    * step's argmax compares `7·mc − 3·ms` integers packed with the
+    * vid tie-break into one BIGINT (`(score + 20000)·2³² + (2³²−1−vid)`,
+    * maximize ⟺ best score then lowest vid) — bit-identical greedy
+    * selection in any engine, no FP boundary anywhere in the fold.
+    *
+    * Scale plan: the heavy lifting stays in [[cosineTopK]]'s salted
+    * two-phase rank; everything after is bounded by N per query — the
+    * N² pair sims, the lookup map and the k-step fold are candidate-
+    * list-sized, never corpus-sized.
+    */
+  def mmrRerank(embeddings: DataFrame, nQueries: Int, nCand: Int, k: Int): DataFrame = {
+    require(k <= nCand, s"mmrRerank: k=$k must be <= nCand=$nCand")
+    val cand = cosineTopK(embeddings, nQueries, nCand)
+    val e = prepared(embeddings)
+    val cv = cand.join(e, cand("vid") === e("vec_id"))
+      .select(col("qid"), col("vid"), col("cos"), col("v"), col("norm"))
+    val a = cv.select(col("qid"), col("vid").as("avid"), col("v").as("av"), col("norm").as("an"))
+    val b = cv.select(col("qid").as("bqid"), col("vid").as("bvid"), col("v").as("bv"), col("norm").as("bn"))
+    val pairs = a.join(b, col("qid") === col("bqid") && col("avid") < col("bvid"))
+      .select(col("qid"),
+        concat_ws("_", col("avid"), col("bvid")).as("pk"),
+        round(r3(expr("graft_vec_dot(av, bv)") / (col("an") * col("bn"))) * 1000.0)
+          .cast("long").as("ms"))
+    val cmc = cand
+      .select(col("qid"), col("vid"), round(col("cos") * 1000.0).cast("long").as("mc"))
+      .groupBy(col("qid"))
+      .agg(expr("sort_array(collect_list(struct(vid, mc)))").as("cmc"))
+    val sims = pairs.groupBy(col("qid"))
+      .agg(map_from_entries(collect_list(struct(col("pk"), col("ms")))).as("sims"))
+    val simAt = (cv: String, sv: String) =>
+      s"element_at(sims, concat(cast(least($cv, $sv) as string), '_', " +
+        s"cast(greatest($cv, $sv) as string)))"
+    val pick =
+      s"""4294967295L - pmod(
+         |  array_max(transform(
+         |    filter(cmc, c -> NOT array_contains(acc, c.vid)),
+         |    c -> (7L * c.mc - 3L * coalesce(
+         |            array_max(transform(acc, s -> ${simAt("c.vid", "s")})),
+         |            0L) + 20000L) * 4294967296L + (4294967295L - c.vid))),
+         |  4294967296L)""".stripMargin
+    cmc.join(sims, Seq("qid"), "left_outer")
+      .select(col("qid"), col("cmc"), coalesce(col("sims"),
+        expr("cast(map() as map<string, bigint>)")).as("sims"))
+      .select(col("qid"), col("cmc"), col("sims"), expr(
+        s"aggregate(sequence(1, $k), cast(array() as array<bigint>), " +
+          s"(acc, step) -> array_append(acc, $pick))").as("sel"))
+      .select(col("qid"),
+        expr("map_from_entries(transform(cmc, c -> struct(c.vid, c.mc)))").as("mcm"),
+        col("sims"), col("sel"))
+      .select(col("qid"), posexplode(expr(
+        s"""transform(sequence(1, $k), p -> named_struct(
+           |  'vid', element_at(sel, p),
+           |  'score', cast(7L * element_at(mcm, element_at(sel, p)) - 3L * coalesce(
+           |      array_max(transform(slice(sel, 1, p - 1),
+           |        s -> ${simAt("element_at(sel, p)", "s")})),
+           |      0L) as double) / 10000.0))""".stripMargin)))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("mmr_rank"),
+        col("col.vid").as("vid"), col("col.score").as("score"))
+  }
+
+  /** Top principal component by power iteration — the PCA/whitening
+    * sequel to [[covariance]] (the corpus-level direction a curation
+    * pipeline inspects for dominant-axis artifacts, and the first
+    * step of an OPQ-style rotation). The d×d covariance collapses
+    * distributed, collects driver-side (d² doubles — the codebook-
+    * bounded materialization contract), and `nIter` rounds of
+    * `x ← r3(A·x) / ‖·‖` run on the driver with every component
+    * rounded per round, so the trajectory — and the sign convention,
+    * fixed by the e₁ start — is engine-reproducible; the oracle
+    * unrolls the same iterations as chained CTEs. The corpus-facing
+    * projection `pc1 = r3(⟨v, pc⟩)` is a ZERO-exchange map with the
+    * eigenvector riding as an array literal.
+    */
+  def pcaPower(embeddings: DataFrame, nIter: Int = 5, nOut: Int = 100,
+               dim: Int = DIM): DataFrame = {
+    def r3d(x: Double) = math.floor(x * 1000.0 + 0.5001) / 1000.0
+    val cov = covariance(embeddings, dim).collect()
+    val a = Array.ofDim[Double](dim, dim)
+    cov.foreach { r =>
+      val i = r.getLong(0).toInt; val j = r.getLong(1).toInt
+      val c = r.getDouble(2)
+      a(i)(j) = c; a(j)(i) = c
+    }
+    var x = Array.tabulate(dim)(d => if (d == 0) 1.0 else 0.0)
+    for (_ <- 1 to nIter) {
+      val y = Array.tabulate(dim) { i =>
+        var s = 0.0; var j = 0
+        while (j < dim) { s += a(i)(j) * x(j); j += 1 }
+        r3d(s)
+      }
+      var n2 = 0.0; var i = 0
+      while (i < dim) { n2 += y(i) * y(i); i += 1 }
+      val nrm = r3d(math.sqrt(n2))
+      require(nrm > 0.0, "pcaPower: zero covariance — no principal direction")
+      x = y.map(v => r3d(v / nrm))
+    }
+    val pcLit = x.mkString("array(", "D, ", "D)")
+    VectorExprs.register(embeddings.sparkSession)
+    embeddings.where(col("vec_id") < nOut && col("embedding").isNotNull)
+      .select(col("vec_id"), r3(expr(s"graft_vec_dot(embedding, $pcLit)")).as("pc1"))
+  }
+
   /** Mean codebook distortion avg(1 − rounded cos(v, assigned
     * centroid)) — the quality number a training loop watches; Lloyd
     * descends it (HardeningSpec pins trained < seed on the test

@@ -929,4 +929,32 @@ object TextOps {
         lit(EmailRe), lit("[EMAIL]")),
         lit(PhoneRe), lit("[PHONE]")),
         lit(IpRe), lit("[IP]")).as("masked"))
+
+  /** Overlapping token-window chunking — the RAG/embedding prep pass
+    * (LangChain/LlamaIndex-style fixed-size splitter): chunk i covers
+    * tokens [i·stride, i·stride + size), i = 0.. while i·stride < n,
+    * so consecutive chunks overlap by size − stride tokens and the
+    * final (possibly short) tail is kept. Output: one row per chunk
+    * with its token count and an md5 fingerprint of the space-joined
+    * window — enough for a downstream embedder join and for the gate
+    * to verify CONTENT, not just counts (an off-by-one in the window
+    * start passes every count check and fails the fingerprint).
+    *
+    * Scale plan: pure map-side — one split per row, a bounded
+    * sequence explode (⌈n/stride⌉ per doc), `slice` on the shared
+    * token array; no shuffle anywhere, partitions perfectly.
+    */
+  def chunkDocs(docs: DataFrame, chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"chunkDocs: need 0 < stride <= size, got size=$chunkSize stride=$stride")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0, cast((size(toks) - 1) / $stride as int))")).as("ci"))
+      .select(col("doc_id"), col("ci").cast("long").as("chunk_id"),
+        expr(s"slice(toks, ci * $stride + 1, $chunkSize)").as("ch"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ch")).cast("long").as("n_tokens"),
+        md5(array_join(col("ch"), " ")).as("fp"))
+  }
 }

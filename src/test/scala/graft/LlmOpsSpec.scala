@@ -367,4 +367,52 @@ class LlmOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(out.toSeq === Seq((0L, 0L, 2.667), (0L, 1L, -1.333), (1L, 1L, 2.667)))
   }
+
+  test("chunkDocs: window starts, overlap, short tail, and content fingerprints") {
+    val d = docs((1L, (0 until 10).map(i => s"t$i").mkString(" ")))
+    val out = TextOps.chunkDocs(d, 4, 3).orderBy("chunk_id").collect()
+    // starts 0, 3, 6, 9 → windows of 4, 4, 4, and a 1-token tail
+    assert(out.map(_.getAs[Long]("n_tokens")).toSeq === Seq(4L, 4L, 4L, 1L))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1).getAs[String]("fp") === md5hex("t3 t4 t5 t6"))
+    assert(out(3).getAs[String]("fp") === md5hex("t9"))
+  }
+
+  test("mmrRerank demotes the near-duplicate candidate below the diverse one") {
+    import spark.implicits._
+    // query 0 = e1; candidates 1 and 2 are the SAME direction (exact
+    // duplicates, sim 1.0), candidate 3 is equally relevant (cos 0.8
+    // to the query) but nearly orthogonal to them (sim 0.28). Plain
+    // top-k tie-breaks by vid → (1, 2, 3); MMR's redundancy penalty
+    // (3·1000 for the duplicate vs 3·280 for the diverse one at equal
+    // relevance) must reorder to (1, 3, 2).
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.8f, 0.6f, 0.0f)),
+      (2L, Array(0.8f, 0.6f, 0.0f)),
+      (3L, Array(0.8f, -0.6f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val plain = Similarity.cosineTopK(e, 1, 3).orderBy("rank").collect()
+      .map(_.getAs[Long]("vid")).toSeq
+    assert(plain === Seq(1L, 2L, 3L))
+    val mmr = Similarity.mmrRerank(e, 1, 3, 3).orderBy("mmr_rank").collect()
+    assert(mmr.map(_.getAs[Long]("vid")).toSeq === Seq(1L, 3L, 2L))
+    // rank-1 score is pure relevance (λ·rel); later scores are penalized
+    assert(mmr.head.getAs[Double]("score") > mmr(2).getAs[Double]("score"))
+  }
+
+  test("pcaPower recovers the dominant variance axis; projections track the coordinate") {
+    import spark.implicits._
+    // variance lives along dim 1 with a small correlated dim-0
+    // component → pc ≈ (0.1, 1)/‖·‖; projections grow linearly in i
+    val e = (0 until 10).map(i => (i.toLong,
+      Array(0.1f * i, i.toFloat, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.pcaPower(e, nIter = 5, nOut = 10, dim = 4)
+      .orderBy("vec_id").collect().map(_.getAs[Double]("pc1"))
+    assert(out.sliding(2).forall(p => p(1) > p(0)), s"not monotone: ${out.toSeq}")
+    // expected slope ≈ ‖(0.1, 1)‖ ≈ 1.005 per step
+    val slope = (out(9) - out(0)) / 9.0
+    assert(math.abs(slope - 1.005) < 0.01, s"slope $slope")
+  }
 }
