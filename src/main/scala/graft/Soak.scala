@@ -63,6 +63,27 @@ object Soak {
       .withColumn("vec_id", col("vec_id") + col("_rep") * 1000000000L)
       .drop("_rep")
 
+  /** TPC-H fact scaling: lineitem/orders/customer replicate with
+    * disjoint order/customer keys; part/supplier/nation stay fixed —
+    * they are dimensions, which is exactly why the gates broadcast
+    * them.
+    */
+  private def scaleLineitem(spark: SparkSession, dir: String, factor: Int): DataFrame =
+    Tables.lineitem(spark, dir).crossJoin(rep(spark, factor))
+      .withColumn("l_orderkey", col("l_orderkey") + col("_rep") * 1000000000L)
+      .drop("_rep")
+
+  private def scaleOrders(spark: SparkSession, dir: String, factor: Int): DataFrame =
+    Tables.orders(spark, dir).crossJoin(rep(spark, factor))
+      .withColumn("o_orderkey", col("o_orderkey") + col("_rep") * 1000000000L)
+      .withColumn("o_custkey", col("o_custkey") + col("_rep") * 1000000000L)
+      .drop("_rep")
+
+  private def scaleCustomer(spark: SparkSession, dir: String, factor: Int): DataFrame =
+    Tables.customer(spark, dir).crossJoin(rep(spark, factor))
+      .withColumn("c_custkey", col("c_custkey") + col("_rep") * 1000000000L)
+      .drop("_rep")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -405,7 +426,84 @@ object Soak {
       "events_pivot_daily" -> (() => Relational.pivotDaily(ev,
         Seq("click", "error", "purchase", "signup", "view"))),
       // codegen'd from_json projection + |types| groups
-      "events_json_agg" -> (() => Relational.jsonAgg(ev)))
+      "events_json_agg" -> (() => Relational.jsonAgg(ev)),
+      // pure map-side chunking: split + bounded sequence explode +
+      // slice — law = linear in corpus bytes, zero shuffle
+      "chunk_documents" -> (() => TextOps.chunkDocs(docs, 64, 48)),
+      // candidate generation (the cosineTopK linear scan) grows
+      // factor×; the N² pair sims + k-step integer fold stay
+      // candidate-list-sized — law: the scan dominates
+      "mmr_rerank" -> (() => Similarity.mmrRerank(emb, 5, 10, 5)),
+      // one linear d²-explode scan; the power iteration itself is
+      // driver-side on the d×d aggregate — law: the scan dominates
+      "pca_power" -> (() => Similarity.pcaPower(emb)),
+      // mean/σ windows + native fold over one key exchange — the
+      // ewma/holt per-key law with alarm state
+      "ts_cusum" -> (() => graft.operators.TimeSeries.cusum(
+        graft.operators.TimeSeries.resampleDaily(ev), 0.25, 3.0)),
+      // spine explode (map-only off per-key bounds) + co-partitioned
+      // demand join + two EwmaFold recursions
+      "ts_croston" -> (() => graft.operators.TimeSeries.croston(ev, 0.3)),
+      // the forecast-chain cost + one extra lag window on the same
+      // key partitioning
+      "ts_mase" -> (() => graft.operators.TimeSeries.mase(ev, 3, 10, 5)),
+      // corpus collapses to ≤1001 per-score rows BEFORE the cumulative
+      // window — the window must stay constant-cost as the corpus grows
+      "eval_auc" -> (() => graft.operators.Eval.auc(
+        graft.operators.Eval.stopRatioScored(docs))),
+      // per-category scalars broadcast back onto the stream: map-only
+      // encode after one |types|-group agg
+      "target_encode" -> (() => graft.operators.Eval.targetEncode(ev)),
+      // TPC-H shapes at factor× facts (dimensions fixed → broadcast):
+      // q7: both key→nation maps broadcast; lineitem ⋈ orders is the
+      // one event-volume shuffle — law: linear in facts
+      "q7_volume" -> (() => {
+        val nation = Tables(spark, sfDir, "nation").select(col("n_nationkey"), col("n_name"))
+        val sn = Tables(spark, sfDir, "supplier")
+          .join(nation, col("s_nationkey") === col("n_nationkey"))
+          .where(col("n_name").isin("NATION_18", "NATION_19"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val cn = scaleCustomer(spark, sfDir, factor)
+          .join(nation, col("c_nationkey") === col("n_nationkey"))
+          .where(col("n_name").isin("NATION_18", "NATION_19"))
+          .select(col("c_custkey"), col("n_name").as("cust_nation"))
+        val l = scaleLineitem(spark, sfDir, factor)
+          .join(broadcast(sn), col("s_suppkey") === col("l_suppkey"))
+        val o = scaleOrders(spark, sfDir, factor).select(col("o_orderkey"), col("o_custkey"))
+          .join(cn, col("c_custkey") === col("o_custkey"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      }),
+      // q13: orders collapse to per-customer counts before the outer
+      // join — both sides grow factor×, law: linear
+      "q13_custdist" -> (() => {
+        val ocnt = scaleOrders(spark, sfDir, factor)
+          .where(col("o_orderpriority") =!= "1-URGENT")
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        scaleCustomer(spark, sfDir, factor).select(col("c_custkey"))
+          .join(ocnt, col("c_custkey") === col("o_custkey"), "left_outer")
+          .select(coalesce(col("n"), lit(0L)).as("c_count"))
+          .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      }),
+      // q16: the (partkey, suppkey) distinct must collapse MAP-SIDE —
+      // replicas duplicate the same associations, so the post-distinct
+      // frame stays base-sized while the scan grows factor×
+      "q16_supplier_cnt" -> (() => {
+        val assoc = scaleLineitem(spark, sfDir, factor)
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        val p = Tables(spark, sfDir, "part")
+          .where(col("p_brand") =!= "Brand#45" &&
+            col("p_size").isin(1, 9, 17, 25, 33, 41, 49))
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        val bad = Tables(spark, sfDir, "supplier")
+          .where(col("s_acctbal") < 0).select(col("s_suppkey"))
+        assoc.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .groupBy(col("p_brand"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      }))
 
     // optional args name a subset — e.g. the dedup family at a higher
     // SPARK_GRAFT_SOAK_FACTOR without paying for the whole suite
