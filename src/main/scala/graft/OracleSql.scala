@@ -2143,6 +2143,111 @@ object OracleSql {
   /** Recall@k of the PQ tier vs the exact cosine top-k: the annPq
     * CTEs + the brute-force ranking + the recall left join.
     */
+  /** The Householder-rotated `e` CTE chain (raw → dot → reflected,
+    * component-rounded) — u embedded as the same full-precision
+    * literals the Spark side uses ([[graft.operators.Similarity
+    * .householderU]] is the single source).
+    */
+  private def rotatedE(dim: Int): String = {
+    val uL = graft.operators.Similarity.householderU(dim)
+      .mkString("[", ", ", "]")
+    s"""raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings
+       |        WHERE embedding IS NOT NULL),
+       |uvec AS (SELECT CAST($uL AS DOUBLE[]) AS u),
+       |rot0 AS (
+       |  SELECT r.vec_id, r.v0, u.u,
+       |         ${R(s"list_sum(list_transform(generate_series(1, $dim), i -> r.v0[i] * u.u[i]))")} AS dr
+       |  FROM raw r CROSS JOIN uvec u),
+       |e AS (
+       |  SELECT vec_id,
+       |         list_transform(generate_series(1, $dim),
+       |           i -> FLOOR((v0[i] - 2.0 * u[i] * dr) * 1000.0 + 0.5001) / 1000.0) AS v
+       |  FROM rot0)""".stripMargin
+  }
+
+  /** PQ over the rotated corpus: the annPq chain with the rotated `e`. */
+  def annPqRotated(nCodewords: Int, m: Int, nQueries: Int, k: Int,
+                   dim: Int = 64): String = {
+    val subDim = dim / m
+    def d2(vec: String) = {
+      val diff = s"($vec[cw.s * $subDim + i] - cw.v[cw.s * $subDim + i])"
+      R(s"list_sum(list_transform(generate_series(1, $subDim), i -> $diff * $diff))")
+    }
+    s"""WITH ${rotatedE(dim)},
+       |cw AS (
+       |  SELECT s.s, e.vec_id AS c, e.v FROM e CROSS JOIN range(0, $m) s(s)
+       |  WHERE e.vec_id < $nCodewords),
+       |a0 AS (
+       |  SELECT e.vec_id, cw.s, cw.c, ${d2("e.v")} AS d2
+       |  FROM e CROSS JOIN cw),
+       |asg AS (
+       |  SELECT vec_id, s, c AS code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+       |    FROM a0)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
+       |dt AS (
+       |  SELECT q.qid, cw.s, cw.c AS code, ${d2("q.qv")} AS d2
+       |  FROM q CROSS JOIN cw),
+       |sc AS (
+       |  SELECT dt.qid, a.vec_id AS vid, ${R("SUM(dt.d2)")} AS adist
+       |  FROM asg a JOIN dt ON dt.s = a.s AND dt.code = a.code
+       |  WHERE a.vec_id != dt.qid
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS BIGINT) AS rank
+       |  FROM sc)
+       |SELECT qid, vid, adist, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
+  /** Recall of the rotated-PQ tier vs the ORIGINAL-space exact top-k. */
+  def annPqRotatedRecall(nCodewords: Int, m: Int, nQueries: Int, k: Int,
+                         dim: Int = 64): String = {
+    val subDim = dim / m
+    def d2(vec: String) = {
+      val diff = s"($vec[cw.s * $subDim + i] - cw.v[cw.s * $subDim + i])"
+      R(s"list_sum(list_transform(generate_series(1, $subDim), i -> $diff * $diff))")
+    }
+    s"""WITH ${rotatedE(dim)},
+       |q0 AS (SELECT vec_id AS qid, v0 AS qv FROM raw WHERE vec_id < $nQueries),
+       |xs AS (
+       |  SELECT qid, vec_id AS vid, ${R("list_cosine_similarity(qv, v0)")} AS cos
+       |  FROM raw CROSS JOIN q0 WHERE vec_id != qid),
+       |xr AS (
+       |  SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+       |  FROM xs),
+       |exact AS (SELECT qid, vid FROM xr WHERE rank <= $k),
+       |cw AS (
+       |  SELECT s.s, e.vec_id AS c, e.v FROM e CROSS JOIN range(0, $m) s(s)
+       |  WHERE e.vec_id < $nCodewords),
+       |a0 AS (
+       |  SELECT e.vec_id, cw.s, cw.c, ${d2("e.v")} AS d2
+       |  FROM e CROSS JOIN cw),
+       |asg AS (
+       |  SELECT vec_id, s, c AS code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+       |    FROM a0)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
+       |dt AS (
+       |  SELECT q.qid, cw.s, cw.c AS code, ${d2("q.qv")} AS d2
+       |  FROM q CROSS JOIN cw),
+       |sc AS (
+       |  SELECT dt.qid, a.vec_id AS vid, ${R("SUM(dt.d2)")} AS adist
+       |  FROM asg a JOIN dt ON dt.s = a.s AND dt.code = a.code
+       |  WHERE a.vec_id != dt.qid
+       |  GROUP BY 1, 2),
+       |pr AS (
+       |  SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS rank
+       |  FROM sc),
+       |approx AS (SELECT qid, vid, 1 AS hit FROM pr WHERE rank <= $k)
+       |SELECT x.qid, COUNT(*) AS n_exact,
+       |       CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS n_hit,
+       |       ${R("SUM(COALESCE(a.hit, 0)) / COUNT(*)")} AS recall
+       |FROM exact x LEFT JOIN approx a ON x.qid = a.qid AND x.vid = a.vid
+       |GROUP BY x.qid ORDER BY x.qid""".stripMargin
+  }
+
   def annPqRecall(nCodewords: Int, m: Int, nQueries: Int, k: Int, dim: Int = 64): String = {
     val subDim = dim / m
     def d2(vec: String) = {

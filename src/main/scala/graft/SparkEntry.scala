@@ -990,6 +990,17 @@ object SparkEntry {
       Similarity.annPqRecall(Tables.embeddings(s, dir), 16, 4, 5, 5)
         .orderBy(col("qid"))),
 
+    // PQ over the Householder-rotated corpus (OPQ's variance-balancing
+    // insight at zero metric cost) + its recall vs original-space exact
+    "ann_pq_rotated" -> ((s, dir) =>
+      Similarity.annPqRotated(Tables.embeddings(s, dir), 16, 4, 5, 5)
+        .select(col("qid"), col("vid"), col("adist"), col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))),
+
+    "ann_pq_rotated_recall" -> ((s, dir) =>
+      Similarity.annPqRotatedRecall(Tables.embeddings(s, dir), 16, 4, 5, 5)
+        .orderBy(col("qid"))),
+
     // the composed-tier recall a production tuner actually watches
     // (cell pruning × code compression)
     "ann_ivfpq_recall" -> ((s, dir) =>
@@ -1685,6 +1696,8 @@ object SparkEntry {
     "ann_ivfpq_stored_probe" -> OracleSql.annIvfPqProbe(16, 16, 4, 5, 5, 2),
     "ann_ivfpq_stored_inc" -> OracleSql.annIvfPq(16, 16, 4, 5, 5),
     "ann_pq_recall" -> OracleSql.annPqRecall(16, 4, 5, 5),
+    "ann_pq_rotated" -> OracleSql.annPqRotated(16, 4, 5, 5),
+    "ann_pq_rotated_recall" -> OracleSql.annPqRotatedRecall(16, 4, 5, 5),
     "ann_ivfpq_recall" -> OracleSql.annIvfPqRecall(16, 16, 4, 5, 5),
     "token_topk" -> OracleSql.tokenTopK(20),
     "ts_outliers_mad" -> OracleSql.outliersMad(3.0),

@@ -717,6 +717,85 @@ object Similarity {
       .select(col("vec_id"), r3(expr(s"graft_vec_dot(embedding, $pcLit)")).as("pc1"))
   }
 
+  /** Deterministic Householder direction for [[rotateEmbeddings]]:
+    * u = normalize(md5-derived pseudo-uniform in [−0.5, 0.5)) — a
+    * fixed public constant, computed identically by the Spark side
+    * and the oracle generator and embedded as full-precision literals
+    * (Double.toString round-trips bit-exact), so the reflection
+    * matrix is identical by construction on both sides.
+    */
+  def householderU(dim: Int = DIM): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val raw = Array.tabulate(dim) { d =>
+      val h = md.digest(s"graft_rot_$d".getBytes("UTF-8"))
+      val x = (((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)).toDouble / (1L << 32).toDouble
+      x - 0.5
+    }
+    val n = math.sqrt(raw.map(x => x * x).sum)
+    raw.map(_ / n)
+  }
+
+  /** Householder rotation of the embedding corpus: `Rx = x − 2u(uᵀx)`
+    * with the fixed unit direction [[householderU]] — an ORTHOGONAL
+    * map, so L2/cosine geometry is exactly preserved while variance
+    * REDISTRIBUTES across dimensions. This is the OPQ insight (Ge et
+    * al. 2013) in its cheapest form: product quantization splits the
+    * space into fixed subspaces, and when variance concentrates in
+    * few dimensions some subspaces carry all the signal while others
+    * waste their codewords; a rotation balances them at ZERO metric
+    * cost. Components are rounded r3 after the reflection (the
+    * corpus-wide determinism convention); uᵀx is rounded before reuse.
+    *
+    * Scale plan: a pure zero-exchange projection — u rides as an
+    * array literal, the dot is one codegen'd [[graft.functions.VecDot]]
+    * pass, the reflected components a `transform`.
+    */
+  def rotateEmbeddings(embeddings: DataFrame, dim: Int = DIM): DataFrame = {
+    VectorExprs.register(embeddings.sparkSession)
+    val u = householderU(dim)
+    val uLit = u.mkString("array(", "D, ", "D)")
+    embeddings
+      .select(col("vec_id"), col("embedding"),
+        r3(expr(s"graft_vec_dot(embedding, $uLit)")).as("dr"))
+      .select(col("vec_id"),
+        when(col("embedding").isNotNull, expr(
+          s"""transform(sequence(0, ${dim - 1}), i ->
+             |  floor((cast(element_at(embedding, i + 1) as double)
+             |         - 2.0D * element_at($uLit, i + 1) * dr) * 1000.0D + 0.5001D)
+             |  / 1000.0D)""".stripMargin)).as("embedding"))
+  }
+
+  /** PQ over the ROTATED corpus — codebook, codes and ADC tables all
+    * live in rotated space (where the metric is identical, because
+    * the rotation is orthogonal), searching for the SAME neighbors as
+    * [[annPqTopK]] with a differently-balanced codebook budget.
+    */
+  def annPqRotated(embeddings: DataFrame, nCodewords: Int, m: Int,
+                   nQueries: Int, k: Int, dim: Int = DIM): DataFrame =
+    annPqTopK(rotateEmbeddings(embeddings, dim), nCodewords, m, nQueries, k)
+
+  /** Recall@k of the rotated-PQ tier vs the ORIGINAL-space exact
+    * top-k, published NEXT TO [[annPqRecall]] at the identical
+    * codebook budget — the honest comparison is data-dependent: on a
+    * subspace-balanced (near-isotropic) corpus the rotation changes
+    * little; when variance concentrates in few dimensions it
+    * recovers the recall plain PQ loses (RotatedPqSpec pins that
+    * regime).
+    */
+  def annPqRotatedRecall(embeddings: DataFrame, nCodewords: Int, m: Int,
+                         nQueries: Int, k: Int, dim: Int = DIM): DataFrame = {
+    val exact = cosineTopK(embeddings, nQueries, k).select(col("qid"), col("vid"))
+    val approx = annPqRotated(embeddings, nCodewords, m, nQueries, k, dim)
+      .select(col("qid"), col("vid"), lit(1).as("hit"))
+    exact.join(approx, Seq("qid", "vid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        r3(col("n_hit") / col("n_exact")).as("recall"))
+  }
+
   /** Mean codebook distortion avg(1 − rounded cos(v, assigned
     * centroid)) — the quality number a training loop watches; Lloyd
     * descends it (HardeningSpec pins trained < seed on the test
