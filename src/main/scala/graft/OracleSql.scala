@@ -3776,6 +3776,25 @@ object OracleSql {
        |                    AND o.o_orderdate >= TIMESTAMP '1998-05-01 00:00:00')
        |ORDER BY c_custkey""".stripMargin
 
+  /** cdcStreamBatch's oracle: event-time rank vs running arrival-order
+    * maximum, under the same md5 arrival permutation.
+    */
+  val streamCdcBatch: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+       |         CAST(CONCAT('0x', SUBSTR(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) AS arrival
+       |  FROM events),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS etr
+       |  FROM e),
+       |h AS (
+       |  SELECT *, MAX(etr) OVER (PARTITION BY user_id ORDER BY arrival, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+       |  FROM r)
+       |SELECT user_id, event_id, ts_us, event_type AS last_type, value AS last_value
+       |FROM h WHERE prevmax IS NULL OR etr > prevmax
+       |ORDER BY user_id, event_id""".stripMargin
+
   /** TPC-H Q13-style customer order-count distribution (LEFT OUTER +
     * two-level aggregate). Orders collapse to per-customer counts
     * BEFORE the customer join in both engines.

@@ -1421,6 +1421,14 @@ object SparkEntry {
       TimeSeries.croston(Tables.events(s, dir), 0.3)
         .orderBy(col("user_id"))),
 
+    // streaming CDC upsert view's batch twin under the md5 arrival
+    // permutation: emissions = events that advance their key's
+    // (event-time, id) high-water mark in arrival order
+    "stream_cdc_batch" -> ((s, dir) =>
+      graft.streaming.StreamOps.cdcStreamBatch(Tables.events(s, dir),
+          conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10).cast("bigint"))
+        .orderBy(col("user_id"), col("event_id"))),
+
     // RAG chunking: overlapping token windows with content fingerprints
     "chunk_documents" -> ((s, dir) =>
       TextOps.chunkDocs(Tables.documents(s, dir), 64, 48)
@@ -1763,6 +1771,7 @@ object SparkEntry {
     "kanon_audit" -> OracleSql.kAnonymityAudit(20),
     "ts_theta" -> OracleSql.theta(0.3, NY),
     "multimodal_pack" -> OracleSql.packPayloads(1000L),
+    "stream_cdc_batch" -> OracleSql.streamCdcBatch,
     "chunk_documents" -> OracleSql.chunkDocs(64, 48),
     "mmr_rerank" -> OracleSql.mmrRerank(5, 10, 5),
     "pca_power" -> OracleSql.pcaPower(),

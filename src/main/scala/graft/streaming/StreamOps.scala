@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Structured Streaming variants of the batch operators. The same
@@ -437,6 +437,70 @@ object StreamOps {
       .where(col("prev_type").isNotNull)
       .select(col("user_id"), col("event_id"), col("prev_type"),
         col("event_type").as("next_type"), col("ts_us"))
+  }
+
+  /** Streaming CDC upsert view: each arriving change that ADVANCES its
+    * key's (event-time, event_id) high-water mark emits the key's NEW
+    * latest row — the live materialization of
+    * [[graft.operators.Relational.cdcLatest]]: stale and duplicate
+    * changes (late arrivals below the mark) are absorbed silently, and
+    * a downstream sink applies emissions as upserts. State per key =
+    * the latest (ts_us, event_id) — two scalars, bounded forever.
+    *
+    * Arrival order is explicit: the input carries an `arrival` column
+    * and each micro-batch folds in (arrival, event_id) order, so the
+    * semantics are deterministic for any batch slicing (a row-order-
+    * dependent fold would make emissions depend on how the source
+    * chops batches). [[cdcStreamBatch]] is the gated twin under the
+    * same arrival permutation.
+    */
+  def cdcStream(events: DataFrame, watermark: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"), col("arrival"))
+      .as[(Long, Long, String, Long, Double, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long, String, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, evs, state) =>
+          var cur = state.getOption.getOrElse((Long.MinValue, Long.MinValue))
+          val out = Seq.newBuilder[(Long, Long, Long, String, Double)]
+          for ((_, eid, et, ts, v, _) <- evs.toSeq.sortBy(e => (e._6, e._2))) {
+            if (ts > cur._1 || (ts == cur._1 && eid > cur._2)) {
+              cur = (ts, eid)
+              out += ((user, eid, ts, et, v))
+            }
+          }
+          state.update(cur)
+          out.result().iterator
+      }
+      .toDF("user_id", "event_id", "ts_us", "last_type", "last_value")
+  }
+
+  /** Batch twin of [[cdcStream]] under an explicit arrival
+    * permutation: an event emits iff its event-time rank beats the
+    * running maximum over everything that arrived before it — one
+    * rank window + one running-max window, both on the user
+    * partitioning.
+    */
+  def cdcStreamBatch(events: DataFrame, arrival: Column): DataFrame = {
+    val et = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val aw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("arrival"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us"), arrival.as("arrival"))
+      .withColumn("etr", row_number().over(et))
+      .withColumn("prevmax", max(col("etr")).over(aw))
+      .where(col("prevmax").isNull || col("etr") > col("prevmax"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
   }
 
   /** Batch twin of [[funnelStream]]: the completed ladders with their

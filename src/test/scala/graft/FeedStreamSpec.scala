@@ -404,6 +404,47 @@ class FeedStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CDC upsert emits exactly the hwm-advancing changes, across micro-batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cdc-in").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    // arrival column = explicit permutation. batch 1 (arrival 1..3):
+    // user 1 gets t=10 first, then a LATE t=5 (absorbed), then t=20
+    // (emits). batch 2: a cross-batch late t=15 (absorbed — state
+    // carries the t=20 mark) and a fresh t=30 (emits).
+    val b1 = Seq(
+      (100L, 1L, "a", ts(10), 1.0, 1L),
+      (101L, 1L, "b", ts(5), 2.0, 2L),   // late: absorbed
+      (102L, 1L, "c", ts(20), 3.0, 3L))
+    val b2 = Seq(
+      (103L, 1L, "d", ts(15), 4.0, 4L),  // cross-batch late: absorbed
+      (104L, 1L, "e", ts(30), 5.0, 5L))
+    def write(rows: Seq[(Long, Long, String, java.sql.Timestamp, Double, Long)]) =
+      rows.toDF("event_id", "user_id", "event_type", "ts", "value", "arrival")
+        .coalesce(1).write.mode("append").parquet(dir)
+    write(b1)
+    val schema = b1.toDF("event_id", "user_id", "event_type", "ts", "value", "arrival").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StreamOps.cdcStream(src, "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("cdc").start()
+    try {
+      q.processAllAvailable()
+      write(b2)
+      q.processAllAvailable()
+      val got = spark.sql("select * from cdc").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getString(3))).sortBy(_._1)
+      def us(min: Long) = (base.getTime + min * 60000L) * 1000L
+      assert(got.toSeq === Seq(
+        (100L, us(10), "a"), (102L, us(20), "c"), (104L, us(30), "e")))
+      // equals the batch twin under the same arrival permutation
+      val twin = StreamOps.cdcStreamBatch(spark.read.parquet(dir), col("arrival"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      assert(got.toSet === twin)
+    } finally q.stop()
+  }
+
   test("payload packing: bins respect the budget, oversize blobs sit alone, nothing lost") {
     import spark.implicits._
     val docs = Seq(
