@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Eval, Similarity, TextOps, TimeSeries}
+
+/** Exchange censuses for the fifth-block operators: each test executes
+  * the real plan (AQE off → statically inspectable) and counts the
+  * shuffles, pinning the scale claim each operator's docstring makes.
+  * A regression that introduces an extra shuffle — a lost exchange
+  * reuse, a predicate that stops pushing, an accidental repartition —
+  * fails here before it costs anything at scale.
+  */
+class PlanCensusSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Session.local(4)
+  val dir = "/root/testdata/sf0.001"
+
+  private def shuffles(df: DataFrame): Seq[ShuffleExchangeExec] = {
+    val conf = spark.conf
+    val prev = conf.getOption("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      df.write.format("noop").mode("overwrite").save()
+      df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+    } finally prev.foreach(conf.set("spark.sql.adaptive.enabled", _))
+  }
+
+  test("chunk_documents is a pure map: ZERO shuffles") {
+    assert(shuffles(TextOps.chunkDocs(Tables.documents(spark, dir), 64, 48)).isEmpty)
+  }
+
+  test("pca_power projection: the corpus-facing side has zero shuffles (one scan + literal dot)") {
+    // the covariance aggregate runs (and shuffles) during pcaPower's
+    // driver fit; the RETURNED projection frame must be scan → project
+    val proj = Similarity.pcaPower(Tables.embeddings(spark, dir), nOut = 10)
+    assert(shuffles(proj).isEmpty, "projection must be a zero-exchange map")
+  }
+
+  test("target_encode: one stats shuffle, encode side is map-only (broadcast back)") {
+    val df = Eval.targetEncode(Tables.events(spark, dir))
+    val s = shuffles(df)
+    assert(s.size === 1, s"expected only the per-category stats aggregate: ${s.size}")
+  }
+
+  test("ts_cusum: mean/sd windows and the collect share ONE key exchange") {
+    val df = TimeSeries.cusum(
+      TimeSeries.resampleDaily(Tables.events(spark, dir)), 0.25, 3.0)
+    // resample groupBy shuffles on (user, day); the window + collect
+    // chain shuffles once on user — 2 total, nothing more
+    assert(shuffles(df).size === 2)
+  }
+
+  test("q17: per-part stats and the threshold join stay broadcast (single agg shuffle at most)") {
+    val q = SparkEntry.queries("q17_small_qty")(spark, dir)
+    val plan = {
+      val conf = spark.conf
+      conf.set("spark.sql.adaptive.enabled", "false")
+      try { q.write.format("noop").mode("overwrite").save(); q.queryExecution.executedPlan }
+      finally conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    val bcasts = plan.collect { case b: BroadcastExchangeExec => b }
+    assert(bcasts.size >= 2, "brand parts AND per-part stats must broadcast")
+    val shuf = plan.collect { case e: ShuffleExchangeExec => e }
+    // the stats aggregate shuffles on partkey; the final 1-row agg's
+    // partials move in a single-partition exchange — nothing else may
+    assert(shuf.size <= 2, s"unexpected extra shuffles:\n$plan")
+  }
+
+  test("q19: quantity hull and brand IN reach the scans as pushed filters") {
+    val q = SparkEntry.queries("q19_disjunctive")(spark, dir)
+    val scans = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val liScan = scans.find(_.schema.fieldNames.contains("l_quantity")).get
+    assert(liScan.dataFilters.exists(_.toString.contains("l_quantity")),
+      s"quantity hull must push to the lineitem scan: ${liScan.dataFilters}")
+    val pScan = scans.find(_.schema.fieldNames.contains("p_brand")).get
+    assert(pScan.dataFilters.exists(_.toString.toLowerCase.contains("p_brand")),
+      s"brand IN must push to the part scan: ${pScan.dataFilters}")
+  }
+}
