@@ -3776,6 +3776,96 @@ object OracleSql {
        |                    AND o.o_orderdate >= TIMESTAMP '1998-05-01 00:00:00')
        |ORDER BY c_custkey""".stripMargin
 
+  /** AR(2) Yule-Walker forecast: the acf aggregate + closed-form φ +
+    * `horizon` unrolled recursion steps.
+    */
+  def arForecast(horizon: Int): String = {
+    def corr(l: Int) = {
+      val vp = s"CASE WHEN v_l$l IS NOT NULL THEN v END"
+      R(s"COVAR_POP($vp, v_l$l) / NULLIF(STDDEV_POP($vp) * STDDEV_POP(v_l$l), 0)")
+    }
+    val steps = (1 to horizon).map { s =>
+      val p1 = if (s == 1) "x_last" else s"f${s - 1}"
+      val p2 = if (s == 1) "x_prev" else if (s == 2) "x_last" else s"f${s - 2}"
+      val src = if (s == 1) "p2" else s"c${s - 1}"
+      s"c$s AS (SELECT *, ${R(s"mu + phi1 * ($p1 - mu) + phi2 * ($p2 - mu)")} AS f$s FROM $src)"
+    }.mkString(",\n")
+    val out = (1 to horizon).map(s =>
+      s"SELECT user_id, last_day + $s AS day, CAST($s AS BIGINT) AS step, phi1, phi2, f$s AS forecast FROM c$horizon")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $daily,
+       |l AS (
+       |  SELECT user_id, day, v, LAG(v, 1) OVER w AS v_l1, LAG(v, 2) OVER w AS v_l2,
+       |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn_end
+       |  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+       |st AS (
+       |  SELECT user_id, ${corr(1)} AS r1, ${corr(2)} AS r2,
+       |         ${R("AVG(v)")} AS mu,
+       |         MAX(CASE WHEN rn_end = 1 THEN v END) AS x_last,
+       |         MAX(CASE WHEN rn_end = 2 THEN v END) AS x_prev,
+       |         MAX(day) AS last_day
+       |  FROM l GROUP BY user_id),
+       |p AS (
+       |  SELECT *, ${R("r1 * (1.0 - r2) / NULLIF(1.0 - r1 * r1, 0)")} AS phi1,
+       |         ${R("(r2 - r1 * r1) / NULLIF(1.0 - r1 * r1, 0)")} AS phi2
+       |  FROM st WHERE r1 IS NOT NULL AND r2 IS NOT NULL AND x_prev IS NOT NULL),
+       |p2 AS (SELECT * FROM p WHERE phi1 IS NOT NULL AND phi2 IS NOT NULL),
+       |$steps
+       |$out
+       |ORDER BY user_id, step""".stripMargin
+  }
+
+  /** Whitening-contract audit: stats → diagonal whiten → stats again. */
+  def embeddingWhitenAudit(dim: Int = 64): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL),
+       |x AS (SELECT e.vec_id, r.d, e.v[r.d + 1] AS x FROM e CROSS JOIN range(0, $dim) r(d)),
+       |st AS (
+       |  SELECT d, ${R("SUM(x) / COUNT(x)")} AS mean,
+       |         ${R("SUM(x * x) / COUNT(x) - (SUM(x) / COUNT(x)) * (SUM(x) / COUNT(x))")} AS variance
+       |  FROM x GROUP BY d),
+       |ms AS (
+       |  SELECT d, mean,
+       |         CASE WHEN variance > 0 THEN ${R("SQRT(variance)")} ELSE 1.0 END AS sd
+       |  FROM st),
+       |wx AS (
+       |  SELECT x.d, FLOOR(((x.x - ms.mean) / ms.sd) * 1000.0 + 0.5001) / 1000.0 AS x
+       |  FROM x JOIN ms ON ms.d = x.d)
+       |SELECT d, COUNT(x) AS n,
+       |       ${R("SUM(x) / COUNT(x)")} AS mean,
+       |       ${R("SUM(x * x) / COUNT(x) - (SUM(x) / COUNT(x)) * (SUM(x) / COUNT(x))")} AS variance,
+       |       ${R("MIN(x)")} AS min_x,
+       |       ${R("MAX(x)")} AS max_x
+       |FROM wx GROUP BY d ORDER BY d""".stripMargin
+
+  /** TPC-H Q8-style market share: one nation's suppliers' slice of a
+    * region's market for one part type, by order year.
+    */
+  val q8MarketShare: String =
+    s"""WITH mkt AS (
+       |  SELECT l.l_orderkey, l.l_suppkey,
+       |         CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS rev
+       |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       |  WHERE p.p_type = 'ECONOMY'),
+       |cust AS (
+       |  SELECT c.c_custkey FROM customer c
+       |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+       |  JOIN region r ON r.r_regionkey = n.n_regionkey
+       |  WHERE r.r_name = 'ASIA'),
+       |ords AS (
+       |  SELECT o.o_orderkey, CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year
+       |  FROM orders o JOIN cust c ON c.c_custkey = o.o_custkey),
+       |sn AS (
+       |  SELECT s.s_suppkey, n.n_name FROM supplier s
+       |  JOIN nation n ON n.n_nationkey = s.s_nationkey)
+       |SELECT o.o_year,
+       |       ${R("CAST(SUM(CASE WHEN sn.n_name = 'NATION_18' THEN m.rev ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) / CAST(SUM(m.rev) AS DOUBLE)")} AS mkt_share,
+       |       ${R("CAST(SUM(m.rev) AS DOUBLE)", 2)} AS total_revenue
+       |FROM mkt m
+       |JOIN ords o ON o.o_orderkey = m.l_orderkey
+       |JOIN sn ON sn.s_suppkey = m.l_suppkey
+       |GROUP BY o.o_year ORDER BY o.o_year""".stripMargin
+
   /** cdcStreamBatch's oracle: event-time rank vs running arrival-order
     * maximum, under the same md5 arrival permutation.
     */

@@ -1421,6 +1421,49 @@ object SparkEntry {
       TimeSeries.croston(Tables.events(s, dir), 0.3)
         .orderBy(col("user_id"))),
 
+    // AR(2) Yule-Walker forecast from the guarded acf estimates
+    "ts_ar_forecast" -> ((s, dir) =>
+      TimeSeries.arForecast(TimeSeries.resampleDaily(Tables.events(s, dir)), NY)
+        .orderBy(col("user_id"), col("step"))),
+
+    // diagonal whitening + the verified contract: whitened stats are
+    // mean ~ 0 / variance ~ 1 per live dimension
+    "embedding_whiten" -> ((s, dir) =>
+      Similarity.whitenAudit(Tables.embeddings(s, dir))
+        .orderBy(col("d"))),
+
+    // TPC-H Q8-style market share: NATION_18's slice of the ASIA
+    // market for ECONOMY parts, by order year
+    "q8_market_share" -> ((s, dir) => {
+      val mkt = Tables.lineitem(s, dir)
+        .join(broadcast(Tables(s, dir, "part")
+          .where(col("p_type") === "ECONOMY").select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (dec2("l_extendedprice") * (lit(1) - pct2("l_discount"))).as("rev"))
+      val cust = Tables.customer(s, dir)
+        .join(broadcast(Tables(s, dir, "nation")
+          .join(Tables(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+          .where(col("r_name") === "ASIA").select(col("n_nationkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val ords = Tables.orders(s, dir)
+        .join(cust, col("c_custkey") === col("o_custkey"))
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+      val sn = Tables(s, dir, "supplier")
+        .join(Tables(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      mkt.join(ords, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(sn), col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("o_year"))
+        .agg(
+          r3c(sum(when(col("n_name") === "NATION_18", col("rev"))
+              .otherwise(lit(0).cast("decimal(12,2)"))).cast("double") /
+            sum(col("rev")).cast("double")).as("mkt_share"),
+          r2c(sum(col("rev")).cast("double")).as("total_revenue"))
+        .orderBy(col("o_year"))
+    }),
+
     // streaming CDC upsert view's batch twin under the md5 arrival
     // permutation: emissions = events that advance their key's
     // (event-time, id) high-water mark in arrival order
@@ -1771,6 +1814,9 @@ object SparkEntry {
     "kanon_audit" -> OracleSql.kAnonymityAudit(20),
     "ts_theta" -> OracleSql.theta(0.3, NY),
     "multimodal_pack" -> OracleSql.packPayloads(1000L),
+    "ts_ar_forecast" -> OracleSql.arForecast(NY),
+    "embedding_whiten" -> OracleSql.embeddingWhitenAudit(),
+    "q8_market_share" -> OracleSql.q8MarketShare,
     "stream_cdc_batch" -> OracleSql.streamCdcBatch,
     "chunk_documents" -> OracleSql.chunkDocs(64, 48),
     "mmr_rerank" -> OracleSql.mmrRerank(5, 10, 5),

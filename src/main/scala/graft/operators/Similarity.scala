@@ -571,6 +571,47 @@ object Similarity {
         r3(min(col("x"))).as("min_x"),
         r3(max(col("x"))).as("max_x"))
 
+  /** Diagonal (per-dimension) whitening of the embedding corpus from
+    * [[embeddingStats]]' rounded moments: `(x − μ_d)/σ_d` per
+    * dimension, with σ from the ROUNDED variance (`r3(sqrt(var))`) and
+    * zero-variance dimensions passing through centered only (σ := 1) —
+    * the standard feature-scaling pass before SQ8/PQ quantization or a
+    * cosine metric that shouldn't let one hot dimension dominate.
+    *
+    * Scale plan: the stats collect is d rows (codebook-bounded); the
+    * transform is a ZERO-exchange projection with μ/σ riding as array
+    * literals.
+    */
+  def whitenEmbeddings(embeddings: DataFrame, dim: Int = DIM): DataFrame = {
+    def r3d(x: Double) = math.floor(x * 1000.0 + 0.5001) / 1000.0
+    val stats = embeddingStats(embeddings).collect()
+    val mu = Array.fill(dim)(0.0)
+    val sd = Array.fill(dim)(1.0)
+    stats.foreach { r =>
+      val d = r.getLong(0).toInt
+      mu(d) = r.getAs[Double]("mean")
+      val v = r.getAs[Double]("variance")
+      sd(d) = if (v > 0.0) r3d(math.sqrt(v)) else 1.0
+    }
+    val muL = mu.mkString("array(", "D, ", "D)")
+    val sdL = sd.mkString("array(", "D, ", "D)")
+    embeddings.select(col("vec_id"),
+      when(col("embedding").isNotNull, expr(
+        s"""transform(sequence(0, ${dim - 1}), i ->
+           |  floor(((cast(element_at(embedding, i + 1) as double)
+           |          - element_at($muL, i + 1)) / element_at($sdL, i + 1))
+           |        * 1000.0D + 0.5001D) / 1000.0D)""".stripMargin))
+        .as("embedding"))
+  }
+
+  /** The whitening CONTRACT, verified: per-dim stats of the whitened
+    * corpus — mean ≈ 0 and variance ≈ 1 on every live dimension is
+    * what downstream quantizers get to assume. (A silent μ/σ column
+    * mix-up or a wrong normalization denominator fails exactly here.)
+    */
+  def whitenAudit(embeddings: DataFrame, dim: Int = DIM): DataFrame =
+    embeddingStats(whitenEmbeddings(embeddings, dim))
+
   /** Upper-triangle covariance matrix of the embedding dimensions —
     * the input PCA/whitening consumes. ONE linear scan explodes each
     * vector's d(d+1)/2 upper-triangle products PLUS a sentinel

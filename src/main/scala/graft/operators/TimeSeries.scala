@@ -620,6 +620,60 @@ object TimeSeries {
         lags.tail.map(l => acfCol(l).as(s"acf_$l")): _*)
   }
 
+  /** AR(2) forecast via Yule–Walker per key — the parametric
+    * forecaster the [[acf]]/[[pacf]] diagnostics point at: from the
+    * (rounded, guarded) autocorrelations,
+    * `φ₁ = r₁(1−r₂)/(1−r₁²)`, `φ₂ = (r₂−r₁²)/(1−r₁²)`, and the
+    * forecast recursion `x̂ₕ = μ + φ₁(x̂ₕ₋₁−μ) + φ₂(x̂ₕ₋₂−μ)` seeded on
+    * the last two observed values runs `horizon` unrolled pure
+    * projections (each step rounded — engine-identical). Keys with
+    * degenerate acf (constant series, |r₁| = 1) or < 2 observations
+    * drop — no defined model.
+    *
+    * Scale plan: ONE pass — the lag windows, the reverse rank and the
+    * aggregate all share a single key exchange; everything after is
+    * per-key scalars and a map-only horizon explode.
+    */
+  def arForecast(daily: DataFrame, horizon: Int): DataFrame = {
+    require(horizon >= 1, s"arForecast: horizon must be >= 1, got $horizon")
+    def acfAgg(l: Int): Column = {
+      val vl = col(s"v_l$l")
+      val vp = when(vl.isNotNull, col("v"))
+      r3(covar_pop(vp, vl) /
+        nullif(stddev_pop(vp) * stddev_pop(vl), lit(0.0)))
+    }
+    val st = daily
+      .withColumn("v_l1", lag(col("v"), 1).over(wOrdered))
+      .withColumn("v_l2", lag(col("v"), 2).over(wOrdered))
+      .withColumn("rn_end", row_number().over(
+        Window.partitionBy(KEY).orderBy(col(DAY).desc)))
+      .groupBy(col(KEY))
+      .agg(acfAgg(1).as("r1"), acfAgg(2).as("r2"),
+        r3(avg(col("v"))).as("mu"),
+        max(when(col("rn_end") === 1, col("v"))).as("x_last"),
+        max(when(col("rn_end") === 2, col("v"))).as("x_prev"),
+        max(col(DAY)).as("last_day"))
+    val den = nullif(lit(1.0) - col("r1") * col("r1"), lit(0.0))
+    var cur = st
+      .where(col("r1").isNotNull && col("r2").isNotNull && col("x_prev").isNotNull)
+      .withColumn("phi1", r3(col("r1") * (lit(1.0) - col("r2")) / den))
+      .withColumn("phi2", r3((col("r2") - col("r1") * col("r1")) / den))
+      .where(col("phi1").isNotNull && col("phi2").isNotNull)
+    for (s <- 1 to horizon) {
+      val p1 = if (s == 1) col("x_last") else col(s"f${s - 1}")
+      val p2 = if (s == 1) col("x_prev") else if (s == 2) col("x_last") else col(s"f${s - 2}")
+      cur = cur.withColumn(s"f$s",
+        r3(col("mu") + col("phi1") * (p1 - col("mu")) + col("phi2") * (p2 - col("mu"))))
+    }
+    cur
+      .select(col(KEY), col("last_day"), col("phi1"), col("phi2"),
+        posexplode(array((1 to horizon).map(s => col(s"f$s")): _*)))
+      .select(col(KEY),
+        date_add(col("last_day"), col("pos") + 1).as(DAY),
+        (col("pos") + 1).cast("long").as("step"),
+        col("phi1"), col("phi2"), col("col").as("forecast"))
+  }
+
   /** Partial autocorrelation at lags 1–3 per key, via the
     * Durbin–Levinson recursion unrolled to closed forms over the
     * [[acf]] estimates (the AR-order diagnostic that separates direct

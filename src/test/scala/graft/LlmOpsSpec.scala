@@ -368,6 +368,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((0L, 0L, 2.667), (0L, 1L, -1.333), (1L, 1L, 2.667)))
   }
 
+  test("whitenEmbeddings: hand-computed standardization; flat dims center only") {
+    import spark.implicits._
+    // dim 0: values 1, 3 → μ=2, σ=1; dim 1: constant 7 → σ guard (:=1)
+    val e = Seq((1L, Array(1.0f, 7.0f)), (2L, Array(3.0f, 7.0f)))
+      .toDF("vec_id", "embedding")
+    val w = Similarity.whitenEmbeddings(e, dim = 2).orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1))
+    assert(w(0) === Seq(-1.0, 0.0))
+    assert(w(1) === Seq(1.0, 0.0))
+    // and the audited contract on the whitened corpus
+    val audit = Similarity.whitenAudit(e, dim = 2).orderBy("d").collect()
+    assert(audit(0).getAs[Double]("mean") === 0.0)
+    assert(audit(0).getAs[Double]("variance") === 1.0)
+    assert(audit(1).getAs[Double]("variance") === 0.0)
+  }
+
   test("chunkDocs: window starts, overlap, short tail, and content fingerprints") {
     val d = docs((1L, (0 until 10).map(i => s"t$i").mkString(" ")))
     val out = TextOps.chunkDocs(d, 4, 3).orderBy("chunk_id").collect()

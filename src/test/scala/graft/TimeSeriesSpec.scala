@@ -484,6 +484,31 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(rd.getAs[Double]("forecast") === rd.getAs[Double]("z_hat"))
   }
 
+  test("arForecast: Yule-Walker recovers known AR(2) coefficients; degenerates drop") {
+    import spark.implicits._
+    def d(i: Int) = java.sql.Date.valueOf(
+      s"2024-${"%02d".format(i / 28 + 1)}-${"%02d".format(i % 28 + 1)}")
+    // user 1: a simulated AR(2) with φ = (0.6, 0.2) around mean 50
+    val rng = new scala.util.Random(3)
+    val n = 200
+    val xs = new Array[Double](n)
+    xs(0) = 50.0; xs(1) = 50.0
+    for (t <- 2 until n)
+      xs(t) = 50.0 + 0.6 * (xs(t - 1) - 50.0) + 0.2 * (xs(t - 2) - 50.0) + rng.nextGaussian()
+    // user 2: constant — zero variance, no defined model, must drop
+    val rows = (0 until n).map(i => (1L, d(i), xs(i))) ++
+      (0 until n).map(i => (2L, d(i), 5.0))
+    val out = TimeSeries.arForecast(rows.toDF("user_id", "day", "v"), 3).collect()
+    assert(out.forall(_.getLong(0) === 1L), "constant series must drop")
+    assert(out.length === 3)
+    val phi1 = out.head.getAs[Double]("phi1")
+    val phi2 = out.head.getAs[Double]("phi2")
+    assert(math.abs(phi1 - 0.6) < 0.15, s"phi1 $phi1")
+    assert(math.abs(phi2 - 0.2) < 0.15, s"phi2 $phi2")
+    // forecasts relax toward the mean, staying in the series' range
+    out.foreach(r => assert(math.abs(r.getAs[Double]("forecast") - 50.0) < 10.0))
+  }
+
   test("mase: exact naive scale on a line, and the ratio is the rounded mae/naive_mae") {
     import spark.implicits._
     // linear series: v = 10·t over 30 days → the naive one-step scale
