@@ -3378,6 +3378,35 @@ object OracleSql {
        |  (stream_pos + n_tokens - 1) // $budget AS end_seq
        |FROM p ORDER BY doc_id""".stripMargin
 
+  /** Curriculum packing: the per-shard stream order is the rounded
+    * quality score (textQuality's exact formula), doc_id tie-break.
+    */
+  def packCurriculum(budget: Int): String =
+    s"""WITH q AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
+       |    ${R("(length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))) / length(text)")} AS alpha_ratio,
+       |    ${R("len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))")} AS uniq_ratio,
+       |    ${R("len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is','on','for'))) / len(string_split(text, ' '))")} AS stop_ratio,
+       |    source AS shard,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    ${R("alpha_ratio * 0.4 + uniq_ratio * 0.2 + (1.0 - stop_ratio) * 0.2 + CASE WHEN chars BETWEEN 100 AND 400 THEN 0.2 ELSE 0.1 END")} AS score
+       |  FROM q),
+       |p AS (
+       |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+       |      PARTITION BY shard ORDER BY score, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS stream_pos
+       |  FROM s)
+       |SELECT doc_id, shard, n_tokens,
+       |  stream_pos // $budget AS start_seq,
+       |  stream_pos % $budget AS start_offset,
+       |  (stream_pos + n_tokens - 1) // $budget AS end_seq,
+       |  score
+       |FROM p ORDER BY doc_id""".stripMargin
+
   /** ml_feed summary oracle: per-key X/y sample shapes + checksums,
     * float-cast exactly like the feed's arrays.
     */

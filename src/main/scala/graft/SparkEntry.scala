@@ -1139,6 +1139,12 @@ object SparkEntry {
       TextOps.packSequencesShuffled(Tables.documents(s, dir), 512)
         .orderBy(col("doc_id"))),
 
+    // curriculum packing: per-shard stream position ordered by the
+    // quality score (easy->hard), doc_id tie-broken
+    "pack_curriculum" -> ((s, dir) =>
+      TextOps.packSequencesCurriculum(Tables.documents(s, dir), 512)
+        .orderBy(col("doc_id"))),
+
     "doc_winnow" -> ((s, dir) =>
       TextOps.winnow(Tables.documents(s, dir), 8, 8)
         .orderBy(col("doc_id"), col("pos"))),
@@ -1773,6 +1779,7 @@ object SparkEntry {
     "pack_sequences" -> OracleSql.packSequences(512),
     "pack_token_stream" -> OracleSql.packTokenStream(512),
     "pack_shuffled" -> OracleSql.packShuffled(512, "shuffle"),
+    "pack_curriculum" -> OracleSql.packCurriculum(512),
     "text_lm_bigram" -> OracleSql.textLmBigram,
     "doc_winnow" -> OracleSql.docWinnow(8, 8),
     "dedup_winnow" -> OracleSql.dedupWinnow(8, 8, 30, 50L),

@@ -525,6 +525,29 @@ object TextOps {
       .withColumn("stream_pos", streamPos(Seq(shuffleKey(seed), col("doc_id"))))
       .select(placements(budget): _*)
 
+  /** [[packSequences]] in CURRICULUM order: within each shard, docs
+    * pack in ascending [[quality]]-score order (easy/noisy first,
+    * clean last — or read the stream backwards for the reverse
+    * curriculum), doc_id tie-broken, so the layout is a deterministic
+    * total order. The third ordering discipline beside id order
+    * ([[packSequences]]) and the seeded shuffle
+    * ([[packSequencesShuffled]]) — curriculum schedules (Bengio et
+    * al. 2009) want exactly this: sequence position correlated with a
+    * difficulty signal.
+    *
+    * Scale shape: the score and the token count are both computed
+    * map-side where the text is; the two scalar frames co-partition
+    * on doc_id; the packing shuffle still moves only scalars. The
+    * emitted `score` column makes the ordering auditable downstream.
+    */
+  def packSequencesCurriculum(docs: DataFrame, budget: Int,
+                              shardCol: String = "source"): DataFrame =
+    tokenCounts(docs, shardCol)
+      .join(quality(docs).select(col("doc_id").as("q_id"), col("score")),
+        col("doc_id") === col("q_id")).drop("q_id")
+      .withColumn("stream_pos", streamPos(Seq(col("score"), col("doc_id"))))
+      .select(placements(budget) :+ col("score"): _*)
+
   /** [[packSequences]] over precomputed (doc_id, shard, n_tokens) —
     * the composition entry point: token counts are computed where the
     * text already is, so the packing shuffle moves 3 scalar columns,
