@@ -3677,6 +3677,84 @@ object OracleSql {
        |         SUM(CASE WHEN label THEN 0 ELSE 1 END) AS nn
        |  FROM scored GROUP BY score)""".stripMargin
 
+  /** Two-sample KS over the per-score collapsed frame: max rounded
+    * CDF gap.
+    */
+  val evalKs: String =
+    s"""WITH $scoredCte,
+       |c AS (
+       |  SELECT
+       |    SUM(np) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+       |    SUM(nn) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+       |    SUM(np) OVER () AS tp, SUM(nn) OVER () AS tn
+       |  FROM per)
+       |SELECT CAST(tp AS BIGINT) AS n_pos, CAST(tn AS BIGINT) AS n_neg,
+       |       MAX(${R("ABS(CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE) - CAST(cn AS DOUBLE) / CAST(tn AS DOUBLE))")}) AS ks
+       |FROM c GROUP BY tp, tn""".stripMargin
+
+  /** Decile calibration table of the scored frame. */
+  val evalCalibration: String =
+    s"""WITH $scoredCte,
+       |x AS (
+       |  SELECT LEAST(CAST(FLOOR(score * 10.0) AS BIGINT), 9) AS bin, score, label
+       |  FROM scored)
+       |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       |       ${R("SUM(score) / COUNT(*)")} AS mean_score,
+       |       ${R("SUM(CASE WHEN label THEN 1.0 ELSE 0.0 END) / COUNT(*)")} AS pos_rate
+       |FROM x GROUP BY bin ORDER BY bin""".stripMargin
+
+  /** Per-user session stats over the sessionize recursion. */
+  def sessionStats(gapMicros: Long): String =
+    s"""WITH f AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |         CASE WHEN ts_us_prev IS NULL OR epoch_us(ts) - ts_us_prev >= $gapMicros
+       |              THEN 1 ELSE 0 END AS new_session
+       |  FROM (
+       |    SELECT *, LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS ts_us_prev
+       |    FROM events)),
+       |s AS (
+       |  SELECT user_id, ts_us,
+       |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+       |  FROM f),
+       |g AS (
+       |  SELECT user_id, session_no, COUNT(*) AS n_events,
+       |         MAX(ts_us) - MIN(ts_us) AS dur_us
+       |  FROM s GROUP BY 1, 2)
+       |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       |       ${R("CAST(SUM(n_events) AS DOUBLE) / COUNT(*)")} AS avg_events,
+       |       ${R("CAST(SUM(dur_us) AS DOUBLE) / (COUNT(*) * 1000000.0)")} AS avg_duration_s
+       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Fixed-size per-stratum deterministic sample. */
+  def sampleFixed(k: Int, seed: String): String =
+    s"""SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (
+       |  SELECT doc_id, source,
+       |         ROW_NUMBER() OVER (PARTITION BY source
+       |           ORDER BY MD5(CONCAT('$seed:', CAST(doc_id AS VARCHAR))), doc_id) AS rk
+       |  FROM documents)
+       |WHERE rk <= $k ORDER BY source, rk""".stripMargin
+
+  /** Ljung-Box Q at lags 1-3 over the guarded rounded acf. */
+  val ljungBox: String = {
+    def corr(l: Int) = {
+      val vp = s"CASE WHEN v_l$l IS NOT NULL THEN v END"
+      R(s"COVAR_POP($vp, v_l$l) / NULLIF(STDDEV_POP($vp) * STDDEV_POP(v_l$l), 0)")
+    }
+    s"""WITH $daily,
+       |l AS (
+       |  SELECT user_id, v, LAG(v, 1) OVER w AS v_l1, LAG(v, 2) OVER w AS v_l2,
+       |         LAG(v, 3) OVER w AS v_l3
+       |  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+       |st AS (
+       |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+       |         ${corr(1)} AS r1, ${corr(2)} AS r2, ${corr(3)} AS r3
+       |  FROM l GROUP BY user_id)
+       |SELECT user_id, n,
+       |       ${R("CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * (r1 * r1 / (CAST(n AS DOUBLE) - 1.0) + r2 * r2 / (CAST(n AS DOUBLE) - 2.0) + r3 * r3 / (CAST(n AS DOUBLE) - 3.0))")} AS q_stat
+       |FROM st ORDER BY user_id""".stripMargin
+  }
+
   /** Tie-aware Mann-Whitney AUC over the per-score collapsed frame. */
   val evalAuc: String =
     s"""WITH $scoredCte,

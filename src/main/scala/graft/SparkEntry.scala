@@ -1427,6 +1427,32 @@ object SparkEntry {
       TimeSeries.croston(Tables.events(s, dir), 0.3)
         .orderBy(col("user_id"))),
 
+    // two-sample KS of the stop-ratio feature between classes
+    "eval_ks" -> ((s, dir) =>
+      graft.operators.Eval.ks(
+        graft.operators.Eval.stopRatioScored(Tables.documents(s, dir)))),
+
+    // decile calibration (reliability) table of the scored frame
+    "eval_calibration" -> ((s, dir) =>
+      graft.operators.Eval.calibration(
+        graft.operators.Eval.stopRatioScored(Tables.documents(s, dir)))
+        .orderBy(col("bin"))),
+
+    // per-user session behavior report (30-minute gap)
+    "session_stats" -> ((s, dir) =>
+      Relational.sessionStats(Tables.events(s, dir), 1800000000L)
+        .orderBy(col("user_id"))),
+
+    // deterministic fixed-k per-stratum sample (md5 order)
+    "sample_fixed_k" -> ((s, dir) =>
+      Relational.sampleFixedPerStratum(Tables.documents(s, dir), 5, "panel")
+        .orderBy(col("source"), col("rk"))),
+
+    // Ljung-Box portmanteau Q at lags 1-3 per key
+    "ts_ljung_box" -> ((s, dir) =>
+      TimeSeries.ljungBox(TimeSeries.resampleDaily(Tables.events(s, dir)))
+        .orderBy(col("user_id"))),
+
     // AR(2) Yule-Walker forecast from the guarded acf estimates
     "ts_ar_forecast" -> ((s, dir) =>
       TimeSeries.arForecast(TimeSeries.resampleDaily(Tables.events(s, dir)), NY)
@@ -1821,6 +1847,11 @@ object SparkEntry {
     "kanon_audit" -> OracleSql.kAnonymityAudit(20),
     "ts_theta" -> OracleSql.theta(0.3, NY),
     "multimodal_pack" -> OracleSql.packPayloads(1000L),
+    "eval_ks" -> OracleSql.evalKs,
+    "eval_calibration" -> OracleSql.evalCalibration,
+    "session_stats" -> OracleSql.sessionStats(1800000000L),
+    "sample_fixed_k" -> OracleSql.sampleFixed(5, "panel"),
+    "ts_ljung_box" -> OracleSql.ljungBox,
     "ts_ar_forecast" -> OracleSql.arForecast(NY),
     "embedding_whiten" -> OracleSql.embeddingWhitenAudit(),
     "q8_market_share" -> OracleSql.q8MarketShare,

@@ -87,6 +87,49 @@ object Eval {
       (col("lang") === "en").as("label"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic of `score` between the
+    * positive and negative classes — the distribution-free "does this
+    * feature separate the classes at all" test beside [[auc]]'s
+    * ranking view. KS = max over thresholds of |F⁺(s) − F⁻(s)|.
+    *
+    * Scale plan: the same collapsed-frame design as [[auc]] — the
+    * corpus reduces to per-distinct-score (n_pos, n_neg) counts
+    * map-side, and the cumulative window runs over ≤1001 rows. The
+    * per-row CDF gap is rounded BEFORE the max so the argmax can't
+    * flip on last-ulp noise.
+    */
+  def ks(scored: DataFrame): DataFrame = {
+    val per = scored.groupBy(col("score")).agg(
+      sum(when(col("label"), 1L).otherwise(0L)).as("np"),
+      sum(when(col("label"), 0L).otherwise(1L)).as("nn"))
+    val cum = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.partitionBy()
+    per
+      .withColumn("cp", sum(col("np")).over(cum))
+      .withColumn("cn", sum(col("nn")).over(cum))
+      .withColumn("tp", sum(col("np")).over(all))
+      .withColumn("tn", sum(col("nn")).over(all))
+      .select(r3(abs(col("cp").cast("double") / col("tp").cast("double") -
+        col("cn").cast("double") / col("tn").cast("double"))).as("gap"),
+        col("tp"), col("tn"))
+      .groupBy(col("tp").cast("long").as("n_pos"), col("tn").cast("long").as("n_neg"))
+      .agg(max(col("gap")).as("ks"))
+  }
+
+  /** Calibration (reliability) table of a [0,1] score against the
+    * label: decile bins, per-bin count, mean score and positive rate
+    * — how far the score is from being a probability. One map-side-
+    * combined groupBy over ≤10 groups.
+    */
+  def calibration(scored: DataFrame): DataFrame =
+    scored
+      .withColumn("bin", least(floor(col("score") * 10.0).cast("long"), lit(9L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        r3(sum(col("score")) / count(lit(1))).as("mean_score"),
+        r3(sum(when(col("label"), 1.0).otherwise(0.0)) / count(lit(1))).as("pos_rate"))
+
   /** Leave-one-out target encoding of a categorical column: each row's
     * encoding is the mean target of its category EXCLUDING the row
     * itself — the standard leakage-free categorical feature. NULL for

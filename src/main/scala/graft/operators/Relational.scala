@@ -66,6 +66,44 @@ object Relational {
         (floor(sum(col("value")) * 1000.0 + 0.5001) / 1000.0).as("sum_value"))
   }
 
+  /** Per-user session behavior report over [[sessionize]]'s output:
+    * session count, mean events per session, mean session duration —
+    * the engagement summary a product dashboard reads (and the
+    * sanity check on the gap parameter: a mean duration near the gap
+    * means sessions are being split mid-activity).
+    *
+    * Scale plan: one more map-side-combined aggregate over
+    * sessionize's (user, session) frame, which is already compact —
+    * the user keying reuses the existing exchange.
+    */
+  def sessionStats(events: DataFrame, gapMicros: Long): DataFrame =
+    sessionize(events, gapMicros)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        r3(sum(col("n_events")) / count(lit(1))).as("avg_events"),
+        r3(sum(col("session_end_us") - col("session_start_us")) /
+          (count(lit(1)) * 1000000.0)).as("avg_duration_s"))
+
+  /** Deterministic fixed-size per-stratum sample ("reservoir" shape):
+    * the k docs with the smallest seeded md5 keys in each stratum —
+    * the complement of [[graft.operators.TextOps]]' percentage-based
+    * stratified sampling when downstream wants EXACTLY k rows per
+    * group (eval panels, human-review batches). Reproducible on any
+    * engine/partitioning; a `rand()` reservoir would be neither.
+    *
+    * Scale plan: one rank window per stratum; WindowGroupLimit prunes
+    * to k rows per partition BEFORE the exchange, so the shuffle
+    * carries ~k·partitions rows, never the corpus.
+    */
+  def sampleFixedPerStratum(docs: DataFrame, k: Int, seed: String): DataFrame = {
+    val key = md5(concat(lit(s"$seed:"), col("doc_id").cast("string")))
+    docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(key, col("doc_id"))))
+      .where(col("rk") <= k)
+      .select(col("doc_id"), col("source"), col("rk").cast("long").as("rk"))
+  }
+
   /** Skew-safe aggregation: pre-aggregate under a salt so one hot key
     * never lands on one reducer, then merge per key. Results are
     * identical to a plain groupBy (counts exact; float sums within

@@ -620,6 +620,36 @@ object TimeSeries {
         lags.tail.map(l => acfCol(l).as(s"acf_$l")): _*)
   }
 
+  /** Ljung–Box portmanteau statistic per key at lags 1..3:
+    * `Q = n(n+2) Σ r_k²/(n−k)` over the (rounded, guarded) [[acf]]
+    * estimates — the "is there ANY autocorrelation left" test a
+    * forecaster's residuals are held to (white residuals ⟹ Q small;
+    * χ²₃ 95% critical value ≈ 7.81). NULL acf (constant series)
+    * yields NULL Q.
+    *
+    * Scale plan: the acf aggregate's single key exchange; the Q
+    * composition is a pure projection on per-key scalars.
+    */
+  def ljungBox(daily: DataFrame): DataFrame = {
+    def acfAgg(l: Int): Column = {
+      val vl = col(s"v_l$l")
+      val vp = when(vl.isNotNull, col("v"))
+      r3(covar_pop(vp, vl) /
+        nullif(stddev_pop(vp) * stddev_pop(vl), lit(0.0)))
+    }
+    val st = (1 to 3).foldLeft(daily)((d, l) =>
+      d.withColumn(s"v_l$l", lag(col("v"), l).over(wOrdered)))
+      .groupBy(col(KEY))
+      .agg(count(lit(1)).as("n"),
+        acfAgg(1).as("r1"), acfAgg(2).as("r2"), acfAgg(3).as("r3"))
+    val n = col("n").cast("double")
+    st.select(col(KEY), col("n"),
+      r3(n * (n + 2.0) * (
+        col("r1") * col("r1") / (n - 1.0) +
+        col("r2") * col("r2") / (n - 2.0) +
+        col("r3") * col("r3") / (n - 3.0))).as("q_stat"))
+  }
+
   /** AR(2) forecast via Yule–Walker per key — the parametric
     * forecaster the [[acf]]/[[pacf]] diagnostics point at: from the
     * (rounded, guarded) autocorrelations,
