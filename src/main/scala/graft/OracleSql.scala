@@ -3973,6 +3973,29 @@ object OracleSql {
        |JOIN sn ON sn.s_suppkey = m.l_suppkey
        |GROUP BY o.o_year ORDER BY o.o_year""".stripMargin
 
+  /** Token-bucket rate limiting: the per-user refill/spend recursion,
+    * refill inlined everywhere (identical IEEE value per consumer).
+    */
+  def rateLimit(capacity: Double, refillMicros: Long): String = {
+    val nt = s"LEAST($capacity, h.tok + (n.ts_us - h.ts_us) / $refillMicros.0)"
+    s"""WITH RECURSIVE n AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+       |  FROM events),
+       |h AS (
+       |  SELECT user_id, rn, event_id, ts_us,
+       |         TRUE AS accepted, CAST($capacity AS DOUBLE) - 1.0 AS tok
+       |  FROM n WHERE rn = 1
+       |  UNION ALL
+       |  SELECT n.user_id, n.rn, n.event_id, n.ts_us,
+       |         $nt >= 1.0 AS accepted,
+       |         CASE WHEN $nt >= 1.0 THEN $nt - 1.0 ELSE $nt END AS tok
+       |  FROM h JOIN n ON n.user_id = h.user_id AND n.rn = h.rn + 1)
+       |SELECT user_id, event_id, ts_us, accepted,
+       |       ${R("tok")} AS tokens_after
+       |FROM h ORDER BY user_id, rn""".stripMargin
+  }
+
   /** cdcStreamBatch's oracle: event-time rank vs running arrival-order
     * maximum, under the same md5 arrival permutation.
     */

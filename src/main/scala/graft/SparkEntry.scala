@@ -1496,6 +1496,14 @@ object SparkEntry {
         .orderBy(col("o_year"))
     }),
 
+    // token-bucket rate limiting (2-token bucket, 1 token/6h - 11.5%
+    // of the gate corpus actually throttles):
+    // batch twin of the ingest admission-control state machine
+    "stream_ratelimit_batch" -> ((s, dir) =>
+      graft.streaming.StreamOps.rateLimitStreamBatch(
+          Tables.events(s, dir), 2.0, 21600000000L)
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))),
+
     // streaming CDC upsert view's batch twin under the md5 arrival
     // permutation: emissions = events that advance their key's
     // (event-time, id) high-water mark in arrival order
@@ -1855,6 +1863,7 @@ object SparkEntry {
     "ts_ar_forecast" -> OracleSql.arForecast(NY),
     "embedding_whiten" -> OracleSql.embeddingWhitenAudit(),
     "q8_market_share" -> OracleSql.q8MarketShare,
+    "stream_ratelimit_batch" -> OracleSql.rateLimit(2.0, 21600000000L),
     "stream_cdc_batch" -> OracleSql.streamCdcBatch,
     "chunk_documents" -> OracleSql.chunkDocs(64, 48),
     "mmr_rerank" -> OracleSql.mmrRerank(5, 10, 5),

@@ -304,6 +304,89 @@ object StreamOps {
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"), col("value"), col("zscore"))
 
+  /** Token-bucket RATE LIMITING at ingest: per-user bucket of
+    * `capacity` tokens refilling one token per `refillMicros`, each
+    * event spending one — the admission-control primitive in front of
+    * any ingest pipeline (an abusive or runaway producer gets its
+    * burst absorbed up to `capacity`, then throttled to the refill
+    * rate, without touching other users). Emits EVERY event with its
+    * verdict and the post-decision token level; a deployment keeps
+    * the accepted side.
+    *
+    * State per user = (tokens, last event time) — two scalars,
+    * bounded forever; the fold is event-time ordered (event_id ties)
+    * per micro-batch, the ordered-ingest convention of
+    * [[funnelStream]]/[[transitionsStream]]. The refill arithmetic is
+    * the same fixed IEEE expression in the stream, the batch twin and
+    * the oracle: `min(cap, tok + (ts − last) / refill)`.
+    */
+  def rateLimitStream(events: DataFrame, capacity: Double, refillMicros: Long,
+                      watermark: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(capacity >= 1.0, s"rateLimitStream: capacity must be >= 1, got $capacity")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Double, Long), (Long, Long, Long, Boolean, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, evs, state) =>
+          var (tok, last) = state.getOption.getOrElse((0.0, Long.MinValue))
+          val out = Seq.newBuilder[(Long, Long, Long, Boolean, Double)]
+          for ((_, eid, ts) <- evs.toSeq.sortBy(e => (e._3, e._2))) {
+            val nt = if (last == Long.MinValue) capacity
+              else math.min(capacity, tok + (ts - last) / refillMicros.toDouble)
+            val acc = nt >= 1.0
+            tok = if (acc) nt - 1.0 else nt
+            last = ts
+            out += ((user, eid, ts, acc,
+              math.floor(tok * 1000.0 + 0.5001) / 1000.0))
+          }
+          state.update((tok, last))
+          out.result().iterator
+      }
+      .toDF("user_id", "event_id", "ts_us", "accepted", "tokens_after")
+  }
+
+  /** Batch twin of [[rateLimitStream]]: the same fold expressed as a
+    * higher-order `aggregate` over each user's event-time-ordered
+    * events — per-user sequential by nature (bucket state depends on
+    * every prior event), parallel across users, the packer argument.
+    */
+  def rateLimitStreamBatch(events: DataFrame, capacity: Double,
+                           refillMicros: Long): DataFrame = {
+    require(capacity >= 1.0, s"rateLimitStreamBatch: capacity must be >= 1, got $capacity")
+    val cap = s"cast($capacity as double)"
+    // the refill expression, inlined everywhere it is consumed so every
+    // consumer computes the identical IEEE value (the HwFold lesson)
+    val nt = s"(CASE WHEN s.last < 0L THEN $cap " +
+      s"ELSE least($cap, s.tok + (e.ts - s.last) / $refillMicros.0D) END)"
+    val fold =
+      s"""aggregate(
+         |  evs,
+         |  named_struct('tok', $cap, 'last', -1L,
+         |    'out', cast(array() as array<struct<eid:bigint, ts:bigint, acc:boolean, ta:double>>)),
+         |  (s, e) -> named_struct(
+         |    'tok', CASE WHEN $nt >= 1.0D THEN $nt - 1.0D ELSE $nt END,
+         |    'last', e.ts,
+         |    'out', array_append(s.out, named_struct(
+         |      'eid', e.eid, 'ts', e.ts, 'acc', $nt >= 1.0D,
+         |      'ta', floor((CASE WHEN $nt >= 1.0D THEN $nt - 1.0D ELSE $nt END) * 1000.0D + 0.5001D) / 1000.0D))),
+         |  s -> s.out)""".stripMargin
+    events
+      .select(col("user_id"), col("event_id").as("eid"), unix_micros(col("ts")).as("ts"))
+      .groupBy(col("user_id"))
+      .agg(expr("sort_array(collect_list(struct(ts, eid)))").as("sorted"))
+      .select(col("user_id"),
+        expr("transform(sorted, x -> named_struct('eid', x.eid, 'ts', x.ts))").as("evs"))
+      .select(col("user_id"), explode(expr(fold)).as("r"))
+      .select(col("user_id"), col("r.eid").as("event_id"), col("r.ts").as("ts_us"),
+        col("r.acc").as("accepted"), col("r.ta").as("tokens_after"))
+  }
+
   /** Streaming funnel — the [[graft.operators.Relational.funnel]]
     * ladder as a PER-USER STATE MACHINE via
     * `flatMapGroupsWithState` (the custom-state primitive the

@@ -404,6 +404,50 @@ class FeedStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming rate limiter: burst absorbed to capacity, refill across micro-batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("rl-in").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000L)
+    // capacity 2, refill 1 token / 10s. batch 1: a burst of 4 events in
+    // 2s — the first two spend the full bucket, the next two reject
+    // (refill in 1s = 0.1 tokens). batch 2 arrives 30s later: bucket
+    // refilled past capacity (clamped to 2) → two accepts, then reject.
+    val b1 = Seq(
+      (1L, 1L, ts(0)), (2L, 1L, ts(1)), (3L, 1L, ts(1)), (4L, 1L, ts(2)))
+    val b2 = Seq(
+      (5L, 1L, ts(32)), (6L, 1L, ts(33)), (7L, 1L, ts(33)))
+    def write(rows: Seq[(Long, Long, java.sql.Timestamp)]) =
+      rows.toDF("event_id", "user_id", "ts").coalesce(1)
+        .write.mode("append").parquet(dir)
+    write(b1)
+    val schema = b1.toDF("event_id", "user_id", "ts").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StreamOps.rateLimitStream(src, 2.0, 10000000L, "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("rl").start()
+    try {
+      q.processAllAvailable()
+      write(b2)
+      q.processAllAvailable()
+      val got = spark.sql("select * from rl").collect()
+        .map(r => (r.getLong(1), r.getBoolean(3))).sortBy(_._1)
+      assert(got.toSeq === Seq(
+        (1L, true), (2L, true), (3L, false), (4L, false),
+        (5L, true), (6L, true), (7L, false)))
+      // equals the batch twin on the full replay
+      val twin = StreamOps.rateLimitStreamBatch(
+          spark.read.parquet(dir)
+            .withColumn("value", lit(0.0)).withColumn("event_type", lit("x"))
+            .withColumn("props", lit("{}")),
+          2.0, 10000000L)
+        .collect().map(r => (r.getLong(1), r.getBoolean(3), r.getDouble(4))).toSet
+      val gotFull = spark.sql("select * from rl").collect()
+        .map(r => (r.getLong(1), r.getBoolean(3), r.getDouble(4))).toSet
+      assert(gotFull === twin)
+    } finally q.stop()
+  }
+
   test("streaming CDC upsert emits exactly the hwm-advancing changes, across micro-batches") {
     import spark.implicits._
     val dir = Files.createTempDirectory("cdc-in").toString
