@@ -487,6 +487,65 @@ object Soak {
           .select(coalesce(col("n"), lit(0L)).as("c_count"))
           .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
       }),
+      // per-user sequential fold, parallel across users — the HOF twin
+      // of the streaming token bucket; state is two scalars + the
+      // per-user verdict list (bounded by events/user, which the
+      // disjoint-replica scaling holds constant)
+      "stream_ratelimit_batch" -> (() =>
+        graft.streaming.StreamOps.rateLimitStreamBatch(ev, 2.0, 21600000000L)),
+      // hwm-advancing CDC emissions: two windows on the user keying
+      "stream_cdc_batch" -> (() =>
+        graft.streaming.StreamOps.cdcStreamBatch(ev,
+          conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10).cast("bigint"))),
+      // collapsed-frame KS: the cumulative window must stay ≤1001 rows
+      // while the corpus grows
+      "eval_ks" -> (() => graft.operators.Eval.ks(
+        graft.operators.Eval.stopRatioScored(docs))),
+      // sessionize's exchange + one more compact aggregate
+      "session_stats" -> (() =>
+        Relational.sessionStats(ev, 1800000000L)),
+      // WindowGroupLimit prunes to k per partition BEFORE the exchange:
+      // the shuffle must carry ~k·partitions rows at any corpus size
+      "sample_fixed_k" -> (() =>
+        Relational.sampleFixedPerStratum(docs, 5, "panel")),
+      // the acf aggregate's single key exchange + scalar projection
+      "ts_ljung_box" -> (() => graft.operators.TimeSeries.ljungBox(
+        graft.operators.TimeSeries.resampleDaily(ev))),
+      // one-pass acf/rank/moments aggregate + map-only explode
+      "ts_ar_forecast" -> (() => graft.operators.TimeSeries.arForecast(
+        graft.operators.TimeSeries.resampleDaily(ev), 5)),
+      // stats collect (d rows) + zero-exchange transform + re-audit
+      "embedding_whiten" -> (() => Similarity.whitenAudit(emb)),
+      // rotation projection + the PQ scan — the annPq law plus one
+      // codegen dot per row
+      "ann_pq_rotated" -> (() => Similarity.annPqRotated(emb, 16, 4, 5, 5)),
+      // q8: broadcast dims, one lineitem-orders shuffle — linear
+      "q8_market_share" -> (() => {
+        val part = Tables(spark, sfDir, "part")
+          .where(col("p_type") === "ECONOMY").select(col("p_partkey"))
+        val mkt = scaleLineitem(spark, sfDir, factor)
+          .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        val nation = Tables(spark, sfDir, "nation")
+        val cust = scaleCustomer(spark, sfDir, factor)
+          .join(broadcast(nation
+            .join(Tables(spark, sfDir, "region"), col("n_regionkey") === col("r_regionkey"))
+            .where(col("r_name") === "ASIA").select(col("n_nationkey"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"))
+        val ords = scaleOrders(spark, sfDir, factor)
+          .join(cust, col("c_custkey") === col("o_custkey"))
+          .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+        val sn = Tables(spark, sfDir, "supplier")
+          .join(nation, col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name"))
+        mkt.join(ords, col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(sn), col("s_suppkey") === col("l_suppkey"))
+          .groupBy(col("o_year"))
+          .agg(sum(when(col("n_name") === "NATION_18", col("rev")).otherwise(0.0)).as("nat"),
+            sum(col("rev")).as("tot"))
+      }),
       // q16: the (partkey, suppkey) distinct must collapse MAP-SIDE —
       // replicas duplicate the same associations, so the post-distinct
       // frame stays base-sized while the scan grows factor×
