@@ -1464,6 +1464,19 @@ object OracleSql {
     * Σxᵢxⱼ/n − (Σxᵢ/n)(Σxⱼ/n) with the identical composition and
     * rounding as Similarity.covariance.
     */
+  /** First-round BPE pair counts over the distinct-word vocabulary. */
+  def bpePairCounts(k: Int): String =
+    s"""WITH wds AS (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents),
+       |wf AS (SELECT w, COUNT(*) AS freq FROM wds WHERE length(w) >= 2 GROUP BY w),
+       |pos AS (
+       |  SELECT w, freq, UNNEST(generate_series(1, length(w) - 1)) AS i
+       |  FROM wf),
+       |g AS (
+       |  SELECT substr(w, i, 2) AS pair, SUM(freq) AS pair_count
+       |  FROM pos GROUP BY 1)
+       |SELECT pair, CAST(pair_count AS BIGINT) AS pair_count
+       |FROM g ORDER BY pair_count DESC, pair LIMIT $k""".stripMargin
+
   /** Overlapping token-window chunking (RAG splitter). */
   def chunkDocs(chunkSize: Int, stride: Int): String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

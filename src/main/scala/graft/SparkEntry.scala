@@ -1512,6 +1512,11 @@ object SparkEntry {
           conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10).cast("bigint"))
         .orderBy(col("user_id"), col("event_id"))),
 
+    // first BPE merge step: corpus-weighted char-pair counts over the
+    // distinct-word vocabulary (tokenizer induction primitive)
+    "bpe_merge_step" -> ((s, dir) =>
+      TextOps.bpePairCounts(Tables.documents(s, dir), 30)),
+
     // RAG chunking: overlapping token windows with content fingerprints
     "chunk_documents" -> ((s, dir) =>
       TextOps.chunkDocs(Tables.documents(s, dir), 64, 48)
@@ -1865,6 +1870,7 @@ object SparkEntry {
     "q8_market_share" -> OracleSql.q8MarketShare,
     "stream_ratelimit_batch" -> OracleSql.rateLimit(2.0, 21600000000L),
     "stream_cdc_batch" -> OracleSql.streamCdcBatch,
+    "bpe_merge_step" -> OracleSql.bpePairCounts(30),
     "chunk_documents" -> OracleSql.chunkDocs(64, 48),
     "mmr_rerank" -> OracleSql.mmrRerank(5, 10, 5),
     "pca_power" -> OracleSql.pcaPower(),

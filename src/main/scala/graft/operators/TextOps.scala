@@ -953,6 +953,29 @@ object TextOps {
         lit(PhoneRe), lit("[PHONE]")),
         lit(IpRe), lit("[IP]")).as("masked"))
 
+  /** One BPE merge step (Sennrich et al. 2016): corpus-weighted
+    * adjacent character-pair frequencies, top-k — the inner-loop
+    * primitive of tokenizer vocabulary induction (a real trainer
+    * repeats this, merging the argmax pair into a new symbol each
+    * round; the FIRST round's counts are what this op gates).
+    *
+    * Scale plan: the corpus collapses to DISTINCT words with
+    * frequencies FIRST (one map-side-combined groupBy — the explode
+    * that follows runs over the VOCABULARY, never corpus volume);
+    * pair counts weight by word frequency and collapse map-side to
+    * the pair vocabulary; the final rank is TakeOrdered over pair-
+    * vocab survivors, never a global sort.
+    */
+  def bpePairCounts(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(k)
+
   /** Overlapping token-window chunking — the RAG/embedding prep pass
     * (LangChain/LlamaIndex-style fixed-size splitter): chunk i covers
     * tokens [i·stride, i·stride + size), i = 0.. while i·stride < n,

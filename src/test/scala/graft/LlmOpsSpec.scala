@@ -368,6 +368,16 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((0L, 0L, 2.667), (0L, 1L, -1.333), (1L, 1L, 2.667)))
   }
 
+  test("bpePairCounts: corpus-weighted adjacent pairs, single-char words ignored") {
+    // "abab" ×2 docs + "ab x bc": pairs of abab = ab, ba, ab → per occurrence;
+    // word frequencies: abab:2, ab:1, bc:1; x dropped (length 1)
+    // ab: 2·2 (from abab) + 1 = 5; ba: 2·1 = 2; bc: 1
+    val d = docs((1L, "abab ab"), (2L, "abab x bc"))
+    val out = TextOps.bpePairCounts(d, 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("ab" -> 5L, "ba" -> 2L, "bc" -> 1L))
+  }
+
   test("whitenEmbeddings: hand-computed standardization; flat dims center only") {
     import spark.implicits._
     // dim 0: values 1, 3 → μ=2, σ=1; dim 1: constant 7 → σ guard (:=1)
