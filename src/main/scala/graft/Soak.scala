@@ -487,6 +487,11 @@ object Soak {
           .select(coalesce(col("n"), lit(0L)).as("c_count"))
           .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
       }),
+      // the distinct-word collapse is the load-bearing stage: replica-
+      // prefixed tokens grow the vocab ~factor×, so BOTH the collapse
+      // input and the char explode grow linearly — never corpus ×
+      // word-length superlinear
+      "bpe_merge_step" -> (() => TextOps.bpePairCounts(docs, 30)),
       // per-user sequential fold, parallel across users — the HOF twin
       // of the streaming token bucket; state is two scalars + the
       // per-user verdict list (bounded by events/user, which the
