@@ -102,4 +102,32 @@ class EvalSpec extends AnyFunSuite {
     assert(out(1).getTimestamp(4) === out(2).getTimestamp(3))
     assert(out(2).isNullAt(4) && out(2).getBoolean(6))
   }
+
+  test("ks: hand-computed CDF gap; perfect separation scores 1") {
+    import spark.implicits._
+    // negatives at scores .1/.2, positives at .8/.9 → KS = 1.0
+    val sep = Seq((0.1, false), (0.2, false), (0.8, true), (0.9, true))
+      .toDF("score", "label")
+    val r = graft.operators.Eval.ks(sep).collect().head
+    assert(r.getAs[Double]("ks") === 1.0)
+    assert(r.getAs[Long]("n_pos") === 2L && r.getAs[Long]("n_neg") === 2L)
+    // interleaved: scores .1(neg) .2(pos) .3(neg) .4(pos)
+    // CDFs after each: F-=[.5,.5,1,1], F+=[0,.5,.5,1] → max gap 0.5
+    val mix = Seq((0.1, false), (0.2, true), (0.3, false), (0.4, true))
+      .toDF("score", "label")
+    assert(graft.operators.Eval.ks(mix).collect().head.getAs[Double]("ks") === 0.5)
+  }
+
+  test("calibration: a perfectly calibrated score lands on the diagonal") {
+    import spark.implicits._
+    // bin 2 (score .25): 1 of 4 positive → pos_rate .25; bin 7 (.75): 3 of 4
+    val rows = Seq.fill(3)((0.25, false)) ++ Seq((0.25, true)) ++
+      Seq.fill(3)((0.75, true)) ++ Seq((0.75, false))
+    val out = graft.operators.Eval.calibration(rows.toDF("score", "label"))
+      .orderBy("bin").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(2L, 7L))
+    assert(out(0).getAs[Double]("pos_rate") === 0.25)
+    assert(out(1).getAs[Double]("pos_rate") === 0.75)
+    assert(out(0).getAs[Double]("mean_score") === 0.25)
+  }
 }

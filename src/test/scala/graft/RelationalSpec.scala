@@ -254,4 +254,31 @@ class RelationalSpec extends AnyFunSuite {
       assert(r.getLong(r.fieldIndex("max_by")) - r.getLong(r.fieldIndex("min_by")) === 1L)
     }
   }
+
+  test("sessionStats: counts, mean events and mean duration per user") {
+    import spark.implicits._
+    val t = (s: Long) => new java.sql.Timestamp(s * 1000L)
+    // user 1: session A = 3 events over 10s, session B (after a >30s
+    // gap) = 1 event → 2 sessions, avg 2 events, avg duration 5s
+    val ev = Seq(
+      (1L, 1L, t(100), 1.0), (1L, 2L, t(105), 1.0), (1L, 3L, t(110), 1.0),
+      (1L, 4L, t(200), 1.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val r = Relational.sessionStats(ev, 30000000L).collect().head
+    assert(r.getAs[Long]("n_sessions") === 2L)
+    assert(r.getAs[Double]("avg_events") === 2.0)
+    assert(r.getAs[Double]("avg_duration_s") === 5.0)
+  }
+
+  test("sampleFixedPerStratum: exactly k per stratum, deterministic across reruns") {
+    import spark.implicits._
+    val d = (0L until 40L).map(i => (i, s"s${i % 2}", "txt")).toDF("doc_id", "source", "text")
+    val a = Relational.sampleFixedPerStratum(d, 5, "panel").collect()
+    assert(a.groupBy(_.getString(1)).forall(_._2.length == 5))
+    val b = Relational.sampleFixedPerStratum(d, 5, "panel").collect()
+    assert(a.map(_.getLong(0)).sorted.toSeq === b.map(_.getLong(0)).sorted.toSeq)
+    // a different seed draws a different panel
+    val c = Relational.sampleFixedPerStratum(d, 5, "other").collect()
+    assert(a.map(_.getLong(0)).sorted.toSeq !== c.map(_.getLong(0)).sorted.toSeq)
+  }
 }

@@ -484,6 +484,20 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(rd.getAs[Double]("forecast") === rd.getAs[Double]("z_hat"))
   }
 
+  test("ljungBox: an autocorrelated series scores far above white noise") {
+    import spark.implicits._
+    def d(i: Int) = java.sql.Date.valueOf(
+      s"2024-${"%02d".format(i / 28 + 1)}-${"%02d".format(i % 28 + 1)}")
+    val rng = new scala.util.Random(5)
+    val rows =
+      (0 until 100).map(i => (1L, d(i), math.sin(i / 8.0) * 10.0)) ++  // slow wave
+      (0 until 100).map(i => (2L, d(i), rng.nextGaussian()))           // white noise
+    val q = TimeSeries.ljungBox(rows.toDF("user_id", "day", "v")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("q_stat")).toMap
+    assert(q(1L) > 100.0, s"wave Q ${q(1L)}")   // massive autocorrelation
+    assert(q(2L) < 15.0, s"noise Q ${q(2L)}")   // near the χ²₃ regime
+  }
+
   test("arForecast: Yule-Walker recovers known AR(2) coefficients; degenerates drop") {
     import spark.implicits._
     def d(i: Int) = java.sql.Date.valueOf(
