@@ -2156,6 +2156,66 @@ object OracleSql {
   /** Recall@k of the PQ tier vs the exact cosine top-k: the annPq
     * CTEs + the brute-force ranking + the recall left join.
     */
+  /** Binary Hamming top-k: the sign-signature CTE (identical plane
+    * literals) + popcount(xor) ranking — integer-exact end to end.
+    */
+  def annHamming(nPlanes: Int, nQueries: Int, k: Int, dim: Int = 64): String = {
+    def proj(p: Int) = (0 until dim)
+      .map(d => s"v[${d + 1}] * ${graft.operators.Similarity.planeWeight(p, d)}")
+      .mkString(" + ")
+    val bucket = (0 until nPlanes)
+      .map(p => s"CASE WHEN ${proj(p)} > 0 THEN ${1L << p} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, $bucket AS sig
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |        WHERE embedding IS NOT NULL)),
+       |q AS (SELECT vec_id AS qid, sig AS qsig FROM e WHERE vec_id < $nQueries),
+       |s AS (
+       |  SELECT q.qid, e.vec_id AS vid,
+       |         CAST(bit_count(xor(e.sig, q.qsig)) AS BIGINT) AS hamming
+       |  FROM e CROSS JOIN q WHERE e.vec_id != q.qid),
+       |r AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamming, vid) AS BIGINT) AS rank
+       |  FROM s)
+       |SELECT qid, vid, hamming, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
+  /** Recall of the Hamming tier vs the exact cosine top-k. */
+  def annHammingRecall(nPlanes: Int, nQueries: Int, k: Int, dim: Int = 64): String = {
+    def proj(p: Int) = (0 until dim)
+      .map(d => s"v[${d + 1}] * ${graft.operators.Similarity.planeWeight(p, d)}")
+      .mkString(" + ")
+    val bucket = (0 until nPlanes)
+      .map(p => s"CASE WHEN ${proj(p)} > 0 THEN ${1L << p} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |             WHERE embedding IS NOT NULL),
+       |q0 AS (SELECT vec_id AS qid, v AS qv FROM raw WHERE vec_id < $nQueries),
+       |xs AS (
+       |  SELECT qid, vec_id AS vid, ${R("list_cosine_similarity(qv, v)")} AS cos
+       |  FROM raw CROSS JOIN q0 WHERE vec_id != qid),
+       |xr AS (
+       |  SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+       |  FROM xs),
+       |exact AS (SELECT qid, vid FROM xr WHERE rank <= $k),
+       |e AS (SELECT vec_id, $bucket AS sig FROM raw),
+       |q AS (SELECT vec_id AS qid, sig AS qsig FROM e WHERE vec_id < $nQueries),
+       |s AS (
+       |  SELECT q.qid, e.vec_id AS vid,
+       |         CAST(bit_count(xor(e.sig, q.qsig)) AS BIGINT) AS hamming
+       |  FROM e CROSS JOIN q WHERE e.vec_id != q.qid),
+       |pr AS (
+       |  SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamming, vid) AS rank
+       |  FROM s),
+       |approx AS (SELECT qid, vid, 1 AS hit FROM pr WHERE rank <= $k)
+       |SELECT x.qid, COUNT(*) AS n_exact,
+       |       CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS n_hit,
+       |       ${R("SUM(COALESCE(a.hit, 0)) / COUNT(*)")} AS recall
+       |FROM exact x LEFT JOIN approx a ON x.qid = a.qid AND x.vid = a.vid
+       |GROUP BY x.qid ORDER BY x.qid""".stripMargin
+  }
+
   /** The Householder-rotated `e` CTE chain (raw → dot → reflected,
     * component-rounded) — u embedded as the same full-precision
     * literals the Spark side uses ([[graft.operators.Similarity

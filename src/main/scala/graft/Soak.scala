@@ -524,6 +524,9 @@ object Soak {
       // rotation projection + the PQ scan — the annPq law plus one
       // codegen dot per row
       "ann_pq_rotated" -> (() => Similarity.annPqRotated(emb, 16, 4, 5, 5)),
+      // one sign projection + an integer popcount scan: the cheapest
+      // linear law in the ANN family
+      "ann_hamming" -> (() => Similarity.annHammingTopK(emb, 32, 5, 5)),
       // q8: broadcast dims, one lineitem-orders shuffle — linear
       "q8_market_share" -> (() => {
         val part = Tables(spark, sfDir, "part")

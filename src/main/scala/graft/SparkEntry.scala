@@ -990,6 +990,16 @@ object SparkEntry {
       Similarity.annPqRecall(Tables.embeddings(s, dir), 16, 4, 5, 5)
         .orderBy(col("qid"))),
 
+    // binary Hamming tier: 32-bit sign signatures, popcount ranking
+    "ann_hamming" -> ((s, dir) =>
+      Similarity.annHammingTopK(Tables.embeddings(s, dir), 32, 5, 5)
+        .select(col("qid"), col("vid"), col("hamming"), col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))),
+
+    "ann_hamming_recall" -> ((s, dir) =>
+      Similarity.annHammingRecall(Tables.embeddings(s, dir), 32, 5, 5)
+        .orderBy(col("qid"))),
+
     // PQ over the Householder-rotated corpus (OPQ's variance-balancing
     // insight at zero metric cost) + its recall vs original-space exact
     "ann_pq_rotated" -> ((s, dir) =>
@@ -1792,6 +1802,8 @@ object SparkEntry {
     "ann_ivfpq_stored_probe" -> OracleSql.annIvfPqProbe(16, 16, 4, 5, 5, 2),
     "ann_ivfpq_stored_inc" -> OracleSql.annIvfPq(16, 16, 4, 5, 5),
     "ann_pq_recall" -> OracleSql.annPqRecall(16, 4, 5, 5),
+    "ann_hamming" -> OracleSql.annHamming(32, 5, 5),
+    "ann_hamming_recall" -> OracleSql.annHammingRecall(32, 5, 5),
     "ann_pq_rotated" -> OracleSql.annPqRotated(16, 4, 5, 5),
     "ann_pq_rotated_recall" -> OracleSql.annPqRotatedRecall(16, 4, 5, 5),
     "ann_ivfpq_recall" -> OracleSql.annIvfPqRecall(16, 16, 4, 5, 5),

@@ -648,6 +648,46 @@ object Similarity {
           .as("cov"))
   }
 
+  /** Binary Hamming ANN — the FAISS IndexBinaryFlat shape: each vector
+    * collapses to an `nPlanes`-bit sign signature (one zero-exchange
+    * [[graft.functions.LshBucket]] projection — at 32 planes that is
+    * 256× compression of a 64-dim float vector), queries rank the
+    * WHOLE corpus by `popcount(sig XOR qsig)`. The cheapest full-scan
+    * tier there is (one XOR+popcount per candidate, integer-exact in
+    * any engine — no rounding anywhere), used as a coarse filter or
+    * candidate generator above an exact re-ranker.
+    */
+  def annHammingTopK(embeddings: DataFrame, nPlanes: Int, nQueries: Int,
+                     k: Int): DataFrame = {
+    VectorExprs.register(embeddings.sparkSession)
+    val sigs = embeddings.where(col("embedding").isNotNull)
+      .select(col("vec_id"), expr(s"graft_lsh_bucket(embedding, $nPlanes)").as("sig"))
+    val q = sigs.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("sig").as("qsig"))
+    val scored = sigs.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("vid"),
+        expr("cast(bit_count(sig ^ qsig) as bigint)").as("hamming"))
+    saltedTopK(scored, "hamming", ascending = true, k)
+  }
+
+  /** Recall@k of the Hamming tier vs the exact cosine top-k — sign
+    * bits preserve cosine NEIGHBORHOODS in expectation (the
+    * hyperplane-LSH guarantee), and this measures how much of that
+    * survives at a 32-bit budget on THIS corpus.
+    */
+  def annHammingRecall(embeddings: DataFrame, nPlanes: Int, nQueries: Int,
+                       k: Int): DataFrame = {
+    val exact = cosineTopK(embeddings, nQueries, k).select(col("qid"), col("vid"))
+    val approx = annHammingTopK(embeddings, nPlanes, nQueries, k)
+      .select(col("qid"), col("vid"), lit(1).as("hit"))
+    exact.join(approx, Seq("qid", "vid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        r3(col("n_hit") / col("n_exact")).as("recall"))
+  }
+
   /** Maximal-marginal-relevance reranking (Carbonell & Goldstein 1998)
     * of the exact cosine top-N: greedily select k of the N candidates
     * maximizing `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` — the
