@@ -1118,6 +1118,38 @@ object OracleSql {
        |SELECT dst AS doc_id, MIN(src) AS cluster
        |FROM reach GROUP BY dst ORDER BY doc_id""".stripMargin
 
+  /** PageRank over the candidate graph: `iters` unrolled damped
+    * rounds over the distinct symmetrized edges, ranks rounded per
+    * round exactly like the Spark side.
+    */
+  def dedupPageRank(perms: Int, rowsPerBand: Int, iters: Int = 3,
+                    damping: Double = 0.85): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""i$t AS (
+         |  SELECT e.dst AS doc_id, SUM(r${t - 1}.pr / deg.deg) AS inflow
+         |  FROM edges e
+         |  JOIN r${t - 1} ON r${t - 1}.doc_id = e.src
+         |  JOIN deg ON deg.src = e.src
+         |  GROUP BY e.dst),
+         |r$t AS (
+         |  SELECT deg.src AS doc_id,
+         |         ${R(s"(1.0 - $damping) / CAST(nn.n AS DOUBLE) + $damping * COALESCE(i$t.inflow, 0.0)")} AS pr
+         |  FROM deg CROSS JOIN nn
+         |  LEFT JOIN i$t ON i$t.doc_id = deg.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${minhashCtes(perms, rowsPerBand)},
+       |cpairs AS (SELECT DISTINCT doc_a, doc_b FROM cand),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM cpairs
+       |  UNION ALL SELECT doc_b, doc_a FROM cpairs),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |nn AS (SELECT COUNT(*) AS n FROM deg),
+       |r0 AS (SELECT deg.src AS doc_id, ${R("1.0 / CAST(nn.n AS DOUBLE)")} AS pr
+       |       FROM deg CROSS JOIN nn),
+       |$rounds
+       |SELECT doc_id, pr FROM r$iters ORDER BY doc_id""".stripMargin
+  }
+
   /** End-to-end near-dup pipeline: LSH candidates → MinHash-Jaccard
     * filter → connected components → keep decision for every doc.
     */

@@ -722,6 +722,13 @@ object SparkEntry {
         Dedup.lshCandidatesFast(Dedup.minhashSigs(Tables.documents(s, dir), 16), 2, 16))
         .orderBy(col("doc_id"))),
 
+    // PageRank hub scores over the same candidate graph: which member
+    // anchors each near-dup neighborhood (boilerplate surfaces first)
+    "dedup_pagerank" -> ((s, dir) =>
+      Dedup.pageRank(
+        Dedup.lshCandidatesFast(Dedup.minhashSigs(Tables.documents(s, dir), 16), 2, 16))
+        .orderBy(col("doc_id"))),
+
     "q5_region_revenue" -> ((s, dir) => {
       // Filter-first join tree: region→nation→supplier collapses to an
       // ASIA-supplier dim (1/5 of suppliers) broadcast into lineitem, so
@@ -1767,6 +1774,7 @@ object SparkEntry {
     "ann_ivfpq_trained" -> OracleSql.annIvfPqTrained(8, 16, 4, 2, 5, 5),
     "dedup_jaccard_est" -> OracleSql.dedupJaccardEst(16, 2),
     "dedup_cc" -> OracleSql.dedupCc(16, 2),
+    "dedup_pagerank" -> OracleSql.dedupPageRank(16, 2),
     "q5_region_revenue" -> OracleSql.q5RegionRevenue,
     "q14_promo_share" -> OracleSql.q14PromoShare,
     "q6_revenue" -> OracleSql.q6Revenue,

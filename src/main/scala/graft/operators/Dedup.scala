@@ -212,6 +212,54 @@ object Dedup {
     * GraphX/union-find step of a production dedup pipeline). Throws
     * if `maxIter` is reached before the fixpoint.
     */
+  /** PageRank over the near-duplicate candidate graph (fixed damped
+    * rounds) — the hub score that surfaces BOILERPLATE: a template
+    * shared by many pages forms a high-degree near-dup neighborhood
+    * and its most-connected members rank first, so curation reads the
+    * top of this list before deciding what to drop wholesale (the
+    * complement of [[connectedComponents]]' flat cluster labels:
+    * WHICH member anchors the cluster). Dangling nodes cannot exist
+    * here — every node comes from a pair and edges are symmetric —
+    * so mass conservation is just the teleport term.
+    *
+    * Scale plan: per round ONE join of the (distinct, symmetrized)
+    * edge list against the |nodes|-sized rank frame + a map-side-
+    * combined inflow sum — the dedup_cc shape, localCheckpointed per
+    * round so lineage stays flat (cluster scale: reliable
+    * checkpoint). Ranks are ROUNDED each round, so the trajectory is
+    * engine-reproducible; the oracle unrolls the same rounds as
+    * chained CTEs (the kmeans convention). The only driver scalar is
+    * the node count.
+    */
+  def pageRank(pairs: DataFrame, iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    val cpairs = pairs.select(col("doc_a"), col("doc_b")).distinct()
+    val edges = cpairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val n = deg.count().toDouble
+    var rank = deg.select(col("src").as("doc_id"),
+      r3(lit(1.0) / lit(n)).as("pr")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val inflow = edges
+        .join(rank.select(col("doc_id").as("src"), col("pr")), "src")
+        .join(deg, "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("pr") / col("deg")).as("inflow"))
+        .select(col("dst").as("doc_id"), col("inflow"))
+      rank = deg.select(col("src").as("doc_id"))
+        .join(inflow, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          r3((lit(1.0) - lit(damping)) / lit(n) +
+            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("pr"))
+        .localCheckpoint()
+    }
+    rank
+  }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // Both edge directions in ONE pass over `pairs` (explode of the
     // two orientations) — a union of the plan with its swap evaluates

@@ -368,6 +368,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((0L, 0L, 2.667), (0L, 1L, -1.333), (1L, 1L, 2.667)))
   }
 
+  test("pageRank: the hub of a star outranks its leaves; a symmetric pair ties") {
+    import spark.implicits._
+    // star: 0-1, 0-2, 0-3; separate pair: 8-9
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (8L, 9L))
+      .toDF("doc_a", "doc_b")
+    val pr = Dedup.pageRank(pairs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("pr")).toMap
+    assert(pr(0L) > pr(1L), s"hub must outrank leaves: $pr")
+    assert(pr(1L) === pr(2L) && pr(2L) === pr(3L))
+    assert(pr(8L) === pr(9L))
+    // probability mass ≈ 1 across the graph (rounding eats a little)
+    assert(math.abs(pr.values.sum - 1.0) < 0.01)
+  }
+
   test("bpePairCounts: corpus-weighted adjacent pairs, single-char words ignored") {
     // "abab" ×2 docs + "ab x bc": pairs of abab = ab, ba, ab → per occurrence;
     // word frequencies: abab:2, ab:1, bc:1; x dropped (length 1)
