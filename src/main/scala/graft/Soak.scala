@@ -109,6 +109,10 @@ object Soak {
         Dedup.connectedComponents(
           Dedup.lshCandidatesFast(Dedup.minhashSigs(docs, 16), 2, 16))),
       "dedup_pipeline" -> (() => Dedup.pipeline(docs, 16, 2, 0.5)),
+      // fixed rounds over the candidate graph: disjoint replica
+      // shingles keep edges linear, so each round's join is linear
+      "dedup_pagerank" -> (() => Dedup.pageRank(
+        Dedup.lshCandidatesFast(Dedup.minhashSigs(docs, 16), 2, 16))),
       "range_join" -> (() => {
         val iv = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
           .agg(min(unix_micros(col("ts"))).as("t0"), max(unix_micros(col("ts"))).as("t1"))
