@@ -71,6 +71,33 @@ class PlanCensusSpec extends AnyFunSuite {
     assert(shuf.size <= 2, s"unexpected extra shuffles:\n$plan")
   }
 
+  test("bpe_merge_step: exactly two shuffles — the word collapse and the pair collapse") {
+    val df = TextOps.bpePairCounts(Tables.documents(spark, dir), 30)
+    // word-frequency groupBy + pair groupBy; the top-k is TakeOrdered
+    assert(shuffles(df).size === 2)
+  }
+
+  test("ann_hamming: signature side carries no shuffle below the rank (one projection + broadcast)") {
+    val df = Similarity.annHammingTopK(Tables.embeddings(spark, dir), 32, 3, 3)
+    // the only exchanges belong to the two-phase salted rank windows —
+    // the signature computation and scoring never shuffle
+    val s = shuffles(df)
+    assert(s.size <= 2, s"only the salted-rank exchanges allowed: ${s.size}")
+  }
+
+  test("sample_fixed_k: WindowGroupLimit prunes below the stratum exchange") {
+    val df = graft.operators.Relational.sampleFixedPerStratum(
+      Tables.documents(spark, dir), 5, "panel")
+    val conf = spark.conf
+    conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try {
+      df.write.format("noop").mode("overwrite").save()
+      df.queryExecution.executedPlan.toString
+    } finally conf.set("spark.sql.adaptive.enabled", "true")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank pruning must run below the exchange:\n$plan")
+  }
+
   test("q19: quantity hull and brand IN reach the scans as pushed filters") {
     val q = SparkEntry.queries("q19_disjunctive")(spark, dir)
     val scans = q.queryExecution.sparkPlan.collect {
