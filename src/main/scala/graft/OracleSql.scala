@@ -3988,6 +3988,48 @@ object OracleSql {
        |                    AND o.o_orderdate >= TIMESTAMP '1998-05-01 00:00:00')
        |ORDER BY c_custkey""".stripMargin
 
+  /** Banded DTW to the corpus mean profile — the anti-diagonal DP as
+    * a recursive CTE carrying two diagonal lists; every cell is the
+    * same |a−r| + LEAST-of-three IEEE expression as the Spark fold.
+    */
+  def tsDtwProfile(band: Int): String = {
+    val INF = "1.0e18"
+    def lk(arr: String, dp: String, ii: String) =
+      s"CASE WHEN $ii >= GREATEST(1, ($dp) - r.m) AND $ii <= LEAST(r.n, ($dp) - 1) " +
+        s"THEN list_extract($arr, CAST($ii - GREATEST(1, ($dp) - r.m) + 1 AS INTEGER)) ELSE $INF END"
+    def cell(dd: String, i: String) =
+      s"""CASE WHEN ABS(2 * $i - ($dd)) > $band THEN $INF
+         |     ELSE ABS(r.a[CAST($i AS INTEGER)] - r.rr[CAST(($dd) - $i AS INTEGER)]) +
+         |          LEAST(${lk("r.d1", s"($dd) - 1", s"$i - 1")},
+         |                ${lk("r.d1", s"($dd) - 1", s"$i")},
+         |                ${lk("r.d2", s"($dd) - 2", s"$i - 1")})
+         |END""".stripMargin
+    s"""WITH RECURSIVE $daily,
+       |rk AS (SELECT user_id, v, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+       |       FROM daily),
+       |prof AS (SELECT rn, ${R("AVG(v)")} AS mu FROM rk GROUP BY rn),
+       |refa AS (SELECT LIST(mu ORDER BY rn) AS rr FROM prof),
+       |ser AS (SELECT user_id, LIST(v ORDER BY day) AS a FROM daily GROUP BY user_id),
+       |base AS (
+       |  SELECT s.user_id, 2 AS d, s.a, f.rr,
+       |         CAST(len(s.a) AS INTEGER) AS n, CAST(len(f.rr) AS INTEGER) AS m,
+       |         [CASE WHEN 0 > $band THEN $INF ELSE ABS(s.a[1] - f.rr[1]) END] AS d1,
+       |         CAST([] AS DOUBLE[]) AS d2
+       |  FROM ser s CROSS JOIN refa f),
+       |rec AS (
+       |  SELECT * FROM base
+       |  UNION ALL
+       |  SELECT r.user_id, r.d + 1, r.a, r.rr, r.n, r.m,
+       |         list_transform(generate_series(GREATEST(1, (r.d + 1) - r.m), LEAST(r.n, r.d)),
+       |                        i -> ${cell("r.d + 1", "i")}),
+       |         r.d1
+       |  FROM rec r WHERE r.d < r.n + r.m)
+       |SELECT user_id, CAST(n AS BIGINT) AS n,
+       |       CASE WHEN d1[1] < 1.0e17 THEN ${R("d1[1]")} END AS dtw
+       |FROM rec WHERE d = n + m
+       |ORDER BY user_id""".stripMargin
+  }
+
   /** AR(2) Yule-Walker forecast: the acf aggregate + closed-form φ +
     * `horizon` unrolled recursion steps.
     */

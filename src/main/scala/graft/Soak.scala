@@ -520,6 +520,10 @@ object Soak {
       // the acf aggregate's single key exchange + scalar projection
       "ts_ljung_box" -> (() => graft.operators.TimeSeries.ljungBox(
         graft.operators.TimeSeries.resampleDaily(ev))),
+      // per-key O(n·m) fold bounded by series LENGTH (constant under
+      // the more-keys scaling) — cost must grow with keys only
+      "ts_dtw_profile" -> (() => graft.operators.TimeSeries.dtwToProfile(
+        graft.operators.TimeSeries.resampleDaily(ev), 10)),
       // one-pass acf/rank/moments aggregate + map-only explode
       "ts_ar_forecast" -> (() => graft.operators.TimeSeries.arForecast(
         graft.operators.TimeSeries.resampleDaily(ev), 5)),

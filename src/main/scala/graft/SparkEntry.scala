@@ -1465,6 +1465,11 @@ object SparkEntry {
       Relational.sampleFixedPerStratum(Tables.documents(s, dir), 5, "panel")
         .orderBy(col("source"), col("rk"))),
 
+    // banded DTW distance to the corpus mean profile (anti-diagonal DP)
+    "ts_dtw_profile" -> ((s, dir) =>
+      TimeSeries.dtwToProfile(TimeSeries.resampleDaily(Tables.events(s, dir)), 10)
+        .orderBy(col("user_id"))),
+
     // Ljung-Box portmanteau Q at lags 1-3 per key
     "ts_ljung_box" -> ((s, dir) =>
       TimeSeries.ljungBox(TimeSeries.resampleDaily(Tables.events(s, dir)))
@@ -1884,6 +1889,7 @@ object SparkEntry {
     "eval_calibration" -> OracleSql.evalCalibration,
     "session_stats" -> OracleSql.sessionStats(1800000000L),
     "sample_fixed_k" -> OracleSql.sampleFixed(5, "panel"),
+    "ts_dtw_profile" -> OracleSql.tsDtwProfile(10),
     "ts_ljung_box" -> OracleSql.ljungBox,
     "ts_ar_forecast" -> OracleSql.arForecast(NY),
     "embedding_whiten" -> OracleSql.embeddingWhitenAudit(),

@@ -620,6 +620,85 @@ object TimeSeries {
         lags.tail.map(l => acfCol(l).as(s"acf_$l")): _*)
   }
 
+  /** The corpus mean PROFILE: mean daily value by day RANK across all
+    * keys (rounded) — the "typical series" [[dtwToProfile]] measures
+    * distance against.
+    */
+  def meanProfile(daily: DataFrame): DataFrame =
+    daily
+      .withColumn("rn", row_number().over(wOrdered))
+      .groupBy(col("rn")).agg(r3(avg(col("v"))).as("mu"))
+
+  /** Banded DTW distance of each key's day-ordered series to a
+    * reference profile `(rn, mu)` — dynamic time warping (Sakoe-Chiba
+    * band): the alignment-tolerant series distance behind shape
+    * clustering and "which users deviate from the typical pattern"
+    * audits (a plain Euclidean distance calls a one-day shift a big
+    * deviation; DTW absorbs it). Cells with |i−j| > band are
+    * unreachable; keys whose DP corner stays unreachable (length gap
+    * > band) emit NULL.
+    *
+    * Execution is the ANTI-DIAGONAL DP: cells on diagonal d depend
+    * only on diagonals d−1 and d−2, so each fold step is an
+    * element-wise `transform` over the new diagonal with lookups into
+    * the two carried arrays — no within-step sequential dependency,
+    * which is exactly what makes the recursion expressible both as a
+    * Spark higher-order fold and as the oracle's recursive CTE with
+    * the identical IEEE ops (|a−r| + least of three). The diagonal
+    * arrays span the full index range with out-of-band cells
+    * short-circuited to the 1e18 sentinel; clamping the range to the
+    * band is the production variant (same lookups, tighter ranges —
+    * cost n·band per key).
+    *
+    * Scale plan: profile is ≤ max-series-length rows (1-row crossJoin,
+    * broadcast-class); one key exchange for the collect; the fold is
+    * per-key, O(n·m) bounded by series length, never corpus volume.
+    */
+  def dtwToRef(daily: DataFrame, ref: DataFrame, band: Int): DataFrame = {
+    require(band >= 0, s"dtwToRef: band must be >= 0, got $band")
+    val INF = "1.0E18D"
+    // lookup of global row i in the diagonal array `arr` of diagonal dp
+    def lk(arr: String, dp: String, ii: String) =
+      s"""IF($ii >= greatest(1, ($dp) - m) AND $ii <= least(n, ($dp) - 1),
+         |   element_at($arr, cast($ii - greatest(1, ($dp) - m) + 1 as int)), $INF)""".stripMargin
+    // cell (i, j = dd − i) of diagonal dd, from diagonals s.d1/s.d2
+    def cell(dd: String, i: String) =
+      s"""CASE WHEN abs(2 * $i - ($dd)) > $band THEN $INF
+         |     ELSE abs(element_at(a, cast($i as int)) - element_at(rr, cast(($dd) - $i as int))) +
+         |          least(${lk("s.d1", s"($dd) - 1", s"$i - 1")},
+         |                ${lk("s.d1", s"($dd) - 1", s"$i")},
+         |                ${lk("s.d2", s"($dd) - 2", s"$i - 1")})
+         |END""".stripMargin
+    val anchor = s"array(CASE WHEN abs(2 - 2) > $band THEN $INF " +
+      s"ELSE abs(element_at(a, 1) - element_at(rr, 1)) END)"
+    val fold =
+      s"""IF(n + m = 2, element_at($anchor, 1),
+         |  element_at(aggregate(
+         |    sequence(3, n + m),
+         |    named_struct('d1', $anchor, 'd2', cast(array() as array<double>)),
+         |    (s, d) -> named_struct(
+         |      'd1', transform(sequence(greatest(1, d - m), least(n, d - 1)),
+         |                      i -> ${cell("d", "i")}),
+         |      'd2', s.d1),
+         |    s -> s.d1), 1))""".stripMargin
+    val refArr = ref.groupBy()
+      .agg(expr("transform(sort_array(collect_list(struct(rn, mu))), s -> s.mu)").as("rr"))
+    daily.groupBy(col(KEY))
+      .agg(expr("transform(sort_array(collect_list(struct(day, v))), s -> s.v)").as("a"))
+      .crossJoin(broadcast(refArr))
+      .withColumn("n", size(col("a")))
+      .withColumn("m", size(col("rr")))
+      .select(col(KEY), col("n").cast("long").as("n"), expr(fold).as("raw"))
+      .select(col(KEY), col("n"),
+        when(col("raw") < 1.0e17, r3(col("raw"))).as("dtw"))
+  }
+
+  /** [[dtwToRef]] against the corpus [[meanProfile]] — per-key
+    * distance to the typical series.
+    */
+  def dtwToProfile(daily: DataFrame, band: Int): DataFrame =
+    dtwToRef(daily, meanProfile(daily), band)
+
   /** Ljung–Box portmanteau statistic per key at lags 1..3:
     * `Q = n(n+2) Σ r_k²/(n−k)` over the (rounded, guarded) [[acf]]
     * estimates — the "is there ANY autocorrelation left" test a

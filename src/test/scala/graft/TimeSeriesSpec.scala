@@ -484,6 +484,30 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(rd.getAs[Double]("forecast") === rd.getAs[Double]("z_hat"))
   }
 
+  test("dtwToRef: hand-computed DP corner; shifts absorbed; band gap yields NULL") {
+    import spark.implicits._
+    def d(i: Int) = java.sql.Date.valueOf(s"2024-01-${"%02d".format(i + 1)}")
+    // A = [1,2,3] vs R = [1,2,2,3]: the warping path absorbs the
+    // repeated 2 → DTW 0 (hand-computed DP corner). B = [9,9] vs the
+    // same R: corner = |9-1| + |9-2| + |9-2| + |9-3| = 28 (monotone
+    // path, all cells expensive). C has length 9 vs m=4 with band 2:
+    // |n−m| > band → unreachable corner → NULL.
+    val rows = Seq((1L, 0, 1.0), (1L, 1, 2.0), (1L, 2, 3.0),
+      (2L, 0, 9.0), (2L, 1, 9.0)) ++ (0 until 9).map(i => (3L, i, 1.0))
+    val daily = rows.map { case (u, i, v) => (u, d(i), v) }.toDF("user_id", "day", "v")
+    val ref = Seq((1, 1.0), (2, 2.0), (3, 2.0), (4, 3.0)).toDF("rn", "mu")
+    val out = TimeSeries.dtwToRef(daily, ref, 2).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out(1L) === Some(0.0))
+    assert(out(2L) === Some(28.0))
+    assert(out(3L) === None)
+    // a key identical to the profile scores 0 against itself
+    val self = TimeSeries.dtwToRef(
+      daily.where(col("user_id") === 1), ref.limit(0).union(
+        Seq((1, 1.0), (2, 2.0), (3, 3.0)).toDF("rn", "mu")), 2).collect().head
+    assert(self.getDouble(2) === 0.0)
+  }
+
   test("ljungBox: an autocorrelated series scores far above white noise") {
     import spark.implicits._
     def d(i: Int) = java.sql.Date.valueOf(
