@@ -229,7 +229,13 @@ object Dedup {
     * checkpoint). Ranks are ROUNDED each round, so the trajectory is
     * engine-reproducible; the oracle unrolls the same rounds as
     * chained CTEs (the kmeans convention). The only driver scalar is
-    * the node count.
+    * the node count. Superseded rounds' checkpoint blocks (iters
+    * |nodes|-row frames) are retained INTENTIONALLY until the
+    * ContextCleaner GCs the unreferenced Datasets — an explicit
+    * unpersist of a local checkpoint whose truncated lineage a live
+    * plan still reads would fail that plan, and the retained state is
+    * rank-frame-sized, never edge/corpus volume (same contract as
+    * [[connectedComponents]]).
     */
   def pageRank(pairs: DataFrame, iters: Int = 3, damping: Double = 0.85): DataFrame = {
     val cpairs = pairs.select(col("doc_a"), col("doc_b")).distinct()

@@ -739,14 +739,18 @@ object Similarity {
     cmc.join(sims, Seq("qid"), "left_outer")
       .select(col("qid"), col("cmc"), coalesce(col("sims"),
         expr("cast(map() as map<string, bigint>)")).as("sims"))
+      // stop the greedy fold once candidates are exhausted (a query
+      // with fewer than k candidates would otherwise argmax over an
+      // empty list → NULL vid rows the oracle never emits)
       .select(col("qid"), col("cmc"), col("sims"), expr(
         s"aggregate(sequence(1, $k), cast(array() as array<bigint>), " +
-          s"(acc, step) -> array_append(acc, $pick))").as("sel"))
+          s"(acc, step) -> IF(size(filter(cmc, c -> NOT array_contains(acc, c.vid))) = 0, " +
+          s"acc, array_append(acc, $pick)))").as("sel"))
       .select(col("qid"),
         expr("map_from_entries(transform(cmc, c -> struct(c.vid, c.mc)))").as("mcm"),
         col("sims"), col("sel"))
       .select(col("qid"), posexplode(expr(
-        s"""transform(sequence(1, $k), p -> named_struct(
+        s"""transform(sequence(1, size(sel)), p -> named_struct(
            |  'vid', element_at(sel, p),
            |  'score', cast(7L * element_at(mcm, element_at(sel, p)) - 3L * coalesce(
            |      array_max(transform(slice(sel, 1, p - 1),

@@ -469,28 +469,31 @@ object TimeSeries {
     * forward. NULL for keys whose history never changes (zero naive
     * error).
     *
-    * Scale plan: the scored frame is [[forecastBaseline]]'s compact
-    * |keys|·horizon checkpoint; the naive scale is one lag window +
-    * one agg on the SAME key partitioning the resample already
-    * produced; the final join is per-key scalars against per-key
-    * scalars.
+    * Scale plan: the forecast side is [[forecastBaseline]]'s core run
+    * on a numbered daily frame persisted HERE, and the naive scale is
+    * one lag window + one agg over that SAME persisted frame — the
+    * event-volume resample runs once per call, not once per branch.
+    * The per-key-scalar result is checkpointed eagerly so the cache
+    * entry drops in the finally (the [[forecastBaseline]] hygiene
+    * contract).
     */
   def mase(events: DataFrame, half: Int, window: Int, horizon: Int): DataFrame = {
-    val scored = forecastBaseline(events, half, window, horizon)
-    val hist = resampleDaily(events)
-      .withColumn("rn_end",
-        row_number().over(Window.partitionBy(KEY).orderBy(col(DAY).desc)))
-      .where(col("rn_end") > horizon)
-    val naive = hist
-      .withColumn("prev", lag(col("v"), 1).over(wOrdered))
-      .where(col("prev").isNotNull)
-      .groupBy(col(KEY))
-      .agg(r3(avg(abs(col("v") - col("prev")))).as("naive_mae"))
-    scored.groupBy(col(KEY))
-      .agg(r3(avg(abs(col("v_hat") - col("v_actual")))).as("mae"))
-      .join(naive, KEY)
-      .select(col(KEY), col("mae"), col("naive_mae"),
-        when(col("naive_mae") > 0.0, r3(col("mae") / col("naive_mae"))).as("mase"))
+    val daily = numberedDaily(events).persist()
+    try {
+      val scored = forecastFromNumbered(daily, half, window, horizon)
+      val naive = daily
+        .where(col("rn_end") > horizon)
+        .withColumn("prev", lag(col("v"), 1).over(wOrdered))
+        .where(col("prev").isNotNull)
+        .groupBy(col(KEY))
+        .agg(r3(avg(abs(col("v") - col("prev")))).as("naive_mae"))
+      scored.groupBy(col(KEY))
+        .agg(r3(avg(abs(col("v_hat") - col("v_actual")))).as("mae"))
+        .join(naive, KEY)
+        .select(col(KEY), col("mae"), col("naive_mae"),
+          when(col("naive_mae") > 0.0, r3(col("mae") / col("naive_mae"))).as("mase"))
+        .localCheckpoint()
+    } finally daily.unpersist(blocking = false)
   }
 
   /** Croston's method (1972) per key — the intermittent-demand
@@ -1321,21 +1324,36 @@ object TimeSeries {
     // floods driver logs with spurious "non-existent accumulator"
     // errors; at cluster scale swap for reliable checkpoint() to
     // survive executor loss.)
-    val daily = resampleDaily(events)
+    val daily = numberedDaily(events).persist()
+    try forecastFromNumbered(daily, half, window, horizon)
+    finally daily.unpersist(blocking = false)
+  }
+
+  /** The daily resample with each key's rows numbered from the END
+    * (`rn_end` = 1 is the last day) — the shared input of
+    * [[forecastBaseline]] and [[mase]]; both persist it so the
+    * event-volume stage is computed once per call.
+    */
+  private def numberedDaily(events: DataFrame): DataFrame =
+    resampleDaily(events)
       .withColumn("rn_end", row_number().over(Window.partitionBy(KEY).orderBy(col(DAY).desc)))
-      .persist()
-    try {
-      val history = daily.where(col("rn_end") > horizon).drop("rn_end")
-      val actual = daily.where(col("rn_end") <= horizon).drop("rn_end")
-      val hist2 = scale(detrend(trend(history, half)))
-      val ext = extrapolateTrend(hist2.select(KEY, DAY, "v", "trend"), window, horizon)
-      val meanPerKey = hist2.groupBy(col(KEY)).agg(max(col("mean")).as("mean"))
-      ext
-        .join(meanPerKey, KEY)
-        .select(col(KEY), col(DAY), r3(col("v_hat") + col("mean")).as("v_hat"))
-        .join(actual.withColumnRenamed("v", "v_actual"), Seq(KEY, DAY))
-        .localCheckpoint()
-    } finally daily.unpersist(blocking = false)
+
+  /** [[forecastBaseline]]'s core over an already-persisted
+    * [[numberedDaily]] frame; returns the eager |keys|×horizon
+    * checkpoint leaf.
+    */
+  private def forecastFromNumbered(daily: DataFrame, half: Int, window: Int,
+                                   horizon: Int): DataFrame = {
+    val history = daily.where(col("rn_end") > horizon).drop("rn_end")
+    val actual = daily.where(col("rn_end") <= horizon).drop("rn_end")
+    val hist2 = scale(detrend(trend(history, half)))
+    val ext = extrapolateTrend(hist2.select(KEY, DAY, "v", "trend"), window, horizon)
+    val meanPerKey = hist2.groupBy(col(KEY)).agg(max(col("mean")).as("mean"))
+    ext
+      .join(meanPerKey, KEY)
+      .select(col(KEY), col(DAY), r3(col("v_hat") + col("mean")).as("v_hat"))
+      .join(actual.withColumnRenamed("v", "v_actual"), Seq(KEY, DAY))
+      .localCheckpoint()
   }
 
   /** Corpus-level forecast metrics — the reference's `R2_all`

@@ -532,10 +532,12 @@ object StreamOps {
     *
     * Arrival order is explicit: the input carries an `arrival` column
     * and each micro-batch folds in (arrival, event_id) order, so the
-    * semantics are deterministic for any batch slicing (a row-order-
-    * dependent fold would make emissions depend on how the source
-    * chops batches). [[cdcStreamBatch]] is the gated twin under the
-    * same arrival permutation.
+    * semantics are deterministic for any slicing of the ARRIVAL-
+    * ORDERED stream — the source must deliver batches in arrival
+    * order (a later arrival landing in an earlier micro-batch would
+    * be folded first and change the emission set; within a batch the
+    * sort makes row order irrelevant). [[cdcStreamBatch]] is the
+    * gated twin under the same arrival permutation.
     */
   def cdcStream(events: DataFrame, watermark: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}

@@ -440,6 +440,13 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(mmr.map(_.getAs[Long]("vid")).toSeq === Seq(1L, 3L, 2L))
     // rank-1 score is pure relevance (λ·rel); later scores are penalized
     assert(mmr.head.getAs[Double]("score") > mmr(2).getAs[Double]("score"))
+    // a query with fewer candidates than k stops when exhausted — the
+    // corpus only yields 3 candidates, so k=5 emits ranks 1..3 and NO
+    // null-vid rows pad to k
+    val short = Similarity.mmrRerank(e, 1, 5, 5).orderBy("mmr_rank").collect()
+    assert(short.length === 3)
+    assert(short.forall(r => !r.isNullAt(r.fieldIndex("vid"))))
+    assert(short.map(_.getAs[Long]("vid")).toSeq === Seq(1L, 3L, 2L))
   }
 
   test("pcaPower recovers the dominant variance axis; projections track the coordinate") {
