@@ -1509,6 +1509,99 @@ object OracleSql {
        |SELECT pair, CAST(pair_count AS BIGINT) AS pair_count
        |FROM g ORDER BY pair_count DESC, pair LIMIT $k""".stripMargin
 
+  /** BPE trainer rounds as chained CTEs (the kmeans convention): per
+    * round, pair-count over the vocabulary-sized symbol state, a
+    * 1-row argmax `b{i}` (count DESC, lhs, rhs), and the greedy
+    * left-to-right non-overlapping merge expressed relationally —
+    * match flags per position, consecutive-match islands
+    * (gaps-and-islands), run-parity picks the taken matches, and a
+    * LAG marks positions consumed as the right half of a merge.
+    * State CTEs are MATERIALIZED: each round references the previous
+    * round's state twice (pair counts + merge), so default CTE
+    * inlining doubles the tree per round — 2^n blowup that hangs the
+    * planner at 8 rounds (measured); materialization makes the chain
+    * linear.
+    * Requires nMerges small enough that pairs never run out (the
+    * Spark trainer stops early; an exhausted oracle round would empty
+    * the chain).
+    */
+  private def bpeCtes(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """w0 AS MATERIALIZED (
+        |  SELECT w, freq,
+        |         list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)) AS syms
+        |  FROM (SELECT w, COUNT(*) AS freq
+        |        FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+        |        WHERE length(w) >= 2 GROUP BY w))""".stripMargin)
+    for (i <- 1 to nMerges) {
+      sb.append(
+        s""",
+           |b$i AS MATERIALIZED (
+           |  SELECT a, b, cnt FROM (
+           |    SELECT syms[p] AS a, syms[p + 1] AS b, SUM(freq) AS cnt FROM (
+           |      SELECT freq, syms, UNNEST(generate_series(1, len(syms) - 1)) AS p
+           |      FROM w${i - 1})
+           |    GROUP BY 1, 2)
+           |  ORDER BY cnt DESC, a, b LIMIT 1),
+           |m${i}0 AS (
+           |  SELECT m.w, m.freq, m.p, m.syms[m.p] AS s,
+           |         COALESCE(m.syms[m.p] = b.a AND m.syms[m.p + 1] = b.b, FALSE) AS mt
+           |  FROM (SELECT w, freq, syms, UNNEST(generate_series(1, len(syms))) AS p
+           |        FROM w${i - 1}) m, b$i b),
+           |m${i}1 AS (
+           |  SELECT *, p - ROW_NUMBER() OVER (PARTITION BY w, mt ORDER BY p) AS isl
+           |  FROM m${i}0),
+           |m${i}2 AS (
+           |  SELECT *, mt AND (p - MIN(p) OVER (PARTITION BY w, mt, isl)) % 2 = 0 AS taken
+           |  FROM m${i}1),
+           |m${i}3 AS (
+           |  SELECT *, COALESCE(LAG(taken) OVER (PARTITION BY w ORDER BY p), FALSE) AS consumed
+           |  FROM m${i}2),
+           |w$i AS MATERIALIZED (
+           |  SELECT m.w, m.freq,
+           |         LIST(CASE WHEN m.taken THEN b.a || b.b ELSE m.s END ORDER BY m.p) AS syms
+           |  FROM m${i}3 m, b$i b
+           |  WHERE m.taken OR NOT m.consumed
+           |  GROUP BY m.w, m.freq)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** The learned merge list, one row per round's argmax. */
+  def bpeTrain(nMerges: Int): String = {
+    val rows = (1 to nMerges).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, " +
+        s"a || b AS merged, CAST(cnt AS BIGINT) AS pair_count FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${bpeCtes(nMerges)}
+       |$rows
+       |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** Tokenize the corpus with the learned merges: on the training
+    * corpus the final round's symbol state IS the encoding (the
+    * encoder replays the same merges in the same order), so each
+    * document flattens its words' final symbol lists in word order;
+    * words outside the trainer state (length < 2) are their own
+    * token, empty words contribute none.
+    */
+  def bpeEncode(nMerges: Int): String =
+    s"""WITH ${bpeCtes(nMerges)},
+       |dt AS (
+       |  SELECT doc_id, ws, UNNEST(generate_series(1, len(ws))) AS i
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |tok AS (
+       |  SELECT dt.doc_id, dt.i,
+       |         CASE WHEN length(dt.ws[dt.i]) = 0 THEN CAST([] AS VARCHAR[])
+       |              ELSE COALESCE(wn.syms, [dt.ws[dt.i]]) END AS toks
+       |  FROM dt LEFT JOIN w$nMerges wn ON wn.w = dt.ws[dt.i]),
+       |fl AS (SELECT doc_id, flatten(LIST(toks ORDER BY i)) AS ft
+       |       FROM tok GROUP BY doc_id)
+       |SELECT doc_id, CAST(len(ft) AS BIGINT) AS n_tokens,
+       |       md5(array_to_string(ft, ' ')) AS fp
+       |FROM fl ORDER BY doc_id""".stripMargin
+
   /** Overlapping token-window chunking (RAG splitter). */
   def chunkDocs(chunkSize: Int, stride: Int): String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -1539,6 +1539,20 @@ object SparkEntry {
     "bpe_merge_step" -> ((s, dir) =>
       TextOps.bpePairCounts(Tables.documents(s, dir), 30)),
 
+    // full BPE trainer: 8 pair-count/argmax/merge rounds over the
+    // vocabulary-sized symbol state -> the ordered merge list
+    "bpe_train" -> ((s, dir) =>
+      TextOps.bpeTrain(Tables.documents(s, dir), 8)
+        .orderBy(col("merge_rank"))),
+
+    // tokenizer-real encoding: replay the learned merges per word,
+    // map-side; per-doc token count + token-stream fingerprint
+    "bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = TextOps.bpeTrainMerges(docs, 8).map(t => (t._2, t._3))
+      TextOps.bpeEncode(docs, merges).orderBy(col("doc_id"))
+    }),
+
     // RAG chunking: overlapping token windows with content fingerprints
     "chunk_documents" -> ((s, dir) =>
       TextOps.chunkDocs(Tables.documents(s, dir), 64, 48)
@@ -1897,6 +1911,8 @@ object SparkEntry {
     "stream_ratelimit_batch" -> OracleSql.rateLimit(2.0, 21600000000L),
     "stream_cdc_batch" -> OracleSql.streamCdcBatch,
     "bpe_merge_step" -> OracleSql.bpePairCounts(30),
+    "bpe_train" -> OracleSql.bpeTrain(8),
+    "bpe_encode" -> OracleSql.bpeEncode(8),
     "chunk_documents" -> OracleSql.chunkDocs(64, 48),
     "mmr_rerank" -> OracleSql.mmrRerank(5, 10, 5),
     "pca_power" -> OracleSql.pcaPower(),

@@ -110,7 +110,8 @@ object VectorExprs {
     "graft_cusum" -> "graft_cusum(zvals: array<float|double>, k: double literal, h: double literal)",
     "graft_ivf_cell" -> "graft_ivf_cell(v: array<float|double>, centroids: string literal from IvfCell.encode)",
     "graft_pq_codes" -> "graft_pq_codes(v: array<float|double>, codebook: string literal from PqCodes.encode)",
-    "graft_ivf_cells" -> "graft_ivf_cells(v: array<float|double>, centroids: string literal from IvfCell.encode, nprobe: int literal)")
+    "graft_ivf_cells" -> "graft_ivf_cells(v: array<float|double>, centroids: string literal from IvfCell.encode, nprobe: int literal)",
+    "graft_bpe_apply" -> "graft_bpe_apply(w: string, merges: string literal from BpeApply.encode)")
 
   private[graft] def build(name: String, exprs: Seq[Expression]): Expression = {
     val usage = USAGE(name)
@@ -164,6 +165,9 @@ object VectorExprs {
         requireArity(name, usage, exprs, 3)
         IvfCells(exprs(0), litStrArg(name, usage, exprs, 1),
           litIntArg(name, usage, exprs, 2))
+      case "graft_bpe_apply" =>
+        requireArity(name, usage, exprs, 2)
+        BpeApply(exprs(0), litStrArg(name, usage, exprs, 1))
     }
   }
 

@@ -976,6 +976,114 @@ object TextOps {
       .orderBy(col("pair_count").desc, col("pair"))
       .limit(k)
 
+  /** One greedy left-to-right, non-overlapping merge of adjacent
+    * `(a, b)` symbol pairs into `a+b` over a symbol array — the BPE
+    * merge primitive as a pure fold column (values as `lit`s, so
+    * corpus-derived symbols need no SQL-literal escaping).
+    */
+  private def mergePairCol(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, s) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Full BPE vocabulary induction (Sennrich et al. 2016): `nMerges`
+    * rounds of corpus-weighted pair-count → argmax → merge, each
+    * round exactly [[bpePairCounts]]' counting with the winning pair
+    * folded into the symbol state. Returns the ordered merge list
+    * `(merge_rank, lhs, rhs, merged, pair_count)` — the artifact a
+    * tokenizer ships; [[bpeEncode]] replays it. Stops early if the
+    * vocabulary runs out of pairs.
+    *
+    * Ties break by (count DESC, lhs ASC, rhs ASC) — two separate
+    * symbol columns, never the concatenated pair, because
+    * ("ab","c")/("a","bc") concatenate identically.
+    *
+    * Scale plan: ALL state is vocabulary-sized — the corpus
+    * collapses to distinct words × freq in one map-side-combined
+    * groupBy before round 1 and is never re-read; each round is one
+    * vocabulary-sized pair explode + aggregate, a 1-row TakeOrdered
+    * argmax (the only driver materialization — the kmeans
+    * centroid-collect contract), and a map-side merge fold,
+    * localCheckpointed so lineage stays flat across rounds. The
+    * oracle unrolls the same rounds as chained CTEs with the greedy
+    * merge expressed as run-parity over match islands.
+    */
+  def bpeTrainMerges(docs: DataFrame, nMerges: Int): Seq[(Int, String, String, Long)] = {
+    require(nMerges >= 1, s"bpeTrain: nMerges must be >= 1, got $nMerges")
+    var wf = docs.select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val best = wf
+        // words already collapsed to one symbol have no pairs — and
+        // sequence(1, 0) would DESCEND, indexing past the array
+        .where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(syms) - 1), p ->
+            |  struct(element_at(syms, p) AS a, element_at(syms, p + 1) AS b))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val a = best.head.getAs[String]("a")
+        val b = best.head.getAs[String]("b")
+        out += ((r, a, b, best.head.getAs[Long]("cnt")))
+        wf = wf.select(col("freq"), mergePairCol(col("syms"), a, b).as("syms"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** [[bpeTrainMerges]] as the gate-facing frame. */
+  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeTrainMerges(docs, nMerges)
+      .map { case (r, a, b, c) => (r.toLong, a, b, a + b, c) }
+      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** Tokenize a corpus with a LEARNED merge list: per document, split
+    * on spaces and run [[graft.functions.BpeApply]] on each word —
+    * tokenizer-real token counts (vs [[tokenCount]]'s whitespace /
+    * regex proxies) plus an md5 fingerprint of the space-joined token
+    * stream, so the gate verifies token CONTENT and order, not just
+    * counts.
+    *
+    * Scale plan: a ZERO-exchange map-side projection — the merge
+    * list rides as one string literal in a constant-size plan, each
+    * word encodes in O(len · nMerges) inside the scan, and nothing
+    * shuffles. (For heavy merge lists over skewed vocabularies a
+    * distinct-word dictionary join would trade the recompute for a
+    * shuffle; the map-side shape is the right default.)
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    // SQL-literal-escape the encoded list: corpus symbols may contain
+    // quotes/backslashes even though the delimiters are control chars
+    val enc = graft.functions.BpeApply.encode(merges)
+      .replace("\\", "\\\\").replace("'", "\\'")
+    docs
+      .select(col("doc_id"), expr(
+        s"flatten(transform(split(text, ' '), w -> graft_bpe_apply(w, '$enc')))")
+        .as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        md5(array_join(col("toks"), " ")).as("fp"))
+  }
+
   /** Overlapping token-window chunking — the RAG/embedding prep pass
     * (LangChain/LlamaIndex-style fixed-size splitter): chunk i covers
     * tokens [i·stride, i·stride + size), i = 0.. while i·stride < n,

@@ -648,4 +648,36 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(2L)._2 === 2L)
     assert(out(3L)._2 === 1L)
   }
+
+  test("bpeTrain recovers hand-computed merges (greedy ties, early stop); bpeEncode replays them") {
+    import spark.implicits._
+    // corpus "aaab"×2 + "aab"×1: pair counts round 1 are (a,a)=5
+    // (two per aaab, one per aab), (a,b)=3 → merge aa. Round 2 state
+    // aaab=[aa,a,b], aab=[aa,b]: (aa,a)=2, (a,b)=2, (aa,b)=1 — the
+    // count tie breaks lexicographically on lhs ("a" < "aa") → merge
+    // ab. Round 3: aaab=[aa,ab] → (aa,ab)=2 beats (aa,b)=1. Round 4:
+    // only (aa,b)=1 remains. Round 5: every word is one symbol →
+    // trainer must stop early at 4 merges.
+    val docs = Seq((1L, "aaab aaab"), (2L, "aab")).toDF("doc_id", "text")
+    val merges = TextOps.bpeTrainMerges(docs, 10)
+    assert(merges === Seq((1, "a", "a", 5L), (2, "a", "b", 2L),
+      (3, "aa", "ab", 2L), (4, "aa", "b", 1L)))
+    // greedy left-to-right is non-overlapping: aaaa + (a,a) → [aa, aa]
+    val run = TextOps.bpeEncode(Seq((1L, "aaaa")).toDF("doc_id", "text"),
+      Seq(("a", "a"))).collect().head
+    assert(run.getAs[Long]("n_tokens") === 2L)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(run.getAs[String]("fp") === md5hex("aa aa"))
+    // replaying the learned merges tokenizes training AND unseen words:
+    // aaabab → aa,a,b,a,b → aa,ab,ab → aaab,ab → [aaab, ab]; the
+    // single-char word "c" is untouched and its own token
+    val enc = TextOps.bpeEncode(
+      Seq((1L, "aaab aab"), (2L, "aaabab c")).toDF("doc_id", "text"),
+      merges.map(m => (m._2, m._3)))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[String]("fp")))).toMap
+    assert(enc(1L) === ((2L, md5hex("aaab aab"))))
+    assert(enc(2L) === ((3L, md5hex("aaab ab c"))))
+  }
 }
