@@ -1703,6 +1703,215 @@ object OracleSql {
        |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin
   }
 
+  /** Deflated power iteration as chained CTEs: the [[pcaPower]] chain
+    * per component c (start axis e_{c−1}, matrix `cm{c}`), plus the
+    * Rayleigh value and Hotelling deflation between components —
+    * every element R-rounded exactly as the Spark driver loop
+    * (Similarity.pcaComponents). Matrices and final eigenvectors are
+    * MATERIALIZED: each is referenced several times downstream and
+    * default inlining would repeat the whole upstream chain per
+    * reference (the BPE-oracle lesson).
+    */
+  private def pcaDeflatedCtes(p: Int, nIter: Int, dim: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |      WHERE embedding IS NOT NULL),
+         |nn AS (SELECT COUNT(*) AS n FROM e),
+         |m AS (SELECT r.d AS i, SUM(e.v[r.d + 1]) AS s
+         |      FROM e CROSS JOIN range(0, $dim) r(d) GROUP BY 1),
+         |pp AS (SELECT ri.d AS i, rj.d AS j, SUM(e.v[ri.d + 1] * e.v[rj.d + 1]) AS sp
+         |      FROM e CROSS JOIN range(0, $dim) ri(d) CROSS JOIN range(0, $dim) rj(d)
+         |      WHERE rj.d >= ri.d GROUP BY 1, 2),
+         |cv AS (SELECT pp.i, pp.j,
+         |       ${R("pp.sp / nn.n - (mi.s / nn.n) * (mj.s / nn.n)")} AS c
+         |       FROM pp, nn, m mi, m mj WHERE mi.i = pp.i AND mj.i = pp.j),
+         |cm1 AS MATERIALIZED (SELECT i, j, c FROM cv
+         |       UNION ALL SELECT j, i, c FROM cv WHERE i <> j)""".stripMargin)
+    for (c <- 1 to p) {
+      sb.append(
+        s""",
+           |x${c}_0 AS (SELECT r.d AS i, CASE WHEN r.d = ${c - 1} THEN 1.0 ELSE 0.0 END AS w
+           |       FROM range(0, $dim) r(d))""".stripMargin)
+      for (t <- 1 to nIter) {
+        sb.append(
+          s""",
+             |y${c}_$t AS (
+             |  SELECT cm.i, ${R(s"SUM(cm.c * xp.w)")} AS y
+             |  FROM cm$c cm JOIN x${c}_${t - 1} xp ON cm.j = xp.i GROUP BY cm.i),
+             |n${c}_$t AS (SELECT ${R("SQRT(SUM(y * y))")} AS nrm FROM y${c}_$t),
+             |x${c}_$t AS (SELECT i, ${R("y / nrm")} AS w FROM y${c}_$t, n${c}_$t)""".stripMargin)
+      }
+      sb.append(
+        s""",
+           |vx$c AS MATERIALIZED (SELECT i, w FROM x${c}_$nIter)""".stripMargin)
+      if (c < p) {
+        sb.append(
+          s""",
+             |z$c AS (
+             |  SELECT cm.i, ${R("SUM(cm.c * v.w)")} AS z
+             |  FROM cm$c cm JOIN vx$c v ON cm.j = v.i GROUP BY cm.i),
+             |l$c AS (SELECT ${R("SUM(v.w * z.z)")} AS lam
+             |        FROM vx$c v JOIN z$c z ON v.i = z.i),
+             |cm${c + 1} AS MATERIALIZED (
+             |  SELECT cm.i, cm.j, ${R("cm.c - l.lam * vi.w * vj.w")} AS c
+             |  FROM cm$c cm, l$c l, vx$c vi, vx$c vj
+             |  WHERE vi.i = cm.i AND vj.i = cm.j)""".stripMargin)
+      }
+    }
+    sb.toString
+  }
+
+  /** Long-format projections onto the top-p deflated components. */
+  def pcaPowerMulti(p: Int, nIter: Int = 5, nOut: Int = 100,
+                    dim: Int = 64): String = {
+    val projs = (1 to p).map(c =>
+      s"""SELECT e.vec_id, CAST($c AS BIGINT) AS c, ${R("SUM(e.v[x.i + 1] * x.w)")} AS proj
+         |FROM e CROSS JOIN vx$c x WHERE e.vec_id < $nOut GROUP BY e.vec_id""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${pcaDeflatedCtes(p, nIter, dim)}
+       |$projs
+       |ORDER BY vec_id, c""".stripMargin
+  }
+
+  /** The learned-rotation CTEs: Householder-QR u-chain over the
+    * deflated components (component c → round-robin target axis
+    * `((c−1) mod m)·(dim/m) + (c−1) div m`), then the p successive
+    * reflections applied to the cast-double corpus with the
+    * [[rotatedE]] rounding at every step. Ends at `rot$p(vec_id, v)`.
+    */
+  private def trainedRotCtes(p: Int, m: Int, nIter: Int, dim: Int): String = {
+    val sb = new StringBuilder
+    sb.append(pcaDeflatedCtes(p, nIter, dim))
+    for (c <- 1 to p) {
+      sb.append(
+        s""",
+           |h${c}_0 AS (SELECT i, w FROM vx$c)""".stripMargin)
+      for (j <- 1 to c - 1) {
+        sb.append(
+          s""",
+             |hd${c}_$j AS (SELECT ${R("SUM(u.w * h.w)")} AS dr
+             |              FROM u$j u JOIN h${c}_${j - 1} h ON u.i = h.i),
+             |h${c}_$j AS (SELECT h.i, ${R("h.w - 2.0 * u.w * d.dr")} AS w
+             |             FROM h${c}_${j - 1} h JOIN u$j u ON h.i = u.i, hd${c}_$j d)""".stripMargin)
+      }
+      val t = ((c - 1) % m) * (dim / m) + (c - 1) / m
+      sb.append(
+        s""",
+           |df$c AS (SELECT i, w - (CASE WHEN i = $t THEN 1.0 ELSE 0.0 END) AS w
+           |         FROM h${c}_${c - 1}),
+           |nm$c AS (SELECT ${R("SQRT(SUM(w * w))")} AS nrm FROM df$c),
+           |u$c AS MATERIALIZED (SELECT i, ${R("w / nrm")} AS w FROM df$c, nm$c),
+           |ul$c AS (SELECT LIST(w ORDER BY i) AS u FROM u$c)""".stripMargin)
+    }
+    sb.append(
+      s""",
+         |rot0 AS (SELECT vec_id, v FROM e)""".stripMargin)
+    for (c <- 1 to p) {
+      sb.append(
+        s""",
+           |rd$c AS (
+           |  SELECT r.vec_id, r.v, ul.u,
+           |         ${R(s"list_sum(list_transform(generate_series(1, $dim), i -> r.v[i] * ul.u[i]))")} AS dr
+           |  FROM rot${c - 1} r CROSS JOIN ul$c ul),
+           |rot$c AS MATERIALIZED (
+           |  SELECT vec_id,
+           |         list_transform(generate_series(1, $dim),
+           |           i -> FLOOR((v[i] - 2.0 * u[i] * dr) * 1000.0 + 0.5001) / 1000.0) AS v
+           |  FROM rd$c)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** PQ search in the LEARNED-rotation space — the [[annPqRotated]]
+    * body over `rot$p`.
+    */
+  def annPqRotatedTrained(nCodewords: Int, m: Int, nQueries: Int, k: Int,
+                          p: Int = 4, nIter: Int = 5, dim: Int = 64): String = {
+    val subDim = dim / m
+    def d2(vec: String) = {
+      val diff = s"($vec[cw.s * $subDim + i] - cw.v[cw.s * $subDim + i])"
+      R(s"list_sum(list_transform(generate_series(1, $subDim), i -> $diff * $diff))")
+    }
+    s"""WITH ${trainedRotCtes(p, m, nIter, dim)},
+       |re AS (SELECT vec_id, v FROM rot$p),
+       |cw AS (
+       |  SELECT s.s, re.vec_id AS c, re.v FROM re CROSS JOIN range(0, $m) s(s)
+       |  WHERE re.vec_id < $nCodewords),
+       |a0 AS (
+       |  SELECT re.vec_id, cw.s, cw.c, ${d2("re.v")} AS d2
+       |  FROM re CROSS JOIN cw),
+       |asg AS (
+       |  SELECT vec_id, s, c AS code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+       |    FROM a0)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM re WHERE vec_id < $nQueries),
+       |dt AS (
+       |  SELECT q.qid, cw.s, cw.c AS code, ${d2("q.qv")} AS d2
+       |  FROM q CROSS JOIN cw),
+       |sc AS (
+       |  SELECT dt.qid, a.vec_id AS vid, ${R("SUM(dt.d2)")} AS adist
+       |  FROM asg a JOIN dt ON dt.s = a.s AND dt.code = a.code
+       |  WHERE a.vec_id != dt.qid
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS BIGINT) AS rank
+       |  FROM sc)
+       |SELECT qid, vid, adist, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
+  /** Recall of the learned-rotation PQ tier vs the ORIGINAL-space
+    * exact top-k.
+    */
+  def annPqRotatedTrainedRecall(nCodewords: Int, m: Int, nQueries: Int, k: Int,
+                                p: Int = 4, nIter: Int = 5, dim: Int = 64): String = {
+    val subDim = dim / m
+    def d2(vec: String) = {
+      val diff = s"($vec[cw.s * $subDim + i] - cw.v[cw.s * $subDim + i])"
+      R(s"list_sum(list_transform(generate_series(1, $subDim), i -> $diff * $diff))")
+    }
+    s"""WITH ${trainedRotCtes(p, m, nIter, dim)},
+       |re AS (SELECT vec_id, v FROM rot$p),
+       |q0 AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
+       |xs AS (
+       |  SELECT qid, vec_id AS vid, ${R("list_cosine_similarity(qv, v)")} AS cos
+       |  FROM e CROSS JOIN q0 WHERE vec_id != qid),
+       |xr AS (
+       |  SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+       |  FROM xs),
+       |exact AS (SELECT qid, vid FROM xr WHERE rank <= $k),
+       |cw AS (
+       |  SELECT s.s, re.vec_id AS c, re.v FROM re CROSS JOIN range(0, $m) s(s)
+       |  WHERE re.vec_id < $nCodewords),
+       |a0 AS (
+       |  SELECT re.vec_id, cw.s, cw.c, ${d2("re.v")} AS d2
+       |  FROM re CROSS JOIN cw),
+       |asg AS (
+       |  SELECT vec_id, s, c AS code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+       |    FROM a0)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM re WHERE vec_id < $nQueries),
+       |dt AS (
+       |  SELECT q.qid, cw.s, cw.c AS code, ${d2("q.qv")} AS d2
+       |  FROM q CROSS JOIN cw),
+       |sc AS (
+       |  SELECT dt.qid, a.vec_id AS vid, ${R("SUM(dt.d2)")} AS adist
+       |  FROM asg a JOIN dt ON dt.s = a.s AND dt.code = a.code
+       |  WHERE a.vec_id != dt.qid
+       |  GROUP BY 1, 2),
+       |pr AS (
+       |  SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS rank
+       |  FROM sc),
+       |approx AS (SELECT qid, vid, 1 AS hit FROM pr WHERE rank <= $k)
+       |SELECT x.qid, COUNT(*) AS n_exact,
+       |       CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS n_hit,
+       |       ${R("SUM(COALESCE(a.hit, 0)) / COUNT(*)")} AS recall
+       |FROM exact x LEFT JOIN approx a ON x.qid = a.qid AND x.vid = a.vid
+       |GROUP BY x.qid ORDER BY x.qid""".stripMargin
+  }
+
   def embeddingCovariance(dim: Int = 64): String =
     s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |           WHERE embedding IS NOT NULL),

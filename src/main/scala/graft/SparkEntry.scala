@@ -1018,6 +1018,24 @@ object SparkEntry {
       Similarity.annPqRotatedRecall(Tables.embeddings(s, dir), 16, 4, 5, 5)
         .orderBy(col("qid"))),
 
+    // PQ over the LEARNED rotation (top-4 deflated components mapped
+    // round-robin across the 4 subspaces via a Householder-QR chain —
+    // the real OPQ claim) + its recall NEXT TO 28e/28z's budget
+    "ann_pq_rotated_trained" -> ((s, dir) =>
+      Similarity.annPqRotatedTrained(Tables.embeddings(s, dir), 16, 4, 5, 5)
+        .select(col("qid"), col("vid"), col("adist"), col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))),
+
+    "ann_pq_rotated_trained_recall" -> ((s, dir) =>
+      Similarity.annPqRotatedTrainedRecall(Tables.embeddings(s, dir), 16, 4, 5, 5)
+        .orderBy(col("qid"))),
+
+    // multi-component PCA: projections onto the top-4 deflated
+    // power-iteration components, long format
+    "pca_power_multi" -> ((s, dir) =>
+      Similarity.pcaPowerMulti(Tables.embeddings(s, dir), 4)
+        .orderBy(col("vec_id"), col("c"))),
+
     // the composed-tier recall a production tuner actually watches
     // (cell pruning × code compression)
     "ann_ivfpq_recall" -> ((s, dir) =>
@@ -1833,6 +1851,9 @@ object SparkEntry {
     "ann_hamming_recall" -> OracleSql.annHammingRecall(32, 5, 5),
     "ann_pq_rotated" -> OracleSql.annPqRotated(16, 4, 5, 5),
     "ann_pq_rotated_recall" -> OracleSql.annPqRotatedRecall(16, 4, 5, 5),
+    "ann_pq_rotated_trained" -> OracleSql.annPqRotatedTrained(16, 4, 5, 5),
+    "ann_pq_rotated_trained_recall" -> OracleSql.annPqRotatedTrainedRecall(16, 4, 5, 5),
+    "pca_power_multi" -> OracleSql.pcaPowerMulti(4),
     "ann_ivfpq_recall" -> OracleSql.annIvfPqRecall(16, 16, 4, 5, 5),
     "token_topk" -> OracleSql.tokenTopK(20),
     "ts_outliers_mad" -> OracleSql.outliersMad(3.0),

@@ -775,7 +775,28 @@ object Similarity {
     */
   def pcaPower(embeddings: DataFrame, nIter: Int = 5, nOut: Int = 100,
                dim: Int = DIM): DataFrame = {
-    def r3d(x: Double) = math.floor(x * 1000.0 + 0.5001) / 1000.0
+    val pc = pcaComponents(embeddings, 1, nIter, dim).head
+    val pcLit = pc.mkString("array(", "D, ", "D)")
+    VectorExprs.register(embeddings.sparkSession)
+    embeddings.where(col("vec_id") < nOut && col("embedding").isNotNull)
+      .select(col("vec_id"), r3(expr(s"graft_vec_dot(embedding, $pcLit)")).as("pc1"))
+  }
+
+  /** Top-`p` principal components by DEFLATED power iteration — the
+    * multi-component sequel to [[pcaPower]] (whose p = 1 case this
+    * reproduces step-for-step): for each component, `nIter` rounds of
+    * `x ← r3(A_c·x)/‖·‖` from the start axis e_{c−1}, then Hotelling
+    * deflation `A_{c+1} = r3(A_c − λ_c v_c v_cᵀ)` with the Rayleigh
+    * value `λ_c = r3(v_cᵀ·r3(A_c v_c))`. Every element is rounded r3
+    * at every step, so the whole trajectory — matrices included — is
+    * engine-reproducible and the oracle unrolls it as chained
+    * (materialized) CTEs. Driver-side d×d state is the codebook-
+    * bounded materialization contract; the corpus is touched only by
+    * the one distributed [[covariance]] pass.
+    */
+  def pcaComponents(embeddings: DataFrame, p: Int, nIter: Int = 5,
+                    dim: Int = DIM): Array[Array[Double]] = {
+    require(p >= 1 && p <= dim, s"pcaComponents: need 1 <= p <= $dim, got $p")
     val cov = covariance(embeddings, dim).collect()
     val a = Array.ofDim[Double](dim, dim)
     cov.foreach { r =>
@@ -783,23 +804,147 @@ object Similarity {
       val c = r.getDouble(2)
       a(i)(j) = c; a(j)(i) = c
     }
-    var x = Array.tabulate(dim)(d => if (d == 0) 1.0 else 0.0)
-    for (_ <- 1 to nIter) {
-      val y = Array.tabulate(dim) { i =>
-        var s = 0.0; var j = 0
-        while (j < dim) { s += a(i)(j) * x(j); j += 1 }
-        r3d(s)
+    val comps = Array.ofDim[Array[Double]](p)
+    for (c <- 0 until p) {
+      var x = Array.tabulate(dim)(d => if (d == c) 1.0 else 0.0)
+      for (_ <- 1 to nIter) {
+        val y = Array.tabulate(dim) { i =>
+          var s = 0.0; var j = 0
+          while (j < dim) { s += a(i)(j) * x(j); j += 1 }
+          r3d(s)
+        }
+        var n2 = 0.0; var i = 0
+        while (i < dim) { n2 += y(i) * y(i); i += 1 }
+        val nrm = r3d(math.sqrt(n2))
+        require(nrm > 0.0,
+          s"pcaComponents: component ${c + 1} collapsed to zero — deflated " +
+            "spectrum exhausted before p components")
+        x = y.map(v => r3d(v / nrm))
       }
-      var n2 = 0.0; var i = 0
-      while (i < dim) { n2 += y(i) * y(i); i += 1 }
-      val nrm = r3d(math.sqrt(n2))
-      require(nrm > 0.0, "pcaPower: zero covariance — no principal direction")
-      x = y.map(v => r3d(v / nrm))
+      comps(c) = x
+      if (c < p - 1) {
+        val z = Array.tabulate(dim) { i =>
+          var s = 0.0; var j = 0
+          while (j < dim) { s += a(i)(j) * x(j); j += 1 }
+          r3d(s)
+        }
+        var s = 0.0; var i = 0
+        while (i < dim) { s += x(i) * z(i); i += 1 }
+        val lam = r3d(s)
+        var ii = 0
+        while (ii < dim) {
+          var jj = 0
+          while (jj < dim) {
+            a(ii)(jj) = r3d(a(ii)(jj) - lam * x(ii) * x(jj))
+            jj += 1
+          }
+          ii += 1
+        }
+      }
     }
-    val pcLit = x.mkString("array(", "D, ", "D)")
+    comps
+  }
+
+  /** Corpus projections onto the top-`p` deflated components, long
+    * format (vec_id, c, proj) — [[pcaPower]]'s gate shape widened to
+    * the learned basis. The p eigenvectors ride as array literals; the
+    * projection is a zero-exchange map (one [[graft.functions.VecDot]]
+    * per component).
+    */
+  def pcaPowerMulti(embeddings: DataFrame, p: Int, nIter: Int = 5,
+                    nOut: Int = 100, dim: Int = DIM): DataFrame = {
+    val comps = pcaComponents(embeddings, p, nIter, dim)
     VectorExprs.register(embeddings.sparkSession)
+    val projs = comps.zipWithIndex.map { case (v, c) =>
+      val lit = v.mkString("array(", "D, ", "D)")
+      expr(s"named_struct('c', ${c + 1}L, 'proj', " +
+        s"floor(graft_vec_dot(embedding, $lit) * 1000.0D + 0.5001D) / 1000.0D)")
+    }
     embeddings.where(col("vec_id") < nOut && col("embedding").isNotNull)
-      .select(col("vec_id"), r3(expr(s"graft_vec_dot(embedding, $pcLit)")).as("pc1"))
+      .select(col("vec_id"), explode(array(projs: _*)).as("t"))
+      .select(col("vec_id"), col("t.c").as("c"), col("t.proj").as("proj"))
+  }
+
+  /** Householder directions of the LEARNED rotation (the real OPQ
+    * move, Ge et al. 2013 §"non-parametric" simplified): map component
+    * c onto target axis t_c = ((c−1) mod m)·(d/m) + (c−1) div m — the
+    * round-robin assignment that lands each leading variance direction
+    * in a DIFFERENT PQ subspace, so the m codebooks share the signal
+    * instead of one subspace carrying it all (the failure mode
+    * RotatedPqSpec constructs). Classic Householder-QR chain: u_c
+    * reflects the (previous-reflections image of) component c onto
+    * e_{t_c}; each intermediate is r3-rounded so the construction is
+    * engine-reproducible (the oracle re-derives the same u's from the
+    * same CTE-trained components).
+    */
+  def trainedRotationUs(embeddings: DataFrame, p: Int, m: Int,
+                        nIter: Int = 5, dim: Int = DIM): Array[Array[Double]] = {
+    require(dim % m == 0, s"trainedRotationUs: m=$m must divide dim=$dim")
+    val comps = pcaComponents(embeddings, p, nIter, dim)
+    val us = Array.ofDim[Array[Double]](p)
+    for (c <- 0 until p) {
+      var w = comps(c).clone()
+      for (j <- 0 until c) {
+        var dr = 0.0; var i = 0
+        while (i < dim) { dr += us(j)(i) * w(i); i += 1 }
+        val drR = r3d(dr)
+        w = Array.tabulate(dim)(i => r3d(w(i) - 2.0 * us(j)(i) * drR))
+      }
+      val t = (c % m) * (dim / m) + c / m
+      val diff = w.clone()
+      diff(t) -= 1.0
+      var n2 = 0.0; var i = 0
+      while (i < dim) { n2 += diff(i) * diff(i); i += 1 }
+      val nrm = r3d(math.sqrt(n2))
+      require(nrm > 0.0,
+        s"trainedRotationUs: component ${c + 1} already lies on its target axis")
+      us(c) = diff.map(v => r3d(v / nrm))
+    }
+    us
+  }
+
+  /** Apply a CHAIN of Householder reflections to the corpus — the
+    * learned-rotation generalization of [[rotateEmbeddings]], as ONE
+    * zero-exchange [[graft.functions.HouseholderChain]] projection
+    * (chained per-step `transform` selects are a trap: Catalyst's
+    * project collapse inlines each step's dr into every element of
+    * the next, and interpreted cost explodes as dim^p — measured >25
+    * min on 5k rows at p = 4; the native loop is O(p·dim)/row).
+    */
+  def rotateEmbeddingsBy(embeddings: DataFrame, us: Array[Array[Double]]): DataFrame = {
+    VectorExprs.register(embeddings.sparkSession)
+    val enc = graft.functions.HouseholderChain.encode(us)
+    embeddings.select(col("vec_id"),
+      expr(s"graft_householder_chain(embedding, '$enc')").as("embedding"))
+  }
+
+  /** PQ over the LEARNED-rotation corpus — [[annPqRotated]] with the
+    * trained Householder chain in place of the random direction.
+    */
+  def annPqRotatedTrained(embeddings: DataFrame, nCodewords: Int, m: Int,
+                          nQueries: Int, k: Int, p: Int = 4,
+                          dim: Int = DIM): DataFrame =
+    annPqTopK(rotateEmbeddingsBy(embeddings,
+      trainedRotationUs(embeddings, p, m, dim = dim)), nCodewords, m,
+      nQueries, k)
+
+  /** Recall@k of the trained-rotation PQ tier vs the ORIGINAL-space
+    * exact top-k — published NEXT TO [[annPqRecall]] (28e) and
+    * [[annPqRotatedRecall]] (28z) at the identical codebook budget;
+    * RotatedPqSpec's clustered regime pins trained ≥ random.
+    */
+  def annPqRotatedTrainedRecall(embeddings: DataFrame, nCodewords: Int, m: Int,
+                                nQueries: Int, k: Int, p: Int = 4,
+                                dim: Int = DIM): DataFrame = {
+    val exact = cosineTopK(embeddings, nQueries, k).select(col("qid"), col("vid"))
+    val approx = annPqRotatedTrained(embeddings, nCodewords, m, nQueries, k, p, dim)
+      .select(col("qid"), col("vid"), lit(1).as("hit"))
+    exact.join(approx, Seq("qid", "vid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        r3(col("n_hit") / col("n_exact")).as("recall"))
   }
 
   /** Deterministic Householder direction for [[rotateEmbeddings]]:

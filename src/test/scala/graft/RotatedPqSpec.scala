@@ -56,5 +56,33 @@ class RotatedPqSpec extends AnyFunSuite {
     val rot = avgRecall(Similarity.annPqRotatedRecall(e, 8, 4, 5, 5, dim = 16))
     assert(rot > plain,
       s"rotation should beat plain PQ on a subspace-skewed corpus: rot=$rot plain=$plain")
+    // the LEARNED rotation maps the top-4 deflated components onto
+    // axes 0/4/8/12 — one per subspace BY CONSTRUCTION, not by the
+    // random direction's luck — so it must also beat plain PQ and at
+    // least match the random reflection on this corpus
+    val trained = avgRecall(
+      Similarity.annPqRotatedTrainedRecall(e, 8, 4, 5, 5, p = 4, dim = 16))
+    assert(trained > plain,
+      s"learned rotation should beat plain PQ: trained=$trained plain=$plain")
+    assert(trained >= rot,
+      s"learned rotation should match-or-beat the random one: trained=$trained rot=$rot")
+  }
+
+  test("deflated components are near-orthogonal and find the two planted axes") {
+    import spark.implicits._
+    val rng = new scala.util.Random(19)
+    // variance planted on axes 2 (heavy) and 5 (lighter) of 8
+    val e = (0L until 60L).map { i =>
+      val v = Array.fill(8)(0.01f * rng.nextGaussian().toFloat)
+      v(2) += 3.0f * rng.nextGaussian().toFloat
+      v(5) += 1.5f * rng.nextGaussian().toFloat
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val comps = Similarity.pcaComponents(e, 2, nIter = 12, dim = 8)
+    val v1 = comps(0); val v2 = comps(1)
+    assert(math.abs(v1(2)) > 0.9, s"pc1 should align with axis 2: ${v1.toSeq}")
+    assert(math.abs(v2(5)) > 0.9, s"pc2 should align with axis 5: ${v2.toSeq}")
+    val dot = v1.zip(v2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 0.05, s"components should be near-orthogonal, dot=$dot")
   }
 }
