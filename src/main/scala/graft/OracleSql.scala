@@ -556,6 +556,56 @@ object OracleSql {
        |ORDER BY event_id""".stripMargin
 
   /** DAU + exact trailing-window rolling distinct users. */
+  /** The HLL sketch tier next to the exact rolling distinct: same
+    * md5-derived 60-bit hash, register/rho split by bit shifts,
+    * register-max merge over the trailing window, α·m²/Σ2^-M with
+    * linear-counting fallback — every step mirrored from
+    * Relational.activeUsersRollingApprox; estimate and error r3'd.
+    */
+  def activeUsersRollingApprox(windowDays: Int, b: Int = 6): String = {
+    val m = 1 << b
+    val alpha = if (m == 64) 0.709 else 0.7213 / (1.0 + 1.079 / m)
+    s"""WITH active AS (
+       |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+       |days AS (SELECT DISTINCT day AS w_day FROM active),
+       |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM active GROUP BY 1),
+       |roll AS (
+       |  SELECT d.w_day AS day, COUNT(DISTINCT a.user_id) AS rolling_users
+       |  FROM days d JOIN active a
+       |    ON d.w_day >= a.day AND d.w_day < a.day + $windowDays
+       |  GROUP BY 1),
+       |hsh AS (
+       |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       |         CAST(CONCAT('0x', SUBSTR(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM events),
+       |reg AS (
+       |  SELECT day, h & ${m - 1} AS r,
+       |         MAX(CASE WHEN (h >> $b) = 0 THEN 55
+       |                  ELSE 55 - length(bin(h >> $b)) END) AS mx
+       |  FROM hsh GROUP BY 1, 2),
+       |wreg AS (
+       |  SELECT d.w_day AS day, g.r, MAX(g.mx) AS mx
+       |  FROM days d JOIN reg g
+       |    ON d.w_day >= g.day AND d.w_day < g.day + $windowDays
+       |  GROUP BY 1, 2),
+       |hll0 AS (
+       |  SELECT day,
+       |         SUM(1.0 / CAST(1::BIGINT << mx AS DOUBLE)) + ($m - COUNT(*)) AS s,
+       |         $m - COUNT(*) AS v
+       |  FROM wreg GROUP BY day),
+       |hll AS (
+       |  SELECT day,
+       |         CASE WHEN ($alpha * $m * $m) / s <= ${2.5 * m} AND v > 0
+       |              THEN ${m.toDouble} * ln(CAST($m AS DOUBLE) / v)
+       |              ELSE ($alpha * $m * $m) / s END AS est
+       |  FROM hll0)
+       |SELECT dau.day, dau.dau, roll.rolling_users,
+       |       ${R("hll.est")} AS hll_users,
+       |       ${R("ABS(hll.est - roll.rolling_users) / roll.rolling_users")} AS rel_err
+       |FROM dau JOIN roll USING (day) JOIN hll USING (day)
+       |ORDER BY day""".stripMargin
+  }
+
   def activeUsersRolling(windowDays: Int): String =
     s"""WITH active AS (
        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
@@ -4217,6 +4267,38 @@ object OracleSql {
        |       MIN(v) AS min_v, MAX(v) AS max_v,
        |       ${R("SUM(v) / COUNT(*)")} AS mean_v
        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
+
+  /** Sampled-quantile bounds next to the exact ones — the md5-bucket
+    * sample over (user_id, day), one row per quantile with its
+    * absolute error.
+    */
+  def featureBinsApprox(keep: Int = 3, nBuckets: Int = 10): String =
+    s"""WITH $daily,
+       |smp AS (
+       |  SELECT v FROM daily
+       |  WHERE CAST(CONCAT('0x', SUBSTR(md5(CONCAT(CAST(user_id AS VARCHAR), '|',
+       |        CAST(day AS VARCHAR))), 1, 4)) AS INTEGER) % $nBuckets < $keep),
+       |ex AS (
+       |  SELECT COUNT(*) AS n_total,
+       |         ${R("quantile_cont(v, 0.25)")} AS e1,
+       |         ${R("quantile_cont(v, 0.5)")} AS e2,
+       |         ${R("quantile_cont(v, 0.75)")} AS e3
+       |  FROM daily),
+       |ap AS (
+       |  SELECT COUNT(*) AS n_sample,
+       |         ${R("quantile_cont(v, 0.25)")} AS a1,
+       |         ${R("quantile_cont(v, 0.5)")} AS a2,
+       |         ${R("quantile_cont(v, 0.75)")} AS a3
+       |  FROM smp),
+       |q AS (
+       |  SELECT 0.25 AS q, e1 AS exact_v, a1 AS approx_v, n_sample, n_total FROM ex, ap
+       |  UNION ALL
+       |  SELECT 0.5, e2, a2, n_sample, n_total FROM ex, ap
+       |  UNION ALL
+       |  SELECT 0.75, e3, a3, n_sample, n_total FROM ex, ap)
+       |SELECT CAST(q AS DOUBLE) AS q, exact_v, approx_v,
+       |       ${R("ABS(exact_v - approx_v)")} AS abs_err, n_sample, n_total
+       |FROM q ORDER BY q""".stripMargin
 
   /** Banded Theil–Sen slope: pairwise slopes within `maxLag` rows via
     * a banded rn self-join, exact interpolated median.

@@ -422,6 +422,12 @@ object SparkEntry {
       Relational.activeUsersRolling(Tables.events(s, dir), 7)
         .orderBy(col("day"))),
 
+    // the HLL sketch tier next to the exact rolling distinct: flat
+    // m-register state per window, register-max merge, error column
+    "active_users_rolling_approx" -> ((s, dir) =>
+      Relational.activeUsersRollingApprox(Tables.events(s, dir), 7)
+        .orderBy(col("day"))),
+
     // cross-doc duplicated-span score (Lee et al. 2022 substring dedup)
     "text_dup_spans" -> ((s, dir) =>
       TextOps.dupSpanRatio(Tables.documents(s, dir), 5)
@@ -1363,6 +1369,13 @@ object SparkEntry {
         TimeSeries.resampleDaily(Tables.events(s, dir)))
         .orderBy(col("bin"))),
 
+    // sampled-quantile bounds next to the exact ones, with their
+    // absolute error (the deterministic sketch tier for percentiles)
+    "feature_bins_approx" -> ((s, dir) =>
+      graft.operators.Eval.featureBinsApprox(
+        TimeSeries.resampleDaily(Tables.events(s, dir)))
+        .orderBy(col("q"))),
+
     "cdc_latest" -> ((s, dir) =>
       Relational.cdcLatest(Tables.events(s, dir))
         .orderBy(col("user_id"))),
@@ -1743,6 +1756,7 @@ object SparkEntry {
     "stream_transitions_batch" -> OracleSql.transitionsBatch,
     "stream_late_audit" -> OracleSql.streamLateAudit(3600000000L),
     "active_users_rolling" -> OracleSql.activeUsersRolling(7),
+    "active_users_rolling_approx" -> OracleSql.activeUsersRollingApprox(7),
     "text_dup_spans" -> OracleSql.textDupSpans(5),
     "layout_zorder" -> OracleSql.layoutZorder("l_orderkey", "l_partkey", 8, 32),
     "events_json_agg" -> OracleSql.eventsJsonAgg,
@@ -1909,6 +1923,7 @@ object SparkEntry {
     "eval_pr_curve" -> OracleSql.evalPrCurve,
     "target_encode" -> OracleSql.targetEncode,
     "feature_bins" -> OracleSql.featureBins,
+    "feature_bins_approx" -> OracleSql.featureBinsApprox(),
     "cdc_latest" -> OracleSql.cdcLatest,
     "scd2_intervals" -> OracleSql.scd2Intervals,
     "ts_kalman" -> OracleSql.kalman(0.01, 1.0),

@@ -176,4 +176,54 @@ object Eval {
         max(col("v")).as("max_v"),
         r3(sum(col("v")) / count(lit(1))).as("mean_v"))
   }
+
+  /** [[featureBins]]' SKETCH tier: quantile bounds estimated on the
+    * deterministic md5-PRNG sample (the kmeans_fit_sampled bucket
+    * arithmetic over (user_id, day)), published NEXT TO the exact
+    * bounds with their absolute error — one row per quantile.
+    *
+    * Why sampling and not a t-digest: a t-digest's centroid state
+    * depends on insertion/merge ORDER, so two engines (or two runs of
+    * one engine) produce different digests for the same data — not
+    * hash-gateable, and not even run-reproducible on a cluster. The
+    * deterministic sample bounds ARE, and the error gate plays the
+    * same role the ANN recall gates play for the quantizer tiers.
+    *
+    * THE SCALE POINT: the exact side's `percentile` materializes and
+    * sorts EVERY value on one reducer per group; the sampled side
+    * sorts keep/nBuckets of it (a knob — at 100 TB sample ~1e6 rows
+    * and the sort is executor-trivial), and the sample membership is
+    * a map-side hash filter that composes with pushdown. Error ~
+    * O(1/√sample) per the DKW bound, pinned by the spec.
+    */
+  def featureBinsApprox(daily: DataFrame, keep: Int = 3,
+                        nBuckets: Int = 10): DataFrame = {
+    require(keep >= 1 && keep <= nBuckets,
+      s"featureBinsApprox: need 1 <= keep <= nBuckets, got keep=$keep nBuckets=$nBuckets")
+    val bucket = conv(substring(
+      md5(concat_ws("|", col("user_id"), col("day"))), 1, 4), 16, 10)
+      .cast("int") % nBuckets
+    val ex = daily.agg(
+      count(lit(1)).as("n_total"),
+      r3(expr("percentile(v, 0.25)")).as("e1"),
+      r3(expr("percentile(v, 0.5)")).as("e2"),
+      r3(expr("percentile(v, 0.75)")).as("e3"))
+    val ap = daily.where(bucket < keep).agg(
+      count(lit(1)).as("n_sample"),
+      r3(expr("percentile(v, 0.25)")).as("a1"),
+      r3(expr("percentile(v, 0.5)")).as("a2"),
+      r3(expr("percentile(v, 0.75)")).as("a3"))
+    ex.crossJoin(ap)
+      .select(explode(expr(
+        """array(
+          |  named_struct('q', 0.25D, 'exact_v', e1, 'approx_v', a1),
+          |  named_struct('q', 0.5D,  'exact_v', e2, 'approx_v', a2),
+          |  named_struct('q', 0.75D, 'exact_v', e3, 'approx_v', a3))"""
+          .stripMargin)).as("t"),
+        col("n_total"), col("n_sample"))
+      .select(col("t.q").as("q"), col("t.exact_v").as("exact_v"),
+        col("t.approx_v").as("approx_v"),
+        r3(abs(col("t.exact_v") - col("t.approx_v"))).as("abs_err"),
+        col("n_sample"), col("n_total"))
+  }
 }

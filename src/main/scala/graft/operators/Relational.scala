@@ -316,6 +316,76 @@ object Relational {
     dau.join(rolling, Seq("day"))
   }
 
+  /** [[activeUsersRolling]]'s SKETCH tier: the same DAU/rolling pair
+    * with the rolling distinct estimated by a deterministic
+    * HyperLogLog (Flajolet et al. 2007), published NEXT TO the exact
+    * count with its relative error — the recall-gate pattern applied
+    * to a cardinality sketch.
+    *
+    * Determinism is the md5-PRNG convention: the 60-bit hash is the
+    * first 15 hex digits of md5(user_id), identical in any engine —
+    * no engine-native HLL (Spark's HLL++ and DuckDB's sketch would
+    * never hash-agree). b register-index bits, rho = leading-zero
+    * rank of the remaining 54 bits (via `length(bin(w))`, identical
+    * semantics both engines), α₆₄ = 0.709, linear-counting fallback
+    * below 2.5m with empty registers. Estimates and errors are
+    * r3-rounded (ln/Σ-order ulps, the standard epsilon guard).
+    *
+    * THE SCALE POINT: exact rolling distinct must re-count each
+    * window's user SET (state per window day = the union of its days'
+    * users — at 100 TB, millions of ids per day held per window);
+    * the sketch's state per (day, window) is m = 2^b registers,
+    * FLAT no matter how many users exist, and the trailing-window
+    * combine is a register-wise MAX — the HLL merge property — so
+    * the windowed rollup never touches ids at all. Shape: one
+    * map-side-combined register collapse over the event volume, a
+    * broadcast day-spine fan-out bounded by windowDays·m rows per
+    * day, and a scalar estimator projection.
+    */
+  def activeUsersRollingApprox(events: DataFrame, windowDays: Int = 7,
+                               b: Int = 6): DataFrame = {
+    require(b >= 4 && b <= 12, s"activeUsersRollingApprox: need 4 <= b <= 12, got $b")
+    val m = 1 << b
+    val alpha = if (m == 64) 0.709 else 0.7213 / (1.0 + 1.079 / m)
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+      .cast("bigint")
+    // bit ops, not arithmetic: `/` on longs is DOUBLE division in the
+    // Column algebra, and a 54-bit quotient doesn't fit a double's
+    // 53-bit mantissa
+    val reg = events
+      .select(to_date(col("ts")).as("day"),
+        h.bitwiseAND(lit((m - 1).toLong)).as("r"),
+        shiftright(h, b).as("w"))
+      .select(col("day"), col("r"),
+        when(col("w") === 0, lit(55))
+          .otherwise(lit(55) - length(bin(col("w")))).as("rho"))
+      .groupBy(col("day"), col("r")).agg(max(col("rho")).as("mx"))
+    val days = reg.select(col("day").as("w_day")).distinct()
+    val est = reg
+      .join(broadcast(days),
+        col("w_day") >= col("day") &&
+          col("w_day") < date_add(col("day"), windowDays))
+      .groupBy(col("w_day"), col("r")).agg(max(col("mx")).as("mx"))
+      .groupBy(col("w_day").as("day"))
+      .agg(sum(expr("1.0D / cast(shiftleft(1L, cast(mx as int)) as double)")).as("sp"),
+        count(lit(1)).as("nz"))
+      .select(col("day"),
+        (col("sp") + (lit(m) - col("nz")).cast("double")).as("s"),
+        (lit(m) - col("nz")).as("v"))
+      .select(col("day"),
+        (lit(alpha * m * m) / col("s")).as("raw"), col("v"))
+      .select(col("day"),
+        when(col("raw") <= lit(2.5 * m) && col("v") > 0,
+          lit(m.toDouble) * log(lit(m).cast("double") / col("v")))
+          .otherwise(col("raw")).as("est"))
+    activeUsersRolling(events, windowDays)
+      .join(est, Seq("day"))
+      .select(col("day"), col("dau"), col("rolling_users"),
+        r3(col("est")).as("hll_users"),
+        r3(abs(col("est") - col("rolling_users")) / col("rolling_users"))
+          .as("rel_err"))
+  }
+
   /** Weekly retention cohorts: users grouped by their FIRST active
     * week (Monday-truncated), n_users = distinct users of that cohort
     * active again `week_n` weeks later — the canonical cohort

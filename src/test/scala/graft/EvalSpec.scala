@@ -71,6 +71,25 @@ class EvalSpec extends AnyFunSuite {
     assert(out.map(_.getLong(1)).toSeq === Seq(25L, 25L, 25L, 25L))
   }
 
+  test("featureBinsApprox: sampled bounds track the exact quartiles within the DKW regime") {
+    import spark.implicits._
+    // 2000 uniform values over [1, 2000]: a ~30% md5 sample's quantile
+    // error is O(1/sqrt(600)) of the RANGE — bound generously at 10%
+    val daily = (1 to 2000).map(i =>
+      ((i % 40).toLong, java.sql.Date.valueOf(s"2024-0${i % 9 + 1}-0${i % 9 + 1}"), i.toDouble))
+      .toDF("user_id", "day", "v")
+    val out = Eval.featureBinsApprox(daily).orderBy("q").collect()
+    assert(out.map(_.getAs[Double]("q")).toSeq === Seq(0.25, 0.5, 0.75))
+    val nSample = out.head.getAs[Long]("n_sample")
+    val nTotal = out.head.getAs[Long]("n_total")
+    assert(nTotal === 2000L)
+    assert(nSample > 400 && nSample < 800, s"~30% sample expected, got $nSample")
+    out.foreach { r =>
+      assert(r.getAs[Double]("abs_err") < 200.0,
+        s"q=${r.getAs[Double]("q")}: abs_err=${r.getAs[Double]("abs_err")}")
+    }
+  }
+
   test("cdcLatest picks the (ts, event_id)-max row per key") {
     import spark.implicits._
     val t = (us: Long) => new java.sql.Timestamp(us)

@@ -227,6 +227,23 @@ class RelationalSpec extends AnyFunSuite {
     assert(out.size === 3)                              // only active days listed
   }
 
+  test("activeUsersRollingApprox: HLL estimate within the m=64 error regime at three scales") {
+    import spark.implicits._
+    def ts(day: String) = java.sql.Timestamp.valueOf(s"$day 10:00:00")
+    // 1.04/sqrt(64) = 13% standard error — pin a 3-sigma-ish bound at
+    // three cardinality decades on the same 64-register budget (the
+    // flat-state claim: register rows per window = 64 regardless)
+    for (n <- Seq(50, 500, 5000)) {
+      val ev = (0 until n).map(u => (u.toLong + 1000L * n, ts("2024-01-01")))
+        .toDF("user_id", "ts")
+      val r = Relational.activeUsersRollingApprox(ev, 3).collect().head
+      val exact = r.getAs[Long]("rolling_users")
+      val err = r.getAs[Double]("rel_err")
+      assert(exact === n.toLong)
+      assert(err < 0.4, s"n=$n rel_err=$err beyond the m=64 regime")
+    }
+  }
+
   test("zorder: Morton interleave on a 4x4 grid, contiguous file ranges") {
     import spark.implicits._
     val grid = for { x <- 0 to 3; y <- 0 to 3 } yield (x.toLong, y.toLong)
