@@ -989,31 +989,33 @@ object OracleSql {
     * oracles.
     */
   private def hwCtes(alpha: Double, beta: Double, gamma: Double,
-                     period: Int, src: String): String = {
+                     period: Int, src: String, pfx: String = ""): String = {
     val ia = 1 - alpha
     val ib = 1 - beta
     val ig = 1 - gamma
+    val n = s"${pfx}n"
+    val h = s"${pfx}h"
     val zeros = Seq.fill(period)("CAST(0.0 AS DOUBLE)").mkString("[", ", ", "]")
     // j+1 (1-based list position) for the row being folded: t = rn − 1
-    val pos = s"((n.rn - 1) % $period) + 1"
-    val lNew = s"(n.v - h.s[$pos]) * $alpha + (h.l + h.b) * $ia"
-    val lNewAtI = s"(n.v - h.s[i]) * $alpha + (h.l + h.b) * $ia"
-    s"""n AS (
+    val pos = s"(($n.rn - 1) % $period) + 1"
+    val lNew = s"($n.v - $h.s[$pos]) * $alpha + ($h.l + $h.b) * $ia"
+    val lNewAtI = s"($n.v - $h.s[i]) * $alpha + ($h.l + $h.b) * $ia"
+    s"""$n AS (
        |  SELECT user_id, v, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
        |  FROM $src),
-       |h AS (
+       |$h AS (
        |  SELECT user_id, rn, v AS l, CAST(0.0 AS DOUBLE) AS b, $zeros AS s
-       |  FROM n WHERE rn = 1
+       |  FROM $n WHERE rn = 1
        |  UNION ALL
-       |  SELECT n.user_id, n.rn,
+       |  SELECT $n.user_id, $n.rn,
        |         $lNew AS l,
-       |         (($lNew) - h.l) * $beta + h.b * $ib AS b,
+       |         (($lNew) - $h.l) * $beta + $h.b * $ib AS b,
        |         list_transform(generate_series(1, $period), i ->
        |           CASE WHEN i = $pos
-       |                THEN (n.v - ($lNewAtI)) * $gamma + h.s[i] * $ig
-       |                ELSE h.s[i] END) AS s
-       |  FROM h JOIN n ON n.user_id = h.user_id AND n.rn = h.rn + 1),
-       |lastr AS (SELECT user_id, MAX(rn) AS mx FROM n GROUP BY user_id)""".stripMargin
+       |                THEN ($n.v - ($lNewAtI)) * $gamma + $h.s[i] * $ig
+       |                ELSE $h.s[i] END) AS s
+       |  FROM $h JOIN $n ON $n.user_id = $h.user_id AND $n.rn = $h.rn + 1),
+       |${pfx}lastr AS (SELECT user_id, MAX(rn) AS mx FROM $n GROUP BY user_id)""".stripMargin
   }
 
   def holtWinters(alpha: Double, beta: Double, gamma: Double,
@@ -3110,6 +3112,139 @@ object OracleSql {
        |       ${strength("v - seasonal")} AS trend_strength,
        |       ${strength("seasonal + resid")} AS seasonal_strength
        |FROM sel GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  /** Forecast router: density + Wang-Hyndman strengths pick the model
+    * per key; each candidate branch is the standalone oracle's
+    * arithmetic (holt/HW recursions, croston on the zero-filled daily
+    * spine, AR(2) unrolled steps) with CTE names prefixed to coexist
+    * in one WITH chain.
+    */
+  def forecastAuto(half: Int, period: Int, horizon: Int, alpha: Double,
+                   beta: Double, gamma: Double, crostonAlpha: Double = 0.3,
+                   tauSparse: Double = 0.6, tauSeason: Double = 0.6,
+                   tauTrend: Double = 0.6): String = {
+    def strength(denom: String) =
+      s"""CASE WHEN VAR_POP($denom) = 0 THEN NULL
+         |            ELSE ${R(s"GREATEST(0.0, 1.0 - VAR_POP(resid) / VAR_POP($denom))")} END""".stripMargin
+    val ca = crostonAlpha
+    val cia = 1 - crostonAlpha
+    val ia = 1 - alpha
+    val ib = 1 - beta
+    def corr(l: Int) = {
+      val vp = s"CASE WHEN v_l$l IS NOT NULL THEN v END"
+      R(s"COVAR_POP($vp, v_l$l) / NULLIF(STDDEV_POP($vp) * STDDEV_POP(v_l$l), 0)")
+    }
+    val arSteps = (1 to horizon).map { s =>
+      val p1 = if (s == 1) "x_last" else s"f${s - 1}"
+      val p2 = if (s == 1) "x_prev" else if (s == 2) "x_last" else s"f${s - 2}"
+      val src = if (s == 1) "ap2" else s"ac${s - 1}"
+      s"ac$s AS (SELECT *, ${R(s"mu + phi1 * ($p1 - mu) + phi2 * ($p2 - mu)")} AS f$s FROM $src)"
+    }.mkString(",\n")
+    s"""WITH RECURSIVE $daily, ${trendCte(half)}, $detrendCte,
+       |sd AS (
+       |  SELECT *, CAST((day - DATE '1970-01-05') % 7 AS BIGINT) AS dow FROM det),
+       |sw AS (
+       |  SELECT user_id, day, v, detrended,
+       |         ${R("AVG(detrended) OVER (PARTITION BY user_id, dow)")} AS seasonal
+       |  FROM sd),
+       |ssel AS (
+       |  SELECT user_id, v, seasonal, ${R("detrended - seasonal")} AS resid FROM sw),
+       |str AS (
+       |  SELECT user_id,
+       |         ${strength("v - seasonal")} AS trend_strength,
+       |         ${strength("seasonal + resid")} AS seasonal_strength
+       |  FROM ssel GROUP BY user_id),
+       |bounds AS (
+       |  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1, COUNT(*) AS n
+       |  FROM daily GROUP BY 1),
+       |dens AS (
+       |  SELECT user_id, ${R("n / (date_diff('day', d0, d1) + 1.0)")} AS density
+       |  FROM bounds),
+       |hn AS (
+       |  SELECT user_id, v, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+       |  FROM daily),
+       |hh AS (
+       |  SELECT user_id, rn, v AS l, CAST(0.0 AS DOUBLE) AS b FROM hn WHERE rn = 1
+       |  UNION ALL
+       |  SELECT hn.user_id, hn.rn,
+       |         hn.v * $alpha + (hh.l + hh.b) * $ia AS l,
+       |         ((hn.v * $alpha + (hh.l + hh.b) * $ia) - hh.l) * $beta + hh.b * $ib AS b
+       |  FROM hh JOIN hn ON hn.user_id = hh.user_id AND hn.rn = hh.rn + 1),
+       |hlast AS (SELECT user_id, MAX(rn) AS mx FROM hn GROUP BY user_id),
+       |fh AS (
+       |  SELECT hh.user_id, ${R(s"hh.l + hh.b * $horizon.0")} AS f
+       |  FROM hh JOIN hlast ON hh.user_id = hlast.user_id AND hh.rn = hlast.mx),
+       |${hwCtes(alpha, beta, gamma, period, "daily", "w")},
+       |fw AS (
+       |  SELECT wh.user_id,
+       |         ${R(s"wh.l + wh.b * $horizon.0 + wh.s[((wlastr.mx - 1 + $horizon) % $period) + 1]")} AS f
+       |  FROM wh JOIN wlastr ON wh.user_id = wlastr.user_id AND wh.rn = wlastr.mx),
+       |cspine AS (
+       |  SELECT user_id,
+       |         CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+       |  FROM bounds),
+       |csp AS (
+       |  SELECT s.user_id, s.day, COALESCE(d.v, 0.0) AS v
+       |  FROM cspine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day),
+       |cpos AS (
+       |  SELECT user_id, v, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS p
+       |  FROM csp),
+       |cnz AS (
+       |  SELECT user_id, v, CAST(p AS DOUBLE) AS p,
+       |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY p) AS rn
+       |  FROM cpos WHERE v > 0.0),
+       |civ AS (
+       |  SELECT user_id, v, rn,
+       |         CASE WHEN rn = 1 THEN p
+       |              ELSE p - LAG(p) OVER (PARTITION BY user_id ORDER BY rn) END AS ivl
+       |  FROM cnz),
+       |ch AS (
+       |  SELECT user_id, rn, v AS z, ivl AS pp FROM civ WHERE rn = 1
+       |  UNION ALL
+       |  SELECT i.user_id, i.rn, ch.z * $cia + i.v * $ca, ch.pp * $cia + i.ivl * $ca
+       |  FROM ch JOIN civ i ON i.user_id = ch.user_id AND i.rn = ch.rn + 1),
+       |clast AS (SELECT user_id, MAX(rn) AS mx FROM cnz GROUP BY user_id),
+       |fc AS (
+       |  SELECT ch.user_id, ${R("ch.z / ch.pp")} AS f
+       |  FROM ch JOIN clast ON ch.user_id = clast.user_id AND ch.rn = clast.mx),
+       |al AS (
+       |  SELECT user_id, day, v, LAG(v, 1) OVER w AS v_l1, LAG(v, 2) OVER w AS v_l2,
+       |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn_end
+       |  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+       |ast AS (
+       |  SELECT user_id, ${corr(1)} AS r1, ${corr(2)} AS r2,
+       |         ${R("AVG(v)")} AS mu,
+       |         MAX(CASE WHEN rn_end = 1 THEN v END) AS x_last,
+       |         MAX(CASE WHEN rn_end = 2 THEN v END) AS x_prev
+       |  FROM al GROUP BY user_id),
+       |ap AS (
+       |  SELECT *, ${R("r1 * (1.0 - r2) / NULLIF(1.0 - r1 * r1, 0)")} AS phi1,
+       |         ${R("(r2 - r1 * r1) / NULLIF(1.0 - r1 * r1, 0)")} AS phi2
+       |  FROM ast WHERE r1 IS NOT NULL AND r2 IS NOT NULL AND x_prev IS NOT NULL),
+       |ap2 AS (SELECT * FROM ap WHERE phi1 IS NOT NULL AND phi2 IS NOT NULL),
+       |$arSteps,
+       |fa AS (SELECT user_id, f$horizon AS f FROM ac$horizon),
+       |route AS (
+       |  SELECT d.user_id, d.density, str.trend_strength, str.seasonal_strength,
+       |         CASE WHEN d.density < $tauSparse THEN 'croston'
+       |              WHEN COALESCE(str.seasonal_strength, 0.0) >= $tauSeason THEN 'hw'
+       |              WHEN COALESCE(str.trend_strength, 0.0) >= $tauTrend THEN 'holt'
+       |              ELSE 'ar2' END AS model0
+       |  FROM dens d JOIN str USING (user_id)),
+       |m AS (
+       |  SELECT r.user_id, r.density, r.trend_strength, r.seasonal_strength,
+       |         fh.f AS f_holt, fw.f AS f_hw, fc.f AS f_cro, fa.f AS f_ar,
+       |         CASE WHEN r.model0 = 'ar2' AND fa.f IS NULL THEN 'holt'
+       |              WHEN r.model0 = 'croston' AND fc.f IS NULL THEN 'holt'
+       |              ELSE r.model0 END AS model
+       |  FROM route r
+       |  LEFT JOIN fh USING (user_id) LEFT JOIN fw USING (user_id)
+       |  LEFT JOIN fc USING (user_id) LEFT JOIN fa USING (user_id))
+       |SELECT user_id, density, trend_strength, seasonal_strength, model,
+       |       CASE model WHEN 'croston' THEN f_cro WHEN 'hw' THEN f_hw
+       |            WHEN 'holt' THEN f_holt ELSE f_ar END AS forecast
+       |FROM m ORDER BY user_id""".stripMargin
   }
 
   /** Fixed-width value histogram per event type. */

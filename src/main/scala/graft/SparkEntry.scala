@@ -378,6 +378,16 @@ object SparkEntry {
       TimeSeries.backtestHw(Tables.events(s, dir), 0.5, 0.3, 0.4, 7, NY)
         .orderBy(col("user_id"), col("day"))),
 
+    // forecast ROUTER: density/strength profile picks HW / Holt /
+    // AR(2) / Croston per key. Gate thresholds are tuned to the
+    // synthetic corpus' measured profile (density p05≈0.80, sStr
+    // p90≈0.47, tStr p75≈0.26) so every branch actually routes;
+    // the spec exercises the DEFAULT 0.6 thresholds on clean series
+    "ts_forecast_auto" -> ((s, dir) =>
+      TimeSeries.forecastAuto(Tables.events(s, dir), HALF, 7, NY, 0.5, 0.3, 0.4,
+          crostonAlpha = 0.3, tauSparse = 0.8, tauSeason = 0.4, tauTrend = 0.25)
+        .orderBy(col("user_id"))),
+
     "ts_anomalies" -> ((s, dir) =>
       TimeSeries.anomalies(Tables.events(s, dir), HALF, 2.0)
         .orderBy(col("user_id"), col("day"))),
@@ -1795,6 +1805,8 @@ object SparkEntry {
     "ts_holt" -> OracleSql.holt(0.5, 0.3, NY),
     "ts_holt_winters" -> OracleSql.holtWinters(0.5, 0.3, 0.4, 7, NY),
     "ts_forecast_hw" -> OracleSql.holtWintersForecast(0.5, 0.3, 0.4, 7, NY),
+    "ts_forecast_auto" -> OracleSql.forecastAuto(HALF, 7, NY, 0.5, 0.3, 0.4,
+      crostonAlpha = 0.3, tauSparse = 0.8, tauSeason = 0.4, tauTrend = 0.25),
     "ts_backtest_hw" -> OracleSql.backtestHw(0.5, 0.3, 0.4, 7, NY),
     "ts_winsorize" -> OracleSql.winsorize(0.05, 0.95),
     "sample_stratified" -> OracleSql.sampleStratified,

@@ -994,9 +994,15 @@ object TimeSeries {
     * reference's seasonal_decompose usage (utils.py:355-364), one
     * shuffle on key for the whole thing.
     */
-  def decompose(events: DataFrame, half: Int): DataFrame = {
+  def decompose(events: DataFrame, half: Int): DataFrame =
+    decomposeDaily(resampleDaily(events), half)
+
+  /** [[decompose]] over an already-resampled (possibly persisted)
+    * daily frame — the shared-scan entry point [[forecastAuto]] uses.
+    */
+  def decomposeDaily(daily: DataFrame, half: Int): DataFrame = {
     val dow = pmod(datediff(col(DAY), to_date(lit("1970-01-05"))), lit(7)).cast("long")
-    detrend(trend(resampleDaily(events), half))
+    detrend(trend(daily, half))
       .withColumn("dow", dow)
       .withColumn("seasonal",
         r3(avg(col("detrended")).over(Window.partitionBy(col(KEY), col("dow")))))
@@ -1039,16 +1045,120 @@ object TimeSeries {
     * leaning on greatest-vs-NULL semantics. Same single key exchange
     * as the decomposition it reads.
     */
-  def seasonalStrength(events: DataFrame, half: Int): DataFrame = {
+  def seasonalStrength(events: DataFrame, half: Int): DataFrame =
+    seasonalStrengthDaily(resampleDaily(events), half)
+
+  /** [[seasonalStrength]] over an already-resampled daily frame. */
+  def seasonalStrengthDaily(daily: DataFrame, half: Int): DataFrame = {
     def strength(denom: Column): Column = {
       val vd = var_pop(denom)
       when(vd === 0.0, lit(null).cast("double"))
         .otherwise(greatest(lit(0.0), lit(1.0) - var_pop(col("resid")) / vd))
     }
-    decompose(events, half)
+    decomposeDaily(daily, half)
       .groupBy(col(KEY))
       .agg(r3(strength(col("v") - col("seasonal"))).as("trend_strength"),
         r3(strength(col("seasonal") + col("resid"))).as("seasonal_strength"))
+  }
+
+  /** Forecast ROUTER (the "right forecaster per series" composition
+    * the [[seasonalStrength]] diagnostic exists for): per key, measure
+    * the series' profile — observation density, Wang-Hyndman
+    * trend/seasonal strengths — and route to the matching forecaster:
+    *
+    *   - density < `tauSparse`  → Croston (intermittent demand; the
+    *     zero-filled daily spine is genuinely sparse)
+    *   - seasonal_strength ≥ `tauSeason` → Holt-Winters (period-m)
+    *   - trend_strength ≥ `tauTrend`     → Holt
+    *   - otherwise → AR(2) (Yule-Walker), falling back to Holt when
+    *     the AR model is degenerate (constant/short series); an
+    *     all-zero sparse key likewise falls back
+    *
+    * Output: one row per key with the measured profile, the chosen
+    * `model`, and its `horizon`-step-ahead `forecast` — each branch's
+    * arithmetic IDENTICAL to the standalone operator it routes to
+    * (holt/holtWinters/croston folds, arForecast's unrolled
+    * recursion), so the router is pure composition.
+    *
+    * Scale plan: ONE daily resample persisted across the branches;
+    * the fold candidates (Holt, HW, Croston) are per-key scalar folds
+    * off a single collected (day, v) array — three folds per key, not
+    * three data passes; AR rides its own windows over the SAME
+    * persisted daily and joins per-key scalars; the strengths reuse
+    * the shared frame through [[seasonalStrengthDaily]]. Running all
+    * candidates and picking per key costs per-key scalars and buys
+    * the fallback chain + router evaluation; a cost-pressed deploy
+    * can filter-first per route instead. Result is checkpointed
+    * eagerly (cache-hygiene contract).
+    */
+  def forecastAuto(events: DataFrame, half: Int, period: Int, horizon: Int,
+                   alpha: Double, beta: Double, gamma: Double,
+                   crostonAlpha: Double = 0.3, tauSparse: Double = 0.6,
+                   tauSeason: Double = 0.6, tauTrend: Double = 0.6): DataFrame = {
+    graft.functions.VectorExprs.register(events.sparkSession)
+    val daily = resampleDaily(events).persist()
+    try {
+      val str = seasonalStrengthDaily(daily, half)
+      val st = daily.groupBy(col(KEY))
+        .agg(expr("sort_array(collect_list(struct(day, v)))").as("dv"),
+          count(lit(1)).as("n"), min(col(DAY)).as("d0"), max(col(DAY)).as("d1"))
+        .select(col(KEY),
+          r3(col("n") / (datediff(col("d1"), col("d0")) + 1).cast("double"))
+            .as("density"),
+          expr("transform(dv, s -> s.v)").as("vals"),
+          // zero-filled dense spine for the Croston branch (span- and
+          // series-bounded per key; the per-element map rebuild under
+          // project collapse is O(span·n) per KEY, never corpus-wide)
+          expr(
+            """transform(sequence(0, datediff(d1, d0)), i ->
+              |  coalesce(element_at(
+              |    map_from_entries(transform(dv, s -> struct(s.day, s.v))),
+              |    date_add(d0, i)), 0.0D))""".stripMargin).as("dense"))
+      val cand = st
+        .withColumn("hb", expr(
+          s"graft_holt(vals, cast($alpha as double), cast($beta as double))"))
+        .withColumn("hw", expr(
+          s"graft_holt_winters(vals, cast($alpha as double), cast($beta as double), " +
+            s"cast($gamma as double), $period)"))
+        .withColumn("f_holt",
+          r3(expr(s"element_at(hb, 1) + element_at(hb, 2) * $horizon.0")))
+        .withColumn("f_hw", r3(expr(
+          s"element_at(hw, 1) + element_at(hw, 2) * $horizon.0 + " +
+            s"element_at(hw, 4 + cast(pmod(cast(element_at(hw, 3) as bigint) - 1 + $horizon, $period) as int))")))
+        .withColumn("sizes", expr("filter(dense, x -> x > 0.0D)"))
+        .withColumn("pos", expr(
+          "filter(transform(dense, (x, i) -> IF(x > 0.0D, CAST(i + 1 AS DOUBLE), " +
+            "CAST(NULL AS DOUBLE))), p -> p IS NOT NULL)"))
+        .withColumn("ivs", expr(
+          "transform(sequence(1, size(pos)), j -> IF(j = 1, element_at(pos, 1), " +
+            "element_at(pos, j) - element_at(pos, j - 1)))"))
+        .withColumn("f_cro", when(size(col("sizes")) > 0,
+          r3(expr(s"graft_ewma(sizes, cast($crostonAlpha as double)) / " +
+            s"graft_ewma(ivs, cast($crostonAlpha as double))"))))
+        .select(col(KEY), col("density"), col("f_holt"), col("f_hw"), col("f_cro"))
+      val ar = arForecast(daily, horizon)
+        .where(col("step") === horizon)
+        .select(col(KEY), col("forecast").as("f_ar"))
+      val routed = cand
+        .join(str, Seq(KEY))
+        .join(ar, Seq(KEY), "left")
+        .withColumn("model0",
+          when(col("density") < tauSparse, "croston")
+            .when(coalesce(col("seasonal_strength"), lit(0.0)) >= tauSeason, "hw")
+            .when(coalesce(col("trend_strength"), lit(0.0)) >= tauTrend, "holt")
+            .otherwise("ar2"))
+        .withColumn("model",
+          when(col("model0") === "ar2" && col("f_ar").isNull, "holt")
+            .when(col("model0") === "croston" && col("f_cro").isNull, "holt")
+            .otherwise(col("model0")))
+        .select(col(KEY), col("density"),
+          col("trend_strength"), col("seasonal_strength"), col("model"),
+          when(col("model") === "croston", col("f_cro"))
+            .when(col("model") === "hw", col("f_hw"))
+            .when(col("model") === "holt", col("f_holt"))
+            .otherwise(col("f_ar")).as("forecast"))
+      routed.localCheckpoint()
+    } finally daily.unpersist(blocking = false)
   }
 
   /** Fixed-width value histogram per event type: bin = value/width

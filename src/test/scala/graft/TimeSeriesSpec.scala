@@ -508,6 +508,75 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(self.getDouble(2) === 0.0)
   }
 
+  test("forecastAuto routes by profile and matches-or-beats every single forecaster") {
+    import spark.implicits._
+    // CONSECUTIVE calendar days — the seasonal family's i%7 pattern
+    // must stay phase-locked to the operator's calendar day-of-week
+    def d(i: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).atTime(10, 0))
+    val rng = new scala.util.Random(23)
+    val nDays = 61
+    val h = 5
+    // four clean families: weekly-seasonal → hw, linear ramp → holt,
+    // AR(2) noise → ar2, sparse (~30% of days) → croston
+    val week = Array(0.0, 8.0, 16.0, 30.0, 16.0, 8.0, 0.0)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, java.sql.Timestamp, Double)]
+    for (u <- 1L to 3L; i <- 0 until nDays)
+      rows += ((u, d(i), 100.0 + week(i % 7) + 0.3 * rng.nextGaussian()))
+    for (u <- 4L to 6L; i <- 0 until nDays)
+      rows += ((u, d(i), 50.0 + 3.0 * i + 0.3 * rng.nextGaussian()))
+    for (u <- 7L to 9L) {
+      // mild persistence: strong AR(2) wander would let the ±3-row MA
+      // track it and read as TREND (tStr ≥ 0.6 → mis-routes to holt)
+      val xs = new Array[Double](nDays); xs(0) = 80.0; xs(1) = 80.0
+      for (i <- 2 until nDays)
+        xs(i) = 80.0 + 0.4 * (xs(i - 1) - 80.0) + 0.15 * (xs(i - 2) - 80.0) +
+          4.0 * rng.nextGaussian()
+      for (i <- 0 until nDays) rows += ((u, d(i), xs(i)))
+    }
+    for (u <- 10L to 11L; i <- 0 until nDays if i % 10 < 3)
+      rows += ((u, d(i), 40.0 + rng.nextGaussian()))
+    val events = rows.toSeq.toDF("user_id", "ts", "value")
+    val cut = d(nDays - h)
+    val train = events.where(col("ts") < lit(cut))
+    def auto(ts: Double, tse: Double, tt: Double) =
+      TimeSeries.forecastAuto(train, 3, 7, h, 0.5, 0.3, 0.4,
+        crostonAlpha = 0.3, tauSparse = ts, tauSeason = tse, tauTrend = tt)
+    val routed = auto(0.6, 0.6, 0.6).collect()
+      .map(r => r.getLong(0) -> ((r.getString(4), r.getDouble(5)))).toMap
+    // default-threshold routing finds each family's model
+    for (u <- 1L to 3L) assert(routed(u)._1 === "hw", s"u=$u ${routed(u)}")
+    for (u <- 4L to 6L) assert(routed(u)._1 === "holt", s"u=$u ${routed(u)}")
+    for (u <- 7L to 9L) assert(routed(u)._1 === "ar2", s"u=$u ${routed(u)}")
+    for (u <- 10L to 11L) assert(routed(u)._1 === "croston", s"u=$u ${routed(u)}")
+    // scaled h-step error over the DENSE families (sparse keys have no
+    // guaranteed actual on the holdout day): |f − actual@h| / naiveMAE
+    val actual = events.where(col("ts") >= lit(cut))
+      .groupBy(col("user_id")).agg(expr("max_by(value, ts)").as("a"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val naive = TimeSeries.resampleDaily(train)
+      .withColumn("prev", lag(col("v"), 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("day")))
+      .where(col("prev").isNotNull)
+      .groupBy(col("user_id")).agg(avg(abs(col("v") - col("prev"))).as("nm"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def score(fc: Map[Long, (String, Double)]): Double = {
+      val ks = (1L to 9L)
+      ks.map(u => math.abs(fc(u)._2 - actual(u)) / naive(u)).sum / ks.size
+    }
+    val sRouted = score(routed)
+    val forced = Map(
+      "hw" -> auto(-1.0, -1.0, 2.0), "holt" -> auto(-1.0, 2.0, -1.0),
+      "ar2" -> auto(-1.0, 2.0, 2.0), "croston" -> auto(2.0, 2.0, 2.0))
+      .map { case (m, df) =>
+        m -> score(df.collect()
+          .map(r => r.getLong(0) -> ((r.getString(4), r.getDouble(5)))).toMap)
+      }
+    forced.foreach { case (m, s) =>
+      assert(sRouted <= s + 1e-9, s"routed $sRouted should be <= forced-$m $s")
+    }
+  }
+
   test("ljungBox: an autocorrelated series scores far above white noise") {
     import spark.implicits._
     def d(i: Int) = java.sql.Date.valueOf(
