@@ -45,6 +45,22 @@ object Soak {
       .withColumn("event_id", col("event_id") + col("_rep") * 1000000000L)
       .drop("_rep")
 
+  /** [[scaleEvents]] with a HOT KEY: every 5th event (~20% of the
+    * whole factor× stream) is remapped to one user. Drives the skew
+    * regime: per-key WINDOW chains (sessionize) are inherently
+    * sequential per key — AQE cannot split a window partition, so the
+    * hot task IS the wall-clock and the mitigation is operator-shape
+    * (skewSafeAgg's salting for agg consumers; bounded-gap split-merge
+    * for sessionization) — while map-side-combined aggregates
+    * (funnel's per-stage min-ts) absorb the hot key before the
+    * exchange and should stay ~flat vs the uniform twin. JOIN-shaped
+    * skew is AQE-splittable — SkewSpec pins that the split fires.
+    */
+  private def scaleEventsSkewed(spark: SparkSession, dir: String, factor: Int): DataFrame =
+    scaleEvents(spark, dir, factor)
+      .withColumn("user_id",
+        when(col("event_id") % 5 === 0, lit(424242L)).otherwise(col("user_id")))
+
   /** Token-prefixed replication: replica r ≠ 0 rewrites every token
     * separator to ` sr_`, making shingles disjoint across replicas
     * while preserving the base corpus's within-replica dup structure.
@@ -99,6 +115,7 @@ object Soak {
       df.write.format("noop").mode("overwrite").save()
 
     val ev = scaleEvents(spark, sfDir, factor)
+    val evSkew = scaleEventsSkewed(spark, sfDir, factor)
     val docs = scaleDocs(spark, sfDir, factor)
     val emb = scaleEmbeddings(spark, sfDir, factor)
 
@@ -122,6 +139,22 @@ object Soak {
           width = 3600000000L, keys = Seq("user_id"))
       }),
       "sessionize" -> (() => Relational.sessionize(ev, 1800000000L)),
+      // ---- hot-key regime (one user owns ~20% of the stream) ----
+      // window chain: the hot partition is ONE sequential task — the
+      // measured gap vs `sessionize` is the cost of key skew a window
+      // op cannot shed (mitigation is operator shape, not AQE)
+      "sessionize_skew" -> (() => Relational.sessionize(evSkew, 1800000000L)),
+      // map-side-combined per-stage aggregates absorb the hot key
+      // before the exchange — expected ~flat vs funnel_conversion
+      "funnel_skew" -> (() =>
+        Relational.funnel(evSkew, Seq("signup", "click", "purchase"))),
+      // salted two-phase agg under the same hot key — the skewSafeAgg
+      // claim measured in its target regime
+      "skew_safe_agg_hot" -> (() =>
+        Relational.skewSafeAgg(evSkew, "user_id", "value", 32)),
+      // per-key lag window feeding a types²-bounded agg — the window
+      // twin of sessionize_skew on a cheaper chain
+      "path_transitions_skew" -> (() => Relational.pathTransitions(evSkew)),
       "ann_lsh" -> (() => Similarity.annLshTopK(emb, 8, 5, 5)),
       "ann_ivf" -> (() => Similarity.annIvfTopK(emb, 16, 5, 5)),
       "ann_ivf_probe" -> (() => Similarity.annIvfTopKProbe(emb, 16, 5, 5, 2)),
@@ -389,6 +422,28 @@ object Soak {
       // (≤ windowDays per active day) — distinct keys grow factor×,
       // days stay fixed, so both stages must scale linearly
       "active_users_rolling" -> (() => Relational.activeUsersRolling(ev, 7)),
+      // sketch tier next to the exact: distinct keys grow factor× but
+      // per-(day, window) HLL state is a FLAT 64 registers — the
+      // window combine never touches ids (the exact side's user sets
+      // grow factor×); includes the exact side for the error column
+      "active_users_rolling_approx" -> (() =>
+        Relational.activeUsersRollingApprox(ev, 7)),
+      // sampled-bounds quantiles: the exact side sorts everything on
+      // one reducer per agg, the sample side keep/nBuckets of it
+      "feature_bins_approx" -> (() => graft.operators.Eval.featureBinsApprox(
+        graft.operators.TimeSeries.resampleDaily(ev))),
+      // the routed forecaster: strengths + density + four candidate
+      // folds + AR windows, all off one persisted daily frame
+      "ts_forecast_auto" -> (() => graft.operators.TimeSeries.forecastAuto(
+        ev, 3, 7, 5, 0.5, 0.3, 0.4,
+        crostonAlpha = 0.3, tauSparse = 0.8, tauSeason = 0.4, tauTrend = 0.25)),
+      // trainer rounds over the replica-grown vocabulary (~factor×
+      // words): per-round state stays vocab-sized; 1-row argmaxes
+      "bpe_train" -> (() => TextOps.bpeTrain(docs, 8)),
+      // zero-exchange encode replay over the factor× corpus
+      "bpe_encode" -> (() => TextOps.bpeEncode(docs,
+        TextOps.bpeTrainMerges(Tables.documents(spark, sfDir), 8)
+          .map(t => (t._2, t._3)))),
       // span explode → (doc,span) distinct → span-df join; replica-
       // prefixed tokens keep spans disjoint across replicas, so df
       // stays base-shaped and the join grows linearly (the shingle-
