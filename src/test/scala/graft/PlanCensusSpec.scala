@@ -98,6 +98,35 @@ class PlanCensusSpec extends AnyFunSuite {
       s"rank pruning must run below the exchange:\n$plan")
   }
 
+  test("bpe_encode is a pure map: ZERO shuffles, merge list as one literal") {
+    val df = TextOps.bpeEncode(Tables.documents(spark, dir),
+      Seq(("t", "h"), ("th", "e")))
+    assert(shuffles(df).isEmpty, "encode must be a zero-exchange projection")
+  }
+
+  test("trained rotation projection: zero shuffles (one scan through HouseholderChain)") {
+    val us = Array(Array.tabulate(64)(i => if (i < 2) 0.707 else 0.0))
+    val df = Similarity.rotateEmbeddingsBy(Tables.embeddings(spark, dir), us)
+    assert(shuffles(df).isEmpty, "rotation must be a zero-exchange map")
+  }
+
+  test("hll rolling distinct: register collapse partial-aggs map-side; bounded exchanges") {
+    val df = graft.operators.Relational.activeUsersRollingApprox(
+      Tables.events(spark, dir), 7)
+    val s = shuffles(df)
+    // daily registers agg + window-merged registers agg + estimator agg
+    // on the sketch side; distinct + dau + rolling aggs on the exact
+    // side published next to it; the day spine broadcasts. Every one
+    // of these exchanges carries register- or day-bounded rows — the
+    // census pins that no FURTHER shuffle (e.g. a lost broadcast
+    // turning the spine fan-out into a shuffle join) sneaks in.
+    assert(s.size <= 8, s"unexpected extra shuffles: ${s.size}")
+    val bcasts = {
+      df.queryExecution.executedPlan.collect { case b: BroadcastExchangeExec => b }
+    }
+    assert(bcasts.nonEmpty, "the day spine must broadcast")
+  }
+
   test("q19: quantity hull and brand IN reach the scans as pushed filters") {
     val q = SparkEntry.queries("q19_disjunctive")(spark, dir)
     val scans = q.queryExecution.sparkPlan.collect {
