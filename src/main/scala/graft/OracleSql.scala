@@ -4818,4 +4818,84 @@ object OracleSql {
        |       n_events,
        |       (LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) IS NULL) AS is_current
        |FROM g ORDER BY user_id, run_id""".stripMargin
+
+  /** RiskMetrics EWMA volatility: the EwmaFold recursion
+    * (`acc·(1−α) + x·α`, 1−α precomputed — the ewma convention)
+    * folded over SQUARED first differences of the daily series.
+    */
+  def volEwma(alphaVar: Double): String =
+    s"""WITH $daily,
+       |vals AS (
+       |  SELECT user_id, LIST(v ORDER BY day) AS vs FROM daily GROUP BY user_id),
+       |rr AS (
+       |  SELECT user_id,
+       |         CASE WHEN len(vs) < 2 THEN CAST([] AS DOUBLE[])
+       |              ELSE list_transform(generate_series(2, CAST(len(vs) AS INTEGER)),
+       |                     i -> (vs[i] - vs[i - 1]) * (vs[i] - vs[i - 1])) END AS r2s
+       |  FROM vals)
+       |SELECT user_id, CAST(len(r2s) AS BIGINT) AS n_returns,
+       |       CASE WHEN len(r2s) = 0 THEN NULL ELSE
+       |         ${R(s"list_reduce(r2s, (acc, x) -> acc * ${1 - alphaVar} + x * $alphaVar)")}
+       |       END AS ewma_var,
+       |       CASE WHEN len(r2s) = 0 THEN NULL ELSE
+       |         ${R(s"SQRT(list_reduce(r2s, (acc, x) -> acc * ${1 - alphaVar} + x * $alphaVar))")}
+       |       END AS ewma_vol
+       |FROM rr ORDER BY user_id""".stripMargin
+
+  /** Periodogram over candidate periods 2..pMax — the same
+    * (Σv·cosθ)² + (Σv·sinθ)² / n arithmetic as the Spark aggregate,
+    * with the 2π literal hardcoded so both engines share the angle.
+    */
+  def periodogram(pMax: Int): String = {
+    val twoPi = (2.0 * math.Pi).toString
+    val c = s"SUM(v * COS(($twoPi * i) / p))"
+    val sn = s"SUM(v * SIN(($twoPi * i) / p))"
+    s"""WITH $daily,
+       |rk AS (
+       |  SELECT user_id, v,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) - 1 AS DOUBLE) AS i,
+       |         CAST(COUNT(*) OVER (PARTITION BY user_id) AS DOUBLE) AS n
+       |  FROM daily),
+       |ex AS (
+       |  SELECT user_id, v, i, n, p
+       |  FROM rk CROSS JOIN (SELECT UNNEST(generate_series(2, $pMax)) AS p) ps),
+       |pw AS (
+       |  SELECT user_id, p, ${R(s"(($c) * ($c) + ($sn) * ($sn)) / MAX(n)")} AS power
+       |  FROM ex GROUP BY 1, 2)
+       |SELECT user_id, p, power,
+       |       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY power DESC, p) AS BIGINT) AS rk
+       |FROM pw ORDER BY user_id, p""".stripMargin
+  }
+
+  /** CUBE revenue rollup with GROUPING() — first cube column is the
+    * MSB in both engines (verified; SQL-standard bit order).
+    */
+  val revenueCube: String =
+    s"""SELECT o_orderstatus, o_orderpriority,
+       |       GROUPING(o_orderstatus, o_orderpriority) AS gid,
+       |       COUNT(*) AS n_orders,
+       |       ${R("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)", 2)} AS revenue
+       |FROM orders
+       |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+       |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** TPC-H Q11-style revenue-share threshold: per-part revenue kept
+    * iff above `mult`× the mean per-part revenue (global scalar
+    * subquery; all sums decimal-exact, the mean derived in the same
+    * double algebra as the Spark side: total/count, never AVG —
+    * DuckDB's AVG(DECIMAL) is a double accumulation with different
+    * summation order).
+    */
+  def q11RevenueShare(mult: Double): String =
+    s"""WITH per AS (
+       |  SELECT l_partkey,
+       |         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev
+       |  FROM lineitem GROUP BY 1),
+       |tot AS (SELECT SUM(rev) AS tot, COUNT(*) AS cnt FROM per)
+       |SELECT l_partkey,
+       |       ${R("CAST(rev AS DOUBLE)", 2)} AS revenue,
+       |       ${R("CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE)", 6)} AS share
+       |FROM per CROSS JOIN tot
+       |WHERE CAST(rev AS DOUBLE) > CAST(tot AS DOUBLE) / cnt * $mult
+       |ORDER BY l_partkey""".stripMargin
 }

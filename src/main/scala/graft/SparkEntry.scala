@@ -438,6 +438,46 @@ object SparkEntry {
       Relational.activeUsersRollingApprox(Tables.events(s, dir), 7)
         .orderBy(col("day"))),
 
+    // RiskMetrics EWMA volatility of daily first differences
+    // (λ = 0.94 ⟺ α = 0.06, the Technical Document's daily setting)
+    "ts_vol_ewma" -> ((s, dir) =>
+      TimeSeries.volEwma(
+        TimeSeries.resampleDaily(Tables.events(s, dir)), 0.06)
+        .orderBy(col("user_id"))),
+
+    // periodogram: spectral power at candidate periods 2..14 with the
+    // per-key dominant-period rank
+    "ts_periodogram" -> ((s, dir) =>
+      TimeSeries.periodogram(
+        TimeSeries.resampleDaily(Tables.events(s, dir)), 14)
+        .orderBy(col("user_id"), col("p"))),
+
+    // one-pass CUBE revenue rollup (cell/status/priority/grand totals
+    // disambiguated by grouping_id; decimal-exact sums per level)
+    "revenue_cube" -> ((s, dir) =>
+      Relational.revenueCube(Tables.orders(s, dir))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // TPC-H Q11-style revenue concentration: parts whose revenue
+    // exceeds 1.5× the mean per-part revenue (scale-invariant, unlike
+    // a fixed fraction of total) — per-part decimal aggregate, 1-row
+    // broadcast scalar threshold (total + part count, mean derived in
+    // identical double algebra both engines)
+    "q11_revenue_share" -> ((s, dir) => {
+      val per = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(sum(dec2("l_extendedprice") * (lit(1) - pct2("l_discount"))).as("rev"))
+      val tot = per.agg(sum(col("rev")).as("tot"), count(lit(1)).as("cnt"))
+      per.crossJoin(broadcast(tot))
+        .where(col("rev").cast("double") >
+          col("tot").cast("double") / col("cnt") * lit(1.5))
+        .select(col("l_partkey"),
+          r2c(col("rev").cast("double")).as("revenue"),
+          (floor(col("rev").cast("double") / col("tot").cast("double") * 1000000.0 + 0.5001) / 1000000.0).as("share"))
+        .orderBy(col("l_partkey"))
+    }),
+
     // cross-doc duplicated-span score (Lee et al. 2022 substring dedup)
     "text_dup_spans" -> ((s, dir) =>
       TextOps.dupSpanRatio(Tables.documents(s, dir), 5)
@@ -1767,6 +1807,10 @@ object SparkEntry {
     "stream_late_audit" -> OracleSql.streamLateAudit(3600000000L),
     "active_users_rolling" -> OracleSql.activeUsersRolling(7),
     "active_users_rolling_approx" -> OracleSql.activeUsersRollingApprox(7),
+    "ts_vol_ewma" -> OracleSql.volEwma(0.06),
+    "ts_periodogram" -> OracleSql.periodogram(14),
+    "revenue_cube" -> OracleSql.revenueCube,
+    "q11_revenue_share" -> OracleSql.q11RevenueShare(1.5),
     "text_dup_spans" -> OracleSql.textDupSpans(5),
     "layout_zorder" -> OracleSql.layoutZorder("l_orderkey", "l_partkey", 8, 32),
     "events_json_agg" -> OracleSql.eventsJsonAgg,

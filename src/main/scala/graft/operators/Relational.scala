@@ -120,6 +120,35 @@ object Relational {
       .agg(sum(col("_n")).as("n_events"),
         (floor(sum(col("_s")) * 1000.0 + 0.5001) / 1000.0).as("total_value"))
 
+  /** Multi-granularity revenue totals in ONE pass: CUBE over
+    * `(o_orderstatus, o_orderpriority)` — per-cell, per-status,
+    * per-priority and grand totals, disambiguated by `gid`
+    * (grouping_id: bit per cube column, first column = MSB, same
+    * semantics as the SQL-standard GROUPING() both engines share).
+    * The dashboard-rollup shape a BI layer asks for constantly;
+    * NULL group values are real-NULL-vs-subtotal ambiguous without
+    * `gid`, which is why it's part of the output contract.
+    *
+    * Plan shape: Catalyst Expand fans each row into the 4 grouping
+    * sets BEFORE the aggregate, but the aggregate is still map-side
+    * partial — per-partition state is 4×|groups| cells, and the one
+    * shuffle carries combined cells, never the ×4 row fan-out. Sums
+    * ride decimal(12,2) so every grouping level is exact and
+    * order-independent (double cube sums would accumulate different
+    * FP noise per level); the cast to double happens only in the
+    * final rounded projection.
+    */
+  def revenueCube(orders: DataFrame): DataFrame =
+    orders
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_orders"),
+        (floor(sum(col("price")).cast("double") * 100.0 + 0.5001) / 100.0).as("revenue"))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("gid"),
+        col("n_orders"), col("revenue"))
+
   /** Top-k rows per group by `order` descending (deterministic
     * tie-break on `tieBreak`). Window `row_number` — partial per
     * partition, never a global sort.

@@ -1517,6 +1517,77 @@ object TimeSeries {
           nullif(sum((col("v_actual") - col("mu")) * (col("v_actual") - col("mu"))), lit(0.0))).as("r2"))
   }
 
+  /** RiskMetrics EWMA volatility per key (J.P. Morgan RiskMetrics
+    * Technical Document 1996): over day-ordered first differences
+    * `rₜ = vₜ − vₜ₋₁`, fold `σ²ₜ = λ·σ²ₜ₋₁ + (1−λ)·rₜ²` with
+    * `σ²₁ = r₁²` and λ = 1 − `alphaVar` (RiskMetrics' daily λ=0.94 ⟺
+    * `alphaVar` = 0.06), then emit the final variance + volatility — the
+    * recursion that weights recent shocks exponentially, the standard
+    * scale estimate behind value-at-risk bands and the volatility
+    * twin of [[ewma]]'s level recursion.
+    *
+    * One groupBy collapse to the per-key ordered array (bounded by
+    * series length, the collect_list contract every fold op here
+    * shares), squares in a `transform` projection, then the native
+    * codegen [[graft.functions.EwmaFold]] with α = `alphaVar` — the
+    * identical recursion, folded over r² instead of v. Zero extra
+    * shuffles beyond the one key collapse; keys with < 2 days emit
+    * NULL (no returns to fold).
+    */
+  def volEwma(daily: DataFrame, alphaVar: Double): DataFrame = {
+    require(alphaVar > 0.0 && alphaVar < 1.0,
+      s"volEwma: need 0 < alphaVar < 1, got $alphaVar")
+    graft.functions.VectorExprs.register(daily.sparkSession)
+    daily.groupBy(col(KEY))
+      .agg(expr("transform(sort_array(collect_list(struct(day, v))), s -> s.v)").as("vs"))
+      // sequence(2, 1) would DESCEND for 1-day keys (and ANSI
+      // element_at would throw on index 2) — guard to an empty array
+      .select(col(KEY),
+        expr("CASE WHEN size(vs) < 2 THEN cast(array() as array<double>) " +
+          "ELSE transform(sequence(2, size(vs)), i -> " +
+          "(element_at(vs, i) - element_at(vs, i - 1)) * " +
+          "(element_at(vs, i) - element_at(vs, i - 1))) END").as("r2s"))
+      .select(col(KEY),
+        expr("size(r2s)").cast("long").as("n_returns"),
+        expr(s"graft_ewma(r2s, cast($alphaVar as double))").as("_var"))
+      .select(col(KEY), col("n_returns"),
+        r3(col("_var")).as("ewma_var"),
+        r3(sqrt(col("_var"))).as("ewma_vol"))
+  }
+
+  /** Periodogram per key: spectral power at every candidate period
+    * `p ∈ [2, pMax]` — `power(p) = (c² + s²)/n` with
+    * `c = Σ v·cos(2πt/p)`, `s = Σ v·sin(2πt/p)` over the 0-based
+    * day index `t` — plus the per-key power rank (1 = dominant
+    * period). The direct-DFT-at-chosen-frequencies detector
+    * (Schuster 1898) behind "what cadence does this series actually
+    * repeat at", complementing [[seasonalStrength]]'s fixed-period
+    * strength test with an open period *search*.
+    *
+    * Shape: one window pass for the index on the key partitioning, a
+    * STATIC ×(pMax−1) explode of the daily frame (bounded fan-out of
+    * the already-collapsed |keys|·|days| frame, never event volume),
+    * one map-side-combined groupBy on (key, p), and a rank window
+    * back on the key partitioning. Trig parity across engines rides
+    * the r3 ε-guard exactly like [[harmonics]] (libm cos/sin differ
+    * by ≤1 ulp; the summed noise is ~1e-15, the guard absorbs 1e-4).
+    */
+  def periodogram(daily: DataFrame, pMax: Int): DataFrame = {
+    require(pMax >= 2, s"periodogram: need pMax >= 2, got $pMax")
+    daily
+      .withColumn("i", (row_number().over(wOrdered) - 1).cast("double"))
+      .withColumn("n", count(lit(1)).over(wKey).cast("double"))
+      .select(col(KEY), col("v"), col("i"), col("n"),
+        explode(sequence(lit(2L), lit(pMax.toLong))).as("p"))
+      .withColumn("theta", lit(2.0 * math.Pi) * col("i") / col("p"))
+      .groupBy(col(KEY), col("p"))
+      .agg(r3((sum(col("v") * cos(col("theta"))) * sum(col("v") * cos(col("theta"))) +
+          sum(col("v") * sin(col("theta"))) * sum(col("v") * sin(col("theta")))) /
+          max(col("n"))).as("power"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(KEY)).orderBy(col("power").desc, col("p"))).cast("long"))
+  }
+
   /** Forecast-quality metrics per series: R2 / MSE / MAE between
     * `v_hat` and `v_actual` (reference metric_extraction:
     * notebooks/scoring.py "R2_all"/"R2_array" + sklearn metrics).

@@ -52,6 +52,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(s(2).getAs[Long]("n_events") === 1)
   }
 
+  test("revenueCube: all four grouping levels, exact sums, gid bit order") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, "O", "1-URGENT", 100.10),
+      (2L, "O", "2-HIGH", 200.20),
+      (3L, "F", "1-URGENT", 300.30),
+      (4L, "F", "1-URGENT", 400.40))
+      .toDF("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+    val rows = Relational.revenueCube(orders).collect()
+      .map(r => (Option(r.getAs[String]("o_orderstatus")),
+        Option(r.getAs[String]("o_orderpriority")),
+        r.getAs[Long]("gid"), r.getAs[Long]("n_orders"),
+        r.getAs[Double]("revenue"))).toSet
+    // 3 cells + 2 status subtotals + 2 priority subtotals + grand = 8
+    assert(rows.size === 8)
+    assert(rows.contains((Some("F"), Some("1-URGENT"), 0L, 2L, 700.70)))
+    // gid bit order: first cube column (status) is the MSB —
+    // status subtotal (priority rolled up) = gid 1, priority = gid 2
+    assert(rows.contains((Some("O"), None, 1L, 2L, 300.30)))
+    assert(rows.contains((None, Some("1-URGENT"), 2L, 3L, 800.80)))
+    assert(rows.contains((None, None, 3L, 4L, 1001.00)))
+  }
+
   test("topKPerGroup returns k rows per group, ranked") {
     import spark.implicits._
     val df = Seq(("a", 1L, 5.0), ("a", 2L, 9.0), ("a", 3L, 7.0), ("b", 4L, 1.0))

@@ -100,6 +100,57 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(e.getAs[Double]("ewma") === 5.0)
   }
 
+  test("volEwma: constant series has zero volatility; jump folds by alpha") {
+    import spark.implicits._
+    // user 2 (constant): every return 0 → var 0, vol 0
+    val c = TimeSeries.volEwma(daily.where(col("user_id") === 2), 0.5)
+      .collect().head
+    assert(c.getAs[Long]("n_returns") === 19L)
+    assert(c.getAs[Double]("ewma_var") === 0.0)
+    assert(c.getAs[Double]("ewma_vol") === 0.0)
+    // hand fold: v = [0,0,0,10] → r² = [0,0,100]; α=0.5:
+    // acc = 0 → 0·0.5+0·0.5 = 0 → 0·0.5+100·0.5 = 50; vol = √50 ≈ 7.071
+    val j = Seq(
+      (9L, java.sql.Date.valueOf("2024-02-01"), 0.0),
+      (9L, java.sql.Date.valueOf("2024-02-02"), 0.0),
+      (9L, java.sql.Date.valueOf("2024-02-03"), 0.0),
+      (9L, java.sql.Date.valueOf("2024-02-04"), 10.0)).toDF("user_id", "day", "v")
+    val r = TimeSeries.volEwma(j, 0.5).collect().head
+    assert(r.getAs[Long]("n_returns") === 3L)
+    assert(r.getAs[Double]("ewma_var") === 50.0)
+    assert(r.getAs[Double]("ewma_vol") === 7.071)
+  }
+
+  test("volEwma: single-day key emits NULL variance, zero returns") {
+    import spark.implicits._
+    val one = Seq((3L, java.sql.Date.valueOf("2024-03-01"), 4.0))
+      .toDF("user_id", "day", "v")
+    val r = TimeSeries.volEwma(one, 0.06).collect().head
+    assert(r.getAs[Long]("n_returns") === 0L)
+    assert(r.isNullAt(r.fieldIndex("ewma_var")))
+    assert(r.isNullAt(r.fieldIndex("ewma_vol")))
+  }
+
+  test("periodogram: pure 7-day sinusoid ranks period 7 first") {
+    import spark.implicits._
+    val rows = (0 until 28).map(i =>
+      (1L, java.sql.Date.valueOf(s"2024-01-${"%02d".format(i % 28 + 1)}"),
+        math.sin(2.0 * math.Pi * i / 7.0) * 100.0))
+    val p = TimeSeries.periodogram(rows.toDF("user_id", "day", "v"), 14)
+    val top = p.where(col("rk") === 1).collect().head
+    assert(top.getAs[Long]("p") === 7L)
+    // ranks are a permutation of 1..13 (ties broken deterministically)
+    val rks = p.select("rk").collect().map(_.getLong(0)).sorted
+    assert(rks.toSeq === (1L to 13L))
+    // power at p=7 is the full DFT-bin energy: (n/2·A)²/n = (14·100)²/28
+    assert(top.getAs[Double]("power") === 70000.0)
+    // p=14 completes 2 exact cycles over n=28 — orthogonal to the
+    // 4-cycle signal, so its power vanishes (leakage only hits the
+    // non-divisor periods)
+    val p14 = p.where(col("p") === 14).collect().head.getAs[Double]("power")
+    assert(math.abs(p14) < 1e-6)
+  }
+
   test("acf of a linear series is 1 at every lag; null for constant") {
     val a = TimeSeries.acf(daily, Seq(1, 2)).orderBy("user_id").collect()
     assert(a(0).getAs[Double]("acf_1") === 1.0)
