@@ -3296,6 +3296,33 @@ object OracleSql {
        |      FROM c)
        |SELECT token, n, rank FROM r WHERE rank <= $k ORDER BY rank""".stripMargin
 
+  /** Count-Min heavy-hitter tier: d salted md5 hash rows × w buckets,
+    * estimate = MIN over the candidate's d cells, published next to
+    * the exact counts (same tokenizer + top-k as tokenTopK).
+    */
+  def tokenTopKCms(k: Int, d: Int = 4, w: Int = 1024): String = {
+    def bucket(src: String) =
+      s"CAST(CONCAT('0x', SUBSTR(md5(CONCAT(CAST(j AS VARCHAR), ':', $src.token)), 1, 15)) AS BIGINT) % $w"
+    s"""WITH t AS (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents),
+       |c AS (SELECT token, COUNT(*) AS n FROM t GROUP BY token),
+       |r AS (SELECT token, n,
+       |        CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+       |      FROM c),
+       |top AS (SELECT token, n, rank FROM r WHERE rank <= $k),
+       |js AS (SELECT UNNEST(generate_series(0, ${d - 1})) AS j),
+       |cells AS (
+       |  SELECT j, ${bucket("t")} AS bucket, COUNT(*) AS cnt
+       |  FROM t CROSS JOIN js GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT top.token, top.n, top.rank, j, ${bucket("top")} AS bucket
+       |  FROM top CROSS JOIN js)
+       |SELECT cand.token, cand.rank, cand.n AS n_exact, MIN(cells.cnt) AS n_cms,
+       |       ${R("CAST(MIN(cells.cnt) - cand.n AS DOUBLE) / cand.n", 6)} AS over_err
+       |FROM cand JOIN cells USING (j, bucket)
+       |GROUP BY cand.token, cand.n, cand.rank
+       |ORDER BY cand.rank""".stripMargin
+  }
+
   /** MAD-based robust outlier days. */
   def outliersMad(nMads: Double): String =
     s"""WITH $daily,

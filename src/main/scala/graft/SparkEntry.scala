@@ -1105,6 +1105,12 @@ object SparkEntry {
     "token_topk" -> ((s, dir) =>
       TextOps.topTokens(Tables.documents(s, dir), 20).orderBy(col("rank"))),
 
+    // Count-Min sketch tier next to the exact heavy hitters: d=4
+    // salted hash rows x w=1024 buckets, min-of-cells estimate with
+    // the one-sided over-error column
+    "token_topk_cms" -> ((s, dir) =>
+      TextOps.topTokensCms(Tables.documents(s, dir), 20).orderBy(col("rank"))),
+
     "ts_outliers_mad" -> ((s, dir) =>
       TimeSeries.outliersMad(TimeSeries.resampleDaily(Tables.events(s, dir)), 3.0)
         .orderBy(col("user_id"), col("day"))),
@@ -1926,6 +1932,7 @@ object SparkEntry {
     "pca_power_multi" -> OracleSql.pcaPowerMulti(4),
     "ann_ivfpq_recall" -> OracleSql.annIvfPqRecall(16, 16, 4, 5, 5),
     "token_topk" -> OracleSql.tokenTopK(20),
+    "token_topk_cms" -> OracleSql.tokenTopKCms(20),
     "ts_outliers_mad" -> OracleSql.outliersMad(3.0),
     "ts_metrics_horizon" -> OracleSql.metricsHorizon(HALF, SLOPE_W, NY, HORIZONS),
     "ts_trajectory_mean" -> OracleSql.trajectory(HALF, TRAJ_W, median = false),

@@ -877,6 +877,49 @@ object TextOps {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Count-Min sketch tier next to [[topTokens]]'s exact heavy
+    * hitters (Cormode & Muthukrishnan 2005): `d` md5-salted hash
+    * rows × `w` buckets of token counts; a token's estimate is the
+    * MIN over its d cells — always ≥ the true count (one-sided), with
+    * overshoot bounded by collisions (E[err] ≤ Σcounts/w per row,
+    * the paper's ε = e/w regime). Published NEXT TO the exact counts
+    * with the relative over-error column — the recall-gate pattern
+    * for frequency sketches, completing the HLL (cardinality) and
+    * sampled-quantile tiers.
+    *
+    * THE SCALE POINT: exact top-k must aggregate |vocab| cells
+    * (fine here, heavy when the vocabulary is web-scale n-grams);
+    * the sketch's state is d·w counters FLAT regardless of
+    * vocabulary, map-side combined over token volume, and mergeable
+    * across shards/days by cell-wise SUM — the streaming/windowed
+    * frequency state the exact count can't provide. The ×d token
+    * fan-out happens map-side and collapses to ≤ d·w rows per
+    * partition before the one shuffle. Estimates are exact integers
+    * (longs) in both engines; hashes are the shared md5-prefix PRNG,
+    * so cell assignment is engine- and partitioning-independent.
+    */
+  def topTokensCms(docs: DataFrame, k: Int, d: Int = 4, w: Int = 1024): DataFrame = {
+    require(d >= 1 && w >= 2, s"topTokensCms: need d >= 1, w >= 2, got d=$d w=$w")
+    def bucket = pmod(
+      conv(substring(md5(concat(col("j").cast("string"), lit(":"), col("token"))), 1, 15), 16, 10)
+        .cast("bigint"),
+      lit(w.toLong))
+    val cells = docs.select(explode(split(col("text"), " ")).as("token"))
+      .select(col("token"), explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .select(col("j"), bucket.as("bucket"))
+      .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val cand = topTokens(docs, k)
+      .select(col("token"), col("n"), col("rank"),
+        explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .select(col("token"), col("n"), col("rank"), col("j"), bucket.as("bucket"))
+    cells.join(broadcast(cand), Seq("j", "bucket"))
+      .groupBy(col("token"), col("n"), col("rank"))
+      .agg(min(col("cnt")).as("n_cms"))
+      .select(col("token"), col("rank"), col("n").as("n_exact"), col("n_cms"),
+        (floor((col("n_cms") - col("n")).cast("double") / col("n") * 1000000.0 + 0.5001)
+          / 1000000.0).as("over_err"))
+  }
+
   /** Hybrid retrieval: the BM25 rank list and the dense cosine rank
     * list fused by reciprocal-rank fusion —
     * `rrf = Σ_lists 1/(rrfK + rank)`, absent list contributes 0

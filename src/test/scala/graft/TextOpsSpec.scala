@@ -190,6 +190,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(4L) === ((40L, 0L, 40L, 0L)))  // stream resumes after doc 1
   }
 
+  test("topTokensCms: wide sketch is exact; 1-bucket sketch collapses to total tokens") {
+    import spark.implicits._
+    // "a"×6, "b"×3, "c"×1 across docs
+    val docs = Seq((1L, "a a a b"), (2L, "a a a b b c"))
+      .toDF("doc_id", "text")
+    // w=1024 ≫ 3 distinct tokens: collisions (per 60-bit md5 slice)
+    // are absent, so every estimate equals the exact count
+    val wide = TextOps.topTokensCms(docs, 3).orderBy("rank").collect()
+    assert(wide.map(r => (r.getAs[String]("token"), r.getAs[Long]("n_exact"))).toSeq
+      === Seq(("a", 6L), ("b", 3L), ("c", 1L)))
+    wide.foreach { r =>
+      assert(r.getAs[Long]("n_cms") === r.getAs[Long]("n_exact"))
+      assert(r.getAs[Double]("over_err") === 0.0)
+    }
+    // w=2, d=1: pigeonhole forces collisions; the estimate stays
+    // one-sided (>= exact) and total cell mass = total tokens (10)
+    val tight = TextOps.topTokensCms(docs, 3, d = 1, w = 2).collect()
+    tight.foreach(r => assert(r.getAs[Long]("n_cms") >= r.getAs[Long]("n_exact")))
+    assert(tight.map(r => r.getAs[Long]("n_cms")).max <= 10L)
+  }
+
   test("lmScore: exact unigram log-probs on a tiny corpus") {
     import spark.implicits._
     // counts: a=3, b=1, c=1, total=5 → P(a)=0.6, P(b)=P(c)=0.2
