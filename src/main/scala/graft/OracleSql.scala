@@ -1429,18 +1429,21 @@ object OracleSql {
     * graft.operators.Similarity.kmeansStep]]). Uniform-dim corpus
     * assumed (COUNT(*) per (cell, d) = cluster size).
     */
-  private def kmeansCtes(k: Int, nIter: Int, dim: Int): String = {
+  private def kmeansCtes(k: Int, nIter: Int, dim: Int,
+                         src: String = "e", withE: Boolean = true): String = {
     val sb = new StringBuilder
-    sb.append(
+    if (withE) sb.append(
       s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
          |      WHERE embedding IS NOT NULL),
-         |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $k)""".stripMargin)
+         |""".stripMargin)
+    sb.append(
+      s"""c0 AS (SELECT vec_id AS cid, v AS cv FROM $src WHERE vec_id < $k)""".stripMargin)
     for (i <- 1 to nIter) {
       sb.append(
         s""",
            |a${i}0 AS (
            |  SELECT e.vec_id, e.v, c.cid, ${R("list_cosine_similarity(e.v, c.cv)")} AS ccos
-           |  FROM e CROSS JOIN c${i - 1} c),
+           |  FROM $src e CROSS JOIN c${i - 1} c),
            |a$i AS (
            |  SELECT vec_id, v, cid AS cell FROM (
            |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
@@ -2011,7 +2014,7 @@ object OracleSql {
     * updated book `b{i}`.
     */
   private def pqKmeansCtes(k: Int, m: Int, nIter: Int, dim: Int,
-                           withE: Boolean = true): String = {
+                           withE: Boolean = true, src: String = "e"): String = {
     val subDim = dim / m
     val sb = new StringBuilder
     if (withE) sb.append(
@@ -2022,7 +2025,7 @@ object OracleSql {
       s"""b0 AS (
          |  SELECT s.s, e.vec_id AS c,
          |         e.v[s.s * $subDim + 1 : s.s * $subDim + $subDim] AS w
-         |  FROM e CROSS JOIN range(0, $m) s(s) WHERE e.vec_id < $k)""".stripMargin)
+         |  FROM $src e CROSS JOIN range(0, $m) s(s) WHERE e.vec_id < $k)""".stripMargin)
     for (i <- 1 to nIter) {
       val diff = s"(e.v[b.s * $subDim + j] - b.w[j])"
       sb.append(
@@ -2030,7 +2033,7 @@ object OracleSql {
            |pa${i}0 AS (
            |  SELECT e.vec_id, b.s, b.c,
            |    ${R(s"list_sum(list_transform(generate_series(1, $subDim), j -> $diff * $diff))")} AS d2
-           |  FROM e CROSS JOIN b${i - 1} b),
+           |  FROM $src e CROSS JOIN b${i - 1} b),
            |pa$i AS (
            |  SELECT vec_id, s, c AS code FROM (
            |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
@@ -2039,7 +2042,7 @@ object OracleSql {
            |pm$i AS (
            |  SELECT a.s, a.code, g.j, COUNT(*) AS n,
            |         ${R(s"SUM(e.v[a.s * $subDim + g.j]) / COUNT(*)")} AS cd
-           |  FROM pa$i a JOIN e ON e.vec_id = a.vec_id
+           |  FROM pa$i a JOIN $src e ON e.vec_id = a.vec_id
            |  CROSS JOIN generate_series(1, $subDim) g(j)
            |  GROUP BY a.s, a.code, g.j),
            |b$i AS (
@@ -2537,6 +2540,118 @@ object OracleSql {
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS BIGINT) AS rank
        |  FROM sc)
        |SELECT qid, vid, adist, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
+  /** OPQ-IVFADC composed: the [[annIvfPqTrained]] chain with EVERY
+    * stage (centroid training, PQ book training, assignment, query
+    * encoding) run over the learned-rotation corpus `rot$p` — the
+    * full FAISS `OPQ…,IVF…,PQ…` factory string as chained CTEs.
+    */
+  def annIvfPqRotatedTrained(nCentroids: Int, nCodewords: Int, m: Int,
+                             kmIter: Int, nQueries: Int, k: Int, p: Int = 4,
+                             nIter: Int = 5, dim: Int = 64): String = {
+    val subDim = dim / m
+    def d2(vec: String) = {
+      val diff = s"($vec[b.s * $subDim + j] - b.w[j])"
+      R(s"list_sum(list_transform(generate_series(1, $subDim), j -> $diff * $diff))")
+    }
+    s"""WITH ${trainedRotCtes(p, m, nIter, dim)},
+       |${kmeansCtes(nCentroids, kmIter, dim, src = s"rot$p", withE = false)},
+       |${pqKmeansCtes(nCodewords, m, kmIter, dim, withE = false, src = s"rot$p")},
+       |fc0 AS (
+       |  SELECT e.vec_id, c.cid, ${R("list_cosine_similarity(e.v, c.cv)")} AS ccos
+       |  FROM rot$p e CROSS JOIN c$kmIter c),
+       |cells AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+       |    FROM fc0)
+       |  WHERE crank = 1),
+       |fb0 AS (
+       |  SELECT e.vec_id, b.s, b.c, ${d2("e.v")} AS d2
+       |  FROM rot$p e CROSS JOIN b$kmIter b),
+       |asg AS (
+       |  SELECT vec_id, s, c AS code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+       |    FROM fb0)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, v FROM rot$p WHERE vec_id < $nQueries),
+       |qc AS (SELECT q.qid, cells.cell FROM q JOIN cells ON cells.vec_id = q.qid),
+       |dt AS (
+       |  SELECT q.qid, b.s, b.c AS code, ${d2("q.v")} AS d2
+       |  FROM q CROSS JOIN b$kmIter b),
+       |sc AS (
+       |  SELECT qc.qid, a.vec_id AS vid, ${R("SUM(dt.d2)")} AS adist
+       |  FROM asg a
+       |  JOIN cells ce ON ce.vec_id = a.vec_id
+       |  JOIN qc ON qc.cell = ce.cell AND a.vec_id != qc.qid
+       |  JOIN dt ON dt.qid = qc.qid AND dt.s = a.s AND dt.code = a.code
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS BIGINT) AS rank
+       |  FROM sc)
+       |SELECT qid, vid, adist, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
+  /** Recall of the composed OPQ-IVFADC tier vs the ORIGINAL-space
+    * exact cosine top-k.
+    */
+  def annIvfPqRotatedTrainedRecall(nCentroids: Int, nCodewords: Int, m: Int,
+                                   kmIter: Int, nQueries: Int, k: Int,
+                                   p: Int = 4, nIter: Int = 5,
+                                   dim: Int = 64): String = {
+    val subDim = dim / m
+    def d2(vec: String) = {
+      val diff = s"($vec[b.s * $subDim + j] - b.w[j])"
+      R(s"list_sum(list_transform(generate_series(1, $subDim), j -> $diff * $diff))")
+    }
+    s"""WITH ${trainedRotCtes(p, m, nIter, dim)},
+       |${kmeansCtes(nCentroids, kmIter, dim, src = s"rot$p", withE = false)},
+       |${pqKmeansCtes(nCodewords, m, kmIter, dim, withE = false, src = s"rot$p")},
+       |q0 AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
+       |xs AS (
+       |  SELECT qid, vec_id AS vid, ${R("list_cosine_similarity(qv, v)")} AS cos
+       |  FROM e CROSS JOIN q0 WHERE vec_id != qid),
+       |xr AS (
+       |  SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+       |  FROM xs),
+       |exact AS (SELECT qid, vid FROM xr WHERE rank <= $k),
+       |fc0 AS (
+       |  SELECT e.vec_id, c.cid, ${R("list_cosine_similarity(e.v, c.cv)")} AS ccos
+       |  FROM rot$p e CROSS JOIN c$kmIter c),
+       |cells AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+       |    FROM fc0)
+       |  WHERE crank = 1),
+       |fb0 AS (
+       |  SELECT e.vec_id, b.s, b.c, ${d2("e.v")} AS d2
+       |  FROM rot$p e CROSS JOIN b$kmIter b),
+       |asg AS (
+       |  SELECT vec_id, s, c AS code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+       |    FROM fb0)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, v FROM rot$p WHERE vec_id < $nQueries),
+       |qc AS (SELECT q.qid, cells.cell FROM q JOIN cells ON cells.vec_id = q.qid),
+       |dt AS (
+       |  SELECT q.qid, b.s, b.c AS code, ${d2("q.v")} AS d2
+       |  FROM q CROSS JOIN b$kmIter b),
+       |sc AS (
+       |  SELECT qc.qid, a.vec_id AS vid, ${R("SUM(dt.d2)")} AS adist
+       |  FROM asg a
+       |  JOIN cells ce ON ce.vec_id = a.vec_id
+       |  JOIN qc ON qc.cell = ce.cell AND a.vec_id != qc.qid
+       |  JOIN dt ON dt.qid = qc.qid AND dt.s = a.s AND dt.code = a.code
+       |  GROUP BY 1, 2),
+       |ar AS (
+       |  SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS rank
+       |  FROM sc),
+       |approx AS (SELECT qid, vid, 1 AS hit FROM ar WHERE rank <= $k)
+       |SELECT x.qid, COUNT(*) AS n_exact,
+       |       CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS n_hit,
+       |       ${R("SUM(COALESCE(a.hit, 0)) / COUNT(*)")} AS recall
+       |FROM exact x LEFT JOIN approx a ON x.qid = a.qid AND x.vid = a.vid
+       |GROUP BY x.qid ORDER BY x.qid""".stripMargin
   }
 
   /** Recall@k of the PQ tier vs the exact cosine top-k: the annPq

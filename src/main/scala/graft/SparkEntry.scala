@@ -1086,6 +1086,18 @@ object SparkEntry {
       Similarity.annPqRotatedTrainedRecall(Tables.embeddings(s, dir), 16, 4, 5, 5)
         .orderBy(col("qid"))),
 
+    // OPQ-IVFADC composed (FAISS 'OPQ4,IVF8,PQ4'): every stage over
+    // the learned-rotation corpus; rotation is a zero-exchange
+    // HouseholderChain projection riding the same scan
+    "ann_ivfpq_rotated" -> ((s, dir) =>
+      Similarity.annIvfPqRotatedTrained(Tables.embeddings(s, dir), 8, 16, 4, 2, 5, 5)
+        .select(col("qid"), col("vid"), col("adist"), col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))),
+
+    "ann_ivfpq_rotated_recall" -> ((s, dir) =>
+      Similarity.annIvfPqRotatedTrainedRecall(Tables.embeddings(s, dir), 8, 16, 4, 2, 5, 5)
+        .orderBy(col("qid"))),
+
     // multi-component PCA: projections onto the top-4 deflated
     // power-iteration components, long format
     "pca_power_multi" -> ((s, dir) =>
@@ -1929,6 +1941,8 @@ object SparkEntry {
     "ann_pq_rotated_recall" -> OracleSql.annPqRotatedRecall(16, 4, 5, 5),
     "ann_pq_rotated_trained" -> OracleSql.annPqRotatedTrained(16, 4, 5, 5),
     "ann_pq_rotated_trained_recall" -> OracleSql.annPqRotatedTrainedRecall(16, 4, 5, 5),
+    "ann_ivfpq_rotated" -> OracleSql.annIvfPqRotatedTrained(8, 16, 4, 2, 5, 5),
+    "ann_ivfpq_rotated_recall" -> OracleSql.annIvfPqRotatedTrainedRecall(8, 16, 4, 2, 5, 5),
     "pca_power_multi" -> OracleSql.pcaPowerMulti(4),
     "ann_ivfpq_recall" -> OracleSql.annIvfPqRecall(16, 16, 4, 5, 5),
     "token_topk" -> OracleSql.tokenTopK(20),

@@ -947,6 +947,45 @@ object Similarity {
         r3(col("n_hit") / col("n_exact")).as("recall"))
   }
 
+  /** OPQ-IVFADC composed: [[annIvfPqTopKTrained]] with EVERY stage
+    * (centroid training, PQ book training, assignment, query
+    * encoding) run over the learned-rotation corpus — the full FAISS
+    * `OPQ{m},IVF{n},PQ{m}` factory string (Ge et al. 2013 OPQ over
+    * Jégou et al. 2011 IVFADC) as one Spark plan. The rotation is a
+    * zero-exchange [[graft.functions.HouseholderChain]] projection,
+    * so composing it adds NO shuffle to the IVF+PQ chain — the
+    * encode-side cost is O(p·dim) per row inside the same scan.
+    */
+  def annIvfPqRotatedTrained(embeddings: DataFrame, nCentroids: Int,
+                             nCodewords: Int, m: Int, kmIter: Int,
+                             nQueries: Int, k: Int, p: Int = 4,
+                             dim: Int = DIM): DataFrame =
+    annIvfPqTopKTrained(
+      rotateEmbeddingsBy(embeddings, trainedRotationUs(embeddings, p, m, dim = dim)),
+      nCentroids, nCodewords, m, kmIter, nQueries, k)
+
+  /** Recall@k of the composed OPQ-IVFADC tier vs the ORIGINAL-space
+    * exact cosine top-k — published NEXT TO [[annIvfPqRecall]] (the
+    * unrotated composition) at the identical budget, so the rotation's
+    * effect on the cell-pruning × code-compression product reads
+    * directly off the pair.
+    */
+  def annIvfPqRotatedTrainedRecall(embeddings: DataFrame, nCentroids: Int,
+                                   nCodewords: Int, m: Int, kmIter: Int,
+                                   nQueries: Int, k: Int, p: Int = 4,
+                                   dim: Int = DIM): DataFrame = {
+    val exact = cosineTopK(embeddings, nQueries, k).select(col("qid"), col("vid"))
+    val approx = annIvfPqRotatedTrained(embeddings, nCentroids, nCodewords, m,
+        kmIter, nQueries, k, p, dim)
+      .select(col("qid"), col("vid"), lit(1).as("hit"))
+    exact.join(approx, Seq("qid", "vid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        r3(col("n_hit") / col("n_exact")).as("recall"))
+  }
+
   /** Deterministic Householder direction for [[rotateEmbeddings]]:
     * u = normalize(md5-derived pseudo-uniform in [−0.5, 0.5)) — a
     * fixed public constant, computed identically by the Spark side

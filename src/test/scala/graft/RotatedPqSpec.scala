@@ -68,6 +68,31 @@ class RotatedPqSpec extends AnyFunSuite {
       s"learned rotation should match-or-beat the random one: trained=$trained rot=$rot")
   }
 
+  test("composed OPQ-IVFADC: rotation recovers recall the unrotated composition loses") {
+    import spark.implicits._
+    // same subspace-skewed corpus shape as the PQ-only regime test:
+    // all discriminative variance in subspace 0 → the unrotated
+    // composed tier inherits plain PQ's code starvation, the learned
+    // rotation spreads it across the grid. The IVF stage prunes
+    // identically-shaped cells in both, so the delta reads the PQ
+    // term through the full composition.
+    val rng = new scala.util.Random(23)
+    val e = (0L until 120L).map { i =>
+      val v = Array.fill(16)(0.01f * rng.nextGaussian().toFloat)
+      (0 until 4).foreach(d =>
+        v(d) = (if (rng.nextBoolean()) 1.0f else -1.0f) +
+          0.05f * rng.nextGaussian().toFloat)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val plain = avgRecall(Similarity.annIvfPqRecall(e, 4, 8, 4, 5, 5))
+    val rotated = avgRecall(
+      Similarity.annIvfPqRotatedTrainedRecall(e, 4, 8, 4, 2, 5, 5, p = 4, dim = 16))
+    assert(rotated >= plain,
+      s"composed rotation should match-or-beat the unrotated composition: rotated=$rotated plain=$plain")
+    // recalls are honest fractions in [0, 1]
+    assert(rotated >= 0.0 && rotated <= 1.0)
+  }
+
   test("deflated components are near-orthogonal and find the two planted axes") {
     import spark.implicits._
     val rng = new scala.util.Random(19)
