@@ -1202,6 +1202,38 @@ object OracleSql {
        |SELECT doc_id, pr FROM r$iters ORDER BY doc_id""".stripMargin
   }
 
+  /** Label propagation over the candidate graph: `rounds` unrolled
+    * synchronous mode-of-neighbours updates with (count DESC, label
+    * ASC) ties — integer-exact, the same trajectory as the Spark
+    * side. Final label frame referenced twice (labels + sizes) →
+    * MATERIALIZED.
+    */
+  def dedupLabelProp(perms: Int, rowsPerBand: Int, rounds: Int = 3): String = {
+    val steps = (1 to rounds).map { t =>
+      val mat = if (t == rounds) " MATERIALIZED" else ""
+      s"""lpa$t AS (
+         |  SELECT e.dst, l.label, COUNT(*) AS cnt
+         |  FROM edges e JOIN lp${t - 1} l ON l.doc_id = e.src
+         |  GROUP BY 1, 2),
+         |lp$t AS$mat (
+         |  SELECT dst AS doc_id, label FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY dst ORDER BY cnt DESC, label) AS rn
+         |    FROM lpa$t)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${minhashCtes(perms, rowsPerBand)},
+       |cpairs AS (SELECT DISTINCT doc_a, doc_b FROM cand),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM cpairs
+       |  UNION ALL SELECT doc_b, doc_a FROM cpairs),
+       |lp0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edges),
+       |$steps,
+       |sizes AS (SELECT label, COUNT(*) AS community_n FROM lp$rounds GROUP BY label)
+       |SELECT l.doc_id, l.label, s.community_n
+       |FROM lp$rounds l JOIN sizes s ON s.label = l.label
+       |ORDER BY l.doc_id""".stripMargin
+  }
+
   /** End-to-end near-dup pipeline: LSH candidates → MinHash-Jaccard
     * filter → connected components → keep decision for every doc.
     */

@@ -785,6 +785,14 @@ object SparkEntry {
         Dedup.lshCandidatesFast(Dedup.minhashSigs(Tables.documents(s, dir), 16), 2, 16))
         .orderBy(col("doc_id"))),
 
+    // deterministic label propagation over the same graph: dense
+    // communities INSIDE a component (template families a bridge pair
+    // would otherwise merge), with community sizes
+    "dedup_labelprop" -> ((s, dir) =>
+      Dedup.labelProp(
+        Dedup.lshCandidatesFast(Dedup.minhashSigs(Tables.documents(s, dir), 16), 2, 16), 3)
+        .orderBy(col("doc_id"))),
+
     "q5_region_revenue" -> ((s, dir) => {
       // Filter-first join tree: region→nation→supplier collapses to an
       // ASIA-supplier dim (1/5 of suppliers) broadcast into lineitem, so
@@ -1900,6 +1908,7 @@ object SparkEntry {
     "dedup_jaccard_est" -> OracleSql.dedupJaccardEst(16, 2),
     "dedup_cc" -> OracleSql.dedupCc(16, 2),
     "dedup_pagerank" -> OracleSql.dedupPageRank(16, 2),
+    "dedup_labelprop" -> OracleSql.dedupLabelProp(16, 2),
     "q5_region_revenue" -> OracleSql.q5RegionRevenue,
     "q14_promo_share" -> OracleSql.q14PromoShare,
     "q6_revenue" -> OracleSql.q6Revenue,

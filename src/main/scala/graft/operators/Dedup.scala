@@ -266,6 +266,54 @@ object Dedup {
     rank
   }
 
+  /** Synchronous label propagation over the candidate graph (Raghavan
+    * et al. 2007, made deterministic): label₀(v) = v; per round each
+    * node adopts the MODE of its neighbours' previous labels, ties
+    * broken (count DESC, label ASC). Where [[connectedComponents]]
+    * answers "which docs are transitively connected at all", LPA's
+    * fixed-round labels find the DENSE communities inside a
+    * component — a giant near-dup blob bridged by one accidental
+    * pair splits into its real template families, which is what a
+    * curation pass actually wants to drop wholesale. Emits each
+    * node's label and its community size.
+    *
+    * Determinism: classic LPA is run-order-dependent (random tie
+    * break + asynchronous sweep); here rounds are synchronous, fixed
+    * in number, and integer-exact with total tie orders — identical
+    * on any engine/partitioning, so the trajectory (not just the
+    * fixpoint) is the contract, matching the pageRank/kmeans oracle
+    * convention of unrolled chained CTEs.
+    *
+    * Scale shape: per round ONE join of the symmetrized edge list
+    * against the |nodes|-sized label frame, a map-side-combined
+    * (dst, label) count, and a per-dst top-1 window on the same
+    * partitioning — never more than edge-volume rows in flight;
+    * localCheckpointed per round (the [[connectedComponents]] lineage
+    * contract). Final sizes are one |nodes|-frame aggregate joined
+    * back on the checkpointed leaf.
+    */
+  def labelProp(pairs: DataFrame, rounds: Int = 3): DataFrame = {
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint()
+    var lab = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      lab = edges
+        .join(lab.select(col("doc_id").as("src"), col("label")), "src")
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("dst")).orderBy(col("cnt").desc, col("label"))))
+        .where(col("rn") === 1)
+        .select(col("dst").as("doc_id"), col("label"))
+        .localCheckpoint()
+    }
+    val sizes = lab.groupBy(col("label")).agg(count(lit(1)).as("community_n"))
+    lab.join(sizes, "label").select(col("doc_id"), col("label"), col("community_n"))
+  }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // Both edge directions in ONE pass over `pairs` (explode of the
     // two orientations) — a union of the plan with its swap evaluates

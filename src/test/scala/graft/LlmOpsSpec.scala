@@ -382,6 +382,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(math.abs(pr.values.sum - 1.0) < 0.01)
   }
 
+  test("labelProp splits bridged triangles that connectedComponents merges") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {4,5,6} joined by the single bridge
+    // 3-4: one connected component, two dense communities. Hand-traced
+    // synchronous rounds (mode of neighbours, ties -> smallest label):
+    // r1: 1→2 2→1 3→1 4→3 5→4 6→4
+    // r2: 1→1 2→1 3→1 4→4 5→3 6→3
+    // r3: 1→1 2→1 3→1 4→3 5→3 6→3
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val lp = Dedup.labelProp(pairs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(lp.toSet === Set(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (4L, 3L, 3L), (5L, 3L, 3L), (6L, 3L, 3L)))
+    // CC on the same graph: one component, everything labelled 1
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(1)).toSet
+    assert(cc === Set(1L))
+  }
+
   test("bpePairCounts: corpus-weighted adjacent pairs, single-char words ignored") {
     // "abab" ×2 docs + "ab x bc": pairs of abab = ab, ba, ab → per occurrence;
     // word frequencies: abab:2, ab:1, bc:1; x dropped (length 1)
