@@ -1378,6 +1378,24 @@ object OracleSql {
        |JOIN counts cb ON cb.doc_id = i.doc_b
        |ORDER BY i.doc_a""".stripMargin
 
+  /** Shingle containment on the adjacent-id candidate pairs — the
+    * asymmetric twin of dedupNgramJaccard (|A∩B|/|A| each way).
+    */
+  val dedupContainment: String =
+    s"""WITH $shinglesCte,
+       |inter AS (
+       |  SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM sh s1 JOIN sh s2 ON s2.doc_id = s1.doc_id + 1 AND s1.sh = s2.sh
+       |  GROUP BY 1, 2),
+       |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+       |SELECT i.doc_a, i.doc_b, i.inter,
+       |       ${R("i.inter / ca.n")} AS containment_a,
+       |       ${R("i.inter / cb.n")} AS containment_b
+       |FROM inter i
+       |JOIN counts ca ON ca.doc_id = i.doc_a
+       |JOIN counts cb ON cb.doc_id = i.doc_b
+       |ORDER BY i.doc_a""".stripMargin
+
   /** IVF ANN: deterministic coarse quantizer (centroids = vec_id <
     * nCentroids), nprobe = 1, rounded assignment score with cid
     * tie-break so the argmax is bit-stable across engines.
@@ -5020,11 +5038,14 @@ object OracleSql {
     * (Σv·cosθ)² + (Σv·sinθ)² / n arithmetic as the Spark aggregate,
     * with the 2π literal hardcoded so both engines share the angle.
     */
-  def periodogram(pMax: Int): String = {
+  /** Shared daily→index→period-explode→power CTE chain of the
+    * periodogram family.
+    */
+  private def periodogramCtes(pMax: Int): String = {
     val twoPi = (2.0 * math.Pi).toString
     val c = s"SUM(v * COS(($twoPi * i) / p))"
     val sn = s"SUM(v * SIN(($twoPi * i) / p))"
-    s"""WITH $daily,
+    s"""$daily,
        |rk AS (
        |  SELECT user_id, v,
        |         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) - 1 AS DOUBLE) AS i,
@@ -5035,10 +5056,29 @@ object OracleSql {
        |  FROM rk CROSS JOIN (SELECT UNNEST(generate_series(2, $pMax)) AS p) ps),
        |pw AS (
        |  SELECT user_id, p, ${R(s"(($c) * ($c) + ($sn) * ($sn)) / MAX(n)")} AS power
-       |  FROM ex GROUP BY 1, 2)
+       |  FROM ex GROUP BY 1, 2)""".stripMargin
+  }
+
+  def periodogram(pMax: Int): String =
+    s"""WITH ${periodogramCtes(pMax)}
        |SELECT user_id, p, power,
        |       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY power DESC, p) AS BIGINT) AS rk
        |FROM pw ORDER BY user_id, p""".stripMargin
+
+  /** Spectral entropy: Shannon entropy of the normalized periodogram
+    * powers, scaled by ln(#periods) — the same CASE/negate/divide
+    * IEEE chain as the Spark aggregate.
+    */
+  def spectralEntropy(pMax: Int): String = {
+    val lnN = math.log((pMax - 1).toDouble).toString
+    s"""WITH ${periodogramCtes(pMax)},
+       |tt AS (
+       |  SELECT user_id, p, power,
+       |         SUM(power) OVER (PARTITION BY user_id) AS tot
+       |  FROM pw)
+       |SELECT user_id, COUNT(*) AS n_periods,
+       |       ${R(s"-(SUM(CASE WHEN power > 0 AND tot > 0 THEN (power / tot) * LN(power / tot) ELSE 0.0 END)) / $lnN")} AS entropy
+       |FROM tt GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
   /** CUBE revenue rollup with GROUPING() — first cube column is the

@@ -225,6 +225,14 @@ object SparkEntry {
       Dedup.jaccard(Dedup.shingles(docs), pairs).orderBy(col("doc_a"))
     }),
 
+    // asymmetric shingle containment (Broder 1997) on the same
+    // candidate pairs: sub-document duplication Jaccard under-scores
+    "dedup_containment" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = docs.select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+      Dedup.containment(Dedup.shingles(docs), pairs).orderBy(col("doc_a"))
+    }),
+
     "ann_topk" -> ((s, dir) =>
       Similarity.cosineTopK(Tables.embeddings(s, dir), 5, 5)
         .select(col("qid"), col("vid"), col("cos"), col("rank").cast("long").as("rank"))
@@ -451,6 +459,13 @@ object SparkEntry {
       TimeSeries.periodogram(
         TimeSeries.resampleDaily(Tables.events(s, dir)), 14)
         .orderBy(col("user_id"), col("p"))),
+
+    // spectral entropy of the normalized periodogram: ~1 white-noise
+    // flat spectrum, ~0 pure cycle (the forecastability feature)
+    "ts_spectral_entropy" -> ((s, dir) =>
+      TimeSeries.spectralEntropy(
+        TimeSeries.resampleDaily(Tables.events(s, dir)), 14)
+        .orderBy(col("user_id"))),
 
     // one-pass CUBE revenue rollup (cell/status/priority/grand totals
     // disambiguated by grouping_id; decimal-exact sums per level)
@@ -1835,6 +1850,7 @@ object SparkEntry {
     "active_users_rolling_approx" -> OracleSql.activeUsersRollingApprox(7),
     "ts_vol_ewma" -> OracleSql.volEwma(0.06),
     "ts_periodogram" -> OracleSql.periodogram(14),
+    "ts_spectral_entropy" -> OracleSql.spectralEntropy(14),
     "revenue_cube" -> OracleSql.revenueCube,
     "q11_revenue_share" -> OracleSql.q11RevenueShare(1.5),
     "text_dup_spans" -> OracleSql.textDupSpans(5),
@@ -1856,6 +1872,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> OracleSql.dedupMinhashLsh(16, 2),
     "dedup_simhash" -> OracleSql.dedupSimhash,
     "dedup_ngram_jaccard" -> OracleSql.dedupNgramJaccard,
+    "dedup_containment" -> OracleSql.dedupContainment,
     "ann_topk" -> OracleSql.annTopK(5, 5),
     "embed_cosine_dup" -> OracleSql.embedCosineDup(0.3),
     "dedup_semantic" -> OracleSql.dedupSemantic(16, 0.3),

@@ -823,4 +823,33 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         r3(col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
   }
+
+  /** Exact shingle CONTAINMENT on candidate pairs — the asymmetric
+    * twin of [[jaccard]]: `C(A→B) = |A∩B| / |A|` (Broder 1997's
+    * containment; what fraction of A's shingles live inside B). The
+    * measure Jaccard misses: a paragraph quoted whole inside a much
+    * larger page scores near-zero Jaccard (union is huge) but
+    * containment ≈ 1 from the small side — exactly the sub-document
+    * duplication a training-data audit needs before deciding to strip
+    * rather than drop. Emits both directions + the shared count.
+    *
+    * Same scale shape as [[jaccard]]: intersection via the shingle
+    * equi-join on candidate pairs only (never all-pairs, no per-pair
+    * array materialization), counts attached from the one per-doc
+    * aggregate.
+    */
+  def containment(sh: DataFrame, pairs: DataFrame): DataFrame = {
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(pairs, "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        r3(col("inter") / col("na")).as("containment_a"),
+        r3(col("inter") / col("nb")).as("containment_b"))
+  }
 }

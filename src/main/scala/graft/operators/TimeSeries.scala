@@ -1588,6 +1588,29 @@ object TimeSeries {
         Window.partitionBy(col(KEY)).orderBy(col("power").desc, col("p"))).cast("long"))
   }
 
+  /** Spectral entropy per key — Shannon entropy of the normalized
+    * [[periodogram]] powers, scaled to [0, 1] by ln(#periods)
+    * (Goerg 2013 "forecastable component analysis"; the
+    * Wang-Hyndman-style forecastability feature): ≈1 = white-noise
+    * flat spectrum (nothing to forecast), ≈0 = all power on one
+    * period (a pure cycle). Composes the gated periodogram — one
+    * window pass for the per-key total on the partitioning the rank
+    * window already established (no extra shuffle), then a map-side-
+    * combined entropy aggregate. Zero-power bins contribute 0 (the
+    * p·ln p limit); keys with zero total power emit entropy 0.
+    */
+  def spectralEntropy(daily: DataFrame, pMax: Int): DataFrame = {
+    val lnN = math.log((pMax - 1).toDouble)
+    periodogram(daily, pMax)
+      .withColumn("tot", sum(col("power")).over(wKey))
+      .groupBy(col(KEY))
+      .agg(count(lit(1)).as("n_periods"),
+        r3(-sum(
+          when(col("power") > 0 && col("tot") > 0,
+            (col("power") / col("tot")) * log(col("power") / col("tot")))
+            .otherwise(lit(0.0))) / lit(lnN)).as("entropy"))
+  }
+
   /** Forecast-quality metrics per series: R2 / MSE / MAE between
     * `v_hat` and `v_actual` (reference metric_extraction:
     * notebooks/scoring.py "R2_all"/"R2_array" + sklearn metrics).

@@ -382,6 +382,17 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(math.abs(pr.values.sum - 1.0) < 0.01)
   }
 
+  test("containment: quoted-whole fragment scores 1.0 from the small side") {
+    import spark.implicits._
+    // doc 1's shingles {abc, bcd} all live inside doc 2 ({abc, bcd, cde})
+    val d = Seq((1L, "a b c d"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val r = Dedup.containment(Dedup.shingles(d), pairs).collect().head
+    assert(r.getAs[Long]("inter") === 2L)
+    assert(r.getAs[Double]("containment_a") === 1.0)
+    assert(r.getAs[Double]("containment_b") === 0.667)
+  }
+
   test("labelProp splits bridged triangles that connectedComponents merges") {
     import spark.implicits._
     // two triangles {1,2,3} and {4,5,6} joined by the single bridge

@@ -127,6 +127,66 @@ class PlanCensusSpec extends AnyFunSuite {
     assert(bcasts.nonEmpty, "the day spine must broadcast")
   }
 
+  test("ts_vol_ewma: resample + key collapse, exactly TWO exchanges") {
+    val df = TimeSeries.volEwma(
+      TimeSeries.resampleDaily(Tables.events(spark, dir)), 0.06)
+    assert(shuffles(df).size === 2)
+  }
+
+  test("revenue_cube: Expand feeds ONE partially-aggregated exchange") {
+    val df = graft.operators.Relational.revenueCube(Tables.orders(spark, dir))
+    val s = shuffles(df)
+    assert(s.size === 1, s"cube must aggregate through one exchange: ${s.size}")
+    val expands = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.ExpandExec => e
+    }
+    assert(expands.size === 1, "grouping sets plan via a single Expand")
+  }
+
+  test("q11_revenue_share: partkey agg + 1-row scalar agg, threshold joins broadcast") {
+    val q = SparkEntry.queries("q11_revenue_share")(spark, dir)
+    val plan = {
+      val conf = spark.conf
+      conf.set("spark.sql.adaptive.enabled", "false")
+      try { q.write.format("noop").mode("overwrite").save(); q.queryExecution.executedPlan }
+      finally conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    val shuf = plan.collect { case e: ShuffleExchangeExec => e }
+    // per-part aggregate + the single-partition partials of the 1-row
+    // total + the gate's output sort; nothing else may shuffle
+    assert(shuf.size === 3, s"expected 3 exchanges: ${shuf.size}")
+    // the total aggregates the SAME partkey exchange the per-part side
+    // built — one lineitem scan, not two (the scale property)
+    val reused = plan.collect {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+    }
+    assert(reused.nonEmpty, "the partkey aggregate exchange must be reused")
+    val bcasts = plan.collect { case b: BroadcastExchangeExec => b }
+    assert(bcasts.nonEmpty, "the scalar threshold must broadcast")
+  }
+
+  test("token_topk_cms: candidate side broadcasts into the sketch; bounded exchanges") {
+    val df = TextOps.topTokensCms(Tables.documents(spark, dir), 10)
+    val s = shuffles(df)
+    // sketch cell aggregate + the exact top-k's own census (count agg,
+    // salt window, final 1-partition slice) + the final min-of-cells
+    // agg; the candidate join must NOT add a shuffle
+    assert(s.size <= 6, s"unexpected extra shuffles: ${s.size}")
+    val bcasts = df.queryExecution.executedPlan.collect {
+      case b: BroadcastExchangeExec => b
+    }
+    assert(bcasts.nonEmpty, "candidates must broadcast into the cell join")
+  }
+
+  test("composed OPQ-IVFADC adds no exchange over the unrotated composition") {
+    val e = Tables.embeddings(spark, dir)
+    val plain = shuffles(Similarity.annIvfPqTopKTrained(e, 8, 16, 4, 2, 5, 5)).size
+    val rotated = shuffles(
+      Similarity.annIvfPqRotatedTrained(e, 8, 16, 4, 2, 5, 5)).size
+    assert(rotated === plain,
+      s"rotation must ride the same scan: rotated=$rotated plain=$plain")
+  }
+
   test("q19: quantity hull and brand IN reach the scans as pushed filters") {
     val q = SparkEntry.queries("q19_disjunctive")(spark, dir)
     val scans = q.queryExecution.sparkPlan.collect {

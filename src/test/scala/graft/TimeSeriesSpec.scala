@@ -151,6 +151,20 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(math.abs(p14) < 1e-6)
   }
 
+  test("spectralEntropy: pure cycle concentrates, noise spreads") {
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    val rows =
+      (0 until 28).map(i => (1L, java.sql.Date.valueOf(s"2024-01-${"%02d".format(i + 1)}"),
+        math.sin(2.0 * math.Pi * i / 7.0) * 100.0)) ++
+      (0 until 28).map(i => (2L, java.sql.Date.valueOf(s"2024-01-${"%02d".format(i + 1)}"),
+        rng.nextGaussian() * 100.0))
+    val h = TimeSeries.spectralEntropy(rows.toDF("user_id", "day", "v"), 14)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("entropy")).toMap
+    assert(h(1L) < h(2L), s"cycle must concentrate vs noise: $h")
+    h.values.foreach(e => assert(e >= 0.0 && e <= 1.0))
+  }
+
   test("acf of a linear series is 1 at every lag; null for constant") {
     val a = TimeSeries.acf(daily, Seq(1, 2)).orderBy("user_id").collect()
     assert(a(0).getAs[Double]("acf_1") === 1.0)
