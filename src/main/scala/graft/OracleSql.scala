@@ -2592,6 +2592,59 @@ object OracleSql {
        |SELECT qid, vid, adist, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
+  /** Stored OPQ index probe: the UNTRAINED annIvfPq body (head-vector
+    * seeds/codewords — the writeAnnIndex convention) with every stage
+    * over the learned-rotation corpus `rot$p`; shared verbatim by the
+    * build-then-probe gate, mirroring how `ann_ivfpq_stored` shares
+    * the recompute oracle.
+    */
+  def annIvfPqRotatedStored(nCentroids: Int, nCodewords: Int, m: Int,
+                            nQueries: Int, k: Int, p: Int = 4,
+                            nIter: Int = 5, dim: Int = 64): String = {
+    val subDim = dim / m
+    def d2(vec: String) = {
+      val diff = s"($vec[cw.s * $subDim + i] - cw.v[cw.s * $subDim + i])"
+      R(s"list_sum(list_transform(generate_series(1, $subDim), i -> $diff * $diff))")
+    }
+    s"""WITH ${trainedRotCtes(p, m, nIter, dim)},
+       |c AS (SELECT vec_id AS cid, v AS cv FROM rot$p WHERE vec_id < $nCentroids),
+       |ca0 AS (
+       |  SELECT e.vec_id, c.cid, ${R("list_cosine_similarity(e.v, c.cv)")} AS ccos
+       |  FROM rot$p e CROSS JOIN c),
+       |cells AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+       |    FROM ca0)
+       |  WHERE crank = 1),
+       |cw AS (
+       |  SELECT s.s, e.vec_id AS c, e.v FROM rot$p e CROSS JOIN range(0, $m) s(s)
+       |  WHERE e.vec_id < $nCodewords),
+       |a0 AS (
+       |  SELECT e.vec_id, cw.s, cw.c, ${d2("e.v")} AS d2
+       |  FROM rot$p e CROSS JOIN cw),
+       |asg AS (
+       |  SELECT vec_id, s, c AS code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+       |    FROM a0)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM rot$p WHERE vec_id < $nQueries),
+       |qc AS (SELECT q.qid, cells.cell FROM q JOIN cells ON cells.vec_id = q.qid),
+       |dt AS (
+       |  SELECT q.qid, cw.s, cw.c AS code, ${d2("q.qv")} AS d2
+       |  FROM q CROSS JOIN cw),
+       |sc AS (
+       |  SELECT qc.qid, a.vec_id AS vid, ${R("SUM(dt.d2)")} AS adist
+       |  FROM asg a
+       |  JOIN cells ce ON ce.vec_id = a.vec_id
+       |  JOIN qc ON qc.cell = ce.cell AND a.vec_id != qc.qid
+       |  JOIN dt ON dt.qid = qc.qid AND dt.s = a.s AND dt.code = a.code
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS BIGINT) AS rank
+       |  FROM sc)
+       |SELECT qid, vid, adist, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
   /** OPQ-IVFADC composed: the [[annIvfPqTrained]] chain with EVERY
     * stage (centroid training, PQ book training, assignment, query
     * encoding) run over the learned-rotation corpus `rot$p` — the

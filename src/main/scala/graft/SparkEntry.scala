@@ -957,6 +957,18 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // OPQ stored index: corpus rotated by the trained chain at BUILD,
+    // rotation persisted with the index, probe rotates only the query
+    // batch by the STORED chain (encode-once for the rotated tier)
+    "ann_ivfpq_rotated_stored" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeAnnIndexRotated(emb, 16, 16, 4, "graft_annidxr", 8)
+      Similarity.annIvfPqRotatedAgainstIndex(
+          emb.where(col("vec_id") < 5), "graft_annidxr", 5)
+        .select(col("qid"), col("vid"), col("adist"), col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // IVF+SQ8 against the stored index: the sq column the index
     // already carries, cell-pruned and scored by term-table lookups —
     // stored-path parity for the scalar tier (oracle = the ann_ivfsq
@@ -1947,6 +1959,7 @@ object SparkEntry {
     "ann_ivfpq_residual" -> OracleSql.annIvfPqResidual(16, 16, 4, 5, 5),
     "ann_ivfpq_residual_recall" -> OracleSql.annIvfPqResidualRecall(16, 16, 4, 5, 5),
     "ann_ivfpq_stored" -> OracleSql.annIvfPq(16, 16, 4, 5, 5),
+    "ann_ivfpq_rotated_stored" -> OracleSql.annIvfPqRotatedStored(16, 16, 4, 5, 5),
     "ann_filtered" -> OracleSql.annTopKFiltered(5, 5, 10),
     "ann_filtered_stored" -> OracleSql.annIvfPq(16, 16, 4, 5, 5,
       candJoin = "JOIN e ev ON ev.vec_id = a.vec_id",

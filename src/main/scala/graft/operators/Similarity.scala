@@ -2034,6 +2034,53 @@ object Similarity {
                            nprobe: Int = 1): DataFrame =
     saltedTopK(annIndexScored(queries, table, nprobe), "adist", ascending = true, k)
 
+  /** OPQ variant of [[writeAnnIndex]]: the corpus is rotated by the
+    * TRAINED Householder chain before encoding, and the rotation is
+    * persisted WITH the index (`<table>_rot`) — the same
+    * travels-with-the-index contract as the codebooks: a probe that
+    * re-derived the rotation from ITS input would rotate queries into
+    * a different space and corrupt every distance. Completes the
+    * encode-once/probe-forever loop for the rotated tier: the
+    * O(p·dim)/row rotation is paid once at build; probes rotate only
+    * the query batch.
+    */
+  def writeAnnIndexRotated(embeddings: DataFrame, nCentroids: Int,
+                           nCodewords: Int, m: Int, table: String,
+                           nBuckets: Int, p: Int = 4, dim: Int = DIM): Unit = {
+    val spark = embeddings.sparkSession
+    VectorExprs.register(spark)
+    val us = trainedRotationUs(embeddings, p, m, dim = dim)
+    val enc = graft.functions.HouseholderChain.encode(us)
+    // rotate IN the index projection, keeping every metadata column
+    // (label etc.) — rotateEmbeddingsBy would drop them
+    val keep = embeddings.columns.filterNot(_ == "embedding").map(col)
+    val rot = embeddings.where(col("embedding").isNotNull)
+      .select(keep :+ expr(s"graft_householder_chain(embedding, '$enc')").as("embedding"): _*)
+    writeAnnIndex(rot, nCentroids, nCodewords, m, table, nBuckets)
+    import spark.implicits._
+    Seq((p, enc)).toDF("p", "enc_rot")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_rot")
+  }
+
+  /** Probe a [[writeAnnIndexRotated]] index: queries are rotated by
+    * the STORED chain (read from `<table>_rot`, never recomputed),
+    * then the probe is the plain [[annIvfPqAgainstIndex]] — stored
+    * side untouched, still zero-Exchange off the bucketed scan.
+    */
+  def annIvfPqRotatedAgainstIndex(queries: DataFrame, table: String, k: Int,
+                                  nprobe: Int = 1): DataFrame = {
+    val spark = queries.sparkSession
+    VectorExprs.register(spark)
+    val rotT = s"${table}_rot"
+    require(spark.catalog.tableExists(rotT),
+      s"annIvfPqRotatedAgainstIndex: no rotation meta '$rotT' — build with writeAnnIndexRotated")
+    val encRot = spark.table(rotT).select(col("enc_rot")).head().getString(0)
+    val keep = queries.columns.filterNot(_ == "embedding").map(col)
+    val rq = queries.where(col("embedding").isNotNull)
+      .select(keep :+ expr(s"graft_householder_chain(embedding, '$encRot')").as("embedding"): _*)
+    annIvfPqAgainstIndex(rq, table, k, nprobe)
+  }
+
   /** Filtered search against the STORED index: the per-query metadata
     * predicate (`label = qid % nLabels`) is evaluated on the label
     * column the index itself carries, BEFORE ADC scoring — candidates

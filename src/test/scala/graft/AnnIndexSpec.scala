@@ -35,6 +35,40 @@ class AnnIndexSpec extends AnyFunSuite {
     } finally dropIndex("graft_annidx_t")
   }
 
+  test("rotated stored probe equals the recompute path; rotation read from the index") {
+    val emb = Tables.embeddings(spark, dir)
+    try {
+      Similarity.writeAnnIndexRotated(emb, 16, 16, 4, "graft_annidxr_t", 4)
+      val stored = rows(Similarity.annIvfPqRotatedAgainstIndex(
+        emb.where(col("vec_id") < 5), "graft_annidxr_t", 5))
+      // recompute path: untrained IVFPQ over the trained-rotation
+      // corpus (the writeAnnIndex head-vector codebook convention)
+      val us = Similarity.trainedRotationUs(emb, 4, 4)
+      val fresh = rows(Similarity.annIvfPqTopK(
+        Similarity.rotateEmbeddingsBy(emb, us), 16, 16, 4, 5, 5))
+      assert(stored === fresh)
+      assert(stored.nonEmpty)
+      // the rotation travels WITH the index
+      assert(spark.catalog.tableExists("graft_annidxr_t_rot"))
+    } finally {
+      dropIndex("graft_annidxr_t")
+      spark.sql("DROP TABLE IF EXISTS graft_annidxr_t_rot")
+    }
+  }
+
+  test("rotated probe without the rotation meta is a named error") {
+    val emb = Tables.embeddings(spark, dir)
+    try {
+      // plain index, no _rot table: probing it rotated must fail
+      // loudly, never silently search the unrotated space
+      Similarity.writeAnnIndex(emb, 16, 16, 4, "graft_annidx_nr", 4)
+      val e = intercept[IllegalArgumentException](
+        Similarity.annIvfPqRotatedAgainstIndex(
+          emb.where(col("vec_id") < 5), "graft_annidx_nr", 5))
+      assert(e.getMessage.contains("rotation meta"))
+    } finally dropIndex("graft_annidx_nr")
+  }
+
   test("probing a missing index is a named error, not a wrong answer") {
     val emb = Tables.embeddings(spark, dir)
     val e = intercept[IllegalArgumentException](
