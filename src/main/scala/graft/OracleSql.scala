@@ -3541,6 +3541,42 @@ object OracleSql {
        |ORDER BY cand.rank""".stripMargin
   }
 
+  /** Daily DAU by HLL next to the exact count — the register chain of
+    * activeUsersRollingApprox without the trailing window.
+    */
+  def hllDailyUsers(b: Int = 6): String = {
+    val m = 1 << b
+    val alpha = if (m == 64) 0.709 else 0.7213 / (1.0 + 1.079 / m)
+    s"""WITH active AS (
+       |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+       |dau AS (SELECT day, COUNT(*) AS dau FROM active GROUP BY 1),
+       |hsh AS (
+       |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       |         CAST(CONCAT('0x', SUBSTR(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM events),
+       |reg AS (
+       |  SELECT day, h & ${m - 1} AS r,
+       |         MAX(CASE WHEN (h >> $b) = 0 THEN 55
+       |                  ELSE 55 - length(bin(h >> $b)) END) AS mx
+       |  FROM hsh GROUP BY 1, 2),
+       |hll0 AS (
+       |  SELECT day,
+       |         SUM(1.0 / CAST(1::BIGINT << mx AS DOUBLE)) + ($m - COUNT(*)) AS s,
+       |         $m - COUNT(*) AS v
+       |  FROM reg GROUP BY day),
+       |hll AS (
+       |  SELECT day,
+       |         CASE WHEN ($alpha * $m * $m) / s <= ${2.5 * m} AND v > 0
+       |              THEN ${m.toDouble} * ln(CAST($m AS DOUBLE) / v)
+       |              ELSE ($alpha * $m * $m) / s END AS est
+       |  FROM hll0)
+       |SELECT dau.day, dau.dau,
+       |       ${R("hll.est")} AS hll_users,
+       |       ${R("ABS(hll.est - dau.dau) / dau.dau")} AS rel_err
+       |FROM dau JOIN hll USING (day)
+       |ORDER BY day""".stripMargin
+  }
+
   /** MAD-based robust outlier days. */
   def outliersMad(nMads: Double): String =
     s"""WITH $daily,

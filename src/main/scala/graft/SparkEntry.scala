@@ -446,6 +446,13 @@ object SparkEntry {
       Relational.activeUsersRollingApprox(Tables.events(s, dir), 7)
         .orderBy(col("day"))),
 
+    // daily DAU by HLL next to the exact count — the estimator over
+    // exactly the register rows hllRegisterStream maintains at ingest
+    // (streaming twin driven live in FeedStreamSpec)
+    "stream_hll_batch" -> ((s, dir) =>
+      Relational.hllDailyUsers(Tables.events(s, dir))
+        .orderBy(col("day"))),
+
     // RiskMetrics EWMA volatility of daily first differences
     // (λ = 0.94 ⟺ α = 0.06, the Technical Document's daily setting)
     "ts_vol_ewma" -> ((s, dir) =>
@@ -1860,6 +1867,7 @@ object SparkEntry {
     "stream_late_audit" -> OracleSql.streamLateAudit(3600000000L),
     "active_users_rolling" -> OracleSql.activeUsersRolling(7),
     "active_users_rolling_approx" -> OracleSql.activeUsersRollingApprox(7),
+    "stream_hll_batch" -> OracleSql.hllDailyUsers(),
     "ts_vol_ewma" -> OracleSql.volEwma(0.06),
     "ts_periodogram" -> OracleSql.periodogram(14),
     "ts_spectral_entropy" -> OracleSql.spectralEntropy(14),

@@ -371,31 +371,37 @@ object Relational {
     * broadcast day-spine fan-out bounded by windowDays·m rows per
     * day, and a scalar estimator projection.
     */
-  def activeUsersRollingApprox(events: DataFrame, windowDays: Int = 7,
-                               b: Int = 6): DataFrame = {
-    require(b >= 4 && b <= 12, s"activeUsersRollingApprox: need 4 <= b <= 12, got $b")
+  /** The shared HLL (r, rho) projection: md5 60-bit hash of user_id,
+    * low b bits → register, leading-zero rank of the rest → rho.
+    * `keepNames` columns pass through (batch keeps `day`, the
+    * streaming register op keeps `ts` for its watermark/window).
+    * Bit ops, not arithmetic: `/` on longs is DOUBLE division in the
+    * Column algebra, and a 54-bit quotient doesn't fit a double's
+    * 53-bit mantissa.
+    */
+  private[graft] def hllRhoRows(df: DataFrame, b: Int,
+                                keepNames: Seq[String]): DataFrame = {
     val m = 1 << b
-    val alpha = if (m == 64) 0.709 else 0.7213 / (1.0 + 1.079 / m)
     val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
       .cast("bigint")
-    // bit ops, not arithmetic: `/` on longs is DOUBLE division in the
-    // Column algebra, and a 54-bit quotient doesn't fit a double's
-    // 53-bit mantissa
-    val reg = events
-      .select(to_date(col("ts")).as("day"),
+    df.select(keepNames.map(col) ++ Seq(
         h.bitwiseAND(lit((m - 1).toLong)).as("r"),
-        shiftright(h, b).as("w"))
-      .select(col("day"), col("r"),
+        shiftright(h, b).as("w")): _*)
+      .select(keepNames.map(col) ++ Seq(col("r"),
         when(col("w") === 0, lit(55))
-          .otherwise(lit(55) - length(bin(col("w")))).as("rho"))
-      .groupBy(col("day"), col("r")).agg(max(col("rho")).as("mx"))
-    val days = reg.select(col("day").as("w_day")).distinct()
-    val est = reg
-      .join(broadcast(days),
-        col("w_day") >= col("day") &&
-          col("w_day") < date_add(col("day"), windowDays))
-      .groupBy(col("w_day"), col("r")).agg(max(col("mx")).as("mx"))
-      .groupBy(col("w_day").as("day"))
+          .otherwise(lit(55) - length(bin(col("w")))).as("rho")): _*)
+  }
+
+  /** The shared HLL estimator over per-day max-registers `(day, r,
+    * mx)`: α·m²/Σ2⁻ᴹ with the linear-counting fallback below 2.5m
+    * when empty registers remain. Emits `(day, est)` unrounded — the
+    * caller rounds next to its exact twin.
+    */
+  private[graft] def hllEstimate(reg: DataFrame, b: Int): DataFrame = {
+    val m = 1 << b
+    val alpha = if (m == 64) 0.709 else 0.7213 / (1.0 + 1.079 / m)
+    reg
+      .groupBy(col("day"))
       .agg(sum(expr("1.0D / cast(shiftleft(1L, cast(mx as int)) as double)")).as("sp"),
         count(lit(1)).as("nz"))
       .select(col("day"),
@@ -407,12 +413,49 @@ object Relational {
         when(col("raw") <= lit(2.5 * m) && col("v") > 0,
           lit(m.toDouble) * log(lit(m).cast("double") / col("v")))
           .otherwise(col("raw")).as("est"))
+  }
+
+  def activeUsersRollingApprox(events: DataFrame, windowDays: Int = 7,
+                               b: Int = 6): DataFrame = {
+    require(b >= 4 && b <= 12, s"activeUsersRollingApprox: need 4 <= b <= 12, got $b")
+    val reg = hllRhoRows(events.select(to_date(col("ts")).as("day"), col("user_id")),
+        b, Seq("day"))
+      .groupBy(col("day"), col("r")).agg(max(col("rho")).as("mx"))
+    val days = reg.select(col("day").as("w_day")).distinct()
+    val est = hllEstimate(
+      reg
+        .join(broadcast(days),
+          col("w_day") >= col("day") &&
+            col("w_day") < date_add(col("day"), windowDays))
+        .groupBy(col("w_day"), col("r")).agg(max(col("mx")).as("mx"))
+        .select(col("w_day").as("day"), col("r"), col("mx")), b)
     activeUsersRolling(events, windowDays)
       .join(est, Seq("day"))
       .select(col("day"), col("dau"), col("rolling_users"),
         r3(col("est")).as("hll_users"),
         r3(abs(col("est") - col("rolling_users")) / col("rolling_users"))
           .as("rel_err"))
+  }
+
+  /** Daily DAU by HLL, published NEXT TO the exact count — the
+    * batch/backfill twin of [[graft.streaming.StreamOps.hllRegisterStream]]:
+    * the streamed registers collapse to exactly these rows, so a
+    * lakehouse can maintain the sketch incrementally at ingest and
+    * re-derive this table from registers alone (the estimator never
+    * touches user ids).
+    */
+  def hllDailyUsers(events: DataFrame, b: Int = 6): DataFrame = {
+    require(b >= 4 && b <= 12, s"hllDailyUsers: need 4 <= b <= 12, got $b")
+    val reg = hllRhoRows(events.select(to_date(col("ts")).as("day"), col("user_id")),
+        b, Seq("day"))
+      .groupBy(col("day"), col("r")).agg(max(col("rho")).as("mx"))
+    val exact = events
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    exact.join(hllEstimate(reg, b), Seq("day"))
+      .select(col("day"), col("dau"),
+        r3(col("est")).as("hll_users"),
+        r3(abs(col("est") - col("dau")) / col("dau")).as("rel_err"))
   }
 
   /** Weekly retention cohorts: users grouped by their FIRST active

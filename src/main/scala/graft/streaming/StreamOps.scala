@@ -47,6 +47,36 @@ object StreamOps {
         unix_micros(col("session_window.start")).as("session_start_us"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming HLL register maintenance: per (day-window, register)
+    * max-rho over the event stream — the incremental half of
+    * [[graft.operators.Relational.hllDailyUsers]]. Register-max is
+    * associative/commutative, so this is a NATIVE watermarked window
+    * aggregate (no custom state machine), and the streaming state per
+    * open window is a FLAT m = 2^b rows at ANY user cardinality — the
+    * whole point of shipping the sketch instead of the distinct user
+    * set. The emitted register rows land in the lake; the estimator
+    * (and merges across days/shards, register-wise MAX) runs
+    * downstream without ever touching user ids.
+    */
+  def hllRegisterStream(events: DataFrame, watermark: String,
+                        b: Int = 6): DataFrame =
+    graft.operators.Relational.hllRhoRows(
+        events.withWatermark("ts", watermark).select(col("ts"), col("user_id")),
+        b, Seq("ts"))
+      .groupBy(window(col("ts"), "1 day"), col("r"))
+      .agg(max(col("rho")).as("mx"))
+      .select(col("window.start").cast("date").as("day"), col("r"), col("mx"))
+
+  /** Batch twin of [[hllRegisterStream]]'s register table (same
+    * day bucketing, same hash) — the backfill/parity side.
+    */
+  def hllRegisterStreamBatch(events: DataFrame, b: Int = 6): DataFrame =
+    graft.operators.Relational.hllRhoRows(
+        events.select(col("ts"), col("user_id")), b, Seq("ts"))
+      .groupBy(window(col("ts"), "1 day"), col("r"))
+      .agg(max(col("rho")).as("mx"))
+      .select(col("window.start").cast("date").as("day"), col("r"), col("mx"))
+
   /** Streaming exact-dedup: first event per content key within the
     * watermark horizon (state pruned beyond it). The incremental twin
     * of [[graft.operators.Dedup.exact]] — at ingest this drops exact

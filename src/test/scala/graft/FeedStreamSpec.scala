@@ -137,6 +137,29 @@ class FeedStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming HLL registers match the batch twin; flat m-row state per day") {
+    val dir = Files.createTempDirectory("hll-in").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("ts", "user_id")
+    ev.write.mode("overwrite").parquet(dir)
+    val batch = graft.streaming.StreamOps.hllRegisterStreamBatch(
+        spark.read.parquet(dir)).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getInt(2)).toMap
+    val src = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = graft.streaming.StreamOps.hllRegisterStream(src, "1 day")
+      .writeStream.outputMode("complete").format("memory").queryName("hllreg").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("select * from hllreg").collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getInt(2)).toMap
+      assert(got === batch)
+      // the scale contract: state per day is at most m = 64 registers,
+      // regardless of how many users the day saw
+      got.keys.groupBy(_._1).foreach { case (_, ks) => assert(ks.size <= 64) }
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops exact repeats within the watermark") {
     import spark.implicits._
     val dir = Files.createTempDirectory("dedup-in").toString
