@@ -4000,6 +4000,30 @@ object OracleSql {
        |JOIN cp ON cp.p = tf.p
        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin
 
+  /** Interpolated Kneser-Ney bigram score: the textLmBigram CTE chain
+    * plus context/continuation stats, probability arithmetic
+    * parenthesized exactly like the Spark column expression.
+    */
+  def textLmKneserNey(discount: Double): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |bg AS (
+       |  SELECT doc_id, tk[i] AS p, tk[i + 1] AS t
+       |  FROM (SELECT doc_id, tk, UNNEST(generate_series(1, len(tk) - 1)) AS i
+       |        FROM toks WHERE len(tk) >= 2)),
+       |tf AS (SELECT doc_id, p, t, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3),
+       |cpt AS MATERIALIZED (SELECT p, t, SUM(tf) AS c_pt FROM tf GROUP BY 1, 2),
+       |ps AS (SELECT p, SUM(c_pt) AS c_p, COUNT(*) AS n1p FROM cpt GROUP BY 1),
+       |ts AS (SELECT t, COUNT(*) AS n1t FROM cpt GROUP BY 1),
+       |ty AS (SELECT COUNT(*) AS n_types FROM cpt)
+       |SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+       |  ${R(s"SUM(tf.tf * ln(GREATEST(cpt.c_pt - $discount, 0.0) / ps.c_p + (($discount * ps.n1p) / ps.c_p) * (ts.n1t / ty.n_types))) / SUM(tf.tf)")} AS kn_score
+       |FROM tf
+       |JOIN cpt ON cpt.p = tf.p AND cpt.t = tf.t
+       |JOIN ps ON ps.p = tf.p
+       |JOIN ts ON ts.t = tf.t
+       |CROSS JOIN ty
+       |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin
+
   /** BM25 retrieval: identical Robertson/Lucene arithmetic, score
     * rounded before the rank. dl/tf/df/N are integer-valued doubles
     * (exact sums), so both engines feed ln the same rationals.

@@ -1310,6 +1310,11 @@ object SparkEntry {
     "text_lm_bigram" -> ((s, dir) =>
       TextOps.lmScoreBigram(Tables.documents(s, dir)).orderBy(col("doc_id"))),
 
+    // interpolated Kneser-Ney bigram score (continuation-probability
+    // smoothing, one fixed discount) next to the unsmoothed LM
+    "text_lm_kn" -> ((s, dir) =>
+      TextOps.lmScoreKneserNey(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+
     "text_bm25" -> ((s, dir) =>
       TextOps.bm25(Tables.documents(s, dir), Seq("hash", "join", "vector"), 10)
         .orderBy(col("rank"))),
@@ -2018,6 +2023,7 @@ object SparkEntry {
     "pack_shuffled" -> OracleSql.packShuffled(512, "shuffle"),
     "pack_curriculum" -> OracleSql.packCurriculum(512),
     "text_lm_bigram" -> OracleSql.textLmBigram,
+    "text_lm_kn" -> OracleSql.textLmKneserNey(0.75),
     "doc_winnow" -> OracleSql.docWinnow(8, 8),
     "dedup_winnow" -> OracleSql.dedupWinnow(8, 8, 30, 50L),
     "text_bm25" -> OracleSql.textBm25(Seq("hash", "join", "vector"), 10),

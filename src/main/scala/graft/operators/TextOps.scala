@@ -596,6 +596,57 @@ object TextOps {
           sum(col("tf"))).as("lm2_score"))
   }
 
+  /** Interpolated Kneser-Ney bigram score per doc (Kneser & Ney 1995;
+    * Chen & Goodman 1998's interpolated form with one fixed discount
+    * D): `P(t|p) = max(c(p,t)−D, 0)/c(p) + λ(p)·P_cont(t)` with
+    * `λ(p) = D·N1+(p,·)/c(p)` and the CONTINUATION probability
+    * `P_cont(t) = N1+(·,t)/N1+(··)` — "how many contexts does t
+    * complete", the correction that stops raw-frequency bigram LMs
+    * over-scoring words that are frequent only inside one collocation
+    * (the "San Francisco" effect). The per-doc score is the
+    * tf-weighted mean ln P, comparable against [[lmScoreBigram]]'s
+    * unsmoothed score at the same tokenization.
+    *
+    * Scale shape: the [[lmScoreBigram]] single-body-pass contract —
+    * per-(doc,p,t) tf localCheckpointed (bodies tokenized once), the
+    * corpus bigram-type table localCheckpointed (it feeds FOUR
+    * consumers: context stats, continuation stats, the type count and
+    * the scoring join), every derived stat map-side combined, the
+    * 1-row type count a broadcast crossJoin, and the count tables
+    * broadcast with the same web-scale escape hatch. All counts are
+    * exact integers; only ln is inexact — absorbed by r3.
+    */
+  def lmScoreKneserNey(docs: DataFrame, discount: Double = 0.75,
+                       broadcastCounts: Boolean = true): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"lmScoreKneserNey: need 0 < discount < 1, got $discount")
+    val tf = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(element_at(toks, i) AS p, element_at(toks, i + 1) AS t))")).as("bg"))
+      .select(col("doc_id"), col("bg.p").as("p"), col("bg.t").as("t"))
+      .groupBy(col("doc_id"), col("p"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val cpt0 = tf.groupBy(col("p"), col("t")).agg(sum(col("tf")).as("c_pt"))
+      .localCheckpoint()
+    val pStats0 = cpt0.groupBy(col("p"))
+      .agg(sum(col("c_pt")).as("c_p"), count(lit(1)).as("n1p"))
+    val tStats0 = cpt0.groupBy(col("t")).agg(count(lit(1)).as("n1t"))
+    val types = cpt0.agg(count(lit(1)).as("n_types"))
+    val cpt = if (broadcastCounts) broadcast(cpt0) else cpt0
+    val pStats = if (broadcastCounts) broadcast(pStats0) else pStats0
+    val tStats = if (broadcastCounts) broadcast(tStats0) else tStats0
+    val prob = greatest(col("c_pt") - lit(discount), lit(0.0)) / col("c_p") +
+      (lit(discount) * col("n1p") / col("c_p")) * (col("n1t") / col("n_types"))
+    tf.join(cpt, Seq("p", "t")).join(pStats, Seq("p")).join(tStats, Seq("t"))
+      .crossJoin(broadcast(types))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_bigrams"),
+        r3(sum(col("tf") * log(prob)) / sum(col("tf"))).as("kn_score"))
+  }
+
   /** BM25 ranked retrieval (the Robertson/Lucene formulation) of the
     * top-k documents for a literal query term set:
     * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),

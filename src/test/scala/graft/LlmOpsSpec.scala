@@ -382,6 +382,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(math.abs(pr.values.sum - 1.0) < 0.01)
   }
 
+  test("lmScoreKneserNey: hand-computed interpolated probabilities; mass normalizes") {
+    // bigrams: (a,b) x2, (a,c) x1 -> c(a)=3, N1+(a,.)=2, N1+(.,b)=1,
+    // N1+(.,c)=1, types=2. D=0.5:
+    // P(b|a) = 1.5/3 + (0.5*2/3)*(1/2) = 2/3; P(c|a) = 0.5/3 + 1/6 = 1/3
+    // (they sum to 1 - KN's discounted mass is exactly redistributed)
+    // doc1 score = ln(2/3) = -0.405; doc3 score = ln(1/3) = -1.099
+    val d = docs((1L, "a b"), (2L, "a b"), (3L, "a c"))
+    val out = TextOps.lmScoreKneserNey(d, discount = 0.5).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("kn_score")).toMap
+    assert(out(1L) === -0.405)
+    assert(out(2L) === -0.405)
+    assert(out(3L) === -1.099)
+  }
+
   test("containment: quoted-whole fragment scores 1.0 from the small side") {
     import spark.implicits._
     // doc 1's shingles {abc, bcd} all live inside doc 2 ({abc, bcd, cde})
