@@ -666,6 +666,31 @@ object OracleSql {
        |FROM s GROUP BY user_id, session_no
        |ORDER BY user_id, session_no""".stripMargin
 
+  /** Top-k session paths: the sessionize numbering + ordered
+    * STRING_AGG per session + path counts + rank.
+    */
+  def pathTopK(gapMicros: Long, k: Int): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+       |f AS (
+       |  SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER w >= $gapMicros THEN 1
+       |                 WHEN LAG(ts_us) OVER w IS NULL THEN 1
+       |                 ELSE 0 END AS new_session
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       |s AS (
+       |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+       |  FROM f),
+       |p AS (
+       |  SELECT user_id, session_no,
+       |         STRING_AGG(event_type, '>' ORDER BY ts_us, event_id) AS path
+       |  FROM s GROUP BY 1, 2),
+       |c AS (SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1),
+       |r AS (SELECT path, n_sessions,
+       |        CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS BIGINT) AS rank
+       |      FROM c)
+       |SELECT path, n_sessions, rank FROM r WHERE rank <= $k ORDER BY rank""".stripMargin
+
   /** Batch twin of the streaming native session_window: same boundary
     * rule as [[sessionize]] (gap ≥ threshold starts a session), so the
     * oracle is the lag-based sessionization projected to the
@@ -3529,8 +3554,8 @@ object OracleSql {
        |top AS (SELECT token, n, rank FROM r WHERE rank <= $k),
        |js AS (SELECT UNNEST(generate_series(0, ${d - 1})) AS j),
        |cells AS (
-       |  SELECT j, ${bucket("t")} AS bucket, COUNT(*) AS cnt
-       |  FROM t CROSS JOIN js GROUP BY 1, 2),
+       |  SELECT j, ${bucket("c")} AS bucket, CAST(SUM(c.n) AS BIGINT) AS cnt
+       |  FROM c CROSS JOIN js GROUP BY 1, 2),
        |cand AS (
        |  SELECT top.token, top.n, top.rank, j, ${bucket("top")} AS bucket
        |  FROM top CROSS JOIN js)

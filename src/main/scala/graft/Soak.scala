@@ -617,6 +617,44 @@ object Soak {
           .agg(sum(when(col("n_name") === "NATION_18", col("rev")).otherwise(0.0)).as("nat"),
             sum(col("rev")).as("tot"))
       }),
+      // fixed LPA rounds over the linear edge list — the pagerank law
+      // with a (dst,label) count + top-1 window per round
+      "dedup_labelprop" -> (() => Dedup.labelProp(
+        Dedup.lshCandidatesFast(Dedup.minhashSigs(docs, 16), 2, 16))),
+      // CMS: token volume grows factor×, sketch state stays d·w flat;
+      // law = the token scan dominates, the cell agg is map-side
+      "token_topk_cms" -> (() => TextOps.topTokensCms(docs, 20)),
+      // per-key DFT sums on the collapsed daily frame: static ×13
+      // explode of |keys|·|days|, never event volume — more-keys law
+      "ts_periodogram" -> (() => graft.operators.TimeSeries.periodogram(
+        graft.operators.TimeSeries.resampleDaily(ev), 14)),
+      // EwmaFold over squared diffs: the ewma per-key law
+      "ts_vol_ewma" -> (() => graft.operators.TimeSeries.volEwma(
+        graft.operators.TimeSeries.resampleDaily(ev), 0.06)),
+      // Expand ×4 then ONE map-side-combined agg: 4×|groups| cells
+      // per partition at any fact volume
+      "revenue_cube" -> (() =>
+        Relational.revenueCube(scaleOrders(spark, sfDir, factor))),
+      // KN: the bigram-type table grows ~factor× (prefixed replicas),
+      // every stat derives from the ONE checkpointed type table
+      "text_lm_kn" -> (() => TextOps.lmScoreKneserNey(docs)),
+      // register collapse over factor× events into the SAME flat
+      // m=64/day sketch — cost = the scan, state flat
+      "stream_hll_batch" -> (() => Relational.hllDailyUsers(ev)),
+      // per-part agg reused by the 1-row scalar (single fact scan)
+      "q11_revenue_share" -> (() => {
+        val per = scaleLineitem(spark, sfDir, factor)
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1) - col("l_discount").cast("decimal(4,2)"))).as("rev"))
+        val tot = per.agg(sum(col("rev")).as("tot"), count(lit(1)).as("cnt"))
+        per.crossJoin(broadcast(tot))
+          .where(col("rev").cast("double") >
+            col("tot").cast("double") / col("cnt") * lit(1.5))
+      }),
+      // sessionize's exchange + per-session bounded collect + the
+      // salted top-k (path vocabulary never globally sorted)
+      "path_topk" -> (() => Relational.pathTopK(ev, 1800000000L, 20)),
       // q16: the (partkey, suppkey) distinct must collapse MAP-SIDE —
       // replicas duplicate the same associations, so the post-distinct
       // frame stays base-sized while the scan grows factor×

@@ -1606,6 +1606,12 @@ object SparkEntry {
       Relational.sessionStats(Tables.events(s, dir), 1800000000L)
         .orderBy(col("user_id"))),
 
+    // top-k full session paths (sequence-mining lite): what users
+    // actually do in a visit, beyond the one-hop transition matrix
+    "path_topk" -> ((s, dir) =>
+      Relational.pathTopK(Tables.events(s, dir), 1800000000L, 20)
+        .orderBy(col("rank"))),
+
     // deterministic fixed-k per-stratum sample (md5 order)
     "sample_fixed_k" -> ((s, dir) =>
       Relational.sampleFixedPerStratum(Tables.documents(s, dir), 5, "panel")
@@ -2068,6 +2074,7 @@ object SparkEntry {
     "eval_ks" -> OracleSql.evalKs,
     "eval_calibration" -> OracleSql.evalCalibration,
     "session_stats" -> OracleSql.sessionStats(1800000000L),
+    "path_topk" -> OracleSql.pathTopK(1800000000L, 20),
     "sample_fixed_k" -> OracleSql.sampleFixed(5, "panel"),
     "ts_dtw_profile" -> OracleSql.tsDtwProfile(10),
     "ts_ljung_box" -> OracleSql.ljungBox,

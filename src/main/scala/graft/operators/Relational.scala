@@ -66,6 +66,49 @@ object Relational {
         (floor(sum(col("value")) * 1000.0 + 0.5001) / 1000.0).as("sum_value"))
   }
 
+  /** Top-k session PATHS: the full ordered event-type sequence of
+    * each gap-session (same boundary rule as [[sessionize]]),
+    * counted across all sessions and ranked — sequence-mining lite,
+    * the "what do users actually do in a visit" report that
+    * [[pathTransitions]]' one-hop matrix can't answer (a→b→c and
+    * a→c→b share every hop but are different journeys).
+    *
+    * Scale plan: the session numbering reuses the one user-key
+    * exchange; the path collapse is a per-session sorted collect
+    * (bounded by events/session); path counts are map-side combined;
+    * the final rank is the [[graft.operators.TextOps.topTokens]]
+    * two-phase salted top-k — per-salt row_number first, then ONE
+    * sorted-collect slice over ≤ salt·k survivors, never a global
+    * sort of the path vocabulary.
+    */
+  def pathTopK(events: DataFrame, gapMicros: Long, k: Int): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val flagged = events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+      .withColumn("new_session",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) >= gapMicros, 1)
+          .when(lag(col("ts_us"), 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_no", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    val counts = flagged.groupBy(col("user_id"), col("session_no"))
+      .agg(concat_ws(">", expr(
+        "transform(array_sort(collect_list(struct(ts_us, event_id, event_type))), " +
+          "s -> s.event_type)")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+    counts
+      .withColumn("salt", pmod(xxhash64(col("path")), lit(32)))
+      .withColumn("r1", row_number().over(
+        Window.partitionBy(col("salt")).orderBy(col("n_sessions").desc, col("path"))))
+      .where(col("r1") <= k).drop("salt", "r1")
+      .agg(expr(s"slice(array_sort(collect_list(struct(-n_sessions AS n_neg, " +
+        s"path AS path, n_sessions AS n_sessions))), 1, $k)").as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("t.path").as("path"), col("t.n_sessions").as("n_sessions"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Per-user session behavior report over [[sessionize]]'s output:
     * session count, mean events per session, mean session duration —
     * the engagement summary a product dashboard reads (and the

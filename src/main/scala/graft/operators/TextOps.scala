@@ -905,10 +905,17 @@ object TextOps {
     * top-k is TWO-phase: per-salt top-k first, so the single-partition
     * final rank sees at most salt·k rows, never |vocab|.
     */
-  def topTokens(docs: DataFrame, k: Int): DataFrame = {
-    val counts = docs.select(explode(split(col("text"), " ")).as("token"))
-      .groupBy(col("token"))
-      .agg(count(lit(1)).as("n"))
+  def topTokens(docs: DataFrame, k: Int): DataFrame =
+    topTokensFromCounts(
+      docs.select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n")), k)
+
+  /** The salted-rank half of [[topTokens]] over an existing `(token,
+    * n)` count frame — shared with the sketch tier so one body scan
+    * feeds both the exact top-k and the CMS cells.
+    */
+  private[operators] def topTokensFromCounts(counts: DataFrame, k: Int): DataFrame = {
     counts
       .withColumn("salt", pmod(xxhash64(col("token")), lit(32)))
       .withColumn("r1", row_number().over(
@@ -955,11 +962,19 @@ object TextOps {
       conv(substring(md5(concat(col("j").cast("string"), lit(":"), col("token"))), 1, 15), 16, 10)
         .cast("bigint"),
       lit(w.toLong))
-    val cells = docs.select(explode(split(col("text"), " ")).as("token"))
-      .select(col("token"), explode(sequence(lit(0), lit(d - 1))).as("j"))
-      .select(col("j"), bucket.as("bucket"))
-      .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("cnt"))
-    val cand = topTokens(docs, k)
+    // ONE body scan: the token-count collapse feeds both the exact
+    // top-k and the sketch cells. The ×d fan-out (and its d md5s)
+    // runs on the VOCABULARY with the counts as weights — never on
+    // token volume (the raw-stream fan-out probed 10× heavier at the
+    // 10× soak; cell totals are identical since Σ weights = Σ tokens)
+    val counts = docs.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val cells = counts
+      .select(col("token"), col("n"), explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .select(col("j"), bucket.as("bucket"), col("n"))
+      .groupBy(col("j"), col("bucket")).agg(sum(col("n")).as("cnt"))
+    val cand = topTokensFromCounts(counts, k)
       .select(col("token"), col("n"), col("rank"),
         explode(sequence(lit(0), lit(d - 1))).as("j"))
       .select(col("token"), col("n"), col("rank"), col("j"), bucket.as("bucket"))

@@ -52,6 +52,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(s(2).getAs[Long]("n_events") === 1)
   }
 
+  test("pathTopK: gap-split sessions yield ranked full paths") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    // user 1: [a,b] then a 2h gap then [a,b]; user 2: [a,b]; user 3: [c]
+    val ev = Seq(
+      (1L, 1L, ts(0), "a"), (1L, 2L, ts(1), "b"),
+      (1L, 3L, ts(180), "a"), (1L, 4L, ts(181), "b"),
+      (2L, 5L, ts(0), "a"), (2L, 6L, ts(1), "b"),
+      (3L, 7L, ts(0), "c"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = Relational.pathTopK(ev, 1800000000L, 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("a>b", 3L, 1L), ("c", 1L, 2L)))
+  }
+
   test("revenueCube: all four grouping levels, exact sums, gid bit order") {
     import spark.implicits._
     val orders = Seq(
