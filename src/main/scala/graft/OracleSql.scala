@@ -2670,6 +2670,46 @@ object OracleSql {
        |SELECT qid, vid, adist, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
+  /** NDCG@k of the Hamming tier against the exact cosine top-k: the
+    * annHamming ranking CTEs + the exact ranking + the graded
+    * DCG/IDCG aggregate (IDCG = the shared closed-form literal).
+    */
+  def evalNdcgHamming(nPlanes: Int, nQueries: Int, k: Int, dim: Int = 64): String = {
+    val idcg = (1 to k).map(i => (k + 1 - i).toDouble / math.log((i + 1).toDouble)).sum
+    def proj(p: Int) = (0 until dim)
+      .map(d => s"v[${d + 1}] * ${graft.operators.Similarity.planeWeight(p, d)}")
+      .mkString(" + ")
+    val bucket = (0 until nPlanes)
+      .map(p => s"CASE WHEN ${proj(p)} > 0 THEN ${1L << p} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH e0 AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |e AS (SELECT vec_id, $bucket AS sig FROM e0),
+       |q AS (SELECT vec_id AS qid, sig AS qsig FROM e WHERE vec_id < $nQueries),
+       |s AS (
+       |  SELECT q.qid, e.vec_id AS vid,
+       |         CAST(bit_count(xor(e.sig, q.qsig)) AS BIGINT) AS hamming
+       |  FROM e CROSS JOIN q WHERE e.vec_id != q.qid),
+       |ar AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamming, vid) AS BIGINT) AS rank_a
+       |  FROM s),
+       |approx AS (SELECT qid, vid, rank_a FROM ar WHERE rank_a <= $k),
+       |q0 AS (SELECT vec_id AS qid, v AS qv FROM e0 WHERE vec_id < $nQueries),
+       |xs AS (
+       |  SELECT qid, vec_id AS vid, ${R("list_cosine_similarity(qv, v)")} AS cos
+       |  FROM e0 CROSS JOIN q0 WHERE vec_id != qid),
+       |xr AS (
+       |  SELECT qid, vid, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS rank_e
+       |  FROM xs),
+       |exact AS (SELECT qid, vid, rank_e FROM xr WHERE rank_e <= $k)
+       |SELECT a.qid,
+       |       COUNT(CASE WHEN x.rank_e IS NOT NULL THEN 1 END) AS n_rel,
+       |       ${R(s"SUM(CASE WHEN x.rank_e IS NOT NULL THEN (${k + 1} - x.rank_e) / LN(a.rank_a + 1) ELSE 0.0 END) / $idcg")} AS ndcg
+       |FROM approx a LEFT JOIN exact x ON x.qid = a.qid AND x.vid = a.vid
+       |GROUP BY a.qid ORDER BY a.qid""".stripMargin
+  }
+
   /** OPQ-IVFADC composed: the [[annIvfPqTrained]] chain with EVERY
     * stage (centroid training, PQ book training, assignment, query
     * encoding) run over the learned-rotation corpus `rot$p` — the

@@ -238,6 +238,16 @@ object SparkEntry {
         .select(col("qid"), col("vid"), col("cos"), col("rank").cast("long").as("rank"))
         .orderBy(col("qid"), col("rank"))),
 
+    // NDCG@k of the Hamming tier vs exact: the GRADED retrieval
+    // metric next to the recall gates (position-sensitive)
+    "eval_ndcg" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Eval.ndcg(
+        Similarity.cosineTopK(emb, 5, 5),
+        Similarity.annHammingTopK(emb, 32, 5, 5), 5)
+        .orderBy(col("qid"))
+    }),
+
     "embed_cosine_dup" -> ((s, dir) =>
       Similarity.cosineDupPairs(Tables.embeddings(s, dir), 0.3)
         .orderBy(col("vec_a"), col("vec_b"))),
@@ -1994,6 +2004,7 @@ object SparkEntry {
     "ann_ivfpq_stored_inc" -> OracleSql.annIvfPq(16, 16, 4, 5, 5),
     "ann_pq_recall" -> OracleSql.annPqRecall(16, 4, 5, 5),
     "ann_hamming" -> OracleSql.annHamming(32, 5, 5),
+    "eval_ndcg" -> OracleSql.evalNdcgHamming(32, 5, 5),
     "ann_hamming_recall" -> OracleSql.annHammingRecall(32, 5, 5),
     "ann_pq_rotated" -> OracleSql.annPqRotated(16, 4, 5, 5),
     "ann_pq_rotated_recall" -> OracleSql.annPqRotatedRecall(16, 4, 5, 5),

@@ -19,6 +19,37 @@ object Eval {
 
   private def r3(c: Column): Column = floor(c * 1000.0 + 0.5001) / 1000.0
 
+  /** NDCG@k of an approximate ranking against an exact one
+    * (Järvelin & Kekäläinen 2002) — the GRADED retrieval metric next
+    * to the recall gates: recall counts how many of the true top-k
+    * were found at all, NDCG also scores WHERE the approx ranking put
+    * them (a tier that finds all five answers but bottom-ranks the
+    * best one loses NDCG, not recall). Relevance of an approx hit at
+    * exact rank e is `k+1−e`; discount is 1/ln(rank+1) (any log base
+    * cancels in the DCG/IDCG ratio); IDCG is the closed-form constant
+    * Σ(k+1−i)/ln(i+1), computed once driver-side and shared with the
+    * oracle as a literal.
+    *
+    * `exact`/`approx` are any `(qid, vid, rank)` frames (compose with
+    * [[Similarity.cosineTopK]] and any ANN tier). One k²-bounded
+    * left join per query + a map-side-combined aggregate — cost lives
+    * entirely in producing the input rankings.
+    */
+  def ndcg(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"ndcg: need k >= 1, got $k")
+    val idcg = (1 to k).map(i => (k + 1 - i).toDouble / math.log((i + 1).toDouble)).sum
+    val ex = exact.select(col("qid"), col("vid"), col("rank").cast("long").as("rank_e"))
+    approx.select(col("qid"), col("vid"), col("rank").cast("long").as("rank_a"))
+      .join(ex, Seq("qid", "vid"), "left")
+      .groupBy(col("qid"))
+      .agg(
+        count(when(col("rank_e").isNotNull, 1)).as("n_rel"),
+        r3(sum(
+          when(col("rank_e").isNotNull,
+            (lit((k + 1).toLong) - col("rank_e")) / log(col("rank_a") + lit(1)))
+            .otherwise(lit(0.0))) / lit(idcg)).as("ndcg"))
+  }
+
   /** Mann-Whitney AUC of `score` against boolean `label` — exact,
     * tie-aware (ties contribute half).
     *

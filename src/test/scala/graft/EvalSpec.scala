@@ -13,6 +13,27 @@ class EvalSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = Session.local(4)
 
+  test("ndcg: perfect order scores 1, reversal pays position, misses pay more") {
+    import spark.implicits._
+    val exact = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L))
+      .toDF("qid", "vid", "rank")
+    // perfect: approx = exact order → DCG ≡ IDCG
+    val perfect = Eval.ndcg(exact, exact, 3).collect().head
+    assert(perfect.getAs[Long]("n_rel") === 3L)
+    assert(perfect.getAs[Double]("ndcg") === 1.0)
+    // full reversal: same hits, worst positions →
+    // (1/ln2 + 2/ln3 + 3/ln4) / (3/ln2 + 2/ln3 + 1/ln4) = 0.790
+    val rev = Seq((0L, 12L, 1L), (0L, 11L, 2L), (0L, 10L, 3L))
+      .toDF("qid", "vid", "rank")
+    assert(Eval.ndcg(exact, rev, 3).collect().head.getAs[Double]("ndcg") === 0.79)
+    // recall can't tell these apart (both 3/3) — NDCG is the point
+    val none = Seq((0L, 20L, 1L), (0L, 21L, 2L), (0L, 22L, 3L))
+      .toDF("qid", "vid", "rank")
+    val miss = Eval.ndcg(exact, none, 3).collect().head
+    assert(miss.getAs[Long]("n_rel") === 0L)
+    assert(miss.getAs[Double]("ndcg") === 0.0)
+  }
+
   test("auc is exact and tie-aware on a hand-computed frame") {
     import spark.implicits._
     // scores: pos {0.9, 0.7, 0.5}, neg {0.7, 0.3}
