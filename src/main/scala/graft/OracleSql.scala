@@ -666,6 +666,23 @@ object OracleSql {
        |FROM s GROUP BY user_id, session_no
        |ORDER BY user_id, session_no""".stripMargin
 
+  /** Dwell time per event type: lead-gap seconds to the same user's
+    * next event, count/mean/exact p50/p90.
+    */
+  val dwellStats: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+       |d AS (
+       |  SELECT event_type,
+       |         (LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us) / 1000000.0 AS dwell_s
+       |  FROM e)
+       |SELECT event_type, COUNT(*) AS n,
+       |       ${R("AVG(dwell_s)")} AS mean_s,
+       |       ${R("quantile_cont(dwell_s, 0.5)")} AS p50_s,
+       |       ${R("quantile_cont(dwell_s, 0.9)")} AS p90_s
+       |FROM d WHERE dwell_s IS NOT NULL
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Top-k session paths: the sessionize numbering + ordered
     * STRING_AGG per session + path counts + rank.
     */

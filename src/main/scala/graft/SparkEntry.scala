@@ -1622,6 +1622,12 @@ object SparkEntry {
       Relational.pathTopK(Tables.events(s, dir), 1800000000L, 20)
         .orderBy(col("rank"))),
 
+    // dwell-time distribution per event type (lead-gap seconds):
+    // count/mean/exact p50/p90 — the empirical gap-parameter basis
+    "dwell_time" -> ((s, dir) =>
+      Relational.dwellStats(Tables.events(s, dir))
+        .orderBy(col("event_type"))),
+
     // deterministic fixed-k per-stratum sample (md5 order)
     "sample_fixed_k" -> ((s, dir) =>
       Relational.sampleFixedPerStratum(Tables.documents(s, dir), 5, "panel")
@@ -2086,6 +2092,7 @@ object SparkEntry {
     "eval_calibration" -> OracleSql.evalCalibration,
     "session_stats" -> OracleSql.sessionStats(1800000000L),
     "path_topk" -> OracleSql.pathTopK(1800000000L, 20),
+    "dwell_time" -> OracleSql.dwellStats,
     "sample_fixed_k" -> OracleSql.sampleFixed(5, "panel"),
     "ts_dtw_profile" -> OracleSql.tsDtwProfile(10),
     "ts_ljung_box" -> OracleSql.ljungBox,

@@ -13,6 +13,24 @@ class EvalSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = Session.local(4)
 
+  test("dwellStats: lead gaps per type, last event excluded, exact quantiles") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000L)
+    // user 1: a@0 b@10 a@40 (a dwells: 10, -; b dwell: 30; last excluded)
+    // user 2: a@0 a@20 (dwell 20)
+    val ev = Seq(
+      (1L, 1L, ts(0), "a"), (1L, 2L, ts(10), "b"), (1L, 3L, ts(40), "a"),
+      (2L, 4L, ts(0), "a"), (2L, 5L, ts(20), "a"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = Relational.dwellStats(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getAs[Double]("mean_s"),
+        r.getAs[Double]("p50_s"))).toMap
+    // a: dwells {10, 20} → n=2, mean 15, p50 15; b: {30} → n=1
+    assert(out("a") === ((2L, 15.0, 15.0)))
+    assert(out("b") === ((1L, 30.0, 30.0)))
+  }
+
   test("ndcg: perfect order scores 1, reversal pays position, misses pay more") {
     import spark.implicits._
     val exact = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L))
