@@ -1139,6 +1139,21 @@ object OracleSql {
        |SELECT user_id, day, v, scaled FROM sc
        |WHERE ABS(scaled) >= $z ORDER BY user_id, day""".stripMargin
 
+  /** Consecutive-day runs of anomalous days: the anomalies filter +
+    * the gaps-and-islands date-minus-rank grouping.
+    */
+  def anomalyRuns(half: Int, z: Double): String =
+    s"""WITH $daily, ${trendCte(half)}, $detrendCte, $scaleCte,
+       |fl AS (
+       |  SELECT user_id, day, scaled FROM sc WHERE ABS(scaled) >= $z),
+       |isl AS (
+       |  SELECT *, day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+       |  FROM fl)
+       |SELECT user_id, MIN(day) AS run_start, MAX(day) AS run_end,
+       |       COUNT(*) AS run_len, ${R("MAX(ABS(scaled))")} AS peak_z
+       |FROM isl GROUP BY user_id, grp
+       |ORDER BY user_id, run_start""".stripMargin
+
   // ---------------------------------------------------------------
   // LLM-data-pipeline oracles (documents / embeddings tables)
   // ---------------------------------------------------------------
@@ -1302,6 +1317,49 @@ object OracleSql {
        |       CAST(CASE WHEN COALESCE(c.cluster, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS INTEGER) AS keep
        |FROM documents d LEFT JOIN cc c ON c.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Quality-aware keep: the dedupPipeline cluster CTEs + the
+    * textQuality score + per-cluster rank (score DESC, doc_id).
+    */
+  def dedupKeepBest(perms: Int, rowsPerBand: Int, minJaccard: Double): String =
+    s"""WITH RECURSIVE ${minhashCtes(perms, rowsPerBand)},
+       |cpairs AS (SELECT DISTINCT doc_a, doc_b FROM cand),
+       |strong AS (
+       |  SELECT p.doc_a, p.doc_b
+       |  FROM cpairs p
+       |  JOIN mh ma ON ma.doc_id = p.doc_a
+       |  JOIN mh mb ON mb.doc_id = p.doc_b AND mb.p = ma.p
+       |  GROUP BY p.doc_a, p.doc_b
+       |  HAVING ${R(s"SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / CAST($perms AS DOUBLE)")} >= $minJaccard),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM strong
+       |  UNION ALL SELECT doc_b, doc_a FROM strong),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |cc AS (SELECT dst AS doc_id, MIN(src) AS cluster FROM reach GROUP BY dst),
+       |lab AS (
+       |  SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN cc c ON c.doc_id = d.doc_id),
+       |q0 AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
+       |    ${R("(length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))) / length(text)")} AS alpha_ratio,
+       |    ${R("len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))")} AS uniq_ratio,
+       |    ${R("len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is','on','for'))) / len(string_split(text, ' '))")} AS stop_ratio
+       |  FROM documents),
+       |qs AS (
+       |  SELECT doc_id,
+       |    ${R("alpha_ratio * 0.4 + uniq_ratio * 0.2 + (1.0 - stop_ratio) * 0.2 + CASE WHEN chars BETWEEN 100 AND 400 THEN 0.2 ELSE 0.1 END")} AS score
+       |  FROM q0),
+       |j AS (SELECT lab.doc_id, lab.cluster, qs.score FROM lab JOIN qs USING (doc_id)),
+       |rk AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY score DESC, doc_id) AS rn
+       |  FROM j)
+       |SELECT doc_id, cluster, score,
+       |       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INTEGER) AS keep
+       |FROM rk ORDER BY doc_id""".stripMargin
 
   /** End-to-end corpus preparation: quality filter → benchmark
     * decontamination → near-dup removal → sequence packing. The dedup

@@ -410,6 +410,12 @@ object SparkEntry {
       TimeSeries.anomalies(Tables.events(s, dir), HALF, 2.0)
         .orderBy(col("user_id"), col("day"))),
 
+    // consecutive-day anomaly RUNS (persistence: spike vs regime
+    // break), gaps-and-islands on the date axis
+    "ts_anomaly_runs" -> ((s, dir) =>
+      TimeSeries.anomalyRuns(Tables.events(s, dir), HALF, 2.0)
+        .orderBy(col("user_id"), col("run_start"))),
+
     // trailing-7 Bollinger envelope: mid ± 2σ bands + %B position
     "ts_bollinger" -> ((s, dir) =>
       TimeSeries.bollinger(TimeSeries.resampleDaily(Tables.events(s, dir)), 7, 2.0)
@@ -1255,6 +1261,15 @@ object SparkEntry {
       Dedup.pipeline(Tables.documents(s, dir), 16, 2, 0.5)
         .orderBy(col("doc_id"))),
 
+    // quality-aware keep: each cluster keeps its HIGHEST-quality
+    // member (near-dup groups = one clean original + N mangled
+    // scrapes; min-id keeps whichever was crawled first)
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.keepBest(Dedup.pipeline(docs, 16, 2, 0.5), TextOps.quality(docs))
+        .orderBy(col("doc_id"))
+    }),
+
     // the dedup report: cluster-size histogram over the pipeline's
     // labels, singletons included
     "dedup_cluster_stats" -> ((s, dir) =>
@@ -1945,6 +1960,7 @@ object SparkEntry {
     "ts_winsorize" -> OracleSql.winsorize(0.05, 0.95),
     "sample_stratified" -> OracleSql.sampleStratified,
     "ts_anomalies" -> OracleSql.anomalies(HALF, 2.0),
+    "ts_anomaly_runs" -> OracleSql.anomalyRuns(HALF, 2.0),
     "ts_retrend" -> OracleSql.retrend,
     "ts_rescale" -> OracleSql.rescale,
     "ann_lsh" -> OracleSql.annLsh(8, 5, 5, 64),
@@ -2034,6 +2050,7 @@ object SparkEntry {
     "stream_crossdup_batch" -> OracleSql.streamCrossDupBatch(16, 2, 0.5),
     "ts_lag_features" -> OracleSql.lagFeatures(Seq(1, 7), 7),
     "dedup_pipeline" -> OracleSql.dedupPipeline(16, 2, 0.5),
+    "dedup_keep_best" -> OracleSql.dedupKeepBest(16, 2, 0.5),
     "dedup_cluster_stats" -> OracleSql.dedupClusterStats(16, 2, 0.5),
     "text_normalize" -> OracleSql.textNormalize,
     "text_tfidf" -> OracleSql.textTfidf(3),

@@ -411,6 +411,27 @@ object Dedup {
       .withColumn("keep", (col("doc_id") === col("cluster")).cast("int"))
   }
 
+  /** Quality-aware keep decision over duplicate clusters: instead of
+    * [[pipeline]]'s keep-the-smallest-id, keep each cluster's
+    * HIGHEST-quality member (score DESC, doc_id tie) — what a
+    * curation pass actually wants: near-dup groups usually contain
+    * one clean original and N mangled scrapes, and min-id keeps
+    * whichever was crawled first. Generic over any `(doc_id,
+    * cluster)` labels × any `(doc_id, score)` frame (compose with
+    * [[pipeline]] + [[graft.operators.TextOps.quality]]).
+    *
+    * One join on doc_id + one per-cluster top-1 window (single
+    * cluster-key exchange); emits every doc with its cluster, score
+    * and the keep flag.
+    */
+  def keepBest(labels: DataFrame, scored: DataFrame): DataFrame =
+    labels.select(col("doc_id"), col("cluster"))
+      .join(scored.select(col("doc_id"), col("score")), "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster")).orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("cluster"), col("score"),
+        (col("rn") === 1).cast("int").as("keep"))
+
   /** Duplicate-cluster size histogram over the FULL corpus (singletons
     * included): (cluster_size, n_clusters) — the one-page dedup report
     * a corpus owner reads before choosing thresholds (a fat tail of

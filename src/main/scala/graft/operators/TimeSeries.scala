@@ -601,6 +601,28 @@ object TimeSeries {
       .where(abs(col("scaled")) >= z)
       .select(col(KEY), col(DAY), col("v"), col("scaled"))
 
+  /** Consecutive-day RUNS of anomalous days per key — the persistence
+    * view of [[anomalies]]: a one-day spike and a week-long regime
+    * break both flag days, but only the run length tells an on-call
+    * which one they have. Gaps-and-islands on the DATE axis (island =
+    * day − row_number, so calendar-adjacent flagged days share a
+    * group even across unflagged stretches of the underlying series);
+    * emits start/end/length and the peak |z| per run.
+    *
+    * The flag chain reuses the one key exchange; the island window
+    * rides the same partitioning; the run collapse is map-side
+    * combined.
+    */
+  def anomalyRuns(events: DataFrame, half: Int, z: Double): DataFrame =
+    anomalies(events, half, z)
+      .withColumn("grp", expr(
+        s"date_sub($DAY, cast(row_number() over (partition by $KEY order by $DAY) as int))"))
+      .groupBy(col(KEY), col("grp"))
+      .agg(min(col(DAY)).as("run_start"), max(col(DAY)).as("run_end"),
+        count(lit(1)).as("run_len"),
+        r3(max(abs(col("scaled")))).as("peak_z"))
+      .select(col(KEY), col("run_start"), col("run_end"), col("run_len"), col("peak_z"))
+
   /** Autocorrelation of the daily series at the given lags (Pearson
     * corr of v against lag-k v per key) — the classic periodicity
     * check for the reference's period-30.5d seasonal signals

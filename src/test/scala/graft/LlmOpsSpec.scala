@@ -407,6 +407,17 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("containment_b") === 0.667)
   }
 
+  test("keepBest keeps the highest-quality member per cluster, min-id on ties") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("doc_id", "cluster")
+    val scores = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.1))
+      .toDF("doc_id", "score")
+    val keep = Dedup.keepBest(labels, scores).collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(keep === Map(1L -> 0, 2L -> 1, 3L -> 0, 4L -> 1))
+  }
+
   test("labelProp splits bridged triangles that connectedComponents merges") {
     import spark.implicits._
     // two triangles {1,2,3} and {4,5,6} joined by the single bridge

@@ -151,6 +151,24 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(math.abs(p14) < 1e-6)
   }
 
+  test("anomalyRuns: runs are contiguous and exactly cover the flagged days") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val flagged = TimeSeries.anomalies(ev, 3, 2.0)
+      .select("user_id", "day").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate)).toSet
+    val runs = TimeSeries.anomalyRuns(ev, 3, 2.0).collect()
+    assert(runs.nonEmpty)
+    // every run is date-contiguous: end − start + 1 = len
+    runs.foreach { r =>
+      val (s, e, n) = (r.getDate(1).toLocalDate, r.getDate(2).toLocalDate, r.getLong(3))
+      assert(java.time.temporal.ChronoUnit.DAYS.between(s, e) + 1 === n)
+      // and every day inside the run is flagged
+      (0L until n).foreach(i => assert(flagged((r.getLong(0), s.plusDays(i)))))
+    }
+    // runs partition the flagged set exactly
+    assert(runs.map(_.getLong(3)).sum === flagged.size)
+  }
+
   test("spectralEntropy: pure cycle concentrates, noise spreads") {
     import spark.implicits._
     val rng = new scala.util.Random(41)
