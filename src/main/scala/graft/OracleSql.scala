@@ -666,6 +666,26 @@ object OracleSql {
        |FROM s GROUP BY user_id, session_no
        |ORDER BY user_id, session_no""".stripMargin
 
+  /** Last-touch attribution: per-channel purchase count + revenue
+    * under the same running last(ignoreNulls)-struct window.
+    */
+  def attributionLastTouch(windowMicros: Long): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us, value FROM events),
+       |p AS (
+       |  SELECT *,
+       |    LAST_VALUE(CASE WHEN event_type != 'purchase'
+       |                    THEN struct_pack(pts := ts_us, ptype := event_type) END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+       |  FROM e),
+       |a AS (
+       |  SELECT CASE WHEN prev IS NOT NULL AND ts_us - prev.pts <= $windowMicros
+       |              THEN prev.ptype ELSE 'direct' END AS channel, value
+       |  FROM p WHERE event_type = 'purchase')
+       |SELECT channel, COUNT(*) AS n_purchases, ${R("SUM(value)")} AS revenue
+       |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Dwell time per event type: lead-gap seconds to the same user's
     * next event, count/mean/exact p50/p90.
     */
@@ -1138,6 +1158,19 @@ object OracleSql {
     s"""WITH $daily, ${trendCte(half)}, $detrendCte, $scaleCte
        |SELECT user_id, day, v, scaled FROM sc
        |WHERE ABS(scaled) >= $z ORDER BY user_id, day""".stripMargin
+
+  /** Calendar-honest dod/wow growth rates over the daily frame. */
+  val growthRates: String = {
+    def rate(n: Int) =
+      s"""CASE WHEN day - LAG(day, $n) OVER w = $n
+         |     THEN ${R(s"v / NULLIF(LAG(v, $n) OVER w, 0.0) - 1.0")} END""".stripMargin
+    s"""WITH $daily
+       |SELECT user_id, day, v,
+       |       ${rate(1)} AS dod,
+       |       ${rate(7)} AS wow
+       |FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)
+       |ORDER BY user_id, day""".stripMargin
+  }
 
   /** Consecutive-day runs of anomalous days: the anomalies filter +
     * the gaps-and-islands date-minus-rank grouping.

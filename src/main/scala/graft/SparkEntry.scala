@@ -416,6 +416,12 @@ object SparkEntry {
       TimeSeries.anomalyRuns(Tables.events(s, dir), HALF, 2.0)
         .orderBy(col("user_id"), col("run_start"))),
 
+    // calendar-honest dod/wow growth rates (NULL across gaps)
+    "ts_growth_rates" -> ((s, dir) =>
+      TimeSeries.growthRates(
+        TimeSeries.resampleDaily(Tables.events(s, dir)))
+        .orderBy(col("user_id"), col("day"))),
+
     // trailing-7 Bollinger envelope: mid ± 2σ bands + %B position
     "ts_bollinger" -> ((s, dir) =>
       TimeSeries.bollinger(TimeSeries.resampleDaily(Tables.events(s, dir)), 7, 2.0)
@@ -1643,6 +1649,12 @@ object SparkEntry {
       Relational.dwellStats(Tables.events(s, dir))
         .orderBy(col("event_type"))),
 
+    // last-touch attribution: purchases credited to the most recent
+    // same-user non-purchase event within 24h, else 'direct'
+    "attribution_last_touch" -> ((s, dir) =>
+      Relational.attributionLastTouch(Tables.events(s, dir), 86400000000L)
+        .orderBy(col("channel"))),
+
     // deterministic fixed-k per-stratum sample (md5 order)
     "sample_fixed_k" -> ((s, dir) =>
       Relational.sampleFixedPerStratum(Tables.documents(s, dir), 5, "panel")
@@ -1961,6 +1973,7 @@ object SparkEntry {
     "sample_stratified" -> OracleSql.sampleStratified,
     "ts_anomalies" -> OracleSql.anomalies(HALF, 2.0),
     "ts_anomaly_runs" -> OracleSql.anomalyRuns(HALF, 2.0),
+    "ts_growth_rates" -> OracleSql.growthRates,
     "ts_retrend" -> OracleSql.retrend,
     "ts_rescale" -> OracleSql.rescale,
     "ann_lsh" -> OracleSql.annLsh(8, 5, 5, 64),
@@ -2110,6 +2123,7 @@ object SparkEntry {
     "session_stats" -> OracleSql.sessionStats(1800000000L),
     "path_topk" -> OracleSql.pathTopK(1800000000L, 20),
     "dwell_time" -> OracleSql.dwellStats,
+    "attribution_last_touch" -> OracleSql.attributionLastTouch(86400000000L),
     "sample_fixed_k" -> OracleSql.sampleFixed(5, "panel"),
     "ts_dtw_profile" -> OracleSql.tsDtwProfile(10),
     "ts_ljung_box" -> OracleSql.ljungBox,

@@ -66,6 +66,40 @@ object Relational {
         (floor(sum(col("value")) * 1000.0 + 0.5001) / 1000.0).as("sum_value"))
   }
 
+  /** Last-touch attribution: each purchase is credited to the most
+    * recent NON-purchase event of the same user within
+    * `windowMicros` (else "direct") — the classic marketing
+    * attribution report, aggregated to per-channel purchase count +
+    * revenue. Last-touch is the baseline every attribution modeling
+    * discussion starts from; the strict same-user recency rule is
+    * exactly a running `last(ignoreNulls)` window.
+    *
+    * One window on the user-key exchange carrying a single
+    * (ts, type) struct per row (the attributed event's fields must
+    * come from the SAME row — two independent last() calls could mix
+    * rows), a purchase filter, and a map-side-combined |channels|
+    * aggregate.
+    */
+  def attributionLastTouch(events: DataFrame, windowMicros: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("prev", last(
+        when(col("event_type") =!= "purchase",
+          struct(col("ts_us").as("pts"), col("event_type").as("ptype"))),
+        ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("prev").isNotNull &&
+          col("ts_us") - col("prev.pts") <= windowMicros, col("prev.ptype"))
+          .otherwise(lit("direct")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        (floor(sum(col("value")) * 1000.0 + 0.5001) / 1000.0).as("revenue"))
+  }
+
   /** Dwell-time distribution per event type: the gap to the SAME
     * user's next event (any type), in seconds — count, mean and
     * exact p50/p90. The "how long do users sit on X" engagement

@@ -601,6 +601,29 @@ object TimeSeries {
       .where(abs(col("scaled")) >= z)
       .select(col(KEY), col(DAY), col("v"), col("scaled"))
 
+  /** Day-over-day and week-over-week growth rates per key —
+    * `v/v_lag − 1`, CALENDAR-honest: the rate is NULL unless the
+    * lagged row is exactly 1 (resp. 7) calendar days back, so gaps in
+    * the daily frame never silently compare non-adjacent days (the
+    * row-lag shortcut reads "growth since whenever we last saw you"
+    * — a different, usually wrong, metric). Flat-to-zero days yield
+    * NULL (division guard). The dashboard deltas every KPI report
+    * leads with.
+    *
+    * Two lag windows sharing the one key exchange; pure projection
+    * otherwise.
+    */
+  def growthRates(daily: DataFrame): DataFrame = {
+    def rate(lagN: Int): Column = {
+      val lv = lag(col("v"), lagN).over(wOrdered)
+      val ld = lag(col(DAY), lagN).over(wOrdered)
+      when(datediff(col(DAY), ld) === lagN,
+        r3(col("v") / nullif(lv, lit(0.0)) - lit(1.0)))
+    }
+    daily.select(col(KEY), col(DAY), col("v"),
+      rate(1).as("dod"), rate(7).as("wow"))
+  }
+
   /** Consecutive-day RUNS of anomalous days per key — the persistence
     * view of [[anomalies]]: a one-day spike and a week-long regime
     * break both flag days, but only the run length tells an on-call

@@ -13,6 +13,38 @@ class EvalSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = Session.local(4)
 
+  test("attributionLastTouch: window honored, no-prior and stale both go direct") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(h: Long) = new java.sql.Timestamp(base.getTime + h * 3600000L)
+    val ev = Seq(
+      (1L, 1L, ts(0), "view", 0.0),
+      (1L, 2L, ts(1), "purchase", 10.0),   // -> view (1h ago)
+      (1L, 3L, ts(2), "click", 0.0),
+      (1L, 4L, ts(50), "purchase", 20.0),  // click was 48h ago -> direct
+      (2L, 5L, ts(0), "purchase", 5.0))    // no prior -> direct
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val out = Relational.attributionLastTouch(ev, 86400000000L).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out === Map("view" -> ((1L, 10.0)), "direct" -> ((2L, 25.0))))
+  }
+
+  test("growthRates: calendar-honest lags, gaps yield NULL") {
+    import spark.implicits._
+    val rows = Seq(1, 2, 3, 4, 5, 6, 7, 8, 10).map(d =>
+      (1L, java.sql.Date.valueOf(s"2024-01-${"%02d".format(d)}"), d * 10.0))
+    val out = graft.operators.TimeSeries.growthRates(
+        rows.toDF("user_id", "day", "v"))
+      .orderBy("day").collect()
+    // day2: dod = 20/10 - 1 = 1.0; day8: dod = 80/70-1 = 0.143,
+    // wow = 80/10 - 1 = 7.0; day10: lag1 is day8 (gap) -> both NULL
+    assert(out(1).getAs[Double]("dod") === 1.0)
+    assert(out(7).getAs[Double]("dod") === 0.143)
+    assert(out(7).getAs[Double]("wow") === 7.0)
+    assert(out(8).isNullAt(out(8).fieldIndex("dod")))
+    assert(out(8).isNullAt(out(8).fieldIndex("wow")))
+  }
+
   test("dwellStats: lead gaps per type, last event excluded, exact quantiles") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
