@@ -887,6 +887,30 @@ object OracleSql {
     * arithmetic is parenthesized exactly like HoltFold's Java (lNew
     * inlined into the b update recomputes the identical IEEE value).
     */
+  /** Damped-trend Holt: the holt recursion with the trend damped by
+    * φ, parenthesized exactly like DampedHoltFold's Java; the
+    * geometric damping sum is the same Scala-computed literal.
+    */
+  def holtDamped(alpha: Double, beta: Double, phi: Double, horizon: Int): String = {
+    val damp = (1 to horizon).map(i => math.pow(phi, i.toDouble)).sum
+    s"""WITH RECURSIVE $daily,
+       |n AS (
+       |  SELECT user_id, v, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+       |  FROM daily),
+       |h AS (
+       |  SELECT user_id, rn, v AS l, CAST(0.0 AS DOUBLE) AS b FROM n WHERE rn = 1
+       |  UNION ALL
+       |  SELECT n.user_id, n.rn,
+       |         n.v * $alpha + (h.l + h.b * $phi) * ${1 - alpha} AS l,
+       |         ((n.v * $alpha + (h.l + h.b * $phi) * ${1 - alpha}) - h.l) * $beta + h.b * $phi * ${1 - beta} AS b
+       |  FROM h JOIN n ON n.user_id = h.user_id AND n.rn = h.rn + 1),
+       |lastr AS (SELECT user_id, MAX(rn) AS mx FROM n GROUP BY user_id)
+       |SELECT h.user_id, ${R("h.l")} AS level, ${R("h.b")} AS trend,
+       |       ${R(s"h.l + h.b * $damp")} AS forecast
+       |FROM h JOIN lastr ON h.user_id = lastr.user_id AND h.rn = lastr.mx
+       |ORDER BY h.user_id""".stripMargin
+  }
+
   def holt(alpha: Double, beta: Double, horizon: Int): String =
     s"""WITH RECURSIVE $daily,
        |n AS (

@@ -377,6 +377,13 @@ object SparkEntry {
       TimeSeries.holt(TimeSeries.resampleDaily(Tables.events(s, dir)), 0.5, 0.3, NY)
         .orderBy(col("user_id"))),
 
+    // damped-trend Holt (Gardner phi=0.9): long-horizon forecasts
+    // flatten toward a finite asymptote instead of extrapolating
+    "ts_holt_damped" -> ((s, dir) =>
+      TimeSeries.holtDamped(
+        TimeSeries.resampleDaily(Tables.events(s, dir)), 0.5, 0.3, 0.9, NY)
+        .orderBy(col("user_id"))),
+
     // additive Holt-Winters: weekly (period-7) seasonal state on the
     // daily series, h-step forecast picks the right seasonal slot
     "ts_holt_winters" -> ((s, dir) =>
@@ -1964,6 +1971,7 @@ object SparkEntry {
     "ts_rolling" -> OracleSql.rolling(7),
     "ts_ewma" -> OracleSql.ewma(0.3),
     "ts_holt" -> OracleSql.holt(0.5, 0.3, NY),
+    "ts_holt_damped" -> OracleSql.holtDamped(0.5, 0.3, 0.9, NY),
     "ts_holt_winters" -> OracleSql.holtWinters(0.5, 0.3, 0.4, 7, NY),
     "ts_forecast_hw" -> OracleSql.holtWintersForecast(0.5, 0.3, 0.4, 7, NY),
     "ts_forecast_auto" -> OracleSql.forecastAuto(HALF, 7, NY, 0.5, 0.3, 0.4,

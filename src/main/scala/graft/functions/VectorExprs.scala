@@ -105,6 +105,7 @@ object VectorExprs {
     "graft_ngram_stats" -> "graft_ngram_stats(tokens: array<string> with NON-NULL elements, n: int literal)",
     "graft_ewma" -> "graft_ewma(vals: array<float|double>, alpha: double literal)",
     "graft_holt" -> "graft_holt(vals: array<float|double>, alpha: double literal, beta: double literal)",
+    "graft_holt_damped" -> "graft_holt_damped(vals: array<float|double>, alpha: double literal, beta: double literal, phi: double literal)",
     "graft_holt_winters" -> "graft_holt_winters(vals: array<float|double>, alpha: double literal, beta: double literal, gamma: double literal, period: int literal)",
     "graft_kalman" -> "graft_kalman(vals: array<float|double>, q: double literal, r: double literal)",
     "graft_cusum" -> "graft_cusum(zvals: array<float|double>, k: double literal, h: double literal)",
@@ -143,6 +144,10 @@ object VectorExprs {
         requireArity(name, usage, exprs, 3)
         HoltFold(exprs(0), litDoubleArg(name, usage, exprs, 1),
           litDoubleArg(name, usage, exprs, 2))
+      case "graft_holt_damped" =>
+        requireArity(name, usage, exprs, 4)
+        DampedHoltFold(exprs(0), litDoubleArg(name, usage, exprs, 1),
+          litDoubleArg(name, usage, exprs, 2), litDoubleArg(name, usage, exprs, 3))
       case "graft_holt_winters" =>
         requireArity(name, usage, exprs, 5)
         HwFold(exprs(0), litDoubleArg(name, usage, exprs, 1),

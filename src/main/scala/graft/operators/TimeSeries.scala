@@ -404,6 +404,32 @@ object TimeSeries {
         r3(expr(s"element_at(hb, 1) + element_at(hb, 2) * $horizon.0")).as("forecast"))
   }
 
+  /** Damped-trend Holt smoothing per key (Gardner & McKenzie 1985):
+    * final (level, trend) of `l = α·v + (1−α)(l + φ·b); b = β·Δl +
+    * (1−β)·φ·b`, plus the h-step forecast `l + b·Σᵢ₌₁ʰ φⁱ` — the
+    * damping flattens long-horizon projections toward a finite
+    * asymptote where plain [[holt]] extrapolates the last trend
+    * forever (the M-competition default for trend methods). Folded
+    * by the native codegen [[graft.functions.DampedHoltFold]] in one
+    * pass; the geometric damping sum is a driver-side literal shared
+    * with the oracle.
+    */
+  def holtDamped(daily: DataFrame, alpha: Double, beta: Double, phi: Double,
+                 horizon: Int): DataFrame = {
+    require(phi > 0.0 && phi < 1.0, s"holtDamped: need 0 < phi < 1, got $phi")
+    graft.functions.VectorExprs.register(daily.sparkSession)
+    val damp = (1 to horizon).map(i => math.pow(phi, i.toDouble)).sum
+    daily.groupBy(col(KEY))
+      .agg(expr("transform(sort_array(collect_list(struct(day, v))), s -> s.v)").as("vals"))
+      .select(col(KEY), expr(
+        s"graft_holt_damped(vals, cast($alpha as double), cast($beta as double), " +
+          s"cast($phi as double))").as("hb"))
+      .select(col(KEY),
+        r3(expr("element_at(hb, 1)")).as("level"),
+        r3(expr("element_at(hb, 2)")).as("trend"),
+        r3(expr(s"element_at(hb, 1) + element_at(hb, 2) * $damp")).as("forecast"))
+  }
+
   /** Local-level Kalman smoother per key: final (level, error
     * variance, gain) of the `p' = p + q; k = p'/(p'+r); l += (v−l)k;
     * p = (1−k)p'` recursion over the day-ordered series — the

@@ -100,6 +100,26 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(e.getAs[Double]("ewma") === 5.0)
   }
 
+  test("holtDamped: hand fold; damping keeps long-horizon forecasts below plain Holt") {
+    import spark.implicits._
+    // v = [0, 10], α=β=0.5, φ=0.5: l=5, b=2.5;
+    // forecast@2 = 5 + 2.5·(0.5 + 0.25) = 6.875
+    val two = Seq(
+      (9L, java.sql.Date.valueOf("2024-02-01"), 0.0),
+      (9L, java.sql.Date.valueOf("2024-02-02"), 10.0)).toDF("user_id", "day", "v")
+    val r = TimeSeries.holtDamped(two, 0.5, 0.5, 0.5, 2).collect().head
+    assert(r.getAs[Double]("level") === 5.0)
+    assert(r.getAs[Double]("trend") === 2.5)
+    assert(r.getAs[Double]("forecast") === 6.875)
+    // linear series (user 1): damped forecast < plain Holt forecast
+    // at the same horizon (the trend is real, damping shrinks it)
+    val lin = daily.where(col("user_id") === 1)
+    val plain = TimeSeries.holt(lin, 0.5, 0.3, 10).collect().head.getAs[Double]("forecast")
+    val damped = TimeSeries.holtDamped(lin, 0.5, 0.3, 0.9, 10)
+      .collect().head.getAs[Double]("forecast")
+    assert(damped < plain, s"damped=$damped plain=$plain")
+  }
+
   test("volEwma: constant series has zero volatility; jump folds by alpha") {
     import spark.implicits._
     // user 2 (constant): every return 0 → var 0, vol 0
