@@ -216,6 +216,29 @@ object OracleSql {
     s"""WITH ${forecastCtes(half, window, horizon)}
        |SELECT user_id, day, v_hat, v_actual FROM joined ORDER BY user_id, day""".stripMargin
 
+  /** Random-walk prediction intervals: the forecast chain + per-key
+    * one-step volatility + `v_hat ± z·σ·√step` bands and the
+    * coverage flag (compared against the ROUNDED bands both sides).
+    */
+  def forecastIntervals(half: Int, window: Int, horizon: Int,
+                        z: Double = 1.96): String =
+    s"""WITH ${forecastCtes(half, window, horizon)},
+       |df AS (
+       |  SELECT user_id, v - LAG(v) OVER (PARTITION BY user_id ORDER BY day) AS d
+       |  FROM history),
+       |sg AS (SELECT user_id, STDDEV_POP(d) AS sigma FROM df WHERE d IS NOT NULL GROUP BY 1),
+       |st AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS step
+       |  FROM joined),
+       |iv AS (
+       |  SELECT st.user_id, st.day, st.v_hat, st.v_actual,
+       |         ${R(s"st.v_hat - $z * sg.sigma * SQRT(step)")} AS lo,
+       |         ${R(s"st.v_hat + $z * sg.sigma * SQRT(step)")} AS hi
+       |  FROM st JOIN sg ON sg.user_id = st.user_id)
+       |SELECT user_id, day, v_hat, v_actual, lo, hi,
+       |       CAST(CASE WHEN v_actual >= lo AND v_actual <= hi THEN 1 ELSE 0 END AS INTEGER) AS covered
+       |FROM iv ORDER BY user_id, day""".stripMargin
+
   /** Per-series metrics at multiple horizons — the reference's
     * 1-month/3-month split (notebooks/scoring.py:384-470).
     */

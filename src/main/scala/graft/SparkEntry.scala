@@ -97,6 +97,12 @@ object SparkEntry {
       TimeSeries.forecastBaseline(Tables.events(s, dir), HALF, SLOPE_W, NY)
         .orderBy(col("user_id"), col("day"))),
 
+    // random-walk prediction intervals (v_hat +/- z*sigma*sqrt(h))
+    // with the per-row coverage flag
+    "ts_forecast_intervals" -> ((s, dir) =>
+      TimeSeries.forecastIntervals(Tables.events(s, dir), HALF, SLOPE_W, NY)
+        .orderBy(col("user_id"), col("day"))),
+
     "ts_metrics" -> ((s, dir) =>
       TimeSeries.metrics(TimeSeries.forecastBaseline(Tables.events(s, dir), HALF, SLOPE_W, NY))
         .orderBy(col("user_id"))),
@@ -1903,6 +1909,7 @@ object SparkEntry {
     "ts_cleaning" -> OracleSql.cleaning(CLEAN_T),
     "ts_split" -> OracleSql.split,
     "ts_forecast_baseline" -> OracleSql.forecastBaseline(HALF, SLOPE_W, NY),
+    "ts_forecast_intervals" -> OracleSql.forecastIntervals(HALF, SLOPE_W, NY),
     "ts_metrics" -> OracleSql.metrics(HALF, SLOPE_W, NY),
     "q3_join_agg" -> OracleSql.q3JoinAgg,
     "topk_per_group" -> OracleSql.topkPerGroup,

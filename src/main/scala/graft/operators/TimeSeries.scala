@@ -1510,6 +1510,40 @@ object TimeSeries {
     finally daily.unpersist(blocking = false)
   }
 
+  /** Prediction intervals around [[forecastBaseline]]: per step h,
+    * `v_hat ± z·σ·√h` with σ = the key's in-sample one-step
+    * volatility (stddev of row-over-row differences of the HISTORY
+    * split) — the random-walk interval width (variance of an h-step
+    * RW sum grows linearly, so width grows √h), the honest default
+    * when the model publishes no parametric variance. Emits the
+    * bands plus a per-row `covered` flag, so empirical coverage vs
+    * the nominal level reads directly off the gate table — a
+    * forecast without intervals is a point guess nobody can act on.
+    *
+    * Same single-resample contract as [[forecastBaseline]] (the
+    * persisted numbered frame feeds the forecast chain AND the σ
+    * aggregate); σ is a per-key scalar joined onto the
+    * |keys|×horizon checkpoint leaf.
+    */
+  def forecastIntervals(events: DataFrame, half: Int, window: Int,
+                        horizon: Int, z: Double = 1.96): DataFrame = {
+    val daily = numberedDaily(events).persist()
+    try {
+      val fc = forecastFromNumbered(daily, half, window, horizon)
+      val sigma = daily.where(col("rn_end") > horizon)
+        .withColumn("d", col("v") - lag(col("v"), 1).over(wOrdered))
+        .groupBy(col(KEY)).agg(stddev_pop(col("d")).as("sigma"))
+      fc.withColumn("step", row_number().over(wOrdered))
+        .join(sigma, Seq(KEY))
+        .withColumn("lo", r3(col("v_hat") - lit(z) * col("sigma") * sqrt(col("step"))))
+        .withColumn("hi", r3(col("v_hat") + lit(z) * col("sigma") * sqrt(col("step"))))
+        .select(col(KEY), col(DAY), col("v_hat"), col("v_actual"),
+          col("lo"), col("hi"),
+          when(col("v_actual") >= col("lo") && col("v_actual") <= col("hi"), 1)
+            .otherwise(0).as("covered"))
+    } finally daily.unpersist(blocking = false)
+  }
+
   /** The daily resample with each key's rows numbered from the END
     * (`rn_end` = 1 is the last day) — the shared input of
     * [[forecastBaseline]] and [[mase]]; both persist it so the

@@ -100,6 +100,32 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(e.getAs[Double]("ewma") === 5.0)
   }
 
+  test("forecastIntervals: sqrt-h width growth, centered bands, honest coverage flag") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val iv = TimeSeries.forecastIntervals(ev, 3, 10, 5).orderBy("user_id", "day").collect()
+    assert(iv.nonEmpty)
+    val byKey = iv.groupBy(_.getLong(0))
+    byKey.values.foreach { rows =>
+      val w = rows.map(r => r.getAs[Double]("hi") - r.getAs[Double]("lo"))
+      // widths grow monotonically with the step and never faster than
+      // the sqrt-5 cap (gappy actuals may drop intermediate steps, so
+      // positions aren't guaranteed to be steps 1..k — the law bounds
+      // still hold)
+      if (w.length >= 2 && w.head > 0.1) {
+        w.sliding(2).foreach(p => assert(p(1) >= p(0) - 1e-9, s"widths $w"))
+        assert(w.last / w.head <= math.sqrt(5.0) + 0.05, s"widths $w")
+      }
+      rows.foreach { r =>
+        val inBand = r.getAs[Double]("v_actual") >= r.getAs[Double]("lo") &&
+          r.getAs[Double]("v_actual") <= r.getAs[Double]("hi")
+        assert(r.getAs[Int]("covered") === (if (inBand) 1 else 0))
+        // bands centered on the point forecast (up to rounding)
+        assert(math.abs((r.getAs[Double]("hi") + r.getAs[Double]("lo")) / 2.0 -
+          r.getAs[Double]("v_hat")) < 0.002)
+      }
+    }
+  }
+
   test("holtDamped: hand fold; damping keeps long-horizon forecasts below plain Holt") {
     import spark.implicits._
     // v = [0, 10], α=β=0.5, φ=0.5: l=5, b=2.5;
