@@ -709,6 +709,25 @@ object OracleSql {
        |SELECT channel, COUNT(*) AS n_purchases, ${R("SUM(value)")} AS revenue
        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Per-purchase attribution rows (the streaming twin's gated batch
+    * shape — attributionLastTouch before its aggregate).
+    */
+  def attributionStreamBatch(windowMicros: Long): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us, value FROM events),
+       |p AS (
+       |  SELECT *,
+       |    LAST_VALUE(CASE WHEN event_type != 'purchase'
+       |                    THEN struct_pack(pts := ts_us, ptype := event_type) END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+       |  FROM e)
+       |SELECT user_id, event_id, ts_us,
+       |       CASE WHEN prev IS NOT NULL AND ts_us - prev.pts <= $windowMicros
+       |            THEN prev.ptype ELSE 'direct' END AS channel, value
+       |FROM p WHERE event_type = 'purchase'
+       |ORDER BY user_id, event_id""".stripMargin
+
   /** Dwell time per event type: lead-gap seconds to the same user's
     * next event, count/mean/exact p50/p90.
     */

@@ -1668,6 +1668,13 @@ object SparkEntry {
       Relational.attributionLastTouch(Tables.events(s, dir), 86400000000L)
         .orderBy(col("channel"))),
 
+    // per-purchase attribution rows: the batch twin of the streaming
+    // at-ingest attributor (driven live in FeedStreamSpec)
+    "stream_attribution_batch" -> ((s, dir) =>
+      graft.streaming.StreamOps.attributionStreamBatch(
+          Tables.events(s, dir), 86400000000L)
+        .orderBy(col("user_id"), col("event_id"))),
+
     // deterministic fixed-k per-stratum sample (md5 order)
     "sample_fixed_k" -> ((s, dir) =>
       Relational.sampleFixedPerStratum(Tables.documents(s, dir), 5, "panel")
@@ -2139,6 +2146,7 @@ object SparkEntry {
     "path_topk" -> OracleSql.pathTopK(1800000000L, 20),
     "dwell_time" -> OracleSql.dwellStats,
     "attribution_last_touch" -> OracleSql.attributionLastTouch(86400000000L),
+    "stream_attribution_batch" -> OracleSql.attributionStreamBatch(86400000000L),
     "sample_fixed_k" -> OracleSql.sampleFixed(5, "panel"),
     "ts_dtw_profile" -> OracleSql.tsDtwProfile(10),
     "ts_ljung_box" -> OracleSql.ljungBox,

@@ -552,6 +552,68 @@ object StreamOps {
         col("event_type").as("next_type"), col("ts_us"))
   }
 
+  /** Streaming last-touch attribution: each purchase emits AT INGEST
+    * with the channel it's credited to — the most recent same-user
+    * non-purchase event within `windowMicros`, else "direct" (the
+    * live twin of [[graft.operators.Relational.attributionLastTouch]]
+    * before its per-channel aggregate). State per user = the last
+    * non-purchase (event-time, type) — two scalars, bounded forever;
+    * the fold sorts each micro-batch by (ts, event_id), so emissions
+    * are deterministic for any slicing of the event-time-ordered
+    * stream (the transitionsStream delivery contract).
+    */
+  def attributionStream(events: DataFrame, watermark: String,
+                        windowMicros: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[(Long, Long, String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, String), (Long, Long, Long, String, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, evs, state) =>
+          var last = state.getOption.getOrElse((Long.MinValue, ""))
+          val out = Seq.newBuilder[(Long, Long, Long, String, Double)]
+          for ((_, eid, et, ts, v) <- evs.toSeq.sortBy(e => (e._4, e._2))) {
+            if (et == "purchase") {
+              val ch = if (last._2.nonEmpty && ts - last._1 <= windowMicros)
+                last._2 else "direct"
+              out += ((user, eid, ts, ch, v))
+            } else last = (ts, et)
+          }
+          state.update(last)
+          out.result().iterator
+      }
+      .toDF("user_id", "event_id", "ts_us", "channel", "value")
+  }
+
+  /** Batch twin of [[attributionStream]]: the per-purchase attributed
+    * rows via the same running last(ignoreNulls)-struct window the
+    * aggregated report uses.
+    */
+  def attributionStreamBatch(events: DataFrame, windowMicros: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("prev", last(
+        when(col("event_type") =!= "purchase",
+          struct(col("ts_us").as("pts"), col("event_type").as("ptype"))),
+        ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        when(col("prev").isNotNull &&
+          col("ts_us") - col("prev.pts") <= windowMicros, col("prev.ptype"))
+          .otherwise(lit("direct")).as("channel"),
+        col("value"))
+  }
+
   /** Streaming CDC upsert view: each arriving change that ADVANCES its
     * key's (event-time, event_id) high-water mark emits the key's NEW
     * latest row — the live materialization of

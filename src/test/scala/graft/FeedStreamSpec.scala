@@ -386,6 +386,48 @@ class FeedStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming attribution credits across micro-batch boundaries; window expires") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("attr-in").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(h: Long) = new java.sql.Timestamp(base.getTime + h * 3600000L)
+    // batch 1: user 1 view@0 then purchase@1 (-> view); user 2 click@0
+    val b1 = Seq(
+      (1L, 1L, "view", ts(0), 0.0), (2L, 1L, "purchase", ts(1), 10.0),
+      (3L, 2L, "click", ts(0), 0.0))
+    // batch 2: user 2 purchases at h=2 — the CREDIT crosses the batch
+    // boundary (state carries the click); user 1 purchases at h=30,
+    // 29h after its view -> window expired -> direct
+    val b2 = Seq(
+      (4L, 2L, "purchase", ts(2), 20.0),
+      (5L, 1L, "purchase", ts(30), 30.0))
+    def write(rows: Seq[(Long, Long, String, java.sql.Timestamp, Double)]) =
+      rows.toDF("event_id", "user_id", "event_type", "ts", "value").coalesce(1)
+        .write.mode("append").parquet(dir)
+    write(b1)
+    val schema = b1.toDF("event_id", "user_id", "event_type", "ts", "value").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StreamOps.attributionStream(src, "1 hour", 86400000000L)
+      .writeStream.outputMode("append").format("memory").queryName("attr").start()
+    try {
+      q.processAllAvailable()
+      write(b2)
+      q.processAllAvailable()
+      val got = spark.sql("select user_id, event_id, channel, value from attr").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+      assert(got === Set(
+        (1L, 2L, "view", 10.0),
+        (2L, 4L, "click", 20.0),  // cross-batch credit
+        (1L, 5L, "direct", 30.0)))
+      // emissions equal the gated batch twin on the full replay
+      val twin = StreamOps.attributionStreamBatch(spark.read.parquet(dir), 86400000000L)
+        .select("user_id", "event_id", "channel", "value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+      assert(got === twin)
+    } finally q.stop()
+  }
+
   test("streaming transitions emit each hop once, across micro-batch boundaries") {
     import spark.implicits._
     val dir = Files.createTempDirectory("trans-in").toString
