@@ -1622,6 +1622,30 @@ object OracleSql {
     * tie-break), then a vector is dropped iff a lower-id vector in
     * its cell has rounded cosine >= threshold.
     */
+  /** Corpus kNN graph: the SemDeDup cell assignment + the cell
+    * equi-join + per-vector top-k (cos DESC, nbr).
+    */
+  def annKnnGraph(nCentroids: Int, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $nCentroids),
+       |a0 AS (
+       |  SELECT e.vec_id, e.v, c.cid, ${R("list_cosine_similarity(e.v, c.cv)")} AS ccos
+       |  FROM e CROSS JOIN c),
+       |a1 AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+       |  FROM a0),
+       |asg AS (SELECT vec_id, v, cid AS cell FROM a1 WHERE crank = 1),
+       |pr AS (
+       |  SELECT a.vec_id, b.vec_id AS nbr,
+       |         ${R("list_cosine_similarity(a.v, b.v)")} AS cos
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND b.vec_id != a.vec_id),
+       |rk AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS BIGINT) AS rank
+       |  FROM pr)
+       |SELECT vec_id, nbr, cos, rank FROM rk WHERE rank <= $k
+       |ORDER BY vec_id, rank""".stripMargin
+
   def dedupSemantic(nCentroids: Int, threshold: Double): String =
     // NULL embeddings are excluded on BOTH sides: the Spark operator
     // guards v.isNotNull, so the one-row-per-vector contract means

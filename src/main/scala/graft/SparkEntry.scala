@@ -262,6 +262,12 @@ object SparkEntry {
       Similarity.semanticDedup(Tables.embeddings(s, dir), 16, 0.3)
         .orderBy(col("vec_id"))),
 
+    // corpus-wide kNN graph (top-3 same-cell neighbours per vector):
+    // the batch primitive under graph ANN / graph dedup
+    "ann_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(Tables.embeddings(s, dir), 16, 3)
+        .orderBy(col("vec_id"), col("rank"))),
+
     "lang_id" -> ((s, dir) =>
       TextOps.langId(Tables.documents(s, dir)).orderBy(col("doc_id"))),
 
@@ -1971,6 +1977,7 @@ object SparkEntry {
     "ann_topk" -> OracleSql.annTopK(5, 5),
     "embed_cosine_dup" -> OracleSql.embedCosineDup(0.3),
     "dedup_semantic" -> OracleSql.dedupSemantic(16, 0.3),
+    "ann_knn_graph" -> OracleSql.annKnnGraph(16, 3),
     "lang_id" -> OracleSql.langId,
     "text_quality" -> OracleSql.textQuality,
     "token_count" -> OracleSql.tokenCount,

@@ -214,6 +214,39 @@ object Similarity {
       graft.functions.IvfCell.encode(cents.map(_._1), cents.map(_._2)), threshold)
   }
 
+  /** kNN GRAPH over the whole corpus: for EVERY vector, its k nearest
+    * same-cell neighbours by rounded cosine — the batch primitive
+    * under graph-based ANN (HNSW/NSG build from exactly this),
+    * graph dedup ([[graft.operators.Dedup.connectedComponents]] /
+    * [[graft.operators.Dedup.labelProp]] consume the edges) and
+    * kNN classification. Cell-restricted like SemDeDup: candidates
+    * come from the shared IVF cell, so pair volume is Σ cell² (kept
+    * linear by scaling nCentroids ~√n, the paper regime), never the
+    * corpus square; vectors whose cell has no other member emit no
+    * edges (an honest miss — multi-probe widens recall the same way
+    * it does for search).
+    *
+    * One zero-exchange cell assignment, ONE cell equi-join, then a
+    * per-vector top-k window on the vec_id exchange.
+    */
+  def knnGraph(embeddings: DataFrame, nCentroids: Int, k: Int): DataFrame = {
+    VectorExprs.register(embeddings.sparkSession)
+    val enc = quantizer(embeddings, nCentroids)
+    val assigned = prepared(embeddings)
+      .where(col("v").isNotNull)
+      .withColumn("cell", expr(s"coalesce(graft_ivf_cell(v, '$enc'), -1L)"))
+    val other = assigned.select(col("vec_id").as("nbr"),
+      col("cell").as("cell_b"), col("v").as("vb"), col("norm").as("nb"))
+    val cos = r3(expr("graft_vec_dot(v, vb)") / (col("norm") * col("nb")))
+    assigned.join(other,
+        col("cell") === col("cell_b") && col("nbr") =!= col("vec_id"))
+      .select(col("vec_id"), col("nbr"), cos.as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nbr")))
+        .cast("long"))
+      .where(col("rank") <= k)
+  }
+
   private def semanticDedupWith(embeddings: DataFrame, enc: String,
                                 threshold: Double): DataFrame = {
     // coalesce sentinel: see annIvfTopK — keeps `cell` non-nullable so

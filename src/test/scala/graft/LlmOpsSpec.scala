@@ -407,6 +407,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("containment_b") === 0.667)
   }
 
+  test("knnGraph: neighbours stay inside the cluster, ranked by cosine") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    // two antipodal clusters, ids alternating so the first-2 quantizer
+    // seeds one centroid in each
+    val e = (0L until 12L).map { i =>
+      val sign = if (i % 2 == 0) 1.0f else -1.0f
+      val v = Array.fill(8)(0.02f * rng.nextGaussian().toFloat)
+      v(0) += sign * 2.0f
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val g = Similarity.knnGraph(e, 2, 3).collect()
+    assert(g.nonEmpty)
+    g.foreach { r =>
+      // same-parity neighbours only (cells = the two clusters)
+      assert(r.getLong(0) % 2 === r.getLong(1) % 2, s"cross-cluster edge: $r")
+      assert(r.getAs[Double]("cos") > 0.9)
+    }
+    // every vector gets exactly k = 3 edges (cells have 6 members)
+    g.groupBy(_.getLong(0)).values.foreach(rows => assert(rows.length === 3))
+    assert(g.length === 36)
+  }
+
   test("keepBest keeps the highest-quality member per cluster, min-id on ties") {
     import spark.implicits._
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
