@@ -655,6 +655,35 @@ object Soak {
       // sessionize's exchange + per-session bounded collect + the
       // salted top-k (path vocabulary never globally sorted)
       "path_topk" -> (() => Relational.pathTopK(ev, 1800000000L, 20)),
+      // running last-struct window on the user keying + |channels| agg
+      "attribution_last_touch" -> (() =>
+        Relational.attributionLastTouch(ev, 86400000000L)),
+      // lead window + |types| agg with exact per-type percentiles
+      "dwell_time" -> (() => Relational.dwellStats(ev)),
+      // cell equi-join pair volume = Σcell²; nCentroids scales like
+      // dedup_semantic's so the law stays linear
+      "ann_knn_graph" -> (() => Similarity.knnGraph(emb, 16 * factor, 3)),
+      // forecast chain + per-key sigma scalar join
+      "ts_forecast_intervals" -> (() =>
+        graft.operators.TimeSeries.forecastIntervals(ev, 3, 10, 5)),
+      // the holt fold law with the damped recursion
+      "ts_holt_damped" -> (() => graft.operators.TimeSeries.holtDamped(
+        graft.operators.TimeSeries.resampleDaily(ev), 0.5, 0.3, 0.9, 5)),
+      // pipeline labels + quality projection + per-cluster top-1
+      "dedup_keep_best" -> (() => Dedup.keepBest(
+        Dedup.pipeline(docs, 16, 2, 0.5), TextOps.quality(docs))),
+      // anomaly chain + island window on the same keying
+      "ts_anomaly_runs" -> (() =>
+        graft.operators.TimeSeries.anomalyRuns(ev, 3, 2.0)),
+      // candidate-bounded shingle equi-join (the jaccard law)
+      "dedup_containment" -> (() => {
+        val pairs = docs.select(col("doc_id").as("doc_a"),
+          (col("doc_id") + 1).as("doc_b"))
+        Dedup.containment(Dedup.shingles(docs), pairs)
+      }),
+      // two lag windows on one key exchange
+      "ts_growth_rates" -> (() => graft.operators.TimeSeries.growthRates(
+        graft.operators.TimeSeries.resampleDaily(ev))),
       // q16: the (partkey, suppkey) distinct must collapse MAP-SIDE —
       // replicas duplicate the same associations, so the post-distinct
       // frame stays base-sized while the scan grows factor×
