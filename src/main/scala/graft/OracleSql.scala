@@ -5347,6 +5347,116 @@ object OracleSql {
        |GROUP BY p.p_brand, p.p_size
        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
 
+  /** TPC-H Q2-style min-cost supplier: the correlated per-part min
+    * unit cost (lineitem extprice/qty is this schema's supplycost),
+    * EUROPE suppliers only.
+    */
+  val q2MinCost: String =
+    s"""WITH eu AS (
+       |  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+       |  FROM supplier s
+       |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |  JOIN region r ON n.n_regionkey = r.r_regionkey
+       |  WHERE r.r_name = 'EUROPE'),
+       |cost AS (
+       |  SELECT l.l_partkey, l.l_suppkey,
+       |         MIN(${R("l.l_extendedprice / l.l_quantity", 2)}) AS unit_cost
+       |  FROM lineitem l
+       |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_size = 15
+       |  JOIN eu ON l.l_suppkey = eu.s_suppkey
+       |  GROUP BY 1, 2),
+       |mc AS (SELECT l_partkey, MIN(unit_cost) AS min_cost FROM cost GROUP BY 1)
+       |SELECT eu.s_acctbal, eu.s_name, eu.n_name,
+       |       c.l_partkey AS p_partkey, c.unit_cost
+       |FROM cost c
+       |JOIN mc ON c.l_partkey = mc.l_partkey AND c.unit_cost = mc.min_cost
+       |JOIN eu ON c.l_suppkey = eu.s_suppkey
+       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin
+
+  /** TPC-H Q9-style profit by supplier nation and order year, cost =
+    * 0.6·retailprice per unit (exact-decimal ×10 arithmetic, one
+    * final double division).
+    */
+  val q9Profit: String =
+    s"""SELECT n.n_name AS nation,
+       |       CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+       |       ${R("CAST(SUM(10 * CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2))) - 6 * CAST(p.p_retailprice AS DECIMAL(12,2)) * CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) / 10.0", 2)} AS profit,
+       |       CAST(COUNT(*) AS BIGINT) AS n_lines
+       |FROM lineitem l
+       |JOIN part p ON l.l_partkey = p.p_partkey
+       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |WHERE p.p_name LIKE '%red%'
+       |GROUP BY 1, 2
+       |ORDER BY nation, o_year""".stripMargin
+
+  /** TPC-H Q12-style late-shipment priority split per returnflag
+    * (late = shipped >60 days after order date, ship year 1996).
+    */
+  val q12Priority: String =
+    s"""SELECT l.l_returnflag,
+       |       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       |       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+       |GROUP BY 1
+       |ORDER BY l_returnflag""".stripMargin
+
+  /** TPC-H Q20-style excess-stock suppliers (EUROPE, 'small%' parts,
+    * division-free 2·q96 > qtot threshold).
+    */
+  val q20Excess: String =
+    s"""WITH sp AS (
+       |  SELECT l.l_suppkey, l.l_partkey,
+       |         SUM(CASE WHEN l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |                   AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       |                  THEN CAST(l.l_quantity AS DECIMAL(12,2))
+       |                  ELSE CAST(0 AS DECIMAL(12,2)) END) AS q96,
+       |         SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS qtot
+       |  FROM lineitem l
+       |  JOIN part p ON l.l_partkey = p.p_partkey
+       |  WHERE p.p_name LIKE 'small%'
+       |  GROUP BY 1, 2)
+       |SELECT s.s_name, s.s_acctbal
+       |FROM supplier s
+       |JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |JOIN region r ON n.n_regionkey = r.r_regionkey
+       |WHERE r.r_name = 'EUROPE'
+       |  AND s.s_suppkey IN (SELECT l_suppkey FROM sp WHERE 2 * q96 > qtot)
+       |ORDER BY s_name""".stripMargin
+
+  /** TPC-H Q21-style waiting-order suppliers: the EXISTS / NOT EXISTS
+    * pair stated as per-order supplier/late counts (identical set:
+    * EXISTS other supplier ⟺ n_supp ≥ 2, NOT EXISTS other late
+    * supplier ⟺ n_late = 1 given this supplier is late).
+    */
+  val q21Waiting: String =
+    s"""WITH j AS (
+       |  SELECT l.l_orderkey, l.l_suppkey,
+       |         MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+       |                  THEN 1 ELSE 0 END) AS late
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  WHERE o.o_orderstatus = 'F'
+       |  GROUP BY 1, 2),
+       |st AS (
+       |  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late
+       |  FROM j GROUP BY 1)
+       |SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+       |FROM j
+       |JOIN st ON j.l_orderkey = st.l_orderkey
+       |JOIN supplier s ON j.l_suppkey = s.s_suppkey
+       |JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |JOIN region r ON n.n_regionkey = r.r_regionkey
+       |WHERE j.late = 1 AND st.n_supp >= 2 AND st.n_late = 1
+       |  AND r.r_name = 'EUROPE'
+       |GROUP BY 1
+       |ORDER BY numwait DESC, s_name""".stripMargin
+
   /** Interval-join attribution (stream_join_batch's oracle): each
     * click × the same user's views in the preceding window.
     */

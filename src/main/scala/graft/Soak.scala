@@ -684,6 +684,82 @@ object Soak {
       // two lag windows on one key exchange
       "ts_growth_rates" -> (() => graft.operators.TimeSeries.growthRates(
         graft.operators.TimeSeries.resampleDaily(ev))),
+      // q21: the line volume collapses to per-(order,supplier) flags
+      // map-side; replicas add disjoint orders so the collapsed frame
+      // and the window both grow linearly, never quadratically
+      "q21_waiting" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        val perOrder = Window.partitionBy(col("l_orderkey"))
+        val flagged = scaleLineitem(spark, sfDir, factor)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+          .join(scaleOrders(spark, sfDir, factor)
+              .where(col("o_orderstatus") === "F")
+              .select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(max((col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+            .cast("int")).as("late"))
+          .withColumn("n_supp", count(lit(1)).over(perOrder))
+          .withColumn("n_late", sum(col("late")).over(perOrder))
+        val eu = Tables(spark, sfDir, "supplier")
+          .join(broadcast(Tables(spark, sfDir, "nation")
+              .join(broadcast(Tables(spark, sfDir, "region")
+                  .where(col("r_name") === "EUROPE")),
+                col("n_regionkey") === col("r_regionkey"))
+              .select(col("n_nationkey"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"))
+        flagged.where(col("late") === 1 && col("n_supp") >= 2 && col("n_late") === 1)
+          .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+      }),
+      // q9: cost rides the broadcast part dim; the only event shuffle
+      // is lineitem ⋈ orders — both sides replicate with disjoint
+      // orderkeys, so the join stays linear
+      "q9_profit" -> (() => {
+        val p = Tables(spark, sfDir, "part").where(col("p_name").contains("red"))
+          .select(col("p_partkey"), col("p_retailprice"))
+        val sn = Tables(spark, sfDir, "supplier")
+          .join(broadcast(Tables(spark, sfDir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name"))
+        scaleLineitem(spark, sfDir, factor)
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+          .join(scaleOrders(spark, sfDir, factor)
+              .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name"), col("o_year"))
+          .agg(sum(col("l_extendedprice").cast("decimal(12,2)")).as("rev"),
+            count(lit(1)).as("n_lines"))
+      }),
+      // q2: replicas duplicate the same (part, supplier) associations,
+      // so the cost aggregate collapses map-side to a base-sized frame
+      // and the per-part min broadcast-back is scale-invariant
+      "q2_min_cost" -> (() => {
+        val eu = Tables(spark, sfDir, "supplier")
+          .join(broadcast(Tables(spark, sfDir, "nation")
+              .join(broadcast(Tables(spark, sfDir, "region")
+                  .where(col("r_name") === "EUROPE")),
+                col("n_regionkey") === col("r_regionkey"))
+              .select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+        val p = Tables(spark, sfDir, "part").where(col("p_size") === 15)
+          .select(col("p_partkey"))
+        val cost = scaleLineitem(spark, sfDir, factor)
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(eu.select(col("s_suppkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(floor(col("l_extendedprice") / col("l_quantity") * 100.0 + 0.5001) / 100.0)
+            .as("unit_cost"))
+        val minCost = cost.groupBy(col("l_partkey").as("mk"))
+          .agg(min(col("unit_cost")).as("min_cost"))
+        cost.join(broadcast(minCost),
+            col("l_partkey") === col("mk") && col("unit_cost") === col("min_cost"))
+          .join(broadcast(eu), col("l_suppkey") === eu("s_suppkey"))
+      }),
       // q16: the (partkey, suppkey) distinct must collapse MAP-SIDE —
       // replicas duplicate the same associations, so the post-distinct
       // frame stays base-sized while the scan grows factor×

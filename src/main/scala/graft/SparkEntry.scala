@@ -1907,6 +1907,158 @@ object SparkEntry {
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
     }),
+
+    // TPC-H Q2-style min-cost supplier: per size-15 part, the EUROPE
+    // suppliers achieving the minimum rounded unit cost (extprice/qty
+    // over the lineitem association — this schema's ps_supplycost).
+    // The per-part min is a |parts|-sized frame broadcast back onto
+    // the (part, supplier) costs — Q2's correlated scalar subquery as
+    // one scan + two broadcast joins, never a re-scan per part
+    "q2_min_cost" -> ((s, dir) => {
+      val eu = Tables(s, dir, "supplier")
+        .join(broadcast(Tables(s, dir, "nation")
+            .join(broadcast(Tables(s, dir, "region")
+                .where(col("r_name") === "EUROPE")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val p = Tables(s, dir, "part").where(col("p_size") === 15)
+        .select(col("p_partkey"))
+      val cost = Tables.lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(eu.select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(r2c(col("l_extendedprice") / col("l_quantity"))).as("unit_cost"))
+      val minCost = cost.groupBy(col("l_partkey").as("mk"))
+        .agg(min(col("unit_cost")).as("min_cost"))
+      cost.join(broadcast(minCost),
+          col("l_partkey") === col("mk") && col("unit_cost") === col("min_cost"))
+        .join(broadcast(eu), col("l_suppkey") === eu("s_suppkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("l_partkey").as("p_partkey"), col("unit_cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+    }),
+
+    // TPC-H Q9-style product-line profit by supplier nation and order
+    // year: cost rides the BROADCAST part dim (0.6·retailprice per
+    // unit — this schema's ps_supplycost), so the only event-volume
+    // shuffle is lineitem ⋈ orders on orderkey; the profit sum stays
+    // on exact decimals (×10 keeps the 0.6 fraction integral) until
+    // one final double division
+    "q9_profit" -> ((s, dir) => {
+      val p = Tables(s, dir, "part").where(col("p_name").contains("red"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val sn = Tables(s, dir, "supplier")
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), col("o_year"))
+        .agg(
+          r2c(sum(lit(10) * dec2("l_extendedprice") * (lit(1) - pct2("l_discount"))
+            - lit(6) * dec2("p_retailprice") * dec2("l_quantity")).cast("double") / 10.0)
+            .as("profit"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("nation"), col("o_year"))
+    }),
+
+    // TPC-H Q12-style late-shipment priority split: lines shipped >60
+    // days after their order date in 1996, high- vs low-priority
+    // order counts per returnflag (this schema's shipmode axis); the
+    // ship-year filter pushes to the lineitem scan, the one shuffle is
+    // the orderkey join, the CASE aggregate combines map-side
+    "q12_priority" -> ((s, dir) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+        .join(Tables.orders(s, dir)
+            .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // TPC-H Q20-style excess-stock suppliers: EUROPE suppliers with a
+    // 'small%' part whose 1996 shipments exceed HALF their all-time
+    // shipments (division-free 2·q96 > qtot on exact decimals — the
+    // availqty threshold re-expressed on the lineitem association).
+    // ONE conditional-aggregate scan replaces Q20's nested correlated
+    // subquery; the part filter broadcasts into it, the supplier
+    // semi-join consumes the small aggregated frame
+    "q20_excess" -> ((s, dir) => {
+      val in96 = col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp")
+      val sp = Tables.lineitem(s, dir)
+        .join(broadcast(Tables(s, dir, "part")
+            .where(col("p_name").startsWith("small")).select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(
+          sum(when(in96, dec2("l_quantity")).otherwise(lit(0).cast("decimal(12,2)"))).as("q96"),
+          sum(dec2("l_quantity")).as("qtot"))
+        .where(lit(2) * col("q96") > col("qtot"))
+        .select(col("l_suppkey")).distinct()
+      Tables(s, dir, "supplier")
+        .join(broadcast(Tables(s, dir, "nation")
+            .join(broadcast(Tables(s, dir, "region")
+                .where(col("r_name") === "EUROPE")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(sp, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_name"))
+    }),
+
+    // TPC-H Q21-style suppliers who kept orders waiting: EUROPE
+    // suppliers that were the ONLY late shipper (>90 days after order
+    // date) in a multi-supplier 'F' order. The classic triple
+    // lineitem self-join (l1 ⋉ l2 ▷ l3) collapses to ONE scan: a per-
+    // (order, supplier) late flag (map-side partial agg on the line
+    // volume), then per-order supplier/late counts via a window whose
+    // orderkey exchange re-hashes only the COLLAPSED (order, supplier)
+    // frame — never the line volume, and never a second lineitem scan;
+    // EXISTS ⟺ n_supp ≥ 2, NOT EXISTS ⟺ n_late = 1
+    "q21_waiting" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perOrder = Window.partitionBy(col("l_orderkey"))
+      val flagged = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(Tables.orders(s, dir).where(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max((col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .cast("int")).as("late"))
+        .withColumn("n_supp", count(lit(1)).over(perOrder))
+        .withColumn("n_late", sum(col("late")).over(perOrder))
+      val eu = Tables(s, dir, "supplier")
+        .join(broadcast(Tables(s, dir, "nation")
+            .join(broadcast(Tables(s, dir, "region")
+                .where(col("r_name") === "EUROPE")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      flagged.where(col("late") === 1 && col("n_supp") >= 2 && col("n_late") === 1)
+        .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2177,5 +2329,10 @@ object SparkEntry {
     "q19_disjunctive" -> OracleSql.q19Disjunctive,
     "q7_volume" -> OracleSql.q7Volume,
     "q16_supplier_cnt" -> OracleSql.q16SupplierCnt,
+    "q2_min_cost" -> OracleSql.q2MinCost,
+    "q9_profit" -> OracleSql.q9Profit,
+    "q12_priority" -> OracleSql.q12Priority,
+    "q20_excess" -> OracleSql.q20Excess,
+    "q21_waiting" -> OracleSql.q21Waiting,
   )
 }

@@ -199,4 +199,33 @@ class PlanCensusSpec extends AnyFunSuite {
     assert(pScan.dataFilters.exists(_.toString.toLowerCase.contains("p_brand")),
       s"brand IN must push to the part scan: ${pScan.dataFilters}")
   }
+
+  test("q21: ONE lineitem scan — the EXISTS/NOT-EXISTS pair never re-scans") {
+    val q = SparkEntry.queries("q21_waiting")(spark, dir)
+    val liScans = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.schema.fieldNames.contains("l_suppkey") => f
+    }
+    assert(liScans.size === 1,
+      s"the collapsed Q21 must read lineitem exactly once: ${liScans.size}")
+  }
+
+  test("q20: the correlated subquery collapses to one conditional-agg lineitem scan") {
+    val q = SparkEntry.queries("q20_excess")(spark, dir)
+    val liScans = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.schema.fieldNames.contains("l_quantity") => f
+    }
+    assert(liScans.size === 1,
+      s"both quantity sums must come from one scan: ${liScans.size}")
+  }
+
+  test("q2: the per-part min broadcasts back — no shuffle above the cost aggregate") {
+    val q = SparkEntry.queries("q2_min_cost")(spark, dir)
+    val s = shuffles(q)
+    // one exchange for the (part, supplier) cost aggregate, one for the
+    // |parts|-sized min (tiny input), one for the final orderBy range —
+    // nothing re-shuffles the joined-back cost rows
+    assert(s.size <= 3, s"expected cost agg + parts-min + sort only: ${s.size}")
+  }
 }
