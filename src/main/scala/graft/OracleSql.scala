@@ -3306,6 +3306,50 @@ object OracleSql {
        |GROUP BY x.qid ORDER BY x.qid""".stripMargin
   }
 
+  /** Two-stage IVFPQ rerank: the ADC top-`shortlist` (the full
+    * [[annIvfPq]] chain as a nested derived table) re-scored with the
+    * exact rounded cosine, top-k kept.
+    */
+  def annIvfPqRerank(nCentroids: Int, nCodewords: Int, m: Int,
+                     nQueries: Int, shortlist: Int, k: Int,
+                     dim: Int = 64): String =
+    s"""WITH sl AS (
+       |  SELECT qid, vid FROM (
+       |${annIvfPq(nCentroids, nCodewords, m, nQueries, shortlist, dim)}) x),
+       |e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |       WHERE embedding IS NOT NULL),
+       |q2 AS (SELECT vec_id AS sqid, v AS qv FROM e2 WHERE vec_id < $nQueries),
+       |rr AS (
+       |  SELECT sl.qid, sl.vid, ${R("list_cosine_similarity(e2.v, q2.qv)")} AS cos
+       |  FROM sl JOIN e2 ON e2.vec_id = sl.vid JOIN q2 ON q2.sqid = sl.qid),
+       |rk AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS rank
+       |  FROM rr)
+       |SELECT qid, vid, cos, rank FROM rk WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
+  /** Recall@k of the re-ranked tier vs the exact cosine top-k. */
+  def annIvfPqRerankRecall(nCentroids: Int, nCodewords: Int, m: Int,
+                           nQueries: Int, shortlist: Int, k: Int,
+                           dim: Int = 64): String =
+    s"""WITH approx AS (
+       |  SELECT qid, vid, 1 AS hit FROM (
+       |${annIvfPqRerank(nCentroids, nCodewords, m, nQueries, shortlist, k, dim)}) a),
+       |e3 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |       WHERE embedding IS NOT NULL),
+       |q3 AS (SELECT vec_id AS qid, v AS qv FROM e3 WHERE vec_id < $nQueries),
+       |xs AS (
+       |  SELECT qid, vec_id AS vid, ${R("list_cosine_similarity(qv, v)")} AS cos
+       |  FROM e3 CROSS JOIN q3 WHERE vec_id != qid),
+       |xr AS (
+       |  SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+       |  FROM xs),
+       |exact AS (SELECT qid, vid FROM xr WHERE rank <= $k)
+       |SELECT x.qid, COUNT(*) AS n_exact,
+       |       CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS n_hit,
+       |       ${R("SUM(COALESCE(a.hit, 0)) / COUNT(*)")} AS recall
+       |FROM exact x LEFT JOIN approx a ON x.qid = a.qid AND x.vid = a.vid
+       |GROUP BY x.qid ORDER BY x.qid""".stripMargin
+
   def annTopK(nQueries: Int, k: Int): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),

@@ -1193,6 +1193,19 @@ object SparkEntry {
       Similarity.annIvfPqRecall(Tables.embeddings(s, dir), 16, 16, 4, 5, 5)
         .orderBy(col("qid"))),
 
+    // two-stage serving: ADC shortlist (5x over-retrieve) re-ranked
+    // by exact cosine — the production retrieve-coarse/re-rank-exact
+    // path; shortlist broadcasts back, no corpus shuffle added
+    "ann_ivfpq_rerank" -> ((s, dir) =>
+      Similarity.annIvfPqRerank(Tables.embeddings(s, dir), 16, 16, 4, 5, 25, 5)
+        .orderBy(col("qid"), col("rank"))),
+
+    // measured next to ann_ivfpq_recall so the rerank lift reads as a
+    // table diff (ADC ordering noise removed within the shortlist)
+    "ann_ivfpq_rerank_recall" -> ((s, dir) =>
+      Similarity.annIvfPqRerankRecall(Tables.embeddings(s, dir), 16, 16, 4, 5, 25, 5)
+        .orderBy(col("qid"))),
+
     "ann_recall" -> ((s, dir) =>
       Similarity.annRecall(Tables.embeddings(s, dir), 8, 5, 5)
         .orderBy(col("qid"))),
@@ -2230,6 +2243,8 @@ object SparkEntry {
     "ann_ivfpq_rotated_recall" -> OracleSql.annIvfPqRotatedTrainedRecall(8, 16, 4, 2, 5, 5),
     "pca_power_multi" -> OracleSql.pcaPowerMulti(4),
     "ann_ivfpq_recall" -> OracleSql.annIvfPqRecall(16, 16, 4, 5, 5),
+    "ann_ivfpq_rerank" -> OracleSql.annIvfPqRerank(16, 16, 4, 5, 25, 5),
+    "ann_ivfpq_rerank_recall" -> OracleSql.annIvfPqRerankRecall(16, 16, 4, 5, 25, 5),
     "token_topk" -> OracleSql.tokenTopK(20),
     "token_topk_cms" -> OracleSql.tokenTopKCms(20),
     "ts_outliers_mad" -> OracleSql.outliersMad(3.0),

@@ -1495,6 +1495,60 @@ object Similarity {
         r3(col("n_hit") / col("n_exact")).as("recall"))
   }
 
+  /** TWO-STAGE IVFPQ serving (the production vector-search default —
+    * FAISS's `IndexRefine` / every "retrieve coarse, re-rank exact"
+    * stack): stage 1 takes the top-`shortlist` candidates by ADC
+    * distance from [[annIvfPqTopK]]; stage 2 re-scores ONLY those
+    * candidates with the exact rounded cosine and keeps the top-k.
+    * Re-ranking removes the quantization error inside the shortlist
+    * (the ADC ordering noise), so recall@k approaches the cell-recall
+    * ceiling — what the shortlist's cells contain — at the cost of
+    * `nQueries·shortlist` exact dot products instead of zero.
+    *
+    * Scale plan: the corpus-volume work stays in stage 1's ADC core;
+    * the shortlist (bounded `nQueries·shortlist` rows) BROADCASTS back
+    * onto the embedding scan, so stage 2 adds no corpus shuffle — one
+    * extra scan, one tiny-frame window.
+    */
+  def annIvfPqRerank(embeddings: DataFrame, nCentroids: Int, nCodewords: Int,
+                     m: Int, nQueries: Int, shortlist: Int, k: Int): DataFrame = {
+    require(k <= shortlist,
+      s"annIvfPqRerank: k=$k must be <= shortlist=$shortlist")
+    val sl = annIvfPqTopK(embeddings, nCentroids, nCodewords, m, nQueries, shortlist)
+      .select(col("qid"), col("vid"))
+    val e = prepared(embeddings)
+    val q = prepared(embeddings).where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("sqid"), col("v").as("qv"), col("norm").as("qnorm"))
+    e.join(broadcast(sl), col("vec_id") === col("vid"))
+      .join(broadcast(q), col("qid") === col("sqid"))
+      .select(col("qid"), col("vid"),
+        r3(expr("graft_vec_dot(v, qv)") / (col("norm") * col("qnorm"))).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid")))
+        .cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Recall@k of the re-ranked tier vs the exact cosine top-k — the
+    * honest measurement that the rerank claim (ADC ordering noise
+    * removed, recall ≈ the shortlist's cell-recall ceiling) holds on
+    * THIS corpus, published next to [[annIvfPqRecall]] so the lift is
+    * a table diff.
+    */
+  def annIvfPqRerankRecall(embeddings: DataFrame, nCentroids: Int, nCodewords: Int,
+                           m: Int, nQueries: Int, shortlist: Int, k: Int): DataFrame = {
+    val exact = cosineTopK(embeddings, nQueries, k).select(col("qid"), col("vid"))
+    val approx = annIvfPqRerank(embeddings, nCentroids, nCodewords, m,
+        nQueries, shortlist, k)
+      .select(col("qid"), col("vid"), lit(1).as("hit"))
+    exact.join(approx, Seq("qid", "vid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        r3(col("n_hit") / col("n_exact")).as("recall"))
+  }
+
   // ------------------------------------------------------------------
   // SQ8 scalar quantization: per-dim affine uint8 codes
   // ------------------------------------------------------------------

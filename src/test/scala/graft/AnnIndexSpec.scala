@@ -143,4 +143,26 @@ class AnnIndexSpec extends AnyFunSuite {
       dropIndex("graft_annidx_p")
     }
   }
+
+  test("rerank lifts recall over plain ADC and never exceeds 1.0") {
+    val e = Tables.embeddings(spark, dir)
+    def mean(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(avg(col("recall"))).head.getDouble(0)
+    val plain = mean(Similarity.annIvfPqRecall(e, 16, 16, 4, 5, 5))
+    val rerank = mean(Similarity.annIvfPqRerankRecall(e, 16, 16, 4, 5, 25, 5))
+    assert(rerank >= plain,
+      s"exact re-scoring of a 5x shortlist must not LOSE recall: $rerank < $plain")
+    assert(rerank <= 1.0 + 1e-9)
+  }
+
+  test("rerank output is ordered by exact cosine within each query") {
+    val out = Similarity.annIvfPqRerank(
+      Tables.embeddings(spark, dir), 16, 16, 4, 5, 25, 5).collect()
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getLong(3))
+      val cs = byRank.map(_.getDouble(2))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        s"cosine must be non-increasing in rank: ${cs.mkString(",")}")
+    }
+  }
 }
