@@ -3570,6 +3570,33 @@ object OracleSql {
        |SELECT user_id, day AS cp_day, ${R("diff")} AS cp_shift
        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** Piecewise OLS trend around the per-key changepoint (guarded
+    * covar/var slopes per segment, mirroring TimeSeries.piecewiseTrend).
+    */
+  val piecewiseTrend: String = {
+    val slope = "COVAR_POP(v, t) / NULLIF(VAR_POP(t), 0)"
+    s"""WITH $daily,
+       |d0 AS (
+       |  SELECT user_id, day, v - LAG(v) OVER (PARTITION BY user_id ORDER BY day) AS diff
+       |  FROM daily),
+       |r AS (
+       |  SELECT user_id, day,
+       |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ABS(diff) DESC, day) AS rn
+       |  FROM d0 WHERE diff IS NOT NULL),
+       |cp AS (SELECT user_id, day AS cp_day FROM r WHERE rn = 1),
+       |seg AS (
+       |  SELECT daily.user_id, daily.day, daily.v,
+       |         CASE WHEN daily.day < cp.cp_day THEN 0 ELSE 1 END AS segment,
+       |         CAST(daily.day - DATE '1970-01-01' AS DOUBLE) AS t
+       |  FROM daily JOIN cp ON daily.user_id = cp.user_id)
+       |SELECT user_id, CAST(segment AS BIGINT) AS segment,
+       |       MIN(day) AS seg_start, MAX(day) AS seg_end,
+       |       COUNT(*) AS n_days,
+       |       ${R(slope)} AS slope,
+       |       ${R(s"AVG(v) - (${R(slope)}) * AVG(t)")} AS intercept
+       |FROM seg GROUP BY 1, 2 ORDER BY user_id, segment""".stripMargin
+  }
+
   /** Day-of-week profile of the detrended series (0 = Monday, anchored
     * arithmetic — engine dayofweek conventions differ).
     */

@@ -747,6 +747,12 @@ object SparkEntry {
       TimeSeries.changepoint(TimeSeries.resampleDaily(Tables.events(s, dir)))
         .orderBy(col("user_id"))),
 
+    // Prophet-style piecewise trend: independent guarded-OLS segments
+    // before/after each key's detected level shift
+    "ts_piecewise_trend" -> ((s, dir) =>
+      TimeSeries.piecewiseTrend(TimeSeries.resampleDaily(Tables.events(s, dir)))
+        .orderBy(col("user_id"), col("segment"))),
+
     "ts_seasonal_profile" -> ((s, dir) =>
       TimeSeries.seasonalProfile(
         TimeSeries.detrend(TimeSeries.trend(TimeSeries.resampleDaily(Tables.events(s, dir)), HALF)))
@@ -2179,6 +2185,7 @@ object SparkEntry {
     "ts_cross_corr" -> OracleSql.crossCorr("click", "purchase", 3),
     "text_pii_mask" -> OracleSql.textPiiMask,
     "ts_changepoint" -> OracleSql.changepoint,
+    "ts_piecewise_trend" -> OracleSql.piecewiseTrend,
     "ts_seasonal_profile" -> OracleSql.seasonalProfile(HALF),
     "ts_interp_linear" -> OracleSql.interpolate,
     "ann_ivf" -> OracleSql.annIvf(16, 5, 5),

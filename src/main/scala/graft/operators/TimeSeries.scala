@@ -983,6 +983,44 @@ object TimeSeries {
         count(lit(1)).as("n_days"))
   }
 
+  /** PIECEWISE linear trend around the detected level shift — the
+    * Prophet-style trend model (Taylor & Letham 2018 fit trends
+    * between changepoints; this is the single-changepoint core): each
+    * series splits at its [[changepoint]] day and gets an independent
+    * guarded-OLS slope/intercept per segment, with segment bounds and
+    * length. One global line (18o `ts_fit_linear`) averages away a
+    * regime break; the per-segment pair exposes before/after slopes —
+    * the first diagnostic after 18j flags a shift.
+    *
+    * Series shorter than 2 days have no lag diff, hence no
+    * changepoint, and emit nothing (matching 18j). Segments of one
+    * day have zero t-variance → NULL slope/intercept (the guarded
+    * formulation, same as 18o).
+    *
+    * Scale plan: the changepoint chain is the one daily-volume key
+    * exchange; the |keys|-sized cp frame BROADCASTS back onto the
+    * daily scan, the segment label is a map-side CASE, and the
+    * (key, segment) aggregate combines map-side — nothing re-shuffles
+    * at daily volume.
+    */
+  def piecewiseTrend(daily: DataFrame): DataFrame = {
+    val cp = changepoint(daily).select(col(KEY), col("cp_day"))
+    val slope = covar_pop(col("v"), col("t")) / nullif(var_pop(col("t")), lit(0.0))
+    daily.join(broadcast(cp), Seq(KEY))
+      .withColumn("segment", when(col(DAY) < col("cp_day"), 0L).otherwise(1L))
+      .withColumn("t", datediff(col(DAY), to_date(lit("1970-01-01"))).cast("double"))
+      .groupBy(col(KEY), col("segment"))
+      .agg(
+        min(col(DAY)).as("seg_start"),
+        max(col(DAY)).as("seg_end"),
+        count(lit(1)).as("n_days"),
+        r3(slope).as("slope"),
+        // the slope re-enters ROUNDED: the raw covar/var quotient sits
+        // on engine-specific accumulation order, and one half-boundary
+        // intercept at sf0.1 proved it
+        r3(avg(col("v")) - r3(slope) * avg(col("t"))).as("intercept"))
+  }
+
   /** Theta-method forecast (Assimakopoulos & Nikolopoulos 2000, the
     * M3-competition winner): decompose each series into the OLS
     * theta-0 line and the curvature-doubled theta-2 line

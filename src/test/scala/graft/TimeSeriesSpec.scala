@@ -764,4 +764,36 @@ class TimeSeriesSpec extends AnyFunSuite {
     val expect = math.floor(r.getAs[Double]("mae") / 10.0 * 1000.0 + 0.5001) / 1000.0
     assert(r.getAs[Double]("mase") === expect)
   }
+
+  test("piecewiseTrend: recovers both slopes of a two-regime series; split at the jump") {
+    import spark.implicits._
+    // slope 2 for 10 days, then a +100 level jump with slope -3: the
+    // changepoint is the jump day, segment fits are exact OLS
+    val rows =
+      (0 until 10).map(i => (9L, java.sql.Date.valueOf(s"2024-03-${"%02d".format(i + 1)}"), 2.0 * i)) ++
+      (10 until 20).map(i => (9L, java.sql.Date.valueOf(s"2024-03-${"%02d".format(i + 1)}"), 118.0 - 3.0 * (i - 10)))
+    val out = TimeSeries.piecewiseTrend(rows.toDF("user_id", "day", "v"))
+      .orderBy("segment").collect()
+    assert(out.length === 2)
+    val (pre, post) = (out(0), out(1))
+    assert(pre.getAs[java.sql.Date]("seg_end").toString === "2024-03-10")
+    assert(post.getAs[java.sql.Date]("seg_start").toString === "2024-03-11")
+    assert(pre.getAs[Double]("slope") === 2.0)
+    assert(post.getAs[Double]("slope") === -3.0)
+    assert(pre.getAs[Long]("n_days") === 10L)
+    assert(post.getAs[Long]("n_days") === 10L)
+  }
+
+  test("piecewiseTrend: single-day segment yields NULL slope; 1-day series emits nothing") {
+    import spark.implicits._
+    // user 8: jump on the LAST day → post-segment has one row
+    val rows =
+      (0 until 5).map(i => (8L, java.sql.Date.valueOf(s"2024-03-${"%02d".format(i + 1)}"), 1.0 * i)) ++
+      Seq((8L, java.sql.Date.valueOf("2024-03-06"), 500.0),
+        (7L, java.sql.Date.valueOf("2024-03-01"), 42.0))
+    val out = TimeSeries.piecewiseTrend(rows.toDF("user_id", "day", "v")).collect()
+    assert(!out.exists(_.getLong(0) == 7L), "a 1-day series has no changepoint")
+    val post = out.filter(r => r.getLong(0) == 8L && r.getAs[Long]("segment") == 1L).head
+    assert(post.isNullAt(post.fieldIndex("slope")), "zero t-variance must guard to NULL")
+  }
 }
