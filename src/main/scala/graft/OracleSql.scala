@@ -4587,6 +4587,37 @@ object OracleSql {
        |  (stream_pos + n_tokens - 1) // $budget AS end_seq
        |FROM p ORDER BY doc_id""".stripMargin
 
+  /** Tokenizer-real packing: packSequences with per-doc BPE token
+    * counts from the bpeEncode chain (final-round symbol state).
+    */
+  def packSequencesBpe(budget: Int, nMerges: Int): String =
+    s"""WITH ${bpeCtes(nMerges)},
+       |dt AS (
+       |  SELECT doc_id, ws, UNNEST(generate_series(1, len(ws))) AS i
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |tok AS (
+       |  SELECT dt.doc_id, dt.i,
+       |         CASE WHEN length(dt.ws[dt.i]) = 0 THEN CAST([] AS VARCHAR[])
+       |              ELSE COALESCE(wn.syms, [dt.ws[dt.i]]) END AS toks
+       |  FROM dt LEFT JOIN w$nMerges wn ON wn.w = dt.ws[dt.i]),
+       |bc AS (
+       |  SELECT doc_id, CAST(len(flatten(LIST(toks ORDER BY i))) AS BIGINT) AS n_tokens
+       |  FROM tok GROUP BY doc_id),
+       |s AS (
+       |  SELECT d.doc_id, d.source AS shard, bc.n_tokens
+       |  FROM documents d JOIN bc ON bc.doc_id = d.doc_id),
+       |p AS (
+       |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+       |      PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS stream_pos
+       |  FROM s)
+       |SELECT doc_id, shard, n_tokens,
+       |  stream_pos // $budget AS start_seq,
+       |  stream_pos % $budget AS start_offset,
+       |  (stream_pos + n_tokens - 1) // $budget AS end_seq
+       |FROM p ORDER BY doc_id""".stripMargin
+
   /** Shuffled packing: identical to packSequences but the per-shard
     * stream order is the md5-PRNG key (hex strings compare identically
     * in any engine), doc_id tie-break.
@@ -4922,6 +4953,24 @@ object OracleSql {
        |SELECT CAST(tp AS BIGINT) AS n_pos, CAST(tn AS BIGINT) AS n_neg,
        |       MAX(${R("ABS(CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE) - CAST(cn AS DOUBLE) / CAST(tn AS DOUBLE))")}) AS ks
        |FROM c GROUP BY tp, tn""".stripMargin
+
+  /** F1-optimal threshold of the PR sweep (exact-integer fraction
+    * argmax, higher threshold on ties).
+    */
+  val evalF1Best: String =
+    s"""WITH $scoredCte,
+       |c AS (
+       |  SELECT score AS thresh,
+       |    SUM(np) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+       |    SUM(nn) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+       |    SUM(np) OVER () AS pos_total
+       |  FROM per),
+       |r AS (
+       |  SELECT thresh, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       |         2.0 * tp / (tp + fp + pos_total) AS f1x,
+       |         ROW_NUMBER() OVER (ORDER BY 2.0 * tp / (tp + fp + pos_total) DESC, thresh DESC) AS rn
+       |  FROM c)
+       |SELECT thresh, tp, fp, ${R("f1x")} AS f1 FROM r WHERE rn = 1""".stripMargin
 
   /** Decile calibration table of the scored frame. */
   val evalCalibration: String =

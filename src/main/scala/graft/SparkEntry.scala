@@ -1664,6 +1664,20 @@ object SparkEntry {
       graft.operators.Eval.ks(
         graft.operators.Eval.stopRatioScored(Tables.documents(s, dir)))),
 
+    // the F1-optimal operating point: where to cut the ranking the
+    // PR curve describes (one-row answer beside AUC)
+    "eval_f1_best" -> ((s, dir) =>
+      graft.operators.Eval.f1Best(
+        graft.operators.Eval.stopRatioScored(Tables.documents(s, dir)))),
+
+    // tokenizer-real packing: budget measured in BPE tokens under the
+    // learned merge list, not the whitespace proxy
+    "pack_sequences_bpe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = TextOps.bpeTrainMerges(docs, 8).map(t => (t._2, t._3))
+      TextOps.packSequencesBpe(docs, 512, merges).orderBy(col("doc_id"))
+    }),
+
     // decile calibration (reliability) table of the scored frame
     "eval_calibration" -> ((s, dir) =>
       graft.operators.Eval.calibration(
@@ -2275,6 +2289,8 @@ object SparkEntry {
     "text_lm_score" -> OracleSql.textLmScore,
     "text_filter" -> OracleSql.textFilter(30, 90, 0.15, 0.10),
     "pack_sequences" -> OracleSql.packSequences(512),
+    "pack_sequences_bpe" -> OracleSql.packSequencesBpe(512, 8),
+    "eval_f1_best" -> OracleSql.evalF1Best,
     "pack_token_stream" -> OracleSql.packTokenStream(512),
     "pack_shuffled" -> OracleSql.packShuffled(512, "shuffle"),
     "pack_curriculum" -> OracleSql.packCurriculum(512),

@@ -83,6 +83,37 @@ object Eval {
     * Same collapsed-frame design as [[auc]]: the descending cumulative
     * window runs over distinct scores only.
     */
+  /** The F1-optimal operating point of the [[prCurve]] sweep: the
+    * threshold maximizing F1 = 2·tp/(tp + fp + P) (algebraically
+    * 2PR/(P+R) with fn = P − tp substituted — one fraction of exact
+    * integers, so the argmax ordering is engine-deterministic), ties
+    * broken toward the HIGHER threshold (the stricter classifier).
+    * This is the one-row answer a model card quotes next to AUC: the
+    * curve says how good the ranking is, this says where to cut it.
+    *
+    * Scale plan: same collapsed-frame design as [[auc]] — the corpus
+    * reduces map-side to per-distinct-score counts (≤1001 rows for a
+    * 3-decimal score), and every window runs on the collapsed frame.
+    */
+  def f1Best(scored: DataFrame): DataFrame = {
+    val per = scored.groupBy(col("score").as("thresh")).agg(
+      sum(when(col("label"), 1L).otherwise(0L)).as("np"),
+      sum(when(col("label"), 0L).otherwise(1L)).as("nn"))
+    val cum = Window.orderBy(col("thresh").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.partitionBy()
+    per
+      .withColumn("tp", sum(col("np")).over(cum).cast("long"))
+      .withColumn("fp", sum(col("nn")).over(cum).cast("long"))
+      .withColumn("pos_total", sum(col("np")).over(all).cast("long"))
+      .withColumn("f1x",
+        lit(2.0) * col("tp") / (col("tp") + col("fp") + col("pos_total")))
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("f1x").desc, col("thresh").desc)))
+      .where(col("rn") === 1)
+      .select(col("thresh"), col("tp"), col("fp"), r3(col("f1x")).as("f1"))
+  }
+
   def prCurve(scored: DataFrame): DataFrame = {
     val per = scored.groupBy(col("score").as("thresh")).agg(
       sum(when(col("label"), 1L).otherwise(0L)).as("np"),

@@ -446,6 +446,28 @@ object TextOps {
                     shardCol: String = "source"): DataFrame =
     packCounts(tokenCounts(docs, shardCol), budget)
 
+  /** [[packSequences]] with TOKENIZER-REAL counts: each document's
+    * length is its [[bpeEncode]] token count under the learned merge
+    * list instead of the whitespace proxy — the budget a trainer
+    * actually fills is measured in TOKENIZER tokens, and whitespace
+    * counts under-fill sequences exactly where BPE splits rare words.
+    * Same one-shuffle placement shape; the merge list rides as a
+    * literal in the zero-exchange counting projection (the
+    * [[bpeEncode]] plan), so the tokenizer upgrade costs NO extra
+    * shuffle or scan.
+    */
+  def packSequencesBpe(docs: DataFrame, budget: Int,
+                       merges: Seq[(String, String)],
+                       shardCol: String = "source"): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    val enc = graft.functions.BpeApply.encode(merges)
+      .replace("\\", "\\\\").replace("'", "\\'")
+    val counts = docs.select(col("doc_id"), col(shardCol).as("shard"),
+      expr(s"cast(size(flatten(transform(split(text, ' '), " +
+        s"w -> graft_bpe_apply(w, '$enc')))) as bigint)").as("n_tokens"))
+    packCounts(counts, budget)
+  }
+
   /** Materialize the PACKED TOKEN STREAM from [[packSequences]]'
     * placements — the content a trainer actually consumes: one row per
     * (shard, seq) with the token count and an md5 fingerprint of the

@@ -220,4 +220,24 @@ class EvalSpec extends AnyFunSuite {
     assert(out(1).getAs[Double]("pos_rate") === 0.75)
     assert(out(0).getAs[Double]("mean_score") === 0.25)
   }
+
+  test("f1Best: hand-computed optimum; threshold ties break high") {
+    import spark.implicits._
+    // thresh 0.9: tp=1 fp=0 → f1 = 2/4 = .5; 0.8: tp=2 fp=0 → 4/5 = .8
+    // 0.7: tp=2 fp=1 → 4/6 ≈ .667; 0.6: tp=3 fp=1 → 6/7 ≈ .857  ← best
+    val scored = Seq((0.9, true), (0.8, true), (0.7, false), (0.6, true))
+      .toDF("score", "label")
+    val r = Eval.f1Best(scored).collect().head
+    assert(r.getAs[Double]("thresh") === 0.6)
+    assert(r.getAs[Long]("tp") === 3L)
+    assert(r.getAs[Long]("fp") === 1L)
+    assert(r.getAs[Double]("f1") === math.floor(6.0 / 7.0 * 1000 + 0.5001) / 1000)
+    // all-positive corpus: every threshold has fp=0; f1 strictly grows
+    // with tp, so the best is the LOWEST threshold (tp = P) — and a
+    // genuine tie (two thresholds, same f1) picks the higher one
+    val tie = Seq((0.5, true), (0.5, true), (0.4, false), (0.3, false))
+      .toDF("score", "label")
+    val t = Eval.f1Best(tie).collect().head
+    assert(t.getAs[Double]("thresh") === 0.5 && t.getAs[Double]("f1") === 1.0)
+  }
 }

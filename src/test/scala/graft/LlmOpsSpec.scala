@@ -542,4 +542,30 @@ class LlmOpsSpec extends AnyFunSuite {
     val slope = (out(9) - out(0)) / 9.0
     assert(math.abs(slope - 1.005) < 0.01, s"slope $slope")
   }
+
+  test("packSequencesBpe: lengths are the bpeEncode counts; placements contiguous per shard") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaab aaab", "s0"), (2L, "ab", "s0"), (3L, "aaab xyz aaab", "s0"),
+      (4L, "zz zz zz", "s1"))
+      .toDF("doc_id", "text", "source")
+    val merges = TextOps.bpeTrainMerges(docs, 3).map(t => (t._2, t._3))
+    val enc = TextOps.bpeEncode(docs, merges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val placed = TextOps.packSequencesBpe(docs, 5, merges)
+      .orderBy("doc_id").collect()
+    placed.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") === enc(r.getLong(0)),
+        s"doc ${r.getLong(0)}: packed length must be the tokenizer count")
+    }
+    // within each shard, stream positions tile with no gap or overlap
+    placed.groupBy(_.getAs[String]("shard")).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getLong(0))
+      val pos = ordered.scanLeft(0L)(_ + _.getAs[Long]("n_tokens"))
+      ordered.zip(pos).foreach { case (r, p) =>
+        assert(r.getAs[Long]("start_seq") === p / 5 &&
+          r.getAs[Long]("start_offset") === p % 5)
+      }
+    }
+  }
 }
