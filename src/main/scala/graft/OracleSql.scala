@@ -189,8 +189,9 @@ object OracleSql {
   /** Forecast baseline: history = all but last `horizon` days; forecast
     * = series mean (stub model) + extrapolated trend; joined to actuals.
     */
-  def forecastCtes(half: Int, window: Int, horizon: Int): String =
-    s"""$daily,
+  def forecastCtes(half: Int, window: Int, horizon: Int,
+                   dailyCte: String = daily): String =
+    s"""$dailyCte,
        |numbered AS (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn_end
        |  FROM daily),
@@ -215,6 +216,33 @@ object OracleSql {
   def forecastBaseline(half: Int, window: Int, horizon: Int): String =
     s"""WITH ${forecastCtes(half, window, horizon)}
        |SELECT user_id, day, v_hat, v_actual FROM joined ORDER BY user_id, day""".stripMargin
+
+  /** Rolling-origin backtest: the full forecast chain re-run per fold
+    * over a composite (user·mult + fold) key — fold f drops the last
+    * (f−1)·horizon days before the usual holdout split, so every CTE
+    * of the baseline chain applies verbatim to the synthesized key.
+    */
+  def backtestRolling(half: Int, window: Int, horizon: Int,
+                      nFolds: Int, mult: Long = 1000000L): String = {
+    val foldDaily =
+      s"""rd AS (
+         |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |         ${R("SUM(value)")} AS v
+         |  FROM events GROUP BY 1, 2),
+         |rn0 AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn_end0
+         |  FROM rd),
+         |daily AS (
+         |  SELECT user_id * $mult + f.fold AS user_id, day, v
+         |  FROM rn0 CROSS JOIN generate_series(1, $nFolds) f(fold)
+         |  WHERE rn_end0 > (f.fold - 1) * $horizon)""".stripMargin
+    s"""WITH ${forecastCtes(half, window, horizon, foldDaily)}
+       |SELECT CAST(user_id // $mult AS BIGINT) AS user_id,
+       |       CAST(user_id % $mult AS BIGINT) AS fold,
+       |       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       |       ${R("AVG(ABS(v_hat - v_actual))")} AS mae
+       |FROM joined GROUP BY 1, 2 ORDER BY user_id, fold""".stripMargin
+  }
 
   /** Random-walk prediction intervals: the forecast chain + per-key
     * one-step volatility + `v_hat ± z·σ·√step` bands and the
@@ -1330,6 +1358,31 @@ object OracleSql {
     * rounds over the distinct symmetrized edges, ranks rounded per
     * round exactly like the Spark side.
     */
+  /** Triangle census of the candidate graph (degree, closed
+    * triangles, local clustering coefficient per node).
+    */
+  def dedupTriangles(perms: Int, rowsPerBand: Int): String =
+    s"""WITH ${minhashCtes(perms, rowsPerBand)},
+       |cpairs AS (SELECT DISTINCT doc_a, doc_b FROM cand),
+       |tri AS (
+       |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+       |  FROM cpairs e1
+       |  JOIN cpairs e2 ON e2.doc_a = e1.doc_b
+       |  JOIN cpairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+       |pn AS (
+       |  SELECT doc_id, COUNT(*) AS triangles FROM (
+       |    SELECT UNNEST([a, b, c]) AS doc_id FROM tri) GROUP BY 1),
+       |deg AS (
+       |  SELECT doc_id, COUNT(*) AS degree FROM (
+       |    SELECT UNNEST([doc_a, doc_b]) AS doc_id FROM cpairs) GROUP BY 1)
+       |SELECT deg.doc_id, CAST(deg.degree AS BIGINT) AS degree,
+       |       CAST(COALESCE(pn.triangles, 0) AS BIGINT) AS triangles,
+       |       CASE WHEN deg.degree >= 2
+       |            THEN ${R("2.0 * COALESCE(pn.triangles, 0) / (deg.degree * (deg.degree - 1.0))")}
+       |            END AS clustering
+       |FROM deg LEFT JOIN pn ON pn.doc_id = deg.doc_id
+       |ORDER BY deg.doc_id""".stripMargin
+
   def dedupPageRank(perms: Int, rowsPerBand: Int, iters: Int = 3,
                     damping: Double = 0.85): String = {
     val rounds = (1 to iters).map { t =>
@@ -1691,6 +1744,43 @@ object OracleSql {
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS rank
        |  FROM s)
        |SELECT qid, vid, cos, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
+  /** nprobe tuning table: per-nprobe recall@k of the multi-probe IVF
+    * tier, each branch the standalone probe query nested verbatim.
+    */
+  def annIvfProbeSweep(nCentroids: Int, nQueries: Int, k: Int,
+                       probes: Seq[Int],
+                       pqCodewords: Int = 0, pqM: Int = 0): String = {
+    def branch(tier: String, p: Int, inner: String): String =
+      s"""SELECT '$tier' AS tier, CAST($p AS BIGINT) AS nprobe, x.qid,
+         |       COUNT(*) AS n_exact,
+         |       CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS n_hit,
+         |       ${R("SUM(COALESCE(a.hit, 0)) / COUNT(*)")} AS recall
+         |FROM exact x LEFT JOIN (
+         |  SELECT qid, vid, 1 AS hit FROM (
+         |$inner) ${tier}$p) a
+         |  ON x.qid = a.qid AND x.vid = a.vid
+         |GROUP BY x.qid""".stripMargin
+    val branches = (
+      probes.map(p => branch("ivf", p, annIvfProbe(nCentroids, nQueries, k, p))) ++
+      (if (pqCodewords > 0)
+        probes.map(p => branch("ivfpq", p,
+          annIvfPqProbe(nCentroids, pqCodewords, pqM, nQueries, k, p)))
+      else Nil)
+    ).mkString("\nUNION ALL\n")
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |            WHERE embedding IS NOT NULL),
+       |q0 AS (SELECT vec_id AS qid, v AS qv FROM e0 WHERE vec_id < $nQueries),
+       |xs AS (
+       |  SELECT qid, vec_id AS vid, ${R("list_cosine_similarity(qv, v)")} AS cos
+       |  FROM e0 CROSS JOIN q0 WHERE vec_id != qid),
+       |xr AS (
+       |  SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+       |  FROM xs),
+       |exact AS (SELECT qid, vid FROM xr WHERE rank <= $k)
+       |$branches
+       |ORDER BY tier, nprobe, qid""".stripMargin
+  }
 
   /** Unrolled Lloyd's k-means CTE chain: `c0` = the first-`k` seed
     * codebook, then for i in 1..nIter an assignment CTE `a{i}` (the
@@ -4010,6 +4100,26 @@ object OracleSql {
        |    ${R("len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))")} AS uniq_ratio,
        |    ${R("len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is','on','for'))) / len(string_split(text, ' '))")} AS stop_ratio
        |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Importance sampling: md5 8-hex-digit draw vs the quality score
+    * on the same hex scale (string comparison, engine-portable).
+    */
+  def sampleImportance(seed: String): String =
+    s"""WITH q AS (
+       |  SELECT doc_id, source,
+       |    ${R("alpha_ratio * 0.4 + uniq_ratio * 0.2 + (1.0 - stop_ratio) * 0.2 + CASE WHEN chars BETWEEN 100 AND 400 THEN 0.2 ELSE 0.1 END")} AS score
+       |  FROM (
+       |    SELECT doc_id, source, CAST(length(text) AS BIGINT) AS chars,
+       |      ${R("(length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))) / length(text)")} AS alpha_ratio,
+       |      ${R("len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))")} AS uniq_ratio,
+       |      ${R("len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is','on','for'))) / len(string_split(text, ' '))")} AS stop_ratio
+       |    FROM documents))
+       |SELECT doc_id, source, score,
+       |       substr(MD5(CONCAT('$seed:', CAST(doc_id AS VARCHAR))), 1, 8) AS draw
+       |FROM q
+       |WHERE substr(MD5(CONCAT('$seed:', CAST(doc_id AS VARCHAR))), 1, 8)
+       |      < printf('%08x', CAST(LEAST(FLOOR(score * 4294967296.0), 4294967295.0) AS BIGINT))
        |ORDER BY doc_id""".stripMargin
 
   /** Top-k tf·idf terms per doc — df derived from tf, ln-ulp

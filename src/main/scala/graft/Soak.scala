@@ -684,6 +684,15 @@ object Soak {
       // two lag windows on one key exchange
       "ts_growth_rates" -> (() => graft.operators.TimeSeries.growthRates(
         graft.operators.TimeSeries.resampleDaily(ev))),
+      // wedge volume Σdeg² over the candidate graph — linear while
+      // the LSH document-frequency cap bounds degrees (disjoint
+      // replica shingles keep per-replica graphs identical)
+      "dedup_triangles" -> (() => Dedup.triangles(
+        Dedup.lshCandidatesFast(Dedup.minhashSigs(docs, 16), 2, 16))),
+      // nFolds× fold fan-out over the one resample — the rolling law
+      // is folds × the baseline chain's law
+      "ts_backtest_rolling" -> (() =>
+        graft.operators.TimeSeries.backtestRolling(ev, 3, 10, 5, 3)),
       // q21: the line volume collapses to per-(order,supplier) flags
       // map-side; replicas add disjoint orders so the collapsed frame
       // and the window both grow linearly, never quadratically

@@ -375,6 +375,12 @@ object SparkEntry {
       TimeSeries.winsorize(TimeSeries.resampleDaily(Tables.events(s, dir)), 0.05, 0.95)
         .orderBy(col("user_id"), col("day"))),
 
+    // quality-weighted importance sampling: keep-probability = score,
+    // deterministic md5 acceptance trial (zero-shuffle projection)
+    "sample_importance" -> ((s, dir) =>
+      TextOps.sampleImportance(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
     "sample_stratified" -> ((s, dir) => {
       // strata = document length buckets; longer docs sampled at a
       // higher rate (20/40/60/80% by bucket)
@@ -849,6 +855,14 @@ object SparkEntry {
 
     // PageRank hub scores over the same candidate graph: which member
     // anchors each near-dup neighborhood (boilerplate surfaces first)
+    // triangle census: degree / closed triangles / local clustering
+    // coefficient — the near-clique-vs-chain diagnostic over the
+    // candidate graph
+    "dedup_triangles" -> ((s, dir) =>
+      Dedup.triangles(
+        Dedup.lshCandidatesFast(Dedup.minhashSigs(Tables.documents(s, dir), 16), 2, 16))
+        .orderBy(col("doc_id"))),
+
     "dedup_pagerank" -> ((s, dir) =>
       Dedup.pageRank(
         Dedup.lshCandidatesFast(Dedup.minhashSigs(Tables.documents(s, dir), 16), 2, 16))
@@ -1211,6 +1225,16 @@ object SparkEntry {
     "ann_ivfpq_rerank_recall" -> ((s, dir) =>
       Similarity.annIvfPqRerankRecall(Tables.embeddings(s, dir), 16, 16, 4, 5, 25, 5)
         .orderBy(col("qid"))),
+
+    // the nprobe tuning table, BOTH tiers in one frame: plain IVF
+    // saturates (clustered corpus — neighbours co-cell) while the
+    // composed IVFPQ's recall is non-monotone in nprobe (wider probes
+    // add candidates whose noisy ADC scores crowd out true hits —
+    // exactly the failure the rerank tier removes)
+    "ann_nprobe_sweep" -> ((s, dir) =>
+      Similarity.annIvfProbeSweep(Tables.embeddings(s, dir), 16, 5, 5,
+        Seq(1, 2, 4), pqCodewords = 16, pqM = 4)
+        .orderBy(col("tier"), col("nprobe"), col("qid"))),
 
     "ann_recall" -> ((s, dir) =>
       Similarity.annRecall(Tables.embeddings(s, dir), 8, 5, 5)
@@ -1648,6 +1672,12 @@ object SparkEntry {
     "ts_cusum" -> ((s, dir) =>
       TimeSeries.cusum(TimeSeries.resampleDaily(Tables.events(s, dir)), 0.25, 3.0)
         .orderBy(col("user_id"))),
+
+    // rolling-origin backtest: nFolds honest out-of-sample MAEs per
+    // key (one plan over a composite user-fold key)
+    "ts_backtest_rolling" -> ((s, dir) =>
+      TimeSeries.backtestRolling(Tables.events(s, dir), HALF, SLOPE_W, NY, 3)
+        .orderBy(col("user_id"), col("fold"))),
 
     // MASE: forecast MAE scaled by the history's naive one-step MAE
     "ts_mase" -> ((s, dir) =>
@@ -2184,6 +2214,7 @@ object SparkEntry {
       crostonAlpha = 0.3, tauSparse = 0.8, tauSeason = 0.4, tauTrend = 0.25),
     "ts_backtest_hw" -> OracleSql.backtestHw(0.5, 0.3, 0.4, 7, NY),
     "ts_winsorize" -> OracleSql.winsorize(0.05, 0.95),
+    "sample_importance" -> OracleSql.sampleImportance("importance"),
     "sample_stratified" -> OracleSql.sampleStratified,
     "ts_anomalies" -> OracleSql.anomalies(HALF, 2.0),
     "ts_anomaly_runs" -> OracleSql.anomalyRuns(HALF, 2.0),
@@ -2216,6 +2247,7 @@ object SparkEntry {
     "dedup_jaccard_est" -> OracleSql.dedupJaccardEst(16, 2),
     "dedup_cc" -> OracleSql.dedupCc(16, 2),
     "dedup_pagerank" -> OracleSql.dedupPageRank(16, 2),
+    "dedup_triangles" -> OracleSql.dedupTriangles(16, 2),
     "dedup_labelprop" -> OracleSql.dedupLabelProp(16, 2),
     "q5_region_revenue" -> OracleSql.q5RegionRevenue,
     "q14_promo_share" -> OracleSql.q14PromoShare,
@@ -2229,6 +2261,7 @@ object SparkEntry {
     "ts_seasonal_strength" -> OracleSql.seasonalStrength(HALF),
     "value_histogram" -> OracleSql.valueHistogram(50.0, 10),
     "ann_recall" -> OracleSql.annRecall(8, 5, 5, 64),
+    "ann_nprobe_sweep" -> OracleSql.annIvfProbeSweep(16, 5, 5, Seq(1, 2, 4), pqCodewords = 16, pqM = 4),
     "ann_pq" -> OracleSql.annPq(16, 4, 5, 5),
     "ann_ivfpq" -> OracleSql.annIvfPq(16, 16, 4, 5, 5),
     "ann_sq" -> OracleSql.annSq(5, 5),
@@ -2359,6 +2392,7 @@ object SparkEntry {
     "mmr_rerank" -> OracleSql.mmrRerank(5, 10, 5),
     "pca_power" -> OracleSql.pcaPower(),
     "ts_cusum" -> OracleSql.cusum(0.25, 3.0),
+    "ts_backtest_rolling" -> OracleSql.backtestRolling(HALF, SLOPE_W, NY, 3),
     "ts_mase" -> OracleSql.mase(HALF, SLOPE_W, NY),
     "ts_croston" -> OracleSql.croston(0.3),
     "q13_custdist" -> OracleSql.q13CustDist,

@@ -237,6 +237,43 @@ object Dedup {
     * rank-frame-sized, never edge/corpus volume (same contract as
     * [[connectedComponents]]).
     */
+  /** TRIANGLE census of the candidate graph: per node, its degree,
+    * the triangles it closes, and the local clustering coefficient
+    * 2T/(d(d−1)) — the density diagnostic behind the CC-vs-LPA choice
+    * (a clean template family is near-clique, coefficient → 1; a
+    * chain of accidental pairs has none, coefficient → 0; 28c merges
+    * both, and THIS number says which one you have before you pick a
+    * resolver). Standard node-iterator formulation (Suri & Vassilvitskii
+    * 2011's shape): oriented a<b edges, a wedge join on the shared
+    * middle node, a closing semi-join back to the edge set.
+    *
+    * Scale plan: wedge volume is Σdeg² — bounded because the LSH
+    * candidate generator caps document frequency (the dedup_winnow
+    * lesson); everything downstream of the two joins is map-side
+    * combined. No global state, no iteration.
+    */
+  def triangles(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("doc_a"), col("doc_b")).distinct().localCheckpoint()
+    val tri = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .join(e.select(col("doc_a").as("b2"), col("doc_b").as("c")),
+        col("b") === col("b2"))
+      .join(e.select(col("doc_a").as("a3"), col("doc_b").as("c3")),
+        col("a") === col("a3") && col("c") === col("c3"), "left_semi")
+      .select(col("a"), col("b"), col("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("triangles"))
+    val deg = e
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    deg.join(perNode, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          r3(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - lit(1.0))))).as("clustering"))
+  }
+
   def pageRank(pairs: DataFrame, iters: Int = 3, damping: Double = 0.85): DataFrame = {
     val cpairs = pairs.select(col("doc_a"), col("doc_b")).distinct()
     val edges = cpairs.select(explode(array(

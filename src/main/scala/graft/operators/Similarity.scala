@@ -1495,6 +1495,39 @@ object Similarity {
         r3(col("n_hit") / col("n_exact")).as("recall"))
   }
 
+  /** The nprobe TUNING TABLE: recall@k of the multi-probe IVF tier at
+    * each candidate `nprobe`, in one frame — the curve an operator
+    * reads before fixing the production probe width (FAISS's
+    * `nprobe` sweep; recall is monotone in nprobe, cost is linear in
+    * it, and the knee of THIS corpus's curve is the answer). The
+    * exact top-k computes ONCE (eager checkpoint) and every branch
+    * left-joins it; each branch is the standalone probe tier's plan
+    * verbatim, unioned with its nprobe literal.
+    */
+  def annIvfProbeSweep(embeddings: DataFrame, nCentroids: Int, nQueries: Int,
+                       k: Int, probes: Seq[Int],
+                       pqCodewords: Int = 0, pqM: Int = 0): DataFrame = {
+    require(probes.nonEmpty, "annIvfProbeSweep: need at least one nprobe")
+    val exact = cosineTopK(embeddings, nQueries, k)
+      .select(col("qid"), col("vid")).localCheckpoint()
+    def branch(tier: String, p: Int, approx0: DataFrame): DataFrame = {
+      val approx = approx0.select(col("qid"), col("vid"), lit(1).as("hit"))
+      exact.join(approx, Seq("qid", "vid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(lit(tier).as("tier"), lit(p.toLong).as("nprobe"), col("qid"),
+          col("n_exact"), col("n_hit"),
+          r3(col("n_hit") / col("n_exact")).as("recall"))
+    }
+    val ivf = probes.map(p => branch("ivf", p,
+      annIvfTopKProbe(embeddings, nCentroids, nQueries, k, p)))
+    val pq = if (pqCodewords > 0) probes.map(p => branch("ivfpq", p,
+      annIvfPqTopKProbe(embeddings, nCentroids, pqCodewords, pqM, nQueries, k, p)))
+    else Nil
+    (ivf ++ pq).reduce(_ unionByName _)
+  }
+
   /** TWO-STAGE IVFPQ serving (the production vector-search default —
     * FAISS's `IndexRefine` / every "retrieve coarse, re-rank exact"
     * stack): stage 1 takes the top-`shortlist` candidates by ADC

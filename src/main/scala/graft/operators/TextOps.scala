@@ -90,7 +90,7 @@ object TextOps {
     * stopword density, composite score (reference analogue: the
     * series-cleaning information filter, utils.py:938, applied to text).
     */
-  def quality(docs: DataFrame): DataFrame = {
+  def quality(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val text = col("text")
     val chars = length(text)
     val alpha = chars - length(regexp_replace(text, "[a-z]", ""))
@@ -101,12 +101,12 @@ object TextOps {
     val uniq = size(array_distinct(toks))
     val stop = size(filter(toks, t => t.isInCollection(STOPWORDS)))
     docs.select(
-      col("doc_id"), chars.cast("long").as("chars"),
-      r3(alpha / chars).as("alpha_ratio"),
-      r3(digit / chars).as("digit_ratio"),
-      r3(space / chars).as("space_ratio"),
-      r3(uniq / nt).as("uniq_ratio"),
-      r3(stop / nt).as("stop_ratio"))
+      Seq(col("doc_id"), chars.cast("long").as("chars"),
+        r3(alpha / chars).as("alpha_ratio"),
+        r3(digit / chars).as("digit_ratio"),
+        r3(space / chars).as("space_ratio"),
+        r3(uniq / nt).as("uniq_ratio"),
+        r3(stop / nt).as("stop_ratio")) ++ keep.map(col): _*)
       .withColumn("score", r3(
         col("alpha_ratio") * 0.4 + col("uniq_ratio") * 0.2 +
           (lit(1.0) - col("stop_ratio")) * 0.2 +
@@ -820,6 +820,33 @@ object TextOps {
     * partition size, per-shard budgets make the global budget
     * = Σ shards.
     */
+  /** IMPORTANCE (quality-weighted) sampling — the DCLM/FineWeb-style
+    * curation move: keep each document with probability equal to its
+    * [[quality]] score, so high-quality text survives at full rate
+    * and junk thins out proportionally, WITHOUT the hard cliff of a
+    * threshold filter (41 keeps/drops; this reweights). Acceptance is
+    * a deterministic md5-PRNG trial: the first 8 md5 hex digits of
+    * `seed:doc_id` (a uniform 32-bit draw) compare against the score
+    * mapped to the same 8-hex-digit scale — pure string comparison,
+    * bit-identical in any engine, reproducible across reruns and
+    * partitionings (a `rand()` trial is neither).
+    *
+    * Scale plan: one zero-exchange projection over the scan — the
+    * score, the draw and the accept test are all map-side; no
+    * shuffle anywhere.
+    */
+  def sampleImportance(docs: DataFrame, seed: String = "importance"): DataFrame = {
+    // score ∈ [0,1] by construction; clamp the 32-bit threshold to
+    // 2^32−1 so its hex stays 8 digits (score 1.0 would print 9 and
+    // break the lexicographic compare)
+    val thresh = format_string("%08x",
+      least(floor(col("score") * 4294967296.0), lit(4294967295.0)).cast("long"))
+    quality(docs, Seq("source"))
+      .select(col("doc_id"), col("source"), col("score"),
+        substring(shuffleKey(seed), 1, 8).as("draw"))
+      .where(col("draw") < thresh)
+  }
+
   def sampleTokenBudget(docs: DataFrame, tokenBudget: Long,
                         shardCol: String = "source",
                         seed: String = "budget"): DataFrame = {

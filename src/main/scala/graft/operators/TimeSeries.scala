@@ -1591,6 +1591,47 @@ object TimeSeries {
     resampleDaily(events)
       .withColumn("rn_end", row_number().over(Window.partitionBy(KEY).orderBy(col(DAY).desc)))
 
+  /** ROLLING-ORIGIN backtest of the baseline forecaster (Tashman
+    * 2000's rolling-origin evaluation; the M-competition practice):
+    * fold f trains on the series minus its last f·horizon days and
+    * scores the next `horizon` held-out days — 18ac's single holdout
+    * becomes `nFolds` honest out-of-sample MAEs per key, which is
+    * what separates "got lucky on the last week" from "forecasts
+    * this series".
+    *
+    * Implementation: every fold genuinely re-runs the forecast chain,
+    * but as ONE plan over a synthesized composite key `user·mult +
+    * fold` — fold f keeps rows with rn_end > (f−1)·horizon, re-ranks
+    * by subtraction (no second sort), and the per-(key, fold) series
+    * flows through the SAME [[forecastFromNumbered]] the baseline
+    * gate uses, so per-fold cost is the baseline's cost and the fold
+    * fan-out is nFolds×, not nFolds separate jobs. The oracle applies
+    * the identical chain to the identical synthesized key.
+    */
+  def backtestRolling(events: DataFrame, half: Int, window: Int,
+                      horizon: Int, nFolds: Int,
+                      mult: Long = 1000000L): DataFrame = {
+    require(nFolds >= 1 && nFolds < mult,
+      s"backtestRolling: need 1 <= nFolds < mult, got $nFolds/$mult")
+    val spark = events.sparkSession
+    val folds = spark.range(1, nFolds + 1).select(col("id").as("fold"))
+    val synth = numberedDaily(events)
+      .crossJoin(broadcast(folds))
+      .where(col("rn_end") > (col("fold") - 1) * horizon)
+      .select((col(KEY) * mult + col("fold")).as(KEY), col(DAY), col("v"),
+        (col("rn_end") - (col("fold") - 1) * horizon).cast("int").as("rn_end"))
+      .persist()
+    try {
+      forecastFromNumbered(synth, half, window, horizon)
+        .withColumn("fold", (col(KEY) % mult).cast("long"))
+        .withColumn(KEY, expr(s"$KEY div $mult").cast("long"))
+        .groupBy(col(KEY), col("fold"))
+        .agg(count(lit(1)).as("n_scored"),
+          r3(avg(abs(col("v_hat") - col("v_actual")))).as("mae"))
+        .localCheckpoint()
+    } finally synth.unpersist(blocking = false)
+  }
+
   /** [[forecastBaseline]]'s core over an already-persisted
     * [[numberedDaily]] frame; returns the eager |keys|×horizon
     * checkpoint leaf.

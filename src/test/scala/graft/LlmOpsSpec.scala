@@ -543,6 +543,41 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(math.abs(slope - 1.005) < 0.01, s"slope $slope")
   }
 
+  test("triangles: hand graph — clique corner, bridge, pendant, isolated edge") {
+    import spark.implicits._
+    // triangle {1,2,3}, pendant 4 on node 1, isolated edge {5,6}
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.triangles(pairs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("degree") === 3 && out(1L).getAs[Long]("triangles") === 1)
+    assert(out(1L).getAs[Double]("clustering") === 0.333)
+    assert(out(2L).getAs[Long]("triangles") === 1 && out(2L).getAs[Double]("clustering") === 1.0)
+    assert(out(3L).getAs[Double]("clustering") === 1.0)
+    assert(out(4L).getAs[Long]("triangles") === 0 && out(4L).isNullAt(out(4L).fieldIndex("clustering")))
+    assert(out(5L).getAs[Long]("triangles") === 0 && out(6L).getAs[Long]("degree") === 1)
+  }
+
+  test("sampleImportance: acceptance is the exact md5-vs-score trial, reproducible") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i =>
+      (i, ("word " * (i % 7 + 1).toInt).trim + " the of and", "s" + (i % 3)))
+      .toDF("doc_id", "text", "source")
+    val kept = TextOps.sampleImportance(docs).collect()
+    // recompute each kept row's trial in plain scala
+    val md = java.security.MessageDigest.getInstance("MD5")
+    kept.foreach { r =>
+      val hex = md.digest(s"importance:${r.getLong(0)}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val t = math.min(math.floor(r.getAs[Double]("score") * 4294967296.0), 4294967295.0).toLong
+      assert(hex == r.getAs[String]("draw"))
+      assert(hex < f"$t%08x", s"doc ${r.getLong(0)}: draw $hex must beat ${f"$t%08x"}")
+    }
+    // determinism: a second run returns the identical kept set
+    val again = TextOps.sampleImportance(docs).collect().map(_.getLong(0)).toSet
+    assert(again === kept.map(_.getLong(0)).toSet)
+  }
+
   test("packSequencesBpe: lengths are the bpeEncode counts; placements contiguous per shard") {
     import spark.implicits._
     val docs = Seq(

@@ -765,6 +765,31 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(r.getAs[Double]("mase") === expect)
   }
 
+  test("backtestRolling: a linear series forecasts exactly in every fold") {
+    import spark.implicits._
+    val rows = (0 until 30).flatMap { i =>
+      val d = java.sql.Timestamp.valueOf(f"2024-01-${i % 30 + 1}%02d 12:00:00")
+      Seq((5L, i.toLong, d, "view", 10.0 * i))
+    }.toDF("user_id", "event_id", "ts", "event_type", "value")
+      .withColumn("props", lit("{}"))
+    val out = TimeSeries.backtestRolling(rows, 3, 10, 5, 3).collect()
+    assert(out.length === 3, "three folds per key")
+    assert(out.map(_.getAs[Long]("fold")).sorted.toSeq === Seq(1L, 2L, 3L))
+    out.foreach(r => assert(r.getAs[Long]("n_scored") === 5L))
+    val byFold = out.map(r => r.getAs[Long]("fold") -> r.getAs[Double]("mae")).toMap
+    // every fold must equal the baseline chain run on the fold's
+    // truncated series — rolling-origin ≡ repeated single-origin, by
+    // definition (fold 1's own mae is the MA edge-anchor bias, 15 =
+    // slope·half/2 on this half=3 linear series — shared by both paths)
+    for ((f, cut) <- Seq((1L, "2024-01-31"), (2L, "2024-01-26"), (3L, "2024-01-21"))) {
+      val truncated = rows.where(col("ts") < lit(s"$cut 00:00:00").cast("timestamp"))
+      val base = TimeSeries.metrics(
+        TimeSeries.forecastBaseline(truncated, 3, 10, 5)).collect().head
+      assert(byFold(f) === base.getAs[Double]("mae"),
+        s"fold $f must reproduce the truncated-series baseline")
+    }
+  }
+
   test("piecewiseTrend: recovers both slopes of a two-regime series; split at the jump") {
     import spark.implicits._
     // slope 2 for 10 days, then a +100 level jump with slope -3: the
