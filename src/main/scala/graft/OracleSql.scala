@@ -5064,6 +5064,22 @@ object OracleSql {
        |       MAX(${R("ABS(CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE) - CAST(cn AS DOUBLE) / CAST(tn AS DOUBLE))")}) AS ks
        |FROM c GROUP BY tp, tn""".stripMargin
 
+  /** Grouped-decile gains/lift table over the collapsed score frame. */
+  def evalLift(nBuckets: Int): String =
+    s"""WITH $scoredCte,
+       |c AS (SELECT score, np, np + nn AS n FROM per),
+       |w AS (
+       |  SELECT score, np, n,
+       |    COALESCE(SUM(n) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before,
+       |    SUM(n) OVER () AS total, SUM(np) OVER () AS pos_total
+       |  FROM c)
+       |SELECT LEAST(CAST(FLOOR(before * $nBuckets / total) AS BIGINT), ${nBuckets - 1}) AS bucket,
+       |       CAST(SUM(n) AS BIGINT) AS n,
+       |       CAST(SUM(np) AS BIGINT) AS n_pos,
+       |       ${R("CAST(SUM(np) AS DOUBLE) / MAX(pos_total)")} AS capture,
+       |       ${R("(CAST(SUM(np) AS DOUBLE) / SUM(n)) / (CAST(MAX(pos_total) AS DOUBLE) / MAX(total))")} AS lift
+       |FROM w GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** F1-optimal threshold of the PR sweep (exact-integer fraction
     * argmax, higher threshold on ties).
     */
@@ -5092,6 +5108,64 @@ object OracleSql {
        |       ${R("SUM(score) / COUNT(*)")} AS mean_score,
        |       ${R("SUM(CASE WHEN label THEN 1.0 ELSE 0.0 END) / COUNT(*)")} AS pos_rate
        |FROM x GROUP BY bin ORDER BY bin""".stripMargin
+
+  /** Per-session strict-order funnel: the ladder scoped to
+    * gap-sessions, stage histogram with descending cumulative counts.
+    */
+  def funnelSession(gapMicros: Long, stages: Seq[String]): String = {
+    val rungs = stages.tail.zipWithIndex.map { case (st, i) =>
+      val prev = i + 1
+      val cur = i + 2
+      s"""s$cur AS (
+         |  SELECT e.user_id, e.session_no, MIN(e.ts_us) AS t$cur
+         |  FROM sess e JOIN s$prev p ON p.user_id = e.user_id AND p.session_no = e.session_no
+         |  WHERE e.event_type = '$st' AND e.ts_us > p.t$prev
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val joins = (2 to stages.size).map(i =>
+      s"LEFT JOIN s$i ON s$i.user_id = s1.user_id AND s$i.session_no = s1.session_no")
+      .mkString("\n")
+    val stageSum = (2 to stages.size)
+      .map(i => s"CASE WHEN s$i.t$i IS NOT NULL THEN 1 ELSE 0 END")
+      .foldLeft("1")(_ + " + " + _)
+    val typeCase = stages.zipWithIndex
+      .map { case (st, i) => s"WHEN ${i + 1} THEN '$st'" }.mkString(" ")
+    s"""WITH f AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+       |         CASE WHEN ts_us_prev IS NULL OR epoch_us(ts) - ts_us_prev >= $gapMicros
+       |              THEN 1 ELSE 0 END AS new_session
+       |  FROM (
+       |    SELECT *, LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS ts_us_prev
+       |    FROM events)),
+       |sess AS (
+       |  SELECT user_id, ts_us, event_type,
+       |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+       |  FROM f),
+       |s1 AS (
+       |  SELECT user_id, session_no, MIN(ts_us) AS t1
+       |  FROM sess WHERE event_type = '${stages.head}' GROUP BY 1, 2),
+       |$rungs,
+       |staged AS (
+       |  SELECT s1.user_id, s1.session_no, $stageSum AS stage
+       |  FROM s1
+       |$joins),
+       |h AS (SELECT stage, COUNT(*) AS n FROM staged GROUP BY 1),
+       |sp AS (SELECT UNNEST(generate_series(1, ${stages.size})) AS stage),
+       |hd AS (
+       |  SELECT sp.stage, COALESCE(h.n, 0) AS n
+       |  FROM sp LEFT JOIN h ON h.stage = sp.stage),
+       |c AS (
+       |  SELECT stage,
+       |         SUM(n) OVER (ORDER BY stage DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_sessions,
+       |         SUM(n) OVER () AS n_first
+       |  FROM hd)
+       |SELECT CAST(stage AS BIGINT) AS stage,
+       |       CASE stage $typeCase END AS stage_type,
+       |       CAST(n_sessions AS BIGINT) AS n_sessions,
+       |       ${R("CAST(n_sessions AS DOUBLE) / n_first")} AS rate
+       |FROM c ORDER BY stage""".stripMargin
+  }
 
   /** Per-user session stats over the sessionize recursion. */
   def sessionStats(gapMicros: Long): String =
@@ -5350,7 +5424,7 @@ object OracleSql {
   /** AR(2) Yule-Walker forecast: the acf aggregate + closed-form φ +
     * `horizon` unrolled recursion steps.
     */
-  def arForecast(horizon: Int): String = {
+  def arForecast(horizon: Int, dailyCte: String = daily): String = {
     def corr(l: Int) = {
       val vp = s"CASE WHEN v_l$l IS NOT NULL THEN v END"
       R(s"COVAR_POP($vp, v_l$l) / NULLIF(STDDEV_POP($vp) * STDDEV_POP(v_l$l), 0)")
@@ -5364,7 +5438,7 @@ object OracleSql {
     val out = (1 to horizon).map(s =>
       s"SELECT user_id, last_day + $s AS day, CAST($s AS BIGINT) AS step, phi1, phi2, f$s AS forecast FROM c$horizon")
       .mkString("\nUNION ALL\n")
-    s"""WITH $daily,
+    s"""WITH $dailyCte,
        |l AS (
        |  SELECT user_id, day, v, LAG(v, 1) OVER w AS v_l1, LAG(v, 2) OVER w AS v_l2,
        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn_end
@@ -5384,6 +5458,33 @@ object OracleSql {
        |$steps
        |$out
        |ORDER BY user_id, step""".stripMargin
+  }
+
+  /** ARI(2,1): the AR chain over the first-differenced daily series,
+    * integrated back from the last observed level.
+    */
+  def diffArForecast(horizon: Int): String = {
+    val diffDaily =
+      s"""rdx AS (
+         |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |         ${R("SUM(value)")} AS v
+         |  FROM events GROUP BY 1, 2),
+         |dfx AS (
+         |  SELECT user_id, day,
+         |         ${R("v - LAG(v) OVER (PARTITION BY user_id ORDER BY day)")} AS v
+         |  FROM rdx),
+         |daily AS (SELECT * FROM dfx WHERE v IS NOT NULL)""".stripMargin
+    s"""WITH a AS (SELECT * FROM (
+       |${arForecast(horizon, diffDaily)}) x),
+       |rdy AS (
+       |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+       |         ${R("SUM(value)")} AS v
+       |  FROM events GROUP BY 1, 2),
+       |lv AS (SELECT user_id, ARG_MAX(v, day) AS v_last FROM rdy GROUP BY 1)
+       |SELECT a.user_id, a.day, a.step, a.phi1, a.phi2, a.forecast AS d_hat,
+       |       ${R("lv.v_last + SUM(a.forecast) OVER (PARTITION BY a.user_id ORDER BY a.step)")} AS forecast
+       |FROM a JOIN lv ON lv.user_id = a.user_id
+       |ORDER BY a.user_id, a.step""".stripMargin
   }
 
   /** Whitening-contract audit: stats → diagonal whiten → stats again. */

@@ -693,6 +693,10 @@ object Soak {
       // is folds × the baseline chain's law
       "ts_backtest_rolling" -> (() =>
         graft.operators.TimeSeries.backtestRolling(ev, 3, 10, 5, 3)),
+      // sessionize exchange + shrinking ladder rungs on the
+      // (user, session) keying
+      "funnel_session" -> (() => Relational.funnelSession(
+        ev, 1800000000L, Seq("view", "click", "purchase"))),
       // q21: the line volume collapses to per-(order,supplier) flags
       // map-side; replicas add disjoint orders so the collapsed frame
       // and the window both grow linearly, never quadratically

@@ -1689,6 +1689,13 @@ object SparkEntry {
       TimeSeries.croston(Tables.events(s, dir), 0.3)
         .orderBy(col("user_id"))),
 
+    // ARI(2,1): AR(2) over the first-differenced series, integrated
+    // back from the last observed level (the trending-series fix)
+    "ts_diff_ar" -> ((s, dir) =>
+      TimeSeries.diffArForecast(
+        TimeSeries.resampleDaily(Tables.events(s, dir)), 5)
+        .orderBy(col("user_id"), col("step"))),
+
     // two-sample KS of the stop-ratio feature between classes
     "eval_ks" -> ((s, dir) =>
       graft.operators.Eval.ks(
@@ -1708,11 +1715,26 @@ object SparkEntry {
       TextOps.packSequencesBpe(docs, 512, merges).orderBy(col("doc_id"))
     }),
 
+    // cumulative gains/lift table: grouped deciles (tie-deterministic)
+    // with capture rate and lift over the base rate
+    "eval_lift" -> ((s, dir) =>
+      graft.operators.Eval.liftCurve(
+        graft.operators.Eval.stopRatioScored(Tables.documents(s, dir)))
+        .orderBy(col("bucket"))),
+
     // decile calibration (reliability) table of the scored frame
     "eval_calibration" -> ((s, dir) =>
       graft.operators.Eval.calibration(
         graft.operators.Eval.stopRatioScored(Tables.documents(s, dir)))
         .orderBy(col("bin"))),
+
+    // per-SESSION strict-order funnel: the conversion dashboard metric
+    // (a user-level funnel credits last month's signup; this demands
+    // the journey happened in one sitting)
+    "funnel_session" -> ((s, dir) =>
+      Relational.funnelSession(Tables.events(s, dir), 1800000000L,
+        Seq("view", "click", "purchase"))
+        .orderBy(col("stage"))),
 
     // per-user session behavior report (30-minute gap)
     "session_stats" -> ((s, dir) =>
@@ -2143,6 +2165,7 @@ object SparkEntry {
     "topk_per_group" -> OracleSql.topkPerGroup,
     "ts_asof_join" -> OracleSql.asofJoin,
     "ts_sessionize" -> OracleSql.sessionize(1800000000L),
+    "funnel_session" -> OracleSql.funnelSession(1800000000L, Seq("view", "click", "purchase")),
     "funnel_conversion" -> OracleSql.funnel(Seq("signup", "click", "purchase")),
     "funnel_windowed" -> OracleSql.funnel(Seq("signup", "click", "purchase"),
       maxGapUs = Some(604800000000L)),
@@ -2324,6 +2347,7 @@ object SparkEntry {
     "pack_sequences" -> OracleSql.packSequences(512),
     "pack_sequences_bpe" -> OracleSql.packSequencesBpe(512, 8),
     "eval_f1_best" -> OracleSql.evalF1Best,
+    "eval_lift" -> OracleSql.evalLift(10),
     "pack_token_stream" -> OracleSql.packTokenStream(512),
     "pack_shuffled" -> OracleSql.packShuffled(512, "shuffle"),
     "pack_curriculum" -> OracleSql.packCurriculum(512),
@@ -2393,6 +2417,7 @@ object SparkEntry {
     "pca_power" -> OracleSql.pcaPower(),
     "ts_cusum" -> OracleSql.cusum(0.25, 3.0),
     "ts_backtest_rolling" -> OracleSql.backtestRolling(HALF, SLOPE_W, NY, 3),
+    "ts_diff_ar" -> OracleSql.diffArForecast(5),
     "ts_mase" -> OracleSql.mase(HALF, SLOPE_W, NY),
     "ts_croston" -> OracleSql.croston(0.3),
     "q13_custdist" -> OracleSql.q13CustDist,

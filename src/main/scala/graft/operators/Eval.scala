@@ -83,6 +83,44 @@ object Eval {
     * Same collapsed-frame design as [[auc]]: the descending cumulative
     * window runs over distinct scores only.
     */
+  /** Cumulative GAINS / LIFT table (the campaign-targeting view of
+    * the ranking: "mail the top decile, capture X% of responders at
+    * Y× the base rate"): rank by score descending, cut into
+    * `nBuckets` grouped deciles, and report each bucket's positive
+    * capture rate and lift over the corpus base rate. Buckets are
+    * assigned at DISTINCT-SCORE granularity (a score group lands
+    * wholly in the bucket its first row falls in) — NTILE over raw
+    * rows is tie-order-dependent and engine-ambiguous; grouped
+    * deciles are deterministic and honest about ties.
+    *
+    * Scale plan: the same collapsed-frame design as [[auc]] — the
+    * corpus reduces map-side to per-distinct-score counts and every
+    * window runs post-collapse.
+    */
+  def liftCurve(scored: DataFrame, nBuckets: Int = 10): DataFrame = {
+    val per = scored.groupBy(col("score")).agg(
+      sum(when(col("label"), 1L).otherwise(0L)).as("np"),
+      count(lit(1)).as("n"))
+    val cumBefore = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.partitionBy()
+    per
+      .withColumn("before", coalesce(sum(col("n")).over(cumBefore), lit(0L)))
+      .withColumn("total", sum(col("n")).over(all))
+      .withColumn("pos_total", sum(col("np")).over(all))
+      .withColumn("bucket",
+        least(floor(col("before") * lit(nBuckets) / col("total")),
+          lit(nBuckets - 1)).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("n")).cast("long").as("n"),
+        sum(col("np")).cast("long").as("n_pos"),
+        max(col("total")).as("total"), max(col("pos_total")).as("pos_total"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        r3(col("n_pos").cast("double") / col("pos_total")).as("capture"),
+        r3((col("n_pos").cast("double") / col("n")) /
+          (col("pos_total").cast("double") / col("total"))).as("lift"))
+  }
+
   /** The F1-optimal operating point of the [[prCurve]] sweep: the
     * threshold maximizing F1 = 2·tp/(tp + fp + P) (algebraically
     * 2PR/(P+R) with fn = P − tp substituted — one fraction of exact

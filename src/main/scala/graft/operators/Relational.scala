@@ -66,6 +66,71 @@ object Relational {
         (floor(sum(col("value")) * 1000.0 + 0.5001) / 1000.0).as("sum_value"))
   }
 
+  /** PER-SESSION strict-order funnel: the [[funnel]] ladder scoped to
+    * gap-sessions instead of users — "did this VISIT sign up, click,
+    * purchase in order", the product metric behind every conversion
+    * dashboard (a user-level funnel credits a purchase to a signup
+    * from last month; a session funnel demands the journey happened
+    * in one sitting). Output: one row per stage with the stage type,
+    * sessions reaching ≥ that stage, and the conversion rate vs
+    * stage 1.
+    *
+    * Scale plan: the session numbering is the one user-key window
+    * exchange ([[sessionize]]'s flag chain); each ladder rung is a
+    * min-timestamp aggregate on the (user, session) keying joined
+    * back — rung frames shrink monotonically (only surviving sessions
+    * advance); the final stage histogram collapses to ≤ |stages| rows
+    * map-side and the cumulative window runs on that dimension-sized
+    * frame.
+    */
+  def funnelSession(events: DataFrame, gapMicros: Long,
+                    stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, s"funnelSession: need at least 2 stages, got $stages")
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val sess = events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+      .withColumn("new_session",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) >= gapMicros, 1)
+          .when(lag(col("ts_us"), 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_no", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("user_id"), col("session_no"), col("ts_us"), col("event_type"))
+    val keys = Seq("user_id", "session_no")
+    val first = sess.where(col("event_type") === stages.head)
+      .groupBy(keys.map(col): _*).agg(min(col("ts_us")).as("t1_us"))
+    val laddered = stages.tail.zipWithIndex.foldLeft(first) { case (acc, (st, i)) =>
+      val prev = s"t${i + 1}_us"
+      val cur = s"t${i + 2}_us"
+      val nxt = sess.where(col("event_type") === st)
+        .join(acc.select((keys.map(col) :+ col(prev)): _*), keys)
+        .where(col("ts_us") > col(prev))
+        .groupBy(keys.map(col): _*).agg(min(col("ts_us")).as(cur))
+      acc.join(nxt, keys, "left_outer")
+    }
+    val staged = laddered.withColumn("stage",
+      stages.indices.map(i =>
+        when(col(s"t${i + 1}_us").isNotNull, 1L).otherwise(0L)).reduce(_ + _))
+    val hist = staged.groupBy(col("stage")).agg(count(lit(1)).as("n"))
+    // densify over the full 1..n stage spine: a stage no session
+    // STOPPED at must still appear with its pass-through count
+    val spine = events.sparkSession.range(1, stages.size + 1)
+      .select(col("id").as("stage"))
+    val cum = Window.orderBy(col("stage").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.partitionBy()
+    spine.join(hist, Seq("stage"), "left_outer")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("n_sessions", sum(col("n")).over(cum).cast("long"))
+      .withColumn("n_first", sum(col("n")).over(all).cast("long"))
+      .select(col("stage"),
+        element_at(
+          array(stages.map(lit): _*), col("stage").cast("int")).as("stage_type"),
+        col("n_sessions"),
+        r3(col("n_sessions").cast("double") / col("n_first")).as("rate"))
+  }
+
   /** Last-touch attribution: each purchase is credited to the most
     * recent NON-purchase event of the same user within
     * `windowMicros` (else "direct") — the classic marketing

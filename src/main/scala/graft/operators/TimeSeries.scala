@@ -876,6 +876,36 @@ object TimeSeries {
         col("phi1"), col("phi2"), col("col").as("forecast"))
   }
 
+  /** ARI(2,1) forecast — [[arForecast]] on the FIRST-DIFFERENCED
+    * series, integrated back (the "I" of ARIMA): trending series
+    * violate AR's stationarity assumption, differencing removes the
+    * unit root, and the level forecast is the last observed value
+    * plus the cumulative differenced forecast. Emits both the
+    * differenced step forecasts (`d_hat`) and the integrated level
+    * (`forecast`) so the decomposition is auditable.
+    *
+    * Scale plan: one lag window on the key exchange produces the
+    * differences; the AR chain is 18as's single aggregate pass; the
+    * integration is a per-key cumulative window over `horizon` rows
+    * joined with a |keys|-sized last-value frame. Summation order in
+    * the integration window is fixed (by step), so the rounded sum is
+    * engine-identical.
+    */
+  def diffArForecast(daily: DataFrame, horizon: Int): DataFrame = {
+    val diffed = daily
+      .withColumn("d", r3(col("v") - lag(col("v"), 1).over(wOrdered)))
+      .where(col("d").isNotNull)
+      .select(col(KEY), col(DAY), col("d").as("v"))
+    val lastV = daily.groupBy(col(KEY)).agg(max_by(col("v"), col(DAY)).as("v_last"))
+    arForecast(diffed, horizon)
+      .join(lastV, KEY)
+      .withColumn("cum_d", sum(col("forecast")).over(
+        Window.partitionBy(col(KEY)).orderBy(col("step"))))
+      .select(col(KEY), col(DAY), col("step"), col("phi1"), col("phi2"),
+        col("forecast").as("d_hat"),
+        r3(col("v_last") + col("cum_d")).as("forecast"))
+  }
+
   /** Partial autocorrelation at lags 1–3 per key, via the
     * Durbin–Levinson recursion unrolled to closed forms over the
     * [[acf]] estimates (the AR-order diagnostic that separates direct

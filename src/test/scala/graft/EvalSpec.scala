@@ -221,6 +221,44 @@ class EvalSpec extends AnyFunSuite {
     assert(out(0).getAs[Double]("mean_score") === 0.25)
   }
 
+  test("funnelSession: conversions must happen within ONE sitting; order is strict") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Long) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    val ev = Seq(
+      // user 1, session A: view -> click -> purchase, all in order
+      (1L, 1L, ts(0), "view"), (1L, 2L, ts(1), "click"), (1L, 3L, ts(2), "purchase"),
+      // user 1, session B (2h later): view only
+      (1L, 4L, ts(150), "view"),
+      // user 2, one session: click BEFORE view — strict order stops at view
+      (2L, 5L, ts(0), "click"), (2L, 6L, ts(1), "view"),
+      // user 3: view in one session, click in the NEXT — must NOT convert
+      (3L, 7L, ts(0), "view"), (3L, 8L, ts(200), "click"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+      .withColumn("value", lit(1.0))
+    val out = Relational.funnelSession(ev, 1800000000L, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_sessions")).toMap
+    // sessions with a view: 1A, 1B, 2's, 3's first, 3's second? (3's
+    // second session has only click -> no stage 1) = 4 sessions
+    assert(out(1L) === 4L, s"stage-1 sessions: $out")
+    assert(out(2L) === 1L, "only 1A clicks after viewing in-session")
+    assert(out(3L) === 1L, "only 1A purchases")
+  }
+
+  test("liftCurve: top-decile capture and lift on a hand frame; whole score groups per bucket") {
+    import spark.implicits._
+    // 10 distinct scores, positives at the top 3 scores
+    val scored = (1 to 10).map(i => (i / 10.0, i >= 8)).toDF("score", "label")
+    val out = Eval.liftCurve(scored).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 10)
+    // bucket 0 = the single top score: capture 1/3, lift (1/1)/(3/10)
+    assert(out(0L).getAs[Long]("n_pos") === 1L)
+    assert(out(0L).getAs[Double]("capture") === 0.333)
+    assert(out(0L).getAs[Double]("lift") === 3.333)
+    assert(out(9L).getAs[Long]("n_pos") === 0L && out(9L).getAs[Double]("lift") === 0.0)
+  }
+
   test("f1Best: hand-computed optimum; threshold ties break high") {
     import spark.implicits._
     // thresh 0.9: tp=1 fp=0 → f1 = 2/4 = .5; 0.8: tp=2 fp=0 → 4/5 = .8

@@ -745,6 +745,37 @@ class TimeSeriesSpec extends AnyFunSuite {
     out.foreach(r => assert(math.abs(r.getAs[Double]("forecast") - 50.0) < 10.0))
   }
 
+  test("diffArForecast: recovers AR(2) structure of the DIFFERENCES; integration is the running sum") {
+    import spark.implicits._
+    def d(i: Int) = java.sql.Date.valueOf(
+      s"2024-${"%02d".format(i / 28 + 1)}-${"%02d".format(i % 28 + 1)}")
+    // a random walk whose INCREMENTS are the arForecast spec's AR(2):
+    // the level series is non-stationary, the differenced one isn't
+    val rng = new scala.util.Random(3)
+    val n = 200
+    val ds = new Array[Double](n)
+    ds(0) = 50.0; ds(1) = 50.0
+    for (t <- 2 until n)
+      ds(t) = 50.0 + 0.6 * (ds(t - 1) - 50.0) + 0.2 * (ds(t - 2) - 50.0) + rng.nextGaussian()
+    val xs = ds.scanLeft(0.0)(_ + _).tail // cumulative level
+    val rows = (0 until n).map(i => (1L, d(i), xs(i)))
+    val out = TimeSeries.diffArForecast(rows.toDF("user_id", "day", "v"), 3)
+      .orderBy("step").collect()
+    assert(out.length === 3)
+    val phi1 = out.head.getAs[Double]("phi1")
+    assert(math.abs(phi1 - 0.6) < 0.2, s"phi1 of the increments: $phi1")
+    // the level forecast is last + running sum of the d_hats (rounded)
+    val last = xs.last
+    var cum = 0.0
+    out.foreach { r =>
+      cum += r.getAs[Double]("d_hat")
+      val expect = math.floor((last + cum) * 1000 + 0.5001) / 1000
+      assert(r.getAs[Double]("forecast") === expect)
+    }
+    // the level series itself keeps trending up, not mean-relaxing
+    assert(out.last.getAs[Double]("forecast") > last + 100.0)
+  }
+
   test("mase: exact naive scale on a line, and the ratio is the rounded mae/naive_mae") {
     import spark.implicits._
     // linear series: v = 10·t over 30 days → the naive one-step scale
