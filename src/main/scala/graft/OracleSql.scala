@@ -1089,6 +1089,30 @@ object OracleSql {
        |FROM fmae f JOIN nmae n ON f.user_id = n.user_id
        |ORDER BY f.user_id""".stripMargin
 
+  /** Syntetos–Boylan demand classification: ADI = last demand
+    * position / n, CV² = var/mean² of daily counts, cut at the
+    * published (1.32, 0.49) boundaries on the ROUNDED stats.
+    */
+  def demandClassify: String =
+    s"""WITH d0 AS (
+       |  SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS d0
+       |  FROM events GROUP BY 1),
+       |dem AS (
+       |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+       |         CAST(COUNT(*) AS DOUBLE) AS n
+       |  FROM events GROUP BY 1, 2),
+       |st AS (
+       |  SELECT d.user_id, CAST(COUNT(*) AS BIGINT) AS n_demands,
+       |         ${R("MAX(date_diff('day', d0.d0, d.day) + 1) * 1.0 / COUNT(*)")} AS adi,
+       |         ${R("VAR_POP(n) / (AVG(n) * AVG(n))")} AS cv2
+       |  FROM dem d JOIN d0 USING (user_id) GROUP BY 1)
+       |SELECT user_id, n_demands, adi, cv2,
+       |       CASE WHEN adi < 1.32 AND cv2 < 0.49 THEN 'smooth'
+       |            WHEN adi >= 1.32 AND cv2 < 0.49 THEN 'intermittent'
+       |            WHEN adi < 1.32 THEN 'erratic'
+       |            ELSE 'lumpy' END AS demand_class
+       |FROM st ORDER BY user_id""".stripMargin
+
   /** Croston's intermittent-demand method: dense purchase-count spine,
     * two SES recursions (sizes / intervals) in one recursive CTE with
     * the EwmaFold arithmetic (`acc·(1−α) + x·α`, 1−α precomputed).
@@ -1793,14 +1817,16 @@ object OracleSql {
     * assumed (COUNT(*) per (cell, d) = cluster size).
     */
   private def kmeansCtes(k: Int, nIter: Int, dim: Int,
-                         src: String = "e", withE: Boolean = true): String = {
+                         src: String = "e", withE: Boolean = true,
+                         c0Sql: String = ""): String = {
     val sb = new StringBuilder
     if (withE) sb.append(
       s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
          |      WHERE embedding IS NOT NULL),
          |""".stripMargin)
     sb.append(
-      s"""c0 AS (SELECT vec_id AS cid, v AS cv FROM $src WHERE vec_id < $k)""".stripMargin)
+      if (c0Sql.nonEmpty) c0Sql
+      else s"""c0 AS (SELECT vec_id AS cid, v AS cv FROM $src WHERE vec_id < $k)""".stripMargin)
     for (i <- 1 to nIter) {
       sb.append(
         s""",
@@ -1828,6 +1854,42 @@ object OracleSql {
     */
   def kmeansFit(k: Int, nIter: Int, dim: Int = 64): String =
     s"""WITH ${kmeansCtes(k, nIter, dim)}
+       |SELECT cell AS cid, MAX(n) AS n, ${R("SUM((d+1) * cd)")} AS checksum
+       |FROM m$nIter GROUP BY cell ORDER BY cid""".stripMargin
+
+  /** Deterministic maximin (k-means++-style) seed chain ending in the
+    * `c0` CTE: seed 1 = lowest vec_id; each round takes the argmin of
+    * the r3'd max-cosine to the seeds so far, ties to the lowest
+    * vec_id. Seed CTEs are MATERIALIZED — each is referenced twice
+    * per round (the BPE-oracle planner lesson).
+    */
+  private def maximinCtes(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""mm1 AS MATERIALIZED (
+         |  SELECT vec_id AS cid, v AS cv FROM e
+         |  WHERE vec_id = (SELECT MIN(vec_id) FROM e))""".stripMargin)
+    for (j <- 2 to k) {
+      sb.append(s""",
+         |mp$j AS (
+         |  SELECT e.vec_id, ${R("MAX(list_cosine_similarity(e.v, s.cv))")} AS simmax
+         |  FROM e CROSS JOIN mm${j - 1} s
+         |  WHERE e.vec_id NOT IN (SELECT cid FROM mm${j - 1})
+         |  GROUP BY e.vec_id),
+         |mm$j AS MATERIALIZED (
+         |  SELECT * FROM mm${j - 1}
+         |  UNION ALL
+         |  SELECT e2.vec_id AS cid, e2.v AS cv FROM e e2
+         |  WHERE e2.vec_id = (SELECT vec_id FROM mp$j ORDER BY simmax ASC, vec_id LIMIT 1))""".stripMargin)
+    }
+    sb.append(s""",
+       |c0 AS (SELECT cid, cv FROM mm$k)""".stripMargin)
+    sb.toString
+  }
+
+  /** kmeans_fit from the maximin seeds — the Lloyd chain unchanged. */
+  def kmeansFitMaximin(k: Int, nIter: Int, dim: Int = 64): String =
+    s"""WITH ${kmeansCtes(k, nIter, dim, c0Sql = maximinCtes(k))}
        |SELECT cell AS cid, MAX(n) AS n, ${R("SUM((d+1) * cd)")} AS checksum
        |FROM m$nIter GROUP BY cell ORDER BY cid""".stripMargin
 
@@ -3440,6 +3502,52 @@ object OracleSql {
        |FROM exact x LEFT JOIN approx a ON x.qid = a.qid AND x.vid = a.vid
        |GROUP BY x.qid ORDER BY x.qid""".stripMargin
 
+  /** Matryoshka two-stage: prefix-dim cosine shortlist, full-dim
+    * exact rerank (the annIvfPqRerank tail on a truncated stage 1).
+    */
+  def annMatryoshka(pDims: Int, nQueries: Int, shortlist: Int, k: Int): String =
+    s"""WITH t AS (SELECT vec_id, (CAST(embedding AS DOUBLE[]))[1:$pDims] AS tv
+       |           FROM embeddings WHERE embedding IS NOT NULL),
+       |tq AS (SELECT vec_id AS qid, tv AS tqv FROM t WHERE vec_id < $nQueries),
+       |tsc AS (
+       |  SELECT qid, vec_id AS vid, ${R("list_cosine_similarity(tqv, tv)")} AS tcos
+       |  FROM t CROSS JOIN tq WHERE vec_id != qid),
+       |trk AS (
+       |  SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY tcos DESC, vid) AS rk
+       |  FROM tsc),
+       |sl AS (SELECT qid, vid FROM trk WHERE rk <= $shortlist),
+       |e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |       WHERE embedding IS NOT NULL),
+       |q2 AS (SELECT vec_id AS sqid, v AS qv FROM e2 WHERE vec_id < $nQueries),
+       |rr AS (
+       |  SELECT sl.qid, sl.vid, ${R("list_cosine_similarity(e2.v, q2.qv)")} AS cos
+       |  FROM sl JOIN e2 ON e2.vec_id = sl.vid JOIN q2 ON q2.sqid = sl.qid),
+       |rk2 AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS rank
+       |  FROM rr)
+       |SELECT qid, vid, cos, rank FROM rk2 WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
+  /** Recall@k of the Matryoshka tier vs the exact cosine top-k. */
+  def annMatryoshkaRecall(pDims: Int, nQueries: Int, shortlist: Int, k: Int): String =
+    s"""WITH approx AS (
+       |  SELECT qid, vid, 1 AS hit FROM (
+       |${annMatryoshka(pDims, nQueries, shortlist, k)}) a),
+       |e3 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |       WHERE embedding IS NOT NULL),
+       |q3 AS (SELECT vec_id AS qid, v AS qv FROM e3 WHERE vec_id < $nQueries),
+       |xs AS (
+       |  SELECT qid, vec_id AS vid, ${R("list_cosine_similarity(qv, v)")} AS cos
+       |  FROM e3 CROSS JOIN q3 WHERE vec_id != qid),
+       |xr AS (
+       |  SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+       |  FROM xs),
+       |exact AS (SELECT qid, vid FROM xr WHERE rank <= $k)
+       |SELECT x.qid, COUNT(*) AS n_exact,
+       |       CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS n_hit,
+       |       ${R("SUM(COALESCE(a.hit, 0)) / COUNT(*)")} AS recall
+       |FROM exact x LEFT JOIN approx a ON x.qid = a.qid AND x.vid = a.vid
+       |GROUP BY x.qid ORDER BY x.qid""".stripMargin
+
   def annTopK(nQueries: Int, k: Int): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
@@ -4180,6 +4288,132 @@ object OracleSql {
        |       CAST(CASE WHEN COALESCE(h.hits, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
        |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  // z and z² for the 95% interval — z² inlined from the same Scala
+  // double the Spark side uses (1.96² ≠ 3.8416 in IEEE)
+  private val AB_Z = "1.96"
+  private val AB_Z2 = (1.96 * 1.96).toString
+  private val AB_ARM =
+    "CAST(CAST(CONCAT('0x', SUBSTR(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS INT)"
+
+  /** Hashing-trick features: md5 bucket + independent md5 sign bit,
+    * signed integer counts per (user, bucket).
+    */
+  def featureHash(b: Int): String =
+    s"""WITH f AS (
+       |  SELECT user_id, UNNEST(['et:' || event_type,
+       |                          -- Spark dayofweek is 1-based Sunday-first; DuckDB 0-based
+       |                          'dow:' || CAST(dayofweek(ts) + 1 AS VARCHAR)]) AS feat
+       |  FROM events),
+       |h AS (
+       |  SELECT user_id,
+       |         CAST(CONCAT('0x', SUBSTR(md5(feat), 1, 8)) AS BIGINT) % $b AS bucket,
+       |         CAST(CONCAT('0x', SUBSTR(md5(feat), 9, 1)) AS BIGINT) % 2 * 2 - 1 AS sign
+       |  FROM f)
+       |SELECT user_id, bucket, CAST(SUM(sign) AS BIGINT) AS v
+       |FROM h GROUP BY 1, 2 ORDER BY user_id, bucket""".stripMargin
+
+  /** Two-arm A/B readout: md5 arm split, Wilson 95% intervals, pooled
+    * two-proportion z — integer-count inputs, so exact by construction.
+    */
+  def abLift(convType: String, minEvents: Int = 1): String = {
+    def p(a: String) = s"(conv_$a / n_$a)"
+    def wilson(a: String, sign: String) =
+      s"(${p(a)} + $AB_Z2 / (2.0 * n_$a)) / (1.0 + $AB_Z2 / n_$a) $sign " +
+        s"$AB_Z * sqrt(${p(a)} * (1.0 - ${p(a)}) / n_$a + $AB_Z2 / (4.0 * n_$a * n_$a)) / (1.0 + $AB_Z2 / n_$a)"
+    val pp = "((conv_a + conv_b) / (n_a + n_b))"
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |         CASE WHEN SUM(CASE WHEN event_type = '$convType' THEN 1 ELSE 0 END)
+       |                   >= $minEvents THEN 1 ELSE 0 END AS converted
+       |  FROM events GROUP BY 1),
+       |au AS (SELECT $AB_ARM AS arm, converted FROM pu),
+       |arms AS (
+       |  SELECT arm, COUNT(*) AS n, SUM(converted) AS cv FROM au GROUP BY 1),
+       |m AS (
+       |  SELECT CAST(SUM(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_a,
+       |         CAST(SUM(CASE WHEN arm = 0 THEN cv END) AS BIGINT) AS conv_a,
+       |         CAST(SUM(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_b,
+       |         CAST(SUM(CASE WHEN arm = 1 THEN cv END) AS BIGINT) AS conv_b
+       |  FROM arms)
+       |SELECT n_a, conv_a, ${R(p("a"))} AS rate_a,
+       |       ${R(wilson("a", "-"))} AS lo_a, ${R(wilson("a", "+"))} AS hi_a,
+       |       n_b, conv_b, ${R(p("b"))} AS rate_b,
+       |       ${R(wilson("b", "-"))} AS lo_b, ${R(wilson("b", "+"))} AS hi_b,
+       |       ${R(s"${p("b")} - ${p("a")}")} AS lift,
+       |       ${R(s"(${p("b")} - ${p("a")}) / NULLIF(sqrt($pp * (1.0 - $pp) * (1.0 / n_a + 1.0 / n_b)), 0.0)")} AS z_stat
+       |FROM m""".stripMargin
+  }
+
+  /** CUPED-adjusted A/B: r3'd per-user pre/post sums, r3'd per-arm
+    * moments, exact scalar math over the rounded moments.
+    */
+  def abCuped(splitDay: String): String =
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |         ${R(s"COALESCE(SUM(CASE WHEN CAST(date_trunc('day', ts) AS DATE) < DATE '$splitDay' THEN value END), 0.0)")} AS x,
+       |         ${R(s"COALESCE(SUM(CASE WHEN CAST(date_trunc('day', ts) AS DATE) >= DATE '$splitDay' THEN value END), 0.0)")} AS y
+       |  FROM events GROUP BY 1),
+       |au AS (SELECT $AB_ARM AS arm, x, y FROM pu),
+       |arms AS (
+       |  SELECT arm, CAST(COUNT(*) AS DOUBLE) AS n,
+       |         ${R("SUM(x)")} AS sx, ${R("SUM(y)")} AS sy,
+       |         ${R("SUM(x * x)")} AS sxx, ${R("SUM(x * y)")} AS sxy,
+       |         ${R("SUM(y * y)")} AS syy
+       |  FROM au GROUP BY 1),
+       |m AS (
+       |  SELECT SUM(CASE WHEN arm = 0 THEN n END) AS n_a,
+       |         SUM(CASE WHEN arm = 0 THEN sx END) AS sx_a,
+       |         SUM(CASE WHEN arm = 0 THEN sy END) AS sy_a,
+       |         SUM(CASE WHEN arm = 1 THEN n END) AS n_b,
+       |         SUM(CASE WHEN arm = 1 THEN sx END) AS sx_b,
+       |         SUM(CASE WHEN arm = 1 THEN sy END) AS sy_b,
+       |         SUM(CASE WHEN arm = 0 THEN n END) + SUM(CASE WHEN arm = 1 THEN n END) AS n,
+       |         SUM(CASE WHEN arm = 0 THEN sx END) + SUM(CASE WHEN arm = 1 THEN sx END) AS sx,
+       |         SUM(CASE WHEN arm = 0 THEN sy END) + SUM(CASE WHEN arm = 1 THEN sy END) AS sy,
+       |         SUM(CASE WHEN arm = 0 THEN sxx END) + SUM(CASE WHEN arm = 1 THEN sxx END) AS sxx,
+       |         SUM(CASE WHEN arm = 0 THEN sxy END) + SUM(CASE WHEN arm = 1 THEN sxy END) AS sxy,
+       |         SUM(CASE WHEN arm = 0 THEN syy END) + SUM(CASE WHEN arm = 1 THEN syy END) AS syy
+       |  FROM arms),
+       |m2 AS (
+       |  SELECT *, sx / n AS mx, sy / n AS my,
+       |         sxx / n - (sx / n) * (sx / n) AS varx,
+       |         syy / n - (sy / n) * (sy / n) AS vary,
+       |         sxy / n - (sx / n) * (sy / n) AS covxy
+       |  FROM m),
+       |m3 AS (SELECT *, covxy / varx AS theta FROM m2)
+       |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |       ${R("theta")} AS theta,
+       |       ${R("sy_a / n_a")} AS y_a, ${R("sy_b / n_b")} AS y_b,
+       |       ${R("sy_a / n_a - theta * (sx_a / n_a - mx)")} AS yadj_a,
+       |       ${R("sy_b / n_b - theta * (sx_b / n_b - mx)")} AS yadj_b,
+       |       ${R("sy_b / n_b - sy_a / n_a")} AS lift_raw,
+       |       ${R("(sy_b / n_b - theta * (sx_b / n_b - mx)) - (sy_a / n_a - theta * (sx_a / n_a - mx))")} AS lift_cuped,
+       |       ${R("1.0 - (vary - theta * covxy) / vary")} AS var_reduction
+       |FROM m3""".stripMargin
+
+  /** Cross-document boilerplate: positional n-grams, Zipf-head
+    * frequent set (document frequency ≥ minDf), per-doc hit ratio.
+    */
+  def boilerplate(n: Int, minDf: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $n),
+       |g AS (
+       |  SELECT doc_id, UNNEST(list_transform(generate_series(1, len(t) - ${n - 1}),
+       |    i -> array_to_string(t[i:i+${n - 1}], ' '))) AS gram
+       |  FROM toks),
+       |freq AS (
+       |  SELECT gram FROM (
+       |    SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+       |  WHERE df >= $minDf),
+       |hits AS (
+       |  SELECT doc_id, COUNT(*) AS bp_hits FROM g JOIN freq USING (gram) GROUP BY 1)
+       |SELECT t.doc_id, CAST(len(t.t) - ${n - 1} AS BIGINT) AS ngrams,
+       |       CAST(COALESCE(h.bp_hits, 0) AS BIGINT) AS bp_hits,
+       |       ${R(s"COALESCE(h.bp_hits, 0) * 1.0 / (len(t.t) - ${n - 1})")} AS bp_ratio
+       |FROM toks t LEFT JOIN hits h USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
 
   /** Cluster-size histogram over the dedup pipeline's labels
     * (singletons included) — the pipeline oracle wrapped in two
@@ -5896,6 +6130,47 @@ object OracleSql {
        |SELECT user_id, COUNT(*) AS n_periods,
        |       ${R(s"-(SUM(CASE WHEN power > 0 AND tot > 0 THEN (power / tot) * LN(power / tot) ELSE 0.0 END)) / $lnN")} AS entropy
        |FROM tt GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  /** R/S Hurst: complete dyadic blocks, left-to-right list folds
+    * (list_sum over slices = Spark's slice-aggregate), two-point
+    * endpoint slope with the Spark-computed span inlined.
+    */
+  def tsHurst(sizes: Seq[Int]): String = {
+    val lo = sizes.head
+    val hi = sizes.last
+    val span = (math.log(hi.toDouble) - math.log(lo.toDouble)).toString
+    val rsCols = sizes.map(w =>
+      s"MAX(CASE WHEN w = $w THEN avg_rs END) AS rs$w").mkString(", ")
+    s"""WITH $daily,
+       |num AS (
+       |  SELECT user_id, v,
+       |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+       |  FROM daily),
+       |ex AS (SELECT user_id, rn, v, UNNEST(${sizes.mkString("[", ", ", "]")}) AS w FROM num),
+       |blk AS (
+       |  SELECT user_id, w, CAST(FLOOR((rn - 1) / w) AS BIGINT) AS blk,
+       |         list(v ORDER BY rn) AS vs
+       |  FROM ex GROUP BY 1, 2, 3),
+       |st AS (
+       |  SELECT user_id, w, vs, list_sum(vs) / len(vs) AS m
+       |  FROM blk WHERE len(vs) = w),
+       |st2 AS (
+       |  SELECT user_id, w,
+       |         list_transform(generate_series(1, len(vs)),
+       |           i -> list_sum(vs[1:i]) - i * m) AS cum,
+       |         list_sum(list_transform(vs, x -> (x - m) * (x - m))) / len(vs) AS s2
+       |  FROM st),
+       |rs AS (
+       |  SELECT user_id, w,
+       |         ${R("(list_max(cum) - list_min(cum)) / sqrt(s2)")} AS rs
+       |  FROM st2 WHERE s2 > 0),
+       |perw AS (SELECT user_id, w, ${R("AVG(rs)")} AS avg_rs FROM rs GROUP BY 1, 2),
+       |piv AS (SELECT user_id, $rsCols FROM perw GROUP BY 1)
+       |SELECT user_id, ${sizes.map(w => s"rs$w").mkString(", ")},
+       |       CASE WHEN rs$lo > 0 AND rs$hi > 0
+       |            THEN ${R(s"(LN(rs$hi) - LN(rs$lo)) / $span")} END AS hurst
+       |FROM piv ORDER BY user_id""".stripMargin
   }
 
   /** CUBE revenue rollup with GROUPING() — first cube column is the

@@ -521,6 +521,13 @@ object SparkEntry {
         TimeSeries.resampleDaily(Tables.events(s, dir)), 14)
         .orderBy(col("user_id"))),
 
+    // R/S Hurst exponent over dyadic blocks 4/8/16 — long-memory
+    // persistence next to spectral entropy's periodicity score
+    "ts_hurst" -> ((s, dir) =>
+      TimeSeries.hurst(
+        TimeSeries.resampleDaily(Tables.events(s, dir)), Seq(4, 8, 16))
+        .orderBy(col("user_id"))),
+
     // one-pass CUBE revenue rollup (cell/status/priority/grand totals
     // disambiguated by grouping_id; decimal-exact sums per level)
     "revenue_cube" -> ((s, dir) =>
@@ -782,6 +789,13 @@ object SparkEntry {
     // size and the position-weighted centroid checksum (see kmeansFit)
     "kmeans_fit" -> ((s, dir) =>
       Similarity.kmeansFit(Tables.embeddings(s, dir), 8, 3)
+        .orderBy(col("cid"))),
+
+    // deterministic maximin (k-means++-style) seeding: spread seeds
+    // across the corpus hull instead of the first-k head — published
+    // next to kmeans_fit so the seeding claim is a table diff
+    "kmeans_fit_pp" -> ((s, dir) =>
+      Similarity.kmeansFitMaximin(Tables.embeddings(s, dir), 8, 3)
         .orderBy(col("cid"))),
 
     // the FAISS sampling discipline: train on a deterministic md5-PRNG
@@ -1226,6 +1240,18 @@ object SparkEntry {
       Similarity.annIvfPqRerankRecall(Tables.embeddings(s, dir), 16, 16, 4, 5, 25, 5)
         .orderBy(col("qid"))),
 
+    // Matryoshka serving: 16-of-64-dim prefix shortlist, full-dim
+    // exact rerank — truncation as the quantizer, no codebook
+    "ann_matryoshka" -> ((s, dir) =>
+      Similarity.annMatryoshka(Tables.embeddings(s, dir), 16, 5, 25, 5)
+        .orderBy(col("qid"), col("rank"))),
+
+    // honest prefix-quality recall for an untrained embedding —
+    // published next to the PQ/SQ/rerank recalls
+    "ann_matryoshka_recall" -> ((s, dir) =>
+      Similarity.annMatryoshkaRecall(Tables.embeddings(s, dir), 16, 5, 25, 5)
+        .orderBy(col("qid"))),
+
     // the nprobe tuning table, BOTH tiers in one frame: plain IVF
     // saturates (clustered corpus — neighbours co-cell) while the
     // composed IVFPQ's recall is non-monotone in nprobe (wider probes
@@ -1421,6 +1447,9 @@ object SparkEntry {
 
     "text_entropy" -> ((s, dir) =>
       TextOps.entropy(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+
+    "text_boilerplate" -> ((s, dir) =>
+      TextOps.boilerplate(Tables.documents(s, dir), 3, 5).orderBy(col("doc_id"))),
 
     "corpus_stats" -> ((s, dir) =>
       TextOps.corpusStats(Tables.documents(s, dir))),
@@ -1689,6 +1718,10 @@ object SparkEntry {
       TimeSeries.croston(Tables.events(s, dir), 0.3)
         .orderBy(col("user_id"))),
 
+    "ts_demand_classify" -> ((s, dir) =>
+      TimeSeries.demandClassify(Tables.events(s, dir))
+        .orderBy(col("user_id"))),
+
     // ARI(2,1): AR(2) over the first-differenced series, integrated
     // back from the last observed level (the trending-series fix)
     "ts_diff_ar" -> ((s, dir) =>
@@ -1700,6 +1733,22 @@ object SparkEntry {
     "eval_ks" -> ((s, dir) =>
       graft.operators.Eval.ks(
         graft.operators.Eval.stopRatioScored(Tables.documents(s, dir)))),
+
+    // hashing-trick features: vocabulary-free fixed-width encoding,
+    // signed md5 buckets, exact integer counts
+    "feature_hash" -> ((s, dir) =>
+      graft.operators.Eval.featureHash(Tables.events(s, dir), 16)
+        .orderBy(col("user_id"), col("bucket"))),
+
+    // deterministic md5-arm A/B readout: conversion rates, Wilson
+    // 95% intervals, pooled two-proportion z — exact (integer counts)
+    "ab_lift" -> ((s, dir) =>
+      graft.operators.Eval.abLift(Tables.events(s, dir), "purchase", 14)),
+
+    // CUPED variance reduction on the same arms: pre-period covariate
+    // theta-adjustment + the achieved variance-reduction ratio
+    "ab_cuped" -> ((s, dir) =>
+      graft.operators.Eval.abCuped(Tables.events(s, dir), "2024-01-16")),
 
     // the F1-optimal operating point: where to cut the ranking the
     // PR curve describes (one-row answer beside AUC)
@@ -2190,6 +2239,7 @@ object SparkEntry {
     "ts_vol_ewma" -> OracleSql.volEwma(0.06),
     "ts_periodogram" -> OracleSql.periodogram(14),
     "ts_spectral_entropy" -> OracleSql.spectralEntropy(14),
+    "ts_hurst" -> OracleSql.tsHurst(Seq(4, 8, 16)),
     "revenue_cube" -> OracleSql.revenueCube,
     "q11_revenue_share" -> OracleSql.q11RevenueShare(1.5),
     "text_dup_spans" -> OracleSql.textDupSpans(5),
@@ -2260,6 +2310,7 @@ object SparkEntry {
     "ann_ivf_probe" -> OracleSql.annIvfProbe(16, 5, 5, 2),
     "kmeans_fit" -> OracleSql.kmeansFit(8, 3),
     "kmeans_fit_sampled" -> OracleSql.kmeansFitSampled(8, 3, 1, 4),
+    "kmeans_fit_pp" -> OracleSql.kmeansFitMaximin(8, 3),
     "embedding_stats" -> OracleSql.embeddingStats(),
     "ann_ivf_trained" -> OracleSql.annIvfTrained(8, 3, 5, 5),
     "dedup_semantic_trained" -> OracleSql.dedupSemanticTrained(8, 2, 0.3),
@@ -2322,6 +2373,8 @@ object SparkEntry {
     "ann_ivfpq_recall" -> OracleSql.annIvfPqRecall(16, 16, 4, 5, 5),
     "ann_ivfpq_rerank" -> OracleSql.annIvfPqRerank(16, 16, 4, 5, 25, 5),
     "ann_ivfpq_rerank_recall" -> OracleSql.annIvfPqRerankRecall(16, 16, 4, 5, 25, 5),
+    "ann_matryoshka" -> OracleSql.annMatryoshka(16, 5, 25, 5),
+    "ann_matryoshka_recall" -> OracleSql.annMatryoshkaRecall(16, 5, 25, 5),
     "token_topk" -> OracleSql.tokenTopK(20),
     "token_topk_cms" -> OracleSql.tokenTopKCms(20),
     "ts_outliers_mad" -> OracleSql.outliersMad(3.0),
@@ -2358,6 +2411,7 @@ object SparkEntry {
     "text_bm25" -> OracleSql.textBm25(Seq("hash", "join", "vector"), 10),
     "search_hybrid_rrf" -> OracleSql.hybridRrf(Seq("hash", "join", "vector"), 20, 10),
     "text_entropy" -> OracleSql.textEntropy,
+    "text_boilerplate" -> OracleSql.boilerplate(3, 5),
     "corpus_stats" -> OracleSql.corpusStats,
     "sample_token_budget" -> OracleSql.sampleTokenBudget(1000L, "budget"),
     "sample_mixture" -> OracleSql.sampleMixture(
@@ -2395,6 +2449,9 @@ object SparkEntry {
     "ts_theta" -> OracleSql.theta(0.3, NY),
     "multimodal_pack" -> OracleSql.packPayloads(1000L),
     "eval_ks" -> OracleSql.evalKs,
+    "feature_hash" -> OracleSql.featureHash(16),
+    "ab_lift" -> OracleSql.abLift("purchase", 14),
+    "ab_cuped" -> OracleSql.abCuped("2024-01-16"),
     "eval_calibration" -> OracleSql.evalCalibration,
     "session_stats" -> OracleSql.sessionStats(1800000000L),
     "path_topk" -> OracleSql.pathTopK(1800000000L, 20),
@@ -2420,6 +2477,7 @@ object SparkEntry {
     "ts_diff_ar" -> OracleSql.diffArForecast(5),
     "ts_mase" -> OracleSql.mase(HALF, SLOPE_W, NY),
     "ts_croston" -> OracleSql.croston(0.3),
+    "ts_demand_classify" -> OracleSql.demandClassify,
     "q13_custdist" -> OracleSql.q13CustDist,
     "q15_top_supplier" -> OracleSql.q15TopSupplier,
     "q17_small_qty" -> OracleSql.q17SmallQty,

@@ -217,6 +217,164 @@ object Eval {
       .agg(max(col("gap")).as("ks"))
   }
 
+  // z for a 95% two-sided interval; z² precomputed once in Scala so
+  // the oracle inlines the SAME double (1.96² ≠ 3.8416 in IEEE)
+  private[graft] val Z95 = 1.96
+  private[graft] val Z95sq = 1.96 * 1.96
+
+  /** Two-arm A/B readout over a DETERMINISTIC md5 assignment (arm =
+    * md5("ab:" + user_id) % 2 — the engine-reproducible stand-in for
+    * the experiment system's hash bucketing): per arm the user count,
+    * converter count (≥ 1 `convType` event), conversion rate and its
+    * Wilson 95% interval (the interval that stays honest at small n
+    * and extreme rates, unlike the normal approximation), plus the
+    * absolute lift and the pooled two-proportion z statistic. One
+    * row; |z| > 1.96 rejects equal rates at 95%.
+    *
+    * Every input to the arithmetic is an INTEGER count, so the whole
+    * readout is bit-deterministic with no rounding contract needed —
+    * r3 only formats the outputs.
+    *
+    * Scale plan: one user-keyed exchange (the per-user converted
+    * flag), then a 2-row conditional aggregate; Wilson/z math is a
+    * scalar select on a 1-row frame. Nothing downstream of the first
+    * groupBy scales with event volume.
+    */
+  def abLift(events: DataFrame, convType: String = "purchase",
+             minEvents: Int = 1): DataFrame = {
+    val armOf = (conv(substring(md5(concat(lit("ab:"),
+      col("user_id").cast("string"))), 1, 8), 16, 10).cast("bigint") % 2L).cast("int")
+    val perUser = events.groupBy(col("user_id"))
+      .agg((sum((col("event_type") === convType).cast("int")) >= minEvents)
+        .cast("int").as("converted"))
+      .select(armOf.as("arm"), col("converted"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).cast("long").as("cv"))
+    def side(a: Int, c: String) = sum(when(col("arm") === a, col(c))).cast("long")
+    val m = arms.agg(
+      side(0, "n").as("n_a"), side(0, "cv").as("conv_a"),
+      side(1, "n").as("n_b"), side(1, "cv").as("conv_b"))
+    def wilson(p: Column, n: Column) = {
+      val den = lit(1.0) + lit(Z95sq) / n
+      val center = (p + lit(Z95sq) / (lit(2.0) * n)) / den
+      val half = lit(Z95) * sqrt(p * (lit(1.0) - p) / n +
+        lit(Z95sq) / (lit(4.0) * n * n)) / den
+      (r3(center - half), r3(center + half))
+    }
+    // explicit double ratios — ANSI mode plans long/long as integral
+    // division (divide-by-zero at runtime, 0/1 results otherwise)
+    val pa = col("conv_a").cast("double") / col("n_a").cast("double")
+    val pb = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val (loA, hiA) = wilson(pa, col("n_a"))
+    val (loB, hiB) = wilson(pb, col("n_b"))
+    m.select(col("n_a"), col("conv_a"), r3(pa).as("rate_a"),
+      loA.as("lo_a"), hiA.as("hi_a"),
+      col("n_b"), col("conv_b"), r3(pb).as("rate_b"),
+      loB.as("lo_b"), hiB.as("hi_b"),
+      r3(pb - pa).as("lift"),
+      // nullif: a degenerate experiment (every / no user converts)
+      // yields z = NULL, not an ANSI divide-by-zero
+      r3((pb - pa) / nullif(sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), lit(0.0))).as("z_stat"))
+  }
+
+  /** CUPED variance reduction for the same two arms (Deng et al.
+    * 2013): Y = each user's post-period metric (sum of `value` on/after
+    * `splitDay`), X = the PRE-period metric — unaffected by treatment,
+    * so θ = cov(X,Y)/var(X) (pooled) yields the adjusted metric
+    * Y − θ(X − μ_X) with identical expected lift but var shrunk by
+    * ρ²·var(Y). Emits per-arm raw and adjusted means, θ, both lifts,
+    * and the achieved variance-reduction ratio 1 − var(Y−θX)/var(Y) —
+    * the number that says how much smaller the experiment could have
+    * been.
+    *
+    * Determinism: per-user X/Y are r3'd sums (the resampleDaily
+    * contract); per-arm MOMENT sums are r3'd once, and every scalar
+    * downstream is exact arithmetic over those rounded moments — the
+    * engines cannot diverge past the ε guard.
+    *
+    * Scale plan: one user-keyed exchange with conditional map-side
+    * sums, one 2-row moment aggregate, scalar math on a 1-row frame.
+    */
+  def abCuped(events: DataFrame, splitDay: String): DataFrame = {
+    val armOf = (conv(substring(md5(concat(lit("ab:"),
+      col("user_id").cast("string"))), 1, 8), 16, 10).cast("bigint") % 2L).cast("int")
+    val perUser = events.groupBy(col("user_id"))
+      .agg(
+        r3(coalesce(sum(when(to_date(col("ts")) < lit(splitDay).cast("date"),
+          col("value"))), lit(0.0))).as("x"),
+        r3(coalesce(sum(when(to_date(col("ts")) >= lit(splitDay).cast("date"),
+          col("value"))), lit(0.0))).as("y"))
+      .select(armOf.as("arm"), col("x"), col("y"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        r3(sum(col("x"))).as("sx"), r3(sum(col("y"))).as("sy"),
+        r3(sum(col("x") * col("x"))).as("sxx"),
+        r3(sum(col("x") * col("y"))).as("sxy"),
+        r3(sum(col("y") * col("y"))).as("syy"))
+    def side(a: Int, c: String) = sum(when(col("arm") === a, col(c)))
+    val m = arms.agg(
+      side(0, "n").as("n_a"), side(0, "sx").as("sx_a"), side(0, "sy").as("sy_a"),
+      side(1, "n").as("n_b"), side(1, "sx").as("sx_b"), side(1, "sy").as("sy_b"),
+      (side(0, "n") + side(1, "n")).as("n"),
+      (side(0, "sx") + side(1, "sx")).as("sx"),
+      (side(0, "sy") + side(1, "sy")).as("sy"),
+      (side(0, "sxx") + side(1, "sxx")).as("sxx"),
+      (side(0, "sxy") + side(1, "sxy")).as("sxy"),
+      (side(0, "syy") + side(1, "syy")).as("syy"))
+    val mx = col("sx") / col("n")
+    val my = col("sy") / col("n")
+    val varX = col("sxx") / col("n") - mx * mx
+    val varY = col("syy") / col("n") - my * my
+    val covXY = col("sxy") / col("n") - mx * my
+    val theta = covXY / varX
+    val varAdj = varY - theta * covXY   // var(Y − θX) = varY − cov²/varX
+    val yAdj = (a: String) =>
+      col(s"sy_$a") / col(s"n_$a") - theta * (col(s"sx_$a") / col(s"n_$a") - mx)
+    m.select(
+      col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+      r3(theta).as("theta"),
+      r3(col("sy_a") / col("n_a")).as("y_a"),
+      r3(col("sy_b") / col("n_b")).as("y_b"),
+      r3(yAdj("a")).as("yadj_a"), r3(yAdj("b")).as("yadj_b"),
+      r3(col("sy_b") / col("n_b") - col("sy_a") / col("n_a")).as("lift_raw"),
+      r3(yAdj("b") - yAdj("a")).as("lift_cuped"),
+      r3(lit(1.0) - varAdj / varY).as("var_reduction"))
+  }
+
+  /** Hashing-trick feature vector per user (Weinberger et al. 2009):
+    * each event contributes its categorical features (event type,
+    * day-of-week) hashed into one of `b` buckets with a ±1 sign from
+    * an independent hash bit — the fixed-width encoding that needs NO
+    * vocabulary pass, survives unseen categories, and keeps E[x·x']
+    * unbiased (the sign trick cancels collision cross-terms). Output
+    * is long-format `(user_id, bucket, v)` with v = the signed count,
+    * ready to pivot into the ML-feed edge.
+    *
+    * Scale plan: features are generated map-side (array explode, ×2
+    * per event), the only exchange is the (user, bucket)-keyed
+    * map-side-combined sum; integer arithmetic end-to-end, so the
+    * frame is exact. At 100 TB this is one pass + one combine —
+    * exactly the shape a vocabulary-indexed encoder (two passes + a
+    * dictionary join) cannot beat.
+    */
+  def featureHash(events: DataFrame, b: Int): DataFrame = {
+    require(b >= 2, s"featureHash: b must be >= 2, got $b")
+    events
+      .select(col("user_id"), explode(array(
+        concat(lit("et:"), col("event_type")),
+        concat(lit("dow:"), dayofweek(col("ts")).cast("string")))).as("feat"))
+      .select(col("user_id"),
+        (conv(substring(md5(col("feat")), 1, 8), 16, 10)
+          .cast("bigint") % b).cast("long").as("bucket"),
+        (conv(substring(md5(col("feat")), 9, 1), 16, 10)
+          .cast("bigint") % 2L * 2L - 1L).as("sign"))
+      .groupBy(col("user_id"), col("bucket"))
+      .agg(sum(col("sign")).as("v"))
+  }
+
   /** Calibration (reliability) table of a [0,1] score against the
     * label: decile bins, per-bin count, mean score and positive rate
     * — how far the score is from being a probability. One map-side-

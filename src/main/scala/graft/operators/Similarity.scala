@@ -395,7 +395,7 @@ object Similarity {
     * too). Cells that lose all members simply drop (their cid vanishes
     * from the codebook — both engines agree by construction).
     */
-  private def kmeansStep(embeddings: DataFrame,
+  private[graft] def kmeansStep(embeddings: DataFrame,
                          cents: Array[(Long, Array[Double])]): Array[(Long, Array[Double])] = {
     val enc = graft.functions.IvfCell.encode(cents.map(_._1), cents.map(_._2))
     // the cell assignment is projected BELOW the posexplode (two
@@ -561,9 +561,55 @@ object Similarity {
     */
   def kmeansFit(embeddings: DataFrame, k: Int, nIter: Int): DataFrame = {
     require(nIter >= 1, s"kmeansFit: nIter must be >= 1, got $nIter")
-    val cents = kmeansCentroids(embeddings, k, nIter - 1)
+    fitSummary(embeddings, kmeansCentroids(embeddings, k, nIter - 1))
+  }
+
+  /** Deterministic farthest-point (maximin) seeding — the k-means++
+    * idea (Arthur & Vassilvitskii 2007) with the D²-sampling step
+    * replaced by its deterministic argmax limit: seed 1 is the lowest
+    * non-null vec_id; each next seed is the vector MINIMIZING its
+    * max-cosine to the seeds chosen so far (r3'd, ties to the lowest
+    * vec_id — engine-reproducible where D²-sampling's randomness is
+    * not). Head-seeding ([[kmeansCentroids]]'s convention) can land
+    * every seed in one dense region and strand clusters; maximin
+    * spreads seeds across the corpus hull, the standard fix.
+    *
+    * Scale plan: k−1 rounds × (one corpus scan projecting a
+    * greatest-of-j cosines column + a TakeOrdered(1)) — the same cost
+    * class as ONE Lloyd assignment round, k-bounded driver state (the
+    * codebook materialization contract).
+    */
+  def kmeansSeedsMaximin(embeddings: DataFrame, k: Int): Array[(Long, Array[Double])] = {
+    require(k >= 1, s"kmeansSeedsMaximin: k must be >= 1, got $k")
+    VectorExprs.register(embeddings.sparkSession)
+    val e = prepared(embeddings.where(col("embedding").isNotNull))
+    def vecOf(r: org.apache.spark.sql.Row) =
+      (r.getAs[Number](0).longValue(), r.getSeq[Number](1).map(_.doubleValue()).toArray)
+    val first = vecOf(e.orderBy(col("vec_id")).select(col("vec_id"), col("v")).head())
+    val seeds = scala.collection.mutable.ArrayBuffer(first)
+    while (seeds.size < k) {
+      val simCols = seeds.map { case (_, s) =>
+        val sn = math.sqrt(s.foldLeft(0.0)((a, x) => a + x * x))
+        expr(s"graft_vec_dot(v, ${dArr(s)})") / (col("norm") * lit(sn))
+      }.toSeq
+      val simmax = r3(if (simCols.size == 1) simCols.head else greatest(simCols: _*))
+      val next = e.where(!col("vec_id").isInCollection(seeds.map(_._1)))
+        .select(col("vec_id"), col("v"), simmax.as("simmax"))
+        .orderBy(col("simmax").asc, col("vec_id"))
+        .head()
+      seeds += vecOf(next)
+    }
+    seeds.sortBy(_._1).toArray
+  }
+
+  /** The final-round summary both fit variants share: one assignment
+    * pass under the trained codebook, per-cluster member count and the
+    * position-weighted centroid checksum (assignment projected BELOW
+    * the explode — see [[kmeansStep]]'s plan-audit note).
+    */
+  private def fitSummary(embeddings: DataFrame,
+                         cents: Array[(Long, Array[Double])]): DataFrame = {
     val enc = graft.functions.IvfCell.encode(cents.map(_._1), cents.map(_._2))
-    // assignment below the explode — see kmeansStep's plan-audit note
     embeddings.where(col("embedding").isNotNull)
       .select(col("embedding"),
         expr(s"coalesce(graft_ivf_cell(embedding, '$enc'), -1L)").as("cid"))
@@ -574,6 +620,18 @@ object Similarity {
       .groupBy(col("cid"))
       .agg(max(col("n")).as("n"),
         r3(sum((col("d") + 1) * col("cd"))).as("checksum"))
+  }
+
+  /** [[kmeansFit]] from [[kmeansSeedsMaximin]] seeds — published next
+    * to the head-seeded fit so the seeding claim (no stranded
+    * clusters on a clustered corpus) is a table diff.
+    */
+  def kmeansFitMaximin(embeddings: DataFrame, k: Int, nIter: Int): DataFrame = {
+    require(nIter >= 1, s"kmeansFitMaximin: nIter must be >= 1, got $nIter")
+    var cents = kmeansSeedsMaximin(embeddings, k)
+    var it = 0
+    while (it < nIter - 1) { cents = kmeansStep(embeddings, cents); it += 1 }
+    fitSummary(embeddings, cents)
   }
 
   /** Per-dimension embedding-corpus report: element count, mean,
@@ -1573,6 +1631,71 @@ object Similarity {
     val exact = cosineTopK(embeddings, nQueries, k).select(col("qid"), col("vid"))
     val approx = annIvfPqRerank(embeddings, nCentroids, nCodewords, m,
         nQueries, shortlist, k)
+      .select(col("qid"), col("vid"), lit(1).as("hit"))
+    exact.join(approx, Seq("qid", "vid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        r3(col("n_hit") / col("n_exact")).as("recall"))
+  }
+
+  /** Matryoshka two-stage search (Kusupati et al. 2022's MRL serving
+    * pattern): stage 1 shortlists by cosine over only the FIRST
+    * `pDims` dimensions — an MRL-trained embedding front-loads
+    * information, so the prefix is a cheap coarse scorer with no
+    * codebook to train (the operational edge over PQ/SQ: truncation
+    * IS the quantizer) — and stage 2 re-scores the shortlist with the
+    * exact full-dim cosine and keeps the top-k. The prefix cosine
+    * reads pDims/DIM of the bytes, so stage 1's scan cost drops
+    * proportionally on a columnar store that prunes the tail.
+    *
+    * Scale plan: identical to [[annIvfPqRerank]] — corpus-volume work
+    * is stage 1's truncated scan (salted two-phase top-k, no global
+    * sort); the shortlist broadcasts back onto one full-dim scan, so
+    * stage 2 adds no corpus shuffle.
+    */
+  def annMatryoshka(embeddings: DataFrame, pDims: Int, nQueries: Int,
+                    shortlist: Int, k: Int): DataFrame = {
+    require(k <= shortlist, s"annMatryoshka: k=$k must be <= shortlist=$shortlist")
+    require(pDims >= 1 && pDims <= DIM,
+      s"annMatryoshka: pDims must be in [1, $DIM], got $pDims")
+    VectorExprs.register(embeddings.sparkSession)
+    val t = embeddings.where(col("embedding").isNotNull)
+      .select(col("vec_id"), expr(s"slice(embedding, 1, $pDims)").as("tv"))
+      .withColumn("tnorm", sqrt(expr("graft_vec_dot(tv, tv)")))
+    val tq = t.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("tv").as("tqv"), col("tnorm").as("tqnorm"))
+    val sl = saltedTopK(
+      t.join(broadcast(tq), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("vid"),
+          r3(expr("graft_vec_dot(tv, tqv)") / (col("tnorm") * col("tqnorm"))).as("tcos")),
+      "tcos", ascending = false, shortlist)
+      .select(col("qid"), col("vid"))
+    val e = prepared(embeddings)
+    val q = prepared(embeddings).where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("sqid"), col("v").as("qv"), col("norm").as("qnorm"))
+    e.join(broadcast(sl), col("vec_id") === col("vid"))
+      .join(broadcast(q), col("qid") === col("sqid"))
+      .select(col("qid"), col("vid"),
+        r3(expr("graft_vec_dot(v, qv)") / (col("norm") * col("qnorm"))).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid")))
+        .cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Recall@k of the Matryoshka tier vs exact full-dim top-k —
+    * published next to the PQ/SQ recalls so the prefix-quality claim
+    * is a table diff (an untrained random embedding spreads
+    * information uniformly, so expect recall ≈ the pDims/DIM
+    * information fraction, NOT the near-1.0 an MRL-trained model
+    * gives — the gate records the honest number for THIS corpus).
+    */
+  def annMatryoshkaRecall(embeddings: DataFrame, pDims: Int, nQueries: Int,
+                          shortlist: Int, k: Int): DataFrame = {
+    val exact = cosineTopK(embeddings, nQueries, k).select(col("qid"), col("vid"))
+    val approx = annMatryoshka(embeddings, pDims, nQueries, shortlist, k)
       .select(col("qid"), col("vid"), lit(1).as("hit"))
     exact.join(approx, Seq("qid", "vid"), "left")
       .groupBy(col("qid"))

@@ -1269,4 +1269,51 @@ object TextOps {
         size(col("ch")).cast("long").as("n_tokens"),
         md5(array_join(col("ch"), " ")).as("fp"))
   }
+
+  /** Cross-document boilerplate signal (the CCNet/RefinedWeb dedup-
+    * before-train preprocessing family, Wenzek et al. 2020): an
+    * n-gram POSITION is boilerplate when its gram appears in ≥
+    * `minDf` DISTINCT documents — headers, navigation chrome, license
+    * blurbs and mirrored spans all light up, while document-unique
+    * prose stays dark. Emits one row per doc with ≥ n tokens:
+    * `(doc_id, ngrams, bp_hits, bp_ratio)`; a curation run drops or
+    * down-weights high-ratio docs, complementary to the WITHIN-doc
+    * [[repetition]] signal and the pairwise [[dupSpanRatio]] — this
+    * one needs no candidate pairs, so it catches 1000-way mirrored
+    * chrome that pairwise dedup meets only O(pairs) at a time.
+    *
+    * Scale plan: grams are generated MAP-SIDE from each doc's token
+    * array (the [[chunkDocs]] slice pattern — no self-join). Two
+    * gram-keyed exchanges, both map-side combined: the per-doc
+    * DISTINCT + document-frequency count (gram-vocabulary-sized,
+    * Zipf-truncated), and the per-doc hit count (≤ one row per doc).
+    * The frequent set itself is the Zipf HEAD (df ≥ minDf) — small,
+    * broadcast back over a second scan, so the corpus-volume gram
+    * stream is probed map-side and never shuffles raw. At 100 TB the
+    * df table is the only heavy shuffle; hash grams to 64-bit first
+    * if vocabulary width ever dominates (semantics unchanged modulo
+    * md5 collisions).
+    */
+  def boilerplate(docs: DataFrame, n: Int, minDf: Int): DataFrame = {
+    require(n >= 1 && minDf >= 2,
+      s"boilerplate: need n >= 1 and minDf >= 2, got n=$n minDf=$minDf")
+    val toks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= n)
+    def grams(d: DataFrame) = d.select(col("doc_id"), explode(expr(
+      s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))"))
+      .as("gram"))
+    val frequent = broadcast(
+      grams(toks).select(col("doc_id"), col("gram")).distinct()
+        .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+        .where(col("df") >= minDf).select("gram"))
+    val hits = grams(toks).join(frequent, "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("bp_hits"))
+    toks.select(col("doc_id"),
+        (size(col("toks")) - (n - 1)).cast("long").as("ngrams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ngrams"),
+        coalesce(col("bp_hits"), lit(0L)).as("bp_hits"),
+        r3(coalesce(col("bp_hits"), lit(0L)) / col("ngrams")).as("bp_ratio"))
+  }
 }

@@ -568,6 +568,43 @@ object TimeSeries {
         col("n_demands"), r3(col("z_hat") / col("p_hat")).as("forecast"))
   }
 
+  /** Syntetos–Boylan demand classification per key (Syntetos, Boylan
+    * & Croston 2005): ADI = mean inter-demand interval (Σintervals /
+    * n = last demand position / n, intervals counted from series
+    * start — [[croston]]'s convention) and CV² = var/mean² of the
+    * nonzero daily demand sizes, cut at the published boundaries
+    * (ADI 1.32, CV² 0.49) into `smooth` / `intermittent` / `erratic`
+    * / `lumpy` — the router that decides WHICH forecaster a key gets
+    * (SES-family for smooth, [[croston]]/SBA for intermittent-lumpy),
+    * upstream of [[forecastAuto]]'s profile routing. Boundaries
+    * compare the r3-ROUNDED statistics, so the label is engine-
+    * reproducible even for keys that land near a cutoff.
+    *
+    * Scale plan: one groupBy per grain, all aggregates map-side
+    * combined (count/max/avg/var_pop); the per-key first-day frame
+    * joins on the same key exchange. No spine explode needed —
+    * demand positions derive from datediff against the key's first
+    * event day, so zero-days are implied, never materialized.
+    */
+  def demandClassify(events: DataFrame): DataFrame = {
+    val d0 = events.groupBy(col(KEY)).agg(to_date(min(col("ts"))).as("d0"))
+    val demand = events
+      .groupBy(col(KEY), to_date(col("ts")).as(DAY))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val st = demand.join(d0, KEY)
+      .select(col(KEY),
+        (datediff(col(DAY), col("d0")) + 1).cast("double").as("pos"), col("n"))
+      .groupBy(col(KEY))
+      .agg(count(lit(1)).as("n_demands"),
+        r3(max(col("pos")) / count(lit(1))).as("adi"),
+        r3(var_pop(col("n")) / (avg(col("n")) * avg(col("n")))).as("cv2"))
+    st.select(col(KEY), col("n_demands"), col("adi"), col("cv2"),
+      when(col("adi") < 1.32 && col("cv2") < 0.49, "smooth")
+        .when(col("adi") >= 1.32 && col("cv2") < 0.49, "intermittent")
+        .when(col("adi") < 1.32, "erratic")
+        .otherwise("lumpy").as("demand_class"))
+  }
+
   /** Additive Holt-Winters per key: final (level, trend) of the
     * triple-smoothing recursion over the day-ordered series (period-m
     * seasonal state, [[graft.functions.HwFold]], one codegen'd pass),
@@ -1823,6 +1860,63 @@ object TimeSeries {
           when(col("power") > 0 && col("tot") > 0,
             (col("power") / col("tot")) * log(col("power") / col("tot")))
             .otherwise(lit(0.0))) / lit(lnN)).as("entropy"))
+  }
+
+  /** Rescaled-range Hurst exponent per key (Hurst 1951; Mandelbrot &
+    * Wallis 1969's R/S analysis): split the day-ordered series into
+    * complete blocks of each dyadic size `w`, per block compute
+    * R/S = (max − min of the cumulative mean-deviations) / σ_block,
+    * average per size, and fit `ln E[R/S] ~ H·ln w` — H ≈ 0.5 is a
+    * memoryless walk, H → 1 trend persistence, H < 0.5 mean
+    * reversion. The long-memory diagnostic NEXT TO [[spectralEntropy]]
+    * (entropy scores periodic forecastability; Hurst scores trend
+    * persistence — a series can be aperiodic yet persistent) and an
+    * input a router like [[forecastAuto]] could consume.
+    *
+    * The slope is CLOSED-FORM over the ln-equally-spaced sizes — for
+    * a dyadic ladder the least-squares slope through the endpoints'
+    * ln values equals (ln rs_hi − ln rs_lo)/(ln hi − ln lo) only when
+    * the middle point is ignored; we fit the ENDPOINTS deliberately
+    * (two-point slope) so no engine-specific regression aggregate
+    * (order-dependent summation) enters the hash contract. Per-block
+    * folds are LEFT-TO-RIGHT in both engines (Spark slice-aggregate =
+    * DuckDB list_sum over a slice), so every intermediate shares the
+    * same IEEE op sequence; r3 at the block R/S and size average
+    * absorbs the rest.
+    *
+    * Scale plan: one key exchange (row_number), then a map-side size
+    * explode (×|sizes|) into a (key, w, block) groupBy whose state is
+    * w-bounded arrays; per-block math is O(w²) HOF adds with w ≤ 16.
+    * Everything after the block agg is key-×-|sizes| volume.
+    */
+  def hurst(daily: DataFrame, sizes: Seq[Int] = Seq(4, 8, 16)): DataFrame = {
+    require(sizes.size >= 2 && sizes == sizes.sorted && sizes.distinct == sizes,
+      s"hurst: sizes must be ascending distinct, got $sizes")
+    val lo = sizes.head
+    val hi = sizes.last
+    val span = math.log(hi.toDouble) - math.log(lo.toDouble)
+    val blocks = daily
+      .withColumn("rn", row_number().over(wOrdered))
+      .select(col(KEY), col("rn"), col("v"),
+        explode(expr(sizes.mkString("array(", ", ", ")"))).as("w"))
+      .groupBy(col(KEY), col("w"), expr("CAST((rn - 1) DIV w AS BIGINT)").as("blk"))
+      .agg(expr("transform(sort_array(collect_list(struct(rn, v))), s -> s.v)").as("vs"))
+      .where(size(col("vs")) === col("w"))
+    val rs = blocks
+      .withColumn("m", expr("aggregate(vs, 0D, (a, x) -> a + x) / size(vs)"))
+      .withColumn("cum", expr(
+        "transform(sequence(1, size(vs)), i -> aggregate(slice(vs, 1, i), 0D, (a, x) -> a + x) - i * m)"))
+      .withColumn("s2", expr("aggregate(vs, 0D, (a, x) -> a + (x - m) * (x - m)) / size(vs)"))
+      .where(col("s2") > 0)
+      .select(col(KEY), col("w"),
+        r3((expr("array_max(cum)") - expr("array_min(cum)")) / sqrt(col("s2"))).as("rs"))
+    val perW = rs.groupBy(col(KEY), col("w")).agg(r3(avg(col("rs"))).as("avg_rs"))
+    perW.groupBy(col(KEY))
+      .agg(sizes.map(w => max(when(col("w") === w, col("avg_rs"))).as(s"rs$w")).head,
+        sizes.map(w => max(when(col("w") === w, col("avg_rs"))).as(s"rs$w")).tail: _*)
+      .select(col(KEY) +: sizes.map(w => col(s"rs$w")) :+
+        when(col(s"rs$lo") > 0 && col(s"rs$hi") > 0,
+          r3((log(col(s"rs$hi")) - log(col(s"rs$lo"))) / lit(span))).as("hurst"): _*)
   }
 
   /** Forecast-quality metrics per series: R2 / MSE / MAE between

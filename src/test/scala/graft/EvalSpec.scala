@@ -278,4 +278,84 @@ class EvalSpec extends AnyFunSuite {
     val t = Eval.f1Best(tie).collect().head
     assert(t.getAs[Double]("thresh") === 0.5 && t.getAs[Double]("f1") === 1.0)
   }
+
+  /** The md5 arm split, recomputed OUTSIDE Spark (java.security MD5 on
+    * the same "ab:uid" string) — the independent check that the
+    * assignment is the hash it claims to be.
+    */
+  private def armOf(uid: Long): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"ab:$uid".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    (java.lang.Long.parseLong(hex, 16) % 2L).toInt
+  }
+
+  test("featureHash: buckets and signs match an independent md5; collisions sum signed") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-05 01:00:00") // a Friday → dow 6
+    val rows = Seq((1L, ts, "view", 1.0), (1L, ts, "view", 1.0),
+      (1L, ts, "purchase", 1.0)).toDF("user_id", "ts", "event_type", "value")
+    def h(feat: String): (Long, Long) = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(feat.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 16,
+        java.lang.Long.parseLong(hex.substring(8, 9), 16) % 2 * 2 - 1)
+    }
+    // feats: et:view ×2, et:purchase ×1, dow:6 ×3
+    val expected = Seq("et:view", "et:view", "et:purchase", "dow:6", "dow:6", "dow:6")
+      .map(h).groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sum }
+    val got = Eval.featureHash(rows, 16).collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("v")).toMap
+    assert(got === expected)
+  }
+
+  test("abLift: counts match an independent md5 partition; Wilson and z match closed form") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-05 01:00:00")
+    // users 0-39; uid < 12 convert (one purchase), the rest only view
+    val rows = (0L until 40L).flatMap { u =>
+      Seq((u, ts, "view", 1.0)) ++
+        (if (u < 12) Seq((u, ts, "purchase", 1.0)) else Nil)
+    }.toDF("user_id", "ts", "event_type", "value")
+    val r = Eval.abLift(rows, "purchase").collect().head
+    val byArm = (0L until 40L).groupBy(armOf)
+    val nA = byArm(0).size; val nB = byArm(1).size
+    val cA = byArm(0).count(_ < 12); val cB = byArm(1).count(_ < 12)
+    assert(r.getAs[Long]("n_a") === nA && r.getAs[Long]("n_b") === nB)
+    assert(r.getAs[Long]("conv_a") === cA && r.getAs[Long]("conv_b") === cB)
+    def r3(x: Double) = math.floor(x * 1000 + 0.5001) / 1000
+    val (pa, pb) = (cA.toDouble / nA, cB.toDouble / nB)
+    assert(r.getAs[Double]("rate_a") === r3(pa))
+    assert(r.getAs[Double]("lift") === r3(pb - pa))
+    val pp = (cA + cB).toDouble / (nA + nB)
+    assert(r.getAs[Double]("z_stat") ===
+      r3((pb - pa) / math.sqrt(pp * (1 - pp) * (1.0 / nA + 1.0 / nB))))
+    val z = 1.96; val z2 = z * z
+    val den = 1.0 + z2 / nA
+    val center = (pa + z2 / (2.0 * nA)) / den
+    val half = z * math.sqrt(pa * (1 - pa) / nA + z2 / (4.0 * nA * nA)) / den
+    assert(r.getAs[Double]("lo_a") === r3(center - half))
+    assert(r.getAs[Double]("hi_a") === r3(center + half))
+    assert(r.getAs[Double]("lo_a") < pa && pa < r.getAs[Double]("hi_a"))
+  }
+
+  test("abCuped: a perfectly predictive covariate removes all variance and all false lift") {
+    import spark.implicits._
+    val pre = java.sql.Timestamp.valueOf("2024-01-05 01:00:00")
+    val post = java.sql.Timestamp.valueOf("2024-01-20 01:00:00")
+    // Y = 2X exactly for every user → theta = 2, var(Y − θX) = 0 →
+    // var_reduction 1.0; adjusted means collapse to 2·mean(X) in BOTH
+    // arms → lift_cuped 0 even though raw lift ≠ 0 (arm imbalance)
+    val rows = (0L until 30L).flatMap { u =>
+      val x = 1.0 + (u % 7).toDouble
+      Seq((u, pre, "view", x), (u, post, "view", 2.0 * x))
+    }.toDF("user_id", "ts", "event_type", "value")
+    val r = Eval.abCuped(rows, "2024-01-16").collect().head
+    assert(r.getAs[Double]("theta") === 2.0)
+    assert(r.getAs[Double]("var_reduction") === 1.0)
+    assert(r.getAs[Double]("lift_cuped") === 0.0)
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") === 30L)
+    // raw and adjusted per-arm means: yadj_a = yadj_b = 2·mean(X)
+    assert(r.getAs[Double]("yadj_a") === r.getAs[Double]("yadj_b"))
+  }
 }

@@ -76,4 +76,32 @@ class SampledFitSpec extends AnyFunSuite {
     assert(b1.forall(_.nonEmpty))       // no subspace lost its book
     assert(b1.forall(_.forall(_.length === 16))) // subDim = 64/4
   }
+
+  test("maximin seeds reach every cluster the head seeding strands, and fit at least as well") {
+    import spark.implicits._
+    // four tight clusters around orthogonal axes; vec_ids 0-9 ALL in
+    // cluster 0, so head seeding (first k) plants every seed there
+    def v(axis: Int, jit: Double) =
+      (0 until 4).map(d => if (d == axis) 1.0 else jit)
+    val rows =
+      (0L until 10L).map(i => (i, v(0, 0.01 * (i % 3)))) ++
+      (10L until 15L).map(i => (i, v(1, 0.01 * (i % 3)))) ++
+      (15L until 20L).map(i => (i, v(2, 0.01 * (i % 3)))) ++
+      (20L until 25L).map(i => (i, v(3, 0.01 * (i % 3))))
+    val emb = rows.toDF("vec_id", "embedding")
+    val seeds = Similarity.kmeansSeedsMaximin(emb, 4)
+    // one seed lands in each axis-cluster (its argmax dimension)
+    assert(seeds.map(s => s._2.indexOf(s._2.max)).toSet === Set(0, 1, 2, 3))
+    // after the same Lloyd budget, maximin inertia <= head-seeded
+    var pp = seeds
+    var head = Similarity.kmeansCentroids(emb, 4, 0)
+    (1 to 2).foreach { _ =>
+      pp = Similarity.kmeansStep(emb, pp)
+      head = Similarity.kmeansStep(emb, head)
+    }
+    val iPp = Similarity.kmeansInertia(emb, pp)
+    val iHead = Similarity.kmeansInertia(emb, head)
+    info(s"inertia: maximin $iPp vs head $iHead")
+    assert(iPp <= iHead)
+  }
 }

@@ -701,4 +701,37 @@ class TextOpsSpec extends AnyFunSuite {
     assert(enc(1L) === ((2L, md5hex("aaab aab"))))
     assert(enc(2L) === ((3L, md5hex("aaab ab c"))))
   }
+
+  test("boilerplate flags cross-document frequent n-grams, not unique prose") {
+    import spark.implicits._
+    // "sign up for updates" (grams: 2×3-gram) is chrome shared by docs
+    // 0-3 (df=4 ≥ minDf=3); each doc's tail is unique prose. Doc 4 is
+    // all-unique; doc 5 is too short for a 3-gram and must be DROPPED
+    // (not emitted as 0/0), matching the oracle's len >= n filter.
+    val docs = Seq(
+      (0L, "sign up for updates alpha beta gamma"),
+      (1L, "sign up for updates delta epsilon zeta"),
+      (2L, "sign up for updates eta theta iota"),
+      (3L, "sign up for updates kappa lambda mu"),
+      (4L, "nu xi omicron pi rho sigma tau"),
+      (5L, "up for")).toDF("doc_id", "text")
+    val out = TextOps.boilerplate(docs, 3, 3).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+    // 7 tokens → 5 gram positions; hits = "sign up for" + "up for updates"
+    out.take(4).foreach { r =>
+      assert(r.getAs[Long]("ngrams") === 5L)
+      assert(r.getAs[Long]("bp_hits") === 2L)
+      assert(r.getAs[Double]("bp_ratio") === 0.4)
+    }
+    assert(out(4).getAs[Long]("bp_hits") === 0L)
+    assert(out(4).getAs[Double]("bp_ratio") === 0.0)
+    // a gram REPEATED inside one doc counts once toward df (distinct
+    // docs) but every position toward the hit ratio
+    val rep = Seq(
+      (0L, "x y z x y z a"),   // "x y z" twice in doc 0
+      (1L, "x y z b c d e"),
+      (2L, "x y z f g h i")).toDF("doc_id", "text")
+    val r0 = TextOps.boilerplate(rep, 3, 3).orderBy("doc_id").collect().head
+    assert(r0.getAs[Long]("bp_hits") === 2L)   // positions 1 and 4
+  }
 }

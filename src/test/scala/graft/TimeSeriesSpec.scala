@@ -613,6 +613,56 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(rd.getAs[Double]("forecast") === rd.getAs[Double]("z_hat"))
   }
 
+  test("hurst: trend persists (H near 1), alternation anti-persists (H = 0), short series yields NULL") {
+    import spark.implicits._
+    def d(i: Int) = java.sql.Date.valueOf(s"2024-01-${"%02d".format(i)}")
+    // key 1: pure trend v = i over 16 days. w=4 block [1,2,3,4]:
+    //   m = 2.5, cumdev = [-1.5, -2, -1.5, 0] → R = 2, S = √1.25 →
+    //   rs = r3(2/1.118034) = 1.789 (all four blocks congruent).
+    // key 2: alternation [1,2]×8 — every block has R/S = 1 → H = 0.
+    // key 3: 6 days only — no complete w=16 block → hurst NULL.
+    val daily = (
+      (1 to 16).map(i => (1L, d(i), i.toDouble)) ++
+      (1 to 16).map(i => (2L, d(i), (1 + (i + 1) % 2).toDouble)) ++
+      (1 to 6).map(i => (3L, d(i), i.toDouble)))
+      .toDF("user_id", "day", "v")
+    val out = TimeSeries.hurst(daily, Seq(4, 8, 16)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Double]("rs4") === 1.789)
+    val h1 = out(1L).getAs[Double]("hurst")
+    assert(h1 > 0.9 && h1 <= 1.0, s"trend H = $h1")
+    assert(out(2L).getAs[Double]("rs4") === 1.0)
+    assert(out(2L).getAs[Double]("hurst") === 0.0)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("hurst")))
+  }
+
+  test("demandClassify lands each hand-built regime in its Syntetos-Boylan quadrant") {
+    import spark.implicits._
+    val ts = (d: String, h: Int) => java.sql.Timestamp.valueOf(s"2024-01-$d 0$h:00:00")
+    def burst(u: Long, day: String, n: Int) =
+      (0 until n).map(h => (u, ts(day, h), "view", 1.0))
+    // user 1 smooth:       1/day, days 1-6        → ADI 1,   CV² 0
+    // user 2 intermittent: 1 ev on days 3,6,9,12  → positions 1,4,7,10
+    //                      (d0 = OWN first day)   → ADI 2.5, CV² 0
+    // user 3 erratic:      counts 1,10 alternating daily → ADI 1,
+    //                      CV² = 20.25/30.25 = r3 0.669
+    // user 4 lumpy:        the erratic sizes on the intermittent grid
+    val rows = (
+      (1 to 6).flatMap(i => burst(1L, s"0$i", 1)) ++
+      Seq("03", "06", "09", "12").flatMap(d => burst(2L, d, 1)) ++
+      (1 to 6).flatMap(i => burst(3L, s"0$i", if (i % 2 == 0) 10 else 1)) ++
+      Seq("01" -> 1, "04" -> 10, "07" -> 1, "10" -> 10)
+        .flatMap { case (d, n) => burst(4L, d, n) })
+      .toDF("user_id", "ts", "event_type", "value")
+    val out = TimeSeries.demandClassify(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Double]("adi"),
+        r.getAs[Double]("cv2"), r.getAs[String]("demand_class")))).toMap
+    assert(out(1L) === ((1.0, 0.0, "smooth")))
+    assert(out(2L) === ((2.5, 0.0, "intermittent")))
+    assert(out(3L) === ((1.0, 0.669, "erratic")))
+    assert(out(4L) === ((2.5, 0.669, "lumpy")))
+  }
+
   test("dtwToRef: hand-computed DP corner; shifts absorbed; band gap yields NULL") {
     import spark.implicits._
     def d(i: Int) = java.sql.Date.valueOf(s"2024-01-${"%02d".format(i + 1)}")
