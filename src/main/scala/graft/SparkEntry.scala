@@ -268,6 +268,16 @@ object SparkEntry {
       Similarity.knnGraph(Tables.embeddings(s, dir), 16, 3)
         .orderBy(col("vec_id"), col("rank"))),
 
+    // NSW-style graph walk: 2 rounds of expand/score/top-beam over
+    // the kNN graph, answer = top-k of everything visited
+    "ann_graph_search" -> ((s, dir) =>
+      Similarity.annGraphSearch(Tables.embeddings(s, dir), 16, 4, 5, 8, 2, 5)
+        .orderBy(col("qid"), col("rank"))),
+
+    "ann_graph_search_recall" -> ((s, dir) =>
+      Similarity.annGraphSearchRecall(Tables.embeddings(s, dir), 16, 4, 5, 8, 2, 5)
+        .orderBy(col("qid"))),
+
     "lang_id" -> ((s, dir) =>
       TextOps.langId(Tables.documents(s, dir)).orderBy(col("doc_id"))),
 
@@ -2266,6 +2276,8 @@ object SparkEntry {
     "embed_cosine_dup" -> OracleSql.embedCosineDup(0.3),
     "dedup_semantic" -> OracleSql.dedupSemantic(16, 0.3),
     "ann_knn_graph" -> OracleSql.annKnnGraph(16, 3),
+    "ann_graph_search" -> OracleSql.annGraphSearch(16, 4, 5, 8, 2, 5),
+    "ann_graph_search_recall" -> OracleSql.annGraphSearchRecall(16, 4, 5, 8, 2, 5),
     "lang_id" -> OracleSql.langId,
     "text_quality" -> OracleSql.textQuality,
     "token_count" -> OracleSql.tokenCount,

@@ -247,6 +247,78 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Graph-expansion beam search over the [[knnGraph]] (the NSW/HNSW
+    * serving primitive, Malkov & Yashunin 2016, flattened to one
+    * layer and made deterministic): each query starts at ITSELF,
+    * `rounds` rounds of expand-neighbours → score → keep the
+    * top-`beam` by rounded cosine (ties to the lowest vid), answer =
+    * top-k of everything VISITED, self excluded. Round 1 returns the
+    * query's own graph edges; later rounds walk neighbours-of-
+    * neighbours, reaching across cell boundaries the IVF probe
+    * cannot (a neighbour's neighbour may live in a cell the query's
+    * coarse assignment never probes).
+    *
+    * Scale plan: the graph build is [[knnGraph]]'s one cell
+    * equi-join (Σcell², linear under √n centroids), checkpointed;
+    * per round the frontier is nQueries·beam rows, its expansion
+    * ≤ ×kGraph, and scoring BROADCASTS the visited set onto one
+    * corpus scan — rounds × scans, never rounds × shuffles. In a
+    * production serving store the adjacency rides vector-inline and
+    * the scan becomes point lookups; the Spark shape keeps the same
+    * dataflow.
+    */
+  def annGraphSearch(embeddings: DataFrame, nCentroids: Int, kGraph: Int,
+                     nQueries: Int, beam: Int, rounds: Int, k: Int): DataFrame = {
+    require(k <= beam, s"annGraphSearch: k=$k must be <= beam=$beam")
+    require(rounds >= 1, s"annGraphSearch: rounds must be >= 1, got $rounds")
+    val graph = knnGraph(embeddings, nCentroids, kGraph)
+      .select(col("vec_id").as("src"), col("nbr")).localCheckpoint()
+    val e = prepared(embeddings.where(col("embedding").isNotNull))
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+    def score(visited: DataFrame) = visited
+      .join(e, visited("vid") === e("vec_id"))
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("vid"),
+        r3(expr("graft_vec_dot(v, qv)") / (col("norm") * col("qn"))).as("cos"))
+    var visited = q.select(col("qid"), col("qid").as("vid")).localCheckpoint()
+    var frontier = visited
+    for (_ <- 1 to rounds) {
+      val expand = frontier.join(graph, frontier("vid") === graph("src"))
+        .select(frontier("qid"), graph("nbr").as("vid"))
+      visited = visited.unionByName(expand).distinct().localCheckpoint()
+      frontier = score(visited)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))))
+        .where(col("rk") <= beam)
+        .select(col("qid"), col("vid")).localCheckpoint()
+    }
+    score(visited)
+      .where(col("vid") =!= col("qid"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid")))
+        .cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Recall@k of the graph walk vs exact — next to the IVF/PQ/SQ
+    * recalls; the interesting diff is vs [[annIvfTopK]]'s at the same
+    * candidate budget (the walk crosses cell boundaries).
+    */
+  def annGraphSearchRecall(embeddings: DataFrame, nCentroids: Int, kGraph: Int,
+                           nQueries: Int, beam: Int, rounds: Int, k: Int): DataFrame = {
+    val exact = cosineTopK(embeddings, nQueries, k).select(col("qid"), col("vid"))
+    val approx = annGraphSearch(embeddings, nCentroids, kGraph,
+        nQueries, beam, rounds, k)
+      .select(col("qid"), col("vid"), lit(1).as("hit"))
+    exact.join(approx, Seq("qid", "vid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        r3(col("n_hit") / col("n_exact")).as("recall"))
+  }
+
   private def semanticDedupWith(embeddings: DataFrame, enc: String,
                                 threshold: Double): DataFrame = {
     // coalesce sentinel: see annIvfTopK — keeps `cell` non-nullable so

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** Graph-expansion beam search over the kNN graph: the contract is
+  * that round r reaches exactly the r-hop neighbourhood (truncated by
+  * the beam), so later rounds find neighbours the first hop cannot.
+  */
+class GraphSearchSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Session.local(4)
+
+  /** Unit vectors on an angle chain 0°,30°,60°,90°,120° — with
+    * kGraph=2 each node's graph edges are its ±30° neighbours, so the
+    * 90° node is 2 hops from the 0° query and the 120° node is 3.
+    */
+  private def chain() = {
+    import spark.implicits._
+    Seq(0, 30, 60, 90, 120).zipWithIndex.map { case (deg, i) =>
+      val th = math.toRadians(deg)
+      (i.toLong, Seq(math.cos(th), math.sin(th)))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("round 2 reaches the 2-hop node round 1 cannot; 3-hop stays unreached") {
+    val one = Similarity.annGraphSearch(chain(), 1, 2, 1, 8, 1, 4)
+      .collect().sortBy(_.getAs[Long]("rank"))
+    // one round = the query's own graph edges (30° and 60°)
+    assert(one.map(_.getAs[Long]("vid")).toSeq === Seq(1L, 2L))
+    val two = Similarity.annGraphSearch(chain(), 1, 2, 1, 8, 2, 4)
+      .collect().sortBy(_.getAs[Long]("rank"))
+    // second round expands the 60° node's edges → 90° joins; 120°
+    // (3 hops) stays out; under-filled k is honest (3 rows < k=4)
+    assert(two.map(_.getAs[Long]("vid")).toSeq === Seq(1L, 2L, 3L))
+    assert(two.map(_.getAs[Double]("cos")).toSeq === Seq(0.866, 0.5, 0.0))
+  }
+
+  test("a tight beam prunes the frontier: beam 2 keeps only self+best, walk still advances") {
+    // beam=2 → frontier after round 1 = {self, 30°}; round 2 expands
+    // only those, so 90° (an edge of 60°) is never reached
+    val tight = Similarity.annGraphSearch(chain(), 1, 2, 1, 2, 2, 2)
+      .collect().sortBy(_.getAs[Long]("rank"))
+    assert(tight.map(_.getAs[Long]("vid")).toSeq === Seq(1L, 2L))
+  }
+
+  test("gate-shape recall on the driver corpus is recorded") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rec = Similarity.annGraphSearchRecall(emb, 16, 4, 5, 8, 2, 5)
+      .select(org.apache.spark.sql.functions.avg(
+        org.apache.spark.sql.functions.col("recall"))).head().getDouble(0)
+    info(s"graph-search avg recall = $rec")
+    assert(rec > 0.0 && rec <= 1.0)
+  }
+}
