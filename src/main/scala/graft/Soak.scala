@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Generate, Relational, Similarity, TextOps}
+import graft.operators.{Dedup, Eval, Generate, Relational, Similarity, TextOps}
 
 /** Scale soak: runs the shuffle-heavy operators on inputs scaled
   * `SPARK_GRAFT_SOAK_FACTOR`× (default 10×) IN MEMORY — an
@@ -789,7 +789,29 @@ object Soak {
           .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
           .groupBy(col("p_brand"), col("p_size"))
           .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
-      }))
+      }),
+      // gram df table grows linearly (replica-prefixed tokens keep
+      // gram vocabularies DISJOINT across replicas); both gram
+      // exchanges map-side combine
+      "text_boilerplate" -> (() => TextOps.boilerplate(docs, 3, 5)),
+      // graph build is the knn-graph Σcell² law (√n centroids keep it
+      // linear); the walk itself is nQueries·beam·rounds — flat
+      "ann_graph_search" -> (() =>
+        Similarity.annGraphSearch(emb, 16 * factor, 4, 5, 8, 2, 5)),
+      // stage 1 truncated scan grows linearly; shortlist broadcast-back
+      // rerank is query-bounded
+      "ann_matryoshka" -> (() => Similarity.annMatryoshka(emb, 16, 5, 25, 5)),
+      // one key exchange + w-bounded block groups (w <= 16)
+      "ts_hurst" -> (() => graft.operators.TimeSeries.hurst(
+        graft.operators.TimeSeries.resampleDaily(ev), Seq(4, 8, 16))),
+      // one (user, bucket) map-side-combined sum over the x2 explode
+      "feature_hash" -> (() => Eval.featureHash(ev, 16)),
+      // everything past the per-user flag is 2-row/1-row frames
+      "ab_lift" -> (() => Eval.abLift(ev, "purchase", 14)),
+      "ab_cuped" -> (() => Eval.abCuped(ev, "2024-01-16")),
+      // k-1 maximin scans + the Lloyd rounds — the kmeans_fit cost
+      // class with a k-bounded driver state
+      "kmeans_fit_pp" -> (() => Similarity.kmeansFitMaximin(emb, 8, 2)))
 
     // optional args name a subset — e.g. the dedup family at a higher
     // SPARK_GRAFT_SOAK_FACTOR without paying for the whole suite

@@ -228,4 +228,56 @@ class PlanCensusSpec extends AnyFunSuite {
     // nothing re-shuffles the joined-back cost rows
     assert(s.size <= 3, s"expected cost agg + parts-min + sort only: ${s.size}")
   }
+
+  test("feature_hash: the (user, bucket) sum is the ONLY shuffle — features explode map-side") {
+    val s = shuffles(Eval.featureHash(Tables.events(spark, dir), 16))
+    assert(s.size === 1, s"expected one map-side-combined sum: ${s.size}")
+  }
+
+  test("text_boilerplate: both gram exchanges map-side combine; the frequent set broadcasts back") {
+    val df = TextOps.boilerplate(Tables.documents(spark, dir), 3, 5)
+    val conf = spark.conf
+    conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try {
+      df.write.format("noop").mode("overwrite").save()
+      df.queryExecution.executedPlan
+    } finally conf.set("spark.sql.adaptive.enabled", "true")
+    val bcasts = plan.collect { case b: BroadcastExchangeExec => b }
+    assert(bcasts.nonEmpty, "the Zipf-head frequent set must broadcast onto the gram stream")
+    val shuf = plan.collect { case e: ShuffleExchangeExec => e }
+    // per-doc-distinct grams, the df count, the per-doc hit count, and
+    // the doc-frame join back — nothing may shuffle the RAW positional
+    // gram stream twice
+    assert(shuf.size <= 4, s"unexpected extra shuffles: ${shuf.size}")
+  }
+
+  test("ab_lift: nothing after the per-user flag scales — 2-row then 1-row aggregates") {
+    val s = shuffles(Eval.abLift(Tables.events(spark, dir), "purchase", 14))
+    // user-keyed flag agg + the arm agg + the single-row compose
+    assert(s.size === 3, s"expected user + arm + scalar exchanges: ${s.size}")
+  }
+
+  test("ts_hurst: one key numbering exchange, then w-bounded block aggregates") {
+    val s = shuffles(TimeSeries.hurst(
+      TimeSeries.resampleDaily(Tables.events(spark, dir)), Seq(4, 8, 16)))
+    // resample + row_number + (key,w,blk) agg + (key,w) avg + final
+    // pivot agg — all post-explode state is w-bounded arrays
+    assert(s.size <= 5, s"unexpected extra shuffles: ${s.size}")
+  }
+
+  test("ann_matryoshka: the shortlist broadcasts back — stage 2 adds no corpus shuffle") {
+    val df = Similarity.annMatryoshka(Tables.embeddings(spark, dir), 16, 5, 25, 5)
+    val conf = spark.conf
+    conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try {
+      df.write.format("noop").mode("overwrite").save()
+      df.queryExecution.executedPlan
+    } finally conf.set("spark.sql.adaptive.enabled", "true")
+    val bcasts = plan.collect { case b: BroadcastExchangeExec => b }
+    assert(bcasts.size >= 3, "queries (x2) and the shortlist must broadcast")
+    val shuf = plan.collect { case e: ShuffleExchangeExec => e }
+    // the salted two-phase top-k's two rank exchanges + the rerank's
+    // tiny-frame window — no additional corpus-volume exchange
+    assert(shuf.size <= 3, s"unexpected extra shuffles: ${shuf.size}")
+  }
 }
