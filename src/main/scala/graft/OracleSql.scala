@@ -369,6 +369,45 @@ object OracleSql {
        |  ON d.user_id = e.user_id AND d.day >= e.day
        |ORDER BY d.user_id, d.day""".stripMargin
 
+  /** Forward as-of: earliest error on/after each day. */
+  val asofJoinForward: String =
+    s"""WITH $daily,
+       |err AS (
+       |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+       |         ${R("MAX(value)")} AS err_v
+       |  FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+       |SELECT d.user_id, d.day, d.v, e.err_v AS asof_err_v, e.day AS asof_err_day
+       |FROM daily d ASOF LEFT JOIN err e
+       |  ON d.user_id = e.user_id AND d.day <= e.day
+       |ORDER BY d.user_id, d.day""".stripMargin
+
+  /** Nearest as-of: the closer of the backward/forward matches by day
+    * distance, backward on ties.
+    */
+  val asofJoinNearest: String =
+    s"""WITH $daily,
+       |err AS (
+       |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+       |         ${R("MAX(value)")} AS err_v
+       |  FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+       |bk AS (
+       |  SELECT d.user_id, d.day, d.v, e.err_v AS b_v, e.day AS b_day
+       |  FROM daily d ASOF LEFT JOIN err e
+       |    ON d.user_id = e.user_id AND d.day >= e.day),
+       |fw AS (
+       |  SELECT d.user_id, d.day, e.err_v AS f_v, e.day AS f_day
+       |  FROM daily d ASOF LEFT JOIN err e
+       |    ON d.user_id = e.user_id AND d.day <= e.day)
+       |SELECT b.user_id, b.day, b.v,
+       |       CASE WHEN b.b_day IS NOT NULL AND (f.f_day IS NULL OR
+       |                  date_diff('day', b.b_day, b.day) <= date_diff('day', b.day, f.f_day))
+       |            THEN b.b_v ELSE f.f_v END AS near_err_v,
+       |       CASE WHEN b.b_day IS NOT NULL AND (f.f_day IS NULL OR
+       |                  date_diff('day', b.b_day, b.day) <= date_diff('day', b.day, f.f_day))
+       |            THEN b.b_day ELSE f.f_day END AS near_err_day
+       |FROM bk b JOIN fw f ON f.user_id = b.user_id AND f.day = b.day
+       |ORDER BY b.user_id, b.day""".stripMargin
+
   /** Gap-based sessionization (30-minute gap). */
   /** Funnel ladder: tᵢ = first stage-i event strictly after tᵢ₋₁
     * (and within `maxGapUs` of it when set — the conversion
@@ -400,6 +439,26 @@ object OracleSql {
        |FROM t1
        |$joins
        |ORDER BY t1.user_id""".stripMargin
+  }
+
+  /** Funnel stage-transition latency: the ladder as a CTE, one UNION
+    * branch per transition, quantile_cont = Spark percentile.
+    */
+  def funnelLatency(stages: Seq[String], maxGapUs: Option[Long] = None): String = {
+    val branches = stages.indices.dropRight(1).map { i =>
+      s"""SELECT ${i + 1} AS step, '${stages(i)}->${stages(i + 1)}' AS transition,
+         |       (t${i + 2}_us - t${i + 1}_us) / 1000000.0 AS gap_s
+         |FROM base WHERE t${i + 2}_us IS NOT NULL""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH base AS (
+       |${funnel(stages, maxGapUs)}),
+       |g AS (
+       |$branches)
+       |SELECT CAST(step AS INT) AS step, transition, COUNT(*) AS n_converted,
+       |       ${R("AVG(gap_s)")} AS mean_s,
+       |       ${R("quantile_cont(gap_s, 0.5)")} AS p50_s,
+       |       ${R("quantile_cont(gap_s, 0.9)")} AS p90_s
+       |FROM g GROUP BY 1, 2 ORDER BY step""".stripMargin
   }
 
   /** anomalyStream's batch twin: per-(user, type) rounded profile,
@@ -4464,6 +4523,55 @@ object OracleSql {
        |       ${R("(sy_b / n_b - theta * (sx_b / n_b - mx)) - (sy_a / n_a - theta * (sx_a / n_a - mx))")} AS lift_cuped,
        |       ${R("1.0 - (vary - theta * covxy) / vary")} AS var_reduction
        |FROM m3""".stripMargin
+
+  /** Trending tokens: even/odd doc_id snapshots, smoothed log
+    * frequency-ratio, top-k rising.
+    */
+  def tokenTrending(k: Int): String =
+    s"""WITH t AS (
+       |  SELECT CAST(doc_id % 2 AS INT) AS grp,
+       |         UNNEST(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |c AS (
+       |  SELECT token,
+       |         CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_old,
+       |         CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_new
+       |  FROM t GROUP BY 1),
+       |tot AS (SELECT SUM(c_old) AS t_old, SUM(c_new) AS t_new FROM c),
+       |s AS (
+       |  SELECT token, c_old, c_new,
+       |         ${R("LN(((c_new + 1.0) / (t_new + 1.0)) / ((c_old + 1.0) / (t_old + 1.0)))")} AS score
+       |  FROM c CROSS JOIN tot)
+       |SELECT token, c_old, c_new, score,
+       |       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, token) AS BIGINT) AS rank
+       |FROM s ORDER BY score DESC, token LIMIT $k""".stripMargin
+
+  /** Per-dim embedding drift between even/odd vec_id halves —
+    * standardized |Δmean| over the rounded moments.
+    */
+  def embeddingDrift(dim: Int = 64): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL),
+       |x AS (
+       |  SELECT CAST(vec_id % 2 AS INT) AS grp, r.d, v[r.d + 1] AS x
+       |  FROM e CROSS JOIN range(0, $dim) r(d)),
+       |st AS (
+       |  SELECT grp, d, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
+       |  FROM x GROUP BY 1, 2),
+       |m AS (
+       |  SELECT grp, d, ${R("sx / n")} AS m,
+       |         ${R("sxx / n - (sx / n) * (sx / n)")} AS v
+       |  FROM st),
+       |piv AS (
+       |  SELECT d,
+       |         MAX(CASE WHEN grp = 0 THEN m END) AS mean_a,
+       |         MAX(CASE WHEN grp = 1 THEN m END) AS mean_b,
+       |         MAX(CASE WHEN grp = 0 THEN v END) AS var_a,
+       |         MAX(CASE WHEN grp = 1 THEN v END) AS var_b
+       |  FROM m GROUP BY 1)
+       |SELECT d, mean_a, mean_b, var_a, var_b,
+       |       ${R("ABS(mean_b - mean_a) / sqrt((var_a + var_b) / 2.0 + 1.0e-9)")} AS drift
+       |FROM piv ORDER BY d""".stripMargin
 
   /** Cross-document boilerplate: positional n-grams, Zipf-head
     * frequent set (document frequency ≥ minDf), per-doc hit ratio.

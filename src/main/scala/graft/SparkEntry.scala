@@ -166,6 +166,36 @@ object SparkEntry {
         .orderBy(col("user_id"), col("day"))
     }),
 
+    // the FORWARD mirror ("what happened next") of ts_asof_join
+    "ts_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val daily = TimeSeries.resampleDaily(ev)
+      val err = ev.where(col("event_type") === "error")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(r3c(max(col("value"))).as("err_v"))
+        .withColumn("err_day", col("day"))
+      Relational.asofJoinForward(daily, err, "user_id", "day", Seq("err_v", "err_day"))
+        .select(col("user_id"), col("day"), col("v"),
+          col("asof_err_v"), col("asof_err_day"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
+    // nearest-match as-of (kdb's nearest aj): closer of the two
+    // directions by day distance, backward on ties
+    "ts_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val daily = TimeSeries.resampleDaily(ev)
+      val err = ev.where(col("event_type") === "error")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(r3c(max(col("value"))).as("err_v"))
+        .withColumn("err_day", col("day"))
+      Relational.asofJoinNearest(daily, err, "user_id", "day", "err_day",
+          Seq("err_v", "err_day"))
+        .select(col("user_id"), col("day"), col("v"),
+          col("near_err_v"), col("near_err_day"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
     "ts_sessionize" -> ((s, dir) =>
       Relational.sessionize(Tables.events(s, dir), 1800000000L)
         .orderBy(col("user_id"), col("session_no"))),
@@ -175,6 +205,13 @@ object SparkEntry {
     "funnel_conversion" -> ((s, dir) =>
       Relational.funnel(Tables.events(s, dir), Seq("signup", "click", "purchase"))
         .orderBy(col("user_id"))),
+
+    // time-to-convert per funnel transition: identical conversion
+    // rates can hide 10x latency differences
+    "funnel_latency" -> ((s, dir) =>
+      Relational.funnelLatency(Tables.events(s, dir),
+          Seq("signup", "click", "purchase"))
+        .orderBy(col("step"))),
 
     // weekly cohort retention triangle over first-active weeks
     "retention_cohorts" -> ((s, dir) =>
@@ -1461,6 +1498,17 @@ object SparkEntry {
     "text_boilerplate" -> ((s, dir) =>
       TextOps.boilerplate(Tables.documents(s, dir), 3, 5).orderBy(col("doc_id"))),
 
+    // corpus drift: top rising tokens between even/odd doc snapshots
+    "token_trending" -> ((s, dir) =>
+      TextOps.tokenTrending(Tables.documents(s, dir), 20)
+        .orderBy(col("rank"))),
+
+    // per-dim embedding monitoring: standardized mean drift between
+    // even/odd vec_id halves
+    "embedding_drift" -> ((s, dir) =>
+      Similarity.embeddingDrift(Tables.embeddings(s, dir))
+        .orderBy(col("d"))),
+
     "corpus_stats" -> ((s, dir) =>
       TextOps.corpusStats(Tables.documents(s, dir))),
 
@@ -2223,9 +2271,12 @@ object SparkEntry {
     "q3_join_agg" -> OracleSql.q3JoinAgg,
     "topk_per_group" -> OracleSql.topkPerGroup,
     "ts_asof_join" -> OracleSql.asofJoin,
+    "ts_asof_forward" -> OracleSql.asofJoinForward,
+    "ts_asof_nearest" -> OracleSql.asofJoinNearest,
     "ts_sessionize" -> OracleSql.sessionize(1800000000L),
     "funnel_session" -> OracleSql.funnelSession(1800000000L, Seq("view", "click", "purchase")),
     "funnel_conversion" -> OracleSql.funnel(Seq("signup", "click", "purchase")),
+    "funnel_latency" -> OracleSql.funnelLatency(Seq("signup", "click", "purchase")),
     "funnel_windowed" -> OracleSql.funnel(Seq("signup", "click", "purchase"),
       maxGapUs = Some(604800000000L)),
     "stream_funnel_batch" -> OracleSql.funnelComplete(Seq("signup", "click", "purchase")),
@@ -2424,6 +2475,8 @@ object SparkEntry {
     "search_hybrid_rrf" -> OracleSql.hybridRrf(Seq("hash", "join", "vector"), 20, 10),
     "text_entropy" -> OracleSql.textEntropy,
     "text_boilerplate" -> OracleSql.boilerplate(3, 5),
+    "token_trending" -> OracleSql.tokenTrending(20),
+    "embedding_drift" -> OracleSql.embeddingDrift(),
     "corpus_stats" -> OracleSql.corpusStats,
     "sample_token_budget" -> OracleSql.sampleTokenBudget(1000L, "budget"),
     "sample_mixture" -> OracleSql.sampleMixture(

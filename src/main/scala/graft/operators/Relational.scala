@@ -22,7 +22,29 @@ object Relational {
     * same way; DuckDB's native ASOF JOIN is the oracle.)
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
-               payload: Seq[String]): DataFrame = {
+               payload: Seq[String]): DataFrame =
+    asofWith(left, right, key, time, payload, forward = false)
+
+  /** FORWARD as-of: each left row carries the EARLIEST right payload
+    * with right time ≥ left time (inclusive) — "what happened next"
+    * (time-to-event joins, next-maintenance lookups), the mirror of
+    * [[asofJoin]]'s "most recent state". Same union + single-window
+    * plan, just scanned descending.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      time: String, payload: Seq[String]): DataFrame =
+    asofWith(left, right, key, time, payload, forward = true)
+
+  /** The shared union-tag-window as-of core: both sides union into one
+    * frame, ONE key exchange, the payload carried by a running
+    * last-non-null over the (time, side) ordering — ascending for
+    * backward, descending for forward; the side tiebreak makes the
+    * same-instant right row visible to the left row in both
+    * directions (inclusive semantics, = DuckDB `ASOF JOIN ON >=`/`<=`).
+    */
+  private def asofWith(left: DataFrame, right: DataFrame, key: String,
+                       time: String, payload: Seq[String],
+                       forward: Boolean): DataFrame = {
     val lTagged = left.withColumn("_side", lit(1))
       .select(Seq(col(key), col(time), col("_side")) ++
         left.columns.filterNot(c => c == key || c == time).map(col) ++
@@ -31,7 +53,8 @@ object Relational {
       .select(Seq(col(key), col(time), col("_side")) ++
         left.columns.filterNot(c => c == key || c == time).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         payload.map(c => col(c).as(s"_r_$c")): _*)
-    val w = Window.partitionBy(key).orderBy(col(time), col("_side"))
+    val ord = if (forward) col(time).desc else col(time).asc
+    val w = Window.partitionBy(key).orderBy(ord, col("_side"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val carried = lTagged.unionByName(rTagged)
       .select(col("*") +: payload.map(c =>
@@ -39,6 +62,35 @@ object Relational {
     carried.where(col("_side") === 1)
       .drop("_side")
       .drop(payload.map(c => s"_r_$c"): _*)
+  }
+
+  /** NEAREST as-of over a DATE time column: per left row, the closer
+    * of the backward and forward matches by day distance, backward on
+    * ties (and whichever side exists when only one does) — kdb's
+    * `nearest aj`. Requires `rightTime` ∈ payload (both candidates
+    * must carry their own day to be compared) and a left frame UNIQUE
+    * on (key, time) — the recombining join is keyed on exactly that.
+    * Two window passes + one per-key-sized join — still a two-exchange
+    * plan, no corpus re-scan.
+    */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
+                      time: String, rightTime: String,
+                      payload: Seq[String]): DataFrame = {
+    require(payload.contains(rightTime),
+      s"asofJoinNearest: rightTime=$rightTime must be in payload")
+    val b = asofWith(left, right, key, time, payload, forward = false)
+    val f = asofWith(left, right, key, time, payload, forward = true)
+      .select(Seq(col(key), col(time)) ++
+        payload.map(c => col(s"asof_$c").as(s"_fwd_$c")): _*)
+    val bd = datediff(col(time), col(s"asof_$rightTime"))
+    val fd = datediff(col(s"_fwd_$rightTime"), col(time))
+    val useB = col(s"asof_$rightTime").isNotNull &&
+      (col(s"_fwd_$rightTime").isNull || bd <= fd)
+    b.join(f, Seq(key, time))
+      .select(Seq(col(key), col(time)) ++
+        left.columns.filterNot(c => c == key || c == time).map(col) ++
+        payload.map(c =>
+          when(useB, col(s"asof_$c")).otherwise(col(s"_fwd_$c")).as(s"near_$c")): _*)
   }
 
   /** Gap-based sessionization of an event stream: a new session starts
@@ -420,6 +472,36 @@ object Relational {
   }
 
   private def r3(c: Column): Column = floor(c * 1000.0 + 0.5001) / 1000.0
+
+  /** TIME-TO-CONVERT between consecutive [[funnel]] stages: per
+    * transition, the converter count and the mean/p50/p90 latency in
+    * seconds — the "how long does the signup→click step take" readout
+    * a conversion count alone hides (two funnels with identical rates
+    * and 10× different latencies are different products).
+    *
+    * Scale plan: the ladder computes ONCE (checkpointed) and each
+    * transition branch is a projection of it; gaps collapse through a
+    * map-side-combined |stages|-row aggregate. Exact percentiles run
+    * over per-user scalars, never event volume — at extreme user
+    * counts the 21y1 sketch tier pattern slots in unchanged.
+    */
+  def funnelLatency(events: DataFrame, stages: Seq[String],
+                    maxGapUs: Option[Long] = None): DataFrame = {
+    val f = funnel(events, stages, maxGapUs).localCheckpoint()
+    val pairs = stages.indices.dropRight(1).map { i =>
+      val a = s"t${i + 1}_us"
+      val b = s"t${i + 2}_us"
+      f.where(col(b).isNotNull)
+        .select(lit(i + 1).as("step"),
+          lit(s"${stages(i)}->${stages(i + 1)}").as("transition"),
+          ((col(b) - col(a)) / 1000000.0).as("gap_s"))
+    }.reduce(_ unionByName _)
+    pairs.groupBy(col("step"), col("transition"))
+      .agg(count(lit(1)).as("n_converted"),
+        r3(avg(col("gap_s"))).as("mean_s"),
+        r3(expr("percentile(gap_s, 0.5)")).as("p50_s"),
+        r3(expr("percentile(gap_s, 0.9)")).as("p90_s"))
+  }
 
   /** Per-corpus event-type transition matrix (first-order Markov
     * paths): for every consecutive `(prev → next)` pair inside a

@@ -706,6 +706,40 @@ object Similarity {
     fitSummary(embeddings, cents)
   }
 
+  /** Per-dimension DRIFT between two corpus halves (old = even
+    * vec_id, new = odd — the deterministic stand-in for train-time vs
+    * serve-time embedding batches): per dim the two rounded means and
+    * variances plus the standardized drift
+    * |μ_new − μ_old| / √((σ²_old + σ²_new)/2 + 1e-9) — the embedding
+    * monitoring pass that catches model / preprocessing skew before
+    * ANN recall silently decays (a drifted dimension moves every
+    * distance computation). 1e-9 keeps degenerate dims finite.
+    *
+    * Scale plan: one explode pass, (grp, d) map-side-combined — the
+    * exchange carries 2·dim·partitions partial rows; the pivot and
+    * drift math run on a 2·dim-row frame. Drift derives from the
+    * ROUNDED moments, so both engines agree past the ε guard.
+    */
+  def embeddingDrift(embeddings: DataFrame): DataFrame = {
+    val st = embeddings.where(col("embedding").isNotNull)
+      .select(pmod(col("vec_id"), lit(2L)).cast("int").as("grp"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("grp"), col("d"))
+      .agg(count(lit(1)).as("n"), sum(col("x").cast("double")).as("sx"),
+        sum((col("x") * col("x")).cast("double")).as("sxx"))
+      .select(col("grp"), col("d"),
+        r3(col("sx") / col("n")).as("m"),
+        r3(col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n"))).as("v"))
+    def side(g: Int, c: String) = max(when(col("grp") === g, col(c)))
+    st.groupBy(col("d"))
+      .agg(side(0, "m").as("mean_a"), side(1, "m").as("mean_b"),
+        side(0, "v").as("var_a"), side(1, "v").as("var_b"))
+      .select(col("d").cast("long").as("d"),
+        col("mean_a"), col("mean_b"), col("var_a"), col("var_b"),
+        r3(abs(col("mean_b") - col("mean_a")) /
+          sqrt((col("var_a") + col("var_b")) / 2.0 + 1.0e-9)).as("drift"))
+  }
+
   /** Per-dimension embedding-corpus report: element count, mean,
     * variance, min, max for every dimension — the prep pass for
     * whitening / per-dim scalar quantization and the first query run

@@ -1270,6 +1270,40 @@ object TextOps {
         md5(array_join(col("ch"), " ")).as("fp"))
   }
 
+  /** TRENDING tokens between two corpus snapshots (old = even doc_id,
+    * new = odd — the deterministic stand-in for crawl generations):
+    * per token the smoothed log frequency-ratio
+    * ln[((c_new+1)/(t_new+1)) / ((c_old+1)/(t_old+1))], top-k rising
+    * — the corpus-drift diagnostic a data-freshness audit reads
+    * before retraining (new entities surface here long before they
+    * move aggregate stats). Add-one smoothing keeps tokens absent
+    * from one snapshot finite and ranked.
+    *
+    * Scale plan: one map-side-combined token count (vocab-sized, both
+    * snapshot counts in one conditional aggregate — a single corpus
+    * pass), totals re-aggregated from the vocab frame (never a second
+    * token pass) riding back as a 1-row broadcast; the rank is
+    * TakeOrdered over the vocab frame, never a global sort.
+    */
+  def tokenTrending(docs: DataFrame, k: Int): DataFrame = {
+    val counts = docs
+      .select(pmod(col("doc_id"), lit(2L)).cast("int").as("grp"),
+        explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(when(col("grp") === 0, 1L).otherwise(0L)).as("c_old"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("c_new"))
+    val tot = counts.agg(sum(col("c_old")).as("t_old"), sum(col("c_new")).as("t_new"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("token"), col("c_old"), col("c_new"),
+        r3(log(((col("c_new") + 1.0) / (col("t_new") + 1.0)) /
+          ((col("c_old") + 1.0) / (col("t_old") + 1.0)))).as("score"))
+      .orderBy(col("score").desc, col("token"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("token"))).cast("long"))
+  }
+
   /** Cross-document boilerplate signal (the CCNet/RefinedWeb dedup-
     * before-train preprocessing family, Wenzek et al. 2020): an
     * n-gram POSITION is boilerplate when its gram appears in ≥

@@ -603,4 +603,31 @@ class LlmOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("tokenTrending: a new-snapshot-only token tops the rising list; shared tokens score 0") {
+    import spark.implicits._
+    // even doc = old snapshot, odd = new; 3 tokens per side
+    val docs = Seq((0L, "old old shared"), (1L, "new new shared"))
+      .toDF("doc_id", "text")
+    val out = TextOps.tokenTrending(docs, 3).collect()
+      .map(r => r.getAs[Long]("rank") ->
+        ((r.getAs[String]("token"), r.getAs[Double]("score")))).toMap
+    // score(new) = ln((3/4)/(1/4)) = ln 3 = r3 1.099, mirrored for old
+    assert(out(1L) === (("new", 1.099)))
+    assert(out(2L) === (("shared", 0.0)))
+    assert(out(3L) === (("old", -1.099)))
+  }
+
+  test("embeddingDrift: a shifted dimension stands out, an identical one is 0") {
+    import spark.implicits._
+    // evens at 0, odds at 1 in dim 0; dim 1 identical everywhere
+    val emb = (0L until 20L).map(i => (i, Seq((i % 2).toDouble, 5.0)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.embeddingDrift(emb).collect()
+      .map(r => r.getAs[Long]("d") -> r).toMap
+    assert(out(0L).getAs[Double]("mean_a") === 0.0)
+    assert(out(0L).getAs[Double]("mean_b") === 1.0)
+    assert(out(0L).getAs[Double]("drift") > 1000.0) // variance-free shift
+    assert(out(1L).getAs[Double]("drift") === 0.0)
+  }
 }

@@ -34,6 +34,53 @@ class RelationalSpec extends AnyFunSuite {
     assert(out(3).isNullAt(3))                      // user 2: none
   }
 
+  test("asofJoinForward mirrors backward; asofJoinNearest picks the closer side, backward on ties") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val left = Seq(
+      (1L, d("2024-01-01"), 10.0),   // fwd-only: nearest = 01-03
+      (1L, d("2024-01-04"), 15.0),   // tie (03 vs 05) → backward 03
+      (1L, d("2024-01-05"), 20.0),   // exact hit both sides
+      (1L, d("2024-01-10"), 30.0),   // back 5 days vs fwd 2 → forward 12
+      (1L, d("2024-01-20"), 40.0))   // back-only: nearest = 01-12
+      .toDF("user_id", "day", "v")
+    val right = Seq(
+      (1L, d("2024-01-03"), 1.0, d("2024-01-03")),
+      (1L, d("2024-01-05"), 2.0, d("2024-01-05")),
+      (1L, d("2024-01-12"), 3.0, d("2024-01-12")))
+      .toDF("user_id", "day", "err_v", "err_day")
+    val fwd = Relational.asofJoinForward(left, right, "user_id", "day", Seq("err_v"))
+      .orderBy("day").select("asof_err_v").collect()
+    assert(fwd.map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq ===
+      Seq(1.0, 2.0, 2.0, 3.0, null))
+    val near = Relational.asofJoinNearest(left, right, "user_id", "day",
+        "err_day", Seq("err_v", "err_day"))
+      .orderBy("day").select("near_err_v").collect()
+    assert(near.map(_.getDouble(0)).toSeq === Seq(1.0, 1.0, 2.0, 3.0, 3.0))
+  }
+
+  test("funnelLatency: per-transition converter counts and exact latency percentiles") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-05 10:00:00").getTime
+    def ts(offsetS: Long) = new java.sql.Timestamp(t0 + offsetS * 1000)
+    // A converts fully (10s then 20s); B stops after click (30s); C
+    // clicks without signup (never enters the ladder)
+    val rows = Seq(
+      (1L, ts(0), "signup", 1.0), (1L, ts(10), "click", 1.0), (1L, ts(30), "purchase", 1.0),
+      (2L, ts(0), "signup", 1.0), (2L, ts(30), "click", 1.0),
+      (3L, ts(5), "click", 1.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val out = Relational.funnelLatency(rows, Seq("signup", "click", "purchase"))
+      .collect().map(r => r.getAs[Int]("step") -> r).toMap
+    assert(out(1).getAs[String]("transition") === "signup->click")
+    assert(out(1).getAs[Long]("n_converted") === 2L)
+    assert(out(1).getAs[Double]("mean_s") === 20.0)
+    assert(out(1).getAs[Double]("p50_s") === 20.0)
+    assert(out(1).getAs[Double]("p90_s") === 28.0) // interp of [10, 30] at .9
+    assert(out(2).getAs[Long]("n_converted") === 1L)
+    assert(out(2).getAs[Double]("p50_s") === 20.0)
+  }
+
   test("sessionize splits on gaps > threshold") {
     import spark.implicits._
     val base = 1700000000000000L // µs
