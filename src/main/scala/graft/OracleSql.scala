@@ -5011,6 +5011,35 @@ object OracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Temperature mixture: weights ∝ pow(source token mass, 1/T),
+    * r3'd, then the sampleMixture fill with SQL-derived budgets.
+    */
+  def sampleTemperature(temperature: Double, totalBudget: Long,
+                        seed: String): String = {
+    val invT = (1.0 / temperature).toString
+    s"""WITH s AS (
+       |  SELECT doc_id, source AS shard,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    MD5(CONCAT('$seed:', CAST(doc_id AS VARCHAR))) AS shuf
+       |  FROM documents),
+       |tot AS (SELECT shard, CAST(SUM(n_tokens) AS DOUBLE) AS nt FROM s GROUP BY 1),
+       |z AS (SELECT SUM(pow(nt, $invT)) AS z FROM tot),
+       |b AS (
+       |  SELECT shard,
+       |         CAST(FLOOR(${R(s"pow(nt, $invT) / z")} * $totalBudget) AS BIGINT) AS budget
+       |  FROM tot CROSS JOIN z),
+       |f AS (SELECT s.*, b.budget FROM s JOIN b USING (shard)),
+       |p AS (
+       |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+       |      PARTITION BY shard ORDER BY shuf, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS stream_pos
+       |  FROM f)
+       |SELECT doc_id, shard, n_tokens, budget, stream_pos
+       |FROM p WHERE stream_pos < budget
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** One-row corpus report. */
   val corpusStats: String =
     s"""WITH t AS (
@@ -6311,6 +6340,43 @@ object OracleSql {
        |SELECT user_id, COUNT(*) AS n_periods,
        |       ${R(s"-(SUM(CASE WHEN power > 0 AND tot > 0 THEN (power / tot) * LN(power / tot) ELSE 0.0 END)) / $lnN")} AS entropy
        |FROM tt GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  /** Iterative ESD-style outlier removal: unrolled rounds, each an
+    * anti-join against the flagged accumulator + per-key stats + a
+    * top-1 pick; accumulators MATERIALIZED (referenced twice/round).
+    */
+  def tsOutliersEsd(rounds: Int, z: Double): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH $daily,
+         |f0 AS (SELECT user_id, day, v, 0.0 AS z_at_flag, 0 AS round
+         |       FROM daily WHERE 1 = 0)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+         |rem$r AS (
+         |  SELECT d.* FROM daily d
+         |  WHERE NOT EXISTS (SELECT 1 FROM f${r - 1} f
+         |                    WHERE f.user_id = d.user_id AND f.day = d.day)),
+         |st$r AS (
+         |  SELECT user_id, ${R("AVG(v)")} AS m, ${R("STDDEV_POP(v)")} AS sd
+         |  FROM rem$r GROUP BY 1),
+         |cand$r AS (
+         |  SELECT user_id, day, v, zz AS z_at_flag, $r AS round FROM (
+         |    SELECT r.user_id, r.day, r.v,
+         |           ${R("(r.v - s.m) / s.sd")} AS zz,
+         |           ROW_NUMBER() OVER (PARTITION BY r.user_id
+         |             ORDER BY ABS(${R("(r.v - s.m) / s.sd")}) DESC, r.day) AS rk
+         |    FROM rem$r r JOIN st$r s ON s.user_id = r.user_id
+         |    WHERE s.sd > 0)
+         |  WHERE rk = 1 AND ABS(zz) >= $z),
+         |f$r AS MATERIALIZED (
+         |  SELECT * FROM f${r - 1} UNION ALL SELECT * FROM cand$r)""".stripMargin)
+    }
+    sb.append(s"""
+       |SELECT user_id, day, v, z_at_flag, CAST(round AS INT) AS round
+       |FROM f$rounds ORDER BY user_id, day""".stripMargin)
+    sb.toString
   }
 
   /** R/S Hurst: complete dyadic blocks, left-to-right list folds

@@ -568,6 +568,13 @@ object SparkEntry {
         TimeSeries.resampleDaily(Tables.events(s, dir)), 14)
         .orderBy(col("user_id"))),
 
+    // iterative ESD-style outlier removal: per round flag the worst
+    // |z| >= 2 per key and recompute — masking-aware, unlike one-shot
+    "ts_outliers_esd" -> ((s, dir) =>
+      TimeSeries.outliersEsd(
+        TimeSeries.resampleDaily(Tables.events(s, dir)), 3, 2.0)
+        .orderBy(col("user_id"), col("day"))),
+
     // R/S Hurst exponent over dyadic blocks 4/8/16 — long-memory
     // persistence next to spectral entropy's periodicity score
     "ts_hurst" -> ((s, dir) =>
@@ -1526,6 +1533,12 @@ object SparkEntry {
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 2000L)
         .orderBy(col("doc_id"))),
 
+    // temperature-scaled mixture: weights from OBSERVED token mass
+    // n_s^(1/T) — the multilingual tail-up-weighting recipe
+    "sample_temperature" -> ((s, dir) =>
+      TextOps.sampleTemperature(Tables.documents(s, dir), 2.0, 2000L)
+        .orderBy(col("doc_id"))),
+
     // corpus = odd doc_ids deduped AGAINST reference = even doc_ids
     // (the cross-dataset "new crawl vs existing training set" shape)
     "dedup_cross" -> ((s, dir) => {
@@ -2301,6 +2314,7 @@ object SparkEntry {
     "ts_periodogram" -> OracleSql.periodogram(14),
     "ts_spectral_entropy" -> OracleSql.spectralEntropy(14),
     "ts_hurst" -> OracleSql.tsHurst(Seq(4, 8, 16)),
+    "ts_outliers_esd" -> OracleSql.tsOutliersEsd(3, 2.0),
     "revenue_cube" -> OracleSql.revenueCube,
     "q11_revenue_share" -> OracleSql.q11RevenueShare(1.5),
     "text_dup_spans" -> OracleSql.textDupSpans(5),
@@ -2479,6 +2493,7 @@ object SparkEntry {
     "embedding_drift" -> OracleSql.embeddingDrift(),
     "corpus_stats" -> OracleSql.corpusStats,
     "sample_token_budget" -> OracleSql.sampleTokenBudget(1000L, "budget"),
+    "sample_temperature" -> OracleSql.sampleTemperature(2.0, 2000L, "mixture"),
     "sample_mixture" -> OracleSql.sampleMixture(
       Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 2000L, "mixture"),
     "dedup_cross" -> OracleSql.dedupCross(16, 2, 0.5),

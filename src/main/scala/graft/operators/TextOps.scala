@@ -1270,6 +1270,39 @@ object TextOps {
         md5(array_join(col("ch"), " ")).as("fp"))
   }
 
+  /** TEMPERATURE-scaled mixture (Conneau & Lample 2019's multilingual
+    * sampling): per-source weights derived from the OBSERVED token
+    * mass, w_s ∝ n_s^(1/T) — T = 1 reproduces natural proportions,
+    * T → ∞ approaches uniform, the standard up-weighting of tail
+    * sources (low-resource languages, rare domains) before a training
+    * run — then the [[sampleMixture]] fill at those weights. Weights
+    * are r3-rounded before budgeting so both engines floor the same
+    * number; the exponent 1/T is computed ONCE in Scala and shared
+    * with the oracle as a literal.
+    *
+    * Scale plan: one extra |sources|-row aggregate + collect (the
+    * config-sized materialization contract) on top of
+    * [[mixtureFromCounts]]'s one-shuffle fill; the counts frame is
+    * checkpointed so the body pass runs once.
+    */
+  def sampleTemperature(docs: DataFrame, temperature: Double, totalBudget: Long,
+                        shardCol: String = "source",
+                        seed: String = "mixture"): DataFrame = {
+    require(temperature > 0,
+      s"sampleTemperature: temperature must be positive, got $temperature")
+    val invT = 1.0 / temperature
+    val counts = tokenCounts(docs, shardCol).localCheckpoint()
+    val totals = counts.groupBy(col("shard"))
+      .agg(sum(col("n_tokens")).as("nt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val raw = totals.map { case (s, n) => s -> math.pow(n.toDouble, invT) }
+    val z = raw.map(_._2).sum
+    val weights = raw.map { case (s, w) =>
+      s -> math.floor(w / z * 1000.0 + 0.5001) / 1000.0
+    }.toMap
+    mixtureFromCounts(counts, weights, totalBudget, seed)
+  }
+
   /** TRENDING tokens between two corpus snapshots (old = even doc_id,
     * new = odd — the deterministic stand-in for crawl generations):
     * per token the smoothed log frequency-ratio

@@ -1381,6 +1381,50 @@ object TimeSeries {
     * partition — one exchange, no agg+join passes; constant series
     * (MAD = 0) flag nothing.
     */
+  /** ITERATIVE z-outlier removal — the deterministic-threshold cousin
+    * of the generalized ESD test (Rosner 1983): per round, recompute
+    * each key's mean/σ over the surviving points, flag the single
+    * largest |z| ≥ `z` per key, remove it, repeat. One-shot z-scoring
+    * suffers MASKING — two adjacent spikes inflate σ until neither
+    * clears the bar; removing the worst point first deflates σ so the
+    * second spike surfaces (the spec pins exactly this). Emits every
+    * flagged point with its z at flag time and the round it fell.
+    * Natural fixpoint: once no candidate clears the bar a round adds
+    * nothing, so trailing rounds are no-ops, not errors.
+    *
+    * Scale plan: `rounds` passes over the COLLAPSED daily frame (never
+    * event volume), each an anti-join against the flagged accumulator
+    * (≤ rounds rows per key, broadcast-class) + a map-side-combined
+    * stats aggregate + a top-1 window on the key exchange;
+    * checkpointed per round (the kmeans/pagerank convention).
+    */
+  def outliersEsd(daily: DataFrame, rounds: Int, z: Double): DataFrame = {
+    require(rounds >= 1 && z > 0,
+      s"outliersEsd: need rounds >= 1 and z > 0, got rounds=$rounds z=$z")
+    val base = daily.select(col(KEY), col(DAY), col("v")).localCheckpoint()
+    var flagged = base.limit(0)
+      .select(col(KEY), col(DAY), col("v"),
+        lit(0.0).as("z_at_flag"), lit(0).as("round"))
+    for (r <- 1 to rounds) {
+      val rem = base.join(
+        flagged.select(col(KEY).as("fk"), col(DAY).as("fd")),
+        base(KEY) === col("fk") && base(DAY) === col("fd"), "left_anti")
+      val st = rem.groupBy(col(KEY))
+        .agg(r3(avg(col("v"))).as("m"), r3(stddev_pop(col("v"))).as("sd"))
+      val cand = rem.join(st, KEY)
+        .where(col("sd") > 0)
+        .select(col(KEY), col(DAY), col("v"),
+          r3((col("v") - col("m")) / col("sd")).as("zz"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col(KEY))
+          .orderBy(abs(col("zz")).desc, col(DAY))))
+        .where(col("rk") === 1 && abs(col("zz")) >= z)
+        .select(col(KEY), col(DAY), col("v"),
+          col("zz").as("z_at_flag"), lit(r).as("round"))
+      flagged = flagged.unionByName(cand).localCheckpoint()
+    }
+    flagged
+  }
+
   def outliersMad(daily: DataFrame, nMads: Double): DataFrame =
     daily
       .withColumn("med", expr("percentile(v, 0.5)").over(wKey))

@@ -702,6 +702,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(enc(2L) === ((3L, md5hex("aaab ab c"))))
   }
 
+  test("sampleTemperature: T=1 reproduces natural proportions; higher T up-weights the tail") {
+    import spark.implicits._
+    // token masses 60/30/10 across three sources (10 tokens per doc)
+    val tok10 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = ((0 until 6).map(i => (i.toLong, tok10, "big")) ++
+      (6 until 9).map(i => (i.toLong, tok10, "mid")) ++
+      Seq((9L, tok10, "small")))
+      .toDF("doc_id", "text", "source")
+    def budgets(t: Double) = TextOps.sampleTemperature(docs, t, 1000L)
+      .select("shard", "budget").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t1 = budgets(1.0)
+    assert(t1 === Map("big" -> 600L, "mid" -> 300L, "small" -> 100L))
+    val t2 = budgets(2.0)
+    // sqrt weights: .473/.334/.193 of 1000
+    assert(t2 === Map("big" -> 473L, "mid" -> 334L, "small" -> 193L))
+    assert(t2("small") > t1("small") && t2("big") < t1("big"))
+  }
+
   test("boilerplate flags cross-document frequent n-grams, not unique prose") {
     import spark.implicits._
     // "sign up for updates" (grams: 2×3-gram) is chrome shared by docs

@@ -613,6 +613,31 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(rd.getAs[Double]("forecast") === rd.getAs[Double]("z_hat"))
   }
 
+  test("outliersEsd: iterative removal unmasks the second spike one round later") {
+    import spark.implicits._
+    def d(i: Int) = java.sql.Date.valueOf(s"2024-01-${"%02d".format(i)}")
+    // ten zeros + twin spikes: together they inflate sigma to 3.727 so
+    // each spike's z is only 2.236; removing the first deflates sigma
+    // to 2.875 and the second surfaces at z 3.162 (hand-computed)
+    val daily = ((1 to 10).map(i => (1L, d(i), 0.0)) ++
+      Seq((1L, d(11), 10.0), (1L, d(12), 10.0)) ++
+      (1 to 12).map(i => (2L, d(i), 5.0)))     // constant key: never flags
+      .toDF("user_id", "day", "v")
+    val out = TimeSeries.outliersEsd(daily, 3, 2.0)
+      .collect().sortBy(_.getAs[Int]("round"))
+    assert(out.length === 2)
+    assert(out.forall(_.getLong(0) === 1L))
+    assert(out(0).getAs[java.sql.Date]("day") === d(11)) // |z| tie -> earlier day
+    assert(out(0).getAs[Double]("z_at_flag") === 2.236)
+    assert(out(0).getAs[Int]("round") === 1)
+    assert(out(1).getAs[java.sql.Date]("day") === d(12))
+    assert(out(1).getAs[Double]("z_at_flag") === 3.162)
+    assert(out(1).getAs[Int]("round") === 2)
+    // one round alone catches only the first — the masking story
+    val one = TimeSeries.outliersEsd(daily, 1, 2.0).collect()
+    assert(one.length === 1 && one.head.getAs[java.sql.Date]("day") === d(11))
+  }
+
   test("hurst: trend persists (H near 1), alternation anti-persists (H = 0), short series yields NULL") {
     import spark.implicits._
     def d(i: Int) = java.sql.Date.valueOf(s"2024-01-${"%02d".format(i)}")
