@@ -441,6 +441,32 @@ object OracleSql {
        |ORDER BY t1.user_id""".stripMargin
   }
 
+  /** Weekly churn rollup: (user, week) distinct, next-week self-join,
+    * first-seen counts; final week's churn NULL.
+    */
+  val churnWeekly: String =
+    s"""WITH uw AS (
+       |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+       |  FROM events),
+       |fl AS (
+       |  SELECT a.week, COUNT(*) AS n_active,
+       |         CAST(SUM(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+       |  FROM uw a LEFT JOIN uw b
+       |    ON b.user_id = a.user_id AND b.week = a.week + 7
+       |  GROUP BY 1),
+       |fs AS (
+       |  SELECT week, CAST(COUNT(*) AS BIGINT) AS n_new FROM (
+       |    SELECT user_id, MIN(week) AS week FROM uw GROUP BY 1)
+       |  GROUP BY 1),
+       |mx AS (SELECT MAX(week) AS maxw FROM uw)
+       |SELECT f.week, f.n_active,
+       |       CASE WHEN f.week < mx.maxw THEN f.n_churned END AS n_churned,
+       |       COALESCE(s.n_new, 0) AS n_new,
+       |       CASE WHEN f.week < mx.maxw
+       |            THEN ${R("CAST(f.n_churned AS DOUBLE) / f.n_active")} END AS churn_rate
+       |FROM fl f LEFT JOIN fs s ON s.week = f.week CROSS JOIN mx
+       |ORDER BY f.week""".stripMargin
+
   /** Funnel stage-transition latency: the ladder as a CTE, one UNION
     * branch per transition, quantile_cont = Spark percentile.
     */
@@ -5493,6 +5519,43 @@ object OracleSql {
        |         SUM(CASE WHEN label THEN 0 ELSE 1 END) AS nn
        |  FROM scored GROUP BY score)""".stripMargin
 
+  /** PSI between even/odd doc halves: reference-half decile edges
+    * (quantile_cont, r3'd), Laplace-smoothed shares, per-bin
+    * contributions with the rounded total on every row.
+    */
+  def evalPsi(nBins: Int): String = {
+    val qs = (1 until nBins).map(i => i.toDouble / nBins).mkString("[", ", ", "]")
+    s"""WITH s AS (
+       |  SELECT CAST(doc_id % 2 AS INT) AS grp,
+       |         ${R("len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is','on','for'))) / len(string_split(text, ' '))")} AS score
+       |  FROM documents),
+       |ea AS (SELECT quantile_cont(score, $qs) AS e FROM s WHERE grp = 0),
+       |e2 AS (SELECT list_transform(e, x -> FLOOR(x * 1000 + 0.5001) / 1000) AS e FROM ea),
+       |b AS (
+       |  SELECT grp, len(list_filter((SELECT e FROM e2), x -> x < score)) AS bin
+       |  FROM s),
+       |c AS (
+       |  SELECT bin,
+       |         SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n_a,
+       |         SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n_b
+       |  FROM b GROUP BY 1),
+       |sp AS (SELECT i AS bin FROM range(0, $nBins) r(i)),
+       |a2 AS (
+       |  SELECT sp.bin, COALESCE(c.n_a, 0) AS n_a, COALESCE(c.n_b, 0) AS n_b
+       |  FROM sp LEFT JOIN c ON c.bin = sp.bin),
+       |t AS (SELECT *, SUM(n_a) OVER () AS ta, SUM(n_b) OVER () AS tb FROM a2),
+       |f AS (
+       |  SELECT bin, n_a, n_b,
+       |         (n_a + 1.0) / (ta + $nBins.0) AS p_a,
+       |         (n_b + 1.0) / (tb + $nBins.0) AS p_b
+       |  FROM t)
+       |SELECT CAST(bin AS BIGINT) AS bin, CAST(n_a AS BIGINT) AS n_a,
+       |       CAST(n_b AS BIGINT) AS n_b,
+       |       ${R("(p_a - p_b) * LN(p_a / p_b)")} AS contrib,
+       |       ${R("SUM((p_a - p_b) * LN(p_a / p_b)) OVER ()")} AS psi
+       |FROM f ORDER BY bin""".stripMargin
+  }
+
   /** Two-sample KS over the per-score collapsed frame: max rounded
     * CDF gap.
     */
@@ -6341,6 +6404,30 @@ object OracleSql {
        |       ${R(s"-(SUM(CASE WHEN power > 0 AND tot > 0 THEN (power / tot) * LN(power / tot) ELSE 0.0 END)) / $lnN")} AS entropy
        |FROM tt GROUP BY user_id ORDER BY user_id""".stripMargin
   }
+
+  /** Rolling Pearson correlation (value sum vs event count) over a
+    * trailing full window — closed-form sums, engine corr() avoided.
+    */
+  def tsRollingCorr(window: Int): String =
+    s"""WITH d2 AS (
+       |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+       |         ${R("SUM(value)")} AS x, CAST(COUNT(*) AS DOUBLE) AS y
+       |  FROM events GROUP BY 1, 2),
+       |w AS (
+       |  SELECT user_id, day, x, y,
+       |    COUNT(*) OVER fr AS n,
+       |    SUM(x) OVER fr AS sx, SUM(y) OVER fr AS sy,
+       |    SUM(x * x) OVER fr AS sxx, SUM(y * y) OVER fr AS syy,
+       |    SUM(x * y) OVER fr AS sxy
+       |  FROM d2
+       |  WINDOW fr AS (PARTITION BY user_id ORDER BY day
+       |                ROWS BETWEEN ${window - 1} PRECEDING AND CURRENT ROW))
+       |SELECT user_id, day, x, y,
+       |       CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+       |            THEN ${R("(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))")}
+       |       END AS roll_corr
+       |FROM w WHERE n = $window
+       |ORDER BY user_id, day""".stripMargin
 
   /** Iterative ESD-style outlier removal: unrolled rounds, each an
     * anti-join against the flagged accumulator + per-key stats + a

@@ -214,6 +214,12 @@ object SparkEntry {
         .orderBy(col("step"))),
 
     // weekly cohort retention triangle over first-active weeks
+    // growth accounting: weekly active/churned/new counts — the
+    // flow-rate complement of the retention cohort matrix
+    "churn_weekly" -> ((s, dir) =>
+      Relational.churnWeekly(Tables.events(s, dir))
+        .orderBy(col("week"))),
+
     "retention_cohorts" -> ((s, dir) =>
       Relational.retention(Tables.events(s, dir))
         .orderBy(col("cohort"), col("week_n"))),
@@ -567,6 +573,12 @@ object SparkEntry {
       TimeSeries.spectralEntropy(
         TimeSeries.resampleDaily(Tables.events(s, dir)), 14)
         .orderBy(col("user_id"))),
+
+    // rolling value-vs-count correlation: the per-key relationship
+    // monitor (regime change shows here before either series moves)
+    "ts_rolling_corr" -> ((s, dir) =>
+      TimeSeries.rollingCorr(Tables.events(s, dir), 7)
+        .orderBy(col("user_id"), col("day"))),
 
     // iterative ESD-style outlier removal: per round flag the worst
     // |z| >= 2 per key and recompute — masking-aware, unlike one-shot
@@ -1811,6 +1823,12 @@ object SparkEntry {
       graft.operators.Eval.featureHash(Tables.events(s, dir), 16)
         .orderBy(col("user_id"), col("bucket"))),
 
+    // model-monitoring drift: PSI between even/odd doc-half score
+    // distributions, per-bin audit + total on every row
+    "eval_psi" -> ((s, dir) =>
+      graft.operators.Eval.psi(Tables.documents(s, dir), 10)
+        .orderBy(col("bin"))),
+
     // deterministic md5-arm A/B readout: conversion rates, Wilson
     // 95% intervals, pooled two-proportion z — exact (integer counts)
     "ab_lift" -> ((s, dir) =>
@@ -2295,6 +2313,7 @@ object SparkEntry {
     "stream_funnel_batch" -> OracleSql.funnelComplete(Seq("signup", "click", "purchase")),
     "stream_anomaly_batch" -> OracleSql.anomalyBatch(3.0),
     "retention_cohorts" -> OracleSql.retention,
+    "churn_weekly" -> OracleSql.churnWeekly,
     "ts_bollinger" -> OracleSql.bollinger(7, 2.0),
     "ts_pacf" -> OracleSql.pacf,
     "ts_rollup" -> OracleSql.tsRollup,
@@ -2315,6 +2334,7 @@ object SparkEntry {
     "ts_spectral_entropy" -> OracleSql.spectralEntropy(14),
     "ts_hurst" -> OracleSql.tsHurst(Seq(4, 8, 16)),
     "ts_outliers_esd" -> OracleSql.tsOutliersEsd(3, 2.0),
+    "ts_rolling_corr" -> OracleSql.tsRollingCorr(7),
     "revenue_cube" -> OracleSql.revenueCube,
     "q11_revenue_share" -> OracleSql.q11RevenueShare(1.5),
     "text_dup_spans" -> OracleSql.textDupSpans(5),
@@ -2530,6 +2550,7 @@ object SparkEntry {
     "multimodal_pack" -> OracleSql.packPayloads(1000L),
     "eval_ks" -> OracleSql.evalKs,
     "feature_hash" -> OracleSql.featureHash(16),
+    "eval_psi" -> OracleSql.evalPsi(10),
     "ab_lift" -> OracleSql.abLift("purchase", 14),
     "ab_cuped" -> OracleSql.abCuped("2024-01-16"),
     "eval_calibration" -> OracleSql.evalCalibration,

@@ -344,6 +344,57 @@ object Eval {
       r3(lit(1.0) - varAdj / varY).as("var_reduction"))
   }
 
+  /** Population Stability Index between two score populations (even /
+    * odd doc_id halves — train-time vs serve-time batches): decile
+    * edges from the REFERENCE half (exact interpolated quantiles,
+    * r3'd), both halves binned against them, per-bin Laplace-smoothed
+    * shares, PSI = Σ (p_a − p_b)·ln(p_a/p_b) — THE model-monitoring
+    * drift number (rule of thumb: <0.1 stable, 0.1-0.25 watch, >0.25
+    * shifted), beside [[graft.operators.Similarity.embeddingDrift]]'s
+    * per-dimension view. Emits the full per-bin audit (counts,
+    * contribution) with the total riding every row. Empty bins appear
+    * (count 0) — smoothing keeps their contribution finite.
+    *
+    * Scale plan: one corpus pass scores and collapses to (grp, bin)
+    * counts map-side; edges are one reference-half aggregate
+    * (≤ nBins−1 doubles, collected under the codebook contract) that
+    * re-enter the plan as literals; everything downstream is
+    * nBins-sized.
+    */
+  def psi(docs: DataFrame, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"psi: nBins must be >= 2, got $nBins")
+    val toks = split(col("text"), " ")
+    val stop = size(filter(toks, t =>
+      t.isInCollection(graft.operators.TextOps.STOPWORDS)))
+    val scored = docs.select(
+      pmod(col("doc_id"), lit(2L)).cast("int").as("grp"),
+      r3(stop.cast("double") / size(toks)).as("score")).localCheckpoint()
+    val qs = (1 until nBins).map(i => i.toDouble / nBins)
+    val edges = scored.where(col("grp") === 0)
+      .agg(expr(s"percentile(score, array(${qs.mkString("D, ")}D))").as("e"))
+      .head().getSeq[Double](0)
+      .map(x => math.floor(x * 1000.0 + 0.5001) / 1000.0)
+    val edgeArr = edges.map(e => s"${e}D").mkString("array(", ", ", ")")
+    val binned = scored
+      .select(col("grp"), expr(s"size(filter($edgeArr, e -> e < score))").as("bin"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("grp") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n_b"))
+    val spine = docs.sparkSession.range(nBins)
+      .select(col("id").cast("int").as("bin"))
+    val tot = Window.partitionBy()
+    val pA = (col("n_a") + 1.0) / (col("ta") + lit(nBins.toDouble))
+    val pB = (col("n_b") + 1.0) / (col("tb") + lit(nBins.toDouble))
+    spine.join(binned, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .withColumn("ta", sum(col("n_a")).over(tot))
+      .withColumn("tb", sum(col("n_b")).over(tot))
+      .select(col("bin").cast("long").as("bin"), col("n_a"), col("n_b"),
+        r3((pA - pB) * log(pA / pB)).as("contrib"),
+        r3(sum((pA - pB) * log(pA / pB)).over(tot)).as("psi"))
+  }
+
   /** Hashing-trick feature vector per user (Weinberger et al. 2009):
     * each event contributes its categorical features (event type,
     * day-of-week) hashed into one of `b` buckets with a ±1 sign from

@@ -473,6 +473,42 @@ object Relational {
 
   private def r3(c: Column): Column = floor(c * 1000.0 + 0.5001) / 1000.0
 
+  /** WEEKLY churn rollup: per ISO week the active-user count, how
+    * many of them do NOT return the following week (churned), the
+    * first-seen (new) users, and churn_rate = churned/active — the
+    * growth-accounting triple (new / retained / churned) behind every
+    * subscription dashboard, the flow-rate complement of
+    * [[retention]]'s cohort matrix. The LAST week's churn is NULL,
+    * not zero — "nobody returned after the data ends" is absence of
+    * evidence.
+    *
+    * Scale plan: the (user, week) distinct collapses event volume
+    * map-side; the return check is a self equi-join on (user, week+7)
+    * — co-partitioned, no window over users; first-seen is one more
+    * aggregate of the SAME distinct frame; everything after is
+    * |weeks|-sized.
+    */
+  def churnWeekly(events: DataFrame): DataFrame = {
+    val uw = events.select(col("user_id"),
+      date_trunc("week", col("ts")).cast("date").as("week")).distinct()
+    val next = uw.select(col("user_id").as("nu"), col("week").as("nw"))
+    val flags = uw.join(next,
+        col("nu") === col("user_id") && col("nw") === date_add(col("week"), 7), "left")
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("nu").isNull, 1L).otherwise(0L)).as("n_churned"))
+    val firsts = uw.groupBy(col("user_id")).agg(min(col("week")).as("week"))
+      .groupBy(col("week")).agg(count(lit(1)).as("n_new"))
+    val maxW = Window.partitionBy()
+    flags.join(firsts, Seq("week"), "left")
+      .withColumn("_maxw", max(col("week")).over(maxW))
+      .select(col("week"), col("n_active"),
+        when(col("week") < col("_maxw"), col("n_churned")).as("n_churned"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        when(col("week") < col("_maxw"),
+          r3(col("n_churned").cast("double") / col("n_active"))).as("churn_rate"))
+  }
+
   /** TIME-TO-CONVERT between consecutive [[funnel]] stages: per
     * transition, the converter count and the mean/p50/p90 latency in
     * seconds — the "how long does the signup→click step take" readout

@@ -1381,6 +1381,42 @@ object TimeSeries {
     * partition — one exchange, no agg+join passes; constant series
     * (MAD = 0) flag nothing.
     */
+  /** ROLLING Pearson correlation between each key's daily value sum
+    * and its daily event count over a trailing `window`-row frame —
+    * the relationship monitor beside [[crossCorr]]'s whole-series
+    * number: a correlation that was stable and suddenly decays flags
+    * a behavioural regime change (value per event shifting) that
+    * neither univariate series shows. Emitted only for FULL windows;
+    * NULL when either side is constant within the frame (zero
+    * variance — correlation undefined, not 0).
+    *
+    * Scale plan: one groupBy collapses event volume to the daily
+    * two-metric frame; all five running sums ride ONE trailing window
+    * on the single key exchange; the closed-form
+    * (nΣxy − ΣxΣy)/√((nΣx² − (Σx)²)(nΣy² − (Σy)²)) avoids engine
+    * `corr` internals (Welford vs naive differ per engine).
+    */
+  def rollingCorr(events: DataFrame, window: Int): DataFrame = {
+    require(window >= 2, s"rollingCorr: window must be >= 2, got $window")
+    val daily = events
+      .groupBy(col(KEY), to_date(col("ts")).as(DAY))
+      .agg(r3(sum(col("value"))).as("x"),
+        count(lit(1)).cast("double").as("y"))
+    val w = wOrdered.rowsBetween(-(window - 1), 0)
+    val n = count(lit(1)).over(w)
+    val sx = sum(col("x")).over(w)
+    val sy = sum(col("y")).over(w)
+    val sxx = sum(col("x") * col("x")).over(w)
+    val syy = sum(col("y") * col("y")).over(w)
+    val sxy = sum(col("x") * col("y")).over(w)
+    val den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    daily.select(col(KEY), col(DAY), col("x"), col("y"),
+      n.as("n"), (n * sxy - sx * sy).as("num"), den.as("den"))
+      .where(col("n") === window)
+      .select(col(KEY), col(DAY), col("x"), col("y"),
+        when(col("den") > 0, r3(col("num") / sqrt(col("den")))).as("roll_corr"))
+  }
+
   /** ITERATIVE z-outlier removal — the deterministic-threshold cousin
     * of the generalized ESD test (Rosner 1983): per round, recompute
     * each key's mean/σ over the surviving points, flag the single

@@ -309,6 +309,27 @@ class EvalSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("psi: identical halves score 0; a shifted half clears the 0.25 alarm bar") {
+    import spark.implicits._
+    // identical score distributions across parity → every bin has
+    // n_a = n_b → contributions exactly 0
+    val stable = (0L until 40L).map { i =>
+      val nStop = (i / 2) % 5    // same profile both halves
+      val text = (Seq.fill(nStop.toInt)("the") ++ Seq.fill(10)("word")).mkString(" ")
+      (i, text)
+    }.toDF("doc_id", "text")
+    val s = Eval.psi(stable, 4).collect()
+    assert(s.forall(_.getAs[Double]("psi") === 0.0))
+    // odd half saturated with stopwords → distribution shift
+    val drifted = (0L until 40L).map { i =>
+      val text = if (i % 2 == 0) Seq.fill(10)("word").mkString(" ")
+      else (Seq.fill(8)("the") ++ Seq.fill(2)("word")).mkString(" ")
+      (i, text)
+    }.toDF("doc_id", "text")
+    val d = Eval.psi(drifted, 4).collect()
+    assert(d.head.getAs[Double]("psi") > 0.25, s"psi = ${d.head.getAs[Double]("psi")}")
+  }
+
   test("abLift: counts match an independent md5 partition; Wilson and z match closed form") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf("2024-01-05 01:00:00")

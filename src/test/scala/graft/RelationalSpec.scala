@@ -59,6 +59,28 @@ class RelationalSpec extends AnyFunSuite {
     assert(near.map(_.getDouble(0)).toSeq === Seq(1.0, 1.0, 2.0, 3.0, 3.0))
   }
 
+  test("churnWeekly: growth accounting per week; the last week's churn is NULL, not zero") {
+    import spark.implicits._
+    def ts(d: String) = java.sql.Timestamp.valueOf(s"2024-01-$d 10:00:00")
+    // weeks of 2024-01: w1 = Jan 1, w2 = Jan 8, w3 = Jan 15
+    val rows = Seq(
+      (1L, ts("02")), (1L, ts("09")), (1L, ts("16")),   // never churns
+      (2L, ts("03")),                                   // churns after w1
+      (3L, ts("10")), (3L, ts("17")))                   // new in w2
+      .toDF("user_id", "ts").withColumn("value", lit(1.0))
+    val out = Relational.churnWeekly(rows).orderBy("week").collect()
+    def row(i: Int) = (out(i).getAs[Long]("n_active"),
+      if (out(i).isNullAt(out(i).fieldIndex("n_churned"))) -1L
+      else out(i).getAs[Long]("n_churned"),
+      out(i).getAs[Long]("n_new"))
+    assert(out.length === 3)
+    assert(row(0) === ((2L, 1L, 2L)))
+    assert(out(0).getAs[Double]("churn_rate") === 0.5)
+    assert(row(1) === ((2L, 0L, 1L)))
+    assert(row(2) === ((2L, -1L, 0L)))   // last week: churn NULL
+    assert(out(2).isNullAt(out(2).fieldIndex("churn_rate")))
+  }
+
   test("funnelLatency: per-transition converter counts and exact latency percentiles") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-05 10:00:00").getTime

@@ -613,6 +613,23 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(rd.getAs[Double]("forecast") === rd.getAs[Double]("z_hat"))
   }
 
+  test("rollingCorr: perfect co-movement is 1, inverse is -1, a constant side is NULL") {
+    import spark.implicits._
+    val rows = (1 to 5).flatMap { d =>
+      val ts = java.sql.Timestamp.valueOf(s"2024-01-0$d 10:00:00")
+      (1 to d).map(_ => (1L, ts, "view", 1.0)) ++     // x = count = y → +1
+        (1 to d).map(_ => (2L, ts, "view", -1.0)) ++  // x = -count → -1
+        Seq((3L, ts, "view", d.toDouble))             // y constant → NULL
+    }.toDF("user_id", "ts", "event_type", "value")
+    val out = TimeSeries.rollingCorr(rows, 3).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getAs[java.sql.Date]("day").toString)).toMap
+    // only full windows emit: 3 rows per key (days 3-5)
+    assert(out(1L).length === 3)
+    assert(out(1L).forall(_.getAs[Double]("roll_corr") === 1.0))
+    assert(out(2L).forall(_.getAs[Double]("roll_corr") === -1.0))
+    assert(out(3L).forall(r => r.isNullAt(r.fieldIndex("roll_corr"))))
+  }
+
   test("outliersEsd: iterative removal unmasks the second spike one round later") {
     import spark.implicits._
     def d(i: Int) = java.sql.Date.valueOf(s"2024-01-${"%02d".format(i)}")
