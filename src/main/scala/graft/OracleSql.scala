@@ -5481,6 +5481,42 @@ object OracleSql {
        |       ${R("detrended - seasonal")} AS deseasonal
        |FROM w ORDER BY user_id, day""".stripMargin
 
+  /** Per-key temporal split: last testDays test, prior valDays val. */
+  def splitTemporal(valDays: Int, testDays: Int): String =
+    s"""WITH $daily,
+       |m AS (
+       |  SELECT user_id, day, v, MAX(day) OVER (PARTITION BY user_id) AS maxd
+       |  FROM daily)
+       |SELECT user_id, day, v,
+       |       CASE WHEN day > maxd - $testDays THEN 'test'
+       |            WHEN day > maxd - ${testDays + valDays} THEN 'val'
+       |            ELSE 'train' END AS subset
+       |FROM m ORDER BY user_id, day""".stripMargin
+
+  /** Deseasonalized z-anomalies: the deseasonalize chain + per-key
+    * standardization of the residual, |z| filter.
+    */
+  def anomaliesDeseasonal(half: Int, z: Double): String =
+    s"""WITH $daily, ${trendCte(half)}, $detrendCte,
+       |d AS (
+       |  SELECT *, CAST((day - DATE '1970-01-05') % 7 AS BIGINT) AS dow FROM det),
+       |w AS (
+       |  SELECT user_id, day, detrended,
+       |         ${R("AVG(detrended) OVER (PARTITION BY user_id, dow)")} AS seasonal
+       |  FROM d),
+       |ds AS (
+       |  SELECT user_id, day, ${R("detrended - seasonal")} AS deseasonal FROM w),
+       |st AS (
+       |  SELECT user_id, day, deseasonal,
+       |         ${R("AVG(deseasonal) OVER (PARTITION BY user_id)")} AS mean,
+       |         ${R("STDDEV_POP(deseasonal) OVER (PARTITION BY user_id)")} AS std
+       |  FROM ds)
+       |SELECT user_id, day, deseasonal,
+       |       ${R("(deseasonal - mean) / NULLIF(std, 0)")} AS scaled
+       |FROM st
+       |WHERE ABS(${R("(deseasonal - mean) / NULLIF(std, 0)")}) >= $z
+       |ORDER BY user_id, day""".stripMargin
+
   /** TPC-H Q1-style pricing summary. Decimal-exact sums cast to DOUBLE
     * (identical IEEE conversion both engines) then floor-rounded.
     */

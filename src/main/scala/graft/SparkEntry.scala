@@ -488,6 +488,19 @@ object SparkEntry {
       TimeSeries.anomalies(Tables.events(s, dir), HALF, 2.0)
         .orderBy(col("user_id"), col("day"))),
 
+    // anomalies on the DESEASONALIZED residual — in-season spikes
+    // surface, normal peak-day values stop false-alarming
+    "ts_anomalies_deseasonal" -> ((s, dir) =>
+      TimeSeries.anomaliesDeseasonal(Tables.events(s, dir), HALF, 2.0)
+        .orderBy(col("user_id"), col("day"))),
+
+    // leak-free temporal split: last 5 days test, prior 5 val — the
+    // held-out-FUTURE evaluation a forecast model requires
+    "ts_split_temporal" -> ((s, dir) =>
+      TimeSeries.splitTemporal(
+        TimeSeries.resampleDaily(Tables.events(s, dir)), 5, 5)
+        .orderBy(col("user_id"), col("day"))),
+
     // consecutive-day anomaly RUNS (persistence: spike vs regime
     // break), gaps-and-islands on the date axis
     "ts_anomaly_runs" -> ((s, dir) =>
@@ -2387,6 +2400,8 @@ object SparkEntry {
     "sample_importance" -> OracleSql.sampleImportance("importance"),
     "sample_stratified" -> OracleSql.sampleStratified,
     "ts_anomalies" -> OracleSql.anomalies(HALF, 2.0),
+    "ts_anomalies_deseasonal" -> OracleSql.anomaliesDeseasonal(HALF, 2.0),
+    "ts_split_temporal" -> OracleSql.splitTemporal(5, 5),
     "ts_anomaly_runs" -> OracleSql.anomalyRuns(HALF, 2.0),
     "ts_growth_rates" -> OracleSql.growthRates,
     "ts_retrend" -> OracleSql.retrend,

@@ -242,6 +242,45 @@ object TimeSeries {
           .otherwise(lit("test")))
       .drop("bucket")
 
+  /** TEMPORAL train/val/test split per key: the last `testDays`
+    * calendar days are test, the `valDays` before them validation,
+    * everything earlier train — the LEAK-FREE split time-series
+    * evaluation requires ([[split]]'s md5 key-bucketing puts the SAME
+    * period in train and val for different keys, fine for cross-
+    * SERIES generalization, but a model validated on days it saw
+    * during training reports fantasy accuracy; forecast evaluation
+    * must hold out the FUTURE). Cutoffs are per-key calendar days off
+    * each key's own last day, so ragged series split consistently.
+    */
+  def splitTemporal(daily: DataFrame, valDays: Int, testDays: Int): DataFrame = {
+    require(valDays >= 1 && testDays >= 1,
+      s"splitTemporal: need positive windows, got val=$valDays test=$testDays")
+    daily
+      .withColumn("_maxd", max(col(DAY)).over(wKey))
+      .withColumn("subset",
+        when(col(DAY) > date_sub(col("_maxd"), testDays), "test")
+          .when(col(DAY) > date_sub(col("_maxd"), testDays + valDays), "val")
+          .otherwise("train"))
+      .select(col(KEY), col(DAY), col("v"), col("subset"))
+  }
+
+  /** Z-score anomalies on the DESEASONALIZED residual — [[anomalies]]
+    * blind-spot fix: a weekly-seasonal series' in-season spikes hide
+    * inside the seasonal swing (σ inflated by the cycle), and normal
+    * peak-day values false-alarm; removing the per-(key, dow) mean
+    * first scores each day against its own weekday's baseline.
+    * Same one-key-exchange window chain as the scale/deseasonalize
+    * family — the extra seasonal window rides the existing partition.
+    */
+  def anomaliesDeseasonal(events: DataFrame, half: Int, z: Double): DataFrame =
+    deseasonalize(detrend(trend(resampleDaily(events), half)))
+      .withColumn("mean", r3(avg(col("deseasonal")).over(wKey)))
+      .withColumn("std", r3(stddev_pop(col("deseasonal")).over(wKey)))
+      .withColumn("scaled",
+        r3((col("deseasonal") - col("mean")) / nullif(col("std"), lit(0.0))))
+      .where(abs(col("scaled")) >= z)
+      .select(col(KEY), col(DAY), col("deseasonal"), col("scaled"))
+
   /** Long→wide assembly: one row per key with the day-ordered series
     * as an array — the reference's data model
     * (`balance: array<float>`, create_time_series.py:185-196), used

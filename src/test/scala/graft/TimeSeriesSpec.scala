@@ -613,6 +613,47 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(rd.getAs[Double]("forecast") === rd.getAs[Double]("z_hat"))
   }
 
+  test("splitTemporal: future-only val/test, no leakage, ragged keys split off their own end") {
+    import spark.implicits._
+    def d(i: Int) = java.sql.Date.valueOf(s"2024-01-${"%02d".format(i)}")
+    val daily = ((1 to 20).map(i => (1L, d(i), 1.0)) ++
+      (1 to 7).map(i => (2L, d(i), 1.0)))
+      .toDF("user_id", "day", "v")
+    val out = TimeSeries.splitTemporal(daily, 5, 5).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.groupBy(_.getAs[String]("subset")).view
+        .mapValues(_.map(_.getAs[java.sql.Date]("day").toString).sorted.toSeq).toMap)
+      .toMap
+    assert(out(1L)("test") === (16 to 20).map(i => d(i).toString))
+    assert(out(1L)("val") === (11 to 15).map(i => d(i).toString))
+    assert(out(1L)("train") === (1 to 10).map(i => d(i).toString))
+    // the leak invariant: max(train) < min(val) < min(test), per key
+    for ((_, m) <- out; if m.contains("val") && m.contains("train"))
+      assert(m("train").max < m("val").min && m("val").max < m("test").min)
+    // ragged key 2 (7 days): test 3-7's last 5, val the 2 before
+    assert(out(2L)("test") === (3 to 7).map(i => d(i).toString))
+    assert(out(2L)("val") === (1 to 2).map(i => d(i).toString))
+    assert(!out(2L).contains("train"))
+  }
+
+  test("anomaliesDeseasonal: the missing weekly peak flags; ordinary peaks do not") {
+    import spark.implicits._
+    def d(i: Int) = java.sql.Date.valueOf(s"2024-01-${"%02d".format(i)}")
+    // Jan 2024: Mondays are 1, 8, 15, 22, 29. Peak every Monday except
+    // Jan 15 — the violated expectation (an in-season DIP)
+    val ev = (1 to 28).map { i =>
+      val peak = i % 7 == 1 && i != 15
+      (1L, java.sql.Timestamp.valueOf(s"2024-01-${"%02d".format(i)} 10:00:00"),
+        "view", if (peak) 10.0 else 1.0)
+    }.toDF("user_id", "ts", "event_type", "value")
+    val flagged = TimeSeries.anomaliesDeseasonal(ev, 3, 2.0).collect()
+      .map(_.getAs[java.sql.Date]("day").toString).toSet
+    assert(flagged.contains(d(15).toString), s"missing peak not flagged: $flagged")
+    // ordinary interior peaks score near their weekday baseline
+    assert(!flagged.contains(d(8).toString) && !flagged.contains(d(22).toString),
+      s"normal peaks false-alarmed: $flagged")
+  }
+
   test("rollingCorr: perfect co-movement is 1, inverse is -1, a constant side is NULL") {
     import spark.implicits._
     val rows = (1 to 5).flatMap { d =>
