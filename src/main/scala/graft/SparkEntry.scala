@@ -321,6 +321,15 @@ object SparkEntry {
       Similarity.annGraphSearchRecall(Tables.embeddings(s, dir), 16, 4, 5, 8, 2, 5)
         .orderBy(col("qid"))),
 
+    // stored-graph parity: build once to the bucketed catalog, walk
+    // without rebuild — byte-equal to the recompute path
+    "ann_graph_stored" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeKnnGraph(emb, 16, 4, "graft_knng", 8)
+      Similarity.annGraphSearchStored(emb, "graft_knng", 5, 8, 2, 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     "lang_id" -> ((s, dir) =>
       TextOps.langId(Tables.documents(s, dir)).orderBy(col("doc_id"))),
 
@@ -2376,6 +2385,7 @@ object SparkEntry {
     "ann_knn_graph" -> OracleSql.annKnnGraph(16, 3),
     "ann_graph_search" -> OracleSql.annGraphSearch(16, 4, 5, 8, 2, 5),
     "ann_graph_search_recall" -> OracleSql.annGraphSearchRecall(16, 4, 5, 8, 2, 5),
+    "ann_graph_stored" -> OracleSql.annGraphSearch(16, 4, 5, 8, 2, 5),
     "lang_id" -> OracleSql.langId,
     "text_quality" -> OracleSql.textQuality,
     "token_count" -> OracleSql.tokenCount,

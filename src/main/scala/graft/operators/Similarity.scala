@@ -269,10 +269,18 @@ object Similarity {
     */
   def annGraphSearch(embeddings: DataFrame, nCentroids: Int, kGraph: Int,
                      nQueries: Int, beam: Int, rounds: Int, k: Int): DataFrame = {
-    require(k <= beam, s"annGraphSearch: k=$k must be <= beam=$beam")
-    require(rounds >= 1, s"annGraphSearch: rounds must be >= 1, got $rounds")
     val graph = knnGraph(embeddings, nCentroids, kGraph)
       .select(col("vec_id").as("src"), col("nbr")).localCheckpoint()
+    graphWalk(embeddings, graph, nQueries, beam, rounds, k)
+  }
+
+  /** The walk core shared by the recompute and STORED paths: expand /
+    * score / top-beam for `rounds`, answer = top-k of visited.
+    */
+  private def graphWalk(embeddings: DataFrame, graph: DataFrame,
+                        nQueries: Int, beam: Int, rounds: Int, k: Int): DataFrame = {
+    require(k <= beam, s"annGraphSearch: k=$k must be <= beam=$beam")
+    require(rounds >= 1, s"annGraphSearch: rounds must be >= 1, got $rounds")
     val e = prepared(embeddings.where(col("embedding").isNotNull))
     val q = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
@@ -299,6 +307,42 @@ object Similarity {
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid")))
         .cast("long"))
       .where(col("rank") <= k)
+  }
+
+  /** Persist the kNN graph to the catalog — build-once/walk-forever
+    * for the graph tier (the [[writeAnnIndex]] discipline): the
+    * `<table>_edges` table is BUCKETED by `src` so every walk's
+    * frontier expansion joins against a bucketed scan (co-located, no
+    * stored-side Exchange), and `<table>_meta` carries the build
+    * parameters so a walk cannot silently run against a
+    * differently-built graph. At 100 TB the graph build (the Σcell²
+    * equi-join) is the cost paid once; walks touch frontier-sized
+    * slices.
+    */
+  def writeKnnGraph(embeddings: DataFrame, nCentroids: Int, kGraph: Int,
+                    table: String, nBuckets: Int): Unit = {
+    val spark = embeddings.sparkSession
+    graft.sources.Formats.writeBucketedKeys(
+      knnGraph(embeddings, nCentroids, kGraph)
+        .select(col("vec_id").as("src"), col("nbr")),
+      s"${table}_edges", Seq("src"), nBuckets)
+    import spark.implicits._
+    Seq((nCentroids, kGraph, nBuckets))
+      .toDF("n_centroids", "k_graph", "n_buckets")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta")
+  }
+
+  /** [[annGraphSearch]] against the STORED graph — no rebuild, the
+    * walk reads `<table>_edges` directly; byte-equal to the recompute
+    * path on the same build input (the stored-parity gate contract).
+    */
+  def annGraphSearchStored(embeddings: DataFrame, table: String,
+                           nQueries: Int, beam: Int, rounds: Int,
+                           k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    require(spark.catalog.tableExists(s"${table}_edges"),
+      s"kNN graph '$table' has no ${table}_edges table — build it with writeKnnGraph")
+    graphWalk(embeddings, spark.table(s"${table}_edges"), nQueries, beam, rounds, k)
   }
 
   /** Recall@k of the graph walk vs exact — next to the IVF/PQ/SQ

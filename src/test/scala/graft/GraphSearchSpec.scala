@@ -46,6 +46,21 @@ class GraphSearchSpec extends AnyFunSuite {
     assert(tight.map(_.getAs[Long]("vid")).toSeq === Seq(1L, 2L))
   }
 
+  test("stored graph walk is byte-equal to the recompute path; a missing table fails eagerly") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    Similarity.writeKnnGraph(emb, 16, 4, "graft_knng_spec", 4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vid"), r.getAs[Double]("cos"))).sorted.toSeq
+    val recompute = rows(Similarity.annGraphSearch(emb, 16, 4, 5, 8, 2, 5))
+    val stored = rows(Similarity.annGraphSearchStored(emb, "graft_knng_spec", 5, 8, 2, 5))
+    assert(stored === recompute)
+    val err = intercept[IllegalArgumentException] {
+      Similarity.annGraphSearchStored(emb, "graft_knng_missing", 5, 8, 2, 5)
+    }
+    assert(err.getMessage.contains("writeKnnGraph"))
+  }
+
   test("gate-shape recall on the driver corpus is recorded") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val rec = Similarity.annGraphSearchRecall(emb, 16, 4, 5, 8, 2, 5)
