@@ -2240,6 +2240,23 @@ object OracleSql {
        |       md5(array_to_string(ft, ' ')) AS fp
        |FROM fl ORDER BY doc_id""".stripMargin
 
+  /** Tokenizer-real top-k token frequencies: distinct-word counts ×
+    * per-type BPE replay, summed per emitted token.
+    */
+  def bpeTokenFreq(nMerges: Int, k: Int): String =
+    s"""WITH ${bpeCtes(nMerges)},
+       |wc AS (
+       |  SELECT w, COUNT(*) AS c FROM (
+       |    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0 GROUP BY 1),
+       |tk AS (
+       |  SELECT wc.c, UNNEST(COALESCE(wn.syms, [wc.w])) AS token
+       |  FROM wc LEFT JOIN w$nMerges wn ON wn.w = wc.w),
+       |c2 AS (SELECT token, CAST(SUM(c) AS BIGINT) AS n FROM tk GROUP BY 1)
+       |SELECT token, n,
+       |       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+       |FROM c2 ORDER BY n DESC, token LIMIT $k""".stripMargin
+
   /** Overlapping token-window chunking (RAG splitter). */
   def chunkDocs(chunkSize: Int, stride: Int): String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -4268,6 +4285,18 @@ object OracleSql {
   }
 
   /** MAD-based robust outlier days. */
+  /** Robust scaling: per-key rounded median/IQR, (v − med)/IQR. */
+  val scaleRobust: String =
+    s"""WITH $daily,
+       |q AS (
+       |  SELECT user_id, ${R("quantile_cont(v, 0.5)")} AS med,
+       |         ${R("quantile_cont(v, 0.75) - quantile_cont(v, 0.25)")} AS iqr
+       |  FROM daily GROUP BY 1)
+       |SELECT d.user_id, d.day, d.v, q.med, q.iqr,
+       |       ${R("(d.v - q.med) / NULLIF(q.iqr, 0)")} AS scaled_robust
+       |FROM daily d JOIN q USING (user_id)
+       |ORDER BY d.user_id, d.day""".stripMargin
+
   def outliersMad(nMads: Double): String =
     s"""WITH $daily,
        |m1 AS (SELECT user_id, MEDIAN(v) AS med FROM daily GROUP BY user_id),

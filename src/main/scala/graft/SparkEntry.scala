@@ -503,6 +503,13 @@ object SparkEntry {
       TimeSeries.anomaliesDeseasonal(Tables.events(s, dir), HALF, 2.0)
         .orderBy(col("user_id"), col("day"))),
 
+    // robust median/IQR scaling: the standardization outliers can't
+    // drag (mean/sigma scaling hides the very spikes cleaning wants)
+    "ts_scale_robust" -> ((s, dir) =>
+      TimeSeries.scaleRobust(
+        TimeSeries.resampleDaily(Tables.events(s, dir)))
+        .orderBy(col("user_id"), col("day"))),
+
     // leak-free temporal split: last 5 days test, prior 5 val — the
     // held-out-FUTURE evaluation a forecast model requires
     "ts_split_temporal" -> ((s, dir) =>
@@ -2019,6 +2026,12 @@ object SparkEntry {
       TextOps.bpeEncode(docs, merges).orderBy(col("doc_id"))
     }),
 
+    // tokenizer-real vocabulary utilization: top tokens AFTER the
+    // learned merges fire — what the model actually sees
+    "bpe_token_freq" -> ((s, dir) =>
+      TextOps.bpeTokenFreq(Tables.documents(s, dir), 8, 20)
+        .orderBy(col("rank"))),
+
     // RAG chunking: overlapping token windows with content fingerprints
     "chunk_documents" -> ((s, dir) =>
       TextOps.chunkDocs(Tables.documents(s, dir), 64, 48)
@@ -2412,6 +2425,7 @@ object SparkEntry {
     "ts_anomalies" -> OracleSql.anomalies(HALF, 2.0),
     "ts_anomalies_deseasonal" -> OracleSql.anomaliesDeseasonal(HALF, 2.0),
     "ts_split_temporal" -> OracleSql.splitTemporal(5, 5),
+    "ts_scale_robust" -> OracleSql.scaleRobust,
     "ts_anomaly_runs" -> OracleSql.anomalyRuns(HALF, 2.0),
     "ts_growth_rates" -> OracleSql.growthRates,
     "ts_retrend" -> OracleSql.retrend,
@@ -2595,6 +2609,7 @@ object SparkEntry {
     "bpe_merge_step" -> OracleSql.bpePairCounts(30),
     "bpe_train" -> OracleSql.bpeTrain(8),
     "bpe_encode" -> OracleSql.bpeEncode(8),
+    "bpe_token_freq" -> OracleSql.bpeTokenFreq(8, 20),
     "chunk_documents" -> OracleSql.chunkDocs(64, 48),
     "mmr_rerank" -> OracleSql.mmrRerank(5, 10, 5),
     "pca_power" -> OracleSql.pcaPower(),

@@ -1242,6 +1242,37 @@ object TextOps {
         md5(array_join(col("toks"), " ")).as("fp"))
   }
 
+  /** Tokenizer-REAL vocabulary utilization: the top-k tokens of the
+    * corpus AFTER encoding under the learned BPE merge list, with
+    * exact counts — the "is my vocabulary well-used" report a
+    * tokenizer owner reads after training ([[topTokens]] counts
+    * whitespace words; this counts what the model actually sees:
+    * merged subwords, split rare words). A merge that never fires at
+    * encode time simply never appears.
+    *
+    * Scale plan: the corpus collapses to DISTINCT-word counts first
+    * (vocabulary volume), so the per-word BPE replay runs once per
+    * TYPE, never per occurrence; token counts are Σ word_count ×
+    * within-word multiplicity via one map-side explode of the
+    * vocab-sized frame; rank is TakeOrdered.
+    */
+  def bpeTokenFreq(docs: DataFrame, nMerges: Int, k: Int): DataFrame = {
+    val merges = bpeTrainMerges(docs, nMerges).map(m => (m._2, m._3))
+    val enc = graft.functions.BpeApply.encode(merges)
+      .replace("\\", "\\\\").replace("'", "\\'")
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .select(col("c"), explode(expr(s"graft_bpe_apply(w, '$enc')")).as("token"))
+      .groupBy(col("token")).agg(sum(col("c")).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("token"))).cast("long"))
+  }
+
   /** Overlapping token-window chunking — the RAG/embedding prep pass
     * (LangChain/LlamaIndex-style fixed-size splitter): chunk i covers
     * tokens [i·stride, i·stride + size), i = 0.. while i·stride < n,

@@ -242,6 +242,22 @@ object TimeSeries {
           .otherwise(lit("test")))
       .drop("bucket")
 
+  /** Robust per-key scaling: (v − median)/IQR — [[scale]]'s
+    * mean/σ standardization is itself dragged by the outliers a
+    * cleaning pipeline wants to SEE; median/IQR stay put, so the
+    * scaled value of a spike honestly reads "far" (the sklearn
+    * RobustScaler convention). NULL when IQR = 0 (constant middle).
+    * Two percentile windows + the projection on ONE key exchange.
+    */
+  def scaleRobust(daily: DataFrame): DataFrame =
+    daily
+      .withColumn("med", r3(expr("percentile(v, 0.5)").over(wKey)))
+      .withColumn("iqr", r3(expr("percentile(v, 0.75)").over(wKey) -
+        expr("percentile(v, 0.25)").over(wKey)))
+      .select(col(KEY), col(DAY), col("v"), col("med"), col("iqr"),
+        r3((col("v") - col("med")) / nullif(col("iqr"), lit(0.0)))
+          .as("scaled_robust"))
+
   /** TEMPORAL train/val/test split per key: the last `testDays`
     * calendar days are test, the `valDays` before them validation,
     * everything earlier train — the LEAK-FREE split time-series

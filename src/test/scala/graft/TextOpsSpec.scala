@@ -702,6 +702,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(enc(2L) === ((3L, md5hex("aaab ab c"))))
   }
 
+  test("bpeTokenFreq counts what the tokenizer emits, weighted by word frequency") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaab aaab"), (2L, "aab")).toDF("doc_id", "text")
+    // after merges (a,a),(a,b): aaab -> [aa, ab], aab -> [aa, b]
+    val f2 = TextOps.bpeTokenFreq(docs, 2, 10).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("n")).toMap
+    assert(f2 === Map("aa" -> 3L, "ab" -> 2L, "b" -> 1L))
+    // the full 4-merge vocabulary absorbs both words whole
+    val f4 = TextOps.bpeTokenFreq(docs, 4, 10).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("token"), r.getAs[Long]("n")))
+    assert(f4.toSeq.sorted === Seq((1L, "aaab", 2L), (2L, "aab", 1L)))
+  }
+
   test("sampleTemperature: T=1 reproduces natural proportions; higher T up-weights the tail") {
     import spark.implicits._
     // token masses 60/30/10 across three sources (10 tokens per doc)

@@ -613,6 +613,22 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(rd.getAs[Double]("forecast") === rd.getAs[Double]("z_hat"))
   }
 
+  test("scaleRobust: the spike reads far while median/IQR stay put; constant middle is NULL") {
+    import spark.implicits._
+    def d(i: Int) = java.sql.Date.valueOf(s"2024-01-0$i")
+    val daily = (Seq(1.0, 2.0, 3.0, 4.0, 100.0).zipWithIndex.map {
+      case (v, i) => (1L, d(i + 1), v) } ++
+      (1 to 5).map(i => (2L, d(i), 7.0)))
+      .toDF("user_id", "day", "v")
+    val out = TimeSeries.scaleRobust(daily).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getAs[java.sql.Date]("day").toString)).toMap
+    val k1 = out(1L)
+    assert(k1.head.getAs[Double]("med") === 3.0 && k1.head.getAs[Double]("iqr") === 2.0)
+    assert(k1.last.getAs[Double]("scaled_robust") === 48.5)  // the spike honestly far
+    assert(k1.head.getAs[Double]("scaled_robust") === -1.0)
+    assert(out(2L).forall(r => r.isNullAt(r.fieldIndex("scaled_robust"))))
+  }
+
   test("splitTemporal: future-only val/test, no leakage, ragged keys split off their own end") {
     import spark.implicits._
     def d(i: Int) = java.sql.Date.valueOf(s"2024-01-${"%02d".format(i)}")
