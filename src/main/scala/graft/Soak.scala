@@ -811,7 +811,34 @@ object Soak {
       "ab_cuped" -> (() => Eval.abCuped(ev, "2024-01-16")),
       // k-1 maximin scans + the Lloyd rounds — the kmeans_fit cost
       // class with a k-bounded driver state
-      "kmeans_fit_pp" -> (() => Similarity.kmeansFitMaximin(emb, 8, 2)))
+      "kmeans_fit_pp" -> (() => Similarity.kmeansFitMaximin(emb, 8, 2)),
+      // union + one window carry (the asof law), scanned descending
+      "ts_asof_forward" -> (() => {
+        val daily = graft.operators.TimeSeries.resampleDaily(ev)
+        val err = ev.where(col("event_type") === "error")
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg((floor(max(col("value")) * 1000.0 + 0.5001) / 1000.0).as("err_v"))
+          .withColumn("err_day", col("day"))
+        Relational.asofJoinForward(daily, err, "user_id", "day",
+          Seq("err_v", "err_day"))
+      }),
+      // ladder joins + |stages| latency aggregate
+      "funnel_latency" -> (() => Relational.funnelLatency(
+        ev, Seq("signup", "click", "purchase"))),
+      // (user, week) distinct + co-partitioned self-join
+      "churn_weekly" -> (() => Relational.churnWeekly(ev)),
+      // ONE corpus pass into (grp, bin) counts; bins-sized after
+      "eval_psi" -> (() => Eval.psi(docs, 10)),
+      // five running sums on one key exchange
+      "ts_rolling_corr" -> (() =>
+        graft.operators.TimeSeries.rollingCorr(ev, 7)),
+      // rounds x collapsed-frame passes (the iterative convention)
+      "ts_outliers_esd" -> (() => graft.operators.TimeSeries.outliersEsd(
+        graft.operators.TimeSeries.resampleDaily(ev), 3, 2.0)),
+      // vocab-sized conditional aggregate + 1-row broadcast + TakeOrdered
+      "token_trending" -> (() => TextOps.tokenTrending(docs, 20)),
+      // per-TYPE BPE replay over the distinct-word frame
+      "bpe_token_freq" -> (() => TextOps.bpeTokenFreq(docs, 8, 20)))
 
     // optional args name a subset — e.g. the dedup family at a higher
     // SPARK_GRAFT_SOAK_FACTOR without paying for the whole suite

@@ -265,6 +265,38 @@ class PlanCensusSpec extends AnyFunSuite {
     assert(s.size <= 5, s"unexpected extra shuffles: ${s.size}")
   }
 
+  test("ts_rolling_corr: all five running sums ride the one key exchange (resample + window)") {
+    val s = shuffles(TimeSeries.rollingCorr(Tables.events(spark, dir), 7))
+    assert(s.size === 2, s"expected resample + window exchanges only: ${s.size}")
+  }
+
+  test("ts_scale_robust: both percentile windows share the one key exchange") {
+    val s = shuffles(TimeSeries.scaleRobust(
+      TimeSeries.resampleDaily(Tables.events(spark, dir))))
+    assert(s.size === 2, s"expected resample + window exchanges only: ${s.size}")
+  }
+
+  test("embedding_drift: one explode aggregate + the 2-dim-row pivot, nothing corpus-sized after") {
+    val s = shuffles(Similarity.embeddingDrift(Tables.embeddings(spark, dir)))
+    assert(s.size <= 3, s"unexpected extra shuffles: ${s.size}")
+  }
+
+  test("token_trending: vocab-sized aggregates + TakeOrdered, never a global sort of the corpus") {
+    val df = TextOps.tokenTrending(Tables.documents(spark, dir), 20)
+    val conf = spark.conf
+    conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try {
+      df.write.format("noop").mode("overwrite").save()
+      df.queryExecution.executedPlan
+    } finally conf.set("spark.sql.adaptive.enabled", "true")
+    // the rank is TakeOrdered over the k survivors — a full SortExec
+    // over the vocabulary would betray an orderBy planned as a sort
+    val takeOrdered = plan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t }
+    assert(takeOrdered.nonEmpty, "top-k must plan as TakeOrderedAndProject")
+    assert(shuffles(df).size <= 3)
+  }
+
   test("ann_matryoshka: the shortlist broadcasts back — stage 2 adds no corpus shuffle") {
     val df = Similarity.annMatryoshka(Tables.embeddings(spark, dir), 16, 5, 25, 5)
     val conf = spark.conf
