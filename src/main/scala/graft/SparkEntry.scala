@@ -330,6 +330,19 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // incremental graph maintenance: build the first block, append the
+    // delta with the STORED quantizer — provably ≡ the one-shot build
+    // (the id-threshold split keeps the quantizer train block in the
+    // first batch), so the oracle is the one-shot walk
+    "ann_graph_inc" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeKnnGraph(emb.where(col("vec_id") < 200), 16, 4,
+        "graft_knng_inc", 8)
+      Similarity.appendKnnGraph(emb.where(col("vec_id") >= 200), "graft_knng_inc")
+      Similarity.annGraphSearchStored(emb, "graft_knng_inc", 5, 8, 2, 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     "lang_id" -> ((s, dir) =>
       TextOps.langId(Tables.documents(s, dir)).orderBy(col("doc_id"))),
 
@@ -2399,6 +2412,7 @@ object SparkEntry {
     "ann_graph_search" -> OracleSql.annGraphSearch(16, 4, 5, 8, 2, 5),
     "ann_graph_search_recall" -> OracleSql.annGraphSearchRecall(16, 4, 5, 8, 2, 5),
     "ann_graph_stored" -> OracleSql.annGraphSearch(16, 4, 5, 8, 2, 5),
+    "ann_graph_inc" -> OracleSql.annGraphSearch(16, 4, 5, 8, 2, 5),
     "lang_id" -> OracleSql.langId,
     "text_quality" -> OracleSql.textQuality,
     "token_count" -> OracleSql.tokenCount,

@@ -235,10 +235,19 @@ object Similarity {
     val assigned = prepared(embeddings)
       .where(col("v").isNotNull)
       .withColumn("cell", expr(s"coalesce(graft_ivf_cell(v, '$enc'), -1L)"))
-    val other = assigned.select(col("vec_id").as("nbr"),
+    knnEdges(assigned, assigned, k)
+  }
+
+  /** Per-LEFT-vector top-k cosine edges against the same-cell RIGHT
+    * vectors — the edge builder [[knnGraph]] and the stored-graph
+    * build/append share (one cell equi-join + one rank window;
+    * self-pairs excluded). Both sides carry (vec_id, cell, v, norm).
+    */
+  private def knnEdges(left: DataFrame, right: DataFrame, k: Int): DataFrame = {
+    val other = right.select(col("vec_id").as("nbr"),
       col("cell").as("cell_b"), col("v").as("vb"), col("norm").as("nb"))
     val cos = r3(expr("graft_vec_dot(v, vb)") / (col("norm") * col("nb")))
-    assigned.join(other,
+    left.join(other,
         col("cell") === col("cell_b") && col("nbr") =!= col("vec_id"))
       .select(col("vec_id"), col("nbr"), cos.as("cos"))
       .withColumn("rank", row_number().over(
@@ -322,14 +331,81 @@ object Similarity {
   def writeKnnGraph(embeddings: DataFrame, nCentroids: Int, kGraph: Int,
                     table: String, nBuckets: Int): Unit = {
     val spark = embeddings.sparkSession
+    VectorExprs.register(spark)
+    val enc = quantizer(embeddings, nCentroids)
+    val assigned = prepared(embeddings)
+      .where(col("v").isNotNull)
+      .withColumn("cell", expr(s"coalesce(graft_ivf_cell(v, '$enc'), -1L)"))
+    // nodes carry the raw vectors: the graph store is a vector store
+    // WITH adjacency (the HNSW serving layout) — append and walks
+    // both read vectors from here, never from the build input
     graft.sources.Formats.writeBucketedKeys(
-      knnGraph(embeddings, nCentroids, kGraph)
-        .select(col("vec_id").as("src"), col("nbr")),
+      assigned.select(col("vec_id"), col("cell"), col("v")),
+      s"${table}_nodes", Seq("cell"), nBuckets)
+    graft.sources.Formats.writeBucketedKeys(
+      knnEdges(assigned, assigned, kGraph)
+        .select(col("vec_id").as("src"), col("nbr"), col("cos")),
       s"${table}_edges", Seq("src"), nBuckets)
     import spark.implicits._
-    Seq((nCentroids, kGraph, nBuckets))
-      .toDF("n_centroids", "k_graph", "n_buckets")
+    Seq((nCentroids, kGraph, nBuckets, enc))
+      .toDF("n_centroids", "k_graph", "n_buckets", "enc")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta")
+  }
+
+  /** Append NEW vectors to a stored kNN graph WITHOUT a rebuild — and
+    * provably ≡ the one-shot build: a stored node's updated edge list
+    * is top-k(stored top-k ∪ same-cell new pairs), which equals
+    * top-k(all old candidates ∪ new) because dropping non-top-k old
+    * candidates can never promote them. New vectors rank against
+    * (stored ∪ delta) same-cell nodes; both sides assign cells with
+    * the STORED quantizer (meta), so a delta can't silently re-cluster
+    * the graph. Edges rewrite via the staging + RENAME dance (the
+    * [[compactAnnIndex]] convention — Spark refuses an in-place
+    * overwrite of a table the plan reads); nodes append in place.
+    *
+    * Cost: |stored edges| (k-bounded per node) + Σ_cell old_c·new_c +
+    * new_c² — the delta's share of the pair join, never the full
+    * Σcell² rebuild.
+    */
+  def appendKnnGraph(newVecs: DataFrame, table: String): Unit = {
+    val spark = newVecs.sparkSession
+    VectorExprs.register(spark)
+    require(spark.catalog.tableExists(s"${table}_meta"),
+      s"kNN graph '$table' has no ${table}_meta table — build it with writeKnnGraph")
+    val meta = spark.table(s"${table}_meta").collect().head
+    val kGraph = meta.getAs[Int]("k_graph")
+    val nBuckets = meta.getAs[Int]("n_buckets")
+    val enc = meta.getAs[String]("enc")
+    val newAssigned = prepared(newVecs)
+      .where(col("v").isNotNull)
+      .withColumn("cell", expr(s"coalesce(graft_ivf_cell(v, '$enc'), -1L)"))
+      .select(col("vec_id"), col("cell"), col("v"), col("norm"))
+      .localCheckpoint()
+    val oldNodes = spark.table(s"${table}_nodes")
+      .withColumn("norm", sqrt(expr("graft_vec_dot(v, v)")))
+      .select(col("vec_id"), col("cell"), col("v"), col("norm"))
+    // new nodes rank against everything co-cell (old and new alike)
+    val newEdges = knnEdges(newAssigned,
+      oldNodes.unionByName(newAssigned), kGraph)
+    // old nodes: stored top-k merged with their same-cell new pairs,
+    // re-ranked — the incremental-maintenance identity
+    val oldNew = knnEdges(oldNodes, newAssigned, Int.MaxValue)
+      .select(col("vec_id").as("src"), col("nbr"), col("cos"))
+    val merged = spark.table(s"${table}_edges")
+      .select(col("src"), col("nbr"), col("cos"))
+      .unionByName(oldNew)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("cos").desc, col("nbr"))))
+      .where(col("rank") <= kGraph)
+      .select(col("src"), col("nbr"), col("cos"))
+      .unionByName(newEdges.select(col("vec_id").as("src"), col("nbr"), col("cos")))
+    graft.sources.Formats.writeBucketedKeys(
+      merged, s"${table}_edges_appending", Seq("src"), nBuckets)
+    spark.sql(s"DROP TABLE ${table}_edges")
+    spark.sql(s"ALTER TABLE ${table}_edges_appending RENAME TO ${table}_edges")
+    graft.sources.Formats.writeBucketedKeys(
+      newAssigned.select(col("vec_id"), col("cell"), col("v")),
+      s"${table}_nodes", Seq("cell"), nBuckets, mode = "append")
   }
 
   /** [[annGraphSearch]] against the STORED graph — no rebuild, the

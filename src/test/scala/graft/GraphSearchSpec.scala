@@ -61,6 +61,23 @@ class GraphSearchSpec extends AnyFunSuite {
     assert(err.getMessage.contains("writeKnnGraph"))
   }
 
+  test("append maintains the graph exactly: two-batch edges equal the one-shot build") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    Similarity.writeKnnGraph(emb.where(
+      org.apache.spark.sql.functions.col("vec_id") < 200), 16, 4, "graft_knng_two", 4)
+    Similarity.appendKnnGraph(emb.where(
+      org.apache.spark.sql.functions.col("vec_id") >= 200), "graft_knng_two")
+    Similarity.writeKnnGraph(emb, 16, 4, "graft_knng_one", 4)
+    def edges(t: String) = spark.table(s"${t}_edges").collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("nbr"),
+        r.getAs[Double]("cos"))).sorted.toSeq
+    assert(edges("graft_knng_two") === edges("graft_knng_one"))
+    // and the nodes tables agree on membership + cells
+    def nodes(t: String) = spark.table(s"${t}_nodes").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"))).sorted.toSeq
+    assert(nodes("graft_knng_two") === nodes("graft_knng_one"))
+  }
+
   test("gate-shape recall on the driver corpus is recorded") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val rec = Similarity.annGraphSearchRecall(emb, 16, 4, 5, 8, 2, 5)
