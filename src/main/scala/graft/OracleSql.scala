@@ -3199,15 +3199,19 @@ object OracleSql {
     * annHamming ranking CTEs + the exact ranking + the graded
     * DCG/IDCG aggregate (IDCG = the shared closed-form literal).
     */
-  def evalNdcgHamming(nPlanes: Int, nQueries: Int, k: Int, dim: Int = 64): String = {
-    val idcg = (1 to k).map(i => (k + 1 - i).toDouble / math.log((i + 1).toDouble)).sum
+  /** The shared Hamming-approx vs exact-cosine CTE chain (`approx`
+    * with rank_a, `exact` with rank_e) that [[evalNdcgHamming]] and
+    * [[evalMrrHamming]] aggregate differently.
+    */
+  private def hammingVsExactCtes(nPlanes: Int, nQueries: Int, k: Int,
+                                 dim: Int): String = {
     def proj(p: Int) = (0 until dim)
       .map(d => s"v[${d + 1}] * ${graft.operators.Similarity.planeWeight(p, d)}")
       .mkString(" + ")
     val bucket = (0 until nPlanes)
       .map(p => s"CASE WHEN ${proj(p)} > 0 THEN ${1L << p} ELSE 0 END")
       .mkString(" + ")
-    s"""WITH e0 AS (
+    s"""e0 AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |  WHERE embedding IS NOT NULL),
        |e AS (SELECT vec_id, $bucket AS sig FROM e0),
@@ -3227,13 +3231,29 @@ object OracleSql {
        |xr AS (
        |  SELECT qid, vid, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS rank_e
        |  FROM xs),
-       |exact AS (SELECT qid, vid, rank_e FROM xr WHERE rank_e <= $k)
+       |exact AS (SELECT qid, vid, rank_e FROM xr WHERE rank_e <= $k)""".stripMargin
+  }
+
+  def evalNdcgHamming(nPlanes: Int, nQueries: Int, k: Int, dim: Int = 64): String = {
+    val idcg = (1 to k).map(i => (k + 1 - i).toDouble / math.log((i + 1).toDouble)).sum
+    s"""WITH ${hammingVsExactCtes(nPlanes, nQueries, k, dim)}
        |SELECT a.qid,
        |       COUNT(CASE WHEN x.rank_e IS NOT NULL THEN 1 END) AS n_rel,
        |       ${R(s"SUM(CASE WHEN x.rank_e IS NOT NULL THEN (${k + 1} - x.rank_e) / LN(a.rank_a + 1) ELSE 0.0 END) / $idcg")} AS ndcg
        |FROM approx a LEFT JOIN exact x ON x.qid = a.qid AND x.vid = a.vid
        |GROUP BY a.qid ORDER BY a.qid""".stripMargin
   }
+
+  /** MRR inputs per query: first approx rank that is exact-relevant
+    * (NULL on miss), rr = 1/first_rank (0 on miss).
+    */
+  def evalMrrHamming(nPlanes: Int, nQueries: Int, k: Int, dim: Int = 64): String =
+    s"""WITH ${hammingVsExactCtes(nPlanes, nQueries, k, dim)}
+       |SELECT a.qid,
+       |       MIN(CASE WHEN x.rank_e IS NOT NULL THEN a.rank_a END) AS first_rank,
+       |       ${R("COALESCE(1.0 / MIN(CASE WHEN x.rank_e IS NOT NULL THEN a.rank_a END), 0.0)")} AS rr
+       |FROM approx a LEFT JOIN exact x ON x.qid = a.qid AND x.vid = a.vid
+       |GROUP BY a.qid ORDER BY a.qid""".stripMargin
 
   /** OPQ-IVFADC composed: the [[annIvfPqTrained]] chain with EVERY
     * stage (centroid training, PQ book training, assignment, query
@@ -4475,6 +4495,36 @@ object OracleSql {
        |       CAST(CASE WHEN COALESCE(h.hits, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
        |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Contamination report: per-doc distinct n-grams, benchmark hits,
+    * overlap fraction (NULL for gram-less docs).
+    */
+  def decontaminateScore(n: Int, m: Int): String =
+    s"""WITH ${ngramsCte(n)},
+       |bench AS (SELECT DISTINCT g FROM dg WHERE doc_id % $m = 0),
+       |per AS (
+       |  SELECT dg.doc_id, COUNT(*) AS n_grams,
+       |         COUNT(b.g) AS hits
+       |  FROM dg LEFT JOIN bench b USING (g) GROUP BY 1)
+       |SELECT d.doc_id, CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       |       CAST(COALESCE(p.hits, 0) AS BIGINT) AS hits,
+       |       ${R("COALESCE(p.hits, 0) / NULLIF(COALESCE(p.n_grams, 0), 0)")} AS frac
+       |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** LSH S-curve tuning table over the divisor splits of nHashes. */
+  def lshTuningCurve(nHashes: Int): String = {
+    val splits = (1 to nHashes).filter(nHashes % _ == 0)
+      .map(b => s"($b, ${nHashes / b})").mkString(", ")
+    s"""WITH cfg AS (SELECT * FROM (VALUES $splits) t(b, r)),
+       |grid AS (SELECT CAST(i AS DOUBLE) / 20 AS s
+       |         FROM generate_series(1, 19) t(i))
+       |SELECT CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS rows_per_band,
+       |       ${R("s")} AS s,
+       |       ${R("1.0 - pow(1.0 - pow(s, r), b)")} AS p_cand,
+       |       ${R("pow(1.0 / b, 1.0 / r)")} AS t_star
+       |FROM cfg CROSS JOIN grid ORDER BY bands, s""".stripMargin
+  }
 
   // z and z² for the 95% interval — z² inlined from the same Scala
   // double the Spark side uses (1.96² ≠ 3.8416 in IEEE)

@@ -297,6 +297,14 @@ object SparkEntry {
         .orderBy(col("qid"))
     }),
 
+    "eval_mrr" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Eval.mrr(
+        Similarity.cosineTopK(emb, 5, 5),
+        Similarity.annHammingTopK(emb, 32, 5, 5))
+        .orderBy(col("qid"))
+    }),
+
     "embed_cosine_dup" -> ((s, dir) =>
       Similarity.cosineDupPairs(Tables.embeddings(s, dir), 0.3)
         .orderBy(col("vec_a"), col("vec_b"))),
@@ -1494,6 +1502,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "decontaminate_score" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.decontaminateScore(docs, docs.where(col("doc_id") % 50 === 0), 4)
+        .orderBy(col("doc_id"))
+    }),
+
+    "lsh_tuning" -> ((s, _) =>
+      Dedup.lshTuningCurve(s, 16).orderBy(col("bands"), col("s"))),
+
     "text_repetition" -> ((s, dir) =>
       TextOps.repetition(Tables.documents(s, dir), 2).orderBy(col("doc_id"))),
 
@@ -2512,6 +2529,7 @@ object SparkEntry {
     "ann_pq_recall" -> OracleSql.annPqRecall(16, 4, 5, 5),
     "ann_hamming" -> OracleSql.annHamming(32, 5, 5),
     "eval_ndcg" -> OracleSql.evalNdcgHamming(32, 5, 5),
+    "eval_mrr" -> OracleSql.evalMrrHamming(32, 5, 5),
     "ann_hamming_recall" -> OracleSql.annHammingRecall(32, 5, 5),
     "ann_pq_rotated" -> OracleSql.annPqRotated(16, 4, 5, 5),
     "ann_pq_rotated_recall" -> OracleSql.annPqRotatedRecall(16, 4, 5, 5),
@@ -2544,6 +2562,8 @@ object SparkEntry {
     "text_normalize" -> OracleSql.textNormalize,
     "text_tfidf" -> OracleSql.textTfidf(3),
     "decontaminate" -> OracleSql.decontaminate(4, 50),
+    "decontaminate_score" -> OracleSql.decontaminateScore(4, 50),
+    "lsh_tuning" -> OracleSql.lshTuningCurve(16),
     "text_repetition" -> OracleSql.textRepetition(2),
     "text_lm_score" -> OracleSql.textLmScore,
     "text_filter" -> OracleSql.textFilter(30, 90, 0.15, 0.10),

@@ -171,6 +171,37 @@ object Dedup {
       .agg(count(lit(1)).as("shared_bands"))
   }
 
+  /** LSH S-curve tuning table: for every (bands, rows-per-band) split
+    * of `nHashes` minhash slots, the candidate probability
+    * `p = 1 − (1 − s^r)^b` across a Jaccard-similarity grid
+    * s ∈ {0.05 … 0.95}, plus each split's threshold `t* = (1/b)^(1/r)`
+    * (the s where p crosses ~0.5 — Leskovec/Rajaraman/Ullman ch. 3).
+    * This is the table an operator reads BEFORE picking
+    * [[lshCandidatesFast]]'s rowsPerBand: more bands → recalls lower
+    * similarities but multiplies candidate volume; the curve makes the
+    * trade quantitative instead of folklore.
+    *
+    * Pure math over a generated spine — divisor pairs are O(√n)
+    * driver arithmetic, the grid is a `range`; no data touched, so
+    * the "plan" is a single projected local scan at any corpus scale.
+    */
+  def lshTuningCurve(spark: org.apache.spark.sql.SparkSession,
+                     nHashes: Int): DataFrame = {
+    require(nHashes >= 1 && nHashes <= 1024,
+      s"lshTuningCurve: need 1 <= nHashes <= 1024, got $nHashes")
+    import spark.implicits._
+    val splits = (1 to nHashes).filter(nHashes % _ == 0)
+      .map(b => (b.toLong, (nHashes / b).toLong))
+      .toDF("bands", "rows_per_band")
+    splits.crossJoin(
+        spark.range(1, 20).select((col("id") / 20.0).as("s")))
+      .select(col("bands"), col("rows_per_band"), r3(col("s")).as("s"),
+        r3(lit(1.0) - pow(lit(1.0) - pow(col("s"), col("rows_per_band")),
+          col("bands"))).as("p_cand"),
+        r3(pow(lit(1.0) / col("bands"),
+          lit(1.0) / col("rows_per_band"))).as("t_star"))
+  }
+
   /** One-pass SimHash via the native [[graft.functions.SimHash64]]
     * expression — the scale path (no token explode, no shuffle);
     * bit-identical to [[simhash]] (parity spec in LlmOpsSpec).

@@ -50,6 +50,29 @@ object Eval {
             .otherwise(lit(0.0))) / lit(idcg)).as("ndcg"))
   }
 
+  /** Mean-reciprocal-rank inputs per query: the APPROX ranking's
+    * first position that lands in the exact top-k (Voorhees 1999's
+    * TREC QA metric) — the "how deep must a user scroll" companion
+    * to [[ndcg]]'s graded gain. Emits one row per query:
+    * `first_rank` (NULL when no approx result is relevant — the
+    * honest miss, not a sentinel) and `rr` = 1/first_rank (0 on
+    * miss); the corpus MRR is avg(rr), left to the reader so the
+    * per-query diagnostic stays in the gate hash.
+    *
+    * Scale shape: both inputs are query-batch-sized (nQueries·k
+    * rows); the join and group are driver-trivial at any corpus
+    * scale because the heavy lifting happened inside the rankers.
+    */
+  def mrr(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val ex = exact.select(col("qid"), col("vid"), lit(1).as("rel"))
+    approx.select(col("qid"), col("vid"), col("rank").cast("long").as("rank_a"))
+      .join(ex, Seq("qid", "vid"), "left")
+      .groupBy(col("qid"))
+      .agg(min(when(col("rel").isNotNull, col("rank_a"))).as("first_rank"))
+      .select(col("qid"), col("first_rank"),
+        r3(coalesce(lit(1.0) / col("first_rank"), lit(0.0))).as("rr"))
+  }
+
   /** Mann-Whitney AUC of `score` against boolean `label` — exact,
     * tie-aware (ties contribute half).
     *

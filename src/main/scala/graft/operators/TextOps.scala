@@ -212,6 +212,37 @@ object TextOps {
         (coalesce(col("hits"), lit(0L)) > 0).cast("int").as("contaminated"))
   }
 
+  /** Contamination REPORT: [[decontaminate]]'s boolean flag upgraded
+    * to the per-document overlap fraction an audit ranks by —
+    * `n_grams` (the doc's distinct word n-grams), `hits` (how many
+    * appear in the benchmark corpus), `frac` = hits/n_grams (NULL for
+    * docs too short to form a single n-gram). The GPT-3 appendix C
+    * practice: the flag decides, the fraction explains — a doc that
+    * shares one boilerplate 4-gram and a doc that IS the eval item
+    * both flag, but only the report separates them.
+    *
+    * Same scale shape as [[decontaminate]]: benchmark grams ride as a
+    * broadcast, the corpus explosion is probed map-side, the per-doc
+    * aggregate is map-side combined — one corpus scan, no gram-volume
+    * shuffle.
+    */
+  def decontaminateScore(docs: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
+    def grams(d: DataFrame) = d
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(distinctNgrams("toks", n)).as("gram"))
+    val bench = broadcast(
+      grams(benchmark).select("gram").distinct().withColumn("rel", lit(1)))
+    val per = grams(docs).join(bench, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("rel"), lit(0))).cast("long").as("hits"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        r3(col("hits") / nullif(col("n_grams"), lit(0L))).as("frac"))
+  }
+
   /** Within-document repetition signals (the Gopher paper's repetition
     * filters): fraction of duplicate word n-grams and the dominance of
     * the single most frequent token. High values mark boilerplate /

@@ -84,6 +84,23 @@ class EvalSpec extends AnyFunSuite {
     assert(miss.getAs[Double]("ndcg") === 0.0)
   }
 
+  test("mrr: first relevant position, honest NULL on a full miss") {
+    import spark.implicits._
+    val exact = Seq((0L, 10L, 1L), (0L, 11L, 2L), (1L, 20L, 1L))
+      .toDF("qid", "vid", "rank")
+    // q0: first hit at approx rank 2 → rr 0.5; q1: no hits → NULL/0
+    val approx = Seq((0L, 99L, 1L), (0L, 11L, 2L), (0L, 10L, 3L),
+        (1L, 98L, 1L), (1L, 97L, 2L))
+      .toDF("qid", "vid", "rank")
+    val out = Eval.mrr(exact, approx).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), r.getDouble(2)))).toMap
+    assert(out(0L) === ((Some(2L), 0.5)))
+    assert(out(1L) === ((None, 0.0)))
+    // perfect ranking: rr = 1 at rank 1
+    val p = Eval.mrr(exact, exact).where(col("qid") === 0).collect().head
+    assert(p.getLong(1) === 1L && p.getDouble(2) === 1.0)
+  }
+
   test("auc is exact and tie-aware on a hand-computed frame") {
     import spark.implicits._
     // scores: pos {0.9, 0.7, 0.5}, neg {0.7, 0.3}

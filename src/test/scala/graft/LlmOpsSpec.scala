@@ -37,6 +37,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(cand.find(r => r.getLong(0) === 1L && r.getLong(1) === 2L).get.getAs[Long]("shared_bands") === 8L)
   }
 
+  test("lshTuningCurve: S-curve endpoints, monotonicity, and the b=r=4 threshold") {
+    val out = Dedup.lshTuningCurve(spark, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)) ->
+        ((r.getDouble(3), r.getDouble(4)))).toMap
+    // 5 divisor splits × 19 grid points
+    assert(out.size === 5 * 19)
+    // b=16,r=1: p = 1-(1-s)^16 — high recall even at s=0.2
+    assert(out((16L, 1L, 0.2))._1 > 0.9)
+    // b=1,r=16: p = s^16 — nothing below s=0.8
+    assert(out((1L, 16L, 0.5))._1 === 0.0)  // 0.5^16 rounds to 0
+    // b=r=4: threshold (1/4)^(1/4) = 0.707, and p is ~tiny below, high above
+    assert(out((4L, 4L, 0.5))._2 === 0.707)
+    assert(out((4L, 4L, 0.3))._1 < 0.05 && out((4L, 4L, 0.9))._1 > 0.9)
+    // monotone in s for a fixed split
+    val curve = (1 to 19).map(i => out((4L, 4L, i / 20.0))._1)
+    assert(curve === curve.sorted)
+  }
+
   test("one-pass minhash sigs and band candidates match the explode formulation") {
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
     val fast = Dedup.lshCandidatesFast(Dedup.minhashSigs(d, 16), 2, 16)

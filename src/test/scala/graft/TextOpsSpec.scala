@@ -91,6 +91,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(4L) === ((0L, 0)))
   }
 
+  test("decontaminateScore: overlap fraction separates boilerplate from full copies") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),     // benchmark member: 3/3 grams hit
+      (1L, "zeta beta gamma delta eta theta"),    // 1 of 4 grams → frac 0.25
+      (2L, "iota kappa lambda mu nu"),            // disjoint → 0.0
+      (4L, "xi om")                               // gram-less → NULL frac
+    ).toDF("doc_id", "text")
+    val out = TextOps.decontaminateScore(docs, docs.where($"doc_id" === 0L), 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+    assert(out(0L) === ((3L, 3L, Some(1.0))))
+    assert(out(1L) === ((4L, 1L, Some(0.25))))
+    assert(out(2L) === ((3L, 0L, Some(0.0))))
+    assert(out(4L) === ((0L, 0L, None)))
+  }
+
   test("decontaminate broadcasts the benchmark n-gram side") {
     import spark.implicits._
     val docs = (0L until 20L).map(i => (i, s"tok$i a b c d e f")).toDF("doc_id", "text")
