@@ -4304,6 +4304,90 @@ object OracleSql {
        |ORDER BY day""".stripMargin
   }
 
+  /** Corpus overlap by HLL inclusion-exclusion next to the exact
+    * distinct-n-gram intersection: parity corpora, md5 registers,
+    * union = register-wise MAX.
+    */
+  def corpusOverlapHll(n: Int = 4, b: Int = 6): String = {
+    val m = 1 << b
+    val alpha = if (m == 64) 0.709 else 0.7213 / (1.0 + 1.079 / m)
+    s"""WITH dg0 AS (
+       |  SELECT DISTINCT doc_id % 2 AS g, gram FROM (
+       |    SELECT doc_id, UNNEST(list_transform(generate_series(1, len(t) - ${n - 1}),
+       |      i -> array_to_string(t[i:i+${n - 1}], ' '))) AS gram
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       |    WHERE len(t) >= $n)),
+       |f AS (
+       |  SELECT gram, MAX(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS a,
+       |         MAX(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS b
+       |  FROM dg0 GROUP BY 1),
+       |ex AS (
+       |  SELECT CAST(SUM(a) AS BIGINT) AS n_a, CAST(SUM(b) AS BIGINT) AS n_b,
+       |         CAST(SUM(a * b) AS BIGINT) AS exact_overlap FROM f),
+       |hsh AS (
+       |  SELECT g AS day,
+       |         CAST(CONCAT('0x', SUBSTR(md5(gram), 1, 15)) AS BIGINT) AS h
+       |  FROM dg0),
+       |reg AS (
+       |  SELECT day, h & ${m - 1} AS r,
+       |         MAX(CASE WHEN (h >> $b) = 0 THEN 55
+       |                  ELSE 55 - length(bin(h >> $b)) END) AS mx
+       |  FROM hsh GROUP BY 1, 2),
+       |allreg AS (
+       |  SELECT day, r, mx FROM reg
+       |  UNION ALL SELECT 2 AS day, r, MAX(mx) AS mx FROM reg GROUP BY r),
+       |hll0 AS (
+       |  SELECT day,
+       |         SUM(1.0 / CAST(1::BIGINT << mx AS DOUBLE)) + ($m - COUNT(*)) AS s,
+       |         $m - COUNT(*) AS v
+       |  FROM allreg GROUP BY day),
+       |hll AS (
+       |  SELECT day,
+       |         CASE WHEN ($alpha * $m * $m) / s <= ${2.5 * m} AND v > 0
+       |              THEN ${m.toDouble} * ln(CAST($m AS DOUBLE) / v)
+       |              ELSE ($alpha * $m * $m) / s END AS est
+       |  FROM hll0),
+       |p AS (
+       |  SELECT SUM(CASE WHEN day = 0 THEN est END) AS ea,
+       |         SUM(CASE WHEN day = 1 THEN est END) AS eb,
+       |         SUM(CASE WHEN day = 2 THEN est END) AS eu
+       |  FROM hll)
+       |SELECT ex.n_a, ex.n_b, ex.exact_overlap,
+       |       ${R("ea + eb - eu")} AS est_overlap,
+       |       ${R("ABS(ea + eb - eu - exact_overlap) / NULLIF(exact_overlap, 0)")} AS rel_err
+       |FROM ex CROSS JOIN p""".stripMargin
+  }
+
+  /** Windowed PSI drift vs the all-time event-type mix (smoothed, the
+    * Eval.psi formulation); one row per tumbling window.
+    */
+  def streamPsiBatch(windowHours: Int = 6): String = {
+    val wus = windowHours.toLong * 3600L * 1000000L
+    s"""WITH base AS (SELECT event_type, COUNT(*) AS n_b FROM events GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+       |               CAST(SUM(n_b) AS DOUBLE) AS tb FROM base),
+       |wc AS (
+       |  SELECT (epoch_us(ts) // $wus) * $wus AS w_us, event_type,
+       |         COUNT(*) AS n_w
+       |  FROM events GROUP BY 1, 2),
+       |wins AS (SELECT DISTINCT w_us FROM wc),
+       |j AS (
+       |  SELECT w.w_us, b.event_type, b.n_b, COALESCE(wc.n_w, 0) AS n_w
+       |  FROM wins w CROSS JOIN base b
+       |  LEFT JOIN wc ON wc.w_us = w.w_us AND wc.event_type = b.event_type),
+       |tw AS (
+       |  SELECT w_us, CAST(SUM(n_w) AS DOUBLE) AS t,
+       |         CAST(SUM(n_w) AS BIGINT) AS n_events
+       |  FROM j GROUP BY 1),
+       |c AS (
+       |  SELECT j.w_us, tw.n_events,
+       |         ((j.n_w + 1.0) / (tw.t + tot.k) - (j.n_b + 1.0) / (tot.tb + tot.k)) *
+       |         ln(((j.n_w + 1.0) / (tw.t + tot.k)) / ((j.n_b + 1.0) / (tot.tb + tot.k))) AS contrib
+       |  FROM j JOIN tw USING (w_us) CROSS JOIN tot)
+       |SELECT w_us AS window_start_us, n_events, ${R("SUM(contrib)")} AS psi
+       |FROM c GROUP BY 1, 2 ORDER BY 1""".stripMargin
+  }
+
   /** MAD-based robust outlier days. */
   /** Robust scaling: per-key rounded median/IQR, (v − med)/IQR. */
   val scaleRobust: String =

@@ -603,6 +603,17 @@ object SparkEntry {
       Relational.hllDailyUsers(Tables.events(s, dir))
         .orderBy(col("day"))),
 
+    // windowed event-type PSI vs the all-time mix — the batch twin of
+    // psiDriftStream's online drift alarm (driven live in FeedStreamSpec)
+    "stream_psi_batch" -> ((s, dir) =>
+      graft.streaming.StreamOps.psiDriftBatch(Tables.events(s, dir), "6 hours")
+        .orderBy(col("window_start_us"))),
+
+    // corpus-overlap estimate by HLL inclusion-exclusion next to the
+    // exact distinct-4-gram intersection (parity corpora)
+    "corpus_overlap_hll" -> ((s, dir) =>
+      Dedup.corpusOverlapHll(Tables.documents(s, dir))),
+
     // RiskMetrics EWMA volatility of daily first differences
     // (λ = 0.94 ⟺ α = 0.06, the Technical Document's daily setting)
     "ts_vol_ewma" -> ((s, dir) =>
@@ -2394,6 +2405,8 @@ object SparkEntry {
     "active_users_rolling" -> OracleSql.activeUsersRolling(7),
     "active_users_rolling_approx" -> OracleSql.activeUsersRollingApprox(7),
     "stream_hll_batch" -> OracleSql.hllDailyUsers(),
+    "stream_psi_batch" -> OracleSql.streamPsiBatch(6),
+    "corpus_overlap_hll" -> OracleSql.corpusOverlapHll(),
     "ts_vol_ewma" -> OracleSql.volEwma(0.06),
     "ts_periodogram" -> OracleSql.periodogram(14),
     "ts_spectral_entropy" -> OracleSql.spectralEntropy(14),

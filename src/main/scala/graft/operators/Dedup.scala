@@ -927,6 +927,57 @@ object Dedup {
     * array materialization), counts attached from the one per-doc
     * aggregate.
     */
+  /** Corpus-overlap estimate by HLL inclusion-exclusion, published
+    * NEXT TO the exact answer (the recall-gate pattern for set
+    * cardinality): corpora A/B by doc_id parity, items = distinct
+    * word `n`-grams, `est_overlap = est(A) + est(B) − est(A∪B)` where
+    * est(A∪B) merges the two register tables by register-wise MAX —
+    * the HLL merge property that makes the sketch the 100 TB answer
+    * to "how much does the new crawl overlap the training set": each
+    * corpus keeps a FLAT m-register summary (bytes, shippable in a
+    * metadata row) and the union estimate needs no re-scan of either
+    * side, while the exact side is a full gram-vocabulary shuffle
+    * every time it's asked. Same deterministic md5 register math as
+    * [[graft.operators.Relational.hllRhoRows]] (shared code), so the
+    * gate hash holds on any engine.
+    *
+    * Honest error note: inclusion-exclusion SUBTRACTS estimates, so
+    * the overlap's relative error is amplified by |A∪B|/|A∩B| — the
+    * published `rel_err` column is the point, not a nuisance.
+    */
+  def corpusOverlapHll(docs: DataFrame, n: Int = 4, b: Int = 6): DataFrame = {
+    require(b >= 4 && b <= 12, s"corpusOverlapHll: need 4 <= b <= 12, got $b")
+    val grams = docs
+      .select(pmod(col("doc_id"), lit(2L)).as("grp"),
+        split(col("text"), " ").as("toks"))
+      .select(col("grp"),
+        explode(TextOps.distinctNgrams("toks", n)).as("gram"))
+    val exact = grams
+      .groupBy(col("gram"))
+      .agg(max(when(col("grp") === 0, 1).otherwise(0)).as("in_a"),
+        max(when(col("grp") === 1, 1).otherwise(0)).as("in_b"))
+      .agg(sum(col("in_a")).cast("long").as("n_a"),
+        sum(col("in_b")).cast("long").as("n_b"),
+        sum(col("in_a") * col("in_b")).cast("long").as("exact_overlap"))
+    // per-corpus registers; the union's registers are their MAX merge
+    val reg = Relational.hllRhoRows(
+        grams.select(col("grp").as("day"), col("gram").as("user_id")),
+        b, Seq("day"))
+      .groupBy(col("day"), col("r")).agg(max(col("rho")).as("mx"))
+    val regU = reg.groupBy(col("r")).agg(max(col("mx")).as("mx"))
+      .select(lit(2L).as("day"), col("r"), col("mx"))
+    val est = Relational.hllEstimate(reg.unionByName(regU), b)
+      .agg(sum(when(col("day") === 0, col("est"))).as("ea"),
+        sum(when(col("day") === 1, col("est"))).as("eb"),
+        sum(when(col("day") === 2, col("est"))).as("eu"))
+    val ov = col("ea") + col("eb") - col("eu")
+    exact.crossJoin(broadcast(est))
+      .select(col("n_a"), col("n_b"), col("exact_overlap"),
+        r3(ov).as("est_overlap"),
+        r3(abs(ov - col("exact_overlap")) /
+          nullif(col("exact_overlap"), lit(0L))).as("rel_err"))
+  }
+
   def containment(sh: DataFrame, pairs: DataFrame): DataFrame = {
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("doc_a"), col("sh"))

@@ -77,6 +77,66 @@ object StreamOps {
       .agg(max(col("rho")).as("mx"))
       .select(col("window.start").cast("date").as("day"), col("r"), col("mx"))
 
+  /** The PSI core shared by [[psiDriftStream]] and [[psiDriftBatch]]:
+    * ONE window aggregate whose per-type counts are conditional sums
+    * over the (collected, vocabulary-bounded) baseline type list, so
+    * the whole PSI — smoothing, log-ratio, k-term sum — is a map-side
+    * projection of a single stateful agg. That's what makes the
+    * STREAMING side legal in append mode: no second aggregation over
+    * the window, no stream-stream join; per-open-window state is one
+    * row of k longs.
+    */
+  private def psiCore(df: DataFrame, base: Seq[(String, Long)],
+                      windowLen: String): DataFrame = {
+    val k = base.length
+    val tb = base.map(_._2).sum.toDouble
+    val aggs = base.zipWithIndex.map { case ((t, _), i) =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c$i") }
+    val g = df.groupBy(window(col("ts"), windowLen))
+      .agg(aggs.head, aggs.tail: _*)
+    val tw = base.indices.map(i => col(s"c$i")).reduce(_ + _)
+    val psi = base.zipWithIndex.map { case ((_, nb), i) =>
+      val pw = (col(s"c$i") + 1.0) / (tw + lit(k.toDouble))
+      val pb = lit((nb + 1.0) / (tb + k))
+      (pw - pb) * log(pw / pb)
+    }.reduce(_ + _)
+    g.select(unix_micros(col("window.start")).as("window_start_us"),
+      tw.cast("long").as("n_events"), r3(psi).as("psi"))
+  }
+
+  /** The baseline type distribution, collected: event-type vocabulary
+    * is dimension-bounded (the codebook-class `.collect()` contract),
+    * and inlining it is what collapses streaming PSI to one agg.
+    */
+  private def psiBase(baseline: DataFrame): Seq[(String, Long)] =
+    baseline.groupBy(col("event_type")).agg(count(lit(1)).as("n_b"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+
+  /** Streaming drift monitor: population-stability index of each
+    * tumbling window's event-type mix against a STATIC baseline
+    * distribution — the online alarm for "today's traffic no longer
+    * looks like the training window" (PSI > 0.2 is the classic
+    * retrain trigger; same smoothed formulation as
+    * [[graft.operators.Eval.psi]]'s feature-space twin). Baseline
+    * types the window never saw still contribute via the +1
+    * smoothing; types absent from the BASELINE are ignored — freeze
+    * the reference distribution before pointing a stream at it.
+    *
+    * Scale: state per open window is ONE row of k counters; the
+    * baseline rides inlined in the plan (no join at all), so this
+    * runs at ingest rate regardless of corpus size.
+    */
+  def psiDriftStream(events: DataFrame, baseline: DataFrame,
+                     watermark: String, windowLen: String): DataFrame =
+    psiCore(events.withWatermark("ts", watermark), psiBase(baseline), windowLen)
+
+  /** Batch twin of [[psiDriftStream]] with the baseline derived from
+    * the corpus itself (self-drift: windows vs the all-time mix) —
+    * the backfill/gate side, byte-identical expressions.
+    */
+  def psiDriftBatch(events: DataFrame, windowLen: String): DataFrame =
+    psiCore(events, psiBase(events), windowLen)
+
   /** Streaming exact-dedup: first event per content key within the
     * watermark horizon (state pruned beyond it). The incremental twin
     * of [[graft.operators.Dedup.exact]] — at ingest this drops exact
