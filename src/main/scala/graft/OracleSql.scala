@@ -716,8 +716,8 @@ object OracleSql {
        |  FROM events),
        |reg AS (
        |  SELECT day, h & ${m - 1} AS r,
-       |         MAX(CASE WHEN (h >> $b) = 0 THEN 55
-       |                  ELSE 55 - length(bin(h >> $b)) END) AS mx
+       |         MAX(CASE WHEN (h >> $b) = 0 THEN ${61 - b}
+       |                  ELSE ${61 - b} - length(bin(h >> $b)) END) AS mx
        |  FROM hsh GROUP BY 1, 2),
        |wreg AS (
        |  SELECT d.w_day AS day, g.r, MAX(g.mx) AS mx
@@ -1784,10 +1784,12 @@ object OracleSql {
     * tie-break), then a vector is dropped iff a lower-id vector in
     * its cell has rounded cosine >= threshold.
     */
-  /** Corpus kNN graph: the SemDeDup cell assignment + the cell
-    * equi-join + per-vector top-k (cos DESC, nbr).
+  /** Corpus kNN graph: the SemDeDup cell assignment, the PROBE-cell
+    * equi-join (each vector's candidates come from its `nprobe`
+    * nearest cells; the right side keeps its single assigned cell so
+    * no pair doubles) + per-vector top-k (cos DESC, nbr).
     */
-  def annKnnGraph(nCentroids: Int, k: Int): String =
+  def annKnnGraph(nCentroids: Int, k: Int, nprobe: Int = 2): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |           WHERE embedding IS NOT NULL),
        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $nCentroids),
@@ -1798,10 +1800,11 @@ object OracleSql {
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
        |  FROM a0),
        |asg AS (SELECT vec_id, v, cid AS cell FROM a1 WHERE crank = 1),
+       |ap AS (SELECT vec_id, v, cid AS pcell FROM a1 WHERE crank <= $nprobe),
        |pr AS (
        |  SELECT a.vec_id, b.vec_id AS nbr,
        |         ${R("list_cosine_similarity(a.v, b.v)")} AS cos
-       |  FROM asg a JOIN asg b ON a.cell = b.cell AND b.vec_id != a.vec_id),
+       |  FROM ap a JOIN asg b ON a.pcell = b.cell AND b.vec_id != a.vec_id),
        |rk AS (
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS BIGINT) AS rank
        |  FROM pr)
@@ -1815,7 +1818,7 @@ object OracleSql {
     * round — the chained-state planner lesson).
     */
   def annGraphSearch(nCentroids: Int, kGraph: Int, nQueries: Int,
-                     beam: Int, rounds: Int, k: Int): String = {
+                     beam: Int, rounds: Int, k: Int, nprobe: Int = 2): String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -1828,9 +1831,10 @@ object OracleSql {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
          |  FROM a0),
          |asg AS (SELECT vec_id, v, cid AS cell FROM a1 WHERE crank = 1),
+         |ap AS (SELECT vec_id, v, cid AS pcell FROM a1 WHERE crank <= $nprobe),
          |pr AS (
          |  SELECT a.vec_id, b.vec_id AS nbr, ${R("list_cosine_similarity(a.v, b.v)")} AS cos
-         |  FROM asg a JOIN asg b ON a.cell = b.cell AND b.vec_id != a.vec_id),
+         |  FROM ap a JOIN asg b ON a.pcell = b.cell AND b.vec_id != a.vec_id),
          |g AS MATERIALIZED (
          |  SELECT vec_id AS src, nbr FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
@@ -1861,10 +1865,10 @@ object OracleSql {
 
   /** Recall@k of the graph walk vs the exact cosine top-k. */
   def annGraphSearchRecall(nCentroids: Int, kGraph: Int, nQueries: Int,
-                           beam: Int, rounds: Int, k: Int): String =
+                           beam: Int, rounds: Int, k: Int, nprobe: Int = 2): String =
     s"""WITH approx AS (
        |  SELECT qid, vid, 1 AS hit FROM (
-       |${annGraphSearch(nCentroids, kGraph, nQueries, beam, rounds, k)}) a),
+       |${annGraphSearch(nCentroids, kGraph, nQueries, beam, rounds, k, nprobe)}) a),
        |e3 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |       WHERE embedding IS NOT NULL),
        |q3 AS (SELECT vec_id AS qid, v AS qv FROM e3 WHERE vec_id < $nQueries),
@@ -2456,7 +2460,8 @@ object OracleSql {
            |df$c AS (SELECT i, w - (CASE WHEN i = $t THEN 1.0 ELSE 0.0 END) AS w
            |         FROM h${c}_${c - 1}),
            |nm$c AS (SELECT ${R("SQRT(SUM(w * w))")} AS nrm FROM df$c),
-           |u$c AS MATERIALIZED (SELECT i, ${R("w / nrm")} AS w FROM df$c, nm$c),
+           |u$c AS MATERIALIZED (SELECT i, CASE WHEN nrm = 0 THEN 0.0
+           |         ELSE ${R("w / nrm")} END AS w FROM df$c, nm$c),
            |ul$c AS (SELECT LIST(w ORDER BY i) AS u FROM u$c)""".stripMargin)
     }
     sb.append(
@@ -4283,8 +4288,8 @@ object OracleSql {
        |  FROM events),
        |reg AS (
        |  SELECT day, h & ${m - 1} AS r,
-       |         MAX(CASE WHEN (h >> $b) = 0 THEN 55
-       |                  ELSE 55 - length(bin(h >> $b)) END) AS mx
+       |         MAX(CASE WHEN (h >> $b) = 0 THEN ${61 - b}
+       |                  ELSE ${61 - b} - length(bin(h >> $b)) END) AS mx
        |  FROM hsh GROUP BY 1, 2),
        |hll0 AS (
        |  SELECT day,
@@ -4330,8 +4335,8 @@ object OracleSql {
        |  FROM dg0),
        |reg AS (
        |  SELECT day, h & ${m - 1} AS r,
-       |         MAX(CASE WHEN (h >> $b) = 0 THEN 55
-       |                  ELSE 55 - length(bin(h >> $b)) END) AS mx
+       |         MAX(CASE WHEN (h >> $b) = 0 THEN ${61 - b}
+       |                  ELSE ${61 - b} - length(bin(h >> $b)) END) AS mx
        |  FROM hsh GROUP BY 1, 2),
        |allreg AS (
        |  SELECT day, r, mx FROM reg
@@ -5027,6 +5032,64 @@ object OracleSql {
        |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 HAVING COUNT(*) >= $minShared
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The shared repeated-L-gram span CTE chain ending in
+    * `spans(doc_id, grp, span_start, span_end)` — ExactSubstr's
+    * window identity: dup-substring coverage = dup-L-gram coverage.
+    */
+  private def substringSpanCtes(l: Int): String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |w AS (
+       |  SELECT doc_id, i AS p, array_to_string(toks[i:i + ${l - 1}], ' ') AS gram
+       |  FROM (SELECT doc_id, toks, UNNEST(generate_series(1, len(toks) - ${l - 1})) AS i
+       |        FROM t WHERE len(toks) >= $l)),
+       |d AS (SELECT gram FROM w GROUP BY gram HAVING COUNT(*) >= 2),
+       |st AS (SELECT doc_id, p FROM w WHERE gram IN (SELECT gram FROM d)),
+       |m AS (
+       |  SELECT doc_id, p,
+       |         MAX(p + ${l - 1}) OVER (PARTITION BY doc_id ORDER BY p
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |  FROM st),
+       |g AS (
+       |  SELECT doc_id, p, SUM(CASE WHEN prev_end IS NULL OR p > prev_end + 1
+       |                             THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY p) AS grp
+       |  FROM m),
+       |spans AS (
+       |  SELECT doc_id, grp, MIN(p) AS span_start, MAX(p) + ${l - 1} AS span_end
+       |  FROM g GROUP BY doc_id, grp)""".stripMargin
+
+  /** ExactSubstr duplicated spans (Lee et al. 2022): maximal merged
+    * coverage of corpus-repeated `l`-token windows, per document.
+    */
+  def dedupSubstringExact(l: Int): String =
+    s"""WITH ${substringSpanCtes(l)}
+       |SELECT doc_id, span_start, span_end,
+       |       span_end - span_start + 1 AS span_toks
+       |FROM spans ORDER BY doc_id, span_start""".stripMargin
+
+  /** ExactSubstr strip: each document minus its duplicated spans,
+    * with the n_toks/n_removed audit counts.
+    */
+  def dedupSubstringStrip(l: Int): String =
+    s"""WITH ${substringSpanCtes(l)},
+       |cov AS (SELECT doc_id, UNNEST(generate_series(span_start, span_end)) AS p
+       |        FROM spans),
+       |rem AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id),
+       |tok AS (SELECT doc_id, UNNEST(toks) AS tk,
+       |               generate_subscripts(toks, 1) AS p
+       |        FROM t),
+       |kept AS (
+       |  SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS text_clean
+       |  FROM (SELECT tok.* FROM tok ANTI JOIN cov USING (doc_id, p)) u
+       |  GROUP BY doc_id)
+       |SELECT t.doc_id, len(t.toks) AS n_toks,
+       |       COALESCE(r.n_removed, 0) AS n_removed,
+       |       COALESCE(k.text_clean, '') AS text_clean
+       |FROM t
+       |LEFT JOIN rem r USING (doc_id)
+       |LEFT JOIN kept k ON k.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
 
   /** Bigram LM score: mirrors the Spark side's single-pass shape —
     * per-(doc, prev, tok) tf, corpus counts and prev-marginals derived

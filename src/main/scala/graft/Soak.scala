@@ -144,6 +144,12 @@ object Soak {
       // measured gap vs `sessionize` is the cost of key skew a window
       // op cannot shed (mitigation is operator shape, not AQE)
       "sessionize_skew" -> (() => Relational.sessionize(evSkew, 1800000000L)),
+      // the bounded-gap split-merge mitigation under the SAME hot key:
+      // the event window keys on (user, 6h-bucket), the stitch on a
+      // buckets-sized frame — expected ~flat where sessionize_skew
+      // cliffs (result-identical; the gate shares sessionize's oracle)
+      "sessionize_skew_splitmerge" -> (() =>
+        Relational.sessionizeSplitMerge(evSkew, 1800000000L, 21600000000L)),
       // map-side-combined per-stage aggregates absorb the hot key
       // before the exchange — expected ~flat vs funnel_conversion
       "funnel_skew" -> (() =>

@@ -200,6 +200,15 @@ object SparkEntry {
       Relational.sessionize(Tables.events(s, dir), 1800000000L)
         .orderBy(col("user_id"), col("session_no"))),
 
+    // bounded-gap SPLIT-MERGE sessionization: result-identical to
+    // ts_sessionize (shares its oracle) with the events-sized hot-key
+    // window replaced by (user, 6h-bucket) windows + a boundary-only
+    // merge — the skew-cliff mitigation, gated for parity
+    "ts_sessionize_splitmerge" -> ((s, dir) =>
+      Relational.sessionizeSplitMerge(
+          Tables.events(s, dir), 1800000000L, 21600000000L)
+        .orderBy(col("user_id"), col("session_no"))),
+
     // strictly-ordered conversion ladder: first signup, then first
     // click after it, then first purchase after that
     "funnel_conversion" -> ((s, dir) =>
@@ -334,7 +343,7 @@ object SparkEntry {
     "ann_graph_stored" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.writeKnnGraph(emb, 16, 4, "graft_knng", 8)
-      Similarity.annGraphSearchStored(emb, "graft_knng", 5, 8, 2, 5)
+      Similarity.annGraphSearchStored(emb.sparkSession, "graft_knng", 5, 8, 2, 5)
         .orderBy(col("qid"), col("rank"))
     }),
 
@@ -347,7 +356,7 @@ object SparkEntry {
       Similarity.writeKnnGraph(emb.where(col("vec_id") < 200), 16, 4,
         "graft_knng_inc", 8)
       Similarity.appendKnnGraph(emb.where(col("vec_id") >= 200), "graft_knng_inc")
-      Similarity.annGraphSearchStored(emb, "graft_knng_inc", 5, 8, 2, 5)
+      Similarity.annGraphSearchStored(emb.sparkSession, "graft_knng_inc", 5, 8, 2, 5)
         .orderBy(col("qid"), col("rank"))
     }),
 
@@ -1562,6 +1571,16 @@ object SparkEntry {
       TextOps.winnowPairs(Tables.documents(s, dir), 8, 8, 30, 50L)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // ExactSubstr (Lee et al. 2022): maximal corpus-repeated spans of
+    // >= 8 tokens via the dup-L-gram coverage identity, and the strip
+    "dedup_substring_exact" -> ((s, dir) =>
+      Dedup.substringDupSpans(Tables.documents(s, dir), 8)
+        .orderBy(col("doc_id"), col("span_start"))),
+
+    "dedup_substring_strip" -> ((s, dir) =>
+      Dedup.substringStrip(Tables.documents(s, dir), 8)
+        .orderBy(col("doc_id"))),
+
     "text_lm_bigram" -> ((s, dir) =>
       TextOps.lmScoreBigram(Tables.documents(s, dir)).orderBy(col("doc_id"))),
 
@@ -2381,6 +2400,7 @@ object SparkEntry {
     "ts_asof_forward" -> OracleSql.asofJoinForward,
     "ts_asof_nearest" -> OracleSql.asofJoinNearest,
     "ts_sessionize" -> OracleSql.sessionize(1800000000L),
+    "ts_sessionize_splitmerge" -> OracleSql.sessionize(1800000000L),
     "funnel_session" -> OracleSql.funnelSession(1800000000L, Seq("view", "click", "purchase")),
     "funnel_conversion" -> OracleSql.funnel(Seq("signup", "click", "purchase")),
     "funnel_latency" -> OracleSql.funnelLatency(Seq("signup", "click", "purchase")),
@@ -2591,6 +2611,8 @@ object SparkEntry {
     "text_lm_kn" -> OracleSql.textLmKneserNey(0.75),
     "doc_winnow" -> OracleSql.docWinnow(8, 8),
     "dedup_winnow" -> OracleSql.dedupWinnow(8, 8, 30, 50L),
+    "dedup_substring_exact" -> OracleSql.dedupSubstringExact(8),
+    "dedup_substring_strip" -> OracleSql.dedupSubstringStrip(8),
     "text_bm25" -> OracleSql.textBm25(Seq("hash", "join", "vector"), 10),
     "search_hybrid_rrf" -> OracleSql.hybridRrf(Seq("hash", "join", "vector"), 20, 10),
     "text_entropy" -> OracleSql.textEntropy,

@@ -978,6 +978,113 @@ object Dedup {
           nullif(col("exact_overlap"), lit(0L))).as("rel_err"))
   }
 
+  /** EXACT-SUBSTRING corpus dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * half; [[graft.operators.TextOps.dupSpans]] is the gram-ratio
+    * half): per document, every MAXIMAL span of token positions
+    * covered by a substring of ≥ `minLen` tokens that occurs ≥ 2
+    * times corpus-wide (across or within documents — within-doc
+    * repeats are duplication too, exactly as in the paper).
+    *
+    * Exactness WITHOUT the paper's suffix array comes from the
+    * window identity: a position lies inside a repeated substring of
+    * length ≥ L iff it lies inside a repeated L-token window —
+    * (⇐) a repeated L-window IS such a substring; (⇒) any position of
+    * a repeated substring S (|S| ≥ L) sits inside one of S's L-sub-
+    * windows, each of which recurs wherever S does. So repeated-
+    * L-gram coverage equals repeated-substring coverage, and the
+    * suffix automaton (single-node, RAM-bound in the paper's release)
+    * is replaced by a gram count that distributes.
+    *
+    * Output: (doc_id, span_start, span_end, span_toks) — 1-based
+    * inclusive token positions, overlapping/adjacent coverage merged
+    * into maximal spans. All-integer, engine-exact.
+    *
+    * Scale plan: windows are generated map-side and collapse in ONE
+    * map-side-combined gram count (the 36a boilerplate shape; hash
+    * grams to 64-bit at 100 TB if gram width dominates the exchange);
+    * the repeated set is the Zipf HEAD of the window stream —
+    * BROADCAST back onto a second scan, so the corpus-volume window
+    * stream itself never shuffles (flip the semi-join to a shuffle
+    * equi-join if a pathological corpus inflates the head past the
+    * broadcast budget — same result, one more exchange). The interval
+    * merge windows over repeated STARTS only (duplicated positions,
+    * not the corpus), keyed by doc_id.
+    */
+  def substringDupSpans(docs: DataFrame, minLen: Int): DataFrame = {
+    val starts = dupWindowStarts(docs, minLen)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val prevEnd = max(col("p") + lit(minLen - 1)).over(
+      byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    starts
+      .withColumn("brk",
+        when(prevEnd.isNull || col("p") > prevEnd + 1, 1).otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + lit(minLen - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_toks"))
+  }
+
+  /** Start positions (1-based) of every corpus-repeated `minLen`-token
+    * window — the shared first half of [[substringDupSpans]] and
+    * [[substringStrip]].
+    */
+  private def dupWindowStarts(docs: DataFrame, minLen: Int): DataFrame = {
+    require(minLen >= 2, s"substring dedup: minLen must be >= 2, got $minLen")
+    val toks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= minLen)
+    val wins = toks.select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(toks) - ${minLen - 1}),
+           |  p -> struct(CAST(p AS BIGINT) AS p,
+           |              array_join(slice(toks, p, $minLen), ' ') AS gram))"""
+          .stripMargin)).as("w"))
+      .select(col("doc_id"), col("w.p").as("p"), col("w.gram").as("gram"))
+    val dup = wins.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2).select("gram")
+    wins.join(broadcast(dup), Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("p"))
+  }
+
+  /** The STRIP step of ExactSubstr dedup: every document with its
+    * duplicated spans ([[substringDupSpans]]) removed — `n_toks`,
+    * `n_removed` (0 when clean) and `text_clean` (the surviving
+    * tokens in order; empty string when the whole doc is duplicated
+    * coverage, the honest all-dup record). Lee et al. 2022 drop the
+    * duplicated bytes and keep the remainder; this is that, with the
+    * audit counts riding along.
+    *
+    * Scale plan: spans collapse to a per-doc array (span count is
+    * merge-bounded ≤ n_toks/minLen, tiny in practice) on the doc_id
+    * exchange; the strip itself is a zero-shuffle HOF projection —
+    * position-indexed filter + array_join — on one more corpus scan
+    * joined to the compact span frame.
+    */
+  def substringStrip(docs: DataFrame, minLen: Int): DataFrame = {
+    val spans = substringDupSpans(docs, minLen)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(
+          col("span_start").as("s"), col("span_end").as("e")))).as("spans"),
+        sum(col("span_toks")).as("n_removed"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        expr(
+          """array_join(
+            |  transform(
+            |    filter(
+            |      transform(toks, (t, i) ->
+            |        struct(t AS t, CAST(i + 1 AS BIGINT) AS p)),
+            |      s -> spans IS NULL OR
+            |           NOT exists(spans, sp -> s.p >= sp.s AND s.p <= sp.e)),
+            |    s -> s.t),
+            |  ' ')""".stripMargin).as("text_clean"))
+  }
+
   def containment(sh: DataFrame, pairs: DataFrame): DataFrame = {
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("doc_a"), col("sh"))

@@ -118,6 +118,101 @@ object Relational {
         (floor(sum(col("value")) * 1000.0 + 0.5001) / 1000.0).as("sum_value"))
   }
 
+  /** [[sessionize]] with the events-sized hot-key window REMOVED —
+    * bounded-gap SPLIT-MERGE, result-identical (the gate shares
+    * `sessionize`'s oracle): events bucket by fixed time ranges of
+    * `widthMicros`, sessionize runs INSIDE each (user, bucket)
+    * partition — the skew split: a hot user's window partition
+    * shrinks from its whole history to one bucket's worth — then
+    * sessions straddling bucket boundaries are stitched on a per-user
+    * frame of BOUNDARY sessions only (each bucket's first and last;
+    * an interior session has within-bucket neighbours ≥ gap away on
+    * both sides by construction, so it can never merge).
+    *
+    * Why the stitch is exact: buckets are time-disjoint, so boundary
+    * sessions in start order are consecutive runs of the true event
+    * stream; components of one true session are therefore CONSECUTIVE
+    * rows satisfying the gap rule, and the running-sum chain id
+    * reassembles exactly the true session. `widthMicros` is purely a
+    * load-balance knob — any value ≥ 1 is correct (pick ≈ the hot
+    * key's per-task budget; sessions longer than a bucket just chain
+    * through the merge).
+    *
+    * Why every step is skew-proof at 100 TB:
+    *   - the event-volume window keys on (user, bucket), never bare
+    *     user — the hot partition is width-bounded;
+    *   - the merge chain windows over ≤ 2·occupied-buckets rows per
+    *     user (time-bounded, event-count-independent);
+    *   - session NUMBERING is two-level arithmetic — the within-bucket
+    *     rank (already paid on the split partitioning) plus per-user
+    *     cumulative offsets over the bucket-indexed frame:
+    *     session_no = Σ_{i<k} m_i + j − Σ_{i≤k} µ_i for a session whose
+    *     FIRST component is the j-th of bucket k (m = sessions in
+    *     bucket, µ = 1 when a bucket's first session merged backward)
+    *     — so no per-user events-sized or sessions-sized sort exists
+    *     anywhere in the plan. Value sums stay RAW through the merge
+    *     and round once at the end (the one-rounding contract).
+    */
+  def sessionizeSplitMerge(events: DataFrame, gapMicros: Long,
+                           widthMicros: Long): DataFrame = {
+    require(widthMicros >= 1, s"sessionizeSplitMerge: width must be >= 1µs, got $widthMicros")
+    val base = events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("bucket", expr(s"ts_us div ${widthMicros}L"))
+    val wb = Window.partitionBy("user_id", "bucket").orderBy("ts_us", "event_id")
+    val flagged = base
+      .withColumn("new_session",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(wb) >= gapMicros, 1)
+          .when(lag(col("ts_us"), 1).over(wb).isNull, 1)
+          .otherwise(0))
+      .withColumn("j", sum(col("new_session")).over(
+        wb.rowsBetween(Window.unboundedPreceding, 0)))
+    val s1 = flagged.groupBy(col("user_id"), col("bucket"), col("j"))
+      .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
+        count(lit(1)).as("n_events"), sum(col("value")).as("raw_value"))
+      .withColumn("m",
+        max(col("j")).over(Window.partitionBy("user_id", "bucket")))
+    val interior = s1.where(col("j") > 1 && col("j") < col("m"))
+      .select(col("user_id"), col("bucket"), col("j"),
+        col("start_us"), col("end_us"), col("n_events"), col("raw_value"))
+    val wu = Window.partitionBy("user_id").orderBy("start_us")
+    val chained = s1.where(col("j") === 1 || col("j") === col("m"))
+      .withColumn("cs",
+        when(col("start_us") - lag(col("end_us"), 1).over(wu) >= gapMicros, 1)
+          .when(lag(col("end_us"), 1).over(wu).isNull, 1)
+          .otherwise(0))
+      .withColumn("chain", sum(col("cs")).over(
+        wu.rowsBetween(Window.unboundedPreceding, 0)))
+    val merged = chained.groupBy(col("user_id"), col("chain"))
+      .agg(min(struct(col("start_us"), col("bucket"), col("j"))).as("head"),
+        min(col("start_us")).as("start_us"), max(col("end_us")).as("end_us"),
+        sum(col("n_events")).as("n_events"), sum(col("raw_value")).as("raw_value"))
+      .select(col("user_id"), col("head.bucket").as("bucket"),
+        col("head.j").as("j"),
+        col("start_us"), col("end_us"), col("n_events"), col("raw_value"))
+    // per-(user, bucket) numbering offsets: sessions-before (m_off)
+    // and backward-merges-through (c_cum), both over the
+    // occupied-buckets frame — bounded by timespan/width per user
+    val wk = Window.partitionBy("user_id").orderBy("bucket")
+    val offsets = s1.groupBy(col("user_id"), col("bucket")).agg(max(col("j")).as("m"))
+      .join(chained.where(col("j") === 1)
+        .select(col("user_id"), col("bucket"), (lit(1) - col("cs")).as("mu")),
+        Seq("user_id", "bucket"))
+      .withColumn("m_off", coalesce(sum(col("m")).over(
+        wk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("c_cum", sum(col("mu")).over(
+        wk.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("user_id"), col("bucket"), col("m_off"), col("c_cum"))
+    interior.unionByName(merged)
+      .join(offsets, Seq("user_id", "bucket"))
+      .select(col("user_id"),
+        (col("m_off") + col("j") - col("c_cum")).as("session_no"),
+        col("start_us").as("session_start_us"),
+        col("end_us").as("session_end_us"),
+        col("n_events"),
+        (floor(col("raw_value") * 1000.0 + 0.5001) / 1000.0).as("sum_value"))
+  }
+
   /** PER-SESSION strict-order funnel: the [[funnel]] ladder scoped to
     * gap-sessions instead of users — "did this VISIT sign up, click,
     * purchase in order", the product metric behind every conversion
@@ -676,8 +771,8 @@ object Relational {
         h.bitwiseAND(lit((m - 1).toLong)).as("r"),
         shiftright(h, b).as("w")): _*)
       .select(keepNames.map(col) ++ Seq(col("r"),
-        when(col("w") === 0, lit(55))
-          .otherwise(lit(55) - length(bin(col("w")))).as("rho")): _*)
+        when(col("w") === 0, lit(61 - b))
+          .otherwise(lit(61 - b) - length(bin(col("w")))).as("rho")): _*)
   }
 
   /** The shared HLL estimator over per-day max-registers `(day, r,

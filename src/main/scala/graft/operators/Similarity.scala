@@ -48,6 +48,45 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Process-level memo for DRIVER-SIDE trained artifacts (k-means
+    * centroids, PQ codebooks, PCA components, OPQ rotations): keyed
+    * by the TRAINING INPUT's canonical plan (the CacheManager
+    * sameResult/semanticHash convention) plus the training
+    * parameters. Training is deterministic here (md5 PRNG, rounded
+    * trajectories), so a repeated fit over the same input IS the same
+    * artifact — paying Lloyd / power iteration twice inside one
+    * process (a tier gate and its recall gate in one Verify/Bench
+    * run) buys nothing. The in-process half of the train-once
+    * discipline whose on-disk half is the stored index
+    * ([[writeAnnIndex]] carries codebooks in `_meta`).
+    *
+    * Contract: keys assume the training input is immutable for the
+    * life of the process (sf-dir parquet, literal local frames —
+    * true for every caller); a test that retrains over a table it
+    * rewrote in place must [[clearTrainedMemo]] first. Values are
+    * codebook-bounded driver arrays (KBs); the size cap is a leak
+    * guard, not a working-set bound.
+    */
+  private final class TrainKey(df: DataFrame, val tag: String) {
+    val plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+      df.queryExecution.analyzed.canonicalized
+    override def hashCode(): Int = plan.semanticHash() * 31 + tag.hashCode
+    override def equals(o: Any): Boolean = o match {
+      case k: TrainKey => k.tag == tag && k.plan.sameResult(plan)
+      case _ => false
+    }
+  }
+  private val trainedMemo =
+    scala.collection.concurrent.TrieMap.empty[TrainKey, AnyRef]
+  private def memoized[T <: AnyRef](df: DataFrame, tag: String)(train: => T): T = {
+    if (trainedMemo.size > 256) trainedMemo.clear()
+    trainedMemo.getOrElseUpdate(new TrainKey(df, tag), train).asInstanceOf[T]
+  }
+  /** Drop every memoized trained artifact (for tests that mutate a
+    * training table in place).
+    */
+  private[graft] def clearTrainedMemo(): Unit = trainedMemo.clear()
+
   /** The first `n` vectors (by vec_id, ascending), widened to doubles
     * — ONE driver collect shared by codebook, quantizer and query-
     * table construction (O(n·dim), the footprint a broadcast would
@@ -215,40 +254,52 @@ object Similarity {
   }
 
   /** kNN GRAPH over the whole corpus: for EVERY vector, its k nearest
-    * same-cell neighbours by rounded cosine — the batch primitive
-    * under graph-based ANN (HNSW/NSG build from exactly this),
-    * graph dedup ([[graft.operators.Dedup.connectedComponents]] /
-    * [[graft.operators.Dedup.labelProp]] consume the edges) and
-    * kNN classification. Cell-restricted like SemDeDup: candidates
-    * come from the shared IVF cell, so pair volume is Σ cell² (kept
-    * linear by scaling nCentroids ~√n, the paper regime), never the
-    * corpus square; vectors whose cell has no other member emit no
-    * edges (an honest miss — multi-probe widens recall the same way
-    * it does for search).
+    * neighbours (by rounded cosine) among the vectors assigned to its
+    * `nprobe` NEAREST cells — the batch primitive under graph-based
+    * ANN (HNSW/NSG build from exactly this), graph dedup
+    * ([[graft.operators.Dedup.connectedComponents]] /
+    * [[graft.operators.Dedup.labelProp]] consume the edges) and kNN
+    * classification. With nprobe ≥ 2 each vector's edge list spans
+    * its nearest cell BOUNDARIES — the Malkov-Yashunin long-range
+    * property a walk needs to escape the query's own coarse cell;
+    * pair volume is Σ cell·nprobe (kept linear by scaling nCentroids
+    * ~√n, the SemDeDup regime), never the corpus square.
     *
-    * One zero-exchange cell assignment, ONE cell equi-join, then a
-    * per-vector top-k window on the vec_id exchange.
+    * One zero-exchange cell assignment, ONE probe-cell equi-join
+    * (the [[annIvfTopKProbe]] convention: ONLY the left side
+    * explodes its probe cells, the right keeps its single assigned
+    * cell, so no pair generates twice), then a per-vector top-k
+    * window on the vec_id exchange.
     */
-  def knnGraph(embeddings: DataFrame, nCentroids: Int, k: Int): DataFrame = {
+  def knnGraph(embeddings: DataFrame, nCentroids: Int, k: Int,
+               nprobe: Int = 2): DataFrame = {
     VectorExprs.register(embeddings.sparkSession)
     val enc = quantizer(embeddings, nCentroids)
     val assigned = prepared(embeddings)
       .where(col("v").isNotNull)
       .withColumn("cell", expr(s"coalesce(graft_ivf_cell(v, '$enc'), -1L)"))
-    knnEdges(assigned, assigned, k)
+    knnEdges(assigned, assigned, k, enc, nprobe)
   }
 
-  /** Per-LEFT-vector top-k cosine edges against the same-cell RIGHT
-    * vectors — the edge builder [[knnGraph]] and the stored-graph
-    * build/append share (one cell equi-join + one rank window;
-    * self-pairs excluded). Both sides carry (vec_id, cell, v, norm).
+  /** Per-LEFT-vector top-k cosine edges against the RIGHT vectors
+    * assigned to any of the left vector's `nprobe` nearest cells —
+    * the edge builder [[knnGraph]] and the stored-graph build/append
+    * share (one probe-cell equi-join + one rank window; self-pairs
+    * excluded). The LEFT side explodes its `nprobe` candidate cells
+    * ([[graft.functions.IvfCells]]); the RIGHT side carries its
+    * single assigned `cell`, so each (left, right) pair appears at
+    * most once. Both sides carry (vec_id, v, norm); right also
+    * carries `cell`.
     */
-  private def knnEdges(left: DataFrame, right: DataFrame, k: Int): DataFrame = {
+  private def knnEdges(left: DataFrame, right: DataFrame, k: Int,
+                       enc: String, nprobe: Int): DataFrame = {
+    val probed = left.select(col("vec_id"), col("v"), col("norm"),
+      explode(expr(s"graft_ivf_cells(v, '$enc', $nprobe)")).as("pcell"))
     val other = right.select(col("vec_id").as("nbr"),
       col("cell").as("cell_b"), col("v").as("vb"), col("norm").as("nb"))
     val cos = r3(expr("graft_vec_dot(v, vb)") / (col("norm") * col("nb")))
-    left.join(other,
-        col("cell") === col("cell_b") && col("nbr") =!= col("vec_id"))
+    probed.join(other,
+        col("pcell") === col("cell_b") && col("nbr") =!= col("vec_id"))
       .select(col("vec_id"), col("nbr"), cos.as("cos"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nbr")))
@@ -262,13 +313,16 @@ object Similarity {
     * `rounds` rounds of expand-neighbours → score → keep the
     * top-`beam` by rounded cosine (ties to the lowest vid), answer =
     * top-k of everything VISITED, self excluded. Round 1 returns the
-    * query's own graph edges; later rounds walk neighbours-of-
-    * neighbours, reaching across cell boundaries the IVF probe
-    * cannot (a neighbour's neighbour may live in a cell the query's
-    * coarse assignment never probes).
+    * query's own graph edges (which already span the query's nprobe
+    * nearest cells — [[knnGraph]]'s cross-cell build); later rounds
+    * walk neighbours-of-neighbours, compounding the reach: a
+    * neighbour's own nprobe cells may include cells the QUERY's
+    * coarse assignment never probes, so the visited set grows past
+    * any fixed-nprobe IVF candidate set — the long-range-link
+    * property the graph tier exists for.
     *
-    * Scale plan: the graph build is [[knnGraph]]'s one cell
-    * equi-join (Σcell², linear under √n centroids), checkpointed;
+    * Scale plan: the graph build is [[knnGraph]]'s one probe-cell
+    * equi-join (Σcell·nprobe, linear under √n centroids), checkpointed;
     * per round the frontier is nQueries·beam rows, its expansion
     * ≤ ×kGraph, and scoring BROADCASTS the visited set onto one
     * corpus scan — rounds × scans, never rounds × shuffles. In a
@@ -277,20 +331,25 @@ object Similarity {
     * dataflow.
     */
   def annGraphSearch(embeddings: DataFrame, nCentroids: Int, kGraph: Int,
-                     nQueries: Int, beam: Int, rounds: Int, k: Int): DataFrame = {
-    val graph = knnGraph(embeddings, nCentroids, kGraph)
+                     nQueries: Int, beam: Int, rounds: Int, k: Int,
+                     nprobe: Int = 2): DataFrame = {
+    val graph = knnGraph(embeddings, nCentroids, kGraph, nprobe)
       .select(col("vec_id").as("src"), col("nbr")).localCheckpoint()
-    graphWalk(embeddings, graph, nQueries, beam, rounds, k)
+    graphWalk(prepared(embeddings.where(col("embedding").isNotNull)),
+      graph, nQueries, beam, rounds, k)
   }
 
   /** The walk core shared by the recompute and STORED paths: expand /
     * score / top-beam for `rounds`, answer = top-k of visited.
+    * `e` is the prepared (vec_id, v, norm) vector frame — the build
+    * input for the recompute path, the `<table>_nodes` store for the
+    * stored path (so a walk after [[appendKnnGraph]] scores appended
+    * nodes even when the caller's frame predates the append).
     */
-  private def graphWalk(embeddings: DataFrame, graph: DataFrame,
+  private def graphWalk(e: DataFrame, graph: DataFrame,
                         nQueries: Int, beam: Int, rounds: Int, k: Int): DataFrame = {
     require(k <= beam, s"annGraphSearch: k=$k must be <= beam=$beam")
     require(rounds >= 1, s"annGraphSearch: rounds must be >= 1, got $rounds")
-    val e = prepared(embeddings.where(col("embedding").isNotNull))
     val q = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
     def score(visited: DataFrame) = visited
@@ -329,7 +388,7 @@ object Similarity {
     * slices.
     */
   def writeKnnGraph(embeddings: DataFrame, nCentroids: Int, kGraph: Int,
-                    table: String, nBuckets: Int): Unit = {
+                    table: String, nBuckets: Int, nprobe: Int = 2): Unit = {
     val spark = embeddings.sparkSession
     VectorExprs.register(spark)
     val enc = quantizer(embeddings, nCentroids)
@@ -343,18 +402,18 @@ object Similarity {
       assigned.select(col("vec_id"), col("cell"), col("v")),
       s"${table}_nodes", Seq("cell"), nBuckets)
     graft.sources.Formats.writeBucketedKeys(
-      knnEdges(assigned, assigned, kGraph)
+      knnEdges(assigned, assigned, kGraph, enc, nprobe)
         .select(col("vec_id").as("src"), col("nbr"), col("cos")),
       s"${table}_edges", Seq("src"), nBuckets)
     import spark.implicits._
-    Seq((nCentroids, kGraph, nBuckets, enc))
-      .toDF("n_centroids", "k_graph", "n_buckets", "enc")
+    Seq((nCentroids, kGraph, nBuckets, nprobe, enc))
+      .toDF("n_centroids", "k_graph", "n_buckets", "nprobe", "enc")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta")
   }
 
   /** Append NEW vectors to a stored kNN graph WITHOUT a rebuild — and
     * provably ≡ the one-shot build: a stored node's updated edge list
-    * is top-k(stored top-k ∪ same-cell new pairs), which equals
+    * is top-k(stored top-k ∪ probe-cell new pairs), which equals
     * top-k(all old candidates ∪ new) because dropping non-top-k old
     * candidates can never promote them. New vectors rank against
     * (stored ∪ delta) same-cell nodes; both sides assign cells with
@@ -363,9 +422,9 @@ object Similarity {
     * [[compactAnnIndex]] convention — Spark refuses an in-place
     * overwrite of a table the plan reads); nodes append in place.
     *
-    * Cost: |stored edges| (k-bounded per node) + Σ_cell old_c·new_c +
-    * new_c² — the delta's share of the pair join, never the full
-    * Σcell² rebuild.
+    * Cost: |stored edges| (k-bounded per node) + nprobe·Σ_cell
+    * old_c·new_c + nprobe·new_c² — the delta's share of the pair
+    * join, never the full Σcell·nprobe rebuild.
     */
   def appendKnnGraph(newVecs: DataFrame, table: String): Unit = {
     val spark = newVecs.sparkSession
@@ -375,6 +434,7 @@ object Similarity {
     val meta = spark.table(s"${table}_meta").collect().head
     val kGraph = meta.getAs[Int]("k_graph")
     val nBuckets = meta.getAs[Int]("n_buckets")
+    val nprobe = meta.getAs[Int]("nprobe")
     val enc = meta.getAs[String]("enc")
     val newAssigned = prepared(newVecs)
       .where(col("v").isNotNull)
@@ -384,12 +444,13 @@ object Similarity {
     val oldNodes = spark.table(s"${table}_nodes")
       .withColumn("norm", sqrt(expr("graft_vec_dot(v, v)")))
       .select(col("vec_id"), col("cell"), col("v"), col("norm"))
-    // new nodes rank against everything co-cell (old and new alike)
+    // new nodes rank against everything in their probe cells (old
+    // and new alike)
     val newEdges = knnEdges(newAssigned,
-      oldNodes.unionByName(newAssigned), kGraph)
-    // old nodes: stored top-k merged with their same-cell new pairs,
+      oldNodes.unionByName(newAssigned), kGraph, enc, nprobe)
+    // old nodes: stored top-k merged with their probe-cell new pairs,
     // re-ranked — the incremental-maintenance identity
-    val oldNew = knnEdges(oldNodes, newAssigned, Int.MaxValue)
+    val oldNew = knnEdges(oldNodes, newAssigned, Int.MaxValue, enc, nprobe)
       .select(col("vec_id").as("src"), col("nbr"), col("cos"))
     val merged = spark.table(s"${table}_edges")
       .select(col("src"), col("nbr"), col("cos"))
@@ -409,27 +470,36 @@ object Similarity {
   }
 
   /** [[annGraphSearch]] against the STORED graph — no rebuild, the
-    * walk reads `<table>_edges` directly; byte-equal to the recompute
-    * path on the same build input (the stored-parity gate contract).
+    * walk reads `<table>_edges` for adjacency and `<table>_nodes`
+    * for the vectors (the graph store IS the vector store — scoring
+    * from the caller's frame would silently drop nodes added by
+    * [[appendKnnGraph]] after that frame was built); byte-equal to
+    * the recompute path on the same build input (the stored-parity
+    * gate contract).
     */
-  def annGraphSearchStored(embeddings: DataFrame, table: String,
+  def annGraphSearchStored(spark: org.apache.spark.sql.SparkSession, table: String,
                            nQueries: Int, beam: Int, rounds: Int,
                            k: Int): DataFrame = {
-    val spark = embeddings.sparkSession
+    VectorExprs.register(spark)
     require(spark.catalog.tableExists(s"${table}_edges"),
       s"kNN graph '$table' has no ${table}_edges table — build it with writeKnnGraph")
-    graphWalk(embeddings, spark.table(s"${table}_edges"), nQueries, beam, rounds, k)
+    val nodes = spark.table(s"${table}_nodes")
+      .select(col("vec_id"), col("v"))
+      .withColumn("norm", sqrt(expr("graft_vec_dot(v, v)")))
+    graphWalk(nodes, spark.table(s"${table}_edges"), nQueries, beam, rounds, k)
   }
 
   /** Recall@k of the graph walk vs exact — next to the IVF/PQ/SQ
     * recalls; the interesting diff is vs [[annIvfTopK]]'s at the same
-    * candidate budget (the walk crosses cell boundaries).
+    * candidate budget (the build's nprobe≥2 edges cross cell
+    * boundaries and the walk compounds them).
     */
   def annGraphSearchRecall(embeddings: DataFrame, nCentroids: Int, kGraph: Int,
-                           nQueries: Int, beam: Int, rounds: Int, k: Int): DataFrame = {
+                           nQueries: Int, beam: Int, rounds: Int, k: Int,
+                           nprobe: Int = 2): DataFrame = {
     val exact = cosineTopK(embeddings, nQueries, k).select(col("qid"), col("vid"))
     val approx = annGraphSearch(embeddings, nCentroids, kGraph,
-        nQueries, beam, rounds, k)
+        nQueries, beam, rounds, k, nprobe)
       .select(col("qid"), col("vid"), lit(1).as("hit"))
     exact.join(approx, Seq("qid", "vid"), "left")
       .groupBy(col("qid"))
@@ -619,20 +689,21 @@ object Similarity {
     * vec_ids and survive across iterations (a cid disappears only if
     * its cell empties).
     */
-  def kmeansCentroids(embeddings: DataFrame, k: Int, nIter: Int): Array[(Long, Array[Double])] = {
-    VectorExprs.register(embeddings.sparkSession)
-    var cents = embeddings
-      .where(col("vec_id") < k && col("embedding").isNotNull)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getAs[Number](0).longValue(),
-        r.getSeq[Number](1).map(_.doubleValue()).toArray))
-      .sortBy(_._1)
-    require(cents.nonEmpty,
-      s"kmeans: no non-null vectors with vec_id < $k to seed the codebook")
-    var it = 0
-    while (it < nIter) { cents = kmeansStep(embeddings, cents); it += 1 }
-    cents
-  }
+  def kmeansCentroids(embeddings: DataFrame, k: Int, nIter: Int): Array[(Long, Array[Double])] =
+    memoized(embeddings, s"kmeans:$k:$nIter") {
+      VectorExprs.register(embeddings.sparkSession)
+      var cents = embeddings
+        .where(col("vec_id") < k && col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getAs[Number](0).longValue(),
+          r.getSeq[Number](1).map(_.doubleValue()).toArray))
+        .sortBy(_._1)
+      require(cents.nonEmpty,
+        s"kmeans: no non-null vectors with vec_id < $k to seed the codebook")
+      var it = 0
+      while (it < nIter) { cents = kmeansStep(embeddings, cents); it += 1 }
+      cents
+    }
 
   /** md5-PRNG sample bucket of `vec_id` — the engine-portable
     * pseudo-random the repo uses everywhere randomness crosses the
@@ -660,8 +731,10 @@ object Similarity {
                              keep: Int, nBuckets: Int): Array[(Long, Array[Double])] = {
     require(keep >= 1 && keep <= nBuckets,
       s"kmeansCentroidsSampled: keep=$keep must be in [1, $nBuckets]")
-    kmeansIterate(embeddings.where(sampleBucket(nBuckets) < keep),
-      embeddings, k, nIter)
+    memoized(embeddings, s"kmeansSampled:$k:$nIter:$keep:$nBuckets") {
+      kmeansIterate(embeddings.where(sampleBucket(nBuckets) < keep),
+        embeddings, k, nIter)
+    }
   }
 
   /** Seed from the full corpus' first-k, then `nIter` Lloyd rounds
@@ -1112,7 +1185,8 @@ object Similarity {
     * the one distributed [[covariance]] pass.
     */
   def pcaComponents(embeddings: DataFrame, p: Int, nIter: Int = 5,
-                    dim: Int = DIM): Array[Array[Double]] = {
+                    dim: Int = DIM): Array[Array[Double]] =
+    memoized(embeddings, s"pca:$p:$nIter:$dim") {
     require(p >= 1 && p <= dim, s"pcaComponents: need 1 <= p <= $dim, got $p")
     val cov = covariance(embeddings, dim).collect()
     val a = Array.ofDim[Double](dim, dim)
@@ -1195,7 +1269,8 @@ object Similarity {
     * same CTE-trained components).
     */
   def trainedRotationUs(embeddings: DataFrame, p: Int, m: Int,
-                        nIter: Int = 5, dim: Int = DIM): Array[Array[Double]] = {
+                        nIter: Int = 5, dim: Int = DIM): Array[Array[Double]] =
+    memoized(embeddings, s"opq:$p:$m:$nIter:$dim") {
     require(dim % m == 0, s"trainedRotationUs: m=$m must divide dim=$dim")
     val comps = pcaComponents(embeddings, p, nIter, dim)
     val us = Array.ofDim[Array[Double]](p)
@@ -1213,9 +1288,11 @@ object Similarity {
       var n2 = 0.0; var i = 0
       while (i < dim) { n2 += diff(i) * diff(i); i += 1 }
       val nrm = r3d(math.sqrt(n2))
-      require(nrm > 0.0,
-        s"trainedRotationUs: component ${c + 1} already lies on its target axis")
-      us(c) = diff.map(v => r3d(v / nrm))
+      // component already ON its target axis: the Householder step is
+      // the identity — record u = 0 (H = I − 2·0·0ᵀ = I) instead of
+      // aborting; axis-aligned corpora are legitimate OPQ input
+      us(c) = if (nrm == 0.0) Array.fill(dim)(0.0)
+              else diff.map(v => r3d(v / nrm))
     }
     us
   }
@@ -1586,18 +1663,19 @@ object Similarity {
     * for the compressed tier.
     */
   def pqTrainedBooks(embeddings: DataFrame, nCodewords: Int, m: Int, nIter: Int)
-      : (Array[Array[Long]], Array[Array[Array[Double]]]) = {
-    VectorExprs.register(embeddings.sparkSession)
-    val head = headVectors(embeddings, nCodewords)
-    var (cids, books) = { val (_, c, b, _) = pqBooks(head, m); (c, b) }
-    var it = 0
-    while (it < nIter) {
-      val r = pqKmeansStep(embeddings, cids, books)
-      cids = r._1; books = r._2
-      it += 1
+      : (Array[Array[Long]], Array[Array[Array[Double]]]) =
+    memoized(embeddings, s"pqbooks:$nCodewords:$m:$nIter") {
+      VectorExprs.register(embeddings.sparkSession)
+      val head = headVectors(embeddings, nCodewords)
+      var (cids, books) = { val (_, c, b, _) = pqBooks(head, m); (c, b) }
+      var it = 0
+      while (it < nIter) {
+        val r = pqKmeansStep(embeddings, cids, books)
+        cids = r._1; books = r._2
+        it += 1
+      }
+      (cids, books)
     }
-    (cids, books)
-  }
 
   /** [[pqTrainedBooks]] on the deterministic md5-PRNG sample (`keep` of
     * `nBuckets` buckets) — the same FAISS sampling discipline as

@@ -53,10 +53,10 @@ class GraphSearchSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"),
         r.getAs[Long]("vid"), r.getAs[Double]("cos"))).sorted.toSeq
     val recompute = rows(Similarity.annGraphSearch(emb, 16, 4, 5, 8, 2, 5))
-    val stored = rows(Similarity.annGraphSearchStored(emb, "graft_knng_spec", 5, 8, 2, 5))
+    val stored = rows(Similarity.annGraphSearchStored(emb.sparkSession, "graft_knng_spec", 5, 8, 2, 5))
     assert(stored === recompute)
     val err = intercept[IllegalArgumentException] {
-      Similarity.annGraphSearchStored(emb, "graft_knng_missing", 5, 8, 2, 5)
+      Similarity.annGraphSearchStored(emb.sparkSession, "graft_knng_missing", 5, 8, 2, 5)
     }
     assert(err.getMessage.contains("writeKnnGraph"))
   }
@@ -76,6 +76,50 @@ class GraphSearchSpec extends AnyFunSuite {
     def nodes(t: String) = spark.table(s"${t}_nodes").collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"))).sorted.toSeq
     assert(nodes("graft_knng_two") === nodes("graft_knng_one"))
+  }
+
+  /** Unit vectors by angle; ids 0 and 1 double as the two coarse
+    * centroids (0° and 90°, the first-N convention), so the cell
+    * boundary sits at 45°.
+    */
+  private def byAngle(degs: Seq[Int]) = {
+    import spark.implicits._
+    degs.zipWithIndex.map { case (deg, i) =>
+      val th = math.toRadians(deg)
+      (i.toLong, Seq(math.cos(th), math.sin(th)))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("cross-cell edges: the walk reaches a vector outside the query's top-1 cell; nprobe=1 cannot") {
+    // centroids 0°/90°; query = id0 (0°, cell c0). id3 (50°) assigns
+    // to c1 (cos 40° > cos 50°) yet is id0's 2nd-true-nearest. With
+    // the confined nprobe=1 build the cell subgraphs {0,2} / {1,3}
+    // are disjoint — no walk length reaches id3; the default
+    // nprobe=2 build carries the cross-cell edge and round 1 returns it.
+    val emb = byAngle(Seq(0, 90, 20, 50))
+    val confined = Similarity.annGraphSearch(emb, 2, 3, 1, 8, 3, 3, nprobe = 1)
+      .collect().map(_.getAs[Long]("vid")).toSet
+    assert(confined === Set(2L), "nprobe=1 must stay inside cell c0")
+    val crossing = Similarity.annGraphSearch(emb, 2, 3, 1, 8, 1, 3)
+      .collect().map(_.getAs[Long]("vid")).toSet
+    assert(crossing.contains(3L), "nprobe=2 round 1 must reach the c1 node")
+    assert(crossing === Set(1L, 2L, 3L))
+  }
+
+  test("clustered corpus: graph walk recall beats IVF nprobe=1 at the same k") {
+    // two angle clusters (5°-40°, 50°-85°) + a boundary query at 44°:
+    // its true top-5 spans both cells, so single-probe IVF caps at
+    // 3/5 while the cross-cell graph walk recovers the far-cell hits
+    val emb = byAngle(Seq(0, 90, 44) ++ (5 to 40 by 5) ++ (50 to 85 by 5))
+    val k = 5
+    val exact = Similarity.cosineTopK(emb, 3, k).select("qid", "vid")
+    def recall(a: org.apache.spark.sql.DataFrame): Double =
+      exact.join(a.select("qid", "vid"), Seq("qid", "vid")).count().toDouble /
+        exact.count()
+    val rIvf = recall(Similarity.annIvfTopK(emb, 2, 3, k))
+    val rGraph = recall(Similarity.annGraphSearch(emb, 2, 4, 3, 8, 2, k))
+    info(s"ivf nprobe=1 recall = $rIvf, graph walk recall = $rGraph")
+    assert(rGraph > rIvf)
   }
 
   test("gate-shape recall on the driver corpus is recorded") {

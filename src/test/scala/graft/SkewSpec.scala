@@ -66,4 +66,72 @@ class SkewSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ── bounded-gap split-merge sessionization ──────────────────────
+
+  private def events(rows: (Long, Long, Long, Double)*) = {
+    import spark.implicits._
+    rows.toDF("user_id", "event_id", "us", "value")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("us")).as("ts"), col("value"))
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) = df
+    .select("user_id", "session_no", "session_start_us", "session_end_us",
+      "n_events", "sum_value")
+    .collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getDouble(5))).sorted.toSeq
+
+  test("split-merge: a session straddling a bucket boundary merges exactly") {
+    // gap 100, bucket width 1000: user 1's events at 950 and 1050 are
+    // in different buckets but 100... no, 100 >= gap breaks. Use
+    // 950/1040 (gap 90 < 100 → one session across the boundary),
+    // then 2000 (gap 960 → new session)
+    val ev = events(
+      (1L, 1L, 950L, 1.0), (1L, 2L, 1040L, 2.0), (1L, 3L, 2000L, 4.0))
+    val out = rows(graft.operators.Relational.sessionizeSplitMerge(ev, 100L, 1000L))
+    assert(out === Seq(
+      (1L, 1L, 950L, 1040L, 2L, 3.0),
+      (1L, 2L, 2000L, 2000L, 1L, 4.0)))
+  }
+
+  test("split-merge: a session chaining through WHOLE buckets reassembles, numbering survives merges") {
+    // user 1: events every 50µs from 0 to 3000 — one true session
+    // spanning 4 buckets of width 1000 (every bucket's single session
+    // chains); then an isolated event at 10000 → session 2. user 2:
+    // three sessions inside one bucket → interior path + numbering.
+    val dense = (0L to 3000L by 50L).zipWithIndex.map { case (t, i) =>
+      (1L, i.toLong, t, 1.0) }
+    val ev = events(dense ++ Seq((1L, 999L, 10000L, 5.0),
+      (2L, 1L, 100L, 1.0), (2L, 2L, 300L, 2.0), (2L, 3L, 500L, 3.0)): _*)
+    val out = rows(graft.operators.Relational.sessionizeSplitMerge(ev, 100L, 1000L))
+    val plain = rows(graft.operators.Relational.sessionize(ev, 100L))
+    assert(out === plain)
+    assert(out.filter(_._1 == 1L).map(_._2) === Seq(1L, 2L))
+    assert(out.filter(_._1 == 2L).map(_._2) === Seq(1L, 2L, 3L))
+    // the dense run really is ONE merged session with all 61 events
+    assert(out.find(r => r._1 == 1L && r._2 == 1L).get._5 === 61L)
+  }
+
+  test("split-merge equals plain sessionize on a pseudo-random stream (any width)") {
+    // 400 events over 5 users with md5-derived jittered gaps — the
+    // result must be IDENTICAL to the plain path at several widths,
+    // including a width smaller than the gap (width is only a load
+    // knob, never a semantics knob)
+    import spark.implicits._
+    val ev0 = (0 until 400).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes).map("%02x".format(_)).mkString
+      val user = (Integer.parseInt(h.substring(0, 2), 16) % 5).toLong
+      val t = i.toLong * 37L + (Integer.parseInt(h.substring(2, 5), 16) % 400).toLong
+      (user, i.toLong, t, (Integer.parseInt(h.substring(5, 7), 16) % 10) / 3.0)
+    }
+    val ev = events(ev0: _*)
+    val plain = rows(graft.operators.Relational.sessionize(ev, 120L))
+    for (width <- Seq(60L, 500L, 5000L)) {
+      assert(rows(graft.operators.Relational.sessionizeSplitMerge(ev, 120L, width))
+        === plain, s"width=$width diverged from plain sessionize")
+    }
+  }
 }

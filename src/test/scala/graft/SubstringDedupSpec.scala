@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** ExactSubstr dedup contracts (Lee et al. 2022): the minLen
+  * threshold is exact — a planted repeat one token past it is found
+  * WHOLE (as one maximal span, at both occurrences), one token under
+  * it is invisible; within-doc repetition counts as duplication; the
+  * strip removes exactly the spanned positions and survives the
+  * all-dup and no-dup edges.
+  */
+class SubstringDedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Session.local(4)
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  /** w0..w{n-1} — unique filler tokens with prefix `pre`. */
+  private def toks(pre: String, n: Int): Seq[String] =
+    (0 until n).map(i => s"$pre$i")
+
+  test("a 60-token repeat is found whole at minLen=50; a 40-token repeat is not") {
+    val repeat60 = toks("dup", 60)
+    val repeat40 = toks("small", 40)
+    val d = docs(
+      0L -> (toks("a", 10) ++ repeat60 ++ toks("b", 10)).mkString(" "),
+      1L -> (toks("c", 5) ++ repeat60 ++ toks("d", 25)).mkString(" "),
+      2L -> (toks("e", 10) ++ repeat40 ++ toks("f", 10)).mkString(" "),
+      3L -> (toks("g", 10) ++ repeat40 ++ toks("h", 10)).mkString(" "))
+    val spans = Dedup.substringDupSpans(d, 50).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("span_toks"))).sorted
+    // the 60-token block spans positions 11..70 in doc 0, 6..65 in
+    // doc 1 — ONE maximal span each, the full repeat, nothing more;
+    // the 40-token block (< minLen) must produce nothing at all
+    assert(spans.toSeq === Seq((0L, 11L, 70L, 60L), (1L, 6L, 65L, 60L)))
+  }
+
+  test("within-document repetition is duplication: a doc repeating its own block flags") {
+    val block = toks("x", 8)
+    val d = docs(
+      0L -> (block ++ toks("mid", 3) ++ block).mkString(" "),
+      1L -> toks("other", 20).mkString(" "))
+    val spans = Dedup.substringDupSpans(d, 8).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"))).sorted
+    assert(spans.toSeq === Seq((0L, 1L, 8L), (0L, 12L, 19L)))
+  }
+
+  test("adjacent coverage merges into one maximal span") {
+    // two distinct 8-token repeats sitting back-to-back in doc 0:
+    // coverage [1,8] and [9,16] merge to the single maximal [1,16]
+    val r1 = toks("p", 8)
+    val r2 = toks("q", 8)
+    val d = docs(
+      0L -> (r1 ++ r2).mkString(" "),
+      1L -> (r1 ++ toks("u", 10)).mkString(" "),
+      2L -> (toks("v", 10) ++ r2).mkString(" "))
+    val spans = Dedup.substringDupSpans(d, 8).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"))).sorted
+    assert(spans.toSeq ===
+      Seq((0L, 1L, 16L), (1L, 1L, 8L), (2L, 11L, 18L)))
+  }
+
+  test("strip removes exactly the spanned tokens; clean and all-dup docs survive") {
+    val block = toks("x", 8)
+    val d = docs(
+      0L -> (toks("a", 4) ++ block ++ toks("b", 3)).mkString(" "),
+      1L -> block.mkString(" "), // the whole doc IS the repeat
+      2L -> toks("clean", 12).mkString(" "))
+    val out = Dedup.substringStrip(d, 8).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_toks"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("text_clean")))
+      .sortBy(_._1)
+    assert(out(0) === ((0L, 15L, 8L,
+      (toks("a", 4) ++ toks("b", 3)).mkString(" "))))
+    assert(out(1) === ((1L, 8L, 8L, ""))) // all-dup → empty, not dropped
+    assert(out(2) === ((2L, 12L, 0L, toks("clean", 12).mkString(" "))))
+  }
+}
