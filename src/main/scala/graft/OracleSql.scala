@@ -5037,15 +5037,22 @@ object OracleSql {
     * `spans(doc_id, grp, span_start, span_end)` — ExactSubstr's
     * window identity: dup-substring coverage = dup-L-gram coverage.
     */
-  private def substringSpanCtes(l: Int): String =
+  /** The t/w window CTEs shared by every span builder: every
+    * `l`-token window of every document as (doc_id, p, gram).
+    */
+  private def tokenWindowCtes(l: Int): String =
     s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |w AS (
        |  SELECT doc_id, i AS p, array_to_string(toks[i:i + ${l - 1}], ' ') AS gram
        |  FROM (SELECT doc_id, toks, UNNEST(generate_series(1, len(toks) - ${l - 1})) AS i
-       |        FROM t WHERE len(toks) >= $l)),
-       |d AS (SELECT gram FROM w GROUP BY gram HAVING COUNT(*) >= 2),
-       |st AS (SELECT doc_id, p FROM w WHERE gram IN (SELECT gram FROM d)),
-       |m AS (
+       |        FROM t WHERE len(toks) >= $l))""".stripMargin
+
+  /** Maximal-span merge over a preceding `st(doc_id, p)` CTE of
+    * flagged window starts — ends in `spans(doc_id, grp, span_start,
+    * span_end)`.
+    */
+  private def spanMergeCtes(l: Int): String =
+    s"""m AS (
        |  SELECT doc_id, p,
        |         MAX(p + ${l - 1}) OVER (PARTITION BY doc_id ORDER BY p
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
@@ -5058,6 +5065,46 @@ object OracleSql {
        |spans AS (
        |  SELECT doc_id, grp, MIN(p) AS span_start, MAX(p) + ${l - 1} AS span_end
        |  FROM g GROUP BY doc_id, grp)""".stripMargin
+
+  private def substringSpanCtes(l: Int): String =
+    s"""${tokenWindowCtes(l)},
+       |d AS (SELECT gram FROM w GROUP BY gram HAVING COUNT(*) >= 2),
+       |st AS (SELECT doc_id, p FROM w WHERE gram IN (SELECT gram FROM d)),
+       |${spanMergeCtes(l)}""".stripMargin
+
+  /** Span-level decontamination: maximal merged coverage of `n`-grams
+    * occurring in the benchmark half (doc_id % mod = 0).
+    */
+  def decontaminateSpans(n: Int, mod: Int): String =
+    s"""WITH ${tokenWindowCtes(n)},
+       |b AS (SELECT DISTINCT gram FROM w WHERE doc_id % $mod = 0),
+       |st AS (SELECT doc_id, p FROM w WHERE gram IN (SELECT gram FROM b)),
+       |${spanMergeCtes(n)}
+       |SELECT doc_id, span_start, span_end,
+       |       span_end - span_start + 1 AS span_toks
+       |FROM spans ORDER BY doc_id, span_start""".stripMargin
+
+  /** Per-source lexical diversity: TTR + distinct-2 over the token
+    * and bigram streams.
+    */
+  val corpusDiversity: String =
+    s"""WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+       |uni AS (
+       |  SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_types
+       |  FROM (SELECT source, UNNEST(toks) AS tok FROM t) u GROUP BY source),
+       |bi AS (
+       |  SELECT source, COUNT(*) AS n_bigrams, COUNT(DISTINCT bg) AS n_bigram_types
+       |  FROM (SELECT source, array_to_string(toks[i:i + 1], ' ') AS bg
+       |        FROM (SELECT source, toks, UNNEST(generate_series(1, len(toks) - 1)) AS i
+       |              FROM t WHERE len(toks) >= 2) wi) v
+       |  GROUP BY source),
+       |d AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+       |SELECT d.source, n_docs, n_tokens, n_types,
+       |       ${R("n_types / n_tokens")} AS ttr,
+       |       n_bigram_types,
+       |       ${R("n_bigram_types / n_bigrams")} AS distinct_2
+       |FROM d JOIN uni USING (source) JOIN bi USING (source)
+       |ORDER BY d.source""".stripMargin
 
   /** ExactSubstr duplicated spans (Lee et al. 2022): maximal merged
     * coverage of corpus-repeated `l`-token windows, per document.

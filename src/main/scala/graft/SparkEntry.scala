@@ -1581,6 +1581,20 @@ object SparkEntry {
       Dedup.substringStrip(Tables.documents(s, dir), 8)
         .orderBy(col("doc_id"))),
 
+    // span-level decontamination: the exact text to cut (vs 39's
+    // whole-doc flag); benchmark = every 50th doc, the 39 convention
+    "decontaminate_spans" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.decontaminateSpans(docs, docs.where(col("doc_id") % 50 === 0), 4)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
+    // per-source lexical diversity (TTR + distinct-2): the templated-
+    // source detector a mixture tuner reads next to corpus_stats
+    "corpus_diversity" -> ((s, dir) =>
+      TextOps.corpusDiversity(Tables.documents(s, dir))
+        .orderBy(col("source"))),
+
     "text_lm_bigram" -> ((s, dir) =>
       TextOps.lmScoreBigram(Tables.documents(s, dir)).orderBy(col("doc_id"))),
 
@@ -2613,6 +2627,8 @@ object SparkEntry {
     "dedup_winnow" -> OracleSql.dedupWinnow(8, 8, 30, 50L),
     "dedup_substring_exact" -> OracleSql.dedupSubstringExact(8),
     "dedup_substring_strip" -> OracleSql.dedupSubstringStrip(8),
+    "decontaminate_spans" -> OracleSql.decontaminateSpans(4, 50),
+    "corpus_diversity" -> OracleSql.corpusDiversity,
     "text_bm25" -> OracleSql.textBm25(Seq("hash", "join", "vector"), 10),
     "search_hybrid_rrf" -> OracleSql.hybridRrf(Seq("hash", "join", "vector"), 20, 10),
     "text_entropy" -> OracleSql.textEntropy,

@@ -1012,9 +1012,40 @@ object Dedup {
     * not the corpus), keyed by doc_id.
     */
   def substringDupSpans(docs: DataFrame, minLen: Int): DataFrame = {
-    val starts = dupWindowStarts(docs, minLen)
+    val wins = tokenWindows(docs, minLen)
+    val dup = wins.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2).select("gram")
+    mergeSpanStarts(
+      wins.join(broadcast(dup), Seq("gram"), "left_semi")
+        .select(col("doc_id"), col("p")),
+      minLen)
+  }
+
+  /** Every `l`-token window of every document: (doc_id, p, gram) with
+    * 1-based start p — generated map-side, shared by the ExactSubstr
+    * family and [[graft.operators.TextOps.decontaminateSpans]].
+    */
+  private[operators] def tokenWindows(docs: DataFrame, l: Int): DataFrame = {
+    require(l >= 2, s"token windows: need window length >= 2, got $l")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= l)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(toks) - ${l - 1}),
+           |  p -> struct(CAST(p AS BIGINT) AS p,
+           |              array_join(slice(toks, p, $l), ' ') AS gram))"""
+          .stripMargin)).as("w"))
+      .select(col("doc_id"), col("w.p").as("p"), col("w.gram").as("gram"))
+  }
+
+  /** Merge flagged `l`-token window starts (doc_id, p) into maximal
+    * spans (overlap OR adjacency merges): (doc_id, span_start,
+    * span_end, span_toks), 1-based inclusive. Windows over flagged
+    * STARTS only, keyed by doc_id — never the corpus.
+    */
+  private[operators] def mergeSpanStarts(starts: DataFrame, l: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-    val prevEnd = max(col("p") + lit(minLen - 1)).over(
+    val prevEnd = max(col("p") + lit(l - 1)).over(
       byDoc.rowsBetween(Window.unboundedPreceding, -1))
     starts
       .withColumn("brk",
@@ -1022,30 +1053,9 @@ object Dedup {
       .withColumn("grp", sum(col("brk")).over(byDoc))
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("p")).as("span_start"),
-        (max(col("p")) + lit(minLen - 1)).as("span_end"))
+        (max(col("p")) + lit(l - 1)).as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_toks"))
-  }
-
-  /** Start positions (1-based) of every corpus-repeated `minLen`-token
-    * window — the shared first half of [[substringDupSpans]] and
-    * [[substringStrip]].
-    */
-  private def dupWindowStarts(docs: DataFrame, minLen: Int): DataFrame = {
-    require(minLen >= 2, s"substring dedup: minLen must be >= 2, got $minLen")
-    val toks = docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .where(size(col("toks")) >= minLen)
-    val wins = toks.select(col("doc_id"), explode(expr(
-        s"""transform(sequence(1, size(toks) - ${minLen - 1}),
-           |  p -> struct(CAST(p AS BIGINT) AS p,
-           |              array_join(slice(toks, p, $minLen), ' ') AS gram))"""
-          .stripMargin)).as("w"))
-      .select(col("doc_id"), col("w.p").as("p"), col("w.gram").as("gram"))
-    val dup = wins.groupBy(col("gram")).agg(count(lit(1)).as("n"))
-      .where(col("n") >= 2).select("gram")
-    wins.join(broadcast(dup), Seq("gram"), "left_semi")
-      .select(col("doc_id"), col("p"))
   }
 
   /** The STRIP step of ExactSubstr dedup: every document with its

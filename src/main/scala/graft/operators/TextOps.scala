@@ -243,6 +243,33 @@ object TextOps {
         r3(col("hits") / nullif(col("n_grams"), lit(0L))).as("frac"))
   }
 
+  /** SPAN-level decontamination (the surgical upgrade of
+    * [[decontaminate]]'s whole-doc flag): per document, every maximal
+    * span of token positions covered by an `n`-gram that occurs in
+    * the benchmark corpus — the exact text to CUT so the document
+    * survives curation with its eval overlap removed (Lee et al.
+    * 2022's strip discipline pointed across corpora; dropping whole
+    * docs for one shared sentence wastes good tokens, keeping them
+    * whole leaks the benchmark). Same span semantics as
+    * [[graft.operators.Dedup.substringDupSpans]] — overlap/adjacency
+    * merge, 1-based inclusive, all-integer.
+    *
+    * Scale shape: benchmark grams BROADCAST (eval suites are tiny by
+    * construction); the corpus window stream is generated and probed
+    * map-side, so nothing corpus-sized shuffles; the interval merge
+    * windows over benchmark-hit starts only.
+    */
+  def decontaminateSpans(docs: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
+    val bench = broadcast(
+      benchmark.select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(explode(distinctNgrams("toks", n)).as("gram")).distinct())
+    graft.operators.Dedup.mergeSpanStarts(
+      graft.operators.Dedup.tokenWindows(docs, n)
+        .join(bench, Seq("gram"), "left_semi")
+        .select(col("doc_id"), col("p")),
+      n)
+  }
+
   /** Within-document repetition signals (the Gopher paper's repetition
     * filters): fraction of duplicate word n-grams and the dominance of
     * the single most frequent token. High values mark boilerplate /
@@ -978,6 +1005,38 @@ object TextOps {
       .select(col("n_docs"), col("n_unique_docs"), col("n_tokens"), col("vocab"),
         r3(col("n_tokens").cast("double") / col("n_docs")).as("avg_tokens"),
         r3(lit(1.0) - col("n_unique_docs").cast("double") / col("n_docs")).as("dup_rate"))
+  }
+
+  /** PER-SOURCE lexical diversity report ([[corpusStats]] sliced the
+    * way a mixture is tuned): doc/token/type counts, type-token ratio
+    * and distinct-2 (the NLG distinct-n diversity of Li et al. 2016 at
+    * n = 2) — the numbers that catch a TEMPLATED source (high volume,
+    * collapsed diversity: thousands of near-identical listings score
+    * distinct-2 ≈ 0) before it floods a training mixture that
+    * per-document quality filters would pass one doc at a time.
+    *
+    * Scale shape: token and bigram streams are generated map-side and
+    * collapse through map-side-combined two-phase distinct aggregates
+    * on the source keying (|sources| groups); nothing corpus-sized is
+    * ever sorted or windowed.
+    */
+  def corpusDiversity(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("source"), split(col("text"), " ").as("toks"))
+    val uni = t.select(col("source"), explode(col("toks")).as("tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("n_types"))
+    val bi = t.where(size(col("toks")) >= 2)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', slice(toks, i, 2)))")).as("bg"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("bg")).as("n_bigram_types"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(uni, "source").join(bi, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_types"),
+        r3(col("n_types") / col("n_tokens")).as("ttr"),
+        col("n_bigram_types"),
+        r3(col("n_bigram_types") / col("n_bigrams")).as("distinct_2"))
   }
 
   /** Corpus-wide top-k tokens by frequency — vocabulary building. The

@@ -70,6 +70,44 @@ class SubstringDedupSpec extends AnyFunSuite {
       Seq((0L, 1L, 16L), (1L, 1L, 8L), (2L, 11L, 18L)))
   }
 
+  test("decontaminate_spans: exactly the benchmark-shared block is spanned; sub-n overlap is invisible") {
+    import graft.operators.TextOps
+    val shared6 = toks("bench", 6)
+    val tiny3 = toks("tiny", 3)
+    val train = docs(
+      0L -> (toks("a", 5) ++ shared6 ++ toks("b", 4)).mkString(" "),
+      1L -> (toks("c", 5) ++ tiny3 ++ toks("d", 5)).mkString(" "))
+    val benchmark = docs(
+      100L -> (toks("x", 2) ++ shared6 ++ tiny3).mkString(" "))
+    val spans = TextOps.decontaminateSpans(train, benchmark, 4).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("span_toks"))).sorted
+    // the 6-token shared block sits at positions 6..11 of doc 0: its
+    // three 4-gram windows (starts 6,7,8) merge to exactly [6, 11];
+    // doc 1's 3-token overlap can't fill a 4-gram — no span at all
+    assert(spans.toSeq === Seq((0L, 6L, 11L, 6L)))
+  }
+
+  test("corpus_diversity separates a templated source from a diverse one") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val tpl = "spark row spark row" // 4 toks, 2 types; bigrams: 3, types 2
+    val rows = Seq(
+      (0L, tpl, "tpl"), (1L, tpl, "tpl"),
+      (2L, "alpha beta gamma delta", "div")) // all unique
+    val out = TextOps.corpusDiversity(
+        rows.toDF("doc_id", "text", "source"))
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+        r.getAs[Double]("ttr"), r.getAs[Long]("n_bigram_types"),
+        r.getAs[Double]("distinct_2"))).sortBy(_._1)
+    assert(out(0) === (("div", 1L, 4L, 4L, 1.0, 3L, 1.0)))
+    // templated: 8 tokens / 2 types = 0.25; 6 bigrams / 2 distinct
+    assert(out(1) === (("tpl", 2L, 8L, 2L, 0.25, 2L, r3(2.0 / 6.0))))
+  }
+
+  private def r3(x: Double) = math.floor(x * 1000.0 + 0.5001) / 1000.0
+
   test("strip removes exactly the spanned tokens; clean and all-dup docs survive") {
     val block = toks("x", 8)
     val d = docs(
