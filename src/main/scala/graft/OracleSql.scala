@@ -2261,6 +2261,30 @@ object OracleSql {
        |       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
        |FROM c2 ORDER BY n DESC, token LIMIT $k""".stripMargin
 
+  /** Tokenizer fertility by language: BPE tokens per word and chars
+    * per token under the learned merge list (per-TYPE replay, the
+    * bpeTokenFreq discipline).
+    */
+  def bpeFertility(nMerges: Int): String =
+    s"""WITH ${bpeCtes(nMerges)},
+       |wc AS (
+       |  SELECT lang, w, COUNT(*) AS c FROM (
+       |    SELECT lang, UNNEST(string_split(text, ' ')) AS w FROM documents) u
+       |  WHERE length(w) > 0 GROUP BY 1, 2),
+       |pt AS (
+       |  SELECT wc.lang, wc.c, length(wc.w) AS chars,
+       |         len(COALESCE(wn.syms, [wc.w])) AS subtoks
+       |  FROM wc LEFT JOIN w$nMerges wn ON wn.w = wc.w),
+       |ag AS (
+       |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_words,
+       |         CAST(SUM(c * subtoks) AS BIGINT) AS n_tokens,
+       |         SUM(c * chars) AS n_chars
+       |  FROM pt GROUP BY 1)
+       |SELECT lang, n_words, n_tokens,
+       |       ${R("n_tokens / n_words")} AS fertility,
+       |       ${R("n_chars / n_tokens")} AS chars_per_token
+       |FROM ag ORDER BY lang""".stripMargin
+
   /** Overlapping token-window chunking (RAG splitter). */
   def chunkDocs(chunkSize: Int, stride: Int): String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

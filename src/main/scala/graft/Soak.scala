@@ -61,6 +61,17 @@ object Soak {
       .withColumn("user_id",
         when(col("event_id") % 5 === 0, lit(424242L)).otherwise(col("user_id")))
 
+  /** EXTREME hot key: ~80% of the stream on one user. The 20% fixture
+    * above never cliffs on this host — with hot share ≈ 1/cores the
+    * hot window task finishes with the average task; the cliff regime
+    * needs hot share ≫ 1/cores, which this fixture provides (the
+    * honest record of WHEN per-key window skew is the bottleneck).
+    */
+  private def scaleEventsHot(spark: SparkSession, dir: String, factor: Int): DataFrame =
+    scaleEvents(spark, dir, factor)
+      .withColumn("user_id",
+        when(col("event_id") % 5 < 4, lit(424242L)).otherwise(col("user_id")))
+
   /** Token-prefixed replication: replica r ≠ 0 rewrites every token
     * separator to ` sr_`, making shingles disjoint across replicas
     * while preserving the base corpus's within-replica dup structure.
@@ -116,6 +127,7 @@ object Soak {
 
     val ev = scaleEvents(spark, sfDir, factor)
     val evSkew = scaleEventsSkewed(spark, sfDir, factor)
+    lazy val evHot = scaleEventsHot(spark, sfDir, factor)
     val docs = scaleDocs(spark, sfDir, factor)
     val emb = scaleEmbeddings(spark, sfDir, factor)
 
@@ -150,6 +162,14 @@ object Soak {
       // cliffs (result-identical; the gate shares sessionize's oracle)
       "sessionize_skew_splitmerge" -> (() =>
         Relational.sessionizeSplitMerge(evSkew, 1800000000L, 21600000000L)),
+      // the CLIFF regime (hot share ≫ 1/cores): plain sessionize's hot
+      // window task is the wall-clock; split-merge spreads it over
+      // timespan/width tasks and should win here — and only here (at
+      // balanced skew its extra session exchanges cost ~2-3×: deploy
+      // on diagnosis, not by default)
+      "sessionize_hot80" -> (() => Relational.sessionize(evHot, 1800000000L)),
+      "sessionize_hot80_splitmerge" -> (() =>
+        Relational.sessionizeSplitMerge(evHot, 1800000000L, 21600000000L)),
       // map-side-combined per-stage aggregates absorb the hot key
       // before the exchange — expected ~flat vs funnel_conversion
       "funnel_skew" -> (() =>

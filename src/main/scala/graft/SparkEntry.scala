@@ -2106,6 +2106,12 @@ object SparkEntry {
       TextOps.bpeTokenFreq(Tables.documents(s, dir), 8, 20)
         .orderBy(col("rank"))),
 
+    // tokenizer fertility by language under the learned merges — the
+    // multilingual-equity table (tokens/word, chars/token)
+    "bpe_fertility" -> ((s, dir) =>
+      TextOps.bpeFertility(Tables.documents(s, dir), 8)
+        .orderBy(col("lang"))),
+
     // RAG chunking: overlapping token windows with content fingerprints
     "chunk_documents" -> ((s, dir) =>
       TextOps.chunkDocs(Tables.documents(s, dir), 64, 48)
@@ -2695,6 +2701,7 @@ object SparkEntry {
     "bpe_train" -> OracleSql.bpeTrain(8),
     "bpe_encode" -> OracleSql.bpeEncode(8),
     "bpe_token_freq" -> OracleSql.bpeTokenFreq(8, 20),
+    "bpe_fertility" -> OracleSql.bpeFertility(8),
     "chunk_documents" -> OracleSql.chunkDocs(64, 48),
     "mmr_rerank" -> OracleSql.mmrRerank(5, 10, 5),
     "pca_power" -> OracleSql.pcaPower(),

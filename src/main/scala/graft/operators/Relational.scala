@@ -167,15 +167,23 @@ object Relational {
           .otherwise(0))
       .withColumn("j", sum(col("new_session")).over(
         wb.rowsBetween(Window.unboundedPreceding, 0)))
+    // s1 fans out to THREE consumers (interior, the boundary chain,
+    // the numbering offsets) — checkpoint so the event-volume window
+    // chain above runs ONCE and every branch reads the compact
+    // sessions frame (without this the soak measured the event scan
+    // + window ~4×, drowning the skew win the operator exists for)
     val s1 = flagged.groupBy(col("user_id"), col("bucket"), col("j"))
       .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
         count(lit(1)).as("n_events"), sum(col("value")).as("raw_value"))
       .withColumn("m",
         max(col("j")).over(Window.partitionBy("user_id", "bucket")))
+      .localCheckpoint()
     val interior = s1.where(col("j") > 1 && col("j") < col("m"))
       .select(col("user_id"), col("bucket"), col("j"),
         col("start_us"), col("end_us"), col("n_events"), col("raw_value"))
     val wu = Window.partitionBy("user_id").orderBy("start_us")
+    // the boundary frame feeds the merge AND the µ offsets — tiny
+    // (≤ 2·occupied buckets per user), checkpoint to cut the re-read
     val chained = s1.where(col("j") === 1 || col("j") === col("m"))
       .withColumn("cs",
         when(col("start_us") - lag(col("end_us"), 1).over(wu) >= gapMicros, 1)
@@ -183,6 +191,7 @@ object Relational {
           .otherwise(0))
       .withColumn("chain", sum(col("cs")).over(
         wu.rowsBetween(Window.unboundedPreceding, 0)))
+      .localCheckpoint()
     val merged = chained.groupBy(col("user_id"), col("chain"))
       .agg(min(struct(col("start_us"), col("bucket"), col("j"))).as("head"),
         min(col("start_us")).as("start_us"), max(col("end_us")).as("end_us"),
@@ -192,12 +201,15 @@ object Relational {
         col("start_us"), col("end_us"), col("n_events"), col("raw_value"))
     // per-(user, bucket) numbering offsets: sessions-before (m_off)
     // and backward-merges-through (c_cum), both over the
-    // occupied-buckets frame — bounded by timespan/width per user
+    // occupied-buckets frame — bounded by timespan/width per user.
+    // Every bucket's boundary rows carry m (the within-bucket session
+    // count) and its j=1 row carries the merge flag, so the offsets
+    // derive from the compact `chained` frame alone — no second read
+    // of the sessions frame
     val wk = Window.partitionBy("user_id").orderBy("bucket")
-    val offsets = s1.groupBy(col("user_id"), col("bucket")).agg(max(col("j")).as("m"))
-      .join(chained.where(col("j") === 1)
-        .select(col("user_id"), col("bucket"), (lit(1) - col("cs")).as("mu")),
-        Seq("user_id", "bucket"))
+    val offsets = chained.groupBy(col("user_id"), col("bucket"))
+      .agg(max(col("m")).as("m"),
+        max(when(col("j") === 1, lit(1) - col("cs")).otherwise(0)).as("mu"))
       .withColumn("m_off", coalesce(sum(col("m")).over(
         wk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("c_cum", sum(col("mu")).over(

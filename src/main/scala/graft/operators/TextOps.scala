@@ -1346,6 +1346,42 @@ object TextOps {
     * within-word multiplicity via one map-side explode of the
     * vocab-sized frame; rank is TakeOrdered.
     */
+  /** Tokenizer FERTILITY by language: BPE tokens per whitespace word
+    * and characters per token under the learned merge list — THE
+    * tokenizer-equity metric of the multilingual-tokenizer literature
+    * (Rust et al. 2021 "How Good is Your Tokenizer?"): a language the
+    * vocabulary under-serves fragments into more tokens per word, so
+    * its speakers pay more compute and context per sentence; a
+    * mixture owner reads this table before fixing per-language token
+    * budgets (fertility-blind budgets under-sample high-fertility
+    * languages in CONTENT even when fair in tokens).
+    *
+    * Scale plan: the [[bpeTokenFreq]] discipline — the corpus
+    * collapses to per-(lang, word) TYPE counts first, the BPE replay
+    * runs once per type (never per occurrence), and the final frame
+    * is |langs|-sized via one map-side-combined aggregate.
+    */
+  def bpeFertility(docs: DataFrame, nMerges: Int): DataFrame = {
+    val merges = bpeTrainMerges(docs, nMerges).map(m => (m._2, m._3))
+    val enc = graft.functions.BpeApply.encode(merges)
+      .replace("\\", "\\\\").replace("'", "\\'")
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+      .select(col("lang"), col("c"),
+        length(col("w")).cast("long").as("chars"),
+        size(expr(s"graft_bpe_apply(w, '$enc')")).cast("long").as("subtoks"))
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("subtoks")).as("n_tokens"),
+        sum(col("c") * col("chars")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_tokens"),
+        r3(col("n_tokens") / col("n_words")).as("fertility"),
+        r3(col("n_chars") / col("n_tokens")).as("chars_per_token"))
+  }
+
   def bpeTokenFreq(docs: DataFrame, nMerges: Int, k: Int): DataFrame = {
     val merges = bpeTrainMerges(docs, nMerges).map(m => (m._2, m._3))
     val enc = graft.functions.BpeApply.encode(merges)
