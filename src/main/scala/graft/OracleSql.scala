@@ -1864,6 +1864,53 @@ object OracleSql {
   }
 
   /** Recall@k of the graph walk vs the exact cosine top-k. */
+  /** Kendall tau-a + Jaccard between the full-dim exact top-k and the
+    * pDims-prefix exact top-k (both cosines r3'd before rank).
+    */
+  def evalRankCorr(nQueries: Int, k: Int, pDims: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
+       |xa AS (SELECT qid, vec_id AS vid, ${R("list_cosine_similarity(qv, v)")} AS cos
+       |       FROM e CROSS JOIN q WHERE vec_id != qid),
+       |fa AS (SELECT qid, vid, ra FROM (
+       |  SELECT qid, vid, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS ra
+       |  FROM xa) WHERE ra <= $k),
+       |ep AS (SELECT vec_id, v[1:$pDims] AS v FROM e),
+       |qp AS (SELECT vec_id AS qid, v AS qv FROM ep WHERE vec_id < $nQueries),
+       |xb AS (SELECT qid, vec_id AS vid, ${R("list_cosine_similarity(qv, v)")} AS cos
+       |       FROM ep CROSS JOIN qp WHERE vec_id != qid),
+       |fb AS (SELECT qid, vid, rb FROM (
+       |  SELECT qid, vid, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS rb
+       |  FROM xb) WHERE rb <= $k),
+       |cm AS (SELECT fa.qid, fa.vid, fa.ra, fb.rb
+       |       FROM fa JOIN fb ON fa.qid = fb.qid AND fa.vid = fb.vid),
+       |pr AS (SELECT x.qid, CAST(SUM(SIGN(x.ra - y.ra) * SIGN(x.rb - y.rb)) AS BIGINT) AS s
+       |       FROM cm x JOIN cm y ON x.qid = y.qid AND x.vid < y.vid
+       |       GROUP BY x.qid),
+       |ct AS (SELECT qid, COUNT(*) AS n_common FROM cm GROUP BY qid),
+       |nn AS (SELECT qid, COUNT(*) AS n_a FROM fa GROUP BY qid),
+       |nm AS (SELECT qid, COUNT(*) AS n_b FROM fb GROUP BY qid)
+       |SELECT nn.qid, COALESCE(ct.n_common, 0) AS n_common,
+       |       CASE WHEN COALESCE(ct.n_common, 0) >= 2
+       |            THEN ${R("pr.s / (ct.n_common * (ct.n_common - 1) / 2.0)")} END AS tau,
+       |       ${R("COALESCE(ct.n_common, 0) / (nn.n_a + nm.n_b - COALESCE(ct.n_common, 0))")} AS jaccard
+       |FROM nn JOIN nm USING (qid)
+       |LEFT JOIN ct USING (qid) LEFT JOIN pr USING (qid)
+       |ORDER BY nn.qid""".stripMargin
+
+  /** Recall@k of the walk at each (beam, rounds) budget — one branch
+    * per budget, each the standalone recall chain with its literals.
+    */
+  def annGraphSweep(nCentroids: Int, kGraph: Int, nQueries: Int, k: Int,
+                    params: Seq[(Int, Int)], nprobe: Int = 2): String =
+    params.map { case (b, r) =>
+      s"""SELECT CAST($b AS BIGINT) AS beam, CAST($r AS BIGINT) AS rounds, s.*
+         |FROM (
+         |${annGraphSearchRecall(nCentroids, kGraph, nQueries, b, r, k, nprobe)}) s"""
+        .stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY beam, rounds, qid")
+
   def annGraphSearchRecall(nCentroids: Int, kGraph: Int, nQueries: Int,
                            beam: Int, rounds: Int, k: Int, nprobe: Int = 2): String =
     s"""WITH approx AS (

@@ -314,6 +314,18 @@ object SparkEntry {
         .orderBy(col("qid"))
     }),
 
+    // Kendall tau + Jaccard between the full-dim exact ranking and
+    // the 16-dim-prefix exact ranking — the ORDER-distortion
+    // companion to the matryoshka recall gate
+    "eval_rank_corr" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Eval.rankCorr(
+        Similarity.cosineTopK(emb, 5, 5),
+        Similarity.cosineTopK(emb.select(col("vec_id"),
+          expr("slice(embedding, 1, 16)").as("embedding")), 5, 5))
+        .orderBy(col("qid"))
+    }),
+
     "embed_cosine_dup" -> ((s, dir) =>
       Similarity.cosineDupPairs(Tables.embeddings(s, dir), 0.3)
         .orderBy(col("vec_a"), col("vec_b"))),
@@ -340,6 +352,13 @@ object SparkEntry {
 
     // stored-graph parity: build once to the bucketed catalog, walk
     // without rebuild — byte-equal to the recompute path
+    // the walk-budget tuning table: recall@k at each (beam, rounds);
+    // graph and exact side each build once
+    "ann_graph_sweep" -> ((s, dir) =>
+      Similarity.annGraphSweep(Tables.embeddings(s, dir), 16, 4, 5, 5,
+          Seq((5, 1), (6, 2), (8, 3)))
+        .orderBy(col("beam"), col("rounds"), col("qid"))),
+
     "ann_graph_stored" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.writeKnnGraph(emb, 16, 4, "graft_knng", 8)
@@ -2481,6 +2500,8 @@ object SparkEntry {
     "ann_knn_graph" -> OracleSql.annKnnGraph(16, 3),
     "ann_graph_search" -> OracleSql.annGraphSearch(16, 4, 5, 8, 2, 5),
     "ann_graph_search_recall" -> OracleSql.annGraphSearchRecall(16, 4, 5, 8, 2, 5),
+    "ann_graph_sweep" -> OracleSql.annGraphSweep(16, 4, 5, 5,
+      Seq((5, 1), (6, 2), (8, 3))),
     "ann_graph_stored" -> OracleSql.annGraphSearch(16, 4, 5, 8, 2, 5),
     "ann_graph_inc" -> OracleSql.annGraphSearch(16, 4, 5, 8, 2, 5),
     "lang_id" -> OracleSql.langId,
@@ -2583,6 +2604,7 @@ object SparkEntry {
     "ann_hamming" -> OracleSql.annHamming(32, 5, 5),
     "eval_ndcg" -> OracleSql.evalNdcgHamming(32, 5, 5),
     "eval_mrr" -> OracleSql.evalMrrHamming(32, 5, 5),
+    "eval_rank_corr" -> OracleSql.evalRankCorr(5, 5, 16),
     "ann_hamming_recall" -> OracleSql.annHammingRecall(32, 5, 5),
     "ann_pq_rotated" -> OracleSql.annPqRotated(16, 4, 5, 5),
     "ann_pq_rotated_recall" -> OracleSql.annPqRotatedRecall(16, 4, 5, 5),

@@ -19,6 +19,47 @@ object Eval {
 
   private def r3(c: Column): Column = floor(c * 1000.0 + 0.5001) / 1000.0
 
+  /** Kendall rank correlation between two rankings of the same query
+    * batch (tau-a — ranks within a list are distinct, so no tie
+    * correction applies), plus the set overlap: per query,
+    * `n_common` (items in both top-k lists), `tau` over the common
+    * items (NULL below 2 — no pair to compare, the honest
+    * undefined), and the Jaccard of the two lists. The ORDER
+    * companion to the recall gates: recall says the approximate tier
+    * found the right items, tau says it kept them in the right
+    * ORDER — a reranker consuming the list cares about exactly the
+    * difference.
+    *
+    * Scale shape: both inputs are query-batch-sized (nQueries·k
+    * rows); the pair join is k²-bounded per query and every aggregate
+    * is map-side combined — driver-trivial at any corpus scale, the
+    * cost lives in the rankers.
+    */
+  def rankCorr(a: DataFrame, b: DataFrame): DataFrame = {
+    val ja = a.select(col("qid"), col("vid"), col("rank").cast("long").as("ra"))
+    val jb = b.select(col("qid"), col("vid"), col("rank").cast("long").as("rb"))
+    val common = ja.join(jb, Seq("qid", "vid"))
+    val pairs = common.as("x").join(common.as("y"),
+        col("x.qid") === col("y.qid") && col("x.vid") < col("y.vid"))
+      .groupBy(col("x.qid").as("qid"))
+      .agg(sum(signum(col("x.ra") - col("y.ra")) *
+        signum(col("x.rb") - col("y.rb"))).cast("long").as("s"))
+    val counts = common.groupBy(col("qid")).agg(count(lit(1)).as("n_common"))
+    val na = ja.groupBy(col("qid")).agg(count(lit(1)).as("n_a"))
+    val nb = jb.groupBy(col("qid")).agg(count(lit(1)).as("n_b"))
+    na.join(nb, Seq("qid"))
+      .join(counts, Seq("qid"), "left")
+      .join(pairs, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        when(coalesce(col("n_common"), lit(0L)) >= 2,
+          r3(col("s") / (col("n_common") * (col("n_common") - 1) / lit(2.0))))
+          .as("tau"),
+        r3(coalesce(col("n_common"), lit(0L)) /
+          (col("n_a") + col("n_b") - coalesce(col("n_common"), lit(0L))))
+          .as("jaccard"))
+  }
+
   /** NDCG@k of an approximate ranking against an exact one
     * (Järvelin & Kekäläinen 2002) — the GRADED retrieval metric next
     * to the recall gates: recall counts how many of the true top-k

@@ -494,6 +494,37 @@ object Similarity {
     * candidate budget (the build's nprobe≥2 edges cross cell
     * boundaries and the walk compounds them).
     */
+  /** The graph-walk TUNING TABLE (the [[annIvfProbeSweep]] discipline
+    * pointed at the graph tier): recall@k at each (beam, rounds)
+    * budget in ONE frame — beam bounds the frontier (memory/scoring
+    * cost per round), rounds bounds the hops (latency), and the knee
+    * of THIS corpus's curve is what an operator fixes before serving
+    * (HNSW's efSearch sweep). The graph builds ONCE (checkpointed);
+    * the exact top-k computes ONCE (checkpointed); every branch is
+    * the standalone walk verbatim unioned with its budget literals.
+    */
+  def annGraphSweep(embeddings: DataFrame, nCentroids: Int, kGraph: Int,
+                    nQueries: Int, k: Int, params: Seq[(Int, Int)],
+                    nprobe: Int = 2): DataFrame = {
+    require(params.nonEmpty, "annGraphSweep: need at least one (beam, rounds)")
+    val graph = knnGraph(embeddings, nCentroids, kGraph, nprobe)
+      .select(col("vec_id").as("src"), col("nbr")).localCheckpoint()
+    val e = prepared(embeddings.where(col("embedding").isNotNull))
+    val exact = cosineTopK(embeddings, nQueries, k)
+      .select(col("qid"), col("vid")).localCheckpoint()
+    params.map { case (beam, rounds) =>
+      val approx = graphWalk(e, graph, nQueries, beam, rounds, k)
+        .select(col("qid"), col("vid"), lit(1).as("hit"))
+      exact.join(approx, Seq("qid", "vid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(lit(beam.toLong).as("beam"), lit(rounds.toLong).as("rounds"),
+          col("qid"), col("n_exact"), col("n_hit"),
+          r3(col("n_hit") / col("n_exact")).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   def annGraphSearchRecall(embeddings: DataFrame, nCentroids: Int, kGraph: Int,
                            nQueries: Int, beam: Int, rounds: Int, k: Int,
                            nprobe: Int = 2): DataFrame = {

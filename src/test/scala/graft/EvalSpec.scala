@@ -101,6 +101,30 @@ class EvalSpec extends AnyFunSuite {
     assert(p.getLong(1) === 1L && p.getDouble(2) === 1.0)
   }
 
+  test("rankCorr: agreement 1, reversal -1, partial hand value, disjoint NULL tau") {
+    import spark.implicits._
+    def ranking(qid: Long, vids: Seq[Long]) =
+      vids.zipWithIndex.map { case (v, i) => (qid, v, (i + 1).toLong) }
+    val a = (ranking(1L, Seq(10, 11, 12, 13)) ++ ranking(2L, Seq(10, 11, 12, 13)) ++
+      ranking(3L, Seq(10, 11, 12, 13)) ++ ranking(4L, Seq(10, 11, 12, 13)))
+      .toDF("qid", "vid", "rank")
+    val b = (ranking(1L, Seq(10, 11, 12, 13)) ++ // identical -> tau 1
+      ranking(2L, Seq(13, 12, 11, 10)) ++        // reversed -> tau -1
+      ranking(3L, Seq(11, 10, 12, 13)) ++        // one adjacent swap
+      ranking(4L, Seq(20, 21, 22, 23)))          // disjoint
+      .toDF("qid", "vid", "rank")
+    val out = Eval.rankCorr(a, b).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("n_common"),
+        Option(r.getAs[java.lang.Double]("tau")).map(_.doubleValue()),
+        r.getAs[Double]("jaccard"))).sortBy(_._1)
+    assert(out(0) === ((1L, 4L, Some(1.0), 1.0)))
+    assert(out(1) === ((2L, 4L, Some(-1.0), 1.0)))
+    // one adjacent swap among 4 items: 5 concordant, 1 discordant of 6
+    // pairs -> tau = 4/6 = 0.667 (r3)
+    assert(out(2) === ((3L, 4L, Some(0.667), 1.0)))
+    assert(out(3) === ((4L, 0L, None, 0.0)))
+  }
+
   test("auc is exact and tie-aware on a hand-computed frame") {
     import spark.implicits._
     // scores: pos {0.9, 0.7, 0.5}, neg {0.7, 0.3}
