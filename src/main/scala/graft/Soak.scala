@@ -138,6 +138,12 @@ object Soak {
         Dedup.connectedComponents(
           Dedup.lshCandidatesFast(Dedup.minhashSigs(docs, 16), 2, 16))),
       "dedup_pipeline" -> (() => Dedup.pipeline(docs, 16, 2, 0.5)),
+      // ExactSubstr: window volume linear in tokens, ONE gram count +
+      // broadcast probe — replicas are token-disjoint so the repeated
+      // set stays per-replica and the law is linear
+      "dedup_substring" -> (() => Dedup.substringDupSpans(docs, 8)),
+      "decontaminate_spans" -> (() =>
+        TextOps.decontaminateSpans(docs, docs.where(col("doc_id") % 50 === 0), 4)),
       // fixed rounds over the candidate graph: disjoint replica
       // shingles keep edges linear, so each round's join is linear
       "dedup_pagerank" -> (() => Dedup.pageRank(

@@ -30,6 +30,29 @@ class PlanCensusSpec extends AnyFunSuite {
     } finally prev.foreach(conf.set("spark.sql.adaptive.enabled", _))
   }
 
+  test("dedup_substring_exact: gram count + span-merge window, the probe rides a broadcast") {
+    val df = graft.operators.Dedup.substringDupSpans(Tables.documents(spark, dir), 8)
+    // exactly TWO: the map-side-combined gram count and the doc_id
+    // span-merge window; the repeated-set probe rides a broadcast so
+    // the corpus-volume window stream never shuffles
+    assert(shuffles(df).size === 2)
+  }
+
+  test("decontaminate_spans: benchmark distinct + span-merge window only") {
+    val docs = Tables.documents(spark, dir)
+    val df = TextOps.decontaminateSpans(docs, docs.where(col("doc_id") % 50 === 0), 4)
+    // the benchmark-gram distinct + the span-merge window; the
+    // corpus probe is broadcast
+    assert(shuffles(df).size === 2)
+  }
+
+  test("corpus_diversity exchange census") {
+    val df = TextOps.corpusDiversity(Tables.documents(spark, dir))
+    // two two-phase distinct aggregates (2 each) + the doc count; the
+    // |sources|-sized joins broadcast
+    assert(shuffles(df).size === 5)
+  }
+
   test("chunk_documents is a pure map: ZERO shuffles") {
     assert(shuffles(TextOps.chunkDocs(Tables.documents(spark, dir), 64, 48)).isEmpty)
   }
