@@ -1899,6 +1899,96 @@ object OracleSql {
        |LEFT JOIN ct USING (qid) LEFT JOIN pr USING (qid)
        |ORDER BY nn.qid""".stripMargin
 
+  /** Two-layer hierarchical walk: layer-1 md5-sampled graph walked
+    * from the global entry (min sampled vec_id), best layer-1 node
+    * seeds the layer-0 walk over the full graph. CTE names carry a
+    * layer prefix; each layer is the probe-cell graph + chained
+    * visited/frontier walk of [[annGraphSearch]].
+    */
+  def annGraphSearchHier(nCentroids: Int, kGraph: Int, nQueries: Int,
+                         beam: Int, rounds: Int, k: Int,
+                         keep: Int, nBuckets: Int, nprobe: Int = 2): String = {
+    val bucket =
+      s"CAST(CONCAT('0x', SUBSTR(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS INTEGER) % $nBuckets"
+    def graphCtes(p: String, eCte: String): String =
+      s"""c$p AS (SELECT vec_id AS cid, v AS cv FROM $eCte WHERE vec_id < $nCentroids),
+         |a0$p AS (
+         |  SELECT ee.vec_id, ee.v, cc.cid, ${R("list_cosine_similarity(ee.v, cc.cv)")} AS ccos
+         |  FROM $eCte ee CROSS JOIN c$p cc),
+         |a1$p AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+         |  FROM a0$p),
+         |asg$p AS (SELECT vec_id, v, cid AS cell FROM a1$p WHERE crank = 1),
+         |ap$p AS (SELECT vec_id, v, cid AS pcell FROM a1$p WHERE crank <= $nprobe),
+         |pr$p AS (
+         |  SELECT a.vec_id, b.vec_id AS nbr, ${R("list_cosine_similarity(a.v, b.v)")} AS cos
+         |  FROM ap$p a JOIN asg$p b ON a.pcell = b.cell AND b.vec_id != a.vec_id),
+         |g$p AS MATERIALIZED (
+         |  SELECT vec_id AS src, nbr FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
+         |    FROM pr$p) WHERE rank <= $kGraph)""".stripMargin
+    def walkCtes(p: String, eCte: String, seedSql: String): String = {
+      val sb = new StringBuilder
+      sb.append(
+        s"""f${p}0 AS ($seedSql),
+           |v${p}0 AS (SELECT qid, vid FROM f${p}0)""".stripMargin)
+      for (r <- 1 to rounds) {
+        sb.append(s""",
+           |x$p$r AS (SELECT f.qid, g.nbr AS vid FROM f$p${r - 1} f JOIN g$p g ON g.src = f.vid),
+           |v$p$r AS MATERIALIZED (
+           |  SELECT DISTINCT qid, vid FROM (
+           |    SELECT qid, vid FROM v$p${r - 1} UNION ALL SELECT qid, vid FROM x$p$r)),
+           |s$p$r AS (
+           |  SELECT v.qid, v.vid, ${R("list_cosine_similarity(e2.v, q.qv)")} AS cos
+           |  FROM v$p$r v JOIN $eCte e2 ON e2.vec_id = v.vid JOIN q ON q.qid = v.qid),
+           |f$p$r AS MATERIALIZED (
+           |  SELECT qid, vid FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
+           |    FROM s$p$r) WHERE rk <= $beam)""".stripMargin)
+      }
+      sb.toString
+    }
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL),
+       |q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
+       |e1 AS MATERIALIZED (SELECT * FROM e WHERE $bucket < $keep),
+       |${graphCtes("u", "e1")},
+       |ent AS (SELECT MIN(vec_id) AS evid FROM e1),
+       |${walkCtes("u", "e1", "SELECT qid, evid AS vid FROM q, ent")},
+       |t1 AS (
+       |  SELECT qid, vid FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
+       |    FROM su$rounds WHERE vid != qid) WHERE rk = 1),
+       |${graphCtes("l", "e")},
+       |${walkCtes("l", "e", "SELECT qid, vid FROM t1")}
+       |SELECT qid, vid, cos, rank FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS rank
+       |  FROM sl$rounds WHERE vid != qid) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
+  /** Recall@k of [[annGraphSearchHier]] vs the exact cosine top-k. */
+  def annGraphSearchHierRecall(nCentroids: Int, kGraph: Int, nQueries: Int,
+                               beam: Int, rounds: Int, k: Int,
+                               keep: Int, nBuckets: Int, nprobe: Int = 2): String =
+    s"""WITH approx AS (
+       |  SELECT qid, vid, 1 AS hit FROM (
+       |${annGraphSearchHier(nCentroids, kGraph, nQueries, beam, rounds, k, keep, nBuckets, nprobe)}) a),
+       |e3 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |       WHERE embedding IS NOT NULL),
+       |q3 AS (SELECT vec_id AS qid, v AS qv FROM e3 WHERE vec_id < $nQueries),
+       |xs AS (
+       |  SELECT qid, vec_id AS vid, ${R("list_cosine_similarity(qv, v)")} AS cos
+       |  FROM e3 CROSS JOIN q3 WHERE vec_id != qid),
+       |xr AS (
+       |  SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+       |  FROM xs),
+       |exact AS (SELECT qid, vid FROM xr WHERE rank <= $k)
+       |SELECT x.qid, COUNT(*) AS n_exact,
+       |       CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS n_hit,
+       |       ${R("SUM(COALESCE(a.hit, 0)) / COUNT(*)")} AS recall
+       |FROM exact x LEFT JOIN approx a ON x.qid = a.qid AND x.vid = a.vid
+       |GROUP BY x.qid ORDER BY x.qid""".stripMargin
+
   /** Recall@k of the walk at each (beam, rounds) budget — one branch
     * per budget, each the standalone recall chain with its literals.
     */

@@ -352,6 +352,17 @@ object SparkEntry {
 
     // stored-graph parity: build once to the bucketed catalog, walk
     // without rebuild — byte-equal to the recompute path
+    // two-layer hierarchical walk (HNSW): layer-1 md5 sample walked
+    // from the global entry routes each query to its layer-0 seed —
+    // serving from a COLD START (no self-seeding)
+    "ann_graph_hier" -> ((s, dir) =>
+      Similarity.annGraphSearchHier(Tables.embeddings(s, dir), 16, 4, 5, 8, 2, 5)
+        .orderBy(col("qid"), col("rank"))),
+
+    "ann_graph_hier_recall" -> ((s, dir) =>
+      Similarity.annGraphSearchHierRecall(Tables.embeddings(s, dir), 16, 4, 5, 8, 2, 5)
+        .orderBy(col("qid"))),
+
     // the walk-budget tuning table: recall@k at each (beam, rounds);
     // graph and exact side each build once
     "ann_graph_sweep" -> ((s, dir) =>
@@ -2502,6 +2513,9 @@ object SparkEntry {
     "ann_graph_search_recall" -> OracleSql.annGraphSearchRecall(16, 4, 5, 8, 2, 5),
     "ann_graph_sweep" -> OracleSql.annGraphSweep(16, 4, 5, 5,
       Seq((5, 1), (6, 2), (8, 3))),
+    "ann_graph_hier" -> OracleSql.annGraphSearchHier(16, 4, 5, 8, 2, 5, 2, 8),
+    "ann_graph_hier_recall" ->
+      OracleSql.annGraphSearchHierRecall(16, 4, 5, 8, 2, 5, 2, 8),
     "ann_graph_stored" -> OracleSql.annGraphSearch(16, 4, 5, 8, 2, 5),
     "ann_graph_inc" -> OracleSql.annGraphSearch(16, 4, 5, 8, 2, 5),
     "lang_id" -> OracleSql.langId,

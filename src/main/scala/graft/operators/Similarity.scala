@@ -348,16 +348,29 @@ object Similarity {
     */
   private def graphWalk(e: DataFrame, graph: DataFrame,
                         nQueries: Int, beam: Int, rounds: Int, k: Int): DataFrame = {
-    require(k <= beam, s"annGraphSearch: k=$k must be <= beam=$beam")
-    require(rounds >= 1, s"annGraphSearch: rounds must be >= 1, got $rounds")
     val q = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+    graphWalkFrom(e, graph, q,
+      q.select(col("qid"), col("qid").as("vid")), beam, rounds, k)
+  }
+
+  /** The walk core generalized to ARBITRARY seeds (qid, vid) — the
+    * self-seeded [[graphWalk]] and the entry-point-seeded layers of
+    * [[annGraphSearchHier]] are the same machine with different
+    * starting frontiers. Answer = top-k of everything visited, the
+    * query itself excluded.
+    */
+  private def graphWalkFrom(e: DataFrame, graph: DataFrame, q: DataFrame,
+                            seeds: DataFrame, beam: Int, rounds: Int,
+                            k: Int): DataFrame = {
+    require(k <= beam, s"annGraphSearch: k=$k must be <= beam=$beam")
+    require(rounds >= 1, s"annGraphSearch: rounds must be >= 1, got $rounds")
     def score(visited: DataFrame) = visited
       .join(e, visited("vid") === e("vec_id"))
       .join(broadcast(q), "qid")
       .select(col("qid"), col("vid"),
         r3(expr("graft_vec_dot(v, qv)") / (col("norm") * col("qn"))).as("cos"))
-    var visited = q.select(col("qid"), col("qid").as("vid")).localCheckpoint()
+    var visited = seeds.localCheckpoint()
     var frontier = visited
     for (_ <- 1 to rounds) {
       val expand = frontier.join(graph, frontier("vid") === graph("src"))
@@ -375,6 +388,51 @@ object Similarity {
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid")))
         .cast("long"))
       .where(col("rank") <= k)
+  }
+
+  /** TWO-LAYER hierarchical graph search — the actual HNSW structure
+    * (Malkov & Yashunin 2016: upper layers are sampled subsets whose
+    * long-range links route a query to the right REGION; the bottom
+    * layer refines): layer 1 is a deterministic md5 sample (`keep` of
+    * `nBuckets` — the engine-portable stand-in for HNSW's geometric
+    * level draw) with its OWN cross-cell kNN graph; every query walks
+    * layer 1 from ONE GLOBAL ENTRY POINT (the sampled node with the
+    * smallest vec_id, HNSW's fixed enterpoint) to find its best
+    * layer-1 node, which seeds the layer-0 walk over the full-corpus
+    * graph. The structural point vs [[annGraphSearch]]: the flat walk
+    * seeds each query AT ITSELF, which only works when the query IS a
+    * corpus member — the hierarchy is what serves a query from a cold
+    * start, and the spec pins that a far-from-entry query still
+    * reaches its true neighbourhood through the layer-1 routing.
+    *
+    * Scale plan: layer 1 is |corpus|·keep/nBuckets nodes — its graph
+    * build is the same Σcell·nprobe equi-join on the sample; both
+    * walks are the [[graphWalkFrom]] dataflow (frontier ≤
+    * nQueries·beam rows, scoring broadcasts the query batch onto
+    * node-frame scans); the entry point is a 1-row aggregate under
+    * the codebook collect contract.
+    */
+  def annGraphSearchHier(embeddings: DataFrame, nCentroids: Int, kGraph: Int,
+                         nQueries: Int, beam: Int, rounds: Int, k: Int,
+                         keep: Int = 2, nBuckets: Int = 8,
+                         nprobe: Int = 2): DataFrame = {
+    require(keep >= 1 && keep <= nBuckets,
+      s"annGraphSearchHier: keep=$keep must be in [1, $nBuckets]")
+    VectorExprs.register(embeddings.sparkSession)
+    val base = prepared(embeddings.where(col("embedding").isNotNull))
+    val q = base.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+    val l1 = embeddings.where(sampleBucket(nBuckets) < keep)
+    val e1 = prepared(l1.where(col("embedding").isNotNull))
+    val g1 = knnGraph(l1, nCentroids, kGraph, nprobe)
+      .select(col("vec_id").as("src"), col("nbr")).localCheckpoint()
+    val entry = e1.agg(min(col("vec_id"))).head().getLong(0)
+    val top1 = graphWalkFrom(e1, g1, q,
+        q.select(col("qid"), lit(entry).as("vid")), beam, rounds, 1)
+      .select(col("qid"), col("vid"))
+    val g0 = knnGraph(embeddings, nCentroids, kGraph, nprobe)
+      .select(col("vec_id").as("src"), col("nbr")).localCheckpoint()
+    graphWalkFrom(base, g0, q, top1, beam, rounds, k)
   }
 
   /** Persist the kNN graph to the catalog — build-once/walk-forever
@@ -494,6 +552,27 @@ object Similarity {
     * candidate budget (the build's nprobe≥2 edges cross cell
     * boundaries and the walk compounds them).
     */
+  /** Recall@k of the hierarchical walk vs exact — published next to
+    * [[annGraphSearchRecall]]: the price of serving from a GLOBAL
+    * entry point instead of self-seeding (the cold-start regime the
+    * flat walk cannot serve at all).
+    */
+  def annGraphSearchHierRecall(embeddings: DataFrame, nCentroids: Int,
+                               kGraph: Int, nQueries: Int, beam: Int,
+                               rounds: Int, k: Int, keep: Int = 2,
+                               nBuckets: Int = 8, nprobe: Int = 2): DataFrame = {
+    val exact = cosineTopK(embeddings, nQueries, k).select(col("qid"), col("vid"))
+    val approx = annGraphSearchHier(embeddings, nCentroids, kGraph, nQueries,
+        beam, rounds, k, keep, nBuckets, nprobe)
+      .select(col("qid"), col("vid"), lit(1).as("hit"))
+    exact.join(approx, Seq("qid", "vid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        r3(col("n_hit") / col("n_exact")).as("recall"))
+  }
+
   /** The graph-walk TUNING TABLE (the [[annIvfProbeSweep]] discipline
     * pointed at the graph tier): recall@k at each (beam, rounds)
     * budget in ONE frame — beam bounds the frontier (memory/scoring

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Similarity
@@ -120,6 +121,29 @@ class GraphSearchSpec extends AnyFunSuite {
     val rGraph = recall(Similarity.annGraphSearch(emb, 2, 4, 3, 8, 2, k))
     info(s"ivf nprobe=1 recall = $rIvf, graph walk recall = $rGraph")
     assert(rGraph > rIvf)
+  }
+
+  test("hier walk: a query far from the global entry reaches its true neighbourhood via layer-1 routing; too few rounds cannot") {
+    // angle chain 0°..90° in 15° steps, kGraph=2 (edges = adjacent
+    // angles), keep=nBuckets so layer 1 = the corpus and the test
+    // controls the structure. Entry = id0 (0°); query 1 sits at 90°,
+    // SIX hops away. rounds=3: the layer-1 walk routes to 60° and the
+    // layer-0 walk finishes — answer is the true top-2 {75°, 60°}.
+    // rounds=1 strands the walk at 45° — the reach IS the layered
+    // walk, not an accident of the build.
+    val emb = byAngle(Seq(0, 90, 15, 30, 45, 60, 75))
+    val far = Similarity.annGraphSearchHier(emb, 2, 2, 2, 4, 3, 2,
+        keep = 8, nBuckets = 8)
+      .where(col("qid") === 1).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("vid"))).sorted
+    assert(far.toSeq === Seq((1L, 6L), (2L, 5L)),
+      "rounds=3 must reach the 75°/60° true neighbours")
+    val strand = Similarity.annGraphSearchHier(emb, 2, 2, 2, 4, 1, 2,
+        keep = 8, nBuckets = 8)
+      .where(col("qid") === 1).collect()
+      .map(_.getAs[Long]("vid")).toSet
+    assert(!strand.contains(6L) && !strand.contains(5L),
+      "rounds=1 must NOT reach the far neighbourhood")
   }
 
   test("gate-shape recall on the driver corpus is recorded") {
