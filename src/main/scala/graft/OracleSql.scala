@@ -1899,6 +1899,22 @@ object OracleSql {
        |LEFT JOIN ct USING (qid) LEFT JOIN pr USING (qid)
        |ORDER BY nn.qid""".stripMargin
 
+  /** Semi-hard negatives: exact-cosine ranks m+1..m+k per query. */
+  def mlHardNegatives(nQueries: Int, m: Int, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
+       |xs AS (
+       |  SELECT qid, vec_id AS vid, ${R("list_cosine_similarity(qv, v)")} AS cos
+       |  FROM e CROSS JOIN q WHERE vec_id != qid),
+       |xr AS (
+       |  SELECT qid, vid, cos,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS rank
+       |  FROM xs)
+       |SELECT qid, vid, cos, rank - $m AS neg_rank
+       |FROM xr WHERE rank > $m AND rank <= ${m + k}
+       |ORDER BY qid, neg_rank""".stripMargin
+
   /** Two-layer hierarchical walk: layer-1 md5-sampled graph walked
     * from the global entry (min sampled vec_id), best layer-1 node
     * seeds the layer-0 walk over the full graph. CTE names carry a

@@ -352,6 +352,12 @@ object SparkEntry {
 
     // stored-graph parity: build once to the bucketed catalog, walk
     // without rebuild — byte-equal to the recompute path
+    // semi-hard negatives for contrastive training: exact-cosine ranks
+    // m+1..m+k per query (past the probable-true-positive head)
+    "ml_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(Tables.embeddings(s, dir), 5, 5, 5)
+        .orderBy(col("qid"), col("neg_rank"))),
+
     // two-layer hierarchical walk (HNSW): layer-1 md5 sample walked
     // from the global entry routes each query to its layer-0 seed —
     // serving from a COLD START (no self-seeding)
@@ -2513,6 +2519,7 @@ object SparkEntry {
     "ann_graph_search_recall" -> OracleSql.annGraphSearchRecall(16, 4, 5, 8, 2, 5),
     "ann_graph_sweep" -> OracleSql.annGraphSweep(16, 4, 5, 5,
       Seq((5, 1), (6, 2), (8, 3))),
+    "ml_hard_negatives" -> OracleSql.mlHardNegatives(5, 5, 5),
     "ann_graph_hier" -> OracleSql.annGraphSearchHier(16, 4, 5, 8, 2, 5, 2, 8),
     "ann_graph_hier_recall" ->
       OracleSql.annGraphSearchHierRecall(16, 4, 5, 8, 2, 5, 2, 8),

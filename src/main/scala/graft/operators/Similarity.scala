@@ -552,6 +552,27 @@ object Similarity {
     * candidate budget (the build's nprobe≥2 edges cross cell
     * boundaries and the walk compounds them).
     */
+  /** HARD-NEGATIVE mining for contrastive / embedding training
+    * (Schroff et al. 2015's semi-hard discipline, the SimCSE/DPR
+    * data-prep step): per query, the vectors at exact-cosine ranks
+    * m+1..m+k — similar enough to force a useful gradient, but past
+    * the top-m "probable true positives" whose inclusion as negatives
+    * would poison the loss (the false-negative trap of mining from
+    * rank 1). Emits (qid, vid, cos, neg_rank 1..k).
+    *
+    * Scale shape: [[cosineTopK]]'s salted two-phase top-(m+k) — no
+    * global sort — with a rank filter on top; swap the exact ranker
+    * for the IVF tier at corpus scale, same contract.
+    */
+  def hardNegatives(embeddings: DataFrame, nQueries: Int, m: Int,
+                    k: Int): DataFrame = {
+    require(m >= 1 && k >= 1, s"hardNegatives: need m, k >= 1, got m=$m k=$k")
+    cosineTopK(embeddings, nQueries, m + k)
+      .where(col("rank") > m)
+      .select(col("qid"), col("vid"), col("cos"),
+        (col("rank") - m).cast("long").as("neg_rank"))
+  }
+
   /** Recall@k of the hierarchical walk vs exact — published next to
     * [[annGraphSearchRecall]]: the price of serving from a GLOBAL
     * entry point instead of self-seeding (the cold-start regime the

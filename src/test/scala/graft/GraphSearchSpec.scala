@@ -146,6 +146,15 @@ class GraphSearchSpec extends AnyFunSuite {
       "rounds=1 must NOT reach the far neighbourhood")
   }
 
+  test("hard negatives: the probable-positive head is excluded, neg_rank is contiguous") {
+    // query 0 at 0°; nearest two (10°, 20°) are the head m=2 —
+    // excluded; negatives = the next two by cosine, re-ranked 1..k
+    val emb = byAngle(Seq(0, 10, 20, 30, 40, 50))
+    val out = Similarity.hardNegatives(emb, 1, 2, 2).collect()
+      .map(r => (r.getAs[Long]("neg_rank"), r.getAs[Long]("vid"))).sorted
+    assert(out.toSeq === Seq((1L, 3L), (2L, 4L)))
+  }
+
   test("gate-shape recall on the driver corpus is recorded") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val rec = Similarity.annGraphSearchRecall(emb, 16, 4, 5, 8, 2, 5)
