@@ -822,6 +822,33 @@ object OracleSql {
        |SELECT channel, COUNT(*) AS n_purchases, ${R("SUM(value)")} AS revenue
        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Linear multi-touch attribution: equal split across in-window
+    * touches, direct in full when none.
+    */
+  def attributionLinear(windowMicros: Long): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us, value FROM events),
+       |pu AS (SELECT user_id, event_id AS pid, ts_us AS pts, value AS pval
+       |       FROM e WHERE event_type = 'purchase'),
+       |to2 AS (SELECT user_id, event_type AS channel, ts_us AS tts
+       |        FROM e WHERE event_type != 'purchase'),
+       |m AS (
+       |  SELECT pu.pid, pu.pval, t.channel
+       |  FROM pu LEFT JOIN to2 t
+       |    ON t.user_id = pu.user_id AND t.tts < pu.pts
+       |   AND pu.pts - t.tts <= $windowMicros),
+       |c AS (
+       |  SELECT pid, pval, channel,
+       |         COUNT(channel) OVER (PARTITION BY pid) AS n_touches
+       |  FROM m),
+       |cr AS (
+       |  SELECT COALESCE(channel, 'direct') AS channel,
+       |         CASE WHEN n_touches = 0 THEN pval
+       |              ELSE pval / n_touches END AS credit
+       |  FROM c)
+       |SELECT channel, COUNT(*) AS n_credits, ${R("SUM(credit)")} AS revenue
+       |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Per-purchase attribution rows (the streaming twin's gated batch
     * shape — attributionLastTouch before its aggregate).
     */
@@ -5437,6 +5464,35 @@ object OracleSql {
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        |    MD5(CONCAT('$seed:', CAST(doc_id AS VARCHAR))) AS shuf
        |  FROM documents),
+       |p AS (
+       |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+       |      PARTITION BY shard ORDER BY shuf, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS stream_pos
+       |  FROM s)
+       |SELECT doc_id, shard, n_tokens, stream_pos
+       |FROM p WHERE stream_pos < $tokenBudget
+       |ORDER BY doc_id""".stripMargin
+
+  /** [[sampleTokenBudget]] with BPE-token costs: per-doc n_tokens =
+    * Σ per-word symbol-list lengths under the learned merges (the
+    * bpeCtes word table; words absent from it — single chars — count
+    * their whole-word fallback).
+    */
+  def sampleTokenBudgetBpe(nMerges: Int, tokenBudget: Long, seed: String): String =
+    s"""WITH ${bpeCtes(nMerges)},
+       |wc AS (
+       |  SELECT doc_id, w, COUNT(*) AS c FROM (
+       |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents) u
+       |  WHERE length(w) > 0 GROUP BY 1, 2),
+       |dtok AS (
+       |  SELECT wc.doc_id,
+       |         CAST(SUM(wc.c * len(COALESCE(wn.syms, [wc.w]))) AS BIGINT) AS n_tokens
+       |  FROM wc LEFT JOIN w$nMerges wn ON wn.w = wc.w GROUP BY 1),
+       |s AS (
+       |  SELECT d.doc_id, d.source AS shard, dt.n_tokens,
+       |         MD5(CONCAT('$seed:', CAST(d.doc_id AS VARCHAR))) AS shuf
+       |  FROM documents d JOIN dtok dt ON dt.doc_id = d.doc_id),
        |p AS (
        |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
        |      PARTITION BY shard ORDER BY shuf, doc_id

@@ -1675,6 +1675,12 @@ object SparkEntry {
       TextOps.sampleTokenBudget(Tables.documents(s, dir), 1000L)
         .orderBy(col("doc_id"))),
 
+    // the BPE-real budget: the running sum counts what the training
+    // run pays (whitespace budgets under-charge by the fertility)
+    "sample_token_budget_bpe" -> ((s, dir) =>
+      TextOps.sampleTokenBudgetBpe(Tables.documents(s, dir), 8, 2000L)
+        .orderBy(col("doc_id"))),
+
     // 50/30/20 mixture over three sources at ~2000 total tokens —
     // budgets truncate every source at both SFs (each source holds
     // 1.1-1.5K tokens at sf0.01, 13-14K at sf0.1); the other 17
@@ -2034,6 +2040,12 @@ object SparkEntry {
     // same-user non-purchase event within 24h, else 'direct'
     "attribution_last_touch" -> ((s, dir) =>
       Relational.attributionLastTouch(Tables.events(s, dir), 86400000000L)
+        .orderBy(col("channel"))),
+
+    // linear multi-touch: equal split across in-window touches (the
+    // first corrective to last-touch's retargeting bias)
+    "attribution_linear" -> ((s, dir) =>
+      Relational.attributionLinear(Tables.events(s, dir), 86400000000L)
         .orderBy(col("channel"))),
 
     // per-purchase attribution rows: the batch twin of the streaming
@@ -2686,6 +2698,7 @@ object SparkEntry {
     "embedding_drift" -> OracleSql.embeddingDrift(),
     "corpus_stats" -> OracleSql.corpusStats,
     "sample_token_budget" -> OracleSql.sampleTokenBudget(1000L, "budget"),
+    "sample_token_budget_bpe" -> OracleSql.sampleTokenBudgetBpe(8, 2000L, "budget"),
     "sample_temperature" -> OracleSql.sampleTemperature(2.0, 2000L, "mixture"),
     "sample_mixture" -> OracleSql.sampleMixture(
       Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 2000L, "mixture"),
@@ -2731,6 +2744,7 @@ object SparkEntry {
     "path_topk" -> OracleSql.pathTopK(1800000000L, 20),
     "dwell_time" -> OracleSql.dwellStats,
     "attribution_last_touch" -> OracleSql.attributionLastTouch(86400000000L),
+    "attribution_linear" -> OracleSql.attributionLinear(86400000000L),
     "stream_attribution_batch" -> OracleSql.attributionStreamBatch(86400000000L),
     "sample_fixed_k" -> OracleSql.sampleFixed(5, "panel"),
     "ts_dtw_profile" -> OracleSql.tsDtwProfile(10),

@@ -324,6 +324,46 @@ object Relational {
         (floor(sum(col("value")) * 1000.0 + 0.5001) / 1000.0).as("revenue"))
   }
 
+  /** LINEAR multi-touch attribution — the other pole of the
+    * attribution-modeling spectrum from [[attributionLastTouch]]:
+    * each purchase's value splits EQUALLY across every non-purchase
+    * touch of the same user inside the lookback window (last-touch
+    * over-credits the closer, retargeting-shaped channels; linear is
+    * the standard first corrective). Purchases with no in-window
+    * touch credit "direct" in full. Output per channel: credit count
+    * and attributed revenue; a channel touched twice in one journey
+    * earns two shares — the definition, not a bug.
+    *
+    * Scale plan: ONE user-key equi-join between the purchase stream
+    * and the (windowMicros-bounded) touch stream — the [[rangeJoin]]
+    * volume law, AQE skew-split eligible; the per-purchase touch
+    * count is a purchases-sized window; the final aggregate is
+    * |channels| map-side-combined. Credits stay raw doubles and round
+    * once per channel.
+    */
+  def attributionLinear(events: DataFrame, windowMicros: Long): DataFrame = {
+    val base = events.select(col("user_id"), col("event_id"),
+      col("event_type"), unix_micros(col("ts")).as("ts_us"), col("value"))
+    val purchases = base.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        col("ts_us").as("pts"), col("value").as("pval"))
+    val touches = base.where(col("event_type") =!= "purchase")
+      .select(col("user_id").as("t_user"), col("event_type").as("channel"),
+        col("ts_us").as("tts"))
+    purchases.join(touches,
+        purchases("user_id") === touches("t_user") &&
+          col("tts") < col("pts") && col("pts") - col("tts") <= windowMicros,
+        "left")
+      .withColumn("n_touches",
+        count(col("tts")).over(Window.partitionBy(col("pid"))))
+      .select(coalesce(col("channel"), lit("direct")).as("channel"),
+        when(col("n_touches") === 0, col("pval"))
+          .otherwise(col("pval") / col("n_touches")).as("credit"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_credits"),
+        (floor(sum(col("credit")) * 1000.0 + 0.5001) / 1000.0).as("revenue"))
+  }
+
   /** Dwell-time distribution per event type: the gap to the SAME
     * user's next event (any type), in seconds — count, mean and
     * exact p50/p90. The "how long do users sit on X" engagement

@@ -917,6 +917,39 @@ object TextOps {
       .select(col("doc_id"), col("shard"), col("n_tokens"), col("stream_pos"))
   }
 
+  /** [[sampleTokenBudget]] with TOKENIZER-REAL costs: the running
+    * budget counts BPE tokens under the learned merge list instead of
+    * whitespace words — the number the training run actually pays
+    * (whitespace counts under-charge high-fertility text, so a
+    * whitespace-budgeted sample silently overshoots the real token
+    * budget by exactly the corpus fertility; see [[bpeFertility]]).
+    * Same seeded md5 order, same first-doc-per-shard guarantee, same
+    * auditable (n_tokens, stream_pos) output — only the cost model
+    * changes.
+    *
+    * Scale shape: one zero-exchange BPE-encode projection
+    * ([[graft.functions.BpeApply]], O(len)/row, riding the scan) +
+    * the ONE shard-key shuffle and running sum of the whitespace
+    * variant.
+    */
+  def sampleTokenBudgetBpe(docs: DataFrame, nMerges: Int, tokenBudget: Long,
+                           shardCol: String = "source",
+                           seed: String = "budget"): DataFrame = {
+    require(tokenBudget > 0,
+      s"sampleTokenBudgetBpe: tokenBudget must be positive, got $tokenBudget")
+    val merges = bpeTrainMerges(docs, nMerges).map(m => (m._2, m._3))
+    val enc = graft.functions.BpeApply.encode(merges)
+      .replace("\\", "\\\\").replace("'", "\\'")
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), col(shardCol).as("shard"),
+        expr(s"CAST(size(flatten(transform(split(text, ' '), " +
+          s"w -> graft_bpe_apply(w, '$enc')))) AS BIGINT)").as("n_tokens"))
+      .withColumn("stream_pos", streamPos(Seq(shuffleKey(seed), col("doc_id"))))
+      .where(col("stream_pos") < tokenBudget)
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("stream_pos"))
+  }
+
   /** Per-source budgets of a mixture: floor(weight × totalBudget) as
     * literal longs. Public because [[graft.OracleSql]] must embed the
     * IDENTICAL literals — one formula, both engines.

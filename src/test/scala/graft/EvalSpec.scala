@@ -29,6 +29,27 @@ class EvalSpec extends AnyFunSuite {
     assert(out === Map("view" -> ((1L, 10.0)), "direct" -> ((2L, 25.0))))
   }
 
+  test("attributionLinear: equal split, repeat-channel double credit, stale and no-touch go direct") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(h: Long) = new java.sql.Timestamp(base.getTime + h * 3600000L)
+    val ev = Seq(
+      (1L, 1L, ts(0), "view", 0.0),
+      (1L, 2L, ts(1), "click", 0.0),
+      (1L, 3L, ts(2), "purchase", 10.0),  // view+click -> 5 each
+      (1L, 4L, ts(50), "purchase", 20.0), // all touches stale -> direct
+      (2L, 5L, ts(0), "purchase", 5.0),   // no prior -> direct
+      (3L, 6L, ts(0), "view", 0.0),
+      (3L, 7L, ts(1), "view", 0.0),
+      (3L, 8L, ts(2), "purchase", 9.0))   // view twice -> 4.5 + 4.5
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val out = Relational.attributionLinear(ev, 86400000000L).collect()
+      .map(r => (r.getAs[String]("channel"), r.getAs[Long]("n_credits"),
+        r.getAs[Double]("revenue"))).sortBy(_._1)
+    assert(out.toSeq === Seq(
+      ("click", 1L, 5.0), ("direct", 2L, 25.0), ("view", 3L, 14.0)))
+  }
+
   test("growthRates: calendar-honest lags, gaps yield NULL") {
     import spark.implicits._
     val rows = Seq(1, 2, 3, 4, 5, 6, 7, 8, 10).map(d =>

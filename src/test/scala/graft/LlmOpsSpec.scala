@@ -622,6 +622,27 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sampleTokenBudgetBpe: n_tokens are the tokenizer counts, budget cut honors the md5 order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaab aaab", "s0"), (2L, "ab", "s0"), (3L, "aaab xyz aaab", "s0"),
+      (4L, "zz zz zz", "s1"))
+      .toDF("doc_id", "text", "source")
+    val merges = TextOps.bpeTrainMerges(docs, 3).map(t => (t._2, t._3))
+    val enc = TextOps.bpeEncode(docs, merges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a budget big enough for everything: every doc survives and each
+    // n_tokens is the tokenizer count, positions are the exclusive
+    // running sums in md5 order
+    val all = TextOps.sampleTokenBudgetBpe(docs, 3, 1000L).collect()
+    assert(all.length === 4)
+    all.foreach(r => assert(r.getAs[Long]("n_tokens") === enc(r.getLong(0))))
+    // budget 1: only the md5-first doc of each shard survives (the
+    // first-doc guarantee), with stream_pos 0
+    val cut = TextOps.sampleTokenBudgetBpe(docs, 3, 1L).collect()
+    assert(cut.length === 2 && cut.forall(_.getAs[Long]("stream_pos") === 0L))
+  }
+
   test("tokenTrending: a new-snapshot-only token tops the rising list; shared tokens score 0") {
     import spark.implicits._
     // even doc = old snapshot, odd = new; 3 tokens per side
