@@ -1926,6 +1926,30 @@ object OracleSql {
        |LEFT JOIN ct USING (qid) LEFT JOIN pr USING (qid)
        |ORDER BY nn.qid""".stripMargin
 
+  /** Embedding outliers: per-cell Hampel rule on cosine-to-own-
+    * centroid (assignment = the crank-1 convention).
+    */
+  def embeddingOutliers(nCentroids: Int, nMads: Double): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $nCentroids),
+       |a0 AS (
+       |  SELECT e.vec_id, c.cid, ${R("list_cosine_similarity(e.v, c.cv)")} AS ccos
+       |  FROM e CROSS JOIN c),
+       |a1 AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+       |  FROM a0),
+       |asg AS (SELECT vec_id, cid AS cell, ccos FROM a1 WHERE crank = 1),
+       |m1 AS (SELECT cell, MEDIAN(ccos) AS med FROM asg GROUP BY cell),
+       |m2 AS (
+       |  SELECT a.cell, MEDIAN(ABS(a.ccos - m.med)) AS mad
+       |  FROM asg a JOIN m1 m USING (cell) GROUP BY a.cell)
+       |SELECT a.vec_id, a.cell, a.ccos, ${R("m.med")} AS med,
+       |       ${R("ABS(a.ccos - m.med) / NULLIF(x.mad, 0)")} AS n_mads
+       |FROM asg a JOIN m1 m USING (cell) JOIN m2 x USING (cell)
+       |WHERE ABS(a.ccos - m.med) > $nMads * x.mad
+       |ORDER BY a.vec_id""".stripMargin
+
   /** Semi-hard negatives: exact-cosine ranks m+1..m+k per query. */
   def mlHardNegatives(nQueries: Int, m: Int, k: Int): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

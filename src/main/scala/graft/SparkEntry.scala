@@ -352,6 +352,12 @@ object SparkEntry {
 
     // stored-graph parity: build once to the bucketed catalog, walk
     // without rebuild — byte-equal to the recompute path
+    // corrupt-vector audit: per-cell Hampel rule on cosine-to-own-
+    // centroid (the robust outliersMad convention on embeddings)
+    "embedding_outliers" -> ((s, dir) =>
+      Similarity.embeddingOutliers(Tables.embeddings(s, dir), 16, 3.0)
+        .orderBy(col("vec_id"))),
+
     // semi-hard negatives for contrastive training: exact-cosine ranks
     // m+1..m+k per query (past the probable-true-positive head)
     "ml_hard_negatives" -> ((s, dir) =>
@@ -2532,6 +2538,7 @@ object SparkEntry {
     "ann_graph_sweep" -> OracleSql.annGraphSweep(16, 4, 5, 5,
       Seq((5, 1), (6, 2), (8, 3))),
     "ml_hard_negatives" -> OracleSql.mlHardNegatives(5, 5, 5),
+    "embedding_outliers" -> OracleSql.embeddingOutliers(16, 3.0),
     "ann_graph_hier" -> OracleSql.annGraphSearchHier(16, 4, 5, 8, 2, 5, 2, 8),
     "ann_graph_hier_recall" ->
       OracleSql.annGraphSearchHierRecall(16, 4, 5, 8, 2, 5, 2, 8),

@@ -552,6 +552,42 @@ object Similarity {
     * candidate budget (the build's nprobe≥2 edges cross cell
     * boundaries and the walk compounds them).
     */
+  /** EMBEDDING OUTLIER audit — the corrupt-vector detector an
+    * embedding pipeline runs after every batch-inference job (a
+    * truncated write, a mis-normalized shard, an all-zeros failure row
+    * all land FAR from any centroid): per vector the cosine to its
+    * OWN IVF centroid, flagged when |cos − cell median| exceeds
+    * `nMads` cell MADs — the robust (Hampel) rule of the
+    * [[graft.operators.TimeSeries.outliersMad]] convention, so one
+    * bad shard can't drag the threshold the way a mean/σ rule lets it.
+    *
+    * Scale shape: the cell assignment is the zero-exchange [[IvfCell]]
+    * projection; the centroid join BROADCASTS (codebook-sized); the
+    * two medians window per cell on ONE cell exchange; output is the
+    * flagged tail only.
+    */
+  def embeddingOutliers(embeddings: DataFrame, nCentroids: Int,
+                        nMads: Double): DataFrame = {
+    VectorExprs.register(embeddings.sparkSession)
+    val enc = quantizer(embeddings, nCentroids)
+    val cents = prepared(
+        embeddings.where(col("vec_id") < nCentroids && col("embedding").isNotNull))
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cn"))
+    val wCell = Window.partitionBy(col("cell"))
+    prepared(embeddings.where(col("embedding").isNotNull))
+      .withColumn("cell", expr(s"coalesce(graft_ivf_cell(v, '$enc'), -1L)"))
+      .join(broadcast(cents), "cell")
+      .select(col("vec_id"), col("cell"),
+        r3(expr("graft_vec_dot(v, cv)") / (col("norm") * col("cn"))).as("ccos"))
+      .withColumn("med", expr("percentile(ccos, 0.5)").over(wCell))
+      .withColumn("mad", expr("percentile(abs(ccos - med), 0.5)").over(wCell))
+      .where(abs(col("ccos") - col("med")) > lit(nMads) * col("mad"))
+      .select(col("vec_id"), col("cell"), col("ccos"),
+        r3(col("med")).as("med"),
+        r3(abs(col("ccos") - col("med")) / nullif(col("mad"), lit(0.0)))
+          .as("n_mads"))
+  }
+
   /** HARD-NEGATIVE mining for contrastive / embedding training
     * (Schroff et al. 2015's semi-hard discipline, the SimCSE/DPR
     * data-prep step): per query, the vectors at exact-cosine ranks

@@ -155,6 +155,16 @@ class GraphSearchSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 3L), (2L, 4L)))
   }
 
+  test("embedding outliers: the corrupt far-from-centroid vector flags, tight cluster members do not") {
+    // two tight clusters around the 0°/90° centroids (ids 0, 1);
+    // id12 at 45° is the corrupt vector — equidistant from both,
+    // ~0.29 below its cell median while the cluster MAD is ~0.001
+    val emb = byAngle(Seq(0, 90, 1, 2, 3, 4, 5, 89, 88, 87, 86, 85, 45))
+    val out = Similarity.embeddingOutliers(emb, 2, 3.0).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell")))
+    assert(out.toSeq === Seq((12L, 0L)))
+  }
+
   test("gate-shape recall on the driver corpus is recorded") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val rec = Similarity.annGraphSearchRecall(emb, 16, 4, 5, 8, 2, 5)
