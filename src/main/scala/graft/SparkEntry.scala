@@ -375,6 +375,15 @@ object SparkEntry {
       Similarity.annGraphSearchHierRecall(Tables.embeddings(s, dir), 16, 4, 5, 8, 2, 5)
         .orderBy(col("qid"))),
 
+    // both layers persisted; walk reads _nodes/_edges/_hmeta only —
+    // byte-equal to the recompute path (stored-parity contract)
+    "ann_graph_hier_stored" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeKnnGraphHier(emb, 16, 4, "graft_knng_hier", 8)
+      Similarity.annGraphSearchHierStored(emb.sparkSession, "graft_knng_hier", 5, 8, 2, 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // the walk-budget tuning table: recall@k at each (beam, rounds);
     // graph and exact side each build once
     "ann_graph_sweep" -> ((s, dir) =>
@@ -2540,6 +2549,7 @@ object SparkEntry {
     "ml_hard_negatives" -> OracleSql.mlHardNegatives(5, 5, 5),
     "embedding_outliers" -> OracleSql.embeddingOutliers(16, 3.0),
     "ann_graph_hier" -> OracleSql.annGraphSearchHier(16, 4, 5, 8, 2, 5, 2, 8),
+    "ann_graph_hier_stored" -> OracleSql.annGraphSearchHier(16, 4, 5, 8, 2, 5, 2, 8),
     "ann_graph_hier_recall" ->
       OracleSql.annGraphSearchHierRecall(16, 4, 5, 8, 2, 5, 2, 8),
     "ann_graph_stored" -> OracleSql.annGraphSearch(16, 4, 5, 8, 2, 5),

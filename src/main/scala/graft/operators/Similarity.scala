@@ -609,6 +609,56 @@ object Similarity {
         (col("rank") - m).cast("long").as("neg_rank"))
   }
 
+  /** Persist BOTH layers of the hierarchical graph — the
+    * [[writeKnnGraph]] discipline applied per layer, plus a `_hmeta`
+    * table carrying the sample parameters and the GLOBAL ENTRY node
+    * (walk-time recomputation of the entry would re-scan layer 1 for
+    * a constant that never changes after build). Walks against the
+    * store never touch build inputs.
+    */
+  def writeKnnGraphHier(embeddings: DataFrame, nCentroids: Int, kGraph: Int,
+                        table: String, nBuckets: Int, keep: Int = 2,
+                        nSample: Int = 8, nprobe: Int = 2): Unit = {
+    require(keep >= 1 && keep <= nSample,
+      s"writeKnnGraphHier: keep=$keep must be in [1, $nSample]")
+    val spark = embeddings.sparkSession
+    val l1 = embeddings.where(sampleBucket(nSample) < keep)
+    writeKnnGraph(embeddings, nCentroids, kGraph, s"${table}_l0", nBuckets, nprobe)
+    writeKnnGraph(l1, nCentroids, kGraph, s"${table}_l1", nBuckets, nprobe)
+    val entry = spark.table(s"${table}_l1_nodes")
+      .agg(min(col("vec_id"))).head().getLong(0)
+    import spark.implicits._
+    Seq((keep, nSample, entry)).toDF("keep", "n_sample", "entry")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_hmeta")
+  }
+
+  /** [[annGraphSearchHier]] against the STORED two-layer graph — no
+    * rebuild; vectors come from each layer's `_nodes` (the graph
+    * store IS the vector store), the entry from `_hmeta`. Byte-equal
+    * to the recompute path on the same build input (the stored-parity
+    * contract).
+    */
+  def annGraphSearchHierStored(spark: org.apache.spark.sql.SparkSession,
+                               table: String, nQueries: Int, beam: Int,
+                               rounds: Int, k: Int): DataFrame = {
+    VectorExprs.register(spark)
+    require(spark.catalog.tableExists(s"${table}_hmeta"),
+      s"hier graph '$table' has no ${table}_hmeta table — build it with writeKnnGraphHier")
+    val entry = spark.table(s"${table}_hmeta").head().getAs[Long]("entry")
+    def nodes(layer: String) = spark.table(s"${table}_${layer}_nodes")
+      .select(col("vec_id"), col("v"))
+      .withColumn("norm", sqrt(expr("graft_vec_dot(v, v)")))
+    def edges(layer: String) = spark.table(s"${table}_${layer}_edges")
+      .select(col("src"), col("nbr"))
+    val e0 = nodes("l0")
+    val q = e0.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+    val top1 = graphWalkFrom(nodes("l1"), edges("l1"), q,
+        q.select(col("qid"), lit(entry).as("vid")), beam, rounds, 1)
+      .select(col("qid"), col("vid"))
+    graphWalkFrom(e0, edges("l0"), q, top1, beam, rounds, k)
+  }
+
   /** Recall@k of the hierarchical walk vs exact — published next to
     * [[annGraphSearchRecall]]: the price of serving from a GLOBAL
     * entry point instead of self-seeding (the cold-start regime the

@@ -155,6 +155,22 @@ class GraphSearchSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 3L), (2L, 4L)))
   }
 
+  test("stored hier walk is byte-equal to the recompute path; missing meta fails eagerly") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    Similarity.writeKnnGraphHier(emb, 16, 4, "graft_knng_hier_spec", 4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vid"), r.getAs[Double]("cos"))).sorted.toSeq
+    val recompute = rows(Similarity.annGraphSearchHier(emb, 16, 4, 5, 8, 2, 5))
+    val stored = rows(Similarity.annGraphSearchHierStored(
+      emb.sparkSession, "graft_knng_hier_spec", 5, 8, 2, 5))
+    assert(stored === recompute)
+    val err = intercept[IllegalArgumentException] {
+      Similarity.annGraphSearchHierStored(emb.sparkSession, "graft_missing_hier", 5, 8, 2, 5)
+    }
+    assert(err.getMessage.contains("writeKnnGraphHier"))
+  }
+
   test("embedding outliers: the corrupt far-from-centroid vector flags, tight cluster members do not") {
     // two tight clusters around the 0°/90° centroids (ids 0, 1);
     // id12 at 45° is the corrupt vector — equidistant from both,

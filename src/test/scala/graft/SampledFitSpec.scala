@@ -17,6 +17,26 @@ class SampledFitSpec extends AnyFunSuite {
   lazy val spark: SparkSession = Session.local(4)
   val dir = "/root/testdata/sf0.001"
 
+  test("trained-artifact memo: distinct corpora with identical schema never collide; repeat fits hit the cache") {
+    import spark.implicits._
+    def corpus(shift: Double) = (0L until 24L)
+      .map(i => (i, Seq.tabulate(4)(d => (i % 3).toDouble + shift + d * 0.01)))
+      .toDF("vec_id", "embedding")
+    val a = corpus(0.0)
+    val b = corpus(5.0) // same schema, different data — a key collision
+                        // would hand b the codebook trained on a
+    val ca = Similarity.kmeansCentroids(a, 3, 2)
+    val cb = Similarity.kmeansCentroids(b, 3, 2)
+    assert(ca.map(_._2.toSeq).toSeq !== cb.map(_._2.toSeq).toSeq,
+      "different corpora must train different codebooks (memo key collision)")
+    // the repeat fit is the memo hit: the SAME array instance comes back
+    assert(Similarity.kmeansCentroids(a, 3, 2) eq ca)
+    // different params under the same input are distinct keys: a new
+    // training run happens (a fresh instance, even if the trajectory
+    // converges to equal values on this corpus)
+    assert(!(Similarity.kmeansCentroids(a, 3, 1) eq ca))
+  }
+
   test("sampled kmeans fit is deterministic (same sample, same codebook)") {
     val emb = Tables.embeddings(spark, dir)
     val a = Similarity.kmeansCentroidsSampled(emb, 8, 2, 1, 4)
