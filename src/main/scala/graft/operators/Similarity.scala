@@ -87,6 +87,38 @@ object Similarity {
     */
   private[graft] def clearTrainedMemo(): Unit = trainedMemo.clear()
 
+  /** The memo specialized to DISTRIBUTED artifacts (localCheckpointed
+    * frames — the kNN-graph edge lists): same key discipline as the
+    * driver-artifact memo, plus a liveness guard — a checkpointed
+    * frame is only as alive as its SparkContext, so a hit whose
+    * context has stopped rebuilds instead of handing out dead RDDs.
+    */
+  /** Memoized, checkpointed (src, nbr) edge frame of [[knnGraph]] —
+    * the walk consumers (flat search, sweep, both hier layers) often
+    * build the IDENTICAL graph inside one process; the build is the
+    * family's dominant cost and the result is immutable, so it
+    * follows the trained-artifact discipline.
+    */
+  private def knnGraphEdges(embeddings: DataFrame, nCentroids: Int,
+                            kGraph: Int, nprobe: Int): DataFrame =
+    memoizedFrame(embeddings, s"knng:$nCentroids:$kGraph:$nprobe") {
+      knnGraph(embeddings, nCentroids, kGraph, nprobe)
+        .select(col("vec_id").as("src"), col("nbr")).localCheckpoint()
+    }
+
+  private def memoizedFrame(df: DataFrame, tag: String)
+                           (build: => DataFrame): DataFrame = {
+    if (trainedMemo.size > 256) trainedMemo.clear()
+    val k = new TrainKey(df, tag)
+    trainedMemo.get(k) match {
+      case Some(g: DataFrame) if !g.sparkSession.sparkContext.isStopped => g
+      case _ =>
+        val g = build
+        trainedMemo.put(k, g)
+        g
+    }
+  }
+
   /** The first `n` vectors (by vec_id, ascending), widened to doubles
     * — ONE driver collect shared by codebook, quantizer and query-
     * table construction (O(n·dim), the footprint a broadcast would
@@ -333,8 +365,7 @@ object Similarity {
   def annGraphSearch(embeddings: DataFrame, nCentroids: Int, kGraph: Int,
                      nQueries: Int, beam: Int, rounds: Int, k: Int,
                      nprobe: Int = 2): DataFrame = {
-    val graph = knnGraph(embeddings, nCentroids, kGraph, nprobe)
-      .select(col("vec_id").as("src"), col("nbr")).localCheckpoint()
+    val graph = knnGraphEdges(embeddings, nCentroids, kGraph, nprobe)
     graphWalk(prepared(embeddings.where(col("embedding").isNotNull)),
       graph, nQueries, beam, rounds, k)
   }
@@ -424,14 +455,12 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
     val l1 = embeddings.where(sampleBucket(nBuckets) < keep)
     val e1 = prepared(l1.where(col("embedding").isNotNull))
-    val g1 = knnGraph(l1, nCentroids, kGraph, nprobe)
-      .select(col("vec_id").as("src"), col("nbr")).localCheckpoint()
+    val g1 = knnGraphEdges(l1, nCentroids, kGraph, nprobe)
     val entry = e1.agg(min(col("vec_id"))).head().getLong(0)
     val top1 = graphWalkFrom(e1, g1, q,
         q.select(col("qid"), lit(entry).as("vid")), beam, rounds, 1)
       .select(col("qid"), col("vid"))
-    val g0 = knnGraph(embeddings, nCentroids, kGraph, nprobe)
-      .select(col("vec_id").as("src"), col("nbr")).localCheckpoint()
+    val g0 = knnGraphEdges(embeddings, nCentroids, kGraph, nprobe)
     graphWalkFrom(base, g0, q, top1, beam, rounds, k)
   }
 
@@ -693,8 +722,7 @@ object Similarity {
                     nQueries: Int, k: Int, params: Seq[(Int, Int)],
                     nprobe: Int = 2): DataFrame = {
     require(params.nonEmpty, "annGraphSweep: need at least one (beam, rounds)")
-    val graph = knnGraph(embeddings, nCentroids, kGraph, nprobe)
-      .select(col("vec_id").as("src"), col("nbr")).localCheckpoint()
+    val graph = knnGraphEdges(embeddings, nCentroids, kGraph, nprobe)
     val e = prepared(embeddings.where(col("embedding").isNotNull))
     val exact = cosineTopK(embeddings, nQueries, k)
       .select(col("qid"), col("vid")).localCheckpoint()
