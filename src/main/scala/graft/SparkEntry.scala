@@ -375,6 +375,18 @@ object SparkEntry {
       Similarity.annGraphSearchHierRecall(Tables.embeddings(s, dir), 16, 4, 5, 8, 2, 5)
         .orderBy(col("qid"))),
 
+    // two-batch hier build (append after a partial build) walked
+    // against the one-shot oracle — the incremental-maintenance
+    // identity per layer plus the entry min
+    "ann_graph_hier_inc" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeKnnGraphHier(emb.where(col("vec_id") < 200), 16, 4,
+        "graft_knng_hier_inc", 8)
+      Similarity.appendKnnGraphHier(emb.where(col("vec_id") >= 200), "graft_knng_hier_inc")
+      Similarity.annGraphSearchHierStored(emb.sparkSession, "graft_knng_hier_inc", 5, 8, 2, 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // both layers persisted; walk reads _nodes/_edges/_hmeta only —
     // byte-equal to the recompute path (stored-parity contract)
     "ann_graph_hier_stored" -> ((s, dir) => {
@@ -2550,6 +2562,7 @@ object SparkEntry {
     "embedding_outliers" -> OracleSql.embeddingOutliers(16, 3.0),
     "ann_graph_hier" -> OracleSql.annGraphSearchHier(16, 4, 5, 8, 2, 5, 2, 8),
     "ann_graph_hier_stored" -> OracleSql.annGraphSearchHier(16, 4, 5, 8, 2, 5, 2, 8),
+    "ann_graph_hier_inc" -> OracleSql.annGraphSearchHier(16, 4, 5, 8, 2, 5, 2, 8),
     "ann_graph_hier_recall" ->
       OracleSql.annGraphSearchHierRecall(16, 4, 5, 8, 2, 5, 2, 8),
     "ann_graph_stored" -> OracleSql.annGraphSearch(16, 4, 5, 8, 2, 5),

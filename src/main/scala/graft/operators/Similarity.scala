@@ -661,6 +661,38 @@ object Similarity {
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_hmeta")
   }
 
+  /** Append a delta batch to a STORED hierarchical graph without a
+    * rebuild: layer 0 appends every new vector ([[appendKnnGraph]]'s
+    * incremental-maintenance identity), layer 1 appends only the
+    * delta's md5-sampled slice (the SAME `keep`/`n_sample` rule from
+    * `_hmeta`, so the stored sample stays exactly "what a one-shot
+    * build over old ∪ delta would sample"), and the entry point
+    * updates to min(old entry, new layer-1 min) — the one-shot
+    * build's min over the whole sample. Provably ≡ the one-shot hier
+    * build because each layer's append is and the entry is a pure
+    * min. Deltas with NO sampled member leave layer 1 untouched (an
+    * append must not be able to empty-handedly rewrite a layer).
+    */
+  def appendKnnGraphHier(newVecs: DataFrame, table: String): Unit = {
+    val spark = newVecs.sparkSession
+    require(spark.catalog.tableExists(s"${table}_hmeta"),
+      s"hier graph '$table' has no ${table}_hmeta table — build it with writeKnnGraphHier")
+    val hm = spark.table(s"${table}_hmeta").collect().head
+    val (keep, nSample, entry) = (hm.getAs[Int]("keep"),
+      hm.getAs[Int]("n_sample"), hm.getAs[Long]("entry"))
+    appendKnnGraph(newVecs, s"${table}_l0")
+    val l1Delta = newVecs.where(sampleBucket(nSample) < keep)
+    val newL1Min = l1Delta.where(col("embedding").isNotNull)
+      .agg(min(col("vec_id"))).head().get(0)
+    if (newL1Min != null) {
+      appendKnnGraph(l1Delta, s"${table}_l1")
+      import spark.implicits._
+      Seq((keep, nSample, math.min(entry, newL1Min.asInstanceOf[Long])))
+        .toDF("keep", "n_sample", "entry")
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_hmeta")
+    }
+  }
+
   /** [[annGraphSearchHier]] against the STORED two-layer graph — no
     * rebuild; vectors come from each layer's `_nodes` (the graph
     * store IS the vector store), the entry from `_hmeta`. Byte-equal

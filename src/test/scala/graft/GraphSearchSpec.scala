@@ -171,6 +171,20 @@ class GraphSearchSpec extends AnyFunSuite {
     assert(err.getMessage.contains("writeKnnGraphHier"))
   }
 
+  test("hier append maintains both layers and the entry: two-batch equals one-shot") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    Similarity.writeKnnGraphHier(emb, 16, 4, "graft_hier_one", 4)
+    Similarity.writeKnnGraphHier(emb.where(col("vec_id") < 250), 16, 4, "graft_hier_two", 4)
+    Similarity.appendKnnGraphHier(emb.where(col("vec_id") >= 250), "graft_hier_two")
+    def edges(t: String, layer: String) = spark.table(s"${t}_${layer}_edges")
+      .collect().map(r => (r.getAs[Long]("src"), r.getAs[Long]("nbr"),
+        r.getAs[Double]("cos"))).sorted.toSeq
+    assert(edges("graft_hier_two", "l0") === edges("graft_hier_one", "l0"))
+    assert(edges("graft_hier_two", "l1") === edges("graft_hier_one", "l1"))
+    def entry(t: String) = spark.table(s"${t}_hmeta").head().getAs[Long]("entry")
+    assert(entry("graft_hier_two") === entry("graft_hier_one"))
+  }
+
   test("embedding outliers: the corrupt far-from-centroid vector flags, tight cluster members do not") {
     // two tight clusters around the 0°/90° centroids (ids 0, 1);
     // id12 at 45° is the corrupt vector — equidistant from both,
