@@ -56,6 +56,9 @@ object PerfProbe {
     val results = names.map { n =>
       val samples = (1 to reps).map { _ =>
         spark.sharedState.cacheManager.clearCache()
+        // min-of-N must measure the STANDALONE query each rep — the
+        // train-once memo would make rep 2+ serve-only
+        graft.operators.Similarity.clearTrainedMemo()
         val t0 = System.nanoTime()
         // noop-write sink, same as Bench: a count() lets Catalyst
         // prune unreferenced projections and top-level sorts, so

@@ -830,6 +830,10 @@ object Soak {
       // linear); the walk itself is nQueries·beam·rounds — flat
       "ann_graph_search" -> (() =>
         Similarity.annGraphSearch(emb, 16 * factor, 4, 5, 8, 2, 5)),
+      // two-layer hierarchy: layer-1 sample is corpus/4, both layers'
+      // builds follow the same √n-centroids law
+      "ann_graph_hier" -> (() =>
+        Similarity.annGraphSearchHier(emb, 16 * factor, 4, 5, 8, 2, 5)),
       // stage 1 truncated scan grows linearly; shortlist broadcast-back
       // rerank is query-bounded
       "ann_matryoshka" -> (() => Similarity.annMatryoshka(emb, 16, 5, 25, 5)),
@@ -879,6 +883,9 @@ object Soak {
       .map { case (name, mk) =>
       def once(): Double = {
         spark.sharedState.cacheManager.clearCache()
+        // the soak measures the BUILD's scale law — the train-once
+        // memo (legitimate in Verify/Bench) would hide exactly it
+        graft.operators.Similarity.clearTrainedMemo()
         val t0 = System.nanoTime()
         sink(mk())
         (System.nanoTime() - t0) / 1e9
