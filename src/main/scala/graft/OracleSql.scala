@@ -5300,6 +5300,19 @@ object OracleSql {
        |st AS (SELECT doc_id, p FROM w WHERE gram IN (SELECT gram FROM d)),
        |${spanMergeCtes(l)}""".stripMargin
 
+  /** Cross-corpus ExactSubstr vs the stored gram index: spans of the
+    * even half covered by `l`-grams occurring in the odd half.
+    */
+  def dedupSubstringStored(l: Int): String =
+    s"""WITH ${tokenWindowCtes(l)},
+       |b AS (SELECT DISTINCT gram FROM w WHERE doc_id % 2 = 1),
+       |st AS (SELECT doc_id, p FROM w
+       |       WHERE doc_id % 2 = 0 AND gram IN (SELECT gram FROM b)),
+       |${spanMergeCtes(l)}
+       |SELECT doc_id, span_start, span_end,
+       |       span_end - span_start + 1 AS span_toks
+       |FROM spans ORDER BY doc_id, span_start""".stripMargin
+
   /** Span-level decontamination: maximal merged coverage of `n`-grams
     * occurring in the benchmark half (doc_id % mod = 0).
     */

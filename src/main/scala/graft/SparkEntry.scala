@@ -1644,6 +1644,18 @@ object SparkEntry {
       Dedup.substringStrip(Tables.documents(s, dir), 8)
         .orderBy(col("doc_id"))),
 
+    // cross-corpus ExactSubstr against the STORED gram index: odd half
+    // indexed once (bucketed), even half probed — the
+    // reference-too-big-to-broadcast regime
+    "dedup_substring_stored" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.writeSubstringIndex(docs.where(col("doc_id") % 2 === 1), 6,
+        "graft_subidx", 8)
+      Dedup.substringSpansAgainstIndex(docs.where(col("doc_id") % 2 === 0),
+          "graft_subidx")
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     // span-level decontamination: the exact text to cut (vs 39's
     // whole-doc flag); benchmark = every 50th doc, the 39 convention
     "decontaminate_spans" -> ((s, dir) => {
@@ -2719,6 +2731,7 @@ object SparkEntry {
     "dedup_substring_exact" -> OracleSql.dedupSubstringExact(8),
     "dedup_substring_strip" -> OracleSql.dedupSubstringStrip(8),
     "decontaminate_spans" -> OracleSql.decontaminateSpans(4, 50),
+    "dedup_substring_stored" -> OracleSql.dedupSubstringStored(6),
     "corpus_diversity" -> OracleSql.corpusDiversity,
     "text_bm25" -> OracleSql.textBm25(Seq("hash", "join", "vector"), 10),
     "search_hybrid_rrf" -> OracleSql.hybridRrf(Seq("hash", "join", "vector"), 20, 10),

@@ -1058,6 +1058,46 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_toks"))
   }
 
+  /** Persist a corpus's distinct `minLen`-token window grams as a
+    * BUCKETED gram index — the [[graft.operators.Dedup]] cross-corpus
+    * discipline (writeBandIndex's shape) applied at the ExactSubstr
+    * level: the 100-TB reference corpus pays its window pass ONCE,
+    * and every future delta (tonight's crawl, a takedown sweep, a
+    * benchmark check too big to broadcast) probes the bucketed store.
+    * `_smeta` pins the window length so a probe cannot run against a
+    * differently-built index.
+    */
+  def writeSubstringIndex(docs: DataFrame, minLen: Int, table: String,
+                          nBuckets: Int): Unit = {
+    val spark = docs.sparkSession
+    graft.sources.Formats.writeBucketedKeys(
+      tokenWindows(docs, minLen).select(col("gram")).distinct(),
+      s"${table}_grams", Seq("gram"), nBuckets)
+    import spark.implicits._
+    Seq((minLen, nBuckets)).toDF("min_len", "n_buckets")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_smeta")
+  }
+
+  /** Duplicated spans of `docs` against the STORED gram index —
+    * [[graft.operators.TextOps.decontaminateSpans]] with the
+    * reference side too big to broadcast: the delta's windows
+    * (delta-sized) equi-join the bucketed gram store (stored side
+    * carries NO Exchange off its bucketed scan), then the shared
+    * interval merge. Same output contract as the broadcast path —
+    * the spec pins parity.
+    */
+  def substringSpansAgainstIndex(docs: DataFrame, table: String): DataFrame = {
+    val spark = docs.sparkSession
+    require(spark.catalog.tableExists(s"${table}_smeta"),
+      s"substring index '$table' has no ${table}_smeta table — build it with writeSubstringIndex")
+    val minLen = spark.table(s"${table}_smeta").head().getAs[Int]("min_len")
+    mergeSpanStarts(
+      tokenWindows(docs, minLen)
+        .join(spark.table(s"${table}_grams"), Seq("gram"), "left_semi")
+        .select(col("doc_id"), col("p")),
+      minLen)
+  }
+
   /** The STRIP step of ExactSubstr dedup: every document with its
     * duplicated spans ([[substringDupSpans]]) removed — `n_toks`,
     * `n_removed` (0 when clean) and `text_clean` (the surviving

@@ -108,6 +108,24 @@ class SubstringDedupSpec extends AnyFunSuite {
 
   private def r3(x: Double) = math.floor(x * 1000.0 + 0.5001) / 1000.0
 
+  test("stored gram index: probe spans equal the broadcast path; missing meta fails eagerly") {
+    import graft.operators.{Dedup, TextOps}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val ref = docs.where(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
+    val delta = docs.where(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+    Dedup.writeSubstringIndex(ref, 6, "graft_subidx_spec", 4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"))).sorted.toSeq
+    val stored = rows(Dedup.substringSpansAgainstIndex(delta, "graft_subidx_spec"))
+    val broadcastPath = rows(TextOps.decontaminateSpans(delta, ref, 6))
+    assert(stored === broadcastPath && stored.nonEmpty)
+    val err = intercept[IllegalArgumentException] {
+      Dedup.substringSpansAgainstIndex(delta, "graft_subidx_missing")
+    }
+    assert(err.getMessage.contains("writeSubstringIndex"))
+  }
+
   test("strip removes exactly the spanned tokens; clean and all-dup docs survive") {
     val block = toks("x", 8)
     val d = docs(
