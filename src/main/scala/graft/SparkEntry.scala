@@ -1656,6 +1656,19 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("span_start"))
     }),
 
+    // two-batch gram index (append after a partial build) probed
+    // against the one-shot oracle — distinct-union associativity
+    "dedup_substring_stored_inc" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ref = docs.where(col("doc_id") % 2 === 1)
+      Dedup.writeSubstringIndex(ref.where(col("doc_id") < 250), 6,
+        "graft_subidx_inc", 8)
+      Dedup.appendSubstringIndex(ref.where(col("doc_id") >= 250), "graft_subidx_inc")
+      Dedup.substringSpansAgainstIndex(docs.where(col("doc_id") % 2 === 0),
+          "graft_subidx_inc")
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     // span-level decontamination: the exact text to cut (vs 39's
     // whole-doc flag); benchmark = every 50th doc, the 39 convention
     "decontaminate_spans" -> ((s, dir) => {
@@ -2732,6 +2745,7 @@ object SparkEntry {
     "dedup_substring_strip" -> OracleSql.dedupSubstringStrip(8),
     "decontaminate_spans" -> OracleSql.decontaminateSpans(4, 50),
     "dedup_substring_stored" -> OracleSql.dedupSubstringStored(6),
+    "dedup_substring_stored_inc" -> OracleSql.dedupSubstringStored(6),
     "corpus_diversity" -> OracleSql.corpusDiversity,
     "text_bm25" -> OracleSql.textBm25(Seq("hash", "join", "vector"), 10),
     "search_hybrid_rrf" -> OracleSql.hybridRrf(Seq("hash", "join", "vector"), 20, 10),

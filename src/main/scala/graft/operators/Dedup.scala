@@ -1078,6 +1078,24 @@ object Dedup {
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_smeta")
   }
 
+  /** Append new reference documents to a stored gram index WITHOUT a
+    * rebuild — provably ≡ the one-shot build because the store is a
+    * DISTINCT gram set and distinct-union is associative: only grams
+    * absent from the store (one anti-join against the bucketed scan)
+    * append. Window length comes from `_smeta`, never the caller.
+    */
+  def appendSubstringIndex(newDocs: DataFrame, table: String): Unit = {
+    val spark = newDocs.sparkSession
+    require(spark.catalog.tableExists(s"${table}_smeta"),
+      s"substring index '$table' has no ${table}_smeta table — build it with writeSubstringIndex")
+    val m = spark.table(s"${table}_smeta").head()
+    val (minLen, nBuckets) = (m.getAs[Int]("min_len"), m.getAs[Int]("n_buckets"))
+    graft.sources.Formats.writeBucketedKeys(
+      tokenWindows(newDocs, minLen).select(col("gram")).distinct()
+        .join(spark.table(s"${table}_grams"), Seq("gram"), "left_anti"),
+      s"${table}_grams", Seq("gram"), nBuckets, mode = "append")
+  }
+
   /** Duplicated spans of `docs` against the STORED gram index —
     * [[graft.operators.TextOps.decontaminateSpans]] with the
     * reference side too big to broadcast: the delta's windows

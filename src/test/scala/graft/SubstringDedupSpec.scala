@@ -126,6 +126,22 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(err.getMessage.contains("writeSubstringIndex"))
   }
 
+  test("gram-index append: two-batch gram set equals the one-shot build") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val ref = docs.where(col("doc_id") % 2 === 1)
+    Dedup.writeSubstringIndex(ref, 6, "graft_subidx_one", 4)
+    Dedup.writeSubstringIndex(ref.where(col("doc_id") < 250), 6, "graft_subidx_two", 4)
+    Dedup.appendSubstringIndex(ref.where(col("doc_id") >= 250), "graft_subidx_two")
+    def grams(t: String) = spark.table(s"${t}_grams").collect()
+      .map(_.getString(0)).sorted.toSeq
+    val one = grams("graft_subidx_one")
+    val two = grams("graft_subidx_two")
+    assert(two === one)
+    assert(two.distinct.size === two.size, "append must not duplicate grams")
+  }
+
   test("strip removes exactly the spanned tokens; clean and all-dup docs survive") {
     val block = toks("x", 8)
     val d = docs(
