@@ -187,6 +187,10 @@ object Soak {
       // per-key lag window feeding a types²-bounded agg — the window
       // twin of sessionize_skew on a cheaper chain
       "path_transitions_skew" -> (() => Relational.pathTransitions(evSkew)),
+      // purchase×touch equi-join bounded by the lookback window — the
+      // rangeJoin volume law on the attribution shape
+      "attribution_linear" -> (() =>
+        Relational.attributionLinear(ev, 86400000000L)),
       "ann_lsh" -> (() => Similarity.annLshTopK(emb, 8, 5, 5)),
       "ann_ivf" -> (() => Similarity.annIvfTopK(emb, 16, 5, 5)),
       "ann_ivf_probe" -> (() => Similarity.annIvfTopKProbe(emb, 16, 5, 5, 2)),
