@@ -784,6 +784,47 @@ object OracleSql {
       |FROM active a JOIN cohorts c ON c.user_id = a.user_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Cohort LTV: the retention triangle with revenue cells, running
+    * cumulative and per-user LTV (raw sums, rounded at emission).
+    */
+  val cohortLtv: String =
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
+       |         event_type, value
+       |  FROM events),
+       |active AS (SELECT DISTINCT user_id, wk FROM e),
+       |cohorts AS (SELECT user_id, MIN(wk) AS cohort FROM active GROUP BY 1),
+       |sz AS (SELECT cohort, COUNT(DISTINCT user_id) AS cohort_users
+       |       FROM cohorts GROUP BY 1),
+       |cells AS (
+       |  SELECT c.cohort, CAST((e.wk - c.cohort) // 7 AS BIGINT) AS week_n,
+       |         SUM(e.value) AS raw_rev
+       |  FROM e JOIN cohorts c ON c.user_id = e.user_id
+       |  WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT *, SUM(raw_rev) OVER (PARTITION BY cohort ORDER BY week_n) AS raw_cum
+       |  FROM cells)
+       |SELECT m.cohort, m.week_n, ${R("m.raw_rev")} AS revenue,
+       |       ${R("m.raw_cum")} AS cum_revenue, s.cohort_users,
+       |       ${R("m.raw_cum / s.cohort_users")} AS ltv_per_user
+       |FROM cum m JOIN sz s ON s.cohort = m.cohort
+       |ORDER BY m.cohort, m.week_n""".stripMargin
+
+  /** OHLC daily bars: endpoints by (ts, event_id) struct min/max,
+    * extremes, count, r3 mean.
+    */
+  val ohlcBars: String =
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS day, epoch_us(ts) AS ts_us,
+       |         event_id, value
+       |  FROM events)
+       |SELECT user_id, day,
+       |       (MIN(struct_pack(a := ts_us, b := event_id, v := value))).v AS open,
+       |       MAX(value) AS high, MIN(value) AS low,
+       |       (MAX(struct_pack(a := ts_us, b := event_id, v := value))).v AS close,
+       |       COUNT(*) AS n_events, ${R("AVG(value)")} AS mean_value
+       |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def sessionize(gapMicros: Long): String =
     s"""WITH e AS (
        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),

@@ -2094,6 +2094,18 @@ object SparkEntry {
       Relational.attributionLastTouch(Tables.events(s, dir), 86400000000L)
         .orderBy(col("channel"))),
 
+    // the retention triangle with revenue cells + per-user LTV — the
+    // payback table priced against acquisition bids
+    "cohort_ltv" -> ((s, dir) =>
+      Relational.cohortLtv(Tables.events(s, dir))
+        .orderBy(col("cohort"), col("week_n"))),
+
+    // OHLC daily bars: endpoint-true resample (open/close by the
+    // deterministic (ts, event_id) order, extremes, mean)
+    "ts_ohlc" -> ((s, dir) =>
+      Relational.ohlcBars(Tables.events(s, dir))
+        .orderBy(col("user_id"), col("day"))),
+
     // linear multi-touch: equal split across in-window touches (the
     // first corrective to last-touch's retargeting bias)
     "attribution_linear" -> ((s, dir) =>
@@ -2802,6 +2814,8 @@ object SparkEntry {
     "dwell_time" -> OracleSql.dwellStats,
     "attribution_last_touch" -> OracleSql.attributionLastTouch(86400000000L),
     "attribution_linear" -> OracleSql.attributionLinear(86400000000L),
+    "cohort_ltv" -> OracleSql.cohortLtv,
+    "ts_ohlc" -> OracleSql.ohlcBars,
     "stream_attribution_batch" -> OracleSql.attributionStreamBatch(86400000000L),
     "sample_fixed_k" -> OracleSql.sampleFixed(5, "panel"),
     "ts_dtw_profile" -> OracleSql.tsDtwProfile(10),

@@ -911,6 +911,75 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Cohort LIFETIME VALUE: [[retention]]'s triangle with REVENUE in
+    * the cells — per (first-active-week cohort, week offset): that
+    * week's purchase revenue, the running cumulative, cohort size,
+    * and cumulative LTV per cohort user — the payback-period table a
+    * growth team reads next to the retention triangle (retention says
+    * users come back; LTV says what that's worth, and the
+    * ltv_per_user column is what an acquisition bid is priced
+    * against).
+    *
+    * Scale plan: per-user cohort scalars come from one distinct-week
+    * projection ([[retention]]'s shape); revenue collapses map-side to
+    * (cohort, week_n) cells; the cumulative window runs over the
+    * cohort-triangle frame (≤ weeks² rows), never the data. Raw sums
+    * round once per cell; the cumulative sums the UNROUNDED cells and
+    * rounds at emission (one-rounding discipline).
+    */
+  def cohortLtv(events: DataFrame): DataFrame = {
+    val base = events.select(col("user_id"),
+      date_trunc("week", col("ts")).cast("date").as("wk"),
+      col("event_type"), col("value"))
+    val cohorts = base.select(col("user_id"), col("wk")).distinct()
+      .groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+    val sizes = cohorts.groupBy(col("cohort"))
+      .agg(countDistinct(col("user_id")).as("cohort_users"))
+    val cells = base.where(col("event_type") === "purchase")
+      .join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("long").as("week_n"))
+      .agg(sum(col("value")).as("raw_rev"))
+    val cum = Window.partitionBy(col("cohort")).orderBy(col("week_n"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells.join(sizes, Seq("cohort"))
+      .withColumn("raw_cum", sum(col("raw_rev")).over(cum))
+      .select(col("cohort"), col("week_n"),
+        (floor(col("raw_rev") * 1000.0 + 0.5001) / 1000.0).as("revenue"),
+        (floor(col("raw_cum") * 1000.0 + 0.5001) / 1000.0).as("cum_revenue"),
+        col("cohort_users"),
+        (floor(col("raw_cum") / col("cohort_users") * 1000.0 + 0.5001) / 1000.0)
+          .as("ltv_per_user"))
+  }
+
+  /** OHLC resample bars — the finance-standard per-(key, day) summary
+    * (kdb/tick-store surface; the reference's daily resample takes
+    * the mean, a bar keeps the path's endpoints and extremes): open /
+    * close = the day's first / last value by (ts, event_id) (the
+    * deterministic tie order every sequential op here uses), high /
+    * low = extremes, n_events and the r3 mean alongside.
+    *
+    * Scale plan: ONE map-side-combined groupBy; open/close ride as
+    * min/max over a (ts_us, event_id, value) struct (lexicographic —
+    * the endpoint's own value stays attached to its timestamp, two
+    * independent aggregates could mix rows), so the whole bar is one
+    * partial-aggregable pass, no window.
+    */
+  def ohlcBars(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(
+        min(struct(col("ts_us"), col("event_id"), col("value"))).as("o"),
+        max(struct(col("ts_us"), col("event_id"), col("value"))).as("c"),
+        min(col("value")).as("low"), max(col("value")).as("high"),
+        count(lit(1)).as("n_events"),
+        (floor(avg(col("value")) * 1000.0 + 0.5001) / 1000.0).as("mean_value"))
+      .select(col("user_id"), col("day"),
+        col("o.value").as("open"), col("high"), col("low"),
+        col("c.value").as("close"), col("n_events"), col("mean_value"))
+
   /** k-anonymity audit over a quasi-identifier: groups of
     * (event_type, day) whose distinct-user count is below `k` — the
     * re-identification risk surface a privacy review needs BEFORE a

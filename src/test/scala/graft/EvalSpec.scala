@@ -50,6 +50,47 @@ class EvalSpec extends AnyFunSuite {
       ("click", 1L, 5.0), ("direct", 2L, 25.0), ("view", 3L, 14.0)))
   }
 
+  test("ohlcBars: endpoints by (ts, event_id), ties to the lower id; extremes exact") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Long) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    val ev = Seq(
+      (1L, 10L, ts(5), "view", 7.0),   // first by time -> open 7
+      (1L, 11L, ts(20), "view", 2.0),  // low
+      (1L, 12L, ts(30), "view", 9.0),  // high
+      (1L, 14L, ts(40), "view", 4.0),  // ts tie with 13: higher id
+      (1L, 13L, ts(40), "view", 5.0))  // same ts, LOWER id -> close 4
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val out = Relational.ohlcBars(ev).collect().map(r =>
+      (r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("mean_value")))
+    // close = the LAST by (ts, event_id) = id 14 (4.0): the tie goes
+    // to the higher id at the max end
+    assert(out.toSeq === Seq((7.0, 9.0, 2.0, 4.0, 5L, 5.4)))
+  }
+
+  test("cohortLtv: revenue cells, running cumulative, non-purchasers still count in cohort size") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00") // a Monday
+    def ts(d: Long) = new java.sql.Timestamp(base.getTime + d * 86400000L)
+    val ev = Seq(
+      (1L, 1L, ts(0), "purchase", 10.0), // cohort W0, week 0
+      (1L, 2L, ts(7), "purchase", 4.0),  // week 1
+      (2L, 3L, ts(1), "view", 0.0),      // cohort W0, never buys
+      (3L, 4L, ts(8), "purchase", 6.0))  // cohort W1, week 0
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val out = Relational.cohortLtv(ev).collect().map(r =>
+      (r.getAs[java.sql.Date]("cohort").toString, r.getAs[Long]("week_n"),
+        r.getAs[Double]("revenue"), r.getAs[Double]("cum_revenue"),
+        r.getAs[Long]("cohort_users"), r.getAs[Double]("ltv_per_user")))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq === Seq(
+      ("2024-01-01", 0L, 10.0, 10.0, 2L, 5.0),
+      ("2024-01-01", 1L, 4.0, 14.0, 2L, 7.0),
+      ("2024-01-08", 0L, 6.0, 6.0, 1L, 6.0)))
+  }
+
   test("growthRates: calendar-honest lags, gaps yield NULL") {
     import spark.implicits._
     val rows = Seq(1, 2, 3, 4, 5, 6, 7, 8, 10).map(d =>
