@@ -810,6 +810,19 @@ object OracleSql {
        |FROM cum m JOIN sz s ON s.cohort = m.cohort
        |ORDER BY m.cohort, m.week_n""".stripMargin
 
+  /** Hourly-window OHLC bars (the streaming twin's gated batch shape). */
+  val streamOhlcBatch: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       |         epoch_us(ts) AS ts_us, event_id, value
+       |  FROM events)
+       |SELECT user_id, window_start_us,
+       |       (MIN(struct_pack(a := ts_us, b := event_id, v := value))).v AS open,
+       |       MAX(value) AS high, MIN(value) AS low,
+       |       (MAX(struct_pack(a := ts_us, b := event_id, v := value))).v AS close,
+       |       COUNT(*) AS n_events, ${R("AVG(value)")} AS mean_value
+       |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** OHLC daily bars: endpoints by (ts, event_id) struct min/max,
     * extremes, count, r3 mean.
     */

@@ -2106,6 +2106,12 @@ object SparkEntry {
       Relational.ohlcBars(Tables.events(s, dir))
         .orderBy(col("user_id"), col("day"))),
 
+    // hourly OHLC bars at ingest: the associative-endpoint windowed
+    // agg (streaming twin driven live in FeedStreamSpec)
+    "stream_ohlc_batch" -> ((s, dir) =>
+      graft.streaming.StreamOps.ohlcStreamBatch(Tables.events(s, dir), "1 hour")
+        .orderBy(col("user_id"), col("window_start_us"))),
+
     // linear multi-touch: equal split across in-window touches (the
     // first corrective to last-touch's retargeting bias)
     "attribution_linear" -> ((s, dir) =>
@@ -2816,6 +2822,7 @@ object SparkEntry {
     "attribution_linear" -> OracleSql.attributionLinear(86400000000L),
     "cohort_ltv" -> OracleSql.cohortLtv,
     "ts_ohlc" -> OracleSql.ohlcBars,
+    "stream_ohlc_batch" -> OracleSql.streamOhlcBatch,
     "stream_attribution_batch" -> OracleSql.attributionStreamBatch(86400000000L),
     "sample_fixed_k" -> OracleSql.sampleFixed(5, "panel"),
     "ts_dtw_profile" -> OracleSql.tsDtwProfile(10),

@@ -32,6 +32,45 @@ object StreamOps {
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n"), col("v_sum"))
 
+  /** OHLC bars AT INGEST — the streaming tick-bar every market-data /
+    * metrics pipeline runs: per (user, time window) open / high /
+    * low / close / count / r3 mean, as a NATIVE watermarked window
+    * aggregate. No custom state machine: the bar is ASSOCIATIVE —
+    * open/close ride as min/max over a (ts_us, event_id, value)
+    * struct (lexicographic), so partial bars from any micro-batch
+    * slicing merge to the same bar, which is exactly why this stays a
+    * plain `groupBy(window)` instead of flatMapGroupsWithState.
+    * State per open window = one struct pair + three scalars.
+    */
+  def ohlcStream(events: DataFrame, watermark: String,
+                 windowLen: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), window(col("ts"), windowLen))
+      .agg(ohlcAggs.head, ohlcAggs.tail: _*)
+      .select(ohlcOut: _*)
+
+  /** Batch-equivalent of [[ohlcStream]] — the backfill/oracle twin. */
+  def ohlcStreamBatch(events: DataFrame, windowLen: String): DataFrame =
+    events
+      .groupBy(col("user_id"), window(col("ts"), windowLen))
+      .agg(ohlcAggs.head, ohlcAggs.tail: _*)
+      .select(ohlcOut: _*)
+
+  private def ohlcAggs = Seq(
+    min(struct(unix_micros(col("ts")).as("t"), col("event_id"),
+      col("value"))).as("o"),
+    max(struct(unix_micros(col("ts")).as("t"), col("event_id"),
+      col("value"))).as("c"),
+    min(col("value")).as("low"), max(col("value")).as("high"),
+    count(lit(1)).as("n_events"),
+    r3(avg(col("value"))).as("mean_value"))
+
+  private def ohlcOut = Seq(
+    col("user_id"), unix_micros(col("window.start")).as("window_start_us"),
+    col("o.value").as("open"), col("high"), col("low"),
+    col("c.value").as("close"), col("n_events"), col("mean_value"))
+
   /** Streaming sessionization with Spark's native `session_window`
     * (gap-merged state, watermark-bounded) — the incremental twin of
     * [[graft.operators.Relational.sessionize]]; both treat a gap

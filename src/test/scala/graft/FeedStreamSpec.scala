@@ -137,6 +137,30 @@ class FeedStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming OHLC bars match the batch twin exactly (associative endpoints)") {
+    val dir = Files.createTempDirectory("ohlc-in").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("ts", "user_id", "event_id", "value")
+    ev.write.mode("overwrite").parquet(dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("window_start_us"),
+        r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"),
+        r.getAs[Long]("n_events"))).sorted.toSeq
+    val batch = rows(StreamOps.ohlcStreamBatch(spark.read.parquet(dir), "1 hour"))
+    val src = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = StreamOps.ohlcStream(src, "1 hour", "1 hour")
+      .writeStream.outputMode("complete").format("memory").queryName("ohlcbars").start()
+    try {
+      q.processAllAvailable()
+      // endpoint associativity is the claim: bars assembled from
+      // micro-batch partials equal the batch bars BIT-FOR-BIT
+      // (open/close carried in the ordered struct, never a per-batch
+      // first()/last())
+      assert(rows(spark.sql("select * from ohlcbars")) === batch)
+    } finally q.stop()
+  }
+
   test("streaming HLL registers match the batch twin; flat m-row state per day") {
     val dir = Files.createTempDirectory("hll-in").toString
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
