@@ -30,6 +30,26 @@ class PlanCensusSpec extends AnyFunSuite {
     } finally prev.foreach(conf.set("spark.sql.adaptive.enabled", _))
   }
 
+  test("ts_ohlc is ONE map-side-combined shuffle (endpoints ride the struct aggregate)") {
+    val df = graft.operators.Relational.ohlcBars(Tables.events(spark, dir))
+    // exactly ONE: the (user, day) aggregate; endpoints need no window
+    assert(shuffles(df).size === 1)
+  }
+
+  test("attribution_linear: the purchase-touch join + the per-purchase window + the channel agg") {
+    val df = graft.operators.Relational.attributionLinear(Tables.events(spark, dir), 86400000000L)
+    // the user-key join exchange + the per-purchase count window /
+    // channel aggregate sharing the second exchange
+    assert(shuffles(df).size === 2)
+  }
+
+  test("cohort_ltv exchange census") {
+    val df = graft.operators.Relational.cohortLtv(Tables.events(spark, dir))
+    // distinct weeks, per-user cohort, sizes, cells, the cumulative
+    // window - one exchange each, the triangle never re-shuffles raw
+    assert(shuffles(df).size === 5)
+  }
+
   test("dedup_substring_exact: gram count + span-merge window, the probe rides a broadcast") {
     val df = graft.operators.Dedup.substringDupSpans(Tables.documents(spark, dir), 8)
     // exactly TWO: the map-side-combined gram count and the doc_id

@@ -147,4 +147,43 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("sessionizeSplitMerge equals a sequential sessionize reference at random gaps/widths") {
+    import spark.implicits._
+    val scenario = for {
+      gap <- Gen.choose(50L, 400L)
+      width <- Gen.choose(25L, 2000L) // below AND above the gap
+      nUsers <- Gen.choose(1, 4)
+      evs <- Gen.listOfN(120, for {
+        u <- Gen.choose(0, nUsers - 1)
+        t <- Gen.choose(0L, 5000L)
+        v <- Gen.choose(0, 50)
+      } yield (u.toLong, t, v / 7.0))
+    } yield (gap, width, evs)
+    samples(scenario, 6).zipWithIndex.foreach { case ((gap, width, evs), si) =>
+      // independent sequential reference: per user, sort by (ts, id),
+      // split on gap >= g, aggregate
+      val rows = evs.zipWithIndex.map { case ((u, t, v), i) => (u, i.toLong, t, v) }
+      val ref = rows.groupBy(_._1).toSeq.flatMap { case (u, rs) =>
+        val ordered = rs.sortBy(r => (r._3, r._2))
+        val sessions = ordered.foldLeft(Vector.empty[Vector[(Long, Long, Long, Double)]]) {
+          case (acc, r) =>
+            if (acc.nonEmpty && r._3 - acc.last.last._3 < gap) acc.init :+ (acc.last :+ r)
+            else acc :+ Vector(r)
+        }
+        sessions.zipWithIndex.map { case (ses, i) =>
+          (u, (i + 1).toLong, ses.head._3, ses.last._3, ses.size.toLong,
+            math.floor(ses.map(_._4).sum * 1000.0 + 0.5001) / 1000.0)
+        }
+      }.sorted
+      val df = rows.toDF("user_id", "event_id", "us", "value")
+        .select(col("user_id"), col("event_id"),
+          timestamp_micros(col("us")).as("ts"), col("value"))
+      val got = graft.operators.Relational.sessionizeSplitMerge(df, gap, width)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5))).sorted.toSeq
+      assert(got === ref, s"scenario $si: gap=$gap width=$width")
+    }
+  }
 }
