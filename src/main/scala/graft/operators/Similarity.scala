@@ -2692,11 +2692,45 @@ object Similarity {
     */
   def appendAnnIndex(newVecs: DataFrame, table: String): Unit = {
     val spark = newVecs.sparkSession
+    // a ROTATED index stores codebooks trained in the rotated space:
+    // appending raw vectors would encode unrotated input against them
+    // — every distance silently wrong, no error. Refuse and direct to
+    // the rotating variant.
+    require(!spark.catalog.tableExists(s"${table}_rot"),
+      s"'$table' is a ROTATED index — use appendAnnIndexRotated so the delta " +
+        "is rotated by the stored chain before encoding")
+    appendAnnIndexRaw(newVecs, table)
+  }
+
+  private def appendAnnIndexRaw(newVecs: DataFrame, table: String): Unit = {
+    val spark = newVecs.sparkSession
     VectorExprs.register(spark)
     val (_, nBuckets, encIvf, encPq, sqMins, sqScales) = annIndexMeta(spark, table)
     graft.sources.Formats.writeBucketedKeys(
       encodeForIndex(newVecs, encIvf, encPq, sqMins, sqScales), s"${table}_codes",
       Seq("cell"), nBuckets, mode = "append")
+  }
+
+  /** Append to a [[writeAnnIndexRotated]] index: the delta rotates by
+    * the STORED Householder chain (never re-trained — FAISS `add()`
+    * after `train()`), then encodes with the stored codebooks like
+    * any append. The rotation/codebooks stay the ORIGINAL build's by
+    * design: retraining on grown data is a REBUILD decision, not an
+    * append.
+    */
+  def appendAnnIndexRotated(newVecs: DataFrame, table: String): Unit = {
+    val spark = newVecs.sparkSession
+    VectorExprs.register(spark)
+    val rotT = s"${table}_rot"
+    require(spark.catalog.tableExists(rotT),
+      s"appendAnnIndexRotated: no rotation meta '$rotT' — build with writeAnnIndexRotated")
+    val encRot = spark.table(rotT).select(col("enc_rot")).head().getString(0)
+    val keep = newVecs.columns.filterNot(_ == "embedding").map(col)
+    appendAnnIndexRaw(
+      newVecs.where(col("embedding").isNotNull)
+        .select(keep :+ expr(s"graft_householder_chain(embedding, '$encRot')")
+          .as("embedding"): _*),
+      table)
   }
 
   /** Logical delete from a stored index — tombstones, not rewrites:

@@ -93,6 +93,33 @@ class RotatedPqSpec extends AnyFunSuite {
     assert(rotated >= 0.0 && rotated <= 1.0)
   }
 
+  test("rotated-index append: raw append refuses, rotating append encodes byte-equal to the stored-chain build") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val b1 = emb.where(col("vec_id") < 200)
+    val b2 = emb.where(col("vec_id") >= 200)
+    Similarity.writeAnnIndexRotated(b1, 16, 16, 4, "graft_rotidx_app", 4)
+    // the corruption guard: raw append against a rotated index must
+    // refuse with a directing message, never encode
+    val err = intercept[IllegalArgumentException] {
+      Similarity.appendAnnIndex(b2, "graft_rotidx_app")
+    }
+    assert(err.getMessage.contains("appendAnnIndexRotated"))
+    Similarity.appendAnnIndexRotated(b2, "graft_rotidx_app")
+    // reference: one-shot writeAnnIndex over the WHOLE corpus rotated
+    // by batch-1's trained chain (stored artifacts stay the original
+    // build's — the FAISS add-after-train contract); codebooks match
+    // because head ids live in batch 1
+    val us = Similarity.trainedRotationUs(b1, 4, 4)
+    Similarity.writeAnnIndex(
+      Similarity.rotateEmbeddingsBy(emb, us), 16, 16, 4, "graft_rotidx_ref", 4)
+    def codes(t: String) = spark.table(s"${t}_codes")
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+        r.getAs[scala.collection.Seq[Int]]("codes").mkString(",")))
+      .sortBy(c => (c._1, c._2)).toSeq
+    assert(codes("graft_rotidx_app") === codes("graft_rotidx_ref"))
+  }
+
   test("deflated components are near-orthogonal and find the two planted axes") {
     import spark.implicits._
     val rng = new scala.util.Random(19)
