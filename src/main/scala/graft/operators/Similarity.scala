@@ -2889,8 +2889,25 @@ object Similarity {
     * probe-the-index — the shape that actually runs at 100 TB.
     */
   def annIvfPqAgainstIndex(queries: DataFrame, table: String, k: Int,
-                           nprobe: Int = 1): DataFrame =
+                           nprobe: Int = 1): DataFrame = {
+    requireUnrotated(queries.sparkSession, table, "annIvfPqRotatedAgainstIndex")
+    annIvfPqAgainstIndexRaw(queries, table, k, nprobe)
+  }
+
+  private def annIvfPqAgainstIndexRaw(queries: DataFrame, table: String, k: Int,
+                                      nprobe: Int): DataFrame =
     saltedTopK(annIndexScored(queries, table, nprobe), "adist", ascending = true, k)
+
+  /** The rotated-index corruption guard shared by every RAW-query
+    * probe surface: a rotated index's codebooks/codes live in the
+    * rotated space, so scoring unrotated queries against them returns
+    * silently wrong distances — refuse and direct the caller.
+    */
+  private def requireUnrotated(spark: org.apache.spark.sql.SparkSession,
+                               table: String, alt: String): Unit =
+    require(!spark.catalog.tableExists(s"${table}_rot"),
+      s"'$table' is a ROTATED index — raw queries would score in the wrong " +
+        s"space; rotate them by the stored chain first ($alt)")
 
   /** OPQ variant of [[writeAnnIndex]]: the corpus is rotated by the
     * TRAINED Householder chain before encoding, and the rotation is
@@ -2936,7 +2953,7 @@ object Similarity {
     val keep = queries.columns.filterNot(_ == "embedding").map(col)
     val rq = queries.where(col("embedding").isNotNull)
       .select(keep :+ expr(s"graft_householder_chain(embedding, '$encRot')").as("embedding"): _*)
-    annIvfPqAgainstIndex(rq, table, k, nprobe)
+    annIvfPqAgainstIndexRaw(rq, table, k, nprobe)
   }
 
   /** Filtered search against the STORED index: the per-query metadata
@@ -2951,9 +2968,11 @@ object Similarity {
     * results.
     */
   def annIvfPqAgainstIndexFiltered(queries: DataFrame, table: String, k: Int,
-                                   nLabels: Int, nprobe: Int = 1): DataFrame =
+                                   nLabels: Int, nprobe: Int = 1): DataFrame = {
+    requireUnrotated(queries.sparkSession, table, "rotate queries via <table>_rot")
     saltedTopK(annIndexScored(queries, table, nprobe, labelMod = Some(nLabels)),
       "adist", ascending = true, k)
+  }
 
   /** Recall@k of the FILTERED stored-index probe against the exact
     * filtered tier — the number a tuner watches before shipping
@@ -2994,6 +3013,7 @@ object Similarity {
   def annRangeAgainstIndex(queries: DataFrame, table: String,
                            threshold: Double): DataFrame = {
     val spark = queries.sparkSession
+    requireUnrotated(spark, table, "rotate queries via <table>_rot")
     VectorExprs.register(spark)
     val encIvf = annIndexQuantizer(spark, table)
     val q = queries.where(col("embedding").isNotNull)
@@ -3017,6 +3037,7 @@ object Similarity {
     */
   def annIvfSqAgainstIndex(queries: DataFrame, table: String, k: Int): DataFrame = {
     val spark = queries.sparkSession
+    requireUnrotated(spark, table, "rotate queries via <table>_rot")
     VectorExprs.register(spark)
     import spark.implicits._
     val (_, _, encIvf, _, sqMins, sqScales) = annIndexMeta(spark, table)
