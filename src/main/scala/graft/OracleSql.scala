@@ -2020,17 +2020,26 @@ object OracleSql {
        |FROM xr WHERE rank > $m AND rank <= ${m + k}
        |ORDER BY qid, neg_rank""".stripMargin
 
-  /** Two-layer hierarchical walk: layer-1 md5-sampled graph walked
-    * from the global entry (min sampled vec_id), best layer-1 node
-    * seeds the layer-0 walk over the full graph. CTE names carry a
-    * layer prefix; each layer is the probe-cell graph + chained
-    * visited/frontier walk of [[annGraphSearch]].
+  /** Multi-layer hierarchical walk: each level ℓ (top → 1) is an
+    * md5-sampled slice (nested per-level coins — level 1 unsalted,
+    * level j ≥ 2 salted `#j`, mirroring Similarity.layerPred) with
+    * its own probe-cell graph, walked from the global entry (min top-
+    * level vec_id) down through per-level best-1 seeds to the level-0
+    * walk over the full graph. CTE names carry a layer prefix; each
+    * layer is the probe-cell graph + chained visited/frontier walk of
+    * [[annGraphSearch]]. `nLayers = 2` is the two-layer build of
+    * rounds ≤ 13.
     */
   def annGraphSearchHier(nCentroids: Int, kGraph: Int, nQueries: Int,
                          beam: Int, rounds: Int, k: Int,
-                         keep: Int, nBuckets: Int, nprobe: Int = 2): String = {
-    val bucket =
-      s"CAST(CONCAT('0x', SUBSTR(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS INTEGER) % $nBuckets"
+                         keep: Int, nBuckets: Int, nprobe: Int = 2,
+                         nLayers: Int = 2): String = {
+    def coin(j: Int): String = {
+      val seed = if (j == 1) "CAST(vec_id AS VARCHAR)"
+        else s"CAST(vec_id AS VARCHAR) || '#$j'"
+      s"CAST(CONCAT('0x', SUBSTR(md5($seed), 1, 4)) AS INTEGER) % $nBuckets < $keep"
+    }
+    def pred(level: Int): String = (1 to level).map(coin).mkString(" AND ")
     def graphCtes(p: String, eCte: String): String =
       s"""c$p AS (SELECT vec_id AS cid, v AS cv FROM $eCte WHERE vec_id < $nCentroids),
          |a0$p AS (
@@ -2069,31 +2078,45 @@ object OracleSql {
       }
       sb.toString
     }
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-       |           WHERE embedding IS NOT NULL),
-       |q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
-       |e1 AS MATERIALIZED (SELECT * FROM e WHERE $bucket < $keep),
-       |${graphCtes("u", "e1")},
-       |ent AS (SELECT MIN(vec_id) AS evid FROM e1),
-       |${walkCtes("u", "e1", "SELECT qid, evid AS vid FROM q, ent")},
-       |t1 AS (
-       |  SELECT qid, vid FROM (
-       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
-       |    FROM su$rounds WHERE vid != qid) WHERE rk = 1),
+    val top = nLayers - 1
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |           WHERE embedding IS NOT NULL),
+         |q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
+         |ly$top AS MATERIALIZED (SELECT * FROM e WHERE ${pred(top)}),
+         |ent AS (SELECT MIN(vec_id) AS evid FROM ly$top)""".stripMargin)
+    // top → 1: walk each level's sampled graph, best-1 seeds the next
+    for (lvl <- top to 1 by -1) {
+      if (lvl != top) sb.append(s""",
+         |ly$lvl AS MATERIALIZED (SELECT * FROM e WHERE ${pred(lvl)})""".stripMargin)
+      val seed = if (lvl == top) "SELECT qid, evid AS vid FROM q, ent"
+        else s"SELECT qid, vid FROM t${lvl + 1}"
+      sb.append(s""",
+         |${graphCtes(s"u$lvl", s"ly$lvl")},
+         |${walkCtes(s"u$lvl", s"ly$lvl", seed)},
+         |t$lvl AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
+         |    FROM su$lvl$rounds WHERE vid != qid) WHERE rk = 1)""".stripMargin)
+    }
+    sb.append(s""",
        |${graphCtes("l", "e")},
        |${walkCtes("l", "e", "SELECT qid, vid FROM t1")}
        |SELECT qid, vid, cos, rank FROM (
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS rank
-       |  FROM sl$rounds WHERE vid != qid) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+       |  FROM sl$rounds WHERE vid != qid) WHERE rank <= $k ORDER BY qid, rank""".stripMargin)
+    sb.toString
   }
 
   /** Recall@k of [[annGraphSearchHier]] vs the exact cosine top-k. */
   def annGraphSearchHierRecall(nCentroids: Int, kGraph: Int, nQueries: Int,
                                beam: Int, rounds: Int, k: Int,
-                               keep: Int, nBuckets: Int, nprobe: Int = 2): String =
+                               keep: Int, nBuckets: Int, nprobe: Int = 2,
+                               nLayers: Int = 2): String =
     s"""WITH approx AS (
        |  SELECT qid, vid, 1 AS hit FROM (
-       |${annGraphSearchHier(nCentroids, kGraph, nQueries, beam, rounds, k, keep, nBuckets, nprobe)}) a),
+       |${annGraphSearchHier(nCentroids, kGraph, nQueries, beam, rounds, k, keep, nBuckets, nprobe, nLayers)}) a),
        |e3 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |       WHERE embedding IS NOT NULL),
        |q3 AS (SELECT vec_id AS qid, v AS qv FROM e3 WHERE vec_id < $nQueries),

@@ -387,6 +387,39 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // THREE geometric levels (nested md5 coin draws — the HNSW level
+    // assignment): entry → level-2 walk → level-1 walk → level-0
+    // answer; the cold-start tier whose hop bound survives 10⁹ nodes
+    "ann_graph_hier3" -> ((s, dir) =>
+      Similarity.annGraphSearchHier(Tables.embeddings(s, dir), 16, 4, 5, 8, 2, 5,
+          2, 8, 2, nLayers = 3)
+        .orderBy(col("qid"), col("rank"))),
+
+    // all three levels persisted; walk reads _nodes/_edges/_hmeta
+    // only — byte-equal to the recompute path
+    "ann_graph_hier3_stored" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeKnnGraphHier(emb, 16, 4, "graft_knng_hier3", 8, 2, 8, 2,
+        nLayers = 3)
+      Similarity.annGraphSearchHierStored(emb.sparkSession, "graft_knng_hier3",
+          5, 8, 2, 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // two-batch three-level build (append after a partial build)
+    // walked against the one-shot oracle — the per-level sampled-
+    // slice append identity plus the entry min
+    "ann_graph_hier3_inc" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeKnnGraphHier(emb.where(col("vec_id") < 200), 16, 4,
+        "graft_knng_hier3_inc", 8, 2, 8, 2, nLayers = 3)
+      Similarity.appendKnnGraphHier(emb.where(col("vec_id") >= 200),
+        "graft_knng_hier3_inc")
+      Similarity.annGraphSearchHierStored(emb.sparkSession,
+          "graft_knng_hier3_inc", 5, 8, 2, 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // both layers persisted; walk reads _nodes/_edges/_hmeta only —
     // byte-equal to the recompute path (stored-parity contract)
     "ann_graph_hier_stored" -> ((s, dir) => {
@@ -2606,6 +2639,12 @@ object SparkEntry {
     "ann_graph_hier" -> OracleSql.annGraphSearchHier(16, 4, 5, 8, 2, 5, 2, 8),
     "ann_graph_hier_stored" -> OracleSql.annGraphSearchHier(16, 4, 5, 8, 2, 5, 2, 8),
     "ann_graph_hier_inc" -> OracleSql.annGraphSearchHier(16, 4, 5, 8, 2, 5, 2, 8),
+    "ann_graph_hier3" ->
+      OracleSql.annGraphSearchHier(16, 4, 5, 8, 2, 5, 2, 8, 2, 3),
+    "ann_graph_hier3_stored" ->
+      OracleSql.annGraphSearchHier(16, 4, 5, 8, 2, 5, 2, 8, 2, 3),
+    "ann_graph_hier3_inc" ->
+      OracleSql.annGraphSearchHier(16, 4, 5, 8, 2, 5, 2, 8, 2, 3),
     "ann_graph_hier_recall" ->
       OracleSql.annGraphSearchHierRecall(16, 4, 5, 8, 2, 5, 2, 8),
     "ann_graph_stored" -> OracleSql.annGraphSearch(16, 4, 5, 8, 2, 5),

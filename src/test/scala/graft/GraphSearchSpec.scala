@@ -146,6 +146,115 @@ class GraphSearchSpec extends AnyFunSuite {
       "rounds=1 must NOT reach the far neighbourhood")
   }
 
+  /** HNSW level of an id under the nested md5 coin draws of
+    * Similarity.layerPred (coin 1 unsalted, coin j ≥ 2 salted `#j`):
+    * the number of consecutive coins that land in `keep` of `nSample`
+    * buckets — recomputed here independently so the test can CHOOSE
+    * ids of known level when building a controlled corpus.
+    */
+  private def coinLevel(id: Long, keep: Int, nSample: Int): Int = {
+    def bucket(s: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString
+      Integer.parseInt(hex, 16) % nSample
+    }
+    var lvl = 0
+    var j = 1
+    while (bucket(if (j == 1) id.toString else s"$id#$j") < keep) {
+      lvl += 1; j += 1
+    }
+    lvl
+  }
+
+  test("geometric hierarchy: the 3-layer walk reaches a far query in strictly fewer rounds than the 2-layer build at the same beam") {
+    // The hop-bound argument made testable (Malkov-Yashunin 2016
+    // §4.1): an angle chain of 22 positions (4° apart), with level-2
+    // nodes every 16 positions, level-1 every 4, query (id 0, level
+    // 0) at the FAR end, entry at position 0. Per round a level's
+    // walk advances ~1 hop in that level's chain, so the per-level
+    // round budget r must cover ~21 positions: the 2-layer build has
+    // only 4-position level-1 hops (≈ 5 positions/round combined),
+    // while the 3-layer build's 16-position level-2 hops route in one
+    // round. Ids are CHOSEN by their real md5 coin level, so the
+    // build under test is exactly the production sampling rule.
+    import spark.implicits._
+    val (keep, nSample) = (2, 8)
+    assert(coinLevel(0L, keep, nSample) == 0, "id 0 must be level 0 (the query)")
+    val pool = (1L to 2000L).map(id => id -> coinLevel(id, keep, nSample))
+    val lvl2 = pool.collect { case (id, l) if l >= 2 => id }
+    // non-top ids all EXCEED the min level-2 id, so both builds put
+    // their global entry at position 0, and the only ids under the
+    // nCentroids=11 cut are the query (id 0) and that entry (id 10):
+    // every layer's quantizer has exactly 1-2 centroids, and with
+    // nprobe=2 the probe set covers all cells — each layer's graph is
+    // its exact kNN chain, the structure the hop count argument needs
+    val lvl1 = pool.collect { case (id, l) if l == 1 => id }
+      .filter(_ > lvl2.head)
+    val lvl0 = pool.collect { case (id, l) if l == 0 => id }
+      .filter(_ > lvl2.head)
+    // position p (0..21) at angle 4p°; query at position 21
+    var (i2, i1, i0) = (0, 0, 0)
+    val ids = (0 to 21).map { p =>
+      if (p == 21) 0L
+      else if (p % 16 == 0) { i2 += 1; lvl2(i2 - 1) }
+      else if (p % 4 == 0) { i1 += 1; lvl1(i1 - 1) }
+      else { i0 += 1; lvl0(i0 - 1) }
+    }
+    val emb = ids.zipWithIndex.map { case (id, p) =>
+      val th = math.toRadians(4.0 * p)
+      (id, Seq(math.cos(th), math.sin(th)))
+    }.toDF("vec_id", "embedding")
+    val trueNn = ids(20) // the position-20 node is the query's true NN
+    def minRounds(nLayers: Int): Option[Int] = (1 to 8).find { r =>
+      val top = Similarity.annGraphSearchHier(emb, 11, 2, 1, 8, r, 1,
+          keep, nSample, 2, nLayers)
+        .collect()
+      top.nonEmpty && top.head.getAs[Long]("vid") == trueNn
+    }
+    val (r3, r2) = (minRounds(3), minRounds(2))
+    info(s"min rounds to reach the far query: 3-layer = $r3, 2-layer = $r2")
+    assert(r3.isDefined && r2.isDefined, "both builds must eventually reach")
+    assert(r3.get < r2.get,
+      "the 3-layer walk must need strictly fewer rounds at the same beam")
+  }
+
+  test("3-layer stored walk is byte-equal to the recompute path; empty top layer fails with a directed error") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    Similarity.writeKnnGraphHier(emb, 16, 4, "graft_knng_h3_spec", 4, 2, 8, 2,
+      nLayers = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vid"), r.getAs[Double]("cos"))).sorted.toSeq
+    val recompute = rows(
+      Similarity.annGraphSearchHier(emb, 16, 4, 5, 8, 2, 5, 2, 8, 2, nLayers = 3))
+    val stored = rows(Similarity.annGraphSearchHierStored(
+      emb.sparkSession, "graft_knng_h3_spec", 5, 8, 2, 5))
+    assert(stored === recompute)
+    // 5 layers over 500 vectors: the (2/8)^4 top sample is empty —
+    // the build must fail with the directed message, not an NPE
+    val err = intercept[IllegalArgumentException] {
+      Similarity.annGraphSearchHier(emb, 16, 4, 5, 8, 2, 5, 1, 8, 2, nLayers = 5)
+    }
+    assert(err.getMessage.contains("sample is empty"))
+  }
+
+  test("3-layer append maintains every level and the entry: two-batch equals one-shot") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    Similarity.writeKnnGraphHier(emb, 16, 4, "graft_h3_one", 4, 2, 8, 2, nLayers = 3)
+    Similarity.writeKnnGraphHier(emb.where(col("vec_id") < 250), 16, 4,
+      "graft_h3_two", 4, 2, 8, 2, nLayers = 3)
+    Similarity.appendKnnGraphHier(emb.where(col("vec_id") >= 250), "graft_h3_two")
+    def edges(t: String, layer: String) = spark.table(s"${t}_${layer}_edges")
+      .collect().map(r => (r.getAs[Long]("src"), r.getAs[Long]("nbr"),
+        r.getAs[Double]("cos"))).sorted.toSeq
+    for (l <- Seq("l0", "l1", "l2"))
+      assert(edges("graft_h3_two", l) === edges("graft_h3_one", l), s"layer $l")
+    val hm2 = spark.table("graft_h3_two_hmeta").head()
+    val hm1 = spark.table("graft_h3_one_hmeta").head()
+    assert(hm2.getAs[Long]("entry") === hm1.getAs[Long]("entry"))
+    assert(hm2.getAs[Int]("n_layers") === 3)
+  }
+
   test("hard negatives: the probable-positive head is excluded, neg_rank is contiguous") {
     // query 0 at 0°; nearest two (10°, 20°) are the head m=2 —
     // excluded; negatives = the next two by cosine, re-ranked 1..k
