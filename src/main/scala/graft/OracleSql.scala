@@ -2566,6 +2566,132 @@ object OracleSql {
        |       ${R("n_chars / n_tokens")} AS chars_per_token
        |FROM ag ORDER BY lang""".stripMargin
 
+  /** One unigram-LM Viterbi E-step as chained position CTEs (prefix
+    * `e$r`), segmenting every word type under vocab CTE `$vocab`
+    * (columns piece, lnp): position i's best prefix is the argmax
+    * over piece lengths l = 1..min(maxPieceLen, i) of
+    * best(i−l) + lnp(substr(w, i−l+1, l)), ties on (score DESC,
+    * k ASC, l DESC) — the EXACT rule graft.functions.UlmViterbi
+    * applies, and each branch's (w, l) is unique so the order is
+    * total. Scores accumulate in prefix order on both engines over
+    * the same 1e-6-quantized lnp inputs, so comparisons are
+    * bit-identical. MATERIALIZED: each b_i is referenced by up to
+    * maxPieceLen later positions (default inlining re-plans the
+    * whole prefix per reference — the bpeCtes 2^n lesson).
+    */
+  private def ulmEStep(r: Int, vocab: String, maxPieceLen: Int,
+                       maxWordLen: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""e${r}b0 AS (SELECT w, freq, CAST(0.0 AS DOUBLE) AS score,
+         |            0 AS k, '' AS toks FROM uw)""".stripMargin)
+    for (i <- 1 to maxWordLen) {
+      val branches = (1 to math.min(maxPieceLen, i)).map { l =>
+        s"""      SELECT b.w, b.freq, b.score + v.lnp AS score, b.k + 1 AS k,
+           |             b.toks || ' ' || v.piece AS toks, $l AS l
+           |      FROM e${r}b${i - l} b JOIN $vocab v
+           |        ON length(v.piece) = $l AND v.piece = substr(b.w, ${i - l + 1}, $l)""".stripMargin
+      }.mkString("\n      UNION ALL\n")
+      sb.append(
+        s""",
+           |e${r}b$i AS MATERIALIZED (
+           |  SELECT w, freq, score, k, toks FROM (
+           |    SELECT *, ROW_NUMBER() OVER (
+           |      PARTITION BY w ORDER BY score DESC, k ASC, l DESC) AS rn FROM (
+           |$branches))
+           |  WHERE rn = 1)""".stripMargin)
+    }
+    val fins = (1 to maxWordLen)
+      .map(i => s"  SELECT * FROM e${r}b$i WHERE length(w) = $i")
+      .mkString("\n  UNION ALL\n")
+    sb.append(
+      s""",
+         |e${r}fin AS MATERIALIZED (
+         |$fins)""".stripMargin)
+    sb.toString
+  }
+
+  /** Unigram-LM (SentencePiece, Kudo 2018) trainer CTE stack: seed
+    * vocabulary from corpus-weighted substring counts (top-nSeed
+    * multi-char pieces + the full alphabet), then `rounds` hard-EM
+    * rounds — E-step = [[ulmEStep]]'s Viterbi DP per word type,
+    * M-step = piece recount from the segmentations, prune multi-char
+    * pieces at zero count (alphabet always kept), re-smooth
+    * lnp = q6(ln((c+1)/Σ(c+1))). Mirrors TextOps.ulmTrainVocab
+    * decision for decision; words longer than maxWordLen are excluded
+    * on both sides (the DP chain is position-bounded).
+    */
+  private def ulmCtes(nSeed: Int, rounds: Int, maxPieceLen: Int = 4,
+                      maxWordLen: Int = 12): String = {
+    def lnp(v: String) =
+      s"FLOOR(ln(CAST(c + 1 AS DOUBLE) / (SELECT CAST(SUM(c + 1) AS DOUBLE) FROM $v)) * 1000000.0 + 0.5001) / 1000000.0"
+    val sb = new StringBuilder
+    sb.append(
+      s"""uw AS MATERIALIZED (
+         |  SELECT w, COUNT(*) AS freq
+         |  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) >= 1 AND length(w) <= $maxWordLen GROUP BY w),
+         |us0 AS (SELECT w, freq, UNNEST(generate_series(1, length(w))) AS i FROM uw),
+         |us1 AS (SELECT w, freq, i,
+         |               UNNEST(generate_series(i, least(i + ${maxPieceLen - 1}, length(w)))) AS j
+         |        FROM us0),
+         |us AS (SELECT substr(w, i, j - i + 1) AS piece, SUM(freq) AS c
+         |       FROM us1 GROUP BY 1),
+         |v0 AS MATERIALIZED (
+         |  SELECT piece, c FROM (
+         |    SELECT piece, c FROM us WHERE length(piece) >= 2
+         |    ORDER BY c DESC, piece LIMIT $nSeed)
+         |  UNION ALL
+         |  SELECT piece, c FROM us WHERE length(piece) = 1),
+         |v0p AS MATERIALIZED (SELECT piece, c, ${lnp("v0")} AS lnp FROM v0)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(",\n")
+      sb.append(ulmEStep(r, s"v${r - 1}p", maxPieceLen, maxWordLen))
+      sb.append(
+        s""",
+           |c$r AS (SELECT piece, SUM(freq) AS c FROM (
+           |  SELECT freq, UNNEST(string_split(trim(toks), ' ')) AS piece
+           |  FROM e${r}fin) GROUP BY 1),
+           |v$r AS MATERIALIZED (
+           |  SELECT v.piece, COALESCE(c.c, 0) AS c
+           |  FROM v${r - 1}p v LEFT JOIN c$r c USING (piece)
+           |  WHERE COALESCE(c.c, 0) > 0 OR length(v.piece) = 1),
+           |v${r}p AS MATERIALIZED (SELECT piece, c, ${lnp(s"v$r")} AS lnp FROM v$r)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** The trained unigram-LM vocabulary after `rounds` EM rounds. */
+  def ulmTrain(nSeed: Int, rounds: Int): String =
+    s"""WITH ${ulmCtes(nSeed, rounds)}
+       |SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len,
+       |       CAST(c AS BIGINT) AS n, lnp
+       |FROM v${rounds}p ORDER BY piece""".stripMargin
+
+  /** Viterbi-encode the corpus under the trained vocabulary: one more
+    * E-step (round `rounds+1`) against v{rounds}p, then per document
+    * the word segmentations concatenate in word order (empty words
+    * contribute nothing — the bpeEncode convention).
+    */
+  def ulmEncode(nSeed: Int, rounds: Int): String =
+    s"""WITH ${ulmCtes(nSeed, rounds)},
+       |${ulmEStep(rounds + 1, s"v${rounds}p", 4, 12)},
+       |dt AS (
+       |  SELECT doc_id, ws, UNNEST(generate_series(1, len(ws))) AS i
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |etok AS (
+       |  SELECT dt.doc_id, dt.i,
+       |         CASE WHEN length(dt.ws[dt.i]) = 0 THEN '' ELSE f.toks END AS toks,
+       |         CASE WHEN length(dt.ws[dt.i]) = 0 THEN 0 ELSE COALESCE(f.k, 0) END AS k
+       |  FROM dt LEFT JOIN e${rounds + 1}fin f ON f.w = dt.ws[dt.i]),
+       |efl AS (
+       |  SELECT doc_id, SUM(k) AS n_tokens,
+       |         string_agg(toks, '' ORDER BY i) AS stream
+       |  FROM etok GROUP BY doc_id)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       md5(trim(stream)) AS fp
+       |FROM efl ORDER BY doc_id""".stripMargin
+
   /** Overlapping token-window chunking (RAG splitter). */
   def chunkDocs(chunkSize: Int, stride: Int): String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -5383,6 +5509,22 @@ object OracleSql {
   def dedupSubstringStored(l: Int): String =
     s"""WITH ${tokenWindowCtes(l)},
        |b AS (SELECT DISTINCT gram FROM w WHERE doc_id % 2 = 1),
+       |st AS (SELECT doc_id, p FROM w
+       |       WHERE doc_id % 2 = 0 AND gram IN (SELECT gram FROM b)),
+       |${spanMergeCtes(l)}
+       |SELECT doc_id, span_start, span_end,
+       |       span_end - span_start + 1 AS span_toks
+       |FROM spans ORDER BY doc_id, span_start""".stripMargin
+
+  /** Cross-corpus ExactSubstr after a takedown: spans of the even
+    * half covered by `l`-grams a SURVIVING reference doc witnesses —
+    * reference = odd docs, removed = doc_id % 4 = 1, so survivors are
+    * doc_id % 4 = 3. Shared with the post-compaction twin (compaction
+    * must not change any probe answer).
+    */
+  def dedupSubstringTakedown(l: Int): String =
+    s"""WITH ${tokenWindowCtes(l)},
+       |b AS (SELECT DISTINCT gram FROM w WHERE doc_id % 4 = 3),
        |st AS (SELECT doc_id, p FROM w
        |       WHERE doc_id % 2 = 0 AND gram IN (SELECT gram FROM b)),
        |${spanMergeCtes(l)}

@@ -1702,6 +1702,35 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("span_start"))
     }),
 
+    // licensing takedown on the gram store: tombstoned reference docs
+    // stop witnessing spans; grams a SURVIVING doc also witnesses keep
+    // flagging via their net refcounts (the edge case the store's
+    // missing doc attribution makes hard — VERDICT r13 #2)
+    "dedup_substring_takedown" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ref = docs.where(col("doc_id") % 2 === 1)
+      Dedup.writeSubstringIndex(ref, 6, "graft_subidx_td", 8)
+      Dedup.deleteFromSubstringIndex(ref.where(col("doc_id") % 4 === 1),
+        "graft_subidx_td")
+      Dedup.substringSpansAgainstIndex(docs.where(col("doc_id") % 2 === 0),
+          "graft_subidx_td")
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
+    // tombstones folded into a new bucketed generation (write-then-
+    // swap) — probe answers identically to the masked view
+    "dedup_substring_takedown_compact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ref = docs.where(col("doc_id") % 2 === 1)
+      Dedup.writeSubstringIndex(ref, 6, "graft_subidx_tdc", 8)
+      Dedup.deleteFromSubstringIndex(ref.where(col("doc_id") % 4 === 1),
+        "graft_subidx_tdc")
+      Dedup.compactSubstringIndex("graft_subidx_tdc")
+      Dedup.substringSpansAgainstIndex(docs.where(col("doc_id") % 2 === 0),
+          "graft_subidx_tdc")
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     // span-level decontamination: the exact text to cut (vs 39's
     // whole-doc flag); benchmark = every 50th doc, the 39 convention
     "decontaminate_spans" -> ((s, dir) => {
@@ -2263,6 +2292,22 @@ object SparkEntry {
       TextOps.bpeFertility(Tables.documents(s, dir), 8)
         .orderBy(col("lang"))),
 
+    // unigram-LM (SentencePiece) tokenizer training: substring seed →
+    // 2 hard-EM rounds (Viterbi E-step, recount/prune/re-smooth
+    // M-step) — the other tokenizer family beside BPE
+    "ulm_train" -> ((s, dir) =>
+      TextOps.ulmTrain(Tables.documents(s, dir), 40, 2)
+        .orderBy(col("piece"))),
+
+    // Viterbi-encode the corpus under the trained unigram-LM vocab:
+    // tokenizer-real counts + content fingerprint (the bpe_encode
+    // contract)
+    "ulm_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = TextOps.ulmTrainVocab(docs, 40, 2).map(v => (v._1, v._3))
+      TextOps.ulmEncode(docs, vocab).orderBy(col("doc_id"))
+    }),
+
     // RAG chunking: overlapping token windows with content fingerprints
     "chunk_documents" -> ((s, dir) =>
       TextOps.chunkDocs(Tables.documents(s, dir), 64, 48)
@@ -2803,6 +2848,8 @@ object SparkEntry {
     "decontaminate_spans" -> OracleSql.decontaminateSpans(4, 50),
     "dedup_substring_stored" -> OracleSql.dedupSubstringStored(6),
     "dedup_substring_stored_inc" -> OracleSql.dedupSubstringStored(6),
+    "dedup_substring_takedown" -> OracleSql.dedupSubstringTakedown(6),
+    "dedup_substring_takedown_compact" -> OracleSql.dedupSubstringTakedown(6),
     "corpus_diversity" -> OracleSql.corpusDiversity,
     "text_bm25" -> OracleSql.textBm25(Seq("hash", "join", "vector"), 10),
     "search_hybrid_rrf" -> OracleSql.hybridRrf(Seq("hash", "join", "vector"), 20, 10),
@@ -2874,6 +2921,8 @@ object SparkEntry {
     "bpe_merge_step" -> OracleSql.bpePairCounts(30),
     "bpe_train" -> OracleSql.bpeTrain(8),
     "bpe_encode" -> OracleSql.bpeEncode(8),
+    "ulm_train" -> OracleSql.ulmTrain(40, 2),
+    "ulm_encode" -> OracleSql.ulmEncode(40, 2),
     "bpe_token_freq" -> OracleSql.bpeTokenFreq(8, 20),
     "bpe_fertility" -> OracleSql.bpeFertility(8),
     "chunk_documents" -> OracleSql.chunkDocs(64, 48),

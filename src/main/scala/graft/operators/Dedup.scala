@@ -1058,31 +1058,46 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_toks"))
   }
 
-  /** Persist a corpus's distinct `minLen`-token window grams as a
-    * BUCKETED gram index — the [[graft.operators.Dedup]] cross-corpus
-    * discipline (writeBandIndex's shape) applied at the ExactSubstr
-    * level: the 100-TB reference corpus pays its window pass ONCE,
-    * and every future delta (tonight's crawl, a takedown sweep, a
-    * benchmark check too big to broadcast) probes the bucketed store.
-    * `_smeta` pins the window length so a probe cannot run against a
-    * differently-built index.
+  /** Per-gram REFERENCE COUNTS of a doc batch: how many distinct docs
+    * contain each `l`-token window gram — the unit every gram-index
+    * generation (build, append, tombstone) is written in. One
+    * (doc_id, gram) distinct + one map-side-combined count; the store
+    * never carries doc attribution, only the count that makes
+    * takedown exact.
+    */
+  private def gramRefs(docs: DataFrame, l: Int): DataFrame =
+    tokenWindows(docs, l).select(col("doc_id"), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_refs"))
+
+  /** Persist a corpus's `minLen`-token window grams WITH per-gram doc
+    * refcounts as a BUCKETED gram index — the [[graft.operators.Dedup]]
+    * cross-corpus discipline (writeBandIndex's shape) applied at the
+    * ExactSubstr level: the 100-TB reference corpus pays its window
+    * pass ONCE, and every future delta (tonight's crawl, a takedown
+    * sweep, a benchmark check too big to broadcast) probes the
+    * bucketed store. `_smeta` pins the window length so a probe
+    * cannot run against a differently-built index. The refcount is
+    * what makes [[deleteFromSubstringIndex]] exact: a gram survives a
+    * takedown iff a SURVIVING doc still witnesses it, and with no doc
+    * attribution in the store only a count can decide that.
     */
   def writeSubstringIndex(docs: DataFrame, minLen: Int, table: String,
                           nBuckets: Int): Unit = {
     val spark = docs.sparkSession
     graft.sources.Formats.writeBucketedKeys(
-      tokenWindows(docs, minLen).select(col("gram")).distinct(),
-      s"${table}_grams", Seq("gram"), nBuckets)
+      gramRefs(docs, minLen), s"${table}_grams", Seq("gram"), nBuckets)
     import spark.implicits._
     Seq((minLen, nBuckets)).toDF("min_len", "n_buckets")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_smeta")
   }
 
   /** Append new reference documents to a stored gram index WITHOUT a
-    * rebuild — provably ≡ the one-shot build because the store is a
-    * DISTINCT gram set and distinct-union is associative: only grams
-    * absent from the store (one anti-join against the bucketed scan)
-    * append. Window length comes from `_smeta`, never the caller.
+    * rebuild — provably ≡ the one-shot build because refcounts are
+    * additive over disjoint doc batches: the delta's (gram, n_refs)
+    * rows simply append (a gram may then hold several generation
+    * rows; probes are semi-joins — multiplicity-safe — and the masked
+    * view SUMS per gram on the bucketed scan, exchange-free). Window
+    * length comes from `_smeta`, never the caller.
     */
   def appendSubstringIndex(newDocs: DataFrame, table: String): Unit = {
     val spark = newDocs.sparkSession
@@ -1091,18 +1106,103 @@ object Dedup {
     val m = spark.table(s"${table}_smeta").head()
     val (minLen, nBuckets) = (m.getAs[Int]("min_len"), m.getAs[Int]("n_buckets"))
     graft.sources.Formats.writeBucketedKeys(
-      tokenWindows(newDocs, minLen).select(col("gram")).distinct()
-        .join(spark.table(s"${table}_grams"), Seq("gram"), "left_anti"),
+      gramRefs(newDocs, minLen),
       s"${table}_grams", Seq("gram"), nBuckets, mode = "append")
+  }
+
+  /** Tombstone takedown for the stored gram index — lifecycle parity
+    * with [[deleteFromBandIndex]] / the ANN index (VERDICT r13 #2: a
+    * licensing takedown on the 100-TB reference corpus must stop its
+    * grams witnessing spans). Because `<table>_grams` stores no doc
+    * attribution, the takedown receives the removed docs WITH TEXT and
+    * appends their (doc_id, gram) pairs to `<table>_stombstones`;
+    * probes subtract per-gram DISTINCT-doc tombstone counts from the
+    * stored refcounts, so a gram stops witnessing exactly when its
+    * last surviving reference doc is gone — and keeps witnessing
+    * while one remains (the refcount edge case the spec pins).
+    * Re-deleting the same doc is idempotent while its tombstones
+    * live (countDistinct); the physical fold happens at the next
+    * [[compactSubstringIndex]].
+    *
+    * Contract: `docs` must be documents previously indexed (build or
+    * append) and not yet compacted away — tombstoning a never-indexed
+    * doc would decrement grams it never contributed.
+    */
+  def deleteFromSubstringIndex(docs: DataFrame, table: String): Unit = {
+    val spark = docs.sparkSession
+    require(spark.catalog.tableExists(s"${table}_smeta"),
+      s"substring index '$table' has no ${table}_smeta table — build it with writeSubstringIndex")
+    val minLen = spark.table(s"${table}_smeta").head().getAs[Int]("min_len")
+    tokenWindows(docs, minLen).select(col("doc_id"), col("gram")).distinct()
+      .write.mode("append").format("parquet")
+      .saveAsTable(s"${table}_stombstones")
+  }
+
+  /** The gram scan with the tombstone mask applied — the ONLY way
+    * probe consumers read `<table>_grams` (a consumer reading it raw
+    * would resurrect taken-down docs' spans). No tombstones: the raw
+    * (possibly generation-duplicated) gram rows, multiplicity-safe
+    * under the probe's semi-join. With tombstones: per-gram net
+    * refcount — SUM over the bucketed scan (hash-partitioned on gram,
+    * no Exchange) minus the BROADCAST tombstone aggregate
+    * (takedown-cadence-bounded) — kept where positive.
+    */
+  private[graft] def maskedGramTable(spark: org.apache.spark.sql.SparkSession,
+                                     table: String): DataFrame = {
+    val g = spark.table(s"${table}_grams")
+    val tsT = s"${table}_stombstones"
+    if (!spark.catalog.tableExists(tsT)) g.select(col("gram"))
+    else {
+      val del = spark.table(tsT)
+        .groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("n_del"))
+      g.groupBy(col("gram")).agg(sum(col("n_refs")).as("n"))
+        .join(broadcast(del), Seq("gram"), "left")
+        .where(col("n") > coalesce(col("n_del"), lit(0L)))
+        .select(col("gram"))
+    }
+  }
+
+  /** Fold accumulated tombstones into the gram index: rewrite the
+    * bucketed table as a NEW generation of net refcounts (write-then-
+    * swap, one linear bucketed pass — never read-and-overwrite in
+    * place; the [[compactBandIndex]] dance), drop the tombstones.
+    * Probes answer identically before and after (the compaction
+    * parity the gate pins), and the per-gram generations collapse to
+    * one row each.
+    */
+  def compactSubstringIndex(table: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    require(spark.catalog.tableExists(s"${table}_smeta"),
+      s"substring index '$table' has no ${table}_smeta table — build it with writeSubstringIndex")
+    val nBuckets = spark.table(s"${table}_smeta").head().getAs[Int]("n_buckets")
+    val tsT = s"${table}_stombstones"
+    if (spark.catalog.tableExists(tsT)) {
+      val del = spark.table(tsT)
+        .groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("n_del"))
+      val net = spark.table(s"${table}_grams")
+        .groupBy(col("gram")).agg(sum(col("n_refs")).as("n"))
+        .join(broadcast(del), Seq("gram"), "left")
+        .select(col("gram"),
+          (col("n") - coalesce(col("n_del"), lit(0L))).as("n_refs"))
+        .where(col("n_refs") > 0)
+      graft.sources.Formats.writeBucketedKeys(
+        net, s"${table}_grams_compacting", Seq("gram"), nBuckets)
+      spark.sql(s"DROP TABLE ${table}_grams")
+      spark.sql(s"ALTER TABLE ${table}_grams_compacting RENAME TO ${table}_grams")
+      spark.sql(s"DROP TABLE $tsT")
+    }
   }
 
   /** Duplicated spans of `docs` against the STORED gram index —
     * [[graft.operators.TextOps.decontaminateSpans]] with the
     * reference side too big to broadcast: the delta's windows
     * (delta-sized) equi-join the bucketed gram store (stored side
-    * carries NO Exchange off its bucketed scan), then the shared
-    * interval merge. Same output contract as the broadcast path —
-    * the spec pins parity.
+    * carries NO Exchange off its bucketed scan when untombstoned; one
+    * bucket-local aggregate when masked), then the shared interval
+    * merge. Same output contract as the broadcast path — the spec
+    * pins parity.
     */
   def substringSpansAgainstIndex(docs: DataFrame, table: String): DataFrame = {
     val spark = docs.sparkSession
@@ -1111,7 +1211,7 @@ object Dedup {
     val minLen = spark.table(s"${table}_smeta").head().getAs[Int]("min_len")
     mergeSpanStarts(
       tokenWindows(docs, minLen)
-        .join(spark.table(s"${table}_grams"), Seq("gram"), "left_semi")
+        .join(maskedGramTable(spark, table), Seq("gram"), "left_semi")
         .select(col("doc_id"), col("p")),
       minLen)
   }

@@ -1432,6 +1432,129 @@ object TextOps {
           .orderBy(col("n").desc, col("token"))).cast("long"))
   }
 
+  /** Floor-quantize at 1e-6 — the canonical rounding at the precision
+    * the unigram-LM log-probs ship with (coarser r3 would merge
+    * distinct piece probabilities; the DP compares these values, so
+    * both engines must quantize identically BEFORE summing).
+    */
+  private def q6d(x: Double): Double = math.floor(x * 1e6 + 0.5001) / 1e6
+
+  /** Distinct words × corpus frequency — the unigram-LM trainer's only
+    * corpus-volume pass (the [[bpeTrainMerges]] collapse, but keeping
+    * single-char words: unigram-LM segments them too).
+    */
+  private def ulmWords(docs: DataFrame, maxWordLen: Int): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 1 && length(col("w")) <= maxWordLen)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  /** Smoothed, quantized piece log-probs from raw counts: lnp =
+    * q6(ln((c+1) / Σ(c+1))) — add-one so a kept-alphabet char with
+    * zero Viterbi count stays finite, one uniform formula for the
+    * seed and every EM round (and for the oracle's CTEs).
+    */
+  private def ulmLnp(counts: Seq[(String, Long)]): Seq[(String, Long, Double)] = {
+    val tt = counts.map(_._2 + 1L).sum.toDouble
+    counts.map { case (p, c) => (p, c, q6d(math.log((c + 1L).toDouble / tt))) }
+  }
+
+  /** Unigram-LM (SentencePiece) tokenizer training, Kudo 2018 — the
+    * other half of the tokenizer-real story beside [[bpeTrainMerges]]:
+    * seed a piece vocabulary from frequent substrings, then hard-EM
+    * (Viterbi-EM) rounds — E-step segments every word type under the
+    * current piece log-probs ([[graft.functions.UlmViterbi]], the
+    * exact DP the DuckDB oracle unrolls as chained position CTEs),
+    * M-step recounts pieces from the Viterbi segmentations and prunes
+    * multi-char pieces the corpus stopped using (the distributed
+    * stand-in for the paper's likelihood-loss prune; the seed alphabet
+    * is always kept so segmentation stays total). Returns the final
+    * vocabulary `(piece, viterbiCount, lnp)`.
+    *
+    * Scale plan (the [[bpeTrainMerges]] discipline): the corpus
+    * collapses ONCE to distinct words × freq; the seed pass explodes
+    * substrings of the WORD-VOCABULARY (≤ types·len·maxPieceLen rows,
+    * never corpus volume) and collects only the top-nSeed multi-char
+    * pieces (limit-bounded) plus the alphabet (charset-sized); each
+    * EM round is one vocabulary-sized map-side Viterbi explode +
+    * map-side-combined count and a vocab-sized collect (the kmeans
+    * codebook contract) — per-round state is O(|vocab|), rounds are
+    * a small constant, nothing corpus-sized ever reaches the driver.
+    *
+    * Words longer than `maxWordLen` are excluded from training (the
+    * oracle's DP chain is position-bounded; SentencePiece likewise
+    * caps trainable sentence pieces) — the gate corpus' longest word
+    * is 8, the default cap 12.
+    */
+  def ulmTrainVocab(docs: DataFrame, nSeed: Int, rounds: Int,
+                    maxPieceLen: Int = 4, maxWordLen: Int = 12): Seq[(String, Long, Double)] = {
+    require(nSeed >= 1, s"ulmTrain: nSeed must be >= 1, got $nSeed")
+    require(rounds >= 1, s"ulmTrain: rounds must be >= 1, got $rounds")
+    require(maxPieceLen >= 2, s"ulmTrain: maxPieceLen must be >= 2, got $maxPieceLen")
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    val words = ulmWords(docs, maxWordLen).localCheckpoint()
+    // seed counts: every substring of length 1..maxPieceLen of every
+    // word type, corpus-weighted (overlapping occurrences all count)
+    val subs = words.select(col("freq"), explode(expr(
+      s"""flatten(transform(sequence(1, length(w)), i ->
+         |  transform(sequence(i, least(i + ${maxPieceLen - 1}, length(w))), j ->
+         |    substring(w, i, j - i + 1))))""".stripMargin)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("c"))
+    val seedMulti = subs.where(length(col("piece")) >= 2)
+      .orderBy(col("c").desc, col("piece")).limit(nSeed)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val seedChars = subs.where(length(col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val alphabet = seedChars.map(_._1).toSet
+    var vocab: Seq[(String, Long, Double)] =
+      ulmLnp((seedMulti ++ seedChars).toSeq.sortBy(_._1))
+    for (_ <- 1 to rounds) {
+      val enc = graft.functions.UlmViterbi.encode(vocab.map(v => (v._1, v._3)))
+        .replace("\\", "\\\\").replace("'", "\\'")
+      val cnt = words
+        .select(col("freq"), explode(expr(s"graft_ulm_viterbi(w, '$enc')")).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      vocab = ulmLnp(vocab
+        .map { case (p, _, _) => (p, cnt.getOrElse(p, 0L)) }
+        .filter { case (p, c) => c > 0 || alphabet(p) })
+    }
+    vocab
+  }
+
+  /** [[ulmTrainVocab]] as the gate-facing frame: the shipped
+    * vocabulary with each piece's final Viterbi count and smoothed
+    * log-prob.
+    */
+  def ulmTrain(docs: DataFrame, nSeed: Int, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    ulmTrainVocab(docs, nSeed, rounds)
+      .map { case (p, c, lnp) => (p, p.length.toLong, c, lnp) }
+      .toDF("piece", "piece_len", "n", "lnp")
+  }
+
+  /** Tokenize a corpus with a TRAINED unigram-LM vocabulary: per
+    * document, Viterbi-segment each word under the piece log-probs —
+    * the [[bpeEncode]] contract (token count + md5 of the space-joined
+    * piece stream) for the SentencePiece side of the tokenizer family.
+    *
+    * Scale plan: ZERO-exchange map-side projection — the vocabulary
+    * rides as one string literal in a constant-size plan, each word
+    * segments in O(len · maxPieceLen) hash probes inside the scan.
+    */
+  def ulmEncode(docs: DataFrame, vocab: Seq[(String, Double)]): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    val enc = graft.functions.UlmViterbi.encode(vocab)
+      .replace("\\", "\\\\").replace("'", "\\'")
+    docs
+      .select(col("doc_id"), expr(
+        s"""flatten(transform(filter(split(text, ' '), x -> length(x) > 0),
+           |  w -> graft_ulm_viterbi(w, '$enc')))""".stripMargin).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        md5(array_join(col("toks"), " ")).as("fp"))
+  }
+
   /** Overlapping token-window chunking — the RAG/embedding prep pass
     * (LangChain/LlamaIndex-style fixed-size splitter): chunk i covers
     * tokens [i·stride, i·stride + size), i = 0.. while i·stride < n,

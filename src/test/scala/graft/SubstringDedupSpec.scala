@@ -126,7 +126,7 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(err.getMessage.contains("writeSubstringIndex"))
   }
 
-  test("gram-index append: two-batch gram set equals the one-shot build") {
+  test("gram-index append: two-batch net refcounts equal the one-shot build") {
     import graft.operators.Dedup
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
@@ -134,12 +134,72 @@ class SubstringDedupSpec extends AnyFunSuite {
     Dedup.writeSubstringIndex(ref, 6, "graft_subidx_one", 4)
     Dedup.writeSubstringIndex(ref.where(col("doc_id") < 250), 6, "graft_subidx_two", 4)
     Dedup.appendSubstringIndex(ref.where(col("doc_id") >= 250), "graft_subidx_two")
-    def grams(t: String) = spark.table(s"${t}_grams").collect()
-      .map(_.getString(0)).sorted.toSeq
-    val one = grams("graft_subidx_one")
-    val two = grams("graft_subidx_two")
-    assert(two === one)
-    assert(two.distinct.size === two.size, "append must not duplicate grams")
+    // refcounts are additive over disjoint doc batches: the two-batch
+    // store may hold one row per generation, but SUM per gram must
+    // equal the one-shot build exactly
+    def refs(t: String) = spark.table(s"${t}_grams")
+      .groupBy(col("gram")).agg(org.apache.spark.sql.functions.sum(col("n_refs")).as("n"))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n"))).sorted.toSeq
+    assert(refs("graft_subidx_two") === refs("graft_subidx_one"))
+  }
+
+  /** Takedown fixture: the shared block is witnessed by BOTH reference
+    * docs, the only-block by just the removed one — the refcount edge
+    * case a doc-attribution-free store must still decide exactly.
+    */
+  private def takedownFixture(table: String): org.apache.spark.sql.DataFrame = {
+    val s = toks("s", 4).mkString(" ")
+    val o = toks("o", 4).mkString(" ")
+    val ref = docs(
+      1L -> s"a0 a1 $s a2",
+      3L -> s"b0 $s $o b1")
+    Dedup.writeSubstringIndex(ref, 4, table, 2)
+    docs(0L -> s"p0 $s p1 $o p2")
+  }
+
+  private def spanRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+      r.getAs[Long]("span_end"))).sorted.toSeq
+
+  test("gram-index takedown: a span whose only witness is removed stops flagging; a surviving witness keeps it") {
+    val probe = takedownFixture("graft_subidx_tdspec")
+    val s = toks("s", 4).mkString(" ")
+    val o = toks("o", 4).mkString(" ")
+    // before: both blocks flag (positions 2-5 and 7-10 of the probe)
+    assert(spanRows(Dedup.substringSpansAgainstIndex(probe, "graft_subidx_tdspec"))
+      === Seq((0L, 2L, 5L), (0L, 7L, 10L)))
+    // remove doc 3: the only-block loses its last witness; the shared
+    // block keeps doc 1 (net refcount 2 − 1 = 1 > 0) and still flags
+    Dedup.deleteFromSubstringIndex(docs(3L -> s"b0 $s $o b1"), "graft_subidx_tdspec")
+    val after = spanRows(Dedup.substringSpansAgainstIndex(probe, "graft_subidx_tdspec"))
+    assert(after === Seq((0L, 2L, 5L)))
+    // re-deleting the same doc is idempotent while tombstones live
+    Dedup.deleteFromSubstringIndex(docs(3L -> s"b0 $s $o b1"), "graft_subidx_tdspec")
+    assert(spanRows(Dedup.substringSpansAgainstIndex(probe, "graft_subidx_tdspec"))
+      === after)
+  }
+
+  test("gram-index compaction: probe answers are identical before and after; generations collapse") {
+    val probe = takedownFixture("graft_subidx_ccspec")
+    val s = toks("s", 4).mkString(" ")
+    val o = toks("o", 4).mkString(" ")
+    Dedup.deleteFromSubstringIndex(docs(3L -> s"b0 $s $o b1"), "graft_subidx_ccspec")
+    val masked = spanRows(Dedup.substringSpansAgainstIndex(probe, "graft_subidx_ccspec"))
+    Dedup.compactSubstringIndex("graft_subidx_ccspec")
+    assert(spanRows(Dedup.substringSpansAgainstIndex(probe, "graft_subidx_ccspec"))
+      === masked)
+    assert(!spark.catalog.tableExists("graft_subidx_ccspec_stombstones"),
+      "compaction must drop the tombstones")
+    val g = spark.table("graft_subidx_ccspec_grams").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_refs")))
+    assert(g.map(_._1).distinct.length === g.length,
+      "compaction must collapse generations to one row per gram")
+    assert(g.forall(_._2 > 0), "compacted refcounts must be positive")
+    // a later append re-witnessing a removed gram makes it flag again
+    // (refcounts stay additive across the compacted generation)
+    Dedup.appendSubstringIndex(docs(5L -> s"c0 $o c1"), "graft_subidx_ccspec")
+    assert(spanRows(Dedup.substringSpansAgainstIndex(probe, "graft_subidx_ccspec"))
+      === Seq((0L, 2L, 5L), (0L, 7L, 10L)))
   }
 
   test("strip removes exactly the spanned tokens; clean and all-dup docs survive") {
