@@ -5359,6 +5359,19 @@ object OracleSql {
        |SELECT doc_id, 1704067200000000 + doc_id * 1000000 AS ts_us
        |FROM hits ORDER BY doc_id""".stripMargin
 
+  /** StreamOps.substrDupStreamBatch: even docs (synthetic event
+    * times, the engine-portable 2024-01-01 + doc_id seconds
+    * convention) probed against the odd half's `l`-token window gram
+    * set — one row per doc carrying at least one witnessed window.
+    */
+  def streamSubstrDupBatch(l: Int): String =
+    s"""WITH ${tokenWindowCtes(l)},
+       |b AS (SELECT DISTINCT gram FROM w WHERE doc_id % 2 = 1),
+       |f AS (SELECT DISTINCT doc_id FROM w
+       |      WHERE doc_id % 2 = 0 AND gram IN (SELECT gram FROM b))
+       |SELECT doc_id, 1704067200000000 + doc_id * 1000000 AS ts_us
+       |FROM f ORDER BY doc_id""".stripMargin
+
   /** Repetition signals: duplicate-n-gram fraction + top-token
     * dominance. Grams here are NOT deduped (the fraction needs the raw
     * count), so this builds its own list instead of ngramsCte.

@@ -1567,6 +1567,22 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // substrDupStream's batch twin: the odd half pays its window pass
+    // into the bucketed gram index, the even half "streams" with
+    // synthetic event times — a doc is flagged when ANY of its
+    // minLen-token windows is witnessed by the reference (ExactSubstr
+    // at ingest); output = each flagged doc's first event time
+    "stream_substrdup_batch" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.writeSubstringIndex(docs.where(col("doc_id") % 2 === 1), 6,
+        "graft_subidx_stream", 8)
+      graft.streaming.StreamOps.substrDupStreamBatch(
+          docs.where(col("doc_id") % 2 === 0)
+            .withColumn("ts", timestamp_micros(lit(1704067200000000L) + col("doc_id") * 1000000L)),
+          "graft_subidx_stream")
+        .orderBy(col("doc_id"))
+    }),
+
     // decontaminateStream's batch twin: documents carry synthetic event
     // times (2024-01-01 epoch + doc_id seconds — the engine-portable
     // convention); output = each contaminated doc's first event time
@@ -2818,6 +2834,7 @@ object SparkEntry {
     "session_window_batch" -> OracleSql.sessionWindowBatch(1800000000L),
     "dedup_stream_batch" -> OracleSql.dedupStreamBatch,
     "stream_decontaminate_batch" -> OracleSql.streamDecontaminateBatch(4, 50),
+    "stream_substrdup_batch" -> OracleSql.streamSubstrDupBatch(6),
     "stream_semdedup_batch" -> OracleSql.streamSemDedupBatch(16, 0.9, 1000000L),
     "stream_crossdup_batch" -> OracleSql.streamCrossDupBatch(16, 2, 0.5),
     "ts_lag_features" -> OracleSql.lagFeatures(Seq(1, 7), 7),

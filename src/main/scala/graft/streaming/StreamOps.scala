@@ -395,6 +395,71 @@ object StreamOps {
       .agg(min(col("ts_us")).as("ts_us"))
   }
 
+  /** Streaming EXACT-SUBSTRING decontamination at INGEST against a
+    * STORED [[graft.operators.Dedup.writeSubstringIndex]] gram index:
+    * emit each streamed document carrying at least one `minLen`-token
+    * window the reference corpus witnesses — ExactSubstr's repeated-
+    * window identity (Lee et al. 2022) applied before data lands, the
+    * substring-level face of [[crossDupStream]] (51c's probe as an
+    * at-ingest alarm; the full span report stays a batch job —
+    * per-position span merging is a stateful window the alarm does
+    * not need).
+    *
+    * Everything is per-row or stream-static, so append mode works on
+    * an unbounded stream: window generation is a pure projection, the
+    * probe is a STREAM-STATIC left-semi join against the (masked)
+    * bucketed gram table — stateless, the static side IS the index
+    * and honors tombstoned takedowns — and
+    * `dropDuplicatesWithinWatermark` collapses a doc's multiple
+    * witnessed windows to ONE emitted row. Window length comes from
+    * `_smeta`, never the caller.
+    */
+  def substrDupStream(docs: DataFrame, table: String,
+                      watermark: String): DataFrame = {
+    val spark = docs.sparkSession
+    require(spark.catalog.tableExists(s"${table}_smeta"),
+      s"substring index '$table' has no ${table}_smeta table — build it with writeSubstringIndex")
+    val minLen = spark.table(s"${table}_smeta").head().getAs[Int]("min_len")
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= minLen)
+      .select(col("doc_id"), col("ts"), explode(expr(
+        s"""transform(sequence(1, size(toks) - ${minLen - 1}),
+           |  p -> array_join(slice(toks, p, $minLen), ' '))""".stripMargin))
+        .as("gram"))
+      .join(graft.operators.Dedup.maskedGramTable(spark, table),
+        Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("ts"))
+      .dropDuplicatesWithinWatermark("doc_id")
+  }
+
+  /** Batch twin of [[substrDupStream]]: flagged docs with their FIRST
+    * event time (the canonical-emission convention of
+    * [[decontaminateStreamBatch]]/[[crossDupStreamBatch]]). Same plan
+    * shape: map-side window explode, one semi-join against the masked
+    * bucketed gram scan, one shuffle carrying only (doc_id, ts_us)
+    * scalars.
+    */
+  def substrDupStreamBatch(docs: DataFrame, table: String): DataFrame = {
+    val spark = docs.sparkSession
+    require(spark.catalog.tableExists(s"${table}_smeta"),
+      s"substring index '$table' has no ${table}_smeta table — build it with writeSubstringIndex")
+    val minLen = spark.table(s"${table}_smeta").head().getAs[Int]("min_len")
+    docs
+      .select(col("doc_id"), unix_micros(col("ts")).as("ts_us"),
+        split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= minLen)
+      .select(col("doc_id"), col("ts_us"), explode(expr(
+        s"""transform(sequence(1, size(toks) - ${minLen - 1}),
+           |  p -> array_join(slice(toks, p, $minLen), ' '))""".stripMargin))
+        .as("gram"))
+      .join(graft.operators.Dedup.maskedGramTable(spark, table),
+        Seq("gram"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(min(col("ts_us")).as("ts_us"))
+  }
+
   /** Per-(user, event_type) historical profile for [[anomalyStream]]:
     * rounded mean + population stddev — recomputed offline at
     * whatever cadence, read as the static side of the ingest join.

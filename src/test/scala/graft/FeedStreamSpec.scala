@@ -867,6 +867,67 @@ class FeedStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming substring probe flags window-sharing docs across a micro-batch boundary; takedown masks at plan time") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val dir = Files.createTempDirectory("substr-in").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(offsetMin: Long) = new java.sql.Timestamp(base.getTime + offsetMin * 60000L)
+    // reference docs: 100 carries the shared block, 102 a different one
+    val blockA = (0 until 4).map(i => s"a$i").mkString(" ")
+    val blockB = (0 until 4).map(i => s"b$i").mkString(" ")
+    val ref = Seq(
+      (100L, s"r0 $blockA r1"),
+      (102L, s"r2 $blockB r3")).toDF("doc_id", "text")
+    Dedup.writeSubstringIndex(ref, 4, "graft_subidx_st", 2)
+    val schema = Seq((0L, ts(0), "x")).toDF("doc_id", "ts", "text").schema
+    // batch 1: doc 1 carries blockA (flags), doc 3 shares nothing
+    Seq((1L, ts(0), s"p0 $blockA p1"),
+        (3L, ts(1), "nothing shared here with anything stored"))
+      .toDF("doc_id", "ts", "text").write.mode("append").parquet(dir)
+    val src = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamOps.substrDupStream(src, "graft_subidx_st", "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("substr").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("select doc_id from substr").collect().map(_.getLong(0)).sorted.toSeq
+        === Seq(1L))
+      // micro-batch 2: a later file — doc 5 carries blockB (flags),
+      // doc 7 carries a PARTIAL 3-token slice of blockA (no 4-window,
+      // stays silent); the stream-static probe keeps serving
+      Seq((5L, ts(2), s"p2 $blockB p3"),
+          (7L, ts(3), "q0 a0 a1 a2 q1"))
+        .toDF("doc_id", "ts", "text").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      assert(spark.sql("select doc_id from substr").collect().map(_.getLong(0)).sorted.toSeq
+        === Seq(1L, 5L))
+      // batch twin agrees doc-for-doc and pins each FIRST event time
+      val all = Seq(
+        (1L, ts(0), s"p0 $blockA p1"),
+        (3L, ts(1), "nothing shared here with anything stored"),
+        (5L, ts(2), s"p2 $blockB p3"),
+        (7L, ts(3), "q0 a0 a1 a2 q1")).toDF("doc_id", "ts", "text")
+      val twin = StreamOps.substrDupStreamBatch(all, "graft_subidx_st")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(twin.keySet === Set(1L, 5L))
+      assert(twin(1L) === base.getTime * 1000L)
+      assert(twin(5L) === (base.getTime + 2 * 60000L) * 1000L)
+      // takedown of doc 102 (blockB's only witness): a stream planned
+      // AFTER the tombstone honors the mask — blockB stops flagging,
+      // blockA (doc 100 survives) still flags
+      Dedup.deleteFromSubstringIndex(
+        Seq((102L, s"r2 $blockB r3")).toDF("doc_id", "text"), "graft_subidx_st")
+      val twinAfter = StreamOps.substrDupStreamBatch(all, "graft_subidx_st")
+        .collect().map(_.getLong(0)).toSet
+      assert(twinAfter === Set(1L))
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS graft_subidx_st_grams")
+      spark.sql("DROP TABLE IF EXISTS graft_subidx_st_smeta")
+      spark.sql("DROP TABLE IF EXISTS graft_subidx_st_stombstones")
+    }
+  }
+
   test("streaming semantic dedup flags exactly the stored-index near-copies") {
     import spark.implicits._
     import graft.operators.Similarity
