@@ -2692,6 +2692,30 @@ object OracleSql {
        |       md5(trim(stream)) AS fp
        |FROM efl ORDER BY doc_id""".stripMargin
 
+  /** Fertility by language under the trained unigram-LM vocabulary:
+    * one more E-step against the final vocab, per-(lang, word) type
+    * counts joined to each type's Viterbi piece count.
+    */
+  def ulmFertility(nSeed: Int, rounds: Int): String =
+    s"""WITH ${ulmCtes(nSeed, rounds)},
+       |${ulmEStep(rounds + 1, s"v${rounds}p", 4, 12)},
+       |wc AS (
+       |  SELECT lang, w, COUNT(*) AS c FROM (
+       |    SELECT lang, UNNEST(string_split(text, ' ')) AS w FROM documents) u
+       |  WHERE length(w) > 0 GROUP BY 1, 2),
+       |pt AS (
+       |  SELECT wc.lang, wc.c, length(wc.w) AS chars, f.k AS subtoks
+       |  FROM wc JOIN e${rounds + 1}fin f ON f.w = wc.w),
+       |ag AS (
+       |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_words,
+       |         CAST(SUM(c * subtoks) AS BIGINT) AS n_tokens,
+       |         SUM(c * chars) AS n_chars
+       |  FROM pt GROUP BY 1)
+       |SELECT lang, n_words, n_tokens,
+       |       ${R("n_tokens / n_words")} AS fertility,
+       |       ${R("n_chars / n_tokens")} AS chars_per_token
+       |FROM ag ORDER BY lang""".stripMargin
+
   /** Overlapping token-window chunking (RAG splitter). */
   def chunkDocs(chunkSize: Int, stride: Int): String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

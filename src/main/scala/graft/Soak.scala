@@ -142,6 +142,32 @@ object Soak {
       // broadcast probe — replicas are token-disjoint so the repeated
       // set stays per-replica and the law is linear
       "dedup_substring" -> (() => Dedup.substringDupSpans(docs, 8)),
+      // stored gram index at factor×-both-sides: build (one window
+      // pass + refcount agg + bucketed write) + delta probe (windows
+      // semi-joined against the bucketed scan) — both linear
+      "dedup_substring_stored" -> (() => {
+        Dedup.writeSubstringIndex(docs.where(col("doc_id") % 2 === 1), 8,
+          "graft_soak_subidx", 8)
+        Dedup.substringSpansAgainstIndex(docs.where(col("doc_id") % 2 === 0),
+          "graft_soak_subidx")
+      }),
+      // probe-only against the index the previous entry built — the
+      // nightly recurring cost (run together with
+      // dedup_substring_stored so the catalog table exists)
+      "dedup_substring_probe" -> (() =>
+        Dedup.substringSpansAgainstIndex(docs.where(col("doc_id") % 2 === 0),
+          "graft_soak_subidx")),
+      // gram-index takedown lifecycle at factor×: build + tombstone a
+      // tenth of the reference + compact (one linear bucketed rewrite)
+      // — the band_index_compact law on the substring side
+      "substr_index_compact" -> (() => {
+        Dedup.writeSubstringIndex(docs.where(col("doc_id") % 2 === 1), 8,
+          "graft_soak_subcmp", 8)
+        Dedup.deleteFromSubstringIndex(
+          docs.where(col("doc_id") % 10 === 1), "graft_soak_subcmp")
+        Dedup.compactSubstringIndex("graft_soak_subcmp")
+        spark.table("graft_soak_subcmp_grams")
+      }),
       "decontaminate_spans" -> (() =>
         TextOps.decontaminateSpans(docs, docs.where(col("doc_id") % 50 === 0), 4)),
       // fixed rounds over the candidate graph: disjoint replica

@@ -2315,6 +2315,13 @@ object SparkEntry {
       TextOps.ulmTrain(Tables.documents(s, dir), 40, 2)
         .orderBy(col("piece"))),
 
+    // tokenizer fertility by language under the trained unigram-LM
+    // vocab — bpe_fertility's equity table for the SentencePiece
+    // side, the direct BPE-vs-ULM family comparison
+    "ulm_fertility" -> ((s, dir) =>
+      TextOps.ulmFertility(Tables.documents(s, dir), 40, 2)
+        .orderBy(col("lang"))),
+
     // Viterbi-encode the corpus under the trained unigram-LM vocab:
     // tokenizer-real counts + content fingerprint (the bpe_encode
     // contract)
@@ -2940,6 +2947,7 @@ object SparkEntry {
     "bpe_encode" -> OracleSql.bpeEncode(8),
     "ulm_train" -> OracleSql.ulmTrain(40, 2),
     "ulm_encode" -> OracleSql.ulmEncode(40, 2),
+    "ulm_fertility" -> OracleSql.ulmFertility(40, 2),
     "bpe_token_freq" -> OracleSql.bpeTokenFreq(8, 20),
     "bpe_fertility" -> OracleSql.bpeFertility(8),
     "chunk_documents" -> OracleSql.chunkDocs(64, 48),

@@ -1555,6 +1555,39 @@ object TextOps {
         md5(array_join(col("toks"), " ")).as("fp"))
   }
 
+  /** Tokenizer fertility by language under the TRAINED unigram-LM
+    * vocabulary — [[bpeFertility]]'s equity table for the
+    * SentencePiece side, and the direct BPE-vs-ULM parity report a
+    * tokenizer owner reads when choosing the family (Rust et al. 2021
+    * compare exactly these two): tokens per whitespace word and chars
+    * per token, per language.
+    *
+    * Scale plan: the [[bpeFertility]] discipline — corpus collapses to
+    * per-(lang, word) TYPE counts, the Viterbi DP runs once per type
+    * (never per occurrence), final frame |langs|-sized
+    * map-side-combined.
+    */
+  def ulmFertility(docs: DataFrame, nSeed: Int, rounds: Int): DataFrame = {
+    val vocab = ulmTrainVocab(docs, nSeed, rounds).map(v => (v._1, v._3))
+    val enc = graft.functions.UlmViterbi.encode(vocab)
+      .replace("\\", "\\\\").replace("'", "\\'")
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+      .select(col("lang"), col("c"),
+        length(col("w")).cast("long").as("chars"),
+        size(expr(s"graft_ulm_viterbi(w, '$enc')")).cast("long").as("subtoks"))
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("subtoks")).as("n_tokens"),
+        sum(col("c") * col("chars")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_tokens"),
+        r3(col("n_tokens") / col("n_words")).as("fertility"),
+        r3(col("n_chars") / col("n_tokens")).as("chars_per_token"))
+  }
+
   /** Overlapping token-window chunking — the RAG/embedding prep pass
     * (LangChain/LlamaIndex-style fixed-size splitter): chunk i covers
     * tokens [i·stride, i·stride + size), i = 0.. while i·stride < n,

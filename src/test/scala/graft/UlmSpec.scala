@@ -97,6 +97,26 @@ class UlmSpec extends AnyFunSuite {
     }
   }
 
+  test("fertility: per-language tokens/word and chars/token match the per-type segmentation") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "abab abab cd", "aa"),
+      (1L, "cd cd", "bb")).toDF("doc_id", "text", "lang")
+    val vocab = TextOps.ulmTrainVocab(d, 10, 2).map(v => (v._1, v._3))
+    val segLen = Map("abab" -> seg("abab", vocab).length, "cd" -> seg("cd", vocab).length)
+    val out = TextOps.ulmFertility(d, 10, 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // lang aa: 2×abab + 1×cd; lang bb: 2×cd — exact type-weighted sums
+    val aaToks = 2L * segLen("abab") + segLen("cd")
+    val bbToks = 2L * segLen("cd")
+    assert(out("aa")._1 === 3L && out("aa")._2 === aaToks)
+    assert(out("bb")._1 === 2L && out("bb")._2 === bbToks)
+    def r3d(x: Double) = math.floor(x * 1000.0 + 0.5001) / 1000.0
+    assert(out("aa")._3 === r3d(aaToks.toDouble / 3.0))
+    assert(out("bb")._3 === r3d(bbToks.toDouble / 2.0))
+  }
+
   test("encode: n_tokens and fingerprint match the hand segmentation") {
     val d = docs(0L -> "abab cd", 1L -> "")
     // force a vocab by training: 'abab'→ whole-word piece is capped at
