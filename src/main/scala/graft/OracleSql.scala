@@ -1892,6 +1892,88 @@ object OracleSql {
        |SELECT vec_id, nbr, cos, rank FROM rk WHERE rank <= $k
        |ORDER BY vec_id, rank""".stripMargin
 
+  /** Centroid-graph ROUTED cell candidates (Similarity.routedCells):
+    * exact k² centroid kNN graph, then every vector beam-walks it
+    * from the global entry (min cid) for `rounds` rounds — chained
+    * visited/frontier CTEs ending in `rvis(vec_id, cid, cos, crank)`.
+    */
+  private def routedCtes(nCentroids: Int, kCentGraph: Int, beam: Int,
+                         rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |      WHERE embedding IS NOT NULL),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $nCentroids),
+         |cgp AS (
+         |  SELECT a.cid AS src, b.cid AS nbr, ${R("list_cosine_similarity(a.cv, b.cv)")} AS ccos
+         |  FROM c a JOIN c b ON b.cid != a.cid),
+         |cg AS MATERIALIZED (
+         |  SELECT src, nbr FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY ccos DESC, nbr) AS crk
+         |    FROM cgp) WHERE crk <= $kCentGraph),
+         |ent AS (SELECT MIN(cid) AS evid FROM c),
+         |rv0 AS MATERIALIZED (
+         |  SELECT e.vec_id, c.cid, ${R("list_cosine_similarity(e.v, c.cv)")} AS cos
+         |  FROM e, c, ent WHERE c.cid = ent.evid),
+         |rf0 AS (SELECT vec_id, cid FROM rv0)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+         |rx$r AS (SELECT DISTINCT f.vec_id, g.nbr AS cid
+         |         FROM rf${r - 1} f JOIN cg g ON g.src = f.cid),
+         |rs$r AS (
+         |  SELECT x.vec_id, x.cid, ${R("list_cosine_similarity(e2.v, c2.cv)")} AS cos
+         |  FROM rx$r x JOIN e e2 ON e2.vec_id = x.vec_id JOIN c c2 ON c2.cid = x.cid),
+         |rv$r AS MATERIALIZED (
+         |  SELECT vec_id, cid, MIN(cos) AS cos FROM (
+         |    SELECT * FROM rv${r - 1} UNION ALL SELECT * FROM rs$r) GROUP BY 1, 2),
+         |rf$r AS MATERIALIZED (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+         |    FROM rv$r) WHERE rk <= $beam)""".stripMargin)
+    }
+    sb.append(s""",
+       |rvis AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS crank
+       |  FROM rv$rounds)""".stripMargin)
+    sb.toString
+  }
+
+  /** Corpus kNN graph with routed assignment: the [[routedCtes]] walk
+    * decides each vector's top-1 cell and nprobe probe cells, then
+    * the annKnnGraph probe join + per-vector top-k.
+    */
+  def annKnnGraphRouted(nCentroids: Int, kGraph: Int, kCentGraph: Int,
+                        beam: Int, rounds: Int, nprobe: Int = 2): String =
+    s"""WITH ${routedCtes(nCentroids, kCentGraph, beam, rounds)},
+       |rap AS (SELECT r.vec_id, r.cid AS pcell, e.v
+       |        FROM rvis r JOIN e ON e.vec_id = r.vec_id WHERE r.crank <= $nprobe),
+       |rasg AS (SELECT r.vec_id AS nbr, r.cid AS cell_b, e.v AS vb
+       |         FROM rvis r JOIN e ON e.vec_id = r.vec_id WHERE r.crank = 1),
+       |rpr AS (
+       |  SELECT a.vec_id, b.nbr, ${R("list_cosine_similarity(a.v, b.vb)")} AS cos
+       |  FROM rap a JOIN rasg b ON a.pcell = b.cell_b AND b.nbr != a.vec_id)
+       |SELECT vec_id, nbr, cos, rank FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS BIGINT) AS rank
+       |  FROM rpr) WHERE rank <= $kGraph ORDER BY vec_id, rank""".stripMargin
+
+  /** Routing-quality audit: routed top-1 cell vs the flat argmax. */
+  def annRoutedAgreement(nCentroids: Int, kCentGraph: Int, beam: Int,
+                         rounds: Int): String =
+    s"""WITH ${routedCtes(nCentroids, kCentGraph, beam, rounds)},
+       |fa0 AS (
+       |  SELECT e.vec_id, c.cid, ${R("list_cosine_similarity(e.v, c.cv)")} AS ccos
+       |  FROM e CROSS JOIN c),
+       |ex1 AS (SELECT vec_id, cid AS cell, ccos AS eccos FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk
+       |  FROM fa0) WHERE crk = 1),
+       |r1 AS (SELECT vec_id, cid AS rcell, cos AS rccos FROM rvis WHERE crank = 1)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |       CAST(SUM(CASE WHEN rcell = cell THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       |       ${R("SUM(CASE WHEN rcell = cell THEN 1.0 ELSE 0.0 END) / COUNT(*)")} AS agree_frac,
+       |       ${R("AVG(rccos)")} AS avg_routed_ccos,
+       |       ${R("AVG(eccos)")} AS avg_exact_ccos
+       |FROM r1 JOIN ex1 USING (vec_id)""".stripMargin
+
   /** Graph-expansion beam search: the kNN-graph CTE, then per round
     * expand-frontier → distinct-union visited → score → top-beam;
     * answer = top-k of the final visited set, self excluded. Visited

@@ -864,6 +864,13 @@ object Soak {
       // builds follow the same √n-centroids law
       "ann_graph_hier" -> (() =>
         Similarity.annGraphSearchHier(emb, 16 * factor, 4, 5, 8, 2, 5)),
+      // the routed build: cell assignment via the centroid-graph walk
+      // (n·rounds·beam·deg·d, independent of k) instead of the flat
+      // n·k·d scan — the fix for the Θ(n^1.5) term the r14 factor-100
+      // soak diagnosed; expect ~pair-volume-linear where the flat
+      // builds above grow n^1.5
+      "ann_graph_routed" -> (() =>
+        Similarity.knnGraphRouted(emb, 16 * factor, 4, 8, 8, 4, 2)),
       // stage 1 truncated scan grows linearly; shortlist broadcast-back
       // rerank is query-bounded
       "ann_matryoshka" -> (() => Similarity.annMatryoshka(emb, 16, 5, 25, 5)),

@@ -340,6 +340,21 @@ object SparkEntry {
       Similarity.knnGraph(Tables.embeddings(s, dir), 16, 3)
         .orderBy(col("vec_id"), col("rank"))),
 
+    // kNN graph with GRAPH-ROUTED cell assignment (the FAISS
+    // IVF-with-graph-quantizer recipe): cells from a beam walk over
+    // the exact centroid graph — n·beam·rounds·deg·d routing instead
+    // of the flat n·k·d scan, the fix for the Θ(n^1.5) build term the
+    // r14 factor-100 soak diagnosed
+    "ann_knn_graph_routed" -> ((s, dir) =>
+      Similarity.knnGraphRouted(Tables.embeddings(s, dir), 16, 4, 4, 4, 3, 2)
+        .orderBy(col("vec_id"), col("rank"))),
+
+    // routing-quality audit: how often the budget-bounded walk lands
+    // each vector in its TRUE nearest cell, and the mean best-centroid
+    // cosine both ways — read before trading the flat scan for the walk
+    "ann_routed_agreement" -> ((s, dir) =>
+      Similarity.routedAgreement(Tables.embeddings(s, dir), 16, 4, 4, 3)),
+
     // NSW-style graph walk: 2 rounds of expand/score/top-beam over
     // the kNN graph, answer = top-k of everything visited
     "ann_graph_search" -> ((s, dir) =>
@@ -2698,6 +2713,8 @@ object SparkEntry {
     "embed_cosine_dup" -> OracleSql.embedCosineDup(0.3),
     "dedup_semantic" -> OracleSql.dedupSemantic(16, 0.3),
     "ann_knn_graph" -> OracleSql.annKnnGraph(16, 3),
+    "ann_knn_graph_routed" -> OracleSql.annKnnGraphRouted(16, 4, 4, 4, 3),
+    "ann_routed_agreement" -> OracleSql.annRoutedAgreement(16, 4, 4, 3),
     "ann_graph_search" -> OracleSql.annGraphSearch(16, 4, 5, 8, 2, 5),
     "ann_graph_search_recall" -> OracleSql.annGraphSearchRecall(16, 4, 5, 8, 2, 5),
     "ann_graph_sweep" -> OracleSql.annGraphSweep(16, 4, 5, 5,

@@ -395,6 +395,148 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Every vector's centroid-graph ROUTED cell candidates: beam-walk
+    * the exact kNN graph of the CENTROIDS (degree `kCentGraph`,
+    * entry = min cid — the HNSW-coarse-quantizer recipe FAISS pairs
+    * with IVF at billion scale) from the global entry for `rounds`
+    * rounds, returning every visited (vec_id, cid, cos) with its
+    * per-vector rank `crank` (cos DESC, cid — the flat assignment's
+    * exact tie order). The point is the COST LAW the r14 factor-100
+    * soak diagnosed: flat assignment evaluates all k centroids per
+    * vector (n·k·d — the Θ(n^1.5·d) term of every flat-IVF build);
+    * the routed walk costs n·rounds·beam·kCentGraph·d, INDEPENDENT of
+    * k. With `beam ≥ nCentroids` and enough rounds the walk visits
+    * every centroid reachable from the entry and the top-1 equals the
+    * flat argmax exactly (spec-pinned parity).
+    *
+    * Scale plan: the centroid graph is codebook-sized (exact k² pair
+    * scoring with the small side BROADCAST — the kmeans collect
+    * contract; at k beyond broadcast, route the centroids through
+    * their own √k-graph recursively — the documented escape hatch);
+    * per round ONE broadcast edge expansion + one co-partitioned
+    * vec_id join to re-attach vectors + a scalar top-beam window;
+    * visited state is (vec_id, cid, cos) scalars, ≤ 1 +
+    * rounds·beam·kCentGraph rows per vector, localCheckpointed per
+    * round (the iterative convention).
+    */
+  private def routedCells(embeddings: DataFrame, nCentroids: Int,
+                          kCentGraph: Int, beam: Int, rounds: Int): DataFrame = {
+    VectorExprs.register(embeddings.sparkSession)
+    require(kCentGraph >= 1 && beam >= 1 && rounds >= 1,
+      s"routedCells: need kCentGraph/beam/rounds >= 1, got $kCentGraph/$beam/$rounds")
+    val e = prepared(embeddings).where(col("v").isNotNull)
+    val cents = e.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("ccid"), col("v").as("cv"), col("norm").as("cn"))
+    val entryRow = cents.agg(min(col("ccid"))).head()
+    require(!entryRow.isNullAt(0),
+      s"routedCells: no vectors with vec_id < $nCentroids — the codebook is empty")
+    val entry = entryRow.getLong(0)
+    // exact centroid kNN graph: k² pairs, small side broadcast
+    val cOther = cents.select(col("ccid").as("nbr"),
+      col("cv").as("ov"), col("cn").as("on"))
+    val ccos = r3(expr("graft_vec_dot(cv, ov)") / (col("cn") * col("on")))
+    val cg = cents.join(broadcast(cOther), col("nbr") =!= col("ccid"))
+      .select(col("ccid").as("src"), col("nbr"), ccos.as("ccos"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("ccos").desc, col("nbr"))))
+      .where(col("crk") <= kCentGraph)
+      .select(col("src"), col("nbr"))
+      .localCheckpoint()
+    val cos = r3(expr("graft_vec_dot(v, cv)") / (col("norm") * col("cn")))
+    // per-round state = the BEAM only, never the full visited set: the
+    // beam is top-beam of everything visited so far BY INDUCTION (an
+    // element dropped from a beam ranks below beam members forever),
+    // so carrying beam ∪ expansion into each round's window yields the
+    // identical final ranking at a fraction of the exchange volume —
+    // consumers only read crank ≤ nprobe ≤ beam
+    var beamScored = e
+      .crossJoin(broadcast(cents.where(col("ccid") === entry)))
+      .select(col("vec_id"), col("ccid").as("cid"), cos.as("cos"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val scored = beamScored
+        .join(broadcast(cg), col("cid") === col("src"))
+        .select(col("vec_id"), col("nbr").as("cid")).distinct()
+        .join(e, "vec_id")
+        .join(broadcast(cents), col("cid") === col("ccid"))
+        .select(col("vec_id"), col("cid"), cos.as("cos"))
+      beamScored = beamScored.unionByName(scored)
+        .groupBy(col("vec_id"), col("cid")).agg(min(col("cos")).as("cos"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))))
+        .where(col("rk") <= beam).drop("rk")
+        .localCheckpoint()
+    }
+    beamScored.withColumn("crank", row_number().over(
+      Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))))
+  }
+
+  /** [[knnGraph]] with GRAPH-ROUTED cell assignment — the fix for the
+    * Θ(n^1.5·d) flat-assignment term the r14 factor-100 soak
+    * diagnosed: cells come from [[routedCells]]' beam walk over the
+    * centroid graph (n·rounds·beam·kCentGraph·d, independent of k)
+    * instead of the all-centroids scan (n·k·d), then the SAME
+    * probe-cell equi-join + per-vector top-k as [[knnGraph]] (left
+    * explodes its top-`nprobe` ROUTED cells, right keeps its routed
+    * top-1, so no pair doubles). With `beam ≥ nCentroids` and enough
+    * rounds the output is EXACTLY [[knnGraph]]'s (spec-pinned); with
+    * a tight budget the routing is approximate and the agreement gate
+    * measures what that buys.
+    */
+  def knnGraphRouted(embeddings: DataFrame, nCentroids: Int, kGraph: Int,
+                     kCentGraph: Int, beam: Int, rounds: Int,
+                     nprobe: Int = 2): DataFrame = {
+    val asg = routedCells(embeddings, nCentroids, kCentGraph, beam, rounds)
+      .localCheckpoint()
+    val e = prepared(embeddings).where(col("v").isNotNull)
+    val probed = asg.where(col("crank") <= nprobe)
+      .select(col("vec_id"), col("cid").as("pcell"))
+      .join(e, "vec_id")
+    val other = asg.where(col("crank") === 1)
+      .select(col("vec_id").as("nbr"), col("cid").as("cell_b"))
+      .join(e.select(col("vec_id").as("nbr"), col("v").as("vb"),
+        col("norm").as("nb")), "nbr")
+    val cos = r3(expr("graft_vec_dot(v, vb)") / (col("norm") * col("nb")))
+    probed.join(other,
+        col("pcell") === col("cell_b") && col("nbr") =!= col("vec_id"))
+      .select(col("vec_id"), col("nbr"), cos.as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nbr")))
+        .cast("long"))
+      .where(col("rank") <= kGraph)
+  }
+
+  /** Routing-quality audit for [[knnGraphRouted]]: how often the
+    * budget-bounded walk lands each vector in its TRUE nearest cell
+    * (the flat argmax), plus the mean best-centroid cosine both ways
+    * — the table an operator reads before trading the n·k·d flat
+    * scan for the routed walk at a given (kCentGraph, beam, rounds)
+    * budget. One row: n_vecs, n_agree, agree_frac, avg_routed_ccos,
+    * avg_exact_ccos.
+    */
+  def routedAgreement(embeddings: DataFrame, nCentroids: Int,
+                      kCentGraph: Int, beam: Int, rounds: Int): DataFrame = {
+    VectorExprs.register(embeddings.sparkSession)
+    val routed = routedCells(embeddings, nCentroids, kCentGraph, beam, rounds)
+      .where(col("crank") === 1)
+      .select(col("vec_id"), col("cid").as("rcell"), col("cos").as("rccos"))
+    val enc = quantizer(embeddings, nCentroids)
+    val e = prepared(embeddings).where(col("v").isNotNull)
+    val cents = e.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("ccid"), col("v").as("cv"), col("norm").as("cn"))
+    val exact = e
+      .withColumn("cell", expr(s"graft_ivf_cell(v, '$enc')"))
+      .join(broadcast(cents), col("cell") === col("ccid"))
+      .select(col("vec_id"), col("cell"),
+        r3(expr("graft_vec_dot(v, cv)") / (col("norm") * col("cn"))).as("ccos"))
+    routed.join(exact, "vec_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("rcell") === col("cell"), 1L).otherwise(0L)).as("n_agree"),
+        r3(sum(when(col("rcell") === col("cell"), 1.0).otherwise(0.0)) / count(lit(1))).as("agree_frac"),
+        r3(avg(col("rccos"))).as("avg_routed_ccos"),
+        r3(avg(col("ccos"))).as("avg_exact_ccos"))
+  }
+
   /** Graph-expansion beam search over the [[knnGraph]] (the NSW/HNSW
     * serving primitive, Malkov & Yashunin 2016, flattened to one
     * layer and made deterministic): each query starts at ITSELF,

@@ -47,6 +47,32 @@ class GraphSearchSpec extends AnyFunSuite {
     assert(tight.map(_.getAs[Long]("vid")).toSeq === Seq(1L, 2L))
   }
 
+  test("routed build with a full budget equals the flat build exactly; tight budgets stay bounded by the exact argmax") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("nbr"), r.getAs[Double]("cos"))).sorted.toSeq
+    // full budget: degree 15 = the complete centroid graph, beam 16 ≥
+    // k — round 1 visits every cell, so routing IS the flat argmax
+    // (same tie order) and the edge sets are byte-equal
+    val flat = rows(Similarity.knnGraph(emb, 16, 3, 2))
+    val routed = rows(Similarity.knnGraphRouted(emb, 16, 3, 15, 16, 1, 2))
+    assert(routed === flat)
+    val agreeFull = Similarity.routedAgreement(emb, 16, 15, 16, 1).head()
+    assert(agreeFull.getAs[Double]("agree_frac") === 1.0)
+    assert(agreeFull.getAs[Double]("avg_routed_ccos")
+      === agreeFull.getAs[Double]("avg_exact_ccos"))
+    // budget-bounded walk: the routed best cosine can never EXCEED the
+    // exact argmax (it optimizes over a visited subset), and the gate
+    // budget still lands most vectors in their true cell
+    val agree = Similarity.routedAgreement(emb, 16, 4, 4, 3).head()
+    assert(agree.getAs[Long]("n_vecs") > 0)
+    assert(agree.getAs[Double]("avg_routed_ccos")
+      <= agree.getAs[Double]("avg_exact_ccos") + 1e-9)
+    assert(agree.getAs[Double]("agree_frac") <= 1.0)
+    info(s"gate-budget routed agreement = ${agree.getAs[Double]("agree_frac")}")
+  }
+
   test("stored graph walk is byte-equal to the recompute path; a missing table fails eagerly") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     Similarity.writeKnnGraph(emb, 16, 4, "graft_knng_spec", 4)
