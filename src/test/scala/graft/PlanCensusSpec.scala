@@ -58,6 +58,52 @@ class PlanCensusSpec extends AnyFunSuite {
     assert(shuffles(df).size === 2)
   }
 
+  test("substring stored probe: the tombstone mask adds ZERO shuffles") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, dir)
+    Dedup.writeSubstringIndex(docs.where(col("doc_id") % 2 === 1), 6,
+      "graft_subidx_census", 4)
+    // untombstoned: ONE shuffle — the doc_id span-merge window; the
+    // gram probe rides a broadcast at census scale (beyond the
+    // broadcast threshold it is the bucketed SMJ with one probe-side
+    // exchange and still ZERO on the stored scan)
+    val plain = shuffles(Dedup.substringSpansAgainstIndex(
+      docs.where(col("doc_id") % 2 === 0), "graft_subidx_census")).size
+    assert(plain === 1)
+    // masked: exactly TWO more, and both are the tombstone-side
+    // countDistinct's phases over TOMBSTONE-volume rows
+    // (takedown-cadence-bounded) — the gram/probe side itself gains
+    // nothing: the net-refcount SUM is bucket-local and the tombstone
+    // aggregate joins back as a BROADCAST
+    Dedup.deleteFromSubstringIndex(docs.where(col("doc_id") % 4 === 1),
+      "graft_subidx_census")
+    val masked = shuffles(Dedup.substringSpansAgainstIndex(
+      docs.where(col("doc_id") % 2 === 0), "graft_subidx_census")).size
+    assert(masked === plain + 2,
+      "the takedown mask must only add the tombstone-volume countDistinct phases")
+    spark.sql("DROP TABLE IF EXISTS graft_subidx_census_grams")
+    spark.sql("DROP TABLE IF EXISTS graft_subidx_census_smeta")
+    spark.sql("DROP TABLE IF EXISTS graft_subidx_census_stombstones")
+  }
+
+  test("stream_substrdup batch twin: gram probe + doc collapse, windows explode map-side") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, dir)
+    Dedup.writeSubstringIndex(docs.where(col("doc_id") % 2 === 1), 6,
+      "graft_subidx_census2", 4)
+    val df = graft.streaming.StreamOps.substrDupStreamBatch(
+      docs.where(col("doc_id") % 2 === 0)
+        .withColumn("ts", timestamp_micros(lit(1704067200000000L) + col("doc_id") * 1000000L)),
+      "graft_subidx_census2")
+    // exactly ONE: the (doc_id, min ts) collapse — window generation
+    // is a pure map and the gram semi-join rides a broadcast at
+    // census scale (bucketed SMJ with one probe-side exchange beyond
+    // the threshold, still zero on the stored scan)
+    assert(shuffles(df).size === 1)
+    spark.sql("DROP TABLE IF EXISTS graft_subidx_census2_grams")
+    spark.sql("DROP TABLE IF EXISTS graft_subidx_census2_smeta")
+  }
+
   test("decontaminate_spans: benchmark distinct + span-merge window only") {
     val docs = Tables.documents(spark, dir)
     val df = TextOps.decontaminateSpans(docs, docs.where(col("doc_id") % 50 === 0), 4)
