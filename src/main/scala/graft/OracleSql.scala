@@ -1956,6 +1956,54 @@ object OracleSql {
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS BIGINT) AS rank
        |  FROM rpr) WHERE rank <= $kGraph ORDER BY vec_id, rank""".stripMargin
 
+  /** Graph-expansion beam search over the ROUTED kNN graph (the
+    * stored-walk gates: writeKnnGraphRouted + annGraphSearchStored;
+    * incremental append shares this oracle — append ≡ one-shot):
+    * routed assignment CTEs → routed edges → the self-seeded walk of
+    * [[annGraphSearch]].
+    */
+  def annGraphSearchRouted(nCentroids: Int, kGraph: Int, kCentGraph: Int,
+                           beamR: Int, roundsR: Int, nQueries: Int,
+                           beamW: Int, roundsW: Int, k: Int,
+                           nprobe: Int = 2): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH ${routedCtes(nCentroids, kCentGraph, beamR, roundsR)},
+         |rap AS (SELECT r.vec_id, r.cid AS pcell, e.v
+         |        FROM rvis r JOIN e ON e.vec_id = r.vec_id WHERE r.crank <= $nprobe),
+         |rasg AS (SELECT r.vec_id AS nbr, r.cid AS cell_b, e.v AS vb
+         |         FROM rvis r JOIN e ON e.vec_id = r.vec_id WHERE r.crank = 1),
+         |rpr AS (
+         |  SELECT a.vec_id, b.nbr, ${R("list_cosine_similarity(a.v, b.vb)")} AS cos
+         |  FROM rap a JOIN rasg b ON a.pcell = b.cell_b AND b.nbr != a.vec_id),
+         |g AS MATERIALIZED (
+         |  SELECT vec_id AS src, nbr FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
+         |    FROM rpr) WHERE rank <= $kGraph),
+         |q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
+         |f0 AS (SELECT qid, qid AS vid FROM q),
+         |v0 AS (SELECT qid, vid FROM f0)""".stripMargin)
+    for (r <- 1 to roundsW) {
+      sb.append(s""",
+         |x$r AS (SELECT f.qid, g.nbr AS vid FROM f${r - 1} f JOIN g ON g.src = f.vid),
+         |v$r AS MATERIALIZED (
+         |  SELECT DISTINCT qid, vid FROM (
+         |    SELECT qid, vid FROM v${r - 1} UNION ALL SELECT qid, vid FROM x$r)),
+         |s$r AS (
+         |  SELECT v.qid, v.vid, ${R("list_cosine_similarity(e2.v, q.qv)")} AS cos
+         |  FROM v$r v JOIN e e2 ON e2.vec_id = v.vid JOIN q ON q.qid = v.qid),
+         |f$r AS MATERIALIZED (
+         |  SELECT qid, vid FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
+         |    FROM s$r) WHERE rk <= $beamW)""".stripMargin)
+    }
+    sb.append(s"""
+       |SELECT qid, vid, cos, rank FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS rank
+       |  FROM s$roundsW WHERE vid != qid) WHERE rank <= $k ORDER BY qid, rank""".stripMargin)
+    sb.toString
+  }
+
   /** Routing-quality audit: routed top-1 cell vs the flat argmax. */
   def annRoutedAgreement(nCentroids: Int, kCentGraph: Int, beam: Int,
                          rounds: Int): String =

@@ -355,6 +355,29 @@ object SparkEntry {
     "ann_routed_agreement" -> ((s, dir) =>
       Similarity.routedAgreement(Tables.embeddings(s, dir), 16, 4, 4, 3)),
 
+    // routed build PERSISTED (_nodes/_edges in the stored-walk layout
+    // + _probes/_cgraph/_meta pinning the routing state): the standard
+    // stored walk serves it unchanged
+    "ann_graph_routed_stored" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeKnnGraphRouted(emb, 16, 4, 4, 4, 3, "graft_knng_routed", 8, 2)
+      Similarity.annGraphSearchStored(emb.sparkSession, "graft_knng_routed", 5, 8, 2, 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // two-batch routed build (append after a partial build) walked
+    // against the one-shot oracle — every routing input is pinned in
+    // the store, so a delta routes under exactly the build's rule
+    "ann_graph_routed_inc" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeKnnGraphRouted(emb.where(col("vec_id") < 200), 16, 4, 4, 4, 3,
+        "graft_knng_routed_inc", 8, 2)
+      Similarity.appendKnnGraphRouted(emb.where(col("vec_id") >= 200),
+        "graft_knng_routed_inc")
+      Similarity.annGraphSearchStored(emb.sparkSession, "graft_knng_routed_inc", 5, 8, 2, 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // NSW-style graph walk: 2 rounds of expand/score/top-beam over
     // the kNN graph, answer = top-k of everything visited
     "ann_graph_search" -> ((s, dir) =>
@@ -2715,6 +2738,8 @@ object SparkEntry {
     "ann_knn_graph" -> OracleSql.annKnnGraph(16, 3),
     "ann_knn_graph_routed" -> OracleSql.annKnnGraphRouted(16, 4, 4, 4, 3),
     "ann_routed_agreement" -> OracleSql.annRoutedAgreement(16, 4, 4, 3),
+    "ann_graph_routed_stored" -> OracleSql.annGraphSearchRouted(16, 4, 4, 4, 3, 5, 8, 2, 5),
+    "ann_graph_routed_inc" -> OracleSql.annGraphSearchRouted(16, 4, 4, 4, 3, 5, 8, 2, 5),
     "ann_graph_search" -> OracleSql.annGraphSearch(16, 4, 5, 8, 2, 5),
     "ann_graph_search_recall" -> OracleSql.annGraphSearchRecall(16, 4, 5, 8, 2, 5),
     "ann_graph_sweep" -> OracleSql.annGraphSweep(16, 4, 5, 5,

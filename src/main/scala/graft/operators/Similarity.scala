@@ -380,9 +380,18 @@ object Similarity {
     * carries `cell`.
     */
   private def knnEdges(left: DataFrame, right: DataFrame, k: Int,
-                       enc: String, nprobe: Int): DataFrame = {
-    val probed = left.select(col("vec_id"), col("v"), col("norm"),
-      explode(expr(s"graft_ivf_cells(v, '$enc', $nprobe)")).as("pcell"))
+                       enc: String, nprobe: Int): DataFrame =
+    knnEdgesProbed(left.select(col("vec_id"), col("v"), col("norm"),
+      explode(expr(s"graft_ivf_cells(v, '$enc', $nprobe)")).as("pcell")), right, k)
+
+  /** [[knnEdges]] with the LEFT probe cells supplied as rows
+    * `(vec_id, v, norm, pcell)` instead of the flat [[IvfCells]]
+    * explode — the shared tail for the graph-ROUTED builds, whose
+    * probe cells come from the centroid-graph walk (or the persisted
+    * `_probes` table on the append path).
+    */
+  private def knnEdgesProbed(probed: DataFrame, right: DataFrame,
+                             k: Int): DataFrame = {
     val other = right.select(col("vec_id").as("nbr"),
       col("cell").as("cell_b"), col("v").as("vb"), col("norm").as("nb"))
     val cos = r3(expr("graft_vec_dot(v, vb)") / (col("norm") * col("nb")))
@@ -419,29 +428,51 @@ object Similarity {
     * rounds·beam·kCentGraph rows per vector, localCheckpointed per
     * round (the iterative convention).
     */
-  private def routedCells(embeddings: DataFrame, nCentroids: Int,
-                          kCentGraph: Int, beam: Int, rounds: Int): DataFrame = {
-    VectorExprs.register(embeddings.sparkSession)
-    require(kCentGraph >= 1 && beam >= 1 && rounds >= 1,
-      s"routedCells: need kCentGraph/beam/rounds >= 1, got $kCentGraph/$beam/$rounds")
-    val e = prepared(embeddings).where(col("v").isNotNull)
-    val cents = e.where(col("vec_id") < nCentroids)
+  /** The `(ccid, cv, cn)` centroid frame of a prepared corpus. */
+  private def centroidFrame(e: DataFrame, nCentroids: Int): DataFrame =
+    e.where(col("vec_id") < nCentroids)
       .select(col("vec_id").as("ccid"), col("v").as("cv"), col("norm").as("cn"))
-    val entryRow = cents.agg(min(col("ccid"))).head()
-    require(!entryRow.isNullAt(0),
-      s"routedCells: no vectors with vec_id < $nCentroids — the codebook is empty")
-    val entry = entryRow.getLong(0)
-    // exact centroid kNN graph: k² pairs, small side broadcast
+
+  /** Exact kNN graph over the centroids (k² pairs, small side
+    * broadcast — the codebook contract; at k beyond broadcast, route
+    * the centroids through their own √k graph recursively).
+    */
+  private def centroidGraph(cents: DataFrame, kCentGraph: Int): DataFrame = {
     val cOther = cents.select(col("ccid").as("nbr"),
       col("cv").as("ov"), col("cn").as("on"))
     val ccos = r3(expr("graft_vec_dot(cv, ov)") / (col("cn") * col("on")))
-    val cg = cents.join(broadcast(cOther), col("nbr") =!= col("ccid"))
+    cents.join(broadcast(cOther), col("nbr") =!= col("ccid"))
       .select(col("ccid").as("src"), col("nbr"), ccos.as("ccos"))
       .withColumn("crk", row_number().over(
         Window.partitionBy(col("src")).orderBy(col("ccos").desc, col("nbr"))))
       .where(col("crk") <= kCentGraph)
       .select(col("src"), col("nbr"))
-      .localCheckpoint()
+  }
+
+  private def routedCells(embeddings: DataFrame, nCentroids: Int,
+                          kCentGraph: Int, beam: Int, rounds: Int): DataFrame = {
+    VectorExprs.register(embeddings.sparkSession)
+    require(kCentGraph >= 1,
+      s"routedCells: need kCentGraph >= 1, got $kCentGraph")
+    val e = prepared(embeddings).where(col("v").isNotNull)
+    val cents = centroidFrame(e, nCentroids)
+    val entryRow = cents.agg(min(col("ccid"))).head()
+    require(!entryRow.isNullAt(0),
+      s"routedCells: no vectors with vec_id < $nCentroids — the codebook is empty")
+    val entry = entryRow.getLong(0)
+    val cg = centroidGraph(cents, kCentGraph).localCheckpoint()
+    routedCellsWith(e, cents, cg, entry, beam, rounds)
+  }
+
+  /** [[routedCells]] against PINNED routing state — the shared core of
+    * the one-shot build and the stored-graph append (which reads
+    * centroids/centroid-graph/entry from the store so a delta routes
+    * under exactly the build's rule).
+    */
+  private def routedCellsWith(e: DataFrame, cents: DataFrame, cg: DataFrame,
+                              entry: Long, beam: Int, rounds: Int): DataFrame = {
+    require(beam >= 1 && rounds >= 1,
+      s"routedCells: need beam/rounds >= 1, got $beam/$rounds")
     val cos = r3(expr("graft_vec_dot(v, cv)") / (col("norm") * col("cn")))
     // per-round state = the BEAM only, never the full visited set: the
     // beam is top-beam of everything visited so far BY INDUCTION (an
@@ -535,6 +566,120 @@ object Similarity {
         r3(sum(when(col("rcell") === col("cell"), 1.0).otherwise(0.0)) / count(lit(1))).as("agree_frac"),
         r3(avg(col("rccos"))).as("avg_routed_ccos"),
         r3(avg(col("ccos"))).as("avg_exact_ccos"))
+  }
+
+  /** Persist a [[knnGraphRouted]] build: `_nodes`/`_edges` in the
+    * exact [[writeKnnGraph]] layout (so [[annGraphSearchStored]] and
+    * every stored-walk consumer work unchanged), PLUS the routing
+    * state a delta needs to append under the build's exact rule —
+    * `_probes` (each node's top-nprobe ROUTED probe cells; the append
+    * identity needs old nodes' probes and re-walking the whole store
+    * per append would pay the build again), `_cgraph` (the centroid
+    * graph), and `_meta` carrying the route budget, the entry node
+    * and `routed = true` so the FLAT [[appendKnnGraph]] rejects this
+    * store with a directed error instead of silently re-clustering
+    * it under IvfCells assignment.
+    */
+  def writeKnnGraphRouted(embeddings: DataFrame, nCentroids: Int, kGraph: Int,
+                          kCentGraph: Int, beam: Int, rounds: Int,
+                          table: String, nBuckets: Int, nprobe: Int = 2): Unit = {
+    val spark = embeddings.sparkSession
+    VectorExprs.register(spark)
+    val e = prepared(embeddings).where(col("v").isNotNull)
+    val cents = centroidFrame(e, nCentroids)
+    val entryRow = cents.agg(min(col("ccid"))).head()
+    require(!entryRow.isNullAt(0),
+      s"writeKnnGraphRouted: no vectors with vec_id < $nCentroids — the codebook is empty")
+    val entry = entryRow.getLong(0)
+    val cg = centroidGraph(cents, kCentGraph).localCheckpoint()
+    val asg = routedCellsWith(e, cents, cg, entry, beam, rounds)
+      .where(col("crank") <= nprobe).localCheckpoint()
+    val assigned = asg.where(col("crank") === 1)
+      .select(col("vec_id"), col("cid").as("cell")).join(e, "vec_id")
+    graft.sources.Formats.writeBucketedKeys(
+      assigned.select(col("vec_id"), col("cell"), col("v")),
+      s"${table}_nodes", Seq("cell"), nBuckets)
+    graft.sources.Formats.writeBucketedKeys(
+      asg.select(col("vec_id"), col("cid").as("pcell")),
+      s"${table}_probes", Seq("pcell"), nBuckets)
+    val probed = asg.select(col("vec_id"), col("cid").as("pcell")).join(e, "vec_id")
+    graft.sources.Formats.writeBucketedKeys(
+      knnEdgesProbed(probed, assigned, kGraph)
+        .select(col("vec_id").as("src"), col("nbr"), col("cos")),
+      s"${table}_edges", Seq("src"), nBuckets)
+    cg.write.mode("overwrite").format("parquet").saveAsTable(s"${table}_cgraph")
+    import spark.implicits._
+    Seq((nCentroids, kGraph, nBuckets, nprobe, kCentGraph, beam, rounds, entry, true))
+      .toDF("n_centroids", "k_graph", "n_buckets", "nprobe",
+        "k_cent_graph", "beam_route", "rounds_route", "entry", "routed")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta")
+  }
+
+  /** Append NEW vectors to a stored ROUTED graph WITHOUT a rebuild —
+    * provably ≡ the one-shot [[writeKnnGraphRouted]] over old ∪ delta
+    * because every routing input is PINNED in the store (centroids
+    * read back from `_nodes`, centroid graph from `_cgraph`, entry
+    * and budget from `_meta`), so the delta's walk lands exactly
+    * where the one-shot build's would; old nodes' probe cells come
+    * from `_probes` (never re-walked), and the edge merge is the
+    * [[appendKnnGraph]] identity: top-k(stored top-k ∪ old-probe ×
+    * delta-cell pairs) = top-k(all old ∪ new candidates).
+    */
+  def appendKnnGraphRouted(newVecs: DataFrame, table: String): Unit = {
+    val spark = newVecs.sparkSession
+    VectorExprs.register(spark)
+    require(spark.catalog.tableExists(s"${table}_meta"),
+      s"kNN graph '$table' has no ${table}_meta table — build it with writeKnnGraphRouted")
+    val meta = spark.table(s"${table}_meta").collect().head
+    require(metaIntOr(meta, "k_cent_graph", -1) >= 0 &&
+        meta.schema.fieldNames.contains("routed") && meta.getAs[Boolean]("routed"),
+      s"kNN graph '$table' is a FLAT store — append with appendKnnGraph " +
+        "(routed append would re-route a flat-assigned graph)")
+    val kGraph = meta.getAs[Int]("k_graph")
+    val nBuckets = meta.getAs[Int]("n_buckets")
+    val nprobe = meta.getAs[Int]("nprobe")
+    val beam = meta.getAs[Int]("beam_route")
+    val rounds = meta.getAs[Int]("rounds_route")
+    val nCentroids = meta.getAs[Int]("n_centroids")
+    val entry = meta.getAs[Long]("entry")
+    val oldNodes = spark.table(s"${table}_nodes")
+      .select(col("vec_id"), col("cell"), col("v"))
+      .withColumn("norm", sqrt(expr("graft_vec_dot(v, v)")))
+    val cents = centroidFrame(
+      oldNodes.select(col("vec_id"), col("v"), col("norm")), nCentroids)
+    val cg = spark.table(s"${table}_cgraph")
+    val deltaE = prepared(newVecs).where(col("v").isNotNull)
+    val asgD = routedCellsWith(deltaE, cents, cg, entry, beam, rounds)
+      .where(col("crank") <= nprobe).localCheckpoint()
+    val newAssigned = asgD.where(col("crank") === 1)
+      .select(col("vec_id"), col("cid").as("cell")).join(deltaE, "vec_id")
+    val newProbed = asgD.select(col("vec_id"), col("cid").as("pcell"))
+      .join(deltaE, "vec_id")
+    val newEdges = knnEdgesProbed(newProbed,
+      oldNodes.unionByName(newAssigned.select(col("vec_id"), col("cell"),
+        col("v"), col("norm"))), kGraph)
+    val oldProbed = spark.table(s"${table}_probes")
+      .join(oldNodes.select(col("vec_id"), col("v"), col("norm")), "vec_id")
+    val oldNew = knnEdgesProbed(oldProbed, newAssigned, Int.MaxValue)
+      .select(col("vec_id").as("src"), col("nbr"), col("cos"))
+    val merged = spark.table(s"${table}_edges")
+      .select(col("src"), col("nbr"), col("cos"))
+      .unionByName(oldNew)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("cos").desc, col("nbr"))))
+      .where(col("rank") <= kGraph)
+      .select(col("src"), col("nbr"), col("cos"))
+      .unionByName(newEdges.select(col("vec_id").as("src"), col("nbr"), col("cos")))
+    graft.sources.Formats.writeBucketedKeys(
+      merged, s"${table}_edges_appending", Seq("src"), nBuckets)
+    spark.sql(s"DROP TABLE ${table}_edges")
+    spark.sql(s"ALTER TABLE ${table}_edges_appending RENAME TO ${table}_edges")
+    graft.sources.Formats.writeBucketedKeys(
+      newAssigned.select(col("vec_id"), col("cell"), col("v")),
+      s"${table}_nodes", Seq("cell"), nBuckets, mode = "append")
+    graft.sources.Formats.writeBucketedKeys(
+      asgD.select(col("vec_id"), col("cid").as("pcell")),
+      s"${table}_probes", Seq("pcell"), nBuckets, mode = "append")
   }
 
   /** Graph-expansion beam search over the [[knnGraph]] (the NSW/HNSW
@@ -752,6 +897,10 @@ object Similarity {
     require(spark.catalog.tableExists(s"${table}_meta"),
       s"kNN graph '$table' has no ${table}_meta table — build it with writeKnnGraph")
     val meta = spark.table(s"${table}_meta").collect().head
+    // a ROUTED store's cells came from the centroid-graph walk; a flat
+    // IvfCells append would silently re-cluster it
+    require(!meta.schema.fieldNames.contains("routed") || !meta.getAs[Boolean]("routed"),
+      s"kNN graph '$table' is a ROUTED store — append with appendKnnGraphRouted")
     val kGraph = meta.getAs[Int]("k_graph")
     val nBuckets = meta.getAs[Int]("n_buckets")
     // defensively: a graph written before the nprobe column existed

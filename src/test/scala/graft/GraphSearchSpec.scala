@@ -73,6 +73,35 @@ class GraphSearchSpec extends AnyFunSuite {
     info(s"gate-budget routed agreement = ${agree.getAs[Double]("agree_frac")}")
   }
 
+  test("routed store: two-batch append equals the one-shot build in nodes, edges AND probes; flat/routed appends cross-refuse") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    Similarity.writeKnnGraphRouted(emb, 16, 4, 4, 4, 3, "graft_knngr_one", 4, 2)
+    Similarity.writeKnnGraphRouted(emb.where(col("vec_id") < 250), 16, 4, 4, 4, 3,
+      "graft_knngr_two", 4, 2)
+    Similarity.appendKnnGraphRouted(emb.where(col("vec_id") >= 250), "graft_knngr_two")
+    def nodes(t: String) = spark.table(s"${t}_nodes").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"))).sorted.toSeq
+    def edges(t: String) = spark.table(s"${t}_edges").collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("nbr"), r.getAs[Double]("cos")))
+      .sorted.toSeq
+    def probes(t: String) = spark.table(s"${t}_probes").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("pcell"))).sorted.toSeq
+    assert(nodes("graft_knngr_two") === nodes("graft_knngr_one"))
+    assert(edges("graft_knngr_two") === edges("graft_knngr_one"))
+    assert(probes("graft_knngr_two") === probes("graft_knngr_one"))
+    // a flat append on a routed store (and vice versa) is a directed
+    // error, never a silent re-clustering
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.appendKnnGraph(emb.where(col("vec_id") >= 250), "graft_knngr_one")
+    }
+    assert(e1.getMessage.contains("appendKnnGraphRouted"))
+    Similarity.writeKnnGraph(emb.where(col("vec_id") < 250), 16, 4, "graft_knngr_flat", 4)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.appendKnnGraphRouted(emb.where(col("vec_id") >= 250), "graft_knngr_flat")
+    }
+    assert(e2.getMessage.contains("appendKnnGraph"))
+  }
+
   test("stored graph walk is byte-equal to the recompute path; a missing table fails eagerly") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     Similarity.writeKnnGraph(emb, 16, 4, "graft_knng_spec", 4)
