@@ -1898,11 +1898,11 @@ object OracleSql {
     * visited/frontier CTEs ending in `rvis(vec_id, cid, cos, crank)`.
     */
   private def routedCtes(nCentroids: Int, kCentGraph: Int, beam: Int,
-                         rounds: Int): String = {
+                         rounds: Int, pred: String = "TRUE"): String = {
     val sb = new StringBuilder
     sb.append(
       s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         |      WHERE embedding IS NOT NULL),
+         |      WHERE embedding IS NOT NULL AND ($pred)),
          |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $nCentroids),
          |cgp AS (
          |  SELECT a.cid AS src, b.cid AS nbr, ${R("list_cosine_similarity(a.cv, b.cv)")} AS ccos
@@ -1965,10 +1965,11 @@ object OracleSql {
   def annGraphSearchRouted(nCentroids: Int, kGraph: Int, kCentGraph: Int,
                            beamR: Int, roundsR: Int, nQueries: Int,
                            beamW: Int, roundsW: Int, k: Int,
-                           nprobe: Int = 2): String = {
+                           nprobe: Int = 2, pred: String = "TRUE",
+                           removedPred: String = "FALSE"): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""WITH ${routedCtes(nCentroids, kCentGraph, beamR, roundsR)},
+      s"""WITH ${routedCtes(nCentroids, kCentGraph, beamR, roundsR, pred)},
          |rap AS (SELECT r.vec_id, r.cid AS pcell, e.v
          |        FROM rvis r JOIN e ON e.vec_id = r.vec_id WHERE r.crank <= $nprobe),
          |rasg AS (SELECT r.vec_id AS nbr, r.cid AS cell_b, e.v AS vb
@@ -1977,10 +1978,14 @@ object OracleSql {
          |  SELECT a.vec_id, b.nbr, ${R("list_cosine_similarity(a.v, b.vb)")} AS cos
          |  FROM rap a JOIN rasg b ON a.pcell = b.cell_b AND b.nbr != a.vec_id),
          |g AS MATERIALIZED (
-         |  SELECT vec_id AS src, nbr FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
-         |    FROM rpr) WHERE rank <= $kGraph),
-         |q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
+         |  SELECT src, nbr FROM (
+         |    SELECT vec_id AS src, nbr, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
+         |    FROM rpr)
+         |  WHERE rank <= $kGraph
+         |    AND NOT (${removedPred.replace("vec_id", "src")})
+         |    AND NOT (${removedPred.replace("vec_id", "nbr")})),
+         |es AS (SELECT * FROM e WHERE NOT ($removedPred)),
+         |q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM es WHERE vec_id < $nQueries),
          |f0 AS (SELECT qid, qid AS vid FROM q),
          |v0 AS (SELECT qid, vid FROM f0)""".stripMargin)
     for (r <- 1 to roundsW) {
@@ -1991,7 +1996,7 @@ object OracleSql {
          |    SELECT qid, vid FROM v${r - 1} UNION ALL SELECT qid, vid FROM x$r)),
          |s$r AS (
          |  SELECT v.qid, v.vid, ${R("list_cosine_similarity(e2.v, q.qv)")} AS cos
-         |  FROM v$r v JOIN e e2 ON e2.vec_id = v.vid JOIN q ON q.qid = v.qid),
+         |  FROM v$r v JOIN es e2 ON e2.vec_id = v.vid JOIN q ON q.qid = v.qid),
          |f$r AS MATERIALIZED (
          |  SELECT qid, vid FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk

@@ -871,6 +871,20 @@ object Soak {
       // builds above grow n^1.5
       "ann_graph_routed" -> (() =>
         Similarity.knnGraphRouted(emb, 16 * factor, 4, 8, 8, 4, 2)),
+      // graph-store takedown lifecycle at factor×: routed build +
+      // tombstone a tenth (sparing the codebook ids) + compact — the
+      // rebuild is scoped to AFFECTED srcs only (those with a stored
+      // edge into the removed set), the band/gram/ANN compaction law
+      // on the graph side
+      "graph_store_compact" -> (() => {
+        Similarity.writeKnnGraphRouted(emb, 16 * factor, 4, 8, 8, 4,
+          "graft_soak_gcmp", 8, 2)
+        Similarity.deleteFromKnnGraph(
+          emb.where(col("vec_id") % 10 === 7 && col("vec_id") >= 16L * factor)
+            .select(col("vec_id")), "graft_soak_gcmp")
+        Similarity.compactKnnGraphRouted("graft_soak_gcmp")
+        spark.table("graft_soak_gcmp_edges")
+      }),
       // stage 1 truncated scan grows linearly; shortlist broadcast-back
       // rerank is query-bounded
       "ann_matryoshka" -> (() => Similarity.annMatryoshka(emb, 16, 5, 25, 5)),

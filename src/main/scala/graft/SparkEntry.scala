@@ -365,6 +365,35 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // licensing takedown on the graph store: tombstoned nodes vanish
+    // from seeds, frontiers, edges and answers IMMEDIATELY (a src
+    // whose top-k pointed at removed nodes serves a shorter list
+    // until compaction — the k-truncation honesty)
+    "ann_graph_takedown" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeKnnGraphRouted(emb, 16, 4, 4, 4, 3, "graft_knng_td", 8, 2)
+      Similarity.deleteFromKnnGraph(
+        emb.where(col("vec_id") % 10 === 7 && col("vec_id") >= 16)
+          .select(col("vec_id")), "graft_knng_td")
+      Similarity.annGraphSearchStored(s, "graft_knng_td", 5, 8, 2, 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // tombstones folded in: affected srcs re-rank among survivors —
+    // the walk equals a one-shot build over the survivor set (the
+    // removal spares the codebook ids, so the pinned codebook and a
+    // rebuild's agree; oracle = the survivor one-shot)
+    "ann_graph_takedown_compact" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeKnnGraphRouted(emb, 16, 4, 4, 4, 3, "graft_knng_tdc", 8, 2)
+      Similarity.deleteFromKnnGraph(
+        emb.where(col("vec_id") % 10 === 7 && col("vec_id") >= 16)
+          .select(col("vec_id")), "graft_knng_tdc")
+      Similarity.compactKnnGraphRouted("graft_knng_tdc")
+      Similarity.annGraphSearchStored(s, "graft_knng_tdc", 5, 8, 2, 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // two-batch routed build (append after a partial build) walked
     // against the one-shot oracle — every routing input is pinned in
     // the store, so a delta routes under exactly the build's rule
@@ -2740,6 +2769,10 @@ object SparkEntry {
     "ann_routed_agreement" -> OracleSql.annRoutedAgreement(16, 4, 4, 3),
     "ann_graph_routed_stored" -> OracleSql.annGraphSearchRouted(16, 4, 4, 4, 3, 5, 8, 2, 5),
     "ann_graph_routed_inc" -> OracleSql.annGraphSearchRouted(16, 4, 4, 4, 3, 5, 8, 2, 5),
+    "ann_graph_takedown" -> OracleSql.annGraphSearchRouted(16, 4, 4, 4, 3, 5, 8, 2, 5,
+      removedPred = "vec_id % 10 = 7 AND vec_id >= 16"),
+    "ann_graph_takedown_compact" -> OracleSql.annGraphSearchRouted(16, 4, 4, 4, 3, 5, 8, 2, 5,
+      pred = "NOT (vec_id % 10 = 7 AND vec_id >= 16)"),
     "ann_graph_search" -> OracleSql.annGraphSearch(16, 4, 5, 8, 2, 5),
     "ann_graph_search_recall" -> OracleSql.annGraphSearchRecall(16, 4, 5, 8, 2, 5),
     "ann_graph_sweep" -> OracleSql.annGraphSweep(16, 4, 5, 5,

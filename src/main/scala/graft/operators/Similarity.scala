@@ -608,6 +608,12 @@ object Similarity {
         .select(col("vec_id").as("src"), col("nbr"), col("cos")),
       s"${table}_edges", Seq("src"), nBuckets)
     cg.write.mode("overwrite").format("parquet").saveAsTable(s"${table}_cgraph")
+    // the codebook rides its OWN table: centroids are reference
+    // points, not members — a takedown may remove a centroid's NODE
+    // row, and append/compact must keep routing under the pinned
+    // codebook regardless
+    cents.select(col("ccid"), col("cv"))
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_cvecs")
     import spark.implicits._
     Seq((nCentroids, kGraph, nBuckets, nprobe, kCentGraph, beam, rounds, entry, true))
       .toDF("n_centroids", "k_graph", "n_buckets", "nprobe",
@@ -645,8 +651,8 @@ object Similarity {
     val oldNodes = spark.table(s"${table}_nodes")
       .select(col("vec_id"), col("cell"), col("v"))
       .withColumn("norm", sqrt(expr("graft_vec_dot(v, v)")))
-    val cents = centroidFrame(
-      oldNodes.select(col("vec_id"), col("v"), col("norm")), nCentroids)
+    val cents = spark.table(s"${table}_cvecs")
+      .withColumn("cn", sqrt(expr("graft_vec_dot(cv, cv)")))
     val cg = spark.table(s"${table}_cgraph")
     val deltaE = prepared(newVecs).where(col("v").isNotNull)
     val asgD = routedCellsWith(deltaE, cents, cg, entry, beam, rounds)
@@ -680,6 +686,110 @@ object Similarity {
     graft.sources.Formats.writeBucketedKeys(
       asgD.select(col("vec_id"), col("cid").as("pcell")),
       s"${table}_probes", Seq("pcell"), nBuckets, mode = "append")
+  }
+
+  /** Tombstone takedown for a stored kNN graph (flat or routed) —
+    * lifecycle parity with the band/gram/ANN indexes: the ids land in
+    * `<table>_gtombstones` and every stored walk masks them
+    * immediately (removed nodes vanish from seeds, frontiers, edges
+    * and answers); a src whose stored top-k pointed at removed nodes
+    * serves a SHORTER list until [[compactKnnGraphRouted]] re-ranks
+    * its candidates among survivors (stored edge lists are
+    * k-truncated — the dropped candidate that would back-fill is not
+    * in the store, which is exactly what compaction recomputes).
+    */
+  def deleteFromKnnGraph(ids: DataFrame, table: String): Unit = {
+    val spark = ids.sparkSession
+    require(spark.catalog.tableExists(s"${table}_meta"),
+      s"kNN graph '$table' has no ${table}_meta table — build it first")
+    ids.select(col("vec_id")).distinct()
+      .write.mode("append").format("parquet")
+      .saveAsTable(s"${table}_gtombstones")
+  }
+
+  /** The stored node/edge frames with the tombstone mask applied —
+    * the ONLY way stored walks read a graph store (a consumer reading
+    * raw would serve taken-down vectors). Tombstones are
+    * takedown-cadence-bounded and ride BROADCAST anti-joins.
+    */
+  private def maskedGraphStore(spark: org.apache.spark.sql.SparkSession,
+                               table: String): (DataFrame, DataFrame) = {
+    val nodes = spark.table(s"${table}_nodes")
+    val edges = spark.table(s"${table}_edges")
+    val tsT = s"${table}_gtombstones"
+    if (!spark.catalog.tableExists(tsT)) (nodes, edges)
+    else {
+      val ts = spark.table(tsT).select(col("vec_id")).distinct()
+      (nodes.join(broadcast(ts), Seq("vec_id"), "left_anti"),
+        edges
+          .join(broadcast(ts.select(col("vec_id").as("src"))), Seq("src"), "left_anti")
+          .join(broadcast(ts.select(col("vec_id").as("nbr"))), Seq("nbr"), "left_anti"))
+    }
+  }
+
+  /** Fold accumulated tombstones into a ROUTED graph store: survivors
+    * whose stored edges pointed at a removed node get their edge
+    * lists RE-RANKED among survivors (their `_probes` cells joined to
+    * surviving assigned nodes — the exact candidate set the one-shot
+    * build would score; unaffected srcs' lists are provably unchanged
+    * because removing a non-top-k candidate can never promote one),
+    * nodes/probes drop the removed rows via the write-then-swap
+    * dance, tombstones drop. Result ≡ the one-shot
+    * [[writeKnnGraphRouted]] over the survivors whenever the removal
+    * spares the codebook ids (the codebook is PINNED in `_cvecs` —
+    * removing a centroid's node row keeps routing identical, but a
+    * one-shot REBUILD would then seed different centroids; the spec
+    * pins the spared-codebook identity).
+    */
+  def compactKnnGraphRouted(table: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    require(spark.catalog.tableExists(s"${table}_meta"),
+      s"kNN graph '$table' has no ${table}_meta table — build it with writeKnnGraphRouted")
+    val meta = spark.table(s"${table}_meta").collect().head
+    require(meta.schema.fieldNames.contains("routed") && meta.getAs[Boolean]("routed"),
+      s"kNN graph '$table' is a FLAT store — compactKnnGraphRouted needs the _probes table")
+    val tsT = s"${table}_gtombstones"
+    if (!spark.catalog.tableExists(tsT)) return
+    val kGraph = meta.getAs[Int]("k_graph")
+    val nBuckets = meta.getAs[Int]("n_buckets")
+    val ts = spark.table(tsT).select(col("vec_id")).distinct().localCheckpoint()
+    val nodes = spark.table(s"${table}_nodes")
+      .join(broadcast(ts), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"), col("v"))
+      .withColumn("norm", sqrt(expr("graft_vec_dot(v, v)")))
+      .localCheckpoint()
+    val probes = spark.table(s"${table}_probes")
+      .join(broadcast(ts), Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    // affected = surviving srcs with >= 1 stored edge into the removed
+    // set: only THEIR candidate rankings could change
+    val edges = spark.table(s"${table}_edges")
+      .join(broadcast(ts.select(col("vec_id").as("src"))), Seq("src"), "left_anti")
+    val affected = edges
+      .join(broadcast(ts.select(col("vec_id").as("nbr"))), Seq("nbr"), "left_semi")
+      .select(col("src")).distinct()
+    val rebuilt = knnEdgesProbed(
+      probes.join(affected.select(col("src").as("vec_id")), "vec_id")
+        .select(col("vec_id"), col("pcell"))
+        .join(nodes.select(col("vec_id"), col("v"), col("norm")), "vec_id"),
+      nodes, kGraph)
+      .select(col("vec_id").as("src"), col("nbr"), col("cos"))
+    val kept = edges
+      .join(broadcast(ts.select(col("vec_id").as("nbr"))), Seq("nbr"), "left_anti")
+      .join(affected, Seq("src"), "left_anti")
+      .select(col("src"), col("nbr"), col("cos"))
+    graft.sources.Formats.writeBucketedKeys(
+      kept.unionByName(rebuilt), s"${table}_edges_compacting", Seq("src"), nBuckets)
+    graft.sources.Formats.writeBucketedKeys(
+      nodes.select(col("vec_id"), col("cell"), col("v")),
+      s"${table}_nodes_compacting", Seq("cell"), nBuckets)
+    graft.sources.Formats.writeBucketedKeys(
+      probes, s"${table}_probes_compacting", Seq("pcell"), nBuckets)
+    for (t <- Seq("edges", "nodes", "probes")) {
+      spark.sql(s"DROP TABLE ${table}_$t")
+      spark.sql(s"ALTER TABLE ${table}_${t}_compacting RENAME TO ${table}_$t")
+    }
+    spark.sql(s"DROP TABLE $tsT")
   }
 
   /** Graph-expansion beam search over the [[knnGraph]] (the NSW/HNSW
@@ -955,10 +1065,14 @@ object Similarity {
     VectorExprs.register(spark)
     require(spark.catalog.tableExists(s"${table}_edges"),
       s"kNN graph '$table' has no ${table}_edges table — build it with writeKnnGraph")
-    val nodes = spark.table(s"${table}_nodes")
+    // the tombstone mask (deleteFromKnnGraph) applies here, so a
+    // taken-down vector vanishes from seeds, frontiers and answers
+    // the moment its tombstone lands
+    val (mNodes, mEdges) = maskedGraphStore(spark, table)
+    val nodes = mNodes
       .select(col("vec_id"), col("v"))
       .withColumn("norm", sqrt(expr("graft_vec_dot(v, v)")))
-    graphWalk(nodes, spark.table(s"${table}_edges"), nQueries, beam, rounds, k)
+    graphWalk(nodes, mEdges, nQueries, beam, rounds, k)
   }
 
   /** Recall@k of the graph walk vs exact — next to the IVF/PQ/SQ

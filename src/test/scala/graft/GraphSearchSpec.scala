@@ -102,6 +102,51 @@ class GraphSearchSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("appendKnnGraph"))
   }
 
+  test("graph takedown: tombstoned nodes vanish from walks immediately; compaction equals the survivor one-shot") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val removed = col("vec_id") % 10 === 7 && col("vec_id") >= 16
+    Similarity.writeKnnGraphRouted(emb, 16, 4, 4, 4, 3, "graft_knng_tds", 4, 2)
+    def walkVids(t: String) = Similarity
+      .annGraphSearchStored(spark, t, 5, 8, 2, 5)
+      .collect().map(_.getAs[Long]("vid")).toSet
+    val before = walkVids("graft_knng_tds")
+    assert(before.exists(v => v % 10 == 7 && v >= 16),
+      "fixture must serve at least one to-be-removed node before the takedown")
+    Similarity.deleteFromKnnGraph(emb.where(removed).select(col("vec_id")),
+      "graft_knng_tds")
+    val masked = walkVids("graft_knng_tds")
+    assert(!masked.exists(v => v % 10 == 7 && v >= 16),
+      "no tombstoned node may survive in any walk answer")
+    // compaction: byte-equality with the one-shot build over the
+    // survivors (the removal spares the codebook ids, so the pinned
+    // codebook and a rebuild's coincide)
+    Similarity.compactKnnGraphRouted("graft_knng_tds")
+    assert(!spark.catalog.tableExists("graft_knng_tds_gtombstones"),
+      "compaction must drop the tombstones")
+    Similarity.writeKnnGraphRouted(emb.where(!removed), 16, 4, 4, 4, 3,
+      "graft_knng_tds_one", 4, 2)
+    def nodes(t: String) = spark.table(s"${t}_nodes").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"))).sorted.toSeq
+    def edges(t: String) = spark.table(s"${t}_edges").collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("nbr"), r.getAs[Double]("cos")))
+      .sorted.toSeq
+    def probes(t: String) = spark.table(s"${t}_probes").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("pcell"))).sorted.toSeq
+    assert(nodes("graft_knng_tds") === nodes("graft_knng_tds_one"))
+    assert(edges("graft_knng_tds") === edges("graft_knng_tds_one"))
+    assert(probes("graft_knng_tds") === probes("graft_knng_tds_one"))
+    // compacting a flat store is a directed error; a tombstone-free
+    // compaction is a no-op
+    Similarity.writeKnnGraph(emb, 16, 4, "graft_knng_tds_flat", 4)
+    val err = intercept[IllegalArgumentException] {
+      Similarity.compactKnnGraphRouted("graft_knng_tds_flat")
+    }
+    assert(err.getMessage.contains("_probes"))
+    val pre = edges("graft_knng_tds")
+    Similarity.compactKnnGraphRouted("graft_knng_tds")
+    assert(edges("graft_knng_tds") === pre)
+  }
+
   test("stored graph walk is byte-equal to the recompute path; a missing table fails eagerly") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     Similarity.writeKnnGraph(emb, 16, 4, "graft_knng_spec", 4)
