@@ -925,7 +925,23 @@ object Soak {
       // vocab-sized conditional aggregate + 1-row broadcast + TakeOrdered
       "token_trending" -> (() => TextOps.tokenTrending(docs, 20)),
       // per-TYPE BPE replay over the distinct-word frame
-      "bpe_token_freq" -> (() => TextOps.bpeTokenFreq(docs, 8, 20)))
+      "bpe_token_freq" -> (() => TextOps.bpeTokenFreq(docs, 8, 20)),
+      // unigram-LM trainer: replica-prefixed tokens grow the WORD
+      // vocabulary factor× (the law under test — every EM round's
+      // state is vocab-sized; nSeed scales with the corpus so the
+      // kept piece set tracks vocabulary growth); note the replica
+      // prefix caps at factor ≤ 100 (word length ≤ the trainer's 12)
+      "ulm_train" -> (() => {
+        val v = TextOps.ulmTrainVocab(docs, 40 * factor, 2)
+        import spark.implicits._
+        v.map(x => (x._1, x._2, x._3)).toDF("piece", "n", "lnp")
+      }),
+      // encode under a trained vocab: zero-exchange map-side DP — the
+      // law is one linear corpus scan
+      "ulm_encode" -> (() => {
+        val v = TextOps.ulmTrainVocab(docs, 40 * factor, 2).map(x => (x._1, x._3))
+        TextOps.ulmEncode(docs, v)
+      }))
 
     // optional args name a subset — e.g. the dedup family at a higher
     // SPARK_GRAFT_SOAK_FACTOR without paying for the whole suite

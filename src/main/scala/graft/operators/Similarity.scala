@@ -700,8 +700,9 @@ object Similarity {
     */
   def deleteFromKnnGraph(ids: DataFrame, table: String): Unit = {
     val spark = ids.sparkSession
-    require(spark.catalog.tableExists(s"${table}_meta"),
-      s"kNN graph '$table' has no ${table}_meta table — build it first")
+    require(spark.catalog.tableExists(s"${table}_meta") ||
+        spark.catalog.tableExists(s"${table}_hmeta"),
+      s"kNN graph '$table' has no ${table}_meta/_hmeta table — build it first")
     ids.select(col("vec_id")).distinct()
       .write.mode("append").format("parquet")
       .saveAsTable(s"${table}_gtombstones")
@@ -1221,6 +1222,13 @@ object Similarity {
     VectorExprs.register(spark)
     require(spark.catalog.tableExists(s"${table}_hmeta"),
       s"hier graph '$table' has no ${table}_hmeta table — build it with writeKnnGraphHier")
+    // the tombstone mask is implemented for the single-layer stored
+    // walk only; serving a hier store with pending takedowns would
+    // silently resurrect removed vectors — fail directed instead
+    require(!spark.catalog.tableExists(s"${table}_gtombstones"),
+      s"hier graph '$table' has pending takedowns (${table}_gtombstones) — " +
+        "hier walks do not mask tombstones yet; rebuild the store from " +
+        "the survivor set (or serve the single-layer store, whose walks mask)")
     val hm = spark.table(s"${table}_hmeta").head()
     val entry = hm.getAs[Long]("entry")
     val nLayers = metaIntOr(hm, "n_layers", 2)

@@ -145,6 +145,16 @@ class GraphSearchSpec extends AnyFunSuite {
     val pre = edges("graft_knng_tds")
     Similarity.compactKnnGraphRouted("graft_knng_tds")
     assert(edges("graft_knng_tds") === pre)
+    // the hier stored walk does not mask tombstones (per-level masking
+    // is the remaining lifecycle gap) — a pending takedown is a
+    // DIRECTED error, never a silent serve of removed vectors
+    Similarity.writeKnnGraphHier(emb, 16, 4, "graft_knng_tds_hier", 4)
+    Similarity.deleteFromKnnGraph(emb.where(removed).select(col("vec_id")),
+      "graft_knng_tds_hier")
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.annGraphSearchHierStored(spark, "graft_knng_tds_hier", 5, 8, 2, 5)
+    }
+    assert(e3.getMessage.contains("takedowns"))
   }
 
   test("stored graph walk is byte-equal to the recompute path; a missing table fails eagerly") {
