@@ -1898,43 +1898,53 @@ object OracleSql {
     * visited/frontier CTEs ending in `rvis(vec_id, cid, cos, crank)`.
     */
   private def routedCtes(nCentroids: Int, kCentGraph: Int, beam: Int,
-                         rounds: Int, pred: String = "TRUE"): String = {
+                         rounds: Int, pred: String = "TRUE"): String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |      WHERE embedding IS NOT NULL AND ($pred)),
+       |${routedCoreCtes("", "e", nCentroids, kCentGraph, beam, rounds)}""".stripMargin
+
+  /** [[routedCtes]] core with a NAME PREFIX and an arbitrary source
+    * CTE (columns vec_id, v) — the per-level routed assignment of the
+    * routed-hier oracle; prefix "" over its own `e` CTE is the
+    * original single-level form. Ends in `rvis$p(vec_id, cid, cos,
+    * crank)`.
+    */
+  private def routedCoreCtes(p: String, eCte: String, nCentroids: Int,
+                             kCentGraph: Int, beam: Int, rounds: Int): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         |      WHERE embedding IS NOT NULL AND ($pred)),
-         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $nCentroids),
-         |cgp AS (
+      s"""c$p AS (SELECT vec_id AS cid, v AS cv FROM $eCte WHERE vec_id < $nCentroids),
+         |cgp$p AS (
          |  SELECT a.cid AS src, b.cid AS nbr, ${R("list_cosine_similarity(a.cv, b.cv)")} AS ccos
-         |  FROM c a JOIN c b ON b.cid != a.cid),
-         |cg AS MATERIALIZED (
+         |  FROM c$p a JOIN c$p b ON b.cid != a.cid),
+         |cg$p AS MATERIALIZED (
          |  SELECT src, nbr FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY ccos DESC, nbr) AS crk
-         |    FROM cgp) WHERE crk <= $kCentGraph),
-         |ent AS (SELECT MIN(cid) AS evid FROM c),
-         |rv0 AS MATERIALIZED (
-         |  SELECT e.vec_id, c.cid, ${R("list_cosine_similarity(e.v, c.cv)")} AS cos
-         |  FROM e, c, ent WHERE c.cid = ent.evid),
-         |rf0 AS (SELECT vec_id, cid FROM rv0)""".stripMargin)
+         |    FROM cgp$p) WHERE crk <= $kCentGraph),
+         |ent$p AS (SELECT MIN(cid) AS evid FROM c$p),
+         |rv${p}0 AS MATERIALIZED (
+         |  SELECT ee.vec_id, cc.cid, ${R("list_cosine_similarity(ee.v, cc.cv)")} AS cos
+         |  FROM $eCte ee, c$p cc, ent$p en WHERE cc.cid = en.evid),
+         |rf${p}0 AS (SELECT vec_id, cid FROM rv${p}0)""".stripMargin)
     for (r <- 1 to rounds) {
       sb.append(s""",
-         |rx$r AS (SELECT DISTINCT f.vec_id, g.nbr AS cid
-         |         FROM rf${r - 1} f JOIN cg g ON g.src = f.cid),
-         |rs$r AS (
+         |rx$p$r AS (SELECT DISTINCT f.vec_id, g.nbr AS cid
+         |         FROM rf$p${r - 1} f JOIN cg$p g ON g.src = f.cid),
+         |rs$p$r AS (
          |  SELECT x.vec_id, x.cid, ${R("list_cosine_similarity(e2.v, c2.cv)")} AS cos
-         |  FROM rx$r x JOIN e e2 ON e2.vec_id = x.vec_id JOIN c c2 ON c2.cid = x.cid),
-         |rv$r AS MATERIALIZED (
+         |  FROM rx$p$r x JOIN $eCte e2 ON e2.vec_id = x.vec_id JOIN c$p c2 ON c2.cid = x.cid),
+         |rv$p$r AS MATERIALIZED (
          |  SELECT vec_id, cid, MIN(cos) AS cos FROM (
-         |    SELECT * FROM rv${r - 1} UNION ALL SELECT * FROM rs$r) GROUP BY 1, 2),
-         |rf$r AS MATERIALIZED (
+         |    SELECT * FROM rv$p${r - 1} UNION ALL SELECT * FROM rs$p$r) GROUP BY 1, 2),
+         |rf$p$r AS MATERIALIZED (
          |  SELECT vec_id, cid FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
-         |    FROM rv$r) WHERE rk <= $beam)""".stripMargin)
+         |    FROM rv$p$r) WHERE rk <= $beam)""".stripMargin)
     }
     sb.append(s""",
-       |rvis AS (
+       |rvis$p AS (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS crank
-       |  FROM rv$rounds)""".stripMargin)
+       |  FROM rv$p$rounds)""".stripMargin)
     sb.toString
   }
 
@@ -2168,30 +2178,64 @@ object OracleSql {
   def annGraphSearchHier(nCentroids: Int, kGraph: Int, nQueries: Int,
                          beam: Int, rounds: Int, k: Int,
                          keep: Int, nBuckets: Int, nprobe: Int = 2,
-                         nLayers: Int = 2): String = {
+                         nLayers: Int = 2, pred: String = "TRUE",
+                         removedPred: String = "FALSE",
+                         route: Option[(Int, Int, Int)] = None): String = {
+    // `pred` restricts the BUILD corpus (the survivor-one-shot oracle
+    // of the hier compaction gate); `removedPred` masks a build over
+    // the FULL corpus at SERVE time (the tombstone-mask oracle of the
+    // hier takedown gate): per-level graphs build unmasked, then
+    // edges with a removed endpoint drop, scoring/query/entry frames
+    // exclude removed nodes, and the entry is the min SURVIVING
+    // top-level node — exactly annGraphSearchHierStored's mask.
+    val masking = removedPred != "FALSE"
     def coin(j: Int): String = {
       val seed = if (j == 1) "CAST(vec_id AS VARCHAR)"
         else s"CAST(vec_id AS VARCHAR) || '#$j'"
       s"CAST(CONCAT('0x', SUBSTR(md5($seed), 1, 4)) AS INTEGER) % $nBuckets < $keep"
     }
-    def pred(level: Int): String = (1 to level).map(coin).mkString(" AND ")
-    def graphCtes(p: String, eCte: String): String =
-      s"""c$p AS (SELECT vec_id AS cid, v AS cv FROM $eCte WHERE vec_id < $nCentroids),
-         |a0$p AS (
-         |  SELECT ee.vec_id, ee.v, cc.cid, ${R("list_cosine_similarity(ee.v, cc.cv)")} AS ccos
-         |  FROM $eCte ee CROSS JOIN c$p cc),
-         |a1$p AS (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
-         |  FROM a0$p),
-         |asg$p AS (SELECT vec_id, v, cid AS cell FROM a1$p WHERE crank = 1),
-         |ap$p AS (SELECT vec_id, v, cid AS pcell FROM a1$p WHERE crank <= $nprobe),
-         |pr$p AS (
-         |  SELECT a.vec_id, b.vec_id AS nbr, ${R("list_cosine_similarity(a.v, b.v)")} AS cos
-         |  FROM ap$p a JOIN asg$p b ON a.pcell = b.cell AND b.vec_id != a.vec_id),
-         |g$p AS MATERIALIZED (
-         |  SELECT vec_id AS src, nbr FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
-         |    FROM pr$p) WHERE rank <= $kGraph)""".stripMargin
+    def lvlPred(level: Int): String = (1 to level).map(coin).mkString(" AND ")
+    val edgeMask = if (!masking) "" else
+      s"""
+         |    AND NOT (${removedPred.replace("vec_id", "src")})
+         |    AND NOT (${removedPred.replace("vec_id", "nbr")})""".stripMargin
+    def graphCtes(p: String, eCte: String): String = route match {
+      // routed assignment per level: the centroid-graph walk decides
+      // each vector's cell/probe cells (mirrors knnGraphEdgesRouted),
+      // then the identical probe join + top-k + serve-time edge mask
+      case Some((deg, beamR, roundsR)) =>
+        s"""${routedCoreCtes(p, eCte, nCentroids, deg, beamR, roundsR)},
+           |rap$p AS (SELECT r.vec_id, r.cid AS pcell, ee.v
+           |          FROM rvis$p r JOIN $eCte ee ON ee.vec_id = r.vec_id
+           |          WHERE r.crank <= $nprobe),
+           |rasg$p AS (SELECT r.vec_id AS nbr, r.cid AS cell_b, ee.v AS vb
+           |           FROM rvis$p r JOIN $eCte ee ON ee.vec_id = r.vec_id
+           |           WHERE r.crank = 1),
+           |pr$p AS (
+           |  SELECT a.vec_id, b.nbr, ${R("list_cosine_similarity(a.v, b.vb)")} AS cos
+           |  FROM rap$p a JOIN rasg$p b ON a.pcell = b.cell_b AND b.nbr != a.vec_id),
+           |g$p AS MATERIALIZED (
+           |  SELECT vec_id AS src, nbr FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
+           |    FROM pr$p) WHERE rank <= $kGraph$edgeMask)""".stripMargin
+      case None =>
+        s"""c$p AS (SELECT vec_id AS cid, v AS cv FROM $eCte WHERE vec_id < $nCentroids),
+           |a0$p AS (
+           |  SELECT ee.vec_id, ee.v, cc.cid, ${R("list_cosine_similarity(ee.v, cc.cv)")} AS ccos
+           |  FROM $eCte ee CROSS JOIN c$p cc),
+           |a1$p AS (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+           |  FROM a0$p),
+           |asg$p AS (SELECT vec_id, v, cid AS cell FROM a1$p WHERE crank = 1),
+           |ap$p AS (SELECT vec_id, v, cid AS pcell FROM a1$p WHERE crank <= $nprobe),
+           |pr$p AS (
+           |  SELECT a.vec_id, b.vec_id AS nbr, ${R("list_cosine_similarity(a.v, b.v)")} AS cos
+           |  FROM ap$p a JOIN asg$p b ON a.pcell = b.cell AND b.vec_id != a.vec_id),
+           |g$p AS MATERIALIZED (
+           |  SELECT vec_id AS src, nbr FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
+           |    FROM pr$p) WHERE rank <= $kGraph$edgeMask)""".stripMargin
+    }
     def walkCtes(p: String, eCte: String, seedSql: String): String = {
       val sb = new StringBuilder
       sb.append(
@@ -2215,21 +2259,36 @@ object OracleSql {
     }
     val top = nLayers - 1
     val sb = new StringBuilder
+    val eWhere = if (pred == "TRUE") "" else s" AND ($pred)"
     sb.append(
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         |           WHERE embedding IS NOT NULL),
-         |q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
-         |ly$top AS MATERIALIZED (SELECT * FROM e WHERE ${pred(top)}),
-         |ent AS (SELECT MIN(vec_id) AS evid FROM ly$top)""".stripMargin)
+         |           WHERE embedding IS NOT NULL$eWhere),""".stripMargin)
+    // the SERVE-side frames: es (scoring/query corpus) and per-level
+    // lys (masked slices); without masking they alias the build frames
+    if (masking) sb.append(s"""
+       |es AS (SELECT * FROM e WHERE NOT ($removedPred)),""".stripMargin)
+    val eServe = if (masking) "es" else "e"
+    sb.append(s"""
+       |q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM $eServe WHERE vec_id < $nQueries),
+       |ly$top AS MATERIALIZED (SELECT * FROM e WHERE ${lvlPred(top)}),""".stripMargin)
+    if (masking) sb.append(s"""
+       |lys$top AS (SELECT * FROM ly$top WHERE NOT ($removedPred)),""".stripMargin)
+    def serve(lvl: Int) = if (masking) s"lys$lvl" else s"ly$lvl"
+    sb.append(s"""
+       |ent AS (SELECT MIN(vec_id) AS evid FROM ${serve(top)})""".stripMargin)
     // top → 1: walk each level's sampled graph, best-1 seeds the next
     for (lvl <- top to 1 by -1) {
-      if (lvl != top) sb.append(s""",
-         |ly$lvl AS MATERIALIZED (SELECT * FROM e WHERE ${pred(lvl)})""".stripMargin)
+      if (lvl != top) {
+        sb.append(s""",
+           |ly$lvl AS MATERIALIZED (SELECT * FROM e WHERE ${lvlPred(lvl)})""".stripMargin)
+        if (masking) sb.append(s""",
+           |lys$lvl AS (SELECT * FROM ly$lvl WHERE NOT ($removedPred))""".stripMargin)
+      }
       val seed = if (lvl == top) "SELECT qid, evid AS vid FROM q, ent"
         else s"SELECT qid, vid FROM t${lvl + 1}"
       sb.append(s""",
          |${graphCtes(s"u$lvl", s"ly$lvl")},
-         |${walkCtes(s"u$lvl", s"ly$lvl", seed)},
+         |${walkCtes(s"u$lvl", serve(lvl), seed)},
          |t$lvl AS (
          |  SELECT qid, vid FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
@@ -2237,7 +2296,7 @@ object OracleSql {
     }
     sb.append(s""",
        |${graphCtes("l", "e")},
-       |${walkCtes("l", "e", "SELECT qid, vid FROM t1")}
+       |${walkCtes("l", eServe, "SELECT qid, vid FROM t1")}
        |SELECT qid, vid, cos, rank FROM (
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS rank
        |  FROM sl$rounds WHERE vid != qid) WHERE rank <= $k ORDER BY qid, rank""".stripMargin)

@@ -864,6 +864,13 @@ object Soak {
       // builds follow the same √n-centroids law
       "ann_graph_hier" -> (() =>
         Similarity.annGraphSearchHier(emb, 16 * factor, 4, 5, 8, 2, 5)),
+      // the hierarchy with ROUTED per-level assignment (r15 — the r14
+      // diagnosis composed into the flagship tier): the slope should
+      // track the pair-volume law where the flat hier above carries
+      // the Θ(n^1.5·d) assignment term
+      "ann_graph_hier_routed" -> (() =>
+        Similarity.annGraphSearchHier(emb, 16 * factor, 4, 5, 8, 2, 5,
+          route = Some((8, 8, 4)))),
       // the routed build: cell assignment via the centroid-graph walk
       // (n·rounds·beam·deg·d, independent of k) instead of the flat
       // n·k·d scan — the fix for the Θ(n^1.5) term the r14 factor-100

@@ -496,6 +496,70 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // licensing takedown on the HIER store (r14 this was a refusal —
+    // a serving outage): one root filing masks every level's seeds,
+    // frontiers, edges and answers immediately; a tombstoned entry
+    // re-seeds from the min surviving top-level node
+    "ann_graph_hier_takedown" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeKnnGraphHier(emb, 16, 4, "graft_knng_hier_td", 8)
+      Similarity.deleteFromKnnGraph(
+        emb.where(col("vec_id") % 10 === 7 && col("vec_id") >= 16)
+          .select(col("vec_id")), "graft_knng_hier_td")
+      Similarity.annGraphSearchHierStored(s, "graft_knng_hier_td", 5, 8, 2, 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // tombstones folded into every level + the entry recomputed —
+    // the store equals a one-shot hier build over the survivors (the
+    // removal spares each level's codebook ids, so the pinned
+    // quantizers and a rebuild's agree; oracle = the survivor
+    // one-shot)
+    "ann_graph_hier_takedown_compact" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeKnnGraphHier(emb, 16, 4, "graft_knng_hier_tdc", 8)
+      Similarity.deleteFromKnnGraph(
+        emb.where(col("vec_id") % 10 === 7 && col("vec_id") >= 16)
+          .select(col("vec_id")), "graft_knng_hier_tdc")
+      Similarity.compactKnnGraphHier("graft_knng_hier_tdc")
+      Similarity.annGraphSearchHierStored(s, "graft_knng_hier_tdc", 5, 8, 2, 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // the HIER build with GRAPH-ROUTED cell assignment per level
+    // (VERDICT r14 #1: the flagship cold-start tier stops paying the
+    // soak-diagnosed Θ(n^1.5·d) flat-assignment term at build) — every
+    // level's cells come from the centroid-graph beam walk; full
+    // budget is byte-equal to the flat hierarchy (spec-pinned)
+    "ann_graph_hier_routed" -> ((s, dir) =>
+      Similarity.annGraphSearchHier(Tables.embeddings(s, dir), 16, 4, 5, 8, 2, 5,
+          2, 8, 2, nLayers = 2, route = Some((4, 4, 3)))
+        .orderBy(col("qid"), col("rank"))),
+
+    // every level persisted as a ROUTED store (nodes/edges in the
+    // stored-walk layout + per-level pinned routing state); the hier
+    // stored walk serves it unchanged
+    "ann_graph_hier_routed_stored" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeKnnGraphHier(emb, 16, 4, "graft_knng_hierr", 8, 2, 8, 2,
+        nLayers = 2, route = Some((4, 4, 3)))
+      Similarity.annGraphSearchHierStored(s, "graft_knng_hierr", 5, 8, 2, 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // two-batch ROUTED hier build: each level's delta routes under the
+    // store's PINNED budget/centroid state (appendKnnGraphRouted per
+    // level, dispatched from _hmeta) — provably ≡ one-shot
+    "ann_graph_hier_routed_inc" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeKnnGraphHier(emb.where(col("vec_id") < 200), 16, 4,
+        "graft_knng_hierr_inc", 8, 2, 8, 2, nLayers = 2, route = Some((4, 4, 3)))
+      Similarity.appendKnnGraphHier(emb.where(col("vec_id") >= 200),
+        "graft_knng_hierr_inc")
+      Similarity.annGraphSearchHierStored(s, "graft_knng_hierr_inc", 5, 8, 2, 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // the walk-budget tuning table: recall@k at each (beam, rounds);
     // graph and exact side each build once
     "ann_graph_sweep" -> ((s, dir) =>
@@ -2790,6 +2854,16 @@ object SparkEntry {
       OracleSql.annGraphSearchHier(16, 4, 5, 8, 2, 5, 2, 8, 2, 3),
     "ann_graph_hier_recall" ->
       OracleSql.annGraphSearchHierRecall(16, 4, 5, 8, 2, 5, 2, 8),
+    "ann_graph_hier_takedown" -> OracleSql.annGraphSearchHier(16, 4, 5, 8, 2, 5, 2, 8,
+      removedPred = "vec_id % 10 = 7 AND vec_id >= 16"),
+    "ann_graph_hier_takedown_compact" -> OracleSql.annGraphSearchHier(16, 4, 5, 8, 2, 5, 2, 8,
+      pred = "NOT (vec_id % 10 = 7 AND vec_id >= 16)"),
+    "ann_graph_hier_routed" -> OracleSql.annGraphSearchHier(16, 4, 5, 8, 2, 5, 2, 8,
+      route = Some((4, 4, 3))),
+    "ann_graph_hier_routed_stored" -> OracleSql.annGraphSearchHier(16, 4, 5, 8, 2, 5, 2, 8,
+      route = Some((4, 4, 3))),
+    "ann_graph_hier_routed_inc" -> OracleSql.annGraphSearchHier(16, 4, 5, 8, 2, 5, 2, 8,
+      route = Some((4, 4, 3))),
     "ann_graph_stored" -> OracleSql.annGraphSearch(16, 4, 5, 8, 2, 5),
     "ann_graph_inc" -> OracleSql.annGraphSearch(16, 4, 5, 8, 2, 5),
     "lang_id" -> OracleSql.langId,

@@ -68,6 +68,19 @@ object Similarity {
     * relations) fall back to plan identity alone — they are immutable
     * by construction. Values are codebook-bounded driver arrays
     * (KBs); the size cap is a leak guard, not a working-set bound.
+    *
+    * Freshness boundary (ADVICE r14, deliberate): the fingerprint
+    * lists files through the CALLER's FileIndex, so it is exactly as
+    * fresh as the caller's relation — a caller that rewrites a table
+    * in place and then retrains through the SAME DataFrame (or a
+    * catalog-cached FileIndex) hashes the stale listing and gets the
+    * stale artifact. Re-read the table (fresh FileIndex) after a
+    * rewrite, as every gate and spec here does. A forced
+    * `location.refresh()` per memo probe would close that path but
+    * re-list the training table on EVERY fit — at 100 TB that is a
+    * full-listing RPC storm paid even by the 99% of probes whose
+    * input never changed, so the contract stays caller-side (tests
+    * that mutate in place call [[clearTrainedMemo]]).
     */
   private final class TrainKey(df: DataFrame, val tag: String) {
     val plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
@@ -133,6 +146,21 @@ object Similarity {
                             kGraph: Int, nprobe: Int): DataFrame =
     memoizedFrame(embeddings, s"knng:$nCentroids:$kGraph:$nprobe") {
       knnGraph(embeddings, nCentroids, kGraph, nprobe)
+        .select(col("vec_id").as("src"), col("nbr")).localCheckpoint()
+    }
+
+  /** [[knnGraphEdges]] with GRAPH-ROUTED cell assignment — the shared
+    * edge builder's routed option (VERDICT r14 #1: the hier tier kept
+    * paying the flat scan's Θ(n^1.5·d) term after the routed fix
+    * shipped as a parallel tier; this is the composition). Same memo
+    * discipline, the budget folded into the key.
+    */
+  private def knnGraphEdgesRouted(embeddings: DataFrame, nCentroids: Int,
+                                  kGraph: Int, nprobe: Int, kCentGraph: Int,
+                                  beam: Int, rounds: Int): DataFrame =
+    memoizedFrame(embeddings,
+        s"knngr:$nCentroids:$kGraph:$nprobe:$kCentGraph:$beam:$rounds") {
+      knnGraphRouted(embeddings, nCentroids, kGraph, kCentGraph, beam, rounds, nprobe)
         .select(col("vec_id").as("src"), col("nbr")).localCheckpoint()
     }
 
@@ -517,6 +545,13 @@ object Similarity {
   def knnGraphRouted(embeddings: DataFrame, nCentroids: Int, kGraph: Int,
                      kCentGraph: Int, beam: Int, rounds: Int,
                      nprobe: Int = 2): DataFrame = {
+    // the walk carries only the top-beam rows per vector, so asking
+    // for more probe cells than the beam would silently under-probe
+    // (and break oracle parity, which ranks the full visited set) —
+    // fail directed instead (ADVICE r14)
+    require(nprobe <= beam,
+      s"knnGraphRouted: nprobe=$nprobe must be <= beam=$beam — the " +
+        "routed walk only carries the top-beam visited cells per vector")
     val asg = routedCells(embeddings, nCentroids, kCentGraph, beam, rounds)
       .localCheckpoint()
     val e = prepared(embeddings).where(col("v").isNotNull)
@@ -585,6 +620,9 @@ object Similarity {
                           table: String, nBuckets: Int, nprobe: Int = 2): Unit = {
     val spark = embeddings.sparkSession
     VectorExprs.register(spark)
+    require(nprobe <= beam,
+      s"writeKnnGraphRouted: nprobe=$nprobe must be <= beam=$beam — the " +
+        "routed walk only carries the top-beam visited cells per vector")
     val e = prepared(embeddings).where(col("v").isNotNull)
     val cents = centroidFrame(e, nCentroids)
     val entryRow = cents.agg(min(col("ccid"))).head()
@@ -646,6 +684,9 @@ object Similarity {
     val nprobe = meta.getAs[Int]("nprobe")
     val beam = meta.getAs[Int]("beam_route")
     val rounds = meta.getAs[Int]("rounds_route")
+    require(nprobe <= beam,
+      s"appendKnnGraphRouted: store '$table' pins nprobe=$nprobe > beam=$beam — " +
+        "the walk cannot serve more probe cells than it carries; rebuild")
     val nCentroids = meta.getAs[Int]("n_centroids")
     val entry = meta.getAs[Long]("entry")
     val oldNodes = spark.table(s"${table}_nodes")
@@ -688,12 +729,14 @@ object Similarity {
       s"${table}_probes", Seq("pcell"), nBuckets, mode = "append")
   }
 
-  /** Tombstone takedown for a stored kNN graph (flat or routed) —
-    * lifecycle parity with the band/gram/ANN indexes: the ids land in
+  /** Tombstone takedown for a stored kNN graph (flat, routed, or a
+    * HIER root — one filing masks every level) — lifecycle parity
+    * with the band/gram/ANN indexes: the ids land in
     * `<table>_gtombstones` and every stored walk masks them
     * immediately (removed nodes vanish from seeds, frontiers, edges
     * and answers); a src whose stored top-k pointed at removed nodes
-    * serves a SHORTER list until [[compactKnnGraphRouted]] re-ranks
+    * serves a SHORTER list until compaction ([[compactKnnGraph]] /
+    * [[compactKnnGraphRouted]] / [[compactKnnGraphHier]]) re-ranks
     * its candidates among survivors (stored edge lists are
     * k-truncated — the dropped candidate that would back-fill is not
     * in the store, which is exactly what compaction recomputes).
@@ -712,20 +755,91 @@ object Similarity {
     * the ONLY way stored walks read a graph store (a consumer reading
     * raw would serve taken-down vectors). Tombstones are
     * takedown-cadence-bounded and ride BROADCAST anti-joins.
+    * `extraTs` folds in tombstones filed at a DIFFERENT table — the
+    * hier walk passes its root `_gtombstones` so one filing masks
+    * every level (and a filing made directly against a level table,
+    * e.g. `t_l0`, masks through the level's own table — ADVICE r14).
     */
   private def maskedGraphStore(spark: org.apache.spark.sql.SparkSession,
-                               table: String): (DataFrame, DataFrame) = {
+                               table: String,
+                               extraTs: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val nodes = spark.table(s"${table}_nodes")
     val edges = spark.table(s"${table}_edges")
     val tsT = s"${table}_gtombstones"
-    if (!spark.catalog.tableExists(tsT)) (nodes, edges)
-    else {
-      val ts = spark.table(tsT).select(col("vec_id")).distinct()
-      (nodes.join(broadcast(ts), Seq("vec_id"), "left_anti"),
-        edges
-          .join(broadcast(ts.select(col("vec_id").as("src"))), Seq("src"), "left_anti")
-          .join(broadcast(ts.select(col("vec_id").as("nbr"))), Seq("nbr"), "left_anti"))
+    val own = if (spark.catalog.tableExists(tsT))
+      Some(spark.table(tsT).select(col("vec_id"))) else None
+    (own ++ extraTs).reduceOption(_ unionByName _) match {
+      case None => (nodes, edges)
+      case Some(t) =>
+        val ts = t.select(col("vec_id")).distinct()
+        (nodes.join(broadcast(ts), Seq("vec_id"), "left_anti"),
+          edges
+            .join(broadcast(ts.select(col("vec_id").as("src"))), Seq("src"), "left_anti")
+            .join(broadcast(ts.select(col("vec_id").as("nbr"))), Seq("nbr"), "left_anti"))
     }
+  }
+
+  /** Fold accumulated tombstones into a FLAT graph store — the
+    * [[compactKnnGraphRouted]] discipline without a `_probes` table:
+    * an affected src's probe cells recompute from the PINNED
+    * quantizer in `_meta` (`graft_ivf_cells`, exactly the build's
+    * assignment rule), so the re-ranked candidate set IS the one the
+    * survivor one-shot [[writeKnnGraph]] would score. Unaffected
+    * srcs' stored lists are provably unchanged (removing a non-top-k
+    * candidate can never promote one); nodes drop the removed rows
+    * via the write-then-swap dance; tombstones drop. Result ≡ the
+    * one-shot build over the survivors whenever the removal spares
+    * the codebook ids (the quantizer is pinned — a rebuild would
+    * otherwise seed different centroids; the spec pins the
+    * spared-codebook identity).
+    */
+  def compactKnnGraph(table: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    VectorExprs.register(spark)
+    require(spark.catalog.tableExists(s"${table}_meta"),
+      s"kNN graph '$table' has no ${table}_meta table — build it with writeKnnGraph")
+    val meta = spark.table(s"${table}_meta").collect().head
+    require(!meta.schema.fieldNames.contains("routed") || !meta.getAs[Boolean]("routed"),
+      s"kNN graph '$table' is a ROUTED store — compact with compactKnnGraphRouted")
+    val tsT = s"${table}_gtombstones"
+    if (!spark.catalog.tableExists(tsT)) return
+    val kGraph = meta.getAs[Int]("k_graph")
+    val nBuckets = meta.getAs[Int]("n_buckets")
+    val nprobe = metaIntOr(meta, "nprobe", 1)
+    val enc = meta.getAs[String]("enc")
+    val ts = spark.table(tsT).select(col("vec_id")).distinct().localCheckpoint()
+    val nodes = spark.table(s"${table}_nodes")
+      .join(broadcast(ts), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"), col("v"))
+      .withColumn("norm", sqrt(expr("graft_vec_dot(v, v)")))
+      .localCheckpoint()
+    // affected = surviving srcs with >= 1 stored edge into the removed
+    // set: only THEIR candidate rankings could change
+    val edges = spark.table(s"${table}_edges")
+      .join(broadcast(ts.select(col("vec_id").as("src"))), Seq("src"), "left_anti")
+    val affected = edges
+      .join(broadcast(ts.select(col("vec_id").as("nbr"))), Seq("nbr"), "left_semi")
+      .select(col("src")).distinct()
+    val rebuilt = knnEdgesProbed(
+      nodes.join(affected.select(col("src").as("vec_id")), "vec_id")
+        .select(col("vec_id"), col("v"), col("norm"),
+          explode(expr(s"graft_ivf_cells(v, '$enc', $nprobe)")).as("pcell")),
+      nodes, kGraph)
+      .select(col("vec_id").as("src"), col("nbr"), col("cos"))
+    val kept = edges
+      .join(broadcast(ts.select(col("vec_id").as("nbr"))), Seq("nbr"), "left_anti")
+      .join(affected, Seq("src"), "left_anti")
+      .select(col("src"), col("nbr"), col("cos"))
+    graft.sources.Formats.writeBucketedKeys(
+      kept.unionByName(rebuilt), s"${table}_edges_compacting", Seq("src"), nBuckets)
+    graft.sources.Formats.writeBucketedKeys(
+      nodes.select(col("vec_id"), col("cell"), col("v")),
+      s"${table}_nodes_compacting", Seq("cell"), nBuckets)
+    for (t <- Seq("edges", "nodes")) {
+      spark.sql(s"DROP TABLE ${table}_$t")
+      spark.sql(s"ALTER TABLE ${table}_${t}_compacting RENAME TO ${table}_$t")
+    }
+    spark.sql(s"DROP TABLE $tsT")
   }
 
   /** Fold accumulated tombstones into a ROUTED graph store: survivors
@@ -923,11 +1037,23 @@ object Similarity {
   def annGraphSearchHier(embeddings: DataFrame, nCentroids: Int, kGraph: Int,
                          nQueries: Int, beam: Int, rounds: Int, k: Int,
                          keep: Int = 2, nBuckets: Int = 8,
-                         nprobe: Int = 2, nLayers: Int = 2): DataFrame = {
+                         nprobe: Int = 2, nLayers: Int = 2,
+                         route: Option[(Int, Int, Int)] = None): DataFrame = {
     require(keep >= 1 && keep <= nBuckets,
       s"annGraphSearchHier: keep=$keep must be in [1, $nBuckets]")
     require(nLayers >= 2, s"annGraphSearchHier: need nLayers >= 2, got $nLayers")
     VectorExprs.register(embeddings.sparkSession)
+    // `route = Some((kCentGraph, beamRoute, roundsRoute))` builds every
+    // level's graph with GRAPH-ROUTED cell assignment (VERDICT r14 #1:
+    // n·rounds·beam·deg·d routing instead of the flat n·k·d scan the
+    // factor-100 soak proved Θ(n^1.5·d) under k∝√n); at full budget
+    // the hierarchy is byte-equal to the flat build (spec-pinned per
+    // level — the 28e'' contract)
+    def levelGraph(f: DataFrame): DataFrame = route match {
+      case Some((deg, bR, rR)) =>
+        knnGraphEdgesRouted(f, nCentroids, kGraph, nprobe, deg, bR, rR)
+      case None => knnGraphEdges(f, nCentroids, kGraph, nprobe)
+    }
     val base = prepared(embeddings.where(col("embedding").isNotNull))
     val q = base.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
@@ -945,11 +1071,11 @@ object Similarity {
     for (lvl <- levels) {
       val lFrame = embeddings.where(layerPred(lvl, keep, nBuckets))
       val eL = prepared(lFrame.where(col("embedding").isNotNull))
-      val gL = knnGraphEdges(lFrame, nCentroids, kGraph, nprobe)
+      val gL = levelGraph(lFrame)
       seeds = graphWalkFrom(eL, gL, q, seeds, beam, rounds, 1)
         .select(col("qid"), col("vid"))
     }
-    val g0 = knnGraphEdges(embeddings, nCentroids, kGraph, nprobe)
+    val g0 = levelGraph(embeddings)
     graphWalkFrom(base, g0, q, seeds, beam, rounds, k)
   }
 
@@ -1149,26 +1275,65 @@ object Similarity {
   def writeKnnGraphHier(embeddings: DataFrame, nCentroids: Int, kGraph: Int,
                         table: String, nBuckets: Int, keep: Int = 2,
                         nSample: Int = 8, nprobe: Int = 2,
-                        nLayers: Int = 2): Unit = {
+                        nLayers: Int = 2,
+                        route: Option[(Int, Int, Int)] = None): Unit = {
     require(keep >= 1 && keep <= nSample,
       s"writeKnnGraphHier: keep=$keep must be in [1, $nSample]")
     require(nLayers >= 2, s"writeKnnGraphHier: need nLayers >= 2, got $nLayers")
     val spark = embeddings.sparkSession
-    writeKnnGraph(embeddings, nCentroids, kGraph, s"${table}_l0", nBuckets, nprobe)
+    // route = Some((kCentGraph, beamRoute, roundsRoute)): every level
+    // persists as a ROUTED store (writeKnnGraphRouted — nodes/edges in
+    // the same stored-walk layout, plus the pinned per-level routing
+    // state appends and compaction need), so the flagship cold-start
+    // tier stops paying the Θ(n^1.5·d) flat-assignment term at BUILD
+    // (VERDICT r14 #1); _hmeta records the budget so append re-routes
+    // deltas under exactly the build's rule
+    def writeLevel(f: DataFrame, lt: String): Unit = route match {
+      case Some((deg, bR, rR)) =>
+        writeKnnGraphRouted(f, nCentroids, kGraph, deg, bR, rR, lt, nBuckets, nprobe)
+      case None => writeKnnGraph(f, nCentroids, kGraph, lt, nBuckets, nprobe)
+    }
+    writeLevel(embeddings, s"${table}_l0")
     for (lvl <- 1 until nLayers)
-      writeKnnGraph(embeddings.where(layerPred(lvl, keep, nSample)),
-        nCentroids, kGraph, s"${table}_l$lvl", nBuckets, nprobe)
+      writeLevel(embeddings.where(layerPred(lvl, keep, nSample)), s"${table}_l$lvl")
     val entryRow = spark.table(s"${table}_l${nLayers - 1}_nodes")
       .agg(min(col("vec_id"))).head()
     require(!entryRow.isNullAt(0),
       s"writeKnnGraphHier: level-${nLayers - 1} sample is empty — " +
         "raise keep, lower nSample, or lower nLayers")
-    val entry = entryRow.getLong(0)
-    import spark.implicits._
-    Seq((keep, nSample, entry, nLayers))
-      .toDF("keep", "n_sample", "entry", "n_layers")
-      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_hmeta")
+    writeHmeta(spark, table, keep, nSample, entryRow.getLong(0), nLayers, route)
   }
+
+  /** `_hmeta` writer shared by build / append / compaction — the
+    * routed-budget columns must survive every rewrite (an append that
+    * dropped them would silently flat-append a routed level next
+    * time).
+    */
+  private def writeHmeta(spark: org.apache.spark.sql.SparkSession, table: String,
+                         keep: Int, nSample: Int, entry: Long, nLayers: Int,
+                         route: Option[(Int, Int, Int)]): Unit = {
+    import spark.implicits._
+    route match {
+      case Some((deg, bR, rR)) =>
+        Seq((keep, nSample, entry, nLayers, true, deg, bR, rR))
+          .toDF("keep", "n_sample", "entry", "n_layers", "routed",
+            "k_cent_graph", "beam_route", "rounds_route")
+          .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_hmeta")
+      case None =>
+        Seq((keep, nSample, entry, nLayers))
+          .toDF("keep", "n_sample", "entry", "n_layers")
+          .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_hmeta")
+    }
+  }
+
+  /** The routed budget a hier store was built with, if any — read
+    * defensively so pre-routing stores stay flat.
+    */
+  private def hmetaRoute(hm: org.apache.spark.sql.Row): Option[(Int, Int, Int)] =
+    if (hm.schema.fieldNames.contains("routed") && hm.getAs[Boolean]("routed"))
+      Some((hm.getAs[Int]("k_cent_graph"), hm.getAs[Int]("beam_route"),
+        hm.getAs[Int]("rounds_route")))
+    else None
 
   /** Append a delta batch to a STORED hierarchical graph without a
     * rebuild: level 0 appends every new vector ([[appendKnnGraph]]'s
@@ -1193,21 +1358,25 @@ object Similarity {
     // a two-layer store written before the n_layers column existed
     // appends as the L = 2 build it is, not an opaque schema error
     val nLayers = metaIntOr(hm, "n_layers", 2)
-    appendKnnGraph(newVecs, s"${table}_l0")
+    // a routed hier store appends each level through the ROUTED path
+    // (the per-level `_meta` would refuse a flat append anyway — this
+    // dispatch makes the hier append seamless either way)
+    val route = hmetaRoute(hm)
+    def appendLevel(df: DataFrame, lt: String): Unit =
+      if (route.isDefined) appendKnnGraphRouted(df, lt)
+      else appendKnnGraph(df, lt)
+    appendLevel(newVecs, s"${table}_l0")
     for (lvl <- 1 until nLayers) {
       val lDelta = newVecs.where(layerPred(lvl, keep, nSample))
       if (!lDelta.where(col("embedding").isNotNull).isEmpty)
-        appendKnnGraph(lDelta, s"${table}_l$lvl")
+        appendLevel(lDelta, s"${table}_l$lvl")
     }
     val newTopMin = newVecs.where(
         layerPred(nLayers - 1, keep, nSample) && col("embedding").isNotNull)
       .agg(min(col("vec_id"))).head().get(0)
-    if (newTopMin != null) {
-      import spark.implicits._
-      Seq((keep, nSample, math.min(entry, newTopMin.asInstanceOf[Long]), nLayers))
-        .toDF("keep", "n_sample", "entry", "n_layers")
-        .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_hmeta")
-    }
+    if (newTopMin != null)
+      writeHmeta(spark, table, keep, nSample,
+        math.min(entry, newTopMin.asInstanceOf[Long]), nLayers, route)
   }
 
   /** [[annGraphSearchHier]] against the STORED multi-layer graph — no
@@ -1215,6 +1384,18 @@ object Similarity {
     * store IS the vector store), the entry and layer count from
     * `_hmeta`. Byte-equal to the recompute path on the same build
     * input (the stored-parity contract).
+    *
+    * Takedowns (VERDICT r14 #2 — this walk used to REFUSE pending
+    * tombstones): every level reads through [[maskedGraphStore]], so
+    * a root filing ([[deleteFromKnnGraph]] on the hier table) — or
+    * one made directly against a level table (ADVICE r14) — removes
+    * the vector from every level's seeds, frontiers, edges and
+    * answers immediately. A tombstoned ENTRY re-seeds the walk from
+    * the min surviving top-level node (exactly the survivor
+    * one-shot's entry rule, and = the pinned entry whenever it
+    * survives — the pin is an optimization, not a semantic); srcs
+    * whose stored top-k pointed at removed nodes serve shorter lists
+    * until [[compactKnnGraphHier]] re-ranks them.
     */
   def annGraphSearchHierStored(spark: org.apache.spark.sql.SparkSession,
                                table: String, nQueries: Int, beam: Int,
@@ -1222,30 +1403,82 @@ object Similarity {
     VectorExprs.register(spark)
     require(spark.catalog.tableExists(s"${table}_hmeta"),
       s"hier graph '$table' has no ${table}_hmeta table — build it with writeKnnGraphHier")
-    // the tombstone mask is implemented for the single-layer stored
-    // walk only; serving a hier store with pending takedowns would
-    // silently resurrect removed vectors — fail directed instead
-    require(!spark.catalog.tableExists(s"${table}_gtombstones"),
-      s"hier graph '$table' has pending takedowns (${table}_gtombstones) — " +
-        "hier walks do not mask tombstones yet; rebuild the store from " +
-        "the survivor set (or serve the single-layer store, whose walks mask)")
     val hm = spark.table(s"${table}_hmeta").head()
-    val entry = hm.getAs[Long]("entry")
+    val pinnedEntry = hm.getAs[Long]("entry")
     val nLayers = metaIntOr(hm, "n_layers", 2)
-    def nodes(layer: String) = spark.table(s"${table}_${layer}_nodes")
-      .select(col("vec_id"), col("v"))
-      .withColumn("norm", sqrt(expr("graft_vec_dot(v, v)")))
-    def edges(layer: String) = spark.table(s"${table}_${layer}_edges")
-      .select(col("src"), col("nbr"))
-    val e0 = nodes("l0")
+    val rootTs = if (spark.catalog.tableExists(s"${table}_gtombstones"))
+      Some(spark.table(s"${table}_gtombstones").select(col("vec_id"))) else None
+    def masked(lvl: Int): (DataFrame, DataFrame) = {
+      val (n, e) = maskedGraphStore(spark, s"${table}_l$lvl", rootTs)
+      (n.select(col("vec_id"), col("v"))
+        .withColumn("norm", sqrt(expr("graft_vec_dot(v, v)"))),
+        e.select(col("src"), col("nbr")))
+    }
+    val anyTs = rootTs.isDefined || (0 until nLayers)
+      .exists(l => spark.catalog.tableExists(s"${table}_l${l}_gtombstones"))
+    // the common (no-takedown) path serves the pinned entry with zero
+    // extra work; the takedown path pays ONE 1-row aggregate
+    val entry = if (!anyTs) pinnedEntry else {
+      val row = masked(nLayers - 1)._1.agg(min(col("vec_id"))).head()
+      require(!row.isNullAt(0),
+        s"hier graph '$table': every level-${nLayers - 1} node is " +
+          "tombstoned — no surviving entry; rebuild with fewer layers " +
+          "or compact after re-ingesting survivors")
+      row.getLong(0)
+    }
+    val (e0, g0) = masked(0)
     val q = e0.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
     var seeds = q.select(col("qid"), lit(entry).as("vid"))
-    for (lvl <- (nLayers - 1) to 1 by -1)
-      seeds = graphWalkFrom(nodes(s"l$lvl"), edges(s"l$lvl"), q, seeds,
-          beam, rounds, 1)
+    for (lvl <- (nLayers - 1) to 1 by -1) {
+      val (nL, gL) = masked(lvl)
+      seeds = graphWalkFrom(nL, gL, q, seeds, beam, rounds, 1)
         .select(col("qid"), col("vid"))
-    graphWalkFrom(e0, edges("l0"), q, seeds, beam, rounds, k)
+    }
+    graphWalkFrom(e0, g0, q, seeds, beam, rounds, k)
+  }
+
+  /** Fold accumulated takedowns into EVERY level of a stored
+    * hierarchical graph — lifecycle parity for the cold-start tier
+    * (VERDICT r14 #2): the root `_gtombstones` filing folds into each
+    * level's own tombstone table (ids absent from a level anti-join
+    * to nothing), each level compacts under its own discipline
+    * ([[compactKnnGraph]] for flat-assigned levels,
+    * [[compactKnnGraphRouted]] when the level pins routing state),
+    * and the entry recomputes as the min surviving top-level node —
+    * exactly the one-shot [[writeKnnGraphHier]] entry rule. Result ≡
+    * the one-shot hier build over the survivors whenever the removal
+    * spares each level's codebook ids (spec-pinned).
+    */
+  def compactKnnGraphHier(table: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    require(spark.catalog.tableExists(s"${table}_hmeta"),
+      s"hier graph '$table' has no ${table}_hmeta table — build it with writeKnnGraphHier")
+    val hm = spark.table(s"${table}_hmeta").head()
+    val (keep, nSample) = (hm.getAs[Int]("keep"), hm.getAs[Int]("n_sample"))
+    val nLayers = metaIntOr(hm, "n_layers", 2)
+    val rootTsT = s"${table}_gtombstones"
+    val rootTs = if (spark.catalog.tableExists(rootTsT))
+      Some(spark.table(rootTsT).select(col("vec_id")).distinct().localCheckpoint())
+    else None
+    for (lvl <- 0 until nLayers) {
+      val lt = s"${table}_l$lvl"
+      rootTs.foreach(_.write.mode("append").format("parquet")
+        .saveAsTable(s"${lt}_gtombstones"))
+      val lm = spark.table(s"${lt}_meta").head()
+      if (lm.schema.fieldNames.contains("routed") && lm.getAs[Boolean]("routed"))
+        compactKnnGraphRouted(lt)
+      else compactKnnGraph(lt)
+    }
+    if (spark.catalog.tableExists(rootTsT)) spark.sql(s"DROP TABLE $rootTsT")
+    val entryRow = spark.table(s"${table}_l${nLayers - 1}_nodes")
+      .agg(min(col("vec_id"))).head()
+    require(!entryRow.isNullAt(0),
+      s"compactKnnGraphHier: every level-${nLayers - 1} node was " +
+        "tombstoned — the survivor hierarchy has no entry; rebuild " +
+        "with fewer layers")
+    writeHmeta(spark, table, keep, nSample, entryRow.getLong(0), nLayers,
+      hmetaRoute(hm))
   }
 
   /** Recall@k of the hierarchical walk vs exact — published next to

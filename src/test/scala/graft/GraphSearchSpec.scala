@@ -145,16 +145,113 @@ class GraphSearchSpec extends AnyFunSuite {
     val pre = edges("graft_knng_tds")
     Similarity.compactKnnGraphRouted("graft_knng_tds")
     assert(edges("graft_knng_tds") === pre)
-    // the hier stored walk does not mask tombstones (per-level masking
-    // is the remaining lifecycle gap) — a pending takedown is a
-    // DIRECTED error, never a silent serve of removed vectors
-    Similarity.writeKnnGraphHier(emb, 16, 4, "graft_knng_tds_hier", 4)
+  }
+
+  test("hier takedown: one root filing masks every level immediately; per-level filings mask too; compaction equals the survivor one-shot") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val removed = col("vec_id") % 10 === 7 && col("vec_id") >= 16
+    Similarity.writeKnnGraphHier(emb, 16, 4, "graft_hier_td", 4, 2, 8, 2, nLayers = 3)
+    def walkVids(t: String) = Similarity
+      .annGraphSearchHierStored(spark, t, 5, 8, 2, 5)
+      .collect().map(_.getAs[Long]("vid")).toSet
+    val before = walkVids("graft_hier_td")
+    assert(before.exists(v => v % 10 == 7 && v >= 16),
+      "fixture must serve at least one to-be-removed node before the takedown")
+    // ONE filing at the hier root (the deleteFromKnnGraph contract)
     Similarity.deleteFromKnnGraph(emb.where(removed).select(col("vec_id")),
-      "graft_knng_tds_hier")
-    val e3 = intercept[IllegalArgumentException] {
-      Similarity.annGraphSearchHierStored(spark, "graft_knng_tds_hier", 5, 8, 2, 5)
+      "graft_hier_td")
+    val masked = walkVids("graft_hier_td")
+    assert(!masked.exists(v => v % 10 == 7 && v >= 16),
+      "no tombstoned node may survive in any level's walk answer")
+    // a filing made directly against a LEVEL table (ADVICE r14: these
+    // used to be served silently) masks the hier walk as well
+    Similarity.writeKnnGraphHier(emb, 16, 4, "graft_hier_tdl", 4)
+    val lvlVictims = walkVids("graft_hier_tdl").filter(_ >= 16)
+    assert(lvlVictims.nonEmpty, "fixture must serve a non-codebook node")
+    import spark.implicits._
+    Similarity.deleteFromKnnGraph(
+      lvlVictims.toSeq.toDF("vec_id"), "graft_hier_tdl_l0")
+    val lvlMasked = walkVids("graft_hier_tdl")
+    assert(lvlMasked.intersect(lvlVictims).isEmpty,
+      "a tombstone filed against a level table must mask the hier walk")
+    // compaction folds the root filing into every level, recomputes
+    // the entry, and equals the one-shot build over the survivors
+    // (the removal spares each level's codebook ids)
+    Similarity.compactKnnGraphHier("graft_hier_td")
+    assert(!spark.catalog.tableExists("graft_hier_td_gtombstones"),
+      "compaction must drop the root tombstones")
+    for (l <- 0 to 2)
+      assert(!spark.catalog.tableExists(s"graft_hier_td_l${l}_gtombstones"),
+        s"compaction must drop level-$l tombstones")
+    Similarity.writeKnnGraphHier(emb.where(!removed), 16, 4, "graft_hier_td_one",
+      4, 2, 8, 2, nLayers = 3)
+    def nodes(t: String, l: String) = spark.table(s"${t}_${l}_nodes").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"))).sorted.toSeq
+    def ledges(t: String, l: String) = spark.table(s"${t}_${l}_edges").collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("nbr"), r.getAs[Double]("cos")))
+      .sorted.toSeq
+    for (l <- Seq("l0", "l1", "l2")) {
+      assert(nodes("graft_hier_td", l) === nodes("graft_hier_td_one", l), s"nodes $l")
+      assert(ledges("graft_hier_td", l) === ledges("graft_hier_td_one", l), s"edges $l")
     }
-    assert(e3.getMessage.contains("takedowns"))
+    assert(spark.table("graft_hier_td_hmeta").head().getAs[Long]("entry")
+      === spark.table("graft_hier_td_one_hmeta").head().getAs[Long]("entry"))
+  }
+
+  test("hier takedown of the ENTRY: the walk re-seeds from the min surviving top-level node; compaction re-pins it") {
+    // Controlled corpus, ids chosen by their real md5 coin level (the
+    // production sampling rule). Under the first-N codebook convention
+    // the pinned entry is ALWAYS a codebook id (each level's quantizer
+    // needs a codebook member in its slice, and codebook ids precede
+    // every other id — so the top level's min IS one), which means
+    // entry removal never spares the codebook and survivor-one-shot
+    // byte-parity is out of scope BY CONSTRUCTION: the pins here are
+    // the serving behavior (no outage, min-survivor re-seed), the
+    // compaction re-pin, and the no-survivor directed error. The
+    // store stays self-consistent because the quantizer is PINNED in
+    // each level's _meta — centroids are reference points, not
+    // members (the writeKnnGraphRouted _cvecs argument).
+    import spark.implicits._
+    val (keep, nSample) = (2, 8)
+    // c = the smallest id whose coin level is >= 1: the codebook
+    // member the l1 slice needs, and therefore the pinned entry
+    val c = (1L to 19L).find(id => coinLevel(id, keep, nSample) >= 1).get
+    val pool = (20L to 400L).map(id => id -> coinLevel(id, keep, nSample))
+    val top = pool.collect { case (id, l) if l >= 1 => id }.take(4)
+    val base = pool.collect { case (id, l) if l == 0 => id }.take(8)
+    assert(top.size == 4 && base.size == 8)
+    val ids = Seq(0L, c) ++ top ++ base
+    val emb = ids.zipWithIndex.map { case (id, i) =>
+      val th = math.toRadians(6.0 * i)
+      (id, Seq(math.cos(th), math.sin(th)))
+    }.toDF("vec_id", "embedding")
+    val nCentroids = (c + 1).toInt
+    Similarity.writeKnnGraphHier(emb, nCentroids, 2, "graft_hier_ent", 4, keep, nSample)
+    val entry = spark.table("graft_hier_ent_hmeta").head().getAs[Long]("entry")
+    assert(entry === c, "the pinned entry must be the min top-level id")
+    Similarity.deleteFromKnnGraph(Seq(entry).toDF("vec_id"), "graft_hier_ent")
+    // the masked walk serves (no refusal), never returns the entry
+    val out = Similarity.annGraphSearchHierStored(spark, "graft_hier_ent", 1, 8, 3, 4)
+      .collect().map(_.getAs[Long]("vid"))
+    assert(out.nonEmpty, "a tombstoned entry must not be a serving outage")
+    assert(!out.contains(entry))
+    // compaction re-pins the entry to the min SURVIVING top-level id
+    Similarity.compactKnnGraphHier("graft_hier_ent")
+    val entry2 = spark.table("graft_hier_ent_hmeta").head().getAs[Long]("entry")
+    assert(entry2 === top.min)
+    // and the compacted store still serves, still without the entry
+    val out2 = Similarity.annGraphSearchHierStored(spark, "graft_hier_ent", 1, 8, 3, 4)
+      .collect().map(_.getAs[Long]("vid"))
+    assert(out2.nonEmpty && !out2.contains(entry))
+    // tombstoning EVERY top-level node is the one case with no entry
+    // to serve — a directed error, never an NPE
+    Similarity.writeKnnGraphHier(emb, nCentroids, 2, "graft_hier_ent_all", 4,
+      keep, nSample)
+    Similarity.deleteFromKnnGraph((c +: top).toDF("vec_id"), "graft_hier_ent_all")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.annGraphSearchHierStored(spark, "graft_hier_ent_all", 1, 8, 3, 4)
+    }
+    assert(err.getMessage.contains("no surviving entry"))
   }
 
   test("stored graph walk is byte-equal to the recompute path; a missing table fails eagerly") {
@@ -363,6 +460,61 @@ class GraphSearchSpec extends AnyFunSuite {
     val hm1 = spark.table("graft_h3_one_hmeta").head()
     assert(hm2.getAs[Long]("entry") === hm1.getAs[Long]("entry"))
     assert(hm2.getAs[Int]("n_layers") === 3)
+  }
+
+  test("routed hierarchy: full budget equals the flat hierarchy per level and end-to-end; stored walk and append keep parity at the gate budget") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vid"), r.getAs[Double]("cos"))).sorted.toSeq
+    // FULL budget (complete centroid graph, beam >= nCentroids, one
+    // round visits every cell): routing IS the flat argmax, so the
+    // whole hierarchy is byte-equal to the flat build — the 28e''
+    // contract composed through every level
+    val flat = rows(Similarity.annGraphSearchHier(emb, 16, 4, 5, 8, 2, 5,
+      2, 8, 2, nLayers = 3))
+    val routedFull = rows(Similarity.annGraphSearchHier(emb, 16, 4, 5, 8, 2, 5,
+      2, 8, 2, nLayers = 3, route = Some((15, 16, 1))))
+    assert(routedFull === flat)
+    // stored parity per LEVEL at full budget: the routed store's
+    // nodes/edges equal the flat store's
+    Similarity.writeKnnGraphHier(emb, 16, 4, "graft_hierr_full", 4, 2, 8, 2,
+      nLayers = 2, route = Some((15, 16, 1)))
+    Similarity.writeKnnGraphHier(emb, 16, 4, "graft_hierr_flt", 4, 2, 8, 2,
+      nLayers = 2)
+    def nodes(t: String, l: String) = spark.table(s"${t}_${l}_nodes").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"))).sorted.toSeq
+    def ledges(t: String, l: String) = spark.table(s"${t}_${l}_edges").collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("nbr"), r.getAs[Double]("cos")))
+      .sorted.toSeq
+    for (l <- Seq("l0", "l1")) {
+      assert(nodes("graft_hierr_full", l) === nodes("graft_hierr_flt", l), s"nodes $l")
+      assert(ledges("graft_hierr_full", l) === ledges("graft_hierr_flt", l), s"edges $l")
+    }
+    // gate budget: stored walk byte-equal to the routed recompute
+    Similarity.writeKnnGraphHier(emb, 16, 4, "graft_hierr_gate", 4, 2, 8, 2,
+      nLayers = 2, route = Some((4, 4, 3)))
+    val stored = rows(Similarity.annGraphSearchHierStored(
+      spark, "graft_hierr_gate", 5, 8, 2, 5))
+    val recompute = rows(Similarity.annGraphSearchHier(emb, 16, 4, 5, 8, 2, 5,
+      2, 8, 2, nLayers = 2, route = Some((4, 4, 3))))
+    assert(stored === recompute)
+    // two-batch routed append == one-shot per level (probes included —
+    // the appended delta routes under the PINNED per-level state), and
+    // _hmeta keeps the routed budget across the append rewrite
+    Similarity.writeKnnGraphHier(emb.where(col("vec_id") < 250), 16, 4,
+      "graft_hierr_two", 4, 2, 8, 2, nLayers = 2, route = Some((4, 4, 3)))
+    Similarity.appendKnnGraphHier(emb.where(col("vec_id") >= 250), "graft_hierr_two")
+    def probes(t: String, l: String) = spark.table(s"${t}_${l}_probes").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("pcell"))).sorted.toSeq
+    for (l <- Seq("l0", "l1")) {
+      assert(nodes("graft_hierr_two", l) === nodes("graft_hierr_gate", l), s"nodes $l")
+      assert(ledges("graft_hierr_two", l) === ledges("graft_hierr_gate", l), s"edges $l")
+      assert(probes("graft_hierr_two", l) === probes("graft_hierr_gate", l), s"probes $l")
+    }
+    val hm = spark.table("graft_hierr_two_hmeta").head()
+    assert(hm.getAs[Boolean]("routed") && hm.getAs[Int]("k_cent_graph") == 4
+      && hm.getAs[Int]("beam_route") == 4 && hm.getAs[Int]("rounds_route") == 3)
   }
 
   test("hard negatives: the probable-positive head is excluded, neg_rank is contiguous") {
