@@ -871,6 +871,37 @@ object Soak {
       "ann_graph_hier_routed" -> (() =>
         Similarity.annGraphSearchHier(emb, 16 * factor, 4, 5, 8, 2, 5,
           route = Some((8, 8, 4)))),
+      // three geometric levels (r14's flagship): slices shrink
+      // geometrically so the extra layer rides the convergent series,
+      // but the flat per-level assignment still carries the n^1.5 term
+      // — the routed twin below is the 100-TB path
+      "ann_graph_hier3" -> (() =>
+        Similarity.annGraphSearchHier(emb, 16 * factor, 4, 5, 8, 2, 5,
+          nLayers = 3)),
+      "ann_graph_hier3_routed" -> (() =>
+        Similarity.annGraphSearchHier(emb, 16 * factor, 4, 5, 8, 2, 5,
+          nLayers = 3, route = Some((8, 8, 4)))),
+      // routed store BUILD + stored probe at factor× — the serving
+      // path end-to-end (write every routing input, walk from the
+      // bucketed store)
+      "ann_graph_routed_stored" -> (() => {
+        Similarity.writeKnnGraphRouted(emb, 16 * factor, 4, 8, 8, 4,
+          "graft_soak_grs", 8, 2)
+        Similarity.annGraphSearchStored(spark, "graft_soak_grs", 5, 8, 2, 5)
+      }),
+      // hier-store takedown lifecycle at factor× (r15 lifecycle-parity
+      // close): routed per-level build + tombstone a tenth (sparing
+      // the codebook ids) + fold every level + re-pin the entry — the
+      // per-level compaction is scoped to affected srcs
+      "graph_hier_compact" -> (() => {
+        Similarity.writeKnnGraphHier(emb, 16 * factor, 4, "graft_soak_hcmp",
+          8, 2, 8, 2, nLayers = 2, route = Some((8, 8, 4)))
+        Similarity.deleteFromKnnGraph(
+          emb.where(col("vec_id") % 10 === 7 && col("vec_id") >= 16L * factor)
+            .select(col("vec_id")), "graft_soak_hcmp")
+        Similarity.compactKnnGraphHier("graft_soak_hcmp")
+        spark.table("graft_soak_hcmp_l0_edges")
+      }),
       // the routed build: cell assignment via the centroid-graph walk
       // (n·rounds·beam·deg·d, independent of k) instead of the flat
       // n·k·d scan — the fix for the Θ(n^1.5) term the r14 factor-100

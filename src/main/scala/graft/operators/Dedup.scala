@@ -1086,6 +1086,16 @@ object Dedup {
     val spark = docs.sparkSession
     graft.sources.Formats.writeBucketedKeys(
       gramRefs(docs, minLen), s"${table}_grams", Seq("gram"), nBuckets)
+    // the membership ledger the takedown contract needs (VERDICT r14
+    // #3 / ADVICE r14): refcount exactness rests on "every doc indexed
+    // exactly once, tombstoned only while indexed" — `_sdocs` records
+    // WHO is indexed (doc ids only, doc-count-sized — a rounding
+    // error beside the gram store) so append can reject double-counts
+    // and delete can reject never-indexed filings instead of trusting
+    // the caller
+    graft.sources.Formats.writeBucketedKeys(
+      docs.select(col("doc_id")).distinct(),
+      s"${table}_sdocs", Seq("doc_id"), nBuckets)
     import spark.implicits._
     Seq((minLen, nBuckets)).toDF("min_len", "n_buckets")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_smeta")
@@ -1093,11 +1103,20 @@ object Dedup {
 
   /** Append new reference documents to a stored gram index WITHOUT a
     * rebuild — provably ≡ the one-shot build because refcounts are
-    * additive over disjoint doc batches: the delta's (gram, n_refs)
+    * additive over DISJOINT doc batches: the delta's (gram, n_refs)
     * rows simply append (a gram may then hold several generation
     * rows; probes are semi-joins — multiplicity-safe — and the masked
     * view SUMS per gram on the bucketed scan, exchange-free). Window
     * length comes from `_smeta`, never the caller.
+    *
+    * Disjointness is ENFORCED, not assumed (ADVICE r14: an operator
+    * retry or overlapping crawl that re-appends an indexed doc
+    * double-counts its grams, and a later takedown then leaves
+    * phantom positive refcounts — the removal silently fails): the
+    * delta anti-checks the `_sdocs` ledger and overlapping ids are a
+    * directed error. The check is one doc-id semi-join against the
+    * bucketed ledger + a LIMIT-5 sample collect. Pre-ledger stores
+    * (no `_sdocs`) keep the old trusting behaviour.
     */
   def appendSubstringIndex(newDocs: DataFrame, table: String): Unit = {
     val spark = newDocs.sparkSession
@@ -1105,9 +1124,23 @@ object Dedup {
       s"substring index '$table' has no ${table}_smeta table — build it with writeSubstringIndex")
     val m = spark.table(s"${table}_smeta").head()
     val (minLen, nBuckets) = (m.getAs[Int]("min_len"), m.getAs[Int]("n_buckets"))
+    val sdT = s"${table}_sdocs"
+    val newIds = newDocs.select(col("doc_id")).distinct()
+    if (spark.catalog.tableExists(sdT)) {
+      val overlap = newIds.join(spark.table(sdT), Seq("doc_id"), "left_semi")
+        .limit(5).collect().map(_.getLong(0))
+      require(overlap.isEmpty,
+        s"appendSubstringIndex: doc ids already indexed in '$table' " +
+          s"(e.g. ${overlap.mkString(", ")}) — re-appending double-counts " +
+          "per-gram refcounts and a later takedown would leave phantom " +
+          "witnesses; append only NEW docs (or rebuild the index)")
+    }
     graft.sources.Formats.writeBucketedKeys(
       gramRefs(newDocs, minLen),
       s"${table}_grams", Seq("gram"), nBuckets, mode = "append")
+    if (spark.catalog.tableExists(sdT))
+      graft.sources.Formats.writeBucketedKeys(
+        newIds, sdT, Seq("doc_id"), nBuckets, mode = "append")
   }
 
   /** Tombstone takedown for the stored gram index — lifecycle parity
@@ -1124,15 +1157,33 @@ object Dedup {
     * live (countDistinct); the physical fold happens at the next
     * [[compactSubstringIndex]].
     *
-    * Contract: `docs` must be documents previously indexed (build or
-    * append) and not yet compacted away — tombstoning a never-indexed
-    * doc would decrement grams it never contributed.
+    * Contract, ENFORCED via the `_sdocs` ledger (VERDICT r14 #3 —
+    * previously a scaladoc sentence the caller had to trust): `docs`
+    * must be documents currently indexed (build or append, not yet
+    * compacted away). Tombstoning a never-indexed doc would decrement
+    * grams it never contributed — silent refcount under-count →
+    * over-suppression of innocent spans — so unknown ids are a
+    * directed error. Compaction removes folded docs from the ledger,
+    * so a post-compaction re-delete is rejected too (their grams are
+    * physically gone; a second decrement WOULD go negative but for
+    * the mask's `> 0` guard — now it cannot happen at all).
     */
   def deleteFromSubstringIndex(docs: DataFrame, table: String): Unit = {
     val spark = docs.sparkSession
     require(spark.catalog.tableExists(s"${table}_smeta"),
       s"substring index '$table' has no ${table}_smeta table — build it with writeSubstringIndex")
     val minLen = spark.table(s"${table}_smeta").head().getAs[Int]("min_len")
+    val sdT = s"${table}_sdocs"
+    if (spark.catalog.tableExists(sdT)) {
+      val unknown = docs.select(col("doc_id")).distinct()
+        .join(spark.table(sdT), Seq("doc_id"), "left_anti")
+        .limit(5).collect().map(_.getLong(0))
+      require(unknown.isEmpty,
+        s"deleteFromSubstringIndex: doc ids not indexed in '$table' " +
+          s"(e.g. ${unknown.mkString(", ")}) — never indexed, or already " +
+          "compacted away; tombstoning them would decrement grams they " +
+          "never contributed (refcount under-count → over-suppression)")
+    }
     tokenWindows(docs, minLen).select(col("doc_id"), col("gram")).distinct()
       .write.mode("append").format("parquet")
       .saveAsTable(s"${table}_stombstones")
@@ -1191,6 +1242,20 @@ object Dedup {
         net, s"${table}_grams_compacting", Seq("gram"), nBuckets)
       spark.sql(s"DROP TABLE ${table}_grams")
       spark.sql(s"ALTER TABLE ${table}_grams_compacting RENAME TO ${table}_grams")
+      // folded docs leave the membership ledger: their grams are
+      // physically gone, so a later re-delete must be rejected as
+      // not-indexed (the refcount-never-negative half of the r14 #3
+      // contract); the tombstone set is takedown-cadence-bounded —
+      // broadcast anti-join
+      if (spark.catalog.tableExists(s"${table}_sdocs")) {
+        val delDocs = spark.table(tsT).select(col("doc_id")).distinct()
+        graft.sources.Formats.writeBucketedKeys(
+          spark.table(s"${table}_sdocs")
+            .join(broadcast(delDocs), Seq("doc_id"), "left_anti"),
+          s"${table}_sdocs_compacting", Seq("doc_id"), nBuckets)
+        spark.sql(s"DROP TABLE ${table}_sdocs")
+        spark.sql(s"ALTER TABLE ${table}_sdocs_compacting RENAME TO ${table}_sdocs")
+      }
       spark.sql(s"DROP TABLE $tsT")
     }
   }

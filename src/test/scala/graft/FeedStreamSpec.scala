@@ -924,7 +924,72 @@ class FeedStreamSpec extends AnyFunSuite {
       q.stop()
       spark.sql("DROP TABLE IF EXISTS graft_subidx_st_grams")
       spark.sql("DROP TABLE IF EXISTS graft_subidx_st_smeta")
+      spark.sql("DROP TABLE IF EXISTS graft_subidx_st_sdocs")
       spark.sql("DROP TABLE IF EXISTS graft_subidx_st_stombstones")
+    }
+  }
+
+  test("substrDupStream tombstone contract: filings before the (re)start always mask; a RESTART resolves every mid-flight filing (the guaranteed liveness boundary)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val dir = Files.createTempDirectory("substr-live").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(offsetMin: Long) = new java.sql.Timestamp(base.getTime + offsetMin * 60000L)
+    val blockA = (0 until 4).map(i => s"a$i").mkString(" ")
+    val blockB = (0 until 4).map(i => s"b$i").mkString(" ")
+    val ref = Seq(
+      (100L, s"r0 $blockA r1"),
+      (102L, s"r2 $blockB r3")).toDF("doc_id", "text")
+    Dedup.writeSubstringIndex(ref, 4, "graft_subidx_live", 2)
+    // a filing made BEFORE the stream is planned always masks
+    Dedup.deleteFromSubstringIndex(
+      Seq((102L, s"r2 $blockB r3")).toDF("doc_id", "text"), "graft_subidx_live")
+    val schema = Seq((0L, ts(0), "x")).toDF("doc_id", "ts", "text").schema
+    Seq((1L, ts(0), s"p0 $blockA p1"),
+        (3L, ts(1), s"p2 $blockB p3"))
+      .toDF("doc_id", "ts", "text").write.mode("append").parquet(dir)
+    val q = StreamOps.substrDupStream(
+        spark.readStream.schema(schema).parquet(dir), "graft_subidx_live", "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("substr_live").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("select doc_id from substr_live").collect()
+        .map(_.getLong(0)).sorted.toSeq === Seq(1L),
+        "a pre-plan filing must mask from batch one")
+      // a takedown lands BETWEEN micro-batches (doc 100 — blockA's
+      // only witness); more documents stream in. Whether the RUNNING
+      // plan sees the new tombstone generation is a listing-cache
+      // accident (measured: first post-plan filing sometimes lands,
+      // later ones do not, refreshTable does not change it) — the
+      // operator's documented contract deliberately promises nothing
+      // here, so this test asserts nothing mid-flight...
+      Dedup.deleteFromSubstringIndex(
+        Seq((100L, s"r0 $blockA r1")).toDF("doc_id", "text"), "graft_subidx_live")
+      Seq((5L, ts(2), s"p4 $blockA p5"))
+        .toDF("doc_id", "ts", "text").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    // ...and pins the GUARANTEED boundary instead: a (re)start
+    // resolves every filing made so far — the fresh plan re-reads the
+    // source from scratch and nothing flags (both witnesses are gone)
+    val q2 = StreamOps.substrDupStream(
+        spark.readStream.schema(schema).parquet(dir), "graft_subidx_live", "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("substr_live2").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.sql("select doc_id from substr_live2").count() === 0L,
+        "a restarted stream must honor every tombstone filed before the restart")
+      // the at-cadence alternative re-resolves per CALL: the batch
+      // twin masks both filings without any restart dance
+      val all = Seq(
+        (1L, ts(0), s"p0 $blockA p1"),
+        (3L, ts(1), s"p2 $blockB p3"),
+        (5L, ts(2), s"p4 $blockA p5")).toDF("doc_id", "ts", "text")
+      assert(StreamOps.substrDupStreamBatch(all, "graft_subidx_live").count() === 0L)
+    } finally {
+      q2.stop()
+      for (t <- Seq("grams", "smeta", "sdocs", "stombstones"))
+        spark.sql(s"DROP TABLE IF EXISTS graft_subidx_live_$t")
     }
   }
 

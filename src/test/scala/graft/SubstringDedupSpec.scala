@@ -202,6 +202,41 @@ class SubstringDedupSpec extends AnyFunSuite {
       === Seq((0L, 2L, 5L), (0L, 7L, 10L)))
   }
 
+  test("takedown contract: never-indexed and post-compaction filings are rejected; overlapping appends are rejected; the ledger follows append and compact") {
+    import graft.operators.Dedup
+    val probe = takedownFixture("graft_subidx_ctspec") // indexes docs 1 and 3
+    val s = toks("s", 4).mkString(" ")
+    val o = toks("o", 4).mkString(" ")
+    // tombstoning a doc the index never saw would decrement grams it
+    // never contributed — a directed error, not a silent under-count
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.deleteFromSubstringIndex(docs(9L -> s"z0 $s z1"), "graft_subidx_ctspec")
+    }
+    assert(e1.getMessage.contains("not indexed"))
+    // re-appending an indexed doc would double-count its grams (the
+    // phantom-witness takedown failure) — a directed error
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.appendSubstringIndex(docs(1L -> s"a0 a1 $s a2"), "graft_subidx_ctspec")
+    }
+    assert(e2.getMessage.contains("already indexed"))
+    // compaction removes folded docs from the ledger: re-deleting the
+    // same doc AFTER the fold is rejected (its grams are physically
+    // gone — a second decrement is exactly the negative-refcount bug
+    // the ledger exists to make impossible)
+    Dedup.deleteFromSubstringIndex(docs(3L -> s"b0 $s $o b1"), "graft_subidx_ctspec")
+    Dedup.compactSubstringIndex("graft_subidx_ctspec")
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.deleteFromSubstringIndex(docs(3L -> s"b0 $s $o b1"), "graft_subidx_ctspec")
+    }
+    assert(e3.getMessage.contains("not indexed"))
+    // the ledger follows append: a NEW doc appends cleanly, is then
+    // deletable, and the masked probe ends exactly at the survivor set
+    Dedup.appendSubstringIndex(docs(5L -> s"c0 $o c1"), "graft_subidx_ctspec")
+    Dedup.deleteFromSubstringIndex(docs(5L -> s"c0 $o c1"), "graft_subidx_ctspec")
+    assert(spanRows(Dedup.substringSpansAgainstIndex(probe, "graft_subidx_ctspec"))
+      === Seq((0L, 2L, 5L)))
+  }
+
   test("strip removes exactly the spanned tokens; clean and all-dup docs survive") {
     val block = toks("x", 8)
     val d = docs(
