@@ -2815,8 +2815,19 @@ object OracleSql {
     * decision for decision; words longer than maxWordLen are excluded
     * on both sides (the DP chain is position-bounded).
     */
+  /** Total EM-round count of the trainer CTE stack: the base rounds
+    * plus one round per prune step — the index of the FINAL vocab CTE
+    * `v{n}p`.
+    */
+  private def ulmRounds(nSeed: Int, rounds: Int, targetVocab: Int,
+                        shrink: Double): Int =
+    rounds + (if (targetVocab > 0)
+      graft.operators.TextOps.ulmPruneSchedule(nSeed, targetVocab, shrink).size
+    else 0)
+
   private def ulmCtes(nSeed: Int, rounds: Int, maxPieceLen: Int = 4,
-                      maxWordLen: Int = 12): String = {
+                      maxWordLen: Int = 12, targetVocab: Int = 0,
+                      shrink: Double = 0.75): String = {
     def lnp(v: String) =
       s"FLOOR(ln(CAST(c + 1 AS DOUBLE) / (SELECT CAST(SUM(c + 1) AS DOUBLE) FROM $v)) * 1000000.0 + 0.5001) / 1000000.0"
     val sb = new StringBuilder
@@ -2838,9 +2849,9 @@ object OracleSql {
          |  UNION ALL
          |  SELECT piece, c FROM us WHERE length(piece) = 1),
          |v0p AS MATERIALIZED (SELECT piece, c, ${lnp("v0")} AS lnp FROM v0)""".stripMargin)
-    for (r <- 1 to rounds) {
+    def emRound(r: Int, vocab: String): Unit = {
       sb.append(",\n")
-      sb.append(ulmEStep(r, s"v${r - 1}p", maxPieceLen, maxWordLen))
+      sb.append(ulmEStep(r, vocab, maxPieceLen, maxWordLen))
       sb.append(
         s""",
            |c$r AS (SELECT piece, SUM(freq) AS c FROM (
@@ -2848,19 +2859,48 @@ object OracleSql {
            |  FROM e${r}fin) GROUP BY 1),
            |v$r AS MATERIALIZED (
            |  SELECT v.piece, COALESCE(c.c, 0) AS c
-           |  FROM v${r - 1}p v LEFT JOIN c$r c USING (piece)
+           |  FROM $vocab v LEFT JOIN c$r c USING (piece)
            |  WHERE COALESCE(c.c, 0) > 0 OR length(v.piece) = 1),
            |v${r}p AS MATERIALIZED (SELECT piece, c, ${lnp(s"v$r")} AS lnp FROM v$r)""".stripMargin)
+    }
+    for (r <- 1 to rounds) emRound(r, s"v${r - 1}p")
+    // prune-to-target steps (Kudo 2018 §3.2; literals from the SHARED
+    // TextOps.ulmPruneSchedule): keep the alphabet + top-target
+    // multi-char pieces by 1e-6-quantized likelihood contribution
+    // c·(−lnp) (ties piece ASC — TextOps' exact rule), re-smooth,
+    // then one EM round under the pruned vocab
+    if (targetVocab > 0) {
+      val sched = graft.operators.TextOps.ulmPruneSchedule(nSeed, targetVocab, shrink)
+      for ((tgt, i) <- sched.zipWithIndex) {
+        val s = i + 1
+        val r = rounds + s
+        sb.append(
+          s""",
+             |p${s}k AS MATERIALIZED (
+             |  SELECT piece, c FROM (
+             |    SELECT piece, c, ROW_NUMBER() OVER (
+             |      ORDER BY FLOOR(c * -lnp * 1000000.0 + 0.5001) / 1000000.0 DESC, piece) AS prk
+             |    FROM v${r - 1}p WHERE length(piece) >= 2) WHERE prk <= $tgt
+             |  UNION ALL
+             |  SELECT piece, c FROM v${r - 1}p WHERE length(piece) = 1),
+             |p${s}p AS MATERIALIZED (SELECT piece, c, ${lnp(s"p${s}k")} AS lnp FROM p${s}k)""".stripMargin)
+        emRound(r, s"p${s}p")
+      }
     }
     sb.toString
   }
 
-  /** The trained unigram-LM vocabulary after `rounds` EM rounds. */
-  def ulmTrain(nSeed: Int, rounds: Int): String =
-    s"""WITH ${ulmCtes(nSeed, rounds)}
+  /** The trained unigram-LM vocabulary after `rounds` EM rounds (plus
+    * the prune-to-target schedule when `targetVocab > 0`).
+    */
+  def ulmTrain(nSeed: Int, rounds: Int, targetVocab: Int = 0,
+               shrink: Double = 0.75): String = {
+    val n = ulmRounds(nSeed, rounds, targetVocab, shrink)
+    s"""WITH ${ulmCtes(nSeed, rounds, targetVocab = targetVocab, shrink = shrink)}
        |SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len,
        |       CAST(c AS BIGINT) AS n, lnp
-       |FROM v${rounds}p ORDER BY piece""".stripMargin
+       |FROM v${n}p ORDER BY piece""".stripMargin
+  }
 
   /** Viterbi-encode the corpus under the trained vocabulary: one more
     * E-step (round `rounds+1`) against v{rounds}p, then per document
@@ -2890,16 +2930,18 @@ object OracleSql {
     * one more E-step against the final vocab, per-(lang, word) type
     * counts joined to each type's Viterbi piece count.
     */
-  def ulmFertility(nSeed: Int, rounds: Int): String =
-    s"""WITH ${ulmCtes(nSeed, rounds)},
-       |${ulmEStep(rounds + 1, s"v${rounds}p", 4, 12)},
+  def ulmFertility(nSeed: Int, rounds: Int, targetVocab: Int = 0,
+                   shrink: Double = 0.75): String = {
+    val n = ulmRounds(nSeed, rounds, targetVocab, shrink)
+    s"""WITH ${ulmCtes(nSeed, rounds, targetVocab = targetVocab, shrink = shrink)},
+       |${ulmEStep(n + 1, s"v${n}p", 4, 12)},
        |wc AS (
        |  SELECT lang, w, COUNT(*) AS c FROM (
        |    SELECT lang, UNNEST(string_split(text, ' ')) AS w FROM documents) u
        |  WHERE length(w) > 0 GROUP BY 1, 2),
        |pt AS (
        |  SELECT wc.lang, wc.c, length(wc.w) AS chars, f.k AS subtoks
-       |  FROM wc JOIN e${rounds + 1}fin f ON f.w = wc.w),
+       |  FROM wc JOIN e${n + 1}fin f ON f.w = wc.w),
        |ag AS (
        |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_words,
        |         CAST(SUM(c * subtoks) AS BIGINT) AS n_tokens,
@@ -2909,6 +2951,39 @@ object OracleSql {
        |       ${R("n_tokens / n_words")} AS fertility,
        |       ${R("n_chars / n_tokens")} AS chars_per_token
        |FROM ag ORDER BY lang""".stripMargin
+  }
+
+  /** Token-budget subsample under UNIGRAM-LM costs: one more E-step
+    * against the final vocab, per-doc n_tokens = Σ occurrence-weighted
+    * Viterbi piece counts, then the seeded per-shard running sum.
+    */
+  def sampleTokenBudgetUlm(nSeed: Int, rounds: Int, tokenBudget: Long,
+                           seed: String, targetVocab: Int = 0,
+                           shrink: Double = 0.75): String = {
+    val n = ulmRounds(nSeed, rounds, targetVocab, shrink)
+    s"""WITH ${ulmCtes(nSeed, rounds, targetVocab = targetVocab, shrink = shrink)},
+       |${ulmEStep(n + 1, s"v${n}p", 4, 12)},
+       |wc AS (
+       |  SELECT doc_id, w, COUNT(*) AS c FROM (
+       |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents) u
+       |  WHERE length(w) > 0 GROUP BY 1, 2),
+       |dtok AS (
+       |  SELECT wc.doc_id, CAST(SUM(wc.c * f.k) AS BIGINT) AS n_tokens
+       |  FROM wc JOIN e${n + 1}fin f ON f.w = wc.w GROUP BY 1),
+       |s AS (
+       |  SELECT d.doc_id, d.source AS shard, COALESCE(dt.n_tokens, 0) AS n_tokens,
+       |         MD5(CONCAT('$seed:', CAST(d.doc_id AS VARCHAR))) AS shuf
+       |  FROM documents d LEFT JOIN dtok dt ON dt.doc_id = d.doc_id),
+       |p AS (
+       |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+       |      PARTITION BY shard ORDER BY shuf, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS stream_pos
+       |  FROM s)
+       |SELECT doc_id, shard, n_tokens, stream_pos
+       |FROM p WHERE stream_pos < $tokenBudget
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** Overlapping token-window chunking (RAG splitter). */
   def chunkDocs(chunkSize: Int, stride: Int): String =

@@ -1942,6 +1942,14 @@ object SparkEntry {
       TextOps.sampleTokenBudgetBpe(Tables.documents(s, dir), 8, 2000L)
         .orderBy(col("doc_id"))),
 
+    // the unigram-LM twin (the 37a' discipline for the SentencePiece
+    // family): the running budget counts Viterbi pieces under the
+    // trained ULM vocab — budget sampling tokenizer-real for BOTH
+    // tokenizer families
+    "sample_token_budget_ulm" -> ((s, dir) =>
+      TextOps.sampleTokenBudgetUlm(Tables.documents(s, dir), 40, 2, 2000L)
+        .orderBy(col("doc_id"))),
+
     // 50/30/20 mixture over three sources at ~2000 total tokens —
     // budgets truncate every source at both SFs (each source holds
     // 1.1-1.5K tokens at sf0.01, 13-14K at sf0.1); the other 17
@@ -2446,11 +2454,24 @@ object SparkEntry {
       TextOps.ulmTrain(Tables.documents(s, dir), 40, 2)
         .orderBy(col("piece"))),
 
+    // prune-to-TARGET-vocab training (Kudo 2018 §3.2 — the knob a
+    // tokenizer team actually sets): after the base EM rounds, shrink
+    // the multi-char set geometrically (keep top contribution
+    // c·(−lnp), re-smooth, one EM round per cut) until it reaches
+    // targetVocab
+    "ulm_train_pruned" -> ((s, dir) =>
+      TextOps.ulmTrain(Tables.documents(s, dir), 40, 2,
+          targetVocab = 16, shrink = 0.5)
+        .orderBy(col("piece"))),
+
     // tokenizer fertility by language under the trained unigram-LM
     // vocab — bpe_fertility's equity table for the SentencePiece
-    // side, the direct BPE-vs-ULM family comparison
+    // side, the direct BPE-vs-ULM family comparison; gated on the
+    // PRODUCTION-pruned (target-sized) vocabulary, the one a
+    // tokenizer team actually ships
     "ulm_fertility" -> ((s, dir) =>
-      TextOps.ulmFertility(Tables.documents(s, dir), 40, 2)
+      TextOps.ulmFertility(Tables.documents(s, dir), 40, 2,
+          targetVocab = 16, shrink = 0.5)
         .orderBy(col("lang"))),
 
     // Viterbi-encode the corpus under the trained unigram-LM vocab:
@@ -3095,8 +3116,11 @@ object SparkEntry {
     "bpe_train" -> OracleSql.bpeTrain(8),
     "bpe_encode" -> OracleSql.bpeEncode(8),
     "ulm_train" -> OracleSql.ulmTrain(40, 2),
+    "ulm_train_pruned" -> OracleSql.ulmTrain(40, 2, targetVocab = 16, shrink = 0.5),
     "ulm_encode" -> OracleSql.ulmEncode(40, 2),
-    "ulm_fertility" -> OracleSql.ulmFertility(40, 2),
+    "ulm_fertility" -> OracleSql.ulmFertility(40, 2, targetVocab = 16, shrink = 0.5),
+    "sample_token_budget_ulm" ->
+      OracleSql.sampleTokenBudgetUlm(40, 2, 2000L, "budget"),
     "bpe_token_freq" -> OracleSql.bpeTokenFreq(8, 20),
     "bpe_fertility" -> OracleSql.bpeFertility(8),
     "chunk_documents" -> OracleSql.chunkDocs(64, 48),

@@ -950,6 +950,39 @@ object TextOps {
       .select(col("doc_id"), col("shard"), col("n_tokens"), col("stream_pos"))
   }
 
+  /** [[sampleTokenBudget]] with UNIGRAM-LM token costs — the
+    * [[sampleTokenBudgetBpe]] discipline for the SentencePiece family
+    * (budget sampling is tokenizer-real for BOTH tokenizer families):
+    * per-doc n_tokens = Σ Viterbi piece counts under the trained ULM
+    * vocabulary (pass `targetVocab`/`shrink` to budget under the
+    * production-pruned vocab). Same seeded md5 order, same
+    * first-doc-per-shard guarantee, same auditable output.
+    *
+    * Scale shape: one zero-exchange Viterbi-DP projection
+    * ([[graft.functions.UlmViterbi]], O(len·maxPieceLen)/row, riding
+    * the scan) + the ONE shard-key shuffle and running sum.
+    */
+  def sampleTokenBudgetUlm(docs: DataFrame, nSeed: Int, rounds: Int,
+                           tokenBudget: Long, shardCol: String = "source",
+                           seed: String = "budget", targetVocab: Int = 0,
+                           shrink: Double = 0.75): DataFrame = {
+    require(tokenBudget > 0,
+      s"sampleTokenBudgetUlm: tokenBudget must be positive, got $tokenBudget")
+    val vocab = ulmTrainVocab(docs, nSeed, rounds,
+      targetVocab = targetVocab, shrink = shrink).map(v => (v._1, v._3))
+    val enc = graft.functions.UlmViterbi.encode(vocab)
+      .replace("\\", "\\\\").replace("'", "\\'")
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), col(shardCol).as("shard"),
+        expr(s"CAST(size(flatten(transform(filter(split(text, ' '), " +
+          s"x -> length(x) > 0), w -> graft_ulm_viterbi(w, '$enc')))) AS BIGINT)")
+          .as("n_tokens"))
+      .withColumn("stream_pos", streamPos(Seq(shuffleKey(seed), col("doc_id"))))
+      .where(col("stream_pos") < tokenBudget)
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("stream_pos"))
+  }
+
   /** Per-source budgets of a mixture: floor(weight × totalBudget) as
     * literal longs. Public because [[graft.OracleSql]] must embed the
     * IDENTICAL literals — one formula, both engines.
@@ -1485,8 +1518,35 @@ object TextOps {
     * caps trainable sentence pieces) — the gate corpus' longest word
     * is 8, the default cap 12.
     */
+  /** The PRUNE SCHEDULE toward a target vocabulary: step r's
+    * multi-char piece target is max(targetVocab, ceil(nSeed·shrinkʳ)),
+    * ending at the first r whose raw geometric value reaches the
+    * target — Kudo 2018 §3.2's "remove the worst pieces, shrinking by
+    * a fixed factor, until |V| ≤ target" made deterministic. Public
+    * because [[graft.OracleSql]] must unroll the IDENTICAL literals —
+    * one formula, both engines.
+    */
+  def ulmPruneSchedule(nSeed: Int, targetVocab: Int, shrink: Double): Seq[Int] = {
+    require(targetVocab >= 1,
+      s"ulmTrain: targetVocab must be >= 1, got $targetVocab")
+    require(shrink > 0.0 && shrink < 1.0,
+      s"ulmTrain: shrink must be in (0, 1), got $shrink")
+    val steps = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var r = 1
+    var raw = math.ceil(nSeed * shrink).toInt
+    while (raw > targetVocab && steps.size < 64) {
+      steps += raw
+      r += 1
+      raw = math.ceil(nSeed * math.pow(shrink, r)).toInt
+    }
+    steps += targetVocab
+    steps.toSeq
+  }
+
   def ulmTrainVocab(docs: DataFrame, nSeed: Int, rounds: Int,
-                    maxPieceLen: Int = 4, maxWordLen: Int = 12): Seq[(String, Long, Double)] = {
+                    maxPieceLen: Int = 4, maxWordLen: Int = 12,
+                    targetVocab: Int = 0,
+                    shrink: Double = 0.75): Seq[(String, Long, Double)] = {
     require(nSeed >= 1, s"ulmTrain: nSeed must be >= 1, got $nSeed")
     require(rounds >= 1, s"ulmTrain: rounds must be >= 1, got $rounds")
     require(maxPieceLen >= 2, s"ulmTrain: maxPieceLen must be >= 2, got $maxPieceLen")
@@ -1507,7 +1567,7 @@ object TextOps {
     val alphabet = seedChars.map(_._1).toSet
     var vocab: Seq[(String, Long, Double)] =
       ulmLnp((seedMulti ++ seedChars).toSeq.sortBy(_._1))
-    for (_ <- 1 to rounds) {
+    def emRound(): Unit = {
       val enc = graft.functions.UlmViterbi.encode(vocab.map(v => (v._1, v._3)))
         .replace("\\", "\\\\").replace("'", "\\'")
       val cnt = words
@@ -1518,6 +1578,26 @@ object TextOps {
         .map { case (p, _, _) => (p, cnt.getOrElse(p, 0L)) }
         .filter { case (p, c) => c > 0 || alphabet(p) })
     }
+    for (_ <- 1 to rounds) emRound()
+    // PRUNE-TO-TARGET schedule (Kudo 2018 §3.2 — the knob a tokenizer
+    // team actually sets): each step keeps the alphabet plus the top
+    // `target_r` multi-char pieces by likelihood CONTRIBUTION
+    // c·(−lnp), quantized at 1e-6 before ranking (cross-engine FP
+    // discipline; the paper scores the likelihood LOSS of removal via
+    // the full EM lattice — the contribution proxy drops the same
+    // rarely-used, low-probability pieces first and is deterministic
+    // and engine-mirrorable), re-smooths, then runs one EM round so
+    // the survivors' probabilities re-equilibrate before the next cut.
+    if (targetVocab > 0) {
+      for (tgt <- ulmPruneSchedule(nSeed, targetVocab, shrink)) {
+        val chars = vocab.filter(_._1.length == 1)
+        val kept = vocab.filter(_._1.length >= 2)
+          .sortBy { case (p, c, lnp) => (-q6d(c * -lnp), p) }
+          .take(tgt)
+        vocab = ulmLnp((kept ++ chars).map(v => (v._1, v._2)).sortBy(_._1))
+        emRound()
+      }
+    }
     vocab
   }
 
@@ -1525,10 +1605,11 @@ object TextOps {
     * vocabulary with each piece's final Viterbi count and smoothed
     * log-prob.
     */
-  def ulmTrain(docs: DataFrame, nSeed: Int, rounds: Int): DataFrame = {
+  def ulmTrain(docs: DataFrame, nSeed: Int, rounds: Int,
+               targetVocab: Int = 0, shrink: Double = 0.75): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    ulmTrainVocab(docs, nSeed, rounds)
+    ulmTrainVocab(docs, nSeed, rounds, targetVocab = targetVocab, shrink = shrink)
       .map { case (p, c, lnp) => (p, p.length.toLong, c, lnp) }
       .toDF("piece", "piece_len", "n", "lnp")
   }
@@ -1567,8 +1648,10 @@ object TextOps {
     * (never per occurrence), final frame |langs|-sized
     * map-side-combined.
     */
-  def ulmFertility(docs: DataFrame, nSeed: Int, rounds: Int): DataFrame = {
-    val vocab = ulmTrainVocab(docs, nSeed, rounds).map(v => (v._1, v._3))
+  def ulmFertility(docs: DataFrame, nSeed: Int, rounds: Int,
+                   targetVocab: Int = 0, shrink: Double = 0.75): DataFrame = {
+    val vocab = ulmTrainVocab(docs, nSeed, rounds,
+      targetVocab = targetVocab, shrink = shrink).map(v => (v._1, v._3))
     val enc = graft.functions.UlmViterbi.encode(vocab)
       .replace("\\", "\\\\").replace("'", "\\'")
     graft.functions.VectorExprs.register(docs.sparkSession)

@@ -97,6 +97,66 @@ class UlmSpec extends AnyFunSuite {
     }
   }
 
+  test("prune-to-target: schedule literals, target size, alphabet survival, and EM monotonicity ACROSS a prune step") {
+    // the schedule is the shared engine/oracle formula — pin its
+    // literals (geometric with a floor at the target, last step = target)
+    assert(TextOps.ulmPruneSchedule(40, 16, 0.5) === Seq(20, 16))
+    assert(TextOps.ulmPruneSchedule(40, 16, 0.75) === Seq(30, 23, 17, 16))
+    assert(TextOps.ulmPruneSchedule(20, 10, 0.5) === Seq(10))
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = TextOps.ulmTrainVocab(d, 20, 2)
+    val alphabet = base.filter(_._1.length == 1).map(_._1).toSet
+    // single-step schedule (20 → 10): trained = prune(base) + one EM
+    // round; the multi-char set lands AT/UNDER the target and the
+    // alphabet survives every cut
+    val pruned = TextOps.ulmTrainVocab(d, 20, 2, targetVocab = 10, shrink = 0.5)
+    assert(pruned.count(_._1.length >= 2) <= 10,
+      "the pruned vocabulary must reach the target multi-char size")
+    assert(alphabet.subsetOf(pruned.filter(_._1.length == 1).map(_._1).toSet),
+      "the alphabet must survive pruning — segmentation stays total")
+    // EM monotonicity across the prune step (the inductive claim the
+    // schedule composes from): emulate the prune+re-smooth exactly
+    // (top-target by q6(c·−lnp), ties piece ASC; lnp = q6(ln((c+1)/Σ)))
+    // and assert the trained result — pruned vocab + one EM round —
+    // does not lose Viterbi corpus likelihood vs its pruned start
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5001) / 1e6
+    val kept = base.filter(_._1.length >= 2)
+      .sortBy { case (p, c, lnp) => (-q6(c * -lnp), p) }.take(10)
+    val chars = base.filter(_._1.length == 1)
+    val counts = (kept ++ chars).map(v => (v._1, v._2)).sortBy(_._1)
+    val tot = counts.map(_._2 + 1L).sum.toDouble
+    val prunedStart = counts.map { case (p, c) => (p, c, q6(math.log((c + 1L) / tot))) }
+    def ll(vocab: Seq[(String, Long, Double)]): Double = {
+      val lnp = vocab.map(v => (v._1, v._3)).toMap
+      val words = d.selectExpr("explode(split(text, ' ')) AS w")
+        .where("length(w) >= 1 AND length(w) <= 12")
+        .groupBy("w").count().collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      words.map { case (w, f) =>
+        f * seg(w, vocab.map(v => (v._1, v._3)))
+          .map(p => lnp.getOrElse(p, graft.functions.UlmViterbi.UnkLnp)).sum
+      }.sum
+    }
+    assert(ll(pruned) >= ll(prunedStart) - 1e-9,
+      "the EM round after a prune must not lose likelihood vs the pruned start")
+  }
+
+  test("ULM token budget: costs equal the encoder's n_tokens; every shard's first doc survives") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val vocab = TextOps.ulmTrainVocab(d, 40, 2).map(v => (v._1, v._3))
+    val encTok = TextOps.ulmEncode(d, vocab).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = TextOps.sampleTokenBudgetUlm(d, 40, 2, 2000L).collect()
+    assert(out.nonEmpty)
+    for (r <- out)
+      assert(r.getAs[Long]("n_tokens") === encTok(r.getAs[Long]("doc_id")),
+        s"doc ${r.getAs[Long]("doc_id")}: the budget's cost model must BE the encoder")
+    // first-doc-per-shard guarantee: stream_pos is exclusive, so every
+    // shard's seeded-first doc has position 0 < budget
+    val shards = d.select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(out.map(_.getAs[String]("shard")).toSet === shards)
+  }
+
   test("fertility: per-language tokens/word and chars/token match the per-type segmentation") {
     import spark.implicits._
     val d = Seq(
