@@ -83,6 +83,7 @@ class PlanCensusSpec extends AnyFunSuite {
       "the takedown mask must only add the tombstone-volume countDistinct phases")
     spark.sql("DROP TABLE IF EXISTS graft_subidx_census_grams")
     spark.sql("DROP TABLE IF EXISTS graft_subidx_census_smeta")
+    spark.sql("DROP TABLE IF EXISTS graft_subidx_census_sdocs")
     spark.sql("DROP TABLE IF EXISTS graft_subidx_census_stombstones")
   }
 
