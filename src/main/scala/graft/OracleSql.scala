@@ -2089,6 +2089,88 @@ object OracleSql {
     sb.toString
   }
 
+  /** FILTERED graph walk (annGraphSearchFiltered): the annGraphSearch
+    * CTEs with the label riding the scored frame, each round's
+    * frontier the MIXED beam (top-beam unfiltered ∪ top-beam among
+    * label matches), answer = top-k of visited ∩ predicate ranked
+    * after the filter.
+    */
+  def annGraphSearchFiltered(nCentroids: Int, kGraph: Int, nQueries: Int,
+                             beam: Int, rounds: Int, k: Int, nLabels: Int,
+                             nprobe: Int = 2): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |           WHERE embedding IS NOT NULL),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $nCentroids),
+         |a0 AS (
+         |  SELECT e.vec_id, e.v, c.cid, ${R("list_cosine_similarity(e.v, c.cv)")} AS ccos
+         |  FROM e CROSS JOIN c),
+         |a1 AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+         |  FROM a0),
+         |asg AS (SELECT vec_id, v, cid AS cell FROM a1 WHERE crank = 1),
+         |ap AS (SELECT vec_id, v, cid AS pcell FROM a1 WHERE crank <= $nprobe),
+         |pr AS (
+         |  SELECT a.vec_id, b.vec_id AS nbr, ${R("list_cosine_similarity(a.v, b.v)")} AS cos
+         |  FROM ap a JOIN asg b ON a.pcell = b.cell AND b.vec_id != a.vec_id),
+         |g AS MATERIALIZED (
+         |  SELECT vec_id AS src, nbr FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
+         |    FROM pr) WHERE rank <= $kGraph),
+         |q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
+         |f0 AS (SELECT qid, qid AS vid FROM q),
+         |v0 AS (SELECT qid, vid FROM f0)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+         |x$r AS (SELECT f.qid, g.nbr AS vid FROM f${r - 1} f JOIN g ON g.src = f.vid),
+         |v$r AS MATERIALIZED (
+         |  SELECT DISTINCT qid, vid FROM (
+         |    SELECT qid, vid FROM v${r - 1} UNION ALL SELECT qid, vid FROM x$r)),
+         |s$r AS MATERIALIZED (
+         |  SELECT v.qid, v.vid, e2.label, ${R("list_cosine_similarity(e2.v, q.qv)")} AS cos
+         |  FROM v$r v JOIN e e2 ON e2.vec_id = v.vid JOIN q ON q.qid = v.qid),
+         |f$r AS MATERIALIZED (
+         |  SELECT DISTINCT qid, vid FROM (
+         |    SELECT qid, vid FROM (
+         |      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
+         |      FROM s$r) WHERE rk <= $beam
+         |    UNION ALL
+         |    SELECT qid, vid FROM (
+         |      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
+         |      FROM s$r WHERE label = qid % $nLabels) WHERE rk <= $beam))""".stripMargin)
+    }
+    sb.append(s"""
+       |SELECT qid, vid, cos, rank FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS rank
+       |  FROM s$rounds WHERE vid != qid AND label = qid % $nLabels)
+       |WHERE rank <= $k ORDER BY qid, rank""".stripMargin)
+    sb.toString
+  }
+
+  /** Recall@k of the FILTERED graph walk vs the exact filtered top-k. */
+  def annGraphSearchFilteredRecall(nCentroids: Int, kGraph: Int, nQueries: Int,
+                                   beam: Int, rounds: Int, k: Int,
+                                   nLabels: Int, nprobe: Int = 2): String =
+    s"""WITH approx AS (
+       |  SELECT qid, vid, 1 AS hit FROM (
+       |${annGraphSearchFiltered(nCentroids, kGraph, nQueries, beam, rounds, k, nLabels, nprobe)}) a),
+       |e3 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |       WHERE embedding IS NOT NULL),
+       |q3 AS (SELECT vec_id AS qid, v AS qv FROM e3 WHERE vec_id < $nQueries),
+       |xs AS (
+       |  SELECT qid, vec_id AS vid, ${R("list_cosine_similarity(qv, v)")} AS cos
+       |  FROM e3 CROSS JOIN q3 WHERE vec_id != qid AND label = qid % $nLabels),
+       |xr AS (
+       |  SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+       |  FROM xs),
+       |exact AS (SELECT qid, vid FROM xr WHERE rank <= $k)
+       |SELECT x.qid, COUNT(*) AS n_exact,
+       |       CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS n_hit,
+       |       ${R("SUM(COALESCE(a.hit, 0)) / COUNT(*)")} AS recall
+       |FROM exact x LEFT JOIN approx a ON x.qid = a.qid AND x.vid = a.vid
+       |GROUP BY x.qid ORDER BY x.qid""".stripMargin
+
   /** Recall@k of the graph walk vs the exact cosine top-k. */
   /** Kendall tau-a + Jaccard between the full-dim exact top-k and the
     * pDims-prefix exact top-k (both cosines r3'd before rank).

@@ -417,6 +417,22 @@ object SparkEntry {
       Similarity.annGraphSearchRecall(Tables.embeddings(s, dir), 16, 4, 5, 8, 2, 5)
         .orderBy(col("qid"))),
 
+    // FILTERED graph walk (the production language/license-bucket
+    // filter on the graph tier — ACORN-style): walk the FULL graph
+    // for reachability (pre-filtering fragments it into per-label
+    // islands), answer = exact top-k of visited ∩ label-match
+    "ann_graph_filtered" -> ((s, dir) =>
+      Similarity.annGraphSearchFiltered(Tables.embeddings(s, dir),
+          16, 4, 5, 16, 6, 4, 4)
+        .orderBy(col("qid"), col("rank"))),
+
+    // the oversearch audit: filtered-walk recall vs the exact
+    // filtered top-k at the same budget
+    "ann_graph_filtered_recall" -> ((s, dir) =>
+      Similarity.annGraphSearchFilteredRecall(Tables.embeddings(s, dir),
+          16, 4, 5, 16, 6, 4, 4)
+        .orderBy(col("qid"))),
+
     // stored-graph parity: build once to the bucketed catalog, walk
     // without rebuild — byte-equal to the recompute path
     // corrupt-vector audit: per-cell Hampel rule on cosine-to-own-
@@ -2860,6 +2876,9 @@ object SparkEntry {
       pred = "NOT (vec_id % 10 = 7 AND vec_id >= 16)"),
     "ann_graph_search" -> OracleSql.annGraphSearch(16, 4, 5, 8, 2, 5),
     "ann_graph_search_recall" -> OracleSql.annGraphSearchRecall(16, 4, 5, 8, 2, 5),
+    "ann_graph_filtered" -> OracleSql.annGraphSearchFiltered(16, 4, 5, 16, 6, 4, 4),
+    "ann_graph_filtered_recall" ->
+      OracleSql.annGraphSearchFilteredRecall(16, 4, 5, 16, 6, 4, 4),
     "ann_graph_sweep" -> OracleSql.annGraphSweep(16, 4, 5, 5,
       Seq((5, 1), (6, 2), (8, 3))),
     "ml_hard_negatives" -> OracleSql.mlHardNegatives(5, 5, 5),

@@ -989,6 +989,114 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** FILTERED graph-walk search — [[cosineTopKFiltered]]'s metadata
+    * predicate (`label = qid % nLabels`, standing in for the
+    * language/source/license filters of a production vector store)
+    * served from the GRAPH tier, closing the filtered family across
+    * tiers (exact 48, IVF `ann_filtered`, and now the walk). Two
+    * filtered-ANN failure modes are designed out: (a) PRE-filtering
+    * the graph fragments it into per-label islands and strands every
+    * query whose seed neighbourhood is label-sparse (the
+    * filtered-HNSW connectivity trap; cf. ACORN, Patel et al. 2024 —
+    * keep reachability through non-matching nodes), so the walk runs
+    * over the FULL graph; (b) pure POST-filtering converges to the
+    * query's any-label neighbourhood and never explores the matching
+    * region, so each round's frontier is the MIXED beam — top-beam by
+    * unfiltered cosine ∪ top-beam among predicate matches (the
+    * predicate-passing candidate retention of production filtered
+    * search). Answer = exact top-k of visited ∩ predicate; the recall
+    * knob is the walk budget, audited by
+    * [[annGraphSearchFilteredRecall]] against the exact filtered
+    * top-k.
+    *
+    * Scale shape: the plain walk's dataflow with the label riding the
+    * node frame (metadata on the same vector-store scan — the
+    * matching beam is a predicate + one more window on the
+    * frontier-sized scored frame, never a per-round join or a second
+    * corpus scan).
+    */
+  def annGraphSearchFiltered(embeddings: DataFrame, nCentroids: Int,
+                             kGraph: Int, nQueries: Int, beam: Int,
+                             rounds: Int, k: Int, nLabels: Int,
+                             nprobe: Int = 2): DataFrame = {
+    require(nLabels >= 1, s"annGraphSearchFiltered: need nLabels >= 1, got $nLabels")
+    require(k <= beam, s"annGraphSearchFiltered: k=$k must be <= beam=$beam")
+    require(rounds >= 1, s"annGraphSearchFiltered: rounds must be >= 1, got $rounds")
+    VectorExprs.register(embeddings.sparkSession)
+    val graph = knnGraphEdges(embeddings, nCentroids, kGraph, nprobe)
+    // the node frame carries the label INLINE (the graph store is a
+    // vector store — metadata rides the same scan), so the matching
+    // beam below is a pure predicate, never a per-round join
+    val eL = embeddings.where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("norm", sqrt(expr("graft_vec_dot(v, v)")))
+    val q = eL.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+    val isMatch = col("label") === pmod(col("qid"), lit(nLabels.toLong)).cast("int")
+    def score(visited: DataFrame) = visited
+      .join(eL, visited("vid") === eL("vec_id"))
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("vid"), col("label"),
+        r3(expr("graft_vec_dot(v, qv)") / (col("norm") * col("qn"))).as("cos"))
+    def topBeam(scored: DataFrame) = scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))))
+      .where(col("rk") <= beam).select(col("qid"), col("vid"))
+    // MIXED frontier per round: the navigation beam (top-beam by
+    // unfiltered cosine — reachability through non-matching nodes)
+    // UNION the matching beam (top-beam among predicate matches) —
+    // a purely navigational frontier converges to the query's
+    // any-label neighbourhood and stops exploring the matching
+    // region (measured on the gate corpus: recall stuck at 0.1-0.4
+    // however large the beam), while expanding the best matching
+    // candidates chases the matching cluster the way filtered-HNSW
+    // implementations retain predicate-passing candidates. With a
+    // predicate every node passes, the two beams coincide and this
+    // IS the plain walk.
+    var visited = q.select(col("qid"), col("qid").as("vid")).localCheckpoint()
+    var frontier = visited
+    for (_ <- 1 to rounds) {
+      val expand = frontier.join(graph, frontier("vid") === graph("src"))
+        .select(frontier("qid"), graph("nbr").as("vid"))
+      visited = visited.unionByName(expand).distinct().localCheckpoint()
+      val scored = score(visited)
+      frontier = topBeam(scored).unionByName(topBeam(scored.where(isMatch)))
+        .distinct().localCheckpoint()
+    }
+    // answer = exact top-k of visited ∩ predicate (ranked after the
+    // filter), self excluded
+    score(visited).where(isMatch)
+      .where(col("vid") =!= col("qid"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid")))
+        .cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("vid"), col("cos"), col("rank"))
+  }
+
+  /** Recall@k of the filtered walk vs the exact filtered top-k — the
+    * oversearch audit: with the answer filtered AFTER the walk, a
+    * label-sparse neighbourhood needs a bigger beam/rounds budget to
+    * surface k matching candidates, and this table is where that
+    * trade is read.
+    */
+  def annGraphSearchFilteredRecall(embeddings: DataFrame, nCentroids: Int,
+                                   kGraph: Int, nQueries: Int, beam: Int,
+                                   rounds: Int, k: Int, nLabels: Int,
+                                   nprobe: Int = 2): DataFrame = {
+    val exact = cosineTopKFiltered(embeddings, nQueries, k, nLabels)
+      .select(col("qid"), col("vid"))
+    val approx = annGraphSearchFiltered(embeddings, nCentroids, kGraph,
+        nQueries, beam, rounds, k, nLabels, nprobe)
+      .select(col("qid"), col("vid"), lit(1).as("hit"))
+    exact.join(approx, Seq("qid", "vid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        r3(col("n_hit") / col("n_exact")).as("recall"))
+  }
+
   /** Membership predicate for hierarchy level `level` (1-based; level
     * 0 is the full corpus): a vector is at level ℓ iff ℓ INDEPENDENT
     * md5 coins each land in `keep` of `nSample` buckets — exactly

@@ -517,6 +517,44 @@ class GraphSearchSpec extends AnyFunSuite {
       && hm.getAs[Int]("beam_route") == 4 && hm.getAs[Int]("rounds_route") == 3)
   }
 
+  test("filtered graph walk: answers match the label; reachability flows THROUGH non-matching nodes (pre-filtering would strand the query)") {
+    import spark.implicits._
+    // angle chain 0°,30°,60°,90°,120°, kGraph=2 → edges = ±30°
+    // neighbours. Query id0 (label 0, nLabels=1 ⇒ predicate label=0);
+    // the ONLY matching candidate (id3 at 90°) sits 2 hops away with
+    // non-matching (label 1) nodes in between: a label-pre-filtered
+    // graph has zero edges out of the query — the walk must reach it
+    // THROUGH the label-1 intermediates and answer only the match
+    val emb = Seq((0, 0), (30, 1), (60, 1), (90, 0), (120, 1)).zipWithIndex
+      .map { case ((deg, label), i) =>
+        val th = math.toRadians(deg.toDouble)
+        (i.toLong, label, Seq(math.cos(th), math.sin(th)))
+      }.toDF("vec_id", "label", "embedding")
+    val reached = Similarity.annGraphSearchFiltered(emb, 1, 2, 1, 8, 2, 3, 1)
+      .collect().map(r => (r.getAs[Long]("vid"), r.getAs[Double]("cos")))
+    assert(reached.toSeq === Seq((3L, 0.0)),
+      "the 2-hop label-0 node is the ONLY legal answer")
+    // one round cannot reach it: underfilled (empty) is the honest
+    // answer, never a non-matching substitute
+    val short = Similarity.annGraphSearchFiltered(emb, 1, 2, 1, 8, 1, 3, 1)
+      .collect()
+    assert(short.isEmpty, "rounds=1 must not reach the far label-0 node")
+    // gate-shape sanity on the driver corpus: recall well-defined,
+    // every answer obeys the predicate
+    val embD = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.annGraphSearchFiltered(embD, 16, 4, 5, 16, 6, 4, 4)
+      .collect()
+    assert(out.nonEmpty)
+    val labels = embD.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    for (r <- out)
+      assert(labels(r.getAs[Long]("vid")) === (r.getAs[Long]("qid") % 4).toInt)
+    val rec = Similarity.annGraphSearchFilteredRecall(embD, 16, 4, 5, 16, 6, 4, 4)
+      .select(org.apache.spark.sql.functions.avg(col("recall"))).head().getDouble(0)
+    info(s"filtered-walk avg recall = $rec")
+    assert(rec > 0.0 && rec <= 1.0)
+  }
+
   test("hard negatives: the probable-positive head is excluded, neg_rank is contiguous") {
     // query 0 at 0°; nearest two (10°, 20°) are the head m=2 —
     // excluded; negatives = the next two by cosine, re-ranked 1..k
