@@ -254,6 +254,39 @@ class GraphSearchSpec extends AnyFunSuite {
     assert(err.getMessage.contains("no surviving entry"))
   }
 
+  test("append with PENDING takedowns: the mask holds over the appended store; compaction equals the survivor one-shot of old ∪ delta") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // removal ⊂ the FIRST batch (filed before the delta arrives — the
+    // takedown-then-ingest race a nightly pipeline actually runs)
+    val removed = col("vec_id") % 10 === 7 && col("vec_id") >= 16 &&
+      col("vec_id") < 250
+    Similarity.writeKnnGraphRouted(emb.where(col("vec_id") < 250), 16, 4, 4, 4, 3,
+      "graft_knng_pend", 4, 2)
+    Similarity.deleteFromKnnGraph(emb.where(removed).select(col("vec_id")),
+      "graft_knng_pend")
+    Similarity.appendKnnGraphRouted(emb.where(col("vec_id") >= 250),
+      "graft_knng_pend")
+    // the mask survives the append: no tombstoned node in any answer
+    val vids = Similarity.annGraphSearchStored(spark, "graft_knng_pend", 5, 8, 2, 5)
+      .collect().map(_.getAs[Long]("vid")).toSet
+    assert(!vids.exists(v => v % 10 == 7 && v >= 16 && v < 250))
+    // compaction after the append: byte-equal to the one-shot build
+    // over old∪delta survivors (the append's merged lists kept
+    // removed-nbr edges until now; affected srcs re-rank, unaffected
+    // lists are provably already the survivor one-shot's)
+    Similarity.compactKnnGraphRouted("graft_knng_pend")
+    Similarity.writeKnnGraphRouted(emb.where(!removed), 16, 4, 4, 4, 3,
+      "graft_knng_pend_one", 4, 2)
+    def tbl(t: String, cols: Seq[String]) = spark.table(t).collect()
+      .map(r => cols.map(c => r.get(r.fieldIndex(c))).mkString("|")).sorted.toSeq
+    for ((suf, cols) <- Seq(
+        ("nodes", Seq("vec_id", "cell")),
+        ("edges", Seq("src", "nbr", "cos")),
+        ("probes", Seq("vec_id", "pcell"))))
+      assert(tbl(s"graft_knng_pend_$suf", cols)
+        === tbl(s"graft_knng_pend_one_$suf", cols), suf)
+  }
+
   test("stored graph walk is byte-equal to the recompute path; a missing table fails eagerly") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     Similarity.writeKnnGraph(emb, 16, 4, "graft_knng_spec", 4)
