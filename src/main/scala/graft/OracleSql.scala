@@ -2171,6 +2171,19 @@ object OracleSql {
        |FROM exact x LEFT JOIN approx a ON x.qid = a.qid AND x.vid = a.vid
        |GROUP BY x.qid ORDER BY x.qid""".stripMargin
 
+  /** Filtered-walk recall at each (beam, rounds) budget — one branch
+    * per budget, each the standalone filtered-recall chain.
+    */
+  def annGraphFilteredSweep(nCentroids: Int, kGraph: Int, nQueries: Int,
+                            k: Int, nLabels: Int, params: Seq[(Int, Int)],
+                            nprobe: Int = 2): String =
+    params.map { case (b, r) =>
+      s"""SELECT CAST($b AS BIGINT) AS beam, CAST($r AS BIGINT) AS rounds, s.*
+         |FROM (
+         |${annGraphSearchFilteredRecall(nCentroids, kGraph, nQueries, b, r, k, nLabels, nprobe)}) s"""
+        .stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY beam, rounds, qid")
+
   /** Recall@k of the graph walk vs the exact cosine top-k. */
   /** Kendall tau-a + Jaccard between the full-dim exact top-k and the
     * pDims-prefix exact top-k (both cosines r3'd before rank).

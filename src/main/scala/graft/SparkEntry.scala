@@ -433,6 +433,14 @@ object SparkEntry {
           16, 4, 5, 16, 6, 4, 4)
         .orderBy(col("qid"))),
 
+    // the filtered-walk TUNING TABLE: recall at each (beam, rounds)
+    // budget — the 1/selectivity oversearch law read off one frame
+    // (rounds is the lever; the hop ball binds)
+    "ann_graph_filtered_sweep" -> ((s, dir) =>
+      Similarity.annGraphFilteredSweep(Tables.embeddings(s, dir),
+          16, 4, 5, 4, 4, Seq((8, 2), (16, 4), (16, 6)))
+        .orderBy(col("beam"), col("rounds"), col("qid"))),
+
     // stored-graph parity: build once to the bucketed catalog, walk
     // without rebuild — byte-equal to the recompute path
     // corrupt-vector audit: per-cell Hampel rule on cosine-to-own-
@@ -2879,6 +2887,8 @@ object SparkEntry {
     "ann_graph_filtered" -> OracleSql.annGraphSearchFiltered(16, 4, 5, 16, 6, 4, 4),
     "ann_graph_filtered_recall" ->
       OracleSql.annGraphSearchFilteredRecall(16, 4, 5, 16, 6, 4, 4),
+    "ann_graph_filtered_sweep" -> OracleSql.annGraphFilteredSweep(16, 4, 5, 4, 4,
+      Seq((8, 2), (16, 4), (16, 6))),
     "ann_graph_sweep" -> OracleSql.annGraphSweep(16, 4, 5, 5,
       Seq((5, 1), (6, 2), (8, 3))),
     "ml_hard_negatives" -> OracleSql.mlHardNegatives(5, 5, 5),

@@ -1097,6 +1097,37 @@ object Similarity {
         r3(col("n_hit") / col("n_exact")).as("recall"))
   }
 
+  /** The FILTERED-walk tuning table ([[annGraphSweep]]'s discipline
+    * pointed at the filtered tier): recall@k at each (beam, rounds)
+    * budget in ONE frame — the 1/selectivity oversearch law made
+    * readable before serving: ROUNDS is the lever (the hop ball
+    * binds: matching candidates at 1/nLabels selectivity live several
+    * hops past the unfiltered top-k), beam second. The exact filtered
+    * top-k computes once (checkpointed); the kNN graph builds once
+    * (the edge memo); every branch is the standalone filtered walk
+    * verbatim unioned with its budget literals.
+    */
+  def annGraphFilteredSweep(embeddings: DataFrame, nCentroids: Int,
+                            kGraph: Int, nQueries: Int, k: Int, nLabels: Int,
+                            params: Seq[(Int, Int)],
+                            nprobe: Int = 2): DataFrame = {
+    require(params.nonEmpty, "annGraphFilteredSweep: need at least one (beam, rounds)")
+    val exact = cosineTopKFiltered(embeddings, nQueries, k, nLabels)
+      .select(col("qid"), col("vid")).localCheckpoint()
+    params.map { case (beam, rounds) =>
+      val approx = annGraphSearchFiltered(embeddings, nCentroids, kGraph,
+          nQueries, beam, rounds, k, nLabels, nprobe)
+        .select(col("qid"), col("vid"), lit(1).as("hit"))
+      exact.join(approx, Seq("qid", "vid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(lit(beam.toLong).as("beam"), lit(rounds.toLong).as("rounds"),
+          col("qid"), col("n_exact"), col("n_hit"),
+          r3(col("n_hit") / col("n_exact")).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Membership predicate for hierarchy level `level` (1-based; level
     * 0 is the full corpus): a vector is at level ℓ iff ℓ INDEPENDENT
     * md5 coins each land in `keep` of `nSample` buckets — exactly

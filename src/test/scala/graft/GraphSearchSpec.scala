@@ -586,6 +586,19 @@ class GraphSearchSpec extends AnyFunSuite {
       .select(org.apache.spark.sql.functions.avg(col("recall"))).head().getDouble(0)
     info(s"filtered-walk avg recall = $rec")
     assert(rec > 0.0 && rec <= 1.0)
+    // the sweep's claim: recall is monotone in the budget (beam
+    // dominance keeps each round's frontier a superset, rounds
+    // dominance keeps visited growing — so (16,6) visits a superset
+    // of (8,2) by induction and can only add hits)
+    val sw = Similarity.annGraphFilteredSweep(embD, 16, 4, 5, 4, 4,
+        Seq((8, 2), (16, 6)))
+      .groupBy(col("beam"), col("rounds"))
+      .agg(org.apache.spark.sql.functions.avg(col("recall")).as("r"))
+      .collect().map(x => ((x.getAs[Long]("beam"), x.getAs[Long]("rounds")),
+        x.getAs[Double]("r"))).toMap
+    info(s"filtered sweep: $sw")
+    assert(sw((16L, 6L)) >= sw((8L, 2L)),
+      "a dominating budget must never lose filtered recall")
   }
 
   test("hard negatives: the probable-positive head is excluded, neg_rank is contiguous") {
