@@ -6050,7 +6050,8 @@ object OracleSql {
   /** The BM25 CTE chain ending in `br(doc_id, score, rank)` — shared
     * by [[textBm25]] and the hybrid-retrieval fusion oracle.
     */
-  private def bm25Ctes(terms: Seq[String], k1: Double, b: Double): String = {
+  private def bm25Ctes(terms: Seq[String], k1: Double, b: Double,
+                       where: String = ""): String = {
     val tfCols = terms.indices.map { i =>
       s"CAST(len(list_filter(t, x -> x = '${terms(i)}')) AS DOUBLE) AS tf_$i"
     }.mkString(",\n       |    ")
@@ -6064,7 +6065,8 @@ object OracleSql {
     s"""base AS (
        |  SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
        |    $tfCols
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |        ${if (where.isEmpty) "" else s"WHERE $where"})),
        |stats AS (
        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl,
        |    $dfCols
@@ -6080,6 +6082,16 @@ object OracleSql {
   def textBm25(terms: Seq[String], k: Int,
                k1: Double = 1.2, b: Double = 0.75): String =
     s"""WITH ${bm25Ctes(terms, k1, b)}
+       |SELECT doc_id, score, rank FROM br WHERE rank <= $k ORDER BY rank""".stripMargin
+
+  /** BM25 over a doc-predicate-filtered corpus — the stored-index
+    * takedown oracle: removed docs leave the CANDIDATE set and the
+    * corpus stats (N, avgdl, df), exactly what the masked index
+    * recomputes.
+    */
+  def textBm25Filtered(terms: Seq[String], k: Int, where: String,
+                       k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH ${bm25Ctes(terms, k1, b, where)}
        |SELECT doc_id, score, rank FROM br WHERE rank <= $k ORDER BY rank""".stripMargin
 
   /** Hybrid retrieval: BM25 rank list ⊕ cosine rank list fused by

@@ -1928,6 +1928,50 @@ object SparkEntry {
       TextOps.bm25(Tables.documents(s, dir), Seq("hash", "join", "vector"), 10)
         .orderBy(col("rank"))),
 
+    // BM25 served from the STORED inverted index (the sixth lifecycle
+    // family): postings bucketed by term, stats recomputed from the
+    // masked dlens — answers byte-equal to the one-shot bm25
+    "bm25_stored" -> ((s, dir) => {
+      TextOps.writeTextIndex(Tables.documents(s, dir), "graft_bm25idx", 8)
+      TextOps.bm25AgainstIndex(s, "graft_bm25idx", Seq("scan", "merge", "key"), 10)
+        .orderBy(col("rank"))
+    }),
+
+    // two-batch inverted index (append after a partial build) queried
+    // against the one-shot oracle — postings disjoint-union identity
+    "bm25_stored_inc" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.writeTextIndex(docs.where(col("doc_id") < 250), "graft_bm25idx_inc", 8)
+      TextOps.appendTextIndex(docs.where(col("doc_id") >= 250), "graft_bm25idx_inc")
+      TextOps.bm25AgainstIndex(s, "graft_bm25idx_inc", Seq("scan", "merge", "key"), 10)
+        .orderBy(col("rank"))
+    }),
+
+    // licensing takedown on the inverted index: removed docs leave the
+    // candidate set AND the corpus stats — N, avgdl and df all shift,
+    // so every surviving score moves too (BM25 is corpus-relative; the
+    // oracle recomputes over the survivor corpus)
+    "bm25_takedown" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.writeTextIndex(docs, "graft_bm25idx_td", 8)
+      TextOps.deleteFromTextIndex(docs.where(col("doc_id") % 4 === 1),
+        "graft_bm25idx_td")
+      TextOps.bm25AgainstIndex(s, "graft_bm25idx_td", Seq("scan", "merge", "key"), 10)
+        .orderBy(col("rank"))
+    }),
+
+    // tombstones folded into new bucketed postings/dlens generations
+    // (write-then-swap) — queries answer identically to the masked view
+    "bm25_takedown_compact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.writeTextIndex(docs, "graft_bm25idx_tdc", 8)
+      TextOps.deleteFromTextIndex(docs.where(col("doc_id") % 4 === 1),
+        "graft_bm25idx_tdc")
+      TextOps.compactTextIndex("graft_bm25idx_tdc")
+      TextOps.bm25AgainstIndex(s, "graft_bm25idx_tdc", Seq("scan", "merge", "key"), 10)
+        .orderBy(col("rank"))
+    }),
+
     // sparse+dense hybrid retrieval: BM25 top-20 ⊕ cosine top-20 fused
     // by reciprocal-rank fusion (rrfK = 60), top-10 reported
     "search_hybrid_rrf" -> ((s, dir) =>
@@ -3075,6 +3119,12 @@ object SparkEntry {
     "dedup_substring_takedown_compact" -> OracleSql.dedupSubstringTakedown(6),
     "corpus_diversity" -> OracleSql.corpusDiversity,
     "text_bm25" -> OracleSql.textBm25(Seq("hash", "join", "vector"), 10),
+    "bm25_stored" -> OracleSql.textBm25(Seq("scan", "merge", "key"), 10),
+    "bm25_stored_inc" -> OracleSql.textBm25(Seq("scan", "merge", "key"), 10),
+    "bm25_takedown" -> OracleSql.textBm25Filtered(
+      Seq("scan", "merge", "key"), 10, "doc_id % 4 <> 1"),
+    "bm25_takedown_compact" -> OracleSql.textBm25Filtered(
+      Seq("scan", "merge", "key"), 10, "doc_id % 4 <> 1"),
     "search_hybrid_rrf" -> OracleSql.hybridRrf(Seq("hash", "join", "vector"), 20, 10),
     "text_entropy" -> OracleSql.textEntropy,
     "text_boilerplate" -> OracleSql.boilerplate(3, 5),

@@ -776,9 +776,20 @@ object TextOps {
       idf * (col(s"tf_$i") * lit(k1 + 1.0)) /
         (col(s"tf_$i") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
     }.reduce(_ + _)
-    base.crossJoin(broadcast(stats))
-      .select(col("doc_id"), r3(score).as("score"))
-      .where(col("score") > 0.0)
+    rankTopK(
+      base.crossJoin(broadcast(stats))
+        .select(col("doc_id"), r3(score).as("score"))
+        .where(col("score") > 0.0),
+      k)
+  }
+
+  /** The BM25 family's shared top-k tail: two-phase salted rank over a
+    * (doc_id, score) frame — per-salt row_number caps the final exact
+    * slice at salt·k rows, never a global sort. Scores must already be
+    * rounded (rank order is rounded-score order on both engines).
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
       .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(32)))
       .withColumn("r1", row_number().over(
         Window.partitionBy(col("salt")).orderBy(col("score").desc, col("doc_id"))))
@@ -788,6 +799,198 @@ object TextOps {
       .select(posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("t.doc_id").as("doc_id"), col("t.score").as("score"),
         (col("pos") + 1).cast("long").as("rank"))
+
+  /** Persist a corpus as a BUCKETED INVERTED INDEX — the sixth stored
+    * index family (band/gram/ANN-cell/graph/hier … and now postings),
+    * under the same lifecycle discipline: the 100-TB corpus pays its
+    * tokenization ONCE, and every future query (and tonight's crawl
+    * delta, and a licensing takedown) runs against the store.
+    *
+    * Layout:
+    *   - `<table>_postings` (term, doc_id, tf, dl) bucketed by term —
+    *     a query term's postings list is one pruned bucketed scan,
+    *     and dl rides DENORMALIZED so scoring needs no doc-length
+    *     join (dl is immutable for a stored doc, so denormalization
+    *     cannot drift);
+    *   - `<table>_dlens` (doc_id, dl) bucketed by doc_id — the corpus
+    *     stats source (N, avgdl recompute under any tombstone mask)
+    *     AND the membership ledger (the `_sdocs` role: append rejects
+    *     already-indexed ids, takedown rejects never-indexed ids);
+    *   - `<table>_tmeta` pins n_buckets.
+    *
+    * Unlike the gram index, postings CARRY doc attribution, so a
+    * takedown needs only doc ids (no refcounts) and the mask is a
+    * broadcast anti-join — but the STATS must shift with the mask too
+    * (N, avgdl, df all change when docs leave), which is why queries
+    * recompute them from the masked frames instead of pinning them in
+    * `_tmeta` at build time.
+    */
+  def writeTextIndex(docs: DataFrame, table: String, nBuckets: Int): Unit = {
+    val spark = docs.sparkSession
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+    graft.sources.Formats.writeBucketedKeys(
+      base.groupBy(col("term"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).cast("long").as("tf")),
+      s"${table}_postings", Seq("term"), nBuckets)
+    graft.sources.Formats.writeBucketedKeys(
+      docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl")),
+      s"${table}_dlens", Seq("doc_id"), nBuckets)
+    import spark.implicits._
+    Seq(nBuckets).toDF("n_buckets")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_tmeta")
+  }
+
+  /** Append new documents to a stored inverted index WITHOUT a rebuild
+    * — ≡ the one-shot build because postings/dlens rows are disjoint
+    * unions over disjoint doc batches (no per-key state to merge; df
+    * and stats are recomputed per query from the whole store).
+    * Disjointness is ENFORCED via the `_dlens` ledger (the gram
+    * index's `_sdocs` contract): re-appending an indexed doc would
+    * double its postings and every query would double-count its tf —
+    * a directed error, never trusted to the caller.
+    */
+  def appendTextIndex(newDocs: DataFrame, table: String): Unit = {
+    val spark = newDocs.sparkSession
+    require(spark.catalog.tableExists(s"${table}_tmeta"),
+      s"text index '$table' has no ${table}_tmeta table — build it with writeTextIndex")
+    val nBuckets = spark.table(s"${table}_tmeta").head().getAs[Int]("n_buckets")
+    val overlap = newDocs.select(col("doc_id")).distinct()
+      .join(spark.table(s"${table}_dlens"), Seq("doc_id"), "left_semi")
+      .limit(5).collect().map(_.getLong(0))
+    require(overlap.isEmpty,
+      s"appendTextIndex: doc ids already indexed in '$table' " +
+        s"(e.g. ${overlap.mkString(", ")}) — re-appending doubles their " +
+        "postings and every query double-counts their tf; append only " +
+        "NEW docs (or rebuild the index)")
+    val base = newDocs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+    graft.sources.Formats.writeBucketedKeys(
+      base.groupBy(col("term"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).cast("long").as("tf")),
+      s"${table}_postings", Seq("term"), nBuckets, mode = "append")
+    graft.sources.Formats.writeBucketedKeys(
+      newDocs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl")),
+      s"${table}_dlens", Seq("doc_id"), nBuckets, mode = "append")
+  }
+
+  /** Tombstone takedown for the stored inverted index — lifecycle
+    * parity with the band/gram/ANN/graph stores: a removed licensor's
+    * docs must stop being RETRIEVABLE *and* stop shifting every other
+    * doc's score (they leave N, avgdl and df too — BM25 is corpus-
+    * relative, so a takedown that only hid the rows would keep biasing
+    * idf toward the removed corpus slice). Postings carry doc
+    * attribution, so the filing is doc ids only; re-deleting while
+    * tombstones live is idempotent (the mask distincts). Never-indexed
+    * (or already-compacted) ids are a directed error via the `_dlens`
+    * ledger — same contract as the gram index.
+    */
+  def deleteFromTextIndex(docs: DataFrame, table: String): Unit = {
+    val spark = docs.sparkSession
+    require(spark.catalog.tableExists(s"${table}_tmeta"),
+      s"text index '$table' has no ${table}_tmeta table — build it with writeTextIndex")
+    val ids = docs.select(col("doc_id")).distinct()
+    val unknown = ids.join(spark.table(s"${table}_dlens"), Seq("doc_id"), "left_anti")
+      .limit(5).collect().map(_.getLong(0))
+    require(unknown.isEmpty,
+      s"deleteFromTextIndex: doc ids not indexed in '$table' " +
+        s"(e.g. ${unknown.mkString(", ")}) — never indexed, or already " +
+        "compacted away")
+    ids.write.mode("append").format("parquet")
+      .saveAsTable(s"${table}_ttombstones")
+  }
+
+  /** The postings/dlens scans with the tombstone mask applied — the
+    * ONLY way query consumers read the index (raw reads would
+    * resurrect taken-down docs AND mis-weight every idf). The mask is
+    * one BROADCAST anti-join on the takedown-cadence-bounded id set;
+    * the bucketed scan's partitioning survives it.
+    */
+  private[graft] def maskedTextIndex(spark: org.apache.spark.sql.SparkSession,
+                                     table: String): (DataFrame, DataFrame) = {
+    val p = spark.table(s"${table}_postings")
+    val dl = spark.table(s"${table}_dlens")
+    val tsT = s"${table}_ttombstones"
+    if (!spark.catalog.tableExists(tsT)) (p, dl)
+    else {
+      val del = spark.table(tsT).select(col("doc_id")).distinct()
+      (p.join(broadcast(del), Seq("doc_id"), "left_anti"),
+        dl.join(broadcast(del), Seq("doc_id"), "left_anti"))
+    }
+  }
+
+  /** Fold accumulated tombstones into the inverted index: rewrite
+    * postings and dlens minus the removed docs as NEW bucketed
+    * generations (write-then-swap — the compactBandIndex dance), drop
+    * the tombstones. Queries answer identically before and after (the
+    * compaction-parity contract every stored family pins), and folded
+    * docs leave the `_dlens` ledger so a re-delete is rejected.
+    */
+  def compactTextIndex(table: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    require(spark.catalog.tableExists(s"${table}_tmeta"),
+      s"text index '$table' has no ${table}_tmeta table — build it with writeTextIndex")
+    val nBuckets = spark.table(s"${table}_tmeta").head().getAs[Int]("n_buckets")
+    val tsT = s"${table}_ttombstones"
+    if (spark.catalog.tableExists(tsT)) {
+      val (p, dl) = maskedTextIndex(spark, table)
+      graft.sources.Formats.writeBucketedKeys(
+        p, s"${table}_postings_compacting", Seq("term"), nBuckets)
+      spark.sql(s"DROP TABLE ${table}_postings")
+      spark.sql(s"ALTER TABLE ${table}_postings_compacting RENAME TO ${table}_postings")
+      graft.sources.Formats.writeBucketedKeys(
+        dl, s"${table}_dlens_compacting", Seq("doc_id"), nBuckets)
+      spark.sql(s"DROP TABLE ${table}_dlens")
+      spark.sql(s"ALTER TABLE ${table}_dlens_compacting RENAME TO ${table}_dlens")
+      spark.sql(s"DROP TABLE $tsT")
+    }
+  }
+
+  /** BM25 against the STORED inverted index — [[bm25]] with the corpus
+    * too big to re-tokenize per query: the query's postings lists come
+    * off the term-bucketed scan (the `term IN (…)` filter prunes at
+    * the scan; only query-term rows are ever read), corpus stats
+    * (N, avgdl) reduce the masked `_dlens` frame to ONE row, per-term
+    * df is a |terms|-row aggregate of the pruned postings, and scoring
+    * is the broadcast-joined map-side projection feeding the shared
+    * salted top-k tail. Byte-identical to [[bm25]] on the same corpus
+    * (the spec pins it): dl/tf/df/N are integer-valued doubles on both
+    * paths, summation-order differences sit far inside the shared
+    * rounding.
+    *
+    * 100-TB shape: the ONLY frames that move are query-term-sized —
+    * the pruned postings (Σ_t df(t) rows), a 1-row stats aggregate and
+    * a |terms|-row df aggregate; document bodies are never touched.
+    */
+  def bm25AgainstIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                       terms: Seq[String], k: Int,
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25AgainstIndex: query term set must be non-empty")
+    require(spark.catalog.tableExists(s"${table}_tmeta"),
+      s"text index '$table' has no ${table}_tmeta table — build it with writeTextIndex")
+    val (postAll, dlens) = maskedTextIndex(spark, table)
+    val post = postAll.where(col("term").isin(terms: _*))
+    val stats = dlens.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val dfByTerm = post.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val contrib =
+      log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("tf").cast("double") * lit(k1 + 1.0)) /
+        (col("tf").cast("double") +
+          lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    rankTopK(
+      post
+        .join(broadcast(dfByTerm), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .groupBy(col("doc_id"))
+        .agg(r3(sum(contrib)).as("score"))
+        .where(col("score") > 0.0),
+      k)
   }
 
   /** Per-document unigram Shannon entropy (nats): H = ln(n) −

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextOps
+
+/** Stored inverted-index (BM25) lifecycle contracts — the sixth index
+  * family under the store discipline: stored-vs-recompute byte parity,
+  * append ≡ one-shot over disjoint batches (and a directed error on
+  * overlap), takedown shifting CANDIDATES AND STATS (BM25 is
+  * corpus-relative — a removed doc must stop biasing idf/avgdl, so the
+  * masked answer equals the survivor-corpus one-shot), idempotent
+  * re-delete while tombstones live, never-indexed/post-compaction
+  * filings rejected, and compaction answering identically to the mask.
+  */
+class TextIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Session.local(4)
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  /** Eight docs over a small vocabulary; "rare" appears only in docs
+    * 1 and 5, "common" in all — so idf separates them and any stats
+    * drift (N, avgdl, df) moves scores visibly.
+    */
+  private def corpus: DataFrame = docs(
+    0L -> "common alpha beta gamma",
+    1L -> "rare common alpha alpha",
+    2L -> "common beta beta beta gamma gamma",
+    3L -> "common gamma",
+    4L -> "common alpha beta",
+    5L -> "rare rare common beta",
+    6L -> "common alpha gamma gamma",
+    7L -> "common beta gamma alpha beta")
+
+  private def rows(df: DataFrame): Seq[(Long, Double, Long)] =
+    df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"),
+      r.getAs[Long]("rank"))).toSeq.sortBy(_._3)
+
+  test("stored query is byte-equal to the one-shot bm25 on the same corpus") {
+    val c = corpus
+    TextOps.writeTextIndex(c, "graft_txidx_par", 4)
+    val stored = rows(TextOps.bm25AgainstIndex(spark, "graft_txidx_par",
+      Seq("rare", "beta"), 5))
+    val oneShot = rows(TextOps.bm25(c, Seq("rare", "beta"), 5))
+    assert(stored === oneShot)
+    assert(stored.nonEmpty)
+  }
+
+  test("append over disjoint batches is equivalent to the one-shot build") {
+    val c = corpus
+    TextOps.writeTextIndex(c, "graft_txidx_one", 4)
+    TextOps.writeTextIndex(c.where(col("doc_id") < 4), "graft_txidx_two", 4)
+    TextOps.appendTextIndex(c.where(col("doc_id") >= 4), "graft_txidx_two")
+    assert(rows(TextOps.bm25AgainstIndex(spark, "graft_txidx_two", Seq("rare", "beta"), 5))
+      === rows(TextOps.bm25AgainstIndex(spark, "graft_txidx_one", Seq("rare", "beta"), 5)))
+    // the stores themselves agree row-for-row, not just this query
+    val one = spark.table("graft_txidx_one_postings")
+      .collect().map(_.toSeq).toSet
+    val two = spark.table("graft_txidx_two_postings")
+      .collect().map(_.toSeq).toSet
+    assert(two === one)
+  }
+
+  test("re-appending an already-indexed doc is a directed error") {
+    TextOps.writeTextIndex(corpus, "graft_txidx_ovl", 4)
+    val err = intercept[IllegalArgumentException] {
+      TextOps.appendTextIndex(docs(3L -> "common gamma extra"), "graft_txidx_ovl")
+    }
+    assert(err.getMessage.contains("already indexed"))
+  }
+
+  test("takedown masks candidates AND stats: answers equal the survivor-corpus one-shot") {
+    val c = corpus
+    TextOps.writeTextIndex(c, "graft_txidx_td", 4)
+    val before = rows(TextOps.bm25AgainstIndex(spark, "graft_txidx_td",
+      Seq("rare", "beta"), 8))
+    // doc 5 is the top "rare" hit before the takedown
+    assert(before.map(_._1).contains(5L))
+    TextOps.deleteFromTextIndex(docs(5L -> "ignored"), "graft_txidx_td")
+    val after = rows(TextOps.bm25AgainstIndex(spark, "graft_txidx_td",
+      Seq("rare", "beta"), 8))
+    // the removed doc is gone, and every surviving score equals the
+    // one-shot bm25 over the survivor corpus — stats shifted too
+    // (df("rare") 2→1, N 8→7, avgdl moved), not just the row mask
+    assert(!after.map(_._1).contains(5L))
+    assert(after === rows(TextOps.bm25(c.where(col("doc_id") =!= 5L),
+      Seq("rare", "beta"), 8)))
+    // idempotent while tombstones live
+    TextOps.deleteFromTextIndex(docs(5L -> "ignored"), "graft_txidx_td")
+    assert(rows(TextOps.bm25AgainstIndex(spark, "graft_txidx_td",
+      Seq("rare", "beta"), 8)) === after)
+  }
+
+  test("never-indexed takedown filings are a directed error") {
+    TextOps.writeTextIndex(corpus, "graft_txidx_unk", 4)
+    val err = intercept[IllegalArgumentException] {
+      TextOps.deleteFromTextIndex(docs(99L -> "x"), "graft_txidx_unk")
+    }
+    assert(err.getMessage.contains("not indexed"))
+  }
+
+  test("compaction answers identically, drops tombstones, and rejects re-deleting folded docs") {
+    val c = corpus
+    TextOps.writeTextIndex(c, "graft_txidx_cmp", 4)
+    TextOps.deleteFromTextIndex(docs(5L -> "ignored", 2L -> "ignored"),
+      "graft_txidx_cmp")
+    val masked = rows(TextOps.bm25AgainstIndex(spark, "graft_txidx_cmp",
+      Seq("rare", "beta"), 8))
+    TextOps.compactTextIndex("graft_txidx_cmp")
+    assert(!spark.catalog.tableExists("graft_txidx_cmp_ttombstones"))
+    assert(rows(TextOps.bm25AgainstIndex(spark, "graft_txidx_cmp",
+      Seq("rare", "beta"), 8)) === masked)
+    // folded docs left the _dlens ledger: a re-delete is rejected
+    val err = intercept[IllegalArgumentException] {
+      TextOps.deleteFromTextIndex(docs(5L -> "ignored"), "graft_txidx_cmp")
+    }
+    assert(err.getMessage.contains("not indexed"))
+  }
+
+  test("querying a never-built index is a directed error") {
+    val err = intercept[IllegalArgumentException] {
+      TextOps.bm25AgainstIndex(spark, "graft_txidx_missing", Seq("x"), 3)
+    }
+    assert(err.getMessage.contains("writeTextIndex"))
+  }
+}
