@@ -2855,6 +2855,195 @@ object OracleSql {
        |       ${R("n_chars / n_tokens")} AS chars_per_token
        |FROM ag ORDER BY lang""".stripMargin
 
+  /** WordPiece trainer rounds as chained CTEs — [[bpeCtes]]' loop with
+    * the Schuster & Nakajima 2012 differences mirrored exactly:
+    * (1) w0 marks each word as `[c1, ##c2, …]`; (2) the argmax ranks
+    * by the LIKELIHOOD score ln cnt − ln c_a − ln c_b over the round's
+    * symbol counts, 1e-6-floor-quantized before ranking (ties cnt
+    * DESC, a, b — TextOps.wordpieceTrainMerges' exact rule); (3) the
+    * merged symbol is `a || substr(b, 3)` (the right half is always
+    * `##`-prefixed — the marking invariant). Same MATERIALIZED
+    * discipline (the bpeCtes 2^n lesson) and the same requirement that
+    * nMerges never exhausts the pairs.
+    */
+  private def wordpieceCtes(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """w0 AS MATERIALIZED (
+        |  SELECT w, freq,
+        |         list_transform(generate_series(1, length(w)), i ->
+        |           CASE WHEN i = 1 THEN substr(w, i, 1)
+        |                ELSE '##' || substr(w, i, 1) END) AS syms
+        |  FROM (SELECT w, COUNT(*) AS freq
+        |        FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+        |        WHERE length(w) >= 1 GROUP BY w))""".stripMargin)
+    for (i <- 1 to nMerges) {
+      sb.append(
+        s""",
+           |sc$i AS MATERIALIZED (
+           |  SELECT s, SUM(freq) AS c FROM (
+           |    SELECT freq, UNNEST(syms) AS s FROM w${i - 1}) GROUP BY 1),
+           |b$i AS MATERIALIZED (
+           |  SELECT a, b, cnt, lscore FROM (
+           |    SELECT p.a, p.b, p.cnt,
+           |           FLOOR((ln(CAST(p.cnt AS DOUBLE)) - ln(CAST(ca.c AS DOUBLE)) -
+           |                  ln(CAST(cb.c AS DOUBLE))) * 1000000.0 + 0.5001) / 1000000.0 AS lscore
+           |    FROM (
+           |      SELECT syms[p] AS a, syms[p + 1] AS b, SUM(freq) AS cnt FROM (
+           |        SELECT freq, syms, UNNEST(generate_series(1, len(syms) - 1)) AS p
+           |        FROM w${i - 1})
+           |      GROUP BY 1, 2) p
+           |    JOIN sc$i ca ON ca.s = p.a
+           |    JOIN sc$i cb ON cb.s = p.b)
+           |  ORDER BY lscore DESC, cnt DESC, a, b LIMIT 1),
+           |m${i}0 AS (
+           |  SELECT m.w, m.freq, m.p, m.syms[m.p] AS s,
+           |         COALESCE(m.syms[m.p] = b.a AND m.syms[m.p + 1] = b.b, FALSE) AS mt
+           |  FROM (SELECT w, freq, syms, UNNEST(generate_series(1, len(syms))) AS p
+           |        FROM w${i - 1}) m, b$i b),
+           |m${i}1 AS (
+           |  SELECT *, p - ROW_NUMBER() OVER (PARTITION BY w, mt ORDER BY p) AS isl
+           |  FROM m${i}0),
+           |m${i}2 AS (
+           |  SELECT *, mt AND (p - MIN(p) OVER (PARTITION BY w, mt, isl)) % 2 = 0 AS taken
+           |  FROM m${i}1),
+           |m${i}3 AS (
+           |  SELECT *, COALESCE(LAG(taken) OVER (PARTITION BY w ORDER BY p), FALSE) AS consumed
+           |  FROM m${i}2),
+           |w$i AS MATERIALIZED (
+           |  SELECT m.w, m.freq,
+           |         LIST(CASE WHEN m.taken THEN b.a || substr(b.b, 3) ELSE m.s END ORDER BY m.p) AS syms
+           |  FROM m${i}3 m, b$i b
+           |  WHERE m.taken OR NOT m.consumed
+           |  GROUP BY m.w, m.freq)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** The learned WordPiece merge list, one row per round's argmax. */
+  def wordpieceTrain(nMerges: Int): String = {
+    val rows = (1 to nMerges).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, " +
+        s"a || substr(b, 3) AS merged, CAST(cnt AS BIGINT) AS pair_count, " +
+        s"lscore FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${wordpieceCtes(nMerges)}
+       |$rows
+       |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** The greedy longest-match-first WordPiece segmentation of every
+    * word TYPE, as CTEs appended to [[wordpieceCtes]]: the encoding
+    * vocabulary (initial alphabet + merge products, `wpv`), per
+    * (word, position) the LONGEST matching piece (`np` — start pieces
+    * bare at position 1, `##` continuations after), then the greedy
+    * orbit of position 1 under `i → i + len(piece(i))` unrolled as
+    * `maxInputChars` chained hop CTEs (each hop consumes ≥ 1 char, so
+    * the chain is exact for every word the length cap admits). A word
+    * with a stuck reachable position — or longer than the cap — is
+    * `['[UNK]']` whole (graft.functions.WordPieceApply's exact
+    * contract). Final CTE: `wtoks(w, toks)`.
+    */
+  private def wordpieceEncodeCtes(nMerges: Int, maxInputChars: Int): String = {
+    val vocabRows = (1 to nMerges)
+      .map(i => s"    SELECT a || substr(b, 3) AS piece FROM b$i")
+      .mkString("\n    UNION ALL\n")
+    val sb = new StringBuilder
+    sb.append(
+      s""",
+         |wpv AS MATERIALIZED (
+         |  SELECT DISTINCT piece FROM (
+         |    SELECT UNNEST(syms) AS piece FROM w0
+         |    UNION ALL
+         |$vocabRows)),
+         |uws AS MATERIALIZED (SELECT DISTINCT w FROM w0),
+         |wpos AS (
+         |  SELECT w, i, UNNEST(generate_series(1, length(w) - i + 1)) AS l
+         |  FROM (SELECT w, UNNEST(generate_series(1, length(w))) AS i FROM uws)),
+         |np AS MATERIALIZED (
+         |  SELECT w, i, l,
+         |         CASE WHEN i = 1 THEN substr(w, i, l)
+         |              ELSE '##' || substr(w, i, l) END AS tok,
+         |         i + l AS nxt
+         |  FROM (
+         |    SELECT s.w, s.i, MAX(s.l) AS l
+         |    FROM wpos s JOIN wpv v
+         |      ON v.piece = CASE WHEN s.i = 1 THEN substr(s.w, s.i, s.l)
+         |                        ELSE '##' || substr(s.w, s.i, s.l) END
+         |     AND (s.i > 1 OR v.piece NOT LIKE '##%')
+         |    GROUP BY s.w, s.i)),
+         |h1 AS (SELECT w, 1 AS i FROM uws)""".stripMargin)
+    for (k <- 2 to maxInputChars) {
+      sb.append(
+        s""",
+           |h$k AS MATERIALIZED (
+           |  SELECT r.w, np.nxt AS i FROM h${k - 1} r
+           |  JOIN np ON np.w = r.w AND np.i = r.i
+           |  WHERE np.nxt <= length(r.w))""".stripMargin)
+    }
+    val reach = (1 to maxInputChars).map(k => s"  SELECT * FROM h$k")
+      .mkString("\n  UNION ALL\n")
+    sb.append(
+      s""",
+         |reached AS MATERIALIZED (
+         |$reach),
+         |seg AS MATERIALIZED (
+         |  SELECT r.w, r.i, np.tok FROM reached r
+         |  LEFT JOIN np ON np.w = r.w AND np.i = r.i),
+         |wunk AS (SELECT DISTINCT w FROM seg WHERE tok IS NULL),
+         |wtoks AS MATERIALIZED (
+         |  SELECT u.w,
+         |         CASE WHEN length(u.w) > $maxInputChars OR k.w IS NOT NULL
+         |              THEN ['[UNK]'] ELSE t.toks END AS toks
+         |  FROM uws u
+         |  LEFT JOIN wunk k ON k.w = u.w
+         |  LEFT JOIN (SELECT w, LIST(tok ORDER BY i) AS toks
+         |             FROM seg WHERE tok IS NOT NULL GROUP BY w) t ON t.w = u.w)""".stripMargin)
+    sb.toString
+  }
+
+  /** Tokenize the corpus with the trained WordPiece vocabulary: each
+    * document flattens its words' greedy segmentations in word order
+    * (empty words contribute none) — the bpeEncode contract.
+    */
+  def wordpieceEncode(nMerges: Int, maxInputChars: Int = 12): String =
+    s"""WITH ${wordpieceCtes(nMerges)}${wordpieceEncodeCtes(nMerges, maxInputChars)},
+       |dt AS (
+       |  SELECT doc_id, ws, UNNEST(generate_series(1, len(ws))) AS i
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |tok AS (
+       |  SELECT dt.doc_id, dt.i,
+       |         CASE WHEN length(dt.ws[dt.i]) = 0 THEN CAST([] AS VARCHAR[])
+       |              ELSE wt.toks END AS toks
+       |  FROM dt LEFT JOIN wtoks wt ON wt.w = dt.ws[dt.i]),
+       |fl AS (SELECT doc_id, flatten(LIST(toks ORDER BY i)) AS ft
+       |       FROM tok GROUP BY doc_id)
+       |SELECT doc_id, CAST(len(ft) AS BIGINT) AS n_tokens,
+       |       md5(array_to_string(ft, ' ')) AS fp
+       |FROM fl ORDER BY doc_id""".stripMargin
+
+  /** WordPiece fertility by language (per-TYPE replay, the
+    * bpeFertility discipline; an [UNK] word costs 1 token).
+    */
+  def wordpieceFertility(nMerges: Int, maxInputChars: Int = 12): String =
+    s"""WITH ${wordpieceCtes(nMerges)}${wordpieceEncodeCtes(nMerges, maxInputChars)},
+       |wc AS (
+       |  SELECT lang, w, COUNT(*) AS c FROM (
+       |    SELECT lang, UNNEST(string_split(text, ' ')) AS w FROM documents) u
+       |  WHERE length(w) > 0 GROUP BY 1, 2),
+       |pt AS (
+       |  SELECT wc.lang, wc.c, length(wc.w) AS chars, len(wt.toks) AS subtoks
+       |  FROM wc JOIN wtoks wt ON wt.w = wc.w),
+       |ag AS (
+       |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_words,
+       |         CAST(SUM(c * subtoks) AS BIGINT) AS n_tokens,
+       |         SUM(c * chars) AS n_chars
+       |  FROM pt GROUP BY 1)
+       |SELECT lang, n_words, n_tokens,
+       |       ${R("n_tokens / n_words")} AS fertility,
+       |       ${R("n_chars / n_tokens")} AS chars_per_token
+       |FROM ag ORDER BY lang""".stripMargin
+
   /** One unigram-LM Viterbi E-step as chained position CTEs (prefix
     * `e$r`), segmenting every word type under vocab CTE `$vocab`
     * (columns piece, lnp): position i's best prefix is the argmax

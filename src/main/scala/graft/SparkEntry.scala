@@ -2515,6 +2515,29 @@ object SparkEntry {
       TextOps.bpeFertility(Tables.documents(s, dir), 8)
         .orderBy(col("lang"))),
 
+    // WordPiece (Schuster & Nakajima 2012) vocabulary induction: the
+    // BPE merge loop under the LIKELIHOOD score argmax over ##-marked
+    // symbols — the third tokenizer family (BPE / unigram-LM / this)
+    "wordpiece_train" -> ((s, dir) =>
+      TextOps.wordpieceTrain(Tables.documents(s, dir), 8)
+        .orderBy(col("merge_rank"))),
+
+    // greedy longest-match-first encoding under the trained WordPiece
+    // vocabulary (start pieces at position 1, ## continuations after;
+    // no-match/over-length words → [UNK] whole) — NOT a merge replay:
+    // greedy longest-match is WordPiece's defining encode rule
+    "wordpiece_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.wordpieceEncode(docs, TextOps.wordpieceVocab(docs, 8))
+        .orderBy(col("doc_id"))
+    }),
+
+    // tokenizer fertility by language under the WordPiece vocab — the
+    // third column of the family-equity table (BPE/ULM/WordPiece)
+    "wordpiece_fertility" -> ((s, dir) =>
+      TextOps.wordpieceFertility(Tables.documents(s, dir), 8)
+        .orderBy(col("lang"))),
+
     // unigram-LM (SentencePiece) tokenizer training: substring seed →
     // 2 hard-EM rounds (Viterbi E-step, recount/prune/re-smooth
     // M-step) — the other tokenizer family beside BPE
@@ -3194,6 +3217,9 @@ object SparkEntry {
     "bpe_merge_step" -> OracleSql.bpePairCounts(30),
     "bpe_train" -> OracleSql.bpeTrain(8),
     "bpe_encode" -> OracleSql.bpeEncode(8),
+    "wordpiece_train" -> OracleSql.wordpieceTrain(8),
+    "wordpiece_encode" -> OracleSql.wordpieceEncode(8),
+    "wordpiece_fertility" -> OracleSql.wordpieceFertility(8),
     "ulm_train" -> OracleSql.ulmTrain(40, 2),
     "ulm_train_pruned" -> OracleSql.ulmTrain(40, 2, targetVocab = 16, shrink = 0.5),
     "ulm_encode" -> OracleSql.ulmEncode(40, 2),

@@ -114,6 +114,7 @@ object VectorExprs {
     "graft_ivf_cells" -> "graft_ivf_cells(v: array<float|double>, centroids: string literal from IvfCell.encode, nprobe: int literal)",
     "graft_bpe_apply" -> "graft_bpe_apply(w: string, merges: string literal from BpeApply.encode)",
     "graft_ulm_viterbi" -> "graft_ulm_viterbi(w: string, vocab: string literal from UlmViterbi.encode)",
+    "graft_wordpiece_apply" -> "graft_wordpiece_apply(w: string, vocab: string literal from WordPieceApply.encode, maxInputChars: int literal)",
     "graft_householder_chain" -> "graft_householder_chain(v: array<float|double>, us: string literal from HouseholderChain.encode)")
 
   private[graft] def build(name: String, exprs: Seq[Expression]): Expression = {
@@ -178,6 +179,10 @@ object VectorExprs {
       case "graft_ulm_viterbi" =>
         requireArity(name, usage, exprs, 2)
         UlmViterbi(exprs(0), litStrArg(name, usage, exprs, 1))
+      case "graft_wordpiece_apply" =>
+        requireArity(name, usage, exprs, 3)
+        WordPieceApply(exprs(0), litStrArg(name, usage, exprs, 1),
+          litIntArg(name, usage, exprs, 2))
       case "graft_householder_chain" =>
         requireArity(name, usage, exprs, 2)
         HouseholderChain(exprs(0), litStrArg(name, usage, exprs, 1))

@@ -1874,6 +1874,173 @@ object TextOps {
         r3(col("n_chars") / col("n_tokens")).as("chars_per_token"))
   }
 
+  /** WordPiece initial symbol state of a word: `[c1, ##c2, ##c3, …]` —
+    * the word-boundary marking that distinguishes WordPiece from plain
+    * BPE (Schuster & Nakajima 2012; the BERT convention). Invariant
+    * the merge rule preserves: position-1 symbols are bare, every
+    * later symbol is `##`-prefixed — so a merge pair's RIGHT half is
+    * always `##`-prefixed and the merged symbol keeps the LEFT half's
+    * marking.
+    */
+  private val WpInitSyms =
+    """transform(sequence(1, length(w)), i ->
+      |  IF(i = 1, substring(w, i, 1), concat('##', substring(w, i, 1))))"""
+      .stripMargin
+
+  /** WordPiece vocabulary induction — the THIRD tokenizer family
+    * beside [[bpeTrainMerges]] (frequency argmax) and [[ulmTrainVocab]]
+    * (EM over piece probabilities): the BPE merge loop with the
+    * LIKELIHOOD score argmax — each round merges the pair maximizing
+    * score(a,b) = count(ab) / (count(a)·count(b)) (the unigram-LM
+    * likelihood gain of the merge, Schuster & Nakajima 2012 §III) over
+    * `##`-marked symbols, quantized at 1e-6 in LOG space before
+    * ranking (ln cnt − ln c_a − ln c_b — the ratio underflows 1e-6 at
+    * corpus scale, its log never does; ties on raw count DESC then
+    * (lhs, rhs) ASC — the cross-engine FP discipline). Returns
+    * `(merge_rank, lhs, rhs, pair_count, lscore)`.
+    *
+    * Scale plan (the [[bpeTrainMerges]] discipline): corpus collapses
+    * ONCE to distinct words × freq; each round is one vocab-sized pair
+    * explode + aggregate, one vocab-sized symbol-count aggregate, two
+    * broadcast-joined score lookups, a 1-row TakeOrdered argmax (the
+    * only driver materialization) and a map-side merge fold,
+    * localCheckpointed so lineage stays flat.
+    */
+  def wordpieceTrainMerges(docs: DataFrame,
+                           nMerges: Int): Seq[(Int, String, String, Long, Double)] = {
+    require(nMerges >= 1, s"wordpieceTrain: nMerges must be >= 1, got $nMerges")
+    var wf = docs.select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), expr(WpInitSyms).as("syms"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Double)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val symCnt = wf.select(col("freq"), explode(col("syms")).as("s"))
+        .groupBy(col("s")).agg(sum(col("freq")).as("c"))
+      val best = wf.where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(syms) - 1), p ->
+            |  struct(element_at(syms, p) AS a, element_at(syms, p + 1) AS b))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .join(broadcast(symCnt.select(col("s").as("a"), col("c").as("ca"))), Seq("a"))
+        .join(broadcast(symCnt.select(col("s").as("b"), col("c").as("cb"))), Seq("b"))
+        .select(col("a"), col("b"), col("cnt"),
+          (floor((log(col("cnt").cast("double")) - log(col("ca").cast("double")) -
+            log(col("cb").cast("double"))) * 1e6 + 0.5001) / 1e6).as("lscore"))
+        .orderBy(col("lscore").desc, col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val a = best.head.getAs[String]("a")
+        val b = best.head.getAs[String]("b")
+        out += ((r, a, b, best.head.getAs[Long]("cnt"),
+          best.head.getAs[Double]("lscore")))
+        // merged keeps the left half's ## marking; the right half is
+        // always ##-prefixed (the WpInitSyms invariant)
+        val merged = a + b.stripPrefix("##")
+        wf = wf.select(col("freq"),
+          aggregate(col("syms"), array().cast("array<string>"), (acc, s) =>
+            when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+              .otherwise(concat(acc, array(s)))).as("syms"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** [[wordpieceTrainMerges]] as the gate-facing frame. */
+  def wordpieceTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    wordpieceTrainMerges(docs, nMerges)
+      .map { case (r, a, b, c, s) =>
+        (r.toLong, a, b, a + b.stripPrefix("##"), c, s) }
+      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count", "lscore")
+  }
+
+  /** The ENCODING vocabulary a WordPiece trainer ships: the initial
+    * alphabet (bare first chars + `##`-marked continuations — charset-
+    * sized) plus every merge product, deduplicated (two merge paths
+    * can produce the same string) and sorted. This is what
+    * [[wordpieceEncode]] greedy-matches against — NOT the merge list:
+    * WordPiece encoding replays the vocabulary, not the merges.
+    */
+  def wordpieceVocab(docs: DataFrame, nMerges: Int): Seq[String] = {
+    val alphabet = docs.select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 1)
+      .select(explode(expr(WpInitSyms)).as("s")).distinct()
+      .collect().map(_.getString(0))
+    (alphabet ++ wordpieceTrainMerges(docs, nMerges)
+      .map { case (_, a, b, _, _) => a + b.stripPrefix("##") })
+      .distinct.sorted
+  }
+
+  /** Tokenize a corpus with a TRAINED WordPiece vocabulary: per word,
+    * greedy longest-match-first via [[graft.functions.WordPieceApply]]
+    * (start pieces at position 1, `##` continuations after; no match
+    * or over-length word → `[UNK]`) — the [[bpeEncode]] contract
+    * (token count + md5 content fingerprint) for the BERT side of the
+    * tokenizer family.
+    *
+    * Scale plan: ZERO-exchange map-side projection — the vocabulary
+    * rides as one string literal, each word encodes in
+    * O(len · maxPieceLen) hash probes inside the scan.
+    */
+  def wordpieceEncode(docs: DataFrame, vocab: Seq[String],
+                      maxInputChars: Int = 12): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    val enc = graft.functions.WordPieceApply.encode(vocab)
+      .replace("\\", "\\\\").replace("'", "\\'")
+    docs
+      .select(col("doc_id"), expr(
+        s"""flatten(transform(filter(split(text, ' '), x -> length(x) > 0),
+           |  w -> graft_wordpiece_apply(w, '$enc', $maxInputChars)))""".stripMargin)
+        .as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        md5(array_join(col("toks"), " ")).as("fp"))
+  }
+
+  /** Tokenizer fertility by language under the trained WordPiece
+    * vocabulary — the third column of the family-equity comparison
+    * ([[bpeFertility]] / [[ulmFertility]] / this): tokens per
+    * whitespace word and chars per token, per language; an `[UNK]`
+    * word costs 1 token (information destroyed, not compressed — the
+    * honest accounting).
+    *
+    * Scale plan: the [[bpeFertility]] discipline — per-(lang, word)
+    * TYPE counts, greedy match once per type, |langs|-sized result.
+    */
+  def wordpieceFertility(docs: DataFrame, nMerges: Int,
+                         maxInputChars: Int = 12): DataFrame = {
+    val vocab = wordpieceVocab(docs, nMerges)
+    val enc = graft.functions.WordPieceApply.encode(vocab)
+      .replace("\\", "\\\\").replace("'", "\\'")
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+      .select(col("lang"), col("c"),
+        length(col("w")).cast("long").as("chars"),
+        size(expr(s"graft_wordpiece_apply(w, '$enc', $maxInputChars)"))
+          .cast("long").as("subtoks"))
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("subtoks")).as("n_tokens"),
+        sum(col("c") * col("chars")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_tokens"),
+        r3(col("n_tokens") / col("n_words")).as("fertility"),
+        r3(col("n_chars") / col("n_tokens")).as("chars_per_token"))
+  }
+
   /** Overlapping token-window chunking — the RAG/embedding prep pass
     * (LangChain/LlamaIndex-style fixed-size splitter): chunk i covers
     * tokens [i·stride, i·stride + size), i = 0.. while i·stride < n,
