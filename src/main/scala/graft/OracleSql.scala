@@ -2097,7 +2097,17 @@ object OracleSql {
     */
   def annGraphSearchFiltered(nCentroids: Int, kGraph: Int, nQueries: Int,
                              beam: Int, rounds: Int, k: Int, nLabels: Int,
-                             nprobe: Int = 2): String = {
+                             nprobe: Int = 2, removedPred: String = ""): String = {
+    // `removedPred` models the TOMBSTONE MASK on a stored graph (the
+    // annGraphSearchRouted convention): the graph is built on the FULL
+    // corpus, then removed ids leave seeds, edges (either endpoint)
+    // and answers — NOT the survivor one-shot, whose rebuilt edges
+    // could differ where removed nodes held top-k slots
+    val maskG = if (removedPred.isEmpty) "" else
+      s"""
+         |    AND vec_id NOT IN (SELECT vec_id FROM e WHERE $removedPred)
+         |    AND nbr NOT IN (SELECT vec_id FROM e WHERE $removedPred)""".stripMargin
+    val maskQ = if (removedPred.isEmpty) "" else s" AND NOT ($removedPred)"
     val sb = new StringBuilder
     sb.append(
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -2117,8 +2127,8 @@ object OracleSql {
          |g AS MATERIALIZED (
          |  SELECT vec_id AS src, nbr FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
-         |    FROM pr) WHERE rank <= $kGraph),
-         |q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
+         |    FROM pr) WHERE rank <= $kGraph$maskG),
+         |q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries$maskQ),
          |f0 AS (SELECT qid, qid AS vid FROM q),
          |v0 AS (SELECT qid, vid FROM f0)""".stripMargin)
     for (r <- 1 to rounds) {

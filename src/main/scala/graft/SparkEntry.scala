@@ -441,6 +441,33 @@ object SparkEntry {
           16, 4, 5, 4, 4, Seq((8, 2), (16, 4), (16, 6)))
         .orderBy(col("beam"), col("rounds"), col("qid"))),
 
+    // the filtered walk SERVED FROM THE STORE: persisted adjacency +
+    // the _nlabels metadata sidecar (a vector store answers filtered
+    // queries from its own metadata, never a corpus re-read) —
+    // byte-equal to the recompute at the same budget
+    "ann_graph_filtered_stored" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeKnnGraph(emb, 16, 4, "graft_knngf", 8, 2)
+      Similarity.writeGraphNodeLabels(emb, "graft_knngf")
+      Similarity.annGraphSearchFilteredStored(s, "graft_knngf", 5, 16, 6, 4, 4)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // licensing takedown under a FILTER: tombstoned vectors leave
+    // seeds, frontiers and filtered answers immediately (the masked
+    // walk, not the survivor one-shot — rebuilt edges could differ
+    // where removed nodes held top-k slots)
+    "ann_graph_filtered_takedown" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeKnnGraph(emb, 16, 4, "graft_knngf_td", 8, 2)
+      Similarity.writeGraphNodeLabels(emb, "graft_knngf_td")
+      Similarity.deleteFromKnnGraph(
+        emb.where(col("vec_id") % 10 === 7 && col("vec_id") >= 16)
+          .select(col("vec_id")), "graft_knngf_td")
+      Similarity.annGraphSearchFilteredStored(s, "graft_knngf_td", 5, 16, 6, 4, 4)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // stored-graph parity: build once to the bucketed catalog, walk
     // without rebuild — byte-equal to the recompute path
     // corrupt-vector audit: per-cell Hampel rule on cosine-to-own-
@@ -2956,6 +2983,9 @@ object SparkEntry {
       OracleSql.annGraphSearchFilteredRecall(16, 4, 5, 16, 6, 4, 4),
     "ann_graph_filtered_sweep" -> OracleSql.annGraphFilteredSweep(16, 4, 5, 4, 4,
       Seq((8, 2), (16, 4), (16, 6))),
+    "ann_graph_filtered_stored" -> OracleSql.annGraphSearchFiltered(16, 4, 5, 16, 6, 4, 4),
+    "ann_graph_filtered_takedown" -> OracleSql.annGraphSearchFiltered(16, 4, 5, 16, 6, 4, 4,
+      removedPred = "vec_id % 10 = 7 AND vec_id >= 16"),
     "ann_graph_sweep" -> OracleSql.annGraphSweep(16, 4, 5, 5,
       Seq((5, 1), (6, 2), (8, 3))),
     "ml_hard_negatives" -> OracleSql.mlHardNegatives(5, 5, 5),

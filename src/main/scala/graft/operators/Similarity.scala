@@ -1074,6 +1074,94 @@ object Similarity {
       .select(col("qid"), col("vid"), col("cos"), col("rank"))
   }
 
+  /** Persist node LABELS beside a stored kNN graph — the metadata
+    * sidecar the FILTERED stored walk serves from (`<table>_nlabels`,
+    * bucketed by vec_id with the store's own bucket count): a
+    * production vector store answers label-filtered queries from its
+    * OWN metadata, never by re-reading the corpus. Separate from
+    * `_nodes` so the unlabeled store layout (and every byte-parity
+    * contract over it) is untouched; the walk looks labels up on the
+    * CANDIDATE-sized scored frame, so the sidecar is never joined at
+    * corpus volume.
+    */
+  def writeGraphNodeLabels(embeddings: DataFrame, table: String): Unit = {
+    val spark = embeddings.sparkSession
+    require(spark.catalog.tableExists(s"${table}_meta"),
+      s"kNN graph '$table' has no ${table}_meta table — build it with writeKnnGraph")
+    val nBuckets = spark.table(s"${table}_meta").head().getAs[Int]("n_buckets")
+    graft.sources.Formats.writeBucketedKeys(
+      embeddings.where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("label")),
+      s"${table}_nlabels", Seq("vec_id"), nBuckets)
+  }
+
+  /** The FILTERED walk served from the STORED graph —
+    * [[annGraphSearchFiltered]]'s mixed navigation ∪ matching beam
+    * over [[writeKnnGraph]]'s persisted adjacency, byte-equal to the
+    * recompute at the same budget (spec-pinned), with labels from the
+    * [[writeGraphNodeLabels]] sidecar and the TOMBSTONE MASK applied
+    * ([[maskedGraphStore]] — a taken-down vector vanishes from seeds,
+    * frontiers, and filtered answers the moment its tombstone lands;
+    * lifecycle parity with the plain stored walk).
+    *
+    * Scale shape: the stored walk's dataflow; the label join rides the
+    * CANDIDATE-sized scored frame each round (visited is
+    * budget-bounded — AQE broadcasts it against the bucketed
+    * `_nlabels` scan), never a corpus-volume label join. Tombstoned
+    * rows left in the sidecar are unreachable (the node mask removes
+    * them before any label is read).
+    */
+  def annGraphSearchFilteredStored(spark: org.apache.spark.sql.SparkSession,
+                                   table: String, nQueries: Int, beam: Int,
+                                   rounds: Int, k: Int,
+                                   nLabels: Int): DataFrame = {
+    VectorExprs.register(spark)
+    require(spark.catalog.tableExists(s"${table}_edges"),
+      s"kNN graph '$table' has no ${table}_edges table — build it with writeKnnGraph")
+    require(spark.catalog.tableExists(s"${table}_nlabels"),
+      s"graph store '$table' has no ${table}_nlabels table — persist node " +
+        "labels with writeGraphNodeLabels before filtered serving")
+    require(nLabels >= 1, s"annGraphSearchFilteredStored: need nLabels >= 1, got $nLabels")
+    require(k <= beam, s"annGraphSearchFilteredStored: k=$k must be <= beam=$beam")
+    require(rounds >= 1, s"annGraphSearchFilteredStored: rounds must be >= 1, got $rounds")
+    val (mNodes, mEdges) = maskedGraphStore(spark, table)
+    val labels = spark.table(s"${table}_nlabels")
+      .select(col("vec_id").as("vid"), col("label"))
+    val nodes = mNodes.select(col("vec_id"), col("v"))
+      .withColumn("norm", sqrt(expr("graft_vec_dot(v, v)")))
+    val q = nodes.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+    val graph = mEdges.select(col("src"), col("nbr"))
+    val isMatch = col("label") === pmod(col("qid"), lit(nLabels.toLong)).cast("int")
+    def score(visited: DataFrame) = visited
+      .join(nodes, visited("vid") === nodes("vec_id"))
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("vid"),
+        r3(expr("graft_vec_dot(v, qv)") / (col("norm") * col("qn"))).as("cos"))
+      .join(labels, Seq("vid"))
+    def topBeam(scored: DataFrame) = scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))))
+      .where(col("rk") <= beam).select(col("qid"), col("vid"))
+    var visited = q.select(col("qid"), col("qid").as("vid")).localCheckpoint()
+    var frontier = visited
+    for (_ <- 1 to rounds) {
+      val expand = frontier.join(graph, frontier("vid") === graph("src"))
+        .select(frontier("qid"), graph("nbr").as("vid"))
+      visited = visited.unionByName(expand).distinct().localCheckpoint()
+      val scored = score(visited)
+      frontier = topBeam(scored).unionByName(topBeam(scored.where(isMatch)))
+        .distinct().localCheckpoint()
+    }
+    score(visited).where(isMatch)
+      .where(col("vid") =!= col("qid"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid")))
+        .cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("vid"), col("cos"), col("rank"))
+  }
+
   /** Recall@k of the filtered walk vs the exact filtered top-k — the
     * oversearch audit: with the answer filtered AFTER the walk, a
     * label-sparse neighbourhood needs a bigger beam/rounds budget to

@@ -601,6 +601,45 @@ class GraphSearchSpec extends AnyFunSuite {
       "a dominating budget must never lose filtered recall")
   }
 
+  test("filtered walk from the store: byte parity with the recompute, sidecar required, takedown masks immediately") {
+    import spark.implicits._
+    val embD = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    Similarity.writeKnnGraph(embD, 16, 4, "graft_knngf_spec", 4, 2)
+    // filtered serving needs the metadata sidecar — directed error
+    val err = intercept[IllegalArgumentException] {
+      Similarity.annGraphSearchFilteredStored(spark, "graft_knngf_spec", 5, 16, 6, 4, 4)
+    }
+    assert(err.getMessage.contains("writeGraphNodeLabels"))
+    Similarity.writeGraphNodeLabels(embD, "graft_knngf_spec")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vid"), r.getAs[Double]("cos"))).sorted.toSeq
+    val stored = rows(Similarity.annGraphSearchFilteredStored(
+      spark, "graft_knngf_spec", 5, 16, 6, 4, 4))
+    assert(stored === rows(Similarity.annGraphSearchFiltered(
+      embD, 16, 4, 5, 16, 6, 4, 4)), "stored walk must be byte-equal to the recompute")
+    assert(stored.nonEmpty)
+    // takedown masking on the 5-node angle chain (the filtered-walk
+    // fixture): the 90° node is the only label-0 match, reachable only
+    // THROUGH the 60° bridge — tombstoning the bridge must strand the
+    // query immediately (masked edges, no rebuild), and the honest
+    // answer is empty, never a non-matching substitute
+    val emb = Seq((0, 0), (30, 1), (60, 1), (90, 0), (120, 1)).zipWithIndex
+      .map { case ((deg, label), i) =>
+        val th = math.toRadians(deg.toDouble)
+        (i.toLong, label, Seq(math.cos(th), math.sin(th)))
+      }.toDF("vec_id", "label", "embedding")
+    Similarity.writeKnnGraph(emb, 1, 2, "graft_knngf_chain", 2, 2)
+    Similarity.writeGraphNodeLabels(emb, "graft_knngf_chain")
+    assert(rows(Similarity.annGraphSearchFilteredStored(
+      spark, "graft_knngf_chain", 1, 8, 2, 3, 1)).map(_._3) === Seq(3L))
+    Similarity.deleteFromKnnGraph(
+      emb.where(col("vec_id") === 2).select(col("vec_id")), "graft_knngf_chain")
+    assert(Similarity.annGraphSearchFilteredStored(
+      spark, "graft_knngf_chain", 1, 8, 2, 3, 1).collect().isEmpty,
+      "tombstoning the bridge must mask the only route to the match")
+  }
+
   test("hard negatives: the probable-positive head is excluded, neg_rank is contiguous") {
     // query 0 at 0°; nearest two (10°, 20°) are the head m=2 —
     // excluded; negatives = the next two by cosine, re-ranked 1..k
