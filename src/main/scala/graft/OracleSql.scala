@@ -6929,6 +6929,36 @@ object OracleSql {
        |         SUM(CASE WHEN label THEN 0 ELSE 1 END) AS nn
        |  FROM scored GROUP BY score)""".stripMargin
 
+  /** Group-fairness audit: per-source n / n_pos / pos_rate /
+    * avg_score / group-restricted tie-aware AUC (NULL on a
+    * single-class group — the CASE fires before the division, matching
+    * the engine's guard).
+    */
+  val evalFairness: String =
+    s"""WITH scored AS (
+       |  SELECT source AS grp,
+       |         ${R("len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is','on','for'))) / len(string_split(text, ' '))")} AS score,
+       |         lang = 'en' AS label
+       |  FROM documents),
+       |per AS (
+       |  SELECT grp, score,
+       |         SUM(CASE WHEN label THEN 1 ELSE 0 END) AS np,
+       |         SUM(CASE WHEN label THEN 0 ELSE 1 END) AS nn
+       |  FROM scored GROUP BY grp, score),
+       |c AS (
+       |  SELECT grp, score, np, nn,
+       |         COALESCE(SUM(nn) OVER (PARTITION BY grp ORDER BY score
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below_n
+       |  FROM per)
+       |SELECT grp, CAST(SUM(np + nn) AS BIGINT) AS n,
+       |       CAST(SUM(np) AS BIGINT) AS n_pos,
+       |       ${R("CAST(SUM(np) AS DOUBLE) / CAST(SUM(np + nn) AS DOUBLE)")} AS pos_rate,
+       |       ${R("SUM(CAST(np + nn AS DOUBLE) * score) / CAST(SUM(np + nn) AS DOUBLE)")} AS avg_score,
+       |       CASE WHEN SUM(np) > 0 AND SUM(nn) > 0 THEN
+       |         ${R("SUM(CAST(np AS DOUBLE) * (CAST(below_n AS DOUBLE) + CAST(nn AS DOUBLE) * 0.5)) / (CAST(SUM(np) AS DOUBLE) * CAST(SUM(nn) AS DOUBLE))")}
+       |       END AS auc_grp
+       |FROM c GROUP BY grp ORDER BY grp""".stripMargin
+
   /** PSI between even/odd doc halves: reference-half decile edges
     * (quantile_cont, r3'd), Laplace-smoothed shares, per-bin
     * contributions with the rounded total on every row.

@@ -2184,6 +2184,14 @@ object SparkEntry {
       graft.operators.Eval.auc(
         graft.operators.Eval.stopRatioScored(Tables.documents(s, dir)))),
 
+    // group-fairness audit: per-source positive rate (demographic
+    // parity read across rows), mean score, and slice-restricted AUC
+    // — a model can hold headline AUC while collapsing on one slice
+    "eval_fairness" -> ((s, dir) =>
+      graft.operators.Eval.fairness(
+        graft.operators.Eval.stopRatioScoredByGroup(Tables.documents(s, dir)))
+        .orderBy(col("grp"))),
+
     "eval_pr_curve" -> ((s, dir) =>
       graft.operators.Eval.prCurve(
         graft.operators.Eval.stopRatioScored(Tables.documents(s, dir)))
@@ -3206,6 +3214,7 @@ object SparkEntry {
     "corpus_pipeline_mix" -> OracleSql.corpusPipeline(4, 50, 16, 2, 0.5, 512,
       mixture = Some((Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 1500L))),
     "eval_auc" -> OracleSql.evalAuc,
+    "eval_fairness" -> OracleSql.evalFairness,
     "eval_pr_curve" -> OracleSql.evalPrCurve,
     "target_encode" -> OracleSql.targetEncode,
     "feature_bins" -> OracleSql.featureBins,

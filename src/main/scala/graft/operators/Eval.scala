@@ -251,6 +251,59 @@ object Eval {
       (col("lang") === "en").as("label"))
   }
 
+  /** [[stopRatioScored]] with the document SOURCE as the fairness
+    * group — the slice column of [[fairness]]'s audit.
+    */
+  def stopRatioScoredByGroup(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val stop = size(filter(toks, t => t.isInCollection(TextOps.STOPWORDS)))
+    docs.select(
+      col("source").as("grp"),
+      r3(stop.cast("double") / size(toks)).as("score"),
+      (col("lang") === "en").as("label"))
+  }
+
+  /** GROUP-FAIRNESS audit of a scored frame — the slice-wise eval
+    * every production classifier ships beside its headline AUC
+    * (Barocas-Hardt-Narayanan's group-metrics battery): per group its
+    * size, positive count, POSITIVE RATE (the demographic-parity
+    * column — read the gap across rows), mean score (score-shift
+    * drift), and the GROUP-RESTRICTED Mann-Whitney AUC (per-slice
+    * ranking quality — a model can hold headline AUC while collapsing
+    * on one slice; this is where that shows). A single-class group's
+    * AUC is NULL (undefined, never a sentinel — and guarded
+    * identically on both engines: Spark's 0/0 is NaN, DuckDB's is
+    * NULL, so the CASE must fire BEFORE the division).
+    *
+    * Scale plan: [[auc]]'s collapsed-frame design partitioned by
+    * group — one map-side-combined (grp, score) collapse (≤
+    * groups·1001 rows for r3-rounded scores), the cumulative window
+    * and final aggregate both run post-collapse; all window inputs
+    * exact integers, one rounded division per output column.
+    */
+  def fairness(scored: DataFrame): DataFrame = {
+    val per = scored.groupBy(col("grp"), col("score")).agg(
+      sum(when(col("label"), 1L).otherwise(0L)).as("np"),
+      sum(when(col("label"), 0L).otherwise(1L)).as("nn"))
+    val below = Window.partitionBy(col("grp")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    per
+      .withColumn("below_n", coalesce(sum(col("nn")).over(below), lit(0L)))
+      .groupBy(col("grp"))
+      .agg(
+        sum(col("np") + col("nn")).cast("long").as("n"),
+        sum(col("np")).cast("long").as("n_pos"),
+        r3(sum(col("np")).cast("double") /
+          sum(col("np") + col("nn")).cast("double")).as("pos_rate"),
+        r3(sum((col("np") + col("nn")).cast("double") * col("score")) /
+          sum(col("np") + col("nn")).cast("double")).as("avg_score"),
+        when(sum(col("np")) > 0 && sum(col("nn")) > 0,
+          r3(sum(col("np").cast("double") *
+              (col("below_n").cast("double") + col("nn").cast("double") * 0.5)) /
+            (sum(col("np")).cast("double") * sum(col("nn")).cast("double"))))
+          .as("auc_grp"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic of `score` between the
     * positive and negative classes — the distribution-free "does this
     * feature separate the classes at all" test beside [[auc]]'s

@@ -13,6 +13,28 @@ class EvalSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = Session.local(4)
 
+  test("fairness: per-group AUC matches hand computation; a single-class group gets NULL, never a sentinel") {
+    import spark.implicits._
+    // group g1: pos at 0.9, 0.7; neg at 0.8, 0.2 — Mann-Whitney pairs:
+    //   (0.9 vs 0.8, 0.2) = 2 wins; (0.7 vs 0.8) loss, (0.7 vs 0.2)
+    //   win → AUC = 3/4 = 0.75
+    // group g2: all positive → AUC undefined (NULL); pos_rate = 1
+    // group g3: one pos, one neg TIED at 0.5 → half credit, AUC 0.5
+    val scored = Seq(
+      ("g1", 0.9, true), ("g1", 0.7, true), ("g1", 0.8, false), ("g1", 0.2, false),
+      ("g2", 0.4, true), ("g2", 0.6, true),
+      ("g3", 0.5, true), ("g3", 0.5, false))
+      .toDF("grp", "score", "label")
+    val out = Eval.fairness(scored).collect()
+      .map(r => r.getAs[String]("grp") -> (
+        r.getAs[Long]("n"), r.getAs[Long]("n_pos"),
+        r.getAs[Double]("pos_rate"),
+        Option(r.getAs[java.lang.Double]("auc_grp")))).toMap
+    assert(out("g1") === ((4L, 2L, 0.5, Some(0.75))))
+    assert(out("g2") === ((2L, 2L, 1.0, None)))
+    assert(out("g3") === ((2L, 1L, 0.5, Some(0.5))))
+  }
+
   test("attributionLastTouch: window honored, no-prior and stale both go direct") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
