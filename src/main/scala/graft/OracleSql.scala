@@ -6371,6 +6371,35 @@ object OracleSql {
        |FROM p WHERE stream_pos < $tokenBudget
        |ORDER BY doc_id""".stripMargin
 
+  /** [[sampleTokenBudgetBpe]] with WordPiece-token costs: per-doc
+    * n_tokens = Σ per-word greedy segmentation lengths under the
+    * trained vocabulary (the wtoks CTE; `[UNK]` words cost 1).
+    */
+  def sampleTokenBudgetWp(nMerges: Int, tokenBudget: Long, seed: String,
+                          maxInputChars: Int = 12): String =
+    s"""WITH ${wordpieceCtes(nMerges)}${wordpieceEncodeCtes(nMerges, maxInputChars)},
+       |bwc AS (
+       |  SELECT doc_id, w, COUNT(*) AS c FROM (
+       |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents) u
+       |  WHERE length(w) > 0 GROUP BY 1, 2),
+       |dtok AS (
+       |  SELECT bwc.doc_id,
+       |         CAST(SUM(bwc.c * len(wt.toks)) AS BIGINT) AS n_tokens
+       |  FROM bwc JOIN wtoks wt ON wt.w = bwc.w GROUP BY 1),
+       |s AS (
+       |  SELECT d.doc_id, d.source AS shard, dt.n_tokens,
+       |         MD5(CONCAT('$seed:', CAST(d.doc_id AS VARCHAR))) AS shuf
+       |  FROM documents d JOIN dtok dt ON dt.doc_id = d.doc_id),
+       |p AS (
+       |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+       |      PARTITION BY shard ORDER BY shuf, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS stream_pos
+       |  FROM s)
+       |SELECT doc_id, shard, n_tokens, stream_pos
+       |FROM p WHERE stream_pos < $tokenBudget
+       |ORDER BY doc_id""".stripMargin
+
   /** SQL string literal with single quotes doubled — source names in
     * mixture weight maps are caller-supplied data values, not
     * identifiers under our control.

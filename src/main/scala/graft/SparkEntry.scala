@@ -453,6 +453,21 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // paired incremental maintenance: every vector append is followed
+    // by its label append (the sidecar coverage contract — an
+    // unlabeled node would silently vanish from filtered answers);
+    // two-batch store ≡ the one-shot oracle
+    "ann_graph_filtered_inc" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeKnnGraph(emb.where(col("vec_id") < 200), 16, 4,
+        "graft_knngf_inc", 8, 2)
+      Similarity.writeGraphNodeLabels(emb.where(col("vec_id") < 200), "graft_knngf_inc")
+      Similarity.appendKnnGraph(emb.where(col("vec_id") >= 200), "graft_knngf_inc")
+      Similarity.appendGraphNodeLabels(emb.where(col("vec_id") >= 200), "graft_knngf_inc")
+      Similarity.annGraphSearchFilteredStored(s, "graft_knngf_inc", 5, 16, 6, 4, 4)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // licensing takedown under a FILTER: tombstoned vectors leave
     // seeds, frontiers and filtered answers immediately (the masked
     // walk, not the survivor one-shot — rebuilt edges could differ
@@ -2045,6 +2060,13 @@ object SparkEntry {
       TextOps.sampleTokenBudgetUlm(Tables.documents(s, dir), 40, 2, 2000L)
         .orderBy(col("doc_id"))),
 
+    // the WordPiece twin: budget sampling tokenizer-real for all
+    // THREE families (BPE / ULM / WordPiece); the running budget
+    // counts greedy longest-match tokens, [UNK] words cost 1
+    "sample_token_budget_wp" -> ((s, dir) =>
+      TextOps.sampleTokenBudgetWp(Tables.documents(s, dir), 8, 2000L)
+        .orderBy(col("doc_id"))),
+
     // 50/30/20 mixture over three sources at ~2000 total tokens —
     // budgets truncate every source at both SFs (each source holds
     // 1.1-1.5K tokens at sf0.01, 13-14K at sf0.1); the other 17
@@ -2992,6 +3014,7 @@ object SparkEntry {
     "ann_graph_filtered_sweep" -> OracleSql.annGraphFilteredSweep(16, 4, 5, 4, 4,
       Seq((8, 2), (16, 4), (16, 6))),
     "ann_graph_filtered_stored" -> OracleSql.annGraphSearchFiltered(16, 4, 5, 16, 6, 4, 4),
+    "ann_graph_filtered_inc" -> OracleSql.annGraphSearchFiltered(16, 4, 5, 16, 6, 4, 4),
     "ann_graph_filtered_takedown" -> OracleSql.annGraphSearchFiltered(16, 4, 5, 16, 6, 4, 4,
       removedPred = "vec_id % 10 = 7 AND vec_id >= 16"),
     "ann_graph_sweep" -> OracleSql.annGraphSweep(16, 4, 5, 5,
@@ -3194,6 +3217,7 @@ object SparkEntry {
     "corpus_stats" -> OracleSql.corpusStats,
     "sample_token_budget" -> OracleSql.sampleTokenBudget(1000L, "budget"),
     "sample_token_budget_bpe" -> OracleSql.sampleTokenBudgetBpe(8, 2000L, "budget"),
+    "sample_token_budget_wp" -> OracleSql.sampleTokenBudgetWp(8, 2000L, "budget"),
     "sample_temperature" -> OracleSql.sampleTemperature(2.0, 2000L, "mixture"),
     "sample_mixture" -> OracleSql.sampleMixture(
       Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 2000L, "mixture"),

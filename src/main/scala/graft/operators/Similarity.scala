@@ -1095,6 +1095,33 @@ object Similarity {
       s"${table}_nlabels", Seq("vec_id"), nBuckets)
   }
 
+  /** Append labels for NEW vectors to the metadata sidecar — the
+    * label half of [[appendKnnGraph]]: every vector append MUST be
+    * followed by its label append, or the new nodes silently vanish
+    * from filtered answers (the walk's label join is inner — an
+    * unlabeled candidate never scores). Overlap is a DIRECTED error,
+    * and load-bearing: a doubled label row would DUPLICATE its
+    * vector's scored candidate rows and corrupt every rank below it.
+    */
+  def appendGraphNodeLabels(newVecs: DataFrame, table: String): Unit = {
+    val spark = newVecs.sparkSession
+    require(spark.catalog.tableExists(s"${table}_nlabels"),
+      s"graph store '$table' has no ${table}_nlabels table — persist node " +
+        "labels with writeGraphNodeLabels before appending to them")
+    val nBuckets = spark.table(s"${table}_meta").head().getAs[Int]("n_buckets")
+    val fresh = newVecs.where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("label"))
+    val overlap = fresh.select(col("vec_id"))
+      .join(spark.table(s"${table}_nlabels"), Seq("vec_id"), "left_semi")
+      .limit(5).collect().map(_.getLong(0))
+    require(overlap.isEmpty,
+      s"appendGraphNodeLabels: vec ids already labeled in '$table' " +
+        s"(e.g. ${overlap.mkString(", ")}) — a doubled label row duplicates " +
+        "its scored candidate rows and corrupts ranks; append only NEW vectors")
+    graft.sources.Formats.writeBucketedKeys(
+      fresh, s"${table}_nlabels", Seq("vec_id"), nBuckets, mode = "append")
+  }
+
   /** The FILTERED walk served from the STORED graph —
     * [[annGraphSearchFiltered]]'s mixed navigation ∪ matching beam
     * over [[writeKnnGraph]]'s persisted adjacency, byte-equal to the
@@ -1110,6 +1137,12 @@ object Similarity {
     * `_nlabels` scan), never a corpus-volume label join. Tombstoned
     * rows left in the sidecar are unreachable (the node mask removes
     * them before any label is read).
+    *
+    * Sidecar coverage contract: every [[appendKnnGraph]] MUST be
+    * paired with [[appendGraphNodeLabels]] — the label join is inner,
+    * so an unlabeled node never scores and silently vanishes from
+    * filtered answers (the `ann_graph_filtered_inc` gate pins the
+    * paired-append flow against the one-shot oracle).
     */
   def annGraphSearchFilteredStored(spark: org.apache.spark.sql.SparkSession,
                                    table: String, nQueries: Int, beam: Int,

@@ -1186,6 +1186,35 @@ object TextOps {
       .select(col("doc_id"), col("shard"), col("n_tokens"), col("stream_pos"))
   }
 
+  /** The WordPiece twin of [[sampleTokenBudgetBpe]]/[[sampleTokenBudgetUlm]]
+    * — budget sampling tokenizer-real for all THREE families: the
+    * running budget counts greedy longest-match WordPiece tokens under
+    * the trained vocabulary (an `[UNK]` word costs 1 — the encoder's
+    * exact cost model, spec-pinned identical to [[wordpieceEncode]]).
+    * Same seeded md5 order, same first-doc-per-shard guarantee, same
+    * auditable output columns.
+    *
+    * Scale shape: one zero-exchange WordPieceApply projection riding
+    * the scan + the ONE shard-key shuffle and running sum.
+    */
+  def sampleTokenBudgetWp(docs: DataFrame, nMerges: Int, tokenBudget: Long,
+                          shardCol: String = "source", seed: String = "budget",
+                          maxInputChars: Int = 12): DataFrame = {
+    require(tokenBudget > 0,
+      s"sampleTokenBudgetWp: tokenBudget must be positive, got $tokenBudget")
+    val enc = graft.functions.WordPieceApply.encode(wordpieceVocab(docs, nMerges))
+      .replace("\\", "\\\\").replace("'", "\\'")
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), col(shardCol).as("shard"),
+        expr(s"CAST(size(flatten(transform(filter(split(text, ' '), " +
+          s"x -> length(x) > 0), w -> graft_wordpiece_apply(w, '$enc', $maxInputChars)))) AS BIGINT)")
+          .as("n_tokens"))
+      .withColumn("stream_pos", streamPos(Seq(shuffleKey(seed), col("doc_id"))))
+      .where(col("stream_pos") < tokenBudget)
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("stream_pos"))
+  }
+
   /** Per-source budgets of a mixture: floor(weight × totalBudget) as
     * literal longs. Public because [[graft.OracleSql]] must embed the
     * IDENTICAL literals — one formula, both engines.

@@ -640,6 +640,28 @@ class GraphSearchSpec extends AnyFunSuite {
       "tombstoning the bridge must mask the only route to the match")
   }
 
+  test("label sidecar append: paired two-batch store equals the one-shot; overlap is a directed error") {
+    val embD = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    Similarity.writeKnnGraph(embD, 16, 4, "graft_knngf_one", 4, 2)
+    Similarity.writeGraphNodeLabels(embD, "graft_knngf_one")
+    Similarity.writeKnnGraph(embD.where(col("vec_id") < 200), 16, 4,
+      "graft_knngf_two", 4, 2)
+    Similarity.writeGraphNodeLabels(embD.where(col("vec_id") < 200), "graft_knngf_two")
+    Similarity.appendKnnGraph(embD.where(col("vec_id") >= 200), "graft_knngf_two")
+    Similarity.appendGraphNodeLabels(embD.where(col("vec_id") >= 200), "graft_knngf_two")
+    def rows(t: String) = Similarity.annGraphSearchFilteredStored(
+        spark, t, 5, 16, 6, 4, 4).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vid"), r.getAs[Double]("cos"))).sorted.toSeq
+    assert(rows("graft_knngf_two") === rows("graft_knngf_one"))
+    // a doubled label row would duplicate scored candidates — rejected
+    val err = intercept[IllegalArgumentException] {
+      Similarity.appendGraphNodeLabels(embD.where(col("vec_id") === 3),
+        "graft_knngf_two")
+    }
+    assert(err.getMessage.contains("already labeled"))
+  }
+
   test("hard negatives: the probable-positive head is excluded, neg_rank is contiguous") {
     // query 0 at 0°; nearest two (10°, 20°) are the head m=2 —
     // excluded; negatives = the next two by cosine, re-ranked 1..k

@@ -102,6 +102,21 @@ class WordPieceSpec extends AnyFunSuite {
     assert(out(0)._3 !== out(1)._3)
   }
 
+  test("budget sampling: the running budget's n_tokens IS the encoder's (cost-model identity)") {
+    val d = docs(
+      0L -> "scan merge scan key",
+      1L -> "merge merge key",
+      2L -> "scan key key key merge")
+      .withColumn("source", lit("s0"))
+    val enc = TextOps.wordpieceEncode(d, TextOps.wordpieceVocab(d, 4))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    val sampled = TextOps.sampleTokenBudgetWp(d, 4, 1000000L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens")))
+    assert(sampled.length === 3, "a huge budget keeps every doc")
+    for ((id, n) <- sampled) assert(n === enc(id),
+      s"budget cost for doc $id must equal the encoder's token count")
+  }
+
   test("fertility: an [UNK] word costs exactly 1 token") {
     // lang A: every word segments; lang B: one word has an unseen char
     // relative to... all chars are seen (training on the same corpus),
