@@ -979,6 +979,47 @@ object Soak {
       "ulm_encode" -> (() => {
         val v = TextOps.ulmTrainVocab(docs, 40 * factor, 2).map(x => (x._1, x._3))
         TextOps.ulmEncode(docs, v)
+      }),
+      // WordPiece trainer: word types grow factor× (prefixed replica
+      // tokens), rounds fixed — per round one type-volume pair/symbol
+      // aggregate pair + a 1-row argmax, so the law is linear
+      "wordpiece_train" -> (() => TextOps.wordpieceTrain(docs, 8)),
+      // greedy longest-match encode: zero-exchange map-side projection
+      // — one linear corpus scan
+      "wordpiece_encode" -> (() =>
+        TextOps.wordpieceEncode(docs, TextOps.wordpieceVocab(docs, 8))),
+      // stored inverted index: build (one tokenize pass + two bucketed
+      // writes, linear) + query (query-term postings stay base-sized —
+      // replica tokens are prefixed — so the query cost is the skinny
+      // _dlens stats scan over factor× rows)
+      "bm25_stored" -> (() => {
+        TextOps.writeTextIndex(docs, "graft_soak_bm25", 8)
+        TextOps.bm25AgainstIndex(spark, "graft_soak_bm25",
+          Seq("hash", "join", "vector"), 10)
+      }),
+      // query-only against the index the previous entry built — the
+      // per-query serving cost (run together with bm25_stored)
+      "bm25_probe" -> (() =>
+        TextOps.bm25AgainstIndex(spark, "graft_soak_bm25",
+          Seq("hash", "join", "vector"), 10)),
+      // inverted-index takedown lifecycle: build + tombstone a tenth
+      // + compact (two linear bucketed rewrites)
+      "bm25_index_compact" -> (() => {
+        TextOps.writeTextIndex(docs, "graft_soak_bm25c", 8)
+        TextOps.deleteFromTextIndex(docs.where(col("doc_id") % 10 === 1),
+          "graft_soak_bm25c")
+        TextOps.compactTextIndex("graft_soak_bm25c")
+        spark.table("graft_soak_bm25c_postings")
+      }),
+      // filtered serving from the graph store: build + label sidecar +
+      // the mixed-beam walk (build's pair volume dominates — the
+      // √n-centroids law; the label join stays candidate-sized)
+      "graph_filtered_stored" -> (() => {
+        val kc = (16 * math.sqrt(factor.toDouble)).toInt
+        Similarity.writeKnnGraph(emb, kc, 4, "graft_soak_gf", 8, 2)
+        Similarity.writeGraphNodeLabels(emb, "graft_soak_gf")
+        Similarity.annGraphSearchFilteredStored(spark, "graft_soak_gf",
+          5, 16, 6, 4, 4)
       }))
 
     // optional args name a subset — e.g. the dedup family at a higher

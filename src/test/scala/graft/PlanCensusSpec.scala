@@ -402,4 +402,39 @@ class PlanCensusSpec extends AnyFunSuite {
     // tiny-frame window — no additional corpus-volume exchange
     assert(shuf.size <= 3, s"unexpected extra shuffles: ${shuf.size}")
   }
+
+  test("bm25 stored query: only query-term-sized frames shuffle; the mask costs one tombstone-side distinct") {
+    val docs = Tables.documents(spark, dir)
+    TextOps.writeTextIndex(docs, "graft_bm25idx_census", 4)
+    val q = TextOps.bm25AgainstIndex(spark, "graft_bm25idx_census",
+      Seq("scan", "merge", "key"), 10)
+    val plain = shuffles(q).size
+    // the per-term df aggregate is bucket-local (term-bucketed scan —
+    // zero exchange); what remains is the 1-row stats aggregate, the
+    // query-term-sized doc_id score aggregate, and the salted top-k
+    // tail's two rank exchanges — nothing corpus-volume beyond the
+    // skinny _dlens stats scan
+    assert(plain === 4, s"bm25 stored query: got $plain shuffles")
+    // the mask adds exactly ONE exchange and it is TOMBSTONE-side
+    // (the filing table's distinct — takedown-cadence-bounded, the
+    // substring-census precedent); both anti-joins ride broadcasts,
+    // so the postings/dlens side gains nothing
+    TextOps.deleteFromTextIndex(docs.where(col("doc_id") % 4 === 1),
+      "graft_bm25idx_census")
+    val masked = shuffles(TextOps.bm25AgainstIndex(spark, "graft_bm25idx_census",
+      Seq("scan", "merge", "key"), 10)).size
+    assert(masked === plain + 1,
+      s"the mask must cost one tombstone-side distinct only, got $masked vs $plain")
+  }
+
+  test("wordpiece_encode is a ZERO-exchange map-side projection") {
+    val docs = Tables.documents(spark, dir)
+    val vocab = TextOps.wordpieceVocab(docs, 4)
+    assert(shuffles(TextOps.wordpieceEncode(docs, vocab)).size === 0)
+  }
+
+  test("eval_fairness: one (grp, score) collapse + the grp window; the final agg reuses the partitioning") {
+    val df = Eval.fairness(Eval.stopRatioScoredByGroup(Tables.documents(spark, dir)))
+    assert(shuffles(df).size === 2)
+  }
 }
