@@ -3054,6 +3054,24 @@ object OracleSql {
        |       ${R("n_chars / n_tokens")} AS chars_per_token
        |FROM ag ORDER BY lang""".stripMargin
 
+  /** WordPiece vocabulary utilization: distinct-word counts × per-TYPE
+    * greedy segmentation, summed per emitted token (bpeTokenFreq's
+    * report under the wtoks CTE).
+    */
+  def wordpieceTokenFreq(nMerges: Int, k: Int, maxInputChars: Int = 12): String =
+    s"""WITH ${wordpieceCtes(nMerges)}${wordpieceEncodeCtes(nMerges, maxInputChars)},
+       |fwc AS (
+       |  SELECT w, COUNT(*) AS c FROM (
+       |    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0 GROUP BY 1),
+       |ftk AS (
+       |  SELECT fwc.c, UNNEST(wt.toks) AS token
+       |  FROM fwc JOIN wtoks wt ON wt.w = fwc.w),
+       |fc2 AS (SELECT token, CAST(SUM(c) AS BIGINT) AS n FROM ftk GROUP BY 1)
+       |SELECT token, n,
+       |       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+       |FROM fc2 ORDER BY n DESC, token LIMIT $k""".stripMargin
+
   /** One unigram-LM Viterbi E-step as chained position CTEs (prefix
     * `e$r`), segmenting every word type under vocab CTE `$vocab`
     * (columns piece, lnp): position i's best prefix is the argmax
@@ -6282,6 +6300,46 @@ object OracleSql {
                k1: Double = 1.2, b: Double = 0.75): String =
     s"""WITH ${bm25Ctes(terms, k1, b)}
        |SELECT doc_id, score, rank FROM br WHERE rank <= $k ORDER BY rank""".stripMargin
+
+  /** DELTA scoring under pinned index statistics: stats (N, avgdl,
+    * per-term df) from the INDEXED slice, tf/dl from the DELTA slice
+    * — tonight's crawl triaged under yesterday's distribution.
+    */
+  def textBm25Delta(terms: Seq[String], k: Int, indexedPred: String,
+                    deltaPred: String,
+                    k1: Double = 1.2, b: Double = 0.75): String = {
+    val tfCols = terms.indices.map { i =>
+      s"CAST(len(list_filter(t, x -> x = '${terms(i)}')) AS DOUBLE) AS tf_$i"
+    }.mkString(",\n       |    ")
+    val dfCols = terms.indices.map { i =>
+      s"CAST(SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i"
+    }.mkString(",\n       |    ")
+    val score = terms.indices.map { i =>
+      s"ln(1.0 + (n_docs - df_$i + 0.5) / (df_$i + 0.5)) * (tf_$i * ${k1 + 1.0}) / " +
+        s"(tf_$i + $k1 * (${1.0 - b} + $b * dl / avgdl))"
+    }.mkString(" + ")
+    s"""WITH ibase AS (
+       |  SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+       |    $tfCols
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |        WHERE $indexedPred)),
+       |istats AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl,
+       |    $dfCols
+       |  FROM ibase),
+       |dbase AS (
+       |  SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+       |    $tfCols
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |        WHERE $deltaPred)),
+       |dscored AS (
+       |  SELECT doc_id, ${R(score)} AS score FROM dbase CROSS JOIN istats),
+       |dr AS (
+       |  SELECT doc_id, score,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |  FROM dscored WHERE score > 0.0)
+       |SELECT doc_id, score, rank FROM dr WHERE rank <= $k ORDER BY rank""".stripMargin
+  }
 
   /** BM25 over a doc-predicate-filtered corpus — the stored-index
     * takedown oracle: removed docs leave the CANDIDATE set and the

@@ -2014,6 +2014,31 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // score tonight's crawl under YESTERDAY's corpus statistics: the
+    // index pins N/avgdl/df, tf/dl come from the delta — nightly
+    // triage without a reindex (fold in with appendTextIndex after)
+    "bm25_delta" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.writeTextIndex(docs.where(col("doc_id") % 2 === 1),
+        "graft_bm25idx_d", 8)
+      TextOps.bm25ScoreDelta(docs.where(col("doc_id") % 2 === 0),
+          "graft_bm25idx_d", Seq("scan", "merge", "key"), 10)
+        .orderBy(col("rank"))
+    }),
+
+    // hybrid retrieval served ENTIRELY from stores: BM25 off the
+    // inverted index ⊕ exact cosine off the graph store's node table,
+    // RRF-fused — neither side re-reads the corpus, both takedown
+    // masks apply, byte-equal to the recompute
+    "hybrid_rrf_stored" -> ((s, dir) => {
+      TextOps.writeTextIndex(Tables.documents(s, dir), "graft_bm25idx_h", 8)
+      Similarity.writeKnnGraph(Tables.embeddings(s, dir), 16, 4,
+        "graft_knng_h", 8, 2)
+      TextOps.hybridRrfStored(s, "graft_bm25idx_h", "graft_knng_h",
+          Seq("hash", "join", "vector"), 20, 10)
+        .orderBy(col("rank"))
+    }),
+
     // sparse+dense hybrid retrieval: BM25 top-20 ⊕ cosine top-20 fused
     // by reciprocal-rank fusion (rrfK = 60), top-10 reported
     "search_hybrid_rrf" -> ((s, dir) =>
@@ -2564,6 +2589,12 @@ object SparkEntry {
     // learned merges fire — what the model actually sees
     "bpe_token_freq" -> ((s, dir) =>
       TextOps.bpeTokenFreq(Tables.documents(s, dir), 8, 20)
+        .orderBy(col("rank"))),
+
+    // vocabulary utilization under greedy longest-match WordPiece —
+    // the 58c report for the third tokenizer family
+    "wordpiece_token_freq" -> ((s, dir) =>
+      TextOps.wordpieceTokenFreq(Tables.documents(s, dir), 8, 20)
         .orderBy(col("rank"))),
 
     // tokenizer fertility by language under the learned merges — the
@@ -3209,6 +3240,10 @@ object SparkEntry {
       Seq("scan", "merge", "key"), 10, "doc_id % 4 <> 1"),
     "bm25_takedown_compact" -> OracleSql.textBm25Filtered(
       Seq("scan", "merge", "key"), 10, "doc_id % 4 <> 1"),
+    "bm25_delta" -> OracleSql.textBm25Delta(
+      Seq("scan", "merge", "key"), 10, "doc_id % 2 = 1", "doc_id % 2 = 0"),
+    "hybrid_rrf_stored" -> OracleSql.hybridRrf(Seq("hash", "join", "vector"), 20, 10),
+    "wordpiece_token_freq" -> OracleSql.wordpieceTokenFreq(8, 20),
     "search_hybrid_rrf" -> OracleSql.hybridRrf(Seq("hash", "join", "vector"), 20, 10),
     "text_entropy" -> OracleSql.textEntropy,
     "text_boilerplate" -> OracleSql.boilerplate(3, 5),

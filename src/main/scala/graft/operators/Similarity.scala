@@ -289,6 +289,30 @@ object Similarity {
     saltedTopK(scored, "cos", ascending = false, k)
   }
 
+  /** Exact cosine top-k served from the STORED graph's node table —
+    * the graph store is a vector store with adjacency, and this is its
+    * exact-rerank surface ([[cosineTopK]] without re-reading the
+    * corpus): masked nodes (takedown lifecycle applies — a tombstoned
+    * vector leaves candidates AND queries immediately), same broadcast
+    * query join, same salted two-phase top-k, byte-equal to the
+    * recompute on the same corpus.
+    */
+  def cosineTopKStored(spark: org.apache.spark.sql.SparkSession, table: String,
+                       nQueries: Int, k: Int): DataFrame = {
+    VectorExprs.register(spark)
+    require(spark.catalog.tableExists(s"${table}_nodes"),
+      s"kNN graph '$table' has no ${table}_nodes table — build it with writeKnnGraph")
+    val (mNodes, _) = maskedGraphStore(spark, table)
+    val e = mNodes.select(col("vec_id"), col("v"))
+      .withColumn("norm", sqrt(expr("graft_vec_dot(v, v)")))
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("vid"),
+        r3(expr("graft_vec_dot(v, qv)") / (col("norm") * col("qnorm"))).as("cos"))
+    saltedTopK(scored, "cos", ascending = false, k)
+  }
+
   /** Filtered vector search, exact tier: per-query top-k cosine over
     * ONLY the vectors satisfying the query's metadata predicate —
     * here `label = qid % nLabels`, standing in for the language /

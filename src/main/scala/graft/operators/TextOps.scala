@@ -1456,6 +1456,113 @@ object TextOps {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Hybrid retrieval served ENTIRELY FROM STORES — [[hybridRrf]] with
+    * neither side re-reading the corpus: the sparse list comes off the
+    * BM25 inverted index ([[bm25AgainstIndex]]) and the dense list off
+    * the graph store's node table
+    * ([[graft.operators.Similarity.cosineTopKStored]] — the store is a
+    * vector store with adjacency, so the same tables serve walks AND
+    * exact rerank). Same RRF fusion, byte-equal to the recompute on
+    * the same corpus; both stores' takedown masks apply, so one
+    * licensing filing scrubs BOTH retrieval paths.
+    *
+    * 100-TB shape: the sparse side touches query-term-sized postings,
+    * the dense side one vector-store scan against a broadcast query —
+    * fusion stays ≤ 2·nCand rows as ever.
+    */
+  def hybridRrfStored(spark: org.apache.spark.sql.SparkSession,
+                      textTable: String, graphTable: String,
+                      terms: Seq[String], nCand: Int, k: Int,
+                      rrfK: Int = 60): DataFrame = {
+    val text = bm25AgainstIndex(spark, textTable, terms, nCand)
+      .select(col("doc_id"), col("rank").as("rank_text"))
+    val dense = Similarity.cosineTopKStored(spark, graphTable, 1, nCand)
+      .select(col("vid").as("doc_id"), col("rank").cast("long").as("rank_vec"))
+    text.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        r3(coalesce(lit(1.0) / (lit(rrfK) + col("rank_text")), lit(0.0)) +
+           coalesce(lit(1.0) / (lit(rrfK) + col("rank_vec")), lit(0.0))).as("rrf"))
+      .agg(expr(s"slice(array_sort(collect_list(struct(-rrf AS r_neg, doc_id AS doc_id, rrf AS rrf))), 1, $k)")
+        .as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("t.doc_id").as("doc_id"), col("t.rrf").as("rrf"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** Score DELTA documents against the STORED index's corpus
+    * statistics — tonight's crawl triaged under YESTERDAY's
+    * distribution, without reindexing: N, avgdl and per-term df come
+    * from the masked store (the pinned-statistics contract — a crawl
+    * must not shift its own relevance bar mid-scoring; fold it in
+    * with [[appendTextIndex]] when the night's triage is done), tf
+    * and dl from the delta's own text, top-k of the delta reported.
+    * The takedown mask applies to the STATS here — removed docs stop
+    * biasing idf for future crawls too.
+    *
+    * 100-TB shape: one map-side pass over the DELTA (crawls are small;
+    * the corpus is not re-read), a 1-row stats aggregate of `_dlens`
+    * and a \|terms\|-row df aggregate off the pruned postings scan,
+    * collected to ride as literals (query-term-sized — the codebook
+    * collect contract).
+    */
+  def bm25ScoreDelta(deltaDocs: DataFrame, table: String, terms: Seq[String],
+                     k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = deltaDocs.sparkSession
+    require(terms.nonEmpty, "bm25ScoreDelta: query term set must be non-empty")
+    require(spark.catalog.tableExists(s"${table}_tmeta"),
+      s"text index '$table' has no ${table}_tmeta table — build it with writeTextIndex")
+    val (postAll, dlens) = maskedTextIndex(spark, table)
+    val stats = dlens.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val dfByTerm = postAll.where(col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val tfCols = terms.indices.map { i =>
+      size(filter(col("toks"), x => x === lit(terms(i)))).cast("double").as(s"tf_$i")
+    }
+    val base = deltaDocs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(Seq(col("doc_id"), size(col("toks")).cast("double").as("dl")) ++ tfCols: _*)
+    val score = terms.indices.map { i =>
+      // a term the index has never seen gets df = 0 — the standard
+      // formula then yields the MAX idf (ln(1 + (N+0.5)/0.5)), the
+      // honest "rare under the reference distribution" answer
+      val df = lit(dfByTerm.getOrElse(terms(i), 0.0))
+      val idf = log(lit(1.0) + (col("n_docs") - df + lit(0.5)) / (df + lit(0.5)))
+      idf * (col(s"tf_$i") * lit(k1 + 1.0)) /
+        (col(s"tf_$i") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    rankTopK(
+      base.crossJoin(broadcast(stats))
+        .select(col("doc_id"), r3(score).as("score"))
+        .where(col("score") > 0.0),
+      k)
+  }
+
+  /** Tokenizer-REAL vocabulary utilization for the WordPiece family —
+    * [[bpeTokenFreq]]'s report under greedy longest-match encoding:
+    * top-k tokens of the corpus AFTER encoding, exact counts (an
+    * `[UNK]` bucket appears honestly when words collapse). Per-TYPE
+    * replay, TakeOrdered rank — the 58c discipline.
+    */
+  def wordpieceTokenFreq(docs: DataFrame, nMerges: Int, k: Int,
+                         maxInputChars: Int = 12): DataFrame = {
+    val enc = graft.functions.WordPieceApply.encode(wordpieceVocab(docs, nMerges))
+      .replace("\\", "\\\\").replace("'", "\\'")
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .select(col("c"),
+        explode(expr(s"graft_wordpiece_apply(w, '$enc', $maxInputChars)")).as("token"))
+      .groupBy(col("token")).agg(sum(col("c")).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("token"))).cast("long"))
+  }
+
   // ---------------- PII redaction ----------------
 
   /** PII patterns, restricted to the syntax subset whose semantics are

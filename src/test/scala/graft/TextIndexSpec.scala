@@ -123,6 +123,43 @@ class TextIndexSpec extends AnyFunSuite {
     assert(err.getMessage.contains("not indexed"))
   }
 
+  test("delta scoring: tonight's docs score under the INDEX's pinned statistics") {
+    // indexed corpus: N = 2, avgdl = 2, df(rare) = 1
+    TextOps.writeTextIndex(docs(0L -> "rare common", 1L -> "common common"),
+      "graft_txidx_delta", 2)
+    // delta doc 10 "rare rare": tf = 2, dl = 2 under pinned stats →
+    // idf = ln(1 + (2 − 1 + 0.5)/1.5) = ln 2; score =
+    // ln2 · (2·2.2)/(2 + 1.2·(0.25 + 0.75·2/2)) = ln2 · 4.4/3.2 ≈ 0.953
+    // delta doc 11 matches no term → excluded
+    val out = TextOps.bm25ScoreDelta(
+        docs(10L -> "rare rare", 11L -> "common"),
+        "graft_txidx_delta", Seq("rare"), 5)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"),
+        r.getAs[Long]("rank"))).toSeq
+    assert(out === Seq((10L, 0.953, 1L)))
+    // an index-unseen term gets df = 0 (max idf), not an error
+    val unseen = TextOps.bm25ScoreDelta(docs(10L -> "novel word"),
+        "graft_txidx_delta", Seq("novel"), 5)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(unseen === Seq(10L))
+  }
+
+  test("hybrid retrieval from stores is byte-equal to the recompute") {
+    val spark0 = spark
+    val docs = Tables.documents(spark0, "/root/testdata/sf0.001")
+    val emb = Tables.embeddings(spark0, "/root/testdata/sf0.001")
+    TextOps.writeTextIndex(docs, "graft_txidx_hyb", 4)
+    graft.operators.Similarity.writeKnnGraph(emb, 16, 4, "graft_knng_hyb", 4, 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("rrf"))).sorted.toSeq
+    val stored = rows(TextOps.hybridRrfStored(spark0, "graft_txidx_hyb",
+      "graft_knng_hyb", Seq("hash", "join", "vector"), 20, 10))
+    assert(stored === rows(TextOps.hybridRrf(docs, emb,
+      Seq("hash", "join", "vector"), 20, 10)))
+    assert(stored.size === 10)
+  }
+
   test("querying a never-built index is a directed error") {
     val err = intercept[IllegalArgumentException] {
       TextOps.bm25AgainstIndex(spark, "graft_txidx_missing", Seq("x"), 3)

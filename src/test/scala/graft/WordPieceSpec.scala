@@ -117,6 +117,19 @@ class WordPieceSpec extends AnyFunSuite {
       s"budget cost for doc $id must equal the encoder's token count")
   }
 
+  test("token freq: counts are per-occurrence under greedy encoding; [UNK] buckets honestly") {
+    // "ab" ×3 and "cd" ×2 merge fully (likelihood ties resolved by
+    // the quantized rule); the 13-char word collapses to [UNK] ×2
+    val d = docs(
+      0L -> "ab ab ab cd cd",
+      1L -> (("z" * 13) + " " + ("z" * 13)))
+    val out = TextOps.wordpieceTokenFreq(d, 4, 20).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("n")).toMap
+    assert(out("ab") === 3L)
+    assert(out("cd") === 2L)
+    assert(out("[UNK]") === 2L)
+  }
+
   test("fertility: an [UNK] word costs exactly 1 token") {
     // lang A: every word segments; lang B: one word has an unseen char
     // relative to... all chars are seen (training on the same corpus),
