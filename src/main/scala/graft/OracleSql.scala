@@ -7046,6 +7046,64 @@ object OracleSql {
        |       END AS auc_grp
        |FROM c GROUP BY grp ORDER BY grp""".stripMargin
 
+  /** Equalized-odds audit at a fixed threshold: per-source TPR/FPR of
+    * "positive when score ≥ t", NULL when the group lacks the class.
+    */
+  def evalFairnessOdds(thresh: Double): String =
+    s"""WITH scored AS (
+       |  SELECT source AS grp,
+       |         ${R("len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is','on','for'))) / len(string_split(text, ' '))")} AS score,
+       |         lang = 'en' AS label
+       |  FROM documents)
+       |SELECT grp,
+       |       CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |       CAST(SUM(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+       |       CASE WHEN SUM(CASE WHEN label THEN 1 ELSE 0 END) > 0 THEN
+       |         ${R(s"CAST(SUM(CASE WHEN label AND score >= $thresh THEN 1 ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE)")}
+       |       END AS tpr,
+       |       CASE WHEN SUM(CASE WHEN label THEN 0 ELSE 1 END) > 0 THEN
+       |         ${R(s"CAST(SUM(CASE WHEN NOT label AND score >= $thresh THEN 1 ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN label THEN 0 ELSE 1 END) AS DOUBLE)")}
+       |       END AS fpr
+       |FROM scored GROUP BY grp ORDER BY grp""".stripMargin
+
+  /** Streaming BM25 triage batch twin: delta docs scored under the
+    * indexed slice's stats, kept at or above `minScore`.
+    */
+  def streamBm25Batch(terms: Seq[String], minScore: Double,
+                      indexedPred: String, deltaPred: String,
+                      k1: Double = 1.2, b: Double = 0.75): String = {
+    val tfCols = terms.indices.map { i =>
+      s"CAST(len(list_filter(t, x -> x = '${terms(i)}')) AS DOUBLE) AS tf_$i"
+    }.mkString(",\n       |    ")
+    val dfCols = terms.indices.map { i =>
+      s"CAST(SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i"
+    }.mkString(",\n       |    ")
+    val score = terms.indices.map { i =>
+      s"ln(1.0 + (n_docs - df_$i + 0.5) / (df_$i + 0.5)) * (tf_$i * ${k1 + 1.0}) / " +
+        s"(tf_$i + $k1 * (${1.0 - b} + $b * dl / avgdl))"
+    }.mkString(" + ")
+    s"""WITH ibase AS (
+       |  SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+       |    $tfCols
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |        WHERE $indexedPred)),
+       |istats AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl,
+       |    $dfCols
+       |  FROM ibase),
+       |dbase AS (
+       |  SELECT doc_id,
+       |         CAST(1704067200000000 + doc_id * 1000000 AS BIGINT) AS ts_us,
+       |         CAST(len(t) AS DOUBLE) AS dl,
+       |    $tfCols
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |        WHERE $deltaPred))
+       |SELECT doc_id, ts_us, score FROM (
+       |  SELECT doc_id, ts_us, ${R(score)} AS score
+       |  FROM dbase CROSS JOIN istats)
+       |WHERE score >= $minScore ORDER BY doc_id""".stripMargin
+  }
+
   /** PSI between even/odd doc halves: reference-half decile edges
     * (quantile_cont, r3'd), Laplace-smoothed shares, per-bin
     * contributions with the rounded total on every row.

@@ -1783,6 +1783,21 @@ object SparkEntry {
     // decontaminateStream's batch twin: documents carry synthetic event
     // times (2024-01-01 epoch + doc_id seconds — the engine-portable
     // convention); output = each contaminated doc's first event time
+    // streaming crawl triage at ingest: BM25 under the index's PINNED
+    // statistics (collected at plan construction), pure per-row
+    // projections — zero state, append-safe; index = odd docs,
+    // stream = even docs
+    "stream_bm25_batch" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.writeTextIndex(docs.where(col("doc_id") % 2 === 1),
+        "graft_bm25idx_s", 8)
+      graft.streaming.StreamOps.bm25TriageStreamBatch(
+          docs.where(col("doc_id") % 2 === 0)
+            .withColumn("ts", timestamp_micros(lit(1704067200000000L) + col("doc_id") * 1000000L)),
+          "graft_bm25idx_s", Seq("scan", "merge", "key"), 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     "stream_decontaminate_batch" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .withColumn("ts", timestamp_micros(lit(1704067200000000L) + col("doc_id") * 1000000L))
@@ -2237,6 +2252,14 @@ object SparkEntry {
     "eval_fairness" -> ((s, dir) =>
       graft.operators.Eval.fairness(
         graft.operators.Eval.stopRatioScoredByGroup(Tables.documents(s, dir)))
+        .orderBy(col("grp"))),
+
+    // equalized-odds audit at a fixed threshold (Hardt 2016): per-group
+    // TPR/FPR of "positive when score >= t" — the deployed-decision
+    // companion to eval_fairness's threshold-free view
+    "eval_fairness_odds" -> ((s, dir) =>
+      graft.operators.Eval.fairnessOdds(
+        graft.operators.Eval.stopRatioScoredByGroup(Tables.documents(s, dir)), 0.1)
         .orderBy(col("grp"))),
 
     "eval_pr_curve" -> ((s, dir) =>
@@ -3274,6 +3297,9 @@ object SparkEntry {
       mixture = Some((Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 1500L))),
     "eval_auc" -> OracleSql.evalAuc,
     "eval_fairness" -> OracleSql.evalFairness,
+    "eval_fairness_odds" -> OracleSql.evalFairnessOdds(0.1),
+    "stream_bm25_batch" -> OracleSql.streamBm25Batch(
+      Seq("scan", "merge", "key"), 0.5, "doc_id % 2 = 1", "doc_id % 2 = 0"),
     "eval_pr_curve" -> OracleSql.evalPrCurve,
     "target_encode" -> OracleSql.targetEncode,
     "feature_bins" -> OracleSql.featureBins,

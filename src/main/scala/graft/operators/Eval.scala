@@ -304,6 +304,32 @@ object Eval {
           .as("auc_grp"))
   }
 
+  /** EQUALIZED-ODDS audit at a fixed decision threshold — the
+    * companion to [[fairness]]'s threshold-free AUC view: per group
+    * the TPR and FPR of "predict positive when score ≥ t" (Hardt et
+    * al. 2016: a classifier satisfies equalized odds when both rates
+    * match across groups — read the gaps across rows). Rates are NULL
+    * when the group lacks the class (no positives → TPR undefined),
+    * guarded BEFORE the division on both engines.
+    *
+    * Scale plan: ONE map-side-combined groupBy over \|groups\| keys —
+    * four conditional counts per group, nothing else.
+    */
+  def fairnessOdds(scored: DataFrame, thresh: Double): DataFrame =
+    scored.groupBy(col("grp"))
+      .agg(
+        sum(when(col("label"), 1L).otherwise(0L)).as("np"),
+        sum(when(col("label"), 0L).otherwise(1L)).as("nn"),
+        sum(when(col("label") && col("score") >= thresh, 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("label") && col("score") >= thresh, 1L).otherwise(0L)).as("fp"))
+      .select(col("grp"),
+        col("np").cast("long").as("n_pos"),
+        col("nn").cast("long").as("n_neg"),
+        when(col("np") > 0,
+          r3(col("tp").cast("double") / col("np").cast("double"))).as("tpr"),
+        when(col("nn") > 0,
+          r3(col("fp").cast("double") / col("nn").cast("double"))).as("fpr"))
+
   /** Two-sample Kolmogorov–Smirnov statistic of `score` between the
     * positive and negative classes — the distribution-free "does this
     * feature separate the classes at all" test beside [[auc]]'s

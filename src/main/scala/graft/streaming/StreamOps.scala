@@ -12,6 +12,70 @@ object StreamOps {
 
   private def r3(c: org.apache.spark.sql.Column) = floor(c * 1000.0 + 0.5001) / 1000.0
 
+  /** The PINNED BM25 score column for streaming triage: corpus stats
+    * (N, avgdl) and per-term df COLLECT from the masked stored index
+    * at plan construction (1-row + \|terms\|-row — query-sized) and
+    * ride as literals over the incoming doc's token array. The
+    * pinned-statistics contract made physical: the stream scores
+    * every arriving doc under the distribution the index held when
+    * the query started; a restart re-reads the store (the
+    * substrDupStream restart-to-apply contract), and the batch twin
+    * re-resolves per call.
+    */
+  private def bm25PinnedScore(spark: org.apache.spark.sql.SparkSession,
+                              table: String, terms: Seq[String],
+                              k1: Double, b: Double): Column = {
+    require(terms.nonEmpty, "bm25TriageStream: query term set must be non-empty")
+    require(spark.catalog.tableExists(s"${table}_tmeta"),
+      s"text index '$table' has no ${table}_tmeta table — build it with writeTextIndex")
+    val (postAll, dlens) = graft.operators.TextOps.maskedTextIndex(spark, table)
+    val st = dlens.agg(count(lit(1)).cast("double"),
+      avg(col("dl").cast("double"))).head()
+    val (nDocs, avgdl) = (st.getDouble(0), st.getDouble(1))
+    val dfs = postAll.where(col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    terms.map { t =>
+      val df = dfs.getOrElse(t, 0.0)
+      val idf = math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+      val tf = size(filter(col("toks"), x => x === lit(t))).cast("double")
+      lit(idf) * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) +
+          lit(b) * size(col("toks")).cast("double") / lit(avgdl)))
+    }.reduce(_ + _)
+  }
+
+  /** Streaming crawl TRIAGE at ingest: BM25-score each arriving doc
+    * against the stored index's pinned statistics
+    * ([[bm25PinnedScore]]) and emit those at or above `minScore` —
+    * "route the relevant slice of tonight's crawl to the review feed
+    * as it lands", the streaming face of
+    * [[graft.operators.TextOps.bm25ScoreDelta]]. Pure per-row
+    * projections: ZERO state, no watermark, append-safe on an
+    * unbounded stream.
+    */
+  def bm25TriageStream(docs: DataFrame, table: String, terms: Seq[String],
+                       minScore: Double, k1: Double = 1.2,
+                       b: Double = 0.75): DataFrame = {
+    val score = bm25PinnedScore(docs.sparkSession, table, terms, k1, b)
+    docs.select(col("doc_id"), col("ts"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("ts"), r3(score).as("score"))
+      .where(col("score") >= minScore)
+  }
+
+  /** Batch twin of [[bm25TriageStream]] — identical expressions, ts
+    * surfaced as µs for the oracle.
+    */
+  def bm25TriageStreamBatch(docs: DataFrame, table: String, terms: Seq[String],
+                            minScore: Double, k1: Double = 1.2,
+                            b: Double = 0.75): DataFrame = {
+    val score = bm25PinnedScore(docs.sparkSession, table, terms, k1, b)
+    docs.select(col("doc_id"), unix_micros(col("ts")).as("ts_us"),
+        split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("ts_us"), r3(score).as("score"))
+      .where(col("score") >= minScore)
+  }
+
   /** Watermarked tumbling-window aggregate over an event stream:
     * (window, event_type) → count + value sum. Append mode emits each
     * window once the watermark passes — bounded state.

@@ -35,6 +35,25 @@ class EvalSpec extends AnyFunSuite {
     assert(out("g3") === ((2L, 1L, 0.5, Some(0.5))))
   }
 
+  test("fairnessOdds: per-group TPR/FPR at the threshold; missing classes get NULL") {
+    import spark.implicits._
+    // g1 at t = 0.5: pos scores (0.9 hit, 0.3 miss) → TPR 0.5;
+    //               neg scores (0.6 hit, 0.2, 0.1) → FPR 1/3
+    // g2: all positive → FPR undefined (NULL), TPR = 1 (both ≥ t)
+    val scored = Seq(
+      ("g1", 0.9, true), ("g1", 0.3, true),
+      ("g1", 0.6, false), ("g1", 0.2, false), ("g1", 0.1, false),
+      ("g2", 0.7, true), ("g2", 0.5, true))
+      .toDF("grp", "score", "label")
+    val out = Eval.fairnessOdds(scored, 0.5).collect()
+      .map(r => r.getAs[String]("grp") -> (
+        r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+        Option(r.getAs[java.lang.Double]("tpr")),
+        Option(r.getAs[java.lang.Double]("fpr")))).toMap
+    assert(out("g1") === ((2L, 3L, Some(0.5), Some(0.333))))
+    assert(out("g2") === ((2L, 0L, Some(1.0), None)))
+  }
+
   test("attributionLastTouch: window honored, no-prior and stale both go direct") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")

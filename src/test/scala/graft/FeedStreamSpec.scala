@@ -1059,4 +1059,51 @@ class FeedStreamSpec extends AnyFunSuite {
       assert(got === Set((1L, 2L, 3.0), (2L, 1L, 5.0)))
     } finally q.stop()
   }
+
+  test("streaming BM25 triage scores arrivals under PINNED index stats across micro-batches") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val dir = Files.createTempDirectory("bm25-in").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Long) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    // indexed corpus: N = 2, avgdl = 2, df(rare) = 1 — the fixture
+    // the TextIndexSpec delta test hand-computes against
+    TextOps.writeTextIndex(
+      Seq((100L, "rare common"), (101L, "common common")).toDF("doc_id", "text"),
+      "graft_bm25idx_st", 2)
+    val schema = Seq((0L, ts(0), "x")).toDF("doc_id", "ts", "text").schema
+    // batch 1: doc 1 matches "rare" (score ≈ 0.953 ≥ 0.5), doc 2 no hit
+    Seq((1L, ts(0), "rare rare"), (2L, ts(1), "nothing here"))
+      .toDF("doc_id", "ts", "text").write.mode("append").parquet(dir)
+    val src = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamOps.bm25TriageStream(src, "graft_bm25idx_st", Seq("rare"), 0.5)
+      .writeStream.outputMode("append").format("memory").queryName("triage").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("select doc_id from triage").collect().map(_.getLong(0)).toSeq
+        === Seq(1L))
+      // batch 2 lands later — the stats stay PINNED (same score for
+      // the same text), zero state carried between batches
+      Seq((5L, ts(10), "rare rare"), (6L, ts(11), "common"))
+        .toDF("doc_id", "ts", "text").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val got = spark.sql("select doc_id, score from triage").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.keySet === Set(1L, 5L))
+      assert(got(1L) === got(5L), "pinned stats: identical text, identical score")
+      assert(got(1L) === 0.953)
+      // the batch twin agrees on the same rows
+      val twin = StreamOps.bm25TriageStreamBatch(
+          Seq((1L, ts(0), "rare rare"), (2L, ts(1), "nothing here"),
+            (5L, ts(10), "rare rare"), (6L, ts(11), "common"))
+            .toDF("doc_id", "ts", "text"),
+          "graft_bm25idx_st", Seq("rare"), 0.5)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+      assert(twin === got)
+    } finally {
+      q.stop()
+      for (t <- Seq("postings", "dlens", "tmeta"))
+        spark.sql(s"DROP TABLE IF EXISTS graft_bm25idx_st_$t")
+    }
+  }
 }
