@@ -3238,6 +3238,25 @@ object OracleSql {
        |       md5(trim(stream)) AS fp
        |FROM efl ORDER BY doc_id""".stripMargin
 
+  /** Unigram-LM vocabulary utilization: type counts × per-TYPE Viterbi
+    * segmentation, summed per emitted piece (bpeTokenFreq's report for
+    * the SentencePiece family).
+    */
+  def ulmTokenFreq(nSeed: Int, rounds: Int, k: Int): String =
+    s"""WITH ${ulmCtes(nSeed, rounds)},
+       |${ulmEStep(rounds + 1, s"v${rounds}p", 4, 12)},
+       |twc AS (
+       |  SELECT w, COUNT(*) AS c FROM (
+       |    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0 GROUP BY 1),
+       |ttk AS (
+       |  SELECT twc.c, UNNEST(string_split(trim(f.toks), ' ')) AS token
+       |  FROM twc JOIN e${rounds + 1}fin f ON f.w = twc.w),
+       |tc2 AS (SELECT token, CAST(SUM(c) AS BIGINT) AS n FROM ttk GROUP BY 1)
+       |SELECT token, n,
+       |       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+       |FROM tc2 ORDER BY n DESC, token LIMIT $k""".stripMargin
+
   /** Fertility by language under the trained unigram-LM vocabulary:
     * one more E-step against the final vocab, per-(lang, word) type
     * counts joined to each type's Viterbi piece count.

@@ -2620,6 +2620,13 @@ object SparkEntry {
       TextOps.wordpieceTokenFreq(Tables.documents(s, dir), 8, 20)
         .orderBy(col("rank"))),
 
+    // vocabulary utilization under the trained unigram-LM vocab —
+    // dead seeded pieces show here first; the 58c report is now
+    // readable across all THREE tokenizer families
+    "ulm_token_freq" -> ((s, dir) =>
+      TextOps.ulmTokenFreq(Tables.documents(s, dir), 40, 2, 20)
+        .orderBy(col("rank"))),
+
     // tokenizer fertility by language under the learned merges — the
     // multilingual-equity table (tokens/word, chars/token)
     "bpe_fertility" -> ((s, dir) =>
@@ -3267,6 +3274,7 @@ object SparkEntry {
       Seq("scan", "merge", "key"), 10, "doc_id % 2 = 1", "doc_id % 2 = 0"),
     "hybrid_rrf_stored" -> OracleSql.hybridRrf(Seq("hash", "join", "vector"), 20, 10),
     "wordpiece_token_freq" -> OracleSql.wordpieceTokenFreq(8, 20),
+    "ulm_token_freq" -> OracleSql.ulmTokenFreq(40, 2, 20),
     "search_hybrid_rrf" -> OracleSql.hybridRrf(Seq("hash", "join", "vector"), 20, 10),
     "text_entropy" -> OracleSql.textEntropy,
     "text_boilerplate" -> OracleSql.boilerplate(3, 5),

@@ -2010,6 +2010,31 @@ object TextOps {
         r3(col("n_chars") / col("n_tokens")).as("chars_per_token"))
   }
 
+  /** Vocabulary utilization under the TRAINED unigram-LM vocabulary —
+    * [[bpeTokenFreq]]'s report for the SentencePiece family: top-k
+    * pieces of the corpus AFTER Viterbi segmentation, exact counts (a
+    * seeded piece the EM kept but the corpus never selects simply
+    * never appears — dead vocabulary shows here first). Per-TYPE
+    * replay, TakeOrdered rank — the 58c discipline.
+    */
+  def ulmTokenFreq(docs: DataFrame, nSeed: Int, rounds: Int,
+                   k: Int): DataFrame = {
+    val vocab = ulmTrainVocab(docs, nSeed, rounds).map(v => (v._1, v._3))
+    val enc = graft.functions.UlmViterbi.encode(vocab)
+      .replace("\\", "\\\\").replace("'", "\\'")
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .select(col("c"), explode(expr(s"graft_ulm_viterbi(w, '$enc')")).as("token"))
+      .groupBy(col("token")).agg(sum(col("c")).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("token"))).cast("long"))
+  }
+
   /** WordPiece initial symbol state of a word: `[c1, ##c2, ##c3, …]` —
     * the word-boundary marking that distinguishes WordPiece from plain
     * BPE (Schuster & Nakajima 2012; the BERT convention). Invariant
