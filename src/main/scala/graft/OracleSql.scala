@@ -2285,7 +2285,12 @@ object OracleSql {
                          keep: Int, nBuckets: Int, nprobe: Int = 2,
                          nLayers: Int = 2, pred: String = "TRUE",
                          removedPred: String = "FALSE",
-                         route: Option[(Int, Int, Int)] = None): String = {
+                         route: Option[(Int, Int, Int)] = None,
+                         nLabels: Int = 0): String = {
+    // `nLabels > 0` = the FILTERED hier walk: navigation levels run
+    // unfiltered, the level-0 walk uses the mixed navigation ∪
+    // matching beam and the final rank filters label = qid % nLabels
+    // (annGraphSearchFiltered's CTE shapes seeded by the hierarchy)
     // `pred` restricts the BUILD corpus (the survivor-one-shot oracle
     // of the hier compaction gate); `removedPred` masks a build over
     // the FULL corpus at SERVE time (the tombstone-mask oracle of the
@@ -2341,24 +2346,37 @@ object OracleSql {
            |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
            |    FROM pr$p) WHERE rank <= $kGraph$edgeMask)""".stripMargin
     }
-    def walkCtes(p: String, eCte: String, seedSql: String): String = {
+    def walkCtes(p: String, eCte: String, seedSql: String,
+                 filtered: Boolean = false): String = {
       val sb = new StringBuilder
       sb.append(
         s"""f${p}0 AS ($seedSql),
            |v${p}0 AS (SELECT qid, vid FROM f${p}0)""".stripMargin)
       for (r <- 1 to rounds) {
+        val labelCol = if (filtered) ", e2.label" else ""
         sb.append(s""",
            |x$p$r AS (SELECT f.qid, g.nbr AS vid FROM f$p${r - 1} f JOIN g$p g ON g.src = f.vid),
            |v$p$r AS MATERIALIZED (
            |  SELECT DISTINCT qid, vid FROM (
            |    SELECT qid, vid FROM v$p${r - 1} UNION ALL SELECT qid, vid FROM x$p$r)),
-           |s$p$r AS (
-           |  SELECT v.qid, v.vid, ${R("list_cosine_similarity(e2.v, q.qv)")} AS cos
-           |  FROM v$p$r v JOIN $eCte e2 ON e2.vec_id = v.vid JOIN q ON q.qid = v.qid),
+           |s$p$r AS${if (filtered) " MATERIALIZED" else ""} (
+           |  SELECT v.qid, v.vid$labelCol, ${R("list_cosine_similarity(e2.v, q.qv)")} AS cos
+           |  FROM v$p$r v JOIN $eCte e2 ON e2.vec_id = v.vid JOIN q ON q.qid = v.qid),""".stripMargin)
+        if (!filtered) sb.append(s"""
            |f$p$r AS MATERIALIZED (
            |  SELECT qid, vid FROM (
            |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
            |    FROM s$p$r) WHERE rk <= $beam)""".stripMargin)
+        else sb.append(s"""
+           |f$p$r AS MATERIALIZED (
+           |  SELECT DISTINCT qid, vid FROM (
+           |    SELECT qid, vid FROM (
+           |      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
+           |      FROM s$p$r) WHERE rk <= $beam
+           |    UNION ALL
+           |    SELECT qid, vid FROM (
+           |      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
+           |      FROM s$p$r WHERE label = qid % $nLabels) WHERE rk <= $beam))""".stripMargin)
       }
       sb.toString
     }
@@ -2366,7 +2384,7 @@ object OracleSql {
     val sb = new StringBuilder
     val eWhere = if (pred == "TRUE") "" else s" AND ($pred)"
     sb.append(
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
          |           WHERE embedding IS NOT NULL$eWhere),""".stripMargin)
     // the SERVE-side frames: es (scoring/query corpus) and per-level
     // lys (masked slices); without masking they alias the build frames
@@ -2399,12 +2417,13 @@ object OracleSql {
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
          |    FROM su$lvl$rounds WHERE vid != qid) WHERE rk = 1)""".stripMargin)
     }
+    val finalFilter = if (nLabels > 0) s" AND label = qid % $nLabels" else ""
     sb.append(s""",
        |${graphCtes("l", "e")},
-       |${walkCtes("l", eServe, "SELECT qid, vid FROM t1")}
+       |${walkCtes("l", eServe, "SELECT qid, vid FROM t1", filtered = nLabels > 0)}
        |SELECT qid, vid, cos, rank FROM (
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS rank
-       |  FROM sl$rounds WHERE vid != qid) WHERE rank <= $k ORDER BY qid, rank""".stripMargin)
+       |  FROM sl$rounds WHERE vid != qid$finalFilter) WHERE rank <= $k ORDER BY qid, rank""".stripMargin)
     sb.toString
   }
 

@@ -566,6 +566,32 @@ object SparkEntry {
     // a serving outage): one root filing masks every level's seeds,
     // frontiers, edges and answers immediately; a tombstoned entry
     // re-seeds from the min surviving top-level node
+    // FILTERED serving on the hierarchical store: navigation levels
+    // unfiltered (reachability through non-matching nodes), level 0
+    // runs the mixed navigation ∪ matching beam from the hierarchy's
+    // seeds; labels from the level-0 sidecar
+    "ann_graph_hier_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeKnnGraphHier(emb, 16, 4, "graft_hierf", 8)
+      Similarity.writeGraphNodeLabels(emb, "graft_hierf_l0")
+      Similarity.annGraphSearchHierFilteredStored(s, "graft_hierf", 5, 16, 4, 4, 4)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // a root takedown filing masks every level AND the filtered
+    // answers — the cold-start tier serves filtered queries through a
+    // takedown without an outage
+    "ann_graph_hier_filtered_takedown" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeKnnGraphHier(emb, 16, 4, "graft_hierf_td", 8)
+      Similarity.writeGraphNodeLabels(emb, "graft_hierf_td_l0")
+      Similarity.deleteFromKnnGraph(
+        emb.where(col("vec_id") % 10 === 7 && col("vec_id") >= 16)
+          .select(col("vec_id")), "graft_hierf_td")
+      Similarity.annGraphSearchHierFilteredStored(s, "graft_hierf_td", 5, 16, 4, 4, 4)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     "ann_graph_hier_takedown" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.writeKnnGraphHier(emb, 16, 4, "graft_knng_hier_td", 8)
@@ -3093,6 +3119,10 @@ object SparkEntry {
       OracleSql.annGraphSearchHier(16, 4, 5, 8, 2, 5, 2, 8, 2, 3),
     "ann_graph_hier_recall" ->
       OracleSql.annGraphSearchHierRecall(16, 4, 5, 8, 2, 5, 2, 8),
+    "ann_graph_hier_filtered" -> OracleSql.annGraphSearchHier(16, 4, 5, 16, 4, 4, 2, 8,
+      nLabels = 4),
+    "ann_graph_hier_filtered_takedown" -> OracleSql.annGraphSearchHier(16, 4, 5, 16, 4, 4, 2, 8,
+      removedPred = "vec_id % 10 = 7 AND vec_id >= 16", nLabels = 4),
     "ann_graph_hier_takedown" -> OracleSql.annGraphSearchHier(16, 4, 5, 8, 2, 5, 2, 8,
       removedPred = "vec_id % 10 = 7 AND vec_id >= 16"),
     "ann_graph_hier_takedown_compact" -> OracleSql.annGraphSearchHier(16, 4, 5, 8, 2, 5, 2, 8,

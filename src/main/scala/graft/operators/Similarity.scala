@@ -1188,7 +1188,21 @@ object Similarity {
       .withColumn("norm", sqrt(expr("graft_vec_dot(v, v)")))
     val q = nodes.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
-    val graph = mEdges.select(col("src"), col("nbr"))
+    filteredWalkFrom(nodes, labels, mEdges.select(col("src"), col("nbr")), q,
+      q.select(col("qid"), col("qid").as("vid")), beam, rounds, k, nLabels)
+  }
+
+  /** The MIXED-beam filtered walk from arbitrary SEEDS — the level-0
+    * body shared by [[annGraphSearchFilteredStored]] (seeds = the
+    * queries themselves) and [[annGraphSearchHierFilteredStored]]
+    * (seeds = the hierarchy's navigation output). Labels join on the
+    * candidate-sized scored frame each round; answer = exact top-k of
+    * visited ∩ predicate, ranked after the filter.
+    */
+  private def filteredWalkFrom(nodes: DataFrame, labels: DataFrame,
+                               graph: DataFrame, q: DataFrame,
+                               seeds: DataFrame, beam: Int, rounds: Int,
+                               k: Int, nLabels: Int): DataFrame = {
     val isMatch = col("label") === pmod(col("qid"), lit(nLabels.toLong)).cast("int")
     def score(visited: DataFrame) = visited
       .join(nodes, visited("vid") === nodes("vec_id"))
@@ -1200,7 +1214,7 @@ object Similarity {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))))
       .where(col("rk") <= beam).select(col("qid"), col("vid"))
-    var visited = q.select(col("qid"), col("qid").as("vid")).localCheckpoint()
+    var visited = seeds.localCheckpoint()
     var frontier = visited
     for (_ <- 1 to rounds) {
       val expand = frontier.join(graph, frontier("vid") === graph("src"))
@@ -1720,6 +1734,69 @@ object Similarity {
         .select(col("qid"), col("vid"))
     }
     graphWalkFrom(e0, g0, q, seeds, beam, rounds, k)
+  }
+
+  /** FILTERED serving on the HIERARCHICAL store — the filtered family
+    * closed on its last tier: navigation runs UNFILTERED down the
+    * levels (reachability through non-matching nodes — the same ACORN
+    * lesson as the flat filtered walk: a label-restricted hierarchy
+    * fragments and strands label-sparse queries), then level 0 runs
+    * the MIXED navigation ∪ matching beam from the navigation's seeds
+    * ([[filteredWalkFrom]] — the exact flat-filtered body, seeded by
+    * the hierarchy instead of the queries). Labels come from the
+    * level-0 sidecar (`<table>_l0_nlabels` —
+    * [[writeGraphNodeLabels]] against `<table>_l0`, the full-corpus
+    * level); the tombstone mask applies at every level AND to the
+    * filtered answers (the [[annGraphSearchHierStored]] machinery:
+    * root filings mask all levels, a tombstoned entry re-seeds, no
+    * survivor is a directed error).
+    */
+  def annGraphSearchHierFilteredStored(spark: org.apache.spark.sql.SparkSession,
+                                       table: String, nQueries: Int,
+                                       beam: Int, rounds: Int, k: Int,
+                                       nLabels: Int): DataFrame = {
+    VectorExprs.register(spark)
+    require(spark.catalog.tableExists(s"${table}_hmeta"),
+      s"hier graph '$table' has no ${table}_hmeta table — build it with writeKnnGraphHier")
+    require(spark.catalog.tableExists(s"${table}_l0_nlabels"),
+      s"hier graph '$table' has no ${table}_l0_nlabels table — persist node " +
+        "labels with writeGraphNodeLabels against the level-0 table " +
+        s"('${table}_l0') before filtered serving")
+    require(nLabels >= 1,
+      s"annGraphSearchHierFilteredStored: need nLabels >= 1, got $nLabels")
+    val hm = spark.table(s"${table}_hmeta").head()
+    val pinnedEntry = hm.getAs[Long]("entry")
+    val nLayers = metaIntOr(hm, "n_layers", 2)
+    val rootTs = if (spark.catalog.tableExists(s"${table}_gtombstones"))
+      Some(spark.table(s"${table}_gtombstones").select(col("vec_id"))) else None
+    def masked(lvl: Int): (DataFrame, DataFrame) = {
+      val (n, e) = maskedGraphStore(spark, s"${table}_l$lvl", rootTs)
+      (n.select(col("vec_id"), col("v"))
+        .withColumn("norm", sqrt(expr("graft_vec_dot(v, v)"))),
+        e.select(col("src"), col("nbr")))
+    }
+    val anyTs = rootTs.isDefined || (0 until nLayers)
+      .exists(l => spark.catalog.tableExists(s"${table}_l${l}_gtombstones"))
+    val entry = if (!anyTs) pinnedEntry else {
+      val row = masked(nLayers - 1)._1.agg(min(col("vec_id"))).head()
+      require(!row.isNullAt(0),
+        s"hier graph '$table': every level-${nLayers - 1} node is " +
+          "tombstoned — no surviving entry; rebuild with fewer layers " +
+          "or compact after re-ingesting survivors")
+      row.getLong(0)
+    }
+    val (e0, g0) = masked(0)
+    val labels = spark.table(s"${table}_l0_nlabels")
+      .select(col("vec_id").as("vid"), col("label"))
+    val q = e0.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+    var seeds = q.select(col("qid"), lit(entry).as("vid"))
+    for (lvl <- (nLayers - 1) to 1 by -1) {
+      val (nL, gL) = masked(lvl)
+      seeds = graphWalkFrom(nL, gL, q, seeds, beam, rounds, 1)
+        .select(col("qid"), col("vid"))
+    }
+    filteredWalkFrom(e0, labels, g0, q, seeds, beam, rounds, k, nLabels)
   }
 
   /** Fold accumulated takedowns into EVERY level of a stored

@@ -662,6 +662,35 @@ class GraphSearchSpec extends AnyFunSuite {
     assert(err.getMessage.contains("already labeled"))
   }
 
+  test("hier filtered serving: answers obey the predicate, sidecar required, root takedown masks filtered answers") {
+    val embD = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    Similarity.writeKnnGraphHier(embD, 16, 4, "graft_hierf_spec", 4)
+    val err = intercept[IllegalArgumentException] {
+      Similarity.annGraphSearchHierFilteredStored(spark, "graft_hierf_spec",
+        5, 16, 4, 4, 4)
+    }
+    assert(err.getMessage.contains("writeGraphNodeLabels"))
+    Similarity.writeGraphNodeLabels(embD, "graft_hierf_spec_l0")
+    val out = Similarity.annGraphSearchHierFilteredStored(spark, "graft_hierf_spec",
+      5, 16, 4, 4, 4).collect()
+    assert(out.nonEmpty)
+    val labels = embD.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    for (r <- out)
+      assert(labels(r.getAs[Long]("vid")) === (r.getAs[Long]("qid") % 4).toInt,
+        "every hier-filtered answer must match its query's label")
+    // a root filing masks filtered answers immediately: tombstone
+    // every vector the first query answered with — none may return
+    val q0 = out.filter(_.getAs[Long]("qid") == out.head.getAs[Long]("qid"))
+      .map(_.getAs[Long]("vid")).toSet
+    import spark.implicits._
+    Similarity.deleteFromKnnGraph(q0.toSeq.toDF("vec_id"), "graft_hierf_spec")
+    val after = Similarity.annGraphSearchHierFilteredStored(spark, "graft_hierf_spec",
+      5, 16, 4, 4, 4).collect().map(_.getAs[Long]("vid")).toSet
+    assert(after.intersect(q0).isEmpty,
+      "tombstoned vectors must vanish from hier-filtered answers")
+  }
+
   test("hard negatives: the probable-positive head is excluded, neg_rank is contiguous") {
     // query 0 at 0°; nearest two (10°, 20°) are the head m=2 —
     // excluded; negatives = the next two by cosine, re-ranked 1..k
