@@ -1020,7 +1020,35 @@ object Soak {
         Similarity.writeGraphNodeLabels(emb, "graft_soak_gf")
         Similarity.annGraphSearchFilteredStored(spark, "graft_soak_gf",
           5, 16, 6, 4, 4)
-      }))
+      }),
+      // filtered serving on the HIERARCHY: per-level builds under the
+      // √n-centroids law + the level-0 mixed-beam walk from the
+      // navigation's seeds — the geometric-slice sum keeps the build
+      // a convergent multiple of the base graph
+      "hier_filtered" -> (() => {
+        val kc = (16 * math.sqrt(factor.toDouble)).toInt
+        Similarity.writeKnnGraphHier(emb, kc, 4, "graft_soak_hf", 8)
+        Similarity.writeGraphNodeLabels(emb, "graft_soak_hf_l0")
+        Similarity.annGraphSearchHierFilteredStored(spark, "graft_soak_hf",
+          5, 16, 4, 4, 4)
+      }),
+      // all-stores hybrid retrieval: inverted-index build + graph-store
+      // build + the fused query (the query itself touches query-term
+      // postings + one vector-store scan — the builds dominate)
+      "hybrid_rrf_stored" -> (() => {
+        val kc = (16 * math.sqrt(factor.toDouble)).toInt
+        TextOps.writeTextIndex(docs, "graft_soak_hyb", 8)
+        Similarity.writeKnnGraph(emb, kc, 4, "graft_soak_hybg", 8, 2)
+        TextOps.hybridRrfStored(spark, "graft_soak_hyb", "graft_soak_hybg",
+          Seq("hash", "join", "vector"), 20, 10)
+      }),
+      // nightly-crawl triage against the prebuilt index (run together
+      // with bm25_stored so the store exists): one map-side pass over
+      // the factor×-growing delta under pinned stats — linear in the
+      // DELTA only, the serving law of the 45e contract
+      "bm25_delta" -> (() =>
+        TextOps.bm25ScoreDelta(docs.where(col("doc_id") % 2 === 0),
+          "graft_soak_bm25", Seq("hash", "join", "vector"), 10)))
 
     // optional args name a subset — e.g. the dedup family at a higher
     // SPARK_GRAFT_SOAK_FACTOR without paying for the whole suite

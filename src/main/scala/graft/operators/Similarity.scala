@@ -1698,6 +1698,23 @@ object Similarity {
   def annGraphSearchHierStored(spark: org.apache.spark.sql.SparkSession,
                                table: String, nQueries: Int, beam: Int,
                                rounds: Int, k: Int): DataFrame = {
+    val (e0, g0, q, seeds) = hierNavigate(spark, table, nQueries, beam, rounds)
+    graphWalkFrom(e0, g0, q, seeds, beam, rounds, k)
+  }
+
+  /** The stored hierarchy's shared SERVE MACHINERY — mask resolution
+    * (root + per-level filings), entry selection (pinned on the
+    * no-takedown path, ONE 1-row min-surviving aggregate otherwise,
+    * directed error when nothing survives) and the top-down
+    * navigation walk. Returns the level-0 node/edge frames, the
+    * query frame and the navigation's SEEDS — the plain walk
+    * ([[annGraphSearchHierStored]]) and the filtered walk
+    * ([[annGraphSearchHierFilteredStored]]) differ only in what they
+    * run from those seeds.
+    */
+  private def hierNavigate(spark: org.apache.spark.sql.SparkSession,
+                           table: String, nQueries: Int, beam: Int,
+                           rounds: Int): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     VectorExprs.register(spark)
     require(spark.catalog.tableExists(s"${table}_hmeta"),
       s"hier graph '$table' has no ${table}_hmeta table — build it with writeKnnGraphHier")
@@ -1733,7 +1750,7 @@ object Similarity {
       seeds = graphWalkFrom(nL, gL, q, seeds, beam, rounds, 1)
         .select(col("qid"), col("vid"))
     }
-    graphWalkFrom(e0, g0, q, seeds, beam, rounds, k)
+    (e0, g0, q, seeds)
   }
 
   /** FILTERED serving on the HIERARCHICAL store — the filtered family
@@ -1755,47 +1772,15 @@ object Similarity {
                                        table: String, nQueries: Int,
                                        beam: Int, rounds: Int, k: Int,
                                        nLabels: Int): DataFrame = {
-    VectorExprs.register(spark)
-    require(spark.catalog.tableExists(s"${table}_hmeta"),
-      s"hier graph '$table' has no ${table}_hmeta table — build it with writeKnnGraphHier")
     require(spark.catalog.tableExists(s"${table}_l0_nlabels"),
       s"hier graph '$table' has no ${table}_l0_nlabels table — persist node " +
         "labels with writeGraphNodeLabels against the level-0 table " +
         s"('${table}_l0') before filtered serving")
     require(nLabels >= 1,
       s"annGraphSearchHierFilteredStored: need nLabels >= 1, got $nLabels")
-    val hm = spark.table(s"${table}_hmeta").head()
-    val pinnedEntry = hm.getAs[Long]("entry")
-    val nLayers = metaIntOr(hm, "n_layers", 2)
-    val rootTs = if (spark.catalog.tableExists(s"${table}_gtombstones"))
-      Some(spark.table(s"${table}_gtombstones").select(col("vec_id"))) else None
-    def masked(lvl: Int): (DataFrame, DataFrame) = {
-      val (n, e) = maskedGraphStore(spark, s"${table}_l$lvl", rootTs)
-      (n.select(col("vec_id"), col("v"))
-        .withColumn("norm", sqrt(expr("graft_vec_dot(v, v)"))),
-        e.select(col("src"), col("nbr")))
-    }
-    val anyTs = rootTs.isDefined || (0 until nLayers)
-      .exists(l => spark.catalog.tableExists(s"${table}_l${l}_gtombstones"))
-    val entry = if (!anyTs) pinnedEntry else {
-      val row = masked(nLayers - 1)._1.agg(min(col("vec_id"))).head()
-      require(!row.isNullAt(0),
-        s"hier graph '$table': every level-${nLayers - 1} node is " +
-          "tombstoned — no surviving entry; rebuild with fewer layers " +
-          "or compact after re-ingesting survivors")
-      row.getLong(0)
-    }
-    val (e0, g0) = masked(0)
+    val (e0, g0, q, seeds) = hierNavigate(spark, table, nQueries, beam, rounds)
     val labels = spark.table(s"${table}_l0_nlabels")
       .select(col("vec_id").as("vid"), col("label"))
-    val q = e0.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
-    var seeds = q.select(col("qid"), lit(entry).as("vid"))
-    for (lvl <- (nLayers - 1) to 1 by -1) {
-      val (nL, gL) = masked(lvl)
-      seeds = graphWalkFrom(nL, gL, q, seeds, beam, rounds, 1)
-        .select(col("qid"), col("vid"))
-    }
     filteredWalkFrom(e0, labels, g0, q, seeds, beam, rounds, k, nLabels)
   }
 
