@@ -2181,6 +2181,33 @@ object OracleSql {
        |FROM exact x LEFT JOIN approx a ON x.qid = a.qid AND x.vid = a.vid
        |GROUP BY x.qid ORDER BY x.qid""".stripMargin
 
+  /** Recall@k of the FILTERED hier walk vs the exact filtered top-k —
+    * the oversearch audit on the cold-start tier, next to 48g's flat
+    * reading.
+    */
+  def annGraphSearchHierFilteredRecall(nCentroids: Int, kGraph: Int,
+                                       nQueries: Int, beam: Int, rounds: Int,
+                                       k: Int, keep: Int, nBuckets: Int,
+                                       nLabels: Int, nprobe: Int = 2): String =
+    s"""WITH approx AS (
+       |  SELECT qid, vid, 1 AS hit FROM (
+       |${annGraphSearchHier(nCentroids, kGraph, nQueries, beam, rounds, k, keep, nBuckets, nprobe, nLabels = nLabels)}) a),
+       |e3 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |       WHERE embedding IS NOT NULL),
+       |q3 AS (SELECT vec_id AS qid, v AS qv FROM e3 WHERE vec_id < $nQueries),
+       |xs AS (
+       |  SELECT qid, vec_id AS vid, ${R("list_cosine_similarity(qv, v)")} AS cos
+       |  FROM e3 CROSS JOIN q3 WHERE vec_id != qid AND label = qid % $nLabels),
+       |xr AS (
+       |  SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+       |  FROM xs),
+       |exact AS (SELECT qid, vid FROM xr WHERE rank <= $k)
+       |SELECT x.qid, COUNT(*) AS n_exact,
+       |       CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS n_hit,
+       |       ${R("SUM(COALESCE(a.hit, 0)) / COUNT(*)")} AS recall
+       |FROM exact x LEFT JOIN approx a ON x.qid = a.qid AND x.vid = a.vid
+       |GROUP BY x.qid ORDER BY x.qid""".stripMargin
+
   /** Filtered-walk recall at each (beam, rounds) budget — one branch
     * per budget, each the standalone filtered-recall chain.
     */

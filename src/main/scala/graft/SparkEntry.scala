@@ -578,6 +578,17 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // the oversearch audit on the cold-start tier: hier-filtered
+    // recall vs the exact filtered top-k at the same budget
+    "ann_graph_hier_filtered_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeKnnGraphHier(emb, 16, 4, "graft_hierf_rec", 8)
+      Similarity.writeGraphNodeLabels(emb, "graft_hierf_rec_l0")
+      Similarity.annGraphSearchHierFilteredRecall(emb, "graft_hierf_rec",
+          5, 16, 4, 4, 4)
+        .orderBy(col("qid"))
+    }),
+
     // a root takedown filing masks every level AND the filtered
     // answers — the cold-start tier serves filtered queries through a
     // takedown without an outage
@@ -3123,6 +3134,8 @@ object SparkEntry {
       nLabels = 4),
     "ann_graph_hier_filtered_takedown" -> OracleSql.annGraphSearchHier(16, 4, 5, 16, 4, 4, 2, 8,
       removedPred = "vec_id % 10 = 7 AND vec_id >= 16", nLabels = 4),
+    "ann_graph_hier_filtered_recall" ->
+      OracleSql.annGraphSearchHierFilteredRecall(16, 4, 5, 16, 4, 4, 2, 8, 4),
     "ann_graph_hier_takedown" -> OracleSql.annGraphSearchHier(16, 4, 5, 8, 2, 5, 2, 8,
       removedPred = "vec_id % 10 = 7 AND vec_id >= 16"),
     "ann_graph_hier_takedown_compact" -> OracleSql.annGraphSearchHier(16, 4, 5, 8, 2, 5, 2, 8,

@@ -1784,6 +1784,27 @@ object Similarity {
     filteredWalkFrom(e0, labels, g0, q, seeds, beam, rounds, k, nLabels)
   }
 
+  /** Recall@k of the FILTERED hier walk vs the exact filtered top-k —
+    * the oversearch audit ([[annGraphSearchFilteredRecall]]'s chain)
+    * on the cold-start tier: the 1/selectivity law read for the
+    * hierarchy-seeded walk next to the flat reading.
+    */
+  def annGraphSearchHierFilteredRecall(embeddings: DataFrame, table: String,
+                                       nQueries: Int, beam: Int, rounds: Int,
+                                       k: Int, nLabels: Int): DataFrame = {
+    val exact = cosineTopKFiltered(embeddings, nQueries, k, nLabels)
+      .select(col("qid"), col("vid"))
+    val approx = annGraphSearchHierFilteredStored(embeddings.sparkSession,
+        table, nQueries, beam, rounds, k, nLabels)
+      .select(col("qid"), col("vid"), lit(1).as("hit"))
+    exact.join(approx, Seq("qid", "vid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        r3(col("n_hit") / col("n_exact")).as("recall"))
+  }
+
   /** Fold accumulated takedowns into EVERY level of a stored
     * hierarchical graph — lifecycle parity for the cold-start tier
     * (VERDICT r14 #2): the root `_gtombstones` filing folds into each
