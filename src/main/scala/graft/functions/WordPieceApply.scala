@@ -26,8 +26,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * Codepoints, not UTF-16 units ([[BpeApply]]'s convention — DuckDB's
   * substr is codepoint-based). The vocabulary rides as ONE string
   * literal ([[WordPieceApply.encode]]), so the plan is constant-size;
-  * pieces are length-bucketed at construction so each position probes
-  * one hash set per candidate length, longest first.
+  * pieces live in one hash set per class (start/continuation), probed
+  * once per candidate length, longest first — O(maxPieceLen) probes
+  * per position.
   *
   * CodegenFallback like [[BpeApply]]: the win is the per-row primitive
   * loop (O(len · maxPieceLen) hash probes per word), not expression

@@ -827,6 +827,10 @@ object TextOps {
     */
   def writeTextIndex(docs: DataFrame, table: String, nBuckets: Int): Unit = {
     val spark = docs.sparkSession
+    // a rebuild under the same name must not inherit a previous
+    // generation's tombstones — a stale mask would silently hide
+    // freshly-indexed docs AND skew N/avgdl/df via maskedTextIndex
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_ttombstones")
     val base = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("term"))
@@ -970,6 +974,13 @@ object TextOps {
                        terms: Seq[String], k: Int,
                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25AgainstIndex: query term set must be non-empty")
+    // a repeated term would contribute one score term PER LIST INDEX
+    // here but once in the postings-grouped stored path — reject the
+    // ambiguity instead of silently diverging from the bm25 twin
+    require(terms.distinct.size == terms.size,
+      s"bm25AgainstIndex: duplicate query terms " +
+        s"(${terms.diff(terms.distinct).distinct.mkString(", ")}) — " +
+        "dedupe the term set; a repeat would double-count its postings")
     require(spark.catalog.tableExists(s"${table}_tmeta"),
       s"text index '$table' has no ${table}_tmeta table — build it with writeTextIndex")
     val (postAll, dlens) = maskedTextIndex(spark, table)
@@ -1509,6 +1520,11 @@ object TextOps {
                      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spark = deltaDocs.sparkSession
     require(terms.nonEmpty, "bm25ScoreDelta: query term set must be non-empty")
+    require(terms.distinct.size == terms.size,
+      s"bm25ScoreDelta: duplicate query terms " +
+        s"(${terms.diff(terms.distinct).distinct.mkString(", ")}) — " +
+        "a repeated term sums its per-index score term twice while the " +
+        "stored path counts it once; dedupe the term set")
     require(spark.catalog.tableExists(s"${table}_tmeta"),
       s"text index '$table' has no ${table}_tmeta table — build it with writeTextIndex")
     val (postAll, dlens) = maskedTextIndex(spark, table)

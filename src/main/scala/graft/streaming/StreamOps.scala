@@ -26,11 +26,21 @@ object StreamOps {
                               table: String, terms: Seq[String],
                               k1: Double, b: Double): Column = {
     require(terms.nonEmpty, "bm25TriageStream: query term set must be non-empty")
+    require(terms.distinct.size == terms.size,
+      s"bm25TriageStream: duplicate query terms " +
+        s"(${terms.diff(terms.distinct).distinct.mkString(", ")}) — " +
+        "a repeated term would double its score contribution; dedupe")
     require(spark.catalog.tableExists(s"${table}_tmeta"),
       s"text index '$table' has no ${table}_tmeta table — build it with writeTextIndex")
     val (postAll, dlens) = graft.operators.TextOps.maskedTextIndex(spark, table)
     val st = dlens.agg(count(lit(1)).cast("double"),
       avg(col("dl").cast("double"))).head()
+    // against an empty (or fully-tombstoned) index AVG(dl) is NULL —
+    // a directed error beats the bare NPE getDouble would throw
+    require(st.getDouble(0) > 0.0,
+      s"bm25TriageStream: text index '$table' holds no live docs " +
+        "(empty or fully tombstoned) — corpus stats (N, avgdl) are " +
+        "undefined; build or compact the index before streaming against it")
     val (nDocs, avgdl) = (st.getDouble(0), st.getDouble(1))
     val dfs = postAll.where(col("term").isin(terms: _*))
       .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))

@@ -166,4 +166,45 @@ class TextIndexSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("writeTextIndex"))
   }
+
+  test("a rebuild under the same name clears stale tombstones") {
+    TextOps.writeTextIndex(corpus, "graft_txidx_rebuild", 4)
+    TextOps.deleteFromTextIndex(docs(1L -> "x", 5L -> "x"), "graft_txidx_rebuild")
+    // rebuild over the SAME table name: the old generation's mask must
+    // not survive to hide the freshly-indexed docs 1 and 5
+    TextOps.writeTextIndex(corpus, "graft_txidx_rebuild", 4)
+    assert(!spark.catalog.tableExists("graft_txidx_rebuild_ttombstones"))
+    assert(rows(TextOps.bm25AgainstIndex(spark, "graft_txidx_rebuild",
+      Seq("rare", "beta"), 5)) === rows(TextOps.bm25(corpus, Seq("rare", "beta"), 5)))
+  }
+
+  test("duplicate query terms are a directed error on every index-scoring path") {
+    TextOps.writeTextIndex(corpus, "graft_txidx_dupterm", 4)
+    val e1 = intercept[IllegalArgumentException] {
+      TextOps.bm25AgainstIndex(spark, "graft_txidx_dupterm", Seq("rare", "rare"), 3)
+    }
+    assert(e1.getMessage.contains("duplicate"))
+    val e2 = intercept[IllegalArgumentException] {
+      TextOps.bm25ScoreDelta(docs(10L -> "rare"), "graft_txidx_dupterm",
+        Seq("beta", "rare", "beta"), 3)
+    }
+    assert(e2.getMessage.contains("duplicate"))
+    val e3 = intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.bm25TriageStreamBatch(
+        docs(10L -> "rare").withColumn("ts", current_timestamp()),
+        "graft_txidx_dupterm", Seq("rare", "rare"), 0.0)
+    }
+    assert(e3.getMessage.contains("duplicate"))
+  }
+
+  test("streaming triage against a fully-tombstoned index is a directed error, not an NPE") {
+    TextOps.writeTextIndex(docs(0L -> "a b", 1L -> "c d"), "graft_txidx_empty", 2)
+    TextOps.deleteFromTextIndex(docs(0L -> "x", 1L -> "x"), "graft_txidx_empty")
+    val err = intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.bm25TriageStreamBatch(
+        docs(10L -> "a").withColumn("ts", current_timestamp()),
+        "graft_txidx_empty", Seq("a"), 0.0)
+    }
+    assert(err.getMessage.contains("no live docs"))
+  }
 }
