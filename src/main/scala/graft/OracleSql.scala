@@ -2847,6 +2847,116 @@ object OracleSql {
        |ORDER BY merge_rank""".stripMargin
   }
 
+  /** The BPE trainer as ONE RECURSIVE CTE — the deep-vocabulary gate
+    * oracle (nMerges ≥ 256): the unrolled [[bpeCtes]] chain costs
+    * O(links²) planner time (measured 83s at 256 links vs 1.5s
+    * recursive at sf0.01), so the loop moves into `WITH RECURSIVE`:
+    * the working table is the word-symbol state, each iteration picks
+    * the (cnt DESC, a, b) argmax over it, applies the island-parity
+    * greedy merge, and carries the chosen merge as constant columns;
+    * the final projection reads the DISTINCT per-round merge rows.
+    * Terminates on pair exhaustion (the recursive term yields no
+    * rows) or at `nMerges`. Byte-identical to [[bpeTrain]]'s chain by
+    * construction — the per-iteration SQL is the same link body.
+    */
+  def bpeTrainRecursive(nMerges: Int): String =
+    s"""WITH RECURSIVE st(r, w, freq, syms, ma, mb, mc) AS (
+       |  SELECT 0, w, freq,
+       |         list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)),
+       |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+       |  FROM (SELECT w, COUNT(*) AS freq
+       |        FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+       |        WHERE length(w) >= 2 GROUP BY w)
+       |  UNION ALL
+       |  (WITH best AS (
+       |     SELECT syms[p] AS a, syms[p + 1] AS b, SUM(freq) AS cnt FROM (
+       |       SELECT freq, syms, UNNEST(generate_series(1, len(syms) - 1)) AS p
+       |       FROM st)
+       |     GROUP BY 1, 2
+       |     ORDER BY cnt DESC, a, b LIMIT 1),
+       |   m0 AS (
+       |     SELECT m.r, m.w, m.freq, m.p, m.syms[m.p] AS s,
+       |            COALESCE(m.syms[m.p] = b.a AND m.syms[m.p + 1] = b.b, FALSE) AS mt,
+       |            b.a AS ba, b.b AS bb, b.cnt AS bc
+       |     FROM (SELECT r, w, freq, syms, UNNEST(generate_series(1, len(syms))) AS p
+       |           FROM st) m, best b),
+       |   m1 AS (SELECT *, p - ROW_NUMBER() OVER (PARTITION BY w, mt ORDER BY p) AS isl
+       |          FROM m0),
+       |   m2 AS (SELECT *, mt AND (p - MIN(p) OVER (PARTITION BY w, mt, isl)) % 2 = 0 AS taken
+       |          FROM m1),
+       |   m3 AS (SELECT *, COALESCE(LAG(taken) OVER (PARTITION BY w ORDER BY p), FALSE) AS consumed
+       |          FROM m2)
+       |   SELECT m.r + 1, m.w, m.freq,
+       |          LIST(CASE WHEN m.taken THEN m.ba || m.bb ELSE m.s END ORDER BY m.p),
+       |          ANY_VALUE(m.ba), ANY_VALUE(m.bb), ANY_VALUE(m.bc)
+       |   FROM m3 m
+       |   WHERE (m.taken OR NOT m.consumed) AND m.r < $nMerges
+       |   GROUP BY m.r, m.w, m.freq)
+       |)
+       |SELECT DISTINCT CAST(r AS BIGINT) AS merge_rank, ma AS lhs, mb AS rhs,
+       |       ma || mb AS merged, CAST(mc AS BIGINT) AS pair_count
+       |FROM st WHERE r >= 1
+       |ORDER BY merge_rank""".stripMargin
+
+  /** The WordPiece trainer as ONE RECURSIVE CTE — [[bpeTrainRecursive]]
+    * with the likelihood argmax: each iteration recomputes symbol
+    * counts over the working state, scores every pair with the
+    * 1e-6-quantized ln cnt − ln c_a − ln c_b, and merges the
+    * (lscore DESC, cnt DESC, a, b) argmax under the `##` marking
+    * invariant.
+    */
+  def wordpieceTrainRecursive(nMerges: Int): String =
+    s"""WITH RECURSIVE st(r, w, freq, syms, ma, mb, mc, ms) AS (
+       |  SELECT 0, w, freq,
+       |         list_transform(generate_series(1, length(w)), i ->
+       |           CASE WHEN i = 1 THEN substr(w, i, 1)
+       |                ELSE '##' || substr(w, i, 1) END),
+       |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       |         CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+       |  FROM (SELECT w, COUNT(*) AS freq
+       |        FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+       |        WHERE length(w) >= 1 GROUP BY w)
+       |  UNION ALL
+       |  (WITH sc AS (
+       |     SELECT s, SUM(freq) AS c FROM (
+       |       SELECT freq, UNNEST(syms) AS s FROM st) GROUP BY 1),
+       |   best AS (
+       |     SELECT p.a, p.b, p.cnt,
+       |            FLOOR((ln(CAST(p.cnt AS DOUBLE)) - ln(CAST(ca.c AS DOUBLE)) -
+       |                   ln(CAST(cb.c AS DOUBLE))) * 1000000.0 + 0.5001) / 1000000.0 AS lscore
+       |     FROM (
+       |       SELECT syms[p] AS a, syms[p + 1] AS b, SUM(freq) AS cnt FROM (
+       |         SELECT freq, syms, UNNEST(generate_series(1, len(syms) - 1)) AS p
+       |         FROM st)
+       |       GROUP BY 1, 2) p
+       |     JOIN sc ca ON ca.s = p.a
+       |     JOIN sc cb ON cb.s = p.b
+       |     ORDER BY lscore DESC, cnt DESC, a, b LIMIT 1),
+       |   m0 AS (
+       |     SELECT m.r, m.w, m.freq, m.p, m.syms[m.p] AS s,
+       |            COALESCE(m.syms[m.p] = b.a AND m.syms[m.p + 1] = b.b, FALSE) AS mt,
+       |            b.a AS ba, b.b AS bb, b.cnt AS bc, b.lscore AS bl
+       |     FROM (SELECT r, w, freq, syms, UNNEST(generate_series(1, len(syms))) AS p
+       |           FROM st) m, best b),
+       |   m1 AS (SELECT *, p - ROW_NUMBER() OVER (PARTITION BY w, mt ORDER BY p) AS isl
+       |          FROM m0),
+       |   m2 AS (SELECT *, mt AND (p - MIN(p) OVER (PARTITION BY w, mt, isl)) % 2 = 0 AS taken
+       |          FROM m1),
+       |   m3 AS (SELECT *, COALESCE(LAG(taken) OVER (PARTITION BY w ORDER BY p), FALSE) AS consumed
+       |          FROM m2)
+       |   SELECT m.r + 1, m.w, m.freq,
+       |          LIST(CASE WHEN m.taken THEN m.ba || substr(m.bb, 3) ELSE m.s END ORDER BY m.p),
+       |          ANY_VALUE(m.ba), ANY_VALUE(m.bb), ANY_VALUE(m.bc), ANY_VALUE(m.bl)
+       |   FROM m3 m
+       |   WHERE (m.taken OR NOT m.consumed) AND m.r < $nMerges
+       |   GROUP BY m.r, m.w, m.freq)
+       |)
+       |SELECT DISTINCT CAST(r AS BIGINT) AS merge_rank, ma AS lhs, mb AS rhs,
+       |       ma || substr(mb, 3) AS merged, CAST(mc AS BIGINT) AS pair_count,
+       |       ms AS lscore
+       |FROM st WHERE r >= 1
+       |ORDER BY merge_rank""".stripMargin
+
   /** Tokenize the corpus with the learned merges: on the training
     * corpus the final round's symbol state IS the encoding (the
     * encoder replays the same merges in the same order), so each

@@ -1048,7 +1048,39 @@ object Soak {
       // DELTA only, the serving law of the 45e contract
       "bm25_delta" -> (() =>
         TextOps.bm25ScoreDelta(docs.where(col("doc_id") % 2 === 0),
-          "graft_soak_bm25", Seq("hash", "join", "vector"), 10)))
+          "graft_soak_bm25", Seq("hash", "join", "vector"), 10)),
+      // ---- tokenizer-trainer wall-clock LAW (the variable is the
+      // MERGE COUNT, not data volume — run on the BASE corpus):
+      // sequential pays one pair-agg job + one argmax collect PER
+      // MERGE (scheduler latency ∝ merges); batched is the provably-
+      // exact non-interacting batch loop (measured batch ≈ 1.1 on
+      // natural text, so still ∝ merges); collected is ONE
+      // distributed type collapse + the in-memory greedy loop —
+      // wall-clock ~flat in the merge count, the production shape
+      "bpe_train_seq_m22" -> (() => {
+        TextOps.bpeTrainMergesSeq(Tables.documents(spark, sfDir), 22)
+        spark.range(1).toDF("ok") }),
+      "bpe_train_seq_m88" -> (() => {
+        TextOps.bpeTrainMergesSeq(Tables.documents(spark, sfDir), 88)
+        spark.range(1).toDF("ok") }),
+      "bpe_train_batched_m88" -> (() => {
+        TextOps.bpeTrainBatches(Tables.documents(spark, sfDir), 88)
+        spark.range(1).toDF("ok") }),
+      "bpe_train_collected_m22" -> (() => {
+        TextOps.bpeTrainMerges(Tables.documents(spark, sfDir), 22)
+        spark.range(1).toDF("ok") }),
+      "bpe_train_collected_m88" -> (() => {
+        TextOps.bpeTrainMerges(Tables.documents(spark, sfDir), 88)
+        spark.range(1).toDF("ok") }),
+      "wordpiece_train_seq_m25" -> (() => {
+        TextOps.wordpieceTrainMergesSeq(Tables.documents(spark, sfDir), 25)
+        spark.range(1).toDF("ok") }),
+      "wordpiece_train_seq_m100" -> (() => {
+        TextOps.wordpieceTrainMergesSeq(Tables.documents(spark, sfDir), 100)
+        spark.range(1).toDF("ok") }),
+      "wordpiece_train_collected_m100" -> (() => {
+        TextOps.wordpieceTrainMerges(Tables.documents(spark, sfDir), 100)
+        spark.range(1).toDF("ok") }))
 
     // optional args name a subset — e.g. the dedup family at a higher
     // SPARK_GRAFT_SOAK_FACTOR without paying for the whole suite

@@ -2631,10 +2631,12 @@ object SparkEntry {
     "bpe_merge_step" -> ((s, dir) =>
       TextOps.bpePairCounts(Tables.documents(s, dir), 30)),
 
-    // full BPE trainer: 8 pair-count/argmax/merge rounds over the
-    // vocabulary-sized symbol state -> the ordered merge list
+    // full BPE trainer at PRODUCTION vocabulary depth (nMerges=256;
+    // the corpus's pair supply exhausts first, identically on both
+    // engines): one distributed word-type collapse + the in-memory
+    // exact greedy loop -> the ordered merge list
     "bpe_train" -> ((s, dir) =>
-      TextOps.bpeTrain(Tables.documents(s, dir), 8)
+      TextOps.bpeTrain(Tables.documents(s, dir), 256)
         .orderBy(col("merge_rank"))),
 
     // tokenizer-real encoding: replay the learned merges per word,
@@ -2672,9 +2674,11 @@ object SparkEntry {
 
     // WordPiece (Schuster & Nakajima 2012) vocabulary induction: the
     // BPE merge loop under the LIKELIHOOD score argmax over ##-marked
-    // symbols — the third tokenizer family (BPE / unigram-LM / this)
+    // symbols — the third tokenizer family (BPE / unigram-LM / this),
+    // at production depth (nMerges=256; exhausts the corpus's pair
+    // supply identically on both engines)
     "wordpiece_train" -> ((s, dir) =>
-      TextOps.wordpieceTrain(Tables.documents(s, dir), 8)
+      TextOps.wordpieceTrain(Tables.documents(s, dir), 256)
         .orderBy(col("merge_rank"))),
 
     // greedy longest-match-first encoding under the trained WordPiece
@@ -3390,9 +3394,9 @@ object SparkEntry {
     "stream_ratelimit_batch" -> OracleSql.rateLimit(2.0, 21600000000L),
     "stream_cdc_batch" -> OracleSql.streamCdcBatch,
     "bpe_merge_step" -> OracleSql.bpePairCounts(30),
-    "bpe_train" -> OracleSql.bpeTrain(8),
+    "bpe_train" -> OracleSql.bpeTrainRecursive(256),
     "bpe_encode" -> OracleSql.bpeEncode(8),
-    "wordpiece_train" -> OracleSql.wordpieceTrain(8),
+    "wordpiece_train" -> OracleSql.wordpieceTrainRecursive(256),
     "wordpiece_encode" -> OracleSql.wordpieceEncode(8),
     "wordpiece_fertility" -> OracleSql.wordpieceFertility(8),
     "ulm_train" -> OracleSql.ulmTrain(40, 2),

@@ -1656,29 +1656,260 @@ object TextOps {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(s))))
 
-  /** Full BPE vocabulary induction (Sennrich et al. 2016): `nMerges`
-    * rounds of corpus-weighted pair-count → argmax → merge, each
-    * round exactly [[bpePairCounts]]' counting with the winning pair
-    * folded into the symbol state. Returns the ordered merge list
-    * `(merge_rank, lhs, rhs, merged, pair_count)` — the artifact a
-    * tokenizer ships; [[bpeEncode]] replays it. Stops early if the
-    * vocabulary runs out of pairs.
+  /** The batch-selection collection width: each training round ranks
+    * the top `MergeBatchCap + 1` pairs (the +1 row is the conservative
+    * boundary when no conflict appears among the first
+    * `MergeBatchCap`). Shared verbatim by the DuckDB oracle CTEs —
+    * the rule must be bit-identical on both engines.
+    */
+  private[graft] val MergeBatchCap = 512
+
+  /** Select one round's BATCH of BPE merges from the ranked pair
+    * stats — the largest greedy prefix that is provably byte-identical
+    * to merging its members one sequential argmax at a time
+    * (the fastBPE/YouTokenToMe batching idea, with the two refinements
+    * that make it EXACT rather than approximate):
+    *
+    *   1. STOP at the first ranked pair whose symbol set
+    *      {lhs, rhs, lhs||rhs} intersects any earlier-ranked pair's
+    *      symbol set, or whose product string already appears as a
+    *      pair member (a product colliding with a live symbol would
+    *      let post-merge occurrences STACK onto an existing pair's
+    *      count). Skip-and-continue would NOT be sound: a skipped
+    *      interacting pair can keep its full count (its shared symbol
+    *      occurrences need not be consumed) and overtake later batch
+    *      members at their sequential round — the spec pins this
+    *      counterexample.
+    *   2. TRUNCATE the accepted prefix to pairs with
+    *      `cnt > cnt(firstConflict)` (strict). Every pair whose count
+    *      a batch merge can change — and every newly-created pair —
+    *      is bounded by that boundary count (interacting pairs all
+    *      rank at or below the first conflict; new pairs inherit
+    *      their count from an interacting original; refinement 1
+    *      keeps old and new keys disjoint so counts never stack), so
+    *      strict count dominance means the sequential argmax at each
+    *      intermediate round is exactly the next batch member.
+    *
+    * Falls back to the top-ranked pair alone (the exact sequential
+    * argmax) when the rule accepts nothing — worst case the batch
+    * degenerates to sequential, never diverges from it. `ranked` is
+    * the top `MergeBatchCap + 1` rows by (cnt DESC, lhs, rhs); with
+    * no conflict among the first cap rows, row cap+1 serves as the
+    * (conservative) boundary.
+    */
+  private[graft] def selectBpeBatch(ranked: Seq[(String, String, Long)],
+                                    remaining: Int): Seq[(String, String, Long)] = {
+    if (ranked.isEmpty || remaining <= 0) return Seq.empty
+    val members = ranked.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+    val scan = ranked.take(MergeBatchCap)
+    var used = Set.empty[String]
+    var t = -1
+    var i = 0
+    while (i < scan.length && t < 0) {
+      val (a, b, _) = scan(i)
+      val prod = a + b
+      if (used.contains(a) || used.contains(b) || used.contains(prod) ||
+        members.contains(prod)) t = i
+      else { used = used + a + b + prod; i += 1 }
+    }
+    val boundary =
+      if (t >= 0) Some(scan(t)._3)
+      else if (ranked.length > MergeBatchCap) Some(ranked(MergeBatchCap)._3)
+      else None
+    val upTo = if (t >= 0) t else scan.length
+    val accepted = scan.take(upTo)
+      .filter(p => boundary.forall(p._3 > _)).take(remaining)
+    if (accepted.isEmpty) ranked.take(1) else accepted
+  }
+
+  /** Full BPE vocabulary induction (Sennrich et al. 2016): repeated
+    * rounds of corpus-weighted pair-count → BATCHED argmax
+    * ([[selectBpeBatch]]) → one combined merge pass, byte-identical
+    * to the merge-per-round loop (the spec pins batched ≡ sequential
+    * on fixtures where batch members do and don't interact, and on
+    * the corpus). Returns the ordered merge list grouped by round —
+    * [[bpeTrainMerges]] flattens it. Stops early if the vocabulary
+    * runs out of pairs.
     *
     * Ties break by (count DESC, lhs ASC, rhs ASC) — two separate
     * symbol columns, never the concatenated pair, because
     * ("ab","c")/("a","bc") concatenate identically.
     *
-    * Scale plan: ALL state is vocabulary-sized — the corpus
-    * collapses to distinct words × freq in one map-side-combined
-    * groupBy before round 1 and is never re-read; each round is one
-    * vocabulary-sized pair explode + aggregate, a 1-row TakeOrdered
-    * argmax (the only driver materialization — the kmeans
-    * centroid-collect contract), and a map-side merge fold,
-    * localCheckpointed so lineage stays flat across rounds. The
-    * oracle unrolls the same rounds as chained CTEs with the greedy
-    * merge expressed as run-parity over match islands.
+    * Scale plan: ALL state is vocabulary-sized — the corpus collapses
+    * to distinct words × freq in one map-side-combined groupBy before
+    * round 1 and is never re-read; each ROUND (not each merge) is one
+    * vocabulary-sized pair explode + aggregate, one
+    * `MergeBatchCap + 1`-row TakeOrdered collect (the codebook
+    * contract), and ONE map-side pass applying the whole batch as
+    * chained folds (batch members share no symbols, so the folds
+    * commute and equal a single simultaneous pass), localCheckpointed
+    * so lineage stays flat. A production 32k-merge vocabulary costs
+    * O(rounds) sequential Spark jobs instead of O(merges) — scheduler
+    * latency scales with the batch count, which the soak pins. The
+    * oracle unrolls the same BATCH rounds as chained CTEs with the
+    * identical selection rule and the greedy merge expressed as
+    * run-parity over match islands.
+    */
+  private[graft] def bpeTrainBatches(docs: DataFrame,
+                                     nMerges: Int): Seq[Seq[(String, String, Long)]] = {
+    require(nMerges >= 1, s"bpeTrain: nMerges must be >= 1, got $nMerges")
+    var wf = docs.select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, String, Long)]]
+    var done = 0
+    var exhausted = false
+    while (done < nMerges && !exhausted) {
+      val ranked = wf
+        // words already collapsed to one symbol have no pairs — and
+        // sequence(1, 0) would DESCEND, indexing past the array
+        .where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(syms) - 1), p ->
+            |  struct(element_at(syms, p) AS a, element_at(syms, p + 1) AS b))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(MergeBatchCap + 1).collect()
+        .map(r => (r.getAs[String]("a"), r.getAs[String]("b"), r.getAs[Long]("cnt")))
+        .toSeq
+      val batch = selectBpeBatch(ranked, nMerges - done)
+      if (batch.isEmpty) exhausted = true
+      else {
+        out += batch
+        wf = wf.select(col("freq"),
+          batch.foldLeft(col("syms")) { case (c, (a, b, _)) =>
+            mergePairCol(c, a, b) }.as("syms"))
+          .localCheckpoint()
+        done += batch.size
+      }
+    }
+    out.toSeq
+  }
+
+  /** Code-point comparison — identical to Spark's UTF8String binary
+    * order and DuckDB's VARCHAR collation (UTF-8 byte order preserves
+    * code-point order; Java String's UTF-16 unit order does NOT for
+    * supplementary characters, so the in-memory trainer must not use
+    * it).
+    */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val xi = x.codePoints().toArray
+    val yi = y.codePoints().toArray
+    var i = 0
+    while (i < xi.length && i < yi.length) {
+      if (xi(i) != yi(i)) return xi(i) < yi(i)
+      i += 1
+    }
+    xi.length < yi.length
+  }
+
+  /** The exact greedy BPE merge loop over the COLLECTED word-type
+    * table — the production trainer architecture (what fastBPE /
+    * SentencePiece / every shipped tokenizer trainer does): ONE
+    * distributed pass collapses the corpus to its sufficient statistic
+    * (distinct words × frequency — the codebook-collect contract),
+    * and the merge loop runs in memory, byte-identical to the
+    * merge-per-round distributed trainer (spec-pinned against both it
+    * and [[bpeTrainBatches]]).
+    *
+    * Why this beats batching the distributed loop: the measured batch
+    * size of EXACT non-interacting batching is ~1.1 on natural text
+    * (top-ranked pairs share high-frequency symbols — merging (t,h)
+    * really does change (h,e)'s count — so the provably-safe batch
+    * prefix ends at rank 2-3), which leaves wall-clock ∝ merges. Here
+    * wall-clock is ONE distributed round regardless of vocabulary
+    * size; a 32k-merge production vocabulary pays 32k in-memory
+    * rescans of a type table, not 32k Spark scheduler round-trips.
+    * At 100 TB the type table is a few million rows (~100 MB) — the
+    * same collect class as the k-means codebook; if it ever cannot
+    * collect, [[bpeTrainBatches]] is the distributed fallback.
+    * Ordering parity: ties break by (count DESC, lhs, rhs) under
+    * code-point comparison ([[utf8Lt]]), matching Spark's UTF8String
+    * and DuckDB's binary collation exactly.
+    */
+  private[graft] def trainBpeInMemory(types: Seq[(String, Long)],
+                                      nMerges: Int): Seq[(Int, String, String, Long)] = {
+    import scala.collection.mutable.ArrayBuffer
+    val words: Array[ArrayBuffer[String]] = types.iterator.map { case (w, _) =>
+      val buf = new ArrayBuffer[String](w.length)
+      w.codePoints().forEach(cp => buf += new String(Character.toChars(cp)))
+      buf
+    }.toArray
+    val freqs: Array[Long] = types.iterator.map(_._2).toArray
+    val out = ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < words.length) {
+        val arr = words(i)
+        var j = 0
+        while (j < arr.length - 1) {
+          val k = (arr(j), arr(j + 1))
+          cnt.update(k, cnt.getOrElse(k, 0L) + freqs(i))
+          j += 1
+        }
+        i += 1
+      }
+      if (cnt.isEmpty) exhausted = true
+      else {
+        var bk: (String, String) = null
+        var bv = 0L
+        cnt.foreach { case (k, v) =>
+          if (bk == null || v > bv || (v == bv &&
+            (utf8Lt(k._1, bk._1) || (k._1 == bk._1 && utf8Lt(k._2, bk._2)))))
+            { bk = k; bv = v }
+        }
+        out += ((r, bk._1, bk._2, bv))
+        val (a, b) = bk
+        i = 0
+        while (i < words.length) {
+          val arr = words(i)
+          if (arr.length >= 2) {
+            val nb = new ArrayBuffer[String](arr.length)
+            var j = 0
+            while (j < arr.length) {
+              if (j < arr.length - 1 && arr(j) == a && arr(j + 1) == b) {
+                nb += a + b; j += 2
+              } else { nb += arr(j); j += 1 }
+            }
+            words(i) = nb
+          }
+          i += 1
+        }
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** BPE vocabulary induction: one distributed word-type collapse,
+    * then [[trainBpeInMemory]]'s exact greedy loop — sequential-
+    * equivalent merge list `(merge_rank, lhs, rhs, pair_count)` at
+    * O(1) distributed rounds.
     */
   def bpeTrainMerges(docs: DataFrame, nMerges: Int): Seq[(Int, String, String, Long)] = {
+    require(nMerges >= 1, s"bpeTrain: nMerges must be >= 1, got $nMerges")
+    val types = docs.select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .collect().map(r => (r.getAs[String]("w"), r.getAs[Long]("freq"))).toSeq
+    trainBpeInMemory(types, nMerges)
+  }
+
+  /** The r15 merge-per-round trainer, kept as the SPEC REFERENCE for
+    * [[bpeTrainBatches]]' byte-identity claim (one distributed job +
+    * one 1-row collect per merge — the shape the batched loop
+    * retires).
+    */
+  private[graft] def bpeTrainMergesSeq(docs: DataFrame,
+                                       nMerges: Int): Seq[(Int, String, String, Long)] = {
     require(nMerges >= 1, s"bpeTrain: nMerges must be >= 1, got $nMerges")
     var wf = docs.select(explode(split(col("text"), " ")).as("w"))
       .where(length(col("w")) >= 2)
@@ -1691,8 +1922,6 @@ object TextOps {
     var exhausted = false
     while (r <= nMerges && !exhausted) {
       val best = wf
-        // words already collapsed to one symbol have no pairs — and
-        // sequence(1, 0) would DESCEND, indexing past the array
         .where(size(col("syms")) >= 2)
         .select(col("freq"), explode(expr(
           """transform(sequence(1, size(syms) - 1), p ->
@@ -2083,8 +2312,241 @@ object TextOps {
     * only driver materialization) and a map-side merge fold,
     * localCheckpointed so lineage stays flat.
     */
+  /** The exact WordPiece likelihood merge loop over the COLLECTED
+    * word-type table — [[trainBpeInMemory]]'s architecture with the
+    * Schuster & Nakajima score: per round, symbol counts and pair
+    * counts over the in-memory type table, argmax by quantized
+    * ln cnt − ln c_a − ln c_b (ties cnt DESC, then code-point order),
+    * greedy non-overlapping merge. The score arithmetic is the same
+    * java.lang.Math.log / floor(x·1e6 + 0.5001) the distributed
+    * trainer's Catalyst expressions evaluate, so the lists are
+    * byte-identical (spec-pinned). WordPiece batches measure 1.0 on
+    * natural text (high scores concentrate on rare-symbol pairs whose
+    * risen-score ceiling binds immediately), so the collected loop is
+    * not an optimization here — it is the only shape whose wall-clock
+    * does not scale with the merge count.
+    */
+  private[graft] def trainWpInMemory(types: Seq[(String, Long)],
+                                     nMerges: Int): Seq[(Int, String, String, Long, Double)] = {
+    import scala.collection.mutable.ArrayBuffer
+    val words: Array[ArrayBuffer[String]] = types.iterator.map { case (w, _) =>
+      val buf = new ArrayBuffer[String](w.length)
+      var first = true
+      w.codePoints().forEach { cp =>
+        val c = new String(Character.toChars(cp))
+        buf += (if (first) c else "##" + c)
+        first = false
+      }
+      buf
+    }.toArray
+    val freqs: Array[Long] = types.iterator.map(_._2).toArray
+    def q6(x: Double): Double = math.floor(x * 1e6 + 0.5001) / 1e6
+    val out = ArrayBuffer.empty[(Int, String, String, Long, Double)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val symCnt = scala.collection.mutable.HashMap.empty[String, Long]
+      val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < words.length) {
+        val arr = words(i)
+        var j = 0
+        while (j < arr.length) {
+          symCnt.update(arr(j), symCnt.getOrElse(arr(j), 0L) + freqs(i))
+          if (j < arr.length - 1) {
+            val k = (arr(j), arr(j + 1))
+            cnt.update(k, cnt.getOrElse(k, 0L) + freqs(i))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      if (cnt.isEmpty) exhausted = true
+      else {
+        var bk: (String, String) = null
+        var bv = 0L
+        var bs = 0.0
+        cnt.foreach { case (k, v) =>
+          val s = q6(math.log(v.toDouble) - math.log(symCnt(k._1).toDouble) -
+            math.log(symCnt(k._2).toDouble))
+          if (bk == null || s > bs || (s == bs && (v > bv || (v == bv &&
+            (utf8Lt(k._1, bk._1) || (k._1 == bk._1 && utf8Lt(k._2, bk._2)))))))
+            { bk = k; bv = v; bs = s }
+        }
+        out += ((r, bk._1, bk._2, bv, bs))
+        val (a, b) = bk
+        val merged = a + b.stripPrefix("##")
+        i = 0
+        while (i < words.length) {
+          val arr = words(i)
+          if (arr.length >= 2) {
+            val nb = new ArrayBuffer[String](arr.length)
+            var j = 0
+            while (j < arr.length) {
+              if (j < arr.length - 1 && arr(j) == a && arr(j + 1) == b) {
+                nb += merged; j += 2
+              } else { nb += arr(j); j += 1 }
+            }
+            words(i) = nb
+          }
+          i += 1
+        }
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** WordPiece vocabulary induction: one distributed word-type
+    * collapse, then [[trainWpInMemory]]'s exact likelihood loop —
+    * O(1) distributed rounds.
+    */
   def wordpieceTrainMerges(docs: DataFrame,
                            nMerges: Int): Seq[(Int, String, String, Long, Double)] = {
+    require(nMerges >= 1, s"wordpieceTrain: nMerges must be >= 1, got $nMerges")
+    val types = docs.select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .collect().map(r => (r.getAs[String]("w"), r.getAs[Long]("freq"))).toSeq
+    trainWpInMemory(types, nMerges)
+  }
+
+  /** Select one round's BATCH of WordPiece merges — [[selectBpeBatch]]'s
+    * stop-at-first-conflict prefix, with the truncation adapted to the
+    * LIKELIHOOD ranking: unlike BPE counts (which only fall), an
+    * interacting pair's score ln cnt − ln c_a − ln c_b can RISE when a
+    * batch merge shrinks its members' symbol counts, so strict count
+    * dominance is not enough. Instead the accepted prefix is cut at a
+    * provable score ceiling over everything a batch application can
+    * produce:
+    *
+    *   - every surviving pair q that shares a symbol with the batch
+    *     scores at most ln cnt(q) − ln cLB(m) per member, where
+    *     cLB(s) = max(1, c(s) − Σ_{batch pairs containing s} cnt) is
+    *     the post-batch symbol-count lower bound (counts of untouched
+    *     symbols cannot move, and refinement 1 of [[selectBpeBatch]]
+    *     keeps product strings off live pair members so no pair's
+    *     COUNT can rise);
+    *   - every NEW pair contains a merged product M_j whose symbol
+    *     count is at least ⌈cnt_j / 2⌉ (greedy non-overlapping merging
+    *     performs at least half the pair occurrences), and any pair's
+    *     score is ≤ −ln(max member count), so new pairs score at most
+    *     max_j −ln⌈cnt_j / 2⌉.
+    *
+    * Accepted = the candidate prefix whose quantized scores strictly
+    * exceed that ceiling (+2e-6 slack covering both 1e-6
+    * quantizations); fallback = the top pair alone (the exact
+    * sequential argmax). The ceiling is computed from the FULL
+    * candidate prefix, which majorizes the bound for any accepted
+    * subset — so acceptance under it stays sound.
+    */
+  private[graft] def selectWpBatch(ranked: Seq[(String, String, Long, Double)],
+                                   fullStats: Seq[(String, String, Long)],
+                                   symCnt: Map[String, Long],
+                                   remaining: Int): Seq[(String, String, Long, Double)] = {
+    if (ranked.isEmpty || remaining <= 0) return Seq.empty
+    val members = fullStats.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+    val scan = ranked.take(MergeBatchCap)
+    var used = Set.empty[String]
+    var t = -1
+    var i = 0
+    while (i < scan.length && t < 0) {
+      val (a, b, _, _) = scan(i)
+      val prod = a + b.stripPrefix("##")
+      if (used.contains(a) || used.contains(b) || used.contains(prod) ||
+        members.contains(prod)) t = i
+      else { used = used + a + b + prod; i += 1 }
+    }
+    val b0 = scan.take(if (t >= 0) t else scan.length).take(remaining)
+    if (b0.isEmpty) return ranked.take(1)
+    val consumed = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    b0.foreach { case (a, b, cnt, _) => consumed(a) += cnt; consumed(b) += cnt }
+    def cLB(s: String): Double = math.max(1L, symCnt(s) - consumed(s)).toDouble
+    val touched = b0.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+    val inBatch = b0.iterator.map(p => (p._1, p._2)).toSet
+    val ubExist = fullStats.iterator
+      .filter(q => (touched.contains(q._1) || touched.contains(q._2)) &&
+        !inBatch.contains((q._1, q._2)))
+      .map(q => math.log(q._3.toDouble) - math.log(cLB(q._1)) - math.log(cLB(q._2)))
+      .foldLeft(Double.NegativeInfinity)(math.max)
+    val ubNew = b0.iterator.map(p => -math.log(math.ceil(p._3 / 2.0)))
+      .foldLeft(Double.NegativeInfinity)(math.max)
+    val ub = math.max(ubExist, ubNew) + 2e-6
+    val accepted = b0.filter(_._4 > ub)
+    if (accepted.isEmpty) ranked.take(1) else accepted
+  }
+
+  /** WordPiece vocabulary induction, BATCHED ([[bpeTrainBatches]]'
+    * loop with the likelihood argmax and [[selectWpBatch]]'s score-
+    * ceiling rule): each ROUND is one vocab-sized pair aggregate with
+    * the two broadcast score joins, one symbol-count collect (symbol-
+    * vocab-sized — the codebook contract), one full-pair-stats collect
+    * for the interaction ceiling (pair-vocab-sized), and ONE combined
+    * merge pass — O(rounds) Spark jobs instead of O(merges). Spec-
+    * pinned byte-identical to the merge-per-round trainer.
+    */
+  private[graft] def wordpieceTrainBatches(docs: DataFrame,
+                                           nMerges: Int): Seq[Seq[(String, String, Long, Double)]] = {
+    require(nMerges >= 1, s"wordpieceTrain: nMerges must be >= 1, got $nMerges")
+    var wf = docs.select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), expr(WpInitSyms).as("syms"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, String, Long, Double)]]
+    var done = 0
+    var exhausted = false
+    while (done < nMerges && !exhausted) {
+      val symCnt = wf.select(col("freq"), explode(col("syms")).as("s"))
+        .groupBy(col("s")).agg(sum(col("freq")).as("c"))
+      val statsDf = wf.where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(syms) - 1), p ->
+            |  struct(element_at(syms, p) AS a, element_at(syms, p + 1) AS b))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .join(broadcast(symCnt.select(col("s").as("a"), col("c").as("ca"))), Seq("a"))
+        .join(broadcast(symCnt.select(col("s").as("b"), col("c").as("cb"))), Seq("b"))
+        .select(col("a"), col("b"), col("cnt"),
+          (floor((log(col("cnt").cast("double")) - log(col("ca").cast("double")) -
+            log(col("cb").cast("double"))) * 1e6 + 0.5001) / 1e6).as("lscore"))
+        .localCheckpoint(eager = true)
+      val ranked = statsDf
+        .orderBy(col("lscore").desc, col("cnt").desc, col("a"), col("b"))
+        .limit(MergeBatchCap + 1).collect()
+        .map(r => (r.getAs[String]("a"), r.getAs[String]("b"),
+          r.getAs[Long]("cnt"), r.getAs[Double]("lscore"))).toSeq
+      val fullStats = statsDf.select(col("a"), col("b"), col("cnt")).collect()
+        .map(r => (r.getAs[String]("a"), r.getAs[String]("b"), r.getAs[Long]("cnt")))
+        .toSeq
+      val syms = symCnt.collect()
+        .map(r => r.getAs[String]("s") -> r.getAs[Long]("c")).toMap
+      val batch = selectWpBatch(ranked, fullStats, syms, nMerges - done)
+      if (batch.isEmpty) exhausted = true
+      else {
+        out += batch
+        // merged keeps the left half's ## marking; the right half is
+        // always ##-prefixed (the WpInitSyms invariant)
+        wf = wf.select(col("freq"),
+          batch.foldLeft(col("syms")) { case (c, (a, b, _, _)) =>
+            val merged = a + b.stripPrefix("##")
+            aggregate(c, array().cast("array<string>"), (acc, s) =>
+              when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+                .otherwise(concat(acc, array(s)))) }.as("syms"))
+          .localCheckpoint()
+        done += batch.size
+      }
+    }
+    out.toSeq
+  }
+
+  /** The r15 merge-per-round WordPiece trainer — the SPEC REFERENCE
+    * for [[wordpieceTrainBatches]]' byte-identity claim.
+    */
+  private[graft] def wordpieceTrainMergesSeq(docs: DataFrame,
+                                             nMerges: Int): Seq[(Int, String, String, Long, Double)] = {
     require(nMerges >= 1, s"wordpieceTrain: nMerges must be >= 1, got $nMerges")
     var wf = docs.select(explode(split(col("text"), " ")).as("w"))
       .where(length(col("w")) >= 1)
