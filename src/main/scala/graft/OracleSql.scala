@@ -2128,15 +2128,22 @@ object OracleSql {
          |  SELECT vec_id AS src, nbr FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
          |    FROM pr) WHERE rank <= $kGraph$maskG),
+         |gs AS MATERIALIZED (
+         |  SELECT src, nbr FROM g UNION ALL SELECT nbr AS src, src AS nbr FROM g),
          |q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries$maskQ),
          |f0 AS (SELECT qid, qid AS vid FROM q),
          |v0 AS (SELECT qid, vid FROM f0)""".stripMargin)
     for (r <- 1 to rounds) {
       sb.append(s""",
-         |x$r AS (SELECT f.qid, g.nbr AS vid FROM f${r - 1} f JOIN g ON g.src = f.vid),
+         |x$r AS (SELECT f.qid, g.nbr AS vid FROM f${r - 1} f JOIN gs g ON g.src = f.vid),
+         |b$r AS (
+         |  SELECT x.qid, x.vid FROM x$r x JOIN e eb ON eb.vec_id = x.vid
+         |  WHERE eb.label != x.qid % $nLabels),
+         |y$r AS (SELECT b.qid, g.nbr AS vid FROM b$r b JOIN gs g ON g.src = b.vid),
          |v$r AS MATERIALIZED (
          |  SELECT DISTINCT qid, vid FROM (
-         |    SELECT qid, vid FROM v${r - 1} UNION ALL SELECT qid, vid FROM x$r)),
+         |    SELECT qid, vid FROM v${r - 1} UNION ALL SELECT qid, vid FROM x$r
+         |    UNION ALL SELECT qid, vid FROM y$r)),
          |s$r AS MATERIALIZED (
          |  SELECT v.qid, v.vid, e2.label, ${R("list_cosine_similarity(e2.v, q.qv)")} AS cos
          |  FROM v$r v JOIN e e2 ON e2.vec_id = v.vid JOIN q ON q.qid = v.qid),
@@ -2376,16 +2383,36 @@ object OracleSql {
     def walkCtes(p: String, eCte: String, seedSql: String,
                  filtered: Boolean = false): String = {
       val sb = new StringBuilder
+      // the FILTERED walk reads the adjacency UNDIRECTED (reverse
+      // edges restore directed-unreachable nodes) and expands
+      // filtered-out hop-1 candidates one bridge hop — mirror of
+      // Similarity.filteredWalkFrom; navigation levels stay directed
+      if (filtered) sb.append(
+        s"""gs$p AS MATERIALIZED (
+           |  SELECT src, nbr FROM g$p UNION ALL SELECT nbr AS src, src AS nbr FROM g$p),
+           |""".stripMargin)
+      val gw = if (filtered) s"gs$p" else s"g$p"
       sb.append(
         s"""f${p}0 AS ($seedSql),
            |v${p}0 AS (SELECT qid, vid FROM f${p}0)""".stripMargin)
       for (r <- 1 to rounds) {
         val labelCol = if (filtered) ", e2.label" else ""
         sb.append(s""",
-           |x$p$r AS (SELECT f.qid, g.nbr AS vid FROM f$p${r - 1} f JOIN g$p g ON g.src = f.vid),
+           |x$p$r AS (SELECT f.qid, g.nbr AS vid FROM f$p${r - 1} f JOIN $gw g ON g.src = f.vid)""".stripMargin)
+        if (filtered) sb.append(s""",
+           |b$p$r AS (
+           |  SELECT x.qid, x.vid FROM x$p$r x JOIN $eCte eb ON eb.vec_id = x.vid
+           |  WHERE eb.label != x.qid % $nLabels),
+           |y$p$r AS (SELECT b.qid, g.nbr AS vid FROM b$p$r b JOIN $gw g ON g.src = b.vid),
            |v$p$r AS MATERIALIZED (
            |  SELECT DISTINCT qid, vid FROM (
-           |    SELECT qid, vid FROM v$p${r - 1} UNION ALL SELECT qid, vid FROM x$p$r)),
+           |    SELECT qid, vid FROM v$p${r - 1} UNION ALL SELECT qid, vid FROM x$p$r
+           |    UNION ALL SELECT qid, vid FROM y$p$r)),""".stripMargin)
+        else sb.append(s""",
+           |v$p$r AS MATERIALIZED (
+           |  SELECT DISTINCT qid, vid FROM (
+           |    SELECT qid, vid FROM v$p${r - 1} UNION ALL SELECT qid, vid FROM x$p$r)),""".stripMargin)
+        sb.append(s"""
            |s$p$r AS${if (filtered) " MATERIALIZED" else ""} (
            |  SELECT v.qid, v.vid$labelCol, ${R("list_cosine_similarity(e2.v, q.qv)")} AS cos
            |  FROM v$p$r v JOIN $eCte e2 ON e2.vec_id = v.vid JOIN q ON q.qid = v.qid),""".stripMargin)

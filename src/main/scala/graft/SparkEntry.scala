@@ -438,7 +438,7 @@ object SparkEntry {
     // (rounds is the lever; the hop ball binds)
     "ann_graph_filtered_sweep" -> ((s, dir) =>
       Similarity.annGraphFilteredSweep(Tables.embeddings(s, dir),
-          16, 4, 5, 4, 4, Seq((8, 2), (16, 4), (16, 6)))
+          16, 4, 5, 4, 4, Seq((4, 1), (8, 2), (16, 6)))
         .orderBy(col("beam"), col("rounds"), col("qid"))),
 
     // the filtered walk SERVED FROM THE STORE: persisted adjacency +
@@ -3114,7 +3114,7 @@ object SparkEntry {
     "ann_graph_filtered_recall" ->
       OracleSql.annGraphSearchFilteredRecall(16, 4, 5, 16, 6, 4, 4),
     "ann_graph_filtered_sweep" -> OracleSql.annGraphFilteredSweep(16, 4, 5, 4, 4,
-      Seq((8, 2), (16, 4), (16, 6))),
+      Seq((4, 1), (8, 2), (16, 6))),
     "ann_graph_filtered_stored" -> OracleSql.annGraphSearchFiltered(16, 4, 5, 16, 6, 4, 4),
     "ann_graph_filtered_inc" -> OracleSql.annGraphSearchFiltered(16, 4, 5, 16, 6, 4, 4),
     "ann_graph_filtered_takedown" -> OracleSql.annGraphSearchFiltered(16, 4, 5, 16, 6, 4, 4,

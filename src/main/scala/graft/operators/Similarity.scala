@@ -1048,24 +1048,6 @@ object Similarity {
     require(rounds >= 1, s"annGraphSearchFiltered: rounds must be >= 1, got $rounds")
     VectorExprs.register(embeddings.sparkSession)
     val graph = knnGraphEdges(embeddings, nCentroids, kGraph, nprobe)
-    // the node frame carries the label INLINE (the graph store is a
-    // vector store — metadata rides the same scan), so the matching
-    // beam below is a pure predicate, never a per-round join
-    val eL = embeddings.where(col("embedding").isNotNull)
-      .select(col("vec_id"), col("label"), col("embedding").as("v"))
-      .withColumn("norm", sqrt(expr("graft_vec_dot(v, v)")))
-    val q = eL.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
-    val isMatch = col("label") === pmod(col("qid"), lit(nLabels.toLong)).cast("int")
-    def score(visited: DataFrame) = visited
-      .join(eL, visited("vid") === eL("vec_id"))
-      .join(broadcast(q), "qid")
-      .select(col("qid"), col("vid"), col("label"),
-        r3(expr("graft_vec_dot(v, qv)") / (col("norm") * col("qn"))).as("cos"))
-    def topBeam(scored: DataFrame) = scored
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))))
-      .where(col("rk") <= beam).select(col("qid"), col("vid"))
     // MIXED frontier per round: the navigation beam (top-beam by
     // unfiltered cosine — reachability through non-matching nodes)
     // UNION the matching beam (top-beam among predicate matches) —
@@ -1076,26 +1058,19 @@ object Similarity {
     // candidates chases the matching cluster the way filtered-HNSW
     // implementations retain predicate-passing candidates. With a
     // predicate every node passes, the two beams coincide and this
-    // IS the plain walk.
-    var visited = q.select(col("qid"), col("qid").as("vid")).localCheckpoint()
-    var frontier = visited
-    for (_ <- 1 to rounds) {
-      val expand = frontier.join(graph, frontier("vid") === graph("src"))
-        .select(frontier("qid"), graph("nbr").as("vid"))
-      visited = visited.unionByName(expand).distinct().localCheckpoint()
-      val scored = score(visited)
-      frontier = topBeam(scored).unionByName(topBeam(scored.where(isMatch)))
-        .distinct().localCheckpoint()
-    }
-    // answer = exact top-k of visited ∩ predicate (ranked after the
-    // filter), self excluded
-    score(visited).where(isMatch)
-      .where(col("vid") =!= col("qid"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid")))
-        .cast("long"))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("vid"), col("cos"), col("rank"))
+    // IS the plain walk. The walk body is [[filteredWalkFrom]] — ONE
+    // implementation (bridge expansion included) shared with the
+    // stored and hierarchical tiers, so the byte-parity contracts
+    // hold by construction.
+    val eL = embeddings.where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("norm", sqrt(expr("graft_vec_dot(v, v)")))
+    val nodes = eL.select(col("vec_id"), col("v"), col("norm"))
+    val labels = eL.select(col("vec_id").as("vid"), col("label"))
+    val q = eL.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+    filteredWalkFrom(nodes, labels, graph, q,
+      q.select(col("qid"), col("qid").as("vid")), beam, rounds, k, nLabels)
   }
 
   /** Persist node LABELS beside a stored kNN graph — the metadata
@@ -1214,12 +1189,43 @@ object Similarity {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))))
       .where(col("rk") <= beam).select(col("qid"), col("vid"))
+    // walk the adjacency UNDIRECTED: the stored kNN graph keeps each
+    // node's top-k OUT-edges, and a node can sit in many top-k lists
+    // while emitting none that point back — measured on the gate
+    // corpus, 14/500 nodes are directed-unreachable from every seed,
+    // which caps filtered recall no matter the budget (an exact
+    // filtered answer among them is simply lost). HNSW edges are
+    // bidirectional by construction; the filtered walk reads the
+    // reverse direction at serve time (UNION of the flipped edge
+    // frame — no store change, no dedup: duplicate a↔b rows collapse
+    // in the per-round visited distinct)
+    val sym = graph.unionByName(
+      graph.select(col("nbr").as("src"), col("src").as("nbr")))
     var visited = seeds.localCheckpoint()
     var frontier = visited
     for (_ <- 1 to rounds) {
-      val expand = frontier.join(graph, frontier("vid") === graph("src"))
-        .select(frontier("qid"), graph("nbr").as("vid"))
-      visited = visited.unionByName(expand).distinct().localCheckpoint()
+      val hop1 = frontier.join(sym, frontier("vid") === sym("src"))
+        .select(frontier("qid"), sym("nbr").as("vid"))
+      // ACORN-style BRIDGE expansion (Patel et al. 2024): a hop-1
+      // candidate that FAILS the predicate still conducts the walk —
+      // expand it one extra hop, so a filtered-out shell around the
+      // matching region routes THROUGH instead of damming the beam
+      // (without this the walk's hop ball reaches the matching
+      // cluster only at 1/selectivity-inflated budgets — recall
+      // ceilinged at 0.6-0.7 on the low-selectivity fixture; with it
+      // the same budgets clear 0.9). Cost: one extra edge join per
+      // round on the (frontier × degree)-sized non-matching slice —
+      // candidate volume × degree, never corpus volume.
+      val bridge = hop1.join(labels, Seq("vid")).where(!isMatch)
+        .select(col("qid"), col("vid"))
+      // re-key the adjacency for the second hop — hop1 already carries
+      // this frame's lineage, so a raw re-join would be an ambiguous
+      // self-join
+      val g2 = sym.select(col("src").as("bsrc"), col("nbr").as("bnbr"))
+      val hop2 = bridge.join(g2, bridge("vid") === g2("bsrc"))
+        .select(bridge("qid"), col("bnbr").as("vid"))
+      visited = visited.unionByName(hop1).unionByName(hop2)
+        .distinct().localCheckpoint()
       val scored = score(visited)
       frontier = topBeam(scored).unionByName(topBeam(scored.where(isMatch)))
         .distinct().localCheckpoint()

@@ -552,23 +552,28 @@ class GraphSearchSpec extends AnyFunSuite {
 
   test("filtered graph walk: answers match the label; reachability flows THROUGH non-matching nodes (pre-filtering would strand the query)") {
     import spark.implicits._
-    // angle chain 0°,30°,60°,90°,120°, kGraph=2 → edges = ±30°
-    // neighbours. Query id0 (label 0, nLabels=1 ⇒ predicate label=0);
-    // the ONLY matching candidate (id3 at 90°) sits 2 hops away with
+    // angle chain 0°,30°,…,150°, kGraph=2 → edges = ±30° neighbours.
+    // Query id0 (label 0, nLabels=1 ⇒ predicate label=0); the ONLY
+    // matching candidate (id5 at 150°) sits 5 hops away with
     // non-matching (label 1) nodes in between: a label-pre-filtered
     // graph has zero edges out of the query — the walk must reach it
-    // THROUGH the label-1 intermediates and answer only the match
-    val emb = Seq((0, 0), (30, 1), (60, 1), (90, 0), (120, 1)).zipWithIndex
+    // THROUGH the label-1 intermediates (each round covers up to two
+    // hops: the edge expansion plus the ACORN bridge hop through
+    // filtered-out candidates) and answer only the match
+    val emb = Seq((0, 0), (30, 1), (60, 1), (90, 1), (120, 1), (150, 0))
+      .zipWithIndex
       .map { case ((deg, label), i) =>
         val th = math.toRadians(deg.toDouble)
         (i.toLong, label, Seq(math.cos(th), math.sin(th)))
       }.toDF("vec_id", "label", "embedding")
     val reached = Similarity.annGraphSearchFiltered(emb, 1, 2, 1, 8, 2, 3, 1)
       .collect().map(r => (r.getAs[Long]("vid"), r.getAs[Double]("cos")))
-    assert(reached.toSeq === Seq((3L, 0.0)),
-      "the 2-hop label-0 node is the ONLY legal answer")
-    // one round cannot reach it: underfilled (empty) is the honest
-    // answer, never a non-matching substitute
+    assert(reached.toSeq === Seq((5L, -0.866)),
+      "the far label-0 node is the ONLY legal answer")
+    // one round (edge hop + bridge hop from the seed's ≤2-position
+    // out-edges → the {30°,60°,90°} ball) cannot reach it:
+    // underfilled (empty) is the honest answer, never a non-matching
+    // substitute
     val short = Similarity.annGraphSearchFiltered(emb, 1, 2, 1, 8, 1, 3, 1)
       .collect()
     assert(short.isEmpty, "rounds=1 must not reach the far label-0 node")
@@ -585,7 +590,12 @@ class GraphSearchSpec extends AnyFunSuite {
     val rec = Similarity.annGraphSearchFilteredRecall(embD, 16, 4, 5, 16, 6, 4, 4)
       .select(org.apache.spark.sql.functions.avg(col("recall"))).head().getDouble(0)
     info(s"filtered-walk avg recall = $rec")
-    assert(rec > 0.0 && rec <= 1.0)
+    // the production bar: the undirected walk + bridge expansion
+    // clears 0.9 at the GATE budget (beam=16, rounds=6) on the
+    // low-selectivity fixture — before them the mixed beam ceilinged
+    // at 0.6-0.75 (directed-unreachable answers + dammed frontiers)
+    assert(rec >= 0.9 && rec <= 1.0,
+      s"filtered recall at the gate budget must clear 0.9, got $rec")
     // the sweep's claim: recall is monotone in the budget (beam
     // dominance keeps each round's frontier a superset, rounds
     // dominance keeps visited growing — so (16,6) visits a superset
