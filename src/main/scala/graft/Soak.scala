@@ -1002,6 +1002,21 @@ object Soak {
       "bm25_probe" -> (() =>
         TextOps.bm25AgainstIndex(spark, "graft_soak_bm25",
           Seq("hash", "join", "vector"), 10)),
+      // the write-path LAW pair: the r15 soak read the build ~4× for
+      // 3× at FIXED nBuckets=8 and attributed it (unproven) to the
+      // within-bucket n·log(n/buckets) sort. A deployment scales
+      // buckets with the corpus — the `_buckets` twin pins the
+      // rebuild linear under nBuckets ∝ factor while `_fixed8` keeps
+      // the super-linear reading honest
+      "bm25_build_fixed8" -> (() => {
+        TextOps.writeTextIndex(docs, "graft_soak_bm25f", 8)
+        spark.table("graft_soak_bm25f_postings")
+      }),
+      "bm25_build_buckets" -> (() => {
+        TextOps.writeTextIndex(docs, "graft_soak_bm25sc",
+          math.max(8, (8L * factor / 10).toInt))
+        spark.table("graft_soak_bm25sc_postings")
+      }),
       // inverted-index takedown lifecycle: build + tombstone a tenth
       // + compact (two linear bucketed rewrites)
       "bm25_index_compact" -> (() => {
