@@ -2165,6 +2165,48 @@ object OracleSql {
     sb.toString
   }
 
+  /** Reachability audit of the kNN graph: directed and undirected
+    * closure sizes from MIN(vec_id), each as one recursive CTE (the
+    * UNION-dedup recursion terminates on cycles by construction).
+    */
+  def annGraphReachability(nCentroids: Int, kGraph: Int,
+                           nprobe: Int = 2): String =
+    s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $nCentroids),
+       |a0 AS (
+       |  SELECT e.vec_id, e.v, c.cid, ${R("list_cosine_similarity(e.v, c.cv)")} AS ccos
+       |  FROM e CROSS JOIN c),
+       |a1 AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+       |  FROM a0),
+       |asg AS (SELECT vec_id, v, cid AS cell FROM a1 WHERE crank = 1),
+       |ap AS (SELECT vec_id, v, cid AS pcell FROM a1 WHERE crank <= $nprobe),
+       |pr AS (
+       |  SELECT a.vec_id, b.vec_id AS nbr, ${R("list_cosine_similarity(a.v, b.v)")} AS cos
+       |  FROM ap a JOIN asg b ON a.pcell = b.cell AND b.vec_id != a.vec_id),
+       |g AS MATERIALIZED (
+       |  SELECT vec_id AS src, nbr FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
+       |    FROM pr) WHERE rank <= $kGraph),
+       |gs AS MATERIALIZED (
+       |  SELECT src, nbr FROM g UNION ALL SELECT nbr AS src, src AS nbr FROM g),
+       |sd AS (SELECT MIN(vec_id) AS vid FROM e),
+       |rd AS (SELECT vid FROM sd
+       |       UNION
+       |       SELECT g.nbr AS vid FROM rd JOIN g ON g.src = rd.vid),
+       |ru AS (SELECT vid FROM sd
+       |       UNION
+       |       SELECT gs.nbr AS vid FROM ru JOIN gs ON gs.src = ru.vid),
+       |agg AS (
+       |  SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_nodes,
+       |         CAST((SELECT COUNT(*) FROM rd) AS BIGINT) AS n_reach_directed,
+       |         CAST((SELECT COUNT(*) FROM ru) AS BIGINT) AS n_reach_undirected)
+       |SELECT n_nodes, n_reach_directed, n_reach_undirected,
+       |       ${R("CAST(n_reach_directed AS DOUBLE) / n_nodes")} AS frac_directed,
+       |       ${R("CAST(n_reach_undirected AS DOUBLE) / n_nodes")} AS frac_undirected
+       |FROM agg""".stripMargin
+
   /** Recall@k of the FILTERED graph walk vs the exact filtered top-k. */
   def annGraphSearchFilteredRecall(nCentroids: Int, kGraph: Int, nQueries: Int,
                                    beam: Int, rounds: Int, k: Int,

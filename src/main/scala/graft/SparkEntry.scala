@@ -485,6 +485,13 @@ object SparkEntry {
 
     // stored-graph parity: build once to the bucketed catalog, walk
     // without rebuild — byte-equal to the recompute path
+    // graph-store REACHABILITY audit (the r16 diagnostic as a
+    // first-class operator): directed vs undirected closure from the
+    // entry — n_reach_directed < n_nodes is the "serve undirected or
+    // re-link" signal the filtered-recall fix was built on
+    "ann_graph_reachability" -> ((s, dir) =>
+      Similarity.annGraphReachability(Tables.embeddings(s, dir), 16, 4)),
+
     // corrupt-vector audit: per-cell Hampel rule on cosine-to-own-
     // centroid (the robust outliersMad convention on embeddings)
     "embedding_outliers" -> ((s, dir) =>
@@ -3115,6 +3122,7 @@ object SparkEntry {
       OracleSql.annGraphSearchFilteredRecall(16, 4, 5, 16, 6, 4, 4),
     "ann_graph_filtered_sweep" -> OracleSql.annGraphFilteredSweep(16, 4, 5, 4, 4,
       Seq((4, 1), (8, 2), (16, 6))),
+    "ann_graph_reachability" -> OracleSql.annGraphReachability(16, 4),
     "ann_graph_filtered_stored" -> OracleSql.annGraphSearchFiltered(16, 4, 5, 16, 6, 4, 4),
     "ann_graph_filtered_inc" -> OracleSql.annGraphSearchFiltered(16, 4, 5, 16, 6, 4, 4),
     "ann_graph_filtered_takedown" -> OracleSql.annGraphSearchFiltered(16, 4, 5, 16, 6, 4, 4,

@@ -1239,6 +1239,61 @@ object Similarity {
       .select(col("qid"), col("vid"), col("cos"), col("rank"))
   }
 
+  /** REACHABILITY audit of the kNN graph — the data-quality check
+    * that found the filtered-serving bug this operator suite shipped
+    * with: a top-k out-edge graph can leave nodes with in-edges only,
+    * DIRECTED-unreachable from every entry point (measured: 14/500 on
+    * the gate corpus), and any such node holding an exact answer is
+    * silently lost at every walk budget. Reports, from the minimum
+    * vec_id (the hier-entry convention), the directed and undirected
+    * closure sizes — a store owner reads `n_reach_directed < n_nodes`
+    * as "serve this graph undirected or re-link it".
+    *
+    * Scale shape: breadth-first closure, one frontier-edge join +
+    * distinct per round until fixpoint (diameter-bounded — small-world
+    * kNN graphs sit in the teens), every frame node-ID-sized (vid
+    * only, never vectors); the per-round `count()` is the iterative-
+    * convergence contract (the k-means/pagerank loop class). The
+    * oracle is the same closure as ONE recursive CTE.
+    */
+  def annGraphReachability(embeddings: DataFrame, nCentroids: Int,
+                           kGraph: Int, nprobe: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    VectorExprs.register(spark)
+    val g = knnGraphEdges(embeddings, nCentroids, kGraph, nprobe)
+    val nodes = embeddings.where(col("embedding").isNotNull)
+      .select(col("vec_id"))
+    val nNodes = nodes.count()
+    val seed = nodes.agg(min(col("vec_id"))).head().getLong(0)
+    def closure(edges: DataFrame): Long = {
+      import spark.implicits._
+      var visited = Seq(seed).toDF("vid").localCheckpoint()
+      var n = 1L
+      var grown = true
+      while (grown) {
+        val nxt = visited.join(edges, visited("vid") === edges("src"))
+          .select(edges("nbr").as("vid"))
+          .unionByName(visited).distinct().localCheckpoint()
+        val n2 = nxt.count()
+        grown = n2 > n
+        n = n2
+        visited = nxt
+      }
+      n
+    }
+    val nDir = closure(g)
+    val nUndir = closure(g.unionByName(
+      g.select(col("nbr").as("src"), col("src").as("nbr"))))
+    import spark.implicits._
+    Seq((nNodes, nDir, nUndir)).toDF(
+        "n_nodes", "n_reach_directed", "n_reach_undirected")
+      .select(col("n_nodes"), col("n_reach_directed"), col("n_reach_undirected"),
+        r3(col("n_reach_directed").cast("double") / col("n_nodes"))
+          .as("frac_directed"),
+        r3(col("n_reach_undirected").cast("double") / col("n_nodes"))
+          .as("frac_undirected"))
+  }
+
   /** Recall@k of the filtered walk vs the exact filtered top-k — the
     * oversearch audit: with the answer filtered AFTER the walk, a
     * label-sparse neighbourhood needs a bigger beam/rounds budget to

@@ -750,6 +750,31 @@ class GraphSearchSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((12L, 0L)))
   }
 
+  test("reachability audit: an in-edge-less outlier is directed-unreachable; the undirected closure restores it") {
+    // tight cluster 0°..4° (ids 0-4) + an outlier at 180° (id 5):
+    // every cluster member's top-2 edges stay inside the cluster, the
+    // outlier's top-2 point INTO the cluster — so id5 emits edges but
+    // receives none, and the directed closure from the entry (id 0)
+    // never reaches it; flipping edges at serve time does
+    val emb = byAngle(Seq(0, 1, 2, 3, 4, 180))
+    val out = Similarity.annGraphReachability(emb, 1, 2, 1).head()
+    assert(out.getAs[Long]("n_nodes") === 6L)
+    assert(out.getAs[Long]("n_reach_directed") === 5L,
+      "the outlier must read directed-unreachable")
+    assert(out.getAs[Long]("n_reach_undirected") === 6L,
+      "the flipped edges must restore it")
+    assert(out.getAs[Double]("frac_directed") === 0.833)
+    assert(out.getAs[Double]("frac_undirected") === 1.0)
+    // the gate corpus reading that motivated undirected filtered
+    // serving: directed closure strictly below the node count,
+    // undirected complete
+    val gate = Similarity.annGraphReachability(
+      Tables.embeddings(spark, "/root/testdata/sf0.001"), 16, 4).head()
+    assert(gate.getAs[Long]("n_reach_directed") < gate.getAs[Long]("n_nodes"))
+    assert(gate.getAs[Long]("n_reach_undirected")
+      >= gate.getAs[Long]("n_reach_directed"))
+  }
+
   test("gate-shape recall on the driver corpus is recorded") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val rec = Similarity.annGraphSearchRecall(emb, 16, 4, 5, 8, 2, 5)
