@@ -437,4 +437,27 @@ class PlanCensusSpec extends AnyFunSuite {
     val df = Eval.fairness(Eval.stopRatioScoredByGroup(Tables.documents(spark, dir)))
     assert(shuffles(df).size === 2)
   }
+
+  test("filtered walk serving tail: candidate-sized joins broadcast; only the qid rank window shuffles") {
+    // the plan AFTER the last per-round checkpoint — the shape every
+    // query pays at serve time: score (node join + broadcast q +
+    // label join) feeding the per-qid rank window. The node and label
+    // joins must ride broadcasts of the budget-bounded visited side
+    // (a shuffle there would be a corpus-volume exchange at scale);
+    // the ONLY ShuffleExchange allowed is the qid window partitioning
+    // (+ the r16 bridge adds NOTHING here — bridge joins live inside
+    // the checkpointed rounds, on frontier-sized frames)
+    val df = Similarity.annGraphSearchFiltered(
+      Tables.embeddings(spark, dir), 16, 4, 5, 8, 2, 4, 4)
+    val conf = spark.conf
+    val prev = conf.getOption("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    val (shuf, bcast) = try {
+      df.write.format("noop").mode("overwrite").save()
+      (df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e },
+        df.queryExecution.executedPlan.collect { case b: BroadcastExchangeExec => b })
+    } finally prev.foreach(conf.set("spark.sql.adaptive.enabled", _))
+    assert(shuf.size === 1, s"expected ONLY the qid rank-window exchange, got ${shuf.size}")
+    assert(bcast.nonEmpty, "the candidate-sized join sides must broadcast")
+  }
 }
