@@ -7113,6 +7113,45 @@ object OracleSql {
        |  FROM documents)
        |ORDER BY media_id""".stripMargin
 
+  /** Per-modality corpus composition over the mixed-modality ingest
+    * (modality = doc_id % 3 → image/audio/video; duration_ms = 40
+    * ms/byte for time media — Multimodal.ingestMixed's stub rates).
+    */
+  val multimodalStats: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       |    CAST(length(text) AS BIGINT) AS nb,
+       |    CASE WHEN doc_id % 3 != 0 THEN CAST(length(text) * 40 AS BIGINT) END AS dur
+       |  FROM documents)
+       |SELECT modality, COUNT(*) AS n_items,
+       |       CAST(SUM(nb) AS BIGINT) AS total_bytes,
+       |       ${R("AVG(nb)")} AS avg_bytes,
+       |       MAX(nb) AS max_bytes,
+       |       CAST(COALESCE(SUM(dur), 0) AS BIGINT) AS total_duration_ms
+       |FROM m GROUP BY modality ORDER BY modality""".stripMargin
+
+  /** Per-modality byte-budget sample: the sampleTokenBudget machinery
+    * (seeded md5 order, exclusive running sum) with payload bytes as
+    * the cost and the modality as the shard.
+    */
+  def multimodalBudget(byteBudget: Long, seed: String): String =
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id,
+       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       |    CAST(length(text) AS BIGINT) AS n_bytes,
+       |    MD5(CONCAT('$seed:', CAST(doc_id AS VARCHAR))) AS shuf
+       |  FROM documents),
+       |p AS (
+       |  SELECT *, CAST(COALESCE(SUM(n_bytes) OVER (
+       |      PARTITION BY modality ORDER BY shuf, media_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS stream_pos
+       |  FROM m)
+       |SELECT media_id, modality, n_bytes, stream_pos
+       |FROM p WHERE stream_pos < $byteBudget
+       |ORDER BY media_id""".stripMargin
+
   /** Per-series OLS fit (guarded covar/var formulation). */
   val fitLinear: String = {
     val slope = "COVAR_POP(v, t) / NULLIF(VAR_POP(t), 0)"

@@ -2411,6 +2411,22 @@ object SparkEntry {
       graft.sources.Multimodal.packPayloads(Tables.documents(s, dir), 1000L)
         .orderBy(col("shard"), col("bin"))),
 
+    // per-modality corpus composition (count/bytes/duration) over the
+    // mixed-modality ingest — the dashboard a mixture owner reads
+    // before setting per-modality budgets
+    "multimodal_stats" -> ((s, dir) =>
+      graft.sources.Multimodal.modalityStats(
+        graft.sources.Multimodal.ingestMixed(Tables.documents(s, dir)))
+        .orderBy(col("modality"))),
+
+    // per-modality BYTE-budget sampling: the token-budget discipline
+    // (seeded md5 stream order, exclusive running sum) with payload
+    // bytes as the cost model
+    "multimodal_budget" -> ((s, dir) =>
+      graft.sources.Multimodal.budgetSample(
+        graft.sources.Multimodal.ingestMixed(Tables.documents(s, dir)), 4000L)
+        .orderBy(col("media_id"))),
+
     // two-sided CUSUM drift chart (sequential changepoint monitor)
     "ts_cusum" -> ((s, dir) =>
       TimeSeries.cusum(TimeSeries.resampleDaily(Tables.events(s, dir)), 0.25, 3.0)
@@ -3378,6 +3394,8 @@ object SparkEntry {
     "kanon_audit" -> OracleSql.kAnonymityAudit(20),
     "ts_theta" -> OracleSql.theta(0.3, NY),
     "multimodal_pack" -> OracleSql.packPayloads(1000L),
+    "multimodal_stats" -> OracleSql.multimodalStats,
+    "multimodal_budget" -> OracleSql.multimodalBudget(4000L, "mbudget"),
     "eval_ks" -> OracleSql.evalKs,
     "feature_hash" -> OracleSql.featureHash(16),
     "eval_psi" -> OracleSql.evalPsi(10),

@@ -126,6 +126,82 @@ object Multimodal {
           .as("fill"))
   }
 
+  private def r3(c: org.apache.spark.sql.Column) =
+    floor(c * 1000.0 + 0.5001) / 1000.0
+
+  /** [[ingest]] with a deterministic MODALITY MIX (doc_id % 3 →
+    * image/audio/video) and per-modality metadata: duration_ms for
+    * time media (a fixed fake ms-per-byte rate — the decode stub
+    * convention), dims for images. The corpus a mixture owner
+    * actually curates is multi-modality; the single-modality
+    * [[ingest]] stays for the feature/pack gates built on it.
+    */
+  def ingestMixed(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
+        length(col("text")).cast("long").as("n_bytes"),
+        when(pmod(col("doc_id"), lit(3)) =!= 0,
+          (length(col("text")) * 40).cast("long")).as("duration_ms"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          (col("doc_id") % 64 + 32).cast("int")).as("width"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          (col("doc_id") % 48 + 24).cast("int")).as("height")).as("meta"))
+
+  /** Corpus COMPOSITION report — the first dashboard of any
+    * multimodal training corpus: per modality, item count, total and
+    * mean payload bytes, max payload, total media duration. A mixture
+    * owner reads this before setting per-modality budgets (bytes are
+    * the storage cost; duration is the compute cost for time media).
+    *
+    * Scale shape: one map-side-combined groupBy over (modality,
+    * n_bytes, duration) projections of the scan — payload bytes never
+    * move, the result is |modalities|-sized.
+    */
+  def modalityStats(media: DataFrame): DataFrame =
+    media.select(col("meta.modality").as("modality"),
+        col("meta.n_bytes").as("nb"), col("meta.duration_ms").as("dur"))
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("nb")).as("total_bytes"),
+        r3(avg(col("nb"))).as("avg_bytes"),
+        max(col("nb")).as("max_bytes"),
+        coalesce(sum(col("dur")), lit(0L)).as("total_duration_ms"))
+
+  /** BYTE-BUDGET sampling per modality — `sample_token_budget`'s
+    * discipline (seeded md5 stream order, exclusive running sum,
+    * first-item-per-modality guarantee) with payload BYTES as the
+    * cost model: each modality independently keeps items while the
+    * bytes already taken stay under `byteBudget`, so the sampled
+    * corpus lands on the per-modality storage budget a multimodal
+    * mixture run provisions. Deterministic and engine-portable (the
+    * md5 order, never rand()).
+    *
+    * Scale shape: ONE shuffle on the modality key feeding the running
+    * sum window; only (id, modality, bytes) rows move — payloads stay
+    * in place and the kept ids join back to them at read time.
+    */
+  def budgetSample(media: DataFrame, byteBudget: Long,
+                   seed: String = "mbudget"): DataFrame = {
+    require(byteBudget > 0,
+      s"budgetSample: byteBudget must be positive, got $byteBudget " +
+        "(the first-item-per-modality guarantee assumes a positive budget)")
+    import org.apache.spark.sql.expressions.Window
+    media.select(col("media_id"),
+        col("meta.modality").as("modality"),
+        col("meta.n_bytes").as("n_bytes"),
+        md5(concat(lit(s"$seed:"), col("media_id").cast("string"))).as("shuf"))
+      .withColumn("stream_pos", coalesce(sum(col("n_bytes")).over(
+        Window.partitionBy(col("modality"))
+          .orderBy(col("shuf"), col("media_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .where(col("stream_pos") < byteBudget)
+      .select(col("media_id"), col("modality"), col("n_bytes"), col("stream_pos"))
+  }
+
   /** "Decode + featurize" per partition: a deterministic byte-bucket
     * histogram (16 buckets) standing in for pixel statistics. A real
     * codec replaces the inner loop only — the iterator/batch shape,

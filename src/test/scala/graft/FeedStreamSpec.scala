@@ -115,6 +115,43 @@ class FeedStreamSpec extends AnyFunSuite {
     assert(f === Map(1 -> 2L, 2 -> 1L))
   }
 
+  test("modality stats: counts/bytes/duration per modality; images carry no duration") {
+    import spark.implicits._
+    // ids 0,3 -> image; 1,4 -> audio; 2,5 -> video (doc_id % 3)
+    val docs = Seq((0L, "aaaa"), (1L, "bb"), (2L, "ccc"),
+      (3L, "dd"), (4L, "eeee"), (5L, "f")).toDF("doc_id", "text")
+    val st = Multimodal.modalityStats(Multimodal.ingestMixed(docs))
+      .collect().map(r => r.getAs[String]("modality") ->
+        (r.getAs[Long]("n_items"), r.getAs[Long]("total_bytes"),
+          r.getAs[Long]("total_duration_ms"))).toMap
+    assert(st("image") === ((2L, 6L, 0L)))       // 4+2 bytes, no duration
+    assert(st("audio") === ((2L, 6L, 240L)))     // (2+4)·40 ms
+    assert(st("video") === ((2L, 4L, 160L)))     // (3+1)·40 ms
+  }
+
+  test("modality byte budget: exclusive running sum per modality, first item always kept") {
+    import spark.implicits._
+    val docs = Seq((0L, "aaaa"), (3L, "dddddd"), (6L, "gg"), // images: 4, 6, 2 bytes
+      (1L, "bbbbbbbbbb")).toDF("doc_id", "text")             // audio: 10 bytes
+    // budget 5: each modality keeps items while bytes ALREADY taken
+    // < 5 (exclusive sum — the first item per modality always keeps,
+    // even the 10-byte audio blob over budget by itself)
+    val out = Multimodal.budgetSample(Multimodal.ingestMixed(docs), 5L)
+      .collect().map(r => (r.getAs[Long]("media_id"), r.getAs[String]("modality"),
+        r.getAs[Long]("n_bytes"), r.getAs[Long]("stream_pos")))
+    assert(out.exists(_._1 == 1L), "the over-budget first audio item must keep")
+    val images = out.filter(_._2 == "image")
+    assert(images.nonEmpty)
+    // every kept image started under the budget; the md5 stream order
+    // is deterministic, so kept bytes-before are always < 5
+    assert(images.forall(_._4 < 5L))
+    // total kept image bytes can overshoot by at most the last item,
+    // never by a whole extra item beyond it
+    val keptBytes = images.map(_._3).sum
+    assert(keptBytes >= 5L || images.size == 3,
+      "the sample stops only once the budget is consumed (or items run out)")
+  }
+
   test("streaming windowAgg over a file source matches the batch twin") {
     val dir = Files.createTempDirectory("stream-in").toString
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
