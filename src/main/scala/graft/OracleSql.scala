@@ -2170,9 +2170,21 @@ object OracleSql {
     * UNION-dedup recursion terminates on cycles by construction).
     */
   def annGraphReachability(nCentroids: Int, kGraph: Int,
-                           nprobe: Int = 2): String =
+                           nprobe: Int = 2,
+                           removedPred: String = "FALSE"): String = {
+    // `removedPred` = the STORED-audit twin: the graph builds over the
+    // full corpus, then tombstoned endpoints drop from edges, seeds
+    // and the node count — maskedGraphStore's serve-time semantics
+    val masking = removedPred != "FALSE"
+    val edgeMask = if (!masking) "" else
+      s"""
+         |    AND NOT (${removedPred.replace("vec_id", "src")})
+         |    AND NOT (${removedPred.replace("vec_id", "nbr")})""".stripMargin
+    val eServe = if (masking) "esrv" else "e"
+    val srvCte = if (!masking) "" else s"""
+       |esrv AS (SELECT * FROM e WHERE NOT ($removedPred)),""".stripMargin
     s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-       |           WHERE embedding IS NOT NULL),
+       |           WHERE embedding IS NOT NULL),$srvCte
        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $nCentroids),
        |a0 AS (
        |  SELECT e.vec_id, e.v, c.cid, ${R("list_cosine_similarity(e.v, c.cv)")} AS ccos
@@ -2188,10 +2200,10 @@ object OracleSql {
        |g AS MATERIALIZED (
        |  SELECT vec_id AS src, nbr FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
-       |    FROM pr) WHERE rank <= $kGraph),
+       |    FROM pr) WHERE rank <= $kGraph$edgeMask),
        |gs AS MATERIALIZED (
        |  SELECT src, nbr FROM g UNION ALL SELECT nbr AS src, src AS nbr FROM g),
-       |sd AS (SELECT MIN(vec_id) AS vid FROM e),
+       |sd AS (SELECT MIN(vec_id) AS vid FROM $eServe),
        |rd AS (SELECT vid FROM sd
        |       UNION
        |       SELECT g.nbr AS vid FROM rd JOIN g ON g.src = rd.vid),
@@ -2199,13 +2211,14 @@ object OracleSql {
        |       UNION
        |       SELECT gs.nbr AS vid FROM ru JOIN gs ON gs.src = ru.vid),
        |agg AS (
-       |  SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_nodes,
+       |  SELECT CAST((SELECT COUNT(*) FROM $eServe) AS BIGINT) AS n_nodes,
        |         CAST((SELECT COUNT(*) FROM rd) AS BIGINT) AS n_reach_directed,
        |         CAST((SELECT COUNT(*) FROM ru) AS BIGINT) AS n_reach_undirected)
        |SELECT n_nodes, n_reach_directed, n_reach_undirected,
        |       ${R("CAST(n_reach_directed AS DOUBLE) / n_nodes")} AS frac_directed,
        |       ${R("CAST(n_reach_undirected AS DOUBLE) / n_nodes")} AS frac_undirected
        |FROM agg""".stripMargin
+  }
 
   /** Recall@k of the FILTERED graph walk vs the exact filtered top-k. */
   def annGraphSearchFilteredRecall(nCentroids: Int, kGraph: Int, nQueries: Int,
@@ -2423,17 +2436,22 @@ object OracleSql {
            |    FROM pr$p) WHERE rank <= $kGraph$edgeMask)""".stripMargin
     }
     def walkCtes(p: String, eCte: String, seedSql: String,
-                 filtered: Boolean = false): String = {
+                 filtered: Boolean = false,
+                 undirected: Boolean = false): String = {
       val sb = new StringBuilder
-      // the FILTERED walk reads the adjacency UNDIRECTED (reverse
-      // edges restore directed-unreachable nodes) and expands
+      // the FILTERED walk and the level-0 ANSWER walk read the
+      // adjacency UNDIRECTED (reverse edges restore directed-
+      // unreachable nodes — entry-seeded queries lose exact answers
+      // among them otherwise); the filtered walk additionally expands
       // filtered-out hop-1 candidates one bridge hop — mirror of
-      // Similarity.filteredWalkFrom; navigation levels stay directed
-      if (filtered) sb.append(
+      // Similarity.filteredWalkFrom / graphWalkFrom(undirected);
+      // navigation levels stay directed (k = 1 routing only)
+      val sym = filtered || undirected
+      if (sym) sb.append(
         s"""gs$p AS MATERIALIZED (
            |  SELECT src, nbr FROM g$p UNION ALL SELECT nbr AS src, src AS nbr FROM g$p),
            |""".stripMargin)
-      val gw = if (filtered) s"gs$p" else s"g$p"
+      val gw = if (sym) s"gs$p" else s"g$p"
       sb.append(
         s"""f${p}0 AS ($seedSql),
            |v${p}0 AS (SELECT qid, vid FROM f${p}0)""".stripMargin)
@@ -2516,7 +2534,8 @@ object OracleSql {
     val finalFilter = if (nLabels > 0) s" AND label = qid % $nLabels" else ""
     sb.append(s""",
        |${graphCtes("l", "e")},
-       |${walkCtes("l", eServe, "SELECT qid, vid FROM t1", filtered = nLabels > 0)}
+       |${walkCtes("l", eServe, "SELECT qid, vid FROM t1",
+          filtered = nLabels > 0, undirected = true)}
        |SELECT qid, vid, cos, rank FROM (
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS rank
        |  FROM sl$rounds WHERE vid != qid$finalFilter) WHERE rank <= $k ORDER BY qid, rank""".stripMargin)
@@ -2973,6 +2992,21 @@ object OracleSql {
     * 1e-6-quantized ln cnt − ln c_a − ln c_b, and merges the
     * (lscore DESC, cnt DESC, a, b) argmax under the `##` marking
     * invariant.
+    *
+    * ACCEPTED CROSS-ENGINE FP RISK (r16 ADVICE, adjudicated): parity
+    * rests on java.lang.Math.log and DuckDB's ln agreeing through the
+    * 1e-6 floor quantization. A flip needs BOTH (a) the true score
+    * within ~1 ULP of a 1e-6 cell edge (the 0.5001 nudge means the
+    * edge sits 1e-10 of a cell off the half-integer, so exact-half
+    * values land consistently) AND (b) the two libm implementations
+    * straddling that edge — Math.log and DuckDB ln are both
+    * correctly-rounded-to-≤1-ULP doubles, so the exposure per
+    * comparison is ~1e-10 of score space. The gates run nMerges=256
+    * on a vocabulary whose scores sit far from cell edges (verified
+    * green at all three SFs every round since r13); an exact
+    * cross-multiplied-integer argmax would need HUGEINT plumbing on
+    * both engines and changes the published `lscore` semantics, so
+    * the quantized-log contract stands, documented here.
     */
   def wordpieceTrainRecursive(nMerges: Int): String =
     s"""WITH RECURSIVE st(r, w, freq, syms, ma, mb, mc, ms) AS (
@@ -7135,13 +7169,14 @@ object OracleSql {
     * (seeded md5 order, exclusive running sum) with payload bytes as
     * the cost and the modality as the shard.
     */
-  def multimodalBudget(byteBudget: Long, seed: String): String =
+  def multimodalBudget(byteBudget: Long, seed: String,
+                       removedPred: String = "FALSE"): String =
     s"""WITH m AS (
        |  SELECT doc_id AS media_id,
        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
        |    CAST(length(text) AS BIGINT) AS n_bytes,
        |    MD5(CONCAT('$seed:', CAST(doc_id AS VARCHAR))) AS shuf
-       |  FROM documents),
+       |  FROM documents WHERE NOT ($removedPred)),
        |p AS (
        |  SELECT *, CAST(COALESCE(SUM(n_bytes) OVER (
        |      PARTITION BY modality ORDER BY shuf, media_id
@@ -7151,6 +7186,22 @@ object OracleSql {
        |SELECT media_id, modality, n_bytes, stream_pos
        |FROM p WHERE stream_pos < $byteBudget
        |ORDER BY media_id""".stripMargin
+
+  /** The stored media index's dedup verdicts as a recompute over the
+    * mixed ingest — survivors only when `removedPred` masks a
+    * takedown (masking precedes the digest windows, exactly the
+    * serve path's maskedMediaIndex order). One-shot ≡ two-batch
+    * append ≡ masked ≡ compacted, so every lifecycle gate shares it.
+    */
+  def mediaDedupStored(removedPred: String = "FALSE"): String =
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id, md5(text) AS digest,
+       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality
+       |  FROM documents WHERE NOT ($removedPred))
+       |SELECT media_id, digest, modality,
+       |       COUNT(*) OVER (PARTITION BY digest) AS n_copies,
+       |       CASE WHEN media_id = MIN(media_id) OVER (PARTITION BY digest) THEN 1 ELSE 0 END AS keep
+       |FROM m ORDER BY media_id""".stripMargin
 
   /** Per-series OLS fit (guarded covar/var formulation). */
   val fitLinear: String = {

@@ -492,6 +492,19 @@ object SparkEntry {
     "ann_graph_reachability" -> ((s, dir) =>
       Similarity.annGraphReachability(Tables.embeddings(s, dir), 16, 4)),
 
+    // the same audit against the STORED artifact (what the owner
+    // actually serves): build, take down a slice, audit the MASKED
+    // store — closure sizes read post-takedown reachability, the
+    // number the serve-undirected decision rests on
+    "ann_graph_reachability_stored" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeKnnGraph(emb, 16, 4, "graft_knng_reach", 8, 2)
+      Similarity.deleteFromKnnGraph(
+        emb.where(col("vec_id") % 10 === 7 && col("vec_id") >= 16)
+          .select(col("vec_id")), "graft_knng_reach")
+      Similarity.annGraphReachabilityStored(s, "graft_knng_reach")
+    }),
+
     // corrupt-vector audit: per-cell Hampel rule on cosine-to-own-
     // centroid (the robust outliersMad convention on embeddings)
     "embedding_outliers" -> ((s, dir) =>
@@ -2427,6 +2440,66 @@ object SparkEntry {
         graft.sources.Multimodal.ingestMixed(Tables.documents(s, dir)), 4000L)
         .orderBy(col("media_id"))),
 
+    // the multimodal LIFECYCLE family (the content-digest media index
+    // every media lake keeps beside its blob store): build → serve
+    // dedup verdicts zero-Exchange off the digest-bucketed scan
+    "multimodal_index_stored" -> ((s, dir) => {
+      graft.sources.Multimodal.writeMediaIndex(
+        graft.sources.Multimodal.ingestMixed(Tables.documents(s, dir)),
+        "graft_media_idx", 8)
+      graft.sources.Multimodal.mediaDedupAgainstIndex(s, "graft_media_idx")
+        .orderBy(col("media_id"))
+    }),
+
+    // two-batch ingest (append after a partial build) ≡ the one-shot
+    // oracle; double-ingest is a directed error (the ledger contract)
+    "multimodal_index_inc" -> ((s, dir) => {
+      val m = graft.sources.Multimodal.ingestMixed(Tables.documents(s, dir))
+      graft.sources.Multimodal.writeMediaIndex(
+        m.where(col("media_id") < 300), "graft_media_idx_inc", 8)
+      graft.sources.Multimodal.appendMediaIndex(
+        m.where(col("media_id") >= 300), "graft_media_idx_inc")
+      graft.sources.Multimodal.mediaDedupAgainstIndex(s, "graft_media_idx_inc")
+        .orderBy(col("media_id"))
+    }),
+
+    // licensed-media takedown: a tombstoned copy neither counts nor
+    // keeps immediately; its digest group re-verdicts among survivors
+    "multimodal_index_takedown" -> ((s, dir) => {
+      val m = graft.sources.Multimodal.ingestMixed(Tables.documents(s, dir))
+      graft.sources.Multimodal.writeMediaIndex(m, "graft_media_idx_td", 8)
+      graft.sources.Multimodal.deleteFromMediaIndex(
+        m.where(col("media_id") % 10 === 7).select(col("media_id")),
+        "graft_media_idx_td")
+      graft.sources.Multimodal.mediaDedupAgainstIndex(s, "graft_media_idx_td")
+        .orderBy(col("media_id"))
+    }),
+
+    // compaction folds the tombstones; answers unchanged (≡ the
+    // survivor one-shot — nothing trained, nothing pinned)
+    "multimodal_index_takedown_compact" -> ((s, dir) => {
+      val m = graft.sources.Multimodal.ingestMixed(Tables.documents(s, dir))
+      graft.sources.Multimodal.writeMediaIndex(m, "graft_media_idx_tc", 8)
+      graft.sources.Multimodal.deleteFromMediaIndex(
+        m.where(col("media_id") % 10 === 7).select(col("media_id")),
+        "graft_media_idx_tc")
+      graft.sources.Multimodal.compactMediaIndex("graft_media_idx_tc")
+      graft.sources.Multimodal.mediaDedupAgainstIndex(s, "graft_media_idx_tc")
+        .orderBy(col("media_id"))
+    }),
+
+    // the byte-budget fill served from the masked store: a takedown
+    // frees its bytes and the sample re-fills among survivors
+    "multimodal_budget_stored" -> ((s, dir) => {
+      val m = graft.sources.Multimodal.ingestMixed(Tables.documents(s, dir))
+      graft.sources.Multimodal.writeMediaIndex(m, "graft_media_idx_bu", 8)
+      graft.sources.Multimodal.deleteFromMediaIndex(
+        m.where(col("media_id") % 10 === 7).select(col("media_id")),
+        "graft_media_idx_bu")
+      graft.sources.Multimodal.mediaBudgetAgainstIndex(s, "graft_media_idx_bu", 4000L)
+        .orderBy(col("media_id"))
+    }),
+
     // two-sided CUSUM drift chart (sequential changepoint monitor)
     "ts_cusum" -> ((s, dir) =>
       TimeSeries.cusum(TimeSeries.resampleDaily(Tables.events(s, dir)), 0.25, 3.0)
@@ -3139,6 +3212,8 @@ object SparkEntry {
     "ann_graph_filtered_sweep" -> OracleSql.annGraphFilteredSweep(16, 4, 5, 4, 4,
       Seq((4, 1), (8, 2), (16, 6))),
     "ann_graph_reachability" -> OracleSql.annGraphReachability(16, 4),
+    "ann_graph_reachability_stored" -> OracleSql.annGraphReachability(16, 4,
+      removedPred = "vec_id % 10 = 7 AND vec_id >= 16"),
     "ann_graph_filtered_stored" -> OracleSql.annGraphSearchFiltered(16, 4, 5, 16, 6, 4, 4),
     "ann_graph_filtered_inc" -> OracleSql.annGraphSearchFiltered(16, 4, 5, 16, 6, 4, 4),
     "ann_graph_filtered_takedown" -> OracleSql.annGraphSearchFiltered(16, 4, 5, 16, 6, 4, 4,
@@ -3396,6 +3471,12 @@ object SparkEntry {
     "multimodal_pack" -> OracleSql.packPayloads(1000L),
     "multimodal_stats" -> OracleSql.multimodalStats,
     "multimodal_budget" -> OracleSql.multimodalBudget(4000L, "mbudget"),
+    "multimodal_index_stored" -> OracleSql.mediaDedupStored(),
+    "multimodal_index_inc" -> OracleSql.mediaDedupStored(),
+    "multimodal_index_takedown" -> OracleSql.mediaDedupStored("doc_id % 10 = 7"),
+    "multimodal_index_takedown_compact" -> OracleSql.mediaDedupStored("doc_id % 10 = 7"),
+    "multimodal_budget_stored" -> OracleSql.multimodalBudget(4000L, "mbudget",
+      removedPred = "doc_id % 10 = 7"),
     "eval_ks" -> OracleSql.evalKs,
     "feature_hash" -> OracleSql.featureHash(16),
     "eval_psi" -> OracleSql.evalPsi(10),

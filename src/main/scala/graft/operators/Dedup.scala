@@ -599,6 +599,11 @@ object Dedup {
   def writeBandIndex(reference: DataFrame, perms: Int, rowsPerBand: Int,
                      table: String, nBuckets: Int): Unit = {
     val spark = reference.sparkSession
+    // a rebuild under the same name must not inherit a previous
+    // generation's tombstones — a stale mask would silently hide
+    // freshly-indexed docs from every probe (the writeTextIndex
+    // lifecycle rule, applied family-wide per r16 ADVICE)
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_tombstones")
     val sigs = minhashSigs(reference, perms).persist()
     try {
       graft.sources.Formats.writeBucketedKeys(
@@ -1084,6 +1089,9 @@ object Dedup {
   def writeSubstringIndex(docs: DataFrame, minLen: Int, table: String,
                           nBuckets: Int): Unit = {
     val spark = docs.sparkSession
+    // stale-tombstone rule (see writeBandIndex): a same-name rebuild
+    // starts with a clean takedown ledger
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_stombstones")
     graft.sources.Formats.writeBucketedKeys(
       gramRefs(docs, minLen), s"${table}_grams", Seq("gram"), nBuckets)
     // the membership ledger the takedown contract needs (VERDICT r14

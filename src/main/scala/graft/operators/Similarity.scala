@@ -644,6 +644,8 @@ object Similarity {
                           table: String, nBuckets: Int, nprobe: Int = 2): Unit = {
     val spark = embeddings.sparkSession
     VectorExprs.register(spark)
+    // stale-tombstone rule (see writeKnnGraph)
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_gtombstones")
     require(nprobe <= beam,
       s"writeKnnGraphRouted: nprobe=$nprobe must be <= beam=$beam — the " +
         "routed walk only carries the top-beam visited cells per vector")
@@ -985,7 +987,7 @@ object Similarity {
     */
   private def graphWalkFrom(e: DataFrame, graph: DataFrame, q: DataFrame,
                             seeds: DataFrame, beam: Int, rounds: Int,
-                            k: Int): DataFrame = {
+                            k: Int, undirected: Boolean = false): DataFrame = {
     require(k <= beam, s"annGraphSearch: k=$k must be <= beam=$beam")
     require(rounds >= 1, s"annGraphSearch: rounds must be >= 1, got $rounds")
     def score(visited: DataFrame) = visited
@@ -993,11 +995,22 @@ object Similarity {
       .join(broadcast(q), "qid")
       .select(col("qid"), col("vid"),
         r3(expr("graft_vec_dot(v, qv)") / (col("norm") * col("qn"))).as("cos"))
+    // `undirected` = the ANSWER-walk serving mode (the filteredWalkFrom
+    // lesson extended to the cold-start tier, VERDICT r16 #3): a top-k
+    // out-edge graph leaves nodes directed-unreachable from a GLOBAL
+    // entry (14/500 on the gate corpus), and a hier query seeded at
+    // the entry silently loses any exact answer among them — the flat
+    // walk self-seeds and is exempt, navigation levels only route
+    // (k = 1) and stay directed. Reading the reverse direction doubles
+    // the edge scan, not the shuffle; duplicate a↔b rows collapse in
+    // the per-round visited distinct.
+    val adj = if (!undirected) graph else graph.unionByName(
+      graph.select(col("nbr").as("src"), col("src").as("nbr")))
     var visited = seeds.localCheckpoint()
     var frontier = visited
     for (_ <- 1 to rounds) {
-      val expand = frontier.join(graph, frontier("vid") === graph("src"))
-        .select(frontier("qid"), graph("nbr").as("vid"))
+      val expand = frontier.join(adj, frontier("vid") === adj("src"))
+        .select(frontier("qid"), adj("nbr").as("vid"))
       visited = visited.unionByName(expand).distinct().localCheckpoint()
       frontier = score(visited)
         .withColumn("rk", row_number().over(
@@ -1263,7 +1276,36 @@ object Similarity {
     val g = knnGraphEdges(embeddings, nCentroids, kGraph, nprobe)
     val nodes = embeddings.where(col("embedding").isNotNull)
       .select(col("vec_id"))
+    reachabilityReport(spark, nodes, g)
+  }
+
+  /** [[annGraphReachability]] against a STORED graph's `_edges` — the
+    * audit a store owner runs on the artifact they actually serve
+    * (the recompute variant audits what a fresh build WOULD look
+    * like; after appends/takedowns the two diverge, and serving
+    * decisions must read the store). Tombstone-masked like every
+    * stored read ([[maskedGraphStore]]): a taken-down node is neither
+    * a seed nor countable closure mass.
+    */
+  def annGraphReachabilityStored(spark: org.apache.spark.sql.SparkSession,
+                                 table: String): DataFrame = {
+    VectorExprs.register(spark)
+    require(spark.catalog.tableExists(s"${table}_edges"),
+      s"kNN graph '$table' has no ${table}_edges table — build it with writeKnnGraph")
+    val (mNodes, mEdges) = maskedGraphStore(spark, table)
+    reachabilityReport(spark, mNodes.select(col("vec_id")),
+      mEdges.select(col("src"), col("nbr")))
+  }
+
+  /** The shared closure core: BFS fixpoint from the min node id, once
+    * directed and once undirected, report sizes and fractions. Every
+    * frame is vid-only; the per-round count() is the iterative-
+    * convergence contract (k-means/pagerank class); audit cadence.
+    */
+  private def reachabilityReport(spark: org.apache.spark.sql.SparkSession,
+                                 nodes: DataFrame, g: DataFrame): DataFrame = {
     val nNodes = nodes.count()
+    require(nNodes > 0, "reachability: the graph has no surviving nodes")
     val seed = nodes.agg(min(col("vec_id"))).head().getLong(0)
     def closure(edges: DataFrame): Long = {
       import spark.implicits._
@@ -1435,7 +1477,9 @@ object Similarity {
         .select(col("qid"), col("vid"))
     }
     val g0 = levelGraph(embeddings)
-    graphWalkFrom(base, g0, q, seeds, beam, rounds, k)
+    // the ANSWER walk serves undirected — entry-seeded queries must
+    // reach in-edge-only nodes (navigation above stayed directed)
+    graphWalkFrom(base, g0, q, seeds, beam, rounds, k, undirected = true)
   }
 
   /** Persist the kNN graph to the catalog — build-once/walk-forever
@@ -1452,6 +1496,10 @@ object Similarity {
                     table: String, nBuckets: Int, nprobe: Int = 2): Unit = {
     val spark = embeddings.sparkSession
     VectorExprs.register(spark)
+    // stale-tombstone rule (the writeTextIndex lifecycle precedent,
+    // family-wide per r16 ADVICE): a same-name rebuild after a
+    // takedown must not mask freshly-indexed vectors
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_gtombstones")
     val enc = quantizer(embeddings, nCentroids)
     val assigned = prepared(embeddings)
       .where(col("v").isNotNull)
@@ -1652,6 +1700,9 @@ object Similarity {
         writeKnnGraphRouted(f, nCentroids, kGraph, deg, bR, rR, lt, nBuckets, nprobe)
       case None => writeKnnGraph(f, nCentroids, kGraph, lt, nBuckets, nprobe)
     }
+    // stale-tombstone rule: the ROOT filing ledger clears here; each
+    // level's own _gtombstones clears inside its level build
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_gtombstones")
     writeLevel(embeddings, s"${table}_l0")
     for (lvl <- 1 until nLayers)
       writeLevel(embeddings.where(layerPred(lvl, keep, nSample)), s"${table}_l$lvl")
@@ -1760,7 +1811,9 @@ object Similarity {
                                table: String, nQueries: Int, beam: Int,
                                rounds: Int, k: Int): DataFrame = {
     val (e0, g0, q, seeds) = hierNavigate(spark, table, nQueries, beam, rounds)
-    graphWalkFrom(e0, g0, q, seeds, beam, rounds, k)
+    // entry-seeded answer walk serves undirected (the recompute twin's
+    // contract — annGraphSearchHier's level-0 call)
+    graphWalkFrom(e0, g0, q, seeds, beam, rounds, k, undirected = true)
   }
 
   /** The stored hierarchy's shared SERVE MACHINERY — mask resolution
@@ -3806,6 +3859,9 @@ object Similarity {
                     m: Int, table: String, nBuckets: Int): Unit = {
     val spark = embeddings.sparkSession
     VectorExprs.register(spark)
+    // stale-tombstone rule (the writeTextIndex lifecycle precedent):
+    // a same-name rebuild after a takedown starts unmasked
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_tombstones")
     val head = headVectors(embeddings, math.max(nCentroids, nCodewords))
     val ivfCents = head.filter(_._1 < nCentroids)
     require(ivfCents.nonEmpty,

@@ -1659,10 +1659,24 @@ object TextOps {
   /** The batch-selection collection width: each training round ranks
     * the top `MergeBatchCap + 1` pairs (the +1 row is the conservative
     * boundary when no conflict appears among the first
-    * `MergeBatchCap`). Shared verbatim by the DuckDB oracle CTEs —
-    * the rule must be bit-identical on both engines.
+    * `MergeBatchCap`). The batched paths are spec-pinned byte-
+    * identical to the SEQUENTIAL trainers (TokenizerBatchSpec) — the
+    * gate oracles run the sequential recursive-CTE trainers, so no
+    * oracle CTE mirrors this batch rule; the sequential equivalence
+    * proof is what carries cross-engine parity.
     */
   private[graft] val MergeBatchCap = 512
+
+  /** Driver-collect bound for the tokenizer word-type table: below
+    * this many distinct words the exact in-memory trainer runs (the
+    * fastBPE/SentencePiece shape — the type table is the k-means-
+    * codebook collect class, ~2M rows ≈ 100-200 MB); above it the
+    * spec-pinned-identical distributed batched loop takes over, so a
+    * junk-heavy 100-TB crawl whose type table explodes routes to the
+    * cluster instead of silently OOMing the driver. One count() scan
+    * prices the decision.
+    */
+  private[graft] val TypeTableCollectMax = 2000000L
 
   /** Select one round's BATCH of BPE merges from the ranked pair
     * stats — the largest greedy prefix that is provably byte-identical
@@ -1695,12 +1709,18 @@ object TextOps {
     * degenerates to sequential, never diverges from it. `ranked` is
     * the top `MergeBatchCap + 1` rows by (cnt DESC, lhs, rhs); with
     * no conflict among the first cap rows, row cap+1 serves as the
-    * (conservative) boundary.
+    * (conservative) boundary. `fullStats` is the COMPLETE pair-stats
+    * frame of the round: the live-symbol collision set (rule 1's
+    * `members`) must see every live pair, not just the ranked
+    * horizon — a product equal to a symbol appearing only in
+    * low-ranked pairs would otherwise stack post-merge occurrences
+    * onto that pair's count and silently break sequential identity.
     */
   private[graft] def selectBpeBatch(ranked: Seq[(String, String, Long)],
+                                    fullStats: Seq[(String, String, Long)],
                                     remaining: Int): Seq[(String, String, Long)] = {
     if (ranked.isEmpty || remaining <= 0) return Seq.empty
-    val members = ranked.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+    val members = fullStats.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
     val scan = ranked.take(MergeBatchCap)
     var used = Set.empty[String]
     var t = -1
@@ -1763,7 +1783,7 @@ object TextOps {
     var done = 0
     var exhausted = false
     while (done < nMerges && !exhausted) {
-      val ranked = wf
+      val statsDf = wf
         // words already collapsed to one symbol have no pairs — and
         // sequence(1, 0) would DESCEND, indexing past the array
         .where(size(col("syms")) >= 2)
@@ -1773,11 +1793,18 @@ object TextOps {
             .stripMargin)).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("freq")).as("cnt"))
+        .localCheckpoint(eager = true)
+      val ranked = statsDf
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(MergeBatchCap + 1).collect()
         .map(r => (r.getAs[String]("a"), r.getAs[String]("b"), r.getAs[Long]("cnt")))
         .toSeq
-      val batch = selectBpeBatch(ranked, nMerges - done)
+      // the FULL pair stats feed rule 1's collision set — pair-vocab-
+      // sized (the codebook contract, same as the WordPiece loop)
+      val fullStats = statsDf.collect()
+        .map(r => (r.getAs[String]("a"), r.getAs[String]("b"), r.getAs[Long]("cnt")))
+        .toSeq
+      val batch = selectBpeBatch(ranked, fullStats, nMerges - done)
       if (batch.isEmpty) exhausted = true
       else {
         out += batch
@@ -1892,15 +1919,26 @@ object TextOps {
   /** BPE vocabulary induction: one distributed word-type collapse,
     * then [[trainBpeInMemory]]'s exact greedy loop — sequential-
     * equivalent merge list `(merge_rank, lhs, rhs, pair_count)` at
-    * O(1) distributed rounds.
+    * O(1) distributed rounds. Type tables above `collectMax`
+    * ([[TypeTableCollectMax]]; one count() scan decides) route to the
+    * spec-pinned-identical distributed [[bpeTrainBatches]] loop
+    * instead of collecting — the driver-OOM guard for junk-heavy
+    * crawls whose type table outgrows the codebook contract.
     */
-  def bpeTrainMerges(docs: DataFrame, nMerges: Int): Seq[(Int, String, String, Long)] = {
+  def bpeTrainMerges(docs: DataFrame, nMerges: Int,
+                     collectMax: Long = TypeTableCollectMax): Seq[(Int, String, String, Long)] = {
     require(nMerges >= 1, s"bpeTrain: nMerges must be >= 1, got $nMerges")
-    val types = docs.select(explode(split(col("text"), " ")).as("w"))
+    val typesDf = docs.select(explode(split(col("text"), " ")).as("w"))
       .where(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .collect().map(r => (r.getAs[String]("w"), r.getAs[Long]("freq"))).toSeq
-    trainBpeInMemory(types, nMerges)
+    if (typesDf.count() > collectMax)
+      bpeTrainBatches(docs, nMerges).flatten.zipWithIndex
+        .map { case ((a, b, n), i) => (i + 1, a, b, n) }
+    else {
+      val types = typesDf.collect()
+        .map(r => (r.getAs[String]("w"), r.getAs[Long]("freq"))).toSeq
+      trainBpeInMemory(types, nMerges)
+    }
   }
 
   /** The r15 merge-per-round trainer, kept as the SPEC REFERENCE for
@@ -2399,16 +2437,24 @@ object TextOps {
 
   /** WordPiece vocabulary induction: one distributed word-type
     * collapse, then [[trainWpInMemory]]'s exact likelihood loop —
-    * O(1) distributed rounds.
+    * O(1) distributed rounds. Type tables above `collectMax` route
+    * to the distributed [[wordpieceTrainBatches]] loop (the
+    * [[bpeTrainMerges]] driver-OOM guard, same one-count() decision).
     */
-  def wordpieceTrainMerges(docs: DataFrame,
-                           nMerges: Int): Seq[(Int, String, String, Long, Double)] = {
+  def wordpieceTrainMerges(docs: DataFrame, nMerges: Int,
+                           collectMax: Long = TypeTableCollectMax): Seq[(Int, String, String, Long, Double)] = {
     require(nMerges >= 1, s"wordpieceTrain: nMerges must be >= 1, got $nMerges")
-    val types = docs.select(explode(split(col("text"), " ")).as("w"))
+    val typesDf = docs.select(explode(split(col("text"), " ")).as("w"))
       .where(length(col("w")) >= 1)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .collect().map(r => (r.getAs[String]("w"), r.getAs[Long]("freq"))).toSeq
-    trainWpInMemory(types, nMerges)
+    if (typesDf.count() > collectMax)
+      wordpieceTrainBatches(docs, nMerges).flatten.zipWithIndex
+        .map { case ((a, b, n, s), i) => (i + 1, a, b, n, s) }
+    else {
+      val types = typesDf.collect()
+        .map(r => (r.getAs[String]("w"), r.getAs[Long]("freq"))).toSeq
+      trainWpInMemory(types, nMerges)
+    }
   }
 
   /** Select one round's BATCH of WordPiece merges — [[selectBpeBatch]]'s

@@ -180,15 +180,81 @@ object Multimodal {
     * mixture run provisions. Deterministic and engine-portable (the
     * md5 order, never rand()).
     *
-    * Scale shape: ONE shuffle on the modality key feeding the running
-    * sum window; only (id, modality, bytes) rows move — payloads stay
-    * in place and the kept ids join back to them at read time.
+    * SPLIT-MERGE running sum (the `ts_sessionize_splitmerge`
+    * discipline) — a bare per-modality window would have exactly
+    * |modalities| ≈ 3 partitions at ANY corpus size, one reducer per
+    * modality as the 100-TB wall clock. Instead:
+    *
+    *   1. items bucket by the first `prefixLen` hex chars of the md5
+    *      stream key — fixed-length-prefix order agrees with full-key
+    *      order, so bucket b's items ALL precede bucket b+1's in the
+    *      stream (the two-level-prefix identity: global exclusive
+    *      sum = whole-buckets-before offset + within-bucket exclusive
+    *      sum);
+    *   2. per-(modality, bucket) byte sums — one map-side-combined
+    *      aggregate, ≤ |modalities|·16^prefixLen rows;
+    *   3. exclusive bucket offsets via a window over that TINY frame,
+    *      kept only while offset < budget — buckets whose offset
+    *      already exceeds the budget can never keep a row
+    *      (stream_pos ≥ offset; byte lengths are non-negative), so
+    *      the pruning join also shrinks the expensive stage to the
+    *      few buckets that straddle the budget;
+    *   4. broadcast the offsets back and run the within-bucket
+    *      running sum partitioned on (modality, bucket) — a hot
+    *      modality now spreads over 16^prefixLen parallel partitions
+    *      instead of one.
+    *
+    * Result-identical to the sequential fill (spec-pinned against
+    * [[budgetSampleSeq]] including over/under-budget boundary items);
+    * the gate shares the sequential oracle unchanged.
     */
   def budgetSample(media: DataFrame, byteBudget: Long,
-                   seed: String = "mbudget"): DataFrame = {
+                   seed: String = "mbudget", prefixLen: Int = 2): DataFrame =
+    budgetSampleFlat(media.select(col("media_id"),
+      col("meta.modality").as("modality"),
+      col("meta.n_bytes").as("n_bytes")), byteBudget, seed, prefixLen)
+
+  /** [[budgetSample]]'s split-merge body over the FLAT
+    * (media_id, modality, n_bytes) projection — shared with the
+    * stored-index serve path ([[mediaBudgetAgainstIndex]]), whose
+    * rows carry no meta struct.
+    */
+  private def budgetSampleFlat(flat: DataFrame, byteBudget: Long,
+                               seed: String, prefixLen: Int): DataFrame = {
     require(byteBudget > 0,
       s"budgetSample: byteBudget must be positive, got $byteBudget " +
         "(the first-item-per-modality guarantee assumes a positive budget)")
+    require(prefixLen >= 1 && prefixLen <= 8,
+      s"budgetSample: prefixLen must be in [1, 8], got $prefixLen")
+    import org.apache.spark.sql.expressions.Window
+    val base = flat.select(col("media_id"), col("modality"), col("n_bytes"),
+        md5(concat(lit(s"$seed:"), col("media_id").cast("string"))).as("shuf"))
+      .withColumn("bkt", substring(col("shuf"), 1, prefixLen))
+    val wk = Window.partitionBy(col("modality")).orderBy(col("bkt"))
+    val offsets = base.groupBy(col("modality"), col("bkt"))
+      .agg(sum(col("n_bytes")).as("bsum"))
+      .withColumn("bkt_off", coalesce(sum(col("bsum")).over(
+        wk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .where(col("bkt_off") < byteBudget)
+      .select(col("modality"), col("bkt"), col("bkt_off"))
+    base.join(broadcast(offsets), Seq("modality", "bkt"))
+      .withColumn("stream_pos", col("bkt_off") + coalesce(sum(col("n_bytes")).over(
+        Window.partitionBy(col("modality"), col("bkt"))
+          .orderBy(col("shuf"), col("media_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .where(col("stream_pos") < byteBudget)
+      .select(col("media_id"), col("modality"), col("n_bytes"), col("stream_pos"))
+  }
+
+  /** The single-window sequential fill — the SPEC REFERENCE for
+    * [[budgetSample]]'s split-merge identity claim (one events-sized
+    * window per modality key: correct, and the hot-modality
+    * single-reducer shape the split-merge retires).
+    */
+  private[graft] def budgetSampleSeq(media: DataFrame, byteBudget: Long,
+                                     seed: String = "mbudget"): DataFrame = {
+    require(byteBudget > 0,
+      s"budgetSampleSeq: byteBudget must be positive, got $byteBudget")
     import org.apache.spark.sql.expressions.Window
     media.select(col("media_id"),
         col("meta.modality").as("modality"),
@@ -201,6 +267,142 @@ object Multimodal {
       .where(col("stream_pos") < byteBudget)
       .select(col("media_id"), col("modality"), col("n_bytes"), col("stream_pos"))
   }
+
+  // -----------------------------------------------------------------
+  // Stored MEDIA INDEX — the multimodal family's lifecycle story
+  // (VERDICT r16 #6): the content-digest metadata index every media
+  // lake keeps beside its blob store. Rows are (media_id, digest,
+  // modality, n_bytes) — digests only, blobs never move — bucketed by
+  // digest so dedup verdicts (a digest-partitioned window) serve
+  // zero-Exchange off the scan. Append / tombstone-takedown (licensed
+  // media) / compact, masked serving for dedup AND budget verdicts —
+  // lifecycle parity with the band/gram/graph/ANN/BM25 families.
+  // -----------------------------------------------------------------
+
+  /** Persist the media index from an ingest frame. The digest is
+    * computed in the scan projection (payload bytes never shuffle);
+    * `_mmeta` pins the bucket count for appends; the previous
+    * generation's tombstones drop (the stale-tombstone rebuild rule).
+    */
+  def writeMediaIndex(media: DataFrame, table: String, nBuckets: Int): Unit = {
+    val spark = media.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_mtombstones")
+    graft.sources.Formats.writeBucketedKeys(
+      media.select(col("media_id"), md5(col("payload")).as("digest"),
+        col("meta.modality").as("modality"),
+        col("meta.n_bytes").as("n_bytes")),
+      s"${table}_media", Seq("digest"), nBuckets)
+    import spark.implicits._
+    Seq(nBuckets).toDF("n_buckets")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_mmeta")
+  }
+
+  /** Append NEW media to a stored index — the nightly crawl delta.
+    * The `_media` table is its own membership ledger: re-ingesting an
+    * id would double its digest group's `n_copies` and let a later
+    * takedown leave a phantom copy, so overlapping ids are a directed
+    * error (the `_sdocs` discipline).
+    */
+  def appendMediaIndex(media: DataFrame, table: String): Unit = {
+    val spark = media.sparkSession
+    require(spark.catalog.tableExists(s"${table}_mmeta"),
+      s"media index '$table' has no ${table}_mmeta table — build it with writeMediaIndex")
+    val nBuckets = spark.table(s"${table}_mmeta").head().getAs[Int]("n_buckets")
+    val overlap = media.select(col("media_id"))
+      .join(spark.table(s"${table}_media").select(col("media_id")), Seq("media_id"),
+        "left_semi")
+      .limit(5).collect().map(_.getLong(0))
+    require(overlap.isEmpty,
+      s"appendMediaIndex: media ids already indexed in '$table' " +
+        s"(e.g. ${overlap.mkString(", ")}) — re-appending double-counts " +
+        "copy groups; append only NEW media (or rebuild the index)")
+    graft.sources.Formats.writeBucketedKeys(
+      media.select(col("media_id"), md5(col("payload")).as("digest"),
+        col("meta.modality").as("modality"),
+        col("meta.n_bytes").as("n_bytes")),
+      s"${table}_media", Seq("digest"), nBuckets, mode = "append")
+  }
+
+  /** Tombstone takedown — licensed/withdrawn media: the ids land in
+    * `<table>_mtombstones` (append-mode) and every serve path masks
+    * them immediately; [[compactMediaIndex]] folds them.
+    */
+  def deleteFromMediaIndex(ids: DataFrame, table: String): Unit = {
+    val spark = ids.sparkSession
+    require(spark.catalog.tableExists(s"${table}_mmeta"),
+      s"media index '$table' has no ${table}_mmeta table — build it with writeMediaIndex")
+    ids.select(col("media_id")).distinct()
+      .write.mode("append").format("parquet")
+      .saveAsTable(s"${table}_mtombstones")
+  }
+
+  /** The index scan with the tombstone mask applied — the only way
+    * serve paths read `<table>_media`. Tombstones are
+    * takedown-cadence-bounded → broadcast anti-join; the bucketed
+    * scan's digest partitioning survives the mask.
+    */
+  private def maskedMediaIndex(spark: org.apache.spark.sql.SparkSession,
+                               table: String): DataFrame = {
+    require(spark.catalog.tableExists(s"${table}_media"),
+      s"media index '$table' has no ${table}_media table — build it with writeMediaIndex")
+    val rows = spark.table(s"${table}_media")
+    val tsT = s"${table}_mtombstones"
+    if (!spark.catalog.tableExists(tsT)) rows
+    else rows.join(
+      broadcast(spark.table(tsT).select(col("media_id")).distinct()),
+      Seq("media_id"), "left_anti")
+  }
+
+  /** Fold accumulated tombstones into the index: survivors rewrite via
+    * write-then-swap (never overwrite-in-place — a failed overwrite
+    * would torch the store), tombstones drop. Result ≡ the one-shot
+    * build over the survivors (digest rows are independent — nothing
+    * trained, nothing pinned).
+    */
+  def compactMediaIndex(table: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    require(spark.catalog.tableExists(s"${table}_mmeta"),
+      s"media index '$table' has no ${table}_mmeta table — build it with writeMediaIndex")
+    val tsT = s"${table}_mtombstones"
+    if (!spark.catalog.tableExists(tsT)) return
+    val nBuckets = spark.table(s"${table}_mmeta").head().getAs[Int]("n_buckets")
+    val survivors = maskedMediaIndex(spark, table).localCheckpoint()
+    graft.sources.Formats.writeBucketedKeys(
+      survivors, s"${table}_media_compacting", Seq("digest"), nBuckets)
+    spark.sql(s"DROP TABLE ${table}_media")
+    spark.sql(s"ALTER TABLE ${table}_media_compacting RENAME TO ${table}_media")
+    spark.sql(s"DROP TABLE $tsT")
+  }
+
+  /** [[dedupPayload]]'s verdicts served from the STORED index: per
+    * surviving digest group, copy count and keep-min — a taken-down
+    * copy neither counts nor keeps the moment its tombstone lands
+    * (the group re-verdicts among survivors: if the kept copy was
+    * taken down, the next-smallest id takes over). Zero-Exchange:
+    * both windows partition on the digest the table is bucketed by.
+    */
+  def mediaDedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                             table: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("digest"))
+    maskedMediaIndex(spark, table)
+      .select(col("media_id"), col("digest"), col("modality"))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("keep",
+        (col("media_id") === min(col("media_id")).over(w)).cast("int"))
+  }
+
+  /** [[budgetSample]] served from the STORED index: the split-merge
+    * byte-budget fill over surviving rows — a takedown immediately
+    * frees its bytes for later items in the md5 stream order (the
+    * sampled corpus re-fills to budget among survivors).
+    */
+  def mediaBudgetAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                              table: String, byteBudget: Long,
+                              seed: String = "mbudget",
+                              prefixLen: Int = 2): DataFrame =
+    budgetSampleFlat(maskedMediaIndex(spark, table)
+      .select(col("media_id"), col("modality"), col("n_bytes")),
+      byteBudget, seed, prefixLen)
 
   /** "Decode + featurize" per partition: a deterministic byte-bucket
     * histogram (16 buckets) standing in for pixel statistics. A real

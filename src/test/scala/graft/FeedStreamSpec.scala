@@ -152,6 +152,29 @@ class FeedStreamSpec extends AnyFunSuite {
       "the sample stops only once the budget is consumed (or items run out)")
   }
 
+  test("modality byte budget: split-merge prefix sum ≡ the sequential fill") {
+    import spark.implicits._
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("media_id"), r.getAs[String]("modality"),
+        r.getAs[Long]("n_bytes"), r.getAs[Long]("stream_pos"))).sortBy(_._1)
+    // fixture with over- and under-budget boundary items across the
+    // md5 order (ids chosen so buckets split within a modality at
+    // prefixLen=1), plus zero-byte items (empty text) — the exact
+    // rows where an off-by-one in the two-level sum would show
+    val docs = (0L to 40L).map(i =>
+      (i, if (i % 7 == 0) "" else "x" * (i % 11).toInt)).toDF("doc_id", "text")
+    val media = Multimodal.ingestMixed(docs)
+    for (budget <- Seq(1L, 5L, 23L, 1000L); pl <- Seq(1, 2, 4))
+      assert(canon(Multimodal.budgetSample(media, budget, prefixLen = pl)) ===
+        canon(Multimodal.budgetSampleSeq(media, budget)),
+        s"budget=$budget prefixLen=$pl")
+    // and on the real corpus at the gate's budget
+    val corpus = Multimodal.ingestMixed(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+    assert(canon(Multimodal.budgetSample(corpus, 4000L)) ===
+      canon(Multimodal.budgetSampleSeq(corpus, 4000L)))
+  }
+
   test("streaming windowAgg over a file source matches the batch twin") {
     val dir = Files.createTempDirectory("stream-in").toString
     val ev = Tables.events(spark, "/root/testdata/sf0.001")

@@ -135,6 +135,46 @@ class PendingTakedownSpec extends AnyFunSuite {
       === spark.table("graft_pend_hier_one_hmeta").head().getAs[Long]("entry"))
   }
 
+  test("media index: pending takedown survives the append; compaction equals the survivor one-shot") {
+    import graft.sources.Multimodal
+    val m = Multimodal.ingestMixed(docs)
+    val removed = col("media_id") % 10 === 3 && col("media_id") < 300
+    Multimodal.writeMediaIndex(m.where(col("media_id") < 300), "graft_pend_media", 4)
+    Multimodal.deleteFromMediaIndex(m.where(removed).select(col("media_id")),
+      "graft_pend_media")
+    Multimodal.appendMediaIndex(m.where(col("media_id") >= 300), "graft_pend_media")
+    def verdicts(t: String) = Multimodal.mediaDedupAgainstIndex(spark, t)
+      .collect().map(r => (r.getAs[Long]("media_id"), r.getAs[String]("digest"),
+        r.getAs[Long]("n_copies"), r.getAs[Int]("keep"))).sorted.toSeq
+    def budget(t: String) = Multimodal.mediaBudgetAgainstIndex(spark, t, 4000L)
+      .collect().map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("stream_pos")))
+      .sorted.toSeq
+    val masked = verdicts("graft_pend_media")
+    assert(!masked.exists { case (id, _, _, _) => id % 10 == 3 && id < 300 },
+      "a tombstoned media item must not verdict after the append")
+    assert(masked.exists(_._1 >= 300), "the delta must serve immediately")
+    // re-appending a pending-takedown id is the directed ledger error
+    // (it still sits in _media — resurrecting it would be ambiguous)
+    val err = intercept[IllegalArgumentException] {
+      Multimodal.appendMediaIndex(m.where(col("media_id") === 3L), "graft_pend_media")
+    }
+    assert(err.getMessage.contains("already indexed"))
+    // survivor one-shot parity, before AND after compaction (digest
+    // rows are independent — nothing trained, nothing pinned)
+    Multimodal.writeMediaIndex(m.where(!removed), "graft_pend_media_one", 4)
+    assert(masked === verdicts("graft_pend_media_one"))
+    assert(budget("graft_pend_media") === budget("graft_pend_media_one"))
+    Multimodal.compactMediaIndex("graft_pend_media")
+    assert(!spark.catalog.tableExists("graft_pend_media_mtombstones"))
+    assert(verdicts("graft_pend_media") === verdicts("graft_pend_media_one"))
+    assert(budget("graft_pend_media") === budget("graft_pend_media_one"))
+    // the stale-tombstone rebuild rule holds for the media family too
+    Multimodal.deleteFromMediaIndex(m.where(col("media_id") === 5L)
+      .select(col("media_id")), "graft_pend_media")
+    Multimodal.writeMediaIndex(m, "graft_pend_media", 4)
+    assert(!spark.catalog.tableExists("graft_pend_media_mtombstones"))
+  }
+
   test("ANN index: pending takedown survives the append; compaction leaves probe answers bit-unchanged") {
     val removed = col("vec_id") % 10 === 9 && col("vec_id") >= 16 &&
       col("vec_id") < 250

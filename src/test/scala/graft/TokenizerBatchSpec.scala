@@ -36,7 +36,7 @@ class TokenizerBatchSpec extends AnyFunSuite {
     // nothing — no conflict at all, so the boundary is absent and the
     // whole list is accepted
     val ranked = Seq(("a", "b", 10L), ("c", "d", 8L), ("e", "f", 6L))
-    assert(TextOps.selectBpeBatch(ranked, 10) === ranked)
+    assert(TextOps.selectBpeBatch(ranked, ranked, 10) === ranked)
   }
 
   test("bpe batch: stops at the first interacting pair and truncates to strict dominance") {
@@ -44,18 +44,18 @@ class TokenizerBatchSpec extends AnyFunSuite {
     // cnt 7; accepted = prefix with cnt > 7 → only rank 1 (rank 2 ties
     // the boundary at 8 > 7 → kept; rank 2 cnt 8 > 7 so kept)
     val ranked = Seq(("a", "b", 10L), ("c", "d", 8L), ("x", "a", 7L), ("e", "f", 6L))
-    assert(TextOps.selectBpeBatch(ranked, 10) === Seq(("a", "b", 10L), ("c", "d", 8L)))
+    assert(TextOps.selectBpeBatch(ranked, ranked, 10) === Seq(("a", "b", 10L), ("c", "d", 8L)))
     // boundary tie: rank 2 cnt equals the conflict cnt → dropped, and
     // the accepted batch shrinks to rank 1
     val tied = Seq(("a", "b", 10L), ("c", "d", 7L), ("x", "a", 7L))
-    assert(TextOps.selectBpeBatch(tied, 10) === Seq(("a", "b", 10L)))
+    assert(TextOps.selectBpeBatch(tied, tied, 10) === Seq(("a", "b", 10L)))
   }
 
   test("bpe batch: falls back to the sequential argmax when the rule accepts nothing") {
     // rank 2 conflicts and ties rank 1's count → strict dominance
     // rejects rank 1 too → fallback = rank 1 alone (exact argmax)
     val ranked = Seq(("a", "b", 10L), ("b", "c", 10L))
-    assert(TextOps.selectBpeBatch(ranked, 10) === Seq(("a", "b", 10L)))
+    assert(TextOps.selectBpeBatch(ranked, ranked, 10) === Seq(("a", "b", 10L)))
   }
 
   test("bpe batch: a product colliding with a live pair member stops the batch") {
@@ -63,13 +63,25 @@ class TokenizerBatchSpec extends AnyFunSuite {
     // merging it would stack new-symbol occurrences onto the existing
     // ("cd","e") count — conflict at rank 2, boundary 8, accept rank 1
     val ranked = Seq(("a", "b", 10L), ("c", "d", 8L), ("cd", "e", 3L))
-    assert(TextOps.selectBpeBatch(ranked, 10) === Seq(("a", "b", 10L)))
+    assert(TextOps.selectBpeBatch(ranked, ranked, 10) === Seq(("a", "b", 10L)))
+  }
+
+  test("bpe batch: a product colliding with a pair BELOW the ranked horizon stops the batch") {
+    // the r16 ADVICE gap: ("c","d") product "cd" lives only in the
+    // full pair stats (as if ranked were truncated at MergeBatchCap) —
+    // members built from `ranked` alone would miss it and accept the
+    // unsound batch; members from fullStats must stop at rank 2
+    val ranked = Seq(("a", "b", 10L), ("c", "d", 8L))
+    val full = ranked ++ Seq(("cd", "e", 3L))
+    assert(TextOps.selectBpeBatch(ranked, full, 10) === Seq(("a", "b", 10L)))
+    // sanity: with the horizon-only stats the unsound batch WOULD pass
+    assert(TextOps.selectBpeBatch(ranked, ranked, 10) === ranked)
   }
 
   test("bpe batch: remaining cap truncates the prefix") {
     val ranked = Seq(("a", "b", 10L), ("c", "d", 8L), ("e", "f", 6L))
-    assert(TextOps.selectBpeBatch(ranked, 2) === Seq(("a", "b", 10L), ("c", "d", 8L)))
-    assert(TextOps.selectBpeBatch(ranked, 0) === Seq.empty)
+    assert(TextOps.selectBpeBatch(ranked, ranked, 2) === Seq(("a", "b", 10L), ("c", "d", 8L)))
+    assert(TextOps.selectBpeBatch(ranked, ranked, 0) === Seq.empty)
   }
 
   // ---------------------------------------------------------------
@@ -185,6 +197,19 @@ class TokenizerBatchSpec extends AnyFunSuite {
       .map { case ((a, b, n), i) => (i + 1, a, b, n) })
     assert(collected.nonEmpty && collected.size < nM,
       s"expected exhaustion below $nM, got ${collected.size}")
+  }
+
+  test("bpe/wordpiece: the collect guard routes oversized type tables to the distributed loop") {
+    val c = Tables.documents(spark, "/root/testdata/sf0.001")
+    val nM = 24
+    // collectMax=0 forces every type table over the bound → the
+    // distributed batched route must produce the identical list the
+    // collected route produces under the default bound (routing is a
+    // plan decision, never a semantics one)
+    assert(TextOps.bpeTrainMerges(c, nM, collectMax = 0L) ===
+      TextOps.bpeTrainMerges(c, nM))
+    assert(TextOps.wordpieceTrainMerges(c, nM, collectMax = 0L) ===
+      TextOps.wordpieceTrainMerges(c, nM))
   }
 
   test("wordpiece: collected trainer equals sequential AND batched through exhaustion") {
