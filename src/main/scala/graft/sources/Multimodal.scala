@@ -349,7 +349,10 @@ object Multimodal {
     val tsT = s"${table}_mtombstones"
     if (!spark.catalog.tableExists(tsT)) rows
     else rows.join(
-      broadcast(spark.table(tsT).select(col("media_id")).distinct()),
+      // no distinct: anti-join is multiplicity-safe, and a distinct
+      // here would put a tombstone-volume exchange in front of the
+      // broadcast (the census spec pins ZERO exchanges on this path)
+      broadcast(spark.table(tsT).select(col("media_id"))),
       Seq("media_id"), "left_anti")
   }
 

@@ -460,4 +460,44 @@ class PlanCensusSpec extends AnyFunSuite {
     assert(shuf.size === 1, s"expected ONLY the qid rank-window exchange, got ${shuf.size}")
     assert(bcast.nonEmpty, "the candidate-sized join sides must broadcast")
   }
+
+  test("multimodal_budget split-merge: the corpus-volume window keys on (modality, bucket); offsets broadcast") {
+    val media = graft.sources.Multimodal.ingestMixed(Tables.documents(spark, dir))
+    val df = graft.sources.Multimodal.budgetSample(media, 4000L)
+    val conf = spark.conf
+    val prev = conf.getOption("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    val (shuf, bcast) = try {
+      df.write.format("noop").mode("overwrite").save()
+      (df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e },
+        df.queryExecution.executedPlan.collect { case b: BroadcastExchangeExec => b })
+    } finally prev.foreach(conf.set("spark.sql.adaptive.enabled", _))
+    // exactly THREE: the (modality, bucket) byte-sum aggregate, the
+    // TINY modality-keyed offset window (≤ |modalities|·256 rows),
+    // and the corpus-volume running-sum window on (modality, bucket)
+    // — the one that was a 3-partition wall before the split-merge.
+    // The offsets must join back as a BROADCAST, never an exchange.
+    assert(shuf.size === 3, s"expected 3 exchanges, got ${shuf.size}")
+    assert(bcast.nonEmpty, "bucket offsets must broadcast back")
+    val corpusWindow = shuf.map(_.outputPartitioning).collect {
+      case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+        if h.expressions.size == 2 => h
+    }
+    assert(corpusWindow.nonEmpty,
+      "the running-sum window must partition on the TWO-column (modality, bucket) key")
+  }
+
+  test("media index dedup verdicts: ZERO exchanges off the digest-bucketed scan, masked or not") {
+    import graft.sources.Multimodal
+    val media = Multimodal.ingestMixed(Tables.documents(spark, dir))
+    Multimodal.writeMediaIndex(media, "graft_media_census", 4)
+    assert(shuffles(Multimodal.mediaDedupAgainstIndex(spark, "graft_media_census"))
+      .isEmpty, "both verdict windows must ride the bucketed scan's partitioning")
+    Multimodal.deleteFromMediaIndex(media.where(col("media_id") % 10 === 7)
+      .select(col("media_id")), "graft_media_census")
+    assert(shuffles(Multimodal.mediaDedupAgainstIndex(spark, "graft_media_census"))
+      .isEmpty, "the tombstone mask is a broadcast anti-join — zero extra exchanges")
+    for (s <- Seq("media", "mmeta", "mtombstones"))
+      spark.sql(s"DROP TABLE IF EXISTS graft_media_census_$s")
+  }
 }
