@@ -2599,6 +2599,42 @@ object OracleSql {
        |FROM exact x LEFT JOIN approx a ON x.qid = a.qid AND x.vid = a.vid
        |GROUP BY x.qid ORDER BY x.qid""".stripMargin
 
+  /** [[graft.operators.Similarity.semanticDecontaminate]]'s mirror:
+    * the shared IVF assignment CTEs (rounded cosine argmax, cid-asc
+    * tie — `a1`), corpus = single top cell of the non-benchmark ids,
+    * benchmark = `crank <= nprobe` probe cells of the every-benchMod
+    * ids, one cell LEFT join, per-vector argmax by (cos DESC, bid
+    * ASC) — the Spark side's max-of-struct with negated bid.
+    */
+  def decontaminateSemantic(nCentroids: Int, nprobe: Int,
+                            threshold: Double, benchMod: Long): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $nCentroids),
+       |a0 AS (
+       |  SELECT e.vec_id, e.v, c.cid, ${R("list_cosine_similarity(e.v, c.cv)")} AS ccos
+       |  FROM e CROSS JOIN c),
+       |a1 AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+       |  FROM a0),
+       |corpus AS (SELECT vec_id, v, cid AS cell FROM a1
+       |           WHERE crank = 1 AND vec_id % $benchMod != 0),
+       |bench AS (SELECT vec_id AS bid, v AS bv, cid AS cell FROM a1
+       |          WHERE vec_id % $benchMod = 0 AND crank <= $nprobe),
+       |s AS (
+       |  SELECT co.vec_id, co.cell, b.bid,
+       |         ${R("list_cosine_similarity(co.v, b.bv)")} AS cos
+       |  FROM corpus co JOIN bench b ON co.cell = b.cell),
+       |r AS (
+       |  SELECT vec_id, bid, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, bid) AS rk
+       |  FROM s),
+       |best AS (SELECT vec_id, bid, cos FROM r WHERE rk = 1)
+       |SELECT co.vec_id, co.cell, b.cos AS max_cos, b.bid AS bench_id,
+       |       COALESCE(b.cos >= $threshold, FALSE) AS flagged
+       |FROM corpus co LEFT JOIN best b ON co.vec_id = b.vec_id
+       |ORDER BY co.vec_id""".stripMargin
+
   def dedupSemantic(nCentroids: Int, threshold: Double): String =
     // NULL embeddings are excluded on BOTH sides: the Spark operator
     // guards v.isNotNull, so the one-row-per-vector contract means

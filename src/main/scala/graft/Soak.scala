@@ -243,6 +243,12 @@ object Soak {
       // measure factor²× pair evaluations — the dataset's choice, not
       // the plan's
       "dedup_semantic" -> (() => Similarity.semanticDedup(emb, 16 * factor, 0.3)),
+      // corpus grows, benchmark stays eval-suite-sized (benchMod
+      // scales with factor so |bench| is constant — the production
+      // shape: the eval suite does not grow with the crawl); same
+      // √n-centroids law as dedup_semantic
+      "decontaminate_semantic" -> (() =>
+        Similarity.semanticDecontaminate(emb, 16 * factor, 2, 0.3, 50L * factor)),
       "text_tfidf" -> (() => TextOps.tfidf(docs, 3)),
       // the vocab-count exchange + doc-keyed agg (the only r7-added
       // operator without a recorded soak ratio — VERDICT r7 #3);

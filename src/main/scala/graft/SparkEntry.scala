@@ -334,6 +334,13 @@ object SparkEntry {
       Similarity.semanticDedup(Tables.embeddings(s, dir), 16, 0.3)
         .orderBy(col("vec_id"))),
 
+    // embedding-space eval decontamination: benchmark = every 50th
+    // vec_id (the n-gram decon convention), nprobe=2 probe cells on
+    // the tiny benchmark side, flag at rounded cosine >= 0.3
+    "decontaminate_semantic" -> ((s, dir) =>
+      Similarity.semanticDecontaminate(Tables.embeddings(s, dir), 16, 2, 0.3)
+        .orderBy(col("vec_id"))),
+
     // corpus-wide kNN graph (top-3 same-cell neighbours per vector):
     // the batch primitive under graph ANN / graph dedup
     "ann_knn_graph" -> ((s, dir) =>
@@ -3195,6 +3202,7 @@ object SparkEntry {
     "ann_topk" -> OracleSql.annTopK(5, 5),
     "embed_cosine_dup" -> OracleSql.embedCosineDup(0.3),
     "dedup_semantic" -> OracleSql.dedupSemantic(16, 0.3),
+    "decontaminate_semantic" -> OracleSql.decontaminateSemantic(16, 2, 0.3, 50L),
     "ann_knn_graph" -> OracleSql.annKnnGraph(16, 3),
     "ann_knn_graph_routed" -> OracleSql.annKnnGraphRouted(16, 4, 4, 4, 3),
     "ann_routed_agreement" -> OracleSql.annRoutedAgreement(16, 4, 4, 3),

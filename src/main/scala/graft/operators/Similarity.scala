@@ -393,6 +393,68 @@ object Similarity {
       graft.functions.IvfCell.encode(cents.map(_._1), cents.map(_._2)), threshold)
   }
 
+  /** SEMANTIC decontamination: flag every training vector whose
+    * embedding sits within rounded-cosine `threshold` of ANY benchmark
+    * vector — the paraphrase-level eval-overlap check that n-gram
+    * decontamination ([[graft.operators.TextOps.decontaminate]],
+    * GPT-3/C4 rule) structurally misses: a reworded eval item shares
+    * no 4-gram with its source but lands next to it in embedding
+    * space (the contamination mode documented in Yang et al. 2023,
+    * "Rethinking Benchmark and Contamination ... ", arXiv:2311.04850).
+    * Benchmark = `vec_id % benchMod == 0` (the n-gram decon gate's
+    * every-50th-doc convention on the vector table); output = one row
+    * per NON-benchmark non-null vector: (vec_id, cell, max_cos,
+    * bench_id, flagged) — the 39/39a pairing in one frame: `flagged`
+    * decides (max_cos ≥ threshold), `max_cos` + the witness
+    * `bench_id` explain, NULL max_cos when no benchmark vector probes
+    * the training vector's cell.
+    *
+    * Same never-all-pairs discipline as [[semanticDedup]], with the
+    * multi-probe side flipped onto the TINY frame: the corpus keeps
+    * its zero-exchange single-cell assignment (the codebook rides
+    * inside `graft_ivf_cell`), while the benchmark — eval suites are
+    * tiny by construction, the 39 broadcast argument — explodes its
+    * `nprobe` nearest cells so a training vector on a cell boundary
+    * is still caught, then BROADCASTs into one cell equi-join. A
+    * (corpus, bench) pair can't generate twice: the corpus side holds
+    * exactly one cell, the bench side `nprobe` DISTINCT cells. The
+    * only exchange after the scan is the (vec_id, cell) aggregate of
+    * compact scalar rows, partial-agged map-side; at 100 TB the plan
+    * is one corpus scan + one broadcast + one compact exchange.
+    */
+  def semanticDecontaminate(embeddings: DataFrame, nCentroids: Int,
+                            nprobe: Int, threshold: Double,
+                            benchMod: Long = 50L): DataFrame = {
+    VectorExprs.register(embeddings.sparkSession)
+    val enc = quantizer(embeddings, nCentroids)
+    // coalesce sentinel: see annIvfTopK — keeps `cell` non-nullable so
+    // the equi-join doesn't re-run the argmax under an isnotnull guard
+    val corpus = prepared(embeddings)
+      .where(col("v").isNotNull && pmod(col("vec_id"), lit(benchMod)) =!= 0)
+      .withColumn("cell", expr(s"coalesce(graft_ivf_cell(v, '$enc'), -1L)"))
+    val bench = prepared(embeddings)
+      .where(col("v").isNotNull && pmod(col("vec_id"), lit(benchMod)) === 0)
+      .select(col("vec_id").as("bid"), col("v").as("bv"), col("norm").as("bn"),
+        explode(expr(s"coalesce(graft_ivf_cells(v, '$enc', $nprobe), array(-1L))"))
+          .as("pcell"))
+    val cos = r3(expr("graft_vec_dot(v, bv)") / (col("norm") * col("bn")))
+    // LEFT join so witness-less vectors survive as one null-extended
+    // row (the semanticDedupWith lesson — no third corpus scan); the
+    // threshold stays OUT of the join condition because the report
+    // publishes max_cos over ALL cell-sharing benchmark vectors, not
+    // just the flagging ones. Witness = argmax by (cos, -bid): max of
+    // a when()-guarded struct ignores the null-extended rows, and the
+    // negated bid makes the lexicographic max break cos ties toward
+    // the LOWEST benchmark id — deterministic on both engines.
+    corpus.join(broadcast(bench), col("cell") === col("pcell"), "left")
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(max(when(col("bid").isNotNull,
+        struct(cos.as("c"), (-col("bid")).as("nb")))).as("w"))
+      .select(col("vec_id"), col("cell"),
+        col("w.c").as("max_cos"), (-col("w.nb")).as("bench_id"),
+        coalesce(col("w.c") >= threshold, lit(false)).as("flagged"))
+  }
+
   /** kNN GRAPH over the whole corpus: for EVERY vector, its k nearest
     * neighbours (by rounded cosine) among the vectors assigned to its
     * `nprobe` NEAREST cells — the batch primitive under graph-based

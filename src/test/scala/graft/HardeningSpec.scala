@@ -258,6 +258,65 @@ class HardeningSpec extends AnyFunSuite {
     assert(err.getMessage.contains("codebook"))
   }
 
+  test("semanticDecontaminate flags exactly the probe-cell cosine witnesses") {
+    val emb = Tables.embeddings(spark, dir)
+    VectorExprs.register(spark)
+    // independent cell/probe map: BNLJ + row_number argmax, no IvfCell
+    val e = Similarity.prepared(emb)
+    val c = Similarity.prepared(emb).where(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))
+    val ranked = e.join(broadcast(c))
+      .withColumn("ccos", r3c(expr("graft_vec_dot(v, cv)") / (col("norm") * col("cnorm"))))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))))
+    val cellOf = ranked.where(col("crank") === 1)
+      .select(col("vec_id"), col("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probesOf = ranked.where(col("crank") <= 2)
+      .select(col("vec_id"), col("cid"))
+      .collect().groupBy(_.getLong(0)).map { case (v, rs) => v -> rs.map(_.getLong(1)).toSet }
+    // brute-force reference: per training vector, max rounded cosine
+    // (tie -> lowest bid) over benchmark vectors probing its cell
+    val vecs = e.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Number](1).map(_.doubleValue()).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.floor(d / (math.sqrt(na) * math.sqrt(nb)) * 1000.0 + 0.5001) / 1000.0
+    }
+    val benchIds = vecs.keys.filter(_ % 50 == 0).toSeq.sorted
+    val corpusIds = vecs.keys.filter(_ % 50 != 0).toSeq.sorted
+    val ref = corpusIds.map { vid =>
+      val hits = benchIds.filter(b => probesOf(b).contains(cellOf(vid)))
+        .map(b => (cos(vecs(vid), vecs(b)), b))
+      val best = hits.sortBy { case (cs, b) => (-cs, b) }.headOption
+      vid -> best
+    }.toMap
+    val got = Similarity.semanticDecontaminate(emb, 16, 2, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getBoolean(4)))
+    assert(got.length === corpusIds.length, "one row per non-benchmark vector")
+    got.foreach { case (vid, cell, maxCos, bid, flagged) =>
+      assert(cell === cellOf(vid), s"vec $vid: cell mismatch")
+      assert(maxCos === ref(vid).map(_._1), s"vec $vid: max_cos mismatch")
+      assert(bid === ref(vid).map(_._2), s"vec $vid: witness mismatch")
+      assert(flagged === ref(vid).exists(_._1 >= 0.3), s"vec $vid: flag mismatch")
+    }
+    // non-trivial on this corpus: both outcomes occur, and at least
+    // one witness reaches its training vector only through its SECOND
+    // probe cell (the boundary case nprobe exists for)
+    assert(got.exists(_._5) && got.exists(!_._5), "flags must be mixed")
+    val viaSecondProbe = got.collect {
+      case (vid, _, _, Some(bid), _) if cellOf(bid) != cellOf(vid) => (vid, bid)
+    }
+    assert(viaSecondProbe.nonEmpty,
+      "no witness via the second probe cell — nprobe path unexercised")
+    // benchmark vectors are never in the output
+    assert(got.forall(_._1 % 50 != 0))
+  }
+
   // ---------------- rangeJoin skew + typing ----------------
 
   test("rangeJoin is exact under pathological long intervals (span >> width)") {

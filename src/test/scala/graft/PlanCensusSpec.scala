@@ -500,4 +500,19 @@ class PlanCensusSpec extends AnyFunSuite {
     for (s <- Seq("media", "mmeta", "mtombstones"))
       spark.sql(s"DROP TABLE IF EXISTS graft_media_census_$s")
   }
+
+  test("decontaminate_semantic: benchmark broadcasts; only the compact verdict aggregate shuffles") {
+    val df = Similarity.semanticDecontaminate(
+      Tables.embeddings(spark, dir), 16, 2, 0.3)
+    val shuf = shuffles(df)
+    // exactly ONE: the (vec_id, cell) verdict aggregate of scalar
+    // rows, partial-agged map-side — cell assignment is a projection
+    // on the scan (codebook inside graft_ivf_cell) and the tiny
+    // probe-exploded benchmark side joins in as a BROADCAST, so the
+    // corpus-volume vector stream never crosses the wire
+    assert(shuf.size === 1, s"expected 1 exchange, got ${shuf.size}")
+    val bcast = df.queryExecution.executedPlan.collect {
+      case b: BroadcastExchangeExec => b }
+    assert(bcast.nonEmpty, "the benchmark side must broadcast")
+  }
 }
