@@ -2607,7 +2607,12 @@ object OracleSql {
     * ASC) — the Spark side's max-of-struct with negated bid.
     */
   def decontaminateSemantic(nCentroids: Int, nprobe: Int,
-                            threshold: Double, benchMod: Long): String =
+                            threshold: Double, benchMod: Long,
+                            mask: String = "TRUE"): String =
+    // `mask` filters corpus AND bench MEMBERSHIP only (the stored
+    // face's takedown); the codebook CTE `c` stays unmasked — the
+    // store's quantizer is pinned in `_meta` at build time, so a
+    // takedown never re-seeds centroids
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |           WHERE embedding IS NOT NULL),
        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $nCentroids),
@@ -2618,9 +2623,9 @@ object OracleSql {
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
        |  FROM a0),
        |corpus AS (SELECT vec_id, v, cid AS cell FROM a1
-       |           WHERE crank = 1 AND vec_id % $benchMod != 0),
+       |           WHERE crank = 1 AND vec_id % $benchMod != 0 AND ($mask)),
        |bench AS (SELECT vec_id AS bid, v AS bv, cid AS cell FROM a1
-       |          WHERE vec_id % $benchMod = 0 AND crank <= $nprobe),
+       |          WHERE vec_id % $benchMod = 0 AND crank <= $nprobe AND ($mask)),
        |s AS (
        |  SELECT co.vec_id, co.cell, b.bid,
        |         ${R("list_cosine_similarity(co.v, b.bv)")} AS cos

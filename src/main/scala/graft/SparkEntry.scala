@@ -341,6 +341,21 @@ object SparkEntry {
       Similarity.semanticDecontaminate(Tables.embeddings(s, dir), 16, 2, 0.3)
         .orderBy(col("vec_id"))),
 
+    // the stored face under takedown: corpus and benchmark both come
+    // from the masked graph store (vec 100 is a TOMBSTONED benchmark
+    // member — its would-be flags vanish; %10==7 corpus vectors leave
+    // the report), probe cells from the _meta-pinned quantizer
+    "decontaminate_semantic_stored" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeKnnGraph(emb, 16, 4, "graft_decon_store", 8, 2)
+      Similarity.deleteFromKnnGraph(
+        emb.where((col("vec_id") % 10 === 7 || col("vec_id") === 100) &&
+            col("vec_id") >= 16)
+          .select(col("vec_id")), "graft_decon_store")
+      Similarity.semanticDecontaminateStored(s, "graft_decon_store", 2, 0.3)
+        .orderBy(col("vec_id"))
+    }),
+
     // corpus-wide kNN graph (top-3 same-cell neighbours per vector):
     // the batch primitive under graph ANN / graph dedup
     "ann_knn_graph" -> ((s, dir) =>
@@ -3203,6 +3218,8 @@ object SparkEntry {
     "embed_cosine_dup" -> OracleSql.embedCosineDup(0.3),
     "dedup_semantic" -> OracleSql.dedupSemantic(16, 0.3),
     "decontaminate_semantic" -> OracleSql.decontaminateSemantic(16, 2, 0.3, 50L),
+    "decontaminate_semantic_stored" -> OracleSql.decontaminateSemantic(16, 2, 0.3, 50L,
+      "NOT ((vec_id % 10 = 7 OR vec_id = 100) AND vec_id >= 16)"),
     "ann_knn_graph" -> OracleSql.annKnnGraph(16, 3),
     "ann_knn_graph_routed" -> OracleSql.annKnnGraphRouted(16, 4, 4, 4, 3),
     "ann_routed_agreement" -> OracleSql.annRoutedAgreement(16, 4, 4, 3),

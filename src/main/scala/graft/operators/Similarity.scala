@@ -429,11 +429,44 @@ object Similarity {
     val enc = quantizer(embeddings, nCentroids)
     // coalesce sentinel: see annIvfTopK — keeps `cell` non-nullable so
     // the equi-join doesn't re-run the argmax under an isnotnull guard
-    val corpus = prepared(embeddings)
-      .where(col("v").isNotNull && pmod(col("vec_id"), lit(benchMod)) =!= 0)
+    val base = prepared(embeddings).where(col("v").isNotNull)
       .withColumn("cell", expr(s"coalesce(graft_ivf_cell(v, '$enc'), -1L)"))
-    val bench = prepared(embeddings)
-      .where(col("v").isNotNull && pmod(col("vec_id"), lit(benchMod)) === 0)
+    semanticDeconCore(base, enc, nprobe, threshold, benchMod)
+  }
+
+  /** [[semanticDecontaminate]] served from a STORED kNN-graph store's
+    * node table — the audit-the-artifact-you-serve face (the 48p
+    * discipline): corpus AND benchmark come from the MASKED store, so
+    * a takedown removes a vector from both sides immediately (a
+    * taken-down benchmark item stops flagging anyone; a taken-down
+    * training vector stops being reported), cells are the STORED
+    * assignments and probe cells come from the `_meta`-PINNED
+    * quantizer — the audit can never silently run under a different
+    * codebook than the artifact it audits.
+    */
+  def semanticDecontaminateStored(spark: org.apache.spark.sql.SparkSession,
+                                  table: String, nprobe: Int,
+                                  threshold: Double,
+                                  benchMod: Long = 50L): DataFrame = {
+    VectorExprs.register(spark)
+    require(spark.catalog.tableExists(s"${table}_nodes"),
+      s"kNN graph '$table' has no ${table}_nodes table — build it with writeKnnGraph")
+    val enc = spark.table(s"${table}_meta").collect().head.getAs[String]("enc")
+    val (mNodes, _) = maskedGraphStore(spark, table)
+    // stored nodes already carry the build-time cell — no re-assignment
+    val base = mNodes.select(col("vec_id"), col("v"), col("cell"))
+      .withColumn("norm", sqrt(expr("graft_vec_dot(v, v)")))
+    semanticDeconCore(base, enc, nprobe, threshold, benchMod)
+  }
+
+  /** Shared verdict core of the two decontamination faces: `base` =
+    * (vec_id, v, norm, cell) for every candidate vector; the
+    * every-`benchMod` ids are the benchmark, the rest the corpus.
+    */
+  private def semanticDeconCore(base: DataFrame, enc: String, nprobe: Int,
+                                threshold: Double, benchMod: Long): DataFrame = {
+    val corpus = base.where(pmod(col("vec_id"), lit(benchMod)) =!= 0)
+    val bench = base.where(pmod(col("vec_id"), lit(benchMod)) === 0)
       .select(col("vec_id").as("bid"), col("v").as("bv"), col("norm").as("bn"),
         explode(expr(s"coalesce(graft_ivf_cells(v, '$enc', $nprobe), array(-1L))"))
           .as("pcell"))

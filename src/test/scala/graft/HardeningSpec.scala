@@ -317,6 +317,39 @@ class HardeningSpec extends AnyFunSuite {
     assert(got.forall(_._1 % 50 != 0))
   }
 
+  test("semanticDecontaminateStored: takedown masks both sides; parity with recompute on survivors") {
+    val emb = Tables.embeddings(spark, dir)
+    val t = "graft_decon_spec"
+    try {
+      Similarity.writeKnnGraph(emb, 16, 4, t, 4, 2)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy(col("vec_id")).collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getBoolean(4)))
+      // untombstoned store == the recompute face exactly
+      val full = rows(Similarity.semanticDecontaminateStored(spark, t, 2, 0.3))
+      assert(full === rows(Similarity.semanticDecontaminate(emb, 16, 2, 0.3)))
+      // benchmark vec 100 must be a live witness before the takedown,
+      // or the bench-side masking below is unobservable
+      assert(full.exists(_._4.contains(100L)), "vec 100 never witnesses — fixture too weak")
+      val td = (col("vec_id") % 10 === 7 || col("vec_id") === 100) && col("vec_id") >= 16
+      Similarity.deleteFromKnnGraph(emb.where(td).select(col("vec_id")), t)
+      val masked = rows(Similarity.semanticDecontaminateStored(spark, t, 2, 0.3))
+      // tombstoned corpus ids leave the report; the tombstoned
+      // benchmark member stops witnessing anyone
+      assert(masked.forall { case (vid, _, _, _, _) => !(vid % 10 == 7 && vid >= 16) })
+      assert(masked.forall(!_._4.contains(100L)))
+      // and the masked store == the recompute face over the SURVIVORS
+      // (the takedown spares the codebook ids, so the pinned quantizer
+      // equals the survivors' first-16 — the parity precondition)
+      assert(masked === rows(Similarity.semanticDecontaminate(emb.where(!td), 16, 2, 0.3)))
+    } finally {
+      for (s <- Seq("nodes", "edges", "meta", "gtombstones"))
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_$s")
+    }
+  }
+
   // ---------------- rangeJoin skew + typing ----------------
 
   test("rangeJoin is exact under pathological long intervals (span >> width)") {
