@@ -2640,6 +2640,26 @@ object OracleSql {
        |FROM corpus co LEFT JOIN best b ON co.vec_id = b.vec_id
        |ORDER BY co.vec_id""".stripMargin
 
+  /** [[graft.operators.Similarity.semanticDedupRouted]]'s mirror: the
+    * shared routed-assignment CTEs decide each vector's top-1 cell
+    * (crank = 1 — the flat argmax's tie order over the visited set),
+    * then the dedupSemantic survivor CTEs run unchanged over the
+    * routed cells.
+    */
+  def dedupSemanticRouted(nCentroids: Int, kCentGraph: Int, beam: Int,
+                          rounds: Int, threshold: Double): String =
+    s"""WITH ${routedCtes(nCentroids, kCentGraph, beam, rounds)},
+       |rasg AS (SELECT r.vec_id, r.cid AS cell, e.v
+       |         FROM rvis r JOIN e ON e.vec_id = r.vec_id WHERE r.crank = 1),
+       |dup AS (
+       |  SELECT DISTINCT a.vec_id
+       |  FROM rasg a JOIN rasg b
+       |    ON a.cell = b.cell AND b.vec_id < a.vec_id
+       |   AND ${R("list_cosine_similarity(a.v, b.v)")} >= $threshold)
+       |SELECT a.vec_id, a.cell, (d.vec_id IS NOT NULL) AS dropped
+       |FROM rasg a LEFT JOIN dup d ON d.vec_id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
   def dedupSemantic(nCentroids: Int, threshold: Double): String =
     // NULL embeddings are excluded on BOTH sides: the Spark operator
     // guards v.isNotNull, so the one-row-per-vector contract means

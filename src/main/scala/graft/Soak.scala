@@ -243,12 +243,39 @@ object Soak {
       // measure factor²× pair evaluations — the dataset's choice, not
       // the plan's
       "dedup_semantic" -> (() => Similarity.semanticDedup(emb, 16 * factor, 0.3)),
+      // the routed face under the SAME √n-centroids codebook: the
+      // walk prices assignment at n·rounds·beam·kCentGraph·d
+      // (independent of k) vs the flat face's n·k·d — the pair of
+      // entries IS the Θ(n^1.5) vs Θ(n) comparison at matched k
+      "dedup_semantic_routed" -> (() =>
+        Similarity.semanticDedupRouted(emb, 16 * factor, 4, 4, 3, 0.3)),
       // corpus grows, benchmark stays eval-suite-sized (benchMod
       // scales with factor so |bench| is constant — the production
-      // shape: the eval suite does not grow with the crawl); same
-      // √n-centroids law as dedup_semantic
-      "decontaminate_semantic" -> (() =>
-        Similarity.semanticDecontaminate(emb, 16 * factor, 2, 0.3, 50L * factor)),
+      // shape: the eval suite does not grow with the crawl). TWO
+      // fixture traps this entry documents:
+      //  - the codebook stays FIXED, deliberately NOT dedup_semantic's
+      //    √n-centroids law: decon's pair volume is n·|bench|·nprobe/k
+      //    — linear in n at ANY fixed k because the benchmark side
+      //    never grows — while k ∝ factor makes the flat cell
+      //    assignment the Θ(n^1.5·d) wall (measured: 90× for 10×,
+      //    tracking the n·k·d assignment term exactly);
+      //  - ids must be DENSE for `benchMod ∝ factor` to mean "fixed
+      //    benchmark": scaleEmbeddings' 1e9 replica offset is ≡ 0 mod
+      //    50·factor, so under it the benchmark was every replica of
+      //    vector 0 — |bench| ∝ factor, pair volume quadratic
+      //    (measured 3.07× for the 100→200 doubling; dense ids 2×)
+      "decontaminate_semantic" -> (() => {
+        val nBase = Tables.embeddings(spark, sfDir).count()
+        // MATERIALIZED (the mediaHot rule): the operator scans its
+        // input three times (quantizer collect, corpus side, bench
+        // side) — unmaterialized, the crossJoin generator re-runs per
+        // scan and ITS wall is what the soak reads at the tail
+        val embDense = Tables.embeddings(spark, sfDir)
+          .crossJoin(rep(spark, factor))
+          .withColumn("vec_id", col("vec_id") + col("_rep") * nBase)
+          .drop("_rep").localCheckpoint()
+        Similarity.semanticDecontaminate(embDense, 16, 2, 0.3, 50L * factor)
+      }),
       "text_tfidf" -> (() => TextOps.tfidf(docs, 3)),
       // the vocab-count exchange + doc-keyed agg (the only r7-added
       // operator without a recorded soak ratio — VERDICT r7 #3);

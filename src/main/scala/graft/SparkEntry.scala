@@ -334,6 +334,13 @@ object SparkEntry {
       Similarity.semanticDedup(Tables.embeddings(s, dir), 16, 0.3)
         .orderBy(col("vec_id"))),
 
+    // SemDeDup under graph-routed assignment (the ann_knn_graph_routed
+    // budget): cells from the centroid-graph beam walk instead of the
+    // Θ(n^1.5·d) flat argmax — the 100-TB codebook form
+    "dedup_semantic_routed" -> ((s, dir) =>
+      Similarity.semanticDedupRouted(Tables.embeddings(s, dir), 16, 4, 4, 3, 0.3)
+        .orderBy(col("vec_id"))),
+
     // embedding-space eval decontamination: benchmark = every 50th
     // vec_id (the n-gram decon convention), nprobe=2 probe cells on
     // the tiny benchmark side, flag at rounded cosine >= 0.3
@@ -3217,6 +3224,7 @@ object SparkEntry {
     "ann_topk" -> OracleSql.annTopK(5, 5),
     "embed_cosine_dup" -> OracleSql.embedCosineDup(0.3),
     "dedup_semantic" -> OracleSql.dedupSemantic(16, 0.3),
+    "dedup_semantic_routed" -> OracleSql.dedupSemanticRouted(16, 4, 4, 3, 0.3),
     "decontaminate_semantic" -> OracleSql.decontaminateSemantic(16, 2, 0.3, 50L),
     "decontaminate_semantic_stored" -> OracleSql.decontaminateSemantic(16, 2, 0.3, 50L,
       "NOT ((vec_id % 10 = 7 OR vec_id = 100) AND vec_id >= 16)"),

@@ -393,6 +393,33 @@ object Similarity {
       graft.functions.IvfCell.encode(cents.map(_._1), cents.map(_._2)), threshold)
   }
 
+  /** [[semanticDedup]] with GRAPH-ROUTED cell assignment — SemDeDup's
+    * 100-TB form: keeping Σ cell² linear forces the √n-centroids law,
+    * and under it the FLAT all-centroids argmax is the Θ(n^1.5·d)
+    * wall the r14 factor-100 soak diagnosed for graph builds; the
+    * [[routedCells]] beam walk prices assignment at
+    * n·rounds·beam·kCentGraph·d, INDEPENDENT of the codebook size —
+    * the same FAISS HNSW-coarse-quantizer recipe the routed graph
+    * tier uses, applied to the dedup verdict. Cells are the walk's
+    * top-1 (crank = 1, the flat argmax's exact tie order); the
+    * within-cell LEFT-join survivor core is shared verbatim with the
+    * flat face. With a full budget (complete centroid graph, beam ≥
+    * k) the output is byte-equal to [[semanticDedup]] (spec); at a
+    * tight budget the routing is approximate and
+    * [[routedAgreement]]'s table prices what the budget buys.
+    */
+  def semanticDedupRouted(embeddings: DataFrame, nCentroids: Int,
+                          kCentGraph: Int, beam: Int, rounds: Int,
+                          threshold: Double): DataFrame = {
+    VectorExprs.register(embeddings.sparkSession)
+    val asg = routedCells(embeddings, nCentroids, kCentGraph, beam, rounds)
+      .where(col("crank") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val assigned = prepared(embeddings).where(col("v").isNotNull)
+      .join(asg, "vec_id")
+    semanticDedupCore(assigned, threshold)
+  }
+
   /** SEMANTIC decontamination: flag every training vector whose
     * embedding sits within rounded-cosine `threshold` of ANY benchmark
     * vector — the paraphrase-level eval-overlap check that n-gram
@@ -2131,6 +2158,14 @@ object Similarity {
     val assigned = prepared(embeddings)
       .where(col("v").isNotNull)
       .withColumn("cell", expr(s"coalesce(graft_ivf_cell(v, '$enc'), -1L)"))
+    semanticDedupCore(assigned, threshold)
+  }
+
+  /** The survivor-verdict core shared by the flat, trained and ROUTED
+    * SemDeDup faces: `assigned` = (vec_id, v, norm, cell).
+    */
+  private def semanticDedupCore(assigned: DataFrame,
+                                threshold: Double): DataFrame = {
     val earlier = assigned.select(col("vec_id").as("vid_b"),
       col("cell").as("cell_b"), col("v").as("vb"), col("norm").as("nb"))
     val cos = r3(expr("graft_vec_dot(v, vb)") / (col("norm") * col("nb")))

@@ -73,6 +73,24 @@ class GraphSearchSpec extends AnyFunSuite {
     info(s"gate-budget routed agreement = ${agree.getAs[Double]("agree_frac")}")
   }
 
+  test("routed SemDeDup with a full budget equals the flat face exactly; tight budget keeps the one-row-per-vector contract") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    // full budget: complete centroid graph + beam 16 ≥ k — routing IS
+    // the flat argmax (same tie order), so cells AND verdicts match
+    val flat = rows(Similarity.semanticDedup(emb, 16, 0.3))
+    assert(rows(Similarity.semanticDedupRouted(emb, 16, 15, 16, 1, 0.3)) === flat)
+    // gate budget: approximate routing, but the output contract holds
+    // — one row per non-null vector, verdicts from the routed cells
+    val tight = rows(Similarity.semanticDedupRouted(emb, 16, 4, 4, 3, 0.3))
+    assert(tight.length === flat.length)
+    assert(tight.map(_._1) === flat.map(_._1))
+    // the budget walk must land SOME vectors off their flat cell on
+    // this corpus, or the gate would silently test the flat path
+    assert(tight !== flat, "tight-budget routing equals flat — budget too loose to distinguish")
+  }
+
   test("routed store: two-batch append equals the one-shot build in nodes, edges AND probes; flat/routed appends cross-refuse") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     Similarity.writeKnnGraphRouted(emb, 16, 4, 4, 4, 3, "graft_knngr_one", 4, 2)
