@@ -247,8 +247,33 @@ object Soak {
       // walk prices assignment at n·rounds·beam·kCentGraph·d
       // (independent of k) vs the flat face's n·k·d — the pair of
       // entries IS the Θ(n^1.5) vs Θ(n) comparison at matched k
-      "dedup_semantic_routed" -> (() =>
-        Similarity.semanticDedupRouted(emb, 16 * factor, 4, 4, 3, 0.3)),
+      // the walk budget must cover the centroid graph's DIAMETER:
+      // every vector walks from the shared entry, so only the
+      // entry's rounds-hop ball (≤ deg^rounds cells) is reachable AT
+      // ALL — at fixed rounds=3/deg=4 that is ≤ 85 cells no matter
+      // how large k grows, Σcell² degenerates toward n²/85 and the
+      // verdict join goes quadratic (measured: the verdict delta read
+      // 18.0→77.9s for a 100→200 doubling while the assignment stage
+      // stayed linear 8.1→15.8s — the r16 reachability finding's
+      // class, at the cell level). rounds = ceil(log_deg k) restores
+      // full-codebook reachability at log cost — HNSW's own regime.
+      "dedup_semantic_routed" -> (() => {
+        val k = 16 * factor
+        val rounds = math.max(3,
+          math.ceil(math.log(k.toDouble) / math.log(4.0)).toInt)
+        Similarity.semanticDedupRouted(emb, k, 4, 4, rounds, 0.3)
+      }),
+      // attribution probe for the routed face's growth terms: the
+      // assignment stage alone (centroid k² graph + beam walk, no
+      // verdict join) — its delta vs dedup_semantic_routed separates
+      // the centroid-graph build and walk from the Σcell² verdict join
+      "routed_cells_assign" -> (() => {
+        val k = 16 * factor
+        val rounds = math.max(3,
+          math.ceil(math.log(k.toDouble) / math.log(4.0)).toInt)
+        Similarity.routedCells(emb, k, 4, 4, rounds)
+          .where(col("crank") === 1).select(col("vec_id"), col("cid"))
+      }),
       // corpus grows, benchmark stays eval-suite-sized (benchMod
       // scales with factor so |bench| is constant — the production
       // shape: the eval suite does not grow with the crawl). TWO

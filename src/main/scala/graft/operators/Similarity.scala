@@ -407,6 +407,21 @@ object Similarity {
     * k) the output is byte-equal to [[semanticDedup]] (spec); at a
     * tight budget the routing is approximate and
     * [[routedAgreement]]'s table prices what the budget buys.
+    *
+    * Budget rule the soak measured the hard way: `rounds` must cover
+    * the centroid graph's DIAMETER (≈ log_kCentGraph k — HNSW's hop
+    * bound). Every vector walks from the shared entry, so only the
+    * entry's rounds-hop ball (≤ kCentGraph^rounds cells) is reachable
+    * at all; rounds too small for k caps the effective codebook
+    * there, and the within-cell verdict join's Σ cell² degenerates
+    * toward n²/ball — quadratic — while assignment stays linear (the
+    * r16 directed-reachability finding's class, at the cell level).
+    * At rounds ≈ log_deg k the routed face beats flat 1.9-2.3× at
+    * k = 1600-3200 (SOAK_r17), with a residual skew term at the
+    * largest k — a deg/beam of 4 is a THIN navigation graph at 3200
+    * cells, so beam/deg should grow with log k too (HNSW's ef
+    * scaling) when the codebook keeps growing; the flat face stays
+    * the exact-assignment fallback.
     */
   def semanticDedupRouted(embeddings: DataFrame, nCentroids: Int,
                           kCentGraph: Int, beam: Int, rounds: Int,
@@ -623,8 +638,8 @@ object Similarity {
       .select(col("src"), col("nbr"))
   }
 
-  private def routedCells(embeddings: DataFrame, nCentroids: Int,
-                          kCentGraph: Int, beam: Int, rounds: Int): DataFrame = {
+  private[graft] def routedCells(embeddings: DataFrame, nCentroids: Int,
+                                 kCentGraph: Int, beam: Int, rounds: Int): DataFrame = {
     VectorExprs.register(embeddings.sparkSession)
     require(kCentGraph >= 1,
       s"routedCells: need kCentGraph >= 1, got $kCentGraph")
