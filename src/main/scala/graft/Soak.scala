@@ -263,6 +263,19 @@ object Soak {
           math.ceil(math.log(k.toDouble) / math.log(4.0)).toInt)
         Similarity.semanticDedupRouted(emb, k, 4, 4, rounds, 0.3)
       }),
+      // the ef-scaled variant the diameter fix's residual points at:
+      // a degree-4 navigation graph is THIN at thousands of cells
+      // (greedy walks funnel into popular hubs and the verdict join
+      // inherits the skew) — deg/beam 8 with rounds = ceil(log_8 k)+1
+      // keeps the same reachability ball at a denser graph; its
+      // verdict-delta slope vs dedup_semantic_routed measures what
+      // the ef density buys
+      "dedup_semantic_routed_ef" -> (() => {
+        val k = 16 * factor
+        val rounds = math.max(3,
+          math.ceil(math.log(k.toDouble) / math.log(8.0)).toInt + 1)
+        Similarity.semanticDedupRouted(emb, k, 8, 8, rounds, 0.3)
+      }),
       // attribution probe for the routed face's growth terms: the
       // assignment stage alone (centroid k² graph + beam walk, no
       // verdict join) — its delta vs dedup_semantic_routed separates

@@ -417,11 +417,14 @@ object Similarity {
     * toward n²/ball — quadratic — while assignment stays linear (the
     * r16 directed-reachability finding's class, at the cell level).
     * At rounds ≈ log_deg k the routed face beats flat 1.9-2.3× at
-    * k = 1600-3200 (SOAK_r17), with a residual skew term at the
-    * largest k — a deg/beam of 4 is a THIN navigation graph at 3200
-    * cells, so beam/deg should grow with log k too (HNSW's ef
-    * scaling) when the codebook keeps growing; the flat face stays
-    * the exact-assignment fallback.
+    * k = 1600-3200 (SOAK_r17). The residual super-linear term at the
+    * largest k was the THIN navigation graph (deg 4 at 3200 cells
+    * funnels greedy walks into hubs and the verdict join inherits
+    * the cell skew): deg/beam 8 at the same reachability ball
+    * measures LINEAR (2.16× per doubling) and 2.35× under flat at
+    * k = 3200 — graph DENSITY, not extra rounds, is the lever once
+    * reachability holds (HNSW's ef scaling, measured in SOAK_r17);
+    * the flat face stays the exact-assignment fallback.
     */
   def semanticDedupRouted(embeddings: DataFrame, nCentroids: Int,
                           kCentGraph: Int, beam: Int, rounds: Int,
