@@ -430,9 +430,14 @@ object Similarity {
                           kCentGraph: Int, beam: Int, rounds: Int,
                           threshold: Double): DataFrame = {
     VectorExprs.register(embeddings.sparkSession)
+    // localCheckpoint (the knnGraphRouted convention): the verdict
+    // core's self-join reads the assignment on BOTH sides — without
+    // the checkpoint the walk's final crank window re-runs per side
+    // (plan-audited: two full WindowGroupLimit chains)
     val asg = routedCells(embeddings, nCentroids, kCentGraph, beam, rounds)
       .where(col("crank") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
+      .localCheckpoint()
     val assigned = prepared(embeddings).where(col("v").isNotNull)
       .join(asg, "vec_id")
     semanticDedupCore(assigned, threshold)
