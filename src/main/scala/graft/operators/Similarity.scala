@@ -27,6 +27,38 @@ object Similarity {
 
   private def r3(c: Column): Column = floor(c * 1000.0 + 0.5001) / 1000.0
 
+  /** LAZY localCheckpoint — lineage cut whose materialization folds
+    * into the IMMEDIATELY FOLLOWING action instead of paying its own
+    * scheduler round-trip. Measured (r17): a WIN only when that next
+    * action is already mandatory and adjacent (the reachability BFS,
+    * whose per-round `count()` is the convergence contract — round
+    * cost drops from two jobs to one); a LOSS everywhere else — AQE
+    * materializes a lazy frame's shuffle stages at construction
+    * regardless, and consumers that hit the frame before its cache
+    * populates recompute the tail stages (walk-family walls rose
+    * 10-30% under a fully-lazy regime before this was re-measured and
+    * scoped back). Keep eager `localCheckpoint()` the default.
+    */
+  private def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(false)
+
+  /** Run independent Spark ACTIONS concurrently (guide §2.6: the
+    * scheduler happily overlaps jobs; actions are only sequential
+    * because driver code calls them sequentially). The store builders
+    * below write 3-6 independent tables per call; at bench scale each
+    * tiny write is latency-bound (~0.1-0.5 s of scheduler round-trips
+    * and commit protocol, not compute), so overlapping them collapses
+    * the builder's wall toward its slowest write — and on a cluster
+    * the same overlap back-fills executors freed by another write's
+    * task tail. Every task is awaited; the first failure rethrows.
+    */
+  private def inParallel(tasks: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fs = tasks.map(t => Future(t()))
+    fs.foreach(Await.result(_, Duration.Inf))
+  }
+
   /** Embedding dimension of the test corpus. */
   val DIM = 64
 
@@ -805,29 +837,31 @@ object Similarity {
       .where(col("crank") <= nprobe).localCheckpoint()
     val assigned = asg.where(col("crank") === 1)
       .select(col("vec_id"), col("cid").as("cell")).join(e, "vec_id")
-    graft.sources.Formats.writeBucketedKeys(
-      assigned.select(col("vec_id"), col("cell"), col("v")),
-      s"${table}_nodes", Seq("cell"), nBuckets)
-    graft.sources.Formats.writeBucketedKeys(
-      asg.select(col("vec_id"), col("cid").as("pcell")),
-      s"${table}_probes", Seq("pcell"), nBuckets)
     val probed = asg.select(col("vec_id"), col("cid").as("pcell")).join(e, "vec_id")
-    graft.sources.Formats.writeBucketedKeys(
-      knnEdgesProbed(probed, assigned, kGraph)
-        .select(col("vec_id").as("src"), col("nbr"), col("cos")),
-      s"${table}_edges", Seq("src"), nBuckets)
-    cg.write.mode("overwrite").format("parquet").saveAsTable(s"${table}_cgraph")
-    // the codebook rides its OWN table: centroids are reference
-    // points, not members — a takedown may remove a centroid's NODE
-    // row, and append/compact must keep routing under the pinned
-    // codebook regardless
-    cents.select(col("ccid"), col("cv"))
-      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_cvecs")
+    // all six tables are independent once the checkpointed assignment
+    // exists — overlap the writes (inParallel); the codebook rides its
+    // OWN table (_cvecs): centroids are reference points, not members —
+    // a takedown may remove a centroid's NODE row, and append/compact
+    // must keep routing under the pinned codebook regardless
     import spark.implicits._
-    Seq((nCentroids, kGraph, nBuckets, nprobe, kCentGraph, beam, rounds, entry, true))
-      .toDF("n_centroids", "k_graph", "n_buckets", "nprobe",
-        "k_cent_graph", "beam_route", "rounds_route", "entry", "routed")
-      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta")
+    inParallel(
+      () => graft.sources.Formats.writeBucketedKeys(
+        assigned.select(col("vec_id"), col("cell"), col("v")),
+        s"${table}_nodes", Seq("cell"), nBuckets),
+      () => graft.sources.Formats.writeBucketedKeys(
+        asg.select(col("vec_id"), col("cid").as("pcell")),
+        s"${table}_probes", Seq("pcell"), nBuckets),
+      () => graft.sources.Formats.writeBucketedKeys(
+        knnEdgesProbed(probed, assigned, kGraph)
+          .select(col("vec_id").as("src"), col("nbr"), col("cos")),
+        s"${table}_edges", Seq("src"), nBuckets),
+      () => cg.write.mode("overwrite").format("parquet").saveAsTable(s"${table}_cgraph"),
+      () => cents.select(col("ccid"), col("cv"))
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_cvecs"),
+      () => Seq((nCentroids, kGraph, nBuckets, nprobe, kCentGraph, beam, rounds, entry, true))
+        .toDF("n_centroids", "k_graph", "n_buckets", "nprobe",
+          "k_cent_graph", "beam_route", "rounds_route", "entry", "routed")
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta"))
   }
 
   /** Append NEW vectors to a stored ROUTED graph WITHOUT a rebuild —
@@ -892,12 +926,16 @@ object Similarity {
       merged, s"${table}_edges_appending", Seq("src"), nBuckets)
     spark.sql(s"DROP TABLE ${table}_edges")
     spark.sql(s"ALTER TABLE ${table}_edges_appending RENAME TO ${table}_edges")
-    graft.sources.Formats.writeBucketedKeys(
-      newAssigned.select(col("vec_id"), col("cell"), col("v")),
-      s"${table}_nodes", Seq("cell"), nBuckets, mode = "append")
-    graft.sources.Formats.writeBucketedKeys(
-      asgD.select(col("vec_id"), col("cid").as("pcell")),
-      s"${table}_probes", Seq("pcell"), nBuckets, mode = "append")
+    // the nodes/probes appends are independent of each other (and of
+    // the finished edge swap) — overlap them; they stay AFTER the
+    // staging write, which scans the PRE-append _nodes/_probes
+    inParallel(
+      () => graft.sources.Formats.writeBucketedKeys(
+        newAssigned.select(col("vec_id"), col("cell"), col("v")),
+        s"${table}_nodes", Seq("cell"), nBuckets, mode = "append"),
+      () => graft.sources.Formats.writeBucketedKeys(
+        asgD.select(col("vec_id"), col("cid").as("pcell")),
+        s"${table}_probes", Seq("pcell"), nBuckets, mode = "append"))
   }
 
   /** Tombstone takedown for a stored kNN graph (flat, routed, or a
@@ -1001,11 +1039,12 @@ object Similarity {
       .join(broadcast(ts.select(col("vec_id").as("nbr"))), Seq("nbr"), "left_anti")
       .join(affected, Seq("src"), "left_anti")
       .select(col("src"), col("nbr"), col("cos"))
-    graft.sources.Formats.writeBucketedKeys(
-      kept.unionByName(rebuilt), s"${table}_edges_compacting", Seq("src"), nBuckets)
-    graft.sources.Formats.writeBucketedKeys(
-      nodes.select(col("vec_id"), col("cell"), col("v")),
-      s"${table}_nodes_compacting", Seq("cell"), nBuckets)
+    inParallel(
+      () => graft.sources.Formats.writeBucketedKeys(
+        kept.unionByName(rebuilt), s"${table}_edges_compacting", Seq("src"), nBuckets),
+      () => graft.sources.Formats.writeBucketedKeys(
+        nodes.select(col("vec_id"), col("cell"), col("v")),
+        s"${table}_nodes_compacting", Seq("cell"), nBuckets))
     for (t <- Seq("edges", "nodes")) {
       spark.sql(s"DROP TABLE ${table}_$t")
       spark.sql(s"ALTER TABLE ${table}_${t}_compacting RENAME TO ${table}_$t")
@@ -1064,13 +1103,14 @@ object Similarity {
       .join(broadcast(ts.select(col("vec_id").as("nbr"))), Seq("nbr"), "left_anti")
       .join(affected, Seq("src"), "left_anti")
       .select(col("src"), col("nbr"), col("cos"))
-    graft.sources.Formats.writeBucketedKeys(
-      kept.unionByName(rebuilt), s"${table}_edges_compacting", Seq("src"), nBuckets)
-    graft.sources.Formats.writeBucketedKeys(
-      nodes.select(col("vec_id"), col("cell"), col("v")),
-      s"${table}_nodes_compacting", Seq("cell"), nBuckets)
-    graft.sources.Formats.writeBucketedKeys(
-      probes, s"${table}_probes_compacting", Seq("pcell"), nBuckets)
+    inParallel(
+      () => graft.sources.Formats.writeBucketedKeys(
+        kept.unionByName(rebuilt), s"${table}_edges_compacting", Seq("src"), nBuckets),
+      () => graft.sources.Formats.writeBucketedKeys(
+        nodes.select(col("vec_id"), col("cell"), col("v")),
+        s"${table}_nodes_compacting", Seq("cell"), nBuckets),
+      () => graft.sources.Formats.writeBucketedKeys(
+        probes, s"${table}_probes_compacting", Seq("pcell"), nBuckets))
     for (t <- Seq("edges", "nodes", "probes")) {
       spark.sql(s"DROP TABLE ${table}_$t")
       spark.sql(s"ALTER TABLE ${table}_${t}_compacting RENAME TO ${table}_$t")
@@ -1151,17 +1191,28 @@ object Similarity {
     // the per-round visited distinct.
     val adj = if (!undirected) graph else graph.unionByName(
       graph.select(col("nbr").as("src"), col("src").as("nbr")))
+    // ONE eager checkpoint per round (r17 job-count fix): only `visited`
+    // — the frame every later round builds on — materializes; the
+    // frontier is a bounded-depth plan over the checkpointed visited
+    // (one score join + one window), consumed exactly once by the next
+    // round's expansion, so checkpointing it bought nothing but a
+    // second scheduler round-trip per round. (Fully-lazy checkpoints
+    // were measured WORSE here: AQE materializes each round's shuffle
+    // stages at construction regardless, and pre-materialization reuse
+    // recomputed the tail stages — walls rose 10-30%.) The last round's
+    // frontier is never built at all.
     var visited = seeds.localCheckpoint()
     var frontier = visited
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val expand = frontier.join(adj, frontier("vid") === adj("src"))
         .select(frontier("qid"), adj("nbr").as("vid"))
       visited = visited.unionByName(expand).distinct().localCheckpoint()
-      frontier = score(visited)
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))))
-        .where(col("rk") <= beam)
-        .select(col("qid"), col("vid")).localCheckpoint()
+      if (r < rounds)
+        frontier = score(visited)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))))
+          .where(col("rk") <= beam)
+          .select(col("qid"), col("vid"))
     }
     score(visited)
       .where(col("vid") =!= col("qid"))
@@ -1343,10 +1394,6 @@ object Similarity {
       .select(col("qid"), col("vid"),
         r3(expr("graft_vec_dot(v, qv)") / (col("norm") * col("qn"))).as("cos"))
       .join(labels, Seq("vid"))
-    def topBeam(scored: DataFrame) = scored
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))))
-      .where(col("rk") <= beam).select(col("qid"), col("vid"))
     // walk the adjacency UNDIRECTED: the stored kNN graph keeps each
     // node's top-k OUT-edges, and a node can sit in many top-k lists
     // while emitting none that point back — measured on the gate
@@ -1359,9 +1406,13 @@ object Similarity {
     // in the per-round visited distinct)
     val sym = graph.unionByName(
       graph.select(col("nbr").as("src"), col("src").as("nbr")))
+    // ONE eager checkpoint per round — the graphWalkFrom discipline:
+    // `visited` checkpoints (every later round builds on it); the
+    // frontier is a bounded-depth plan over it, consumed once by the
+    // next round's hop, and the last round's frontier is never built
     var visited = seeds.localCheckpoint()
     var frontier = visited
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val hop1 = frontier.join(sym, frontier("vid") === sym("src"))
         .select(frontier("qid"), sym("nbr").as("vid"))
       // ACORN-style BRIDGE expansion (Patel et al. 2024): a hop-1
@@ -1384,9 +1435,21 @@ object Similarity {
         .select(bridge("qid"), col("bnbr").as("vid"))
       visited = visited.unionByName(hop1).unionByName(hop2)
         .distinct().localCheckpoint()
-      val scored = score(visited)
-      frontier = topBeam(scored).unionByName(topBeam(scored.where(isMatch)))
-        .distinct().localCheckpoint()
+      // the mixed navigation ∪ matching frontier in ONE pass over the
+      // scored frame: rank overall and rank within the (qid, match)
+      // group, keep `rk ≤ beam OR (match AND rkm ≤ beam)` — the same
+      // set as union(topBeam(all), topBeam(matches)) without computing
+      // the score join twice or paying the union's distinct exchange
+      // (scored rows are unique per (qid, vid), so the OR cannot dup)
+      if (r < rounds)
+        frontier = score(visited)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))))
+          .withColumn("rkm", row_number().over(
+            Window.partitionBy(col("qid"), isMatch)
+              .orderBy(col("cos").desc, col("vid"))))
+          .where(col("rk") <= beam || (isMatch && col("rkm") <= beam))
+          .select(col("qid"), col("vid"))
     }
     score(visited).where(isMatch)
       .where(col("vid") =!= col("qid"))
@@ -1454,13 +1517,17 @@ object Similarity {
     val seed = nodes.agg(min(col("vec_id"))).head().getLong(0)
     def closure(edges: DataFrame): Long = {
       import spark.implicits._
-      var visited = Seq(seed).toDF("vid").localCheckpoint()
+      // lazy checkpoint + count: the count MATERIALIZES the checkpoint
+      // (caching its blocks for the next round) in the same job, so a
+      // BFS round costs one scheduler round-trip, not two — the loop's
+      // per-round count() is already the convergence contract
+      var visited = ckpt(Seq(seed).toDF("vid"))
       var n = 1L
       var grown = true
       while (grown) {
-        val nxt = visited.join(edges, visited("vid") === edges("src"))
+        val nxt = ckpt(visited.join(edges, visited("vid") === edges("src"))
           .select(edges("nbr").as("vid"))
-          .unionByName(visited).distinct().localCheckpoint()
+          .unionByName(visited).distinct())
         val n2 = nxt.count()
         grown = n2 > n
         n = n2
@@ -1468,9 +1535,16 @@ object Similarity {
       }
       n
     }
+    // the two closures are INDEPENDENT job chains over the same cached
+    // edge frame — overlap them (guide §2.6: concurrent jobs back-fill
+    // the tail; each chain is latency-bound on tiny frames, so the
+    // overlap nearly halves the audit's wall)
+    val undirF = scala.concurrent.Future(closure(g.unionByName(
+      g.select(col("nbr").as("src"), col("src").as("nbr")))))(
+      scala.concurrent.ExecutionContext.global)
     val nDir = closure(g)
-    val nUndir = closure(g.unionByName(
-      g.select(col("nbr").as("src"), col("src").as("nbr"))))
+    val nUndir = scala.concurrent.Await.result(undirF,
+      scala.concurrent.duration.Duration.Inf)
     import spark.implicits._
     Seq((nNodes, nDir, nUndir)).toDF(
         "n_nodes", "n_reach_directed", "n_reach_undirected")
@@ -1651,18 +1725,22 @@ object Similarity {
       .withColumn("cell", expr(s"coalesce(graft_ivf_cell(v, '$enc'), -1L)"))
     // nodes carry the raw vectors: the graph store is a vector store
     // WITH adjacency (the HNSW serving layout) — append and walks
-    // both read vectors from here, never from the build input
-    graft.sources.Formats.writeBucketedKeys(
-      assigned.select(col("vec_id"), col("cell"), col("v")),
-      s"${table}_nodes", Seq("cell"), nBuckets)
-    graft.sources.Formats.writeBucketedKeys(
-      knnEdges(assigned, assigned, kGraph, enc, nprobe)
-        .select(col("vec_id").as("src"), col("nbr"), col("cos")),
-      s"${table}_edges", Seq("src"), nBuckets)
+    // both read vectors from here, never from the build input.
+    // The three tables are independent — write them concurrently
+    // (inParallel: latency-bound tiny writes overlap; on a cluster the
+    // edge build's task tail back-fills with the other writes)
     import spark.implicits._
-    Seq((nCentroids, kGraph, nBuckets, nprobe, enc))
-      .toDF("n_centroids", "k_graph", "n_buckets", "nprobe", "enc")
-      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta")
+    inParallel(
+      () => graft.sources.Formats.writeBucketedKeys(
+        assigned.select(col("vec_id"), col("cell"), col("v")),
+        s"${table}_nodes", Seq("cell"), nBuckets),
+      () => graft.sources.Formats.writeBucketedKeys(
+        knnEdges(assigned, assigned, kGraph, enc, nprobe)
+          .select(col("vec_id").as("src"), col("nbr"), col("cos")),
+        s"${table}_edges", Seq("src"), nBuckets),
+      () => Seq((nCentroids, kGraph, nBuckets, nprobe, enc))
+        .toDF("n_centroids", "k_graph", "n_buckets", "nprobe", "enc")
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta"))
   }
 
   /** Append NEW vectors to a stored kNN graph WITHOUT a rebuild — and
@@ -1848,9 +1926,13 @@ object Similarity {
     // stale-tombstone rule: the ROOT filing ledger clears here; each
     // level's own _gtombstones clears inside its level build
     spark.sql(s"DROP TABLE IF EXISTS ${table}_gtombstones")
-    writeLevel(embeddings, s"${table}_l0")
-    for (lvl <- 1 until nLayers)
-      writeLevel(embeddings.where(layerPred(lvl, keep, nSample)), s"${table}_l$lvl")
+    // levels write DISJOINT table families — build them concurrently
+    // (inParallel; level ℓ is r^ℓ of the corpus, so the small upper
+    // levels ride inside level 0's wall instead of extending it)
+    inParallel((0 until nLayers).map { lvl => () =>
+      if (lvl == 0) writeLevel(embeddings, s"${table}_l0")
+      else writeLevel(embeddings.where(layerPred(lvl, keep, nSample)), s"${table}_l$lvl")
+    }: _*)
     val entryRow = spark.table(s"${table}_l${nLayers - 1}_nodes")
       .agg(min(col("vec_id"))).head()
     require(!entryRow.isNullAt(0),
@@ -1920,12 +2002,16 @@ object Similarity {
     def appendLevel(df: DataFrame, lt: String): Unit =
       if (route.isDefined) appendKnnGraphRouted(df, lt)
       else appendKnnGraph(df, lt)
-    appendLevel(newVecs, s"${table}_l0")
-    for (lvl <- 1 until nLayers) {
-      val lDelta = newVecs.where(layerPred(lvl, keep, nSample))
-      if (!lDelta.where(col("embedding").isNotNull).isEmpty)
-        appendLevel(lDelta, s"${table}_l$lvl")
-    }
+    // per-level appends touch DISJOINT table families — run them
+    // concurrently (the writeKnnGraphHier build-side discipline)
+    inParallel((0 until nLayers).map { lvl => () =>
+      if (lvl == 0) appendLevel(newVecs, s"${table}_l0")
+      else {
+        val lDelta = newVecs.where(layerPred(lvl, keep, nSample))
+        if (!lDelta.where(col("embedding").isNotNull).isEmpty)
+          appendLevel(lDelta, s"${table}_l$lvl")
+      }
+    }: _*)
     val newTopMin = newVecs.where(
         layerPred(nLayers - 1, keep, nSample) && col("embedding").isNotNull)
       .agg(min(col("vec_id"))).head().get(0)
@@ -2087,7 +2173,9 @@ object Similarity {
     val rootTs = if (spark.catalog.tableExists(rootTsT))
       Some(spark.table(rootTsT).select(col("vec_id")).distinct().localCheckpoint())
     else None
-    for (lvl <- 0 until nLayers) {
+    // per-level fold + compaction touches DISJOINT table families —
+    // run the levels concurrently (the hier build/append discipline)
+    inParallel((0 until nLayers).map { lvl => () =>
       val lt = s"${table}_l$lvl"
       rootTs.foreach(_.write.mode("append").format("parquet")
         .saveAsTable(s"${lt}_gtombstones"))
@@ -2095,7 +2183,7 @@ object Similarity {
       if (lm.schema.fieldNames.contains("routed") && lm.getAs[Boolean]("routed"))
         compactKnnGraphRouted(lt)
       else compactKnnGraph(lt)
-    }
+    }: _*)
     if (spark.catalog.tableExists(rootTsT)) spark.sql(s"DROP TABLE $rootTsT")
     val entryRow = spark.table(s"${table}_l${nLayers - 1}_nodes")
       .agg(min(col("vec_id"))).head()
