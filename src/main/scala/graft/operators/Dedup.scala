@@ -312,8 +312,11 @@ object Dedup {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
+    // lazy checkpoint + count: the count below MATERIALIZES the degree
+    // frame (caching it for every round) in the same job — one
+    // scheduler round-trip instead of two (r17 job-count discipline)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val n = deg.count().toDouble
     var rank = deg.select(col("src").as("doc_id"),
       r3(lit(1.0) / lit(n)).as("pr")).localCheckpoint()
@@ -425,7 +428,9 @@ object Dedup {
         .select(col("doc_id"),
           least(col("c1"), coalesce(col("_lcl"), col("c1"))).as("cluster"),
           col("prev"))
-        .localCheckpoint()
+        // lazy: the convergence count right below materializes the
+        // checkpoint in the SAME job — halves the per-round job count
+        .localCheckpoint(false)
       val changed = next.where(col("cluster") =!= col("prev")).count()
       labels = next.select(col("doc_id"), col("cluster"))
       converged = changed == 0
@@ -605,19 +610,20 @@ object Dedup {
     // lifecycle rule, applied family-wide per r16 ADVICE)
     spark.sql(s"DROP TABLE IF EXISTS ${table}_tombstones")
     val sigs = minhashSigs(reference, perms).persist()
-    try {
-      graft.sources.Formats.writeBucketedKeys(
-        bandSlices(sigs, rowsPerBand, perms), s"${table}_bands", Seq("band", "sig"), nBuckets)
-      graft.sources.Formats.writeBucketedKeys(
-        sigs.where(col("sig").isNotNull), s"${table}_sigs", Seq("doc_id"), nBuckets)
-    } finally sigs.unpersist(blocking = false)
     // banding parameters travel WITH the index: a probe or append with
     // different perms/rowsPerBand would slice bands differently and
     // silently deflate every jaccard estimate (NULL-padded zip_with
-    // slots) — mismatches must be a named error, not wrong verdicts
+    // slots) — mismatches must be a named error, not wrong verdicts.
+    // All three tables are independent — overlap the writes (Par)
     import spark.implicits._
-    Seq((perms, rowsPerBand, nBuckets)).toDF("perms", "rows_per_band", "n_buckets")
-      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta")
+    try Par.inParallel(
+      () => graft.sources.Formats.writeBucketedKeys(
+        bandSlices(sigs, rowsPerBand, perms), s"${table}_bands", Seq("band", "sig"), nBuckets),
+      () => graft.sources.Formats.writeBucketedKeys(
+        sigs.where(col("sig").isNotNull), s"${table}_sigs", Seq("doc_id"), nBuckets),
+      () => Seq((perms, rowsPerBand, nBuckets)).toDF("perms", "rows_per_band", "n_buckets")
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta"))
+    finally sigs.unpersist(blocking = false)
   }
 
   /** Eager guard shared by every index consumer: the stored banding
@@ -1092,21 +1098,22 @@ object Dedup {
     // stale-tombstone rule (see writeBandIndex): a same-name rebuild
     // starts with a clean takedown ledger
     spark.sql(s"DROP TABLE IF EXISTS ${table}_stombstones")
-    graft.sources.Formats.writeBucketedKeys(
-      gramRefs(docs, minLen), s"${table}_grams", Seq("gram"), nBuckets)
     // the membership ledger the takedown contract needs (VERDICT r14
     // #3 / ADVICE r14): refcount exactness rests on "every doc indexed
     // exactly once, tombstoned only while indexed" — `_sdocs` records
     // WHO is indexed (doc ids only, doc-count-sized — a rounding
     // error beside the gram store) so append can reject double-counts
     // and delete can reject never-indexed filings instead of trusting
-    // the caller
-    graft.sources.Formats.writeBucketedKeys(
-      docs.select(col("doc_id")).distinct(),
-      s"${table}_sdocs", Seq("doc_id"), nBuckets)
+    // the caller. All three tables independent — overlap the writes
     import spark.implicits._
-    Seq((minLen, nBuckets)).toDF("min_len", "n_buckets")
-      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_smeta")
+    Par.inParallel(
+      () => graft.sources.Formats.writeBucketedKeys(
+        gramRefs(docs, minLen), s"${table}_grams", Seq("gram"), nBuckets),
+      () => graft.sources.Formats.writeBucketedKeys(
+        docs.select(col("doc_id")).distinct(),
+        s"${table}_sdocs", Seq("doc_id"), nBuckets),
+      () => Seq((minLen, nBuckets)).toDF("min_len", "n_buckets")
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_smeta"))
   }
 
   /** Append new reference documents to a stored gram index WITHOUT a

@@ -41,23 +41,11 @@ object Similarity {
     */
   private def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(false)
 
-  /** Run independent Spark ACTIONS concurrently (guide §2.6: the
-    * scheduler happily overlaps jobs; actions are only sequential
-    * because driver code calls them sequentially). The store builders
-    * below write 3-6 independent tables per call; at bench scale each
-    * tiny write is latency-bound (~0.1-0.5 s of scheduler round-trips
-    * and commit protocol, not compute), so overlapping them collapses
-    * the builder's wall toward its slowest write — and on a cluster
-    * the same overlap back-fills executors freed by another write's
-    * task tail. Every task is awaited; the first failure rethrows.
+  /** See [[graft.operators.Par.inParallel]] — overlap independent
+    * store-builder actions (disjoint tables only).
     */
-  private def inParallel(tasks: (() => Unit)*): Unit = {
-    import scala.concurrent.{Await, Future, ExecutionContext}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val fs = tasks.map(t => Future(t()))
-    fs.foreach(Await.result(_, Duration.Inf))
-  }
+  private def inParallel(tasks: (() => Unit)*): Unit =
+    Par.inParallel(tasks: _*)
 
   /** Embedding dimension of the test corpus. */
   val DIM = 64
@@ -2783,10 +2771,16 @@ object Similarity {
          |    transform(sequence(i, $last), j -> named_struct('i', i, 'j', j,
          |      'p', cast(element_at(embedding, i + 1) as double) *
          |           cast(element_at(embedding, j + 1) as double))))))""".stripMargin
+    // checkpoint the (d²/2 + d)-row aggregate: it feeds THREE branches
+    // (two broadcast mean slices + the product slice), and without the
+    // lineage cut each branch re-ran the full n·d²/2 explode+aggregate
+    // — plan-audited 3× the corpus pass, measured 3 × ~2.2 s jobs at
+    // sf0.1 (r17). One pass now, as the doc above always claimed.
     val agg = embeddings.where(col("embedding").isNotNull)
       .select(explode(expr(lam)).as("t"))
       .groupBy(col("t.i").as("i"), col("t.j").as("j"))
       .agg(sum(col("t.p")).as("s"), count(lit(1)).as("n"))
+      .localCheckpoint()
     val means = agg.where(col("j") === -1)
       .select(col("i").as("mi"), col("s").as("sm"))
     agg.where(col("j") >= 0)
@@ -4120,14 +4114,16 @@ object Similarity {
     // range clamp to the edge codes).
     val (sqMins, sqScales) = sqParams(
       embeddings.where(col("vec_id") < math.max(nCentroids, nCodewords)))
-    graft.sources.Formats.writeBucketedKeys(
-      encodeForIndex(embeddings, encIvf, encPq, sqMins, sqScales),
-      s"${table}_codes", Seq("cell"), nBuckets)
+    // the two tables are independent — overlap the writes (Par)
     import spark.implicits._
-    Seq((nCentroids, nCodewords, m, nBuckets, encIvf, encPq, sqMins.toSeq, sqScales.toSeq))
-      .toDF("n_centroids", "n_codewords", "m", "n_buckets", "enc_ivf", "enc_pq",
-        "sq_mins", "sq_scales")
-      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta")
+    inParallel(
+      () => graft.sources.Formats.writeBucketedKeys(
+        encodeForIndex(embeddings, encIvf, encPq, sqMins, sqScales),
+        s"${table}_codes", Seq("cell"), nBuckets),
+      () => Seq((nCentroids, nCodewords, m, nBuckets, encIvf, encPq, sqMins.toSeq, sqScales.toSeq))
+        .toDF("n_centroids", "n_codewords", "m", "n_buckets", "enc_ivf", "enc_pq",
+          "sq_mins", "sq_scales")
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta"))
   }
 
   /** The index row projection: ONE zero-exchange pass assigns the

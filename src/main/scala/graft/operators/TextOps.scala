@@ -834,17 +834,19 @@ object TextOps {
     val base = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("term"))
-    graft.sources.Formats.writeBucketedKeys(
-      base.groupBy(col("term"), col("doc_id"), col("dl"))
-        .agg(count(lit(1)).cast("long").as("tf")),
-      s"${table}_postings", Seq("term"), nBuckets)
-    graft.sources.Formats.writeBucketedKeys(
-      docs.select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("dl")),
-      s"${table}_dlens", Seq("doc_id"), nBuckets)
+    // the three tables are independent — overlap the writes (Par)
     import spark.implicits._
-    Seq(nBuckets).toDF("n_buckets")
-      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_tmeta")
+    Par.inParallel(
+      () => graft.sources.Formats.writeBucketedKeys(
+        base.groupBy(col("term"), col("doc_id"), col("dl"))
+          .agg(count(lit(1)).cast("long").as("tf")),
+        s"${table}_postings", Seq("term"), nBuckets),
+      () => graft.sources.Formats.writeBucketedKeys(
+        docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("dl")),
+        s"${table}_dlens", Seq("doc_id"), nBuckets),
+      () => Seq(nBuckets).toDF("n_buckets")
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_tmeta"))
   }
 
   /** Append new documents to a stored inverted index WITHOUT a rebuild

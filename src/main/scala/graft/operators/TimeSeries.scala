@@ -1337,14 +1337,22 @@ object TimeSeries {
           r3(col("n") / (datediff(col("d1"), col("d0")) + 1).cast("double"))
             .as("density"),
           expr("transform(dv, s -> s.v)").as("vals"),
-          // zero-filled dense spine for the Croston branch (span- and
-          // series-bounded per key; the per-element map rebuild under
-          // project collapse is O(span·n) per KEY, never corpus-wide)
+          // zero-filled dense spine for the Croston branch, built as
+          // gap-runs over the SORTED (day, v) list: per entry, its
+          // predecessor-gap of 0.0D fills then the value — O(span + n)
+          // per key. (The previous shape looked up every spine day in a
+          // map_from_entries rebuilt per element — Catalyst inlines the
+          // map into the lambda and GetMapValue is a linear scan, so it
+          // was O(span·n) per key: profiled 31 task-seconds at sf0.1,
+          // the whole gate's compute. dv is sorted and daily-unique, and
+          // d0/d1 are its min/max, so the runs concatenate to exactly
+          // the old coalesce-filled spine — spec-pinned.)
           expr(
-            """transform(sequence(0, datediff(d1, d0)), i ->
-              |  coalesce(element_at(
-              |    map_from_entries(transform(dv, s -> struct(s.day, s.v))),
-              |    date_add(d0, i)), 0.0D))""".stripMargin).as("dense"))
+            """flatten(transform(sequence(1, size(dv)), j ->
+              |  concat(
+              |    array_repeat(0.0D, IF(j = 1, 0,
+              |      datediff(element_at(dv, j).day, element_at(dv, j - 1).day) - 1)),
+              |    array(element_at(dv, j).v))))""".stripMargin).as("dense"))
       val cand = st
         .withColumn("hb", expr(
           s"graft_holt(vals, cast($alpha as double), cast($beta as double))"))

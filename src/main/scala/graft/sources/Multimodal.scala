@@ -287,14 +287,16 @@ object Multimodal {
   def writeMediaIndex(media: DataFrame, table: String, nBuckets: Int): Unit = {
     val spark = media.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS ${table}_mtombstones")
-    graft.sources.Formats.writeBucketedKeys(
-      media.select(col("media_id"), md5(col("payload")).as("digest"),
-        col("meta.modality").as("modality"),
-        col("meta.n_bytes").as("n_bytes")),
-      s"${table}_media", Seq("digest"), nBuckets)
+    // the two tables are independent — overlap the writes (Par)
     import spark.implicits._
-    Seq(nBuckets).toDF("n_buckets")
-      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_mmeta")
+    graft.operators.Par.inParallel(
+      () => graft.sources.Formats.writeBucketedKeys(
+        media.select(col("media_id"), md5(col("payload")).as("digest"),
+          col("meta.modality").as("modality"),
+          col("meta.n_bytes").as("n_bytes")),
+        s"${table}_media", Seq("digest"), nBuckets),
+      () => Seq(nBuckets).toDF("n_buckets")
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_mmeta"))
   }
 
   /** Append NEW media to a stored index — the nightly crawl delta.

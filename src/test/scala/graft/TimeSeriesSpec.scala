@@ -1001,4 +1001,44 @@ class TimeSeriesSpec extends AnyFunSuite {
     val post = out.filter(r => r.getLong(0) == 8L && r.getAs[Long]("segment") == 1L).head
     assert(post.isNullAt(post.fieldIndex("slope")), "zero t-variance must guard to NULL")
   }
+
+  test("forecastAuto dense spine: gap-run fill equals the per-day map lookup") {
+    // the r17 linear rebuild of forecastAuto's Croston spine must fill
+    // exactly like the old O(span·n) map lookup: value on present days,
+    // 0.0 in every interior gap, length = span — pinned on a gapped
+    // fixture (single-day, adjacent days, multi-day gaps, gap at tail-1)
+    import spark.implicits._
+    val rows = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-01"), 3.0),
+      (1L, java.sql.Date.valueOf("2024-01-02"), 4.0),
+      (1L, java.sql.Date.valueOf("2024-01-05"), 7.0),
+      (1L, java.sql.Date.valueOf("2024-01-09"), 1.5),
+      (1L, java.sql.Date.valueOf("2024-01-10"), 2.5),
+      (2L, java.sql.Date.valueOf("2024-02-01"), 9.0))
+    val base = rows.toDF("user_id", "day", "v")
+      .groupBy(col("user_id"))
+      .agg(expr("sort_array(collect_list(struct(day, v)))").as("dv"),
+        min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val both = base.select(col("user_id"),
+      expr(
+        """transform(sequence(0, datediff(d1, d0)), i ->
+          |  coalesce(element_at(
+          |    map_from_entries(transform(dv, s -> struct(s.day, s.v))),
+          |    date_add(d0, i)), 0.0D))""".stripMargin).as("old_dense"),
+      expr(
+        """flatten(transform(sequence(1, size(dv)), j ->
+          |  concat(
+          |    array_repeat(0.0D, IF(j = 1, 0,
+          |      datediff(element_at(dv, j).day, element_at(dv, j - 1).day) - 1)),
+          |    array(element_at(dv, j).v))))""".stripMargin).as("new_dense"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Double](1) === r.getSeq[Double](2),
+        s"user ${r.getLong(0)}: gap-run spine diverged from the map fill")
+    }
+    val u1 = both.filter(_.getLong(0) == 1L).head.getSeq[Double](2)
+    assert(u1 === Seq(3.0, 4.0, 0.0, 0.0, 7.0, 0.0, 0.0, 0.0, 1.5, 2.5))
+    val u2 = both.filter(_.getLong(0) == 2L).head.getSeq[Double](2)
+    assert(u2 === Seq(9.0), "single-day series is just its value")
+  }
 }
