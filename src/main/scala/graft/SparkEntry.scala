@@ -2132,9 +2132,11 @@ object SparkEntry {
     // RRF-fused — neither side re-reads the corpus, both takedown
     // masks apply, byte-equal to the recompute
     "hybrid_rrf_stored" -> ((s, dir) => {
-      TextOps.writeTextIndex(Tables.documents(s, dir), "graft_bm25idx_h", 8)
-      Similarity.writeKnnGraph(Tables.embeddings(s, dir), 16, 4,
-        "graft_knng_h", 8, 2)
+      // the two stores are independent — overlap the builds (Par)
+      graft.operators.Par.inParallel(
+        () => TextOps.writeTextIndex(Tables.documents(s, dir), "graft_bm25idx_h", 8),
+        () => Similarity.writeKnnGraph(Tables.embeddings(s, dir), 16, 4,
+          "graft_knng_h", 8, 2))
       TextOps.hybridRrfStored(s, "graft_bm25idx_h", "graft_knng_h",
           Seq("hash", "join", "vector"), 20, 10)
         .orderBy(col("rank"))

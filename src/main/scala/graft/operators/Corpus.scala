@@ -87,16 +87,21 @@ object Corpus {
           .select(col("doc_id"), col(shardCol),
             split(col("text"), " ").as("toks"))
           .localCheckpoint()
-        val m = TextOps.compositeFilterToks(tokenized, minTokens, maxTokens,
-            maxStopRatio, maxDupRatio, retainAll = true)
-          .select(col("doc_id"), col(shardCol).as("shard"),
-            col("n_toks").as("n_tokens"), col("keep"))
-          .localCheckpoint()
-        val tf = tokenized
-          .select(col("doc_id"), explode(col("toks")).as("tok"))
-          .groupBy(col("doc_id"), col("tok"))
-          .agg(count(lit(1)).as("tf"))
-          .localCheckpoint()
+        // the filter verdicts and the tf table are independent reads
+        // of the tokenized cache — overlap their materializations
+        var m: DataFrame = null
+        var tf: DataFrame = null
+        Par.inParallel(
+          () => m = TextOps.compositeFilterToks(tokenized, minTokens, maxTokens,
+              maxStopRatio, maxDupRatio, retainAll = true)
+            .select(col("doc_id"), col(shardCol).as("shard"),
+              col("n_toks").as("n_tokens"), col("keep"))
+            .localCheckpoint(),
+          () => tf = tokenized
+            .select(col("doc_id"), explode(col("toks")).as("tok"))
+            .groupBy(col("doc_id"), col("tok"))
+            .agg(count(lit(1)).as("tf"))
+            .localCheckpoint())
         (m, Some(TextOps.lmScoreFromTf(tf)
           .where(col("lm_score").between(lo, hi)).select(col("doc_id"))))
       case None =>

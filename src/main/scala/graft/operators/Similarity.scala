@@ -137,7 +137,7 @@ object Similarity {
     * rather than build+serve (VERDICT r13 measurement-semantics note).
     */
   private[graft] def memoHitCount: Long = memoHitCounter.get()
-  private def memoized[T <: AnyRef](df: DataFrame, tag: String)(train: => T): T = {
+  private[graft] def memoized[T <: AnyRef](df: DataFrame, tag: String)(train: => T): T = {
     if (trainedMemo.size > 256) trainedMemo.clear()
     var built = false
     val v = trainedMemo.getOrElseUpdate(new TrainKey(df, tag),
@@ -1513,9 +1513,16 @@ object Similarity {
       var n = 1L
       var grown = true
       while (grown) {
-        val nxt = ckpt(visited.join(edges, visited("vid") === edges("src"))
+        // TWO hops per round: same fixpoint (closure), same
+        // convergence test (no growth after a 2-hop round ⇒ closed
+        // under 1 hop), half the driver round-trips — the audit is
+        // latency-bound, diameter-many rounds of tiny frames
+        val hop1 = visited.join(edges, visited("vid") === edges("src"))
           .select(edges("nbr").as("vid"))
-          .unionByName(visited).distinct())
+        val g2 = edges.select(col("src").as("s2"), col("nbr").as("n2"))
+        val hop2 = hop1.join(g2, hop1("vid") === g2("s2"))
+          .select(col("n2").as("vid"))
+        val nxt = ckpt(visited.unionByName(hop1).unionByName(hop2).distinct())
         val n2 = nxt.count()
         grown = n2 > n
         n = n2

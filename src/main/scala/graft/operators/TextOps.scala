@@ -1928,7 +1928,13 @@ object TextOps {
     * crawls whose type table outgrows the codebook contract.
     */
   def bpeTrainMerges(docs: DataFrame, nMerges: Int,
-                     collectMax: Long = TypeTableCollectMax): Seq[(Int, String, String, Long)] = {
+                     collectMax: Long = TypeTableCollectMax): Seq[(Int, String, String, Long)] =
+    // trained-artifact memo (the Similarity quantizer/codebook
+    // discipline, r17): six bpe_* gates train the identical merge list
+    // per bench pass; hits are counted in the shared memoHitCounter so
+    // BENCH's per-query memo flags stay accurate, and the bench clears
+    // the memo at each pass boundary as for every trained artifact
+    Similarity.memoized(docs, s"bpemerges:$nMerges:$collectMax") {
     require(nMerges >= 1, s"bpeTrain: nMerges must be >= 1, got $nMerges")
     val typesDf = docs.select(explode(split(col("text"), " ")).as("w"))
       .where(length(col("w")) >= 2)
@@ -2170,7 +2176,11 @@ object TextOps {
   def ulmTrainVocab(docs: DataFrame, nSeed: Int, rounds: Int,
                     maxPieceLen: Int = 4, maxWordLen: Int = 12,
                     targetVocab: Int = 0,
-                    shrink: Double = 0.75): Seq[(String, Long, Double)] = {
+                    shrink: Double = 0.75): Seq[(String, Long, Double)] =
+    // trained-artifact memo — the bpeTrainMerges discipline: five ulm_*
+    // gates train the identical (40, 2) vocabulary per bench pass
+    Similarity.memoized(docs,
+        s"ulmvocab:$nSeed:$rounds:$maxPieceLen:$maxWordLen:$targetVocab:$shrink") {
     require(nSeed >= 1, s"ulmTrain: nSeed must be >= 1, got $nSeed")
     require(rounds >= 1, s"ulmTrain: rounds must be >= 1, got $rounds")
     require(maxPieceLen >= 2, s"ulmTrain: maxPieceLen must be >= 2, got $maxPieceLen")
@@ -2444,7 +2454,9 @@ object TextOps {
     * [[bpeTrainMerges]] driver-OOM guard, same one-count() decision).
     */
   def wordpieceTrainMerges(docs: DataFrame, nMerges: Int,
-                           collectMax: Long = TypeTableCollectMax): Seq[(Int, String, String, Long, Double)] = {
+                           collectMax: Long = TypeTableCollectMax): Seq[(Int, String, String, Long, Double)] =
+    // trained-artifact memo — the bpeTrainMerges discipline
+    Similarity.memoized(docs, s"wpmerges:$nMerges:$collectMax") {
     require(nMerges >= 1, s"wordpieceTrain: nMerges must be >= 1, got $nMerges")
     val typesDf = docs.select(explode(split(col("text"), " ")).as("w"))
       .where(length(col("w")) >= 1)
