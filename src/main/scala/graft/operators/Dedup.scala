@@ -106,7 +106,9 @@ object Dedup {
     */
   def minhashSigs(docs: DataFrame, perms: Int): DataFrame = {
     graft.functions.VectorExprs.register(docs.sparkSession)
-    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // per-row shingle+hash compute dominates — fan a coarse scan out
+    // (Par.fanOut is a no-op on any real multi-split corpus)
+    Par.fanOut(docs).select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= 3)
       .select(col("doc_id"), expr(
         "transform(sequence(1, size(toks) - 2), " +

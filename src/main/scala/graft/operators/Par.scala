@@ -20,4 +20,22 @@ private[graft] object Par {
     val fs = tasks.map(t => Future(t()))
     fs.foreach(Await.result(_, Duration.Inf))
   }
+
+  /** Scale-adaptive fan-out for COMPUTE-HEAVY map-side operators
+    * (guide §2.5 "one huge unsplittable file → repartition immediately
+    * after the read"): a parquet file is only splittable at row-group
+    * granularity, so a single-row-group input runs the whole scan —
+    * and every per-row-expensive projection or partial aggregation
+    * fused into it (Viterbi encodes, gram explodes, outer products) —
+    * in ONE task regardless of cluster width. When the plan's scan
+    * parallelism is below the cluster's default parallelism,
+    * repartition up to it; on a wide input (any real corpus: thousands
+    * of splits) this is a NO-OP, so nothing extra is shuffled at
+    * scale. Only applied where per-row compute dominates the one
+    * narrow exchange this costs — never blanket on table reads.
+    */
+  def fanOut(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
 }

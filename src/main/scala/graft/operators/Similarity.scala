@@ -2783,7 +2783,9 @@ object Similarity {
     // lineage cut each branch re-ran the full n·d²/2 explode+aggregate
     // — plan-audited 3× the corpus pass, measured 3 × ~2.2 s jobs at
     // sf0.1 (r17). One pass now, as the doc above always claimed.
-    val agg = embeddings.where(col("embedding").isNotNull)
+    // the d²/2 outer products per row dominate — fan a coarse scan
+    // out so the explode+partial-agg parallelizes (no-op at scale)
+    val agg = Par.fanOut(embeddings.where(col("embedding").isNotNull))
       .select(explode(expr(lam)).as("t"))
       .groupBy(col("t.i").as("i"), col("t.j").as("j"))
       .agg(sum(col("t.p")).as("s"), count(lit(1)).as("n"))

@@ -831,7 +831,7 @@ object TextOps {
     // generation's tombstones — a stale mask would silently hide
     // freshly-indexed docs AND skew N/avgdl/df via maskedTextIndex
     spark.sql(s"DROP TABLE IF EXISTS ${table}_ttombstones")
-    val base = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val base = Par.fanOut(docs).select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("term"))
     // the three tables are independent — overlap the writes (Par)
