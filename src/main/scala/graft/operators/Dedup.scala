@@ -1071,15 +1071,41 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_toks"))
   }
 
+  /** Each document's DISTINCT `l`-token window grams: (doc_id, gram),
+    * unique per doc — the (doc_id, gram)-distinct of [[tokenWindows]]
+    * computed IN-ROW (`array_distinct` over the per-doc gram array
+    * before the explode) instead of through a corpus-wide distinct
+    * exchange. Exact under the index family's standing contract that
+    * `doc_id` identifies the document (one row per doc — the `_sdocs`
+    * ledger enforces exactly-once indexing across batches, and a
+    * within-batch duplicate row was always a caller error): a doc's
+    * gram set is a row-local property, so deduplicating it never
+    * needed a shuffle (guide §2.4 — a distinct on data already unique
+    * by construction). Window positions are not produced at all (the
+    * refcount consumers never read `p`).
+    */
+  private def docGrams(docs: DataFrame, l: Int): DataFrame = {
+    require(l >= 2, s"token windows: need window length >= 2, got $l")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= l)
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(sequence(1, size(toks) - ${l - 1}),
+           |  p -> array_join(slice(toks, p, $l), ' ')))""".stripMargin))
+        .as("gram"))
+  }
+
   /** Per-gram REFERENCE COUNTS of a doc batch: how many distinct docs
     * contain each `l`-token window gram — the unit every gram-index
-    * generation (build, append, tombstone) is written in. One
-    * (doc_id, gram) distinct + one map-side-combined count; the store
-    * never carries doc attribution, only the count that makes
+    * generation (build, append, tombstone) is written in. The
+    * (doc_id, gram) distinct happens in-row ([[docGrams]]), so the
+    * whole refcount is ONE map-side-combined count exchange (r18:
+    * previously distinct + count shuffled the gram volume twice); the
+    * store never carries doc attribution, only the count that makes
     * takedown exact.
     */
   private def gramRefs(docs: DataFrame, l: Int): DataFrame =
-    tokenWindows(docs, l).select(col("doc_id"), col("gram")).distinct()
+    docGrams(docs, l)
       .groupBy(col("gram")).agg(count(lit(1)).as("n_refs"))
 
   /** Persist a corpus's `minLen`-token window grams WITH per-gram doc
@@ -1201,7 +1227,9 @@ object Dedup {
           "compacted away; tombstoning them would decrement grams they " +
           "never contributed (refcount under-count → over-suppression)")
     }
-    tokenWindows(docs, minLen).select(col("doc_id"), col("gram")).distinct()
+    // per-doc distinct grams in-row (docGrams) — zero-exchange filing;
+    // the mask's countDistinct(doc_id) reads it dup-tolerantly anyway
+    docGrams(docs, minLen)
       .write.mode("append").format("parquet")
       .saveAsTable(s"${table}_stombstones")
   }

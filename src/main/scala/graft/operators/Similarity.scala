@@ -696,24 +696,37 @@ object Similarity {
     // element dropped from a beam ranks below beam members forever),
     // so carrying beam ∪ expansion into each round's window yields the
     // identical final ranking at a fraction of the exchange volume —
-    // consumers only read crank ≤ nprobe ≤ beam
+    // consumers only read crank ≤ nprobe ≤ beam.
+    //
+    // r18 exchange discipline (the graphWalkScored restructure applied
+    // to the routing loop): the expansion dedup and the e re-attach
+    // share ONE hash(vec_id) exchange (the explicit repartition
+    // satisfies both the dropDuplicates clustering — subset rule — and
+    // the join's requirement on the expansion side); the merge's
+    // repartition(vec_id) likewise feeds the dedup agg AND the beam
+    // window; the LAST round stays lazy — every caller checkpoints the
+    // crank-filtered assignment immediately, and the crank window
+    // rides the final merge's hash(vec_id) partitioning exchange-free.
     var beamScored = e
       .crossJoin(broadcast(cents.where(col("ccid") === entry)))
       .select(col("vec_id"), col("ccid").as("cid"), cos.as("cos"))
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val scored = beamScored
         .join(broadcast(cg), col("cid") === col("src"))
-        .select(col("vec_id"), col("nbr").as("cid")).distinct()
+        .select(col("vec_id"), col("nbr").as("cid"))
+        .repartition(col("vec_id"))
+        .dropDuplicates("vec_id", "cid")
         .join(e, "vec_id")
         .join(broadcast(cents), col("cid") === col("ccid"))
         .select(col("vec_id"), col("cid"), cos.as("cos"))
-      beamScored = beamScored.unionByName(scored)
+      val merged = beamScored.unionByName(scored)
+        .repartition(col("vec_id"))
         .groupBy(col("vec_id"), col("cid")).agg(min(col("cos")).as("cos"))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))))
         .where(col("rk") <= beam).drop("rk")
-        .localCheckpoint()
+      beamScored = if (r < rounds) merged.localCheckpoint() else merged
     }
     beamScored.withColumn("crank", row_number().over(
       Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))))
@@ -1148,66 +1161,88 @@ object Similarity {
                         nQueries: Int, beam: Int, rounds: Int, k: Int): DataFrame = {
     val q = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
-    graphWalkFrom(e, graph, q,
-      q.select(col("qid"), col("qid").as("vid")), beam, rounds, k)
+    graphWalkScored(e, graph,
+        q.select(col("qid"), col("qv"), col("qn"), col("qid").as("vid")),
+        beam, rounds, k)
+      .select(col("qid"), col("vid"), col("cos"), col("rank"))
   }
 
-  /** The walk core generalized to ARBITRARY seeds (qid, vid) — the
-    * self-seeded [[graphWalk]] and the entry-point-seeded layers of
-    * [[annGraphSearchHier]] are the same machine with different
-    * starting frontiers. Answer = top-k of everything visited, the
-    * query itself excluded.
+  /** The walk core over QUERY-CARRYING seeds `(qid, qv, qn, vid)` —
+    * the r18 job-count restructure of the per-round dataflow. Three
+    * structural changes vs the r17 shape, all result-identical (cos is
+    * a pure function of (qid, vid): same vectors, same `graft_vec_dot`
+    * operation order, same r3 rounding — so WHEN a pair is scored can
+    * never change WHAT it scores):
+    *
+    *   - **Score on FIRST VISIT, not per round.** `visited` carries
+    *     (qid, qv, qn, vid, cos); each round scores only the new
+    *     expansion instead of re-scoring the whole visited set, so the
+    *     per-round e-join shrinks to expansion size and the per-round
+    *     broadcast(q) job disappears (qv/qn ride the candidate-sized
+    *     frame — ~0.5 KB/row on a budget-bounded frame, volume for
+    *     latency per guide §2.4).
+    *   - **ONE exchange per round.** The dedup and the beam window
+    *     shared two exchanges (hash(qid,vid) distinct + hash(qid)
+    *     window); an explicit repartition(qid) satisfies BOTH the
+    *     groupBy(qid,vid) clustering (subset rule) and the window
+    *     partitioning, so each round is: hop join (broadcast) → score
+    *     join (broadcast) → one hash(qid) exchange → dedup agg → rk
+    *     window → checkpoint.
+    *   - **The LAST round is lazy.** Its merge + the answer window run
+    *     in the consumer's own job (the next level's first checkpoint,
+    *     or the sink) — one fewer scheduler barrier per walk; rounds
+    *     1..rounds−1 still checkpoint eagerly (the r17 lesson: fully
+    *     lazy re-executes tail stages under AQE).
+    *
+    * Dedup keeps min(cos)/max(qv)/max(qn) — duplicates of a (qid, vid)
+    * pair carry IDENTICAL values (pure functions of the pair), so the
+    * agg choice is determinism bookkeeping, not semantics. Returns
+    * (qid, qv, qn, vid, cos, rank) with rank ≤ k, the query itself
+    * excluded — qv/qn retained so a chained walk (hier navigation)
+    * seeds the next level without re-joining the query frame.
     */
-  private def graphWalkFrom(e: DataFrame, graph: DataFrame, q: DataFrame,
-                            seeds: DataFrame, beam: Int, rounds: Int,
-                            k: Int, undirected: Boolean = false): DataFrame = {
+  private def graphWalkScored(e: DataFrame, adj: DataFrame,
+                              seeds: DataFrame, beam: Int,
+                              rounds: Int, k: Int): DataFrame = {
     require(k <= beam, s"annGraphSearch: k=$k must be <= beam=$beam")
     require(rounds >= 1, s"annGraphSearch: rounds must be >= 1, got $rounds")
-    def score(visited: DataFrame) = visited
-      .join(e, visited("vid") === e("vec_id"))
-      .join(broadcast(q), "qid")
-      .select(col("qid"), col("vid"),
+    def scoreNew(cand: DataFrame) = cand
+      .join(e, cand("vid") === e("vec_id"))
+      .select(cand("qid"), cand("qv"), cand("qn"), cand("vid"),
         r3(expr("graft_vec_dot(v, qv)") / (col("norm") * col("qn"))).as("cos"))
-    // `undirected` = the ANSWER-walk serving mode (the filteredWalkFrom
-    // lesson extended to the cold-start tier, VERDICT r16 #3): a top-k
-    // out-edge graph leaves nodes directed-unreachable from a GLOBAL
-    // entry (14/500 on the gate corpus), and a hier query seeded at
-    // the entry silently loses any exact answer among them — the flat
-    // walk self-seeds and is exempt, navigation levels only route
-    // (k = 1) and stay directed. Reading the reverse direction doubles
-    // the edge scan, not the shuffle; duplicate a↔b rows collapse in
-    // the per-round visited distinct.
-    val adj = if (!undirected) graph else graph.unionByName(
-      graph.select(col("nbr").as("src"), col("src").as("nbr")))
-    // ONE eager checkpoint per round (r17 job-count fix): only `visited`
-    // — the frame every later round builds on — materializes; the
-    // frontier is a bounded-depth plan over the checkpointed visited
-    // (one score join + one window), consumed exactly once by the next
-    // round's expansion, so checkpointing it bought nothing but a
-    // second scheduler round-trip per round. (Fully-lazy checkpoints
-    // were measured WORSE here: AQE materializes each round's shuffle
-    // stages at construction regardless, and pre-materialization reuse
-    // recomputed the tail stages — walls rose 10-30%.) The last round's
-    // frontier is never built at all.
-    var visited = seeds.localCheckpoint()
-    var frontier = visited
+    val carry = Seq(col("qid"), col("qv"), col("qn"), col("vid"))
+    var visited: DataFrame = null // (qid, qv, qn, vid, cos[, rk])
     for (r <- 1 to rounds) {
+      // round 1 expands ALL seeds (the r17 contract: the first frontier
+      // is the seed set, unfiltered); later rounds expand the top-beam
+      val frontier = if (r == 1) seeds
+        else visited.where(col("rk") <= beam).select(carry: _*)
       val expand = frontier.join(adj, frontier("vid") === adj("src"))
-        .select(frontier("qid"), adj("nbr").as("vid"))
-      visited = visited.unionByName(expand).distinct().localCheckpoint()
-      if (r < rounds)
-        frontier = score(visited)
-          .withColumn("rk", row_number().over(
+        .select(frontier("qid"), frontier("qv"), frontier("qn"),
+          adj("nbr").as("vid"))
+      // round 1 scores seeds ∪ expansion in ONE e-join; later rounds
+      // score only the expansion and union the already-scored visited
+      val fresh = if (r == 1) scoreNew(frontier.unionByName(expand))
+        else visited.select(carry :+ col("cos"): _*)
+          .unionByName(scoreNew(expand))
+      val merged = fresh
+        .repartition(col("qid"))
+        .groupBy(col("qid"), col("vid"))
+        .agg(max(col("qv")).as("qv"), max(col("qn")).as("qn"),
+          min(col("cos")).as("cos"))
+      visited = if (r < rounds)
+        merged.withColumn("rk", row_number().over(
             Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))))
-          .where(col("rk") <= beam)
-          .select(col("qid"), col("vid"))
+          .localCheckpoint()
+      else merged
     }
-    score(visited)
+    visited
       .where(col("vid") =!= col("qid"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid")))
         .cast("long"))
       .where(col("rank") <= k)
+      .select(col("qid"), col("qv"), col("qn"), col("vid"), col("cos"), col("rank"))
   }
 
   /** FILTERED graph-walk search — [[cosineTopKFiltered]]'s metadata
@@ -1266,8 +1301,9 @@ object Similarity {
     val labels = eL.select(col("vec_id").as("vid"), col("label"))
     val q = eL.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
-    filteredWalkFrom(nodes, labels, graph, q,
-      q.select(col("qid"), col("qid").as("vid")), beam, rounds, k, nLabels)
+    filteredWalkScored(nodes, labels, graph,
+      q.select(col("qid"), col("qv"), col("qn"), col("qid").as("vid")),
+      beam, rounds, k, nLabels)
   }
 
   /** Persist node LABELS beside a stored kNN graph — the metadata
@@ -1360,26 +1396,30 @@ object Similarity {
       .withColumn("norm", sqrt(expr("graft_vec_dot(v, v)")))
     val q = nodes.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
-    filteredWalkFrom(nodes, labels, mEdges.select(col("src"), col("nbr")), q,
-      q.select(col("qid"), col("qid").as("vid")), beam, rounds, k, nLabels)
+    filteredWalkScored(nodes, labels, mEdges.select(col("src"), col("nbr")),
+      q.select(col("qid"), col("qv"), col("qn"), col("qid").as("vid")),
+      beam, rounds, k, nLabels)
   }
 
-  /** The MIXED-beam filtered walk from arbitrary SEEDS — the level-0
-    * body shared by [[annGraphSearchFilteredStored]] (seeds = the
-    * queries themselves) and [[annGraphSearchHierFilteredStored]]
-    * (seeds = the hierarchy's navigation output). Labels join on the
-    * candidate-sized scored frame each round; answer = exact top-k of
-    * visited ∩ predicate, ranked after the filter.
+  /** The mixed-beam filtered walk over QUERY-CARRYING seeds
+    * (qid, qv, qn, vid) — [[graphWalkScored]]'s r18 restructure
+    * (score-on-first-visit, one exchange per round, lazy last round)
+    * applied to the filtered body; `label` rides the visited frame
+    * like `cos` (both pure functions of the row's ids, so carrying
+    * them is bookkeeping, not semantics). Per round: hop-1 join,
+    * label join for the bridge verdict, bridge hop-2 join, ONE score
+    * join over hop1 ∪ hop2, one hash(qid) exchange feeding the dedup
+    * agg and BOTH frontier windows (rk rides hash(qid); rkm's
+    * (qid, match) clustering is satisfied by the same partitioning).
     */
-  private def filteredWalkFrom(nodes: DataFrame, labels: DataFrame,
-                               graph: DataFrame, q: DataFrame,
-                               seeds: DataFrame, beam: Int, rounds: Int,
-                               k: Int, nLabels: Int): DataFrame = {
+  private def filteredWalkScored(nodes: DataFrame, labels: DataFrame,
+                                 graph: DataFrame, seeds: DataFrame,
+                                 beam: Int, rounds: Int,
+                                 k: Int, nLabels: Int): DataFrame = {
     val isMatch = col("label") === pmod(col("qid"), lit(nLabels.toLong)).cast("int")
-    def score(visited: DataFrame) = visited
-      .join(nodes, visited("vid") === nodes("vec_id"))
-      .join(broadcast(q), "qid")
-      .select(col("qid"), col("vid"),
+    def scoreNew(cand: DataFrame) = cand
+      .join(nodes, cand("vid") === nodes("vec_id"))
+      .select(cand("qid"), cand("qv"), cand("qn"), cand("vid"),
         r3(expr("graft_vec_dot(v, qv)") / (col("norm") * col("qn"))).as("cos"))
       .join(labels, Seq("vid"))
     // walk the adjacency UNDIRECTED: the stored kNN graph keeps each
@@ -1391,18 +1431,22 @@ object Similarity {
     // bidirectional by construction; the filtered walk reads the
     // reverse direction at serve time (UNION of the flipped edge
     // frame — no store change, no dedup: duplicate a↔b rows collapse
-    // in the per-round visited distinct)
+    // in the per-round visited dedup)
     val sym = graph.unionByName(
       graph.select(col("nbr").as("src"), col("src").as("nbr")))
-    // ONE eager checkpoint per round — the graphWalkFrom discipline:
-    // `visited` checkpoints (every later round builds on it); the
-    // frontier is a bounded-depth plan over it, consumed once by the
-    // next round's hop, and the last round's frontier is never built
-    var visited = seeds.localCheckpoint()
-    var frontier = visited
+    val carry = Seq(col("qid"), col("qv"), col("qn"), col("vid"))
+    var visited: DataFrame = null // (qid, qv, qn, vid, cos, label[, rk, rkm])
     for (r <- 1 to rounds) {
+      // the mixed navigation ∪ matching frontier: rank overall and
+      // rank within the (qid, match) group, keep `rk ≤ beam OR (match
+      // AND rkm ≤ beam)` — the same set as union(topBeam(all),
+      // topBeam(matches)); round 1 expands ALL seeds
+      val frontier = if (r == 1) seeds
+        else visited.where(col("rk") <= beam || (isMatch && col("rkm") <= beam))
+          .select(carry: _*)
       val hop1 = frontier.join(sym, frontier("vid") === sym("src"))
-        .select(frontier("qid"), sym("nbr").as("vid"))
+        .select(frontier("qid"), frontier("qv"), frontier("qn"),
+          sym("nbr").as("vid"))
       // ACORN-style BRIDGE expansion (Patel et al. 2024): a hop-1
       // candidate that FAILS the predicate still conducts the walk —
       // expand it one extra hop, so a filtered-out shell around the
@@ -1414,32 +1458,37 @@ object Similarity {
       // round on the (frontier × degree)-sized non-matching slice —
       // candidate volume × degree, never corpus volume.
       val bridge = hop1.join(labels, Seq("vid")).where(!isMatch)
-        .select(col("qid"), col("vid"))
+        .select(carry: _*)
       // re-key the adjacency for the second hop — hop1 already carries
       // this frame's lineage, so a raw re-join would be an ambiguous
       // self-join
       val g2 = sym.select(col("src").as("bsrc"), col("nbr").as("bnbr"))
       val hop2 = bridge.join(g2, bridge("vid") === g2("bsrc"))
-        .select(bridge("qid"), col("bnbr").as("vid"))
-      visited = visited.unionByName(hop1).unionByName(hop2)
-        .distinct().localCheckpoint()
-      // the mixed navigation ∪ matching frontier in ONE pass over the
-      // scored frame: rank overall and rank within the (qid, match)
-      // group, keep `rk ≤ beam OR (match AND rkm ≤ beam)` — the same
-      // set as union(topBeam(all), topBeam(matches)) without computing
-      // the score join twice or paying the union's distinct exchange
-      // (scored rows are unique per (qid, vid), so the OR cannot dup)
-      if (r < rounds)
-        frontier = score(visited)
+        .select(bridge("qid"), bridge("qv"), bridge("qn"),
+          col("bnbr").as("vid"))
+      // ONE score+label join over seeds(round 1) ∪ hop1 ∪ hop2; the
+      // bridge's hop-1 label probe reuses the same labels broadcast
+      val cand = if (r == 1) frontier.unionByName(hop1).unionByName(hop2)
+        else hop1.unionByName(hop2)
+      val fresh = if (r == 1) scoreNew(cand)
+        else visited.select(carry ++ Seq(col("cos"), col("label")): _*)
+          .unionByName(scoreNew(cand))
+      val merged = fresh
+        .repartition(col("qid"))
+        .groupBy(col("qid"), col("vid"))
+        .agg(max(col("qv")).as("qv"), max(col("qn")).as("qn"),
+          min(col("cos")).as("cos"), max(col("label")).as("label"))
+      visited = if (r < rounds)
+        merged
           .withColumn("rk", row_number().over(
             Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))))
           .withColumn("rkm", row_number().over(
             Window.partitionBy(col("qid"), isMatch)
               .orderBy(col("cos").desc, col("vid"))))
-          .where(col("rk") <= beam || (isMatch && col("rkm") <= beam))
-          .select(col("qid"), col("vid"))
+          .localCheckpoint()
+      else merged
     }
-    score(visited).where(isMatch)
+    visited.where(isMatch)
       .where(col("vid") =!= col("qid"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid")))
@@ -1682,18 +1731,23 @@ object Similarity {
       s"annGraphSearchHier: level-$top sample is empty — " +
         "raise keep, lower nBuckets, or lower nLayers")
     val entry = entryRow.getLong(0)
-    var seeds = q.select(col("qid"), lit(entry).as("vid"))
+    // the stored twin's seed-fold (hierNavigate): (qv, qn) ride the
+    // descent, each level boundary is a lazy window
+    var seeds = q.select(col("qid"), col("qv"), col("qn"), lit(entry).as("vid"))
     for (lvl <- levels) {
       val lFrame = embeddings.where(layerPred(lvl, keep, nBuckets))
       val eL = prepared(lFrame.where(col("embedding").isNotNull))
       val gL = levelGraph(lFrame)
-      seeds = graphWalkFrom(eL, gL, q, seeds, beam, rounds, 1)
-        .select(col("qid"), col("vid"))
+      seeds = graphWalkScored(eL, gL, seeds, beam, rounds, 1)
+        .select(col("qid"), col("qv"), col("qn"), col("vid"))
     }
     val g0 = levelGraph(embeddings)
     // the ANSWER walk serves undirected — entry-seeded queries must
     // reach in-edge-only nodes (navigation above stayed directed)
-    graphWalkFrom(base, g0, q, seeds, beam, rounds, k, undirected = true)
+    graphWalkScored(base,
+        g0.unionByName(g0.select(col("nbr").as("src"), col("src").as("nbr"))),
+        seeds, beam, rounds, k)
+      .select(col("qid"), col("vid"), col("cos"), col("rank"))
   }
 
   /** Persist the kNN graph to the catalog — build-once/walk-forever
@@ -2036,10 +2090,13 @@ object Similarity {
   def annGraphSearchHierStored(spark: org.apache.spark.sql.SparkSession,
                                table: String, nQueries: Int, beam: Int,
                                rounds: Int, k: Int): DataFrame = {
-    val (e0, g0, q, seeds) = hierNavigate(spark, table, nQueries, beam, rounds)
+    val (e0, g0, _, seeds) = hierNavigate(spark, table, nQueries, beam, rounds)
     // entry-seeded answer walk serves undirected (the recompute twin's
     // contract — annGraphSearchHier's level-0 call)
-    graphWalkFrom(e0, g0, q, seeds, beam, rounds, k, undirected = true)
+    graphWalkScored(e0,
+        g0.unionByName(g0.select(col("nbr").as("src"), col("src").as("nbr"))),
+        seeds, beam, rounds, k)
+      .select(col("qid"), col("vid"), col("cos"), col("rank"))
   }
 
   /** The stored hierarchy's shared SERVE MACHINERY — mask resolution
@@ -2084,11 +2141,16 @@ object Similarity {
     val (e0, g0) = masked(0)
     val q = e0.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
-    var seeds = q.select(col("qid"), lit(entry).as("vid"))
+    // seeds carry (qv, qn) down the descent — each level's walk seeds
+    // the next through [[graphWalkScored]]'s query-carrying frame, so
+    // the per-level seed re-scoring and broadcast(q) jobs disappear
+    // and the level boundary is a lazy window folded into the next
+    // level's first checkpoint (the r18 seed-fold)
+    var seeds = q.select(col("qid"), col("qv"), col("qn"), lit(entry).as("vid"))
     for (lvl <- (nLayers - 1) to 1 by -1) {
       val (nL, gL) = masked(lvl)
-      seeds = graphWalkFrom(nL, gL, q, seeds, beam, rounds, 1)
-        .select(col("qid"), col("vid"))
+      seeds = graphWalkScored(nL, gL, seeds, beam, rounds, 1)
+        .select(col("qid"), col("qv"), col("qn"), col("vid"))
     }
     (e0, g0, q, seeds)
   }
@@ -2118,10 +2180,10 @@ object Similarity {
         s"('${table}_l0') before filtered serving")
     require(nLabels >= 1,
       s"annGraphSearchHierFilteredStored: need nLabels >= 1, got $nLabels")
-    val (e0, g0, q, seeds) = hierNavigate(spark, table, nQueries, beam, rounds)
+    val (e0, g0, _, seeds) = hierNavigate(spark, table, nQueries, beam, rounds)
     val labels = spark.table(s"${table}_l0_nlabels")
       .select(col("vec_id").as("vid"), col("label"))
-    filteredWalkFrom(e0, labels, g0, q, seeds, beam, rounds, k, nLabels)
+    filteredWalkScored(e0, labels, g0, seeds, beam, rounds, k, nLabels)
   }
 
   /** Recall@k of the FILTERED hier walk vs the exact filtered top-k —
