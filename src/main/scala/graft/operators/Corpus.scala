@@ -81,6 +81,21 @@ object Corpus {
     // frame is checkpointed once and read twice — three body passes
     // total (tokenize, decontaminate grams, signatures) instead of the
     // r8 shape's four (lmScore re-split the corpus from parquet).
+    //
+    // r18 (guide §2.6): the three body passes are INDEPENDENT reads of
+    // `docs` — the verdict/tf tokenization, the decontamination gram
+    // probe, and the raw MinHash signatures (per-document, corpus-
+    // independent — the id restriction joins AFTER the compute, so
+    // hoisting the signature pass changes nothing it computes). They
+    // previously serialized: decontamination and signatures hid inside
+    // the first dedup job's lineage and ran after the verdict ckpts.
+    // Now all three materialize concurrently; at cluster scale the
+    // same overlap back-fills executors idled by each pass's tail.
+    var contaminatedIds: DataFrame = null
+    val deconPass = () => contaminatedIds =
+      TextOps.decontaminate(docs, benchmark, decontaminateN)
+        .where(col("contaminated") === 1).select(col("doc_id"))
+        .localCheckpoint()
     val (meta, lmIds) = lmScoreBand match {
       case Some((lo, hi)) =>
         val tokenized = docs
@@ -88,7 +103,8 @@ object Corpus {
             split(col("text"), " ").as("toks"))
           .localCheckpoint()
         // the filter verdicts and the tf table are independent reads
-        // of the tokenized cache — overlap their materializations
+        // of the tokenized cache — overlap them (and the decontaminate
+        // gram pass, which reads the raw docs)
         var m: DataFrame = null
         var tf: DataFrame = null
         Par.inParallel(
@@ -101,18 +117,21 @@ object Corpus {
             .select(col("doc_id"), explode(col("toks")).as("tok"))
             .groupBy(col("doc_id"), col("tok"))
             .agg(count(lit(1)).as("tf"))
-            .localCheckpoint())
+            .localCheckpoint(),
+          deconPass)
         (m, Some(TextOps.lmScoreFromTf(tf)
           .where(col("lm_score").between(lo, hi)).select(col("doc_id"))))
       case None =>
-        (TextOps.compositeFilter(docs, minTokens, maxTokens,
-            maxStopRatio, maxDupRatio, retainAll = true)
-          .select(col("doc_id"), col(shardCol).as("shard"),
-            col("n_toks").as("n_tokens"), col("keep"))
-          .localCheckpoint(), None)
+        var m: DataFrame = null
+        Par.inParallel(
+          () => m = TextOps.compositeFilter(docs, minTokens, maxTokens,
+              maxStopRatio, maxDupRatio, retainAll = true)
+            .select(col("doc_id"), col(shardCol).as("shard"),
+              col("n_toks").as("n_tokens"), col("keep"))
+            .localCheckpoint(),
+          deconPass)
+        (m, None)
     }
-    val contaminatedIds = TextOps.decontaminate(docs, benchmark, decontaminateN)
-      .where(col("contaminated") === 1).select(col("doc_id"))
     val cleanMeta0 = meta.where(col("keep") === 1).drop("keep")
       .join(broadcast(contaminatedIds), Seq("doc_id"), "left_anti")
     val cleanMeta = lmIds match {
