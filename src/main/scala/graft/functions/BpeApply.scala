@@ -34,10 +34,31 @@ case class BpeApply(child: Expression, mergesEnc: String)
   @transient private lazy val merges: Array[(String, String)] =
     BpeApply.decode(mergesEnc)
 
+  // Per-thread word → tokens memo (guide §4.5, the UlmViterbi
+  // discipline): the merge replay is a pure function of (word, merge
+  // list) and occurrences vastly outnumber types, so each thread
+  // replays a TYPE once. ThreadLocal for task-concurrency safety; the
+  // cached GenericArrayData is immutable to consumers; bounded at 64k
+  // entries.
+  @transient private lazy val memo:
+      ThreadLocal[java.util.HashMap[String, GenericArrayData]] =
+    ThreadLocal.withInitial(() =>
+      new java.util.HashMap[String, GenericArrayData]())
+
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {
     val w = input.asInstanceOf[UTF8String].toString
+    val m = memo.get()
+    val hit = m.get(w)
+    if (hit != null) return hit
+    val res = apply(w)
+    if (m.size >= 65536) m.clear()
+    m.put(w, res)
+    res
+  }
+
+  private def apply(w: String): GenericArrayData = {
     var syms: Array[String] =
       w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
     var mi = 0
@@ -60,6 +81,8 @@ case class BpeApply(child: Expression, mergesEnc: String)
     }
     new GenericArrayData(syms.map(UTF8String.fromString(_): Any))
   }
+  // (apply body above is the r17-verified oracle-parity replay,
+  // unchanged)
 
   override protected def withNewChildInternal(newChild: Expression): BpeApply =
     copy(child = newChild)

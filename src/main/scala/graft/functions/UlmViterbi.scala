@@ -48,14 +48,40 @@ case class UlmViterbi(child: Expression, vocabEnc: String)
     if (vocab.isEmpty) 1
     else math.max(1, vocab.keysIterator.map(p => p.codePointCount(0, p.length)).max)
 
+  // Per-thread word → segmentation memo (guide §4.5: amortize per-row
+  // work across a task): the encoder is a pure function of (word,
+  // vocab) and corpora are Zipfian — occurrences vastly outnumber
+  // types — so each thread segments a TYPE once and replays the
+  // result. ThreadLocal because an expression instance can be shared
+  // across concurrently-running tasks; the returned GenericArrayData
+  // is immutable (consumers copy on write into unsafe rows). Bounded:
+  // cleared when it reaches 64k entries so an adversarial stream of
+  // unique words cannot grow it past a few MB.
+  @transient private lazy val memo:
+      ThreadLocal[java.util.HashMap[String, GenericArrayData]] =
+    ThreadLocal.withInitial(() =>
+      new java.util.HashMap[String, GenericArrayData]())
+
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {
     val w = input.asInstanceOf[UTF8String].toString
+    val m = memo.get()
+    val hit = m.get(w)
+    if (hit != null) return hit
+    val res = segment(w)
+    if (m.size >= 65536) m.clear()
+    m.put(w, res)
+    res
+  }
+
+  private def segment(w: String): GenericArrayData = {
     val cps: Array[String] =
       w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
     val n = cps.length
     if (n == 0) return new GenericArrayData(Array.empty[Any])
+    // (segment body unchanged — the DP below is the r17-verified
+    // oracle-parity implementation)
     // best(i): score, piece count k, and the length of the LAST piece
     // (the local tie-break); back(i) = that piece's start
     val score = new Array[Double](n + 1)

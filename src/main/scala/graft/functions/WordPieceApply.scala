@@ -46,10 +46,30 @@ case class WordPieceApply(child: Expression, vocabEnc: String, maxInputChars: In
       if (conts.isEmpty) 0 else conts.map(c => c.codePointCount(0, c.length)).max)
   }
 
+  // Per-thread word → tokens memo (guide §4.5, the UlmViterbi
+  // discipline): pure function of (word, vocab), Zipfian inputs —
+  // segment a TYPE once per thread. Immutable cached value; bounded.
+  @transient private lazy val memo:
+      ThreadLocal[java.util.HashMap[String, GenericArrayData]] =
+    ThreadLocal.withInitial(() =>
+      new java.util.HashMap[String, GenericArrayData]())
+
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {
     val w = input.asInstanceOf[UTF8String].toString
+    val m = memo.get()
+    val hit = m.get(w)
+    if (hit != null) return hit
+    val res = segment(w)
+    if (m.size >= 65536) m.clear()
+    m.put(w, res)
+    res
+  }
+
+  // (segment body below is the r17-verified oracle-parity greedy
+  // longest-match, unchanged)
+  private def segment(w: String): GenericArrayData = {
     if (w.isEmpty) return new GenericArrayData(Array.empty[Any])
     val cps = w.codePoints().toArray
     if (cps.length > maxInputChars)
