@@ -21,6 +21,20 @@ private[graft] object Par {
     fs.foreach(Await.result(_, Duration.Inf))
   }
 
+  /** [[inParallel]] returning each task's value, in input order — for
+    * overlapping independent EAGER frame constructions (a budget
+    * sweep's per-param walks, a recall gate's exact side ∥ its walk)
+    * whose results the caller then composes. Same contract: tasks must
+    * touch disjoint mutable state; first failure rethrows.
+    */
+  def inParallelAll[T](tasks: Seq[() => T]): Seq[T] = {
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fs = tasks.map(t => Future(t()))
+    fs.map(Await.result(_, Duration.Inf))
+  }
+
   /** Scale-adaptive fan-out for COMPUTE-HEAVY map-side operators
     * (guide §2.5 "one huge unsplittable file → repartition immediately
     * after the read"): a parquet file is only splittable at row-group

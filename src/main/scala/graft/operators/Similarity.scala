@@ -1609,11 +1609,14 @@ object Similarity {
                                    kGraph: Int, nQueries: Int, beam: Int,
                                    rounds: Int, k: Int, nLabels: Int,
                                    nprobe: Int = 2): DataFrame = {
-    val exact = cosineTopKFiltered(embeddings, nQueries, k, nLabels)
-      .select(col("qid"), col("vid"))
-    val approx = annGraphSearchFiltered(embeddings, nCentroids, kGraph,
-        nQueries, beam, rounds, k, nLabels, nprobe)
-      .select(col("qid"), col("vid"), lit(1).as("hit"))
+    // exact side ∥ walk rounds (the annGraphSearchRecall discipline)
+    val sides = Par.inParallelAll(Seq[() => DataFrame](
+      () => cosineTopKFiltered(embeddings, nQueries, k, nLabels)
+        .select(col("qid"), col("vid")).localCheckpoint(),
+      () => annGraphSearchFiltered(embeddings, nCentroids, kGraph,
+          nQueries, beam, rounds, k, nLabels, nprobe)
+        .select(col("qid"), col("vid"), lit(1).as("hit"))))
+    val (exact, approx) = (sides(0), sides(1))
     exact.join(approx, Seq("qid", "vid"), "left")
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("n_exact"),
@@ -1637,12 +1640,18 @@ object Similarity {
                             params: Seq[(Int, Int)],
                             nprobe: Int = 2): DataFrame = {
     require(params.nonEmpty, "annGraphFilteredSweep: need at least one (beam, rounds)")
-    val exact = cosineTopKFiltered(embeddings, nQueries, k, nLabels)
-      .select(col("qid"), col("vid")).localCheckpoint()
-    params.map { case (beam, rounds) =>
-      val approx = annGraphSearchFiltered(embeddings, nCentroids, kGraph,
-          nQueries, beam, rounds, k, nLabels, nprobe)
-        .select(col("qid"), col("vid"), lit(1).as("hit"))
+    // exact side ∥ independent per-budget walks over the shared graph
+    // memo (the annGraphSweep discipline)
+    val sides = Par.inParallelAll(
+      (() => cosineTopKFiltered(embeddings, nQueries, k, nLabels)
+        .select(col("qid"), col("vid")).localCheckpoint()) +:
+      params.map { case (beam, rounds) => () =>
+        annGraphSearchFiltered(embeddings, nCentroids, kGraph,
+            nQueries, beam, rounds, k, nLabels, nprobe)
+          .select(col("qid"), col("vid"), lit(1).as("hit"))
+      })
+    val exact = sides.head
+    params.zip(sides.tail).map { case ((beam, rounds), approx) =>
       exact.join(approx, Seq("qid", "vid"), "left")
         .groupBy(col("qid"))
         .agg(count(lit(1)).as("n_exact"),
@@ -2194,11 +2203,14 @@ object Similarity {
   def annGraphSearchHierFilteredRecall(embeddings: DataFrame, table: String,
                                        nQueries: Int, beam: Int, rounds: Int,
                                        k: Int, nLabels: Int): DataFrame = {
-    val exact = cosineTopKFiltered(embeddings, nQueries, k, nLabels)
-      .select(col("qid"), col("vid"))
-    val approx = annGraphSearchHierFilteredStored(embeddings.sparkSession,
-        table, nQueries, beam, rounds, k, nLabels)
-      .select(col("qid"), col("vid"), lit(1).as("hit"))
+    // exact side ∥ stored hier navigation + walk (recall discipline)
+    val sides = Par.inParallelAll(Seq[() => DataFrame](
+      () => cosineTopKFiltered(embeddings, nQueries, k, nLabels)
+        .select(col("qid"), col("vid")).localCheckpoint(),
+      () => annGraphSearchHierFilteredStored(embeddings.sparkSession,
+          table, nQueries, beam, rounds, k, nLabels)
+        .select(col("qid"), col("vid"), lit(1).as("hit"))))
+    val (exact, approx) = (sides(0), sides(1))
     exact.join(approx, Seq("qid", "vid"), "left")
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("n_exact"),
@@ -2262,10 +2274,14 @@ object Similarity {
                                rounds: Int, k: Int, keep: Int = 2,
                                nBuckets: Int = 8, nprobe: Int = 2,
                                nLayers: Int = 2): DataFrame = {
-    val exact = cosineTopK(embeddings, nQueries, k).select(col("qid"), col("vid"))
-    val approx = annGraphSearchHier(embeddings, nCentroids, kGraph, nQueries,
-        beam, rounds, k, keep, nBuckets, nprobe, nLayers)
-      .select(col("qid"), col("vid"), lit(1).as("hit"))
+    // exact side ∥ hier navigation + walk (the recall discipline)
+    val sides = Par.inParallelAll(Seq[() => DataFrame](
+      () => cosineTopK(embeddings, nQueries, k)
+        .select(col("qid"), col("vid")).localCheckpoint(),
+      () => annGraphSearchHier(embeddings, nCentroids, kGraph, nQueries,
+          beam, rounds, k, keep, nBuckets, nprobe, nLayers)
+        .select(col("qid"), col("vid"), lit(1).as("hit"))))
+    val (exact, approx) = (sides(0), sides(1))
     exact.join(approx, Seq("qid", "vid"), "left")
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("n_exact"),
@@ -2289,11 +2305,19 @@ object Similarity {
     require(params.nonEmpty, "annGraphSweep: need at least one (beam, rounds)")
     val graph = knnGraphEdges(embeddings, nCentroids, kGraph, nprobe)
     val e = prepared(embeddings.where(col("embedding").isNotNull))
-    val exact = cosineTopK(embeddings, nQueries, k)
-      .select(col("qid"), col("vid")).localCheckpoint()
-    params.map { case (beam, rounds) =>
-      val approx = graphWalk(e, graph, nQueries, beam, rounds, k)
-        .select(col("qid"), col("vid"), lit(1).as("hit"))
+    // the exact side and each budget's walk are INDEPENDENT job chains
+    // over the shared graph memo — overlap all of them (guide §2.6;
+    // the walks' checkpoints are eager, so a sequential map()
+    // serialized budgets × rounds scheduler barriers)
+    val sides = Par.inParallelAll(
+      (() => cosineTopK(embeddings, nQueries, k)
+        .select(col("qid"), col("vid")).localCheckpoint()) +:
+      params.map { case (beam, rounds) => () =>
+        graphWalk(e, graph, nQueries, beam, rounds, k)
+          .select(col("qid"), col("vid"), lit(1).as("hit"))
+      })
+    val exact = sides.head
+    params.zip(sides.tail).map { case ((beam, rounds), approx) =>
       exact.join(approx, Seq("qid", "vid"), "left")
         .groupBy(col("qid"))
         .agg(count(lit(1)).as("n_exact"),
@@ -2307,10 +2331,16 @@ object Similarity {
   def annGraphSearchRecall(embeddings: DataFrame, nCentroids: Int, kGraph: Int,
                            nQueries: Int, beam: Int, rounds: Int, k: Int,
                            nprobe: Int = 2): DataFrame = {
-    val exact = cosineTopK(embeddings, nQueries, k).select(col("qid"), col("vid"))
-    val approx = annGraphSearch(embeddings, nCentroids, kGraph,
-        nQueries, beam, rounds, k, nprobe)
-      .select(col("qid"), col("vid"), lit(1).as("hit"))
+    // exact side ∥ walk rounds (guide §2.6): the walk's checkpoints
+    // are eager, so a sequential build left the exact scan to run
+    // serially inside the final job
+    val sides = Par.inParallelAll(Seq[() => DataFrame](
+      () => cosineTopK(embeddings, nQueries, k)
+        .select(col("qid"), col("vid")).localCheckpoint(),
+      () => annGraphSearch(embeddings, nCentroids, kGraph,
+          nQueries, beam, rounds, k, nprobe)
+        .select(col("qid"), col("vid"), lit(1).as("hit"))))
+    val (exact, approx) = (sides(0), sides(1))
     exact.join(approx, Seq("qid", "vid"), "left")
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("n_exact"),
