@@ -1206,7 +1206,12 @@ object Similarity {
                               rounds: Int, k: Int): DataFrame = {
     require(k <= beam, s"annGraphSearch: k=$k must be <= beam=$beam")
     require(rounds >= 1, s"annGraphSearch: rounds must be >= 1, got $rounds")
-    def scoreNew(cand: DataFrame) = cand
+    // every frontier/expansion frame is WALK-BUDGET-bounded at any
+    // corpus scale (the serving-path contract) — broadcast it
+    // EXPLICITLY so the corpus-sized node/edge scans are never
+    // shuffled, statically, not at AQE's discretion (PlanCensusSpec
+    // pins the serve-tail shape with AQE off)
+    def scoreNew(cand: DataFrame) = broadcast(cand)
       .join(e, cand("vid") === e("vec_id"))
       .select(cand("qid"), cand("qv"), cand("qn"), cand("vid"),
         r3(expr("graft_vec_dot(v, qv)") / (col("norm") * col("qn"))).as("cos"))
@@ -1217,7 +1222,7 @@ object Similarity {
       // is the seed set, unfiltered); later rounds expand the top-beam
       val frontier = if (r == 1) seeds
         else visited.where(col("rk") <= beam).select(carry: _*)
-      val expand = frontier.join(adj, frontier("vid") === adj("src"))
+      val expand = broadcast(frontier).join(adj, frontier("vid") === adj("src"))
         .select(frontier("qid"), frontier("qv"), frontier("qn"),
           adj("nbr").as("vid"))
       // round 1 scores seeds ∪ expansion in ONE e-join; later rounds
@@ -1417,10 +1422,12 @@ object Similarity {
                                  beam: Int, rounds: Int,
                                  k: Int, nLabels: Int): DataFrame = {
     val isMatch = col("label") === pmod(col("qid"), lit(nLabels.toLong)).cast("int")
-    def scoreNew(cand: DataFrame) = cand
+    // candidate-sized sides broadcast EXPLICITLY (see graphWalkScored:
+    // the corpus-sized node/label scans must never shuffle, statically)
+    def scoreNew(cand: DataFrame) = broadcast(broadcast(cand)
       .join(nodes, cand("vid") === nodes("vec_id"))
       .select(cand("qid"), cand("qv"), cand("qn"), cand("vid"),
-        r3(expr("graft_vec_dot(v, qv)") / (col("norm") * col("qn"))).as("cos"))
+        r3(expr("graft_vec_dot(v, qv)") / (col("norm") * col("qn"))).as("cos")))
       .join(labels, Seq("vid"))
     // walk the adjacency UNDIRECTED: the stored kNN graph keeps each
     // node's top-k OUT-edges, and a node can sit in many top-k lists
@@ -1444,7 +1451,7 @@ object Similarity {
       val frontier = if (r == 1) seeds
         else visited.where(col("rk") <= beam || (isMatch && col("rkm") <= beam))
           .select(carry: _*)
-      val hop1 = frontier.join(sym, frontier("vid") === sym("src"))
+      val hop1 = broadcast(frontier).join(sym, frontier("vid") === sym("src"))
         .select(frontier("qid"), frontier("qv"), frontier("qn"),
           sym("nbr").as("vid"))
       // ACORN-style BRIDGE expansion (Patel et al. 2024): a hop-1
@@ -1457,13 +1464,13 @@ object Similarity {
       // the same budgets clear 0.9). Cost: one extra edge join per
       // round on the (frontier × degree)-sized non-matching slice —
       // candidate volume × degree, never corpus volume.
-      val bridge = hop1.join(labels, Seq("vid")).where(!isMatch)
+      val bridge = broadcast(hop1).join(labels, Seq("vid")).where(!isMatch)
         .select(carry: _*)
       // re-key the adjacency for the second hop — hop1 already carries
       // this frame's lineage, so a raw re-join would be an ambiguous
       // self-join
       val g2 = sym.select(col("src").as("bsrc"), col("nbr").as("bnbr"))
-      val hop2 = bridge.join(g2, bridge("vid") === g2("bsrc"))
+      val hop2 = broadcast(bridge).join(g2, bridge("vid") === g2("bsrc"))
         .select(bridge("qid"), bridge("qv"), bridge("qn"),
           col("bnbr").as("vid"))
       // ONE score+label join over seeds(round 1) ∪ hop1 ∪ hop2; the
